@@ -1,13 +1,316 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.query.{Alerts, Counts, LogContext, FieldStats, Traces}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
+  * parquet tables.
+  *
+  * Determinism rules used throughout (the driver hash-compares values):
+  *   - every query ends in a total ORDER BY (all tiebreaks);
+  *   - float aggregates go through DECIMAL(18,2) sums — exact in both Spark
+  *     and DuckDB, so no fp-addition-order drift;
+  *   - averages/ratios are computed from exact sums with a single double
+  *     division (deterministic given equal operands).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(GraftSession.tune(s), dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A9/A1: grouped aggregation (TPC-H Q1 shape), exact decimal sums.
+    "q_agg_pricing" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          col("sum_qty").cast("double") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F1/F3: filter + projection pushdown to the parquet scan.
+    "q_filter_project" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type") === "error" && col("value") > 5.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J4: equi-join + grouped aggregate (orders x customer).
+    "q_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("order_count"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J4: multiway join with broadcast dims (region/nation broadcast;
+    // orders x lineitem co-shuffle on the join key).
+    "q_join_multiway" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .as("revenue"),
+          count(lit(1)).as("lineitem_count"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J4: left-semi join (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "leftsemi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4: left-anti join (NOT EXISTS).
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "leftanti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // W3: ranking window — top-3 orders per customer.
+    "q_window_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // W1: count-distinct over a window via collect_set (Spark restriction).
+    "q_window_count_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("event_type"))
+      e.withColumn("distinct_users",
+          size(collect_set(col("user_id")).over(w)).cast("long"))
+        .select(col("event_id"), col("event_type"), col("distinct_users"))
+        .orderBy(col("event_id"))
+        .limit(500)
+    }),
+
+    // A3: time-binned histogram (date_bin shim), hourly bins.
+    "q_counts_histogram" -> ((s, dir) => {
+      Counts
+        .histogram(t(s, dir, "events"), "ts", 3600L * 1000)
+        .orderBy(col("bin_start"))
+    }),
+
+    // A4/J1: binned counts joined back to broadcast top-k groups.
+    "q_counts_topk" -> ((s, dir) => {
+      Counts
+        .topKCounts(t(s, dir, "events"), "ts", Seq("event_type"),
+          binMillis = 86400L * 1000, k = 3)
+        .orderBy(col("bin_start"), col("event_type"))
+    }),
+
+    // A2: COUNT(*) fast path (metadata-answerable; full-scan correctness).
+    "q_count_star" -> ((s, dir) =>
+      t(s, dir, "events").agg(count(lit(1)).as("cnt"))),
+
+    // F6/F7 + A5: alert condition AST → Column filter + grouped aggregate.
+    "q_alert_avg" -> ((s, dir) => {
+      import Alerts._
+      val cond = Group(and = true, Seq(
+        Leaf("event_type", ILike, Some("%err%")),
+        Leaf("event_type", IsNotNull, None)))
+      t(s, dir, "events")
+        .filter(Conditions.toColumn(cond))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_value", col("sum_value").cast("double") / col("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // O5: keyset pagination after a (ts,id) cursor.
+    "q_logctx_after" -> ((s, dir) =>
+      LogContext.after(t(s, dir, "events"), "ts", "event_id",
+        LogContext.Cursor(tsMillis = 1705276800000L, id = 0L), n = 50)),
+
+    // O5: keyset pagination before the cursor (reverse order).
+    "q_logctx_before" -> ((s, dir) =>
+      LogContext.before(t(s, dir, "events"), "ts", "event_id",
+        LogContext.Cursor(tsMillis = 1705276800000L, id = 0L), n = 50)),
+
+    // W1/W2/O6: trace list with paging over events-as-spans.
+    "q_trace_list" -> ((s, dir) =>
+      Traces.traceList(t(s, dir, "events"), "user_id", "event_id", "ts",
+          errorCond = col("event_type") === "error", offset = 2, limit = 10)
+        .withColumn("span_count", col("span_count").cast("long"))
+        .select(col("trace_id"), col("span_count"), col("error_count"),
+          col("trace_start"), col("trace_end"))),
+
+    // A6: field stats — top-N values of a column with deterministic tiebreak.
+    "q_field_stats_top" -> ((s, dir) =>
+      FieldStats.statsFrame(t(s, dir, "events"), "event_type")
+        .orderBy(col("value_count").desc, col("value").asc)),
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,4))) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'error' AND value > 5.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT c_mktsegment,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,4))) AS revenue,
+        |  count(*) AS lineitem_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_window_count_distinct" ->
+      """SELECT event_id, event_type,
+        |  count(DISTINCT user_id) OVER (PARTITION BY event_type) AS distinct_users
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q_counts_histogram" ->
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bin_start,
+        |  count(*) AS bin_count
+        |FROM events GROUP BY 1 ORDER BY bin_start""".stripMargin,
+
+    "q_counts_topk" ->
+      """WITH totals AS (
+        |  SELECT event_type, count(*) AS total_count FROM events
+        |  GROUP BY event_type
+        |  ORDER BY total_count DESC, event_type ASC LIMIT 3),
+        |binned AS (
+        |  SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000)
+        |      AS bin_start,
+        |    event_type, count(*) AS bin_count
+        |  FROM events GROUP BY 1, 2)
+        |SELECT b.bin_start, b.event_type, b.bin_count, t.total_count
+        |FROM binned b JOIN totals t ON b.event_type IS NOT DISTINCT FROM t.event_type
+        |ORDER BY b.bin_start, b.event_type""".stripMargin,
+
+    "q_count_star" -> "SELECT count(*) AS cnt FROM events",
+
+    "q_alert_avg" ->
+      """SELECT user_id,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events
+        |WHERE event_type ILIKE '%err%' AND event_type IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_logctx_after" ->
+      """SELECT * FROM events
+        |WHERE ts > make_timestamp(1705276800000 * 1000)
+        |   OR (ts = make_timestamp(1705276800000 * 1000) AND event_id > 0)
+        |ORDER BY ts ASC, event_id ASC LIMIT 50""".stripMargin,
+
+    "q_logctx_before" ->
+      """SELECT * FROM events
+        |WHERE ts < make_timestamp(1705276800000 * 1000)
+        |   OR (ts = make_timestamp(1705276800000 * 1000) AND event_id < 0)
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin,
+
+    "q_trace_list" ->
+      """SELECT user_id AS trace_id,
+        |  count(DISTINCT event_id) AS span_count,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS error_count,
+        |  min(ts) AS trace_start, max(ts) AS trace_end
+        |FROM events GROUP BY user_id
+        |ORDER BY trace_start ASC, trace_id ASC
+        |LIMIT 10 OFFSET 2""".stripMargin,
+
+    "q_field_stats_top" ->
+      """SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS value_count
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY value_count DESC, value ASC LIMIT 5""".stripMargin,
+  )
 }

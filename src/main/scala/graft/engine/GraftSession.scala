@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table registry for the graft engine.
+  *
+  * Mirrors the reference's session tuning (parseable `src/query/mod.rs:212-278`
+  * `create_session_state`) re-expressed as Spark SQL conf: filter pushdown,
+  * page-index pruning and partition parallelism are Spark-native; we pin the
+  * knobs that differ from Spark defaults and matter at 100 TB scale.
+  */
+object GraftSession {
+
+  /** Conf applied to any session the engine builds. Also safe to apply to an
+    * externally-provided session (driver-owned) via [[tune]].
+    */
+  val tuning: Seq[(String, String)] = Seq(
+    // AQE: runtime coalescing + skew-join handling — the scale path for
+    // shuffles whose ideal partitioning is data-dependent.
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Parquet scan: pushdown + vectorized reader (reference enables the
+    // DataFusion equivalents explicitly; Spark defaults on — keep pinned).
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    // Reference executes with 20k-row batches (src/cli.rs:479-482); Spark's
+    // columnar batch default is 4096 — raise toward the reference's choice.
+    "spark.sql.parquet.columnarReaderBatchSize" -> "16384",
+    "spark.sql.session.timeZone" -> "UTC",
+    // The synthetic events table stores TIMESTAMP(NANOS) which Spark's
+    // vectorized reader rejects; read as long and convert (see [[table]]).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Timestamps without timezone annotation read as TIMESTAMP_NTZ so the
+    // engine's outputs carry naive (UTC) semantics end-to-end.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+    // Broadcast threshold: dims (region/nation/supplier at any SF, centroid
+    // tables) must broadcast rather than shuffle.
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+  )
+
+  def tune(spark: SparkSession): SparkSession = {
+    tuning.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
+  /** Local session for tests/benchmarks. `cores` maps to the reference's
+    * `target_partitions` (4×cores there; here 1 shuffle partition per core —
+    * AQE coalesces down, skew-split raises, so the static number only seeds).
+    */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+    tuning.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Table names of the driver-generated test corpus (TESTDATA.md). */
+  val tables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Columns stored as TIMESTAMP(NANOS) in the test corpus — surfaced as
+    * long (see nanosAsLong above) and converted to µs TIMESTAMP_NTZ here,
+    * matching DuckDB's ns→µs truncation.
+    */
+  private val nanoTimestampCols: Map[String, Seq[String]] =
+    Map("events" -> Seq("ts"))
+
+  /** Read one test table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanoTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      // `div` keeps the arithmetic in long space (ns values overflow the
+      // 2^53 double mantissa, so `/` would corrupt them).
+      d.withColumn(c,
+        org.apache.spark.sql.functions
+          .expr(s"CAST(timestamp_micros($c div 1000) AS TIMESTAMP_NTZ)"))
+    }
+  }
+
+  /** Register every test table as a temp view (for spark.sql queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tables.foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+}

@@ -1,0 +1,153 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Threshold alerts: rolling-window scheduled queries whose grouped aggregate
+  * is compared against a threshold.
+  *
+  * Re-expresses the reference's alert model (parseable
+  * `src/alerts/alert_structs.rs`, `src/alerts/alerts_utils.rs`) with
+  * `Column` expressions instead of SQL-string assembly:
+  *   - condition AST (nested AND/OR groups) → [[Conditions.toColumn]]
+  *     (reference `alerts_utils.rs:390-460` builds a WHERE string);
+  *   - rich operators (`alert_enums.rs:171-231`) → [[Conditions.compare]];
+  *   - aggregate + per-group threshold eval (`alert_types.rs:92-161`).
+  */
+object Alerts {
+
+  sealed trait WhereOp
+  case object Eq extends WhereOp
+  case object NotEq extends WhereOp
+  case object Lt extends WhereOp
+  case object Gt extends WhereOp
+  case object LtEq extends WhereOp
+  case object GtEq extends WhereOp
+  case object IsNull extends WhereOp
+  case object IsNotNull extends WhereOp
+  case object ILike extends WhereOp
+  case object Contains extends WhereOp
+  case object BeginsWith extends WhereOp
+  case object EndsWith extends WhereOp
+  case object DoesNotContain extends WhereOp
+  case object DoesNotBeginWith extends WhereOp
+  case object DoesNotEndWith extends WhereOp
+
+  sealed trait ConditionNode
+  final case class Leaf(column: String, op: WhereOp, value: Option[String])
+      extends ConditionNode
+  final case class Group(and: Boolean, children: Seq[ConditionNode])
+      extends ConditionNode
+
+  object Conditions {
+    def compare(c: Column, op: WhereOp, v: Option[String]): Column = op match {
+      case Eq               => c === lit(v.get)
+      case NotEq            => c =!= lit(v.get)
+      case Lt               => c < lit(v.get)
+      case Gt               => c > lit(v.get)
+      case LtEq             => c <= lit(v.get)
+      case GtEq             => c >= lit(v.get)
+      case IsNull           => c.isNull
+      case IsNotNull        => c.isNotNull
+      case ILike            => c.ilike(v.get)
+      case Contains         => c.contains(lit(v.get))
+      case BeginsWith       => c.startsWith(lit(v.get))
+      case EndsWith         => c.endsWith(lit(v.get))
+      case DoesNotContain   => !c.contains(lit(v.get))
+      case DoesNotBeginWith => !c.startsWith(lit(v.get))
+      case DoesNotEndWith   => !c.endsWith(lit(v.get))
+    }
+
+    def toColumn(node: ConditionNode): Column = node match {
+      case Leaf(name, op, v) => compare(col(name), op, v)
+      case Group(and, children) =>
+        children.map(toColumn).reduce((a, b) => if (and) a && b else a || b)
+    }
+  }
+
+  sealed trait AggKind
+  case object AggAvg extends AggKind
+  case object AggCount extends AggKind
+  case object AggCountDistinct extends AggKind
+  case object AggMin extends AggKind
+  case object AggMax extends AggKind
+  case object AggSum extends AggKind
+
+  def aggregate(kind: AggKind, c: String): Column = kind match {
+    case AggAvg           => avg(col(c))
+    case AggCount         => count(col(c))
+    case AggCountDistinct => count_distinct(col(c))
+    case AggMin           => min(col(c))
+    case AggMax           => max(col(c))
+    case AggSum           => sum(col(c))
+  }
+
+  sealed trait CmpOp
+  case object Above extends CmpOp
+  case object Below extends CmpOp
+  case object EqualTo extends CmpOp
+
+  final case class AlertConfig(
+      agg: AggKind,
+      aggColumn: String,
+      where: Option[ConditionNode],
+      groupBy: Seq[String],
+      cmp: CmpOp,
+      threshold: Double)
+
+  final case class GroupResult(groupValues: Map[String, String], aggregate: Double)
+
+  /** One evaluation: aggregate per group over the windowed stream, compare to
+    * the threshold. The stream DataFrame is expected to already carry the
+    * rolling window filter (injected by [[QueryService]]).
+    */
+  def evaluate(df: DataFrame, cfg: AlertConfig): Seq[GroupResult] = {
+    val filtered = cfg.where.map(w => df.filter(Conditions.toColumn(w))).getOrElse(df)
+    val aggCol = aggregate(cfg.agg, cfg.aggColumn).cast("double").as("__agg")
+    val grouped =
+      if (cfg.groupBy.isEmpty) filtered.agg(aggCol)
+      else filtered.groupBy(cfg.groupBy.map(col): _*).agg(aggCol)
+    grouped.collect().toSeq.map { row =>
+      GroupResult(
+        cfg.groupBy.map(g => g -> String.valueOf(row.getAs[Any](g))).toMap,
+        row.getAs[Double]("__agg"))
+    }
+  }
+
+  def triggered(r: GroupResult, cfg: AlertConfig): Boolean = cfg.cmp match {
+    case Above   => r.aggregate > cfg.threshold
+    case Below   => r.aggregate < cfg.threshold
+    case EqualTo => r.aggregate == cfg.threshold
+  }
+
+  /** The alert's filter+aggregate as a DataFrame (for oracle-checked tests). */
+  def alertFrame(df: DataFrame, cfg: AlertConfig): DataFrame = {
+    val filtered = cfg.where.map(w => df.filter(Conditions.toColumn(w))).getOrElse(df)
+    val aggCol = aggregate(cfg.agg, cfg.aggColumn).as("agg_value")
+    if (cfg.groupBy.isEmpty) filtered.agg(aggCol)
+    else filtered.groupBy(cfg.groupBy.map(col): _*).agg(aggCol)
+  }
+
+  /** Rolling-window scheduler loop (reference `src/sync.rs:372+`): evaluate
+    * every `frequency` until `rounds` exhausted — driver-facing utility; in
+    * production this is a Structured Streaming Trigger.ProcessingTime job.
+    */
+  def schedule(
+      spark: SparkSession,
+      stream: QueryService.Stream,
+      cfg: AlertConfig,
+      window: java.time.Duration,
+      rounds: Int,
+      onResult: Seq[(GroupResult, Boolean)] => Unit): Unit = {
+    (0 until rounds).foreach { _ =>
+      val now = java.time.Instant.now()
+      val range = TimeRange(now.minus(window), now)
+      val df = spark.read
+        .parquet(stream.path)
+        .filter(col(stream.timeCol) >= lit(java.sql.Timestamp.from(range.start)) &&
+          col(stream.timeCol) < lit(java.sql.Timestamp.from(range.end)))
+      val results = evaluate(df, cfg).map(r => r -> triggered(r, cfg))
+      onResult(results)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-field statistics: total/null counts, distinct counts, top-N values.
+  *
+  * The reference computes these per uploaded parquet file with a hand-rolled
+  * HyperLogLog (p=12) and a bounded tracked-value map (parseable
+  * `src/storage/field_stats.rs:86-90,122-352,595+`), persisting to the
+  * internal `pstats` stream. Spark-first: one pass per field with
+  * `approx_count_distinct` (Spark's HLL++, same precision class: rsd 0.01 ≈
+  * p=12) and a groupBy/limit top-N; results land in a stats DataFrame with
+  * the reference's `pstats` shape.
+  */
+object FieldStats {
+
+  final case class TopValue(value: String, count: Long)
+  final case class FieldStat(
+      field: String,
+      totalCount: Long,
+      nullCount: Long,
+      distinctApprox: Long,
+      top: Seq[TopValue])
+
+  /** HLL++ relative standard deviation matching the reference's p=12 HLL
+    * (4096 registers → rsd ≈ 1.04/sqrt(4096) ≈ 0.016).
+    */
+  val Rsd = 0.016
+
+  val TopN = 5
+
+  def compute(df: DataFrame, fields: Seq[String]): Seq[FieldStat] = {
+    // Single job for the scalar stats of every field: one scan, one row out.
+    val aggs = fields.flatMap { f =>
+      Seq(
+        count(lit(1)).as(s"__total_$f"),
+        count(col(f)).as(s"__nonnull_$f"),
+        approx_count_distinct(col(f), Rsd).as(s"__distinct_$f"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    fields.map { f =>
+      val total = row.getAs[Long](s"__total_$f")
+      val nonNull = row.getAs[Long](s"__nonnull_$f")
+      val top = df
+        .filter(col(f).isNotNull)
+        .groupBy(col(f).cast("string").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("v").asc)
+        .limit(TopN)
+        .collect()
+        .toSeq
+        .map(r => TopValue(r.getAs[String]("v"), r.getAs[Long]("c")))
+      FieldStat(f, total, total - nonNull, row.getAs[Long](s"__distinct_$f"), top)
+    }
+  }
+
+  /** DataFrame form of exact field stats for one column (oracle-checkable:
+    * exact distinct instead of HLL, deterministic top-N tiebreak).
+    */
+  def statsFrame(df: DataFrame, field: String): DataFrame = {
+    val c = col(field)
+    df.groupBy(c.cast("string").as("value"))
+      .agg(count(lit(1)).as("value_count"))
+      .orderBy(col("value_count").desc, col("value").asc)
+      .limit(TopN)
+  }
+
+  /** Persist stats in the reference's pstats row shape
+    * (`src/storage/field_stats.rs:98-117`).
+    */
+  def toPstats(spark: SparkSession, stream: String, stats: Seq[FieldStat]): DataFrame = {
+    import spark.implicits._
+    stats
+      .flatMap { s =>
+        s.top.map(tv => (stream, s.field, s.totalCount, s.distinctApprox, tv.value, tv.count))
+      }
+      .toDF("stream", "field", "total_count", "distinct_count", "value", "value_count")
+  }
+}

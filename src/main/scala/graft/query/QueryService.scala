@@ -1,0 +1,71 @@
+package graft.query
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.functions._
+
+/** SQL entry point with automatic time-range injection.
+  *
+  * The reference rewrites every `TableScan` in the logical plan to add
+  * `p_timestamp >= start AND p_timestamp < end` unless the query already
+  * constrains the time column (parseable `src/query/mod.rs:829-911`). The
+  * Spark-first equivalent: before executing user SQL, re-register each
+  * referenced stream view as `SELECT * FROM t WHERE time >= .. AND time < ..`
+  * — Catalyst folds the wrapper predicate into the scan (partition pruning +
+  * parquet row-group pruning), so injection costs nothing at plan time and
+  * prunes at both file and page level during execution.
+  */
+object QueryService {
+
+  /** Stream registry entry: where the table lives and its time column. */
+  final case class Stream(path: String, timeCol: String)
+
+  /** Table names referenced by a SQL query, resolved with Spark's own parser
+    * (reference uses sqlparser+PostgreSqlDialect, `src/query/mod.rs:747-759`).
+    */
+  def referencedTables(spark: SparkSession, sql: String): Seq[String] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    plan.collectWithSubqueries { case r: UnresolvedRelation => r.tableName }.distinct
+  }
+
+  /** Whether the parsed query already filters on `timeCol` for any scanned
+    * table — if so, injection is skipped (reference
+    * `src/query/mod.rs:890-911` `table_contains_any_time_filters`).
+    */
+  def containsTimeFilter(spark: SparkSession, sql: String, timeCol: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    plan.collectWithSubqueries { case f: Filter => f.condition }.exists { cond =>
+      cond.collect { case cmp: BinaryComparison => cmp }.exists(_.children.exists {
+        case a: Attribute => a.name.equalsIgnoreCase(timeCol)
+        case _            => false
+      })
+    }
+  }
+
+  /** Execute `sql` with the time window injected into every referenced
+    * stream. Non-stream tables (dims) pass through unfiltered.
+    */
+  def query(
+      spark: SparkSession,
+      streams: Map[String, Stream],
+      sql: String,
+      range: TimeRange): DataFrame = {
+    referencedTables(spark, sql).foreach { name =>
+      streams.get(name).foreach { s =>
+        val base = spark.read.parquet(s.path)
+        val df =
+          if (containsTimeFilter(spark, sql, s.timeCol)) base
+          else
+            base.filter(
+              col(s.timeCol) >= lit(Instant.ofEpochMilli(range.start.toEpochMilli)) &&
+                col(s.timeCol) < lit(Instant.ofEpochMilli(range.end.toEpochMilli)))
+        df.createOrReplaceTempView(name)
+      }
+    }
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** APM-style trace queries re-expressed over Spark windows.
+  *
+  * The reference's trace-list SQL (parseable `src/handlers/http/traces.rs:
+  * 489-513`) computes per-trace span counts with
+  * `COUNT(DISTINCT span_id) OVER (PARTITION BY trace_id)` plus a conditional
+  * error count, then pages with ORDER BY … OFFSET/LIMIT. Spark disallows
+  * COUNT(DISTINCT) OVER a window → `size(collect_set(..))` over the same
+  * window (SURVEY §2.5 W1).
+  *
+  * At scale the windowed form shuffles the full span set once on trace_id —
+  * identical cost to the groupBy form — but keeps per-span rows available for
+  * the detail view; the list view then dedups to one row per trace.
+  */
+object Traces {
+
+  /** Trace list: one row per trace with span/error counts and time bounds,
+    * paged deterministically.
+    *
+    * Column mapping for the synthetic `events` table: traceId=user_id,
+    * spanId=event_id, start=ts, error flag = event_type = 'error'.
+    */
+  def traceList(
+      spans: DataFrame,
+      traceCol: String,
+      spanCol: String,
+      timeCol: String,
+      errorCond: org.apache.spark.sql.Column,
+      offset: Int,
+      limit: Int): DataFrame = {
+    val w = Window.partitionBy(col(traceCol))
+    spans
+      .withColumn("span_count", size(collect_set(col(spanCol)).over(w)))
+      .withColumn("error_count", sum(when(errorCond, 1L).otherwise(0L)).over(w))
+      .withColumn("trace_start", min(col(timeCol)).over(w))
+      .withColumn("trace_end", max(col(timeCol)).over(w))
+      .select(
+        col(traceCol).as("trace_id"),
+        col("span_count"),
+        col("error_count"),
+        col("trace_start"),
+        col("trace_end"))
+      .distinct()
+      .orderBy(col("trace_start").asc, col("trace_id").asc)
+      .offset(offset)
+      .limit(limit)
+  }
+
+  /** Trace detail: all spans of one trace plus `COUNT(*) OVER ()` total
+    * (reference `traces.rs:635`), newest-first.
+    */
+  def traceDetail(spans: DataFrame, traceCol: String, traceId: Long,
+      spanCol: String, timeCol: String): DataFrame = {
+    val w = Window.partitionBy()
+    spans
+      .filter(col(traceCol) === lit(traceId))
+      .withColumn("total_spans", count(lit(1)).over(w))
+      .orderBy(col(timeCol).desc, col(spanCol).desc)
+  }
+}
