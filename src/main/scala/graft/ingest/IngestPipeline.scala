@@ -1,0 +1,179 @@
+package graft.ingest
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON → stream ingest: flatten, infer, conflict-rename, enrich, append as
+  * date/hour/minute-partitioned parquet.
+  *
+  * The Spark shape of the reference's ingest path (parseable
+  * `src/handlers/http/ingest.rs` → `src/event/format/json.rs` →
+  * `src/parseable/streams.rs`):
+  *   JSON text → [[JsonFlattener.flattenEvent]] → [[SchemaInference]] (V1
+  *   types, typed-sibling renames) → merged stream schema → Rows →
+  *   `createDataFrame.write.partitionBy(date,hour,minute)`.
+  *
+  * Scale note: this driver-side entry point is for API-sized batches (the
+  * reference ingests HTTP payloads, not files). Bulk ingest goes through
+  * [[graft.streaming.IngestStream]] where the same pure functions run inside
+  * `mapPartitions` on executors.
+  */
+object IngestPipeline {
+
+  final case class StreamConfig(
+      name: String,
+      timePartition: Option[String] = None, // event-time column, else arrival
+      customPartitions: Seq[String] = Nil,
+      staticSchema: Option[StructType] = None,
+      separator: String = JsonFlattener.DefaultSeparator)
+
+  /** Per-stream cumulative schema registry (grows monotonically — reference
+    * `commit_schema`). Thread-safe for concurrent ingest.
+    */
+  final class SchemaRegistry {
+    private val schemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+    def get(stream: String): Option[StructType] = Option(schemas.get(stream))
+    def commit(stream: String, incoming: StructType): Either[String, StructType] = {
+      var out: Either[String, StructType] = null
+      schemas.compute(stream, (_, cur) => {
+        val merged =
+          if (cur == null) Right(incoming)
+          else SchemaInference.tryMerge(cur, incoming)
+        out = merged
+        merged.getOrElse(cur)
+      })
+      out
+    }
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse, flatten and normalize a JSON payload (object or array of
+    * objects) into per-event flat objects (no conflict renaming yet — that
+    * happens per record against the accumulated schema in [[ingest]]).
+    */
+  def prepare(json: String, cfg: StreamConfig): Either[String, Seq[ObjectNode]] = {
+    val root = mapper.readTree(json)
+    val events: Either[String, Seq[ObjectNode]] = root match {
+      case a if a.isArray =>
+        Right(a.elements().asScala.toSeq.collect { case o: ObjectNode => o })
+      case o: ObjectNode => Right(Seq(o))
+      case other         => Left(s"not a JSON object/array: ${other.getNodeType}")
+    }
+    events.flatMap { evs =>
+      val out = Seq.newBuilder[ObjectNode]
+      var err: Option[String] = None
+      val it = evs.iterator
+      while (err.isEmpty && it.hasNext) {
+        val ev = it.next()
+        SchemaInference.normalizeFieldNames(ev) match {
+          case Left(e) => err = Some(e)
+          case Right(norm) =>
+            JsonFlattener.flattenEvent(norm, cfg.separator) match {
+              case Left(e)     => err = Some(e)
+              case Right(rows) => out ++= rows
+            }
+        }
+      }
+      err.toLeft(out.result())
+    }
+  }
+
+  /** Convert flat JSON objects to Rows under `schema` (missing → null). */
+  def toRows(events: Seq[ObjectNode], schema: StructType): Seq[Row] =
+    events.map { ev =>
+      Row.fromSeq(schema.fields.toSeq.map { f =>
+        val v = ev.get(f.name)
+        if (v == null || v.isNull) null else cast(v, f.dataType)
+      })
+    }
+
+  private def cast(v: JsonNode, dt: DataType): Any = dt match {
+    case BooleanType   => v.asBoolean()
+    case DoubleType    => v.asDouble()
+    case LongType      => v.asLong()
+    case TimestampType =>
+      java.sql.Timestamp.from(
+        java.time.ZonedDateTime
+          .parse(v.asText, java.time.format.DateTimeFormatter.ISO_DATE_TIME)
+          .toInstant)
+    case StringType =>
+      if (v.isTextual) v.asText else v.toString
+    case ArrayType(et, _) =>
+      v.elements().asScala.toSeq.map(e => if (e.isNull) null else cast(e, et))
+    case _ => v.toString
+  }
+
+  /** Ingest one JSON payload into the stream: returns the enriched
+    * DataFrame (with `p_*` columns) ready to append.
+    */
+  def ingest(
+      spark: SparkSession,
+      registry: SchemaRegistry,
+      cfg: StreamConfig,
+      json: String,
+      userAgent: String = "",
+      srcIp: String = "",
+      format: String = "json"): Either[String, DataFrame] = {
+    for {
+      raw <- prepare(json, cfg)
+      // Per-record conflict renaming against the accumulated (stream ∪
+      // batch-so-far) schema — mixed-type batches rename from the second
+      // record onward (reference rename_per_record_type_mismatches,
+      // mod.rs:607-696).
+      renamed <- {
+        var acc = registry.get(cfg.name).getOrElse(new StructType())
+        var err: Option[String] = None
+        val out = Seq.newBuilder[ObjectNode]
+        val it = raw.iterator
+        while (err.isEmpty && it.hasNext) {
+          val r = SchemaInference.renameConflicts(it.next(), acc)
+          SchemaInference.tryMerge(acc, SchemaInference.inferSchema(r)) match {
+            case Left(e)  => err = Some(e)
+            case Right(m) => acc = m; out += r
+          }
+        }
+        err.toLeft((out.result(), acc))
+      }
+      (events, batchSchema) = renamed
+      _ <- cfg.staticSchema match {
+        case Some(fixed) =>
+          batchSchema.fields.find(f => !fixed.fieldNames.contains(f.name)) match {
+            case Some(f) => Left(s"field ${f.name} not in static schema")
+            case None    => Right(())
+          }
+        case None => Right(())
+      }
+      merged <- registry.commit(cfg.name, batchSchema)
+    } yield {
+      val rows = toRows(events, merged)
+      spark
+        .createDataFrame(rows.asJava, merged)
+        .withColumn("p_timestamp", current_timestamp())
+        .withColumn("p_user_agent", lit(userAgent))
+        .withColumn("p_src_ip", lit(srcIp))
+        .withColumn("p_format", lit(format))
+    }
+  }
+
+  /** Append an enriched batch to the stream's parquet table, Hive-partitioned
+    * by minute (reference prefix scheme `date=/hour=/minute=`,
+    * `src/utils/time.rs:215-229`). Partition columns are derived, never
+    * stored in the row payload.
+    */
+  def append(df: DataFrame, root: String, cfg: StreamConfig): Unit = {
+    val timeCol = cfg.timePartition.map(col).getOrElse(col("p_timestamp"))
+    df.withColumn("date", date_format(timeCol, "yyyy-MM-dd"))
+      .withColumn("hour", date_format(timeCol, "HH"))
+      .withColumn("minute", date_format(timeCol, "mm"))
+      .write
+      .mode("append")
+      .partitionBy(Seq("date", "hour", "minute") ++ cfg.customPartitions: _*)
+      .parquet(s"$root/${cfg.name}")
+  }
+}
