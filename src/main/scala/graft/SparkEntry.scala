@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Counts, LogContext, FieldStats, Traces}
+import graft.ml.TextAnalysis
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -187,6 +188,42 @@ object SparkEntry {
     "q_field_stats_top" -> ((s, dir) =>
       FieldStats.statsFrame(t(s, dir, "events"), "event_type")
         .orderBy(col("value_count").desc, col("value").asc)),
+
+    // ML: quality scoring over documents (pure column arithmetic, no shuffle).
+    "q_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.qualityColumns(col("text"))
+        .foldLeft(d) { case (df, (n, c)) => df.withColumn(n, c) }
+        .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("distinct_words"), col("avg_word_len"), col("distinct_ratio"),
+          col("stopword_ratio"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ML: token counting (whitespace words + BPE-ish subword regex).
+    "q_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("subword_count"))
+        .orderBy(col("doc_id"))),
+
+    // ML: document fingerprinting (md5 + 60-bit numeric key).
+    "q_text_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.fingerprintColumns(col("text"))
+        .foldLeft(d) { case (df, (n, c)) => df.withColumn(n, c) }
+        .select(col("doc_id"), col("fp_md5"), col("fp_num"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ML: language-ID by stopword voting (deterministic argmax).
+    "q_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -312,5 +349,71 @@ object SparkEntry {
       """SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS value_count
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY 1 ORDER BY value_count DESC, value ASC LIMIT 5""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(nc AS BIGINT) AS n_chars,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |      / len(toks) AS avg_word_len,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |    CAST(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+        |      / len(toks) AS stopword_ratio
+        |  FROM tk)
+        |SELECT doc_id, n_words, n_chars, distinct_words, avg_word_len,
+        |  distinct_ratio, stopword_ratio,
+        |  ((CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+        |   + least(distinct_ratio * 2.0, 1.0)
+        |   + least(stopword_ratio * 5.0, 1.0)) / 3.0 AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != ''))
+        |    AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS BIGINT) AS subword_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  list_reduce(
+        |    list_transform(string_split(substring(md5(norm), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS fp_num
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN
+        |      ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it','that','for'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN
+        |      ('el','la','de','que','y','en','un','por','con','para'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN
+        |      ('le','la','de','et','un','est','pour','que','dans','avec'))) AS h_fr
+        |  FROM tk)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

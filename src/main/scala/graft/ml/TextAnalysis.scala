@@ -1,0 +1,131 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, token
+  * counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` higher-order
+  * array functions — no UDFs, so the whole pipeline stays inside
+  * whole-stage codegen and scales linearly with executors (the 100 TB path
+  * is a single narrow projection over the documents table; no shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(text, " +"), t => t =!= "")
+
+  /** BPE-ish subword count: runs of letters, digits, or single symbols —
+    * the standard cheap proxy for LLM token counts.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word-level n-gram shingles (default 3), distinct. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val joined = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    // sequence(0, negative) counts DOWN, so guard short docs explicitly
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(joined))
+  }
+
+  /** Common-stopword sets used by the language-ID heuristic and the quality
+    * score. Public, conventional lists (top function words per language).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "avec"),
+  )
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Quality metrics: deterministic per-row arithmetic (exact across
+    * engines — counts and integer-division-derived doubles only).
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val distinctWords = size(array_distinct(toks)).cast("long")
+    val stopHits = stopwordHits(toks, stopwords("en")).cast("long")
+    // exact sum of token lengths (integer fold — order-independent)
+    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    Seq(
+      "n_words" -> nWords,
+      "n_chars" -> nChars,
+      "distinct_words" -> distinctWords,
+      "avg_word_len" -> tokChars.cast("double") / nWords,
+      "distinct_ratio" -> distinctWords.cast("double") / nWords,
+      "stopword_ratio" -> stopHits.cast("double") / nWords,
+    )
+  }
+
+  /** Composite quality score in [0,1]: length band + lexical diversity +
+    * stopword presence. The exact formula is a policy choice; what matters
+    * is it is pure column arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lengthOk = when(cols("n_words").between(20, 1000), 1.0).otherwise(0.5)
+    val diversity = least(cols("distinct_ratio") * 2.0, lit(1.0))
+    val stop = least(cols("stopword_ratio") * 5.0, lit(1.0))
+    (lengthOk + diversity + stop) / 3.0
+  }
+
+  /** Language-ID by stopword-hit voting: score per language, argmax with
+    * deterministic tiebreak (language name ascending), "und" when no hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax: sort by (hits desc, lang asc) via array_max on (hits, negated-lang)
+    // simpler: greatest over structs compares fields in order -> (hits, lang)
+    // needs hits desc + lang asc; invert lang by using reverse-sorted input and
+    // stable greatest. Use array sort instead:
+    val arr = array(scored: _*)
+    val best = element_at(array_sort(arr,
+      (l, r) =>
+        when(l("hits") > r("hits"), -1)
+          .when(l("hits") < r("hits"), 1)
+          .when(l("lang") < r("lang"), -1)
+          .when(l("lang") > r("lang"), 1)
+          .otherwise(0)), 1)
+    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text,
+    * plus a 60-bit numeric fingerprint (hex prefix as integer) for compact
+    * join keys.
+    */
+  def fingerprintColumns(text: Column): Seq[(String, Column)] = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    val h = md5(norm.cast("binary"))
+    Seq(
+      "fp_md5" -> h,
+      "fp_num" -> conv(substring(h, 1, 15), 16, 10).cast("long"))
+  }
+
+  /** All text-analysis columns applied to a documents DataFrame. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val withQuality = qualityColumns(c).foldLeft(df) { case (d, (n, expr)) =>
+      d.withColumn(n, expr)
+    }
+    val withFp = fingerprintColumns(c).foldLeft(withQuality) { case (d, (n, expr)) =>
+      d.withColumn(n, expr)
+    }
+    withFp
+      .withColumn("subword_count", subwordCount(c).cast("long"))
+      .withColumn("quality_score", qualityScore(c))
+      .withColumn("lang_pred", langId(c))
+  }
+}

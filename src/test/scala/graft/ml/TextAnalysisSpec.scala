@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokens splits on whitespace runs and drops empties") {
+    val r = one("  the  quick  fox ")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(r == Seq("the", "quick", "fox"))
+  }
+
+  test("subwordCount counts letter runs, digit runs, single symbols") {
+    val r = one("Hello, world42! x")
+      .select(TextAnalysis.subwordCount(col("text")).as("n"))
+      .as[Int].head()
+    // hello , world 42 ! x -> 6
+    assert(r == 6)
+  }
+
+  test("shingles produces distinct word n-grams") {
+    val r = one("a b c d a b c d")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(r.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("shingles on short text yields empty array, not negative sequence") {
+    val r = one("a b")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(r.isEmpty)
+  }
+
+  test("langId votes by stopwords with deterministic tiebreak") {
+    val df = Seq(
+      "the cat is on the mat and it is fine",
+      "el gato y la casa en un lugar",
+      "zzz qqq www").toDF("text")
+    val r = df.select(TextAnalysis.langId(col("text")).as("l"))
+      .as[String].collect().toSeq
+    assert(r == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive and numerically stable") {
+    val df = Seq("Hello  World", "hello world", "different").toDF("text")
+    val r = df
+      .select(TextAnalysis.fingerprintColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(r(0) == r(1))
+    assert(r(0) != r(2))
+    assert(r(0).getLong(1) > 0)
+  }
+
+  test("quality columns are exact integer-derived values") {
+    val r = one("the the fox")
+      .select(TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("distinct_words") == 2L)
+    assert(r.getAs[Double]("avg_word_len") == 9.0 / 3) // t-h-e,t-h-e,f-o-x
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 3)
+  }
+}
