@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Counts, LogContext, FieldStats, Traces}
-import graft.ml.TextAnalysis
+import graft.ml.{Dedup, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -224,11 +224,129 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
+
+    // ML: exact dedup — hash-groupBy on normalized content.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp_md5"))),
+
+    // ML: n-gram Jaccard near-dup pairs (shingle-key join, no cartesian).
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ML: MinHash+LSH near-dup pairs (band-bucket join + exact verify).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ML: 32-bit SimHash signatures (pure per-row arithmetic).
+    "q_dedup_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
   )
 
   // ----------------------------------------------------------- oracle SQL
 
+  /** DuckDB fragment: 60-bit integer from the md5 hex prefix of `s` —
+    * mirrors [[graft.ml.Dedup.hash60]] exactly.
+    */
+  private def dHash60(s: String): String =
+    s"""list_reduce(list_transform(string_split(substring(md5($s), 1, 15), ''),
+       | c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+       | (a, b) -> a * 16 + b)""".stripMargin.replace("\n", "")
+
+  /** DuckDB CTEs shared by the shingle-based dedup oracles: per-doc distinct
+    * shingle-hash list `shh` (mod Prime) and its size.
+    */
+  private def dShingleCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+       |    i -> ${dHash60("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} % ${Dedup.Prime})) AS shh
+       |  FROM toks WHERE len(tk) >= 3)""".stripMargin
+
+  /** DuckDB 16-element MinHash signature list over `shh`. */
+  private def dMinhashSig: String =
+    Dedup.minhashParams
+      .map { case (a, b) =>
+        s"list_min(list_transform(shh, x -> ($a * x + $b) % ${Dedup.Prime}))" }
+      .mkString("[", ", ", "]")
+
+  private def dBandKey(band: Int): String = {
+    val parts = (0 until Dedup.bandRows)
+      .map(r => s"CAST(sig[${band * Dedup.bandRows + r + 1}] AS VARCHAR)")
+    s"md5(${parts.mkString(" || ',' || ")})"
+  }
+
+  private def dSimhash: String =
+    (0 until 32).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(hs, x -> ((x >> $j) & 1) * 2 - 1)) > 0
+         | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replace("\n", "")
+    }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fp_md5""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""$dShingleCte,
+         |sz AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz FROM sh),
+         |ex AS (SELECT doc_id, unnest(shh) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$dShingleCte,
+         |sigs AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz, shh,
+         |  $dMinhashSig AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, sz, shh, band,
+         |    CASE band ${(0 until Dedup.numBands)
+                 .map(b => s"WHEN $b THEN ${dBandKey(b)}").mkString(" ")}
+         |    END AS key
+         |  FROM (SELECT *, unnest([${(0 until Dedup.numBands).mkString(", ")}]) AS band
+         |        FROM sigs)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.shh AS sh_a, b.shh AS sh_b, a.sz AS sz_a, b.sz AS sz_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS BIGINT) AS inter,
+         |    sz_a, sz_b
+         |  FROM cand)
+         |SELECT id_a, id_b, inter,
+         |  CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+         |FROM scored
+         |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+         |  FROM documents),
+         |hs AS (SELECT doc_id, list_transform(tk, t -> ${dHash60("t")}) AS hs FROM toks)
+         |SELECT doc_id, CAST($dSimhash AS BIGINT) AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

@@ -1,0 +1,184 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * All hashing is built on a *portable* 60-bit hash (`md5` hex prefix →
+  * integer) so an external SQL engine can replicate results bit-for-bit —
+  * the correctness oracle recomputes every signature independently.
+  *
+  * Scale design (100 TB): every operator is expressed as narrow projections
+  * plus at most one shuffle:
+  *   - exact: one hash-groupBy (map-side partial aggregation).
+  *   - Jaccard/MinHash-LSH: explode to (key, doc) pairs, shuffle by key,
+  *     join within key groups — never an all-pairs cartesian. High-frequency
+  *     shingles (stop-shingles) can be dropped via `maxShingleFreq` to bound
+  *     the per-key group size (skew guard).
+  *   - SimHash: pure per-row column arithmetic, no shuffle.
+  */
+object Dedup {
+
+  /** Modulus for MinHash permutations: 2^31-1 (Mersenne prime). Keeping
+    * hashes < 2^31 means `a*x+b` stays well inside Int64 — no overflow in
+    * either Spark or the oracle engine.
+    */
+  val Prime: Long = 2147483647L
+
+  /** Deterministic (a, b) pairs for the k=16 MinHash permutations
+    * `h_i(x) = (a_i * x + b_i) mod Prime`. LCG-style constants — fixed, so
+    * signatures are reproducible everywhere.
+    */
+  val minhashParams: Seq[(Long, Long)] =
+    (1 to 16).map(i => ((i * 1103515245L + 12345L) % Prime,
+                        (i * 1000003L + 7L) % Prime))
+
+  /** LSH banding: 4 bands × 4 rows over the 16 signatures. Collision
+    * probability per band = jaccard^4 — at j=0.9 a pair collides in ≥1 band
+    * with p ≈ 1-(1-0.656)^4 ≈ 0.986.
+    */
+  val numBands = 4
+  val bandRows = 4
+
+  /** Portable 60-bit hash: integer value of the first 15 hex chars of md5. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace/case-normalized text (the exact-dedup canonical form). */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact duplicate groups: md5 over normalized text, one row per distinct
+    * content with the canonical (minimum) id and the duplicate count.
+    * One hash-shuffle; partial aggregation happens map-side.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
+      .groupBy(col("fp_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  // ------------------------------------------------------- shingle plumbing
+
+  /** Per-doc distinct shingle-hash array: (id, sh: array<long>, sz). */
+  def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    val sh = transform(
+      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n),
+      s => hash60(s) % Prime)
+    df.select(col(idCol).as("id"), array_distinct(sh).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .filter(col("sz") > 0)
+  }
+
+  /** Exploded (shingle-hash, id) pairs, optionally dropping shingles that
+    * occur in more than `maxShingleFreq` docs (skew guard for the join key —
+    * a shingle shared by millions of docs would otherwise create a quadratic
+    * group; near-dup signal from such stop-shingles is ~zero anyway).
+    */
+  private def explodedShingles(sets: DataFrame,
+                               maxShingleFreq: Option[Long]): DataFrame = {
+    val ex = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    maxShingleFreq match {
+      case None => ex
+      case Some(f) =>
+        // one extra shuffle on the same key; at scale this is the difference
+        // between bounded and unbounded join groups
+        val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= f).drop("df_")
+        ex.join(freq, "shingle")
+    }
+  }
+
+  /** Pairs (id_a < id_b) with n-gram Jaccard ≥ threshold. Shuffle is by
+    * shingle (intersection counts) then by pair — no cartesian product.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sets = shingleHashFrame(df, idCol, textCol, n)
+    val ex = explodedShingles(sets, maxShingleFreq)
+    val a = ex.select(col("shingle"), col("id").as("id_a"))
+    val b = ex.select(col("shingle"), col("id").as("id_b"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val szA = sets.select(col("id").as("id_a"), col("sz").as("sz_a"))
+    val szB = sets.select(col("id").as("id_b"), col("sz").as("sz_b"))
+    inter.join(szA, "id_a").join(szB, "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
+  // ----------------------------------------------------------- MinHash/LSH
+
+  /** k=16 MinHash signatures as one array column over shingle hashes. */
+  def minhashSignature(sh: Column): Column =
+    array(minhashParams.map { case (a, b) =>
+      array_min(transform(sh, x => (lit(a) * x + lit(b)) % Prime))
+    }: _*)
+
+  /** Band keys: md5 of the comma-joined signature slice per band. */
+  def bandKeys(sig: Column): Column =
+    array((0 until numBands).map { bi =>
+      md5(concat_ws(",",
+        (0 until bandRows).map(r =>
+          element_at(sig, bi * bandRows + r + 1)): _*).cast("binary"))
+    }: _*)
+
+  /** (id, band, key) — the LSH bucket assignment, one row per band. */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame =
+    shingleHashFrame(df, idCol, textCol, n)
+      .withColumn("sig", minhashSignature(col("sh")))
+      .select(col("id"), col("sz"), col("sh"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+
+  /** LSH candidate pairs (≥1 band collision), verified with the exact
+    * Jaccard over the shingle-hash sets. The shuffle key is (band, key):
+    * only docs agreeing on a full band meet — the candidate set is tiny
+    * compared to all pairs.
+    */
+  def lshPairs(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bk = lshBuckets(df, idCol, textCol, n)
+    val a = bk.select(col("band"), col("key"), col("id").as("id_a"),
+      col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = bk.select(col("band"), col("key"), col("id").as("id_b"),
+      col("sh").as("sh_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
+        col("sz_a"), col("sz_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit j of the
+    * result is 1 iff the sum over tokens of ±1 (sign = bit j of the token's
+    * 60-bit hash) is positive. Pure per-row arithmetic — no shuffle.
+    */
+  def simhash32(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => hash60(t))
+    (0 until 32).map { j =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, x) => acc + (shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "THE  quick brown fox jumps over the lazy dog"), // exact dup of 1 (norm)
+    (4L, "completely different words entirely unrelated content here"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses case/whitespace variants") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 3)
+    val dup = g.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("jaccardPairs finds near-dups above threshold, no cartesian pairs") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val pairs = p.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // 1-2 and 2-3 share 6/8 shingles (j=0.6); 1-3 identical after case-norm?
+    // no — shingles are case-sensitive ("THE quick brown" != "the quick brown")
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    p.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("lshPairs finds the same high-jaccard pairs as the exact scan") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at j>=0.7 band-collision probability is ~1; sets must agree here
+    assert(lsh == exact)
+  }
+
+  test("simhash32 is stable and near-dups differ in few bits") {
+    val s = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(2L)) < hamming(s(1L), s(4L)))
+    assert(s.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("maxShingleFreq drops stop-shingles from the join key") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0,
+      maxShingleFreq = Some(1L)).collect()
+    assert(p.isEmpty) // every shared shingle occurs in >1 doc by definition
+  }
+}
