@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Counts, LogContext, FieldStats, Traces}
-import graft.ml.{Dedup, TextAnalysis}
+import graft.ml.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -247,6 +247,29 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
+
+    // ML: exact cosine top-k (broadcast queries, single corpus pass).
+    "q_sim_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // ML: sign-LSH bucketed ANN (bucket-key join, ~2^nBits less work).
+    "q_sim_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnLsh(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nBits = 4)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // ML: embedding-cosine near-dup pairs over a bounded id range.
+    "q_sim_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -283,6 +306,22 @@ object SparkEntry {
       .map(r => s"CAST(sig[${band * Dedup.bandRows + r + 1}] AS VARCHAR)")
     s"md5(${parts.mkString(" || ',' || ")})"
   }
+
+  /** DuckDB sequential-fold dot product over two double lists — mirrors
+    * [[graft.ml.Similarity.dot]] (0.0+x1 == x1 in IEEE, so the missing
+    * explicit init is immaterial).
+    */
+  private def dDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+  private def dCosine(a: String, b: String): String =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+
+  /** DuckDB sign-LSH bucket — mirrors [[graft.ml.Similarity.signBucket]]. */
+  private def dSignBucket(v: String, nBits: Int): String =
+    (0 until nBits)
+      .map(j => s"(CASE WHEN $v[${j + 1}] >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
 
   private def dSimhash: String =
     (0 until 32).map { j =>
@@ -347,6 +386,51 @@ object SparkEntry {
          |hs AS (SELECT doc_id, list_transform(tk, t -> ${dHash60("t")}) AS hs FROM toks)
          |SELECT doc_id, CAST($dSimhash AS BIGINT) AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "q_sim_knn" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT q_id, n_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM p)
+         |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q_sim_ann_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |    ${dSignBucket("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT q_id, n_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM p)
+         |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q_sim_neardup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings WHERE vec_id < 200)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dCosine("a.e", "b.e")} AS cosine
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE ${dCosine("a.e", "b.e")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

@@ -1,0 +1,101 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[knnBruteForce]]: exact cosine top-k. The query side is broadcast
+  *     (it is the small side by construction), the corpus is scanned once
+  *     map-side, and the only shuffle is the per-query top-k — at 100 TB
+  *     this is a single pass over the corpus with no corpus-side shuffle.
+  *   - [[knnLsh]]: sign-LSH bucketed ANN. Corpus and queries hash to
+  *     coordinate-sign buckets; candidates are same-bucket only, so the
+  *     scan-side work drops by ~2^nBits at the cost of recall. The bucket
+  *     column is also the natural *partitioning/bucketing key* for a
+  *     persisted ANN index table.
+  *
+  * All arithmetic is a deterministic left-to-right double fold
+  * (`functions.aggregate` over `zip_with`) — reproducible bit-for-bit by
+  * any engine that folds sequentially, which is what the correctness
+  * oracle does.
+  */
+object Similarity {
+
+  /** Element-wise double cast (float32→double is exact). */
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product — deterministic fp result. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the large side, scanned map-side only
+    * @param queries (idCol, vecCol) — the small side, broadcast
+    */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    c.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+  }
+
+  /** Sign-LSH bucket: bit j set iff vec[j] >= 0 (axis-aligned random
+    * hyperplanes — deterministic and engine-portable).
+    */
+  def signBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits)
+      .map(j => when(element_at(vec, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** ANN top-k: candidates restricted to the query's sign-LSH bucket.
+    * The join key is the bucket — co-partitioned, no cartesian.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             nBits: Int = 4): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        signBucket(col(vecCol), nBits).as("bucket")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      signBucket(col(vecCol), nBits).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, over a
+    * *bounded* id range (all-pairs is quadratic by nature; at scale this is
+    * run per LSH bucket or per partition window, never globally).
+    */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}
