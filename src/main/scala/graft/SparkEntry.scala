@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Counts, LogContext, FieldStats, Traces}
-import graft.ml.{Dedup, Similarity, TextAnalysis}
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -270,6 +270,21 @@ object SparkEntry {
           t(s, dir, "embeddings").filter(col("vec_id") < 200),
           "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // ML: multimodal decode/feature/resize plumbing (deterministic stub
+    // codec over binary payloads; mapPartitions narrow stage).
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      val dec = Multimodal.decodeAndFeaturize(media, "doc_id", "payload").toDF()
+      Multimodal.withResizePlan(dec, 256, 256)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("n_frames"), col("out_width"), col("out_height"),
+          element_at(col("features"), 1).as("feat_0"),
+          element_at(col("features"), Multimodal.FeatureDim).as("feat_last"),
+          aggregate(col("features"), lit(0.0), _ + _).as("feat_sum"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -431,6 +446,30 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_decode" ->
+      s"""WITH h AS (
+         |  SELECT doc_id AS media_id, ${dHash60("text")} AS h, md5(text) AS hex
+         |  FROM documents),
+         |dec AS (
+         |  SELECT media_id,
+         |    CAST(128 + (h % 896) AS INTEGER) AS width,
+         |    CAST(128 + ((h >> 10) % 896) AS INTEGER) AS height,
+         |    CAST(3 AS INTEGER) AS channels,
+         |    CAST(1 + ((h >> 20) % 12) AS INTEGER) AS n_frames,
+         |    list_transform(range(0, ${Multimodal.FeatureDim}), i ->
+         |      CAST((${dHash60("hex || ':' || CAST(i AS VARCHAR)")} % 2000001)
+         |        - 1000000 AS DOUBLE) / 1e6) AS feats
+         |  FROM h),
+         |rs AS (
+         |  SELECT *, least(CAST(256 AS DOUBLE) / width,
+         |                  CAST(256 AS DOUBLE) / height) AS scale FROM dec)
+         |SELECT media_id, width, height, channels, n_frames,
+         |  CAST(floor(width * scale) AS INTEGER) AS out_width,
+         |  CAST(floor(height * scale) AS INTEGER) AS out_height,
+         |  feats[1] AS feat_0, feats[${Multimodal.FeatureDim}] AS feat_last,
+         |  list_reduce(feats, (a, b) -> a + b) AS feat_sum
+         |FROM rs ORDER BY media_id""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
