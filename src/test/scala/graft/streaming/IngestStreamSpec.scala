@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.ingest.IngestPipeline.{SchemaRegistry, StreamConfig}
+
+class IngestStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("stream").toString
+
+  test("processBatch: distributed infer + write, minute partitioned") {
+    val root = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("logs")
+    LiveTail.clear("logs")
+    val raw = Seq(
+      """{"level":"info","msg":"a","n":1}""",
+      """{"level":"warn","msg":"b","n":2,"extra":true}""",
+      """{"nested":{"k":"v"},"msg":"c"}""").toDS().repartition(3)
+    val n = IngestStream.processBatch(raw, cfg, registry, root)
+    assert(n == Right(3L))
+    val back = spark.read.parquet(s"$root/logs")
+    assert(back.count() == 3)
+    // flatten happened executor-side; schema is cumulative
+    val names = back.schema.fieldNames.toSet
+    assert(names.contains("nested.k"))
+    assert(names.contains("p_timestamp"))
+    // hive partition dirs exist
+    assert(back.schema.fieldNames.contains("date"))
+  }
+
+  test("cross-partition type conflicts land as typed sibling columns") {
+    val root = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("mixed")
+    LiveTail.clear("mixed")
+    // same field name, different types, in different partitions
+    val raw = Seq(
+      """{"level":"info"}""",
+      """{"level":5}""").toDS().repartition(2)
+    assert(IngestStream.processBatch(raw, cfg, registry, root).isRight)
+    val back = spark.read.parquet(s"$root/mixed")
+    val names = back.schema.fieldNames.toSet
+    assert(names.contains("level"))
+    assert(names.exists(n => n.startsWith("level_")), s"got $names")
+    assert(back.count() == 2)
+  }
+
+  test("schema grows monotonically across batches") {
+    val root = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("grow")
+    LiveTail.clear("grow")
+    IngestStream.processBatch(Seq("""{"a":1}""").toDS(), cfg, registry, root)
+    IngestStream.processBatch(Seq("""{"b":"x"}""").toDS(), cfg, registry, root)
+    val s = registry.get("grow").get.fieldNames.toSet
+    assert(s == Set("a", "b"))
+  }
+
+  test("streaming end-to-end via MemoryStream + foreachBatch") {
+    val root = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("live")
+    LiveTail.clear("live")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = IngestStream.start(mem.toDS(), cfg, registry, root,
+      checkpoint = tmp(), triggerMs = 100L)
+    try {
+      mem.addData("""{"ev":"one","v":1}""", """{"ev":"two","v":2}""")
+      q.processAllAvailable()
+      mem.addData("""{"ev":"three","v":3,"tag":"t"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$root/live")
+    assert(back.count() == 3)
+    assert(back.schema.fieldNames.contains("tag"))
+  }
+
+  test("LiveTail buffers recent batches and fans out to subscribers") {
+    val root = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("tail")
+    LiveTail.clear("tail")
+    var pushed = 0
+    val unsub = LiveTail.subscribe("tail")(b => pushed += b.rows.length)
+    IngestStream.processBatch(Seq("""{"x":1}""").toDS(), cfg, registry, root)
+    IngestStream.processBatch(Seq("""{"x":2,"y":"n"}""").toDS(), cfg, registry, root)
+    assert(pushed == 2)
+    val recent = LiveTail.recentFrame(spark, "tail").get
+    assert(recent.count() == 2)
+    // union-compatible with the table read (staging-union freshness path)
+    assert(recent.schema.fieldNames.contains("y"))
+    unsub()
+    LiveTail.clear("tail")
+  }
+}
