@@ -46,23 +46,42 @@ object QueryService {
     }
   }
 
+  /** Staging freshness window (reference: queries whose range touches the
+    * last 5 minutes union in not-yet-synced staging data,
+    * `src/query/stream_schema_provider.rs:936-958`).
+    */
+  val StagingWindowMillis: Long = 5 * 60 * 1000L
+
   /** Execute `sql` with the time window injected into every referenced
-    * stream. Non-stream tables (dims) pass through unfiltered.
+    * stream. Non-stream tables (dims) pass through unfiltered. Queries
+    * whose range reaches into the staging window also see the in-memory
+    * recent batches ([[graft.streaming.LiveTail]]) unioned under the table
+    * view — the Spark shape of the reference's staging ∪ parquet scan.
     */
   def query(
       spark: SparkSession,
       streams: Map[String, Stream],
       sql: String,
       range: TimeRange): DataFrame = {
+    val freshCutoff = System.currentTimeMillis() - StagingWindowMillis
     referencedTables(spark, sql).foreach { name =>
       streams.get(name).foreach { s =>
-        val base = spark.read.parquet(s.path)
-        val df =
-          if (containsTimeFilter(spark, sql, s.timeCol)) base
+        val skipInject = containsTimeFilter(spark, sql, s.timeCol)
+        def windowed(df: DataFrame): DataFrame =
+          if (skipInject) df
           else
-            base.filter(
+            df.filter(
               col(s.timeCol) >= lit(Instant.ofEpochMilli(range.start.toEpochMilli)) &&
                 col(s.timeCol) < lit(Instant.ofEpochMilli(range.end.toEpochMilli)))
+        val base = windowed(spark.read.parquet(s.path))
+        val df =
+          if (range.end.toEpochMilli < freshCutoff) base
+          else
+            graft.streaming.LiveTail.recentFrame(spark, name) match {
+              case Some(recent) if recent.columns.contains(s.timeCol) =>
+                base.unionByName(windowed(recent), allowMissingColumns = true)
+              case _ => base
+            }
         df.createOrReplaceTempView(name)
       }
     }
