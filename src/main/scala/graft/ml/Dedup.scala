@@ -99,7 +99,11 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Option[Long] = None): DataFrame = {
+    // the shingle pipeline feeds both join sides + both size lookups:
+    // persist it once instead of recomputing the tokenize+hash 4×
+    // (MEMORY_AND_DISK — spills instead of OOM at scale; evicted by LRU)
     val sets = shingleHashFrame(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = explodedShingles(sets, maxShingleFreq)
     val a = ex.select(col("shingle"), col("id").as("id_a"))
     val b = ex.select(col("shingle"), col("id").as("id_b"))
@@ -148,7 +152,10 @@ object Dedup {
     */
   def lshPairs(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // both join sides read the bucket frame — persist to evaluate the
+    // shingle+signature pipeline once
     val bk = lshBuckets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("band"), col("key"), col("id").as("id_a"),
       col("sh").as("sh_a"), col("sz").as("sz_a"))
     val b = bk.select(col("band"), col("key"), col("id").as("id_b"),

@@ -23,12 +23,21 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Word-level n-gram shingles (default 3), distinct. */
+  /** Word-level n-gram shingles (default 3), distinct.
+    *
+    * Built as a fold of `zip_with` over shifted `slice`s so every lambda
+    * touches only its element variables. Referencing the token-array
+    * expression *inside* a lambda would re-evaluate the whole
+    * split-and-filter per element (interpreted higher-order functions do no
+    * subexpression caching) — that turns shingling O(tokens²) per row; this
+    * formulation is linear.
+    */
   def shingles(toks: Column, n: Int = 3): Column = {
-    val joined = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    // sequence(0, negative) counts DOWN, so guard short docs explicitly
+    require(n >= 1, "shingle size must be >= 1")
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), len), (a, b) => concat(a, lit(" "), b))
+    }
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(joined))
   }

@@ -151,4 +151,29 @@ object IngestStream {
     import spark.implicits._
     spark.readStream.option("maxFilesPerTrigger", 64).text(dir).as[String]
   }
+
+  /** Read a stream's table with the registry's merged schema passed
+    * explicitly. Files written before a schema-growing batch lack the new
+    * columns — plain `read.parquet` picks an arbitrary footer (wrong and
+    * nondeterministic), and `mergeSchema=true` opens every footer (slow at
+    * 100 TB). The registry already holds the union schema, so the scan gets
+    * it for free and older files null-fill (SURVEY §7.4 hard part 2).
+    */
+  def readTable(spark: SparkSession, root: String, cfg: StreamConfig,
+                registry: SchemaRegistry): DataFrame = {
+    val enriched = registry.get(cfg.name) match {
+      case None => return spark.read.parquet(s"$root/${cfg.name}")
+      case Some(s) =>
+        StructType(s.fields ++ Array(
+          org.apache.spark.sql.types.StructField("p_timestamp",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("p_user_agent",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("p_src_ip",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("p_format",
+            org.apache.spark.sql.types.StringType)))
+    }
+    spark.read.schema(enriched).parquet(s"$root/${cfg.name}")
+  }
 }

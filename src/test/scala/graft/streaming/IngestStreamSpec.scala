@@ -78,9 +78,13 @@ class IngestStreamSpec extends SparkSuite {
       mem.addData("""{"ev":"three","v":3,"tag":"t"}""")
       q.processAllAvailable()
     } finally q.stop()
-    val back = spark.read.parquet(s"$root/live")
+    // files from batch 1 predate the "tag" column — the registry-schema
+    // read sees the union schema deterministically
+    val back = IngestStream.readTable(spark, root, cfg, registry)
     assert(back.count() == 3)
     assert(back.schema.fieldNames.contains("tag"))
+    assert(back.filter(col("tag") === "t").count() == 1)
+    assert(back.filter(col("tag").isNull).count() == 2)
   }
 
   test("LiveTail buffers recent batches and fans out to subscribers") {
