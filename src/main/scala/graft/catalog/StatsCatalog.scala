@@ -66,7 +66,14 @@ object StatsCatalog {
     * pass numeric predicates for numeric columns, which compare correctly
     * because both sides re-cast to double when parseable).
     */
-  def pruneFiles(spark: SparkSession, catalogPath: String, preds: Seq[Pred]): Seq[String] = {
+  def pruneFiles(spark: SparkSession, catalogPath: String, preds: Seq[Pred]): Seq[String] =
+    pruneFileStats(spark, catalogPath, preds).map(_._1)
+
+  /** As [[pruneFiles]] but keeps each surviving file's row count (for limit
+    * truncation).
+    */
+  def pruneFileStats(spark: SparkSession, catalogPath: String,
+                     preds: Seq[Pred]): Seq[(String, Long)] = {
     val cat = spark.read.parquet(catalogPath)
     val keep = preds.foldLeft(cat) { (df, p) =>
       val numeric = scala.util.Try(p.value.toDouble).isSuccess
@@ -85,7 +92,44 @@ object StatsCatalog {
       // a file with absent stats for the column can never be pruned
       df.filter(minC.isNull || maxC.isNull || cond)
     }
-    keep.select("file_path").collect().map(_.getString(0)).toSeq
+    keep.select("file_path", "num_rows").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Limit pushdown to the file list: stop adding files once cumulative
+    * `num_rows` covers the limit (reference
+    * `src/query/stream_schema_provider.rs:581-597`). Only valid for plain
+    * (filterless) limits — callers with residual predicates must pass the
+    * full list.
+    */
+  def truncateByLimit(files: Seq[(String, Long)], limit: Long): Seq[String] = {
+    var cum = 0L
+    val out = Seq.newBuilder[String]
+    val it = files.iterator
+    while (cum < limit && it.hasNext) {
+      val (path, rows) = it.next()
+      out += path
+      cum += rows
+    }
+    out.result()
+  }
+
+  /** Read a table through the catalog: file-level pruning (and optional
+    * limit truncation) happens *before* Spark lists/opens anything — the
+    * returned DataFrame scans only surviving files. Residual filtering
+    * above the scan remains the caller's responsibility (stats pruning is
+    * may-contain, not exact).
+    */
+  def prunedRead(spark: SparkSession, catalogPath: String,
+                 preds: Seq[Pred], limit: Option[Long] = None): DataFrame = {
+    val files = pruneFileStats(spark, catalogPath, preds)
+    val paths =
+      if (preds.isEmpty && limit.isDefined) truncateByLimit(files, limit.get)
+      else files.map(_._1)
+    if (paths.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(paths: _*)
   }
 
   /** COUNT(*) fast path: answer a bare unfiltered count from the catalog

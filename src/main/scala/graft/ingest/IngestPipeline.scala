@@ -119,9 +119,24 @@ object IngestPipeline {
       json: String,
       userAgent: String = "",
       srcIp: String = "",
+      format: String = "json"): Either[String, DataFrame] =
+    prepare(json, cfg).flatMap(raw =>
+      ingestEvents(spark, registry, cfg, raw, userAgent, srcIp, format))
+
+  /** Ingest pre-flattened events (the OTel/Kinesis path — source-specific
+    * flatteners run first, then the same rename/merge/enrich pipeline;
+    * reference `flatten_and_push_logs`, ingest_utils.rs:196-282).
+    */
+  def ingestEvents(
+      spark: SparkSession,
+      registry: SchemaRegistry,
+      cfg: StreamConfig,
+      events0: Seq[ObjectNode],
+      userAgent: String = "",
+      srcIp: String = "",
       format: String = "json"): Either[String, DataFrame] = {
     for {
-      raw <- prepare(json, cfg)
+      raw <- Right(events0)
       // Per-record conflict renaming against the accumulated (stream ∪
       // batch-so-far) schema — mixed-type batches rename from the second
       // record onward (reference rename_per_record_type_mismatches,
@@ -171,6 +186,11 @@ object IngestPipeline {
     df.withColumn("date", date_format(timeCol, "yyyy-MM-dd"))
       .withColumn("hour", date_format(timeCol, "HH"))
       .withColumn("minute", date_format(timeCol, "mm"))
+      // latest-first physical order inside every written file (reference
+      // writes parquet sorted p_timestamp DESC, streams.rs:705-780) — raw
+      // log listings then read newest rows first and row-group time stats
+      // stay tight for pruning
+      .sortWithinPartitions(timeCol.desc)
       .write
       .mode("append")
       .partitionBy(Seq("date", "hour", "minute") ++ cfg.customPartitions: _*)

@@ -46,6 +46,38 @@ object QueryService {
     }
   }
 
+  /** Detect `SELECT COUNT(*) FROM t` (no filters, no grouping) — the shape
+    * answerable from catalog metadata without scanning data files
+    * (reference `src/query/mod.rs:427-462`). Returns the table name.
+    */
+  def detectBareCountStar(spark: SparkSession, sql: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    def isCountStar(exprs: Seq[Expression]): Boolean =
+      exprs.size == 1 && {
+        // parsed (pre-analysis) trees print count(*) as 'count(*) / 'count(1)
+        val text = exprs.head.toString.toLowerCase.replaceAll("[\\s']", "")
+        text.contains("count(*)") || text.contains("count(1)")
+      }
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      // COUNT(*) with no grouping parses as a bare Project until analysis
+      case Project(list, r: UnresolvedRelation) if isCountStar(list) =>
+        Some(r.tableName)
+      case Aggregate(Nil, aggs, r: UnresolvedRelation, _) if isCountStar(aggs) =>
+        Some(r.tableName)
+      case _ => None
+    }
+  }
+
+  /** Answer a bare COUNT(*) from the stats catalog if the query has that
+    * shape and a catalog exists for the stream; None → execute normally.
+    */
+  def countStarFastPath(spark: SparkSession, sql: String,
+                        catalogPaths: Map[String, String]): Option[Long] =
+    detectBareCountStar(spark, sql)
+      .flatMap(catalogPaths.get)
+      .map(graft.catalog.StatsCatalog.countStar(spark, _))
+
   /** Staging freshness window (reference: queries whose range touches the
     * last 5 minutes union in not-yet-synced staging data,
     * `src/query/stream_schema_provider.rs:936-958`).
