@@ -271,6 +271,73 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // A9: ROLLUP aggregation with grouping_id (subtotals + grand total).
+    "q_agg_rollup" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid").asc,
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // §2.7: set operations — UNION / INTERSECT / EXCEPT.
+    "q_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bigSpenders = o.filter(col("o_totalprice") > 450.0)
+        .select(col("o_custkey").as("c_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      building.union(bigSpenders).distinct()
+        .intersect(urgent)
+        .except(c.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // W3: analytic window frame — lag + running sum per customer.
+    "q_window_lag_frames" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      o.withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+        .withColumn("prev_price", lag(col("price"), 1).over(w))
+        .withColumn("running_total",
+          sum(col("price")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .select(col("o_custkey"), col("o_orderkey"), col("price"),
+          col("prev_price"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2.8: scalar-function sampler — CAST/COALESCE/CASE/IN/LIKE/string/
+    // date/math builtins over one pass.
+    "q_scalar_funcs" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          concat(col("o_orderstatus"), lit("-"),
+            col("o_orderpriority")).as("status_prio"),
+          when(col("o_totalprice") > 300.0, "high")
+            .when(col("o_totalprice") > 150.0, "mid")
+            .otherwise("low").as("band"),
+          col("o_orderstatus").isin("F", "O").cast("boolean").as("is_fo"),
+          col("o_orderpriority").like("%URGENT%").as("is_urgent"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")),
+            lit("PENDING")).as("status_or_default"),
+          date_trunc("month", col("o_orderdate")).as("order_month"),
+          year(col("o_orderdate")).as("order_year"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          abs(col("o_totalprice") - 250.0).as("dist_250"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ML: multimodal decode/feature/resize plumbing (deterministic stub
     // codec over binary payloads; mapPartitions narrow stage).
     "q_multimodal_decode" -> ((s, dir) => {
@@ -446,6 +513,54 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT DISTINCT c_custkey FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    UNION ALL
+        |    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450.0)
+        |  INTERSECT
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_lag_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
+        |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |  CASE WHEN o_totalprice > 300.0 THEN 'high'
+        |       WHEN o_totalprice > 150.0 THEN 'mid' ELSE 'low' END AS band,
+        |  o_orderstatus IN ('F', 'O') AS is_fo,
+        |  o_orderpriority LIKE '%URGENT%' AS is_urgent,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
+        |  date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  abs(o_totalprice - 250.0) AS dist_250
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_multimodal_decode" ->
       s"""WITH h AS (
