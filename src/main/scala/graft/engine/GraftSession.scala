@@ -41,6 +41,7 @@ object GraftSession {
 
   def tune(spark: SparkSession): SparkSession = {
     tuning.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise double cast (float32→double is exact). */
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
-
-  /** Sequential-fold dot product — deterministic fp result. */
+  /** Sequential-fold dot product — deterministic fp result. Runs as the
+    * native codegen'd [[graft.functions.ArrayDotProduct]] (identical
+    * arithmetic to the `aggregate(zip_with(...))` formulation, minus the
+    * interpreted per-element lambda dispatch).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+    graft.functions.GraftFunctions.graftDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
