@@ -44,6 +44,60 @@ object KnownFormats {
     fmt("json_embedded",
       """^[^{]*(\{.*\})\s*$""",
       "json_payload"),
+    fmt("nginx_access",
+      """^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]+)" (\d{3}) (\d+|-) "([^"]*)" "([^"]*)"""",
+      "client_ip", "user", "timestamp", "method", "path", "protocol",
+      "status", "bytes", "referrer", "user_agent"),
+    fmt("klog",
+      """^([IWEF])(\d{4}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+)\s+([\w.-]+:\d+)\]\s*(.*)$""",
+      "level", "date", "time", "pid", "source", "message"),
+    fmt("java_log",
+      """^(\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}[.,]\d+)\s+\[([^\]]+)\]\s+(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\s+(\S+)\s+-\s+(.*)$""",
+      "timestamp", "thread", "level", "logger", "message"),
+    fmt("redis_log",
+      """^(\d+):([XCSM]) (\d{2} \w{3} \d{4} \d{2}:\d{2}:\d{2}\.\d{3}) ([-*#.]) (.*)$""",
+      "pid", "role", "timestamp", "level", "message"),
+    fmt("postgresql_log",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+) (\S+) \[(\d+)\] (\w+):\s+(.*)$""",
+      "timestamp", "timezone", "pid", "level", "message"),
+    fmt("zookeeper_log",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d+) \[myid:(\d*)\] - (\w+)\s+\[([^\]]+)\] - (.*)$""",
+      "timestamp", "myid", "level", "source", "message"),
+    fmt("s3_log",
+      """^(\S+) (\S+) \[([^\]]+)\] (\S+) (\S+) (\S+) (\S+) (\S+) "([^"]*)" (\d{3}|-) (\S+) (\d+|-)""",
+      "bucket_owner", "bucket", "timestamp", "client_ip", "requester",
+      "request_id", "operation", "key", "request_uri", "status",
+      "error_code", "bytes_sent"),
+    fmt("elb_log",
+      """^(\S+) (\S+) (\S+):(\d+) (\S+) ([\d.-]+) ([\d.-]+) ([\d.-]+) (\d{3}|-) (\d{3}|-) (\d+) (\d+) "([^"]*)"""",
+      "timestamp", "elb", "client_ip", "client_port", "backend",
+      "request_processing_time", "backend_processing_time",
+      "response_processing_time", "status", "backend_status",
+      "received_bytes", "sent_bytes", "request"),
+    fmt("dpkg_log",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (install|upgrade|remove|purge|configure|trigproc|status) (\S+) (\S+)(?: (\S+))?$""",
+      "timestamp", "action", "package", "version", "new_version"),
+    fmt("sudo_log",
+      """^\s*(\S+) : TTY=(\S+) ; PWD=(\S+) ; USER=(\S+) ; COMMAND=(.*)$""",
+      "user", "tty", "pwd", "target_user", "command"),
+    fmt("uwsgi_log",
+      """^\[pid: (\d+)\|app: (\d+)\|req: (\d+)/(\d+)\] (\S+) .* \[([^\]]+)\] (\S+) (\S+) => generated (\d+) bytes in (\d+) (?:msecs|micros) \(HTTP/[\d.]+ (\d{3})\)""",
+      "pid", "app", "req_n", "req_total", "client_ip", "timestamp",
+      "method", "path", "response_bytes", "duration", "status"),
+    fmt("rails_log",
+      """^Started (\S+) "([^"]*)" for (\S+) at (.*)$""",
+      "method", "path", "client_ip", "timestamp"),
+    fmt("strace_log",
+      """^(\d{2}:\d{2}:\d{2}(?:\.\d+)?) (\w+)\((.*)\)\s+= (-?\d+|\?)(.*)$""",
+      "time", "syscall", "args", "result", "annotation"),
+    fmt("openstack_log",
+      """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+) (\d+) (TRACE|DEBUG|INFO|AUDIT|WARNING|ERROR|CRITICAL) (\S+) (?:\[([^\]]*)\] )?(.*)$""",
+      "timestamp", "pid", "level", "module", "request_id", "message"),
+    fmt("haproxy_log",
+      """^(\S+):(\d+) \[([^\]]+)\] (\S+) (\S+)/(\S+) (-?\d+)/(-?\d+)/(-?\d+)/(-?\d+)/(-?\d+) (\d{3}|-1) (\d+) \S+ \S+ (\S+) \d+/\d+/\d+/\d+/\d+ \d+/\d+ "([^"]*)"$""",
+      "client_ip", "client_port", "timestamp", "frontend", "backend",
+      "server", "tq", "tw", "tc", "tr", "tt", "status", "bytes",
+      "termination_state", "request"),
   )
 
   @volatile private var registered: Map[String, LogFormat] =

@@ -128,6 +128,61 @@ object Alerts {
     else filtered.groupBy(cfg.groupBy.map(col): _*).agg(aggCol)
   }
 
+  // ----------------------------------------------------------- state machine
+
+  sealed trait AlertState
+  case object Triggered extends AlertState
+  case object NotTriggered extends AlertState
+  case object Disabled extends AlertState
+
+  final case class Notification(
+      alertId: String,
+      state: AlertState,
+      message: String)
+
+  /** Per-alert state machine (reference `alerts_utils.rs:280-327`
+    * `update_alert_state`, states `alert_enums.rs:339-345`):
+    *   - any violating group → Triggered, notify with the violation message;
+    *   - no violation while Triggered → NotTriggered, notify resolution;
+    *   - no violation while NotTriggered → stay silent;
+    *   - Disabled alerts never transition or notify.
+    */
+  final class StateMachine(notify: Notification => Unit) {
+    private val states =
+      new java.util.concurrent.ConcurrentHashMap[String, AlertState]()
+
+    def state(alertId: String): AlertState =
+      states.getOrDefault(alertId, NotTriggered)
+
+    def disable(alertId: String): Unit = { states.put(alertId, Disabled); () }
+    def enable(alertId: String): Unit = { states.put(alertId, NotTriggered); () }
+
+    /** Feed one evaluation round's results; returns the new state. */
+    def observe(alertId: String, cfg: AlertConfig,
+                results: Seq[GroupResult]): AlertState = {
+      val current = state(alertId)
+      if (current == Disabled) return Disabled
+      val violations = results.filter(r => triggered(r, cfg))
+      val next =
+        if (violations.nonEmpty) {
+          val msg = violations.map { v =>
+            val groups =
+              if (v.groupValues.isEmpty) ""
+              else v.groupValues.toSeq.sortBy(_._1)
+                .map { case (k, vv) => s"$k=$vv" }.mkString("[", ",", "] ")
+            s"$groups${cfg.agg}(${cfg.aggColumn})=${v.aggregate} ${cfg.cmp} ${cfg.threshold}"
+          }.mkString("; ")
+          notify(Notification(alertId, Triggered, msg))
+          Triggered
+        } else if (current == Triggered) {
+          notify(Notification(alertId, NotTriggered, ""))
+          NotTriggered
+        } else NotTriggered
+      states.put(alertId, next)
+      next
+    }
+  }
+
   /** Rolling-window scheduler loop (reference `src/sync.rs:372+`): evaluate
     * every `frequency` until `rounds` exhausted — driver-facing utility; in
     * production this is a Structured Streaming Trigger.ProcessingTime job.
