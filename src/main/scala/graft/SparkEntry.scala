@@ -271,6 +271,21 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // F8: list-column predicates via the alerts condition AST
+    // (array_contains / has-all / has-any over token arrays).
+    "q_list_predicates" -> ((s, dir) => {
+      import Alerts._
+      val cond = Group(and = true, Seq(
+        Leaf("toks", ArrayContains, Some("spark")),
+        Leaf("toks", ArrayHasAll, Some("table,key")),
+        Leaf("toks", ArrayHasAny, Some("join,merge"))))
+      t(s, dir, "documents")
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .filter(Conditions.toColumn(cond))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A9: ROLLUP aggregation with grouping_id (subtotals + grand total).
     "q_agg_rollup" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -513,6 +528,17 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_list_predicates" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id FROM tk
+        |WHERE list_contains(toks, 'spark')
+        |  AND list_has_all(toks, ['table', 'key'])
+        |  AND list_has_any(toks, ['join', 'merge'])
+        |ORDER BY doc_id""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -32,6 +32,11 @@ object Alerts {
   case object DoesNotContain extends WhereOp
   case object DoesNotBeginWith extends WhereOp
   case object DoesNotEndWith extends WhereOp
+  // list-column predicates (reference `array_has_all` conditions,
+  // alerts_utils.rs:581-640): value is a quote-aware CSV of elements
+  case object ArrayContains extends WhereOp
+  case object ArrayHasAll extends WhereOp
+  case object ArrayHasAny extends WhereOp
 
   sealed trait ConditionNode
   final case class Leaf(column: String, op: WhereOp, value: Option[String])
@@ -56,6 +61,30 @@ object Alerts {
       case DoesNotContain   => !c.contains(lit(v.get))
       case DoesNotBeginWith => !c.startsWith(lit(v.get))
       case DoesNotEndWith   => !c.endsWith(lit(v.get))
+      case ArrayContains    => array_contains(c, v.get)
+      case ArrayHasAll      =>
+        // Spark has no array_has_all builtin: required ⊆ column ⇔ nothing
+        // required is left over after removing the column's elements
+        size(array_except(array(parseCsv(v.get).map(lit): _*), c)) === 0
+      case ArrayHasAny      =>
+        arrays_overlap(c, array(parseCsv(v.get).map(lit): _*))
+    }
+
+    /** Quote-aware CSV: `a,'b,c',d` → Seq(a, "b,c", d) (reference's
+      * sanitizer semantics, alerts_utils.rs:462-579).
+      */
+    def parseCsv(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inQuote = false
+      s.foreach {
+        case '\'' => inQuote = !inQuote
+        case ',' if !inQuote => out += cur.result().trim; cur.clear()
+        case ch => cur += ch
+      }
+      val last = cur.result().trim
+      if (last.nonEmpty || s.endsWith(",")) out += last
+      out.result()
     }
 
     def toColumn(node: ConditionNode): Column = node match {

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object QueryService {
 
-  /** Stream registry entry: where the table lives and its time column. */
-  final case class Stream(path: String, timeCol: String)
+  /** Stream registry entry: where the table lives, its time column, and an
+    * optional stats-catalog path for manifest-grade file pruning.
+    */
+  final case class Stream(path: String, timeCol: String,
+                          catalogPath: Option[String] = None)
 
   /** Table names referenced by a SQL query, resolved with Spark's own parser
     * (reference uses sqlparser+PostgreSqlDialect, `src/query/mod.rs:747-759`).
@@ -101,11 +104,43 @@ object QueryService {
         val skipInject = containsTimeFilter(spark, sql, s.timeCol)
         def windowed(df: DataFrame): DataFrame =
           if (skipInject) df
-          else
-            df.filter(
+          else {
+            val timed = df.filter(
               col(s.timeCol) >= lit(Instant.ofEpochMilli(range.start.toEpochMilli)) &&
                 col(s.timeCol) < lit(Instant.ofEpochMilli(range.end.toEpochMilli)))
-        val base = windowed(spark.read.parquet(s.path))
+            // streams written by IngestPipeline are Hive-partitioned by
+            // date/hour string dirs — a coarse date-range predicate on the
+            // partition column turns the time window into directory
+            // pruning (the row filter above is exact; this one skips IO)
+            if (df.columns.contains("date")) {
+              val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+                .withZone(java.time.ZoneOffset.UTC)
+              timed.filter(col("date").between(
+                fmt.format(range.start), fmt.format(range.end)))
+            } else timed
+          }
+        // file-level pruning from the stats catalog happens before Spark
+        // lists anything (reference manifest pruning); the exact row-level
+        // window still applies above the pruned scan. Bounds widen to whole
+        // seconds so the string min/max comparison stays conservative.
+        val source = s.catalogPath match {
+          case Some(cat) if !skipInject =>
+            import graft.catalog.StatsCatalog
+            val fmt = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss")
+              .withZone(java.time.ZoneOffset.UTC)
+            val preds = Seq(
+              StatsCatalog.Pred(s.timeCol, StatsCatalog.GtEq,
+                fmt.format(range.start.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))),
+              StatsCatalog.Pred(s.timeCol, StatsCatalog.Lt,
+                fmt.format(range.end.plusSeconds(1)
+                  .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))))
+            val files = StatsCatalog.pruneFiles(spark, cat, preds)
+            if (files.isEmpty) spark.read.parquet(s.path).filter(lit(false))
+            else spark.read.parquet(files: _*)
+          case _ => spark.read.parquet(s.path)
+        }
+        val base = windowed(source)
         val df =
           if (range.end.toEpochMilli < freshCutoff) base
           else

@@ -20,6 +20,36 @@ class QueryServiceSpec extends SparkSuite {
       "SELECT * FROM a JOIN b ON a.x = b.x") == Seq("a", "b"))
   }
 
+  test("stats catalog prunes files before the scan; results stay exact") {
+    import graft.catalog.StatsCatalog
+    val dir = Files.createTempDirectory("qsprune").toString
+    val base = 1700000000000L // fixed epoch for determinism
+    // two files in disjoint hour ranges
+    Seq.tabulate(2) { i =>
+      Seq.tabulate(10)(j =>
+        (i * 10 + j.toLong, new Timestamp(base + i * 3600_000L + j * 1000L)))
+        .toDF("id", "p_timestamp")
+        .coalesce(1).write.mode("append").parquet(s"$dir/logs")
+    }
+    StatsCatalog.refresh(spark, s"$dir/logs", s"$dir/cat", Seq("p_timestamp"))
+    val streams = Map("logs" -> QueryService.Stream(s"$dir/logs", "p_timestamp",
+      catalogPath = Some(s"$dir/cat")))
+    // a range covering only the first hour → 10 rows, one file scanned
+    val range = TimeRange(
+      java.time.Instant.ofEpochMilli(base - 1000),
+      java.time.Instant.ofEpochMilli(base + 60_000L))
+    val df = QueryService.query(spark, streams, "SELECT id FROM logs", range)
+    assert(df.count() == 10)
+    assert(df.queryExecution.executedPlan.toString
+      .split('\n').count(_.contains("parquet")) >= 1)
+    // empty range → no files survive, but the query still answers (0 rows)
+    val none = TimeRange(
+      java.time.Instant.ofEpochMilli(base + 7200_000L),
+      java.time.Instant.ofEpochMilli(base + 7260_000L))
+    assert(QueryService.query(spark, streams, "SELECT id FROM logs", none)
+      .count() == 0)
+  }
+
   test("query unions staging rows when the range touches the fresh window") {
     val dir = Files.createTempDirectory("qs").toString
     val now = System.currentTimeMillis()
