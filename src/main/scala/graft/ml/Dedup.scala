@@ -63,12 +63,20 @@ object Dedup {
 
   // ------------------------------------------------------- shingle plumbing
 
-  /** Per-doc distinct shingle-hash array: (id, sh: array<long>, sz). */
+  /** Per-doc distinct shingle-hash array: (id, sh: array<long>, sz).
+    *
+    * `portableHash=true` uses the md5-based [[hash60]] (mod [[Prime]]) — an
+    * external engine can replicate every value, which MinHash signatures
+    * require. `portableHash=false` uses codegen'd `xxhash64` — ~10× cheaper
+    * and correct for pure set-similarity (Jaccard over hashed shingles is
+    * invariant to the hash function, collisions aside).
+    */
   def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3): DataFrame = {
-    val sh = transform(
-      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n),
-      s => hash60(s) % Prime)
+                       n: Int = 3, portableHash: Boolean = true): DataFrame = {
+    val shingleArr = TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)
+    val sh =
+      if (portableHash) transform(shingleArr, s => hash60(s) % Prime)
+      else transform(shingleArr, s => xxhash64(s))
     df.select(col(idCol).as("id"), array_distinct(sh).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
       .filter(col("sz") > 0)
@@ -102,7 +110,7 @@ object Dedup {
     // the shingle pipeline feeds both join sides + both size lookups:
     // persist it once instead of recomputing the tokenize+hash 4×
     // (MEMORY_AND_DISK — spills instead of OOM at scale; evicted by LRU)
-    val sets = shingleHashFrame(df, idCol, textCol, n)
+    val sets = shingleHashFrame(df, idCol, textCol, n, portableHash = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = explodedShingles(sets, maxShingleFreq)
     val a = ex.select(col("shingle"), col("id").as("id_a"))
