@@ -184,6 +184,13 @@ object SparkEntry {
         .select(col("trace_id"), col("span_count"), col("error_count"),
           col("trace_start"), col("trace_end"))),
 
+    // J2/W2: trace detail — one trace's spans with COUNT(*) OVER () total.
+    "q_trace_detail" -> ((s, dir) =>
+      Traces.traceDetail(t(s, dir, "events"), "user_id", traceId = 7L,
+          "event_id", "ts")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          col("total_spans"))),
+
     // A6: field stats — top-N values of a column with deterministic tiebreak.
     "q_field_stats_top" -> ((s, dir) =>
       FieldStats.statsFrame(t(s, dir, "events"), "event_type")
@@ -726,6 +733,12 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |ORDER BY trace_start ASC, trace_id ASC
         |LIMIT 10 OFFSET 2""".stripMargin,
+
+    "q_trace_detail" ->
+      """SELECT event_id, user_id, event_type, ts,
+        |  count(*) OVER () AS total_spans
+        |FROM events WHERE user_id = 7
+        |ORDER BY ts DESC, event_id DESC""".stripMargin,
 
     "q_field_stats_top" ->
       """SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS value_count

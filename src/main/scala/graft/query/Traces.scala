@@ -62,4 +62,37 @@ object Traces {
       .withColumn("total_spans", count(lit(1)).over(w))
       .orderBy(col(timeCol).desc, col(spanCol).desc)
   }
+
+  /** Span hierarchy levels — the reference's recursive CTE over
+    * parent_span_id (`traces.rs:608-638`, bounded by MAX_TRACE_DEPTH at
+    * `:617`) as an iterative BFS: level 0 = roots (null/absent parent),
+    * level k+1 = spans whose parent is at level k. Rows never reached
+    * within `maxDepth` (cycles, orphans) are dropped, matching recursive
+    * CTE semantics with a depth guard.
+    *
+    * Each iteration is one broadcast-able join on the parent key; depth is
+    * small (trace depth, not data size), so the loop count is bounded and
+    * the plan stays shallow per step.
+    */
+  def spanHierarchy(spans: DataFrame, spanCol: String, parentCol: String,
+                    maxDepth: Int = 10): DataFrame = {
+    val roots = spans
+      .filter(col(parentCol).isNull || col(parentCol) === lit(""))
+      .withColumn("span_level", lit(0))
+    var result = roots
+    var frontier = roots
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val parents = broadcast(
+        frontier.select(col(spanCol).as("__parent_id")).distinct())
+      val next = spans
+        .join(parents, col(parentCol) === col("__parent_id"))
+        .drop("__parent_id")
+        .withColumn("span_level", lit(depth + 1))
+      result = result.unionByName(next)
+      frontier = next
+      depth += 1
+    }
+    result
+  }
 }
