@@ -278,6 +278,19 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // §2.8: JSON scalar functions — extract from the semi-structured props
+    // column, then filter + aggregate on the extracted value.
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          col("value"))
+        .filter(col("k_val") >= 50)
+        .groupBy((col("k_val") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .orderBy(col("k_mod"))),
+
     // F8: list-column predicates via the alerts condition AST
     // (array_contains / has-all / has-any over token arrays).
     "q_list_predicates" -> ((s, dir) => {
@@ -535,6 +548,14 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "q_list_predicates" ->
       """WITH tk AS (
