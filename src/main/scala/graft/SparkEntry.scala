@@ -271,6 +271,14 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: IVF-bucketed ANN — centroid assignment + nProbe search.
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfSearch(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, numCentroids = 8, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: embedding-cosine near-dup pairs over a bounded id range.
     "q_sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
@@ -536,6 +544,39 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
          |  FROM p)
+         |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q_sim_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |assign AS (
+         |  SELECT v_id, v_e, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, v.e AS v_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT q_id, q_e, centroid_id FROM (
+         |    SELECT q.vec_id AS q_id, q.e AS q_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+         |  WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.v_id AS n_id, ${dCosine("p.q_e", "a.v_e")} AS cosine
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  WHERE p.q_id != a.v_id),
+         |r AS (
+         |  SELECT q_id, n_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM cand)
          |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 3
          |ORDER BY q_id, rk""".stripMargin,
 

@@ -85,6 +85,60 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
+  /** IVF (inverted-file) index build: assign every vector to its nearest
+    * centroid by cosine (tiebreak: centroid id). Centroids here are seeded
+    * deterministically (the `k` lowest-id vectors) — at production scale
+    * they'd come from a k-means job; the index/search machinery is
+    * identical. The assignment is one broadcast join + per-vector argmax —
+    * a single corpus pass, and `centroid_id` is the natural partition/
+    * bucket key for the persisted index.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               numCentroids: Int): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(idCol).asc).limit(numCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
+    val w = Window.partitionBy(col("v_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+      .crossJoin(cents)
+      .withColumn("c_cos", cosine(col("v_vec"), col("c_vec")))
+      .withColumn("c_rk", row_number().over(w))
+      .filter(col("c_rk") === 1)
+      .select(col("v_id"), col("v_vec"), col("centroid_id"))
+  }
+
+  /** IVF search: probe the `nProbe` nearest centroid lists per query, rank
+    * candidates by exact cosine. Work per query drops from |corpus| to
+    * ~|corpus|·nProbe/numCentroids; the candidate join is co-partitioned
+    * on centroid_id.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                numCentroids: Int, nProbe: Int): DataFrame = {
+    val index = ivfIndex(corpus, idCol, vecCol, numCentroids)
+    val cents = broadcast(
+      corpus.orderBy(col(idCol).asc).limit(numCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("v_id").asc)
+    index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("v_vec")))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, over a
     * *bounded* id range (all-pairs is quadratic by nature; at scale this is
     * run per LSH bucket or per partition window, never globally).
