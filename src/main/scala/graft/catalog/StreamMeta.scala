@@ -1,0 +1,119 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ingest.IngestPipeline.StreamConfig
+
+/** Per-stream persisted metadata — the engine's `.stream.json` (reference
+  * `ObjectStoreFormat`, `src/storage/mod.rs:302-340`; file layout constants
+  * `:301-310`): schema version, partition config, retention, plus the
+  * merged schema (the reference keeps `.schema` as a sibling file — we
+  * inline it, since Spark's `StructType.json` is self-describing).
+  *
+  * Stored under `<root>/<stream>/.stream/stream.json`. The dotted directory
+  * keeps metadata out of parquet partition discovery.
+  */
+object StreamMeta {
+
+  val Version = "v1"
+
+  final case class Retention(action: String, days: Int) // action: "delete"
+
+  final case class Meta(
+      version: String,
+      stream: String,
+      schemaVersion: String,
+      timePartition: Option[String],
+      customPartitions: Seq[String],
+      retention: Option[Retention],
+      schema: Option[StructType])
+
+  private val mapper = new ObjectMapper()
+
+  private def metaPath(root: String, stream: String) =
+    Paths.get(root, stream, ".stream", "stream.json")
+
+  def save(root: String, meta: Meta): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("version", meta.version)
+    o.put("stream", meta.stream)
+    o.put("schema_version", meta.schemaVersion)
+    meta.timePartition.foreach(o.put("time_partition", _))
+    val parts = o.putArray("custom_partitions")
+    meta.customPartitions.foreach(parts.add)
+    meta.retention.foreach { r =>
+      val ro = o.putObject("retention")
+      ro.put("action", r.action)
+      ro.put("days", r.days)
+    }
+    meta.schema.foreach(s => o.put("schema", s.json))
+    val p = metaPath(root, meta.stream)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(o))
+    ()
+  }
+
+  def load(root: String, stream: String): Option[Meta] = {
+    val p = metaPath(root, stream)
+    if (!Files.exists(p)) None
+    else {
+      val o = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+      def opt(field: String): Option[String] =
+        Option(o.get(field)).filterNot(_.isNull).map(_.asText)
+      Some(Meta(
+        version = o.get("version").asText,
+        stream = o.get("stream").asText,
+        schemaVersion = o.get("schema_version").asText,
+        timePartition = opt("time_partition"),
+        customPartitions = Option(o.get("custom_partitions")).toSeq
+          .flatMap(a => (0 until a.size).map(a.get(_).asText)),
+        retention = Option(o.get("retention")).map(r =>
+          Retention(r.get("action").asText, r.get("days").asInt)),
+        schema = opt("schema").map(s =>
+          DataType.fromJson(s).asInstanceOf[StructType])))
+    }
+  }
+
+  def fromConfig(cfg: StreamConfig, schema: Option[StructType],
+                 retention: Option[Retention] = None): Meta =
+    Meta(Version, cfg.name, "v1", cfg.timePartition, cfg.customPartitions,
+      retention, schema)
+}
+
+/** Retention enforcement: drop whole `date=` partition directories older
+  * than the configured horizon (reference retention task,
+  * `src/storage/retention.rs:100-140` — delete-by-days). Directory-level
+  * deletes mean retention cost scales with partition count, never rows.
+  */
+object RetentionJob {
+
+  /** Delete date partitions strictly older than `days` before `today`.
+    * Returns the deleted partition names.
+    */
+  def apply(root: String, stream: String, days: Int,
+            today: java.time.LocalDate = java.time.LocalDate.now()): Seq[String] = {
+    val cutoff = today.minusDays(days.toLong)
+    val dir = Paths.get(root, stream)
+    if (!Files.exists(dir)) return Nil
+    val deleted = Seq.newBuilder[String]
+    Files.list(dir).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("date=")) {
+        val date = scala.util.Try(
+          java.time.LocalDate.parse(name.stripPrefix("date="))).toOption
+        if (date.exists(_.isBefore(cutoff))) {
+          // recursive delete of the partition dir
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.delete(f); () })
+          deleted += name
+        }
+      }
+    }
+    deleted.result()
+  }
+}
