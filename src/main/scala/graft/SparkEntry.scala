@@ -314,6 +314,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.10/F: Generate (explode) — token frequency via array explode.
+    "q_explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
+    // A9: CUBE aggregation (all grouping combinations).
+    "q_agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid").asc,
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // A1: exact COUNT(DISTINCT) aggregation per group.
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("distinct_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // A9: ROLLUP aggregation with grouping_id (subtotals + grand total).
     "q_agg_rollup" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -608,6 +634,26 @@ object SparkEntry {
         |  AND list_has_all(toks, ['table', 'key'])
         |  AND list_has_any(toks, ['join', 'merge'])
         |ORDER BY doc_id""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid ASC,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS distinct_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
