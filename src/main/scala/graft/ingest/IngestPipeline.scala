@@ -75,8 +75,25 @@ object IngestPipeline {
           case Left(e) => err = Some(e)
           case Right(norm) =>
             JsonFlattener.flattenEvent(norm, cfg.separator) match {
-              case Left(e)     => err = Some(e)
-              case Right(rows) => out ++= rows
+              case Left(e) => err = Some(e)
+              case Right(rows) =>
+                // partition-value validation per flattened event (reference
+                // runs it inside flatten, flatten.rs:107-220)
+                val bad = rows.iterator.map { r =>
+                  JsonFlattener
+                    .validateCustomPartitions(r, cfg.customPartitions)
+                    .flatMap { _ =>
+                      cfg.timePartition match {
+                        case Some(tp) => JsonFlattener
+                          .validateTimePartition(r, tp, java.time.Instant.now())
+                        case None => Right(())
+                      }
+                    }
+                }.collectFirst { case Left(e) => e }
+                bad match {
+                  case Some(e) => err = Some(e)
+                  case None    => out ++= rows
+                }
             }
         }
       }

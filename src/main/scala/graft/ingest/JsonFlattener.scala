@@ -90,6 +90,54 @@ object JsonFlattener {
     * array elements yields one output row, merged with the scalar fields
     * (reference `generic_flattening`, example at flatten.rs:304-309).
     */
+  /** Custom-partition value validation (reference `flatten.rs:107-152`):
+    * each partition field must be present, scalar, non-null/non-empty, and
+    * must not contain a `.` (floats count — they'd corrupt the Hive
+    * `key=value` directory name).
+    */
+  def validateCustomPartitions(ev: ObjectNode,
+                               partitions: Seq[String]): Either[String, Unit] = {
+    partitions.map(_.trim).foldLeft(Right(()): Either[String, Unit]) { (acc, f) =>
+      acc.flatMap { _ =>
+        Option(ev.get(f)) match {
+          case None => Left(s"custom partition field $f not part of the log")
+          case Some(v) if v.isNull => Left(s"custom partition field $f is null")
+          case Some(v) if v.isTextual && v.asText.isEmpty =>
+            Left(s"custom partition field $f is empty")
+          case Some(v) if v.isObject => Left(s"custom partition field $f is an object")
+          case Some(v) if v.isArray => Left(s"custom partition field $f is an array")
+          case Some(v) if v.isTextual && v.asText.contains(".") =>
+            Left(s"custom partition field $f contains a period")
+          case Some(v) if v.isFloatingPointNumber =>
+            Left(s"custom partition field $f contains a period")
+          case _ => Right(())
+        }
+      }
+    }
+  }
+
+  /** Time-partition value validation (reference `flatten.rs:155-220`): the
+    * field must exist, parse as a datetime, and be no older than
+    * `limitDays` before `now` (default 30).
+    */
+  def validateTimePartition(ev: ObjectNode, timePartition: String,
+                            now: java.time.Instant,
+                            limitDays: Long = 30L): Either[String, Unit] =
+    Option(ev.get(timePartition)) match {
+      case None => Left(s"time partition field $timePartition not part of the log")
+      case Some(v) =>
+        val parsed = scala.util.Try(
+          java.time.OffsetDateTime
+            .parse(v.asText, java.time.format.DateTimeFormatter.ISO_DATE_TIME)
+            .toInstant).toOption
+        parsed match {
+          case None => Left(s"field $timePartition is not a valid datetime: ${v.asText}")
+          case Some(ts) if ts.isBefore(now.minus(java.time.Duration.ofDays(limitDays))) =>
+            Left(s"field $timePartition is older than the $limitDays-day limit")
+          case _ => Right(())
+        }
+    }
+
   def genericFlatten(node: ObjectNode): Seq[ObjectNode] = {
     val fields = node.properties().asScala.toSeq
     val arrayFields = fields.filter { e =>
