@@ -120,11 +120,24 @@ object IngestStream {
         .withColumn("p_src_ip", lit(""))
         .withColumn("p_format", lit(format))
       IngestPipeline.append(df, root, cfg)
+      // persist the merged schema with the stream metadata so a restarted
+      // process (fresh registry) resumes with the full union schema
+      graft.catalog.StreamMeta.save(root,
+        graft.catalog.StreamMeta.fromConfig(cfg, Some(merged)))
       val written = df.count()
       LiveTail.publish(cfg.name, df)
       written
     }
   }
+
+  /** Bootstrap a fresh registry from persisted stream metadata (restart
+    * path — the schema survives in `.stream/stream.json`).
+    */
+  def bootstrapRegistry(root: String, cfg: StreamConfig,
+                        registry: SchemaRegistry): Unit =
+    graft.catalog.StreamMeta.load(root, cfg.name)
+      .flatMap(_.schema)
+      .foreach(s => registry.commit(cfg.name, s))
 
   /** Continuous ingest from a streaming Dataset[String] of JSON events
     * (file source, Kafka `value`, or a MemoryStream in tests). Micro-batch

@@ -1,0 +1,63 @@
+package graft.catalog
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("compaction merges fragmented partitions, preserves rows and order") {
+    val root = Files.createTempDirectory("compact").toString
+    val base = 1700000000000L
+    // 12 tiny appends into one date partition (minute-granular ingest shape)
+    (0 until 12).foreach { i =>
+      Seq((i.toLong, new Timestamp(base + i * 60000L)))
+        .toDF("id", "p_timestamp")
+        .withColumn("date", lit("2024-01-01"))
+        .coalesce(1).write.mode("append")
+        .partitionBy("date").parquet(s"$root/logs")
+    }
+    val before = spark.read.parquet(s"$root/logs")
+    assert(before.count() == 12)
+
+    val res = Compaction.compactStream(spark, root, "logs",
+      today = java.time.LocalDate.parse("2024-06-01"))
+    assert(res.length == 1)
+    val (date, nBefore, nAfter) = res.head
+    assert(date == "2024-01-01" && nBefore == 12 && nAfter == 1)
+
+    val after = spark.read.parquet(s"$root/logs")
+    assert(after.count() == 12)
+    assert(after.select("id").as[Long].collect().toSet == (0L until 12L).toSet)
+    // latest-first order inside the compacted file
+    val ids = spark.read
+      .parquet(s"$root/logs/date=2024-01-01")
+      .select("id").as[Long].collect().toSeq
+    assert(ids == ids.sortBy(-_))
+  }
+
+  test("partitions at or under the file threshold are left alone") {
+    val root = Files.createTempDirectory("compact2").toString
+    Seq((1L, new Timestamp(0L))).toDF("id", "p_timestamp")
+      .withColumn("date", lit("2024-01-01"))
+      .coalesce(1).write.partitionBy("date").parquet(s"$root/logs")
+    assert(Compaction.compactStream(spark, root, "logs",
+      today = java.time.LocalDate.parse("2024-06-01")).isEmpty)
+  }
+
+  test("today's open partition is never compacted") {
+    val root = Files.createTempDirectory("compact3").toString
+    val today = java.time.LocalDate.parse("2024-01-01")
+    (0 until 10).foreach { i =>
+      Seq((i.toLong, new Timestamp(i.toLong))).toDF("id", "p_timestamp")
+        .withColumn("date", lit(today.toString))
+        .coalesce(1).write.mode("append").partitionBy("date")
+        .parquet(s"$root/logs")
+    }
+    assert(Compaction.compactStream(spark, root, "logs", today = today).isEmpty)
+  }
+}

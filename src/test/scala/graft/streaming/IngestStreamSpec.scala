@@ -87,6 +87,25 @@ class IngestStreamSpec extends SparkSuite {
     assert(back.filter(col("tag").isNull).count() == 2)
   }
 
+  test("schema survives a restart via persisted stream metadata") {
+    val root = tmp()
+    val cfg = StreamConfig("durable")
+    LiveTail.clear("durable")
+    val r1 = new SchemaRegistry
+    IngestStream.processBatch(
+      Seq("""{"a":1,"b":"x"}""").toDS(), cfg, r1, root)
+    // simulate restart: fresh registry, bootstrap from disk
+    val r2 = new SchemaRegistry
+    assert(r2.get("durable").isEmpty)
+    IngestStream.bootstrapRegistry(root, cfg, r2)
+    assert(r2.get("durable").get.fieldNames.toSet == Set("a", "b"))
+    // next batch merges on top of the recovered schema
+    IngestStream.processBatch(Seq("""{"c":true}""").toDS(), cfg, r2, root)
+    assert(r2.get("durable").get.fieldNames.toSet == Set("a", "b", "c"))
+    val back = IngestStream.readTable(spark, root, cfg, r2)
+    assert(back.count() == 2)
+  }
+
   test("LiveTail buffers recent batches and fans out to subscribers") {
     val root = tmp()
     val registry = new SchemaRegistry
