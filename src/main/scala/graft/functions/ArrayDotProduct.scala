@@ -25,6 +25,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // a null *element* nulls the result even when both array inputs are
+  // non-nullable — also guarantees codegen's isNull is a real variable
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType | DoubleType, _) => true

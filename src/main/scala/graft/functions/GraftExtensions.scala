@@ -20,11 +20,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** `graft_date_bin(ts, binMillis)` — the reference's `DATE_BIN` (epoch
+    * anchor) as a composition of built-in catalyst expressions:
+    * `timestamp_millis((unix_millis(ts) div bin) * bin)` cast to
+    * TIMESTAMP_NTZ. Composition (vs a custom Expression) keeps codegen and
+    * constant-folding for free.
+    */
+  private def dateBinExpr(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ts = Cast(args(0), TimestampType)
+    val bin = args(1)
+    Cast(MillisToTimestamp(Multiply(IntegralDivide(UnixMillis(ts), bin), bin)),
+      TimestampNTZType)
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_date_bin"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, "graft_date_bin"),
+      dateBinExpr _))
 
   /** Register all graft functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -36,6 +36,19 @@ class ArrayDotProductSpec extends SparkSuite {
     assert(r == 11.0)
   }
 
+  test("graft_date_bin matches Counts.dateBin from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_date_bin(TIMESTAMP_NTZ'2024-06-15 10:32:45', 3600000) AS b")
+      .collect()(0).get(0).toString
+    assert(r == "2024-06-15T10:00")
+    val viaCounts = Seq("2024-06-15 10:32:45").toDF("ts")
+      .select(graft.query.Counts
+        .dateBin(col("ts").cast("timestamp"), 3600000L).as("b"))
+      .collect()(0).get(0).toString
+    assert(viaCounts == r)
+  }
+
   test("stays inside whole-stage codegen") {
     // a computed input (not a foldable local relation) forces real codegen
     val df = spark.range(100).select(
