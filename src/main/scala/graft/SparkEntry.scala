@@ -286,6 +286,25 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // J3: correlation API — validated two-stream equi-join config.
+    "q_correlation" -> ((s, dir) => {
+      import graft.query.Correlation._
+      val cfg = CorrelationConfig(
+        Seq(TableConfig("orders", Seq("o_orderkey", "o_totalprice")),
+          TableConfig("customer", Seq("c_name", "c_mktsegment"))),
+        Seq(JoinCondition("orders", "o_custkey"),
+          JoinCondition("customer", "c_custkey")))
+      graft.query.Correlation.execute(s, cfg,
+          Map("orders" -> t(s, dir, "orders"),
+            "customer" -> t(s, dir, "customer")))
+        .toOption.get
+        .filter(col("o_totalprice") > 450.0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("`customer.c_name`").as("c_name"),
+          col("`customer.c_mktsegment`").as("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.8: JSON scalar functions — extract from the semi-structured props
     // column, then filter + aggregate on the extracted value.
     "q_json_extract" -> ((s, dir) =>
@@ -615,6 +634,12 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_correlation" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
