@@ -42,7 +42,15 @@ object GraftFunctions {
       (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))),
     (FunctionIdentifier("graft_date_bin"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_date_bin"),
-      dateBinExpr _))
+      dateBinExpr _),
+    // the reference dialect's array_has_all(haystack, needles) — Spark has
+    // no builtin; needles ⊆ haystack ⇔ array_except(needles, haystack) = []
+    (FunctionIdentifier("graft_array_has_all"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, "graft_array_has_all"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        EqualTo(Size(ArrayExcept(args(1), args(0))), Literal(0))
+      }))
 
   /** Register all graft functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

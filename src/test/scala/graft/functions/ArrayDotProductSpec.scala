@@ -49,6 +49,15 @@ class ArrayDotProductSpec extends SparkSuite {
     assert(viaCounts == r)
   }
 
+  test("graft_array_has_all from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_array_has_all(array('a','b','c'), array('a','c')) AS yes,
+        |       graft_array_has_all(array('a','b'), array('a','z')) AS no"""
+        .stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
   test("stays inside whole-stage codegen") {
     // a computed input (not a foldable local relation) forces real codegen
     val df = spark.range(100).select(
