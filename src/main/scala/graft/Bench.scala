@@ -11,11 +11,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
-    // JVM/codegen warmup on the smallest SF so measured numbers reflect
-    // steady state, not first-query classloading.
-    SparkEntry.queries.get("q_agg_pricing")
-      .foreach(f => f(spark, "/root/testdata/sf0.001").count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // one unmeasured pass first: JIT/codegen warm, OS page cache holds the
+    // input files — the measured pass then reflects steady-state compute,
+    // not which query alphabetically pays classloading or first-touch IO
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
