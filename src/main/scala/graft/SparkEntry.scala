@@ -17,7 +17,12 @@ import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
   *   - float aggregates go through DECIMAL(18,2) sums — exact in both Spark
   *     and DuckDB, so no fp-addition-order drift;
   *   - averages/ratios are computed from exact sums with a single double
-  *     division (deterministic given equal operands).
+  *     division (deterministic given equal operands);
+  *   - NO decimal column ever reaches the output: every exact decimal sum is
+  *     cast to DOUBLE in the final select on BOTH sides. A decimal read back
+  *     through pandas keeps its fixed scale ("253942.00") while the oracle's
+  *     surfaces as float64 ("253942.0"), so any trailing-zero value would
+  *     hash-mismatch (root cause of the 6 r01 failures).
   */
 object SparkEntry {
 
@@ -36,15 +41,19 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
       l.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("dq"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("dbp"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
               col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
-            .as("sum_disc_price"),
+            .as("ddp"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          col("sum_qty").cast("double") / col("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("dq").cast("double").as("sum_qty"),
+          col("dbp").cast("double").as("sum_base_price"),
+          col("ddp").cast("double").as("sum_disc_price"),
+          col("count_order"),
+          (col("dq").cast("double") / col("count_order")).as("avg_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -63,8 +72,10 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
           count(lit(1)).as("order_count"))
+        .select(col("c_mktsegment"), col("rev").cast("double").as("revenue"),
+          col("order_count"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -85,8 +96,10 @@ object SparkEntry {
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
               col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
-            .as("revenue"),
+            .as("rev"),
           count(lit(1)).as("lineitem_count"))
+        .select(col("r_name"), col("n_name"),
+          col("rev").cast("double").as("revenue"), col("lineitem_count"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -160,9 +173,10 @@ object SparkEntry {
         .filter(Conditions.toColumn(cond))
         .groupBy(col("user_id"))
         .agg(
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
           count(lit(1)).as("n"))
-        .withColumn("avg_value", col("sum_value").cast("double") / col("n"))
+        .select(col("user_id"), col("sv").cast("double").as("sum_value"),
+          col("n"), (col("sv").cast("double") / col("n")).as("avg_value"))
         .orderBy(col("user_id"))
     }),
 
@@ -315,7 +329,7 @@ object SparkEntry {
         .filter(col("k_val") >= 50)
         .groupBy((col("k_val") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("k_mod"))),
 
     // F8: list-column predicates via the alerts condition AST
@@ -364,7 +378,7 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
       l.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"),
           grouping_id().as("gid"))
         .orderBy(col("gid").asc,
@@ -393,13 +407,15 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      o.withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
-        .withColumn("prev_price", lag(col("price"), 1).over(w))
-        .withColumn("running_total",
-          sum(col("price")).over(w.rowsBetween(Window.unboundedPreceding,
+      o.withColumn("dp", col("o_totalprice").cast("decimal(18,2)"))
+        .withColumn("prev_dp", lag(col("dp"), 1).over(w))
+        .withColumn("run_dp",
+          sum(col("dp")).over(w.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
-        .select(col("o_custkey"), col("o_orderkey"), col("price"),
-          col("prev_price"), col("running_total"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("dp").cast("double").as("price"),
+          col("prev_dp").cast("double").as("prev_price"),
+          col("run_dp").cast("double").as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -644,7 +660,7 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |  count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
@@ -682,7 +698,7 @@ object SparkEntry {
 
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n,
         |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
@@ -705,10 +721,12 @@ object SparkEntry {
 
     "q_window_lag_frames" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        |  lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
-        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE)
+        |    AS prev_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -753,11 +771,12 @@ object SparkEntry {
          |FROM rs ORDER BY media_id""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |      AS DECIMAL(28,4))) AS sum_disc_price,
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
         |FROM lineitem
@@ -771,16 +790,16 @@ object SparkEntry {
 
     "q_join_agg" ->
       """SELECT c_mktsegment,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS order_count
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_join_multiway" ->
       """SELECT r_name, n_name,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |      AS DECIMAL(28,4))) AS revenue,
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
         |  count(*) AS lineitem_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -838,7 +857,7 @@ object SparkEntry {
 
     "q_alert_avg" ->
       """SELECT user_id,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events
