@@ -442,6 +442,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // F9: known-format regex extraction as codegen'd columns — synthesize
+    // access-log lines from events, re-parse with the format library, agg.
+    "q_format_extract" -> ((s, dir) => {
+      import graft.ingest.KnownFormats
+      val e = t(s, dir, "events")
+      val line = concat(
+        lit("192.0.2.1 - user"), col("user_id").cast("string"),
+        lit(" [01/Jan/2024:00:00:00 +0000] \""),
+        when(col("event_type") === "error", "POST").otherwise("GET"),
+        lit(" /api/"), col("event_type"), lit(" HTTP/1.1\" "),
+        when(col("event_type") === "error", "500").otherwise("200"),
+        lit(" "), col("event_id").cast("string"))
+      KnownFormats.extractColumns(e.select(line.as("raw")), "raw", "access_log")
+        .groupBy(col("method"), col("status"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user")).as("users"))
+        .orderBy(col("method"), col("status"))
+    }),
+
     // ML: multimodal decode/feature/resize plumbing (deterministic stub
     // codec over binary payloads; mapPartitions narrow stage).
     "q_multimodal_decode" -> ((s, dir) => {
@@ -745,6 +763,23 @@ object SparkEntry {
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
         |  abs(o_totalprice - 250.0) AS dist_250
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_format_extract" -> {
+      val pat = """^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]+)" (\d{3}) (\d+|-)"""
+      s"""WITH raw AS (
+         |  SELECT '192.0.2.1 - user' || CAST(user_id AS VARCHAR)
+         |    || ' [01/Jan/2024:00:00:00 +0000] "'
+         |    || CASE WHEN event_type = 'error' THEN 'POST' ELSE 'GET' END
+         |    || ' /api/' || event_type || ' HTTP/1.1" '
+         |    || CASE WHEN event_type = 'error' THEN '500' ELSE '200' END
+         |    || ' ' || CAST(event_id AS VARCHAR) AS raw
+         |  FROM events)
+         |SELECT regexp_extract(raw, '$pat', 4) AS method,
+         |  regexp_extract(raw, '$pat', 7) AS status,
+         |  count(*) AS n,
+         |  count(DISTINCT regexp_extract(raw, '$pat', 2)) AS users
+         |FROM raw GROUP BY 1, 2 ORDER BY method, status""".stripMargin
+    },
 
     "q_multimodal_decode" ->
       s"""WITH h AS (
