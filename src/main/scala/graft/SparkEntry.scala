@@ -257,6 +257,15 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ML: duplicate clustering — connected components (min-label
+    // propagation) over the Jaccard near-dup pairs.
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup.clusters(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.5))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))),
+
     // ML: MinHash+LSH near-dup pairs (band-bucket join + exact verify).
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -555,6 +564,28 @@ object SparkEntry {
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE ${dShingleCte.stripPrefix("WITH ")},
+         |szc AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz FROM sh),
+         |exc AS (SELECT doc_id, unnest(shh) AS s FROM sh),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM prs
+         |  JOIN szc sa ON sa.doc_id = id_a
+         |  JOIN szc sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM jp
+         |      UNION SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""$dShingleCte,

@@ -182,6 +182,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  // ------------------------------------------------- duplicate clustering
+
+  /** Duplicate-cluster assignment: connected components over near-dup pairs,
+    * labeling every vertex with the minimum id reachable from it →
+    * `(id, cluster_id)`.
+    *
+    * Distributed min-label propagation: per round, every vertex sends its
+    * current label to its neighbors and keeps the minimum — one shuffle join
+    * plus one groupBy per round. Rounds needed = component diameter; dedup
+    * graphs are near-cliques (diameter 1–2), so this converges in 2–3
+    * rounds even at billions of edges. Labels only ever decrease, so
+    * `sum(label)` is strictly decreasing until the fixpoint — convergence is
+    * detected with a single cheap aggregate, no extra join. For adversarial
+    * long-chain graphs the large-star/small-star variant (O(log n) rounds)
+    * is the upgrade path; near-dup graphs never look like that.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0: label = min(self, min neighbor)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var lastSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == lastSum
+      lastSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit j of the

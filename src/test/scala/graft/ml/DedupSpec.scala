@@ -53,4 +53,29 @@ class DedupSpec extends SparkSuite {
       maxShingleFreq = Some(1L)).collect()
     assert(p.isEmpty) // every shared shingle occurs in >1 doc by definition
   }
+
+  test("clusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 9-3, 3-2, 2-1; {5,7}; {10,11}
+    val pairs = Seq((2L, 1L), (3L, 2L), (9L, 3L), (5L, 7L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: chain longer than one round still converges") {
+    import spark.implicits._
+    // a path 0-1-2-...-7: worst case for label propagation (diameter 7)
+    val pairs = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+    assert(out.forall(_.getLong(1) == 0L) && out.length == 8)
+  }
+
+  test("clusters on empty pairs is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(empty).collect().isEmpty)
+  }
 }
