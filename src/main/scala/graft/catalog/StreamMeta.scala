@@ -58,6 +58,27 @@ object StreamMeta {
     ()
   }
 
+  /** The queryable union schema: the persisted merged ingest schema plus the
+    * engine-added `p_*` columns ([[graft.ingest.IngestPipeline]] enrichment).
+    * Passing this to `spark.read.schema` makes every scan see the full
+    * column set without `mergeSchema=true` (which opens every footer —
+    * prohibitive at 100 TB); files written before a schema-growing batch
+    * null-fill the newer columns.
+    */
+  def unionSchema(root: String, stream: String): Option[StructType] =
+    load(root, stream).flatMap(_.schema).map(enriched)
+
+  /** Append the reserved ingest columns to a stream schema. */
+  def enriched(s: StructType): StructType = {
+    import org.apache.spark.sql.types.{StringType, StructField, TimestampType}
+    val extra = Seq(
+      StructField("p_timestamp", TimestampType),
+      StructField("p_user_agent", StringType),
+      StructField("p_src_ip", StringType),
+      StructField("p_format", StringType))
+    StructType(s.fields ++ extra.filterNot(f => s.fieldNames.contains(f.name)))
+  }
+
   def load(root: String, stream: String): Option[Meta] = {
     val p = metaPath(root, stream)
     if (!Files.exists(p)) None

@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object QueryService {
 
-  /** Stream registry entry: where the table lives, its time column, and an
-    * optional stats-catalog path for manifest-grade file pruning.
+  /** Stream registry entry: where the table lives, its time column, an
+    * optional stats-catalog path for manifest-grade file pruning, and an
+    * optional ingest root holding `.stream/stream.json` — when present,
+    * scans read with the persisted union schema (old files null-fill newer
+    * columns; no `mergeSchema` footer storm).
     */
   final case class Stream(path: String, timeCol: String,
-                          catalogPath: Option[String] = None)
+                          catalogPath: Option[String] = None,
+                          metaRoot: Option[String] = None)
 
   /** Table names referenced by a SQL query, resolved with Spark's own parser
     * (reference uses sqlparser+PostgreSqlDialect, `src/query/mod.rs:747-759`).
@@ -123,6 +127,11 @@ object QueryService {
         // lists anything (reference manifest pruning); the exact row-level
         // window still applies above the pruned scan. Bounds widen to whole
         // seconds so the string min/max comparison stays conservative.
+        // registry-schema read: the persisted union schema (if any) applies
+        // to every scan of this stream, pruned or not
+        val reader = s.metaRoot
+          .flatMap(graft.catalog.StreamMeta.unionSchema(_, name))
+          .foldLeft(spark.read)((r, schema) => r.schema(schema))
         val source = s.catalogPath match {
           case Some(cat) if !skipInject =>
             import graft.catalog.StatsCatalog
@@ -136,9 +145,9 @@ object QueryService {
                 fmt.format(range.end.plusSeconds(1)
                   .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))))
             val files = StatsCatalog.pruneFiles(spark, cat, preds)
-            if (files.isEmpty) spark.read.parquet(s.path).filter(lit(false))
-            else spark.read.parquet(files: _*)
-          case _ => spark.read.parquet(s.path)
+            if (files.isEmpty) reader.parquet(s.path).filter(lit(false))
+            else reader.parquet(files: _*)
+          case _ => reader.parquet(s.path)
         }
         val base = windowed(source)
         val df =

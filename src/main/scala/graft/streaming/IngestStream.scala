@@ -125,7 +125,9 @@ object IngestStream {
       graft.catalog.StreamMeta.save(root,
         graft.catalog.StreamMeta.fromConfig(cfg, Some(merged)))
       val written = df.count()
-      LiveTail.publish(cfg.name, df)
+      // the batch is already flushed to parquet above — subscribers get the
+      // push, but the staging union must not re-count it
+      LiveTail.publish(cfg.name, df, persisted = true)
       written
     }
   }
@@ -173,20 +175,14 @@ object IngestStream {
     * it for free and older files null-fill (SURVEY §7.4 hard part 2).
     */
   def readTable(spark: SparkSession, root: String, cfg: StreamConfig,
-                registry: SchemaRegistry): DataFrame = {
-    val enriched = registry.get(cfg.name) match {
-      case None => return spark.read.parquet(s"$root/${cfg.name}")
-      case Some(s) =>
-        StructType(s.fields ++ Array(
-          org.apache.spark.sql.types.StructField("p_timestamp",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("p_user_agent",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("p_src_ip",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("p_format",
-            org.apache.spark.sql.types.StringType)))
+                registry: SchemaRegistry): DataFrame =
+    registry.get(cfg.name)
+      .map(graft.catalog.StreamMeta.enriched)
+      // restart path: a fresh registry still reads the union schema from
+      // the persisted stream metadata
+      .orElse(graft.catalog.StreamMeta.unionSchema(root, cfg.name)) match {
+      case Some(schema) =>
+        spark.read.schema(schema).parquet(s"$root/${cfg.name}")
+      case None => spark.read.parquet(s"$root/${cfg.name}")
     }
-    spark.read.schema(enriched).parquet(s"$root/${cfg.name}")
-  }
 }

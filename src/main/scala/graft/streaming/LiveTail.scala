@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.StructType
   */
 object LiveTail {
 
-  final case class Batch(schema: StructType, rows: Array[Row], atMillis: Long)
+  /** `persisted=true` marks batches already flushed to the parquet table —
+    * live-tail subscribers still see them, but the query-time staging union
+    * skips them (they'd double-count with the table scan).
+    */
+  final case class Batch(schema: StructType, rows: Array[Row], atMillis: Long,
+                         persisted: Boolean = false)
 
   private val buffers = new ConcurrentHashMap[String, CopyOnWriteArrayList[Batch]]()
   private val subscribers =
@@ -37,9 +42,10 @@ object LiveTail {
   /** Max rows retained per stream (hard cap on driver memory). */
   @volatile var maxRows: Int = 100000
 
-  def publish(stream: String, df: DataFrame): Unit = {
+  def publish(stream: String, df: DataFrame,
+              persisted: Boolean = false): Unit = {
     val rows = df.limit(maxRows).collect()
-    val batch = Batch(df.schema, rows, System.currentTimeMillis())
+    val batch = Batch(df.schema, rows, System.currentTimeMillis(), persisted)
     val buf = buffers.computeIfAbsent(stream, _ => new CopyOnWriteArrayList[Batch]())
     buf.add(batch)
     val cutoff = System.currentTimeMillis() - windowMillis
@@ -60,12 +66,15 @@ object LiveTail {
     () => { subs.remove(f); () }
   }
 
-  /** Recent rows as a DataFrame (latest batch schema wins; earlier batches
-    * are padded with nulls for columns they predate — the union schema
-    * grows monotonically so this is total).
+  /** Recent *not-yet-persisted* rows as a DataFrame (latest batch schema
+    * wins; earlier batches are padded with nulls for columns they predate —
+    * the union schema grows monotonically so this is total). Batches
+    * published with `persisted=true` are excluded: they are already visible
+    * through the table scan.
     */
   def recentFrame(spark: SparkSession, stream: String): Option[DataFrame] = {
     val batches = Option(buffers.get(stream)).map(_.asScala.toSeq).getOrElse(Nil)
+      .filterNot(_.persisted)
     if (batches.isEmpty) None
     else {
       val schema = batches.last.schema

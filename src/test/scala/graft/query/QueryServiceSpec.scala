@@ -79,4 +79,38 @@ class QueryServiceSpec extends SparkSuite {
     assert(rows2 == Seq("persisted"))
     LiveTail.clear("logs")
   }
+
+  test("metaRoot wires the persisted union schema into queried views") {
+    import graft.catalog.StreamMeta
+    import graft.ingest.IngestPipeline.{SchemaRegistry, StreamConfig}
+    import graft.streaming.IngestStream
+    val root = Files.createTempDirectory("qsmeta").toString
+    val cfg = StreamConfig("logs")
+    val registry = new SchemaRegistry
+    val now = System.currentTimeMillis()
+    // batch 1: {id, msg}; batch 2 grows the schema with {level}
+    def batch(js: String*) =
+      IngestStream.processBatch(spark.createDataset(js)(
+        org.apache.spark.sql.Encoders.STRING), cfg, registry, root)
+    assert(batch("""{"id": 1, "msg": "a"}""").isRight)
+    assert(batch("""{"id": 2, "msg": "b", "level": "warn"}""").isRight)
+
+    val streams = Map("logs" -> QueryService.Stream(
+      s"$root/logs", "p_timestamp", metaRoot = Some(root)))
+    val range = TimeRange(
+      java.time.Instant.ofEpochMilli(now - 1000),
+      java.time.Instant.ofEpochMilli(now + 3600 * 1000))
+    // without the union schema, `level` may be missing (footer lottery);
+    // with metaRoot the old file null-fills it
+    val rows = QueryService.query(spark, streams,
+      "SELECT id, level FROM logs ORDER BY id", range).collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "warn")
+    // restart path: a fresh registry gets the same schema via StreamMeta
+    assert(StreamMeta.unionSchema(root, "logs").exists(
+      _.fieldNames.contains("level")))
+    assert(IngestStream.readTable(spark, root, cfg, new SchemaRegistry)
+      .columns.contains("level"))
+    LiveTail.clear("logs")
+  }
 }

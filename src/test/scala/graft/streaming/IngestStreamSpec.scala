@@ -116,9 +116,13 @@ class IngestStreamSpec extends SparkSuite {
     IngestStream.processBatch(Seq("""{"x":1}""").toDS(), cfg, registry, root)
     IngestStream.processBatch(Seq("""{"x":2,"y":"n"}""").toDS(), cfg, registry, root)
     assert(pushed == 2)
+    // batches flushed by processBatch are persisted: subscribers saw them,
+    // but the staging union must not re-count rows the table scan has
+    assert(LiveTail.recentFrame(spark, "tail").isEmpty)
+    // a genuinely unflushed batch (persisted=false) does appear
+    LiveTail.publish("tail", Seq((3L, "u")).toDF("x", "y"))
     val recent = LiveTail.recentFrame(spark, "tail").get
-    assert(recent.count() == 2)
-    // union-compatible with the table read (staging-union freshness path)
+    assert(recent.count() == 1)
     assert(recent.schema.fieldNames.contains("y"))
     unsub()
     LiveTail.clear("tail")
