@@ -73,8 +73,14 @@ object StatsCatalog {
     * truncation).
     */
   def pruneFileStats(spark: SparkSession, catalogPath: String,
+                     preds: Seq[Pred]): Seq[(String, Long)] =
+    pruneFileStats(spark.read.parquet(catalogPath), preds)
+
+  /** As above over an already-loaded stats frame — e.g. a pinned
+    * [[TxnCatalog]] snapshot (snapshot-isolated pruning).
+    */
+  def pruneFileStats(cat: DataFrame,
                      preds: Seq[Pred]): Seq[(String, Long)] = {
-    val cat = spark.read.parquet(catalogPath)
     val keep = preds.foldLeft(cat) { (df, p) =>
       val numeric = scala.util.Try(p.value.toDouble).isSuccess
       val minC = if (numeric) col(s"min_${p.column}").cast("double")

@@ -1,0 +1,170 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned, atomically-committed stats catalog — the transaction-log
+  * layer over [[StatsCatalog]]'s per-file statistics table.
+  *
+  * The reference updates its snapshot/manifest catalog in place under a
+  * process-wide lock (parseable `src/catalog/mod.rs:108-187`); that breaks
+  * down the moment two writers (ingest sync + compaction + retention) race.
+  * This is the Iceberg/Delta-shaped fix, built from first principles:
+  *
+  *   - each catalog version's data lives in a writer-unique immutable
+  *     parquet snapshot dir (`v<N>-<uuid>/`) — concurrent writers can never
+  *     scribble on each other's data;
+  *   - a version becomes visible only when its marker `_commits/<N>.json`
+  *     appears. The marker is published with `Files.createLink` (hard link
+  *     to a fully-written temp file): atomic, fails if the version is
+  *     already claimed, and the name appears with complete content — so
+  *     readers never see a half commit. (NOT a rename: POSIX rename()
+  *     silently replaces an existing target, letting two writers both
+  *     "win".)
+  *   - writers use optimistic concurrency: read latest N, write snapshot
+  *     for N+1, try to publish the marker; on conflict, re-apply the update
+  *     function on the new latest and retry;
+  *   - readers pin a version for their whole operation → snapshot isolation
+  *     (a concurrent compaction can't make a query's file list dangle).
+  *
+  * Scale note: snapshots are stats rows (one per data file) — small even at
+  * millions of files — and time travel is free (old versions stay until
+  * [[vacuum]]).
+  */
+object TxnCatalog {
+
+  private def commitsDir(root: String): Path = Paths.get(root, "_commits")
+
+  /** Latest committed version, or None for an empty/uninitialized catalog. */
+  def latestVersion(root: String): Option[Long] = {
+    val d = commitsDir(root)
+    if (!Files.isDirectory(d)) None
+    else {
+      val vs = Files.list(d).toArray.toSeq
+        .map(p => p.asInstanceOf[Path].getFileName.toString)
+        .flatMap { name =>
+          if (name.endsWith(".json"))
+            scala.util.Try(name.stripSuffix(".json").toLong).toOption
+          else None
+        }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** The committed snapshot dir for a version (from its marker). */
+  private def snapshotDir(root: String, v: Long): Option[String] = {
+    val marker = commitsDir(root).resolve(s"$v.json")
+    if (!Files.exists(marker)) None
+    else {
+      val txt = Files.readString(marker)
+      // marker JSON is flat; pull "dir" without a JSON dependency
+      "\"dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .map(m => Paths.get(root, m.group(1)).toString)
+    }
+  }
+
+  /** Read a snapshot: the given version, or the latest committed one.
+    * None if the catalog has no commits yet.
+    */
+  def snapshot(spark: SparkSession, root: String,
+               version: Option[Long] = None): Option[DataFrame] =
+    version.orElse(latestVersion(root))
+      .flatMap(v => snapshotDir(root, v))
+      .map(spark.read.parquet(_))
+
+  /** Atomically commit `update(current)` as the next version. The update
+    * function is re-applied on conflict (optimistic concurrency), so it must
+    * be a pure function of the current snapshot. Returns the committed
+    * version number.
+    */
+  def commit(spark: SparkSession, root: String, maxRetries: Int = 10)(
+      update: Option[DataFrame] => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root)
+      val next = base.getOrElse(-1L) + 1
+      val updated = update(snapshot(spark, root, base))
+      // writer-unique snapshot data, invisible until the marker lands
+      val dirName = f"v$next%06d-${UUID.randomUUID().toString.take(8)}"
+      updated.coalesce(1).write.mode("overwrite")
+        .parquet(Paths.get(root, dirName).toString)
+      Files.createDirectories(commitsDir(root))
+      val tmp = Files.createTempFile(commitsDir(root), s".v$next-", ".tmp")
+      Files.writeString(tmp,
+        s"""{"version": $next, "dir": "$dirName", "ts": ${System.currentTimeMillis()}}""")
+      try {
+        Files.createLink(commitsDir(root).resolve(s"$next.json"), tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the race — another writer committed <next>; our orphan data
+          // dir is invisible (no marker references it); clean it up and
+          // re-apply on top of the new latest
+          Files.deleteIfExists(tmp)
+          deleteRecursively(Paths.get(root, dirName))
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"catalog commit contention: gave up after $maxRetries retries")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Incremental stats refresh: compute [[StatsCatalog]] rows ONLY for data
+    * files not yet in the catalog and append them as a new version. The full
+    * `StatsCatalog.refresh` rescans every file — O(table); this is O(new
+    * data), the only refresh economics that survive 100 TB.
+    */
+  def appendNewFiles(spark: SparkSession, tableRoot: String, root: String,
+                     statCols: Seq[String]): Long =
+    commit(spark, root) { current =>
+      val known: Set[String] = current
+        .map(_.select("file_path").collect().map(_.getString(0)).toSet)
+        .getOrElse(Set.empty)
+      val all = StatsCatalog.collect(spark, tableRoot, statCols)
+      val fresh =
+        if (known.isEmpty) all
+        else all.filter(!col("file_path").isin(known.toSeq: _*))
+      current.map(_.unionByName(fresh, allowMissingColumns = true))
+        .getOrElse(fresh)
+    }
+
+  /** Rewrite the catalog after a compaction: drop rows for `removed` data
+    * files and append stats for the replacement files — one atomic version.
+    */
+  def replaceFiles(spark: SparkSession, root: String, removed: Seq[String],
+                   added: DataFrame): Long =
+    commit(spark, root) { current =>
+      val kept = current
+        .map(_.filter(!col("file_path").isin(removed: _*)))
+      kept.map(_.unionByName(added, allowMissingColumns = true))
+        .getOrElse(added)
+    }
+
+  /** Drop versions older than the latest `keep` (marker first, then data:
+    * a version without a marker is invisible, so readers can't pick up a
+    * half-deleted snapshot; readers already pinned to it fail fast — run
+    * vacuum outside query windows).
+    */
+  def vacuum(root: String, keep: Int = 2): Unit = {
+    val latest = latestVersion(root).getOrElse(return)
+    val cutoff = latest - keep + 1
+    (0L until cutoff).foreach { v =>
+      snapshotDir(root, v).foreach { dir =>
+        Files.deleteIfExists(commitsDir(root).resolve(s"$v.json"))
+        deleteRecursively(Paths.get(dir))
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+}

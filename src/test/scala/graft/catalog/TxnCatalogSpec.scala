@@ -1,0 +1,111 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TxnCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("txncat").toString
+
+  test("commit/snapshot roundtrip, versions increment, time travel") {
+    val root = tmp()
+    assert(TxnCatalog.latestVersion(root).isEmpty)
+    assert(TxnCatalog.snapshot(spark, root).isEmpty)
+
+    val v0 = TxnCatalog.commit(spark, root) { cur =>
+      assert(cur.isEmpty)
+      Seq(("f1", 10L)).toDF("file_path", "num_rows")
+    }
+    assert(v0 == 0L)
+    val v1 = TxnCatalog.commit(spark, root) { cur =>
+      cur.get.union(Seq(("f2", 20L)).toDF("file_path", "num_rows"))
+    }
+    assert(v1 == 1L)
+    assert(TxnCatalog.latestVersion(root).contains(1L))
+    assert(TxnCatalog.snapshot(spark, root).get.count() == 2)
+    // time travel: v0 still readable and unchanged
+    assert(TxnCatalog.snapshot(spark, root, Some(0L)).get.count() == 1)
+  }
+
+  test("marker claim is exclusive: losing a mid-commit race retries") {
+    val root = tmp()
+    TxnCatalog.commit(spark, root)(_ =>
+      Seq(("f1", 1L)).toDF("file_path", "num_rows"))
+    // interloper commits version 1 AFTER our commit reads latest=0 but
+    // before it publishes — i.e. from inside the update function
+    var applications = 0
+    val v = TxnCatalog.commit(spark, root) { cur =>
+      applications += 1
+      if (applications == 1) {
+        val d = java.nio.file.Paths.get(root, "v000001-feedbeef")
+        Seq(("f1", 1L), ("f9", 9L)).toDF("file_path", "num_rows")
+          .coalesce(1).write.parquet(d.toString)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(root, "_commits", "1.json"),
+          """{"version": 1, "dir": "v000001-feedbeef", "ts": 0}""")
+      }
+      cur.get.union(Seq(("f2", 2L)).toDF("file_path", "num_rows"))
+    }
+    // lost the race at v1, re-applied on top of the interloper's snapshot
+    assert(v == 2L)
+    assert(applications == 2)
+    val files = TxnCatalog.snapshot(spark, root).get
+      .select("file_path").as[String].collect().toSet
+    assert(files == Set("f1", "f9", "f2"))
+  }
+
+  test("appendNewFiles is incremental and composes with pruning") {
+    val root = tmp()
+    val table = tmp()
+    Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$table/t")
+    TxnCatalog.appendNewFiles(spark, s"$table/t", root, Seq("id"))
+    val n0 = TxnCatalog.snapshot(spark, root).get.count()
+    assert(n0 >= 1)
+
+    Seq((100L, 7.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$table/t")
+    TxnCatalog.appendNewFiles(spark, s"$table/t", root, Seq("id"))
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.count() == n0 + 1) // only the new file was added
+    assert(snap.select("file_path").distinct().count() == snap.count())
+
+    // snapshot-isolated pruning: id >= 50 keeps only the new file
+    val keep = StatsCatalog.pruneFileStats(snap,
+      Seq(StatsCatalog.Pred("id", StatsCatalog.GtEq, "50")))
+    assert(keep.size == 1)
+    assert(spark.read.parquet(keep.map(_._1): _*).count() == 1)
+  }
+
+  test("replaceFiles swaps compacted files in one version") {
+    val root = tmp()
+    TxnCatalog.commit(spark, root)(_ =>
+      Seq(("small1", 1L), ("small2", 1L), ("big", 100L))
+        .toDF("file_path", "num_rows"))
+    TxnCatalog.replaceFiles(spark, root,
+      removed = Seq("small1", "small2"),
+      added = Seq(("merged", 2L)).toDF("file_path", "num_rows"))
+    val files = TxnCatalog.snapshot(spark, root).get
+      .select("file_path").as[String].collect().toSet
+    assert(files == Set("big", "merged"))
+  }
+
+  test("vacuum drops old versions, keeps the latest readable") {
+    val root = tmp()
+    (0 until 4).foreach { i =>
+      TxnCatalog.commit(spark, root) { _ =>
+        Seq((s"f$i", i.toLong)).toDF("file_path", "num_rows")
+      }
+    }
+    TxnCatalog.vacuum(root, keep = 2)
+    assert(TxnCatalog.snapshot(spark, root, Some(0L)).isEmpty)
+    assert(TxnCatalog.snapshot(spark, root, Some(1L)).isEmpty)
+    assert(TxnCatalog.snapshot(spark, root, Some(2L)).isDefined)
+    assert(TxnCatalog.snapshot(spark, root).get
+      .select("file_path").as[String].collect().toSeq == Seq("f3"))
+  }
+}
