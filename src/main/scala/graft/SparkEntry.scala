@@ -428,6 +428,28 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // §2.9/W3: gap-based sessionization — lag marks session starts, running
+    // sum numbers them, then per-session aggregates. One shuffle on the
+    // session key; both window and groupBy share the user_id partitioning.
+    "q_sessionize" -> ((s, dir) => {
+      val gapMs = 30L * 60 * 1000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts").cast("timestamp")) -
+              unix_millis(col("prev_ts").cast("timestamp")) > gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_n", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_n"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .orderBy(col("user_id"), col("sess_n"))
+    }),
+
     // §2.8: scalar-function sampler — CAST/COALESCE/CASE/IN/LIKE/string/
     // date/math builtins over one pass.
     "q_scalar_funcs" -> ((s, dir) => {
@@ -779,6 +801,26 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_n
+        |  FROM y)
+        |SELECT user_id, CAST(sess_n AS BIGINT) AS sess_n, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM z GROUP BY 1, 2 ORDER BY user_id, sess_n""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
