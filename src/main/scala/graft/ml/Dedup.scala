@@ -129,6 +129,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** [[jaccardPairs]] with PPJoin-style prefix filtering: only each doc's
+    * first `|A| - ceil(t*|A|) + 1` shingles (in global hash order) become
+    * join keys. Any pair with Jaccard ≥ t must (a) satisfy the length
+    * filter `t*|A| ≤ |B| ≤ |A|/t` and (b) collide on at least one prefix
+    * shingle of BOTH sides (prefix-filter theorem: J(A,B) ≥ t ⇒ overlap
+    * ≥ ⌈t·max(|A|,|B|)⌉, so skipping fewer than that many smallest elements
+    * from each side cannot avoid a common survivor) — the filter is
+    * lossless; candidates then verify with the exact intersection.
+    *
+    * At t=0.5 the exploded join input halves per side (~4× fewer key
+    * collisions) and the quadratic per-shingle group cost shrinks
+    * accordingly — the difference between hours and minutes at corpus
+    * scale. Verification joins the (small) candidate set back to the full
+    * shingle arrays.
+    *
+    * Measured crossover (ProfileDedup, sf0.1, local[32]): at small corpus
+    * the plain [[jaccardPairs]] groupBy-count is faster (1.3 s vs 2.3 s
+    * warm) because the per-shingle groups are tiny and the prefix path pays
+    * two extra verification joins; prefer this variant when shingle
+    * document frequency is high enough that the pair-join output explodes
+    * (large corpora / hot shingles).
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sets = shingleHashFrame(df, idCol, textCol, n, portableHash = false)
+      .withColumn("sh", sort_array(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withPref = sets.withColumn("pref",
+      slice(col("sh"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+    val ex = {
+      val e = withPref.select(col("id"), col("sz"),
+        explode(col("pref")).as("shingle"))
+      maxShingleFreq match {
+        case None => e
+        case Some(f) =>
+          val freq = e.groupBy("shingle").agg(count(lit(1)).as("df_"))
+            .filter(col("df_") <= f).drop("df_")
+          e.join(freq, "shingle")
+      }
+    }
+    val cand = ex.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(ex.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        // length filter: |B| in [t|A|, |A|/t] — prunes before dedup
+        col("sz_b") >= ceil(col("sz_a") * threshold) &&
+        col("sz_b") <= floor(col("sz_a") / threshold))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
   // ----------------------------------------------------------- MinHash/LSH
 
   /** k=16 MinHash signatures as one array column over shingle hashes. */

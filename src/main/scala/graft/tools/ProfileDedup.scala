@@ -35,6 +35,12 @@ object ProfileDedup {
     time("pair join+agg count")(inter.count())
     time("full jaccardPairs")(
       Dedup.jaccardPairs(docs, "doc_id", "text").count())
+    time("full jaccardPairsPrefix")(
+      Dedup.jaccardPairsPrefix(docs, "doc_id", "text").count())
+    time("jaccardPairs (2nd)")(
+      Dedup.jaccardPairs(docs, "doc_id", "text").count())
+    time("jaccardPairsPrefix (2nd)")(
+      Dedup.jaccardPairsPrefix(docs, "doc_id", "text").count())
     time("full lshPairs")(
       Dedup.lshPairs(docs, "doc_id", "text").count())
     spark.stop()

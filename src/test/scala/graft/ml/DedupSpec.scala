@@ -54,6 +54,17 @@ class DedupSpec extends SparkSuite {
     assert(p.isEmpty) // every shared shingle occurs in >1 doc by definition
   }
 
+  test("prefix-filtered jaccard matches the plain shingle join exactly") {
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = key(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = t))
+      val pref = key(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", threshold = t))
+      assert(pref == plain, s"threshold $t")
+    }
+  }
+
   test("clusters: min-label propagation finds connected components") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 9-3, 3-2, 2-1; {5,7}; {10,11}
