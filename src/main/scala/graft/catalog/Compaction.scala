@@ -30,7 +30,9 @@ object Compaction {
   def compactPartition(spark: SparkSession, root: String, stream: String,
                        date: String, timeCol: String = "p_timestamp",
                        maxFiles: Int = 8,
-                       targetFiles: Int = 1): Option[(Int, Int)] = {
+                       targetFiles: Int = 1,
+                       txnCatalog: Option[(String, Seq[String])] = None)
+      : Option[(Int, Int)] = {
     val partDir = Paths.get(root, stream, s"date=$date")
     if (!Files.exists(partDir)) return None
     val before = countParquetFiles(partDir)
@@ -56,6 +58,14 @@ object Compaction {
     Files.move(partDir, trash)
     Files.move(tmp, partDir)
     deleteRecursive(trash)
+    // one atomic catalog version: drop every stats row under the rewritten
+    // partition, append stats for the replacement files — readers pinned to
+    // an older version still see a consistent (pre-compaction) file list
+    txnCatalog.foreach { case (catRoot, statCols) =>
+      val added = StatsCatalog.collect(spark, partDir.toString, statCols)
+      TxnCatalog.replaceWhere(spark, catRoot,
+        col("file_path").contains(s"/$stream/date=$date/"), added)
+    }
     Some((before, countParquetFiles(partDir)))
   }
 

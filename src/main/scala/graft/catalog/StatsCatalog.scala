@@ -143,6 +143,9 @@ object StatsCatalog {
     * `handle_count_query`).
     */
   def countStar(spark: SparkSession, catalogPath: String): Long =
-    spark.read.parquet(catalogPath)
-      .agg(sum(col("num_rows"))).collect()(0).getLong(0)
+    countStar(spark, spark.read.parquet(catalogPath))
+
+  /** As above over a loaded stats frame (e.g. a pinned TxnCatalog snapshot). */
+  def countStar(spark: SparkSession, cat: DataFrame): Long =
+    cat.agg(sum(col("num_rows"))).collect()(0).getLong(0)
 }

@@ -139,9 +139,16 @@ object TxnCatalog {
     */
   def replaceFiles(spark: SparkSession, root: String, removed: Seq[String],
                    added: DataFrame): Long =
+    replaceWhere(spark, root, col("file_path").isin(removed: _*), added)
+
+  /** As [[replaceFiles]] with a predicate over `file_path` (e.g. "every
+    * file under this rewritten partition dir").
+    */
+  def replaceWhere(spark: SparkSession, root: String,
+                   removeCond: org.apache.spark.sql.Column,
+                   added: DataFrame): Long =
     commit(spark, root) { current =>
-      val kept = current
-        .map(_.filter(!col("file_path").isin(removed: _*)))
+      val kept = current.map(_.filter(!removeCond))
       kept.map(_.unionByName(added, allowMissingColumns = true))
         .getOrElse(added)
     }

@@ -60,4 +60,33 @@ class CompactionSpec extends SparkSuite {
     }
     assert(Compaction.compactStream(spark, root, "logs", today = today).isEmpty)
   }
+
+  test("compaction commits an atomic catalog swap for the partition") {
+    val root = Files.createTempDirectory("compact4").toString
+    val cat = Files.createTempDirectory("compact4cat").toString
+    (0 until 10).foreach { i =>
+      Seq((i.toLong, new Timestamp(i.toLong * 1000))).toDF("id", "p_timestamp")
+        .withColumn("date", lit("2024-01-01"))
+        .coalesce(1).write.mode("append").partitionBy("date")
+        .parquet(s"$root/logs")
+    }
+    TxnCatalog.appendNewFiles(spark, s"$root/logs", cat, Seq("p_timestamp"))
+    val v0 = TxnCatalog.latestVersion(cat).get
+    val before = TxnCatalog.snapshot(spark, cat).get
+    assert(before.count() == 10)
+    val totalRows = StatsCatalog.countStar(spark,
+      TxnCatalog.snapshot(spark, cat).get)
+
+    val res = Compaction.compactPartition(spark, root, "logs", "2024-01-01",
+      txnCatalog = Some((cat, Seq("p_timestamp"))))
+    assert(res.exists(_._2 < res.get._1))
+    val after = TxnCatalog.snapshot(spark, cat).get
+    // no stale paths: every cataloged file still exists on disk
+    val paths = after.select("file_path").as[String].collect()
+    assert(paths.nonEmpty && paths.forall(p =>
+      Files.exists(java.nio.file.Paths.get(new java.net.URI(p)))))
+    assert(StatsCatalog.countStar(spark, after) == totalRows)
+    // pre-compaction version still readable (snapshot isolation)
+    assert(TxnCatalog.snapshot(spark, cat, Some(v0)).get.count() == 10)
+  }
 }
