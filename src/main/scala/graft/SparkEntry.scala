@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Counts, LogContext, FieldStats, Traces}
-import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -308,6 +308,21 @@ object SparkEntry {
           t(s, dir, "embeddings").filter(col("vec_id") < 200),
           "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // ML: deterministic stratified sampling — per-language Bernoulli rates
+    // from the portable id hash (reproducible, repartition-stable).
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ML: fixed-size per-group sample — k smallest id-hashes per language
+    // (uniform without replacement, deterministic).
+    "q_sample_pergroup" -> ((s, dir) =>
+      Sampling.perGroupSample(t(s, dir, "documents"), "lang", "doc_id", k = 7)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // J3: correlation API — validated two-stream equi-join config.
     "q_correlation" -> ((s, dir) => {
@@ -721,6 +736,29 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang FROM b
+         |WHERE CAST(bucket AS DOUBLE) <
+         |  (CASE WHEN lang = 'en' THEN 0.5
+         |        WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 1000000.0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_pergroup" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY bucket ASC, doc_id ASC) AS rk
+         |  FROM b)
+         |SELECT doc_id, lang FROM r WHERE rk <= 7 ORDER BY doc_id""".stripMargin,
 
     "q_correlation" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment

@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * All variants key off the portable 60-bit md5 hash ([[Dedup.hash60]]) of a
+  * stable id — so samples are (a) reproducible across runs/engines,
+  * (b) consistent under re-partitioning (no RNG seeded per partition, which
+  * changes with parallelism — the classic `df.sample` pitfall at scale),
+  * and (c) stable under incremental appends (a row's in/out never flips).
+  * Every variant is a narrow filter or one window — no extra shuffle beyond
+  * what the grouping itself requires.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** The sampling key: uniform bucket in [0, Buckets) from the id hash.
+    * Salt separates independent samples over the same ids.
+    */
+  def bucket(idCol: Column, salt: String = ""): Column =
+    Dedup.hash60(concat(idCol.cast("string"), lit(salt))) % Buckets
+
+  /** Bernoulli sample at `rate` — keep iff bucket < rate·Buckets. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String = ""): DataFrame =
+    df.filter(bucket(col(idCol), salt) < (rate * Buckets).toLong)
+
+  /** Per-stratum Bernoulli rates (e.g. language balancing): strata absent
+    * from `rates` fall back to `defaultRate`. The rate lookup is a CASE
+    * expression — broadcast-free, codegen'd.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), salt).cast("double") <
+      rateCol * Buckets.toDouble)
+  }
+
+  /** Exactly `k` rows per group (fewer if the group is smaller), chosen as
+    * the k smallest hash values — a deterministic uniform-without-
+    * replacement sample. One shuffle on the group key.
+    */
+  def perGroupSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                     salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

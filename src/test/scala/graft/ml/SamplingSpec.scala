@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 2000).toDF("id")
+    .withColumn("grp", (col("id") % 4).cast("string"))
+
+  test("hashSample rate is approximate and deterministic") {
+    val n1 = Sampling.hashSample(ids, "id", 0.3).count()
+    val n2 = Sampling.hashSample(ids.repartition(13), "id", 0.3).count()
+    assert(n1 == n2) // repartition-stable
+    assert(math.abs(n1 - 600.0) < 100) // ~binomial tolerance
+    // monotone: raising the rate only adds rows
+    val lo = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
+    val hi = Sampling.hashSample(ids, "id", 0.4).select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("salt decorrelates two samples over the same ids") {
+    val a = Sampling.hashSample(ids, "id", 0.5, salt = "a")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "id", 0.5, salt = "b")
+      .select("id").as[Long].collect().toSet
+    assert(a != b)
+    val overlap = a.intersect(b).size.toDouble / 1000.0
+    assert(overlap > 0.3 && overlap < 0.7) // ~rate² per id, i.e. ~0.5 of a
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = Sampling.stratifiedSample(ids, "grp", "id",
+      rates = Map("0" -> 1.0, "1" -> 0.0), defaultRate = 0.5)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("0") == 500)
+    assert(!byGrp.contains("1"))
+    assert(math.abs(byGrp("2") - 250.0) < 80)
+    assert(math.abs(byGrp("3") - 250.0) < 80)
+  }
+
+  test("perGroupSample returns exactly k per group, deterministically") {
+    val out = Sampling.perGroupSample(ids, "grp", "id", k = 5)
+    val counts = out.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.length == 4 && counts.forall(_ == 5))
+    val again = Sampling.perGroupSample(ids.repartition(7), "grp", "id", k = 5)
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // small group: returns all of it
+    val tiny = Seq(("x", 1L), ("x", 2L)).toDF("grp", "id")
+    assert(Sampling.perGroupSample(tiny, "grp", "id", k = 5).count() == 2)
+  }
+}
