@@ -246,6 +246,20 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ML: PII scrubbing — mask emails/URLs/IPs/long digit runs in one
+    // codegen'd regexp_replace chain, plus the scrub-count audit column.
+    "q_text_scrub" -> ((s, dir) => {
+      val decorated = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or http://ex.com/p/"), col("doc_id").cast("string"),
+        lit(" ip 10.0.0.7 acct 1234567890"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(decorated).as("scrubbed"),
+          TextAnalysis.piiCount(decorated).as("pii_n"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: exact dedup — hash-groupBy on normalized content.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -1085,6 +1099,28 @@ object SparkEntry {
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS fp_num
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_text_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or http://ex.com/p/' || CAST(doc_id AS VARCHAR)
+        |    || ' ip 10.0.0.7 acct 1234567890' AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{7,}\b', '<NUM>', 'g') AS scrubbed
+        |  FROM d)
+        |SELECT doc_id, scrubbed, CAST(
+        |    (length(scrubbed) - length(replace(scrubbed, '<EMAIL>', ''))) / 7
+        |  + (length(scrubbed) - length(replace(scrubbed, '<URL>', ''))) / 5
+        |  + (length(scrubbed) - length(replace(scrubbed, '<IP>', ''))) / 4
+        |  + (length(scrubbed) - length(replace(scrubbed, '<NUM>', ''))) / 5
+        |  AS BIGINT) AS pii_n
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH tk AS (

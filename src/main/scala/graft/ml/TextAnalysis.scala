@@ -123,6 +123,35 @@ object TextAnalysis {
       "fp_num" -> conv(substring(h, 1, 15), 16, 10).cast("long"))
   }
 
+  /** PII scrubbing for training corpora: mask emails, IPv4 addresses, URLs
+    * and long digit runs (phone/account numbers) with typed placeholders.
+    * Pure `regexp_replace` chain — codegen'd, no UDF, order matters (URLs
+    * before bare digit runs so ports/paths don't get half-masked; emails
+    * before URLs so `user@host` isn't URL-mangled). The regexes use the
+    * RE2-safe subset so an external engine reproduces them byte-for-byte.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "https?://[^\\s]+", "<URL>")
+    val ip = regexp_replace(url,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
+  /** Count of PII matches scrubbed (for corpus audits): how many
+    * placeholders appear in the scrubbed text.
+    */
+  def piiCount(text: Column): Column = {
+    val scrubbed = scrubPii(text)
+    Seq("<EMAIL>", "<URL>", "<IP>", "<NUM>").map { p =>
+      (length(scrubbed) -
+        length(regexp_replace(scrubbed, java.util.regex.Pattern.quote(p), ""))) /
+        p.length
+    }.reduce(_ + _).cast("long")
+  }
+
   /** All text-analysis columns applied to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -57,6 +57,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(0).getLong(1) > 0)
   }
 
+  test("scrubPii masks emails, URLs, IPs, digit runs; piiCount audits") {
+    val r = one("mail bob.smith+x@corp.io see https://a.b/c?d=1 from " +
+        "192.168.0.1 call 5551234567 but keep 42 and v1.2.3.4000")
+      .select(TextAnalysis.scrubPii(col("text")).as("s"),
+        TextAnalysis.piiCount(col("text")).as("n"))
+      .collect()(0)
+    val s = r.getString(0)
+    assert(s.contains("<EMAIL>") && !s.contains("corp.io"))
+    assert(s.contains("<URL>") && !s.contains("a.b/c"))
+    assert(s.contains("<IP>") && !s.contains("192.168.0.1"))
+    assert(s.contains("<NUM>") && !s.contains("5551234567"))
+    assert(s.contains("keep 42")) // short numbers survive
+    assert(r.getLong(1) == 4L)
+  }
+
   test("quality columns are exact integer-derived values") {
     val r = one("the the fox")
       .select(TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
