@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
-import graft.query.{Alerts, Counts, LogContext, FieldStats, Traces}
+import graft.query.{Alerts, Counts, LogContext, FieldStats, Percentiles, Traces}
 import graft.ml.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -402,6 +402,13 @@ object SparkEntry {
         .orderBy(col("gid").asc,
           col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+
+    // A6+: exact discrete percentiles per group — rank selection in one
+    // window pass, all percentiles from the same shuffle.
+    "q_percentiles" -> ((s, dir) =>
+      Percentiles.exact(t(s, dir, "events"), "event_type", "value",
+          tieCol = "event_id", ps = Seq(0.5, 0.95, 0.99))
+        .orderBy(col("event_type"))),
 
     // A1: exact COUNT(DISTINCT) aggregation per group.
     "q_count_distinct" -> ((s, dir) =>
@@ -813,6 +820,19 @@ object SparkEntry {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid ASC,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_percentiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn - 1 = floor(0.5 * (n - 1)) THEN value END) AS p50,
+        |  max(CASE WHEN rn - 1 = floor(0.95 * (n - 1)) THEN value END) AS p95,
+        |  max(CASE WHEN rn - 1 = floor(0.99 * (n - 1)) THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT event_type,
