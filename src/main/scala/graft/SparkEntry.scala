@@ -133,12 +133,18 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rk"))
     }),
 
-    // W1: count-distinct over a window via collect_set (Spark restriction).
+    // W1: COUNT(DISTINCT) OVER (PARTITION BY k) — Spark disallows it
+    // directly; the scalable rewrite is distinct → tiny per-key counts →
+    // broadcast join back. (`size(collect_set().over(w))` is the literal
+    // rewrite but materializes the whole set per key — OOM at 100 TB
+    // cardinalities; this shape never holds more than the per-key counts.)
     "q_window_count_distinct" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("event_type"))
-      e.withColumn("distinct_users",
-          size(collect_set(col("user_id")).over(w)).cast("long"))
+      val perKey = e.select(col("event_type").as("et"), col("user_id")).distinct()
+        .groupBy(col("et"))
+        // count(col) excludes NULL user_id — COUNT(DISTINCT) semantics
+        .agg(count(col("user_id")).as("distinct_users"))
+      e.join(broadcast(perKey), e("event_type") <=> perKey("et"))
         .select(col("event_id"), col("event_type"), col("distinct_users"))
         .orderBy(col("event_id"))
         .limit(500)
