@@ -40,6 +40,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => ArrayCosineSimilarity(args(0), args(1))),
     (FunctionIdentifier("graft_date_bin"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_date_bin"),
       dateBinExpr _),
@@ -62,4 +65,9 @@ object GraftFunctions {
   def graftDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API handle on the fused single-pass cosine similarity. */
+  def graftCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayCosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -58,6 +58,38 @@ class ArrayDotProductSpec extends SparkSuite {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("graft_cosine is bit-identical to the composed dot/norm form") {
+    val df = spark.range(1, 200).select(
+      array($"id".cast("double"), ($"id" % 7 - 3).cast("double"),
+        ($"id" * 0.37).cast("double")).as("a"),
+      array(($"id" % 5).cast("double"), ($"id" + 11).cast("double"),
+        ($"id" * -0.11).cast("double")).as("b"))
+    val fused = df.select(GraftFunctions.graftCosine($"a", $"b")).as[Double].collect()
+    val composed = df.select(
+      GraftFunctions.graftDot($"a", $"b") /
+        (sqrt(GraftFunctions.graftDot($"a", $"a")) *
+          sqrt(GraftFunctions.graftDot($"b", $"b")))).as[Double].collect()
+    assert(fused.toSeq == composed.toSeq) // exact, not approximate
+  }
+
+  test("graft_cosine handles float arrays, unequal lengths, null elements") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |               array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS same,
+        |  graft_cosine(CAST(array(1.0, 2.0, 5.0) AS ARRAY<DOUBLE>),
+        |               CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>)) AS uneq,
+        |  graft_cosine(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |               CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>)) AS n
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    // cross term over min length, norms over full arrays
+    val expect = (1.0 + 4.0) / (math.sqrt(1 + 4 + 25) * math.sqrt(1 + 4))
+    assert(r.getDouble(1) == expect)
+    assert(r.isNullAt(2))
+  }
+
   test("stays inside whole-stage codegen") {
     // a computed input (not a foldable local relation) forces real codegen
     val df = spark.range(100).select(
