@@ -133,6 +133,17 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rk"))
     }),
 
+    // §2.6 top-k: the custom TopKPerGroup operator (LogicalPlan + Strategy
+    // + SparkPlan) — bounded heaps per group, partial before the shuffle,
+    // no full sort. Same result set as the window formulation.
+    "q_topk_operator" -> ((s, dir) =>
+      graft.operators.TopK.perGroup(t(s, dir, "orders"),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey").asc)),
+
     // W1: COUNT(DISTINCT) OVER (PARTITION BY k) — Spark disallows it
     // directly; the scalable rewrite is distinct → tiny per-key counts →
     // broadcast join back. (`size(collect_set().over(w))` is the literal
@@ -1014,6 +1025,14 @@ object SparkEntry {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_topk_operator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin,
 
     "q_window_count_distinct" ->
       """SELECT event_id, event_type,

@@ -42,6 +42,7 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     tuning.foreach { case (k, v) => spark.conf.set(k, v) }
     graft.functions.GraftFunctions.register(spark)
+    graft.operators.TopK.install(spark)
     spark
   }
 

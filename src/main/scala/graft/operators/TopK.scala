@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.plans.{TopKPerGroup, TopKStrategy}
+
+/** Column-API front door for the [[graft.plans.TopKPerGroup]] operator. */
+object TopK {
+
+  /** Ensure the planner strategy is installed on this session (idempotent —
+    * `GraftSession.tune` also does this).
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** First-k rows per group under `order` (use `.desc`/`.asc` columns; an
+    * un-suffixed column sorts ascending). Include a tiebreak column for
+    * deterministic results. Output row order is unspecified — apply a final
+    * `orderBy` downstream.
+    *
+    * Resolution: Columns carry lazily-converted nodes the analyzer won't
+    * resolve inside a foreign logical operator, so the grouping and sort
+    * expressions are harvested from throwaway `Aggregate`/`Sort` plans
+    * Spark analyzed against the SAME child (attribute ids line up by
+    * construction).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+    import org.apache.spark.sql.functions.lit
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    install(spark)
+    val sortPlan = ColumnBridge.logicalPlan(df.sortWithinPartitions(order: _*))
+      .collectFirst { case s: Sort => s }
+      .getOrElse(throw new IllegalStateException("sort plan not found"))
+    val groupPlan = ColumnBridge
+      .logicalPlan(df.groupBy(groupCols: _*).agg(lit(1)))
+      .collectFirst { case a: Aggregate => a }
+      .getOrElse(throw new IllegalStateException("aggregate plan not found"))
+    ColumnBridge.ofRows(spark,
+      TopKPerGroup(groupPlan.groupingExpressions, sortPlan.order, k,
+        sortPlan.child))
+  }
+}
