@@ -133,6 +133,22 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rk"))
     }),
 
+    // As-of join (point-in-time lookup): each event sees the most recent
+    // error event of the same user at-or-before its timestamp — one
+    // window pass over the tagged union, no range-join explosion.
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val err = e.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("err_id"), max(col("value")).as("err_val"))
+      graft.operators.AsOfJoin.asOf(
+          e.select(col("event_id"), col("user_id"), col("ts")), err,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("err_id", "err_val"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.6 top-k: the custom TopKPerGroup operator (LogicalPlan + Strategy
     // + SparkPlan) — bounded heaps per group, partial before the shuffle,
     // no full sort. Same result set as the window formulation.
@@ -1025,6 +1041,16 @@ object SparkEntry {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH err AS (
+        |  SELECT user_id, ts, max(event_id) AS err_id, max(value) AS err_val
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  r.err_id AS err_id_asof, r.err_val AS err_val_asof
+        |FROM events e ASOF LEFT JOIN err r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_topk_operator" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
