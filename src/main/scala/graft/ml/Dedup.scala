@@ -266,8 +266,11 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // the union references `pairs` twice — persist it or the (potentially
+    // expensive) pair-producing pipeline executes once per branch
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(p.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // round 0: label = min(self, min neighbor)
     var labels = edges.groupBy(col("src"))
@@ -293,6 +296,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
