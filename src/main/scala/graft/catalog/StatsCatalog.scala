@@ -31,7 +31,10 @@ object StatsCatalog {
 
   /** Compute per-file stats for every parquet data file under `tableRoot`.
     * Runs as one distributed Spark job: rows are grouped by their source
-    * file (`input_file_name`), aggregating count + min/max per column.
+    * file (the `_metadata` hidden column — also yields `file_size`, which
+    * [[graft.plans.StatsFileIndex]] needs to serve `FileStatus` entries
+    * without touching the filesystem), aggregating count + min/max per
+    * column.
     */
   def collect(spark: SparkSession, tableRoot: String, statCols: Seq[String]): DataFrame = {
     val df = spark.read.parquet(tableRoot)
@@ -39,8 +42,9 @@ object StatsCatalog {
       Seq(
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
-    } :+ count(lit(1)).as("num_rows")
-    df.groupBy(input_file_name().as("file_path"))
+    } ++ Seq(count(lit(1)).as("num_rows"),
+      first(col("_metadata.file_size")).as("file_size"))
+    df.groupBy(col("_metadata.file_path").as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
   }
 

@@ -135,18 +135,29 @@ object QueryService {
         val source = s.catalogPath match {
           case Some(cat) if !skipInject =>
             import graft.catalog.StatsCatalog
-            val fmt = java.time.format.DateTimeFormatter
-              .ofPattern("yyyy-MM-dd HH:mm:ss")
-              .withZone(java.time.ZoneOffset.UTC)
-            val preds = Seq(
-              StatsCatalog.Pred(s.timeCol, StatsCatalog.GtEq,
-                fmt.format(range.start.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))),
-              StatsCatalog.Pred(s.timeCol, StatsCatalog.Lt,
-                fmt.format(range.end.plusSeconds(1)
-                  .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))))
-            val files = StatsCatalog.pruneFiles(spark, cat, preds)
-            if (files.isEmpty) reader.parquet(s.path).filter(lit(false))
-            else reader.parquet(files: _*)
+            val catDf = spark.read.parquet(cat)
+            if (catDf.columns.contains("file_size")) {
+              // catalog-backed FileIndex: every pushed predicate (the
+              // injected window AND the user's own filters) prunes files
+              // inside the scan itself — no pre-computed path list
+              val schema = s.metaRoot
+                .flatMap(graft.catalog.StreamMeta.unionSchema(_, name))
+              graft.plans.StatsFileIndex.read(spark, catDf, schema)
+            } else {
+              // legacy catalogs (no file_size): driver-side path pruning
+              val fmt = java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss")
+                .withZone(java.time.ZoneOffset.UTC)
+              val preds = Seq(
+                StatsCatalog.Pred(s.timeCol, StatsCatalog.GtEq,
+                  fmt.format(range.start.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))),
+                StatsCatalog.Pred(s.timeCol, StatsCatalog.Lt,
+                  fmt.format(range.end.plusSeconds(1)
+                    .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))))
+              val files = StatsCatalog.pruneFiles(spark, cat, preds)
+              if (files.isEmpty) reader.parquet(s.path).filter(lit(false))
+              else reader.parquet(files: _*)
+            }
           case _ => reader.parquet(s.path)
         }
         val base = windowed(source)

@@ -1,0 +1,93 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.catalog.StatsCatalog
+
+class StatsFileIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // execute THIS queryExecution so metrics populate
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s.metrics("numFiles").value }
+      .getOrElse(-1L)
+  }
+
+  test("pushed filters prune files from the scan via catalog min/max") {
+    val dir = Files.createTempDirectory("sfi").toString
+    // three files with disjoint id ranges
+    Seq(0L until 10L, 100L until 110L, 200L until 210L).foreach { r =>
+      r.toDF("id").withColumn("v", col("id") * 2)
+        .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    }
+    StatsCatalog.refresh(spark, s"$dir/t", s"$dir/cat", Seq("id"))
+    val cat = spark.read.parquet(s"$dir/cat")
+    assert(cat.columns.contains("file_size"))
+
+    val table = StatsFileIndex.read(spark, cat)
+    // unfiltered: all three files, all rows
+    assert(table.count() == 30)
+
+    val filtered = table.filter(col("id") >= 150)
+    assert(filtered.count() == 10)
+    assert(scannedFiles(filtered) == 1) // only the 200-209 file opened
+
+    val mid = table.filter(col("id") >= 5 && col("id") < 105)
+    assert(mid.count() == 10) // 5..9 + 100..104 (residual filter exact)
+    assert(scannedFiles(mid) == 2)
+
+    val none = table.filter(col("id") > 1000)
+    assert(none.count() == 0)
+    assert(scannedFiles(none) == 0)
+  }
+
+  test("timestamp predicates prune correctly (literal format matches stats)") {
+    val dir = Files.createTempDirectory("sfits").toString
+    val base = 1700000000000L
+    Seq(0, 1).foreach { i =>
+      Seq.tabulate(5)(j => (i * 5 + j.toLong,
+          new java.sql.Timestamp(base + i * 3600_000L + j * 1000L)))
+        .toDF("id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    }
+    StatsCatalog.refresh(spark, s"$dir/t", s"$dir/cat", Seq("ts"))
+    val table = StatsFileIndex.read(spark, spark.read.parquet(s"$dir/cat"))
+    val firstHour = table.filter(
+      col("ts") < new java.sql.Timestamp(base + 1800_000L))
+    assert(firstHour.count() == 5)
+    assert(scannedFiles(firstHour) == 1)
+  }
+
+  test("unknown predicate shapes scan everything (conservative)") {
+    assert(StatsFileIndex.toPred(
+      ColumnBridgeHelper.expr(col("id") % 2 === 0)).isEmpty)
+  }
+
+  test("string stats compare lexicographically, numeric numerically") {
+    val f = StatsFileIndex.FileRow("f", 1L,
+      Map("s" -> (("apple", "mango")), "n" -> (("9", "40"))))
+    assert(StatsFileIndex.mayMatch(f,
+      Seq(StatsCatalog.Pred("s", StatsCatalog.GtEq, "kiwi"))))
+    assert(!StatsFileIndex.mayMatch(f,
+      Seq(StatsCatalog.Pred("s", StatsCatalog.Gt, "zebra"))))
+    // numeric: 9 <= 15 <= 40 must match (lexicographic "15" < "9" would
+    // wrongly prune)
+    assert(StatsFileIndex.mayMatch(f,
+      Seq(StatsCatalog.Pred("n", StatsCatalog.GtEq, "15"))))
+  }
+}
+
+private object ColumnBridgeHelper {
+  def expr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+}
