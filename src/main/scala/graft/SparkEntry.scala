@@ -464,6 +464,29 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // A9: explicit GROUPING SETS (arbitrary subset lattice, not just
+    // rollup/cube prefixes).
+    "q_grouping_sets" -> ((s, dir) => {
+      GraftSession.tune(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus),
+              |  (o_orderstatus, o_orderpriority), ())
+              |ORDER BY gid, o_orderstatus NULLS FIRST,
+              |  o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // A3+: numeric value histogram via width_bucket (fixed-range bins).
+    "q_numeric_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(width_bucket(col("value"), lit(0.0), lit(10.0), lit(20))
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
     // §2.7: set operations — UNION / INTERSECT / EXCEPT.
     "q_set_ops" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -881,6 +904,26 @@ object SparkEntry {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid ASC,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus),
+        |  (o_orderstatus, o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+
+    // width_bucket(v, 0, 10, 20): bin width 0.5 is an exact power of two,
+    // so floor(v*2)+1 reproduces Spark's floor((v-lo)/((hi-lo)/n))+1
+    // bit-for-bit (DuckDB has no width_bucket builtin).
+    "q_numeric_histogram" ->
+      """SELECT CASE WHEN value IS NULL THEN NULL
+        |            WHEN value < 0.0 THEN 0
+        |            WHEN value >= 10.0 THEN 21
+        |            ELSE CAST(floor(value * 2) + 1 AS BIGINT) END AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_set_ops" ->
       """SELECT c_custkey FROM (
