@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming counts/histogram — the incremental twin of
+  * [[graft.query.Counts.histogram]] (reference counts API,
+  * `src/query/mod.rs:659-687`): tumbling event-time windows with a
+  * watermark bounding state.
+  *
+  * State per key = one running count per (window, group) — watermark
+  * expiry drops windows older than `delayThreshold`, so state is
+  * O(groups × windows-in-watermark) regardless of stream length. Output
+  * mode governs semantics: `append` emits each window once when it
+  * finalizes (exactly the reference's histogram rows, incrementally);
+  * `update` re-emits running counts per trigger.
+  */
+object StreamingCounts {
+
+  /** Tumbling windowed counts over `timeCol` with optional group columns.
+    * Caller picks output mode at the sink; append requires the watermark.
+    */
+  def windowedCounts(events: DataFrame, timeCol: String, binSeconds: Long,
+                     delayThreshold: String = "10 minutes",
+                     groupCols: Seq[String] = Nil): DataFrame = {
+    val wm = events.withWatermark(timeCol, delayThreshold)
+    val win = window(col(timeCol), s"$binSeconds seconds")
+    val keys: Seq[Column] = win +: groupCols.map(col)
+    wm.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bin_count"))
+      .select((Seq(col("window.start").as("bin_start"),
+        col("window.end").as("bin_end")) ++
+        groupCols.map(col) :+ col("bin_count")): _*)
+  }
+}
