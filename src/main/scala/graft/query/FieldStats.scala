@@ -66,6 +66,36 @@ object FieldStats {
       .limit(TopN)
   }
 
+  /** Mergeable distinct-count sketches — the property the reference's HLL
+    * exists for: per-file (or per-day) sketches that union without rescans
+    * (`src/storage/field_stats.rs:89-90` p=12 HLL, merged at rollup time).
+    * Spark-first: DataSketches HLL via `hll_sketch_agg`, stored as binary
+    * next to each grouping; [[mergeSketches]] unions them and estimates.
+    * lgK=12 matches the reference's 4096 registers.
+    */
+  val LgK = 12
+
+  /** One sketch per group (e.g. per file, per day): (groupCols..., sketch). */
+  def sketchByGroup(df: DataFrame, field: String,
+                    groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(field).cast("string"), lit(LgK)).as("sketch"))
+
+  /** Union sketches (optionally re-grouped coarser) → distinct estimate.
+    * This is the rollup path: day sketches → month estimate with zero data
+    * rescan.
+    */
+  def mergeSketches(sketches: DataFrame,
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    val merged =
+      if (groupCols.isEmpty)
+        sketches.agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+      else sketches.groupBy(groupCols.map(col): _*)
+        .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+    merged.withColumn("distinct_estimate",
+      hll_sketch_estimate(col("sketch")).cast("long"))
+  }
+
   /** Persist stats in the reference's pstats row shape
     * (`src/storage/field_stats.rs:98-117`).
     */

@@ -47,4 +47,24 @@ class FieldStatsSpec extends SparkSuite {
     assert(names.contains("stream") && names.contains("field"))
     assert(p.filter(col("stream") === "events").count() > 0)
   }
+
+  test("HLL sketches merge without rescan: union estimate ≈ global distinct") {
+    import spark.implicits._
+    // two "days" with overlapping value sets: 0..999 and 500..1499
+    val days = spark.range(0, 2000).toDF("id")
+      .withColumn("day", when(col("id") < 1000, "d1").otherwise("d2"))
+      .withColumn("v", when(col("id") < 1000, col("id"))
+        .otherwise(col("id") - 500))
+    val sketches = FieldStats.sketchByGroup(days, "v", Seq("day"))
+    assert(sketches.count() == 2)
+    // per-day estimates ≈ 1000 each
+    val perDay = FieldStats.mergeSketches(sketches, Seq("day"))
+      .select("distinct_estimate").as[Long].collect()
+    assert(perDay.forall(e => math.abs(e - 1000) < 60))
+    // merged estimate ≈ 1500 true distinct (NOT 2000 — overlap collapses),
+    // proving set-union semantics rather than count addition
+    val merged = FieldStats.mergeSketches(sketches)
+      .select("distinct_estimate").as[Long].collect()(0)
+    assert(math.abs(merged - 1500) < 90)
+  }
 }
