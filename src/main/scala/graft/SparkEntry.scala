@@ -313,6 +313,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))),
 
+    // ML: the dedup end product — retained docs (cluster canonicals +
+    // singletons) after Jaccard near-dup clustering.
+    "q_dedup_keeplist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepList(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: MinHash+LSH near-dup pairs (band-bucket join + exact verify).
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -700,6 +710,32 @@ object SparkEntry {
          |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keeplist" ->
+      s"""WITH RECURSIVE ${dShingleCte.stripPrefix("WITH ")},
+         |szk AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz FROM sh),
+         |exk AS (SELECT doc_id, unnest(shh) AS s FROM sh),
+         |prk AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jpk AS (
+         |  SELECT id_a, id_b FROM prk
+         |  JOIN szk sa ON sa.doc_id = id_a
+         |  JOIN szk sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+         |ek AS (SELECT id_a AS a, id_b AS b FROM jpk
+         |       UNION SELECT id_b, id_a FROM jpk),
+         |reachk(id, r) AS (
+         |  SELECT a, a FROM ek
+         |  UNION
+         |  SELECT reachk.id, ek.b FROM reachk JOIN ek ON reachk.r = ek.a),
+         |dropk AS (
+         |  SELECT id AS doc_id FROM reachk GROUP BY id
+         |  HAVING id != min(r))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropk)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""$dShingleCte,

@@ -300,6 +300,18 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** The dedup pipeline's end product: the retained document set — cluster
+    * canonicals (minimum id per connected component) plus every document
+    * not in any near-dup pair. `pairs` as in [[clusters]]; `all` is the
+    * full corpus frame. One anti-join over the (tiny) non-canonical set.
+    */
+  def keepList(all: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    val dropIds = cl.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    all.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit j of the

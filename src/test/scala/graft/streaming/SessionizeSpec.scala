@@ -50,6 +50,44 @@ class SessionizeSpec extends SparkSuite {
     assert(st.isRemoved)
   }
 
+  test("streaming sessions equal the batch window formulation on real data") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val events = graft.engine.GraftSession
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        unix_millis(col("ts").cast("timestamp")).as("tsMillis"))
+      .as[Event].collect().sortBy(e => (e.tsMillis, e.eventId))
+    val input = MemoryStream[Event]
+    val q = Sessionize.sessions(input.toDS(), Gap)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    try {
+      // feed in two arbitrary chunks (cross-batch state must carry)
+      val (c1, c2) = events.splitAt(events.length / 2)
+      input.addData(c1.toIndexedSeq); q.processAllAvailable()
+      input.addData(c2.toIndexedSeq); q.processAllAvailable()
+      val closed = spark.table("sess_eq").as[Session].collect()
+        .map(s => (s.userId, s.sessStart, s.sessEnd, s.nEvents)).toSet
+
+      // batch twin: q_sessionize's window formulation; drop each user's
+      // LAST session (still open in the stream — never emitted)
+      val batch = graft.SparkEntry.queries("q_sessionize")(spark,
+        "/root/testdata/sf0.001")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("sess_n").desc)
+      val batchClosed = batch
+        .withColumn("rk", row_number().over(w)).filter(col("rk") > 1)
+        .select(col("user_id"),
+          unix_millis(col("sess_start").cast("timestamp")),
+          unix_millis(col("sess_end").cast("timestamp")), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(closed == batchClosed)
+      assert(closed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming end-to-end: sessions close across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
