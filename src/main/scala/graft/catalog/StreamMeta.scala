@@ -114,6 +114,31 @@ object StreamMeta {
 object RetentionJob {
 
   /** Delete date partitions strictly older than `days` before `today`.
+    * Returns the deleted partition names. When `txnCatalog` is given (and a
+    * Spark session to commit with), the deleted partitions' stats rows are
+    * dropped in ONE atomic catalog version after the file deletes — pinned
+    * readers keep their (pre-retention) file list, new readers never plan a
+    * scan over vanished files.
+    */
+  def apply(root: String, stream: String, days: Int,
+            today: java.time.LocalDate,
+            spark: org.apache.spark.sql.SparkSession,
+            txnCatalog: String): Seq[String] = {
+    val deleted = apply(root, stream, days, today)
+    if (deleted.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val cond = deleted
+        .map(d => col("file_path").contains(s"/$stream/$d/"))
+        .reduce(_ || _)
+      TxnCatalog.commit(spark, txnCatalog) { current =>
+        current.map(_.filter(!cond)).getOrElse(
+          spark.emptyDataFrame)
+      }
+    }
+    deleted
+  }
+
+  /** Delete date partitions strictly older than `days` before `today`.
     * Returns the deleted partition names.
     */
   def apply(root: String, stream: String, days: Int,

@@ -46,4 +46,22 @@ class StreamMetaSpec extends SparkSuite {
     val back = spark.read.parquet(s"$root/logs")
     assert(back.select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
+
+  test("retention drops deleted partitions' catalog rows atomically") {
+    val root = Files.createTempDirectory("retcat").toString
+    val cat = Files.createTempDirectory("retcat2").toString
+    val today = java.time.LocalDate.parse("2024-06-15")
+    Seq((1L, "2024-06-01"), (2L, "2024-06-14")).toDF("id", "date")
+      .write.partitionBy("date").parquet(s"$root/logs")
+    TxnCatalog.appendNewFiles(spark, s"$root/logs", cat, Seq("id"))
+    val v0 = TxnCatalog.latestVersion(cat).get
+
+    val deleted = RetentionJob(root, "logs", days = 7, today, spark, cat)
+    assert(deleted == Seq("date=2024-06-01"))
+    val paths = TxnCatalog.snapshot(spark, cat).get
+      .select("file_path").as[String].collect()
+    assert(paths.nonEmpty && paths.forall(!_.contains("date=2024-06-01")))
+    // pinned pre-retention version still lists both partitions
+    assert(TxnCatalog.snapshot(spark, cat, Some(v0)).get.count() == 2)
+  }
 }
