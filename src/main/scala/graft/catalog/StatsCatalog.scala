@@ -48,6 +48,22 @@ object StatsCatalog {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** As [[collect]] over an explicit file list (incremental refresh path —
+    * only the named files are scanned).
+    */
+  def collectFiles(spark: SparkSession, paths: Seq[String],
+                   statCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(paths: _*)
+    val aggs = statCols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    } ++ Seq(count(lit(1)).as("num_rows"),
+      first(col("_metadata.file_size")).as("file_size"))
+    df.groupBy(col("_metadata.file_path").as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Write/refresh the catalog table for a stream. */
   def refresh(spark: SparkSession, tableRoot: String, catalogPath: String,
       statCols: Seq[String]): Unit =

@@ -117,8 +117,10 @@ object TxnCatalog {
 
   /** Incremental stats refresh: compute [[StatsCatalog]] rows ONLY for data
     * files not yet in the catalog and append them as a new version. The full
-    * `StatsCatalog.refresh` rescans every file — O(table); this is O(new
-    * data), the only refresh economics that survive 100 TB.
+    * `StatsCatalog.refresh` rescans every file — O(table); this diffs the
+    * file listing against the catalog and runs the stats job over just the
+    * new paths — O(new data), the only refresh economics that survive
+    * 100 TB. (Catalog paths are `file:`-scheme URIs, as `_metadata` emits.)
     */
   def appendNewFiles(spark: SparkSession, tableRoot: String, root: String,
                      statCols: Seq[String]): Long =
@@ -126,13 +128,26 @@ object TxnCatalog {
       val known: Set[String] = current
         .map(_.select("file_path").collect().map(_.getString(0)).toSet)
         .getOrElse(Set.empty)
-      val all = StatsCatalog.collect(spark, tableRoot, statCols)
-      val fresh =
-        if (known.isEmpty) all
-        else all.filter(!col("file_path").isin(known.toSeq: _*))
-      current.map(_.unionByName(fresh, allowMissingColumns = true))
-        .getOrElse(fresh)
+      val onDisk = listParquet(Paths.get(tableRoot))
+      val fresh = onDisk.filterNot(p => known.contains(p))
+      val freshStats =
+        if (fresh.isEmpty)
+          current.getOrElse(
+            StatsCatalog.collect(spark, tableRoot, statCols).limit(0))
+            .limit(0)
+        else StatsCatalog.collectFiles(spark, fresh, statCols)
+      current.map(_.unionByName(freshStats, allowMissingColumns = true))
+        .getOrElse(freshStats)
     }
+
+  /** Recursive parquet listing as `file:`-scheme URIs (matching the
+    * `_metadata.file_path` format the stats rows carry).
+    */
+  private def listParquet(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.walk(dir).toArray.toSeq.map(_.asInstanceOf[Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toUri.toString.replaceFirst("^file:///", "file:/"))
 
   /** Rewrite the catalog after a compaction: drop rows for `removed` data
     * files and append stats for the replacement files — one atomic version.

@@ -108,7 +108,9 @@ object IngestStream {
     */
   def processBatch(raw: Dataset[String], cfg: StreamConfig,
                    registry: SchemaRegistry, root: String,
-                   format: String = "json"): Either[String, Long] = {
+                   format: String = "json",
+                   txnCatalog: Option[(String, Seq[String])] = None)
+      : Either[String, Long] = {
     val base = registry.get(cfg.name).getOrElse(new StructType())
     for {
       batchSchema <- inferBatchSchema(raw, cfg, base)
@@ -124,6 +126,12 @@ object IngestStream {
       // process (fresh registry) resumes with the full union schema
       graft.catalog.StreamMeta.save(root,
         graft.catalog.StreamMeta.fromConfig(cfg, Some(merged)))
+      // incremental catalog commit: stats for JUST this batch's new files
+      // (one atomic version per micro-batch, O(batch) not O(table))
+      txnCatalog.foreach { case (catRoot, statCols) =>
+        graft.catalog.TxnCatalog.appendNewFiles(
+          raw.sparkSession, s"$root/${cfg.name}", catRoot, statCols)
+      }
       val written = df.count()
       // the batch is already flushed to parquet above — subscribers get the
       // push, but the staging union must not re-count it

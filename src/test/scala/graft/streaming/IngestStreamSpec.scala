@@ -127,4 +127,23 @@ class IngestStreamSpec extends SparkSuite {
     unsub()
     LiveTail.clear("tail")
   }
+
+  test("each micro-batch commits an incremental catalog version") {
+    val root = tmp()
+    val cat = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("catted")
+    import graft.catalog.TxnCatalog
+    IngestStream.processBatch(Seq("""{"x":1}""").toDS(), cfg, registry, root,
+      txnCatalog = Some((cat, Seq("p_timestamp"))))
+    assert(TxnCatalog.latestVersion(cat).contains(0L))
+    val n0 = TxnCatalog.snapshot(spark, cat).get.count()
+    IngestStream.processBatch(Seq("""{"x":2}""").toDS(), cfg, registry, root,
+      txnCatalog = Some((cat, Seq("p_timestamp"))))
+    assert(TxnCatalog.latestVersion(cat).contains(1L))
+    val snap = TxnCatalog.snapshot(spark, cat).get
+    assert(snap.count() > n0)
+    assert(snap.select("file_path").distinct().count() == snap.count())
+    LiveTail.clear("catted")
+  }
 }
