@@ -91,6 +91,21 @@ object QueryService {
     */
   val StagingWindowMillis: Long = 5 * 60 * 1000L
 
+  /** [[query]] behind the RBAC gate (reference query flow step 5,
+    * `user_auth_for_datasets`): every stream the SQL references must be
+    * readable by `user`.
+    */
+  def authorizedQuery(
+      spark: SparkSession,
+      streams: Map[String, Stream],
+      sql: String,
+      range: TimeRange,
+      user: String): Either[String, DataFrame] = {
+    val referenced = referencedTables(spark, sql).filter(streams.contains)
+    Rbac.authorizeQuery(user, referenced)
+      .map(_ => query(spark, streams, sql, range))
+  }
+
   /** Execute `sql` with the time window injected into every referenced
     * stream. Non-stream tables (dims) pass through unfiltered. Queries
     * whose range reaches into the staging window also see the in-memory
