@@ -381,6 +381,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ML: group-wise embedding mean pooling — posexplode (narrow) then one
+    // balanced shuffle on (group, position). Float elements cast to
+    // DECIMAL(27,10) before summing: a binary float can never land exactly
+    // on a half-ulp of a 10^-10 grid (the tie denominator needs a 5^10
+    // factor), so the cast is rounding-mode-proof and the sums are exact.
+    "q_embed_meanpool" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("grp", col("vec_id") % 10)
+        .select(col("grp"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(
+          (sum(col("v").cast("double").cast("decimal(27,10)"))
+            .cast("double") / count(lit(1))).as("mean_v"),
+          count(lit(1)).as("n"))
+        .orderBy(col("grp"), col("pos"))),
+
     // J3: correlation API — validated two-stream equi-join config.
     "q_correlation" -> ((s, dir) => {
       import graft.query.Correlation._
@@ -872,6 +888,19 @@ object SparkEntry {
          |      ORDER BY bucket ASC, doc_id ASC) AS rk
          |  FROM b)
          |SELECT doc_id, lang FROM r WHERE rk <= 7 ORDER BY doc_id""".stripMargin,
+
+    "q_embed_meanpool" ->
+      """WITH e AS (
+        |  SELECT vec_id % 10 AS grp, embedding FROM embeddings),
+        |x AS (
+        |  SELECT grp, unnest(list_transform(embedding,
+        |    (v, i) -> struct_pack(pos := CAST(i - 1 AS INTEGER), v := v))) AS u
+        |  FROM e)
+        |SELECT grp, u.pos AS pos,
+        |  CAST(sum(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+        |    / count(*) AS mean_v,
+        |  count(*) AS n
+        |FROM x GROUP BY grp, u.pos ORDER BY grp, pos""".stripMargin,
 
     "q_correlation" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
