@@ -92,9 +92,19 @@ object StatsCatalog {
   /** As [[pruneFiles]] but keeps each surviving file's row count (for limit
     * truncation).
     */
+  /** Load a catalog from either layout: a plain parquet dir, or a
+    * [[TxnCatalog]] root (detected by `_commits/`) — in which case the
+    * latest committed snapshot is read.
+    */
+  def resolve(spark: SparkSession, catalogPath: String): DataFrame =
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(catalogPath, "_commits")))
+      TxnCatalog.snapshot(spark, catalogPath).getOrElse(spark.emptyDataFrame)
+    else spark.read.parquet(catalogPath)
+
   def pruneFileStats(spark: SparkSession, catalogPath: String,
                      preds: Seq[Pred]): Seq[(String, Long)] =
-    pruneFileStats(spark.read.parquet(catalogPath), preds)
+    pruneFileStats(resolve(spark, catalogPath), preds)
 
   /** As above over an already-loaded stats frame — e.g. a pinned
     * [[TxnCatalog]] snapshot (snapshot-isolated pruning).
@@ -163,7 +173,7 @@ object StatsCatalog {
     * `handle_count_query`).
     */
   def countStar(spark: SparkSession, catalogPath: String): Long =
-    countStar(spark, spark.read.parquet(catalogPath))
+    countStar(spark, resolve(spark, catalogPath))
 
   /** As above over a loaded stats frame (e.g. a pinned TxnCatalog snapshot). */
   def countStar(spark: SparkSession, cat: DataFrame): Long =

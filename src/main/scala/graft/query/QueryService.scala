@@ -150,7 +150,7 @@ object QueryService {
         val source = s.catalogPath match {
           case Some(cat) if !skipInject =>
             import graft.catalog.StatsCatalog
-            val catDf = spark.read.parquet(cat)
+            val catDf = StatsCatalog.resolve(spark, cat)
             if (catDf.columns.contains("file_size")) {
               // catalog-backed FileIndex: every pushed predicate (the
               // injected window AND the user's own filters) prunes files

@@ -94,6 +94,17 @@ class TxnCatalogSpec extends SparkSuite {
     assert(files == Set("big", "merged"))
   }
 
+  test("path-based catalog readers resolve the TxnCatalog layout") {
+    val root = tmp()
+    val table = tmp()
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$table/t")
+    TxnCatalog.appendNewFiles(spark, s"$table/t", root, Seq("id"))
+    assert(StatsCatalog.countStar(spark, root) == 2L)
+    assert(StatsCatalog.pruneFiles(spark, root,
+      Seq(StatsCatalog.Pred("id", StatsCatalog.GtEq, "0"))).nonEmpty)
+  }
+
   test("vacuum drops old versions, keeps the latest readable") {
     val root = tmp()
     (0 until 4).foreach { i =>
