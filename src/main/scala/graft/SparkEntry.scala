@@ -382,19 +382,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // ML: group-wise embedding mean pooling — posexplode (narrow) then one
-    // balanced shuffle on (group, position). Float elements cast to
-    // DECIMAL(27,10) before summing: a binary float can never land exactly
-    // on a half-ulp of a 10^-10 grid (the tie denominator needs a 5^10
-    // factor), so the cast is rounding-mode-proof and the sums are exact.
+    // balanced shuffle on (group, position). Fixed-point determinism:
+    // elements scale by 1e10 in DOUBLE (IEEE multiply, identical on every
+    // engine) and TRUNCATE to BIGINT — truncation has no rounding ties
+    // (engines disagree on decimal HALF_UP vs HALF_EVEN at dyadic values
+    // like 0.27392578125, which DO land on the 1e-10 half-grid). Integer
+    // sums are exact; one exact double division yields the mean.
     "q_embed_meanpool" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .withColumn("grp", col("vec_id") % 10)
         .select(col("grp"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("grp"), col("pos"))
-        .agg(
-          (sum(col("v").cast("double").cast("decimal(27,10)"))
-            .cast("double") / count(lit(1))).as("mean_v"),
+        .agg(sum((col("v").cast("double") * lit(1.0e10)).cast("long"))
+            .as("scaled"),
           count(lit(1)).as("n"))
+        .select(col("grp"), col("pos"),
+          (col("scaled").cast("double") / (lit(1.0e10) * col("n")))
+            .as("mean_v"),
+          col("n"))
         .orderBy(col("grp"), col("pos"))),
 
     // J3: correlation API — validated two-stream equi-join config.
@@ -897,8 +902,9 @@ object SparkEntry {
         |    (v, i) -> struct_pack(pos := CAST(i - 1 AS INTEGER), v := v))) AS u
         |  FROM e)
         |SELECT grp, u.pos AS pos,
-        |  CAST(sum(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
-        |    / count(*) AS mean_v,
+        |  CAST(sum(CAST(trunc(CAST(u.v AS DOUBLE) * 1e10) AS BIGINT))
+        |      AS DOUBLE)
+        |    / (1e10 * count(*)) AS mean_v,
         |  count(*) AS n
         |FROM x GROUP BY grp, u.pos ORDER BY grp, pos""".stripMargin,
 
