@@ -89,7 +89,7 @@ object Dedup {
     */
   private def explodedShingles(sets: DataFrame,
                                maxShingleFreq: Option[Long]): DataFrame = {
-    val ex = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val ex = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
     maxShingleFreq match {
       case None => ex
       case Some(f) =>
@@ -107,21 +107,21 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Option[Long] = None): DataFrame = {
-    // the shingle pipeline feeds both join sides + both size lookups:
-    // persist it once instead of recomputing the tokenize+hash 4×
-    // (MEMORY_AND_DISK — spills instead of OOM at scale; evicted by LRU)
+    // the shingle pipeline feeds both join sides: persist it once instead
+    // of recomputing the tokenize+hash per side (MEMORY_AND_DISK — spills
+    // instead of OOM at scale; evicted by LRU)
     val sets = shingleHashFrame(df, idCol, textCol, n, portableHash = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // set sizes ride along through the explode (one extra long per shuffle
+    // row) — grouping by them is free (functionally determined by the ids)
+    // and saves two whole set-side joins after the aggregation
     val ex = explodedShingles(sets, maxShingleFreq)
-    val a = ex.select(col("shingle"), col("id").as("id_a"))
-    val b = ex.select(col("shingle"), col("id").as("id_b"))
-    val inter = a.join(b, Seq("shingle"))
+    val a = ex.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = ex.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    val szA = sets.select(col("id").as("id_a"), col("sz").as("sz_a"))
-    val szB = sets.select(col("id").as("id_b"), col("sz").as("sz_b"))
-    inter.join(szA, "id_a").join(szB, "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")))
