@@ -293,6 +293,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: per-doc novelty — fraction of the doc's distinct bigrams that no
+    // other doc contains (contamination signal). Two shuffles: bigram
+    // document frequency, then regroup by doc; all-integer until one exact
+    // division.
+    "q_text_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bigrams = d.select(col("doc_id"),
+          explode(array_distinct(
+            TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2)))
+            .as("bg"))
+      val df_ = bigrams.groupBy(col("bg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      bigrams.join(df_, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          col("n_unique").cast("double") / col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: exact dedup — hash-groupBy on normalized content.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -1306,6 +1327,24 @@ object SparkEntry {
         |  + (length(scrubbed) - length(replace(scrubbed, '<NUM>', ''))) / 5
         |  AS BIGINT) AS pii_n
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS bg
+        |  FROM tk),
+        |f AS (SELECT bg, count(DISTINCT doc_id) AS df FROM bg GROUP BY bg)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novelty
+        |FROM bg b JOIN f USING (bg)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH tk AS (
