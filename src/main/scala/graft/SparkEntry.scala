@@ -395,6 +395,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ML: deterministic train/val/test split — append- and
+    // repartition-stable assignment from the id hash, no shuffle.
+    "q_sample_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split",
+          Sampling.splitColumn(col("doc_id"), valFrac = 0.1, testFrac = 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
+
     // ML: fixed-size per-group sample — k smallest id-hashes per language
     // (uniform without replacement, deterministic).
     "q_sample_pergroup" -> ((s, dir) =>
@@ -902,6 +912,19 @@ object SparkEntry {
          |  (CASE WHEN lang = 'en' THEN 0.5
          |        WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 1000000.0
          |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, CASE WHEN bucket < 100000 THEN 'val'
+         |                      WHEN bucket < 200000 THEN 'test'
+         |                      ELSE 'train' END AS split
+         |  FROM b)
+         |SELECT split, count(*) AS n, min(doc_id) AS min_id
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "q_sample_pergroup" ->
       s"""WITH b AS (

@@ -43,6 +43,18 @@ object Sampling {
       rateCol * Buckets.toDouble)
   }
 
+  /** Deterministic train/val/test assignment from the id hash: stable under
+    * appends and repartitioning (a row's split never flips), fractions in
+    * [0,1] with train = the remainder. One codegen'd CASE — no shuffle.
+    */
+  def splitColumn(idCol: Column, valFrac: Double, testFrac: Double,
+                  salt: String = ""): Column = {
+    val b = bucket(idCol, salt)
+    when(b < (valFrac * Buckets).toLong, "val")
+      .when(b < ((valFrac + testFrac) * Buckets).toLong, "test")
+      .otherwise("train")
+  }
+
   /** Exactly `k` rows per group (fewer if the group is smaller), chosen as
     * the k smallest hash values — a deterministic uniform-without-
     * replacement sample. One shuffle on the group key.

@@ -42,6 +42,23 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(byGrp("3") - 250.0) < 80)
   }
 
+  test("splitColumn partitions all rows, stable under append") {
+    val withSplit = ids.withColumn("split",
+      Sampling.splitColumn(col("id"), 0.1, 0.2))
+    val byName = withSplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == 2000)
+    assert(math.abs(byName("val") - 200.0) < 60)
+    assert(math.abs(byName("test") - 400.0) < 80)
+    // append stability: the first 1000 ids keep their assignment
+    val before = ids.filter(col("id") < 1000).withColumn("split",
+        Sampling.splitColumn(col("id"), 0.1, 0.2))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val after = withSplit.filter(col("id") < 1000)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(before == after)
+  }
+
   test("perGroupSample returns exactly k per group, deterministically") {
     val out = Sampling.perGroupSample(ids, "grp", "id", k = 5)
     val counts = out.groupBy("grp").count().collect().map(_.getLong(1))
