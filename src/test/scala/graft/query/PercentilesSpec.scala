@@ -1,0 +1,33 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class PercentilesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("exact discrete percentiles select the floor(p*(n-1)) element") {
+    val df = spark.range(0, 101).toDF("id")
+      .withColumn("g", lit("a"))
+      .withColumn("v", col("id").cast("double"))
+    val row = Percentiles.exact(df, "g", "v", "id", Seq(0.0, 0.5, 0.95, 1.0))
+      .collect()(0)
+    // n=101: ranks 0, 50, floor(0.95*100)=95, 100
+    assert(row.getDouble(row.fieldIndex("p0")) == 0.0)
+    assert(row.getDouble(row.fieldIndex("p50")) == 50.0)
+    assert(row.getDouble(row.fieldIndex("p95")) == 95.0)
+    assert(row.getDouble(row.fieldIndex("p100")) == 100.0)
+  }
+
+  test("grouped percentiles with ties broken by the tiebreak column") {
+    val df = Seq(
+      ("x", 1L, 5.0), ("x", 2L, 5.0), ("x", 3L, 1.0),
+      ("y", 4L, 9.0)).toDF("g", "id", "v")
+    val rows = Percentiles.exact(df, "g", "v", "id", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // x sorted: (1.0,3),(5.0,1),(5.0,2) → rank floor(0.5*2)=1 → 5.0 (id 1)
+    assert(rows("x") == 5.0)
+    assert(rows("y") == 9.0)
+  }
+}
