@@ -294,23 +294,32 @@ object SparkEntry {
     }),
 
     // ML: per-doc novelty — fraction of the doc's distinct bigrams that no
-    // other doc contains (contamination signal). Two shuffles: bigram
-    // document frequency, then regroup by doc; all-integer until one exact
-    // division.
+    // other doc contains (contamination signal). One narrow tokenize pass
+    // (persisted), two aggregations, one tiny per-doc join — no join back to
+    // the exploded frame and no collect_list on hot bigrams (skew-safe: a
+    // bigram appearing in every doc costs one counter, not a giant list).
+    // All-integer until one exact division.
     "q_text_novelty" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val bigrams = d.select(col("doc_id"),
           explode(array_distinct(
             TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2)))
             .as("bg"))
-      val df_ = bigrams.groupBy(col("bg"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      bigrams.join(df_, "bg")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perDoc = bigrams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"))
+      // (doc_id, bg) rows are distinct per doc, so df = count(*); a bigram
+      // with df=1 lives in exactly one doc, recoverable as min(doc_id)
+      val uniques = bigrams.groupBy(col("bg"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-        .withColumn("novelty",
-          col("n_unique").cast("double") / col("n_bigrams"))
+        .agg(count(lit(1)).as("n_unique"))
+      perDoc.join(uniques, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          (coalesce(col("n_unique"), lit(0L)).cast("double") /
+            col("n_bigrams")).as("novelty"))
         .orderBy(col("doc_id"))
     }),
 

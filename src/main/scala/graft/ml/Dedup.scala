@@ -264,11 +264,55 @@ object Dedup {
     * is the upgrade path; near-dup graphs never look like that.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20,
+               driverMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // the union references `pairs` twice — persist it or the (potentially
-    // expensive) pair-producing pipeline executes once per branch
+    // the pair pipeline is referenced more than once (count + either path) —
+    // persist it or the (potentially expensive) producer re-executes
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // Hybrid: the near-dup PAIR set is orders of magnitude smaller than the
+    // corpus — on most real runs it fits on the driver even when the corpus
+    // is 100 TB. Below `driverMaxEdges` (2M edges ≈ 32 MB heap) a single
+    // union-find pass replaces 2-3 distributed label-propagation rounds
+    // (each a join + groupBy job); above it, the distributed path takes
+    // over with identical semantics.
+    val nEdges = p.count()
+    if (nEdges <= driverMaxEdges) clustersLocal(p, idA, idB)
+    else clustersDistributed(p, idA, idB, maxIters)
+  }
+
+  /** Driver-side union-find over a bounded edge list. Union-by-min keeps
+    * every root the minimum id of its tree, so the final root IS the
+    * component's minimum label — same output as the distributed path.
+    */
+  private def clustersLocal(p: DataFrame, idA: String, idB: String): DataFrame = {
+    val spark = p.sparkSession
+    val edges = p.select(col(idA).cast("long"), col(idB).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    p.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var root = x0
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var y = x0 // path compression
+      while (parent.getOrElse(y, y) != root) { val n = parent(y); parent(y) = root; y = n }
+      root
+    }
+    val verts = scala.collection.mutable.LinkedHashSet.empty[Long]
+    edges.foreach { case (a, b) =>
+      verts += a; verts += b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    verts.toSeq.map(v => (v, find(v))).toDF("id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation (see [[clusters]] Scaladoc). */
+  private def clustersDistributed(pairs: DataFrame, idA: String, idB: String,
+                                  maxIters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs
     val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
       .union(p.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -89,4 +89,16 @@ class DedupSpec extends SparkSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.clusters(empty).collect().isEmpty)
   }
+
+  test("clusters: distributed path matches driver union-find path") {
+    import spark.implicits._
+    // mixed shapes: a chain, a clique edge set, singleton pairs
+    val pairs = (Seq((2L, 1L), (3L, 2L), (9L, 3L), (5L, 7L), (10L, 11L)) ++
+      (0L until 7L).map(i => (i + 20L, i + 21L))).toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = m(Dedup.clusters(pairs))
+    val dist = m(Dedup.clusters(pairs, driverMaxEdges = -1L))
+    assert(local == dist)
+  }
 }
