@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
-import graft.query.{Alerts, Counts, LogContext, FieldStats, Percentiles, Traces}
-import graft.ml.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.query.{Alerts, Counts, LogContext, FieldStats, Percentiles, TimeSeries, Traces}
+import graft.ml.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextRank}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -668,6 +668,99 @@ object SparkEntry {
           aggregate(col("features"), lit(0.0), _ + _).as("feat_sum"))
         .orderBy(col("media_id"))
     }),
+
+    // A3+: dense time series — hourly error spikes with empty bins
+    // zero-filled from a sequence() grid (bounded by range, not volume).
+    "q_counts_gapfill" -> ((s, dir) =>
+      TimeSeries.gapfill(
+          t(s, dir, "events")
+            .filter(col("event_type") === "error" && col("value") > 200.0),
+          "ts", 3600L * 1000)
+        .orderBy(col("bin_start"))),
+
+    // Counter rate per series (PromQL-style reset handling), one window
+    // pass partitioned by the series key.
+    "q_metric_rate" -> ((s, dir) =>
+      TimeSeries.rate(
+          t(s, dir, "events").filter(col("event_type") === "view"),
+          Seq("user_id"), "ts", "value", tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("delta"), col("rate_per_sec"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // Statistical anomaly flags: per-type z-score over integer-quantized
+    // values (exact moments, fixed IEEE expression tree), outliers only.
+    "q_anomaly_zscore" -> ((s, dir) =>
+      TimeSeries.zscore(t(s, dir, "events"), "event_type",
+          floor(col("value") * 100).cast("long"), threshold = 2.5)
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("vq"), col("z"))
+        .orderBy(col("event_id"))),
+
+    // ML: top-3 TF-IDF keywords per document (integer micro-scores).
+    "q_text_tfidf" -> ((s, dir) =>
+      TextRank.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    // ML: BM25 query scoring over the corpus, top-20 docs.
+    "q_text_bm25" -> ((s, dir) =>
+      TextRank.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+          Seq("stream", "join", "filter"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)),
+
+    // A9: pivot — event counts per user cohort, one column per type.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("cohort"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy(col("cohort"))),
+
+    // A9: unpivot — wide lineitem measures to (key, measure, val) rows.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))),
+
+    // W3: NTILE quartile assignment per group (total order via tiebreak).
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ML: benchmark decontamination — training docs sharing ≥2 distinct
+    // 4-grams with a held-out benchmark doc (raw n-gram join, hash-free).
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contamination(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4, minShared = 2L)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
+    // ML: blocked edit-distance near-dup pairs (record-linkage blocking,
+    // Levenshtein within block only).
+    "q_dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          blockCols = Seq("lang"), blockLen = 8, compareLen = 80,
+          maxDist = 20)
+        .orderBy(col("id_a"), col("id_b"))),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1400,5 +1493,170 @@ object SparkEntry {
         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_counts_gapfill" ->
+      """WITH c AS (
+        |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000)
+        |      AS bin_start,
+        |    count(*) AS n
+        |  FROM events WHERE event_type = 'error' AND value > 200
+        |  GROUP BY 1),
+        |bounds AS (SELECT min(bin_start) lo, max(bin_start) hi FROM c),
+        |grid AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin_start
+        |  FROM bounds)
+        |SELECT g.bin_start, CAST(COALESCE(c.n, 0) AS BIGINT) AS bin_count
+        |FROM grid g LEFT JOIN c USING (bin_start)
+        |ORDER BY g.bin_start""".stripMargin,
+
+    "q_metric_rate" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view'),
+        |r AS (
+        |  SELECT event_id, user_id, value,
+        |    lag(value) OVER w AS prev_v,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER w) AS dt_us
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN value < prev_v THEN value ELSE value - prev_v END AS delta,
+        |  CASE WHEN CAST(dt_us AS DOUBLE) / 1000000.0 > 0.0 THEN
+        |    (CASE WHEN value < prev_v THEN value ELSE value - prev_v END)
+        |      / (CAST(dt_us AS DOUBLE) / 1000000.0) END AS rate_per_sec
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(vq) AS s, sum(vq * vq) AS ss
+        |  FROM q GROUP BY 1)
+        |SELECT event_id, event_type, vq,
+        |  (CAST(vq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+        |          (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |         CAST(n - 1 AS DOUBLE)) AS z
+        |FROM q JOIN st USING (event_type)
+        |WHERE abs((CAST(vq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+        |          (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |         CAST(n - 1 AS DOUBLE))) > 2.5
+        |ORDER BY event_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(floor(CAST(tf AS DOUBLE) *
+        |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score_micro, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, term ASC) AS rk FROM sc)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_text_bm25" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS contrib
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'stream' THEN contrib END) AS c1,
+         |    max(CASE WHEN term = 'join' THEN contrib END) AS c2,
+         |    max(CASE WHEN term = 'filter' THEN contrib END) AS c3
+         |  FROM per GROUP BY 1)
+         |SELECT doc_id, CAST(floor(
+         |    (COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+         |    * 1000000.0) AS BIGINT) AS score_micro
+         |FROM piv ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    l_discount
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |    l_quantity AS val FROM l
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM l
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM l)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT event_id, event_type,
+        |  ntile(4) OVER (PARTITION BY event_type
+        |                 ORDER BY value ASC, event_id ASC) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])))
+        |    AS ngram
+        |  FROM tk),
+        |b AS (SELECT doc_id AS bench_id, ngram FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id AS train_id, ngram FROM sh WHERE doc_id % 20 != 0)
+        |SELECT train_id, bench_id, count(*) AS shared_ngrams
+        |FROM tr JOIN b USING (ngram)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY train_id, bench_id""".stripMargin,
+
+    "q_dedup_editdist" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 80)
+        |      AS nt
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND substr(a.nt, 1, 8) = substr(b.nt, 1, 8)
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.nt, b.nt) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1,0 +1,105 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-weighting / ranking over a document corpus: TF-IDF keyword
+  * extraction and BM25 query scoring — the retrieval half of a
+  * training-data pipeline (keyword features, corpus search, query-based
+  * filtering).
+  *
+  * Scale design (100 TB): both operators are explode → hash-aggregate
+  * pipelines. Term statistics (`df`, corpus size, average doc length) are
+  * tiny aggregates broadcast back to the big exploded frame; the corpus
+  * itself is shuffled only by `(doc, term)` for the tf counts. No window
+  * over the whole corpus: the per-doc top-k uses a partial top-k-friendly
+  * `row_number` bounded per doc key.
+  *
+  * Float determinism: scores end as `floor(score · 10⁶)` BIGINT
+  * micro-scores. Every input to the score is an exact integer (tf, df, N,
+  * doc length) and the expression tree is fixed, so engines agree to the
+  * last bit except for `ln` (correctly rounded in glibc, ≤1 ulp in the
+  * JVM); the 10⁻⁶ truncation grid makes a last-ulp discrepancy harmless
+  * unless a score lands within ~10⁻¹⁰ relative of a grid line — the
+  * strict oracle gate checks exactly this.
+  */
+object TextRank {
+
+  /** Per-(doc, term) frequency over whitespace tokens. */
+  def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k TF-IDF terms per document: `score = tf · ln(N / df)`, emitted as
+    * an exact `score_micro` BIGINT plus its (tf, df) inputs. Ties (and
+    * everything else) break on ascending term.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double"))
+    val scored = tf
+      .join(dfreq, "term") // broadcast-eligible: |vocab| rows
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        floor(score * lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rk"))
+  }
+
+  /** BM25 scores for a fixed bag of query terms (k1 = 1.2, b = 0.75):
+    *
+    * score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+    *            tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * The per-term contributions are pivoted into fixed columns and added in
+    * a FIXED left-to-right order (a grouped double sum would be
+    * order-nondeterministic). Docs matching no term are omitted. Returns
+    * `(doc_id, score_micro)`, `floor(score·10⁶)`.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val consts = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val perTerm = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(consts))
+      .withColumn("contrib", idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom)
+    val termCols = queryTerms.map(t =>
+      max(when(col("term") === t, col("contrib"))).as(s"c_$t"))
+    val pivoted = perTerm.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val total = queryTerms
+      .map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _) // left-to-right: fixed IEEE evaluation order
+    pivoted.select(col("doc_id"),
+      floor(total * lit(1000000.0)).cast("long").as("score_micro"))
+  }
+}

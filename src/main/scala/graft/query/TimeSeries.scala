@@ -1,0 +1,94 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over event streams: gap-filled histograms, counter
+  * rates, and statistical anomaly flags — the standard observability
+  * follow-ups to the reference's counts API (its UI zero-fills missing bins
+  * client-side; here the engine produces the dense series).
+  *
+  * Scale design (100 TB):
+  *   - [[gapfill]] materializes only `range / bin` grid rows — independent of
+  *     input row count; the heavy input is touched once by the aggregation.
+  *   - [[rate]] is one window pass partitioned by series key: each series
+  *     sorts locally within its hash partition, no global sort.
+  *   - [[zscore]] computes per-group moments with map-side partial
+  *     aggregation and broadcasts the (tiny) stats frame back — the big
+  *     input is scanned twice but never shuffled in full.
+  *
+  * Float determinism (oracle-proof): every derived statistic is built from
+  * exact integer counts/sums with a FIXED IEEE expression tree (each single
+  * +,-,*,/ and sqrt is exactly specified by IEEE 754, so any engine that
+  * evaluates the same tree over the same operands produces bit-identical
+  * doubles). Only multi-term float summation is order-dependent, and none
+  * of these operators ever sums raw doubles across rows.
+  */
+object TimeSeries {
+
+  /** Dense (zero-filled) time-binned counts: every `binMillis`-wide bin
+    * between the first and last non-empty bin appears, empty bins with
+    * `bin_count = 0`.
+    *
+    * The grid is generated from one `sequence()` over the min/max bin of the
+    * aggregated frame and left-joined back — bounded by the time range, not
+    * the data volume. Empty input yields an empty result (null bounds →
+    * null sequence → no rows).
+    */
+  def gapfill(df: DataFrame, timeCol: String, binMillis: Long): DataFrame = {
+    val binned = Counts.histogram(df, timeCol, binMillis)
+    val grid = binned
+      .agg(min(col("bin_start")).as("lo"), max(col("bin_start")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        make_dt_interval(lit(0), lit(0), lit(0), lit(binMillis / 1000.0))))
+        .as("bin_start"))
+    grid.join(binned, Seq("bin_start"), "left")
+      .select(col("bin_start"),
+        coalesce(col("bin_count"), lit(0L)).as("bin_count"))
+  }
+
+  /** Per-series counter rate between consecutive samples, with monotonic
+    * counter reset handling (value < previous ⇒ the counter restarted, so
+    * the delta is the new raw value — the PromQL `rate`/`increase`
+    * convention).
+    *
+    * Output adds `delta` and `rate_per_sec` (null on each series' first
+    * sample, and on zero/negative time gaps). One window pass; `tieBreak`
+    * makes the order total for equal timestamps.
+    */
+  def rate(df: DataFrame, seriesCols: Seq[String], timeCol: String,
+           valueCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieBreak).asc)
+    val us = unix_micros(col(timeCol).cast("timestamp"))
+    val prevV = lag(col(valueCol), 1).over(w)
+    val dtSec = (us - lag(us, 1).over(w)).cast("double") / lit(1000000.0)
+    val delta = when(col(valueCol) < prevV, col(valueCol))
+      .otherwise(col(valueCol) - prevV)
+    df.withColumn("delta", delta)
+      .withColumn("rate_per_sec", when(dtSec > 0.0, col("delta") / dtSec))
+  }
+
+  /** Per-group z-score outlier flags over an integer-quantized measure.
+    *
+    * `quantized` must be an integral column (quantize doubles with
+    * `floor(x * scale)` — exact BIGINT sums, no fp-order drift). Sample
+    * statistics derive from (n, Σv, Σv²) via a fixed expression tree; rows
+    * with `|z| > threshold` are flagged.
+    */
+  def zscore(df: DataFrame, groupCol: String, quantized: Column,
+             threshold: Double): DataFrame = {
+    val q = df.withColumn("vq", quantized.cast("long"))
+    val stats = q.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_"), sum(col("vq")).as("s_"),
+        sum(col("vq") * col("vq")).as("ss_"))
+    val mean = col("s_").cast("double") / col("n_").cast("double")
+    val variance = (col("ss_").cast("double") - col("s_").cast("double") * mean) /
+      (col("n_") - 1).cast("double")
+    val z = (col("vq").cast("double") - mean) / sqrt(variance)
+    q.join(broadcast(stats), groupCol)
+      .withColumn("z", z)
+      .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
+  }
+}

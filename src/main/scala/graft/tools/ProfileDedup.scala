@@ -33,6 +33,24 @@ object ProfileDedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     time("pair join+agg count")(inter.count())
+    val interSH = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    time("pair join+agg (shuffle_hash)")(interSH.count())
+    // single-shuffle alternative: group by shingle, expand ordered pairs
+    // in-group with higher-order functions, regroup by pair
+    val grouped = ex.groupBy(col("shingle"))
+      .agg(collect_list(col("id")).as("ids"))
+    val pairsG = grouped
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    time("pair grouped-expand count")(pairsG.count())
+    time("pair grouped-expand (2nd)")(pairsG.count())
     time("full jaccardPairs")(
       Dedup.jaccardPairs(docs, "doc_id", "text").count())
     time("full jaccardPairsPrefix")(

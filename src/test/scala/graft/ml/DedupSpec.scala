@@ -90,6 +90,37 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.clusters(empty).collect().isEmpty)
   }
 
+  test("contamination finds train docs overlapping benchmark n-grams") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, "a quick brown fox jumps over my fence"), // shares 2 distinct 4-grams
+      (2L, "completely unrelated text about databases here"),
+      (3L, "the quick brown fox jumps over the lazy dog today")) // near copy
+      .toDF("id", "text")
+    val out = Dedup.contamination(train, bench, "id", "text",
+        n = 4, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.map(_._1).toSet == Set(1L, 3L))
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(byId(3L) > byId(1L)) // the near copy shares far more n-grams
+  }
+
+  test("editDistancePairs: blocked comparison finds near-identical texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", "the quick brown cat"),   // same block, dist 3
+      (3L, "en", "a different opening"),   // different block
+      (4L, "de", "the quick brown fox"))   // same text, different lang block
+      .toDF("id", "lang", "text")
+    val out = Dedup.editDistancePairs(docs, "id", "text", Seq("lang"),
+        blockLen = 8, compareLen = 80, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("clusters: distributed path matches driver union-find path") {
     import spark.implicits._
     // mixed shapes: a chain, a clique edge set, singleton pairs

@@ -1,0 +1,56 @@
+package graft.ml
+
+import graft.SparkSuite
+
+class TextRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark spark streams"),
+    (2L, "spark joins"),
+    (3L, "streams and windows and state"),
+    (4L, "windows windows windows")).toDF("doc_id", "text")
+
+  test("tfidf: corpus-wide terms score zero, rare repeated terms score high") {
+    val out = TextRank.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    val d4 = out.filter(_._1 == 4L)
+    // 'windows' tf=3 df=2 → 3·ln(2) ≈ 2.079; top term of doc 4
+    assert(d4.head._2 == "windows")
+    assert(d4.head._3 == math.floor(3.0 * math.log(2.0) * 1e6).toLong)
+    // a term present in every doc would have ln(1)=0; here every doc's
+    // top-1 score is positive since no term spans all 4 docs
+    assert(out.groupBy(_._1).values.forall(_.head._3 > 0))
+  }
+
+  test("tfidf: rank is dense per doc and capped at k") {
+    val out = TextRank.tfidfTopK(docs, "doc_id", "text", k = 2).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(rs =>
+      rs.map(_.getLong(5)).sorted.sameElements(1L to rs.length.toLong)))
+    assert(byDoc.values.forall(_.length <= 2))
+  }
+
+  test("bm25: docs with the query term rank above docs without it") {
+    val out = TextRank.bm25Scores(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // only docs 1 and 2 contain 'spark'
+    assert(out.keySet == Set(1L, 2L))
+    // doc 2 is shorter (dl=2 vs 3) with tf=1 vs tf=2: tf wins here
+    assert(out(1L) > out(2L))
+    assert(out.values.forall(_ > 0L))
+  }
+
+  test("bm25: multi-term scores add per-term contributions") {
+    val single = TextRank.bm25Scores(docs, "doc_id", "text", Seq("streams"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val multi = TextRank.bm25Scores(docs, "doc_id", "text",
+      Seq("streams", "windows")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 3 has both terms: its multi-term score exceeds its single-term one
+    assert(multi(3L) > single(3L))
+    // doc 1 has only 'streams': identical contribution either way (same
+    // floor grid since the other term adds exactly 0.0)
+    assert(multi(1L) == single(1L))
+  }
+}

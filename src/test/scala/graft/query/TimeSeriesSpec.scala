@@ -1,0 +1,57 @@
+package graft.query
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapfill densifies missing bins with zero counts") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:50:00")),
+      (3L, ts("2024-01-01 03:05:00"))) // hours 1 and 2 empty
+      .toDF("id", "ts")
+    val out = TimeSeries.gapfill(df, "ts", 3600L * 1000)
+      .orderBy("bin_start").collect()
+    assert(out.length == 4) // 00:00 .. 03:00
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 1L))
+  }
+
+  test("gapfill on empty input returns no rows") {
+    val df = Seq.empty[(Long, Timestamp)].toDF("id", "ts")
+    assert(TimeSeries.gapfill(df, "ts", 60000L).collect().isEmpty)
+  }
+
+  test("rate handles deltas, counter resets, and first-sample nulls") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00"), 10.0),
+      ("a", 2L, ts("2024-01-01 00:00:10"), 25.0), // +15 over 10 s
+      ("a", 3L, ts("2024-01-01 00:00:20"), 5.0),  // reset: delta = 5
+      ("b", 4L, ts("2024-01-01 00:00:00"), 7.0))
+      .toDF("series", "id", "ts", "v")
+    val out = TimeSeries.rate(df, Seq("series"), "ts", "v", "id")
+      .orderBy("series", "id").collect()
+    assert(out(0).isNullAt(4) && out(0).isNullAt(5)) // first of series a
+    assert(out(1).getDouble(4) == 15.0 && out(1).getDouble(5) == 1.5)
+    assert(out(2).getDouble(4) == 5.0 && out(2).getDouble(5) == 0.5)
+    assert(out(3).isNullAt(4)) // only sample of series b
+  }
+
+  test("zscore flags the outlier and derives exact moments") {
+    // group g: nine 10s and one 100 — the 100 is the outlier
+    val df = ((1 to 9).map(i => (i.toLong, "g", 10.0)) :+ (10L, "g", 100.0))
+      .toDF("id", "grp", "v")
+    val out = TimeSeries.zscore(df, "grp", floor(col("v")).cast("long"), 2.0)
+      .filter(col("is_anomaly")).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(10L))
+    // z of the outlier: mean 19, var = (9*81 + 81*81)/9 = 810, sd = 28.46
+    val z = out.head.getAs[Double]("z")
+    assert(math.abs(z - (100.0 - 19.0) / math.sqrt(810.0)) < 1e-12)
+  }
+}
