@@ -140,6 +140,60 @@ object TxnCatalog {
         .getOrElse(freshStats)
     }
 
+  /** [[appendNewFiles]] with partition-watermark discovery: instead of
+    * walking the whole table to diff against the catalog, only partition
+    * directories lexically ≥ the highest partition already cataloged are
+    * listed — O(new partitions + files in the newest partition), not
+    * O(table). With date-encoded partition names (`date=YYYY-MM-DD/…`, the
+    * ingest layout) lexical order IS time order.
+    *
+    * Assumes partitions arrive in non-decreasing order (true for the
+    * arrival-time-derived ingest path). For out-of-order backfill into old
+    * partitions use [[appendNewFiles]] — its full diff is the safe path.
+    */
+  def appendNewFilesWatermarked(spark: SparkSession, tableRoot: String,
+                                root: String, statCols: Seq[String]): Long =
+    commit(spark, root) { current =>
+      val tableUri = Paths.get(tableRoot).toUri.toString
+        .replaceFirst("^file:///", "file:/")
+      // top-level partition of a cataloged file = first path segment under
+      // the table root ("" for unpartitioned files)
+      def partOf(uri: String): String = {
+        val rel = uri.stripPrefix(tableUri).stripPrefix("/")
+        val slash = rel.indexOf('/')
+        if (slash < 0) "" else rel.substring(0, slash)
+      }
+      val watermark: Option[String] = current.flatMap { c =>
+        val parts = c.select("file_path").collect()
+          .map(r => partOf(r.getString(0)))
+        if (parts.isEmpty) None else Some(parts.max)
+      }
+      val fresh = watermark match {
+        case None => listParquet(Paths.get(tableRoot)) // empty catalog: full list
+        case Some(wm) =>
+          // only the known files of the single watermark partition are
+          // needed for the diff — not the whole catalog's path set
+          val knownInWm: Set[String] = current
+            .map(_.select("file_path").collect().map(_.getString(0))
+              .filter(p => partOf(p) == wm).toSet)
+            .getOrElse(Set.empty)
+          val dirs = Files.list(Paths.get(tableRoot)).toArray.toSeq
+            .map(_.asInstanceOf[Path])
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString >= wm)
+          dirs.flatMap(d => listParquet(d))
+            .filterNot(p => partOf(p) < wm || knownInWm.contains(p))
+      }
+      val freshStats =
+        if (fresh.isEmpty)
+          current.getOrElse(
+            StatsCatalog.collect(spark, tableRoot, statCols).limit(0))
+            .limit(0)
+        else StatsCatalog.collectFiles(spark, fresh, statCols)
+      current.map(_.unionByName(freshStats, allowMissingColumns = true))
+        .getOrElse(freshStats)
+    }
+
   /** Recursive parquet listing as `file:`-scheme URIs (matching the
     * `_metadata.file_path` format the stats rows carry).
     */

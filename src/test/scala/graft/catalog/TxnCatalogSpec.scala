@@ -81,6 +81,38 @@ class TxnCatalogSpec extends SparkSuite {
     assert(spark.read.parquet(keep.map(_._1): _*).count() == 1)
   }
 
+  test("appendNewFilesWatermarked: discovers new partitions and new files " +
+       "in the watermark partition, matches the full-diff result") {
+    val root = tmp()
+    val rootFull = tmp()
+    val table = tmp()
+    // bootstrap: two date partitions
+    Seq((1L, 1.0)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$table/t/date=2024-01-01")
+    Seq((2L, 2.0)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$table/t/date=2024-01-02")
+    TxnCatalog.appendNewFilesWatermarked(spark, s"$table/t", root, Seq("id"))
+    val n0 = TxnCatalog.snapshot(spark, root).get.count()
+    assert(n0 >= 2)
+
+    // late file into the watermark partition + a brand-new partition
+    Seq((3L, 3.0)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$table/t/date=2024-01-02")
+    Seq((4L, 4.0)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$table/t/date=2024-01-03")
+    TxnCatalog.appendNewFilesWatermarked(spark, s"$table/t", root, Seq("id"))
+
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.count() == n0 + 2)
+    assert(snap.select("file_path").distinct().count() == snap.count())
+    // same catalog contents as the O(table) full diff
+    TxnCatalog.appendNewFiles(spark, s"$table/t", rootFull, Seq("id"))
+    val full = TxnCatalog.snapshot(spark, rootFull).get
+      .select("file_path").as[String].collect().toSet
+    val wm = snap.select("file_path").as[String].collect().toSet
+    assert(wm == full)
+  }
+
   test("replaceFiles swaps compacted files in one version") {
     val root = tmp()
     TxnCatalog.commit(spark, root)(_ =>
