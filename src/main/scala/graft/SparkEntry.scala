@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
-import graft.query.{Alerts, Counts, LogContext, FieldStats, Percentiles, TimeSeries, Traces}
+import graft.query.{Alerts, Analytics, Counts, LogContext, FieldStats, Percentiles, TimeSeries, Traces}
 import graft.ml.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextRank}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -761,6 +761,39 @@ object SparkEntry {
           blockCols = Seq("lang"), blockLen = 8, compareLen = 80,
           maxDist = 20)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Product analytics: ordered view→click→purchase funnel — per-user
+    // first-completion times (cascade of filtered min-aggregations).
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(t(s, dir, "events"), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .orderBy(col("user_id"))),
+
+    // Product analytics: weekly cohort retention (signup cohort × weeks
+    // since, distinct active users).
+    "q_retention_cohort" -> ((s, dir) =>
+      Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts",
+          col("event_type") === "signup")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // Forward fill (LOCF): carry each user's last purchase value forward
+    // across their event history.
+    "q_fill_forward" -> ((s, dir) =>
+      TimeSeries.forwardFill(
+          t(s, dir, "events").withColumn("pv",
+            when(col("event_type") === "purchase", col("value"))),
+          Seq("user_id"), "ts", "pv", tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // Sliding-window aggregates: trailing 1 h count and exact quantized
+    // sum per user (RANGE frame on epoch millis).
+    "q_window_rolling" -> ((s, dir) =>
+      TimeSeries.rolling(t(s, dir, "events"), Seq("user_id"), "ts",
+          floor(col("value") * 100).cast("long"), 3600L * 1000)
+        .select(col("event_id"), col("user_id"), col("w_count"), col("w_sum"))
+        .orderBy(col("user_id"), col("event_id"))),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1658,5 +1691,51 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.nt, b.nt) <= 20
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, t_1, min(e.ts) AS t_2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t_1 GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, t_1, t_2, min(e.ts) AS t_3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t_2 GROUP BY 1, 2, 3)
+        |SELECT user_id, t_1, t_2, t_3 FROM s3 ORDER BY user_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |su2 AS (SELECT user_id, t0, date_trunc('week', t0) AS cohort_week
+        |        FROM su)
+        |SELECT cohort_week,
+        |  CAST((epoch_ms(e.ts) - epoch_ms(cohort_week)) // 604800000 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN su2 USING (user_id)
+        |WHERE e.ts >= t0
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS w_count,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS w_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

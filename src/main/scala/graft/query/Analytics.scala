@@ -1,0 +1,74 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over event streams: ordered funnels and
+  * cohort retention — the two standard roll-ups a log store is asked for
+  * once events carry user ids.
+  *
+  * Scale design (100 TB): both operators reduce the raw event stream to
+  * per-user aggregates FIRST (shuffle key = user, map-side partial
+  * aggregation), then join per-user frames — each join input is bounded by
+  * the user count, not the event count. No collect_list of raw events, no
+  * window over the full stream.
+  */
+object Analytics {
+
+  /** Ordered funnel: per-user first-completion time of each step, where
+    * step k must happen strictly after step k-1. Users appear iff they
+    * completed the whole funnel; columns are `t_1 .. t_n` in step order.
+    *
+    * Cascade of filtered min-aggregations: step k's candidate events join
+    * the (user, t_{k-1}) frame and keep `ts > t_{k-1}`. Each round shuffles
+    * only the step's filtered events plus a users-sized frame.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty)
+    val u = col(userCol)
+    val first = events.filter(steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t_1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (cond, i)) =>
+      val k = i + 2
+      events.filter(cond)
+        .join(acc, userCol)
+        .filter(col(tsCol) > col(s"t_${k - 1}"))
+        .groupBy(u +: (1 until k).map(j => col(s"t_$j")): _*)
+        .agg(min(col(tsCol)).as(s"t_$k"))
+    }
+  }
+
+  /** Per-step completion counts for the funnel (step 1 count ≥ step 2 ≥ …):
+    * `(step, users)` — the conversion chart.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+                   steps: Seq[Column]): DataFrame = {
+    val frames = (1 to steps.length).map { k =>
+      funnel(events, userCol, tsCol, steps.take(k))
+        .agg(count(lit(1)).as("users"))
+        .select(lit(k.toLong).as("step"), col("users"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
+  /** Cohort retention: users bucketed by the week of their first
+    * `cohortCond` event, counted distinct per (cohort week, whole weeks
+    * since cohort start) over their later activity.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      cohortCond: Column): DataFrame = {
+    val weekMs = 7L * 86400L * 1000L
+    val su = events.filter(cohortCond)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+      .withColumn("cohort_week", date_trunc("week", col("t0")).cast("timestamp_ntz"))
+    events.join(su, userCol)
+      .filter(col(tsCol) >= col("t0"))
+      .withColumn("week_offset",
+        ((unix_millis(col(tsCol).cast("timestamp")) -
+          unix_millis(col("cohort_week").cast("timestamp"))) / weekMs)
+          .cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+}

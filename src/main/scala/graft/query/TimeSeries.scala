@@ -70,6 +70,36 @@ object TimeSeries {
       .withColumn("rate_per_sec", when(dtSec > 0.0, col("delta") / dtSec))
   }
 
+  /** Forward fill (LOCF — last observation carried forward): each row gets
+    * the most recent non-null `valueCol` within its series, in
+    * (`timeCol`, `tieBreak`) order. One window pass with a rows-frame
+    * running `last(ignoreNulls)` — no self-join, no explode.
+    */
+  def forwardFill(df: DataFrame, seriesCols: Seq[String], timeCol: String,
+                  valueCol: String, tieBreak: String,
+                  as: String = "filled"): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Sliding time-window aggregates per series: for every row, the count
+    * and (integer-quantized) sum over the trailing `windowMillis` — a
+    * RANGE frame on epoch millis, so gaps in the series are handled
+    * exactly (unlike a rows-frame approximation). The quantized sum keeps
+    * the aggregate exact: no float addition order to disagree on.
+    */
+  def rolling(df: DataFrame, seriesCols: Seq[String], timeCol: String,
+              quantized: Column, windowMillis: Long): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(unix_millis(col(timeCol).cast("timestamp")))
+      .rangeBetween(-windowMillis, 0)
+    df.withColumn("vq", quantized.cast("long"))
+      .withColumn("w_count", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("vq")).over(w))
+  }
+
   /** Per-group z-score outlier flags over an integer-quantized measure.
     *
     * `quantized` must be an integral column (quantize doubles with

@@ -1,0 +1,60 @@
+package graft.query
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    // u1 completes view -> click -> purchase in order
+    (1L, "view", ts("2024-01-01 10:00:00")),
+    (1L, "click", ts("2024-01-01 10:05:00")),
+    (1L, "purchase", ts("2024-01-01 10:10:00")),
+    // u2 clicks BEFORE viewing: the click must not count
+    (2L, "click", ts("2024-01-01 09:00:00")),
+    (2L, "view", ts("2024-01-01 09:30:00")),
+    (2L, "purchase", ts("2024-01-01 09:45:00")),
+    // u3 views only
+    (3L, "view", ts("2024-01-01 08:00:00")))
+    .toDF("user_id", "event_type", "ts")
+
+  test("funnel enforces strict step ordering") {
+    val out = Analytics.funnel(events, "user_id", "ts",
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+    assert(out.select("user_id").as[Long].collect().toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getTimestamp(1).before(r.getTimestamp(2)) &&
+      r.getTimestamp(2).before(r.getTimestamp(3)))
+  }
+
+  test("funnelCounts is monotonically non-increasing per step") {
+    val out = Analytics.funnelCounts(events, "user_id", "ts",
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .orderBy("step").collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(3L, 1L, 1L)) // 3 viewed, 1 clicked after view, 1 bought
+  }
+
+  test("cohortRetention buckets activity by whole weeks since cohort start") {
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")), // Monday = week start
+      (1L, "click", ts("2024-01-03 00:00:00")),  // week 0
+      (1L, "click", ts("2024-01-09 00:00:00")),  // week 1
+      (2L, "signup", ts("2024-01-02 12:00:00")), // same cohort week
+      (2L, "click", ts("2024-01-10 00:00:00")))  // week 1
+      .toDF("user_id", "event_type", "ts")
+    val out = Analytics.cohortRetention(ev, "user_id", "ts",
+        col("event_type") === "signup")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // week 0: both signups (+u1 click); week 1: both users active
+    assert(out.toSeq == Seq((0L, 2L), (1L, 2L)))
+  }
+}

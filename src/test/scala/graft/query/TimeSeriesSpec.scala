@@ -43,6 +43,34 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out(3).isNullAt(4)) // only sample of series b
   }
 
+  test("forwardFill carries the last non-null value, null before any") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00"), None: Option[Double]),
+      ("a", 2L, ts("2024-01-01 00:01:00"), Some(5.0)),
+      ("a", 3L, ts("2024-01-01 00:02:00"), None),
+      ("a", 4L, ts("2024-01-01 00:03:00"), Some(9.0)),
+      ("a", 5L, ts("2024-01-01 00:04:00"), None))
+      .toDF("series", "id", "ts", "v")
+    val out = TimeSeries.forwardFill(df, Seq("series"), "ts", "v", "id")
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(4))
+    assert(Seq(1, 2, 3, 4).map(out(_).getDouble(4)) == Seq(5.0, 5.0, 9.0, 9.0))
+  }
+
+  test("rolling RANGE frame counts exactly the trailing window") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 00:30:00"), 2.0),
+      ("a", ts("2024-01-01 01:15:00"), 4.0), // 00:00 row is outside 1 h now
+      ("b", ts("2024-01-01 00:00:00"), 8.0))
+      .toDF("series", "ts", "v")
+    val out = TimeSeries.rolling(df, Seq("series"), "ts",
+        floor(col("v")).cast("long"), 3600L * 1000)
+      .orderBy("series", "ts").collect()
+      .map(r => (r.getAs[Long]("w_count"), r.getAs[Long]("w_sum")))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 3L), (2L, 6L), (1L, 8L)))
+  }
+
   test("zscore flags the outlier and derives exact moments") {
     // group g: nine 10s and one 100 — the 100 is the outlier
     val df = ((1 to 9).map(i => (i.toLong, "g", 10.0)) :+ (10L, "g", 100.0))

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+
+class StreamOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+  private val t0 = 1700000000000L
+
+  test("dedupByContent keeps first occurrence, drops in-window duplicates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.dedupByContent(
+      input.toDF().toDF("id", "ts", "text"), "ts", "1 minute", "text")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(t0), "Hello  World"),
+        (2L, ts(t0 + 1000), "hello world"), // same normalized content
+        (3L, ts(t0 + 2000), "different"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("joinWithin pairs right events inside the interval, not outside") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.joinWithin(
+      imps.toDF().toDF("k", "ts"), clicks.toDF().toDF("k", "ts"),
+      "k", "ts", "ts", delay = "30 seconds", within = "1 MINUTE")
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(t0)), (2L, ts(t0)))
+      clicks.addData(
+        (1L, ts(t0 + 30_000)),  // inside the 1-minute window
+        (2L, ts(t0 + 120_000))) // outside
+      q.processAllAvailable()
+      val ks = spark.table("sjoin").select("k").as[Long].collect().toSet
+      assert(ks == Set(1L))
+    } finally q.stop()
+  }
+}
