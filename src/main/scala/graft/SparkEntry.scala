@@ -794,6 +794,34 @@ object SparkEntry {
           floor(col("value") * 100).cast("long"), 3600L * 1000)
         .select(col("event_id"), col("user_id"), col("w_count"), col("w_sum"))
         .orderBy(col("user_id"), col("event_id"))),
+
+    // Bucketed range join: events against daily 12:00–13:00 maintenance
+    // windows — an equi-join on time buckets instead of Spark's O(n·m)
+    // nested-loop plan for BETWEEN joins.
+    "q_join_range" -> ((s, dir) => {
+      // 2024-01-01 12:00:00 UTC = 1704110400; windows [start, start+3599s]
+      val win = s.range(0, 30)
+        .select((lit(1704110400L) + col("id") * 86400L).as("ss"))
+        .select(
+          timestamp_seconds(col("ss")).cast("timestamp_ntz").as("win_start"),
+          timestamp_seconds(col("ss") + 3599L).cast("timestamp_ntz").as("win_end"))
+      graft.operators.RangeJoin
+        .pointInInterval(t(s, dir, "events"), "ts", win,
+          "win_start", "win_end", bucketMillis = 3600L * 1000)
+        .groupBy(col("i_win_start").as("win_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("win_start"))
+    }),
+
+    // W3: percent_rank / cume_dist over a total per-group order.
+    "q_window_percentrank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1737,5 +1765,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_join_range" ->
+      """WITH win AS (
+        |  SELECT make_timestamp((1704110400 + i * 86400) * 1000000)
+        |      AS win_start,
+        |    make_timestamp((1704110400 + i * 86400 + 3599) * 1000000)
+        |      AS win_end
+        |  FROM range(0, 30) t(i))
+        |SELECT win_start, count(*) AS n_events
+        |FROM events e JOIN win
+        |  ON e.ts >= win_start AND e.ts <= win_end
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
+
+    "q_window_percentrank" ->
+      """SELECT event_id, event_type,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
   )
 }

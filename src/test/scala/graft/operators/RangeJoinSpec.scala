@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("pointInInterval matches exactly the contained points") {
+    val pts = Seq(
+      (1L, ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 11:59:59")), // boundary: inside (inclusive end)
+      (3L, ts("2024-01-01 12:00:01")), // just outside
+      (4L, ts("2024-01-03 05:00:00"))) // inside a long interval
+      .toDF("id", "ts")
+    val ivs = Seq(
+      ("w1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:59:59")),
+      ("w2", ts("2024-01-03 00:00:00"), ts("2024-01-03 23:59:59")))
+      .toDF("name", "start", "end")
+    val out = RangeJoin.pointInInterval(pts, "ts", ivs, "start", "end",
+        bucketMillis = 3600L * 1000)
+      .select("id", "i_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "w1"), (2L, "w1"), (4L, "w2")))
+  }
+
+  test("result equals the naive BETWEEN join regardless of bucket size") {
+    val rnd = new scala.util.Random(11)
+    val base = 1704067200000L
+    val pts = (1 to 300).map(i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(86400000))))
+      .toDF("id", "ts")
+    val ivs = (1 to 20).map { i =>
+      val s = base + rnd.nextInt(86400000 - 7200000)
+      (i.toLong, new Timestamp(s), new Timestamp(s + 1000 + rnd.nextInt(7200000)))
+    }.toDF("iid", "start", "end")
+    val naive = pts.join(ivs,
+        col("ts") >= col("start") && col("ts") <= col("end"))
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bucket <- Seq(60000L, 3600000L, 7200000L)) {
+      val fast = RangeJoin.pointInInterval(pts, "ts", ivs, "start", "end", bucket)
+        .select(col("id"), col("i_iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive, s"bucket $bucket")
+    }
+  }
+}
