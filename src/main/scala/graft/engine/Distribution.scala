@@ -27,6 +27,21 @@ object Distribution {
                    rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** True iff the physical plan of `df` contains no shuffle exchange —
+    * the property bucketing exists to deliver. Unwraps the AQE plan
+    * (`AdaptiveSparkPlanExec` does not expose its physical plan as a
+    * child, so a naive `exists` would never see the exchanges).
+    */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    !plan.exists(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
   /** Skew-tolerant equi-join: salt the skewed side's key-space `factor`
     * ways (deterministically, from `distributeBy` — any reasonably
     * high-cardinality column), replicate the small side across every salt,

@@ -3,7 +3,11 @@ package graft.catalog
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
+import graft.engine.Distribution
 
+/** Plan-shape guarantees of the bucketed layout ([[Distribution]]): the
+  * no-Exchange property checked against a positive control.
+  */
 class BucketingSpec extends SparkSuite {
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
@@ -21,22 +25,22 @@ class BucketingSpec extends SparkSuite {
     val facts = (0L until 1000L).map(i => (i % 50, i, i * 2.0))
       .toDF("k", "id", "v")
     val dims = (0L until 50L).map(i => (i, s"name$i")).toDF("k", "name")
-    Bucketing.writeBucketed(facts, "b_facts", "k", 8)
-    Bucketing.writeBucketed(dims, "b_dims", "k", 8)
+    Distribution.writeBucketed(facts, "b_facts", "k", 8)
+    Distribution.writeBucketed(dims, "b_dims", "k", 8)
     try {
       // forbid broadcast so only bucket co-partitioning can kill the shuffle
       withConf(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
-        val f = Bucketing.read(spark, "b_facts")
-        val d = Bucketing.read(spark, "b_dims")
+        val f = spark.table("b_facts")
+        val d = spark.table("b_dims")
         val joined = f.join(d, "k")
-        assert(Bucketing.isShuffleFree(joined),
+        assert(Distribution.isShuffleFree(joined),
           joined.queryExecution.executedPlan.toString)
         assert(joined.count() == 1000L)
 
         val agg = f.groupBy(col("k")).agg(sum(col("v")).as("sv"))
-        assert(Bucketing.isShuffleFree(agg),
+        assert(Distribution.isShuffleFree(agg),
           agg.queryExecution.executedPlan.toString)
         assert(agg.count() == 50L)
 
@@ -44,7 +48,7 @@ class BucketingSpec extends SparkSuite {
         facts.write.mode("overwrite").saveAsTable("p_facts")
         dims.write.mode("overwrite").saveAsTable("p_dims")
         val plain = spark.table("p_facts").join(spark.table("p_dims"), "k")
-        assert(!Bucketing.isShuffleFree(plain))
+        assert(!Distribution.isShuffleFree(plain))
       }
     } finally {
       Seq("b_facts", "b_dims", "p_facts", "p_dims")
