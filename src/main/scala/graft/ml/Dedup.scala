@@ -281,21 +281,24 @@ object Dedup {
     // is 100 TB. Below `driverMaxEdges` (2M edges ≈ 32 MB heap) a single
     // union-find pass replaces 2-3 distributed label-propagation rounds
     // (each a join + groupBy job); above it, the distributed path takes
-    // over with identical semantics.
-    val nEdges = p.count()
-    if (nEdges <= driverMaxEdges) clustersLocal(p, idA, idB)
-    else clustersDistributed(p, idA, idB, maxIters)
+    // over with identical semantics. ONE action decides AND fetches: a
+    // capped limit+collect — no separate count pass over the pipeline.
+    val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong).toInt
+    val edges = p.select(col(idA).cast("long"), col(idB).cast("long"))
+      .limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (edges.length <= cap) {
+      val out = clustersLocal(p.sparkSession, edges)
+      p.unpersist()
+      out
+    } else clustersDistributed(p, idA, idB, maxIters)
   }
 
   /** Driver-side union-find over a bounded edge list. Union-by-min keeps
     * every root the minimum id of its tree, so the final root IS the
     * component's minimum label — same output as the distributed path.
     */
-  private def clustersLocal(p: DataFrame, idA: String, idB: String): DataFrame = {
-    val spark = p.sparkSession
-    val edges = p.select(col(idA).cast("long"), col(idB).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    p.unpersist()
+  private def clustersLocal(spark: org.apache.spark.sql.SparkSession,
+                            edges: Array[(Long, Long)]): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x0: Long): Long = {
       var root = x0
@@ -371,20 +374,26 @@ object Dedup {
     *
     * Shape: both sides explode to (ngram, id) and meet on the raw n-gram
     * string (hash-free — counts cannot be perturbed by hash collisions).
-    * The benchmark side is typically orders of magnitude smaller than the
-    * training corpus; the shuffled-hash join keys on the n-gram, so
-    * per-key groups stay bounded (stop-grams can be dropped upstream the
-    * same way [[jaccardPairs]] does with `maxShingleFreq`).
+    * Benchmark suites are tiny next to the training corpus, so the bench
+    * side is BROADCAST by default: the (huge) exploded train side is never
+    * shuffled — each task matches locally and only surviving pairs move.
+    * Set `broadcastBench = false` for an oversized benchmark side; the
+    * join then shuffle-hashes on the n-gram (bound per-key groups upstream
+    * the way [[jaccardPairs]] does with `maxShingleFreq`).
     */
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 4,
-                    minShared: Long = 2L): DataFrame = {
+                    textCol: String, n: Int = 4, minShared: Long = 2L,
+                    broadcastBench: Boolean = true): DataFrame = {
     def grams(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       explode(array_distinct(
         TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)))
         .as("ngram"))
-    grams(train, "train_id").hint("shuffle_hash")
-      .join(grams(bench, "bench_id").hint("shuffle_hash"), Seq("ngram"))
+    val tr = grams(train, "train_id")
+    val be = grams(bench, "bench_id")
+    val joined =
+      if (broadcastBench) tr.join(broadcast(be), Seq("ngram"))
+      else tr.hint("shuffle_hash").join(be.hint("shuffle_hash"), Seq("ngram"))
+    joined
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
