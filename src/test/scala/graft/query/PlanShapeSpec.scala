@@ -1,0 +1,76 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan shape assertions for flagship queries: the properties the
+  * 100 TB story depends on (scan pruning, broadcastability, no nested
+  * loops, map-side partial aggregation) verified as tests instead of
+  * eyeballed explain() output.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String, executeFirst: Boolean = false): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    if (executeFirst) df.count() // materialize AQE stages (codegen applied)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    p.toString
+  }
+
+  test("q_filter_project: filters AND projection reach the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(event_type)") || p.contains("EqualTo(event_type"), p)
+    // pruned read schema: only the selected + filtered columns, never props
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), p)
+  }
+
+  test("q_join_multiway: dims broadcast, no nested-loop anywhere") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_agg_pricing: partial + final hash aggregation, codegen spans") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    // codegen-mode explain compiles the plan and reports its codegen
+    // spans; AQE defers stage creation, so assert on the static plan.
+    // Build the frame FIRST (GraftSession.tune re-enables AQE), then flip
+    // the conf before the lazy plan evaluation.
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cg = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+      val found = "Found (\\d+) WholeStageCodegen subtrees".r
+        .findFirstMatchIn(cg).map(_.group(1).toInt)
+      assert(found.exists(_ >= 1), cg.take(500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup pair generation never plans a cartesian/nested-loop join") {
+    for (q <- Seq("q_dedup_jaccard", "q_dedup_minhash", "q_decontaminate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_join_range: the BETWEEN join became an equi-join (no nested loop)") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_counts_topk: binned side meets top-k via broadcast, not shuffle") {
+    val p = plan("q_counts_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
