@@ -813,6 +813,21 @@ object SparkEntry {
         .orderBy(col("win_start"))
     }),
 
+    // ML: asymmetric containment — doc A (near-)contained in doc B;
+    // catches quotations/subsets symmetric Jaccard misses.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Statistical aggregate: per-group Pearson correlation from exact
+    // integer moments (engine-exact, unlike running-float corr()).
+    "q_agg_corr" -> ((s, dir) =>
+      Analytics.corrByGroup(t(s, dir, "events"), "event_type",
+          floor(col("value") * 100).cast("long"),
+          hour(col("ts")).cast("long"))
+        .orderBy(col("event_type"))),
+
     // W3: percent_rank / cume_dist over a total per-group order.
     "q_window_percentrank" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type"))
@@ -1777,6 +1792,45 @@ object SparkEntry {
         |FROM events e JOIN win
         |  ON e.ts >= win_start AND e.ts <= win_end
         |GROUP BY 1 ORDER BY win_start""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shh
+        |  FROM tk WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz FROM sh),
+        |ex AS (SELECT doc_id, unnest(shh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(inter AS DOUBLE) / sa.sz AS containment
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a
+        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_agg_corr" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x,
+        |    CAST(hour(ts) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM q GROUP BY 1)
+        |SELECT event_type,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_window_percentrank" ->
       """SELECT event_id, event_type,

@@ -200,6 +200,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs: `|A∩B| / |A| ≥ threshold` — document A
+    * (near-)contained in document B. Catches subsets/quotations that
+    * symmetric Jaccard misses when B is much larger than A (the classic
+    * boilerplate-plus-quote page). Directed: both (a,b) and (b,a) can
+    * qualify independently. Same single-shuffle shingle-key join shape as
+    * [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sets = shingleHashFrame(df, idCol, textCol, n, portableHash = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = explodedShingles(sets, maxShingleFreq)
+    val a = ex.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = ex.select(col("shingle"), col("id").as("id_b"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("containment"))
+  }
+
   // ----------------------------------------------------------- MinHash/LSH
 
   /** k=16 MinHash signatures as one array column over shingle hashes. */

@@ -52,6 +52,34 @@ object Analytics {
     frames.reduce(_.unionAll(_))
   }
 
+  /** Pearson correlation per group from exact integer moments: both
+    * measures must be integral (quantize doubles with `floor(x·scale)`),
+    * so (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs and the final
+    * correlation derives through a fixed IEEE expression tree — engines
+    * agree to the last bit, unlike built-in `corr` whose running float
+    * accumulation is order-dependent.
+    */
+  def corrByGroup(df: DataFrame, groupCol: String, xQuantized: Column,
+                  yQuantized: Column): DataFrame = {
+    val q = df.select(col(groupCol), xQuantized.cast("long").as("x"),
+      yQuantized.cast("long").as("y"))
+    val m = q.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = sqrt(n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double"))
+    val vy = sqrt(n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double"))
+    // zero variance ⇒ correlation undefined ⇒ null (ANSI-safe: a plain
+    // division would throw DIVIDE_BY_ZERO under ansi.enabled)
+    m.select(col(groupCol),
+      when(vx * vy =!= 0.0, cov / (vx * vy)).as("corr_xy"))
+  }
+
   /** Cohort retention: users bucketed by the week of their first
     * `cohortCond` event, counted distinct per (cohort week, whole weeks
     * since cohort start) over their later activity.

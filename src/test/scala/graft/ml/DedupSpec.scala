@@ -90,6 +90,20 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.clusters(empty).collect().isEmpty)
   }
 
+  test("containmentPairs is directed: subset qualifies, superset does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                         // contained in 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),  // superset
+      (3L, "totally different words here entirely"))
+      .toDF("id", "text")
+    val out = Dedup.containmentPairs(docs, "id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1's two 3-grams both occur in doc 2 → containment(1→2)=1.0;
+    // doc 2 has 6 shingles, only 2 shared → containment(2→1)=1/3 < 0.8
+    assert(out == Set((1L, 2L)))
+  }
+
   test("contamination finds train docs overlapping benchmark n-grams") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))

@@ -42,6 +42,20 @@ class AnalyticsSpec extends SparkSuite {
     assert(out == Seq(3L, 1L, 1L)) // 3 viewed, 1 clicked after view, 1 bought
   }
 
+  test("corrByGroup recovers perfect and inverse correlation exactly") {
+    val df = (1 to 100).flatMap(i => Seq(
+      ("pos", i.toLong, (2 * i + 3).toLong),  // y = 2x+3 → corr 1
+      ("neg", i.toLong, (-3 * i + 7).toLong), // corr -1
+      ("flat", i.toLong, 5L)))                // zero variance → NaN
+      .toDF("g", "x", "y")
+    val rows = Analytics.corrByGroup(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(math.abs(rows("pos").get - 1.0) < 1e-12)
+    assert(math.abs(rows("neg").get + 1.0) < 1e-12)
+    assert(rows("flat").isEmpty) // zero variance → undefined → null
+  }
+
   test("cohortRetention buckets activity by whole weeks since cohort start") {
     val ev = Seq(
       (1L, "signup", ts("2024-01-01 00:00:00")), // Monday = week start
