@@ -26,12 +26,18 @@ object Compaction {
 
   /** Compact one stream's date partition if it has more than `maxFiles`
     * parquet files. Returns (filesBefore, filesAfter) when compacted.
+    *
+    * `zorderDims` switches the rewrite from the latest-first time sort to
+    * a Z-order layout over the given (column, lo, hi) dims — compaction is
+    * exactly the moment to buy multi-dimensional stats pruning, since the
+    * partition is being rewritten anyway ([[ZOrder]]).
     */
   def compactPartition(spark: SparkSession, root: String, stream: String,
                        date: String, timeCol: String = "p_timestamp",
                        maxFiles: Int = 8,
                        targetFiles: Int = 1,
-                       txnCatalog: Option[(String, Seq[String])] = None)
+                       txnCatalog: Option[(String, Seq[String])] = None,
+                       zorderDims: Seq[(String, Double, Double)] = Nil)
       : Option[(Int, Int)] = {
     val partDir = Paths.get(root, stream, s"date=$date")
     if (!Files.exists(partDir)) return None
@@ -44,10 +50,11 @@ object Compaction {
     // the rewritten layout so the directory shape is unchanged
     val df = spark.read.parquet(partDir.toString)
     val hasSub = df.columns.contains("hour")
-    val writer = df
-      .repartition(targetFiles)
-      .sortWithinPartitions(col(timeCol).desc)
-      .write.mode("overwrite")
+    val laidOut =
+      if (zorderDims.nonEmpty) ZOrder.layout(df, zorderDims, targetFiles)
+      else df.repartition(targetFiles)
+        .sortWithinPartitions(col(timeCol).desc)
+    val writer = laidOut.write.mode("overwrite")
     (if (hasSub) writer.partitionBy(
       df.columns.filter(Set("hour", "minute")): _*)
      else writer).parquet(tmp.toString)

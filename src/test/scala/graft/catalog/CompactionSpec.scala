@@ -89,4 +89,38 @@ class CompactionSpec extends SparkSuite {
     // pre-compaction version still readable (snapshot isolation)
     assert(TxnCatalog.snapshot(spark, cat, Some(v0)).get.count() == 10)
   }
+
+  test("z-ordered compaction preserves rows and tightens per-file bounds") {
+    val root = Files.createTempDirectory("compactz").toString
+    val base = 1700000000000L
+    val rnd = new scala.util.Random(3)
+    // 12 fragments, each spanning the FULL (x, y) domain — every file's
+    // min/max covers everything, so stats pruning is useless pre-compaction
+    (0 until 12).foreach { i =>
+      (0 until 200).map(j => (rnd.nextInt(1000).toDouble,
+          rnd.nextInt(1000).toDouble,
+          new Timestamp(base + (i * 200 + j) * 1000L)))
+        .toDF("x", "y", "p_timestamp")
+        .withColumn("date", lit("2024-01-01"))
+        .coalesce(1).write.mode("append").partitionBy("date")
+        .parquet(s"$root/logs")
+    }
+    val res = Compaction.compactPartition(spark, root, "logs", "2024-01-01",
+      targetFiles = 8,
+      zorderDims = Seq(("x", 0.0, 1000.0), ("y", 0.0, 1000.0)))
+    assert(res.contains((12, 8)))
+    val after = spark.read.parquet(s"$root/logs/date=2024-01-01")
+    assert(after.count() == 2400)
+    // per-file x and y bounds now cover a fraction of the domain
+    val stats = after
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    assert(stats.length == 8)
+    val avgSpanX = stats.map(r => r.getDouble(2) - r.getDouble(1)).sum / 8
+    val avgSpanY = stats.map(r => r.getDouble(4) - r.getDouble(3)).sum / 8
+    assert(avgSpanX < 900.0 && avgSpanY < 900.0, s"$avgSpanX / $avgSpanY")
+  }
 }
