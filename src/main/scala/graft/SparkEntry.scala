@@ -770,6 +770,14 @@ object SparkEntry {
             col("event_type") === "purchase"))
         .orderBy(col("user_id"))),
 
+    // Product analytics: the conversion chart — per-step completion counts
+    // (monotonically non-increasing).
+    "q_funnel_counts" -> ((s, dir) =>
+      Analytics.funnelCounts(t(s, dir, "events"), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .orderBy(col("step"))),
+
     // Product analytics: weekly cohort retention (signup cohort × weeks
     // since, distinct active users).
     "q_retention_cohort" -> ((s, dir) =>
@@ -1748,6 +1756,24 @@ object SparkEntry {
         |  FROM events e JOIN s2 USING (user_id)
         |  WHERE e.event_type = 'purchase' AND e.ts > t_2 GROUP BY 1, 2, 3)
         |SELECT user_id, t_1, t_2, t_3 FROM s3 ORDER BY user_id""".stripMargin,
+
+    "q_funnel_counts" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, t_1, min(e.ts) AS t_2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t_1 GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t_2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT CAST(2 AS BIGINT), (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS BIGINT), (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
 
     "q_retention_cohort" ->
       """WITH su AS (

@@ -144,6 +144,52 @@ object Similarity {
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
   }
 
+  /** Persist the IVF index: vector assignments partitioned by
+    * `centroid_id` (so a search's probed lists map to whole partition
+    * directories — dynamic partition pruning skips the rest of the corpus
+    * on disk) plus the centroid table. Build once, search many times —
+    * [[ivfSearch]] rebuilds the assignment per call, which is the right
+    * shape only for ad-hoc queries.
+    */
+  def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   numCentroids: Int, path: String): Unit = {
+    ivfIndex(corpus, idCol, vecCol, numCentroids)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+    corpus.orderBy(col(idCol).asc).limit(numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** IVF search against a persisted index ([[saveIvfIndex]]): same
+    * ranking semantics as [[ivfSearch]], but the corpus pass is replaced
+    * by a read of only the probed centroid partitions.
+    */
+  def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nProbe: Int): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val index = spark.read.parquet(s"$path/index")
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("v_id").asc)
+    index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("v_vec")))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, over a
     * *bounded* id range (all-pairs is quadratic by nature; at scale this is
     * run per LSH bucket or per partition window, never globally).

@@ -40,16 +40,29 @@ object Analytics {
   }
 
   /** Per-step completion counts for the funnel (step 1 count ≥ step 2 ≥ …):
-    * `(step, users)` — the conversion chart.
+    * `(step, users)` — the conversion chart. Each level's per-user frame
+    * extends the previous one (the same cascade [[funnel]] runs), so the
+    * event stream is aggregated once per step, not once per prefix.
     */
   def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
                    steps: Seq[Column]): DataFrame = {
-    val frames = (1 to steps.length).map { k =>
-      funnel(events, userCol, tsCol, steps.take(k))
-        .agg(count(lit(1)).as("users"))
+    val u = col(userCol)
+    var level = events.filter(steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t_1"))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += level.agg(count(lit(1)).as("users"))
+      .select(lit(1L).as("step"), col("users"))
+    steps.tail.zipWithIndex.foreach { case (cond, i) =>
+      val k = i + 2
+      level = events.filter(cond)
+        .join(level, userCol)
+        .filter(col(tsCol) > col(s"t_${k - 1}"))
+        .groupBy(u +: (1 until k).map(j => col(s"t_$j")): _*)
+        .agg(min(col(tsCol)).as(s"t_$k"))
+      frames += level.agg(count(lit(1)).as("users"))
         .select(lit(k.toLong).as("step"), col("users"))
     }
-    frames.reduce(_.unionAll(_))
+    frames.result().reduce(_.unionAll(_))
   }
 
   /** Pearson correlation per group from exact integer moments: both

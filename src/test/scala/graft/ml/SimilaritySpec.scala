@@ -50,4 +50,24 @@ class SimilaritySpec extends SparkSuite {
     assert(p.length == 1)
     assert((p(0).getAs[Long]("id_a"), p(0).getAs[Long]("id_b")) == (1L, 2L))
   }
+
+  test("persisted IVF index returns exactly the ad-hoc ivfSearch results") {
+    val corpus = graft.engine.GraftSession
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = corpus.filter($"vec_id" < 5L)
+    val adhoc = Similarity.ivfSearch(corpus, queries, "vec_id", "embedding",
+        k = 3, numCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 8, path = path)
+    val persisted = Similarity.ivfSearchPersisted(spark, path, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(persisted == adhoc)
+    // the on-disk layout is one directory per centroid list
+    val dirs = new java.io.File(s"$path/index").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(dirs.length > 1)
+  }
 }
