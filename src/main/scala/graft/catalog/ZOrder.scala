@@ -22,8 +22,23 @@ object ZOrder {
 
   /** Morton interleave of up to 4 pre-bucketized integer columns (each in
     * `[0, 2^bits)`): bit b of column i lands at position `b·n + i`.
+    * Backed by the fused codegen expression
+    * [[graft.functions.MortonInterleave]] (n tight loops instead of a
+    * ~2·bits·n-node expression tree).
     */
   def zvalue(buckets: Seq[Column], bits: Int = 16): Column = {
+    require(buckets.nonEmpty && buckets.size <= 4)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MortonInterleave(
+        buckets.map(c =>
+          org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("long"))),
+        bits))
+  }
+
+  /** [[zvalue]] as a composition of builtin shift/mask expressions — the
+    * reference implementation the fused expression is tested against.
+    */
+  def zvalueComposed(buckets: Seq[Column], bits: Int = 16): Column = {
     require(buckets.nonEmpty && buckets.size <= 4)
     val n = buckets.size
     val terms = for {

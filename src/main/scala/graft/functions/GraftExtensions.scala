@@ -57,6 +57,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions._
         EqualTo(Size(ArrayExcept(args(1), args(0))), Literal(0))
+      }),
+    // graft_morton(bits, c1[, c2..c4]) — fused Z-curve bit interleave
+    (FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "graft_morton"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val bits = args.head match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_morton: first arg must be an INT literal, got $other")
+        }
+        MortonInterleave(args.tail, bits)
       }))
 
   /** Register all graft functions on an existing session (idempotent). */

@@ -19,6 +19,28 @@ class ZOrderSpec extends SparkSuite {
     assert(out == Seq(0L, 1L, 2L, 3L, 39L))
   }
 
+  test("fused Morton expression equals the composed shift/mask formula") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 500).map(_ => (rnd.nextInt(65536).toLong,
+        rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("a", "b", "c")
+    for (cols <- Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"))) {
+      val cs = cols.map(col)
+      val diff = df.select(
+          ZOrder.zvalue(cs).as("fused"),
+          ZOrder.zvalueComposed(cs).as("composed"))
+        .filter(col("fused") =!= col("composed")).count()
+      assert(diff == 0L, s"cols $cols")
+    }
+    // null propagation: any null input nulls the z-value
+    val withNull = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+    val r = withNull.select(ZOrder.zvalue(Seq(col("a"), col("b")))).collect()
+    assert(r.head.isNullAt(0))
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_morton(4, 3L, 5L)").head.getLong(0) == 39L)
+  }
+
   test("bucketize clamps and spreads the domain") {
     val df = Seq(-5.0, 0.0, 500.0, 1000.0, 2000.0).toDF("v")
     val out = df.select(ZOrder.bucketize(col("v"), 0.0, 1000.0, bits = 4))
