@@ -157,6 +157,29 @@ object Alerts {
     else filtered.groupBy(cfg.groupBy.map(col): _*).agg(aggCol)
   }
 
+  /** Anomaly alert: instead of a fixed threshold, flag rows whose
+    * quantized measure deviates more than `zThreshold` standard deviations
+    * from its group's mean ([[TimeSeries.zscore]] — exact integer moments,
+    * so two evaluations of the same window agree bit-for-bit). Returns the
+    * outlier rows; feed counts into the same [[StateMachine]] as threshold
+    * alerts. The reference only supports fixed-threshold alerts — this is
+    * the self-tuning variant operators actually want for "value looks
+    * wrong" pages.
+    */
+  def anomalyFrame(df: DataFrame, cfg: AnomalyConfig): DataFrame = {
+    val filtered = cfg.where.map(w => df.filter(Conditions.toColumn(w))).getOrElse(df)
+    TimeSeries.zscore(filtered, cfg.groupBy,
+        floor(col(cfg.column) * cfg.scale).cast("long"), cfg.zThreshold)
+      .filter(col("is_anomaly"))
+  }
+
+  final case class AnomalyConfig(
+      column: String,
+      groupBy: String,
+      where: Option[ConditionNode] = None,
+      zThreshold: Double = 3.0,
+      scale: Double = 100.0)
+
   // ----------------------------------------------------------- state machine
 
   sealed trait AlertState

@@ -116,7 +116,10 @@ object TimeSeries {
     val mean = col("s_").cast("double") / col("n_").cast("double")
     val variance = (col("ss_").cast("double") - col("s_").cast("double") * mean) /
       (col("n_") - 1).cast("double")
-    val z = (col("vq").cast("double") - mean) / sqrt(variance)
+    val sd = sqrt(variance)
+    // zero variance ⇒ z undefined ⇒ null (and never an anomaly); a plain
+    // division would throw DIVIDE_BY_ZERO under ANSI mode
+    val z = when(sd =!= 0.0, (col("vq").cast("double") - mean) / sd)
     q.join(broadcast(stats), groupCol)
       .withColumn("z", z)
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))

@@ -33,6 +33,22 @@ class AlertStateSpec extends SparkSuite {
     assert(notes.length == 2) // silent while quiet
   }
 
+  test("anomalyFrame flags only z-score outliers, honoring the where AST") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group g: nine 10.0s and one 100.0 outlier; group h: all flat
+    val df = (((1 to 9).map(i => (i.toLong, "g", "svc", 10.0)) :+
+      (10L, "g", "svc", 100.0)) ++
+      (11 to 20).map(i => (i.toLong, "h", "svc", 50.0)) :+
+      (99L, "g", "other", 1e6)) // excluded by the where filter
+      .toDF("id", "grp", "service", "v")
+    val cfg = Alerts.AnomalyConfig(column = "v", groupBy = "grp",
+      where = Some(Alerts.Leaf("service", Alerts.Eq, Some("svc"))),
+      zThreshold = 2.0)
+    val out = Alerts.anomalyFrame(df, cfg).select("id").as[Long].collect()
+    assert(out.toSeq == Seq(10L))
+  }
+
   test("disabled alerts never transition or notify") {
     var notes = Vector.empty[Notification]
     val sm = new StateMachine(notes :+= _)
