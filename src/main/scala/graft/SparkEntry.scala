@@ -836,6 +836,18 @@ object SparkEntry {
           hour(col("ts")).cast("long"))
         .orderBy(col("event_type"))),
 
+    // Exact p50/p95/p99 per (service, day bin) — THE observability
+    // latency roll-up, as discrete rank selection over quantized values
+    // (one shuffle; all percentiles from one window pass).
+    "q_percentile_binned" -> ((s, dir) =>
+      Percentiles.exactBy(
+          t(s, dir, "events")
+            .withColumn("bin_start", Counts.dateBin(col("ts"), 86400L * 1000))
+            .withColumn("vq", floor(col("value") * 100).cast("long")),
+          Seq("event_type", "bin_start"), "vq", "event_id",
+          ps = Seq(0.5, 0.95, 0.99))
+        .orderBy(col("event_type"), col("bin_start"))),
+
     // W3: percent_rank / cume_dist over a total per-group order.
     "q_window_percentrank" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type"))
@@ -1857,6 +1869,25 @@ object SparkEntry {
         |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
         |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_percentile_binned" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000)
+        |      AS bin_start,
+        |    CAST(floor(value * 100) AS BIGINT) AS vq, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bin_start
+        |                       ORDER BY vq ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, bin_start) AS n
+        |  FROM q)
+        |SELECT event_type, bin_start,
+        |  max(CASE WHEN rn - 1 = floor(0.5 * (n - 1)) THEN vq END) AS p50,
+        |  max(CASE WHEN rn - 1 = floor(0.95 * (n - 1)) THEN vq END) AS p95,
+        |  max(CASE WHEN rn - 1 = floor(0.99 * (n - 1)) THEN vq END) AS p99
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bin_start""".stripMargin,
 
     "q_window_percentrank" ->
       """SELECT event_id, event_type,

@@ -23,17 +23,26 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   def exact(df: DataFrame, groupCol: String, valueCol: String,
-            tieCol: String, ps: Seq[Double]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
+            tieCol: String, ps: Seq[Double]): DataFrame =
+    exactBy(df, Seq(groupCol), valueCol, tieCol, ps)
+
+  /** [[exact]] over a composite group key — the p99-per-service-per-bin
+    * observability shape. Same single-shuffle plan: the window partitions
+    * by all group columns at once.
+    */
+  def exactBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              tieCol: String, ps: Seq[Double]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*)
       .orderBy(col(valueCol).asc, col(tieCol).asc)
     val ranked = df
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
     val picks: Seq[Column] = ps.map { p =>
       max(when(col("__rn") - 1 ===
         floor(lit(p) * (col("__n") - 1)), col(valueCol)))
         .as(s"p${(p * 100).round}")
     }
-    ranked.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+    ranked.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
   }
 }

@@ -30,4 +30,18 @@ class PercentilesSpec extends SparkSuite {
     assert(rows("x") == 5.0)
     assert(rows("y") == 9.0)
   }
+
+  test("exactBy groups by a composite key (service × bin)") {
+    val df = Seq(
+      ("svc1", "d1", 1L, 10.0), ("svc1", "d1", 2L, 20.0),
+      ("svc1", "d1", 3L, 30.0),
+      ("svc1", "d2", 4L, 100.0),
+      ("svc2", "d1", 5L, 7.0)).toDF("svc", "day", "id", "v")
+    val rows = Percentiles.exactBy(df, Seq("svc", "day"), "v", "id", Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(rows(("svc1", "d1")) == 20.0) // median of 3
+    assert(rows(("svc1", "d2")) == 100.0)
+    assert(rows(("svc2", "d1")) == 7.0)
+  }
 }
