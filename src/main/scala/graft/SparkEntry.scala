@@ -323,6 +323,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: Gopher-style within-document repetition signals — top-word /
+    // top-bigram occurrence fractions and duplicated-trigram fraction.
+    // One explode + two hash aggregations (skew-safe); all-integer counts,
+    // one exact double division per fraction.
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // ML: C4-style cleaning flags — per-row predicates (word floor,
+    // blocklist, terminal punctuation, brace detection) at scan speed.
+    "q_text_c4" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextAnalysis.c4Flags(col("text"), blocklist = Seq("spark", "vector"))
+            .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))),
+
     // ML: exact dedup — hash-groupBy on normalized content.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -1507,6 +1524,52 @@ object SparkEntry {
         |   + least(distinct_ratio * 2.0, 1.0)
         |   + least(stopword_ratio * 5.0, 1.0)) / 3.0 AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM toks),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id, n,
+        |    CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(max(cnt) AS BIGINT) AS top,
+        |    CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  max(CASE WHEN n = 1 THEN total END) AS n_words,
+        |  CAST(max(CASE WHEN n = 1 THEN top END) AS DOUBLE)
+        |    / max(CASE WHEN n = 1 THEN total END) AS top_word_frac,
+        |  CAST(max(CASE WHEN n = 2 THEN top END) AS DOUBLE)
+        |    / max(CASE WHEN n = 2 THEN total END) AS top_bigram_frac,
+        |  CAST(max(CASE WHEN n = 3 THEN dup END) AS DOUBLE)
+        |    / max(CASE WHEN n = 3 THEN total END) AS dup_trigram_frac
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_c4" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  len(tk) >= 5 AS min_words_ok,
+        |  regexp_matches(trim(text), '[.!?]$') AS ends_with_punct,
+        |  contains(text, '{') AS has_curly,
+        |  CAST(len(list_filter(tk, t -> t IN ('spark', 'vector'))) AS BIGINT) AS block_hits,
+        |  (len(tk) >= 5 AND len(list_filter(tk, t -> t IN ('spark', 'vector'))) = 0
+        |    AND NOT contains(text, '{')) AS keep
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

@@ -32,14 +32,20 @@ object TextAnalysis {
     * subexpression caching) — that turns shingling O(tokens²) per row; this
     * formulation is linear.
     */
-  def shingles(toks: Column, n: Int = 3): Column = {
-    require(n >= 1, "shingle size must be >= 1")
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(ngrams(toks, n))
+
+  /** Word-level n-grams WITH repeats (positional occurrences) — the
+    * repetition signals need occurrence counts, not the distinct set.
+    * Same linear zip_with-over-shifted-slices construction as [[shingles]].
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, "ngram size must be >= 1")
     val len = greatest(size(toks) - (n - 1), lit(0))
     val joined = (1 until n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
       zip_with(acc, slice(toks, lit(k + 1), len), (a, b) => concat(a, lit(" "), b))
     }
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(joined))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(joined)
   }
 
   /** Common-stopword sets used by the language-ID heuristic and the quality
@@ -150,6 +156,66 @@ object TextAnalysis {
         length(regexp_replace(scrubbed, java.util.regex.Pattern.quote(p), ""))) /
         p.length
     }.reduce(_ + _).cast("long")
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to
+    * word n-grams): per document,
+    *   - `top_word_frac`    — occurrences of the most frequent word / total words;
+    *   - `top_bigram_frac`  — occurrences of the most frequent bigram / total bigrams;
+    *   - `dup_trigram_frac` — fraction of trigram occurrences whose trigram
+    *     appears more than once in the document.
+    * High values flag boilerplate/spam that exact- and near-dedup miss
+    * (repetition is WITHIN the document, not across documents).
+    *
+    * Shape: one explode of the tagged (n, gram) occurrences, then two
+    * hash aggregations — identical to the novelty pipeline, skew-safe, no
+    * per-row quadratic lambda work and no collect_list. All counts are
+    * integers; each fraction is ONE exact double division, so the output is
+    * bit-identical across engines. Documents too short for an n-gram size
+    * get a NULL fraction for it.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val occurrences = toks.select(col(idCol), explode(concat(
+        transform(col("tk"), t => struct(lit(1).as("n"), t.as("gram"))),
+        transform(ngrams(col("tk"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(ngrams(col("tk"), 3), g => struct(lit(3).as("n"), g.as("gram")))))
+        .as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+    val gramCounts = occurrences
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = gramCounts
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("top"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup"))
+    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    perN.groupBy(col(idCol))
+      .agg(
+        pick(1, "total").as("n_words"),
+        (pick(1, "top").cast("double") / pick(1, "total")).as("top_word_frac"),
+        (pick(2, "top").cast("double") / pick(2, "total")).as("top_bigram_frac"),
+        (pick(3, "dup").cast("double") / pick(3, "total")).as("dup_trigram_frac"))
+  }
+
+  /** C4-style cleaning flags (Raffel et al. 2020 §2.2, adapted to
+    * single-line documents): policy-configurable boolean signals plus the
+    * conjunction `keep`. Pure per-row predicates — narrow projection, no
+    * shuffle, fully codegen'd; at 100 TB this runs at scan speed.
+    */
+  def c4Flags(text: Column, blocklist: Seq[String] = Seq("lorem", "javascript"),
+      minWords: Int = 5): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    val nWords = size(toks).cast("long")
+    val blockHits = size(filter(toks, t => t.isin(blocklist.map(lit(_)): _*))).cast("long")
+    Seq(
+      "n_words" -> nWords,
+      "min_words_ok" -> (nWords >= minWords),
+      "ends_with_punct" -> trim(text).rlike("[.!?]$"),
+      "has_curly" -> text.contains("{"),
+      "block_hits" -> blockHits,
+      "keep" -> ((nWords >= minWords) && (blockHits === 0L) && !text.contains("{")))
   }
 
   /** All text-analysis columns applied to a documents DataFrame. */

@@ -81,4 +81,53 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r.getAs[Double]("avg_word_len") == 9.0 / 3) // t-h-e,t-h-e,f-o-x
     assert(r.getAs[Double]("stopword_ratio") == 2.0 / 3)
   }
+
+  test("ngrams keeps repeats; shingles is its distinct set") {
+    val df = one("a b a b a")
+    val grams = df.select(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(grams == Seq("a b", "b a", "a b", "b a"))
+    val sh = df.select(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(sh.toSet == Set("a b", "b a") && sh.size == 2)
+  }
+
+  test("repetitionSignals: exact fractions on a constructed document") {
+    // doc 1: "x x x y" -> words: x:3 y:1 (top 3/4); bigrams: "x x":2,"x y":1
+    // (top 2/3); trigrams: "x x x":1,"x x y":1 (dup 0/2)
+    // doc 2: "a b" -> no trigrams -> NULL dup_trigram_frac
+    val df = Seq((1L, "x x x y"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_words") == 4L)
+    assert(r(0).getAs[Double]("top_word_frac") == 3.0 / 4)
+    assert(r(0).getAs[Double]("top_bigram_frac") == 2.0 / 3)
+    assert(r(0).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(r(1).getAs[Long]("n_words") == 2L)
+    assert(r(1).isNullAt(r(1).fieldIndex("dup_trigram_frac")))
+  }
+
+  test("repetitionSignals flags heavy repetition") {
+    val df = Seq((1L, Seq.fill(20)("spam spam").mkString(" ")),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_trigram_frac") == 1.0) // all trigrams repeat
+    assert(r(1).getAs[Double]("top_word_frac") == 1.0 / 40)
+    assert(r(1).getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("c4Flags: word floor, blocklist, punctuation, braces") {
+    val df = Seq(
+      (1L, "This is a perfectly fine sentence."),
+      (2L, "short"),
+      (3L, "enable javascript to view this page properly"),
+      (4L, "some code here { return 1; } end of it")).toDF("doc_id", "text")
+    val flags = df.select(col("doc_id") +:
+      TextAnalysis.c4Flags(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    assert(flags(0).getAs[Boolean]("keep"))
+    assert(flags(0).getAs[Boolean]("ends_with_punct"))
+    assert(!flags(1).getAs[Boolean]("min_words_ok") && !flags(1).getAs[Boolean]("keep"))
+    assert(flags(2).getAs[Long]("block_hits") == 1L && !flags(2).getAs[Boolean]("keep"))
+    assert(flags(3).getAs[Boolean]("has_curly") && !flags(3).getAs[Boolean]("keep"))
+  }
 }
