@@ -406,6 +406,13 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: SemDeDup — cluster-bounded semantic dedup; within-centroid
+    // co-partitioned self-join, drop cosine-similar higher ids.
+    "q_dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          numCentroids = 8, threshold = 0.3)
+        .orderBy(col("v_id"))),
+
     // ML: embedding-cosine near-dup pairs over a bounded id range.
     "q_sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
@@ -1116,6 +1123,28 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |assign AS (
+         |  SELECT v_id, v_e, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, v.e AS v_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.v_id
+         |  FROM assign a JOIN assign b USING (centroid_id)
+         |  WHERE a.v_id < b.v_id AND ${dCosine("a.v_e", "b.v_e")} >= 0.3)
+         |SELECT s.v_id, s.centroid_id, d.v_id IS NULL AS kept
+         |FROM assign s LEFT JOIN dropped d ON s.v_id = d.v_id
+         |ORDER BY s.v_id""".stripMargin,
 
     "q_sample_stratified" ->
       s"""WITH b AS (

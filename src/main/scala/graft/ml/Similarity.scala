@@ -190,6 +190,38 @@ object Similarity {
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop every vector that has a cosine-similar neighbor
+    * (>= threshold) with a smaller id. Clustering bounds the quadratic
+    * pair work to within-cluster candidates — the defining trick that
+    * makes semantic dedup tractable at corpus scale: the self-join is
+    * co-partitioned on `centroid_id` (one shuffle each side, no
+    * cartesian), and per-cluster pair counts are (n/k)² not n².
+    *
+    * Returns one row per vector: (v_id, centroid_id, kept). Centroid
+    * seeding is the deterministic lowest-id rule shared with [[ivfIndex]];
+    * swap in [[kmeansCentroids]] output at production scale.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    numCentroids: Int, threshold: Double): DataFrame = {
+    val index = ivfIndex(vecs, idCol, vecCol, numCentroids)
+    val a = index.select(col("centroid_id"), col("v_id").as("id_a"),
+      col("v_vec").as("vec_a"))
+    val b = index.select(col("centroid_id"), col("v_id").as("id_b"),
+      col("v_vec").as("vec_b"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("v_id"))
+      .distinct()
+      .withColumn("dropped", lit(true))
+    index.select(col("v_id"), col("centroid_id"))
+      .join(dropped, Seq("v_id"), "left")
+      .select(col("v_id"), col("centroid_id"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, over a
     * *bounded* id range (all-pairs is quadratic by nature; at scale this is
     * run per LSH bucket or per partition window, never globally).

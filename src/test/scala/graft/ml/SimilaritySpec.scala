@@ -51,6 +51,32 @@ class SimilaritySpec extends SparkSuite {
     assert((p(0).getAs[Long]("id_a"), p(0).getAs[Long]("id_b")) == (1L, 2L))
   }
 
+  test("semanticDedup keeps lowest id per similar group, bounded to clusters") {
+    // one cluster: pair (1,2) has cos≈0.994 >= 0.9 -> 2 dropped; 3 and 4
+    // are (near-)orthogonal/opposite to everything -> kept.
+    val r = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        numCentroids = 1, threshold = 0.9)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(2)).toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+
+    // with 2 centroids, 1 and 2 are themselves the centroids and land in
+    // their own clusters -> the (1,2) pair is out of scope, nothing dropped
+    val r2 = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        numCentroids = 2, threshold = 0.9)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(2)).toMap
+    assert(r2.values.forall(identity))
+  }
+
+  test("semanticDedup never drops a vector without a smaller-id neighbor") {
+    val corpus = graft.engine.GraftSession
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      numCentroids = 4, threshold = 0.3).collect()
+    assert(out.length == corpus.count())
+    val minId = out.map(_.getLong(0)).min
+    assert(out.find(_.getLong(0) == minId).get.getBoolean(2)) // min id always kept
+  }
+
   test("persisted IVF index returns exactly the ad-hoc ivfSearch results") {
     val corpus = graft.engine.GraftSession
       .table(spark, "/root/testdata/sf0.001", "embeddings")
