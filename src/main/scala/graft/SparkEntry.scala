@@ -406,6 +406,12 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: exact-substring dup detection — sliding 8-token windows present
+    // in >1 document (passage-level signal that doc-level dedup misses).
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), k = 8)
+        .orderBy(col("span"))),
+
     // ML: SemDeDup — cluster-bounded semantic dedup; within-centroid
     // co-partitioned self-join, drop cosine-similar higher ids.
     "q_dedup_semantic" -> ((s, dir) =>
@@ -1123,6 +1129,21 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+        |    i -> list_aggregate(tk[i:i+7], 'string_agg', ' '))) AS span
+        |  FROM toks WHERE len(tk) >= 8),
+        |c AS (
+        |  SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
+        |  FROM sp GROUP BY span)
+        |SELECT span, n_docs, n_occ, first_doc FROM c
+        |WHERE n_docs > 1 ORDER BY span""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH v AS (

@@ -423,6 +423,35 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  // ----------------------------------------------- duplicated spans
+
+  /** Cross-document duplicated spans: every sliding `k`-token window that
+    * appears in more than one document, with its document count, total
+    * occurrence count and the first (lowest-id) document containing it.
+    * This is the detection half of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") — n-gram
+    * Jaccard and MinHash see *documents*; this sees *passages* copied
+    * between otherwise-different documents.
+    *
+    * Shape: one explode + one hash aggregation keyed on the span. Overlap
+    * between adjacent windows of a long duplicated passage is intentional
+    * (each window independently witnesses the duplication; consumers
+    * coalesce runs by position if they need the maximal span). At 100 TB
+    * the groupBy key should be a 64-bit span hash so the shuffle moves 8
+    * bytes per occurrence, not the text — the string key here is what the
+    * cross-engine oracle can reproduce exactly.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 8): DataFrame =
+    docs.select(col(idCol).as("__did"),
+        explode(TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), k))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("__did")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("__did")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+
   // ----------------------------------------------- edit-distance near-dup
 
   /** Blocked edit-distance near-dup pairs: documents agreeing on

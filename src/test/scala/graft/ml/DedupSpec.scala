@@ -146,4 +146,18 @@ class DedupSpec extends SparkSuite {
     val dist = m(Dedup.clusters(pairs, driverMaxEdges = -1L))
     assert(local == dist)
   }
+
+  test("duplicateSpans finds cross-doc k-token windows, skips within-doc repeats") {
+    import spark.implicits._
+    val passage = "one two three four" // shared 4-token passage
+    val docs = Seq(
+      (1L, s"alpha $passage beta"),
+      (2L, s"gamma delta $passage"),
+      (3L, s"solo text with no sharing here"),
+      (4L, "rep rep rep rep rep rep")). // within-doc repeat only
+      toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(docs, k = 4).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((passage, 2L, 2L, 1L)))
+  }
 }
