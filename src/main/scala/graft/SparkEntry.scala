@@ -184,6 +184,18 @@ object SparkEntry {
         .orderBy(col("bin_start"))
     }),
 
+    // A8+: rollup cascade — build 1-minute mergeable pre-aggregates, merge
+    // them to 1-hour bins WITHOUT rescanning raw events (count-of-counts,
+    // exact sum-of-sums, min-of-mins, max-of-maxes). The oracle aggregates
+    // the raw table directly at 1 h: a hash match proves cascade == direct.
+    "q_counts_cascade" -> ((s, dir) => {
+      val minute = Counts.rollup(t(s, dir, "events"), "ts", "value",
+        Seq("event_type"), 60L * 1000)
+      val hour = Counts.mergeRollup(minute, Seq("event_type"), 3600L * 1000)
+      Counts.finalizeRollup(hour, Seq("event_type"))
+        .orderBy(col("bin_start"), col("event_type"))
+    }),
+
     // A4/J1: binned counts joined back to broadcast top-k groups.
     "q_counts_topk" -> ((s, dir) => {
       Counts
@@ -1492,6 +1504,16 @@ object SparkEntry {
       """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bin_start,
         |  count(*) AS bin_count
         |FROM events GROUP BY 1 ORDER BY bin_start""".stripMargin,
+
+    "q_counts_cascade" ->
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bin_start,
+        |  event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  min(value) AS min_v,
+        |  max(value) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
+        |FROM events GROUP BY 1, 2 ORDER BY bin_start, event_type""".stripMargin,
 
     "q_counts_topk" ->
       """WITH totals AS (

@@ -43,6 +43,48 @@ object Counts {
     df.groupBy(dateBin(col(timeCol), binMillis).as("bin_start"))
       .agg(count(lit(1)).as("bin_count"))
 
+  /** One-level pre-aggregate ("rollup"): per (time bin, groups) partial
+    * stats chosen to be MERGEABLE — count, exact decimal sum, min, max.
+    * This is the materialization the reference's per-minute partition
+    * layout implies (`src/lib.rs:83` 1-minute data granularity): persist
+    * the finest bin once, answer every coarser-bin query from it.
+    */
+  def rollup(df: DataFrame, timeCol: String, valueCol: String,
+             groupCols: Seq[String], binMillis: Long): DataFrame =
+    df.groupBy(dateBin(col(timeCol), binMillis).as("bin_start") +:
+        groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Merge a finer rollup into coarser bins WITHOUT touching raw data:
+    * count-of-counts, sum-of-sums (decimal — exact, order-independent),
+    * min-of-mins, max-of-maxes. At 100 TB this is the difference between
+    * scanning a day of raw events and scanning 1440 pre-aggregated rows
+    * per group: the cascade input is O(bins × groups), independent of raw
+    * volume. `finalize` emits the query-facing frame (doubles + avg); the
+    * non-finalized frame can keep cascading (1m → 1h → 1d).
+    */
+  def mergeRollup(fine: DataFrame, groupCols: Seq[String],
+                  coarseBinMillis: Long): DataFrame =
+    fine.groupBy(dateBin(col("bin_start"), coarseBinMillis).as("bin_start") +:
+        groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).as("sum_dec"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Query-facing view of a rollup: exact decimal sum cast to double once,
+    * average derived by a single exact division. No decimal column leaves.
+    */
+  def finalizeRollup(rollup: DataFrame, groupCols: Seq[String]): DataFrame =
+    rollup.select(col("bin_start") +: groupCols.map(col) :+
+      col("cnt") :+
+      col("sum_dec").cast("double").as("sum_v") :+
+      col("min_v") :+ col("max_v") :+
+      (col("sum_dec").cast("double") / col("cnt")).as("avg_v"): _*)
+
   /** Binned counts broken down by the top-k groups (by total count).
     *
     * Two aggregations over the same shuffle key-space + a broadcast join of
