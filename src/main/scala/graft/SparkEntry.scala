@@ -250,6 +250,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
           col("total_spans"))),
 
+    // J2+: per-trace critical path — longest root-to-leaf duration path
+    // over a deterministic heap-shaped span hierarchy (rank r's parent is
+    // (r-1)/2), durations integer-quantized for exact path sums.
+    "q_trace_critical_path" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val spans = t(s, dir, "events")
+        .select(col("user_id").as("t_id"),
+          (row_number().over(w) - 1).cast("long").as("s_id"),
+          floor(col("value") * 100).cast("long").as("dur"))
+        .withColumn("p_id",
+          when(col("s_id") === 0L, lit(null).cast("long"))
+            .otherwise(((col("s_id") - 1) / 2).cast("long")))
+      Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur")
+        .orderBy(col("trace_id"))
+    }),
+
     // A6: field stats — top-N values of a column with deterministic tiebreak.
     "q_field_stats_top" -> ((s, dir) =>
       FieldStats.statsFrame(t(s, dir, "events"), "event_type")
@@ -1567,6 +1584,36 @@ object SparkEntry {
         |  count(*) OVER () AS total_spans
         |FROM events WHERE user_id = 7
         |ORDER BY ts DESC, event_id DESC""".stripMargin,
+
+    "q_trace_critical_path" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id AS t_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) - 1 AS BIGINT) AS s_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS dur
+        |  FROM events),
+        |sp AS (
+        |  SELECT t_id, s_id,
+        |    CASE WHEN s_id = 0 THEN NULL ELSE (s_id - 1) // 2 END AS p_id, dur
+        |  FROM s),
+        |paths AS (
+        |  SELECT t_id, s_id, dur AS path_dur, CAST(1 AS BIGINT) AS path_len
+        |  FROM sp WHERE p_id IS NULL
+        |  UNION ALL
+        |  SELECT c.t_id, c.s_id, p.path_dur + c.dur, p.path_len + 1
+        |  FROM sp c JOIN paths p ON c.t_id = p.t_id AND c.p_id = p.s_id),
+        |leaves AS (
+        |  SELECT a.t_id, a.s_id FROM sp a
+        |  LEFT JOIN (SELECT DISTINCT t_id, p_id FROM sp WHERE p_id IS NOT NULL) ch
+        |    ON a.t_id = ch.t_id AND a.s_id = ch.p_id
+        |  WHERE ch.p_id IS NULL),
+        |r AS (
+        |  SELECT p.t_id, p.s_id, p.path_dur, p.path_len,
+        |    row_number() OVER (PARTITION BY p.t_id
+        |      ORDER BY p.path_dur DESC, p.s_id ASC) AS rk
+        |  FROM paths p JOIN leaves l ON p.t_id = l.t_id AND p.s_id = l.s_id)
+        |SELECT t_id AS trace_id, s_id AS leaf_span, path_len, path_dur
+        |FROM r WHERE rk = 1 ORDER BY trace_id""".stripMargin,
 
     "q_field_stats_top" ->
       """SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS value_count

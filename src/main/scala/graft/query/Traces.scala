@@ -63,6 +63,56 @@ object Traces {
       .orderBy(col(timeCol).desc, col(spanCol).desc)
   }
 
+  /** Critical path per trace: the root-to-leaf path with the largest total
+    * duration (the APM "where did the time go" view — the reference stops
+    * at the recursive hierarchy, `traces.rs:608-638`; this extends it with
+    * path aggregation). Iterative BFS like [[spanHierarchy]], but each
+    * frontier row carries the accumulated `path_dur`/`path_len`, so level
+    * k+1 is ONE equi-join of spans against the frontier on
+    * (trace, parent). Loop count = trace depth (small constant), never
+    * data size; every join is key-partitioned, no cartesian anywhere.
+    *
+    * `durCol` must be integer-quantized by the caller (exact sums —
+    * float path sums would be order-dependent across engines). Returns one
+    * row per trace: (trace_id, leaf_span, path_len, path_dur), leaf with
+    * the max path duration, ties broken by smallest leaf span id.
+    */
+  def criticalPath(spans: DataFrame, traceCol: String, spanCol: String,
+                   parentCol: String, durCol: String,
+                   maxDepth: Int = 20): DataFrame = {
+    val base = spans.select(col(traceCol).as("t_id"), col(spanCol).as("s_id"),
+        col(parentCol).as("p_id"), col(durCol).cast("long").as("dur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = base.filter(col("p_id").isNull)
+      .select(col("t_id"), col("s_id"),
+        col("dur").as("path_dur"), lit(1L).as("path_len"))
+    var acc = frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = base.as("c")
+        .join(frontier.as("p"),
+          col("c.t_id") === col("p.t_id") && col("c.p_id") === col("p.s_id"))
+        .select(col("c.t_id").as("t_id"), col("c.s_id").as("s_id"),
+          (col("p.path_dur") + col("c.dur")).as("path_dur"),
+          (col("p.path_len") + lit(1L)).as("path_len"))
+      acc = acc.unionByName(next)
+      frontier = next
+      depth += 1
+    }
+    // leaves = spans that are nobody's parent (per trace)
+    val childKeys = base.filter(col("p_id").isNotNull)
+      .select(col("t_id"), col("p_id").as("s_id")).distinct()
+    val leaves = base.select(col("t_id"), col("s_id"))
+      .join(childKeys, Seq("t_id", "s_id"), "left_anti")
+    val w = Window.partitionBy(col("t_id"))
+      .orderBy(col("path_dur").desc, col("s_id").asc)
+    acc.join(leaves, Seq("t_id", "s_id"), "left_semi")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("t_id").as("trace_id"), col("s_id").as("leaf_span"),
+        col("path_len"), col("path_dur"))
+  }
+
   /** Span hierarchy levels — the reference's recursive CTE over
     * parent_span_id (`traces.rs:608-638`, bounded by MAX_TRACE_DEPTH at
     * `:617`) as an iterative BFS: level 0 = roots (null/absent parent),

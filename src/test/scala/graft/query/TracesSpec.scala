@@ -28,4 +28,32 @@ class TracesSpec extends SparkSuite {
     assert(out.count() == 2)
     assert(out.select("span_level").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
   }
+
+  test("criticalPath picks the max-duration root-to-leaf path per trace") {
+    // trace 1:      0(10)
+    //            /        \
+    //         1(5)        2(1)
+    //        /    \
+    //     3(2)    4(20)        -> critical: 0-1-4 = 35, len 3
+    // trace 2: single root 0(7) -> path 7, len 1
+    val spans = Seq(
+      (1L, 0L, Option.empty[Long], 10L),
+      (1L, 1L, Some(0L), 5L), (1L, 2L, Some(0L), 1L),
+      (1L, 3L, Some(1L), 2L), (1L, 4L, Some(1L), 20L),
+      (2L, 0L, Option.empty[Long], 7L))
+      .toDF("t_id", "s_id", "p_id", "dur")
+    val r = Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur")
+      .orderBy("trace_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 4L, 3L, 35L), (2L, 0L, 1L, 7L)))
+  }
+
+  test("criticalPath tiebreaks equal-duration paths by smallest leaf id") {
+    val spans = Seq(
+      (1L, 0L, Option.empty[Long], 1L),
+      (1L, 1L, Some(0L), 3L), (1L, 2L, Some(0L), 3L))
+      .toDF("t_id", "s_id", "p_id", "dur")
+    val r = Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur").collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getLong(3) == 4L)
+  }
 }
