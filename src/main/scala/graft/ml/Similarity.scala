@@ -99,10 +99,25 @@ object Similarity {
     * bucket key for the persisted index.
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-               numCentroids: Int): DataFrame = {
-    val cents = broadcast(
-      corpus.orderBy(col(idCol).asc).limit(numCentroids)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
+               numCentroids: Int): DataFrame =
+    assignToCentroids(corpus, idCol, vecCol,
+      seedCentroids(corpus, idCol, vecCol, numCentroids))
+
+  /** Deterministic centroid seeding shared by [[ivfIndex]] and
+    * [[kmeansCentroids]]: the `k` lowest-id vectors.
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame =
+    corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+
+  /** Nearest-centroid assignment (cosine, centroid-id tiebreak): one
+    * broadcast of the centroid table + a per-vector argmax — a single
+    * corpus pass regardless of k.
+    */
+  def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
     val w = Window.partitionBy(col("v_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
@@ -111,6 +126,44 @@ object Similarity {
       .withColumn("c_rk", row_number().over(w))
       .filter(col("c_rk") === 1)
       .select(col("v_id"), col("v_vec"), col("centroid_id"))
+  }
+
+  /** Lloyd-refined centroids (spherical k-means): `iters` rounds of
+    * assign-to-nearest-by-cosine + per-cluster coordinate mean. Cosine
+    * against an unnormalized mean equals cosine against the normalized
+    * mean, so this IS spherical k-means without the explicit renormalize.
+    *
+    * Each round is one corpus pass: broadcast-assign, then a (cluster,
+    * position) hash aggregation — posexplode keys the shuffle by
+    * (centroid_id, pos), so a round moves k·dim partial sums, not vectors.
+    * Cluster labels stay the seed ids (stable across rounds); a cluster
+    * that loses all members keeps its previous centroid. Feed the result
+    * to [[assignToCentroids]] / [[saveIvfIndex]] for a better-balanced
+    * IVF index than raw seeding gives.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 3): DataFrame = {
+    var cents = seedCentroids(corpus, idCol, vecCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(corpus, idCol, vecCol, cents)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v_vec")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m").cast("float")).as("c_vec"))
+      val next = cents.select(col("centroid_id"), col("c_vec").as("prev_vec"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("c_vec"), col("prev_vec")).as("c_vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the previous round
+      cents.unpersist()
+      cents = next
+    }
+    cents
   }
 
   /** IVF search: probe the `nProbe` nearest centroid lists per query, rank

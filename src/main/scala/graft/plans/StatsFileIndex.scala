@@ -125,15 +125,26 @@ object StatsFileIndex {
   /** A DataFrame over the cataloged files with stats-based file skipping
     * wired into the scan. `schema` comes from one surviving file's footer
     * (or pass explicitly for schema-evolved tables).
+    *
+    * `bucketBy = Some((n, cols))` declares the files as Spark-bucketed
+    * (they must have been WRITTEN by Spark's bucketed writer — the bucket
+    * id is parsed from the `_NNNNN` file-name suffix). The scan then
+    * advertises `HashPartitioning(cols, n)`, so joins/aggregations on the
+    * bucket key over two such reads run with ZERO Exchange — catalog-pruned
+    * scans and shuffle-free joins compose, without a metastore table:
+    * exactly what a 100 TB fact⋈fact join on a path-based catalog needs.
     */
   def read(spark: SparkSession, cat: DataFrame,
-           schema: Option[StructType] = None): DataFrame = {
+           schema: Option[StructType] = None,
+           bucketBy: Option[(Int, Seq[String])] = None): DataFrame = {
     val rows = loadRows(cat)
     val index = new StatsFileIndex(spark, rows)
     val dataSchema = schema.getOrElse(
       spark.read.parquet(rows.map(_.path): _*).schema)
+    val bs = bucketBy.map { case (n, cols) =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil) }
     val relation = HadoopFsRelation(index, new StructType(), dataSchema,
-      bucketSpec = None, fileFormat = new ParquetFileFormat(),
+      bucketSpec = bs, fileFormat = new ParquetFileFormat(),
       options = Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     ColumnBridge.ofRows(spark, LogicalRelation(relation))

@@ -32,4 +32,25 @@ object StreamingCounts {
         col("window.end").as("bin_end")) ++
         groupCols.map(col) :+ col("bin_count")): _*)
   }
+
+  /** Continuously-maintained top-k groups by total count — the streaming
+    * twin of [[graft.query.Counts.topKCounts]]'s totals side (reference
+    * counts top-k, `src/query/mod.rs:708-735`).
+    *
+    * Running counts are the ONLY distributed state (one counter per
+    * group, incrementally merged map-side per micro-batch); the
+    * sort+limit ranks the current totals at each trigger. Requires
+    * `complete` output mode (Structured Streaming only allows
+    * sort-after-aggregation there), which is exactly the top-k contract:
+    * the sink holds k rows, re-emitted per trigger. Ties break by group
+    * ascending, matching the batch operator.
+    */
+  def topKCounts(events: DataFrame, groupCols: Seq[String],
+                 k: Int = 10): DataFrame = {
+    val gcols = groupCols.map(col)
+    events.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("total_count"))
+      .orderBy(col("total_count").desc +: gcols.map(_.asc): _*)
+      .limit(k)
+  }
 }

@@ -77,6 +77,34 @@ class SimilaritySpec extends SparkSuite {
     assert(out.find(_.getLong(0) == minId).get.getBoolean(2)) // min id always kept
   }
 
+  test("kmeansCentroids refines seeds: assignment quality never degrades") {
+    val corpus = graft.engine.GraftSession
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    def quality(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignToCentroids(corpus, "vec_id", "embedding", cents)
+        .join(cents, Seq("centroid_id"))
+        .select(avg(Similarity.cosine($"v_vec", $"c_vec")).as("q"))
+        .as[Double].head()
+    val seeds = Similarity.seedCentroids(corpus, "vec_id", "embedding", 8)
+    val refined = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    assert(refined.count() == 8)
+    // labels are stable (the seed ids), vectors have the original dims
+    assert(refined.select("centroid_id").as[Long].collect().sorted.toSeq ==
+      seeds.select("centroid_id").as[Long].collect().sorted.toSeq)
+    assert(refined.select(size($"c_vec")).as[Int].head() == 64)
+    // spherical-kmeans objective (mean cosine to assigned centroid) improves
+    assert(quality(refined) >= quality(seeds) - 1e-9)
+  }
+
+  test("kmeansCentroids keeps a centroid that loses all members") {
+    // vec 4 = (-1,0,0) seeds a cluster nothing is assigned to after round 1
+    val refined = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2)
+    assert(refined.count() == 4)
+    assert(refined.filter($"c_vec".isNull).count() == 0)
+  }
+
   test("persisted IVF index returns exactly the ad-hoc ivfSearch results") {
     val corpus = graft.engine.GraftSession
       .table(spark, "/root/testdata/sf0.001", "embeddings")

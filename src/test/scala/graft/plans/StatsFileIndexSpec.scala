@@ -85,6 +85,53 @@ class StatsFileIndexSpec extends SparkSuite {
     assert(StatsFileIndex.mayMatch(f,
       Seq(StatsCatalog.Pred("n", StatsCatalog.GtEq, "15"))))
   }
+
+  test("bucketed StatsFileIndex reads join with zero Exchange") {
+    import graft.engine.Distribution
+    val facts = (0L until 1000L).map(i => (i % 50, i, i * 2.0)).toDF("k", "id", "v")
+    val dims = (0L until 50L).map(i => (i, s"n$i")).toDF("k", "name")
+    Distribution.writeBucketed(facts, "sfi_facts", "k", 8)
+    Distribution.writeBucketed(dims, "sfi_dims", "k", 8)
+    try {
+      def catFor(table: String, statCols: Seq[String]) = {
+        val dataDir = new java.io.File(new java.net.URI(
+          spark.table(table).inputFiles.head)).getParent
+        val catDir = Files.createTempDirectory(s"cat_$table").toString
+        StatsCatalog.refresh(spark, dataDir, catDir, statCols)
+        spark.read.parquet(catDir)
+      }
+      // path-based reads (no metastore lookup), declared bucketed
+      val f = StatsFileIndex.read(spark, catFor("sfi_facts", Seq("id")),
+        bucketBy = Some((8, Seq("k"))))
+      val d = StatsFileIndex.read(spark, catFor("sfi_dims", Seq("k")),
+        bucketBy = Some((8, Seq("k"))))
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      try {
+        val joined = f.join(d, "k")
+        assert(Distribution.isShuffleFree(joined),
+          joined.queryExecution.executedPlan.toString)
+        assert(joined.count() == 1000L)
+
+        val agg = f.groupBy(col("k")).agg(sum(col("v")).as("sv"))
+        assert(Distribution.isShuffleFree(agg),
+          agg.queryExecution.executedPlan.toString)
+        assert(agg.count() == 50L)
+
+        // stats pruning still composes with the bucketed scan
+        val filtered = f.filter(col("id") >= 0)
+        assert(filtered.count() == 1000L)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sfi_facts")
+      spark.sql("DROP TABLE IF EXISTS sfi_dims")
+    }
+  }
 }
 
 private object ColumnBridgeHelper {

@@ -60,4 +60,25 @@ class StreamingCountsSpec extends SparkSuite {
       assert(first.toSeq == Seq(1L)) // the late row never re-opened it
     } finally q.stop()
   }
+
+  test("streaming topKCounts re-ranks running totals each trigger") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val topk = StreamingCounts.topKCounts(
+      input.toDF().toDF("kind"), Seq("kind"), k = 2)
+    val q = topk.writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").start()
+    try {
+      input.addData("a", "a", "b", "c")
+      q.processAllAvailable()
+      def snapshot() = spark.table("topk_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      // a=2; b/c tie at 1 -> b wins ascending tiebreak
+      assert(snapshot() == Seq("a" -> 2L, "b" -> 1L))
+      // counts accumulate ACROSS batches; c overtakes
+      input.addData("c", "c", "c")
+      q.processAllAvailable()
+      assert(snapshot() == Seq("c" -> 4L, "a" -> 2L))
+    } finally q.stop()
+  }
 }
