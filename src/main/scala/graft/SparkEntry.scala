@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Analytics, Counts, LogContext, FieldStats, Percentiles, TimeSeries, Traces}
-import graft.ml.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TextRank}
+import graft.ml.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextRank}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -447,6 +447,31 @@ object SparkEntry {
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           numCentroids = 8, threshold = 0.3)
         .orderBy(col("v_id"))),
+
+    // ML: GPT-style sequence packing — concat-then-chunk token layout via
+    // a scalable two-phase prefix sum (no single-partition global window).
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.concatChunks(t(s, dir, "documents"), "doc_id",
+          size(TextAnalysis.tokens(col("text"))), budgetTokens = 512)
+        .orderBy(col("doc_id"))),
+
+    // ML: hard-negative mining — top-k cosine-similar different-label
+    // vectors per query (broadcast queries, one corpus pass).
+    "q_sim_hardneg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // A5+: SRE multi-window burn-rate alert — error rate must exceed the
+    // threshold over BOTH a 6h and a 24h trailing window.
+    "q_alert_burnrate" -> ((s, dir) =>
+      Alerts.burnRate(t(s, dir, "events"), "ts",
+          col("event_type") === "error",
+          binMillis = 3600L * 1000, shortBins = 6, longBins = 24,
+          threshold = 0.21)
+        .orderBy(col("bin_start"))),
 
     // ML: embedding-cosine near-dup pairs over a bounded id range.
     "q_sim_neardup" -> ((s, dir) =>
@@ -1148,6 +1173,70 @@ object SparkEntry {
          |  FROM cand)
          |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 3
          |ORDER BY q_id, rk""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 512 AS pack_id,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (tok_offset + n_tokens - 1) // 512 != tok_offset // 512
+        |    ELSE FALSE END AS spans_boundary
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_sim_hardneg" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+         |    ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c
+         |    ON q.vec_id != c.vec_id AND q.label != c.label
+         |  WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT q_id, n_id, n_label, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM p)
+         |SELECT q_id, n_id, n_label, cosine, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q_alert_burnrate" ->
+      """WITH b AS (
+        |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bin_start,
+        |    count(*) AS total,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS errors
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT bin_start,
+        |    CAST(sum(errors) OVER ws AS BIGINT) AS short_errors,
+        |    CAST(sum(total) OVER ws AS BIGINT) AS short_total,
+        |    CAST(sum(errors) OVER wl AS BIGINT) AS long_errors,
+        |    CAST(sum(total) OVER wl AS BIGINT) AS long_total
+        |  FROM b
+        |  WINDOW ws AS (ORDER BY epoch_ms(bin_start)
+        |      RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW),
+        |    wl AS (ORDER BY epoch_ms(bin_start)
+        |      RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW))
+        |SELECT bin_start, short_errors, short_total, long_errors, long_total,
+        |  CAST(short_errors AS DOUBLE) / short_total AS short_rate,
+        |  CAST(long_errors AS DOUBLE) / long_total AS long_rate
+        |FROM r
+        |WHERE CAST(short_errors AS DOUBLE) / short_total >= 0.21
+        |  AND CAST(long_errors AS DOUBLE) / long_total >= 0.21
+        |ORDER BY bin_start""".stripMargin,
 
     "q_sim_neardup" ->
       s"""WITH v AS (

@@ -243,6 +243,29 @@ object Similarity {
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for each query vector, the top-k most cosine-similar corpus
+    * vectors with a DIFFERENT label — maximally confusable examples that
+    * are known non-matches. Same broadcast-queries/one-corpus-pass shape
+    * as [[knnBruteForce]]; the label inequality is applied before the
+    * per-query top-k window so discarded candidates never rank.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    c.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("n_label"), col("cosine"), col("rk"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then within each
     * cluster drop every vector that has a cosine-similar neighbor

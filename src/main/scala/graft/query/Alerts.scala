@@ -180,6 +180,44 @@ object Alerts {
       zThreshold: Double = 3.0,
       scale: Double = 100.0)
 
+  /** Multi-window burn-rate alert (the SRE workbook's error-budget alert):
+    * per time bin, the error rate over a SHORT trailing window and a LONG
+    * trailing window; a bin fires only when BOTH exceed the threshold —
+    * the short window gives fast detection, the long window keeps one
+    * noisy bin from paging. The reference's fixed-threshold alerts
+    * (`alerts_utils.rs`) can't express this two-horizon condition.
+    *
+    * Shape: the raw stream collapses to per-bin (errors, total) counters
+    * first — the trailing windows then run over O(time-range/bin) rows,
+    * independent of event volume, as RANGE frames on the bin epoch (exact
+    * integer arithmetic; each rate is one exact division).
+    */
+  def burnRate(df: DataFrame, timeCol: String, errorCond: Column,
+               binMillis: Long, shortBins: Int, longBins: Int,
+               threshold: Double): DataFrame = {
+    val binned = df
+      .groupBy(Counts.dateBin(col(timeCol), binMillis).as("bin_start"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(errorCond, 1L).otherwise(0L)).as("errors"))
+    val ms = unix_millis(col("bin_start").cast("timestamp"))
+    def trail(c: String, bins: Int) = sum(col(c)).over(
+      org.apache.spark.sql.expressions.Window.orderBy(ms)
+        .rangeBetween(-(bins - 1L) * binMillis, 0))
+    binned
+      .withColumn("short_errors", trail("errors", shortBins))
+      .withColumn("short_total", trail("total", shortBins))
+      .withColumn("long_errors", trail("errors", longBins))
+      .withColumn("long_total", trail("total", longBins))
+      .withColumn("short_rate",
+        col("short_errors").cast("double") / col("short_total"))
+      .withColumn("long_rate",
+        col("long_errors").cast("double") / col("long_total"))
+      .filter(col("short_rate") >= threshold && col("long_rate") >= threshold)
+      .select(col("bin_start"), col("short_errors"), col("short_total"),
+        col("long_errors"), col("long_total"), col("short_rate"),
+        col("long_rate"))
+  }
+
   // ----------------------------------------------------------- state machine
 
   sealed trait AlertState

@@ -77,6 +77,19 @@ class SimilaritySpec extends SparkSuite {
     assert(out.find(_.getLong(0) == minId).get.getBoolean(2)) // min id always kept
   }
 
+  test("hardNegatives only returns different-label candidates, ranked") {
+    val labeled = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0f), 0),  // same label as 1 -> excluded
+      (3L, Array(0.8f, 0.2f, 0f), 1),  // different label, most similar
+      (4L, Array(0f, 1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(labeled, labeled.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy("rk").collect()
+    assert(r.map(_.getAs[Long]("n_id")).toSeq == Seq(3L, 4L))
+    assert(r.forall(_.getAs[Int]("n_label") == 1))
+  }
+
   test("kmeansCentroids refines seeds: assignment quality never degrades") {
     val corpus = graft.engine.GraftSession
       .table(spark, "/root/testdata/sf0.001", "embeddings")

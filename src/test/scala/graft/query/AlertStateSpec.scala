@@ -59,4 +59,29 @@ class AlertStateSpec extends SparkSuite {
     assert(sm.observe("a2", cfg, Seq(group("api", 42.0))) == Triggered)
     assert(notes.length == 1)
   }
+
+  test("burnRate fires only when BOTH windows exceed the threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // minute bins; short=2 bins, long=4 bins; threshold 0.5
+    // t0: 1/2 errors; t1: 2/2; t2: 0/2; t3: 0/2
+    val t0 = 1700000000000L // t0 % 60000 == 20000, so bins are t0-20s + k min
+    def ev(minute: Int, err: Boolean, n: Int) = (0 until n).map(i =>
+      (new java.sql.Timestamp(t0 + minute * 60000L + i), if (err) "error" else "ok"))
+    val events = (ev(0, true, 1) ++ ev(0, false, 1) ++ ev(1, true, 2) ++
+      ev(2, false, 2) ++ ev(3, false, 2)).toDF("ts", "event_type")
+    val fired = Alerts.burnRate(events, "ts", col("event_type") === "error",
+        binMillis = 60000L, shortBins = 2, longBins = 4, threshold = 0.5)
+      .collect()
+    // only the t1 bin has short-rate 3/4 AND long-rate 3/4 >= 0.5;
+    // t2's short window (t1,t2) is 2/4 = 0.5 but long is 3/6 = 0.5 -> fires too
+    def ms(r: org.apache.spark.sql.Row) =
+      r.getAs[java.time.LocalDateTime](0).toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli
+    val bins = fired.map(ms).sorted
+    assert(bins.nonEmpty && bins.forall(b => (b - (t0 - 20000)) % 60000 == 0))
+    val t1bin = fired.find(r => ms(r) == (t0 - 20000) + 60000L)
+    assert(t1bin.isDefined)
+    assert(t1bin.get.getAs[Double]("short_rate") == 3.0 / 4)
+  }
 }
