@@ -263,7 +263,13 @@ object SparkEntry {
         .withColumn("p_id",
           when(col("s_id") === 0L, lit(null).cast("long"))
             .otherwise(((col("s_id") - 1) / 2).cast("long")))
-      Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur")
+      // heap depth is known from the fan-out: floor(log2(maxSpans)) + 1 —
+      // pass it and skip the per-level termination jobs (single-job plan)
+      val maxSpans = spans.groupBy(col("t_id")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      val depth = (63 - java.lang.Long.numberOfLeadingZeros(maxSpans)).toInt + 1
+      Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur",
+          maxDepth = depth, eagerCheck = false)
         .orderBy(col("trace_id"))
     }),
 

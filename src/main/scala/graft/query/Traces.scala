@@ -76,25 +76,45 @@ object Traces {
     * float path sums would be order-dependent across engines). Returns one
     * row per trace: (trace_id, leaf_span, path_len, path_dur), leaf with
     * the max path duration, ties broken by smallest leaf span id.
+    *
+    * With `eagerCheck` (default) each level is counted as it materializes
+    * and the loop stops at the first empty frontier — right when depth is
+    * unknown. When the caller KNOWS a depth bound (e.g. a balanced
+    * hierarchy), `eagerCheck = false` skips every per-level job: the plan
+    * is built lazily across all levels and executes as ONE Spark job over
+    * the cached base — no sequential barriers, full cluster parallelism.
     */
   def criticalPath(spans: DataFrame, traceCol: String, spanCol: String,
                    parentCol: String, durCol: String,
-                   maxDepth: Int = 20): DataFrame = {
+                   maxDepth: Int = 20, eagerCheck: Boolean = true): DataFrame = {
+    // one up-front hash partition on the trace id: HashPartitioning(t_id)
+    // satisfies the ClusteredDistribution of every (t_id, parent) level
+    // join AND the final per-trace window/anti-join, so the whole BFS runs
+    // with a single Exchange regardless of depth.
     val base = spans.select(col(traceCol).as("t_id"), col(spanCol).as("s_id"),
         col(parentCol).as("p_id"), col(durCol).cast("long").as("dur"))
+      .repartition(col("t_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every frontier is persisted and materialized ONCE: the level-k join
+    // reads the cached level k-1 (not a k-deep recomputed lineage, which
+    // would make the loop quadratic in depth), and the same count drives
+    // the termination check — one job per level, not two.
     var frontier = base.filter(col("p_id").isNull)
       .select(col("t_id"), col("s_id"),
         col("dur").as("path_dur"), lit(1L).as("path_len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var acc = frontier
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    var frontierRows = if (eagerCheck) frontier.count() else 1L
+    while (depth < maxDepth && frontierRows > 0) {
       val next = base.as("c")
         .join(frontier.as("p"),
           col("c.t_id") === col("p.t_id") && col("c.p_id") === col("p.s_id"))
         .select(col("c.t_id").as("t_id"), col("c.s_id").as("s_id"),
           (col("p.path_dur") + col("c.dur")).as("path_dur"),
           (col("p.path_len") + lit(1L)).as("path_len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (eagerCheck) frontierRows = next.count()
       acc = acc.unionByName(next)
       frontier = next
       depth += 1
