@@ -263,13 +263,10 @@ object SparkEntry {
         .withColumn("p_id",
           when(col("s_id") === 0L, lit(null).cast("long"))
             .otherwise(((col("s_id") - 1) / 2).cast("long")))
-      // heap depth is known from the fan-out: floor(log2(maxSpans)) + 1 —
-      // pass it and skip the per-level termination jobs (single-job plan)
-      val maxSpans = spans.groupBy(col("t_id")).count()
-        .agg(max(col("count"))).collect()(0).getLong(0)
-      val depth = (63 - java.lang.Long.numberOfLeadingZeros(maxSpans)).toInt + 1
-      Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur",
-          maxDepth = depth, eagerCheck = false)
+      // traces are bounded (≤ spans-per-user), so the single-shuffle
+      // grouped plan beats the iterative BFS: one Exchange, no caching,
+      // no per-level jobs — the right shape at 100 TB too.
+      Traces.criticalPathGrouped(spans, "t_id", "s_id", "p_id", "dur")
         .orderBy(col("trace_id"))
     }),
 

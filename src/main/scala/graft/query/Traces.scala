@@ -133,6 +133,80 @@ object Traces {
         col("path_len"), col("path_dur"))
   }
 
+  /** Critical path per trace, single-shuffle variant for BOUNDED traces.
+    *
+    * APM traces are small by construction (the reference bounds trace depth
+    * — `traces.rs:617` MAX_TRACE_DEPTH — and span fan-out is bounded by the
+    * instrumented request), so one trace always fits in memory. That makes
+    * the iterative-join BFS of [[criticalPath]] the wrong plan shape at
+    * scale: depth sequential joins + caches, when ONE hash partition on the
+    * trace id brings every span of a trace to the same task. This variant
+    * is that plan: groupByKey(trace) → mapGroups, computing the max
+    * root-to-leaf duration path per trace with an O(spans) in-memory DP.
+    * No iteration, no persistence, exactly one Exchange; at 100 TB the cost
+    * is the same single shuffle a groupBy-count would pay.
+    *
+    * Semantics identical to [[criticalPath]] (integer path sums; leaf = span
+    * that is nobody's parent; ties broken by smallest leaf id; rows deeper
+    * than `maxDepth` are not reachable and thus never become leaf paths).
+    * Use [[criticalPath]] only when a single trace may exceed task memory.
+    */
+  def criticalPathGrouped(spans: DataFrame, traceCol: String, spanCol: String,
+                          parentCol: String, durCol: String,
+                          maxDepth: Int = 20): DataFrame = {
+    val ss = spans.sparkSession
+    import ss.implicits._
+    val depthBound = maxDepth
+    spans.select(col(traceCol).cast("long").as("t_id"),
+        col(spanCol).cast("long").as("s_id"),
+        col(parentCol).cast("long").as("p_id"),
+        col(durCol).cast("long").as("dur"))
+      .as[(Long, Long, Option[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (trace, it) =>
+        val rows = it.toArray
+        val byId = new java.util.HashMap[Long, (Option[Long], Long)](rows.length * 2)
+        val isParent = new java.util.HashSet[Long](rows.length * 2)
+        rows.foreach { case (_, s, p, d) =>
+          byId.put(s, (p, d)); p.foreach(isParent.add(_))
+        }
+        // path_dur/path_len from the root, memoized; spans past depthBound
+        // or on a cycle/orphan chain are unreachable (None), matching the
+        // BFS's depth guard.
+        val memo = new java.util.HashMap[Long, Option[(Long, Long)]](rows.length * 2)
+        def pathTo(s: Long): Option[(Long, Long)] = {
+          val cached = memo.get(s)
+          if (cached != null) cached
+          else {
+            memo.put(s, None) // cycle guard: revisiting mid-computation → unreachable
+            val r = byId.get(s) match {
+              case null => None
+              case (None, d) => Some((d, 1L))
+              case (Some(p), d) =>
+                // BFS runs maxDepth join levels → paths up to len maxDepth+1
+                pathTo(p).collect {
+                  case (pd, pl) if pl <= depthBound => (pd + d, pl + 1L)
+                }
+            }
+            memo.put(s, r)
+            r
+          }
+        }
+        var best: Option[(Long, Long, Long)] = None // (leaf, len, dur)
+        rows.foreach { case (_, s, _, _) =>
+          if (!isParent.contains(s)) pathTo(s).foreach { case (d, l) =>
+            val better = best match {
+              case None => true
+              case Some((bs, _, bd)) => d > bd || (d == bd && s < bs)
+            }
+            if (better) best = Some((s, l, d))
+          }
+        }
+        best.map { case (s, l, d) => (trace, s, l, d) }.iterator
+      }
+      .toDF("trace_id", "leaf_span", "path_len", "path_dur")
+  }
+
   /** Span hierarchy levels — the reference's recursive CTE over
     * parent_span_id (`traces.rs:608-638`, bounded by MAX_TRACE_DEPTH at
     * `:617`) as an iterative BFS: level 0 = roots (null/absent parent),

@@ -73,4 +73,41 @@ class TracesSpec extends SparkSuite {
     val r = Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur").collect()
     assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getLong(3) == 4L)
   }
+
+  test("criticalPathGrouped equals the BFS on a synthetic heap forest") {
+    // heap-shaped traces like the gated query builds: rank r's parent is
+    // (r-1)/2, sizes 1..40 across traces, pseudo-random-ish durations
+    val spans = (1L to 12L).flatMap { t =>
+      val n = (t * 7 % 40 + 1).toInt
+      (0 until n).map { r =>
+        (t, r.toLong, if (r == 0) Option.empty[Long] else Some(((r - 1) / 2).toLong),
+          (r * 31 + t * 17) % 97 + 1)
+      }
+    }.toDF("t_id", "s_id", "p_id", "dur")
+    val bfs = Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur")
+      .orderBy("trace_id").collect().toSeq
+    val grouped = Traces.criticalPathGrouped(spans, "t_id", "s_id", "p_id", "dur")
+      .orderBy("trace_id").collect().toSeq
+    assert(bfs == grouped)
+  }
+
+  test("criticalPathGrouped equals the BFS on orphans, cycles and the depth guard") {
+    val spans = Seq(
+      // trace 1: chain of 5 under maxDepth=3 — deep leaf unreachable in both
+      (1L, 0L, Option.empty[Long], 1L), (1L, 1L, Some(0L), 1L),
+      (1L, 2L, Some(1L), 1L), (1L, 3L, Some(2L), 1L), (1L, 4L, Some(3L), 1L),
+      // trace 2: orphan subtree (parent 99 never appears) + real root
+      (2L, 0L, Option.empty[Long], 5L), (2L, 7L, Some(99L), 100L),
+      (2L, 8L, Some(7L), 100L),
+      // trace 3: pure 2-cycle, no root at all → no output row
+      (3L, 1L, Some(2L), 1L), (3L, 2L, Some(1L), 1L))
+      .toDF("t_id", "s_id", "p_id", "dur")
+    for (d <- Seq(3, 20)) {
+      val bfs = Traces.criticalPath(spans, "t_id", "s_id", "p_id", "dur",
+        maxDepth = d).orderBy("trace_id").collect().toSeq
+      val grouped = Traces.criticalPathGrouped(spans, "t_id", "s_id", "p_id",
+        "dur", maxDepth = d).orderBy("trace_id").collect().toSeq
+      assert(bfs == grouped, s"maxDepth=$d")
+    }
+  }
 }
