@@ -433,24 +433,43 @@ object Dedup {
     * Jaccard and MinHash see *documents*; this sees *passages* copied
     * between otherwise-different documents.
     *
-    * Shape: one explode + one hash aggregation keyed on the span. Overlap
-    * between adjacent windows of a long duplicated passage is intentional
-    * (each window independently witnesses the duplication; consumers
-    * coalesce runs by position if they need the maximal span). At 100 TB
-    * the groupBy key should be a 64-bit span hash so the shuffle moves 8
-    * bytes per occurrence, not the text — the string key here is what the
-    * cross-engine oracle can reproduce exactly.
+    * Overlap between adjacent windows of a long duplicated passage is
+    * intentional (each window independently witnesses the duplication;
+    * consumers coalesce runs by position if they need the maximal span).
+    *
+    * Shape: TWO passes so the big shuffle never carries text. Pass 1
+    * aggregates on a 64-bit span hash (8 bytes per occurrence on the wire)
+    * and keeps hashes seen in >1 document — an over-approximation (a hash
+    * collision can only ADD a candidate, never drop one). Pass 2 re-explodes,
+    * keeps only candidate hashes (broadcast semi-join — the duplicate set is
+    * tiny relative to the corpus), and re-aggregates by the exact span
+    * string, which eliminates any collision and yields exact counts. Same
+    * result as a direct string groupBy; the wide shuffle shrinks from
+    * O(corpus text) to O(8B × windows).
     */
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text", k: Int = 8): DataFrame =
-    docs.select(col(idCol).as("__did"),
-        explode(TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), k))
-          .as("span"))
+                     textCol: String = "text", k: Int = 8): DataFrame = {
+    val exploded = docs.select(col(idCol).as("__did"),
+      explode(TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), k))
+        .as("span"))
+    // ">1 distinct doc" ⟺ min(doc) != max(doc): min/max partial-aggregate
+    // map-side, unlike countDistinct which would expand to distinct
+    // (hash, doc) pairs before the shuffle.
+    val dupHashes = exploded
+      .select(xxhash64(col("span")).as("__h"), col("__did"))
+      .groupBy(col("__h"))
+      .agg(min(col("__did")).as("d0"), max(col("__did")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("__h"))
+    exploded
+      .join(broadcast(dupHashes), xxhash64(col("span")) === col("__h"),
+        "left_semi")
       .groupBy(col("span"))
       .agg(countDistinct(col("__did")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("__did")).as("first_doc"))
       .filter(col("n_docs") > 1)
+  }
 
   // ----------------------------------------------- edit-distance near-dup
 
