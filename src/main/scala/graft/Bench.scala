@@ -1,12 +1,28 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import graft.engine.GraftSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR with
   * the engine's tuned session (AQE, broadcast threshold, parquet pushdown)
   * and prints ONE JSON line for the driver.
+  *
+  * The driver captures only the LAST ~2000 characters of stdout, so the
+  * printed line must stay under that budget even as the query set grows:
+  * per-query times are emitted slowest-first, truncated to 3 decimals, and
+  * greedily packed until the line would exceed the budget ("nq" always
+  * records how many queries the totals cover). The untruncated full-precision
+  * map is written to bench_full.json next to the repo for offline reading.
   */
 object Bench {
+  /** Max characters for the printed JSON line. The driver keeps the last
+    * 2000 chars of output; sbt appends a "[success] Total time …" line
+    * (~80 chars) after ours and Spark may emit a stray WARN, so leave slack.
+    */
+  private val LineBudget = 1600
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -23,9 +39,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    try Files.write(Paths.get("bench_full.json"), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+
+    // Compact line: slowest queries first so whatever fits is the most
+    // informative subset; pack greedily up to the budget.
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"sf":"$sfDir","queries":{"""
+    val footer = "}}"
+    val sb = new StringBuilder(header)
+    var first = true
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + f""""$k":$v%.3f"""
+      if (sb.length + entry.length + footer.length <= LineBudget) {
+        sb.append(entry); first = false
+      }
+    }
+    sb.append(footer)
+    println(sb.toString)
     spark.stop()
   }
 }

@@ -1693,7 +1693,8 @@ object SparkEntry {
         |  FROM sp WHERE p_id IS NULL
         |  UNION ALL
         |  SELECT c.t_id, c.s_id, p.path_dur + c.dur, p.path_len + 1
-        |  FROM sp c JOIN paths p ON c.t_id = p.t_id AND c.p_id = p.s_id),
+        |  FROM sp c JOIN paths p ON c.t_id = p.t_id AND c.p_id = p.s_id
+        |  WHERE p.path_len <= 20),
         |leaves AS (
         |  SELECT a.t_id, a.s_id FROM sp a
         |  LEFT JOIN (SELECT DISTINCT t_id, p_id FROM sp WHERE p_id IS NOT NULL) ch

@@ -441,11 +441,19 @@ object Dedup {
     * aggregates on a 64-bit span hash (8 bytes per occurrence on the wire)
     * and keeps hashes seen in >1 document — an over-approximation (a hash
     * collision can only ADD a candidate, never drop one). Pass 2 re-explodes,
-    * keeps only candidate hashes (broadcast semi-join — the duplicate set is
-    * tiny relative to the corpus), and re-aggregates by the exact span
-    * string, which eliminates any collision and yields exact counts. Same
-    * result as a direct string groupBy; the wide shuffle shrinks from
+    * keeps only candidate hashes (semi-join), and re-aggregates by the exact
+    * span string, which eliminates any collision and yields exact counts.
+    * Same result as a direct string groupBy; the wide shuffle shrinks from
     * O(corpus text) to O(8B × windows).
+    *
+    * The semi-join is deliberately NOT hint-forced to broadcast: the
+    * duplicated-hash set is data-dependent and unbounded (heavily duplicated
+    * corpora are exactly this workload), and a forced broadcast would OOM
+    * the driver past Spark's 8 GB limit. The candidate set materializes at a
+    * shuffle boundary (the pass-1 aggregate), so AQE sees its EXACT size at
+    * runtime and converts the join to broadcast-hash only when it fits under
+    * autoBroadcastJoinThreshold; otherwise it stays a shuffled semi-join on
+    * the 8-byte hash — still never moving text.
     */
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 8): DataFrame = {
@@ -462,8 +470,7 @@ object Dedup {
       .filter(col("d0") =!= col("d1"))
       .select(col("__h"))
     exploded
-      .join(broadcast(dupHashes), xxhash64(col("span")) === col("__h"),
-        "left_semi")
+      .join(dupHashes, xxhash64(col("span")) === col("__h"), "left_semi")
       .groupBy(col("span"))
       .agg(countDistinct(col("__did")).as("n_docs"),
         count(lit(1)).as("n_occ"),

@@ -133,11 +133,42 @@ object StatsFileIndex {
     * bucket key over two such reads run with ZERO Exchange — catalog-pruned
     * scans and shuffle-free joins compose, without a metastore table:
     * exactly what a 100 TB fact⋈fact join on a path-based catalog needs.
+    *
+    * The declaration is VALIDATED against the cataloged file names before
+    * the relation is built: a file whose name carries no parseable bucket
+    * id, or a bucket id outside `[0, n)`, throws IllegalArgumentException —
+    * silently advertising a HashPartitioning the files don't satisfy would
+    * remove the Exchange a correct join needs and return wrong results.
+    * The one mis-declaration names alone cannot catch: `n` LARGER than the
+    * written bucket count whose ids all still fall inside `[0, n)` (empty
+    * buckets are legal, so ids 0..7 under a declared 16 look identical to a
+    * half-empty 16-bucket table). Declaring the exact count the files were
+    * written with remains the caller's contract.
     */
   def read(spark: SparkSession, cat: DataFrame,
            schema: Option[StructType] = None,
            bucketBy: Option[(Int, Seq[String])] = None): DataFrame = {
     val rows = loadRows(cat)
+    bucketBy.foreach { case (n, cols) =>
+      // same name shape Spark's bucketed writer produces and its reader
+      // parses (BucketingUtils): ..._NNNNN[.ext]
+      val bucketIdRe = """.*_(\d+)(?:\..*)?$""".r
+      rows.foreach { r =>
+        val name = new Path(r.path).getName
+        name match {
+          case bucketIdRe(id) =>
+            val i = BigInt(id)
+            require(i < n,
+              s"read(bucketBy=($n, $cols)): file '$name' carries bucket id " +
+                s"$i >= declared numBuckets $n — the files were not written " +
+                s"with this bucket spec; scanning them as such would yield " +
+                s"wrong join/aggregate results")
+          case _ => throw new IllegalArgumentException(
+            s"read(bucketBy=($n, $cols)): file '$name' has no _NNNNN bucket " +
+              s"suffix — it was not written by Spark's bucketed writer")
+        }
+      }
+    }
     val index = new StatsFileIndex(spark, rows)
     val dataSchema = schema.getOrElse(
       spark.read.parquet(rows.map(_.path): _*).schema)

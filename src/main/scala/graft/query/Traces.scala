@@ -98,11 +98,16 @@ object Traces {
     // every frontier is persisted and materialized ONCE: the level-k join
     // reads the cached level k-1 (not a k-deep recomputed lineage, which
     // would make the loop quadratic in depth), and the same count drives
-    // the termination check — one job per level, not two.
+    // the termination check — one job per level, not two. All frontiers
+    // stay cached until the final result materializes (acc unions every
+    // level), then everything intermediate is dropped so repeated calls in
+    // a long-lived session don't accumulate executor storage.
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame](base)
     var frontier = base.filter(col("p_id").isNull)
       .select(col("t_id"), col("s_id"),
         col("dur").as("path_dur"), lit(1L).as("path_len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted += frontier
     var acc = frontier
     var depth = 0
     var frontierRows = if (eagerCheck) frontier.count() else 1L
@@ -114,6 +119,7 @@ object Traces {
           (col("p.path_dur") + col("c.dur")).as("path_dur"),
           (col("p.path_len") + lit(1L)).as("path_len"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += next
       if (eagerCheck) frontierRows = next.count()
       acc = acc.unionByName(next)
       frontier = next
@@ -126,11 +132,18 @@ object Traces {
       .join(childKeys, Seq("t_id", "s_id"), "left_anti")
     val w = Window.partitionBy(col("t_id"))
       .orderBy(col("path_dur").desc, col("s_id").asc)
-    acc.join(leaves, Seq("t_id", "s_id"), "left_semi")
+    val result = acc.join(leaves, Seq("t_id", "s_id"), "left_semi")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("t_id").as("trace_id"), col("s_id").as("leaf_span"),
         col("path_len"), col("path_dur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: materialize the (one-row-per-trace) answer while the frontier
+    // caches are still live, then release base + every level. The returned
+    // frame keeps only the small result cached; callers may unpersist it.
+    result.count()
+    persisted.foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** Critical path per trace, single-shuffle variant for BOUNDED traces.
@@ -172,25 +185,54 @@ object Traces {
         }
         // path_dur/path_len from the root, memoized; spans past depthBound
         // or on a cycle/orphan chain are unreachable (None), matching the
-        // BFS's depth guard.
+        // BFS's depth guard. Iterative (ascend the parent chain, then fold
+        // back down): stack depth stays O(1) no matter how deep the chain —
+        // recursion here would overflow on the multi-thousand-span chains
+        // a 100 TB trace store will contain.
         val memo = new java.util.HashMap[Long, Option[(Long, Long)]](rows.length * 2)
-        def pathTo(s: Long): Option[(Long, Long)] = {
-          val cached = memo.get(s)
-          if (cached != null) cached
-          else {
-            memo.put(s, None) // cycle guard: revisiting mid-computation → unreachable
-            val r = byId.get(s) match {
-              case null => None
-              case (None, d) => Some((d, 1L))
-              case (Some(p), d) =>
-                // BFS runs maxDepth join levels → paths up to len maxDepth+1
-                pathTo(p).collect {
-                  case (pd, pl) if pl <= depthBound => (pd + d, pl + 1L)
+        def pathTo(start: Long): Option[(Long, Long)] = {
+          val cached0 = memo.get(start)
+          if (cached0 != null) return cached0
+          // ascend: collect unresolved ancestors bottom-up until a memoized
+          // node, the root, a missing parent (orphan), or a cycle.
+          val chain = new scala.collection.mutable.ArrayBuffer[Long]()
+          val onChain = new java.util.HashSet[Long]()
+          var cur = start
+          // value of the node ABOVE the top of `chain` (virtual parent of a
+          // root = (0,0) so the root folds to (d,1) like the BFS seed)
+          var above: Option[(Long, Long)] = null
+          while (above == null) {
+            val c = memo.get(cur)
+            if (c != null) above = c
+            else byId.get(cur) match {
+              case null => above = None // orphan: parent id absent from trace
+              case (pOpt, _) =>
+                chain += cur
+                onChain.add(cur)
+                pOpt match {
+                  case None => above = Some((0L, 0L))
+                  case Some(p) =>
+                    if (onChain.contains(p)) above = None // cycle
+                    else cur = p
                 }
             }
-            memo.put(s, r)
-            r
           }
+          // fold down: child len = parent len + 1, valid only while the
+          // parent is within depthBound (BFS runs maxDepth join levels →
+          // paths up to len maxDepth+1); memoize every node on the way.
+          var res = above
+          var i = chain.length - 1
+          while (i >= 0) {
+            val s = chain(i)
+            val d = byId.get(s)._2
+            res = res match {
+              case Some((pd, pl)) if pl <= depthBound => Some((pd + d, pl + 1L))
+              case _ => None
+            }
+            memo.put(s, res)
+            i -= 1
+          }
+          res
         }
         var best: Option[(Long, Long, Long)] = None // (leaf, len, dur)
         rows.foreach { case (_, s, _, _) =>

@@ -132,6 +132,37 @@ class StatsFileIndexSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS sfi_dims")
     }
   }
+
+  test("bucketBy declaration is validated against cataloged file names") {
+    import graft.engine.Distribution
+    // 1) files not written by the bucketed writer (no _NNNNN suffix) → reject
+    val dir = Files.createTempDirectory("sfival").toString
+    (0L until 10L).toDF("id").coalesce(1).write.parquet(s"$dir/t")
+    StatsCatalog.refresh(spark, s"$dir/t", s"$dir/cat", Seq("id"))
+    val plainCat = spark.read.parquet(s"$dir/cat")
+    val e1 = intercept[IllegalArgumentException] {
+      StatsFileIndex.read(spark, plainCat, bucketBy = Some((8, Seq("id"))))
+    }
+    assert(e1.getMessage.contains("bucket"))
+
+    // 2) written with 8 buckets but declared 4 → some file id >= 4 → reject
+    val facts = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "id")
+    Distribution.writeBucketed(facts, "sfi_val", "k", 8)
+    try {
+      val dataDir = new java.io.File(new java.net.URI(
+        spark.table("sfi_val").inputFiles.head)).getParent
+      val catDir = Files.createTempDirectory("cat_sfi_val").toString
+      StatsCatalog.refresh(spark, dataDir, catDir, Seq("k"))
+      val cat = spark.read.parquet(catDir)
+      val e2 = intercept[IllegalArgumentException] {
+        StatsFileIndex.read(spark, cat, bucketBy = Some((4, Seq("k"))))
+      }
+      assert(e2.getMessage.contains("numBuckets"))
+      // correct declaration still builds
+      val ok = StatsFileIndex.read(spark, cat, bucketBy = Some((8, Seq("k"))))
+      assert(ok.count() == 1000L)
+    } finally spark.sql("DROP TABLE IF EXISTS sfi_val")
+  }
 }
 
 private object ColumnBridgeHelper {

@@ -110,4 +110,24 @@ class TracesSpec extends SparkSuite {
       assert(bfs == grouped, s"maxDepth=$d")
     }
   }
+
+  test("criticalPathGrouped survives a 200k-span parent chain (no recursion)") {
+    // one trace = one straight chain far deeper than any JVM stack; the
+    // depth guard makes every span past maxDepth+1 unreachable, so the
+    // answer is the maxDepth-bounded path — but computing that must not
+    // recurse chain-length deep.
+    val n = 200000
+    val spans = (0 until n).map { r =>
+      (1L, r.toLong, if (r == 0) Option.empty[Long] else Some(r - 1L), 1L)
+    }.toDF("t_id", "s_id", "p_id", "dur")
+    val rows = Traces.criticalPathGrouped(spans, "t_id", "s_id", "p_id", "dur",
+      maxDepth = 20).collect()
+    // the only leaf (span n-1) is unreachable within the bound → no row
+    assert(rows.isEmpty)
+    // with a bound >= chain length the full path comes back
+    val full = Traces.criticalPathGrouped(spans, "t_id", "s_id", "p_id", "dur",
+      maxDepth = n).collect()
+    assert(full.length == 1 && full(0).getLong(2) == n.toLong &&
+      full(0).getLong(3) == n.toLong)
+  }
 }
