@@ -444,6 +444,13 @@ object SparkEntry {
       Dedup.duplicateSpans(t(s, dir, "documents"), k = 8)
         .orderBy(col("span"))),
 
+    // ML: maximal duplicated passages — overlapping/adjacent duplicated
+    // windows coalesced per document into [start,end] token ranges with the
+    // passage text (the actionable output of exact-substring dedup).
+    "q_dedup_spans_max" -> ((s, dir) =>
+      Dedup.maximalDuplicateSpans(t(s, dir, "documents"), k = 8)
+        .orderBy(col("doc_id"), col("start_tok"))),
+
     // ML: SemDeDup — cluster-bounded semantic dedup; within-centroid
     // co-partitioned self-join, drop cosine-similar higher ids.
     "q_dedup_semantic" -> ((s, dir) =>
@@ -1265,6 +1272,39 @@ object SparkEntry {
         |  FROM sp GROUP BY span)
         |SELECT span, n_docs, n_occ, first_doc FROM c
         |WHERE n_docs > 1 ORDER BY span""".stripMargin,
+
+    "q_dedup_spans_max" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+        |    i -> struct_pack(p := i,
+        |      span := list_aggregate(tk[i:i+7], 'string_agg', ' ')))) AS w
+        |  FROM toks WHERE len(tk) >= 8),
+        |sp AS (SELECT doc_id, w.p AS p, w.span AS span FROM sp0),
+        |dup AS (
+        |  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+        |occ AS (
+        |  SELECT doc_id, p FROM sp WHERE span IN (SELECT span FROM dup)),
+        |brk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM occ),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM brk),
+        |agg AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
+        |    CAST(max(p) + 7 AS BIGINT) AS end_tok,
+        |    CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM isl GROUP BY doc_id, g)
+        |SELECT a.doc_id, a.start_tok, a.end_tok, a.n_windows,
+        |  list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ') AS passage
+        |FROM agg a JOIN toks t USING (doc_id)
+        |ORDER BY a.doc_id, a.start_tok""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH v AS (

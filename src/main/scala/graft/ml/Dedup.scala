@@ -437,45 +437,123 @@ object Dedup {
     * intentional (each window independently witnesses the duplication;
     * consumers coalesce runs by position if they need the maximal span).
     *
-    * Shape: TWO passes so the big shuffle never carries text. Pass 1
-    * aggregates on a 64-bit span hash (8 bytes per occurrence on the wire)
-    * and keeps hashes seen in >1 document — an over-approximation (a hash
-    * collision can only ADD a candidate, never drop one). Pass 2 re-explodes,
-    * keeps only candidate hashes (semi-join), and re-aggregates by the exact
-    * span string, which eliminates any collision and yields exact counts.
-    * Same result as a direct string groupBy; the wide shuffle shrinks from
-    * O(corpus text) to O(8B × windows).
+    * Shape: TWO passes so the big shuffle never carries text — and neither
+    * pass ever BUILDS the span string for a non-surviving window. Windows
+    * are (doc, position, hash) triples where the 64-bit hash is computed
+    * directly over the k-token array slice (no concatenated string
+    * allocation). Pass 1 aggregates on the hash (8 bytes per occurrence on
+    * the wire) and keeps hashes seen in >1 document — an over-approximation
+    * (a hash collision can only ADD a candidate, never drop one). Pass 2
+    * semi-joins the windows to the candidate hashes, joins the (small)
+    * survivor set back to the token arrays to materialize span text for
+    * survivors only, and re-aggregates by the exact span string, which
+    * eliminates any collision and yields exact counts. Same result as a
+    * direct string groupBy; the wide shuffles carry 8-byte hashes and
+    * survivor strings, never the corpus text.
     *
-    * The semi-join is deliberately NOT hint-forced to broadcast: the
-    * duplicated-hash set is data-dependent and unbounded (heavily duplicated
-    * corpora are exactly this workload), and a forced broadcast would OOM
-    * the driver past Spark's 8 GB limit. The candidate set materializes at a
-    * shuffle boundary (the pass-1 aggregate), so AQE sees its EXACT size at
-    * runtime and converts the join to broadcast-hash only when it fits under
-    * autoBroadcastJoinThreshold; otherwise it stays a shuffled semi-join on
-    * the 8-byte hash — still never moving text.
+    * Neither join is hint-forced to broadcast: the duplicated-hash set is
+    * data-dependent and unbounded (heavily duplicated corpora are exactly
+    * this workload), and a forced broadcast would OOM the driver past
+    * Spark's 8 GB limit. Both small sides materialize at shuffle boundaries,
+    * so AQE sees their EXACT runtime sizes and converts each join to
+    * broadcast-hash only when it fits under autoBroadcastJoinThreshold.
     */
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 8): DataFrame = {
-    val exploded = docs.select(col(idCol).as("__did"),
-      explode(TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), k))
-        .as("span"))
-    // ">1 distinct doc" ⟺ min(doc) != max(doc): min/max partial-aggregate
-    // map-side, unlike countDistinct which would expand to distinct
-    // (hash, doc) pairs before the shuffle.
-    val dupHashes = exploded
-      .select(xxhash64(col("span")).as("__h"), col("__did"))
-      .groupBy(col("__h"))
-      .agg(min(col("__did")).as("d0"), max(col("__did")).as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select(col("__h"))
-    exploded
-      .join(dupHashes, xxhash64(col("span")) === col("__h"), "left_semi")
+    val toks = tokenFrame(docs, idCol, textCol, k)
+    val wins = windowHashes(toks, k)
+    survivorSpans(toks, wins, dupWindowHashes(wins), k)
       .groupBy(col("span"))
       .agg(countDistinct(col("__did")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("__did")).as("first_doc"))
       .filter(col("n_docs") > 1)
+  }
+
+  /** (__did, __tk) token arrays for docs long enough to hold one window. */
+  private def tokenFrame(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    docs.select(col(idCol).as("__did"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+
+  /** (__did, __p, __h): one row per sliding k-token window; `__p` is the
+    * 1-based start token index, `__h` the xxhash64 of the window's token
+    * slice (hashed as an array — no span string is ever concatenated here).
+    */
+  private def windowHashes(toks: DataFrame, k: Int): DataFrame =
+    toks.select(col("__did"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__tk")) - (k - 1)),
+          i => xxhash64(slice(col("__tk"), i, lit(k))))).as(Seq("__p0", "__h")))
+      .select(col("__did"), (col("__p0") + 1).as("__p"), col("__h"))
+
+  /** Window hashes seen in more than one distinct document.
+    * ">1 distinct doc" ⟺ min(doc) != max(doc): min/max partial-aggregate
+    * map-side, unlike countDistinct which would expand to distinct
+    * (hash, doc) pairs before the shuffle.
+    */
+  private def dupWindowHashes(wins: DataFrame): DataFrame =
+    wins.groupBy(col("__h"))
+      .agg(min(col("__did")).as("d0"), max(col("__did")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("__h"))
+
+  /** (__did, __p, span) for windows whose hash is in `cand`: the semi-join
+    * shrinks the window set first, then ONE join back to the token arrays
+    * builds span text for the survivors only. The probe side streams the
+    * token arrays map-side when AQE broadcasts the (small) survivor set.
+    */
+  private def survivorSpans(toks: DataFrame, wins: DataFrame,
+                            cand: DataFrame, k: Int): DataFrame =
+    wins.join(cand, Seq("__h"), "left_semi")
+      .join(toks, Seq("__did"))
+      .select(col("__did"), col("__p"),
+        concat_ws(" ", slice(col("__tk"), col("__p"), lit(k))).as("span"))
+
+  /** Maximal duplicated passages (the "dedup the repeated substring, not
+    * the document" output of Lee et al. 2022): duplicated k-token windows
+    * of [[duplicateSpans]], coalesced per document into maximal token
+    * ranges — overlapping or adjacent duplicated windows merge into one
+    * passage row (doc_id, start_tok, end_tok, n_windows, passage).
+    *
+    * Exactness: candidates come from the hash pass, then survivors are
+    * verified by exact span string (collision-proof) BEFORE island-merging,
+    * so a hash collision never extends a passage. The island step is one
+    * window function over the (small) verified-duplicate occurrence set:
+    * a window starts a new island when its start exceeds the previous
+    * window's start by more than k (i.e. they neither overlap nor touch).
+    */
+  def maximalDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenFrame(docs, idCol, textCol, k)
+    val wins = windowHashes(toks, k)
+    val spans = survivorSpans(toks, wins, dupWindowHashes(wins), k)
+    // exact verify: keep occurrences whose span string is in >1 distinct doc
+    val dupSpans = spans.groupBy(col("span"))
+      .agg(min(col("__did")).as("d0"), max(col("__did")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("span"))
+    val occ = spans.join(dupSpans, Seq("span"), "left_semi")
+      .select(col("__did"), col("__p"))
+    val byDoc = Window.partitionBy(col("__did")).orderBy(col("__p"))
+    val islands = occ
+      .withColumn("__brk",
+        when(col("__p") - lag(col("__p"), 1).over(byDoc) > k, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__did"), col("__isl"))
+      .agg(min(col("__p")).as("start_tok"),
+        (max(col("__p")) + (k - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+    islands.join(toks, Seq("__did"))
+      .select(col("__did").as(idCol),
+        col("start_tok").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        col("n_windows"),
+        concat_ws(" ", slice(col("__tk"), col("start_tok"),
+          col("end_tok") - col("start_tok") + 1)).as("passage"))
   }
 
   // ----------------------------------------------- edit-distance near-dup

@@ -96,25 +96,30 @@ object TextAnalysis {
 
   /** Language-ID by stopword-hit voting: score per language, argmax with
     * deterministic tiebreak (language name ascending), "und" when no hits.
+    *
+    * ONE `aggregate` fold over the token array accumulates all four
+    * language counters at once. Higher-order functions are evaluated
+    * interpreted (no common-subexpression caching), so the previous
+    * four-`filter` formulation re-ran the tokenize split once per language;
+    * this shape tokenizes once per row and is the cheapest possible pass.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
-    }
-    // argmax: sort by (hits desc, lang asc) via array_max on (hits, negated-lang)
-    // simpler: greatest over structs compares fields in order -> (hits, lang)
-    // needs hits desc + lang asc; invert lang by using reverse-sorted input and
-    // stable greatest. Use array sort instead:
-    val arr = array(scored: _*)
-    val best = element_at(array_sort(arr,
-      (l, r) =>
-        when(l("hits") > r("hits"), -1)
-          .when(l("hits") < r("hits"), 1)
-          .when(l("lang") < r("lang"), -1)
-          .when(l("lang") > r("lang"), 1)
-          .otherwise(0)), 1)
-    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+    val langs = stopwords.toSeq.sortBy(_._1)
+    val zero = struct(langs.map { case (l, _) => lit(0L).as(l) }: _*)
+    aggregate(
+      tokens(text),
+      zero,
+      (acc, t) => struct(langs.map { case (l, words) =>
+        (acc(l) + when(t.isin(words.map(lit(_)): _*), 1L).otherwise(0L)).as(l)
+      }: _*),
+      acc => {
+        val maxHits = greatest(langs.map { case (l, _) => acc(l) }: _*)
+        // fold in ascending language order: the first language reaching
+        // maxHits wins -> tiebreak (hits desc, lang asc), "und" on zero hits
+        langs.foldRight(lit("und")) { case ((l, _), els) =>
+          when(maxHits > 0 && acc(l) === maxHits, lit(l)).otherwise(els)
+        }
+      })
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text,
@@ -167,36 +172,55 @@ object TextAnalysis {
     * High values flag boilerplate/spam that exact- and near-dedup miss
     * (repetition is WITHIN the document, not across documents).
     *
-    * Shape: one explode of the tagged (n, gram) occurrences, then two
-    * hash aggregations — identical to the novelty pipeline, skew-safe, no
-    * per-row quadratic lambda work and no collect_list. All counts are
-    * integers; each fraction is ONE exact double division, so the output is
-    * bit-identical across engines. Documents too short for an n-gram size
-    * get a NULL fraction for it.
+    * Shape: SHUFFLE-FREE. Every statistic here is within one document, so
+    * no exchange is ever needed: per row, sort each gram array and fold it
+    * once, counting the longest equal-run (= the top gram's occurrence
+    * count) and the number of singleton runs (= grams occurring exactly
+    * once). A narrow projection over the documents table — at 100 TB this
+    * runs at scan speed, where the previous explode-and-aggregate shape
+    * shuffled ~3x the corpus text twice. All counts are integers; each
+    * fraction is ONE exact double division, so the output is bit-identical
+    * across engines. Documents too short for an n-gram size get a NULL
+    * fraction for it; documents with no tokens produce no row (exactly the
+    * rows the explode formulation yields).
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
-    val occurrences = toks.select(col(idCol), explode(concat(
-        transform(col("tk"), t => struct(lit(1).as("n"), t.as("gram"))),
-        transform(ngrams(col("tk"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
-        transform(ngrams(col("tk"), 3), g => struct(lit(3).as("n"), g.as("gram")))))
-        .as("g"))
-      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
-    val gramCounts = occurrences
-      .groupBy(col(idCol), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    val perN = gramCounts
-      .groupBy(col(idCol), col("n"))
-      .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("top"),
-        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup"))
-    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
-    perN.groupBy(col(idCol))
-      .agg(
-        pick(1, "total").as("n_words"),
-        (pick(1, "top").cast("double") / pick(1, "total")).as("top_word_frac"),
-        (pick(2, "top").cast("double") / pick(2, "total")).as("top_bigram_frac"),
-        (pick(3, "dup").cast("double") / pick(3, "total")).as("dup_trigram_frac"))
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col(idCol), col("tk"),
+        ngrams(col("tk"), 2).as("bg"), ngrams(col("tk"), 3).as("tg"))
+    val ws = gramRunStats(col("tk"))
+    val bs = gramRunStats(col("bg"))
+    val ts = gramRunStats(col("tg"))
+    val nw = size(col("tk")).cast("long")
+    val nb = size(col("bg")).cast("long")
+    val nt = size(col("tg")).cast("long")
+    base.select(
+      col(idCol),
+      nw.as("n_words"),
+      (ws("best").cast("double") / nw).as("top_word_frac"),
+      when(nb > 0, bs("best").cast("double") / nb).as("top_bigram_frac"),
+      when(nt > 0, (nt - ts("ones")).cast("double") / nt).as("dup_trigram_frac"))
+  }
+
+  /** Per-row run statistics over a gram array: sort, then one linear fold
+    * tracking the current equal-run length. Returns a struct with
+    * `best` (longest run = occurrence count of the most frequent gram) and
+    * `ones` (number of grams occurring exactly once). The empty-string
+    * sentinel for `prev` is safe: grams are built from non-empty tokens.
+    */
+  private def gramRunStats(grams: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit(0L).as("ones"))
+    aggregate(array_sort(grams), zero, (acc, g) => {
+      val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        greatest(acc("best"), run).as("best"),
+        (acc("ones") +
+          when(run === 1L, 1L).when(run === 2L, -1L).otherwise(0L)).as("ones"))
+    })
   }
 
   /** C4-style cleaning flags (Raffel et al. 2020 §2.2, adapted to

@@ -160,4 +160,38 @@ class DedupSpec extends SparkSuite {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(r.toSeq == Seq((passage, 2L, 2L, 1L)))
   }
+
+  test("maximalDuplicateSpans coalesces overlapping windows into one passage") {
+    import spark.implicits._
+    // 6 shared tokens -> three overlapping 4-token windows in each doc,
+    // which must merge into ONE maximal passage [start, start+5]
+    val passage = "p1 p2 p3 p4 p5 p6"
+    val docs = Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, s"$passage trailer text here"),
+      (3L, s"unrelated words only in this document")).toDF("doc_id", "text")
+    val r = Dedup.maximalDuplicateSpans(docs, k = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4))).sortBy(x => (x._1, x._2))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 7L, 3L, passage),
+      (2L, 1L, 6L, 3L, passage)))
+  }
+
+  test("maximalDuplicateSpans keeps disjoint duplicated passages separate") {
+    import spark.implicits._
+    val a = "a1 a2 a3 a4"
+    val b = "b1 b2 b3 b4"
+    // gap of >k tokens between the two shared passages in doc 1
+    val docs = Seq(
+      (1L, s"$a x1 x2 x3 x4 x5 $b"),
+      (2L, s"$a y1 y2 and then unrelated"),
+      (3L, s"lead in tokens here $b")).toDF("doc_id", "text")
+    val r = Dedup.maximalDuplicateSpans(docs, k = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 4L, a), (1L, 10L, 13L, b),
+      (2L, 1L, 4L, a), (3L, 5L, 8L, b)))
+  }
 }
