@@ -402,6 +402,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: incremental dedup — a "new batch" (doc_id >= 250) deduplicated
+    // against the existing reference corpus (doc_id < 250): bipartite
+    // shingle join, no new x new or ref x ref work.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardAgainstReference(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("new_id"), col("ref_id"))
+    }),
+
+    // ML: corpus vocabulary induction — top tokens by occurrence with the
+    // cumulative-coverage curve (tokenizer vocab sizing).
+    "q_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), topK = 100)
+        .orderBy(col("rank"))),
+
+    // ML: overlapping token-window chunking (RAG / embedding prep) —
+    // 64-token chunks every 48 tokens, shuffle-free explode.
+    "q_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // ML: MinHash+LSH near-dup pairs (band-bucket join + exact verify).
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1305,6 +1328,53 @@ object SparkEntry {
         |  list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ') AS passage
         |FROM agg a JOIN toks t USING (doc_id)
         |ORDER BY a.doc_id, a.start_tok""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""$dShingleCte,
+         |sz AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz FROM sh),
+         |ex AS (SELECT doc_id, unnest(shh) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s
+         |  WHERE a.doc_id >= 250 AND b.doc_id < 250
+         |  GROUP BY 1, 2)
+         |SELECT new_id, ref_id, CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = new_id
+         |JOIN sz sb ON sb.doc_id = ref_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         |ORDER BY new_id, ref_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, ' +'), t -> t != ''))
+        |    AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM tok GROUP BY token),
+        |tt AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM c),
+        |r AS (SELECT token, n_occ,
+        |    row_number() OVER (ORDER BY n_occ DESC, token ASC) AS rank,
+        |    CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, token ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, n_occ,
+        |  CAST(cum AS DOUBLE) / (SELECT total FROM tt) AS cum_frac
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1, 48),
+        |    i -> struct_pack(cid := (i - 1) // 48, ck := tk[i:i+63]))) AS w
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(w.cid AS BIGINT) AS chunk_id,
+        |  CAST(len(w.ck) AS BIGINT) AS n_tokens,
+        |  list_aggregate(w.ck, 'string_agg', ' ') AS chunk
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH v AS (

@@ -133,6 +133,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Bipartite (incremental) Jaccard dedup: near-dup pairs between a NEW
+    * batch and an existing REFERENCE corpus — the shape of continuous
+    * training-data ingestion, where each arriving batch is deduplicated
+    * against everything already kept instead of re-running the full
+    * self-join. Output: (new_id, ref_id, inter, jaccard ≥ threshold).
+    *
+    * Same single-shuffle shingle-key join as [[jaccardPairs]], but the join
+    * is new×ref only — no new×new or ref×ref work, so per-batch cost is
+    * O(batch shingles + touched ref shingles), not O(corpus²). At scale the
+    * reference side's exploded shingles can be written once (bucketed by
+    * shingle) and reused every batch.
+    */
+  def jaccardAgainstReference(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val newSets = shingleHashFrame(newDocs, idCol, textCol, n, portableHash = false)
+    val refSets = shingleHashFrame(refDocs, idCol, textCol, n, portableHash = false)
+    val exNew = explodedShingles(newSets, maxShingleFreq)
+      .select(col("shingle"), col("id").as("new_id"), col("sz").as("sz_new"))
+    val exRef = explodedShingles(refSets, maxShingleFreq)
+      .select(col("shingle"), col("id").as("ref_id"), col("sz").as("sz_ref"))
+    exNew.hint("shuffle_hash").join(exRef.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("new_id"), col("ref_id"), col("sz_new"), col("sz_ref"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_new") + col("sz_ref") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("inter"), col("jaccard"))
+  }
+
   /** [[jaccardPairs]] with PPJoin-style prefix filtering: only each doc's
     * first `|A| - ceil(t*|A|) + 1` shingles (in global hash order) become
     * join keys. Any pair with Jaccard ≥ t must (a) satisfy the length
@@ -214,11 +246,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = explodedShingles(sets, maxShingleFreq)
     val a = ex.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = ex.select(col("shingle"), col("id").as("id_b"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("shingle"))
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
+    val b = ex.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
+    // |A∩B| is symmetric, so aggregate each UNORDERED pair once (id_a <
+    // id_b — half the join output and half the pair-shuffle volume of the
+    // directed formulation), then emit both directions from the one count
+    val undirected = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
+    val directed = undirected.select(
+        col("id_a"), col("id_b"), col("sz_a"), col("inter"))
+      .unionByName(undirected.select(
+        col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("sz_b").as("sz_a"), col("inter")))
+    directed
       .withColumn("containment", col("inter").cast("double") / col("sz_a"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("containment"))

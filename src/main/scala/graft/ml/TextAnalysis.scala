@@ -242,6 +242,64 @@ object TextAnalysis {
       "keep" -> ((nWords >= minWords) && (blockHits === 0L) && !text.contains("{")))
   }
 
+  /** Corpus vocabulary induction: the top-`topK` whitespace tokens by
+    * occurrence count, with rank (ties broken token-ascending) and the
+    * cumulative fraction of ALL token occurrences the vocabulary covers up
+    * to that rank — the curve a tokenizer-vocab decision reads.
+    *
+    * Scale shape: the explode feeds a map-side partial count (the shuffle
+    * carries one row per DISTINCT token per partition, not per occurrence);
+    * the global total rides in via one broadcast row; only the top-`topK`
+    * survivors pass through the single-partition ranking window, so the
+    * unbounded corpus never meets a global sort.
+    */
+  def vocabulary(docs: DataFrame, textCol: String = "text",
+      topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+    val total = counts.agg(sum(col("n_occ")).as("__total"))
+    // keep only candidates that can reach the top-K before the global
+    // window: rank within no partition at all is the last tiny step
+    val top = counts
+      .orderBy(col("n_occ").desc, col("token").asc)
+      .limit(topK)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("token").asc)))
+      .withColumn("cum_frac",
+        (sum(col("n_occ")).over(
+          Window.orderBy(col("n_occ").desc, col("token").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("__total")))
+      .select(col("rank").cast("long").as("rank"), col("token"),
+        col("n_occ"), col("cum_frac"))
+  }
+
+  /** Overlapping token-window chunking (RAG / embedding prep): each
+    * document becomes chunks of `size` tokens starting every `stride`
+    * tokens (stride < size ⇒ overlap). The final chunk may be shorter;
+    * chunks never start past the last token. Pure per-row explode — narrow,
+    * shuffle-free, scales with executors.
+    */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", size: Int = 128, stride: Int = 96): DataFrame = {
+    require(size >= 1 && stride >= 1, "size and stride must be >= 1")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(org.apache.spark.sql.functions.size(col("__tk")) > 0)
+    base.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), org.apache.spark.sql.functions.size(col("__tk")),
+            lit(stride)),
+          i => slice(col("__tk"), i, lit(size)))).as(Seq("__ci", "__chunk")))
+      .select(col(idCol), col("__ci").cast("long").as("chunk_id"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk"))
+  }
+
   /** All text-analysis columns applied to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -161,6 +161,24 @@ class DedupSpec extends SparkSuite {
     assert(r.toSeq == Seq((passage, 2L, 2L, 1L)))
   }
 
+  test("jaccardAgainstReference finds only new-vs-ref pairs") {
+    import spark.implicits._
+    val refDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different reference text lives here now")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of ref 1
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup of ref 1 AND 10
+      (12L, "novel content with no reference overlap at all")).toDF("doc_id", "text")
+    val r = Dedup.jaccardAgainstReference(newDocs, refDocs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("new_id", "ref_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // 10-11 are near-dups of each other but that pair must NOT appear:
+    // bipartite means new x ref only
+    assert(r.toSeq == Seq((10L, 1L), (11L, 1L)))
+  }
+
   test("maximalDuplicateSpans coalesces overlapping windows into one passage") {
     import spark.implicits._
     // 6 shared tokens -> three overlapping 4-token windows in each doc,

@@ -115,6 +115,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(1).getAs[Double]("dup_trigram_frac") == 0.0)
   }
 
+  test("vocabulary ranks by count desc then token asc, with coverage curve") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabulary(df, topK = 3).orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // counts: a=3, b=3, c=1, d=1 over 8 occurrences; tie a<b, c<d
+    assert(r.toSeq == Seq(
+      (1L, "a", 3L, 3.0 / 8), (2L, "b", 3L, 6.0 / 8), (3L, "c", 1L, 7.0 / 8)))
+  }
+
+  test("chunk: overlapping windows, short tail, empty docs dropped") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "only three tokens"),
+      (3L, "  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunk(df, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"), (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"), (1L, 3L, 1L, "t10"),
+      (2L, 0L, 3L, "only three tokens")))
+  }
+
   test("c4Flags: word floor, blocklist, punctuation, braces") {
     val df = Seq(
       (1L, "This is a perfectly fine sentence."),

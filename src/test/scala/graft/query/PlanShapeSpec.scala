@@ -73,4 +73,29 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("q_counts_topk")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_text_repetition: per-document statistics plan ZERO exchanges") {
+    // the repetition signals are within-document folds; any Exchange here
+    // would mean the plan regressed to shuffling corpus text
+    val p = plan("q_text_repetition")
+    val body = p.replaceAll("(?s)== Initial Plan ==.*", "")
+    val exchanges = "Exchange".r.findAllIn(body).size
+    // the only allowed exchange is the final global ORDER BY of the gated
+    // query (rangepartitioning) — none may be hashpartitioning
+    assert(!body.contains("hashpartitioning"), p)
+    assert(exchanges <= 1, p)
+  }
+
+  test("q_dedup_spans: no shuffle carries corpus text or token arrays") {
+    // the wide exchange moves (hash, doc, pos) triples; span strings are
+    // built only after the survivor semi-join, so the only exchanges
+    // naming `span` are the survivors-only aggregations — the corpus text
+    // and the exploded token arrays must never hit the wire
+    val p = plan("q_dedup_spans", executeFirst = true)
+    val shuffles = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty, p)
+    assert(!shuffles.exists(_.contains("text#")), shuffles.mkString("\n"))
+    assert(!shuffles.exists(_.contains("__tk")), shuffles.mkString("\n"))
+  }
 }
