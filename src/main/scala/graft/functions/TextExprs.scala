@@ -1,0 +1,350 @@
+package graft.functions
+
+import java.util.{ArrayList => JArrayList, HashMap => JHashMap, HashSet => JHashSet, LinkedHashSet => JLinkedHashSet}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text-pipeline expressions.
+  *
+  * The text operators (tokenize → n-gram → count/hash) were originally
+  * composed from `org.apache.spark.sql.functions` higher-order array
+  * functions. Semantically that is the right declarative shape, but Spark
+  * evaluates lambda functions *interpreted, per element* (HOFs are
+  * `CodegenFallback`; there is no common-subexpression caching inside a
+  * lambda), so a fold over a 50-token array costs hundreds of boxed
+  * expression evaluations per row — measured ~10x the scan cost on the
+  * documents table. Each expression here replaces one such pipeline with a
+  * tight JVM loop reachable from whole-stage codegen (`doGenCode` emits a
+  * single static call), preserving the exact semantics the specs and the
+  * DuckDB oracles pin down.
+  *
+  * These are library-internal (constructed via [[org.apache.spark.sql.graft.ColumnBridge]]);
+  * constructor parameters that are not data-dependent (gram size, word
+  * sets) stay plain Scala values embedded as codegen references.
+  */
+object TextExprs {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Whitespace-run tokenizer: split on runs of 0x20, drop empties.
+    * Byte-level scan is safe: UTF-8 multibyte sequences never contain
+    * 0x20. Exactly `filter(split(text, " +"), t => t != "")`.
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new JArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (b(i) == 0x20) i += 1
+      else {
+        var j = i + 1
+        while (j < n && b(j) != 0x20) j += 1
+        out.add(UTF8String.fromBytes(b, i, j - i))
+        i = j
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Word n-grams joined with " "; `distinct` keeps first occurrence
+    * (matching `array_distinct`). Shorter-than-n input → empty array.
+    */
+  def ngrams(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    if (distinct) {
+      val seen = new JLinkedHashSet[UTF8String]()
+      var p = 0
+      while (p < cnt) {
+        seen.add(gramAt(toks, p, n))
+        p += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    } else {
+      val out = new Array[Any](cnt)
+      var p = 0
+      while (p < cnt) {
+        out(p) = gramAt(toks, p, n)
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  private def gramAt(toks: Array[UTF8String], p: Int, n: Int): UTF8String =
+    if (n == 1) toks(p)
+    else {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(p + j); j += 1 }
+      UTF8String.concatWs(Space, parts: _*)
+    }
+
+  /** Gopher repetition statistics in one pass: occurrence counts for
+    * 1/2/3-grams via open hash maps, then
+    * (n_words, top_word, n_bigrams, top_bigram, n_trigrams, dup_trigrams)
+    * where `top_*` is the max occurrence count and `dup_trigrams` the
+    * number of trigram *occurrences* whose trigram appears more than once.
+    * All integers — callers derive each fraction with one exact division.
+    */
+  def repetition(arr: ArrayData): InternalRow = {
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val words = new JHashMap[UTF8String, Int]()
+    val bigrams = new JHashMap[UTF8String, Int]()
+    val trigrams = new JHashMap[UTF8String, Int]()
+    var topWord = 0L
+    var topBigram = 0L
+    i = 0
+    while (i < m) {
+      val wc = bump(words, toks(i))
+      if (wc > topWord) topWord = wc
+      if (i + 1 < m) {
+        val bc = bump(bigrams, gramAt(toks, i, 2))
+        if (bc > topBigram) topBigram = bc
+        if (i + 2 < m) bump(trigrams, gramAt(toks, i, 3))
+      }
+      i += 1
+    }
+    val nTrigrams = math.max(m - 2, 0).toLong
+    var ones = 0L
+    val it = trigrams.values().iterator()
+    while (it.hasNext) if (it.next() == 1) ones += 1
+    new GenericInternalRow(Array[Any](
+      m.toLong, topWord, math.max(m - 1, 0).toLong, topBigram,
+      nTrigrams, nTrigrams - ones))
+  }
+
+  private def bump(mp: JHashMap[UTF8String, Int], k: UTF8String): Int = {
+    val c = mp.merge(k, 1, (a, b) => a + b)
+    c.intValue()
+  }
+
+  /** 64-bit hash per sliding k-token window. Per-token FNV-1a 64 over the
+    * UTF-8 bytes, then a polynomial fold across the window. The hash VALUE
+    * is internal-only (candidate keys for the duplicate-span passes; final
+    * answers always re-verify on exact span strings), so it need not match
+    * any engine's xxhash64 — equal spans hash equal, which is the only
+    * property correctness relies on.
+    */
+  def windowHashes(arr: ArrayData, k: Int): ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - k + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b = arr.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < b.length) {
+        h ^= (b(j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    val out = new Array[Long](cnt)
+    var p = 0
+    while (p < cnt) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < k) {
+        h = h * 0x9e3779b185ebca87L + th(p + j)
+        j += 1
+      }
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** UTF8String hash set from plain strings (codegen init helper —
+    * `TextExprs` has no companion class, so this is reachable as a static
+    * call from Janino-compiled code).
+    */
+  def buildSet(words: Seq[String]): JHashSet[UTF8String] = {
+    val s = new JHashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Count of array elements contained in `set`. */
+  def countInSet(arr: ArrayData, set: JHashSet[UTF8String]): Long = {
+    val m = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < m) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Exact sum of per-token character counts (order-independent integer
+    * sum — bit-identical to the `aggregate(toks, 0L, acc + length(t))`
+    * fold it replaces).
+    */
+  def sumTokenChars(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < m) { s += arr.getUTF8String(i).numChars(); i += 1 }
+    s
+  }
+}
+
+/** `tokenize(text)` — see [[TextExprs.tokenize]]. */
+case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngrams(tokens, n[, distinct])` — see [[TextExprs.ngrams]]. */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.ngrams(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExprs.ngrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document repetition statistics — see [[TextExprs.repetition]]. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("top_word", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false),
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("dup_trigrams", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.repetition(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.repetition($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sliding k-token window hashes — see [[TextExprs.windowHashes]]. */
+case class WindowHashes64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "window size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.windowHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExprs.windowHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of tokens that belong to a fixed word set (stopword hits). */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set: JHashSet[UTF8String] =
+    TextExprs.buildSet(words)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.countInSet(input.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // embed the words (serializable strings), rebuild the UTF8String set
+    // once per compiled plan via a mutable-state one-time initializer
+    val wordsRef = ctx.addReferenceObj("words", words,
+      "scala.collection.immutable.Seq")
+    val setVar = ctx.addMutableState("java.util.HashSet", "wordSet",
+      v => s"$v = graft.functions.TextExprs.buildSet($wordsRef);")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExprs.countInSet($c, $setVar)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact sum of token character counts. */
+case class SumTokenChars(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.sumTokenChars(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.sumTokenChars($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Stopword-vote language ID: per-language hit counts in one pass over the
+  * token array, argmax with (hits desc, language asc) tiebreak, "und" when
+  * no language scores a hit — byte-identical to the previous fold.
+  */
+case class LangBest(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  @transient private lazy val model = new LangModel(langs)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    model.best(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("langModel", model,
+      classOf[LangModel].getName)
+    defineCodeGen(ctx, ev, c => s"$modelRef.best($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Serializable vote model for [[LangBest]] (top-level class so generated
+  * code can name it without inner-class `$` binary names).
+  */
+class LangModel(langs: Seq[(String, Seq[String])]) extends Serializable {
+  private val sorted = langs.sortBy(_._1).toArray
+  private val names: Array[UTF8String] =
+    sorted.map { case (l, _) => UTF8String.fromString(l) }
+  private val sets: Array[JHashSet[UTF8String]] =
+    sorted.map { case (_, ws) => TextExprs.buildSet(ws) }
+  private val und = UTF8String.fromString("und")
+
+  def best(arr: ArrayData): UTF8String = {
+    val m = arr.numElements()
+    val counts = new Array[Long](sets.length)
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l).contains(t)) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var bestIdx = -1
+    var bestCount = 0L
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > bestCount) { bestCount = counts(l); bestIdx = l }
+      l += 1
+    }
+    if (bestIdx < 0) und else names(bestIdx)
+  }
+}

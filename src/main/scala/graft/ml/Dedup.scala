@@ -519,14 +519,17 @@ object Dedup {
       .filter(size(col("__tk")) >= k)
 
   /** (__did, __p, __h): one row per sliding k-token window; `__p` is the
-    * 1-based start token index, `__h` the xxhash64 of the window's token
-    * slice (hashed as an array — no span string is ever concatenated here).
+    * 1-based start token index, `__h` a 64-bit hash of the window's tokens
+    * (native single pass — [[graft.functions.WindowHashes64]]; no span
+    * string is ever concatenated here, and the hash value is internal:
+    * every downstream answer re-verifies on exact span strings).
     */
   private def windowHashes(toks: DataFrame, k: Int): DataFrame =
     toks.select(col("__did"),
-        posexplode(transform(
-          sequence(lit(1), size(col("__tk")) - (k - 1)),
-          i => xxhash64(slice(col("__tk"), i, lit(k))))).as(Seq("__p0", "__h")))
+        posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.WindowHashes64(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("__tk")),
+            k))).as(Seq("__p0", "__h")))
       .select(col("__did"), (col("__p0") + 1).as("__p"), col("__h"))
 
   /** Window hashes seen in more than one distinct document.

@@ -2,20 +2,31 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{CountInSet, LangBest, RepetitionStats, SumTokenChars, WhitespaceTokens, WordNgrams}
 
 /** Text-analysis operators for training-data pipelines: tokenization, token
   * counting, quality scoring, language-ID heuristic, fingerprinting.
   *
-  * Everything is built from `org.apache.spark.sql.functions` higher-order
-  * array functions — no UDFs, so the whole pipeline stays inside
-  * whole-stage codegen and scales linearly with executors (the 100 TB path
-  * is a single narrow projection over the documents table; no shuffle).
+  * The hot per-row kernels (tokenize, n-gram, stopword counting, repetition
+  * statistics) are native Catalyst expressions ([[graft.functions.TextExprs]])
+  * — single-pass JVM loops reachable from whole-stage codegen. The
+  * equivalent `org.apache.spark.sql.functions` higher-order-function
+  * pipelines they replaced are evaluated interpreted per element
+  * (`CodegenFallback`, no subexpression caching) and measured ~10x slower
+  * at corpus scale. No UDFs, no shuffle: the 100 TB path stays a single
+  * narrow projection over the documents table.
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empty-safe. */
-  def tokens(text: Column): Column =
-    filter(split(text, " +"), t => t =!= "")
+  private def nat(c: Column)(
+      f: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(c)))
+
+  /** Whitespace tokens, empty-safe (split on space runs, drop empties). */
+  def tokens(text: Column): Column = nat(text)(WhitespaceTokens(_))
 
   /** BPE-ish subword count: runs of letters, digits, or single symbols —
     * the standard cheap proxy for LLM token counts.
@@ -23,30 +34,17 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Word-level n-gram shingles (default 3), distinct.
-    *
-    * Built as a fold of `zip_with` over shifted `slice`s so every lambda
-    * touches only its element variables. Referencing the token-array
-    * expression *inside* a lambda would re-evaluate the whole
-    * split-and-filter per element (interpreted higher-order functions do no
-    * subexpression caching) — that turns shingling O(tokens²) per row; this
-    * formulation is linear.
+  /** Word-level n-gram shingles (default 3), distinct (first-occurrence
+    * order, matching `array_distinct`). One native pass per row.
     */
   def shingles(toks: Column, n: Int = 3): Column =
-    array_distinct(ngrams(toks, n))
+    nat(toks)(WordNgrams(_, n, distinct = true))
 
   /** Word-level n-grams WITH repeats (positional occurrences) — the
     * repetition signals need occurrence counts, not the distinct set.
-    * Same linear zip_with-over-shifted-slices construction as [[shingles]].
     */
-  def ngrams(toks: Column, n: Int): Column = {
-    require(n >= 1, "ngram size must be >= 1")
-    val len = greatest(size(toks) - (n - 1), lit(0))
-    val joined = (1 until n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), len), (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(toks) < n, array().cast("array<string>")).otherwise(joined)
-  }
+  def ngrams(toks: Column, n: Int): Column =
+    nat(toks)(WordNgrams(_, n, distinct = false))
 
   /** Common-stopword sets used by the language-ID heuristic and the quality
     * score. Public, conventional lists (top function words per language).
@@ -59,7 +57,7 @@ object TextAnalysis {
   )
 
   private def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    nat(toks)(CountInSet(_, words))
 
   /** Quality metrics: deterministic per-row arithmetic (exact across
     * engines — counts and integer-division-derived doubles only).
@@ -70,8 +68,8 @@ object TextAnalysis {
     val nChars = length(text).cast("long")
     val distinctWords = size(array_distinct(toks)).cast("long")
     val stopHits = stopwordHits(toks, stopwords("en")).cast("long")
-    // exact sum of token lengths (integer fold — order-independent)
-    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // exact sum of token lengths (integer sum — order-independent)
+    val tokChars = nat(toks)(SumTokenChars(_))
     Seq(
       "n_words" -> nWords,
       "n_chars" -> nChars,
@@ -96,31 +94,11 @@ object TextAnalysis {
 
   /** Language-ID by stopword-hit voting: score per language, argmax with
     * deterministic tiebreak (language name ascending), "und" when no hits.
-    *
-    * ONE `aggregate` fold over the token array accumulates all four
-    * language counters at once. Higher-order functions are evaluated
-    * interpreted (no common-subexpression caching), so the previous
-    * four-`filter` formulation re-ran the tokenize split once per language;
-    * this shape tokenizes once per row and is the cheapest possible pass.
+    * One native pass over the token array accumulates all four language
+    * counters at once ([[graft.functions.LangBest]]).
     */
-  def langId(text: Column): Column = {
-    val langs = stopwords.toSeq.sortBy(_._1)
-    val zero = struct(langs.map { case (l, _) => lit(0L).as(l) }: _*)
-    aggregate(
-      tokens(text),
-      zero,
-      (acc, t) => struct(langs.map { case (l, words) =>
-        (acc(l) + when(t.isin(words.map(lit(_)): _*), 1L).otherwise(0L)).as(l)
-      }: _*),
-      acc => {
-        val maxHits = greatest(langs.map { case (l, _) => acc(l) }: _*)
-        // fold in ascending language order: the first language reaching
-        // maxHits wins -> tiebreak (hits desc, lang asc), "und" on zero hits
-        langs.foldRight(lit("und")) { case ((l, _), els) =>
-          when(maxHits > 0 && acc(l) === maxHits, lit(l)).otherwise(els)
-        }
-      })
-  }
+  def langId(text: Column): Column =
+    nat(tokens(text))(LangBest(_, stopwords.toSeq))
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 60-bit numeric fingerprint (hex prefix as integer) for compact
@@ -173,54 +151,32 @@ object TextAnalysis {
     * (repetition is WITHIN the document, not across documents).
     *
     * Shape: SHUFFLE-FREE. Every statistic here is within one document, so
-    * no exchange is ever needed: per row, sort each gram array and fold it
-    * once, counting the longest equal-run (= the top gram's occurrence
-    * count) and the number of singleton runs (= grams occurring exactly
-    * once). A narrow projection over the documents table — at 100 TB this
-    * runs at scan speed, where the previous explode-and-aggregate shape
-    * shuffled ~3x the corpus text twice. All counts are integers; each
-    * fraction is ONE exact double division, so the output is bit-identical
-    * across engines. Documents too short for an n-gram size get a NULL
-    * fraction for it; documents with no tokens produce no row (exactly the
-    * rows the explode formulation yields).
+    * no exchange is ever needed: one native pass per row counts all three
+    * gram sizes at once ([[graft.functions.RepetitionStats]]). A narrow
+    * projection over the documents table — at 100 TB this runs at scan
+    * speed. All counts are integers; each fraction is ONE exact double
+    * division, so the output is bit-identical across engines. Documents
+    * too short for an n-gram size get a NULL fraction for it; documents
+    * with no tokens produce no row (exactly the rows the explode
+    * formulation yields).
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
-      .select(col(idCol), col("tk"),
-        ngrams(col("tk"), 2).as("bg"), ngrams(col("tk"), 3).as("tg"))
-    val ws = gramRunStats(col("tk"))
-    val bs = gramRunStats(col("bg"))
-    val ts = gramRunStats(col("tg"))
-    val nw = size(col("tk")).cast("long")
-    val nb = size(col("bg")).cast("long")
-    val nt = size(col("tg")).cast("long")
+      .select(col(idCol), nat(col("tk"))(RepetitionStats(_)).as("rs"))
     base.select(
       col(idCol),
-      nw.as("n_words"),
-      (ws("best").cast("double") / nw).as("top_word_frac"),
-      when(nb > 0, bs("best").cast("double") / nb).as("top_bigram_frac"),
-      when(nt > 0, (nt - ts("ones")).cast("double") / nt).as("dup_trigram_frac"))
-  }
-
-  /** Per-row run statistics over a gram array: sort, then one linear fold
-    * tracking the current equal-run length. Returns a struct with
-    * `best` (longest run = occurrence count of the most frequent gram) and
-    * `ones` (number of grams occurring exactly once). The empty-string
-    * sentinel for `prev` is safe: grams are built from non-empty tokens.
-    */
-  private def gramRunStats(grams: Column): Column = {
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("best"), lit(0L).as("ones"))
-    aggregate(array_sort(grams), zero, (acc, g) => {
-      val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
-      struct(g.as("prev"), run.as("run"),
-        greatest(acc("best"), run).as("best"),
-        (acc("ones") +
-          when(run === 1L, 1L).when(run === 2L, -1L).otherwise(0L)).as("ones"))
-    })
+      col("rs.n_words").as("n_words"),
+      (col("rs.top_word").cast("double") / col("rs.n_words"))
+        .as("top_word_frac"),
+      when(col("rs.n_bigrams") > 0,
+        col("rs.top_bigram").cast("double") / col("rs.n_bigrams"))
+        .as("top_bigram_frac"),
+      when(col("rs.n_trigrams") > 0,
+        col("rs.dup_trigrams").cast("double") / col("rs.n_trigrams"))
+        .as("dup_trigram_frac"))
   }
 
   /** C4-style cleaning flags (Raffel et al. 2020 §2.2, adapted to
