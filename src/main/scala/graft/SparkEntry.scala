@@ -974,6 +974,53 @@ object SparkEntry {
           percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
         .orderBy(col("event_id"))
     }),
+
+    // J2+: service dependency graph — per (parent_service → child_service)
+    // edge: calls, distinct traces, exact integer duration sum/max, mean as
+    // one exact division. One self-join on (trace, parent span id) + one
+    // tiny aggregation; spans derive from the same deterministic heap
+    // hierarchy as q_trace_critical_path.
+    "q_trace_depgraph" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val spans = t(s, dir, "events")
+        .select(col("user_id").as("t_id"),
+          (row_number().over(w) - 1).cast("long").as("s_id"),
+          col("event_type").as("service"),
+          floor(col("value") * 100).cast("long").as("dur"))
+        .withColumn("p_id",
+          when(col("s_id") === 0L, lit(null).cast("long"))
+            .otherwise(((col("s_id") - 1) / 2).cast("long")))
+      Traces.serviceGraph(spans)
+        .orderBy(col("parent_service"), col("child_service"))
+    }),
+
+    // Log template mining (Drain-lite): mask variable tokens, group by the
+    // masked line — one narrow projection + one low-cardinality hash agg.
+    "q_log_templates" -> ((s, dir) =>
+      graft.ingest.LogTemplates.mine(t(s, dir, "events"),
+          concat(col("event_type"), lit(" "), col("props")),
+          col("ts"), col("user_id"))
+        .orderBy(col("template"))),
+
+    // ML: weighted source mixing — epoch-replicated rows (floor(w) copies
+    // + deterministic fractional extra from the id hash); the training-data
+    // mixture step. No shuffle; stable under repartition/append.
+    "q_sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          weights = Map("src1" -> 2.5, "src2" -> 0.25, "src3" -> 3.0))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
+    // products make quantized cosine bit-exact across engines AND
+    // summation orders.
+    "q_sim_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnQuantized(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -2281,5 +2328,94 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
         |ORDER BY event_id""".stripMargin,
+
+    "q_trace_depgraph" ->
+      """WITH s AS (
+        |  SELECT user_id AS t_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) - 1 AS BIGINT) AS s_id,
+        |    event_type AS service,
+        |    CAST(floor(value * 100) AS BIGINT) AS dur
+        |  FROM events),
+        |sp AS (
+        |  SELECT t_id, s_id,
+        |    CASE WHEN s_id = 0 THEN NULL ELSE (s_id - 1) // 2 END AS p_id,
+        |    service, dur
+        |  FROM s)
+        |SELECT p.service AS parent_service, c.service AS child_service,
+        |  CAST(count(*) AS BIGINT) AS calls,
+        |  CAST(count(DISTINCT c.t_id) AS BIGINT) AS n_traces,
+        |  CAST(sum(c.dur) AS BIGINT) AS sum_dur,
+        |  CAST(max(c.dur) AS BIGINT) AS max_dur,
+        |  CAST(sum(c.dur) AS DOUBLE) / count(*) AS avg_dur
+        |FROM sp c JOIN sp p ON c.t_id = p.t_id AND c.p_id = p.s_id
+        |GROUP BY 1, 2
+        |ORDER BY parent_service, child_service""".stripMargin,
+
+    "q_log_templates" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_type || ' ' || props AS line
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, line,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(line,
+        |      '"[^"]*"', '"<*>"', 'g'),
+        |      '\b[0-9a-f]{8,}\b', '<HEX>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\d+', '<N>', 'g') AS template
+        |  FROM l)
+        |SELECT template,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  min(line) AS example
+        |FROM m GROUP BY 1 ORDER BY template""".stripMargin,
+
+    "q_sample_mixture" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket,
+         |    CASE WHEN source = 'src1' THEN CAST(2.5 AS DOUBLE)
+         |         WHEN source = 'src2' THEN CAST(0.25 AS DOUBLE)
+         |         WHEN source = 'src3' THEN CAST(3.0 AS DOUBLE)
+         |         ELSE CAST(1.0 AS DOUBLE) END AS w
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(w) AS BIGINT) +
+         |      (CASE WHEN CAST(bucket AS DOUBLE) < (w - floor(w)) * 1000000.0
+         |            THEN 1 ELSE 0 END) AS n
+         |  FROM b)
+         |SELECT doc_id, source,
+         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+         |FROM n WHERE n > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_sim_quantized" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |a AS (
+         |  SELECT vec_id, e,
+         |    list_max(list_transform(e, x -> abs(x))) AS amax
+         |  FROM v),
+         |qv AS (
+         |  SELECT vec_id,
+         |    CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+         |         ELSE list_transform(e, x -> floor(x * 127.0 / amax + 0.5))
+         |    END AS qe
+         |  FROM a),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${dCosine("q.qe", "c.qe")} AS qcosine
+         |  FROM qv q JOIN qv c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT q_id, n_id, qcosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY qcosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM p)
+         |SELECT q_id, n_id, qcosine, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
   )
 }

@@ -55,6 +55,36 @@ object Sampling {
       .otherwise("train")
   }
 
+  /** Weighted source mixing for training-data pipelines: each source gets a
+    * target weight (epochs); a row from a source with weight `w` appears
+    * `floor(w)` or `ceil(w)` times — the fractional epoch is a deterministic
+    * per-row Bernoulli from the id hash, so weight 2.3 means every row
+    * appears twice and a stable 30% of rows appear a third time. Weights
+    * below 1 downsample (0.3 = keep 30%, once); sources absent from
+    * `weights` default to 1.0. Output repeats rows with `epoch` = 1..n.
+    *
+    * This is the standard mixture step (e.g. The Pile / LLaMA data recipes:
+    * upsample small high-quality sources, downsample the crawl). Shape:
+    * narrow CASE + one `explode(sequence(...))` — no shuffle, no RNG;
+    * stable under repartitioning and appends like every op here.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Double], defaultWeight: Double = 1.0,
+                    salt: String = ""): DataFrame = {
+    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, w)) =>
+      when(col(sourceCol) === k, lit(w)).otherwise(acc)
+    }
+    val whole = floor(wCol).cast("long")
+    val frac = wCol - whole
+    val extra = when(
+      bucket(col(idCol), salt).cast("double") < frac * Buckets.toDouble, 1L)
+      .otherwise(0L)
+    df.withColumn("__n", whole + extra)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** Exactly `k` rows per group (fewer if the group is smaller), chosen as
     * the k smallest hash values — a deterministic uniform-without-
     * replacement sample. One shuffle on the group key.

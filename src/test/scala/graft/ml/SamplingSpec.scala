@@ -70,4 +70,40 @@ class SamplingSpec extends SparkSuite {
     val tiny = Seq(("x", 1L), ("x", 2L)).toDF("grp", "id")
     assert(Sampling.perGroupSample(tiny, "grp", "id", k = 5).count() == 2)
   }
+
+  test("mixtureSample replicates by integer weight exactly") {
+    val docs = ids.withColumn("source",
+      when(col("grp") === "0", "up").otherwise("flat"))
+    val out = Sampling.mixtureSample(docs, "id", "source",
+      weights = Map("up" -> 3.0))
+    // every 'up' row appears exactly 3 times (epochs 1..3), others once
+    val perRow = out.groupBy("id", "source").count().collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("count")))
+    assert(perRow.filter(_._1 == "up").forall(_._2 == 3L))
+    assert(perRow.filter(_._1 == "flat").forall(_._2 == 1L))
+    val epochs = out.filter(col("source") === "up")
+      .groupBy("id").agg(collect_set(col("epoch")).as("es"))
+      .select("es").as[Seq[Long]].collect()
+    assert(epochs.forall(_.sorted == Seq(1L, 2L, 3L)))
+  }
+
+  test("mixtureSample fractional weight up/downsamples deterministically") {
+    val docs = ids.withColumn("source", lit("s"))
+    val out = Sampling.mixtureSample(docs, "id", "source",
+      weights = Map("s" -> 1.5))
+    val n = out.count()
+    assert(math.abs(n - 3000.0) < 150) // 2000 * 1.5 ± binomial noise
+    // repartition-stable
+    val again = Sampling.mixtureSample(docs.repartition(13), "id", "source",
+      weights = Map("s" -> 1.5)).count()
+    assert(n == again)
+    // weight below 1 = plain downsample, epoch always 1
+    val down = Sampling.mixtureSample(docs, "id", "source",
+      weights = Map("s" -> 0.25))
+    assert(math.abs(down.count() - 500.0) < 100)
+    assert(down.select("epoch").distinct().as[Long].collect().toSeq == Seq(1L))
+    // weight 0 drops the source entirely
+    assert(Sampling.mixtureSample(docs, "id", "source",
+      weights = Map("s" -> 0.0)).count() == 0)
+  }
 }

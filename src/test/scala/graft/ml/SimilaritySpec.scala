@@ -137,4 +137,32 @@ class SimilaritySpec extends SparkSuite {
       .filter(_.getName.startsWith("centroid_id="))
     assert(dirs.length > 1)
   }
+
+  test("quantizeInt8 maps to the [-127,127] integer grid, amax to ±127") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val q = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(q(1L) == Seq(64.0, -127.0, 32.0, 0.0)) // 0.5/1.0*127=63.5 → 64
+    assert(q(2L) == Seq(0.0, 0.0, 0.0, 0.0)) // zero vector stays zero
+    assert(q(1L).forall(x => x == math.rint(x) && math.abs(x) <= 127))
+  }
+
+  test("knnQuantized ranks like exact knn on well-separated vectors") {
+    // clusters along two axes: quantization cannot flip these rankings
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.01f * i, 0f, 0f)
+                 else Array(0f, 0f, 1.0f, 0.01f * i)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    val exact = Similarity.knnBruteForce(vecs, queries, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.knnQuantized(vecs, queries, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // same-axis neighbors dominate in both (cross-axis cosine is ~0)
+    assert(exact.forall { case (q, n) => (q % 2) == (n % 2) })
+    assert(quant.forall { case (q, n) => (q % 2) == (n % 2) })
+  }
 }

@@ -130,4 +130,26 @@ class TracesSpec extends SparkSuite {
     assert(full.length == 1 && full(0).getLong(2) == n.toLong &&
       full(0).getLong(3) == n.toLong)
   }
+
+  test("serviceGraph aggregates parent->child service edges exactly") {
+    // trace 1: api(0) -> db(1), api(0) -> cache(2), db(1) -> disk(3)
+    // trace 2: api(0) -> db(1)   (same edge, second trace)
+    val spans = Seq(
+      (1L, 0L, Option.empty[Long], "api", 10L),
+      (1L, 1L, Some(0L), "db", 20L),
+      (1L, 2L, Some(0L), "cache", 5L),
+      (1L, 3L, Some(1L), "disk", 40L),
+      (2L, 0L, Option.empty[Long], "api", 10L),
+      (2L, 1L, Some(0L), "db", 30L)).toDF("t_id", "s_id", "p_id", "service", "dur")
+    val edges = Traces.serviceGraph(spans).collect().map { r =>
+      (r.getAs[String]("parent_service"), r.getAs[String]("child_service")) ->
+        ((r.getAs[Long]("calls"), r.getAs[Long]("n_traces"),
+          r.getAs[Long]("sum_dur"), r.getAs[Long]("max_dur"),
+          r.getAs[Double]("avg_dur")))
+    }.toMap
+    assert(edges.keySet == Set(("api", "db"), ("api", "cache"), ("db", "disk")))
+    assert(edges(("api", "db")) == ((2L, 2L, 50L, 30L, 25.0)))
+    assert(edges(("api", "cache")) == ((1L, 1L, 5L, 5L, 5.0)))
+    assert(edges(("db", "disk")) == ((1L, 1L, 40L, 40L, 40.0)))
+  }
 }
