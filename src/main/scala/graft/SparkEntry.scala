@@ -1021,6 +1021,14 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .orderBy(col("q_id"), col("rk"))
     }),
+
+    // ML: corpus-trained bigram-LM scoring (perplexity-style quality
+    // filter, CCNet/Gopher recipe). Per-bigram ln lands on the 1e-6 grid
+    // BEFORE the per-doc sum, so the distributed aggregation is an exact
+    // BIGINT in any order.
+    "q_text_lmscore" -> ((s, dir) =>
+      TextRank.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -2417,5 +2425,35 @@ object SparkEntry {
          |  FROM p)
          |SELECT q_id, n_id, qcosine, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    "q_text_lmscore" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS u_cnt
+        |  FROM (SELECT unnest(tk) AS w FROM t1) GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM uni),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM t1 WHERE len(tk) >= 2),
+        |bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS b_cnt
+        |  FROM bg GROUP BY 1),
+        |terms AS (
+        |  SELECT g.doc_id,
+        |    CAST(floor(ln(CAST(b.b_cnt + 1 AS DOUBLE) /
+        |      CAST(u.u_cnt + v.vsz AS DOUBLE)) * 1000000.0) AS BIGINT) AS t
+        |  FROM bg g
+        |  JOIN bcnt b USING (bg)
+        |  JOIN uni u ON u.w = string_split(g.bg, ' ')[1]
+        |  CROSS JOIN v)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(t) AS BIGINT) AS sum_micro,
+        |  CAST(-sum(t) AS DOUBLE) / (count(*) * 1000000) AS avg_nll
+        |FROM terms GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -61,7 +61,10 @@ object GraftSession {
     tuning.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    // full engine surface on every factory session: SQL-visible graft_*
+    // functions + custom planner strategies (tune is idempotent; configs
+    // were already applied at build time above)
+    tune(spark)
   }
 
   /** Table names of the driver-generated test corpus (TESTDATA.md). */

@@ -69,7 +69,33 @@ object GraftFunctions {
             s"graft_morton: first arg must be an INT literal, got $other")
         }
         MortonInterleave(args.tail, bits)
-      }))
+      }),
+    // native text kernels (single-pass replacements for the interpreted
+    // higher-order-function pipelines) — SQL-visible for parity with the
+    // Column API used by graft.ml.TextAnalysis
+    (FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[WhitespaceTokens].getName, "graft_tokens"),
+      (args: Seq[Expression]) => WhitespaceTokens(args(0))),
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.BooleanType
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams: n must be an INT literal, got $other")
+        }
+        val distinct = if (args.length > 2) args(2) match {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams: distinct must be a BOOLEAN literal, got $other")
+        } else false
+        WordNgrams(args(0), n, distinct)
+      }),
+    (FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition"),
+      (args: Seq[Expression]) => RepetitionStats(args(0))))
 
   /** Register all graft functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -102,4 +102,57 @@ object TextRank {
     pivoted.select(col("doc_id"),
       floor(total * lit(1000000.0)).cast("long").as("score_micro"))
   }
+
+  /** Corpus-trained bigram-LM scoring — the perplexity-style quality filter
+    * (CCNet / Gopher recipe: score each document under a cheap LM trained
+    * on the corpus itself; outliers on either end are boilerplate or
+    * garbage). Add-one-smoothed conditional probability per bigram,
+    *
+    *   P(w₂|w₁) = (count(w₁w₂) + 1) / (count(w₁·) + V),
+    *
+    * where `count(w₁·)` is the unigram occurrence count of w₁ and V the
+    * vocabulary size. Output per doc (≥ 2 tokens): `n_bigrams`,
+    * `sum_micro` = Σ floor(ln P · 10⁶) and `avg_nll` = −sum/(n·10⁶) — the
+    * average negative log-likelihood, ONE exact division.
+    *
+    * Float determinism: each bigram's ln lands on the 10⁻⁶ grid BEFORE
+    * summation, so the per-doc sum is an exact BIGINT in any order — this
+    * is how a multi-term float sum survives a distributed aggregation
+    * bit-identically (the tfidf/bm25 grid trick, moved inside the sum).
+    *
+    * Scale shape: two explode → hash-count passes build the model (vocab-
+    * sized outputs, partial-aggregated map-side); scoring joins the
+    * exploded bigrams to the model on the bigram / first-word keys (both
+    * broadcast-eligible at dictionary size, shuffle joins beyond); the
+    * per-doc reduce is one hash agg. No windows, no driver loops.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // no persist: the repeated subtrees (uni twice, bg twice) are identical
+    // Exchanges, which Catalyst's ReuseExchange computes once per query —
+    // cache-free, so repeated calls never accumulate executor storage
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u_cnt"))
+    val vocab = uni.agg(count(lit(1)).as("vsz"))
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngrams(col("tk"), 2)).as("bg"))
+    val bcnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("b_cnt"))
+    val terms = bg
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(bcnt, "bg")
+      .join(uni, "w")
+      .crossJoin(broadcast(vocab))
+      .withColumn("t",
+        floor(log((col("b_cnt") + 1).cast("double") /
+          (col("u_cnt") + col("vsz")).cast("double")) * lit(1000000.0))
+          .cast("long"))
+    terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("t")).as("sum_micro"))
+      .withColumn("avg_nll",
+        (-col("sum_micro")).cast("double") /
+          (col("n_bigrams") * 1000000L).cast("double"))
+  }
 }

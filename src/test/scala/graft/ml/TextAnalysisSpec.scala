@@ -153,4 +153,17 @@ class TextAnalysisSpec extends SparkSuite {
     assert(flags(2).getAs[Long]("block_hits") == 1L && !flags(2).getAs[Boolean]("keep"))
     assert(flags(3).getAs[Boolean]("has_curly") && !flags(3).getAs[Boolean]("keep"))
   }
+
+  test("native text kernels are SQL-visible via graft_* functions") {
+    val r = spark.sql(
+      """SELECT graft_ngrams(graft_tokens('a b  c'), 2) AS g,
+        |       graft_ngrams(graft_tokens('x y x y'), 2, true) AS d,
+        |       graft_repetition(graft_tokens('x x x')) AS s""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1) == Seq("x y", "y x")) // distinct, first-occurrence
+    val s = r.getStruct(2)
+    assert(s.getAs[Long]("n_words") == 3L && s.getAs[Long]("top_word") == 3L)
+    assert(s.getAs[Long]("n_trigrams") == 1L && s.getAs[Long]("dup_trigrams") == 0L)
+  }
 }

@@ -53,4 +53,27 @@ class TextRankSpec extends SparkSuite {
     // floor grid since the other term adds exactly 0.0)
     assert(multi(1L) == single(1L))
   }
+
+  test("lmScore: hand-computed add-one bigram likelihoods") {
+    // uni: a=3 b=3 c=1, V=3; bigrams: "a b"=3, "b a"=1
+    // P(a b) = (3+1)/(3+3) = 2/3; P(b a) = (1+1)/(3+3) = 1/3
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextRank.lmScore(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 3 has no bigrams -> no row
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val mAB = math.floor(math.log(4.0 / 6.0) * 1e6).toLong // "a b"
+    val mBA = math.floor(math.log(2.0 / 6.0) * 1e6).toLong // "b a"
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_bigrams") == 3L)
+    assert(d1.getAs[Long]("sum_micro") == 2 * mAB + mBA)
+    assert(d1.getAs[Double]("avg_nll") ==
+      -(2 * mAB + mBA).toDouble / (3L * 1000000L).toDouble)
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_bigrams") == 1L)
+    assert(d2.getAs[Long]("sum_micro") == mAB)
+    // rarer continuations score lower likelihood (higher NLL)
+    assert(mBA < mAB)
+  }
 }
