@@ -23,10 +23,32 @@ object Bench {
     */
   private val LineBudget = 1600
 
+  /** Task-level scan accounting: bytes/records read from the sources,
+    * accumulated across all tasks between two [[reset]] calls — the
+    * Spark-metrics equivalent of the reference's per-query bytes_scanned
+    * (`src/query/mod.rs:465-481`).
+    */
+  private final class ScanAccumulator
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val tm = e.taskMetrics
+      if (tm != null) {
+        bytes.addAndGet(tm.inputMetrics.bytesRead)
+        records.addAndGet(tm.inputMetrics.recordsRead)
+      }
+    }
+    def reset(): Unit = { bytes.set(0); records.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
+    val scan = new ScanAccumulator
+    spark.sparkContext.addSparkListener(scan)
     // one unmeasured pass first: JIT/codegen warm, OS page cache holds the
     // input files — the measured pass then reflects steady-state compute,
     // not which query alphabetically pays classloading or first-touch IO
@@ -35,15 +57,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      scan.reset()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val rows = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      (name, sec, rows, scan.bytes.get(), scan.records.get())
     }
     val total = results.map(_._2).sum
 
-    val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v, _, _, _) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val detail = results.map { case (k, v, rows, b, r) =>
+      s""""$k":{"sec":$v,"rows":$rows,"bytes_scanned":$b,"records_scanned":$r}"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"detail":$detail,"sf":"$sfDir"}"""
     try Files.write(Paths.get("bench_full.json"), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
 
@@ -53,7 +83,7 @@ object Bench {
     val footer = "}}"
     val sb = new StringBuilder(header)
     var first = true
-    results.sortBy(-_._2).foreach { case (k, v) =>
+    results.sortBy(-_._2).foreach { case (k, v, _, _, _) =>
       val entry = (if (first) "" else ",") + f""""$k":$v%.3f"""
       if (sb.length + entry.length + footer.length <= LineBudget) {
         sb.append(entry); first = false
