@@ -107,11 +107,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Option[Long] = None): DataFrame = {
-    // the shingle pipeline feeds both join sides: persist it once instead
-    // of recomputing the tokenize+hash per side (MEMORY_AND_DISK — spills
-    // instead of OOM at scale; evicted by LRU)
+    // the shingle pipeline feeds both join sides UNPERSISTED: with the
+    // native tokenize/ngram kernels the recompute is scan-bound and
+    // embarrassingly parallel, while a corpus-scale cache would pin
+    // executor storage (and leak across calls — nothing here can know
+    // when the caller is done with the result)
     val sets = shingleHashFrame(df, idCol, textCol, n, portableHash = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // set sizes ride along through the explode (one extra long per shuffle
     // row) — grouping by them is free (functionally determined by the ids)
     // and saves two whole set-side joins after the aggregation
@@ -192,7 +193,6 @@ object Dedup {
                          maxShingleFreq: Option[Long] = None): DataFrame = {
     val sets = shingleHashFrame(df, idCol, textCol, n, portableHash = false)
       .withColumn("sh", sort_array(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withPref = sets.withColumn("pref",
       slice(col("sh"), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
@@ -243,7 +243,6 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.8,
                        maxShingleFreq: Option[Long] = None): DataFrame = {
     val sets = shingleHashFrame(df, idCol, textCol, n, portableHash = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = explodedShingles(sets, maxShingleFreq)
     val a = ex.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = ex.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
@@ -296,8 +295,12 @@ object Dedup {
     */
   def lshPairs(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // both join sides read the bucket frame — persist to evaluate the
-    // shingle+signature pipeline once
+    // the bucket frame IS persisted (unlike the raw shingle frames): the
+    // portable md5-based MinHash signatures are ~8x the cost of the scan,
+    // and the frame is signatures-only — (id, 16 hashes, band keys), a
+    // bounded fraction of corpus size. In production these signatures are
+    // written once per corpus and reused per batch (see
+    // jaccardAgainstReference / saveIvfIndex for that pattern).
     val bk = lshBuckets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("band"), col("key"), col("id").as("id_a"),

@@ -39,8 +39,9 @@ object TextRank {
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
+    // tf feeds dfreq and the join as the IDENTICAL aggregated subtree —
+    // ReuseExchange computes it once per query, no cache needed
     val tf = termFreq(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") *
@@ -75,7 +76,6 @@ object TextRank {
     val toks = docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val consts = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
