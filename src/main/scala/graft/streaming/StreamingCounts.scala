@@ -53,4 +53,42 @@ object StreamingCounts {
       .orderBy(col("total_count").desc +: gcols.map(_.asc): _*)
       .limit(k)
   }
+
+  /** Live percentiles per tumbling window: one KLL sketch per
+    * (window, group) maintained incrementally in stream state — the
+    * streaming twin of [[graft.query.Percentiles.exactBy]], answering
+    * "p99 latency right now" without buffering raw values.
+    *
+    * State is O(groups × windows-in-watermark × sketch), with the sketch a
+    * few KB regardless of event volume — exact streaming percentiles would
+    * need every value in state. The emitted row carries the serialized
+    * `sketch` alongside the decoded quantiles, so downstream batch jobs
+    * can roll windows up to coarser bins with
+    * [[graft.query.QuantileSketch.mergeSketches]] — no rescan, the same
+    * mergeable-sketch contract as the batch side. Append mode emits each
+    * window once when the watermark closes it.
+    */
+  def windowedPercentiles(events: DataFrame, timeCol: String,
+      valueCol: String, binSeconds: Long,
+      delayThreshold: String = "10 minutes",
+      groupCols: Seq[String] = Nil,
+      quantiles: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    val wm = events.withWatermark(timeCol, delayThreshold)
+    val win = window(col(timeCol), s"$binSeconds seconds")
+    val keys: Seq[Column] = win +: groupCols.map(col)
+    val agged = wm.groupBy(keys: _*)
+      .agg(
+        graft.query.QuantileSketch.kllAgg(col(valueCol).cast("double"))
+          .as("sketch"),
+        count(lit(1)).as("n"))
+    val withQs = quantiles.foldLeft(agged) { (d, q) =>
+      d.withColumn(s"p${(q * 100).round}",
+        graft.query.QuantileSketch.kllQuantile(col("sketch"), lit(q)))
+    }
+    withQs.select((Seq(col("window.start").as("bin_start"),
+      col("window.end").as("bin_end")) ++
+      groupCols.map(col) ++
+      Seq(col("n"), col("sketch")) ++
+      quantiles.map(q => col(s"p${(q * 100).round}"))): _*)
+  }
 }

@@ -81,4 +81,42 @@ class StreamingCountsSpec extends SparkSuite {
       assert(snapshot() == Seq("c" -> 4L, "a" -> 2L))
     } finally q.stop()
   }
+
+  test("windowedPercentiles: incremental KLL quantiles finalize per window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val pcts = StreamingCounts.windowedPercentiles(
+      input.toDF().toDF("ts", "svc", "v"), "ts", "v", binSeconds = 60,
+      delayThreshold = "30 seconds", groupCols = Seq("svc"))
+    val q = pcts.writeStream.format("memory").queryName("pct_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // 1..100 in window 1 for svc a, split over two micro-batches so the
+      // sketch state is exercised across triggers
+      val (half1, half2) = (1 to 100).map(i =>
+        (new Timestamp(t0 + i * 10), "a", i.toDouble)).splitAt(50)
+      input.addData(half1)
+      q.processAllAvailable()
+      input.addData(half2)
+      q.processAllAvailable()
+      assert(spark.table("pct_out").count() == 0) // window still open
+      input.addData((new Timestamp(t0 + 300_000), "a", 0.0)) // close it
+      q.processAllAvailable()
+      val r = spark.table("pct_out").filter($"svc" === "a")
+        .select("n", "p50", "p95", "p99").collect()
+      assert(r.length == 1)
+      assert(r(0).getLong(0) == 100L)
+      // KLL at k=200 is exact at n=100 (no compaction below ~3k values)
+      assert(r(0).getDouble(1) == 50.0)
+      assert(r(0).getDouble(2) == 95.0)
+      assert(r(0).getDouble(3) == 99.0)
+      // emitted sketch rolls up with the batch-side merge path
+      val merged = graft.query.QuantileSketch.mergeSketches(
+        spark.table("pct_out").select($"svc", $"sketch"),
+        Seq("svc"), Seq(0.5))
+      assert(merged.filter($"svc" === "a").select("p50")
+        .collect()(0).getDouble(0) == 50.0)
+    } finally q.stop()
+  }
 }
