@@ -1029,6 +1029,15 @@ object SparkEntry {
     "q_text_lmscore" -> ((s, dir) =>
       TextRank.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // ML: random-projection ANN — deterministic ±1 JL matrix, 64→16 dims
+    // (4x less arithmetic/IO per pair), cosine ranking in projected space.
+    "q_sim_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnProjected(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, inDim = 64, outDim = 16)
+        .orderBy(col("q_id"), col("rk"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -2455,5 +2464,31 @@ object SparkEntry {
         |  CAST(sum(t) AS BIGINT) AS sum_micro,
         |  CAST(-sum(t) AS DOUBLE) / (count(*) * 1000000) AS avg_nll
         |FROM terms GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_sim_project" -> {
+      // the SAME ±1 matrix literals the Spark side uses, so projection is
+      // literal-for-literal identical (fixed left-to-right dot fold)
+      val pe = Similarity.projectionMatrix(64, 16).map { row =>
+        val arr = row.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        dDot("e", arr)
+      }.mkString("[", ",\n         ", "]")
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, $pe AS pe FROM v),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${dCosine("q.pe", "c.pe")} AS pcosine
+         |  FROM qv q JOIN qv c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT q_id, n_id, pcosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY pcosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM p)
+         |SELECT q_id, n_id, pcosine, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin
+    },
   )
 }

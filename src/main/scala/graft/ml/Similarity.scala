@@ -340,6 +340,53 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("qcosine"), col("rk"))
   }
 
+  /** Deterministic ±1 random-projection matrix (Achlioptas 2003: sign
+    * matrices satisfy Johnson–Lindenstrauss): entry (j, i) from a fixed
+    * Knuth-hash parity — reproducible everywhere, no RNG state.
+    */
+  def projectionMatrix(inDim: Int, outDim: Int): Seq[Seq[Double]] =
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = ((j.toLong * inDim + i) * 2654435761L) & 0x7fffffffL
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Project an embedding to `outDim` dimensions: each output component is
+    * one native dot product against a ±1 matrix row (fixed left-to-right
+    * summation — engine-portable). The JL guarantee makes downstream
+    * cosine ranking approximately distance-preserving at a 4x (64→16)
+    * scan/shuffle/compute reduction — the standard first move when ANN
+    * cost at corpus scale is dominated by vector width. Unscaled ±1 rows:
+    * the 1/√outDim factor cancels inside cosine.
+    */
+  def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    val m = projectionMatrix(inDim, outDim)
+    array(m.map(row => dot(vec, lit(row.toArray))): _*)
+  }
+
+  /** Top-k by cosine in the PROJECTED space: [[knnBruteForce]] over
+    * [[randomProject]] vectors (approximate ranking, 4x less arithmetic
+    * per pair; re-rank survivors with full vectors when exactness
+    * matters).
+    */
+  def knnProjected(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   inDim: Int, outDim: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      randomProject(col(vecCol), inDim, outDim).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      randomProject(col(vecCol), inDim, outDim).as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcosine").desc, col("n_id").asc)
+    c.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("pcosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("pcosine"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, over a
     * *bounded* id range (all-pairs is quadratic by nature; at scale this is
     * run per LSH bucket or per partition window, never globally).

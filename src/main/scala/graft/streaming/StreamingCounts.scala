@@ -91,4 +91,32 @@ object StreamingCounts {
       Seq(col("n"), col("sketch")) ++
       quantiles.map(q => col(s"p${(q * 100).round}"))): _*)
   }
+
+  /** Live distinct counts per tumbling window: one HLL sketch per
+    * (window, group) in stream state — the streaming twin of
+    * [[graft.query.FieldStats.sketchByGroup]] (lgK matches the
+    * reference's 4096-register HLL). Same mergeable contract as
+    * [[windowedPercentiles]]: the emitted `sketch` unions into coarser
+    * bins via [[graft.query.FieldStats.mergeSketches]] with zero rescan.
+    * State per key is one 4 KB sketch regardless of stream cardinality —
+    * streaming COUNT(DISTINCT) would hold the full value set.
+    */
+  def windowedDistinct(events: DataFrame, timeCol: String, field: String,
+      binSeconds: Long, delayThreshold: String = "10 minutes",
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val wm = events.withWatermark(timeCol, delayThreshold)
+    val win = window(col(timeCol), s"$binSeconds seconds")
+    val keys: Seq[Column] = win +: groupCols.map(col)
+    wm.groupBy(keys: _*)
+      .agg(
+        hll_sketch_agg(col(field).cast("string"),
+          lit(graft.query.FieldStats.LgK)).as("sketch"),
+        count(lit(1)).as("n"))
+      .withColumn("distinct_estimate",
+        hll_sketch_estimate(col("sketch")).cast("long"))
+      .select((Seq(col("window.start").as("bin_start"),
+        col("window.end").as("bin_end")) ++
+        groupCols.map(col) ++
+        Seq(col("n"), col("sketch"), col("distinct_estimate"))): _*)
+  }
 }

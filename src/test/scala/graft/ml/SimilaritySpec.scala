@@ -149,6 +149,25 @@ class SimilaritySpec extends SparkSuite {
     assert(q(1L).forall(x => x == math.rint(x) && math.abs(x) <= 127))
   }
 
+  test("randomProject: deterministic ±1 JL projection preserves clusters") {
+    val m = Similarity.projectionMatrix(64, 16)
+    assert(m.length == 16 && m.forall(_.length == 64))
+    assert(m.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(m == Similarity.projectionMatrix(64, 16)) // reproducible
+    // two tight clusters in 64-d stay separated after 64→16 projection
+    val vecs = (0 until 20).map { i =>
+      val base = Array.tabulate(64)(d =>
+        if ((d < 32) == (i % 2 == 0)) 1.0f + 0.01f * i * (d % 3) else 0.001f * d)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    val proj = Similarity.knnProjected(vecs, queries, "vec_id", "embedding",
+        k = 5, inDim = 64, outDim = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(proj.nonEmpty)
+    assert(proj.forall { case (q, n) => (q % 2) == (n % 2) })
+  }
+
   test("knnQuantized ranks like exact knn on well-separated vectors") {
     // clusters along two axes: quantization cannot flip these rankings
     val vecs = (0 until 20).map { i =>

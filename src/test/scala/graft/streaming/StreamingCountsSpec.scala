@@ -119,4 +119,34 @@ class StreamingCountsSpec extends SparkSuite {
         .collect()(0).getDouble(0) == 50.0)
     } finally q.stop()
   }
+
+  test("windowedDistinct: incremental HLL distinct estimate per window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dst = StreamingCounts.windowedDistinct(
+      input.toDF().toDF("ts", "user"), "ts", "user", binSeconds = 60,
+      delayThreshold = "30 seconds")
+    val q = dst.writeStream.format("memory").queryName("dst_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // 40 distinct users, each seen twice, split across micro-batches
+      input.addData((0 until 40).map(i =>
+        (new Timestamp(t0 + i * 10), s"u$i")))
+      q.processAllAvailable()
+      input.addData((0 until 40).map(i =>
+        (new Timestamp(t0 + 400 + i * 10), s"u$i")))
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 300_000), "x")) // close window 1
+      q.processAllAvailable()
+      val r = spark.table("dst_out").orderBy("bin_start").collect()(0)
+      assert(r.getAs[Long]("n") == 80L)
+      // HLL at lgK=12 is exact at this cardinality
+      assert(r.getAs[Long]("distinct_estimate") == 40L)
+      // emitted sketch unions with the batch-side merge path
+      val merged = graft.query.FieldStats.mergeSketches(
+        spark.table("dst_out").select($"sketch"))
+      assert(merged.select("distinct_estimate").collect()(0).getLong(0) >= 40L)
+    } finally q.stop()
+  }
 }
