@@ -1038,6 +1038,13 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, inDim = 64, outDim = 16)
         .orderBy(col("q_id"), col("rk"))
     }),
+
+    // ML: per-source dataset card — doc/token/char volume, language
+    // spread, C4 keep-rate, mixture share. Scan-bound narrow projection
+    // into one source-cardinality hash agg.
+    "q_corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(t(s, dir, "documents"))
+        .orderBy(col("source"))),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -2490,5 +2497,30 @@ object SparkEntry {
          |SELECT q_id, n_id, pcosine, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin
     },
+
+    "q_corpus_report" ->
+      """WITH toks AS (
+        |  SELECT source, lang, text,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, lang,
+        |    CAST(len(tk) AS BIGINT) AS nw,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CASE WHEN len(tk) >= 5
+        |      AND len(list_filter(tk, t -> t IN ('lorem', 'javascript'))) = 0
+        |      AND NOT contains(text, '{') THEN 1 ELSE 0 END AS kp
+        |  FROM toks),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM r)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS total_words,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(kp) AS BIGINT) AS n_keep,
+        |  CAST(sum(nw) AS DOUBLE) / count(*) AS avg_words,
+        |  CAST(sum(kp) AS DOUBLE) / count(*) AS keep_rate,
+        |  CAST(count(*) AS DOUBLE) / (SELECT total FROM t) AS mix_share
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
   )
 }

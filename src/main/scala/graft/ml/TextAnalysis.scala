@@ -198,6 +198,39 @@ object TextAnalysis {
       "keep" -> ((nWords >= minWords) && (blockHits === 0L) && !text.contains("{")))
   }
 
+  /** Per-source corpus report — the "dataset card" numbers every training
+    * corpus ships with (docs, token/char volume, language spread, cleaning
+    * keep-rate, and the mix share). One narrow projection (native token
+    * counts + C4 keep flag per row) into one hash aggregation; the two
+    * rates are exact single divisions. At 100 TB this is scan-bound with a
+    * source-count-sized output.
+    */
+  def corpusReport(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", langCol: String = "lang",
+      blocklist: Seq[String] = Seq("lorem", "javascript"),
+      minWords: Int = 5): DataFrame = {
+    val keep = c4Flags(col(textCol), blocklist, minWords).toMap.apply("keep")
+    val rows = docs.select(col(sourceCol),
+      size(tokens(col(textCol))).cast("long").as("__nw"),
+      length(col(textCol)).cast("long").as("__nc"),
+      col(langCol).as("__lang"),
+      when(keep, 1L).otherwise(0L).as("__kp"))
+    val total = rows.agg(count(lit(1)).as("__total"))
+    rows.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("total_words"),
+        sum(col("__nc")).as("total_chars"),
+        countDistinct(col("__lang")).as("n_langs"),
+        sum(col("__kp")).as("n_keep"))
+      .crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"), col("total_words"),
+        col("total_chars"), col("n_langs"), col("n_keep"),
+        (col("total_words").cast("double") / col("n_docs"))
+          .as("avg_words"),
+        (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
+        (col("n_docs").cast("double") / col("__total")).as("mix_share"))
+  }
+
   /** Corpus vocabulary induction: the top-`topK` whitespace tokens by
     * occurrence count, with rank (ties broken token-ascending) and the
     * cumulative fraction of ALL token occurrences the vocabulary covers up

@@ -154,6 +154,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(flags(3).getAs[Boolean]("has_curly") && !flags(3).getAs[Boolean]("keep"))
   }
 
+  test("corpusReport aggregates exact per-source dataset-card stats") {
+    val docs = Seq(
+      (1L, "one two three four five six", "en", "a"),
+      (2L, "short", "en", "a"),
+      (3L, "uno dos tres cuatro cinco seis", "es", "b")).toDF(
+      "doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusReport(docs).orderBy("source").collect()
+    assert(r.length == 2)
+    val a = r(0)
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("total_words") == 7L)
+    assert(a.getAs[Long]("n_langs") == 1L)
+    assert(a.getAs[Long]("n_keep") == 1L) // "short" fails the word floor
+    assert(a.getAs[Double]("keep_rate") == 0.5)
+    assert(a.getAs[Double]("avg_words") == 3.5)
+    assert(a.getAs[Double]("mix_share") == 2.0 / 3.0)
+    assert(r(1).getAs[Double]("mix_share") == 1.0 / 3.0)
+  }
+
   test("native text kernels are SQL-visible via graft_* functions") {
     val r = spark.sql(
       """SELECT graft_ngrams(graft_tokens('a b  c'), 2) AS g,
