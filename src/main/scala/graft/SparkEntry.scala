@@ -1045,6 +1045,17 @@ object SparkEntry {
     "q_corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(t(s, dir, "documents"))
         .orderBy(col("source"))),
+
+    // ML: two-stage ANN — projected candidate generation (16-d, 4x
+    // cheaper over the full cross product) then exact full-vector
+    // re-rank of the top-20 pool.
+    "q_sim_twostage" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnTwoStage(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, candidates = 20,
+          inDim = 64, outDim = 16)
+        .orderBy(col("q_id"), col("rk"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1088,6 +1099,17 @@ object SparkEntry {
     */
   private def dDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+  /** DuckDB: 64→16 ±1 JL projection of `e` — interpolates the SAME matrix
+    * literals as [[Similarity.projectionMatrix]](64, 16), so the fixed
+    * left-to-right dot fold is engine-identical.
+    */
+  private def dProject(e: String): String =
+    Similarity.projectionMatrix(64, 16).map { row =>
+      val arr = row.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      dDot(e, arr)
+    }.mkString("[", ",\n         ", "]")
 
   private def dCosine(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
@@ -2472,18 +2494,11 @@ object SparkEntry {
         |  CAST(-sum(t) AS DOUBLE) / (count(*) * 1000000) AS avg_nll
         |FROM terms GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
-    "q_sim_project" -> {
-      // the SAME ±1 matrix literals the Spark side uses, so projection is
-      // literal-for-literal identical (fixed left-to-right dot fold)
-      val pe = Similarity.projectionMatrix(64, 16).map { row =>
-        val arr = row.map(v => if (v > 0) "1.0" else "-1.0")
-          .mkString("[", ", ", "]")
-        dDot("e", arr)
-      }.mkString("[", ",\n         ", "]")
+    "q_sim_project" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings),
-         |qv AS (SELECT vec_id, $pe AS pe FROM v),
+         |qv AS (SELECT vec_id, ${dProject("e")} AS pe FROM v),
          |p AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          |    ${dCosine("q.pe", "c.pe")} AS pcosine
@@ -2495,8 +2510,32 @@ object SparkEntry {
          |      ORDER BY pcosine DESC, n_id ASC) AS INTEGER) AS rk
          |  FROM p)
          |SELECT q_id, n_id, pcosine, rk FROM r WHERE rk <= 5
-         |ORDER BY q_id, rk""".stripMargin
-    },
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q_sim_twostage" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, e, ${dProject("e")} AS pe FROM v),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.e AS q_e, c.e AS c_e,
+         |    ${dCosine("q.pe", "c.pe")} AS pcosine
+         |  FROM qv q JOIN qv c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY pcosine DESC, n_id ASC) AS prk
+         |  FROM p),
+         |ex AS (
+         |  SELECT q_id, n_id, ${dCosine("q_e", "c_e")} AS cosine
+         |  FROM cand WHERE prk <= 20),
+         |r AS (
+         |  SELECT q_id, n_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM ex)
+         |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
 
     "q_corpus_report" ->
       """WITH toks AS (

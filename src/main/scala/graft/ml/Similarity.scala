@@ -387,6 +387,41 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("pcosine"), col("rk"))
   }
 
+  /** Two-stage ANN — the production retrieval shape: stage 1 ranks ALL
+    * corpus vectors per query in the cheap PROJECTED space (outDim ≪
+    * inDim, so the full cross product costs inDim/outDim× less arithmetic
+    * and IO) and keeps `candidates` per query; stage 2 re-ranks only those
+    * candidates with exact full-vector cosine and returns the top `k`.
+    * Recall is governed by `candidates` (JL distortion shrinks as the
+    * candidate pool grows); cost by `outDim`. Both stages are
+    * deterministic (projected tie → n_id, exact tie → n_id), so results
+    * are engine-reproducible — gated against a DuckDB oracle like every
+    * batch operator here.
+    */
+  def knnTwoStage(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, candidates: Int,
+                  inDim: Int, outDim: Int): DataFrame = {
+    require(candidates >= k, "candidate pool must be at least k")
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_full"),
+      randomProject(col(vecCol), inDim, outDim).as("q_proj")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_full"),
+      randomProject(col(vecCol), inDim, outDim).as("n_proj"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcosine").desc, col("n_id").asc)
+    val cand = c.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("pcosine", cosine(col("q_proj"), col("n_proj")))
+      .withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= candidates)
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    cand.withColumn("cosine", cosine(col("q_full"), col("n_full")))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, over a
     * *bounded* id range (all-pairs is quadratic by nature; at scale this is
     * run per LSH bucket or per partition window, never globally).

@@ -168,6 +168,27 @@ class SimilaritySpec extends SparkSuite {
     assert(proj.forall { case (q, n) => (q % 2) == (n % 2) })
   }
 
+  test("knnTwoStage with a full candidate pool equals exact brute force") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 7 + d * 3) % 13 - 6) * 0.25f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.knnBruteForce(vecs, queries, "vec_id", "embedding",
+        k = 5).select("q_id", "n_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    // candidates = corpus size - 1: stage 1 keeps everything, so stage 2
+    // IS the exact ranking
+    val full = Similarity.knnTwoStage(vecs, queries, "vec_id", "embedding",
+        k = 5, candidates = 29, inDim = 64, outDim = 16)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+    // a small pool still returns k rows per query, ranked deterministically
+    val narrow = Similarity.knnTwoStage(vecs, queries, "vec_id", "embedding",
+        k = 5, candidates = 8, inDim = 64, outDim = 16)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect()
+    assert(narrow.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("knnQuantized ranks like exact knn on well-separated vectors") {
     // clusters along two axes: quantization cannot flip these rankings
     val vecs = (0 until 20).map { i =>
