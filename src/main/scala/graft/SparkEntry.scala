@@ -327,8 +327,9 @@ object SparkEntry {
 
     // ML: per-doc novelty — fraction of the doc's distinct bigrams that no
     // other doc contains (contamination signal). One narrow tokenize pass
-    // (persisted), two aggregations, one tiny per-doc join — no join back to
-    // the exploded frame and no collect_list on hot bigrams (skew-safe: a
+    // per aggregation (native kernels: scan-bound, so two passes beat a
+    // corpus-scale cache), one tiny per-doc join — no join back to the
+    // exploded frame and no collect_list on hot bigrams (skew-safe: a
     // bigram appearing in every doc costs one counter, not a giant list).
     // All-integer until one exact division.
     "q_text_novelty" -> ((s, dir) => {
@@ -337,7 +338,6 @@ object SparkEntry {
           explode(array_distinct(
             TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2)))
             .as("bg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val perDoc = bigrams.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"))
       // (doc_id, bg) rows are distinct per doc, so df = count(*); a bigram
