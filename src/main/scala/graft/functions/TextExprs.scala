@@ -182,6 +182,41 @@ object TextExprs {
     s
   }
 
+  /** Greedy longest-match WordPiece over a token array (the standard BERT
+    * inference algorithm): per token, repeatedly take the longest prefix
+    * present in the vocabulary — continuation pieces carry the "##"
+    * prefix — and emit `unk` for the whole token when no prefix matches.
+    * Deterministic for a fixed vocabulary.
+    */
+  def wordpiece(arr: ArrayData, vocab: JHashSet[UTF8String],
+                unk: UTF8String): ArrayData = {
+    val m = arr.numElements()
+    val out = new JArrayList[UTF8String]()
+    var i = 0
+    while (i < m) {
+      val tok = arr.getUTF8String(i).toString
+      val pieces = new JArrayList[UTF8String]()
+      var start = 0
+      var ok = true
+      while (ok && start < tok.length) {
+        var end = tok.length
+        var found: UTF8String = null
+        while (found == null && end > start) {
+          val sub = tok.substring(start, end)
+          val candidate =
+            UTF8String.fromString(if (start == 0) sub else "##" + sub)
+          if (vocab.contains(candidate)) found = candidate
+          else end -= 1
+        }
+        if (found == null) ok = false
+        else { pieces.add(found); start = end }
+      }
+      if (ok) out.addAll(pieces) else out.add(unk)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Count of array elements contained in `set`. */
   def countInSet(arr: ArrayData, set: JHashSet[UTF8String]): Long = {
     val m = arr.numElements()
@@ -279,6 +314,29 @@ case class CountInSet(child: Expression, words: Seq[String])
       v => s"$v = graft.functions.TextExprs.buildSet($wordsRef);")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextExprs.countInSet($c, $setVar)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Greedy WordPiece pieces for a token array against a fixed vocabulary. */
+case class WordpiecePieces(child: Expression, vocab: Seq[String],
+                           unk: String) extends UnaryExpression {
+  @transient private lazy val set: JHashSet[UTF8String] =
+    TextExprs.buildSet(vocab)
+  @transient private lazy val unkU = UTF8String.fromString(unk)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.wordpiece(input.asInstanceOf[ArrayData], set, unkU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("vocab", vocab,
+      "scala.collection.immutable.Seq")
+    val setVar = ctx.addMutableState("java.util.HashSet", "wpVocab",
+      v => s"$v = graft.functions.TextExprs.buildSet($vocabRef);")
+    val unkRef = ctx.addReferenceObj("unk", unkU,
+      classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExprs.wordpiece($c, $setVar, $unkRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

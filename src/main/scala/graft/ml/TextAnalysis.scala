@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CountInSet, LangBest, RepetitionStats, SumTokenChars, WhitespaceTokens, WordNgrams}
+import graft.functions.{CountInSet, LangBest, RepetitionStats, SumTokenChars, WhitespaceTokens, WordNgrams, WordpiecePieces}
 
 /** Text-analysis operators for training-data pipelines: tokenization, token
   * counting, quality scoring, language-ID heuristic, fingerprinting.
@@ -197,6 +197,18 @@ object TextAnalysis {
       "block_hits" -> blockHits,
       "keep" -> ((nWords >= minWords) && (blockHits === 0L) && !text.contains("{")))
   }
+
+  /** Greedy WordPiece application (BERT inference tokenization) against a
+    * fixed subword vocabulary — the "tokenizer apply" step downstream of
+    * [[vocabulary]] induction: per whitespace token, longest-match pieces
+    * (continuations carry "##"), `unk` when nothing matches. Native
+    * single-pass kernel ([[graft.functions.WordpiecePieces]]); the
+    * vocabulary rides along as a codegen reference, so at 100 TB this is
+    * a narrow scan-speed projection like every kernel here.
+    */
+  def wordpiece(toks: Column, vocab: Seq[String],
+                unk: String = "[UNK]"): Column =
+    nat(toks)(WordpiecePieces(_, vocab, unk))
 
   /** Per-source corpus report — the "dataset card" numbers every training
     * corpus ships with (docs, token/char volume, language spread, cleaning

@@ -154,6 +154,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(flags(3).getAs[Boolean]("has_curly") && !flags(3).getAs[Boolean]("keep"))
   }
 
+  test("wordpiece: greedy longest-match with ## continuations and [UNK]") {
+    val vocab = Seq("un", "aff", "able", "##aff", "##able", "##ble", "a",
+      "hug", "##s")
+    val df = Seq("unaffable hugs a zzz").toDF("text")
+    val pieces = df.select(TextAnalysis.wordpiece(
+        TextAnalysis.tokens(col("text")), vocab).as("p"))
+      .as[Seq[String]].collect()(0)
+    // greedy: longest prefix first; zzz has no match at position 0 -> UNK
+    assert(pieces == Seq("un", "##aff", "##able", "hug", "##s", "a", "[UNK]"))
+    // SQL-free sanity: vocabulary induction output plugs straight in
+    val induced = TextAnalysis.vocabulary(
+      Seq("hug hug hugs").toDF("text"), topK = 2)
+    assert(induced.count() == 2)
+  }
+
   test("corpusReport aggregates exact per-source dataset-card stats") {
     val docs = Seq(
       (1L, "one two three four five six", "en", "a"),
