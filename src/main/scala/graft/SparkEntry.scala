@@ -1046,6 +1046,14 @@ object SparkEntry {
       TextAnalysis.corpusReport(t(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // ML: exact-substring dedup CLEANED OUTPUT — duplicated passages
+    // spliced out per document (Lee et al. 2022's deliverable); clean
+    // docs pass through token-rejoined.
+    "q_dedup_clean" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8)
+        .orderBy(col("doc_id"))),
+
     // ML: two-stage ANN — projected candidate generation (16-d, 4x
     // cheaper over the full cross product) then exact full-vector
     // re-rank of the top-20 pool.
@@ -1421,6 +1429,57 @@ object SparkEntry {
         |  list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ') AS passage
         |FROM agg a JOIN toks t USING (doc_id)
         |ORDER BY a.doc_id, a.start_tok""".stripMargin,
+
+    "q_dedup_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+        |    i -> struct_pack(p := i,
+        |      span := list_aggregate(tk[i:i+7], 'string_agg', ' ')))) AS w
+        |  FROM toks WHERE len(tk) >= 8),
+        |sp AS (SELECT doc_id, w.p AS p, w.span AS span FROM sp0),
+        |dup AS (
+        |  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+        |occ AS (
+        |  SELECT doc_id, p FROM sp WHERE span IN (SELECT span FROM dup)),
+        |brk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM occ),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM brk),
+        |agg AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
+        |    CAST(max(p) + 7 AS BIGINT) AS end_tok
+        |  FROM isl GROUP BY doc_id, g),
+        |tr AS (
+        |  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS i
+        |  FROM toks),
+        |keep AS (
+        |  SELECT tr.doc_id, tr.t, tr.i FROM tr
+        |  LEFT JOIN agg a ON tr.doc_id = a.doc_id
+        |    AND tr.i BETWEEN a.start_tok AND a.end_tok
+        |  WHERE a.doc_id IS NULL),
+        |clean AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct
+        |  FROM keep GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |    CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS toks_removed
+        |  FROM agg GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(s.n_passages, CAST(0 AS BIGINT)) AS n_passages,
+        |  COALESCE(s.toks_removed, CAST(0 AS BIGINT)) AS toks_removed,
+        |  COALESCE(c.ct, '') AS clean_text
+        |FROM toks t
+        |LEFT JOIN st s USING (doc_id)
+        |LEFT JOIN clean c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""$dShingleCte,

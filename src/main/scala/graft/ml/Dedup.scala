@@ -603,6 +603,38 @@ object Dedup {
           col("end_tok") - col("start_tok") + 1)).as("passage"))
   }
 
+  /** Cleaned-corpus output of exact-substring dedup (the actual Lee et al.
+    * 2022 deliverable): every maximal duplicated passage
+    * ([[maximalDuplicateSpans]]) is spliced OUT of its document, leaving
+    * one row per document with the cleaned text (rebuilt from surviving
+    * tokens, single-spaced), the number of passages removed, and the token
+    * count removed. Documents without duplicated passages pass through
+    * with their tokens re-joined (so the column is uniformly normalized).
+    *
+    * Shape: the island frame is tiny (duplicated docs only), so the join
+    * back to the corpus is broadcast-eligible; splicing runs only in the
+    * branch where ranges exist — clean documents never pay the per-token
+    * range test.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", k: Int = 8): DataFrame = {
+    val ranges = maximalDuplicateSpans(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__rs"),
+        count(lit(1)).as("n_passages"),
+        sum(col("end_tok") - col("start_tok") + 1).as("toks_removed"))
+    val spliced = filter(col("__tk"), (t, i) =>
+      !exists(col("__rs"), r =>
+        (i + 1) >= r("start_tok") && (i + 1) <= r("end_tok")))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .join(ranges, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("toks_removed"), lit(0L)).as("toks_removed"),
+        when(col("__rs").isNull, concat_ws(" ", col("__tk")))
+          .otherwise(concat_ws(" ", spliced)).as("clean_text"))
+  }
+
   // ----------------------------------------------- edit-distance near-dup
 
   /** Blocked edit-distance near-dup pairs: documents agreeing on

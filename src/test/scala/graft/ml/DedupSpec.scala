@@ -196,6 +196,30 @@ class DedupSpec extends SparkSuite {
       (2L, 1L, 6L, 3L, passage)))
   }
 
+  test("removeDuplicateSpans splices passages out, passes clean docs through") {
+    import spark.implicits._
+    val passage = "p1 p2 p3 p4 p5 p6"
+    val docs = Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, s"$passage trailer text here"),
+      (3L, s"unrelated words only in this document")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(docs, k = 4).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 6L, "alpha omega"),
+      (2L, 1L, 6L, "trailer text here"),
+      (3L, 0L, 0L, "unrelated words only in this document")))
+    // a fully-duplicated doc cleans to the empty string
+    val full = Seq((1L, passage.split(" ").take(4).mkString(" ")),
+      (2L, passage.split(" ").take(4).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fr = Dedup.removeDuplicateSpans(full, k = 4).orderBy("doc_id")
+      .collect()
+    assert(fr.forall(_.getString(3) == ""))
+    assert(fr.forall(_.getLong(2) == 4L))
+  }
+
   test("maximalDuplicateSpans keeps disjoint duplicated passages separate") {
     import spark.implicits._
     val a = "a1 a2 a3 a4"
