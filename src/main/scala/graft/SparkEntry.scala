@@ -1046,6 +1046,23 @@ object SparkEntry {
       TextAnalysis.corpusReport(t(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // J2+: tail-based trace sampling — keep all spans of traces with a
+    // very slow span (top ~0.5% of traces), plus a deterministic 10%
+    // hash-sample of the rest.
+    // Per-trace decisions (never partial traces); one agg + one
+    // semi-join, both keyed by trace id.
+    "q_trace_tailsample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val spans = t(s, dir, "events")
+        .select(col("user_id").as("t_id"),
+          (row_number().over(w) - 1).cast("long").as("s_id"),
+          col("event_type").as("service"),
+          floor(col("value") * 100).cast("long").as("dur"))
+      Traces.tailSample(spans, "t_id", col("dur") > 47000, rate = 0.1)
+        .orderBy(col("t_id"), col("s_id"))
+    }),
+
     // ML: exact-substring dedup CLEANED OUTPUT — duplicated passages
     // spliced out per document (Lee et al. 2022's deliverable); clean
     // docs pass through token-rejoined.
@@ -1429,6 +1446,27 @@ object SparkEntry {
         |  list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ') AS passage
         |FROM agg a JOIN toks t USING (doc_id)
         |ORDER BY a.doc_id, a.start_tok""".stripMargin,
+
+    "q_trace_tailsample" ->
+      s"""WITH s AS (
+         |  SELECT user_id AS t_id,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts ASC, event_id ASC) - 1 AS BIGINT) AS s_id,
+         |    event_type AS service,
+         |    CAST(floor(value * 100) AS BIGINT) AS dur
+         |  FROM events),
+         |m AS (
+         |  SELECT t_id, max(CASE WHEN dur > 47000 THEN 1 ELSE 0 END) AS sig
+         |  FROM s GROUP BY 1),
+         |k AS (
+         |  SELECT t_id,
+         |    CASE WHEN sig = 1 THEN 'signal' ELSE 'sampled' END AS keep_reason
+         |  FROM m
+         |  WHERE sig = 1
+         |    OR ${dHash60("CAST(t_id AS VARCHAR)")} % 1000000 < 100000)
+         |SELECT s.t_id, s.s_id, s.service, s.dur, k.keep_reason
+         |FROM s JOIN k USING (t_id)
+         |ORDER BY t_id, s_id""".stripMargin,
 
     "q_dedup_clean" ->
       """WITH toks AS (

@@ -24,10 +24,17 @@ object Sampling {
   def bucket(idCol: Column, salt: String = ""): Column =
     Dedup.hash60(concat(idCol.cast("string"), lit(salt))) % Buckets
 
+  /** Bernoulli keep-predicate at `rate` over an arbitrary id column —
+    * the reusable core of [[hashSample]] (trace tail-sampling, per-row
+    * gating inside larger expressions).
+    */
+  def keepAtRate(idCol: Column, rate: Double, salt: String = ""): Column =
+    bucket(idCol, salt) < (rate * Buckets).toLong
+
   /** Bernoulli sample at `rate` — keep iff bucket < rate·Buckets. */
   def hashSample(df: DataFrame, idCol: String, rate: Double,
                  salt: String = ""): DataFrame =
-    df.filter(bucket(col(idCol), salt) < (rate * Buckets).toLong)
+    df.filter(keepAtRate(col(idCol), rate, salt))
 
   /** Per-stratum Bernoulli rates (e.g. language balancing): strata absent
     * from `rates` fall back to `defaultRate`. The rate lookup is a CASE

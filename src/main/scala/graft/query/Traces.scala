@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,32 @@ object Traces {
       depth += 1
     }
     result
+  }
+
+  /** Tail-based trace sampling (the OTel tail-sampling processor shape):
+    * keep EVERY span of a trace that satisfies `interesting` on any span
+    * (errors, slow spans), and a deterministic hash-sample of the
+    * remaining traces at `rate` — the standard way to cut trace storage
+    * 10-50x without losing the traces anyone will ever look at.
+    *
+    * Decisions are per-trace, never per-span (a sampled trace keeps ALL
+    * its spans — partial traces are useless), and the hash sample is
+    * reproducible/repartition-stable ([[graft.ml.Sampling.keepAtRate]]).
+    * Shape: one per-trace aggregate + one semi-join, both keyed by the
+    * trace id — with spans pre-bucketed by trace id both are
+    * exchange-free at scale. Output adds `keep_reason`
+    * ('signal' | 'sampled').
+    */
+  def tailSample(spans: DataFrame, traceCol: String, interesting: Column,
+                 rate: Double, salt: String = ""): DataFrame = {
+    val marks = spans.groupBy(col(traceCol))
+      .agg(max(when(interesting, 1L).otherwise(0L)).as("__sig"))
+      .filter(col("__sig") === 1L ||
+        graft.ml.Sampling.keepAtRate(col(traceCol), rate, salt))
+      .select(col(traceCol),
+        when(col("__sig") === 1L, "signal").otherwise("sampled")
+          .as("keep_reason"))
+    spans.join(marks, Seq(traceCol))
   }
 
   /** Service dependency graph (the Jaeger/Tempo "system architecture"

@@ -131,6 +131,30 @@ class TracesSpec extends SparkSuite {
       full(0).getLong(3) == n.toLong)
   }
 
+  test("tailSample keeps whole signal traces plus a stable hash sample") {
+    import org.apache.spark.sql.functions._
+    // 100 traces x 3 spans; trace 7 has one slow span
+    val spans = (1 to 100).flatMap { t =>
+      (0 until 3).map(s => (t.toLong, s.toLong,
+        if (t == 7 && s == 1) 99999L else 10L))
+    }.toDF("t_id", "s_id", "dur")
+    val kept = Traces.tailSample(spans, "t_id", col("dur") > 1000L,
+      rate = 0.2)
+    val byTrace = kept.collect()
+      .map(r => (r.getLong(0), r.getString(3))).groupBy(_._1)
+    // trace 7 kept via signal, ALL 3 spans present
+    assert(byTrace(7L).length == 3)
+    assert(byTrace(7L).forall(_._2 == "signal"))
+    // sampled traces are whole too, and the decision is repartition-stable
+    assert(byTrace.values.forall(_.length == 3))
+    val again = Traces.tailSample(spans.repartition(13), "t_id",
+        col("dur") > 1000L, rate = 0.2)
+      .select("t_id").distinct().as[Long].collect().toSet
+    assert(byTrace.keySet == again)
+    // rate ~20% of non-signal traces
+    assert(byTrace.size > 5 && byTrace.size < 50)
+  }
+
   test("serviceGraph aggregates parent->child service edges exactly") {
     // trace 1: api(0) -> db(1), api(0) -> cache(2), db(1) -> disk(3)
     // trace 2: api(0) -> db(1)   (same edge, second trace)
