@@ -1046,6 +1046,31 @@ object SparkEntry {
       TextAnalysis.corpusReport(t(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // A5+: SLO error-budget report — per service: requests, errors,
+    // availability, budget burn vs the SLO target. Exact integers + fixed
+    // single-division trees; one scan-bound hash agg.
+    "q_slo_report" -> ((s, dir) =>
+      Alerts.sloReport(t(s, dir, "events"), Seq("event_type"),
+          col("value") > 300, sloTarget = 0.99)
+        .orderBy(col("event_type"))),
+
+    // A6++: p99 exemplar — per service, the WHOLE span row at the p99
+    // rank (value + the trace/span ids a human clicks through to).
+    "q_trace_exemplar" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val spans = t(s, dir, "events")
+        .select(col("user_id").as("t_id"),
+          (row_number().over(w) - 1).cast("long").as("s_id"),
+          col("event_type").as("service"),
+          floor(col("value") * 100).cast("long").as("dur"))
+      Percentiles.exemplarAt(spans, Seq("service"), "dur",
+          Seq("t_id", "s_id"), p = 0.99)
+        .select(col("service"), col("dur").as("p99_dur"),
+          col("t_id").as("exemplar_trace"), col("s_id").as("exemplar_span"))
+        .orderBy(col("service"))
+    }),
+
     // J2+: tail-based trace sampling — keep all spans of traces with a
     // very slow span (top ~0.5% of traces), plus a deterministic 10%
     // hash-sample of the rest.
@@ -1446,6 +1471,40 @@ object SparkEntry {
         |  list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ') AS passage
         |FROM agg a JOIN toks t USING (doc_id)
         |ORDER BY a.doc_id, a.start_tok""".stripMargin,
+
+    "q_slo_report" ->
+      s"""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS requests,
+         |  CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS errors,
+         |  CAST(1.0 AS DOUBLE) -
+         |    CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) AS availability,
+         |  (CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*)) / CAST('${1.0 - 0.99}' AS DOUBLE) AS budget_consumed,
+         |  (CAST(1.0 AS DOUBLE) -
+         |    CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*)) >= ${0.99} AS slo_met
+         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_trace_exemplar" ->
+      """WITH s AS (
+        |  SELECT user_id AS t_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) - 1 AS BIGINT) AS s_id,
+        |    event_type AS service,
+        |    CAST(floor(value * 100) AS BIGINT) AS dur
+        |  FROM events),
+        |r AS (
+        |  SELECT service, dur, t_id, s_id,
+        |    row_number() OVER (PARTITION BY service
+        |      ORDER BY dur ASC, t_id ASC, s_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY service) AS n
+        |  FROM s)
+        |SELECT service, dur AS p99_dur, t_id AS exemplar_trace,
+        |  s_id AS exemplar_span
+        |FROM r WHERE rn - 1 = floor(0.99 * (n - 1))
+        |ORDER BY service""".stripMargin,
 
     "q_trace_tailsample" ->
       s"""WITH s AS (

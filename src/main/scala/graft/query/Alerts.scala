@@ -218,6 +218,28 @@ object Alerts {
         col("long_rate"))
   }
 
+  /** SLO error-budget report (the SRE workbook's availability table): per
+    * group (service, tenant, …) over the full frame, request/error totals,
+    * availability, and the fraction of the error budget consumed against
+    * `sloTarget` (e.g. 0.999 → budget = 0.1% of requests). All counts are
+    * exact integers; availability and budget burn are fixed single-
+    * division/expression trees, so the report is engine-exact. One hash
+    * aggregation — scan-bound at any scale.
+    */
+  def sloReport(df: DataFrame, groupCols: Seq[String], errorCond: Column,
+                sloTarget: Double): DataFrame = {
+    val avail = lit(1.0) -
+      col("errors").cast("double") / col("requests")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("requests"),
+        sum(when(errorCond, 1L).otherwise(0L)).as("errors"))
+      .withColumn("availability", avail)
+      .withColumn("budget_consumed",
+        (col("errors").cast("double") / col("requests")) /
+          (1.0 - sloTarget))
+      .withColumn("slo_met", col("availability") >= sloTarget)
+  }
+
   // ----------------------------------------------------------- state machine
 
   sealed trait AlertState

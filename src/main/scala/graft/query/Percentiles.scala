@@ -45,4 +45,21 @@ object Percentiles {
     }
     ranked.groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
   }
+
+  /** Exemplar selection (the Prometheus/OTel "exemplars" feature): per
+    * group, the WHOLE ROW sitting at quantile rank `p` — not just the
+    * value, but the trace/span identifiers a human clicks through to.
+    * Same rank-selection machinery as [[exactBy]]; `tieCols` make the
+    * pick deterministic. One shuffle on the group key.
+    */
+  def exemplarAt(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 tieCols: Seq[String], p: Double): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col(valueCol).asc +: tieCols.map(col(_).asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      .filter(col("__rn") - 1 === floor(lit(p) * (col("__n") - 1)))
+      .drop("__rn", "__n")
+  }
 }

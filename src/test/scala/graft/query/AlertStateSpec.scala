@@ -84,4 +84,24 @@ class AlertStateSpec extends SparkSuite {
     assert(t1bin.isDefined)
     assert(t1bin.get.getAs[Double]("short_rate") == 3.0 / 4)
   }
+
+  test("sloReport: exact availability and budget burn per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // svc a: 1000 requests, 2 errors (99.8% < 99.9% target -> SLO missed,
+    // budget consumed 2x); svc b: clean
+    val df = ((1 to 1000).map(i => ("a", i <= 2)) ++
+      (1 to 500).map(_ => ("b", false))).toDF("svc", "err")
+    val r = Alerts.sloReport(df, Seq("svc"), col("err"), sloTarget = 0.999)
+      .orderBy("svc").collect()
+    val a = r(0)
+    assert(a.getAs[Long]("requests") == 1000L && a.getAs[Long]("errors") == 2L)
+    assert(a.getAs[Double]("availability") == 1.0 - 2.0 / 1000)
+    assert(math.abs(a.getAs[Double]("budget_consumed") - 2.0) < 1e-9)
+    assert(!a.getAs[Boolean]("slo_met"))
+    val b = r(1)
+    assert(b.getAs[Double]("availability") == 1.0 &&
+      b.getAs[Boolean]("slo_met") &&
+      b.getAs[Double]("budget_consumed") == 0.0)
+  }
 }

@@ -44,4 +44,18 @@ class PercentilesSpec extends SparkSuite {
     assert(rows(("svc1", "d2")) == 100.0)
     assert(rows(("svc2", "d1")) == 7.0)
   }
+
+  test("exemplarAt returns the whole row at the quantile rank") {
+    val df = (1 to 100).map(i => ("svc", i.toLong, i * 10.0))
+      .toDF("svc", "id", "v")
+    val r = Percentiles.exemplarAt(df, Seq("svc"), "v", Seq("id"), p = 0.99)
+      .collect()
+    // floor(0.99 * 99) = 98 -> rank 99 (1-based) -> value 990, id 99
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("v") == 990.0 && r(0).getAs[Long]("id") == 99L)
+    // p=0 picks the minimum row
+    val lo = Percentiles.exemplarAt(df, Seq("svc"), "v", Seq("id"), p = 0.0)
+      .collect()
+    assert(lo(0).getAs[Long]("id") == 1L)
+  }
 }
