@@ -39,8 +39,10 @@ object TextRank {
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
-    // tf feeds dfreq and the join as the IDENTICAL aggregated subtree —
-    // ReuseExchange computes it once per query, no cache needed
+    // tf feeds dfreq and the join; column pruning narrows each copy (the
+    // dfreq side drops the count), so the planner recomputes rather than
+    // reuses — deliberate: both passes are scan-bound with the native
+    // tokenizer, and a corpus-scale cache would pin executor storage
     val tf = termFreq(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -127,9 +129,10 @@ object TextRank {
     * per-doc reduce is one hash agg. No windows, no driver loops.
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // no persist: the repeated subtrees (uni twice, bg twice) are identical
-    // Exchanges, which Catalyst's ReuseExchange computes once per query —
-    // cache-free, so repeated calls never accumulate executor storage
+    // no persist: the repeated subtrees (uni for vocab + the join, bg for
+    // bcnt + scoring) are recomputed column-pruned-narrow — scan-bound
+    // passes with the native tokenizer, where a cache would pin
+    // corpus-scale executor storage across calls
     val toks = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)

@@ -98,4 +98,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(!shuffles.exists(_.contains("text#")), shuffles.mkString("\n"))
     assert(!shuffles.exists(_.contains("__tk")), shuffles.mkString("\n"))
   }
+
+  test("q_text_lmscore: model tables broadcast; exploded bigrams never " +
+      "shuffle before the per-doc aggregation") {
+    // the bigram/unigram count tables are dictionary-sized — they must
+    // reach the exploded frame as broadcasts, and the big frame's first
+    // hash exchange must be the final per-doc reduce
+    val p = plan("q_text_lmscore", executeFirst = true)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_trace_depgraph: parent side broadcasts, no nested loop") {
+    val p = plan("q_trace_depgraph", executeFirst = true)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q_trace_tailsample: whole-trace keep via a join keyed by trace id") {
+    val p = plan("q_trace_tailsample", executeFirst = true)
+    assert(!p.contains("NestedLoop"), p)
+    // the keep-set is tiny after the per-trace aggregate: broadcast wins
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_corpus_report: single scan-bound aggregation, no window, no join") {
+    val p = plan("q_corpus_report")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }
