@@ -1046,6 +1046,16 @@ object SparkEntry {
       TextAnalysis.corpusReport(t(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // ML: weighted sample without replacement (A-Res priority sampling)
+    // — longer documents proportionally likelier; ONE TakeOrdered(k), no
+    // global sort, no RNG; micro-grid priorities order identically across
+    // engines.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          k = 50)
+        .select(col("doc_id"), col("n_chars"), col("priority_micro"))
+        .orderBy(col("priority_micro").desc, col("doc_id").asc)),
+
     // A5+: SLO error-budget report — per service: requests, errors,
     // availability, budget burn vs the SLO target. Exact integers + fixed
     // single-division trees; one scan-bound hash agg.
@@ -1471,6 +1481,18 @@ object SparkEntry {
         |  list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ') AS passage
         |FROM agg a JOIN toks t USING (doc_id)
         |ORDER BY a.doc_id, a.start_tok""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(floor(
+         |      ln((CAST(${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000
+         |            AS DOUBLE) + 0.5) / 1000000.0)
+         |        / CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+         |      AS priority_micro
+         |  FROM documents)
+         |SELECT doc_id, n_chars, priority_micro FROM b
+         |ORDER BY priority_micro DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     "q_slo_report" ->
       s"""SELECT event_type,

@@ -92,6 +92,28 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,
+    * priority sampling): row i gets priority u_i^(1/w_i) with u_i uniform;
+    * the k largest priorities are a weighted uniform sample. Here u_i is
+    * the deterministic hash bucket midpoint ((bucket + 0.5)/10⁶) and the
+    * ordering key is the monotone-equivalent ln(u)/w, truncated to the
+    * 10⁻⁶ grid (`priority_micro` BIGINT) so engines order identically
+    * despite ln's last-ulp variance; ties break on id. No RNG, stable
+    * under repartitioning.
+    *
+    * Scale shape: a narrow projection plus ONE TakeOrdered(k) — no global
+    * sort, no window; executors keep k-row heaps and the driver merges.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    val u = (bucket(col(idCol), salt).cast("double") + 0.5) / Buckets.toDouble
+    df.withColumn("priority_micro",
+        floor(log(u) / col(weightCol).cast("double") * lit(1000000.0))
+          .cast("long"))
+      .orderBy(col("priority_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exactly `k` rows per group (fewer if the group is smaller), chosen as
     * the k smallest hash values — a deterministic uniform-without-
     * replacement sample. One shuffle on the group key.

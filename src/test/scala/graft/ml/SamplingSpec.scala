@@ -71,6 +71,24 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.perGroupSample(tiny, "grp", "id", k = 5).count() == 2)
   }
 
+  test("weightedSample favors heavy rows, stays deterministic") {
+    val df = ids.withColumn("w",
+      when(col("id") < 100, 1000.0).otherwise(1.0))
+    val out = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    // 100 heavy rows at weight 1000 vs 1900 light rows at weight 1: the
+    // sample must be dominated by heavy rows
+    assert(out.count(_ < 100) > 60)
+    // deterministic and repartition-stable
+    val again = Sampling.weightedSample(df.repartition(17), "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(out == again)
+    // no global sort in the plan: TakeOrdered handles the top-k
+    val plan = Sampling.weightedSample(df, "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("mixtureSample replicates by integer weight exactly") {
     val docs = ids.withColumn("source",
       when(col("grp") === "0", "up").otherwise("flat"))
