@@ -786,6 +786,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ML: multimodal near-dup — image-style dedup over the stub feature
+    // vectors (decode → featurize → cosine pairs); the end-to-end
+    // composition a perceptual-dedup pipeline runs, on a bounded id range.
+    "q_multimodal_neardup" -> ((s, dir) => {
+      val media = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("payload", col("text").cast("binary"))
+      val feats = Multimodal.decodeAndFeaturize(media, "doc_id", "payload")
+        .toDF().select(col("media_id"), col("features"))
+      Similarity.nearDupPairs(feats, "media_id", "features", threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // A3+: dense time series — hourly error spikes with empty bins
     // zero-filled from a sequence() grid (bounded by range, not volume).
     "q_counts_gapfill" -> ((s, dir) =>
@@ -1907,6 +1919,23 @@ object SparkEntry {
          |  feats[1] AS feat_0, feats[${Multimodal.FeatureDim}] AS feat_last,
          |  list_reduce(feats, (a, b) -> a + b) AS feat_sum
          |FROM rs ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_neardup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id AS media_id, md5(text) AS hex
+         |  FROM documents WHERE doc_id < 100),
+         |f AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, ${Multimodal.FeatureDim}), i ->
+         |      CAST((${dHash60("hex || ':' || CAST(i AS VARCHAR)")} % 2000001)
+         |        - 1000000 AS DOUBLE) / 1e6) AS feats
+         |  FROM h),
+         |p AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    ${dCosine("a.feats", "b.feats")} AS cosine
+         |  FROM f a JOIN f b ON a.media_id < b.media_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
