@@ -119,4 +119,31 @@ object StreamingCounts {
         groupCols.map(col) ++
         Seq(col("n"), col("sketch"), col("distinct_estimate"))): _*)
   }
+
+  /** Live heavy hitters per tumbling window: one Misra-Gries sketch per
+    * (window, group) in stream state — bounded-memory top values where
+    * [[topKCounts]]' exact running counters need one counter per DISTINCT
+    * group (unbounded for high-cardinality fields like user ids or URLs).
+    * Completes the streaming sketch triad next to [[windowedPercentiles]]
+    * (KLL) and [[windowedDistinct]] (HLL); the emitted `sketch` unions
+    * into coarser bins via
+    * [[graft.query.FrequencySketch.mergeTopK]].
+    */
+  def windowedHeavyHitters(events: DataFrame, timeCol: String,
+      field: String, binSeconds: Long,
+      delayThreshold: String = "10 minutes",
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val wm = events.withWatermark(timeCol, delayThreshold)
+    val win = window(col(timeCol), s"$binSeconds seconds")
+    val keys: Seq[Column] = win +: groupCols.map(col)
+    wm.groupBy(keys: _*)
+      .agg(
+        graft.query.FrequencySketch.freqAgg(col(field).cast("string"))
+          .as("sketch"),
+        count(lit(1)).as("n"))
+      .select((Seq(col("window.start").as("bin_start"),
+        col("window.end").as("bin_end")) ++
+        groupCols.map(col) ++
+        Seq(col("n"), col("sketch"))): _*)
+  }
 }

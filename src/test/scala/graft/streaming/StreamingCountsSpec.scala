@@ -149,4 +149,34 @@ class StreamingCountsSpec extends SparkSuite {
       assert(merged.select("distinct_estimate").collect()(0).getLong(0) >= 40L)
     } finally q.stop()
   }
+
+  test("windowedHeavyHitters: bounded-state top values finalize per window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val hh = StreamingCounts.windowedHeavyHitters(
+      input.toDF().toDF("ts", "url"), "ts", "url", binSeconds = 60,
+      delayThreshold = "30 seconds")
+    val q = hh.writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // skewed traffic split over two micro-batches: /hot dominates
+      input.addData((0 until 60).map(i =>
+        (new Timestamp(t0 + i * 10), if (i % 3 == 0) "/hot" else s"/p$i")))
+      q.processAllAvailable()
+      input.addData((0 until 40).map(i =>
+        (new Timestamp(t0 + 700 + i * 10), "/hot")))
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 300_000), "x")) // close window 1
+      q.processAllAvailable()
+      val row = spark.table("hh_out").orderBy("bin_start").collect()(0)
+      assert(row.getAs[Long]("n") == 100L)
+      // the emitted sketch feeds the batch-side top-k reader
+      val top = graft.query.FrequencySketch.mergeTopK(
+        spark.table("hh_out").select($"sketch").limit(1), Nil, k = 1)
+        .collect()(0)
+      assert(top.getAs[String]("item") == "/hot")
+      assert(top.getAs[Long]("estimate") == 60L) // exact below map capacity
+    } finally q.stop()
+  }
 }
