@@ -1058,6 +1058,21 @@ object SparkEntry {
       TextAnalysis.corpusReport(t(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // A1+: arg-extrema per group (max_by/min_by — "the event id of the
+    // slowest request per service"). Deterministic via a unique composite
+    // key: quantized value then event id.
+    "q_agg_argmax" -> ((s, dir) => {
+      val key = floor(col("value") * 100).cast("long") * 10000000L +
+        col("event_id")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("event_id"), key).as("slowest_event"),
+          min_by(col("event_id"), key).as("fastest_event"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ML: weighted sample without replacement (A-Res priority sampling)
     // — longer documents proportionally likelier; ONE TakeOrdered(k), no
     // global sort, no RNG; micro-grid priorities order identically across
@@ -1493,6 +1508,18 @@ object SparkEntry {
         |  list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ') AS passage
         |FROM agg a JOIN toks t USING (doc_id)
         |ORDER BY a.doc_id, a.start_tok""".stripMargin,
+
+    "q_agg_argmax" ->
+      """WITH k AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(floor(value * 100) AS BIGINT) * 10000000 + event_id AS key
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(arg_max(event_id, key) AS BIGINT) AS slowest_event,
+        |  CAST(arg_min(event_id, key) AS BIGINT) AS fastest_event,
+        |  max(value) AS max_value,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_sample_weighted" ->
       s"""WITH b AS (
