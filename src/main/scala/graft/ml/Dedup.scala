@@ -649,12 +649,25 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], blockLen: Int = 8,
-                        compareLen: Int = 80, maxDist: Int = 20): DataFrame = {
-    val base = df.select(
+                        compareLen: Int = 80, maxDist: Int = 20,
+                        maxBlockSize: Option[Long] = None): DataFrame = {
+    val base0 = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         substring(normText(col(textCol)), 1, compareLen).as("nt"): _*)
       .withColumn("blk", substring(col("nt"), 1, blockLen))
     val keys = blockCols :+ "blk"
+    // skew guard (measured: a 10x-duplicated corpus grows block pair work
+    // ~repl² — a degenerate mega-block of boilerplate prefixes would do
+    // the same at any duplication level): drop blocks larger than the cap
+    // before the self-join, mirroring the shingle joins' maxShingleFreq
+    val base = maxBlockSize match {
+      case None => base0
+      case Some(cap) =>
+        val small = base0.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
+          .drop("__bn")
+        base0.join(small, keys, "left_semi")
+    }
     val a = base.select((col("id").as("id_a") +: keys.map(col)) :+
       col("nt").as("nt_a"): _*)
     val b = base.select((col("id").as("id_b") +: keys.map(col)) :+

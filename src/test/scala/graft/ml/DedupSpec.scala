@@ -133,6 +133,12 @@ class DedupSpec extends SparkSuite {
         blockLen = 8, compareLen = 80, maxDist = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 3L)))
+    // maxBlockSize drops the oversized block but keeps the rest intact
+    val capped = Dedup.editDistancePairs(
+      docs.union(Seq((5L, "en", "the quick brown dog")).toDF("id", "lang", "text")),
+      "id", "text", Seq("lang"), blockLen = 8, compareLen = 80, maxDist = 5,
+      maxBlockSize = Some(2L))
+    assert(capped.count() == 0) // the en "the quic" block now has 3 rows
   }
 
   test("clusters: distributed path matches driver union-find path") {
