@@ -506,11 +506,13 @@ object SparkEntry {
           threshold = 0.21)
         .orderBy(col("bin_start"))),
 
-    // ML: embedding-cosine near-dup pairs over a bounded id range.
+    // ML: embedding-cosine near-dup pairs, LSH-banded (candidates come
+    // from a keyed (band,key) self-join, never a cross join).
     "q_sim_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
           t(s, dir, "embeddings").filter(col("vec_id") < 200),
-          "vec_id", "embedding", threshold = 0.35)
+          "vec_id", "embedding", threshold = 0.35,
+          inDim = 64, bandBits = 2, bands = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ML: deterministic stratified sampling — per-language Bernoulli rates
@@ -794,8 +796,49 @@ object SparkEntry {
         .withColumn("payload", col("text").cast("binary"))
       val feats = Multimodal.decodeAndFeaturize(media, "doc_id", "payload")
         .toDF().select(col("media_id"), col("features"))
-      Similarity.nearDupPairs(feats, "media_id", "features", threshold = 0.2)
+      Similarity.nearDupPairs(feats, "media_id", "features", threshold = 0.2,
+          inDim = Multimodal.FeatureDim, bandBits = 2, bands = 8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ML: REAL image codec end-to-end — deterministic solid-gray PNGs are
+    // ENCODED (ImageIO.write) then DECODED (ImageIoCodec: header dims,
+    // frame count, luma histogram) in one narrow pass; the oracle
+    // recomputes every output from the generation formula, so a lying
+    // decode fails the gate. PNG is lossless, hence exact.
+    "q_multimodal_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16 + (id % 32).toInt
+            val h = 16 + ((id / 32) % 32).toInt
+            val gray = (id % 256).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (gray << 16) | (gray << 8) | gray
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("media_id", "payload")
+      Multimodal
+        .decodeAndFeaturize(media, "media_id", "payload",
+          Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("n_frames"),
+          expr("array_position(features, array_max(features))")
+            .cast("long").as("luma_bin"),
+          array_max(col("features")).as("feat_max"))
+        .orderBy(col("media_id"))
     }),
 
     // A3+: dense time series — hourly error spikes with empty bins
@@ -1201,6 +1244,24 @@ object SparkEntry {
   private def dCosine(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
+  /** DuckDB: banded sign-LSH keys of `e` — a list of `bands` BIGINT band
+    * keys built from the SAME ±1 hyperplane literals
+    * [[Similarity.nearDupPairs]] uses (rows of
+    * `projectionMatrix(inDim, bandBits*bands)`), so candidate generation
+    * is engine-identical.
+    */
+  private def dBandKeys(e: String, inDim: Int, bandBits: Int,
+                        bands: Int): String = {
+    val planes = Similarity.projectionMatrix(inDim, bandBits * bands)
+    (0 until bands).map { t =>
+      (0 until bandBits).map { j =>
+        val arr = planes(t * bandBits + j)
+          .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"(CASE WHEN ${dDot(e, arr)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    }.mkString("[", ",\n         ", "]")
+  }
+
   /** DuckDB sign-LSH bucket — mirrors [[graft.ml.Similarity.signBucket]]. */
   private def dSignBucket(v: String, nBits: Int): String =
     (0 until nBits)
@@ -1454,11 +1515,14 @@ object SparkEntry {
     "q_sim_neardup" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings WHERE vec_id < 200)
+         |  FROM embeddings WHERE vec_id < 200),
+         |bk AS (
+         |  SELECT vec_id, e, ${dBandKeys("e", 64, 2, 8)} AS keys FROM v)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${dCosine("a.e", "b.e")} AS cosine
-         |FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |WHERE ${dCosine("a.e", "b.e")} >= 0.35
+         |FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+         |WHERE len(list_filter(range(1, 9), t -> a.keys[t] = b.keys[t])) > 0
+         |  AND ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_spans" ->
@@ -1957,12 +2021,29 @@ object SparkEntry {
          |      CAST((${dHash60("hex || ':' || CAST(i AS VARCHAR)")} % 2000001)
          |        - 1000000 AS DOUBLE) / 1e6) AS feats
          |  FROM h),
+         |bk AS (
+         |  SELECT media_id, feats,
+         |    ${dBandKeys("feats", Multimodal.FeatureDim, 2, 8)} AS keys
+         |  FROM f),
          |p AS (
          |  SELECT a.media_id AS id_a, b.media_id AS id_b,
          |    ${dCosine("a.feats", "b.feats")} AS cosine
-         |  FROM f a JOIN f b ON a.media_id < b.media_id)
+         |  FROM bk a JOIN bk b ON a.media_id < b.media_id
+         |  WHERE len(list_filter(range(1, 9), t -> a.keys[t] = b.keys[t])) > 0)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal_real" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+         |  CAST(16 + (doc_id // 32) % 32 AS INTEGER) AS height,
+         |  CAST(3 AS INTEGER) AS channels,
+         |  CAST(1 AS INTEGER) AS n_frames,
+         |  CAST((doc_id % 256) // ${256 / Multimodal.FeatureDim} + 1
+         |    AS BIGINT) AS luma_bin,
+         |  CAST(1.0 AS DOUBLE) AS feat_max
+         |FROM documents WHERE doc_id < 200
+         |ORDER BY media_id""".stripMargin,
+
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

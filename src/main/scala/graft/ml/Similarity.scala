@@ -41,6 +41,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.graftCosine(a, b)
 
+  /** Per-group top-k of `scored` by (`scoreCol` desc, `tieCol` asc), with a
+    * 1-based `rk` column appended.
+    *
+    * The ranking runs through the [[graft.plans.TopKPerGroup]] operator
+    * (bounded per-partition heaps, partial/final), NOT
+    * `row_number().over(partitionBy(group))`: the window formulation
+    * shuffles EVERY candidate row into a per-query partition — with few
+    * queries and a 100 TB corpus that is a maximally skewed full-corpus
+    * shuffle. The heap operator reduces each input partition to ≤ k rows
+    * per group map-side, so only `partitions × groups × k` rows move; the
+    * `rk` window then runs over the ≤ k survivors per group — negligible.
+    */
+  private def topKRanked(scored: DataFrame, group: String, scoreCol: String,
+                         tieCol: String, k: Int): DataFrame = {
+    val top = graft.operators.TopK.perGroup(scored, Seq(col(group)),
+      Seq(col(scoreCol).desc, col(tieCol).asc), k)
+    val w = Window.partitionBy(col(group))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    top.withColumn("rk", row_number().over(w))
+  }
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) — the large side, scanned map-side only
@@ -51,13 +72,10 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    c.crossJoin(q)
+    val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKRanked(scored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
@@ -80,13 +98,10 @@ object Similarity {
         signBucket(col(vecCol), nBits).as("bucket")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       signBucket(col(vecCol), nBits).as("bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    c.join(q, Seq("bucket"))
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKRanked(scored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
@@ -114,18 +129,27 @@ object Similarity {
   /** Nearest-centroid assignment (cosine, centroid-id tiebreak): one
     * broadcast of the centroid table + a per-vector argmax — a single
     * corpus pass regardless of k.
+    *
+    * The argmax is a `max_by` hash aggregation, not a window: the
+    * broadcast cross join expands each vector to k candidate rows IN
+    * PLACE, and partial aggregation collapses them back to one row per
+    * vector map-side — the shuffle moves 1 row per vector instead of the
+    * k candidate rows a `row_number().over(partitionBy(v_id))` would.
+    * Tiebreak on equal cosine: the lower centroid id wins (the negated id
+    * is the second struct field of the max key).
     */
   def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids)
-    val w = Window.partitionBy(col("v_id"))
-      .orderBy(col("c_cos").desc, col("centroid_id").asc)
     corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
       .crossJoin(cents)
       .withColumn("c_cos", cosine(col("v_vec"), col("c_vec")))
-      .withColumn("c_rk", row_number().over(w))
-      .filter(col("c_rk") === 1)
-      .select(col("v_id"), col("v_vec"), col("centroid_id"))
+      .groupBy(col("v_id"))
+      .agg(max_by(
+        struct(col("v_vec"), col("centroid_id")),
+        struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"))
+      .select(col("v_id"), col("best.v_vec").as("v_vec"),
+        col("best.centroid_id").as("centroid_id"))
   }
 
   /** Lloyd-refined centroids (spherical k-means): `iters` rounds of
@@ -187,13 +211,10 @@ object Similarity {
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
-    val rankW = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("v_id").asc)
-    index.join(broadcast(probes), Seq("centroid_id"))
+    val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("v_vec")))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= k)
+    topKRanked(scored, "q_id", "cosine", "v_id", k)
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
   }
 
@@ -233,13 +254,10 @@ object Similarity {
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
-    val rankW = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("v_id").asc)
-    index.join(broadcast(probes), Seq("centroid_id"))
+    val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("v_vec")))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= k)
+    topKRanked(scored, "q_id", "cosine", "v_id", k)
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
   }
 
@@ -256,13 +274,10 @@ object Similarity {
       col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       col(labelCol).as("n_label"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    c.crossJoin(q)
+    val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
       .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKRanked(scored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("n_label"), col("cosine"), col("rk"))
   }
 
@@ -330,24 +345,32 @@ object Similarity {
       quantizeInt8(col(vecCol)).as("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"),
       quantizeInt8(col(vecCol)).as("n_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcosine").desc, col("n_id").asc)
-    c.crossJoin(q)
+    val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("qcosine", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKRanked(scored, "q_id", "qcosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("qcosine"), col("rk"))
   }
 
   /** Deterministic ±1 random-projection matrix (Achlioptas 2003: sign
     * matrices satisfy Johnson–Lindenstrauss): entry (j, i) from a fixed
-    * Knuth-hash parity — reproducible everywhere, no RNG state.
+    * golden-ratio multiplicative hash — reproducible everywhere, no RNG
+    * state. The sign comes from the full splitmix64 finalizer of the flat
+    * index: a single odd multiply is NOT enough — it is invertible mod
+    * 2^64, so any fixed bit of `index * oddConstant` is a linear-ish
+    * function of the index bits and consecutive rows (indices in
+    * arithmetic progression) come out identical or anti-identical,
+    * collapsing the matrix toward rank 1 and silently voiding the JL
+    * guarantee. The xor-shift rounds break that linearity; rows are
+    * pairwise near-orthogonal (asserted by `SimilaritySpec`).
     */
   def projectionMatrix(inDim: Int, outDim: Int): Seq[Seq[Double]] =
     (0 until outDim).map { j =>
       (0 until inDim).map { i =>
-        val h = ((j.toLong * inDim + i) * 2654435761L) & 0x7fffffffL
+        var h = (j.toLong * inDim + i) * 0x9E3779B97F4A7C15L
+        h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+        h ^= (h >>> 31)
         if ((h & 1L) == 0L) 1.0 else -1.0
       }
     }
@@ -377,13 +400,10 @@ object Similarity {
       randomProject(col(vecCol), inDim, outDim).as("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"),
       randomProject(col(vecCol), inDim, outDim).as("n_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("pcosine").desc, col("n_id").asc)
-    c.crossJoin(q)
+    val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("pcosine", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKRanked(scored, "q_id", "pcosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("pcosine"), col("rk"))
   }
 
@@ -407,31 +427,72 @@ object Similarity {
       randomProject(col(vecCol), inDim, outDim).as("q_proj")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_full"),
       randomProject(col(vecCol), inDim, outDim).as("n_proj"))
-    val wP = Window.partitionBy(col("q_id"))
-      .orderBy(col("pcosine").desc, col("n_id").asc)
-    val cand = c.crossJoin(q)
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("pcosine", cosine(col("q_proj"), col("n_proj")))
-      .withColumn("prk", row_number().over(wP))
-      .filter(col("prk") <= candidates)
-    val wE = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id").asc)
-    cand.withColumn("cosine", cosine(col("q_full"), col("n_full")))
-      .withColumn("rk", row_number().over(wE))
-      .filter(col("rk") <= k)
+    // stage 1: the full cross product — the heap operator keeps only
+    // `candidates` rows per query, so the big projected scan never feeds a
+    // per-query window shuffle (no rank needed here, just the set).
+    val cand = graft.operators.TopK.perGroup(
+      c.crossJoin(q)
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("pcosine", cosine(col("q_proj"), col("n_proj"))),
+      Seq(col("q_id")), Seq(col("pcosine").desc, col("n_id").asc), candidates)
+    val rescored = cand.withColumn("cosine", cosine(col("q_full"), col("n_full")))
+    topKRanked(rescored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, over a
-    * *bounded* id range (all-pairs is quadratic by nature; at scale this is
-    * run per LSH bucket or per partition window, never globally).
+  /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
+    * banded sign-random-projection LSH (Charikar 2002 SimHash hyperplanes,
+    * banded like MinHash LSH): each vector hashes to `bands` keys of
+    * `bandBits` hyperplane signs each (hyperplanes = rows of the
+    * deterministic ±1 [[projectionMatrix]]); a pair is a candidate iff it
+    * matches in at least one band. Candidates are generated by an
+    * equi-join on (band, key) — co-partitioned, never a cross join — then
+    * deduped and ranked by exact cosine.
+    *
+    * Collision probability per band is p^bandBits with
+    * p = 1 − θ/π (θ the pair's angle), and recall over `bands` tables is
+    * 1 − (1 − p^bandBits)^bands — the standard S-curve. At a real
+    * near-dup threshold (≥ 0.9) the defaults (16 bits × 8 bands) pass
+    * ~2^-16 of random pairs per band while keeping ~50–95% of true
+    * near-dups; for LOW thresholds no LSH separates well (p approaches
+    * 1/2), so tests use wider buckets (fewer bits). `maxBucketSize`
+    * drops degenerate hot buckets (e.g. all-zero embeddings) before the
+    * pair join — the same skew guard as [[Dedup.lshPairs]]'s
+    * `maxShingleFreq`, with the same documented recall caveat.
     */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.crossJoin(broadcast(b))
+                   threshold: Double, inDim: Int,
+                   bandBits: Int = 16, bands: Int = 8,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val planes = projectionMatrix(inDim, bandBits * bands)
+    def bandKey(vec: Column, t: Int): Column =
+      (0 until bandBits).map { j =>
+        when(dot(vec, lit(planes(t * bandBits + j).toArray)) >= 0d,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val keyed0 = base.select(col("id"), col("vec"),
+      posexplode(array((0 until bands).map(t => bandKey(col("vec"), t)): _*))
+        .as(Seq("band", "key")))
+    val keyed =
+      if (maxBucketSize == Int.MaxValue) keyed0
+      else {
+        val ok = keyed0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select(col("band"), col("key"))
+        keyed0.join(ok, Seq("band", "key"))
+      }
+    val a = keyed.select(col("band"), col("key"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = keyed.select(col("band"), col("key"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      // a pair colliding in several bands appears once per band — dedupe
+      // BEFORE the cosine so the exact-verify work is once per pair
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("vec_a")).as("vec_a"), first(col("vec_b")).as("vec_b"))
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

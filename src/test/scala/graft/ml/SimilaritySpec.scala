@@ -28,6 +28,16 @@ class SimilaritySpec extends SparkSuite {
     assert(r.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
   }
 
+  test("knn top-k runs through the TopKPerGroup heap operator") {
+    // the candidate ranking must NOT be a full per-query window shuffle:
+    // the physical plan carries the partial/final heap operator instead
+    val plan = Similarity
+      .knnBruteForce(vecs, vecs.filter($"vec_id" === 1L), "vec_id",
+        "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"))
+  }
+
   test("signBucket buckets by coordinate signs") {
     val b = vecs.select($"vec_id", Similarity.signBucket($"embedding", 3).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -45,10 +55,28 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("nearDupPairs returns ordered pairs above threshold only") {
-    val p = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+    val p = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9,
+        inDim = 3, bandBits = 2, bands = 4)
       .collect()
     assert(p.length == 1)
     assert((p(0).getAs[Long]("id_a"), p(0).getAs[Long]("id_b")) == (1L, 2L))
+  }
+
+  test("nearDupPairs candidates come from a keyed join, not a cross join") {
+    val plan = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9,
+        inDim = 3, bandBits = 2, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("nearDupPairs maxBucketSize drops hot buckets (documented recall cost)") {
+    // 1 and 2 share every band key; capping buckets at size 1 removes all
+    // candidate generation for them -> no pairs survive
+    val p = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9,
+        inDim = 3, bandBits = 2, bands = 4, maxBucketSize = 1)
+      .collect()
+    assert(p.isEmpty)
   }
 
   test("semanticDedup keeps lowest id per similar group, bounded to clusters") {
@@ -147,6 +175,21 @@ class SimilaritySpec extends SparkSuite {
     assert(q(1L) == Seq(64.0, -127.0, 32.0, 0.0)) // 0.5/1.0*127=63.5 → 64
     assert(q(2L) == Seq(0.0, 0.0, 0.0, 0.0)) // zero vector stays zero
     assert(q(1L).forall(x => x == math.rint(x) && math.abs(x) <= 127))
+  }
+
+  test("projectionMatrix rows are pairwise distinct and near-orthogonal") {
+    val m = Similarity.projectionMatrix(64, 16)
+    // all rows distinct — a rank-collapsed matrix voids the JL property
+    assert(m.distinct.length == 16)
+    // pairwise |dot| far below inDim: random ±1 rows concentrate around
+    // √inDim = 8; a duplicated/anti-duplicated pair would hit 64
+    val dots = for {
+      a <- m.indices; b <- m.indices if a < b
+    } yield math.abs(m(a).zip(m(b)).map { case (x, y) => x * y }.sum)
+    assert(dots.max <= 32.0, s"max |row dot| ${dots.max} — rows correlated")
+    // column balance: signs split roughly evenly overall
+    val total = m.flatten.sum
+    assert(math.abs(total) <= 128.0)
   }
 
   test("randomProject: deterministic ±1 JL projection preserves clusters") {
