@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash-groupBy),
@@ -603,22 +604,44 @@ object Dedup {
           col("end_tok") - col("start_tok") + 1)).as("passage"))
   }
 
-  /** Cleaned-corpus output of exact-substring dedup (the actual Lee et al.
-    * 2022 deliverable): every maximal duplicated passage
-    * ([[maximalDuplicateSpans]]) is spliced OUT of its document, leaving
-    * one row per document with the cleaned text (rebuilt from surviving
-    * tokens, single-spaced), the number of passages removed, and the token
-    * count removed. Documents without duplicated passages pass through
-    * with their tokens re-joined (so the column is uniformly normalized).
+  /** Cleaned-corpus output of exact-substring dedup: maximal duplicated
+    * passages ([[maximalDuplicateSpans]]) spliced OUT of documents,
+    * leaving one row per document with the cleaned text (rebuilt from
+    * surviving tokens, single-spaced), the number of passages removed, and
+    * the token count removed. Documents without duplicated passages pass
+    * through with their tokens re-joined (so the column is uniformly
+    * normalized).
+    *
+    * Two modes:
+    *   - `keepCanonical = false` (default): EVERY occurrence of a
+    *     duplicated passage is removed — the aggressive variant (total
+    *     boilerplate strip).
+    *   - `keepCanonical = true`: the Lee et al. 2022 deduplication recipe
+    *     (arXiv:2107.06499 §3, "remove all but one") — for each distinct
+    *     passage text, the occurrence at the lowest (doc id, start) keeps
+    *     its copy; only the other occurrences are spliced out, so the
+    *     corpus retains each string's content exactly once.
     *
     * Shape: the island frame is tiny (duplicated docs only), so the join
     * back to the corpus is broadcast-eligible; splicing runs only in the
     * branch where ranges exist — clean documents never pay the per-token
-    * range test.
+    * range test. The canonical pick is a window over the (small) passage
+    * frame, keyed by passage text.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
-                           textCol: String = "text", k: Int = 8): DataFrame = {
-    val ranges = maximalDuplicateSpans(docs, idCol, textCol, k)
+                           textCol: String = "text", k: Int = 8,
+                           keepCanonical: Boolean = false): DataFrame = {
+    val allSpans = maximalDuplicateSpans(docs, idCol, textCol, k)
+    val spansToCut =
+      if (!keepCanonical) allSpans
+      else {
+        val w = Window.partitionBy(col("passage"))
+          .orderBy(col(idCol).asc, col("start_tok").asc)
+        allSpans.withColumn("__occ", row_number().over(w))
+          .filter(col("__occ") > 1) // occurrence 1 is the canonical copy
+          .drop("__occ")
+      }
+    val ranges = spansToCut
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__rs"),
         count(lit(1)).as("n_passages"),

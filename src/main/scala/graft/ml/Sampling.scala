@@ -103,11 +103,17 @@ object Sampling {
     *
     * Scale shape: a narrow projection plus ONE TakeOrdered(k) — no global
     * sort, no window; executors keep k-row heaps and the driver merges.
+    *
+    * Contract: rows with weight ≤ 0 (or null) are EXCLUDED before
+    * sampling — they carry zero probability mass in A-Res (w→0⁺ drives
+    * ln(u)/w to −∞), and a negative weight would invert the priority
+    * order; silently ranking them on ±Inf/NaN would corrupt the sample.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: String = ""): DataFrame = {
     val u = (bucket(col(idCol), salt).cast("double") + 0.5) / Buckets.toDouble
-    df.withColumn("priority_micro",
+    df.filter(col(weightCol).cast("double") > 0d)
+      .withColumn("priority_micro",
         floor(log(u) / col(weightCol).cast("double") * lit(1000000.0))
           .cast("long"))
       .orderBy(col("priority_micro").desc, col(idCol).asc)

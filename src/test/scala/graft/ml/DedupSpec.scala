@@ -226,6 +226,28 @@ class DedupSpec extends SparkSuite {
     assert(fr.forall(_.getLong(2) == 4L))
   }
 
+  test("removeDuplicateSpans keepCanonical retains exactly one copy (Lee 2022)") {
+    import spark.implicits._
+    val passage = "p1 p2 p3 p4 p5 p6"
+    val docs = Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, s"$passage trailer text here"),
+      (3L, s"prefix words $passage")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(docs, k = 4, keepCanonical = true)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(3)))
+    // the lowest (doc_id, start) occurrence — doc 1 — keeps its copy;
+    // later occurrences are spliced out
+    assert(r.toSeq == Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, "trailer text here"),
+      (3L, "prefix words")))
+    // the passage text survives exactly once across the cleaned corpus
+    val joined = r.map(_._2).mkString(" | ")
+    assert(joined.indexOf(passage) == joined.lastIndexOf(passage))
+    assert(joined.contains(passage))
+  }
+
   test("maximalDuplicateSpans keeps disjoint duplicated passages separate") {
     import spark.implicits._
     val a = "a1 a2 a3 a4"

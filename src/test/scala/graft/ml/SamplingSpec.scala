@@ -89,6 +89,19 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("weightedSample excludes non-positive and null weights (contract)") {
+    val df = ids.withColumn("w",
+      when(col("id") < 5, -1.0)            // negative: excluded
+        .when(col("id") < 10, 0.0)         // zero mass: excluded
+        .when(col("id") < 15, lit(null).cast("double")) // null: excluded
+        .otherwise(1.0))
+    val out = Sampling.weightedSample(df, "id", "w", k = 2000)
+      .select("id").as[Long].collect().toSet
+    assert(out.forall(_ >= 15))
+    // every positive-weight row survives when k exceeds their count
+    assert(out.size == ids.count() - 15)
+  }
+
   test("mixtureSample replicates by integer weight exactly") {
     val docs = ids.withColumn("source",
       when(col("grp") === "0", "up").otherwise("flat"))

@@ -146,4 +146,23 @@ class IngestStreamSpec extends SparkSuite {
     assert(snap.select("file_path").distinct().count() == snap.count())
     LiveTail.clear("catted")
   }
+
+  test("Kafka source: classpath probe gates the format(\"kafka\") branch") {
+    // this environment ships Spark without the separate
+    // spark-sql-kafka-0-10 connector artifact — the probe must say so and
+    // fromKafka must fail fast with the jar requirement, not a
+    // ClassNotFoundException from deep inside DataSource resolution
+    if (IngestStream.kafkaAvailable) {
+      // connector present: the branch must build a streaming Dataset[String]
+      val ds = IngestStream.fromKafka(spark, "localhost:9092", "logs",
+        startingOffsets = "earliest", maxOffsetsPerTrigger = Some(10000L))
+      assert(ds.isStreaming)
+      assert(ds.schema.fields.map(_.name).toSeq == Seq("value"))
+    } else {
+      val e = intercept[IllegalStateException] {
+        IngestStream.fromKafka(spark, "localhost:9092", "logs")
+      }
+      assert(e.getMessage.contains("spark-sql-kafka-0-10"))
+    }
+  }
 }
