@@ -1050,6 +1050,53 @@ object SparkEntry {
         .orderBy(col("parent_service"), col("child_service"))
     }),
 
+    // J2+: the reference's recursive-CTE span-hierarchy SQL
+    // (traces.rs:608-638) executed NATIVELY — Spark ≥ 4.0 runs WITH
+    // RECURSIVE; anchor = orphan-as-root rule, depth-capped recursion,
+    // MIN(level) dedup, COUNT(*) OVER () total. Oracle runs the identical
+    // recursive SQL in DuckDB.
+    "q_trace_hierarchy_sql" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id").as("t_id"),
+          (row_number().over(w) - 1).cast("long").as("s_id"),
+          col("event_type").as("service"),
+          floor(col("value") * 100).cast("long").as("dur"))
+        .select(
+          (col("t_id") * 100000L + col("s_id")).as("span_id"),
+          when(col("s_id") === 0L, lit(null).cast("long"))
+            .otherwise(col("t_id") * 100000L +
+              ((col("s_id") - 1) / 2).cast("long")).as("parent_id"),
+          col("service"), col("dur"))
+        .createOrReplaceTempView("trace_spans_sql")
+      s.sql(
+        """WITH RECURSIVE all_span_ids AS (
+          |  SELECT DISTINCT span_id FROM trace_spans_sql
+          |),
+          |span_hierarchy AS (
+          |  SELECT span_id, 0 AS level
+          |  FROM trace_spans_sql
+          |  WHERE parent_id IS NULL
+          |    OR parent_id NOT IN (SELECT span_id FROM all_span_ids)
+          |  UNION ALL
+          |  SELECT s.span_id, sh.level + 1
+          |  FROM trace_spans_sql s
+          |  INNER JOIN span_hierarchy sh ON s.parent_id = sh.span_id
+          |  WHERE sh.level < 10
+          |),
+          |span_levels AS (
+          |  SELECT span_id, MIN(level) AS level
+          |  FROM span_hierarchy
+          |  GROUP BY span_id
+          |)
+          |SELECT d.span_id, d.parent_id, d.service, d.dur, sl.level,
+          |  COUNT(*) OVER () AS total_span_count
+          |FROM trace_spans_sql d
+          |INNER JOIN span_levels sl ON d.span_id = sl.span_id
+          |ORDER BY sl.level, d.span_id""".stripMargin)
+    }),
+
     // Log template mining (Drain-lite): mask variable tokens, group by the
     // masked line — one narrow projection + one low-cardinality hash agg.
     "q_log_templates" -> ((s, dir) =>
@@ -2194,6 +2241,40 @@ object SparkEntry {
         |  count(*) OVER () AS total_spans
         |FROM events WHERE user_id = 7
         |ORDER BY ts DESC, event_id DESC""".stripMargin,
+
+    "q_trace_hierarchy_sql" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT user_id AS t_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) - 1 AS BIGINT) AS s_id,
+        |    event_type AS service,
+        |    CAST(floor(value * 100) AS BIGINT) AS dur
+        |  FROM events WHERE user_id < 50),
+        |spans AS (
+        |  SELECT CAST(t_id * 100000 + s_id AS BIGINT) AS span_id,
+        |    CASE WHEN s_id = 0 THEN NULL
+        |         ELSE CAST(t_id * 100000 + (s_id - 1) // 2 AS BIGINT)
+        |    END AS parent_id,
+        |    service, dur
+        |  FROM sp),
+        |all_span_ids AS (SELECT DISTINCT span_id FROM spans),
+        |span_hierarchy AS (
+        |  SELECT span_id, 0 AS level FROM spans
+        |  WHERE parent_id IS NULL
+        |    OR parent_id NOT IN (SELECT span_id FROM all_span_ids)
+        |  UNION ALL
+        |  SELECT s.span_id, sh.level + 1
+        |  FROM spans s
+        |  INNER JOIN span_hierarchy sh ON s.parent_id = sh.span_id
+        |  WHERE sh.level < 10),
+        |span_levels AS (
+        |  SELECT span_id, CAST(MIN(level) AS INTEGER) AS level
+        |  FROM span_hierarchy GROUP BY span_id)
+        |SELECT d.span_id, d.parent_id, d.service, d.dur, sl.level,
+        |  CAST(COUNT(*) OVER () AS BIGINT) AS total_span_count
+        |FROM spans d
+        |INNER JOIN span_levels sl ON d.span_id = sl.span_id
+        |ORDER BY sl.level, d.span_id""".stripMargin,
 
     "q_trace_critical_path" ->
       """WITH RECURSIVE s AS (

@@ -27,4 +27,12 @@ object ColumnBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
+
+  /** Spark's own WRONG_NUM_ARGS AnalysisException
+    * (`QueryCompilationErrors.wrongNumArgsError` is `private[sql]`) — so
+    * function-builder arity failures surface exactly like builtin ones.
+    */
+  def wrongNumArgs(name: String, expected: Seq[Int], actual: Int): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, expected, actual)
 }

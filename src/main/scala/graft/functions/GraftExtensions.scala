@@ -39,23 +39,45 @@ object GraftFunctions {
       TimestampNTZType)
   }
 
+  /** Arity gate for SQL builders: wrong argument counts raise Spark's own
+    * WRONG_NUM_ARGS `AnalysisException` (as builtins do) instead of an
+    * `IndexOutOfBoundsException` from `args(i)`. Type misuse is handled
+    * separately by each Expression's `ExpectsInputTypes`/
+    * `checkInputDataTypes`, which the analyzer turns into
+    * DATATYPE_MISMATCH errors — never a generated-code CCE/NPE.
+    */
+  private def checkArity(name: String, args: Seq[Expression],
+                         expected: Seq[Int]): Unit =
+    if (!expected.contains(args.length))
+      ColumnBridge.wrongNumArgs(name, expected, args.length)
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        checkArity("graft_dot", args, Seq(2))
+        ArrayDotProduct(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
-      (args: Seq[Expression]) => ArrayCosineSimilarity(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        checkArity("graft_cosine", args, Seq(2))
+        ArrayCosineSimilarity(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_date_bin"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_date_bin"),
-      dateBinExpr _),
+      (args: Seq[Expression]) => {
+        checkArity("graft_date_bin", args, Seq(2))
+        dateBinExpr(args)
+      }),
     // the reference dialect's array_has_all(haystack, needles) — Spark has
     // no builtin; needles ⊆ haystack ⇔ array_except(needles, haystack) = []
     (FunctionIdentifier("graft_array_has_all"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_array_has_all"),
       (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions._
+        checkArity("graft_array_has_all", args, Seq(2))
         EqualTo(Size(ArrayExcept(args(1), args(0))), Literal(0))
       }),
     // graft_morton(bits, c1[, c2..c4]) — fused Z-curve bit interleave
@@ -63,6 +85,7 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MortonInterleave].getName, "graft_morton"),
       (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Literal
+        checkArity("graft_morton", args, Seq(2, 3, 4, 5))
         val bits = args.head match {
           case Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
@@ -75,12 +98,16 @@ object GraftFunctions {
     // Column API used by graft.ml.TextAnalysis
     (FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[WhitespaceTokens].getName, "graft_tokens"),
-      (args: Seq[Expression]) => WhitespaceTokens(args(0))),
+      (args: Seq[Expression]) => {
+        checkArity("graft_tokens", args, Seq(1))
+        WhitespaceTokens(args(0))
+      }),
     (FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
       (args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.sql.types.BooleanType
+        checkArity("graft_ngrams", args, Seq(2, 3))
         val n = args(1) match {
           case Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
@@ -95,7 +122,10 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("graft_repetition"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition"),
-      (args: Seq[Expression]) => RepetitionStats(args(0))))
+      (args: Seq[Expression]) => {
+        checkArity("graft_repetition", args, Seq(1))
+        RepetitionStats(args(0))
+      }))
 
   /** Register all graft functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -3,7 +3,7 @@ package graft.functions
 import java.util.{ArrayList => JArrayList, HashMap => JHashMap, HashSet => JHashSet, LinkedHashSet => JLinkedHashSet}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -243,7 +243,9 @@ object TextExprs {
 }
 
 /** `tokenize(text)` — see [[TextExprs.tokenize]]. */
-case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+case class WhitespaceTokens(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextExprs.tokenize(input.asInstanceOf[UTF8String])
@@ -255,7 +257,8 @@ case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 
 /** `ngrams(tokens, n[, distinct])` — see [[TextExprs.ngrams]]. */
 case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   require(n >= 1, "ngram size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -268,7 +271,9 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
 }
 
 /** Per-document repetition statistics — see [[TextExprs.repetition]]. */
-case class RepetitionStats(child: Expression) extends UnaryExpression {
+case class RepetitionStats(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
     StructField("top_word", LongType, nullable = false),
@@ -285,7 +290,9 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
 }
 
 /** Sliding k-token window hashes — see [[TextExprs.windowHashes]]. */
-case class WindowHashes64(child: Expression, k: Int) extends UnaryExpression {
+case class WindowHashes64(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   require(k >= 1, "window size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -299,7 +306,8 @@ case class WindowHashes64(child: Expression, k: Int) extends UnaryExpression {
 
 /** Count of tokens that belong to a fixed word set (stopword hits). */
 case class CountInSet(child: Expression, words: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   @transient private lazy val set: JHashSet[UTF8String] =
     TextExprs.buildSet(words)
   override def dataType: DataType = LongType
@@ -321,7 +329,9 @@ case class CountInSet(child: Expression, words: Seq[String])
 
 /** Greedy WordPiece pieces for a token array against a fixed vocabulary. */
 case class WordpiecePieces(child: Expression, vocab: Seq[String],
-                           unk: String) extends UnaryExpression {
+                           unk: String) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   @transient private lazy val set: JHashSet[UTF8String] =
     TextExprs.buildSet(vocab)
   @transient private lazy val unkU = UTF8String.fromString(unk)
@@ -343,7 +353,9 @@ case class WordpiecePieces(child: Expression, vocab: Seq[String],
 }
 
 /** Exact sum of token character counts. */
-case class SumTokenChars(child: Expression) extends UnaryExpression {
+case class SumTokenChars(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     TextExprs.sumTokenChars(input.asInstanceOf[ArrayData])
@@ -358,7 +370,8 @@ case class SumTokenChars(child: Expression) extends UnaryExpression {
   * no language scores a hit — byte-identical to the previous fold.
   */
 case class LangBest(child: Expression, langs: Seq[(String, Seq[String])])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   @transient private lazy val model = new LangModel(langs)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =

@@ -29,29 +29,69 @@ import graft.catalog.StatsCatalog
   * time) — zero filesystem listing on the query path, which at 100 TB /
   * millions of objects is the difference between planning in milliseconds
   * and planning in minutes.
+  *
+  * Catalog residency (the Delta-log-replay concern): a catalog up to
+  * `maxDriverRows` is collected once and pruned on the driver (fastest for
+  * the common case); beyond that the catalog DATAFRAME becomes the source
+  * of truth — `listFiles` runs the SAME `mayMatch` predicate as a
+  * distributed filter over the catalog and collects ONLY the surviving
+  * rows, and `sizeInBytes`/`rootPaths` come from tiny aggregates. A 10M-file
+  * catalog thus never materializes on the driver; what comes back is
+  * bounded by the query's own pruning (e.g. its time window).
   */
 final class StatsFileIndex(
     spark: SparkSession,
-    stats: Seq[StatsFileIndex.FileRow]) extends FileIndex {
+    cat: DataFrame,
+    maxDriverRows: Long = StatsFileIndex.DefaultMaxDriverRows)
+    extends FileIndex {
 
-  override def rootPaths: Seq[Path] =
-    stats.map(f => new Path(f.path).getParent).distinct
+  /** Driver-side rows when the catalog is small enough; None → stay
+    * distributed.
+    */
+  private lazy val cached: Option[Seq[StatsFileIndex.FileRow]] =
+    if (cat.limit((maxDriverRows + 1).toInt).count() <= maxDriverRows)
+      Some(StatsFileIndex.loadRows(cat))
+    else None
+
+  // tiny aggregates (one short job each, cached) — never the full row set
+  private lazy val totalBytes: Long = cached match {
+    case Some(rows) => rows.map(_.sizeBytes).sum
+    case None =>
+      import org.apache.spark.sql.functions.sum
+      Option(cat.agg(sum("file_size")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
+  override def rootPaths: Seq[Path] = (cached match {
+    case Some(rows) => rows.map(f => new Path(f.path).getParent).distinct
+    case None =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      cat.select(regexp_extract(col("file_path"), "(.*)/[^/]+$", 1).as("d"))
+        .distinct().collect().map(r => new Path(r.getString(0))).toSeq
+  })
 
   override def partitionSchema: StructType = new StructType()
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = dataFilters.flatMap(StatsFileIndex.toPred)
-    val survivors = stats.filter(f => StatsFileIndex.mayMatch(f, preds))
+    val survivors = cached match {
+      case Some(rows) => rows.filter(f => StatsFileIndex.mayMatch(f, preds))
+      case None       => StatsFileIndex.prunedRows(cat, preds)
+    }
     Seq(PartitionDirectory(InternalRow.empty, survivors.map { f =>
       FileStatusWithMetadata(new FileStatus(
         f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L, new Path(f.path)))
     }))
   }
 
-  override def inputFiles: Array[String] = stats.map(_.path).toArray
+  override def inputFiles: Array[String] = cached match {
+    case Some(rows) => rows.map(_.path).toArray
+    case None => cat.select("file_path").collect().map(_.getString(0))
+  }
+
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = math.max(1L, stats.map(_.sizeBytes).sum)
+  override def sizeInBytes: Long = math.max(1L, totalBytes)
 }
 
 object StatsFileIndex {
@@ -111,7 +151,16 @@ object StatsFileIndex {
       }
     }
 
-  /** Load catalog rows (plain path or a pinned TxnCatalog snapshot). */
+  /** Rows-on-driver cap before [[StatsFileIndex]] switches to distributed
+    * catalog pruning (~100k rows ≈ tens of MB of strings — the same
+    * ballpark Delta tolerates for log replay).
+    */
+  val DefaultMaxDriverRows: Long = 100000L
+
+  /** Load catalog rows (plain path or a pinned TxnCatalog snapshot).
+    * Collects the WHOLE catalog — callers above the
+    * [[DefaultMaxDriverRows]] residency class use [[prunedRows]] instead.
+    */
   def loadRows(cat: DataFrame): Seq[FileRow] = {
     val statCols = cat.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     cat.collect().map { r =>
@@ -120,6 +169,36 @@ object StatsFileIndex {
       }.toMap
       FileRow(r.getAs[String]("file_path"), r.getAs[Long]("file_size"), mm)
     }.toSeq
+  }
+
+  /** Distributed catalog pruning: the EXACT [[mayMatch]] predicate runs
+    * inside a `mapPartitions` over the catalog DataFrame, so only
+    * window-overlapping rows ever reach the driver. One short Spark job
+    * per `listFiles` — at millions of files this replaces a multi-GB
+    * driver collect with a collect bounded by the query's own selectivity.
+    */
+  def prunedRows(cat: DataFrame,
+                 preds: Seq[StatsCatalog.Pred]): Seq[FileRow] = {
+    val statCols = cat.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_"))
+    val needed = cat.select(
+      (Seq("file_path", "file_size") ++
+        statCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+        .map(org.apache.spark.sql.functions.col): _*)
+    val colsB = statCols.toSeq
+    val predsB = preds
+    implicit val enc: org.apache.spark.sql.Encoder[FileRow] =
+      org.apache.spark.sql.Encoders.product[FileRow]
+    needed.mapPartitions { it =>
+      it.flatMap { r =>
+        val mm = colsB.map { c =>
+          c -> (r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c"))
+        }.toMap
+        val f = FileRow(r.getAs[String]("file_path"),
+          r.getAs[Long]("file_size"), mm)
+        if (mayMatch(f, predsB)) Some(f) else None
+      }
+    }.collect().toSeq
   }
 
   /** A DataFrame over the cataloged files with stats-based file skipping
@@ -148,30 +227,41 @@ object StatsFileIndex {
   def read(spark: SparkSession, cat: DataFrame,
            schema: Option[StructType] = None,
            bucketBy: Option[(Int, Seq[String])] = None): DataFrame = {
-    val rows = loadRows(cat)
     bucketBy.foreach { case (n, cols) =>
       // same name shape Spark's bucketed writer produces and its reader
-      // parses (BucketingUtils): ..._NNNNN[.ext]
-      val bucketIdRe = """.*_(\d+)(?:\..*)?$""".r
-      rows.foreach { r =>
-        val name = new Path(r.path).getName
-        name match {
-          case bucketIdRe(id) =>
-            val i = BigInt(id)
-            require(i < n,
-              s"read(bucketBy=($n, $cols)): file '$name' carries bucket id " +
-                s"$i >= declared numBuckets $n — the files were not written " +
-                s"with this bucket spec; scanning them as such would yield " +
-                s"wrong join/aggregate results")
-          case _ => throw new IllegalArgumentException(
-            s"read(bucketBy=($n, $cols)): file '$name' has no _NNNNN bucket " +
-              s"suffix — it was not written by Spark's bucketed writer")
+      // parses (BucketingUtils): ..._NNNNN[.ext] — validated with one
+      // distributed pass over the catalog (no driver materialization);
+      // only offending names come back
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val named = cat.select(
+        regexp_extract(col("file_path"), "[^/]+$", 0).as("name"))
+        .withColumn("id", regexp_extract(col("name"),
+          """.*_(\d+)(?:\..*)?$""", 1))
+      named.filter(col("id") === "").select("name").limit(1)
+        .collect().foreach { r =>
+          throw new IllegalArgumentException(
+            s"read(bucketBy=($n, $cols)): file '${r.getString(0)}' has no " +
+              s"_NNNNN bucket suffix — it was not written by Spark's " +
+              s"bucketed writer")
         }
-      }
+      named.filter(col("id") =!= "" && col("id").cast("decimal(20,0)") >= n)
+        .select("name", "id").limit(1).collect().foreach { r =>
+          throw new IllegalArgumentException(
+            s"read(bucketBy=($n, $cols)): file '${r.getString(0)}' carries " +
+              s"bucket id ${r.getString(1)} >= declared numBuckets $n — the " +
+              s"files were not written with this bucket spec; scanning them " +
+              s"as such would yield wrong join/aggregate results")
+        }
     }
-    val index = new StatsFileIndex(spark, rows)
-    val dataSchema = schema.getOrElse(
-      spark.read.parquet(rows.map(_.path): _*).schema)
+    val index = new StatsFileIndex(spark, cat)
+    val dataSchema = schema.getOrElse {
+      // one file's footer is enough (streams share a write schema; pass
+      // `schema` explicitly for schema-evolved tables) — never list every
+      // cataloged path into one read
+      val first = cat.select("file_path").limit(1).collect()
+      require(first.nonEmpty, "empty stats catalog and no explicit schema")
+      spark.read.parquet(first(0).getString(0)).schema
+    }
     val bs = bucketBy.map { case (n, cols) =>
       org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil) }
     val relation = HadoopFsRelation(index, new StructType(), dataSchema,

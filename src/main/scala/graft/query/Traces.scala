@@ -251,20 +251,40 @@ object Traces {
 
   /** Span hierarchy levels — the reference's recursive CTE over
     * parent_span_id (`traces.rs:608-638`, bounded by MAX_TRACE_DEPTH at
-    * `:617`) as an iterative BFS: level 0 = roots (null/absent parent),
-    * level k+1 = spans whose parent is at level k. Rows never reached
-    * within `maxDepth` (cycles, orphans) are dropped, matching recursive
-    * CTE semantics with a depth guard.
+    * `:617`) as an iterative BFS: level 0 = roots, level k+1 = spans whose
+    * parent is at level k. Rows never reached within `maxDepth` (cycles,
+    * unreachable descendants) are dropped, matching recursive CTE
+    * semantics with a depth guard.
+    *
+    * `orphansAsRoots = true` applies the reference's exact root rule
+    * (`traces.rs:615-617`): a span whose parent id does not exist in the
+    * batch is itself a root (level 0) — partial traces still render. The
+    * default (false) keeps only explicit roots (null/empty parent).
+    *
+    * Note this SQL dialect also accepts the reference's `WITH RECURSIVE`
+    * trace SQL verbatim (Spark ≥ 4.0 executes recursive CTEs natively —
+    * gated by `q_trace_hierarchy_sql`); this operator is the Column-API
+    * equivalent, useful when the hierarchy feeds further DataFrame logic.
     *
     * Each iteration is one broadcast-able join on the parent key; depth is
     * small (trace depth, not data size), so the loop count is bounded and
     * the plan stays shallow per step.
     */
   def spanHierarchy(spans: DataFrame, spanCol: String, parentCol: String,
-                    maxDepth: Int = 10): DataFrame = {
-    val roots = spans
-      .filter(col(parentCol).isNull || col(parentCol) === lit(""))
-      .withColumn("span_level", lit(0))
+                    maxDepth: Int = 10,
+                    orphansAsRoots: Boolean = false): DataFrame = {
+    val explicitRoot = col(parentCol).isNull || col(parentCol) === lit("")
+    val rootRows =
+      if (!orphansAsRoots) spans.filter(explicitRoot)
+      else {
+        // anti-join on the parent key: keeps parent-null rows (null never
+        // matches) and rows whose parent id is absent from the batch —
+        // precisely the reference's COALESCE(parent,'')='' OR parent NOT
+        // IN (ids) disjunction, in one pass
+        val ids = spans.select(col(spanCol).as("__sid")).distinct()
+        spans.join(ids, col(parentCol) === col("__sid"), "left_anti")
+      }
+    val roots = rootRows.withColumn("span_level", lit(0))
     var result = roots
     var frontier = roots
     var depth = 0

@@ -49,6 +49,43 @@ class ArrayDotProductSpec extends SparkSuite {
     assert(viaCounts == r)
   }
 
+  test("wrong arity raises AnalysisException (WRONG_NUM_ARGS), not IOOBE") {
+    GraftFunctions.register(spark)
+    for (sql <- Seq(
+        "SELECT graft_dot(array(1.0))",
+        "SELECT graft_cosine(array(1.0), array(1.0), array(1.0))",
+        "SELECT graft_tokens()",
+        "SELECT graft_tokens('a', 'b')",
+        "SELECT graft_ngrams('x y z')",
+        "SELECT graft_repetition()",
+        "SELECT graft_date_bin(TIMESTAMP_NTZ'2024-06-15 10:32:45')",
+        "SELECT graft_array_has_all(array('a'))",
+        "SELECT graft_morton(8)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("parameter") ||
+        e.getMessage.contains("WRONG_NUM_ARGS"), s"$sql -> ${e.getMessage}")
+    }
+  }
+
+  test("wrong input types raise AnalysisException at analysis, not codegen CCE") {
+    GraftFunctions.register(spark)
+    for (sql <- Seq(
+        "SELECT graft_dot('not an array', 'neither')",
+        "SELECT graft_tokens(array(1, 2))",       // wants STRING
+        "SELECT graft_ngrams(42, 2)",             // wants ARRAY<STRING>
+        "SELECT graft_repetition('raw text')",    // wants ARRAY<STRING>
+        "SELECT graft_morton(8, 'strings')")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+        e.getMessage.toLowerCase.contains("data type mismatch") ||
+        e.getMessage.contains("CANNOT_RESOLVE"), s"$sql -> ${e.getMessage}")
+    }
+  }
+
   test("graft_array_has_all from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

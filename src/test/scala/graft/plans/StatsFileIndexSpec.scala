@@ -86,6 +86,39 @@ class StatsFileIndexSpec extends SparkSuite {
       Seq(StatsCatalog.Pred("n", StatsCatalog.GtEq, "15"))))
   }
 
+  test("oversize catalog stays distributed: only window-overlapping rows fetched") {
+    val dir = Files.createTempDirectory("sfibig").toString
+    Seq(0L until 10L, 100L until 110L, 200L until 210L).foreach { r =>
+      r.toDF("id").coalesce(1).write.mode("append").parquet(s"$dir/t")
+    }
+    StatsCatalog.refresh(spark, s"$dir/t", s"$dir/cat", Seq("id"))
+    val cat = spark.read.parquet(s"$dir/cat")
+
+    // distributed pruning path: the SAME mayMatch semantics, executor-side;
+    // only rows overlapping the predicate window come back to the driver
+    val preds = Seq(StatsCatalog.Pred("id", StatsCatalog.GtEq, "150"))
+    val fetched = StatsFileIndex.prunedRows(cat, preds)
+    assert(fetched.length == 1)
+    assert(fetched.head.minMax("id")._1.toDouble >= 150)
+
+    // an index forced onto the distributed path (cap = 0) plans and
+    // executes identically to the driver-cached path
+    val index = new StatsFileIndex(spark, cat, maxDriverRows = 0L)
+    assert(index.sizeInBytes > 0)
+    assert(index.rootPaths.nonEmpty)
+    assert(index.inputFiles.length == 3)
+    // analyzed-shape filter, as FileSourceScanExec hands to listFiles
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, Literal => CLit}
+    val geq = GreaterThanOrEqual(
+      AttributeReference("id", org.apache.spark.sql.types.LongType)(),
+      CLit(150L))
+    assert(StatsFileIndex.toPred(geq).nonEmpty)
+    val listed = index.listFiles(Nil, Seq(geq))
+    assert(listed.map(_.files.length).sum == 1)
+    // no predicate -> every file listed, still without a full-catalog cache
+    assert(index.listFiles(Nil, Nil).map(_.files.length).sum == 3)
+  }
+
   test("bucketed StatsFileIndex reads join with zero Exchange") {
     import graft.engine.Distribution
     val facts = (0L until 1000L).map(i => (i % 50, i, i * 2.0)).toDF("k", "id", "v")
