@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Analytics, Counts, LogContext, FieldStats, Percentiles, TimeSeries, Traces}
-import graft.ml.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextRank}
+import graft.ml.{BpeTrain, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextRank}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -1124,6 +1124,17 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: distributed BPE pair statistics (the per-iteration workhorse of
+    // Sennrich-2016 tokenizer training): adjacent character pairs weighted
+    // by word frequency over the Zipf-compressed distinct-word table —
+    // the corpus is shuffled exactly once (word groupBy); pair counting is
+    // one hash agg. Top-30 with a full deterministic tiebreak.
+    "q_bpe_pairs" -> ((s, dir) =>
+      BpeTrain.pairCounts(BpeTrain.wordTable(t(s, dir, "documents"), "text"))
+        .orderBy(col("pair_freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(30)
+        .orderBy(col("pair_freq").desc, col("lhs").asc, col("rhs").asc)),
+
     // ML: corpus-trained bigram-LM scoring (perplexity-style quality
     // filter, CCNet/Gopher recipe). Per-bigram ln lands on the 1e-6 grid
     // BEFORE the per-doc sum, so the distributed aggregation is an exact
@@ -1221,6 +1232,14 @@ object SparkEntry {
     "q_dedup_clean" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
           k = 8)
+        .orderBy(col("doc_id"))),
+
+    // ML: exact-substring dedup, Lee et al. 2022 keep-one-copy variant —
+    // the canonical (lowest doc, start) occurrence of each duplicated
+    // passage survives; only later occurrences are spliced out.
+    "q_dedup_clean_keep" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, keepCanonical = true)
         .orderBy(col("doc_id"))),
 
     // ML: two-stage ANN — projected candidate generation (16-d, 4x
@@ -1741,6 +1760,68 @@ object SparkEntry {
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
         |    CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS toks_removed
         |  FROM agg GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(s.n_passages, CAST(0 AS BIGINT)) AS n_passages,
+        |  COALESCE(s.toks_removed, CAST(0 AS BIGINT)) AS toks_removed,
+        |  COALESCE(c.ct, '') AS clean_text
+        |FROM toks t
+        |LEFT JOIN st s USING (doc_id)
+        |LEFT JOIN clean c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_clean_keep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+        |    i -> struct_pack(p := i,
+        |      span := list_aggregate(tk[i:i+7], 'string_agg', ' ')))) AS w
+        |  FROM toks WHERE len(tk) >= 8),
+        |sp AS (SELECT doc_id, w.p AS p, w.span AS span FROM sp0),
+        |dup AS (
+        |  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+        |occ AS (
+        |  SELECT doc_id, p FROM sp WHERE span IN (SELECT span FROM dup)),
+        |brk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM occ),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM brk),
+        |agg AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
+        |    CAST(max(p) + 7 AS BIGINT) AS end_tok
+        |  FROM isl GROUP BY doc_id, g),
+        |aggp AS (
+        |  SELECT a.doc_id, a.start_tok, a.end_tok,
+        |    list_aggregate(t.tk[a.start_tok:a.end_tok], 'string_agg', ' ')
+        |      AS passage
+        |  FROM agg a JOIN toks t USING (doc_id)),
+        |cut AS (
+        |  SELECT doc_id, start_tok, end_tok FROM (
+        |    SELECT doc_id, start_tok, end_tok,
+        |      row_number() OVER (PARTITION BY passage
+        |        ORDER BY doc_id, start_tok) AS o
+        |    FROM aggp) WHERE o > 1),
+        |tr AS (
+        |  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS i
+        |  FROM toks),
+        |keep AS (
+        |  SELECT tr.doc_id, tr.t, tr.i FROM tr
+        |  LEFT JOIN cut a ON tr.doc_id = a.doc_id
+        |    AND tr.i BETWEEN a.start_tok AND a.end_tok
+        |  WHERE a.doc_id IS NULL),
+        |clean AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct
+        |  FROM keep GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |    CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS toks_removed
+        |  FROM cut GROUP BY doc_id)
         |SELECT t.doc_id,
         |  COALESCE(s.n_passages, CAST(0 AS BIGINT)) AS n_passages,
         |  COALESCE(s.toks_removed, CAST(0 AS BIGINT)) AS toks_removed,
@@ -2859,6 +2940,23 @@ object SparkEntry {
          |  FROM p)
          |SELECT q_id, n_id, qcosine, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |w AS (SELECT unnest(tk) AS word FROM toks),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM w GROUP BY word),
+        |sy AS (SELECT word, freq,
+        |  list_filter(string_split(word, ''), c -> c != '') AS syms
+        |  FROM wf),
+        |ix AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM sy),
+        |p AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs, freq FROM ix)
+        |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_freq
+        |FROM p GROUP BY lhs, rhs
+        |ORDER BY pair_freq DESC, lhs ASC, rhs ASC
+        |LIMIT 30""".stripMargin,
 
     "q_text_lmscore" ->
       """WITH toks AS (

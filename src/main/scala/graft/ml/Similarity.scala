@@ -46,12 +46,16 @@ object Similarity {
     *
     * The ranking runs through the [[graft.plans.TopKPerGroup]] operator
     * (bounded per-partition heaps, partial/final), NOT
-    * `row_number().over(partitionBy(group))`: the window formulation
-    * shuffles EVERY candidate row into a per-query partition — with few
-    * queries and a 100 TB corpus that is a maximally skewed full-corpus
-    * shuffle. The heap operator reduces each input partition to ≤ k rows
-    * per group map-side, so only `partitions × groups × k` rows move; the
-    * `rk` window then runs over the ≤ k survivors per group — negligible.
+    * `row_number().over(partitionBy(group))`. Measured vs the window
+    * formulation (`SimilarityShuffleSpec`): Spark ≥ 3.5 does cap the
+    * window's shuffle with a WindowGroupLimit partial phase when the
+    * `rk <= k` filter sits directly on the rank — but it still SORTS every
+    * partition of scored candidates (map side and again reduce side) to
+    * feed that limit, and the cap evaporates whenever the pattern isn't
+    * syntactically recognized. The heap operator moves the same
+    * `partitions × groups × k` bounded rows with no sort over candidates
+    * at all (O(n log k) heap updates, O(groups × k) memory); the `rk`
+    * window then ranks only the ≤ k survivors per group — negligible.
     */
   private def topKRanked(scored: DataFrame, group: String, scoreCol: String,
                          tieCol: String, k: Int): DataFrame = {

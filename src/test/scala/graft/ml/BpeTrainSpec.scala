@@ -1,0 +1,92 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class BpeTrainSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Pure-Scala reference BPE (Sennrich 2016): same tie-break (freq desc,
+    * then lexicographic pair), same left-to-right non-overlapping merge.
+    */
+  private def refTrain(wordFreqs: Map[String, Long],
+                       n: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] =
+      wordFreqs.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = Seq.newBuilder[(String, String)]
+    for (_ <- 0 until n) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _            =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val (pair, _) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out += pair
+        words = words.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == pair._1 &&
+              syms(i + 1) == pair._2) {
+              merged += pair._1 + pair._2; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  private lazy val docs = Seq(
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest").toDF("text")
+
+  test("distributed train matches the pure-Scala reference merge-for-merge") {
+    val got = BpeTrain.train(docs, "text", numMerges = 8)
+      .map(m => (m.left, m.right))
+    val want = refTrain(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8)
+    assert(got == want)
+    // ranks are sequential, merged = left+right
+    val merges = BpeTrain.train(docs, "text", numMerges = 3)
+    assert(merges.map(_.rank) == Seq(0, 1, 2))
+    assert(merges.forall(m => m.merged == m.left + m.right))
+  }
+
+  test("mergePair is left-to-right non-overlapping") {
+    val df = Seq(Seq("a", "a", "a", "a"), Seq("a", "a", "a"),
+      Seq("b", "a", "a")).toDF("syms")
+    val out = df.select(BpeTrain.mergePair(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("aa", "aa"), Seq("aa", "a"), Seq("b", "aa")))
+  }
+
+  test("pair counts weight by word frequency and cover all adjacencies") {
+    val pc = BpeTrain.pairCounts(BpeTrain.wordTable(docs, "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // 'e','s' appears in newest (6) and widest (3) -> 9
+    assert(pc(("e", "s")) == 9L)
+    // 'l','o' in low (5) and lower (2) -> 7
+    assert(pc(("l", "o")) == 7L)
+  }
+
+  test("vocabFromMerges feeds the greedy wordpiece encoder") {
+    val merges = BpeTrain.train(docs, "text", numMerges = 10)
+    val vocab = BpeTrain.vocabFromMerges(docs, "text", merges)
+    assert(merges.map(_.merged).forall(vocab.contains))
+    val pieces = docs
+      .select(TextAnalysis.wordpiece(TextAnalysis.tokens(col("text")),
+        vocab, "[UNK]").as("p"))
+      .as[Seq[String]].collect().flatten
+    assert(pieces.nonEmpty)
+    assert(!pieces.contains("[UNK]")) // vocab covers every corpus char
+  }
+}
