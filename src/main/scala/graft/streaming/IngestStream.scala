@@ -191,8 +191,12 @@ object IngestStream {
     * `value` as a `Dataset[String]` of JSON events — the identical
     * contract as [[fromJsonFiles]], so [[start]] runs the same
     * infer→rename→append pipeline on micro-batches of Kafka records, with
-    * offsets tracked in the streaming checkpoint (exactly-once into the
-    * parquet table via the checkpoint + idempotent batch ids).
+    * offsets tracked in the streaming checkpoint. Delivery into the
+    * parquet table is AT-LEAST-ONCE: a batch retried after a mid-append
+    * crash re-appends (the plain parquet sink is not batch-id
+    * idempotent); downstream exact dedup ([[graft.ml.Dedup.exactGroups]]) or a
+    * batch-id-keyed [[graft.catalog.TxnCatalog]] commit upgrades this to
+    * effectively-once where required.
     *
     * Requires the `spark-sql-kafka-0-10` jars (plus `kafka-clients`) on
     * the classpath — they are NOT part of the Spark distribution. Fails
