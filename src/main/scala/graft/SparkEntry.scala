@@ -453,6 +453,16 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: multi-probe sign-LSH ANN — the query side additionally probes
+    // the Hamming-1 buckets from flipping the lowest 2 sign bits (Lv
+    // et al. 2007 recall lift); corpus still hashes once per vector.
+    "q_sim_ann_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnLsh(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nBits = 4, multiProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: IVF-bucketed ANN — centroid assignment + nProbe search.
     "q_sim_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1472,6 +1482,26 @@ object SparkEntry {
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          |    ${dCosine("q.e", "c.e")} AS cosine
          |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (
+         |  SELECT q_id, n_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM p)
+         |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q_sim_ann_multiprobe" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |    ${dSignBucket("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c
+         |    ON c.bucket IN (q.bucket, xor(q.bucket, 1), xor(q.bucket, 2))
+         |   AND q.vec_id != c.vec_id
          |  WHERE q.vec_id < 10),
          |r AS (
          |  SELECT q_id, n_id, cosine,

@@ -93,13 +93,28 @@ object Similarity {
 
   /** ANN top-k: candidates restricted to the query's sign-LSH bucket.
     * The join key is the bucket — co-partitioned, no cartesian.
+    *
+    * `multiProbe = m` additionally probes the `m` buckets at Hamming
+    * distance 1 obtained by flipping each of the lowest `m` sign bits —
+    * the standard multi-probe LSH recall lift (Lv et al. 2007): a true
+    * neighbor that disagrees with the query on one early hyperplane is
+    * recovered without doubling the table count. Cost: the QUERY side
+    * (broadcast, tiny) expands ×(1+m); the corpus side still hashes each
+    * vector to exactly one bucket, and probe values are distinct so no
+    * candidate pair repeats. `multiProbe = 0` is the exact-bucket
+    * behavior.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             nBits: Int = 4): DataFrame = {
-    val q = broadcast(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        signBucket(col(vecCol), nBits).as("bucket")))
+             nBits: Int = 4, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= nBits,
+      s"multiProbe must be in [0, nBits=$nBits]")
+    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_bucket", signBucket(col("q_vec"), nBits))
+    val probes = col("q_bucket") +: (0 until multiProbe).map(j =>
+      col("q_bucket").bitwiseXOR(lit(1L << j)))
+    val q = broadcast(qb.select(col("q_id"), col("q_vec"),
+      explode(array(probes: _*)).as("bucket")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       signBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))

@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSuite {
     assert(r.contains(2L))
   }
 
+  test("knnLsh multiProbe recovers Hamming-1 neighbors the exact bucket misses") {
+    // vec 4 = (-1,0,0) differs from vec 1 = (1,0,0) only in sign bit 0:
+    // exact-bucket LSH can never pair them; probing the bit-0 flip can
+    val exact = Similarity
+      .knnLsh(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding",
+        k = 3, nBits = 3)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(!exact.contains(4L))
+    val probed = Similarity
+      .knnLsh(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding",
+        k = 3, nBits = 3, multiProbe = 1)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(probed.contains(4L))
+    // multi-probe is a superset of the exact-bucket candidates
+    assert(exact.subsetOf(probed))
+  }
+
   test("nearDupPairs returns ordered pairs above threshold only") {
     val p = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9,
         inDim = 3, bandBits = 2, bands = 4)
