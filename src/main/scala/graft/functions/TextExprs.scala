@@ -385,6 +385,86 @@ case class LangBest(child: Expression, langs: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Merge-rank-faithful BPE encoding of a token array: per token, start
+  * from single characters and repeatedly apply the LOWEST-RANK applicable
+  * merge (all its occurrences, left-to-right non-overlapping) until no
+  * learned pair remains — the exact apply-time semantics matching
+  * [[graft.ml.BpeTrain]] training, unlike greedy longest-match WordPiece
+  * which can pick pieces the merge order would never form. Emits the flat
+  * piece sequence (pieces rejoin to their tokens).
+  */
+case class BpeEncodePieces(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val model = new BpeModel(merges)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeModel", model,
+      classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, c => s"$modelRef.encode($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Serializable merge-rank model for [[BpeEncodePieces]] (top-level class
+  * so generated code can name it without inner-class `$` binary names).
+  */
+class BpeModel(merges: Seq[(String, String)]) extends Serializable {
+  private val pairs: Array[(String, String)] = merges.toArray
+  // boxed Integer values: JHashMap[String, Int] would unbox a missing
+  // key's null to 0, silently treating EVERY pair as rank 0 (and looping
+  // forever when that pair is absent from the word)
+  private val rank = new JHashMap[String, Integer]()
+  pairs.zipWithIndex.foreach { case ((l, r), i) =>
+    rank.putIfAbsent(l + "\u0000" + r, Integer.valueOf(i)); ()
+  }
+
+  def encode(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new JArrayList[UTF8String]()
+    var t = 0
+    while (t < m) {
+      val tok = arr.getUTF8String(t).toString
+      var syms = new Array[String](tok.length)
+      var i = 0
+      while (i < tok.length) { syms(i) = String.valueOf(tok.charAt(i)); i += 1 }
+      var done = syms.length < 2
+      while (!done) {
+        // lowest-rank pair present anywhere in the symbol sequence
+        var best = Int.MaxValue
+        var j = 0
+        while (j < syms.length - 1) {
+          val r = rank.get(syms(j) + "\u0000" + syms(j + 1))
+          if (r != null && r < best) best = r
+          j += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (l, r) = pairs(best)
+          val next = new JArrayList[String](syms.length)
+          var p = 0
+          while (p < syms.length) {
+            if (p + 1 < syms.length && syms(p) == l && syms(p + 1) == r) {
+              next.add(l + r); p += 2
+            } else { next.add(syms(p)); p += 1 }
+          }
+          syms = next.toArray(new Array[String](next.size))
+          if (syms.length < 2) done = true
+        }
+      }
+      var k = 0
+      while (k < syms.length) {
+        out.add(UTF8String.fromString(syms(k))); k += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 /** Serializable vote model for [[LangBest]] (top-level class so generated
   * code can name it without inner-class `$` binary names).
   */

@@ -121,6 +121,20 @@ object BpeTrain {
     merges.result()
   }
 
+  /** Merge-rank-faithful BPE encoding of a token-array column against a
+    * learned merge list ([[graft.functions.BpeEncodePieces]], a native
+    * codegen'd kernel): per token, the lowest-rank applicable merge is
+    * applied repeatedly — the exact inverse of [[train]], so
+    * `encode(train(corpus))` reproduces training-time segmentation, which
+    * greedy longest-match WordPiece does not guarantee. Returns the flat
+    * piece array per row.
+    */
+  def encode(toks: Column, merges: Seq[Merge]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeEncodePieces(
+      ColumnBridge.expression(toks), merges.map(m => (m.left, m.right))))
+  }
+
   /** Subword vocabulary induced by a merge list: all single characters
     * seen in the corpus plus every merged symbol, each emitted BOTH as a
     * word-initial piece and as a `##`-prefixed continuation piece — the

@@ -78,6 +78,53 @@ class BpeTrainSpec extends SparkSuite {
     assert(pc(("l", "o")) == 7L)
   }
 
+  test("native encode reproduces training-time segmentation, pieces rejoin") {
+    val merges = BpeTrain.train(docs, "text", numMerges = 6)
+
+    /** reference apply: lowest-rank pair anywhere, merge all occurrences
+      * left-to-right, repeat — mirrors the kernel exactly
+      */
+    def refEncode(word: String): Seq[String] = {
+      val rank = merges.map(m => (m.left, m.right)).zipWithIndex.toMap
+      var syms = word.map(_.toString).toVector
+      var done = syms.length < 2
+      while (!done) {
+        val best = syms.zip(syms.drop(1))
+          .flatMap(p => rank.get(p).map(r => (r, p))).sortBy(_._1).headOption
+        best match {
+          case None => done = true
+          case Some((_, (l, r))) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+            if (syms.length < 2) done = true
+        }
+      }
+      syms
+    }
+
+    val words = Seq("low", "lower", "newest", "widest", "unseen")
+    val got = words.toDF("w")
+      .select(col("w"), BpeTrain.encode(array(col("w")), merges).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w), s"word $w")
+      assert(got(w).mkString == w) // pieces always rejoin to the token
+    }
+    // a word never seen in training still encodes (to chars at worst)
+    assert(got("unseen").nonEmpty)
+    // multi-token rows emit a flat piece sequence across tokens
+    val multi = Seq("low lower").toDF("text")
+      .select(BpeTrain.encode(TextAnalysis.tokens(col("text")), merges).as("p"))
+      .as[Seq[String]].head()
+    assert(multi == refEncode("low") ++ refEncode("lower"))
+  }
+
   test("vocabFromMerges feeds the greedy wordpiece encoder") {
     val merges = BpeTrain.train(docs, "text", numMerges = 10)
     val vocab = BpeTrain.vocabFromMerges(docs, "text", merges)
