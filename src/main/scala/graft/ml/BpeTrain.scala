@@ -92,6 +92,14 @@ object BpeTrain {
     * Per iteration: one pair-count aggregation over the persisted
     * distinct-word table + one single-row collect (the argmax) + one
     * narrow transform. Stops early when no adjacent pair remains.
+    *
+    * Cost honesty: each merge RECOUNTS all pairs (one Spark job over the
+    * distinct-word table), so `numMerges` is expected moderate
+    * (hundreds). A production 32k-merge vocabulary wants incremental
+    * pair-delta maintenance (only pairs adjacent to the merged symbol
+    * change) — same asymptotics per iteration but without per-job
+    * scheduling overhead ×32k; the recount formulation is chosen here
+    * for auditability against the oracle-gated [[pairCounts]].
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
     var words = wordTable(docs, textCol)
