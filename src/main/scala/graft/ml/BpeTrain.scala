@@ -89,22 +89,40 @@ object BpeTrain {
   /** Train `numMerges` BPE merges over the corpus. Returns the ranked
     * merge list (driver-side — it IS the model, numMerges rows).
     *
-    * Per iteration: one pair-count aggregation over the persisted
-    * distinct-word table + one single-row collect (the argmax) + one
-    * narrow transform. Stops early when no adjacent pair remains.
-    *
-    * Cost honesty: each merge RECOUNTS all pairs (one Spark job over the
-    * distinct-word table), so `numMerges` is expected moderate
-    * (hundreds). A production 32k-merge vocabulary wants incremental
-    * pair-delta maintenance (only pairs adjacent to the merged symbol
-    * change) — same asymptotics per iteration but without per-job
-    * scheduling overhead ×32k; the recount formulation is chosen here
-    * for auditability against the oracle-gated [[pairCounts]].
+    * Two execution paths with IDENTICAL semantics (spec-asserted equal):
+    *   - distinct-word count ≤ `maxDriverWords` (the common case — Zipf
+    *     compresses even web-scale corpora to tens of millions of
+    *     distinct words): the (word, freq) table collects once and
+    *     training runs in-memory with incremental pair-delta maintenance
+    *     ([[trainInMemory]]) — zero Spark jobs per merge, which is what
+    *     makes 32k-merge production vocabularies affordable. This is the
+    *     same capped-driver-hybrid shape as [[Dedup]]'s cluster
+    *     union-find.
+    *   - above the cap: the fully-distributed recount loop
+    *     ([[trainDistributed]]) — one pair-count aggregation + single-row
+    *     argmax per merge, never materializing words on the driver.
     */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
-    var words = wordTable(docs, textCol)
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxDriverWords: Long = 2000000L): Seq[Merge] = {
+    val words = wordTable(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count() // materialize before iterating
+    try {
+      if (words.count() <= maxDriverWords) {
+        val wf = words.select(col("word"), col("freq"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        trainInMemory(wf, numMerges)
+      } else trainDistributed(words, numMerges)
+    } finally { words.unpersist(); () }
+  }
+
+  /** Distributed recount loop (the over-cap path): per iteration one
+    * pair-count aggregation over the persisted distinct-word table + one
+    * single-row collect (the argmax) + one narrow transform. Stops early
+    * when no adjacent pair remains. Kept auditable against the
+    * oracle-gated [[pairCounts]].
+    */
+  def trainDistributed(wordsIn: DataFrame, numMerges: Int): Seq[Merge] = {
+    var words = wordsIn
     val merges = Seq.newBuilder[Merge]
     var i = 0
     var exhausted = false
@@ -120,12 +138,86 @@ object BpeTrain {
         val next = words.withColumn("syms", mergePair(col("syms"), l, r))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
-        words.unpersist()
+        if (words ne wordsIn) words.unpersist()
         words = next
         i += 1
       }
     }
-    words.unpersist()
+    if (words ne wordsIn) words.unpersist()
+    merges.result()
+  }
+
+  /** In-memory trainer over a collected (word, freq) table with
+    * incremental pair-delta maintenance: merging pair p only touches the
+    * words that CONTAIN p (tracked by an inverted pair→words index), each
+    * of which subtracts its current pair contributions, applies the
+    * merge, and re-adds — O(affected words × word length) per merge
+    * instead of a full recount. Argmax scans the live pair map with the
+    * full (freq desc, lhs asc, rhs asc) tiebreak, so results are
+    * independent of hash-map iteration order and identical to
+    * [[trainDistributed]].
+    */
+  def trainInMemory(wordFreqs: Seq[(String, Long)],
+                    numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val words = mutable.ArrayBuffer[Array[String]]()
+    val freqs = mutable.ArrayBuffer[Long]()
+    wordFreqs.foreach { case (w, f) =>
+      words += w.map(_.toString).toArray
+      freqs += f
+    }
+    val pairCount = mutable.HashMap[(String, String), Long]()
+    val pairWords = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      val f = freqs(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * f
+        if (c == 0L) pairCount.remove(p) else pairCount.update(p, c)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set()) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+    def mergeArray(s: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer[String]()
+      var p = 0
+      while (p < s.length) {
+        if (p + 1 < s.length && s(p) == l && s(p + 1) == r) {
+          out += l + r; p += 2
+        } else { out += s(p); p += 1 }
+      }
+      out.toArray
+    }
+    val merges = Seq.newBuilder[Merge]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      var bestP: (String, String) = null
+      var bestC = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && bestP != null &&
+          (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+          bestP = p; bestC = c
+        }
+      }
+      if (bestP == null) done = true
+      else {
+        merges += Merge(k, bestP._1, bestP._2, bestP._1 + bestP._2, bestC)
+        // affected membership can be stale (a word that no longer holds
+        // the pair): subtract-current/merge(no-op)/re-add cancels exactly
+        val affected = pairWords.getOrElse(bestP, mutable.Set.empty).toArray
+        pairWords.remove(bestP)
+        affected.foreach { i =>
+          addWord(i, -1L)
+          words(i) = mergeArray(words(i), bestP._1, bestP._2)
+          addWord(i, 1L)
+        }
+        k += 1
+      }
+    }
     merges.result()
   }
 

@@ -48,16 +48,43 @@ class BpeTrainSpec extends SparkSuite {
     "newest newest newest newest",
     "widest widest widest").toDF("text")
 
-  test("distributed train matches the pure-Scala reference merge-for-merge") {
-    val got = BpeTrain.train(docs, "text", numMerges = 8)
-      .map(m => (m.left, m.right))
+  test("all three train paths match the pure-Scala reference merge-for-merge") {
     val want = refTrain(
       Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8)
+    // dispatching path (in-memory under the cap)
+    val got = BpeTrain.train(docs, "text", numMerges = 8)
+      .map(m => (m.left, m.right))
     assert(got == want)
+    // forced fully-distributed recount loop
+    val distributed = BpeTrain
+      .trainDistributed(BpeTrain.wordTable(docs, "text"), numMerges = 8)
+      .map(m => (m.left, m.right))
+    assert(distributed == want)
+    // in-memory delta trainer directly (full Merge rows, incl. freq)
+    val wf = BpeTrain.wordTable(docs, "text").select("word", "freq")
+      .as[(String, Long)].collect().toSeq
+    val inMem = BpeTrain.trainInMemory(wf, numMerges = 8)
+    val distFull = BpeTrain
+      .trainDistributed(BpeTrain.wordTable(docs, "text"), numMerges = 8)
+    assert(inMem == distFull) // same ranks, pairs, merged symbols AND freqs
     // ranks are sequential, merged = left+right
     val merges = BpeTrain.train(docs, "text", numMerges = 3)
     assert(merges.map(_.rank) == Seq(0, 1, 2))
     assert(merges.forall(m => m.merged == m.left + m.right))
+  }
+
+  test("in-memory and distributed trainers agree on a wider random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocabChars = "abcdef"
+    val corpus = (0 until 120).map { _ =>
+      (0 until 6).map(_ => (0 until (2 + rnd.nextInt(5)))
+        .map(_ => vocabChars(rnd.nextInt(vocabChars.length))).mkString)
+        .mkString(" ")
+    }.toDF("text")
+    val inMem = BpeTrain.train(corpus, "text", numMerges = 12)
+    val dist = BpeTrain
+      .trainDistributed(BpeTrain.wordTable(corpus, "text"), numMerges = 12)
+    assert(inMem == dist)
   }
 
   test("mergePair is left-to-right non-overlapping") {
