@@ -1145,6 +1145,24 @@ object SparkEntry {
         .limit(30)
         .orderBy(col("pair_freq").desc, col("lhs").asc, col("rhs").asc)),
 
+    // ML: BPE train + native merge-rank encode end-to-end. Exact
+    // segmentation is SQL-inexpressible (iterative merges) and is gated
+    // by BpeTrainSpec against a pure reference; what the oracle CAN pin
+    // corpus-wide is losslessness — every document's pieces must rejoin
+    // to exactly its tokens, so piece characters == token characters.
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = BpeTrain.train(t(s, dir, "documents"), "text",
+        numMerges = 20)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          BpeTrain.encode(TextAnalysis.tokens(col("text")), merges)
+            .as("pieces"))
+        .select(col("doc_id"),
+          length(concat_ws("", col("pieces"))).cast("long")
+            .as("piece_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: corpus-trained bigram-LM scoring (perplexity-style quality
     // filter, CCNet/Gopher recipe). Per-bigram ln lands on the 1e-6 grid
     // BEFORE the per-doc sum, so the distributed aggregation is an exact
@@ -2970,6 +2988,16 @@ object SparkEntry {
          |  FROM p)
          |SELECT q_id, n_id, qcosine, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    "q_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+        |    AS BIGINT) AS piece_chars
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH toks AS (
