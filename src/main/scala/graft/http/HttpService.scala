@@ -59,7 +59,9 @@ final class GraftHttpServer(
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(threads))
+  private val pool =
+    java.util.concurrent.Executors.newFixedThreadPool(threads)
+  server.setExecutor(pool)
 
   /** Ephemeral-port deployments read the bound port after construction. */
   def boundPort: Int = server.getAddress.getPort
@@ -101,11 +103,16 @@ final class GraftHttpServer(
     if (!requireAuth) Right(None)
     else Option(ex.getRequestHeaders.getFirst("Authorization")) match {
       case Some(h) if h.startsWith("Basic ") =>
-        val decoded = new String(
-          Base64.getDecoder.decode(h.stripPrefix("Basic ").trim), UTF_8)
-        decoded.split(":", 2) match {
-          case Array(u, p) if users.get(u).contains(p) => Right(Some(u))
-          case _ => Left("invalid credentials")
+        // malformed base64 is a credential problem (401), not a server 500
+        try {
+          val decoded = new String(
+            Base64.getDecoder.decode(h.stripPrefix("Basic ").trim), UTF_8)
+          decoded.split(":", 2) match {
+            case Array(u, p) if users.get(u).contains(p) => Right(Some(u))
+            case _ => Left("invalid credentials")
+          }
+        } catch {
+          case _: IllegalArgumentException => Left("malformed Basic credentials")
         }
       case _ => Left("missing Basic authorization")
     }
@@ -160,8 +167,14 @@ final class GraftHttpServer(
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
       case Right(user) =>
-        val body = mapper.readTree(
-          new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        val body =
+          try mapper.readTree(
+            new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              return
+          }
         val sql = Option(body.get("query")).map(_.asText())
         val start = Option(body.get("startTime")).map(_.asText())
         val end = Option(body.get("endTime")).map(_.asText())
@@ -207,5 +220,10 @@ final class GraftHttpServer(
 
   def start(): Unit = server.start()
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // the fixed pool's threads are non-daemon: without this, every
+    // started server leaks `threads` live threads for the JVM's lifetime
+    pool.shutdown()
+  }
 }

@@ -49,7 +49,9 @@ final class StatsFileIndex(
     * distributed.
     */
   private lazy val cached: Option[Seq[StatsFileIndex.FileRow]] =
-    if (cat.limit((maxDriverRows + 1).toInt).count() <= maxDriverRows)
+    // clamp: a cap near Long.MaxValue must not overflow the Int limit arg
+    if (cat.limit(math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt)
+          .count() <= maxDriverRows)
       Some(StatsFileIndex.loadRows(cat))
     else None
 
@@ -66,8 +68,13 @@ final class StatsFileIndex(
     case Some(rows) => rows.map(f => new Path(f.path).getParent).distinct
     case None =>
       import org.apache.spark.sql.functions.{col, regexp_extract}
+      // a bare filename has no '/': the extract yields "" and new Path("")
+      // throws — mirror the driver branch's Path.getParent (null parent →
+      // skip), keeping both residency classes consistent
       cat.select(regexp_extract(col("file_path"), "(.*)/[^/]+$", 1).as("d"))
-        .distinct().collect().map(r => new Path(r.getString(0))).toSeq
+        .distinct().collect().toSeq
+        .flatMap(r => Option(r.getString(0)).filter(_.nonEmpty))
+        .map(new Path(_))
   })
 
   override def partitionSchema: StructType = new StructType()

@@ -57,42 +57,49 @@ final class TimeFilterInjectionRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import TimeFilterInjection._
 
-  private def mentionsTimeCol(plan: LogicalPlan, timeCol: String): Boolean =
-    plan.exists {
-      case f: Filter =>
-        f.condition.exists {
-          case cmp: BinaryComparison => cmp.children.exists {
-            case a: Attribute => a.name.equalsIgnoreCase(timeCol)
-            case _            => false
-          }
-          case _ => false
-        }
-      case _ => false
-    }
+  /** ExprIds compared inside any Filter of the plan. Attribution is by
+    * ExprId, not column NAME: the reference skips injection per TableScan
+    * (`src/query/mod.rs:890-911`), so `a JOIN b WHERE a.ts >= X` must still
+    * inject into `b` even though both relations expose a `ts`. This rule
+    * runs post-pushdown (experimental batch), so a user filter sits directly
+    * on its relation's attributes by then; the injected filter's own
+    * comparison lands in this set on the NEXT fixed-point pass, which is
+    * what keeps the rule idempotent.
+    */
+  private def comparedExprIds(
+      plan: LogicalPlan): Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+    plan.collectWithSubqueries { case f: Filter =>
+      f.condition.collect { case cmp: BinaryComparison =>
+        cmp.children.collect { case a: Attribute => a.exprId }
+      }.flatten
+    }.flatten.toSet
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val ws = get(spark)
     if (ws.isEmpty) plan
-    else ws.foldLeft(plan) { (p, w) =>
-      if (mentionsTimeCol(p, w.timeCol)) p // user (or we) already constrain it
-      // transformUp: top-down would descend into the freshly-wrapped
-      // Filter(relation) and wrap again, forever
-      else p.transformUp {
-        case r @ LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-            if h.location.rootPaths.exists(_.toString.contains(w.pathFragment)) &&
-              r.output.exists(_.name.equalsIgnoreCase(w.timeCol)) =>
-          val attr = r.output.find(_.name.equalsIgnoreCase(w.timeCol)).get
-          attr.dataType match {
-            // micros literals; NTZ compares in UTC session semantics. Other
-            // column types: leave the relation alone (a Long literal would
-            // mean micros against arbitrary units — unsafe to guess).
-            case t @ (org.apache.spark.sql.types.TimestampType |
-                      TimestampNTZType) =>
-              Filter(And(
-                GreaterThanOrEqual(attr, Literal(w.startMs * 1000L, t)),
-                LessThan(attr, Literal(w.endMs * 1000L, t))), r)
-            case _ => r
-          }
+    else {
+      val compared = comparedExprIds(plan)
+      ws.foldLeft(plan) { (p, w) =>
+        // transformUp: top-down would descend into the freshly-wrapped
+        // Filter(relation) and wrap again, forever
+        p.transformUp {
+          case r @ LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+              if h.location.rootPaths.exists(_.toString.contains(w.pathFragment)) &&
+                r.output.exists(_.name.equalsIgnoreCase(w.timeCol)) =>
+            val attr = r.output.find(_.name.equalsIgnoreCase(w.timeCol)).get
+            if (compared.contains(attr.exprId)) r // THIS scan already constrained
+            else attr.dataType match {
+              // micros literals; NTZ compares in UTC session semantics. Other
+              // column types: leave the relation alone (a Long literal would
+              // mean micros against arbitrary units — unsafe to guess).
+              case t @ (org.apache.spark.sql.types.TimestampType |
+                        TimestampNTZType) =>
+                Filter(And(
+                  GreaterThanOrEqual(attr, Literal(w.startMs * 1000L, t)),
+                  LessThan(attr, Literal(w.endMs * 1000L, t))), r)
+              case _ => r
+            }
+        }
       }
     }
   }

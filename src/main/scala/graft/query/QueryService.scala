@@ -37,9 +37,11 @@ object QueryService {
     plan.collectWithSubqueries { case r: UnresolvedRelation => r.tableName }.distinct
   }
 
-  /** Whether the parsed query already filters on `timeCol` for any scanned
-    * table — if so, injection is skipped (reference
-    * `src/query/mod.rs:890-911` `table_contains_any_time_filters`).
+  /** Whether the parsed query filters on `timeCol` ANYWHERE — the coarse
+    * textual check (reference `src/query/mod.rs:890-911`
+    * `table_contains_any_time_filters` is stricter: per TableScan). Kept as
+    * the fallback for SQL that cannot be analyzed; [[constrainedStreams]]
+    * is the per-relation version [[query]] actually uses.
     */
   def containsTimeFilter(spark: SparkSession, sql: String, timeCol: String): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison}
@@ -51,6 +53,75 @@ object QueryService {
         case _            => false
       })
     }
+  }
+
+  /** Stream names whose time column the query ALREADY constrains, attributed
+    * per relation — the reference checks the filters of each TableScan
+    * (`src/query/mod.rs:890-911`), so `SELECT .. FROM a JOIN b WHERE
+    * a.p_timestamp >= X` must still get the window injected into `b` even
+    * though both streams share the time-column NAME.
+    *
+    * Resolution: the SQL is analyzed (not executed) against the registered
+    * views; each stream's relation instances surface as `SubqueryAlias`
+    * nodes whose output attributes carry unique `ExprId`s, so a comparison
+    * is attributed to exactly the relation whose attribute it references.
+    * Alias indirection (`SELECT ts AS t FROM s` ... `WHERE t > X`) is
+    * resolved through a transitive closure over `Alias` edges. Self-joins
+    * of one stream collapse to name granularity (injection here is
+    * per-view): if ANY instance is constrained the stream is skipped.
+    *
+    * Registers each stream as a PLAIN (unwindowed) temp view for the
+    * analysis — callers that need windowed views ([[query]]) re-register
+    * them afterwards. If analysis fails (e.g. a non-stream table is
+    * absent), falls back to the global [[containsTimeFilter]] check per
+    * time column — conservative in the same direction as the old behavior.
+    */
+  def constrainedStreams(
+      spark: SparkSession,
+      streams: Map[String, Stream],
+      sql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BinaryComparison, ExprId}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, SubqueryAlias}
+    streams.foreach { case (name, s) =>
+      plainReader(spark, name, s).parquet(s.path).createOrReplaceTempView(name)
+    }
+    val analyzed =
+      try spark.sql(sql).queryExecution.analyzed
+      catch {
+        case _: Exception =>
+          return streams.filter { case (_, s) =>
+            containsTimeFilter(spark, sql, s.timeCol)
+          }.keySet
+      }
+    val aliasEdges: Map[ExprId, Set[ExprId]] =
+      analyzed.collectWithSubqueries { case p =>
+        p.expressions.flatMap(_.collect {
+          case a: Alias => a.exprId -> a.child.references.map(_.exprId).toSet
+        })
+      }.flatten.toMap
+    def close(ids: Set[ExprId]): Set[ExprId] = {
+      var cur = ids
+      var grown = true
+      while (grown) {
+        val next = cur ++ cur.flatMap(aliasEdges.getOrElse(_, Set.empty[ExprId]))
+        grown = next.size != cur.size
+        cur = next
+      }
+      cur
+    }
+    val compared: Set[ExprId] = close(
+      analyzed.collectWithSubqueries { case f: LFilter =>
+        f.condition.collect { case cmp: BinaryComparison =>
+          cmp.children.collect { case a: Attribute => a.exprId }
+        }.flatten
+      }.flatten.toSet)
+    streams.collect {
+      case (name, s) if analyzed.collectWithSubqueries {
+            case sa: SubqueryAlias if sa.alias.equalsIgnoreCase(name) =>
+              sa.output.filter(_.name.equalsIgnoreCase(s.timeCol)).map(_.exprId)
+          }.flatten.exists(compared) =>
+        name
+    }.toSet
   }
 
   /** Detect `SELECT COUNT(*) FROM t` (no filters, no grouping) — the shape
@@ -85,6 +156,14 @@ object QueryService {
       .flatMap(catalogPaths.get)
       .map(graft.catalog.StatsCatalog.countStar(spark, _))
 
+  /** Reader with the stream's persisted union schema applied (old files
+    * null-fill newer columns; no `mergeSchema` footer storm).
+    */
+  private def plainReader(spark: SparkSession, name: String, s: Stream) =
+    s.metaRoot
+      .flatMap(graft.catalog.StreamMeta.unionSchema(_, name))
+      .foldLeft(spark.read)((r, schema) => r.schema(schema))
+
   /** Staging freshness window (reference: queries whose range touches the
     * last 5 minutes union in not-yet-synced staging data,
     * `src/query/stream_schema_provider.rs:936-958`).
@@ -118,9 +197,15 @@ object QueryService {
       sql: String,
       range: TimeRange): DataFrame = {
     val freshCutoff = System.currentTimeMillis() - StagingWindowMillis
-    referencedTables(spark, sql).foreach { name =>
-      streams.get(name).foreach { s =>
-        val skipInject = containsTimeFilter(spark, sql, s.timeCol)
+    val referenced = referencedTables(spark, sql)
+      .flatMap(n => streams.get(n).map(n -> _))
+    // pass 1 (inside constrainedStreams): plain views, so the SQL can be
+    // ANALYZED (no execution) and existing time filters attributed to
+    // individual relations; pass 2 below re-registers the real views
+    val constrained =
+      constrainedStreams(spark, referenced.toMap, sql)
+    referenced.foreach { case (name, s) =>
+        val skipInject = constrained.contains(name)
         def windowed(df: DataFrame): DataFrame =
           if (skipInject) df
           else {
@@ -142,11 +227,7 @@ object QueryService {
         // lists anything (reference manifest pruning); the exact row-level
         // window still applies above the pruned scan. Bounds widen to whole
         // seconds so the string min/max comparison stays conservative.
-        // registry-schema read: the persisted union schema (if any) applies
-        // to every scan of this stream, pruned or not
-        val reader = s.metaRoot
-          .flatMap(graft.catalog.StreamMeta.unionSchema(_, name))
-          .foldLeft(spark.read)((r, schema) => r.schema(schema))
+        val reader = plainReader(spark, name, s)
         val source = s.catalogPath match {
           case Some(cat) if !skipInject =>
             import graft.catalog.StatsCatalog
@@ -185,7 +266,6 @@ object QueryService {
               case _ => base
             }
         df.createOrReplaceTempView(name)
-      }
     }
     spark.sql(sql)
   }

@@ -63,6 +63,29 @@ class TimeFilterInjectionSpec extends SparkSuite {
     } finally clear(spark)
   }
 
+  test("per-relation skip: a constrained stream A leaves stream B's injection intact") {
+    val pathA = mkTable()
+    val pathB = Files.createTempDirectory("tfi").toString + "/logs"
+    // B's timestamps run in REVERSE id order so B's window selects ids 5..9
+    Seq.tabulate(10)(i => (i.toLong, new Timestamp(base + (9 - i) * 60_000L)))
+      .toDF("id", "p_timestamp").write.parquet(pathB)
+    install(spark)
+    set(spark, Seq(
+      StreamWindow(pathA, "p_timestamp", base, base + 2 * 60_000L),
+      StreamWindow(pathB, "p_timestamp", base, base + 5 * 60_000L)))
+    try {
+      // user constrains ONLY A (wider than A's window: all 10 rows);
+      // reference semantics: A keeps the user filter un-narrowed, B still
+      // gets its injected window (ids 5..9) → join yields exactly 5 rows.
+      //   old global-name skip       → 10 rows (B never windowed)
+      //   A wrongly injected as well → 0 rows (A ids 0..1 ∩ B ids 5..9)
+      val a = spark.read.parquet(pathA)
+        .filter(col("p_timestamp") >= new Timestamp(base))
+      val b = spark.read.parquet(pathB)
+      assert(a.join(b, "id").count() == 5)
+    } finally clear(spark)
+  }
+
   test("unregistered tables and non-timestamp columns untouched") {
     val path = mkTable()
     install(spark)

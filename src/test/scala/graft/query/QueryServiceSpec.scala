@@ -50,6 +50,36 @@ class QueryServiceSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("window still injected into stream B when only stream A is user-constrained") {
+    val dir = Files.createTempDirectory("qs2t").toString
+    val base = 1700000000000L
+    Seq.tabulate(10)(i => (i.toLong, new Timestamp(base + i * 60_000L)))
+      .toDF("id", "p_timestamp").write.parquet(s"$dir/a")
+    // B's timestamps run in reverse id order: the injected window
+    // [base, base+5min) selects B's ids 5..9
+    Seq.tabulate(10)(i => (i.toLong, new Timestamp(base + (9 - i) * 60_000L)))
+      .toDF("id", "p_timestamp").write.parquet(s"$dir/b")
+    val streams = Map(
+      "sa" -> QueryService.Stream(s"$dir/a", "p_timestamp"),
+      "sb" -> QueryService.Stream(s"$dir/b", "p_timestamp"))
+    val range = TimeRange(
+      java.time.Instant.ofEpochMilli(base),
+      java.time.Instant.ofEpochMilli(base + 5 * 60_000L))
+    // per-relation attribution (reference checks each TableScan's filters):
+    // sa keeps the user's own (wider) filter — all 10 ids; sb still gets
+    // the injected window — ids 5..9; the join therefore returns 5 rows.
+    // The old global check skipped BOTH (10 rows).
+    val sql = s"""SELECT sa.id FROM sa JOIN sb ON sa.id = sb.id
+                  WHERE sa.p_timestamp >= timestamp'${new Timestamp(base)}'"""
+    assert(QueryService.query(spark, streams, sql, range).count() == 5)
+    assert(QueryService.constrainedStreams(spark, streams, sql) == Set("sa"))
+    // alias indirection resolves to the base column: a subquery renaming
+    // sb's time column still counts as constraining sb
+    val aliased = s"""SELECT x.id FROM (SELECT id, p_timestamp AS t FROM sb) x
+                      WHERE x.t >= timestamp'${new Timestamp(base)}'"""
+    assert(QueryService.constrainedStreams(spark, streams, aliased) == Set("sb"))
+  }
+
   test("query unions staging rows when the range touches the fresh window") {
     val dir = Files.createTempDirectory("qs").toString
     val now = System.currentTimeMillis()
