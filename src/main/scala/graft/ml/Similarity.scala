@@ -312,18 +312,55 @@ object Similarity {
     * Returns one row per vector: (v_id, centroid_id, kept). Centroid
     * seeding is the deterministic lowest-id rule shared with [[ivfIndex]];
     * swap in [[kmeansCentroids]] output at production scale.
+    *
+    * Skew guard (`maxClusterSize`): the within-cluster self-join is bounded
+    * only while clusters are balanced — a degenerate embedding distribution
+    * (everything near one centroid) makes one mega-cluster and the join
+    * quadratic. Clusters above the cap therefore switch from all-pairs to
+    * ANCHOR comparison: each member is compared against the cluster's
+    * `maxClusterSize` lowest-id vectors only (selected through the
+    * [[graft.plans.TopKPerGroup]] heap operator — bounded shuffle, no
+    * mega-partition sort), so pair work is O(n·cap) instead of O(n²).
+    * This is an approximation in exactly one case: a duplicate pair whose
+    * members are BOTH outside the anchor set and dissimilar to every
+    * anchor. In the degenerate distributions the cap exists for (a
+    * near-identical mass), the lowest-id anchors cover the mass by
+    * construction — unlike a drop-the-bucket guard, recall on the
+    * adversarial input stays intact ([[SimilaritySpec]] asserts an
+    * all-duplicates corpus still collapses to one kept vector).
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
-                    numCentroids: Int, threshold: Double): DataFrame = {
+                    numCentroids: Int, threshold: Double,
+                    maxClusterSize: Int = Int.MaxValue): DataFrame = {
     val index = ivfIndex(vecs, idCol, vecCol, numCentroids)
-    val a = index.select(col("centroid_id"), col("v_id").as("id_a"),
-      col("v_vec").as("vec_a"))
-    val b = index.select(col("centroid_id"), col("v_id").as("id_b"),
-      col("v_vec").as("vec_b"))
-    val dropped = a.join(b, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
-      .select(col("id_b").as("v_id"))
+    // k cluster sizes — broadcast to tag members with their cluster's size
+    val sizes = index.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cluster_n"))
+    val withN = index.join(broadcast(sizes), Seq("centroid_id"))
+    val small = withN.filter(col("cluster_n") <= maxClusterSize)
+    val big = withN.filter(col("cluster_n") > maxClusterSize)
+
+    def droppedIds(lhs: DataFrame, rhs: DataFrame) =
+      lhs.join(rhs, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+        .select(col("id_b").as("v_id"))
+
+    val smallDropped = droppedIds(
+      small.select(col("centroid_id"), col("v_id").as("id_a"),
+        col("v_vec").as("vec_a")),
+      small.select(col("centroid_id"), col("v_id").as("id_b"),
+        col("v_vec").as("vec_b")))
+    val anchors = graft.operators.TopK.perGroup(
+        big.select(col("centroid_id"), col("v_id"), col("v_vec")),
+        Seq(col("centroid_id")), Seq(col("v_id").asc), maxClusterSize)
+      .select(col("centroid_id"), col("v_id").as("id_a"),
+        col("v_vec").as("vec_a"))
+    val bigDropped = droppedIds(anchors,
+      big.select(col("centroid_id"), col("v_id").as("id_b"),
+        col("v_vec").as("vec_b")))
+
+    val dropped = smallDropped.union(bigDropped)
       .distinct()
       .withColumn("dropped", lit(true))
     index.select(col("v_id"), col("centroid_id"))

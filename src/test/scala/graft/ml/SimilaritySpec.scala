@@ -112,6 +112,44 @@ class SimilaritySpec extends SparkSuite {
     assert(r2.values.forall(identity))
   }
 
+  test("semanticDedup maxClusterSize bounds mega-cluster pair work, keeps recall") {
+    // adversarial distribution: 200 near-identical vectors, ONE centroid —
+    // the exact path would generate n(n-1)/2 = 19900 candidate pairs
+    val n = 200
+    val mega = Seq.tabulate(n)(i =>
+      (i.toLong, Array(1f, (i % 7) * 0.001f, 0f))).toDF("vec_id", "embedding")
+    def joinRows(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count() // one execution; metrics accumulate
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case s: QueryStageExec        => nodes(s.plan)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      nodes(qe.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val capped = Similarity.semanticDedup(mega, "vec_id", "embedding",
+      numCentroids = 1, threshold = 0.99, maxClusterSize = 10)
+    // every vector is near-identical, so the anchor approximation loses
+    // nothing: only id 0 survives — the exact SemDeDup answer
+    assert(capped.filter(col("kept")).count() == 1)
+    assert(capped.count() == n)
+    // pair work is bounded by n·cap plus a handful of linear-size joins
+    // (size-tag per branch, final kept join) — nowhere near quadratic 19900
+    assert(joinRows(capped) <= n.toLong * 10 + 8L * n)
+    val exact = Similarity.semanticDedup(mega, "vec_id", "embedding",
+      numCentroids = 1, threshold = 0.99)
+    assert(joinRows(exact) >= n.toLong * (n - 1) / 2)
+    // and the capped result matches the exact result row-for-row here
+    assert(capped.orderBy("v_id").collect().toSeq ==
+      exact.orderBy("v_id").collect().toSeq)
+  }
+
   test("semanticDedup never drops a vector without a smaller-id neighbor") {
     val corpus = graft.engine.GraftSession
       .table(spark, "/root/testdata/sf0.001", "embeddings")
