@@ -428,9 +428,20 @@ class BpeModel(merges: Seq[(String, String)]) extends Serializable {
     var t = 0
     while (t < m) {
       val tok = arr.getUTF8String(t).toString
-      var syms = new Array[String](tok.length)
+      // split by CODE POINT, not UTF-16 code unit: a surrogate pair split
+      // into lone surrogates round-trips as '?' through UTF8String, which
+      // would break piece-rejoin losslessness for non-BMP text — and must
+      // match the training-side symbolization (wordTable's split(word,''),
+      // trainInMemory's codePointSyms) so merge ranks apply
+      var syms = new Array[String](tok.codePointCount(0, tok.length))
       var i = 0
-      while (i < tok.length) { syms(i) = String.valueOf(tok.charAt(i)); i += 1 }
+      var si = 0
+      while (i < tok.length) {
+        val cc = Character.charCount(tok.codePointAt(i))
+        syms(si) = tok.substring(i, i + cc)
+        si += 1
+        i += cc
+      }
       var done = syms.length < 2
       while (!done) {
         // lowest-rank pair present anywhere in the symbol sequence

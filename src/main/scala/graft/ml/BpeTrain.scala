@@ -115,35 +115,133 @@ object BpeTrain {
     } finally { words.unpersist(); () }
   }
 
-  /** Distributed recount loop (the over-cap path): per iteration one
-    * pair-count aggregation over the persisted distinct-word table + one
-    * single-row collect (the argmax) + one narrow transform. Stops early
-    * when no adjacent pair remains. Kept auditable against the
-    * oracle-gated [[pairCounts]].
+  /** Code-point order on strings — the order `UTF8String` binary
+    * comparison (and therefore Spark's `orderBy` on strings) induces.
+    * Java's `String.compareTo` is UTF-16 code-UNIT order, which ranks
+    * supplementary characters (surrogates 0xD800+) BELOW BMP characters
+    * ≥ U+E000 — the two orders disagree exactly on non-BMP text, so every
+    * driver-side tie-break in this file must use this comparator to stay
+    * merge-for-merge equal to the distributed path.
     */
-  def trainDistributed(wordsIn: DataFrame, numMerges: Int): Seq[Merge] = {
+  private[ml] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** One word split into code-point symbols — `"ab😀"` → `["a","b","😀"]`.
+    * Matches [[wordTable]]'s `split(word, '')` (Java regex splits at code
+    * points) and the [[graft.functions.BpeModel]] encode-side
+    * symbolization; splitting at UTF-16 code units instead would strand
+    * lone surrogates that `UTF8String.fromString` corrupts to '?'.
+    */
+  private[ml] def codePointSyms(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var si = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      out(si) = w.substring(i, i + cc)
+      si += 1
+      i += cc
+    }
+    out
+  }
+
+  /** Distributed recount loop (the over-cap path), learning merges in
+    * BATCHES so a 32k-merge production vocabulary does not cost one
+    * pair-count job chain per merge.
+    *
+    * Per pass: one pair-count aggregation, one bounded `topM`-row collect,
+    * then a driver-side selection of the longest prefix of the
+    * (freq desc, lhs, rhs) order that provably equals sequential BPE:
+    *
+    *   - selected pairs are pairwise SYMBOL-DISJOINT, where each selection
+    *     claims its left, right AND merged string (l+r): merging p cannot
+    *     change the adjacency count of a pair q that shares none of the
+    *     three (it only rewrites occurrences of p's symbols into p.merged,
+    *     so it can neither create nor destroy a q-adjacency unless q names
+    *     one of them), so all selected counts stay exact and
+    *     order-independent while the batch applies.
+    *   - selection stops at the first pair that SHARES a symbol with the
+    *     prefix (or at `topM`/`maxBatch` exhaustion), and the prefix is
+    *     then trimmed to pairs with freq STRICTLY above that cut
+    *     frequency. A merge of (l,r) can only create new pairs (X,lr) or
+    *     (lr,Y) whose counts are bounded by the OLD counts of (X,l) /
+    *     (r,Y) — pairs sharing a symbol with the selection, which all sit
+    *     at or below the cut. Strict trimming therefore guarantees no
+    *     created pair can outrank (or tie-break against) any batch member,
+    *     i.e. sequential BPE would have picked exactly this batch in this
+    *     order. Empty trim (top ties interact) falls back to the single
+    *     top pair — plain sequential behavior.
+    *
+    * The whole batch applies as ONE nested [[mergePair]] projection over
+    * the word table, materialized via `localCheckpoint` — lineage is CUT
+    * each pass, so the logical plan does not accumulate one aggregate-HOF
+    * per learned merge across passes (deep-plan analysis blowup).
+    * Tail-frequency tie classes (where most of a 32k vocabulary lives) are
+    * huge, so passes amortize tens-to-hundreds of merges each:
+    * `BpeTrainSpec` pins the sublinear job growth with a listener.
+    */
+  def trainDistributed(wordsIn: DataFrame, numMerges: Int,
+                       maxBatch: Int = 256, topM: Int = 4096): Seq[Merge] = {
     var words = wordsIn
     val merges = Seq.newBuilder[Merge]
-    var i = 0
+    var learned = 0
     var exhausted = false
-    while (i < numMerges && !exhausted) {
+    while (learned < numMerges && !exhausted) {
       val top = pairCounts(words)
         .orderBy(col("pair_freq").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
+        .limit(topM).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += Merge(i, l, r, l + r, f)
-        val next = words.withColumn("syms", mergePair(col("syms"), l, r))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        if (words ne wordsIn) words.unpersist()
-        words = next
-        i += 1
+        val want = math.min(maxBatch, numMerges - learned)
+        val selected = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = scala.collection.mutable.HashSet[String]()
+        // freq at the first interacting pair / collection horizon; -1 = none
+        var cutFreq = -1L
+        var idx = 0
+        while (idx < top.length && selected.size < want && cutFreq < 0) {
+          val (l, r, f) = top(idx)
+          if (used(l) || used(r) || used(l + r)) cutFreq = f
+          else {
+            selected += ((l, r, f))
+            used += l
+            used += r
+            used += l + r
+          }
+          idx += 1
+        }
+        // pairs never seen (beyond topM, or beyond the maxBatch stop) also
+        // bound created-pair counts — treat the first unseen freq as a cut
+        if (cutFreq < 0 && (idx < top.length || top.length == topM))
+          cutFreq = if (idx < top.length) top(idx)._3 else top.last._3
+        val batch0 =
+          if (cutFreq < 0) selected.toSeq
+          else selected.takeWhile(_._3 > cutFreq).toSeq
+        val batch = if (batch0.nonEmpty) batch0 else Seq(top.head)
+        batch.foreach { case (l, r, f) =>
+          merges += Merge(learned, l, r, l + r, f)
+          learned += 1
+        }
+        val newSyms = batch.foldLeft(col("syms")) {
+          case (c, (l, r, _)) => mergePair(c, l, r)
+        }
+        // localCheckpoint (eager): materializes the pass AND truncates
+        // lineage, so plan depth stays one pass deep, not numMerges deep —
+        // superseded checkpoint blocks are released by the ContextCleaner
+        // once the previous frame goes unreferenced
+        words = words.withColumn("syms", newSyms).localCheckpoint()
       }
     }
-    if (words ne wordsIn) words.unpersist()
     merges.result()
   }
 
@@ -163,7 +261,7 @@ object BpeTrain {
     val words = mutable.ArrayBuffer[Array[String]]()
     val freqs = mutable.ArrayBuffer[Long]()
     wordFreqs.foreach { case (w, f) =>
-      words += w.map(_.toString).toArray
+      words += codePointSyms(w)
       freqs += f
     }
     val pairCount = mutable.HashMap[(String, String), Long]()
@@ -197,9 +295,14 @@ object BpeTrain {
     while (k < numMerges && !done) {
       var bestP: (String, String) = null
       var bestC = 0L
+      // tie-break in CODE-POINT order ([[cpCompare]]) — Scala's String '<'
+      // is UTF-16 code-unit order and disagrees for non-BMP symbols,
+      // which would desync this path from trainDistributed's orderBy
       pairCount.foreach { case (p, c) =>
-        if (c > bestC || (c == bestC && bestP != null &&
-          (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+        if (c > bestC || (c == bestC && bestP != null && {
+          val dl = cpCompare(p._1, bestP._1)
+          dl < 0 || (dl == 0 && cpCompare(p._2, bestP._2) < 0)
+        })) {
           bestP = p; bestC = c
         }
       }

@@ -87,6 +87,72 @@ class BpeTrainSpec extends SparkSuite {
     assert(inMem == dist)
   }
 
+  test("non-BMP text: all paths symbolize by code point and agree") {
+    // 😀=U+1F600, 😁=U+1F601 (surrogate pairs), ﷽=U+FDFD (BMP, > surrogates
+    // in UTF-16 code-UNIT order but < any supplementary in code-POINT
+    // order) — the corpus where code-unit symbolization/tie-breaks diverge
+    val docs = Seq("😀😁 😀😁 😀😁", "a﷽ a﷽ a😀 a😀").toDF("text")
+    // wordTable symbolizes whole code points (no lone surrogates)
+    val syms = BpeTrain.wordTable(docs, "text")
+      .select(explode(col("syms")).as("s")).distinct()
+      .as[String].collect().toSet
+    assert(syms == Set("😀", "😁", "a", "﷽"))
+    assert(syms.forall(s => !s.exists(Character.isSurrogate) || s.length == 2))
+    val inMem = BpeTrain.train(docs, "text", numMerges = 4)
+    val dist = BpeTrain
+      .trainDistributed(BpeTrain.wordTable(docs, "text"), numMerges = 4)
+    assert(inMem == dist)
+    // the (a,﷽)=2 vs (a,😀)=2 tie must break in CODE-POINT order (﷽ first)
+    // on both paths — Java's code-unit '<' would pick 😀
+    assert(inMem.map(m => (m.left, m.right)).contains(("a", "﷽")))
+    assert(inMem.indexWhere(m => m.right == "﷽") <
+      inMem.indexWhere(m => m.right == "😀"))
+    // encode round-trips losslessly: pieces rejoin to the original tokens
+    val pieces = docs
+      .select(BpeTrain.encode(TextAnalysis.tokens(col("text")), inMem).as("p"),
+        concat_ws("", TextAnalysis.tokens(col("text"))).as("joined"))
+      .as[(Seq[String], String)].collect()
+    pieces.foreach { case (p, joined) => assert(p.mkString == joined) }
+  }
+
+  test("trainDistributed batches merges: jobs grow sublinearly") {
+    // 40 two-letter words over 80 DISTINCT characters: every pair is
+    // symbol-disjoint from every other, so one pass can learn all 40
+    // merges exactly (no conflicts -> no created pairs -> tie class safe)
+    val chars = (0 until 80).map(i => ('一' + i).toChar.toString)
+    val words = (0 until 40).map(i => chars(2 * i) + chars(2 * i + 1))
+    val docs = words.mkString(" ").split("XX").toSeq.toDF("text") // 1 row
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val table = BpeTrain.wordTable(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    table.count()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = BpeTrain.trainDistributed(table, numMerges = 40)
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      assert(got.size == 40)
+      assert(got.map(m => (m.left, m.right)).toSet ==
+        (0 until 40).map(i => (chars(2 * i), chars(2 * i + 1))).toSet)
+      // the old loop cost >= 2 jobs per merge (>= 80); batching does the
+      // whole vocabulary in one pass: pair-count + argmax collect +
+      // checkpoint materialization
+      assert(jobs.get() <= 10, s"jobs=${jobs.get()}")
+      // and equals the in-memory trainer merge-for-merge
+      val wf = table.select("word", "freq")
+        .as[(String, Long)].collect().toSeq
+      assert(got == BpeTrain.trainInMemory(wf, numMerges = 40))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      table.unpersist(); ()
+    }
+  }
+
   test("mergePair is left-to-right non-overlapping") {
     val df = Seq(Seq("a", "a", "a", "a"), Seq("a", "a", "a"),
       Seq("b", "a", "a")).toDF("syms")
