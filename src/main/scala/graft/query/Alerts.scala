@@ -295,6 +295,24 @@ object Alerts {
     }
   }
 
+  /** [[schedule]] driven through the state machine: each round's grouped
+    * evaluation feeds [[StateMachine.observe]], whose Triggered/resolved
+    * transitions reach the configured notification targets when the
+    * machine's `notify` is an [[AlertTargets.Dispatcher]] — the reference's
+    * evaluation→`Target::call` chain (`src/sync.rs` loop,
+    * `src/alerts/target.rs:275-340`).
+    */
+  def scheduleWithTargets(
+      spark: SparkSession,
+      stream: QueryService.Stream,
+      alertId: String,
+      cfg: AlertConfig,
+      window: java.time.Duration,
+      rounds: Int,
+      machine: StateMachine): Unit =
+    schedule(spark, stream, cfg, window, rounds,
+      results => { machine.observe(alertId, cfg, results.map(_._1)); () })
+
   /** Rolling-window scheduler loop (reference `src/sync.rs:372+`): evaluate
     * every `frequency` until `rounds` exhausted — driver-facing utility; in
     * production this is a Structured Streaming Trigger.ProcessingTime job.
