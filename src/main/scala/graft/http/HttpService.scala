@@ -31,12 +31,28 @@ import graft.query.{QueryService, Rbac, ResponseWriter, TimeRange}
   *     ([[QueryService.query]]). `Accept: application/x-ndjson` streams
   *     newline-delimited rows through `toLocalIterator` (bounded driver
   *     memory); anything else returns one JSON array.
+  *   - `POST|GET|PUT|DELETE /api/v1/filters[/{id}]` and
+  *     `/api/v1/dashboards[/{id}]` — per-user saved filters and dashboards
+  *     CRUD ([[UserConfigs]]; reference `src/users/filters.rs`,
+  *     `src/users/dashboards.rs`). Filters name a stream and require query
+  *     access to it; both kinds resolve only within the calling user's
+  *     own namespace.
   *   - `GET /api/v1/liveness`, `GET /api/v1/readiness` — health probes.
   *
-  * Auth: when `requireAuth` is set, requests carry HTTP Basic credentials;
-  * the username feeds the [[Rbac]] grants table, and queries run through
-  * [[QueryService.authorizedQuery]] (reference `user_auth_for_datasets`).
-  * Passwords are checked against the `users` map.
+  * Auth: when `requireAuth` is set, requests carry either HTTP Basic
+  * credentials or an `x-api-key` header (reference `src/apikeys.rs` —
+  * each key backs a user; [[revokeApiKey]] kills a key at runtime). The
+  * resolved username feeds the [[Rbac]] grants table, and queries run
+  * through the same `user_auth_for_datasets` gate.
+  *
+  * Multi-tenancy (reference `src/tenants/mod.rs`,
+  * `stream_schema_provider.rs:76-109`): `userTenants` assigns users to
+  * tenants (absent = the default tenant). Streams are registered,
+  * stored (`<root>/<tenant>/<stream>`) and RBAC-checked under
+  * tenant-scoped keys, and every request resolves stream NAMES strictly
+  * inside the caller's tenant — tenant A cannot even name tenant B's
+  * streams. Default-tenant keys stay un-prefixed, so single-tenant
+  * deployments are unchanged.
   *
   * Scale note: this shell is a driver-side front door for API-sized
   * payloads — exactly the reference's standalone mode. Bulk ingestion
@@ -50,12 +66,22 @@ final class GraftHttpServer(
     port: Int = 0,
     requireAuth: Boolean = false,
     users: Map[String, String] = Map.empty,
-    threads: Int = 8) {
+    threads: Int = 8,
+    userTenants: Map[String, String] = Map.empty,
+    apiKeys: Map[String, String] = Map.empty) {
+
+  import GraftHttpServer.DefaultTenant
 
   private val mapper = new ObjectMapper()
   private val configs =
     new java.util.concurrent.ConcurrentHashMap[String, IngestPipeline.StreamConfig]()
   val registry = new IngestPipeline.SchemaRegistry
+  private val userConfigs = new UserConfigs(root)
+  private val revokedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Kill an API key at runtime (reference key revocation). */
+  def revokeApiKey(token: String): Unit = { revokedKeys.add(token); () }
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -66,20 +92,42 @@ final class GraftHttpServer(
   /** Ephemeral-port deployments read the bound port after construction. */
   def boundPort: Int = server.getAddress.getPort
 
-  /** Streams known to this server (ingested at least once), as the query
-    * registry [[QueryService.query]] expects.
+  /** Tenant of a resolved user; unauthenticated and unassigned users live
+    * in the default tenant.
     */
-  def streams: Map[String, QueryService.Stream] =
-    configs.keys().asScala.map { name =>
-      name -> QueryService.Stream(s"$root/$name", "p_timestamp")
+  private def tenantOf(user: Option[String]): String =
+    user.flatMap(userTenants.get).getOrElse(DefaultTenant)
+
+  /** Tenant-scoped stream key — registry, storage path suffix and RBAC
+    * resource. Default-tenant keys stay bare for single-tenant
+    * compatibility.
+    */
+  private def tenantKey(tenant: String, stream: String): String =
+    if (tenant == DefaultTenant) stream else s"$tenant/$stream"
+
+  /** Streams of the DEFAULT tenant (single-tenant compatibility surface). */
+  def streams: Map[String, QueryService.Stream] = streamsFor(DefaultTenant)
+
+  /** Streams visible to `tenant`, keyed by their BARE name — the resolution
+    * map a query from that tenant sees; other tenants' streams are simply
+    * absent from it.
+    */
+  def streamsFor(tenant: String): Map[String, QueryService.Stream] =
+    configs.keys().asScala.toSeq.flatMap { key =>
+      val bare =
+        if (tenant == DefaultTenant) Option.when(!key.contains('/'))(key)
+        else Option.when(key.startsWith(s"$tenant/"))(
+          key.stripPrefix(s"$tenant/"))
+      bare.map(_ -> QueryService.Stream(s"$root/$key", "p_timestamp"))
     }.toMap
 
   /** Pre-register a stream (e.g. one written by a previous process) so
     * queries can see it without a prior ingest through this server.
     */
   def registerStream(name: String,
-                     cfg: IngestPipeline.StreamConfig): Unit = {
-    configs.put(name, cfg); ()
+                     cfg: IngestPipeline.StreamConfig,
+                     tenant: String = DefaultTenant): Unit = {
+    configs.put(tenantKey(tenant, name), cfg); ()
   }
 
   // ------------------------------------------------------------- plumbing
@@ -98,10 +146,25 @@ final class GraftHttpServer(
       mapper.writeValueAsString(
         mapper.createObjectNode().put("error", msg)))
 
-  /** Basic-auth user, if valid; Right(None) when auth is not required. */
+  /** Authenticated user, if valid; Right(None) when auth is not required.
+    * `x-api-key` (token → backing user, unless revoked) is checked before
+    * Basic credentials — the reference's middleware order.
+    */
   private def authedUser(ex: HttpExchange): Either[String, Option[String]] = {
     if (!requireAuth) Right(None)
-    else Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+    else Option(ex.getRequestHeaders.getFirst("x-api-key")) match {
+      case Some(token) =>
+        if (revokedKeys.contains(token)) Left("API key revoked")
+        else apiKeys.get(token) match {
+          case Some(user) => Right(Some(user))
+          case None       => Left("invalid API key")
+        }
+      case None => basicUser(ex)
+    }
+  }
+
+  private def basicUser(ex: HttpExchange): Either[String, Option[String]] = {
+    Option(ex.getRequestHeaders.getFirst("Authorization")) match {
       case Some(h) if h.startsWith("Basic ") =>
         // malformed base64 is a credential problem (401), not a server 500
         try {
@@ -136,16 +199,20 @@ final class GraftHttpServer(
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
       case Right(user) =>
+        val tenant = tenantOf(user)
         Option(ex.getRequestHeaders.getFirst("X-P-Stream")) match {
           case None => err(ex, 400, "missing X-P-Stream header")
-          case Some(stream)
-              if user.exists(!Rbac.authorized(_, Rbac.IngestAction, stream)) =>
+          case Some(stream) if user.exists(
+                !Rbac.authorized(_, Rbac.IngestAction,
+                  tenantKey(tenant, stream))) =>
             err(ex, 403,
               s"user '${user.get}' lacks ingest access to stream '$stream'")
           case Some(stream) =>
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-            val cfg = configs.computeIfAbsent(stream,
-              n => IngestPipeline.StreamConfig(n))
+            // storage path and registry are tenant-scoped: the same stream
+            // NAME in two tenants is two disjoint tables
+            val cfg = configs.computeIfAbsent(tenantKey(tenant, stream),
+              key => IngestPipeline.StreamConfig(key))
             val ua =
               Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse("")
             val ip = ex.getRemoteAddress.getAddress.getHostAddress
@@ -186,10 +253,22 @@ final class GraftHttpServer(
                 case e: Exception => err(ex, 400, s"bad time: ${e.getMessage}")
                   return
               }
+            // stream names resolve strictly inside the caller's tenant —
+            // another tenant's streams are absent from this map entirely
+            val visible = streamsFor(tenantOf(user))
             val result = user match {
               case Some(u) =>
-                QueryService.authorizedQuery(spark, streams, q, range, u)
-              case None => Right(QueryService.query(spark, streams, q, range))
+                val tenant = tenantOf(user)
+                val referenced = QueryService.referencedTables(spark, q)
+                  .filter(visible.contains)
+                referenced.find(n => !Rbac.authorized(u, Rbac.QueryAction,
+                    tenantKey(tenant, n))) match {
+                  case Some(n) =>
+                    Left(s"user '$u' lacks query access to stream '$n'")
+                  case None =>
+                    Right(QueryService.query(spark, visible, q, range))
+                }
+              case None => Right(QueryService.query(spark, visible, q, range))
             }
             result match {
               case Left(msg) => err(ex, 403, msg)
@@ -211,8 +290,84 @@ final class GraftHttpServer(
     }
   }
 
+  /** Saved filters / dashboards CRUD (reference `src/users/filters.rs`,
+    * `src/users/dashboards.rs`): objects live under the calling user's own
+    * (tenant, user) namespace — other users' ids are 404 by construction.
+    * Filters additionally name a stream and require query access to it.
+    */
+  private def handleUserConfigs(kind: UserConfigs.Kind)
+                               (ex: HttpExchange): Unit = {
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val user = userOpt.getOrElse("anonymous")
+        val tenant = tenantOf(userOpt)
+        val base = s"/api/v1/${kind.name}"
+        val id = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix(base).stripPrefix("/")).filter(_.nonEmpty)
+        def parseBody(): Option[com.fasterxml.jackson.databind.node.ObjectNode] =
+          try mapper.readTree(
+              new String(ex.getRequestBody.readAllBytes(), UTF_8)) match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => Some(o)
+            case _ => err(ex, 400, "body must be a JSON object"); None
+          } catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              None
+          }
+        // a filter is bound to a stream: creating/updating one requires
+        // query access to that stream (reference filter authorization)
+        def filterStreamAllowed(
+            node: com.fasterxml.jackson.databind.node.ObjectNode): Boolean =
+          kind != UserConfigs.Filters || userOpt.forall { u =>
+            Option(node.get("stream_name")).map(_.asText()).forall(s =>
+              Rbac.authorized(u, Rbac.QueryAction, tenantKey(tenant, s)))
+          }
+        (ex.getRequestMethod, id) match {
+          case ("POST", None) =>
+            parseBody().foreach { node =>
+              if (!filterStreamAllowed(node))
+                err(ex, 403, s"user '$user' lacks query access to the " +
+                  "filter's stream")
+              else respond(ex, 200, mapper.writeValueAsString(
+                userConfigs.create(tenant, user, kind, node)))
+            }
+          case ("GET", None) =>
+            respond(ex, 200, mapper.writeValueAsString(
+              mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+                userConfigs.list(tenant, user, kind).toArray)))
+          case ("GET", Some(oid)) =>
+            userConfigs.get(tenant, user, kind, oid) match {
+              case Some(node) =>
+                respond(ex, 200, mapper.writeValueAsString(node))
+              case None => err(ex, 404, s"${kind.name} '$oid' not found")
+            }
+          case ("PUT", Some(oid)) =>
+            parseBody().foreach { node =>
+              if (!filterStreamAllowed(node))
+                err(ex, 403, s"user '$user' lacks query access to the " +
+                  "filter's stream")
+              else userConfigs.update(tenant, user, kind, oid, node) match {
+                case Some(updated) =>
+                  respond(ex, 200, mapper.writeValueAsString(updated))
+                case None => err(ex, 404, s"${kind.name} '$oid' not found")
+              }
+            }
+          case ("DELETE", Some(oid)) =>
+            if (userConfigs.delete(tenant, user, kind, oid))
+              respond(ex, 200, """{"status":"deleted"}""")
+            else err(ex, 404, s"${kind.name} '$oid' not found")
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+
   server.createContext("/api/v1/ingest", handler(handleIngest))
   server.createContext("/api/v1/query", handler(handleQuery))
+  server.createContext("/api/v1/filters",
+    handler(handleUserConfigs(UserConfigs.Filters)))
+  server.createContext("/api/v1/dashboards",
+    handler(handleUserConfigs(UserConfigs.Dashboards)))
   server.createContext("/api/v1/liveness",
     handler(ex => respond(ex, 200, """{"status":"alive"}""")))
   server.createContext("/api/v1/readiness",
@@ -226,4 +381,11 @@ final class GraftHttpServer(
     // started server leaks `threads` live threads for the JVM's lifetime
     pool.shutdown()
   }
+}
+
+object GraftHttpServer {
+  /** The un-prefixed tenant single-tenant deployments implicitly use
+    * (reference `DEFAULT_TENANT`).
+    */
+  val DefaultTenant = "default"
 }
