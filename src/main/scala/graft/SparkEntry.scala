@@ -471,6 +471,18 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: the same IVF search through the PERSISTED centroid-partitioned
+    // index (build once, probe = partition-pruned reads) — the production
+    // shape for repeated searches; identical results, same oracle
+    "q_sim_ivf_persisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", numCentroids = 8, idx)
+      Similarity.ivfSearchPersisted(s, idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: exact-substring dup detection — sliding 8-token windows present
     // in >1 document (passage-level signal that doc-level dedup misses).
     "q_dedup_spans" -> ((s, dir) =>
@@ -1369,7 +1381,10 @@ object SparkEntry {
         .stripMargin.replace("\n", "")
     }.mkString(" + ")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleBase + ("q_sim_ivf_persisted" -> oracleBase("q_sim_ivf"))
+
+  private def oracleBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  min(doc_id) AS canonical_id, count(*) AS dup_count

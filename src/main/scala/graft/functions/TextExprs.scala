@@ -52,6 +52,52 @@ object TextExprs {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 32-bit SimHash over whitespace tokens in ONE pass: tokenize (same
+    * byte-level scan as [[tokenize]]), md5 each token ONCE, take the top
+    * 60 bits (= the first 15 hex chars, i.e. `conv(substring(md5(t),1,15),
+    * 16,10)` — the engine-portable `hash60` contract shared with the
+    * oracle), and accumulate all 32 ±1 bit counters in the same loop.
+    * The Column-HOF formulation this replaces expanded to 32 independent
+    * `aggregate` calls, each re-tokenizing and re-hashing every token —
+    * a 32× md5 blowup per row that dominated the corpus scan.
+    */
+  def simhash32(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    val md = md5Local.get()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (b(i) == 0x20) i += 1
+      else {
+        var j = i + 1
+        while (j < n && b(j) != 0x20) j += 1
+        md.reset()
+        md.update(b, i, j - i)
+        val d = md.digest()
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        h = h >>> 4 // top 60 bits = first 15 hex chars of the digest
+        var t = 0
+        while (t < 32) {
+          counts(t) += (((h >>> t) & 1L).toInt << 1) - 1
+          t += 1
+        }
+        i = j
+      }
+    }
+    var out = 0L
+    var t = 0
+    while (t < 32) { if (counts(t) > 0) out |= 1L << t; t += 1 }
+    out
+  }
+
   /** Word n-grams joined with " "; `distinct` keeps first occurrence
     * (matching `array_distinct`). Shorter-than-n input → empty array.
     */
@@ -251,6 +297,19 @@ case class WhitespaceTokens(child: Expression) extends UnaryExpression
     TextExprs.tokenize(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash32(text)` — see [[TextExprs.simhash32]]. */
+case class SimHashBits(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.simhash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.simhash32($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -706,14 +706,18 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit j of the
     * result is 1 iff the sum over tokens of ±1 (sign = bit j of the token's
-    * 60-bit hash) is positive. Pure per-row arithmetic — no shuffle.
+    * 60-bit [[hash60]]) is positive. Pure per-row arithmetic — no shuffle.
+    *
+    * Routed through the native one-pass kernel
+    * ([[graft.functions.SimHashBits]]): the Column-HOF formulation (32
+    * `aggregate` calls over `transform(tokens, hash60)`) re-tokenized and
+    * re-md5'd every token once PER BIT — a 32× blowup that full-row bench
+    * materialization exposed as the slowest query in the suite (17 s at
+    * sf0.1; the kernel brings it back to scan cost).
     */
   def simhash32(text: Column): Column = {
-    val hs = transform(TextAnalysis.tokens(text), t => hash60(t))
-    (0 until 32).map { j =>
-      val bitSum = aggregate(hs, lit(0L),
-        (acc, x) => acc + (shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.SimHashBits(ColumnBridge.expression(text)))
   }
 }

@@ -48,6 +48,34 @@ class DedupSpec extends SparkSuite {
     assert(s.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("native simhash kernel equals the per-bit HOF formulation") {
+    // the reference formulation the one-pass kernel replaced: 32 aggregate
+    // HOFs over transform(tokens, hash60) — kept here as the semantic spec
+    def hofSimhash(text: org.apache.spark.sql.Column) = {
+      val hs = transform(TextAnalysis.tokens(text), t => Dedup.hash60(t))
+      (0 until 32).map { j =>
+        val bitSum = aggregate(hs, lit(0L),
+          (acc, x) => acc + (shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1))
+        when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val rows = docs
+      .withColumn("extra", lit("  multi   spaced  tökens 😀  "))
+      .select(
+        Dedup.simhash32(col("text")).as("native"),
+        hofSimhash(col("text")).as("hof"),
+        Dedup.simhash32(col("extra")).as("native2"),
+        hofSimhash(col("extra")).as("hof2"),
+        Dedup.simhash32(lit("")).as("native_empty"),
+        hofSimhash(lit("")).as("hof_empty"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+      assert(r.getLong(4) == r.getLong(5) && r.getLong(4) == 0L)
+    }
+  }
+
   test("maxShingleFreq drops stop-shingles from the join key") {
     val p = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0,
       maxShingleFreq = Some(1L)).collect()
