@@ -362,8 +362,119 @@ final class GraftHttpServer(
     }
   }
 
+  /** Roles CRUD (reference `src/handlers/http/role.rs`, admin-gated):
+    *   - `PUT /api/v1/role/{name}` — body is a JSON array of privilege
+    *     objects `{"privilege": "admin|editor|writer|reader|ingestor",
+    *     "stream": "s"?}` (absent stream = all streams);
+    *   - `GET /api/v1/role` (list) / `GET /api/v1/role/{name}`;
+    *   - `DELETE /api/v1/role/{name}` — refused while users hold it;
+    *   - `PUT /api/v1/role/{name}/users` — body `["user", …]` assigns the
+    *     role (reference user-role mapping).
+    * Stream scopes are tenant-scoped for the CALLING admin's tenant, so a
+    * tenant admin cannot mint privileges on another tenant's streams.
+    */
+  private def handleRoles(ex: HttpExchange): Unit = {
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (requireAuth && !userOpt.exists(Rbac.isAdmin)) {
+          err(ex, 403, "role management requires admin privileges")
+          return
+        }
+        val tenant = tenantOf(userOpt)
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/role").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/", 2).toSeq)
+        def parsePrivileges(node: com.fasterxml.jackson.databind.JsonNode)
+            : Either[String, Seq[Rbac.Privilege]] =
+          if (!node.isArray) Left("body must be a JSON array of privileges")
+          else {
+            val out = Seq.newBuilder[Rbac.Privilege]
+            val it = node.elements()
+            while (it.hasNext) {
+              val p = it.next()
+              val stream = Option(p.get("stream")).map(_.asText())
+                .map(tenantKey(tenant, _))
+              val kind = Option(p.get("privilege")).map(_.asText().toLowerCase)
+              // a tenant admin may only mint privileges scoped to its own
+              // tenant's streams — global/wildcard privileges would reach
+              // across tenants
+              if (tenant != DefaultTenant &&
+                  (stream.isEmpty || kind.exists(Set("admin", "editor"))))
+                return Left("tenant-scoped roles must name a stream and " +
+                  "cannot be admin/editor")
+              kind match {
+                case Some("admin")    => out += Rbac.Admin()
+                case Some("editor")   => out += Rbac.Editor()
+                case Some("writer")   => out += Rbac.Writer(stream)
+                case Some("reader")   => out += Rbac.Reader(stream)
+                case Some("ingestor") => out += Rbac.Ingestor(stream)
+                case other => return Left(s"unknown privilege: $other")
+              }
+            }
+            Right(out.result())
+          }
+        def privilegesJson(ps: Seq[Rbac.Privilege]): String = {
+          val arr = mapper.createArrayNode()
+          ps.foreach { p =>
+            val o = arr.addObject()
+            o.put("privilege", p match {
+              case Rbac.Admin()       => "admin"
+              case Rbac.Editor()      => "editor"
+              case _: Rbac.Writer     => "writer"
+              case _: Rbac.Reader     => "reader"
+              case _: Rbac.Ingestor   => "ingestor"
+            })
+            p.stream.foreach(o.put("stream", _))
+          }
+          mapper.writeValueAsString(arr)
+        }
+        def body(): com.fasterxml.jackson.databind.JsonNode =
+          mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        (ex.getRequestMethod, rest) match {
+          case ("GET", None) =>
+            val o = mapper.createObjectNode()
+            Rbac.listRoles().toSeq.sortBy(_._1).foreach { case (n, ps) =>
+              o.set[com.fasterxml.jackson.databind.JsonNode](
+                n, mapper.readTree(privilegesJson(ps)))
+            }
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case ("GET", Some(Seq(name))) =>
+            Rbac.getRole(name) match {
+              case Some(ps) => respond(ex, 200, privilegesJson(ps))
+              case None     => err(ex, 404, s"role '$name' not found")
+            }
+          case ("PUT", Some(Seq(name))) =>
+            parsePrivileges(body()) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(ps) =>
+                Rbac.putRole(name, ps)
+                respond(ex, 200, """{"status":"ok"}""")
+            }
+          case ("PUT", Some(Seq(name, "users"))) =>
+            val b = body()
+            if (!b.isArray) { err(ex, 400, "body must be a JSON array"); return }
+            val users = (0 until b.size()).map(b.get(_).asText())
+            val failure = users.iterator.map(u =>
+              Rbac.assignRoles(u, (Rbac.rolesOf(u) :+ name).distinct))
+              .collectFirst { case Left(msg) => msg }
+            failure match {
+              case Some(msg) => err(ex, 400, msg)
+              case None      => respond(ex, 200, """{"status":"ok"}""")
+            }
+          case ("DELETE", Some(Seq(name))) =>
+            Rbac.deleteRole(name) match {
+              case Left(msg) => err(ex, 409, msg)
+              case Right(()) => respond(ex, 200, """{"status":"deleted"}""")
+            }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+
   server.createContext("/api/v1/ingest", handler(handleIngest))
   server.createContext("/api/v1/query", handler(handleQuery))
+  server.createContext("/api/v1/role", handler(handleRoles))
   server.createContext("/api/v1/filters",
     handler(handleUserConfigs(UserConfigs.Filters)))
   server.createContext("/api/v1/dashboards",

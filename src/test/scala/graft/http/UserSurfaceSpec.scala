@@ -141,6 +141,91 @@ class UserSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("roles CRUD: admin-gated, assignment resolves at check time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-roles").toString
+    val srv = new GraftHttpServer(spark, tmp, requireAuth = true,
+      users = Map("root" -> "pr", "frank" -> "pf"))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+      Rbac.grant("root", Seq(Rbac.Admin()))
+
+      // non-admin cannot manage roles
+      assert(http("PUT", s"$base/role/ops", basic("frank", "pf"),
+        Some("""[{"privilege":"reader","stream":"syslogs"}]"""))._1 == 403)
+
+      // create + get + list
+      assert(http("PUT", s"$base/role/ops", basic("root", "pr"),
+        Some("""[{"privilege":"reader","stream":"syslogs"},
+                 {"privilege":"ingestor","stream":"syslogs"}]"""))._1 == 200)
+      val (gs, gb) = http("GET", s"$base/role/ops", basic("root", "pr"))
+      assert(gs == 200 && mapper.readTree(gb).size() == 2)
+      val (ls, lb) = http("GET", s"$base/role", basic("root", "pr"))
+      assert(ls == 200 && mapper.readTree(lb).has("ops"))
+      // unknown privilege rejected
+      assert(http("PUT", s"$base/role/bad", basic("root", "pr"),
+        Some("""[{"privilege":"owner"}]"""))._1 == 400)
+
+      // frank holds no grant yet: ingest denied; after role assignment the
+      // role's privileges resolve at check time
+      assert(http("POST", s"$base/ingest",
+        basic("frank", "pf") + ("X-P-Stream" -> "syslogs"),
+        Some("""{"m":"x"}"""))._1 == 403)
+      assert(http("PUT", s"$base/role/ops/users", basic("root", "pr"),
+        Some("""["frank"]"""))._1 == 200)
+      assert(http("POST", s"$base/ingest",
+        basic("frank", "pf") + ("X-P-Stream" -> "syslogs"),
+        Some("""{"m":"x"}"""))._1 == 200)
+
+      // a held role cannot be deleted; after clearing the holder it can
+      assert(http("DELETE", s"$base/role/ops", basic("root", "pr"))._1 == 409)
+      assert(Rbac.assignRoles("frank", Seq.empty).isRight)
+      assert(http("DELETE", s"$base/role/ops", basic("root", "pr"))._1 == 200)
+      assert(http("GET", s"$base/role/ops", basic("root", "pr"))._1 == 404)
+
+      // editing a live role re-scopes holders immediately
+      assert(http("PUT", s"$base/role/viewer", basic("root", "pr"),
+        Some("""[{"privilege":"reader","stream":"syslogs"}]"""))._1 == 200)
+      assert(http("PUT", s"$base/role/viewer/users", basic("root", "pr"),
+        Some("""["frank"]"""))._1 == 200)
+      assert(http("POST", s"$base/ingest",
+        basic("frank", "pf") + ("X-P-Stream" -> "syslogs"),
+        Some("""{"m":"x"}"""))._1 == 403) // reader cannot ingest
+      assert(http("PUT", s"$base/role/viewer", basic("root", "pr"),
+        Some("""[{"privilege":"writer","stream":"syslogs"}]"""))._1 == 200)
+      assert(http("POST", s"$base/ingest",
+        basic("frank", "pf") + ("X-P-Stream" -> "syslogs"),
+        Some("""{"m":"x"}"""))._1 == 200)
+    } finally {
+      srv.stop()
+      Rbac.clear()
+    }
+  }
+
+  test("tenant admins cannot mint global or cross-tenant role privileges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-troles").toString
+    val srv = new GraftHttpServer(spark, tmp, requireAuth = true,
+      users = Map("ta-admin" -> "pa"),
+      userTenants = Map("ta-admin" -> "ta"))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+      Rbac.grant("ta-admin", Seq(Rbac.Admin()))
+      // wildcard and admin/editor privileges are refused for tenant admins
+      assert(http("PUT", s"$base/role/wild", basic("ta-admin", "pa"),
+        Some("""[{"privilege":"reader"}]"""))._1 == 400)
+      assert(http("PUT", s"$base/role/esc", basic("ta-admin", "pa"),
+        Some("""[{"privilege":"admin"}]"""))._1 == 400)
+      // stream-scoped is fine, and lands on the TENANT key
+      assert(http("PUT", s"$base/role/ok", basic("ta-admin", "pa"),
+        Some("""[{"privilege":"reader","stream":"logs"}]"""))._1 == 200)
+      assert(Rbac.getRole("ok").get.head.stream.contains("ta/logs"))
+    } finally {
+      srv.stop()
+      Rbac.clear()
+    }
+  }
+
   test("saved filters CRUD round trip with stream RBAC") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-filters").toString
     val srv = new GraftHttpServer(spark, tmp, requireAuth = true,
