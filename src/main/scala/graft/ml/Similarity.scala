@@ -331,8 +331,15 @@ object Similarity {
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int, threshold: Double,
-                    maxClusterSize: Int = Int.MaxValue): DataFrame = {
-    val index = ivfIndex(vecs, idCol, vecCol, numCentroids)
+                    maxClusterSize: Int = Int.MaxValue,
+                    refineIters: Int = 0): DataFrame = {
+    // refineIters > 0: Lloyd-refined spherical k-means centroids instead of
+    // raw lowest-id seeds — better-balanced clusters are the FIRST defense
+    // against the mega-cluster case (the anchor cap below is the backstop)
+    val index =
+      if (refineIters <= 0) ivfIndex(vecs, idCol, vecCol, numCentroids)
+      else assignToCentroids(vecs, idCol, vecCol,
+        kmeansCentroids(vecs, idCol, vecCol, numCentroids, refineIters))
     // k cluster sizes — broadcast to tag members with their cluster's size
     val sizes = index.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("cluster_n"))

@@ -150,6 +150,15 @@ class SimilaritySpec extends SparkSuite {
       exact.orderBy("v_id").collect().toSeq)
   }
 
+  test("semanticDedup refineIters routes assignment through k-means centroids") {
+    // one refined centroid = the corpus mean; membership is unchanged, so
+    // the dedup answer must equal the seed-assignment path
+    val r = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        numCentroids = 1, threshold = 0.9, refineIters = 2)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(2)).toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
   test("semanticDedup never drops a vector without a smaller-id neighbor") {
     val corpus = graft.engine.GraftSession
       .table(spark, "/root/testdata/sf0.001", "embeddings")
