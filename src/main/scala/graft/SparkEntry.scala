@@ -562,6 +562,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ML: deterministic global shuffle + sharding — reproducible corpus-wide
+    // permutation (shard, shard_pos) from the id hash; one shuffle on the
+    // shard key, shards sort independently (no global sort bottleneck).
+    "q_sample_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(t(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .orderBy(col("doc_id"))),
+
     // ML: group-wise embedding mean pooling — posexplode (narrow) then one
     // balanced shuffle on (group, position). Fixed-point determinism:
     // elements scale by 1e10 in DOUBLE (IEEE multiply, identical on every
@@ -1998,6 +2006,16 @@ object SparkEntry {
          |      ORDER BY bucket ASC, doc_id ASC) AS rk
          |  FROM b)
          |SELECT doc_id, lang FROM r WHERE rk <= 7 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${dHash60("CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents)
+         |SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+         |  row_number() OVER (PARTITION BY hh % 8
+         |    ORDER BY hh ASC, doc_id ASC) - 1 AS shard_pos
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_embed_meanpool" ->
       """WITH e AS (

@@ -132,4 +132,32 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Deterministic global shuffle + sharding for training: each row gets a
+    * `shard` in [0, numShards) and a `shard_pos` giving its position within
+    * the shard under the hash order — together they define a reproducible
+    * corpus-wide permutation (read shards in order, rows by position) that
+    * no downstream consumer has to re-shuffle. `salt` selects independent
+    * permutations per epoch.
+    *
+    * Scale shape: shard = a narrow hash projection; position = ONE window
+    * partitioned by shard and ordered by (hash, id) — one shuffle on the
+    * shard key, each shard sorts independently (no global ordering
+    * bottleneck, no driver involvement). Deterministic under
+    * repartitioning because the hash, not the input order, decides both
+    * shard and position. Uses the full 60-bit hash (not the 10⁶-bucket
+    * sampling key) so the within-shard order is collision-free for
+    * corpora far beyond 10⁶ rows.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val h = Dedup.hash60(concat(col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
+      .drop("__h")
+  }
 }

@@ -137,4 +137,38 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.mixtureSample(docs, "id", "source",
       weights = Map("s" -> 0.0)).count() == 0)
   }
+
+  test("shuffleShards: dense positions, repartition-stable, salt varies") {
+    val out = Sampling.shuffleShards(ids, "id", numShards = 8)
+    assert(out.count() == 2000) // every row assigned
+    // shards in [0,8); positions dense 0..n-1 within each shard
+    val per = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("shard_pos").as("mn"),
+        max("shard_pos").as("mx"))
+      .collect()
+    assert(per.forall { r =>
+      val s = r.getAs[Int]("shard")
+      s >= 0 && s < 8 &&
+        r.getAs[Long]("mn") == 0L &&
+        r.getAs[Long]("mx") == r.getAs[Long]("n") - 1L
+    })
+    assert(per.map(_.getAs[Long]("n")).sum == 2000L)
+    // the permutation is identical under repartitioning
+    val a = out.select("id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = Sampling.shuffleShards(ids.repartition(17), "id", 8)
+      .select("id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    // a different salt gives a different (independent) permutation
+    val c = Sampling.shuffleShards(ids, "id", 8, salt = "epoch1")
+      .select("id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a != c)
+    // and the order is not the id order (it's actually shuffled)
+    val firstShardIds = out.filter(col("shard") === per.head.getAs[Int]("shard"))
+      .orderBy(col("shard_pos"))
+      .select("id").as[Long].collect()
+    assert(firstShardIds.toSeq != firstShardIds.sorted.toSeq)
+  }
 }
