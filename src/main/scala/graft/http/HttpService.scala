@@ -38,12 +38,18 @@ import graft.query.{QueryService, Rbac, ResponseWriter, TimeRange}
   *     access to it; both kinds resolve only within the calling user's
   *     own namespace.
   *   - `GET /api/v1/liveness`, `GET /api/v1/readiness` — health probes.
+  *   - `GET /api/v1/o/login|callback|logout` — OIDC authorization-code
+  *     login ([[Oidc]]; reference `src/handlers/http/oidc.rs`): login
+  *     redirects to the provider (or exchanges valid Basic credentials for
+  *     a session cookie — the reference's basic-for-cookie path), callback
+  *     validates the id_token and mints a session, logout revokes it.
   *
-  * Auth: when `requireAuth` is set, requests carry either HTTP Basic
-  * credentials or an `x-api-key` header (reference `src/apikeys.rs` —
-  * each key backs a user; [[revokeApiKey]] kills a key at runtime). The
-  * resolved username feeds the [[Rbac]] grants table, and queries run
-  * through the same `user_auth_for_datasets` gate.
+  * Auth: when `requireAuth` is set, requests carry a `session` cookie
+  * (minted by the OIDC flow), HTTP Basic credentials, or an `x-api-key`
+  * header (reference `src/apikeys.rs` — each key backs a user;
+  * [[revokeApiKey]] kills a key at runtime). The resolved username feeds
+  * the [[Rbac]] grants table, and queries run through the same
+  * `user_auth_for_datasets` gate.
   *
   * Multi-tenancy (reference `src/tenants/mod.rs`,
   * `stream_schema_provider.rs:76-109`): `userTenants` assigns users to
@@ -68,9 +74,10 @@ final class GraftHttpServer(
     users: Map[String, String] = Map.empty,
     threads: Int = 8,
     userTenants: Map[String, String] = Map.empty,
-    apiKeys: Map[String, String] = Map.empty) {
+    apiKeys: Map[String, String] = Map.empty,
+    oidc: Option[Oidc.Config] = None) {
 
-  import GraftHttpServer.DefaultTenant
+  import GraftHttpServer.{DefaultTenant, SessionTtlMs, StateTtlMs}
 
   private val mapper = new ObjectMapper()
   private val configs =
@@ -79,6 +86,19 @@ final class GraftHttpServer(
   private val userConfigs = new UserConfigs(root)
   private val revokedKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // OIDC state: opaque session ids → (user, expiry); single-use login
+  // states → (redirect target, creation time). Both maps are bounded by
+  // TTL sweeps on access — no background reaper thread needed.
+  private case class Session(user: String, expiresAtMs: Long)
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, Session]()
+  private case class Pending(redirect: String, createdMs: Long)
+  private val pendingStates =
+    new java.util.concurrent.ConcurrentHashMap[String, Pending]()
+  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+  private val rng = new java.security.SecureRandom()
 
   /** Kill an API key at runtime (reference key revocation). */
   def revokeApiKey(token: String): Unit = { revokedKeys.add(token); () }
@@ -147,19 +167,187 @@ final class GraftHttpServer(
         mapper.createObjectNode().put("error", msg)))
 
   /** Authenticated user, if valid; Right(None) when auth is not required.
-    * `x-api-key` (token → backing user, unless revoked) is checked before
-    * Basic credentials — the reference's middleware order.
+    * Order mirrors the reference middleware: a `session` cookie (the OIDC
+    * session key) first, then `x-api-key` (token → backing user, unless
+    * revoked), then Basic credentials.
     */
   private def authedUser(ex: HttpExchange): Either[String, Option[String]] = {
     if (!requireAuth) Right(None)
-    else Option(ex.getRequestHeaders.getFirst("x-api-key")) match {
-      case Some(token) =>
-        if (revokedKeys.contains(token)) Left("API key revoked")
-        else apiKeys.get(token) match {
-          case Some(user) => Right(Some(user))
-          case None       => Left("invalid API key")
+    else sessionCookie(ex).flatMap(sessionUser) match {
+      case Some(user) => Right(Some(user))
+      case None => Option(ex.getRequestHeaders.getFirst("x-api-key")) match {
+        case Some(token) =>
+          if (revokedKeys.contains(token)) Left("API key revoked")
+          else apiKeys.get(token) match {
+            case Some(user) => Right(Some(user))
+            case None       => Left("invalid API key")
+          }
+        case None => basicUser(ex)
+      }
+    }
+  }
+
+  // ------------------------------------------------------- OIDC sessions
+
+  private def cookieMap(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).toSeq
+      .flatMap(_.split(";").toSeq).flatMap { c =>
+        c.trim.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _           => None
         }
-      case None => basicUser(ex)
+      }.toMap
+
+  private def sessionCookie(ex: HttpExchange): Option[String] =
+    cookieMap(ex).get("session")
+
+  /** Live user behind a session id; expired entries are dropped on read. */
+  private def sessionUser(id: String): Option[String] =
+    Option(sessions.get(id)).flatMap { s =>
+      if (s.expiresAtMs > System.currentTimeMillis()) Some(s.user)
+      else { sessions.remove(id); None }
+    }
+
+  private def randomToken(): String = {
+    val b = new Array[Byte](24)
+    rng.nextBytes(b)
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  }
+
+  private def newSession(user: String): String = {
+    val id = randomToken()
+    sessions.put(id, Session(user, System.currentTimeMillis() + SessionTtlMs))
+    id
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> java.net.URLDecoder.decode(v, UTF_8))
+          case _ => None
+        }
+      }.toMap
+
+  /** Reference `is_valid_redirect_url`: relative targets are always fine;
+    * absolute ones must point back at this server's own host (an open
+    * redirect otherwise).
+    */
+  private def validRedirect(ex: HttpExchange, target: String): Boolean =
+    !target.contains("://") || {
+      val host = Option(ex.getRequestHeaders.getFirst("Host"))
+        .getOrElse(s"127.0.0.1:$boundPort")
+      try new java.net.URI(target).getAuthority == host
+      catch { case _: Exception => false }
+    }
+
+  private def redirect(ex: HttpExchange, location: String,
+                       cookies: Seq[String] = Seq.empty): Unit = {
+    cookies.foreach(c => ex.getResponseHeaders.add("Set-Cookie", c))
+    ex.getResponseHeaders.set("Location", location)
+    ex.sendResponseHeaders(307, -1)
+    ex.close()
+  }
+
+  private def sessionSetCookie(id: String): String =
+    s"session=$id; Path=/; HttpOnly; Max-Age=${SessionTtlMs / 1000}"
+
+  /** `GET /api/v1/o/login?redirect=…` — with valid Basic credentials,
+    * exchange them for a session cookie (reference's basic-for-cookie
+    * path); otherwise redirect to the provider's authorize endpoint with a
+    * fresh single-use `state`.
+    */
+  private def handleOidcLogin(ex: HttpExchange): Unit = {
+    val target = queryParams(ex).getOrElse("redirect", "/")
+    if (!validRedirect(ex, target)) {
+      err(ex, 400, "invalid redirect URL"); return
+    }
+    basicUser(ex) match {
+      case Right(Some(user)) =>
+        redirect(ex, target, Seq(sessionSetCookie(newSession(user))))
+      case _ => oidc match {
+        case None => err(ex, 401, "no OIDC provider configured")
+        case Some(cfg) =>
+          // sweep stale states so abandoned logins don't accumulate
+          val now = System.currentTimeMillis()
+          pendingStates.entrySet().removeIf(e =>
+            e.getValue.createdMs + StateTtlMs < now)
+          val state = randomToken()
+          pendingStates.put(state, Pending(target, now))
+          redirect(ex,
+            Oidc.authorizeRedirect(cfg, callbackUri(ex), state))
+      }
+    }
+  }
+
+  private def callbackUri(ex: HttpExchange): String = {
+    val host = Option(ex.getRequestHeaders.getFirst("Host"))
+      .getOrElse(s"127.0.0.1:$boundPort")
+    s"http://$host/api/v1/o/callback"
+  }
+
+  /** `GET /api/v1/o/callback?code=…&state=…` — the provider redirects the
+    * browser here; exchange the code, verify the id_token, resolve roles
+    * (claim-mapped only for users with no explicit assignment), mint the
+    * session.
+    */
+  private def handleOidcCallback(ex: HttpExchange): Unit = oidc match {
+    case None => err(ex, 401, "no OIDC provider configured")
+    case Some(cfg) =>
+      val params = queryParams(ex)
+      (params.get("code"), params.get("state")) match {
+        case (Some(code), Some(state)) =>
+          Option(pendingStates.remove(state)) match {
+            case None => err(ex, 400, "unknown or expired login state")
+            case Some(pending)
+                if pending.createdMs + StateTtlMs <
+                  System.currentTimeMillis() =>
+              err(ex, 400, "unknown or expired login state")
+            case Some(pending) =>
+              Oidc.completeLogin(cfg, code, callbackUri(ex), httpClient,
+                System.currentTimeMillis() / 1000L) match {
+                case Left(msg) => err(ex, 401, msg)
+                case Right(identity) =>
+                  // stored role assignments win; claim-derived roles only
+                  // seed users the RBAC registry has never seen
+                  if (Rbac.rolesOf(identity.username).isEmpty) {
+                    val derived = Oidc.resolveRoles(identity, cfg)
+                      .filter(Rbac.getRole(_).nonEmpty)
+                    if (derived.nonEmpty)
+                      Rbac.assignRoles(identity.username, derived)
+                  }
+                  redirect(ex, pending.redirect, Seq(
+                    sessionSetCookie(newSession(identity.username)),
+                    s"username=${identity.username}; Path=/"))
+              }
+          }
+        case _ => err(ex, 400, "need code and state")
+      }
+  }
+
+  /** `GET /api/v1/o/logout?redirect=…` — drop the session server-side and
+    * expire the cookie; send the browser to the provider's logout endpoint
+    * when one is configured.
+    */
+  private def handleOidcLogout(ex: HttpExchange): Unit = {
+    val target = queryParams(ex).getOrElse("redirect", "/")
+    if (!validRedirect(ex, target)) {
+      err(ex, 400, "invalid redirect URL"); return
+    }
+    sessionCookie(ex).foreach(sessions.remove)
+    val location = oidc.flatMap(_.logoutUrl).getOrElse(target)
+    redirect(ex, location,
+      Seq("session=; Path=/; HttpOnly; Max-Age=0"))
+  }
+
+  private def handleOidc(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") { err(ex, 405, "GET only"); return }
+    ex.getRequestURI.getPath match {
+      case "/api/v1/o/login"    => handleOidcLogin(ex)
+      case "/api/v1/o/callback" => handleOidcCallback(ex)
+      case "/api/v1/o/logout"   => handleOidcLogout(ex)
+      case other                => err(ex, 404, s"no such path: $other")
     }
   }
 
@@ -479,6 +667,7 @@ final class GraftHttpServer(
     handler(handleUserConfigs(UserConfigs.Filters)))
   server.createContext("/api/v1/dashboards",
     handler(handleUserConfigs(UserConfigs.Dashboards)))
+  server.createContext("/api/v1/o", handler(handleOidc))
   server.createContext("/api/v1/liveness",
     handler(ex => respond(ex, 200, """{"status":"alive"}""")))
   server.createContext("/api/v1/readiness",
@@ -499,4 +688,12 @@ object GraftHttpServer {
     * (reference `DEFAULT_TENANT`).
     */
   val DefaultTenant = "default"
+
+  /** Session lifetime (reference `COOKIE_AGE_DAYS` = 7). */
+  val SessionTtlMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Single-use login-state lifetime — ample for a human round trip
+    * through the provider, short enough to bound replay.
+    */
+  val StateTtlMs: Long = 10L * 60 * 1000
 }
