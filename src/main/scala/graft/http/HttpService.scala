@@ -75,7 +75,9 @@ final class GraftHttpServer(
     threads: Int = 8,
     userTenants: Map[String, String] = Map.empty,
     apiKeys: Map[String, String] = Map.empty,
-    oidc: Option[Oidc.Config] = None) {
+    oidc: Option[Oidc.Config] = None,
+    role: Cluster.NodeRole = Cluster.All,
+    nodeId: String = "") {
 
   import GraftHttpServer.{DefaultTenant, SessionTtlMs, StateTtlMs}
 
@@ -99,6 +101,12 @@ final class GraftHttpServer(
   private lazy val httpClient = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(5)).build()
   private val rng = new java.security.SecureRandom()
+
+  // cluster metastore lives in the shared storage root — the same place
+  // the data goes, so every node sees the same registrations
+  private val metaStore = new Cluster.MetaStore(root)
+  private val myNodeId =
+    if (nodeId.nonEmpty) nodeId else s"node-${randomToken().take(8)}"
 
   /** Kill an API key at runtime (reference key revocation). */
   def revokeApiKey(token: String): Unit = { revokedKeys.add(token); () }
@@ -132,14 +140,18 @@ final class GraftHttpServer(
     * map a query from that tenant sees; other tenants' streams are simply
     * absent from it.
     */
-  def streamsFor(tenant: String): Map[String, QueryService.Stream] =
-    configs.keys().asScala.toSeq.flatMap { key =>
+  def streamsFor(tenant: String): Map[String, QueryService.Stream] = {
+    // streams ingested through OTHER nodes of the cluster resolve here via
+    // the shared metastore — a querier node knows every ingestor's streams
+    val keys = configs.keys().asScala.toSet ++ metaStore.streams()
+    keys.toSeq.flatMap { key =>
       val bare =
         if (tenant == DefaultTenant) Option.when(!key.contains('/'))(key)
         else Option.when(key.startsWith(s"$tenant/"))(
           key.stripPrefix(s"$tenant/"))
       bare.map(_ -> QueryService.Stream(s"$root/$key", "p_timestamp"))
     }.toMap
+  }
 
   /** Pre-register a stream (e.g. one written by a previous process) so
     * queries can see it without a prior ingest through this server.
@@ -383,6 +395,10 @@ final class GraftHttpServer(
   // ------------------------------------------------------------ endpoints
 
   private def handleIngest(ex: HttpExchange): Unit = {
+    // a querier node does not mount ingest routes (reference modal split)
+    if (role == Cluster.Querier) {
+      err(ex, 404, "ingest is not available on a querier node"); return
+    }
     if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
@@ -400,7 +416,12 @@ final class GraftHttpServer(
             // storage path and registry are tenant-scoped: the same stream
             // NAME in two tenants is two disjoint tables
             val cfg = configs.computeIfAbsent(tenantKey(tenant, stream),
-              key => IngestPipeline.StreamConfig(key))
+              key => {
+                // advertise new streams in the shared metastore so the
+                // cluster's querier nodes can resolve them
+                metaStore.putStream(key)
+                IngestPipeline.StreamConfig(key)
+              })
             val ua =
               Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse("")
             val ip = ex.getRemoteAddress.getAddress.getHostAddress
@@ -418,6 +439,10 @@ final class GraftHttpServer(
   }
 
   private def handleQuery(ex: HttpExchange): Unit = {
+    // an ingestor node does not mount query routes (reference modal split)
+    if (role == Cluster.Ingestor) {
+      err(ex, 404, "query is not available on an ingestor node"); return
+    }
     if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
@@ -660,7 +685,54 @@ final class GraftHttpServer(
     }
   }
 
+  /** Cluster management (reference `cluster/mod.rs` handlers, served by
+    * querier-class nodes; admin-gated):
+    *   - `GET /api/v1/cluster/info` — every registered node with a live
+    *     reachability probe;
+    *   - `DELETE /api/v1/cluster/{nodeId}` — drop a DEAD node's
+    *     registration (refused with 400 while the node answers liveness).
+    */
+  private def handleCluster(ex: HttpExchange): Unit = {
+    if (role == Cluster.Ingestor) {
+      err(ex, 404, "cluster management is not available on an ingestor node")
+      return
+    }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (requireAuth && !userOpt.exists(Rbac.isAdmin)) {
+          err(ex, 403, "cluster management requires admin privileges")
+          return
+        }
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/cluster").stripPrefix("/"))
+          .filter(_.nonEmpty)
+        (ex.getRequestMethod, rest) match {
+          case ("GET", Some("info")) =>
+            val arr = mapper.createArrayNode()
+            Cluster.clusterInfo(metaStore, root, httpClient).foreach { n =>
+              val o = arr.addObject()
+                .put("node_id", n.nodeId).put("url", n.url)
+                .put("role", n.role).put("reachable", n.reachable)
+                .put("storage_path", n.storagePath)
+              n.status.foreach(o.put("status", _))
+              n.error.foreach(o.put("error", _))
+            }
+            respond(ex, 200, mapper.writeValueAsString(arr))
+          case ("DELETE", Some(id)) if id.nonEmpty && id != "info" =>
+            Cluster.removeNode(metaStore, id, httpClient) match {
+              case Left(msg)    => err(ex, 400, msg)
+              case Right(true)  => respond(ex, 200,
+                s"""{"status":"node '$id' removed"}""")
+              case Right(false) => err(ex, 404, s"node '$id' not found")
+            }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+
   server.createContext("/api/v1/ingest", handler(handleIngest))
+  server.createContext("/api/v1/cluster", handler(handleCluster))
   server.createContext("/api/v1/query", handler(handleQuery))
   server.createContext("/api/v1/role", handler(handleRoles))
   server.createContext("/api/v1/filters",
@@ -673,7 +745,15 @@ final class GraftHttpServer(
   server.createContext("/api/v1/readiness",
     handler(ex => respond(ex, 200, """{"status":"ready"}""")))
 
-  def start(): Unit = server.start()
+  def start(): Unit = {
+    server.start()
+    // cluster-mode nodes register in the shared metastore (standalone
+    // [[Cluster.All]] nodes don't participate in a cluster)
+    if (role != Cluster.All)
+      metaStore.register(Cluster.NodeMetadata(myNodeId,
+        s"http://127.0.0.1:$boundPort", role.name,
+        System.currentTimeMillis()))
+  }
 
   def stop(): Unit = {
     server.stop(0)
