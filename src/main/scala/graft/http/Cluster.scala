@@ -110,6 +110,10 @@ object Cluster {
           try Some(mapper.readTree(Files.readAllBytes(p)).get("key").asText())
           catch { case _: Exception => None }
         }
+
+    def removeStream(key: String): Boolean =
+      Files.deleteIfExists(streamsDir.resolve(
+        java.net.URLEncoder.encode(key, UTF_8) + ".json"))
   }
 
   /** Real liveness probe (reference `check_liveness`): GET the node's

@@ -731,7 +731,173 @@ final class GraftHttpServer(
     }
   }
 
+  // ---------------------------------------------------- stream management
+
+  /** Stream management (reference `src/handlers/http/logstream.rs`):
+    *   - `GET /api/v1/logstream` — visible streams (query-authorized only);
+    *   - `PUT /api/v1/logstream/{name}` — create (ingest privilege);
+    *   - `DELETE /api/v1/logstream/{name}` — drop data + registration
+    *     (admin);
+    *   - `GET …/{name}/schema` — the stream's accumulated schema;
+    *   - `GET …/{name}/stats` — event count + storage bytes;
+    *   - `GET|PUT …/{name}/retention` — retention config
+    *     ([[graft.catalog.Retention]], reference `storage/retention.rs`);
+    *   - `POST …/{name}/retention/cleanup` — enforce now (admin), returns
+    *     the removed `date=…` partitions.
+    */
+  private def handleLogstream(ex: HttpExchange): Unit = {
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val tenant = tenantOf(userOpt)
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/logstream").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/", 2).toSeq)
+        def key(name: String) = tenantKey(tenant, name)
+        def canQuery(name: String): Boolean =
+          userOpt.forall(Rbac.authorized(_, Rbac.QueryAction, key(name)))
+        def canIngest(name: String): Boolean =
+          userOpt.forall(Rbac.authorized(_, Rbac.IngestAction, key(name)))
+        def isAdminUser: Boolean =
+          !requireAuth || userOpt.exists(Rbac.isAdmin)
+        def streamDir(name: String) = s"$root/${key(name)}"
+        def retentionPath(name: String) =
+          new org.apache.hadoop.fs.Path(streamDir(name), "_retention.json")
+        def hadoopFs(p: org.apache.hadoop.fs.Path) =
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+        def exists(name: String): Boolean =
+          streamsFor(tenant).contains(name)
+        (ex.getRequestMethod, rest) match {
+          case ("GET", None) =>
+            val arr = mapper.createArrayNode()
+            streamsFor(tenant).keys.toSeq.sorted
+              .filter(canQuery)
+              .foreach(n => arr.addObject().put("name", n))
+            respond(ex, 200, mapper.writeValueAsString(arr))
+          case ("PUT", Some(Seq(name))) =>
+            if (!canIngest(name)) {
+              err(ex, 403,
+                s"user lacks privilege to create stream '$name'"); return
+            }
+            configs.computeIfAbsent(key(name), k => {
+              metaStore.putStream(k)
+              IngestPipeline.StreamConfig(k)
+            })
+            respond(ex, 200, s"""{"status":"created stream '$name'"}""")
+          case ("DELETE", Some(Seq(name))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "stream deletion requires admin privileges")
+              return
+            }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val dir = new org.apache.hadoop.fs.Path(streamDir(name))
+            hadoopFs(dir).delete(dir, true)
+            configs.remove(key(name))
+            registry.remove(key(name))
+            metaStore.removeStream(key(name))
+            respond(ex, 200, s"""{"status":"deleted stream '$name'"}""")
+          case ("GET", Some(Seq(name, "schema"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            // stored parquet is authoritative (includes enrichment columns
+            // like p_timestamp); the registry covers not-yet-written streams
+            (try Some(spark.read.parquet(streamDir(name)).schema)
+             catch { case _: Exception => None })
+              .orElse(registry.get(key(name))) match {
+              case Some(schema) => respond(ex, 200, schema.json)
+              case None => err(ex, 404, s"stream '$name' not found")
+            }
+          case ("GET", Some(Seq(name, "stats"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val dir = new org.apache.hadoop.fs.Path(streamDir(name))
+            val fs = hadoopFs(dir)
+            val (events, bytes) =
+              if (!fs.exists(dir)) (0L, 0L)
+              else {
+                val sum = fs.getContentSummary(dir)
+                // parquet count is footer-metadata work, not a data scan
+                val n =
+                  try spark.read.parquet(streamDir(name)).count()
+                  catch { case _: Exception => 0L }
+                (n, sum.getLength)
+              }
+            val o = mapper.createObjectNode().put("stream", name)
+            o.putObject("ingestion").put("count", events)
+            o.putObject("storage").put("size", bytes)
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case ("GET", Some(Seq(name, "retention"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            val p = retentionPath(name)
+            val fs = hadoopFs(p)
+            if (!fs.exists(p)) { respond(ex, 200, "[]"); return }
+            val in = fs.open(p)
+            val json =
+              try new String(in.readAllBytes(), UTF_8) finally in.close()
+            respond(ex, 200, json)
+          case ("PUT", Some(Seq(name, "retention"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "retention config requires admin privileges")
+              return
+            }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            graft.catalog.Retention.parse(body) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(tasks) =>
+                val p = retentionPath(name)
+                val out = hadoopFs(p).create(p, true)
+                try out.write(
+                  graft.catalog.Retention.render(tasks).getBytes(UTF_8))
+                finally out.close()
+                respond(ex, 200, """{"status":"ok"}""")
+            }
+          case ("POST", Some(Seq(name, "retention/cleanup"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "retention cleanup requires admin privileges")
+              return
+            }
+            val removed = enforceRetention(name, tenant)
+            val o = mapper.createObjectNode()
+            val arr = o.putArray("removed")
+            removed.foreach(arr.add)
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+
+  /** Run the stream's configured retention delete task now; returns the
+    * removed `date=…` partition names. A deployment runs this daily (the
+    * reference's midnight scheduler) — here it's an explicit admin call so
+    * enforcement time is under the operator's control.
+    */
+  def enforceRetention(name: String,
+                       tenant: String = DefaultTenant): Seq[String] = {
+    val dir = s"$root/${tenantKey(tenant, name)}"
+    val p = new org.apache.hadoop.fs.Path(dir, "_retention.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val json =
+        try new String(in.readAllBytes(), UTF_8) finally in.close()
+      graft.catalog.Retention.parse(json) match {
+        case Left(_) => Seq.empty
+        case Right(tasks) => tasks.flatMap(t =>
+          graft.catalog.Retention.enforce(spark, dir, t.days,
+            java.time.LocalDate.now()))
+      }
+    }
+  }
+
   server.createContext("/api/v1/ingest", handler(handleIngest))
+  server.createContext("/api/v1/logstream", handler(handleLogstream))
   server.createContext("/api/v1/cluster", handler(handleCluster))
   server.createContext("/api/v1/query", handler(handleQuery))
   server.createContext("/api/v1/role", handler(handleRoles))

@@ -38,6 +38,7 @@ object IngestPipeline {
   final class SchemaRegistry {
     private val schemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
     def get(stream: String): Option[StructType] = Option(schemas.get(stream))
+    def remove(stream: String): Unit = { schemas.remove(stream); () }
     def commit(stream: String, incoming: StructType): Either[String, StructType] = {
       var out: Either[String, StructType] = null
       schemas.compute(stream, (_, cur) => {
