@@ -570,6 +570,16 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
         .orderBy(col("doc_id"))),
 
+    // ML: per-source token-budget selection (best-first greedy fill) via
+    // the SCALE path — histogram threshold + exact boundary bin; only one
+    // bin's rows per group ever pay a sort (spec asserts ≡ direct window).
+    "q_sample_budget" -> ((s, dir) =>
+      Sampling.budgetSelect(t(s, dir, "documents"), "lang", "n_chars",
+          "n_chars", budgets = Map("en" -> 50000L), defaultBudget = 20000L,
+          idCol = "doc_id", bins = 16)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // ML: group-wise embedding mean pooling — posexplode (narrow) then one
     // balanced shuffle on (group, position). Fixed-point determinism:
     // elements scale by 1e10 in DOUBLE (IEEE multiply, identical on every
@@ -2016,6 +2026,17 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY hh % 8
          |    ORDER BY hh ASC, doc_id ASC) - 1 AS shard_pos
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_sample_budget" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM w
+        |WHERE prev < (CASE WHEN lang = 'en' THEN 50000 ELSE 20000 END)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_embed_meanpool" ->
       """WITH e AS (

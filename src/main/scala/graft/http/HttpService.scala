@@ -98,6 +98,9 @@ final class GraftHttpServer(
   private case class Pending(redirect: String, createdMs: Long)
   private val pendingStates =
     new java.util.concurrent.ConcurrentHashMap[String, Pending]()
+  // hot-tier config per stream key: how many newest dates stay pinned
+  private val hotTierKeep =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private lazy val httpClient = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(5)).build()
   private val rng = new java.security.SecureRandom()
@@ -774,6 +777,26 @@ final class GraftHttpServer(
               .filter(canQuery)
               .foreach(n => arr.addObject().put("name", n))
             respond(ex, 200, mapper.writeValueAsString(arr))
+          case ("POST", Some(Seq("schema", "detect"))) =>
+            // reference detect_schema: infer the flattened schema a JSON
+            // payload WOULD get, without creating anything
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            (try IngestPipeline.prepare(body,
+              IngestPipeline.StreamConfig("__detect"))
+            catch {
+              case e: com.fasterxml.jackson.core.JacksonException =>
+                Left(s"malformed JSON body: ${e.getOriginalMessage}")
+            }) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(events) =>
+                val schema = events
+                  .map(graft.ingest.SchemaInference.inferSchema)
+                  .foldLeft(new org.apache.spark.sql.types.StructType()) {
+                    (acc, s) => graft.ingest.SchemaInference
+                      .tryMerge(acc, s).getOrElse(acc)
+                  }
+                respond(ex, 200, schema.json)
+            }
           case ("PUT", Some(Seq(name))) =>
             if (!canIngest(name)) {
               err(ex, 403,
@@ -867,6 +890,56 @@ final class GraftHttpServer(
             val arr = o.putArray("removed")
             removed.foreach(arr.add)
             respond(ex, 200, mapper.writeValueAsString(o))
+          // hot tier (reference put/get/delete_stream_hot_tier,
+          // logstream.rs:421-560): pin the newest date partitions of the
+          // stream into the executor-local cache tier
+          case ("PUT", Some(Seq(name, "hottier"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "hot tier requires admin privileges"); return
+            }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val body =
+              try mapper.readTree(
+                new String(ex.getRequestBody.readAllBytes(), UTF_8))
+              catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  err(ex, 400,
+                    s"malformed JSON body: ${e.getOriginalMessage}")
+                  return
+              }
+            Option(body.get("size")).foreach(s =>
+              graft.catalog.HotTier.budgetBytes = s.asLong())
+            val keep = Option(body.get("keep_dates")).map(_.asInt())
+              .getOrElse(1)
+            if (keep < 0) { err(ex, 400, "keep_dates must be >= 0"); return }
+            hotTierKeep.put(key(name), keep)
+            val pinned = graft.catalog.HotTier.refresh(spark, root,
+              key(name), keep)
+            val o = mapper.createObjectNode().put("keep_dates", keep)
+            val arr = o.putArray("pinned")
+            pinned.foreach(arr.add)
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case ("GET", Some(Seq(name, "hottier"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            Option(hotTierKeep.get(key(name))) match {
+              case None =>
+                err(ex, 404, s"hot tier not configured for '$name'")
+              case Some(keep) =>
+                val o = mapper.createObjectNode().put("keep_dates", keep)
+                  .put("used_bytes", graft.catalog.HotTier.usedBytes(spark))
+                respond(ex, 200, mapper.writeValueAsString(o))
+            }
+          case ("DELETE", Some(Seq(name, "hottier"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "hot tier requires admin privileges"); return
+            }
+            if (Option(hotTierKeep.remove(key(name))).isEmpty) {
+              err(ex, 404, s"hot tier not configured for '$name'"); return
+            }
+            graft.catalog.HotTier.refresh(spark, root, key(name), 0)
+            respond(ex, 200, """{"status":"hot tier disabled"}""")
           case _ => err(ex, 405, "unsupported method/path")
         }
     }

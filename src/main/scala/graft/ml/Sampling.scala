@@ -160,4 +160,89 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
       .drop("__h")
   }
+
+  /** Token-budget selection (the data-recipe "take the best N tokens per
+    * source" step): within each group, take rows in descending `priority`
+    * order (ties broken by id) until the group's cost budget is reached.
+    * Greedy fill — the row that CROSSES the budget line is kept, so a
+    * group's selection is never empty when its budget is positive.
+    *
+    * `bins = 0` runs the direct formulation: ONE window per group with an
+    * exclusive running cost sum. Correct, but the window imposes a global
+    * per-group sort — with a handful of huge sources that is one sort
+    * partition per source, a skew bottleneck at 100 TB.
+    *
+    * `bins > 0` is the scale path and returns the IDENTICAL result:
+    *   1. per-group priority histogram (`groupBy(group, bin)` — map-side
+    *      combinable, tiny result: groups × bins rows);
+    *   2. cumulative cost over the histogram picks, per group, the bins
+    *      fully inside the budget and the single BOUNDARY bin that crosses
+    *      it;
+    *   3. broadcast the per-bin verdicts back: fully-inside rows pass with
+    *      no sort at all; only the boundary bin's rows — one bin's worth
+    *      per group — go through the exact window, seeded with the exact
+    *      cost of all better bins.
+    * Bins are contiguous priority ranges, so the (priority, id) order
+    * within the boundary bin extends the global order exactly; equality
+    * with the direct path is spec-asserted.
+    */
+  def budgetSelect(df: DataFrame, groupCol: String, costCol: String,
+                   priorityCol: String, budgets: Map[String, Long],
+                   defaultBudget: Long, idCol: String,
+                   bins: Int = 0): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    if (bins <= 0) {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(priorityCol).desc, col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__prev",
+          coalesce(sum(col(costCol).cast("long")).over(w), lit(0L)))
+        .filter(col("__prev") < budget)
+        .drop("__prev")
+    } else {
+      // per-group priority range → bin width (groups are sources: the
+      // range frame is metadata-sized by contract)
+      val ranges = df.groupBy(col(groupCol))
+        .agg(min(col(priorityCol).cast("double")).as("__lo"),
+          max(col(priorityCol).cast("double")).as("__hi"))
+      // bin 0 holds the HIGHEST priorities (descending fill order)
+      def binOf(p: Column, lo: Column, hi: Column): Column =
+        least(lit(bins - 1), greatest(lit(0),
+          floor((hi - p) / ((hi - lo + lit(1e-12)) / lit(bins)))
+            .cast("int")))
+      val binned = df.join(broadcast(ranges), groupCol)
+        .withColumn("__bin",
+          binOf(col(priorityCol).cast("double"), col("__lo"), col("__hi")))
+      val hist = binned.groupBy(col(groupCol), col("__bin"))
+        .agg(sum(col(costCol).cast("long")).as("__binCost"))
+      val hw = Window.partitionBy(col(groupCol)).orderBy(col("__bin").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // per bin: exact cost of all better bins, and the verdict
+      val verdicts = hist
+        .withColumn("__before", coalesce(sum(col("__binCost")).over(hw),
+          lit(0L)))
+        .withColumn("__b", budget)
+        .withColumn("__verdict",
+          when(col("__before") + col("__binCost") <= col("__b"), "all")
+            .when(col("__before") < col("__b"), "boundary")
+            .otherwise("none"))
+        .select(col(groupCol), col("__bin"), col("__before"),
+          col("__verdict"))
+      val tagged = binned.join(broadcast(verdicts), Seq(groupCol, "__bin"))
+      val keptWhole = tagged.filter(col("__verdict") === "all")
+      // only the boundary bin pays a sort — one bin's rows per group
+      val bw = Window.partitionBy(col(groupCol))
+        .orderBy(col(priorityCol).desc, col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val keptBoundary = tagged.filter(col("__verdict") === "boundary")
+        .withColumn("__prev", col("__before") +
+          coalesce(sum(col(costCol).cast("long")).over(bw), lit(0L)))
+        .filter(col("__prev") < budget)
+        .drop("__prev")
+      keptWhole.unionByName(keptBoundary)
+        .select(df.columns.map(col).toSeq: _*) // joins moved the key first
+    }
+  }
 }

@@ -112,6 +112,44 @@ class LogstreamSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("schema detect and hot-tier endpoints") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ls3").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    try {
+      // detect: nested JSON flattens, types inferred, nothing is created
+      val (ds, dj) = http("POST", s"$base/logstream/schema/detect",
+        body = Some("""{"a": {"b": 1.5}, "tags": ["x"], "ok": true}"""))
+      assert(ds == 200, dj)
+      assert(dj.contains("a.b") && dj.contains("double"))
+      assert(http("GET", s"$base/logstream")._2 == "[]")
+      assert(http("POST", s"$base/logstream/schema/detect",
+        body = Some("not json"))._1 == 400)
+
+      // hot tier: configure, inspect, disable
+      assert(http("PUT", s"$base/logstream/applogs/hottier",
+        body = Some("{}"))._1 == 404) // stream doesn't exist yet
+      assert(http("PUT", s"$base/logstream/applogs")._1 == 200)
+      val (hs0, _) = http("GET", s"$base/logstream/applogs/hottier")
+      assert(hs0 == 404) // not configured yet
+      http("POST", s"$base/ingest", Map("X-P-Stream" -> "applogs"),
+        Some("""{"msg": "warm me"}"""))
+      val (hs, hb) = http("PUT", s"$base/logstream/applogs/hottier",
+        body = Some("""{"keep_dates": 2}"""))
+      assert(hs == 200, hb)
+      val put = mapper.readTree(hb)
+      assert(put.get("keep_dates").asInt() == 2)
+      assert(put.get("pinned").size() == 1) // only today's partition exists
+      val (gs, gb) = http("GET", s"$base/logstream/applogs/hottier")
+      assert(gs == 200)
+      assert(mapper.readTree(gb).get("keep_dates").asInt() == 2)
+      assert(http("DELETE", s"$base/logstream/applogs/hottier")._1 == 200)
+      assert(http("GET", s"$base/logstream/applogs/hottier")._1 == 404)
+      assert(http("DELETE", s"$base/logstream/applogs/hottier")._1 == 404)
+    } finally { srv.stop(); graft.catalog.HotTier.clear() }
+  }
+
   test("stream management RBAC gates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ls2").toString
     Rbac.clear()

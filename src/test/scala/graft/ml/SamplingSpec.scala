@@ -171,4 +171,48 @@ class SamplingSpec extends SparkSuite {
       .select("id").as[Long].collect()
     assert(firstShardIds.toSeq != firstShardIds.sorted.toSeq)
   }
+
+  test("budgetSelect: greedy fill semantics; binned path ≡ direct window") {
+    // deterministic pseudo-random costs/priorities over 3 groups
+    val docs = spark.range(0, 3000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
+      .withColumn("cost", (col("id") * 2654435761L) % 97 + 1)
+      .withColumn("prio", ((col("id") * 40503L) % 1000).cast("double"))
+    val budgets = Map("s0" -> 5000L, "s1" -> 100L)
+    val exact = Sampling.budgetSelect(docs, "src", "cost", "prio",
+      budgets, defaultBudget = 2000L, idCol = "id")
+    // each group fills to its budget: total-before-last < budget ≤ total
+    val per = exact.groupBy("src")
+      .agg(sum("cost").as("total"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def b(g: String) = budgets.getOrElse(g, 2000L)
+    per.foreach { case (g, (total, _)) => assert(total >= b(g)) }
+    // dropping the LOWEST-priority kept row goes back under budget
+    Seq("s0", "s1", "s2").foreach { g =>
+      val kept = exact.filter(col("src") === g)
+        .orderBy(col("prio").desc, col("id").asc)
+        .select("cost").as[Long].collect()
+      assert(kept.dropRight(1).sum < b(g))
+      assert(kept.sum >= b(g))
+    }
+    // the kept set is the TOP of the priority order: min kept prio ≥ any
+    // dropped prio is false in general (ties), but the direct check — the
+    // binned scale path returns the identical row set — is exact
+    for (bins <- Seq(1, 4, 64)) {
+      val binned = Sampling.budgetSelect(docs, "src", "cost", "prio",
+        budgets, defaultBudget = 2000L, idCol = "id", bins = bins)
+      assert(binned.select("id").as[Long].collect().toSet
+        == exact.select("id").as[Long].collect().toSet, s"bins=$bins")
+      assert(binned.columns.toSeq == docs.columns.toSeq)
+    }
+    // constant priority (degenerate single-bin range) still works
+    val flat = Sampling.budgetSelect(
+      docs.withColumn("prio", lit(1.0)), "src", "cost", "prio",
+      Map.empty, defaultBudget = 500L, idCol = "id", bins = 8)
+    val flatExact = Sampling.budgetSelect(
+      docs.withColumn("prio", lit(1.0)), "src", "cost", "prio",
+      Map.empty, defaultBudget = 500L, idCol = "id")
+    assert(flat.select("id").as[Long].collect().toSet
+      == flatExact.select("id").as[Long].collect().toSet)
+  }
 }
