@@ -86,6 +86,7 @@ final class GraftHttpServer(
     new java.util.concurrent.ConcurrentHashMap[String, IngestPipeline.StreamConfig]()
   val registry = new IngestPipeline.SchemaRegistry
   private val userConfigs = new UserConfigs(root)
+  private val alertStore = new AlertStore(root)
   private val revokedKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -969,6 +970,178 @@ final class GraftHttpServer(
     }
   }
 
+  /** Alert + notification-target CRUD and evaluation (reference
+    * `src/handlers/http/alerts.rs`, `targets.rs`; engine in
+    * [[graft.query.Alerts]] / [[AlertStore]]). Mutations sit behind the
+    * reference's `PutAlert` permission — Admin or Editor here; reads are
+    * open to any authenticated user of the tenant.
+    */
+  private def canManageAlerts(userOpt: Option[String]): Boolean =
+    !requireAuth || userOpt.exists(u =>
+      Rbac.effectivePrivileges(u).exists {
+        case Rbac.Admin() | Rbac.Editor() => true
+        case _                            => false
+      })
+
+  private def handleTargets(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val tenant = tenantOf(userOpt)
+        val id = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/targets").stripPrefix("/"))
+          .filter(_.nonEmpty)
+        def parseBody(): Option[com.fasterxml.jackson.databind.node.ObjectNode] =
+          try mapper.readTree(
+              new String(ex.getRequestBody.readAllBytes(), UTF_8)) match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => Some(o)
+            case _ => err(ex, 400, "body must be a JSON object"); None
+          } catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              None
+          }
+        val mutation = ex.getRequestMethod != "GET"
+        if (mutation && !canManageAlerts(userOpt)) {
+          err(ex, 403, "target management requires admin or editor"); return
+        }
+        (ex.getRequestMethod, id) match {
+          case ("GET", None) =>
+            respond(ex, 200, mapper.writeValueAsString(
+              mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+                alertStore.listTargets(tenant).toArray)))
+          case ("POST", None) =>
+            parseBody().foreach(node =>
+              alertStore.createTarget(tenant, node) match {
+                case Left(msg)      => err(ex, 400, msg)
+                case Right(stamped) =>
+                  respond(ex, 200, mapper.writeValueAsString(stamped))
+              })
+          case ("GET", Some(tid)) =>
+            alertStore.getTarget(tenant, tid) match {
+              case Some(node) =>
+                respond(ex, 200, mapper.writeValueAsString(node))
+              case None => err(ex, 404, s"target '$tid' not found")
+            }
+          case ("PUT", Some(tid)) =>
+            parseBody().foreach(node =>
+              alertStore.updateTarget(tenant, tid, node) match {
+                case Left(msg) => err(ex, 400, msg)
+                case Right(None) => err(ex, 404, s"target '$tid' not found")
+                case Right(Some(stamped)) =>
+                  respond(ex, 200, mapper.writeValueAsString(stamped))
+              })
+          case ("DELETE", Some(tid)) =>
+            alertStore.deleteTarget(tenant, tid) match {
+              case Left(msg)     => err(ex, 409, msg)
+              case Right(false)  => err(ex, 404, s"target '$tid' not found")
+              case Right(true)   => respond(ex, 200, """{"status":"deleted"}""")
+            }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+
+  private def handleAlerts(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val tenant = tenantOf(userOpt)
+        val path = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/alerts").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/").toSeq)
+        def parseBody(): Option[com.fasterxml.jackson.databind.node.ObjectNode] =
+          try mapper.readTree(
+              new String(ex.getRequestBody.readAllBytes(), UTF_8)) match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => Some(o)
+            case _ => err(ex, 400, "body must be a JSON object"); None
+          } catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              None
+          }
+        val mutation = ex.getRequestMethod != "GET"
+        if (mutation && !canManageAlerts(userOpt)) {
+          err(ex, 403, "alert management requires admin or editor"); return
+        }
+        // creating/updating an alert additionally needs query access to
+        // its stream (reference `user_auth_for_alert_config`)
+        def streamAllowed(
+            node: com.fasterxml.jackson.databind.node.ObjectNode): Boolean =
+          userOpt.forall { u =>
+            val s = node.path("stream").asText("")
+            s.isEmpty || Rbac.authorized(u, Rbac.QueryAction,
+              tenantKey(tenant, s))
+          }
+        (ex.getRequestMethod, path) match {
+          case ("GET", None) =>
+            // reference list params: `tags` filter + offset/limit paging
+            val params = queryParams(ex)
+            val tags = params.get("tags").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+            val offset = params.get("offset").flatMap(_.toIntOption)
+              .getOrElse(0)
+            val limit = params.get("limit").flatMap(_.toIntOption)
+              .getOrElse(100)
+            val all = alertStore.listAlerts(tenant)
+              .filter(a => tags.isEmpty || a.path("tags").elements().asScala
+                .exists(t => tags.contains(t.asText())))
+              .slice(offset, offset + limit)
+              .map(alertStore.summary(tenant, _))
+            respond(ex, 200, mapper.writeValueAsString(
+              mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+                all.toArray)))
+          case ("POST", None) =>
+            parseBody().foreach { node =>
+              if (!streamAllowed(node))
+                err(ex, 403, "user lacks query access to the alert's stream")
+              else alertStore.createAlert(tenant, node) match {
+                case Left(msg)      => err(ex, 400, msg)
+                case Right(stamped) =>
+                  respond(ex, 200, mapper.writeValueAsString(stamped))
+              }
+            }
+          case ("GET", Some(Seq(aid))) =>
+            alertStore.getAlert(tenant, aid) match {
+              case Some(node) =>
+                node.put("state", alertStore.stateOf(tenant, node))
+                respond(ex, 200, mapper.writeValueAsString(node))
+              case None => err(ex, 404, s"alert '$aid' not found")
+            }
+          case ("PUT", Some(Seq(aid))) =>
+            parseBody().foreach { node =>
+              if (!streamAllowed(node))
+                err(ex, 403, "user lacks query access to the alert's stream")
+              else alertStore.updateAlert(tenant, aid, node) match {
+                case Left(msg)   => err(ex, 400, msg)
+                case Right(None) => err(ex, 404, s"alert '$aid' not found")
+                case Right(Some(stamped)) =>
+                  respond(ex, 200, mapper.writeValueAsString(stamped))
+              }
+            }
+          case ("DELETE", Some(Seq(aid))) =>
+            if (alertStore.deleteAlert(tenant, aid))
+              respond(ex, 200, """{"status":"deleted"}""")
+            else err(ex, 404, s"alert '$aid' not found")
+          case ("PUT", Some(Seq(aid, "disable"))) =>
+            alertStore.setDisabled(tenant, aid, disabled = true) match {
+              case Some(_) => respond(ex, 200, """{"state":"disabled"}""")
+              case None    => err(ex, 404, s"alert '$aid' not found")
+            }
+          case ("PUT", Some(Seq(aid, "enable"))) =>
+            alertStore.setDisabled(tenant, aid, disabled = false) match {
+              case Some(_) => respond(ex, 200, """{"state":"not-triggered"}""")
+              case None    => err(ex, 404, s"alert '$aid' not found")
+            }
+          case ("PUT" | "POST", Some(Seq(aid, "evaluate_alert"))) =>
+            alertStore.evaluate(spark, tenant, aid,
+                name => streamsFor(tenant).get(name)) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(o)  => respond(ex, 200, mapper.writeValueAsString(o))
+            }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+
   server.createContext("/api/v1/ingest", handler(handleIngest))
   server.createContext("/api/v1/logstream", handler(handleLogstream))
   server.createContext("/api/v1/cluster", handler(handleCluster))
@@ -979,6 +1152,8 @@ final class GraftHttpServer(
   server.createContext("/api/v1/dashboards",
     handler(handleUserConfigs(UserConfigs.Dashboards)))
   server.createContext("/api/v1/o", handler(handleOidc))
+  server.createContext("/api/v1/alerts", handler(handleAlerts))
+  server.createContext("/api/v1/targets", handler(handleTargets))
   server.createContext("/api/v1/liveness",
     handler(ex => respond(ex, 200, """{"status":"alive"}""")))
   server.createContext("/api/v1/readiness",
@@ -999,6 +1174,7 @@ final class GraftHttpServer(
     // the fixed pool's threads are non-daemon: without this, every
     // started server leaks `threads` live threads for the JVM's lifetime
     pool.shutdown()
+    alertStore.close() // stops alert repeat-notification tasks
   }
 }
 
