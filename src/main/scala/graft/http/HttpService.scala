@@ -9,9 +9,10 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, floor, lit, unix_millis}
 
 import graft.ingest.IngestPipeline
-import graft.query.{QueryService, Rbac, ResponseWriter, TimeRange}
+import graft.query.{Alerts, Counts, QueryService, Rbac, ResponseWriter, TimeRange}
 
 /** Minimal HTTP service shell binding the ingest and query libraries to a
   * port — the Spark-side analog of the reference's actix handlers
@@ -105,6 +106,13 @@ final class GraftHttpServer(
   private lazy val httpClient = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(5)).build()
   private val rng = new java.security.SecureRandom()
+
+  // request counters surfaced by /metrics (reference's prometheus
+  // middleware); cheap atomics, bumped on the hot handlers
+  private val startedAtMs = System.currentTimeMillis()
+  private val ingestCalls = new java.util.concurrent.atomic.AtomicLong
+  private val ingestedEvents = new java.util.concurrent.atomic.AtomicLong
+  private val queryCalls = new java.util.concurrent.atomic.AtomicLong
 
   // cluster metastore lives in the shared storage root — the same place
   // the data goes, so every node sees the same registrations
@@ -434,6 +442,8 @@ final class GraftHttpServer(
               case Right(df) =>
                 val n = df.count()
                 IngestPipeline.append(df, root, cfg)
+                ingestCalls.incrementAndGet()
+                ingestedEvents.addAndGet(n)
                 respond(ex, 200, mapper.writeValueAsString(
                   mapper.createObjectNode()
                     .put("status", "ok").put("events", n)))
@@ -447,6 +457,11 @@ final class GraftHttpServer(
     if (role == Cluster.Ingestor) {
       err(ex, 404, "query is not available on an ingestor node"); return
     }
+    // the /query context also receives its sub-path (reference mounts
+    // POST /query/context as a sibling resource)
+    if (ex.getRequestURI.getPath.stripSuffix("/") == "/api/v1/query/context") {
+      handleQueryContext(ex); return
+    }
     if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
@@ -459,6 +474,7 @@ final class GraftHttpServer(
               err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
               return
           }
+        queryCalls.incrementAndGet()
         val sql = Option(body.get("query")).map(_.asText())
         val start = Option(body.get("startTime")).map(_.asText())
         val end = Option(body.get("endTime")).map(_.asText())
@@ -504,6 +520,208 @@ final class GraftHttpServer(
             }
           case _ => err(ex, 400, "need query, startTime, endTime")
         }
+    }
+  }
+
+  /** `POST /api/v1/counts` (reference `query::get_counts`,
+    * `CountsRequest` at `src/query/mod.rs:516-527`): per-bin record counts
+    * of one stream over a time range, the console's histogram strip. Body
+    * `{"stream": "s", "startTime": "...", "endTime": "...",
+    * "numBins": 30?, "conditions": <where-tree>?}`; times accept the
+    * human forms ("now", "10m", RFC3339). Bins are equal slices of the
+    * range (absent numBins → the auto interval of [[Counts.autoBinMillis]]),
+    * returned DENSE — empty bins report zero, as the console expects.
+    *
+    * Scale: one map-side-combinable groupBy on the bin index over a
+    * time-pruned scan; the driver materializes at most `MaxCountBins`
+    * rows.
+    */
+  private def handleCounts(ex: HttpExchange): Unit = {
+    if (role == Cluster.Ingestor) {
+      err(ex, 404, "query is not available on an ingestor node"); return
+    }
+    if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(user) =>
+        val body =
+          try mapper.readTree(
+            new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              return
+          }
+        val streamName = body.path("stream").asText("")
+        val start = body.path("startTime").asText("")
+        val end = body.path("endTime").asText("")
+        if (streamName.isEmpty || start.isEmpty || end.isEmpty) {
+          err(ex, 400, "need stream, startTime, endTime"); return
+        }
+        val tenant = tenantOf(user)
+        val stream = streamsFor(tenant).get(streamName) match {
+          case Some(s) => s
+          case None => err(ex, 404, s"stream '$streamName' not found"); return
+        }
+        if (user.exists(!Rbac.authorized(_, Rbac.QueryAction,
+            tenantKey(tenant, streamName)))) {
+          err(ex, 403,
+            s"user '${user.get}' lacks query access to stream '$streamName'")
+          return
+        }
+        val range =
+          try TimeRange.parse(start, end)
+          catch {
+            case e: Exception => err(ex, 400, s"bad time: ${e.getMessage}")
+              return
+          }
+        val startMs = range.start.toEpochMilli
+        val rangeMs = math.max(1L, range.end.toEpochMilli - startMs)
+        val binMillis = Option(body.get("numBins")).map(_.asLong()) match {
+          case Some(n) if n <= 0 =>
+            err(ex, 400, "numBins must be positive"); return
+          case Some(n) => math.max(1L, (rangeMs + n - 1) / n)
+          case None    => Counts.autoBinMillis(range.duration)
+        }
+        val bins = ((rangeMs + binMillis - 1) / binMillis).toInt
+        if (bins > GraftHttpServer.MaxCountBins) {
+          err(ex, 400, s"$bins bins exceed the ${GraftHttpServer.MaxCountBins}" +
+            " cap; widen the bins or narrow the range")
+          return
+        }
+        val where = Option(body.get("conditions")) match {
+          case None => None
+          case Some(c) => alertStore.parseCondition(c) match {
+            case Left(msg)   => err(ex, 400, msg); return
+            case Right(node) => Some(Alerts.Conditions.toColumn(node))
+          }
+        }
+        val t = col(stream.timeCol).cast("timestamp")
+        val base =
+          try spark.read.parquet(stream.path)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              respondCounts(ex, startMs, binMillis, bins, Map.empty); return
+          }
+        val filtered = base
+          .filter(t >= lit(java.sql.Timestamp.from(range.start)) &&
+            t < lit(java.sql.Timestamp.from(range.end)))
+        val sparse = where.foldLeft(filtered)(_ filter _)
+          .groupBy(floor((unix_millis(t) - startMs) / binMillis)
+            .cast("int").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        respondCounts(ex, startMs, binMillis, bins, sparse)
+    }
+  }
+
+  private def respondCounts(ex: HttpExchange, startMs: Long, binMillis: Long,
+                            bins: Int, counts: Map[Int, Long]): Unit = {
+    val o = mapper.createObjectNode()
+    val fields = o.putArray("fields")
+    Seq("start_time", "end_time", "count").foreach(fields.add)
+    val records = o.putArray("records")
+    (0 until bins).foreach { i =>
+      val r = records.addObject()
+      r.put("start_time",
+        java.time.Instant.ofEpochMilli(startMs + i * binMillis).toString)
+      r.put("end_time",
+        java.time.Instant.ofEpochMilli(startMs + (i + 1) * binMillis).toString)
+      r.put("count", counts.getOrElse(i, 0L))
+    }
+    respond(ex, 200, mapper.writeValueAsString(o))
+  }
+
+  /** `POST /api/v1/query/context` (reference `query_context.rs`
+    * `LogContextRequest`): the page of logs AROUND an anchor timestamp —
+    * `pageSize/2` newest rows strictly before it plus `pageSize/2` rows
+    * from it onward, both inside `contextWindow` (default 10m each way),
+    * returned oldest-first with the anchor's index. Keyset semantics as in
+    * [[LogContext]]: both sides are time-pruned scans with top-k limits —
+    * page cost is independent of stream size.
+    */
+  private def handleQueryContext(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(user) =>
+        val body =
+          try mapper.readTree(
+            new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              return
+          }
+        val dataset = body.path("dataset").asText("")
+        val anchorText = body.path("pTimestamp").asText("")
+        if (dataset.isEmpty || anchorText.isEmpty) {
+          err(ex, 400, "need dataset, pTimestamp"); return
+        }
+        val anchor =
+          try java.time.ZonedDateTime.parse(anchorText,
+              java.time.format.DateTimeFormatter.ISO_DATE_TIME).toInstant
+          catch {
+            case e: Exception =>
+              err(ex, 400, s"bad pTimestamp: ${e.getMessage}"); return
+          }
+        val window = body.path("contextWindow").asText("10m") match {
+          case GraftHttpServer.RelativeWindow(n, unit) =>
+            val amount = n.toLong
+            unit match {
+              case "s" => java.time.Duration.ofSeconds(amount)
+              case "m" => java.time.Duration.ofMinutes(amount)
+              case "h" => java.time.Duration.ofHours(amount)
+              case "d" => java.time.Duration.ofDays(amount)
+            }
+          case other => err(ex, 400, s"bad contextWindow '$other'"); return
+        }
+        val pageSize = math.min(
+          Option(body.get("pageSize")).map(_.asInt())
+            .getOrElse(GraftHttpServer.DefaultContextPageSize),
+          10 * GraftHttpServer.DefaultContextPageSize)
+        if (pageSize <= 0) { err(ex, 400, "pageSize must be positive"); return }
+        val tenant = tenantOf(user)
+        val stream = streamsFor(tenant).get(dataset) match {
+          case Some(s) => s
+          case None => err(ex, 404, s"stream '$dataset' not found"); return
+        }
+        if (user.exists(!Rbac.authorized(_, Rbac.QueryAction,
+            tenantKey(tenant, dataset)))) {
+          err(ex, 403,
+            s"user '${user.get}' lacks query access to stream '$dataset'")
+          return
+        }
+        val df =
+          try spark.read.parquet(stream.path)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              err(ex, 404, s"stream '$dataset' has no data"); return
+          }
+        val t = col(stream.timeCol).cast("timestamp")
+        val anchorTs = lit(java.sql.Timestamp.from(anchor))
+        val lo = lit(java.sql.Timestamp.from(anchor.minus(window)))
+        val hi = lit(java.sql.Timestamp.from(anchor.plus(window)))
+        val half = math.max(1, pageSize / 2)
+        val beforeDf = df.filter(t >= lo && t < anchorTs)
+          .orderBy(t.desc).limit(half)
+        val afterDf = df.filter(t >= anchorTs && t <= hi)
+          .orderBy(t.asc).limit(pageSize - half)
+        val beforeArr = mapper.readTree(ResponseWriter.toJsonArray(beforeDf))
+        val afterArr = mapper.readTree(ResponseWriter.toJsonArray(afterDf))
+        val o = mapper.createObjectNode()
+        o.put("scope", "contextWindow")
+        o.put("contextStartTime", anchor.minus(window).toString)
+        o.put("contextEndTime", anchor.plus(window).toString)
+        o.put("limit", pageSize)
+        o.put("anchorIndex", beforeArr.size())
+        val records = o.putArray("records")
+        // before-page arrives newest-first; the response is oldest-first
+        (beforeArr.size() - 1 to 0 by -1).foreach(i =>
+          records.add(beforeArr.get(i)))
+        afterArr.forEach(r => { records.add(r); () })
+        respond(ex, 200, mapper.writeValueAsString(o))
     }
   }
 
@@ -1142,10 +1360,139 @@ final class GraftHttpServer(
         }
     }
 
+  /** `GET /api/v1/about` (reference `handlers/http/about.rs`): instance
+    * metadata for the console. `deploymentId` persists in the storage
+    * root, so every node of a cluster (and every restart) reports the
+    * same id — the reference stores it in object-store metadata the same
+    * way.
+    */
+  private def handleAbout(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(_) =>
+        val o = mapper.createObjectNode()
+        o.put("version", GraftHttpServer.Version)
+        o.put("commit", GraftHttpServer.Commit)
+        o.put("deploymentId", deploymentId)
+        o.put("mode", role.name)
+        o.put("oidcActive", oidc.isDefined)
+        o.put("license", "AGPL-3.0-only")
+        o.put("staging", root)
+        val store = o.putObject("store")
+        store.put("type", "filesystem")
+        store.put("path", root)
+        respond(ex, 200, mapper.writeValueAsString(o))
+    }
+
+  private lazy val deploymentId: String = {
+    val p = java.nio.file.Paths.get(root, ".graft", "deployment_id")
+    if (java.nio.file.Files.isRegularFile(p))
+      new String(java.nio.file.Files.readAllBytes(p), UTF_8).trim
+    else {
+      val id = randomToken().take(16)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, id.getBytes(UTF_8))
+      id
+    }
+  }
+
+  /** `GET /api/v1/demodata?action=…` (reference `demo_data.rs`): seed the
+    * instance with sample data. `action=ingest` generates a deterministic
+    * batch of structured web-access events into the `demodata` stream
+    * in-process (the reference shells out to a script that POSTs the same
+    * kind of payload); `filters` / `dashboards` / `alerts` create one
+    * sample saved object each, so a fresh console has something to show.
+    */
+  private def handleDemoData(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (role == Cluster.Querier) {
+          err(ex, 404, "demo data needs an ingest-capable node"); return
+        }
+        val tenant = tenantOf(userOpt)
+        queryParams(ex).get("action") match {
+          case None => err(ex, 400, "missing query parameter 'action'")
+          case Some("ingest") =>
+            val events = GraftHttpServer.demoEvents(200)
+            val cfg = configs.computeIfAbsent(tenantKey(tenant, "demodata"),
+              key => { metaStore.putStream(key); IngestPipeline.StreamConfig(key) })
+            IngestPipeline.ingest(spark, registry, cfg,
+                events, "demo-data", "127.0.0.1") match {
+              case Left(msg) => err(ex, 500, msg)
+              case Right(df) =>
+                val n = df.count()
+                IngestPipeline.append(df, root, cfg)
+                ingestedEvents.addAndGet(n)
+                respond(ex, 200, mapper.writeValueAsString(
+                  mapper.createObjectNode()
+                    .put("status", "ok").put("stream", "demodata")
+                    .put("events", n)))
+            }
+          case Some("filters") =>
+            val node = mapper.createObjectNode()
+            node.put("filter_name", "demo 5xx errors")
+            node.put("stream_name", "demodata")
+            node.put("query", "SELECT * FROM demodata WHERE status >= 500")
+            val user = userOpt.getOrElse("anonymous")
+            respond(ex, 200, mapper.writeValueAsString(
+              userConfigs.create(tenant, user, UserConfigs.Filters, node)))
+          case Some("dashboards") =>
+            val node = mapper.createObjectNode()
+            node.put("name", "Demo traffic")
+            node.putArray("tiles").addObject()
+              .put("title", "Requests per minute")
+              .put("stream", "demodata")
+            val user = userOpt.getOrElse("anonymous")
+            respond(ex, 200, mapper.writeValueAsString(
+              userConfigs.create(tenant, user, UserConfigs.Dashboards, node)))
+          case Some("alerts") =>
+            val node = mapper.createObjectNode()
+            node.put("title", "Demo error spike")
+            node.put("stream", "demodata")
+            node.put("agg", "count")
+            node.put("column", "status")
+            node.put("operator", "above")
+            node.put("threshold", 100)
+            alertStore.createAlert(tenant, node) match {
+              case Left(msg)      => err(ex, 500, msg)
+              case Right(stamped) =>
+                respond(ex, 200, mapper.writeValueAsString(stamped))
+            }
+          case Some(other) => err(ex, 400, s"unknown action '$other'")
+        }
+    }
+
+  /** `GET /api/v1/metrics` — Prometheus text exposition of the server's
+    * request counters (the reference mounts `actix_web_prometheus`
+    * here). Unauthenticated, as scrapers expect.
+    */
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    val up = (System.currentTimeMillis() - startedAtMs) / 1000.0
+    val body = new StringBuilder
+    def metric(name: String, help: String, kind: String, v: String): Unit = {
+      body ++= s"# HELP $name $help\n# TYPE $name $kind\n$name $v\n"
+      ()
+    }
+    metric("graft_uptime_seconds", "Seconds since server start", "gauge",
+      f"$up%.1f")
+    metric("graft_ingest_requests_total", "Ingest API calls", "counter",
+      ingestCalls.get.toString)
+    metric("graft_ingested_events_total", "Events accepted via HTTP ingest",
+      "counter", ingestedEvents.get.toString)
+    metric("graft_query_requests_total", "Query API calls", "counter",
+      queryCalls.get.toString)
+    metric("graft_streams", "Registered streams (all tenants)", "gauge",
+      (configs.keySet.asScala.toSet ++ metaStore.streams()).size.toString)
+    respond(ex, 200, body.toString,
+      contentType = "text/plain; version=0.0.4; charset=utf-8")
+  }
+
   server.createContext("/api/v1/ingest", handler(handleIngest))
   server.createContext("/api/v1/logstream", handler(handleLogstream))
   server.createContext("/api/v1/cluster", handler(handleCluster))
   server.createContext("/api/v1/query", handler(handleQuery))
+  server.createContext("/api/v1/counts", handler(handleCounts))
   server.createContext("/api/v1/role", handler(handleRoles))
   server.createContext("/api/v1/filters",
     handler(handleUserConfigs(UserConfigs.Filters)))
@@ -1154,6 +1501,9 @@ final class GraftHttpServer(
   server.createContext("/api/v1/o", handler(handleOidc))
   server.createContext("/api/v1/alerts", handler(handleAlerts))
   server.createContext("/api/v1/targets", handler(handleTargets))
+  server.createContext("/api/v1/about", handler(handleAbout))
+  server.createContext("/api/v1/demodata", handler(handleDemoData))
+  server.createContext("/api/v1/metrics", handler(handleMetrics))
   server.createContext("/api/v1/liveness",
     handler(ex => respond(ex, 200, """{"status":"alive"}""")))
   server.createContext("/api/v1/readiness",
@@ -1191,4 +1541,46 @@ object GraftHttpServer {
     * through the provider, short enough to bound replay.
     */
   val StateTtlMs: Long = 10L * 60 * 1000
+
+  /** Driver-side cap on /counts bins (the response is materialized). */
+  val MaxCountBins = 1000
+
+  /** Surfaced by `/about`; a library build has no release pipeline, so
+    * these identify the engine rather than a binary.
+    */
+  val Version = "graft-dev"
+  val Commit = "unreleased"
+
+  /** Deterministic demo batch (reference `resources/ingest_demo_data.sh`
+    * generates the same shape of synthetic web-access logs): JSON array of
+    * `n` events — method/path/status/latency/host — seeded by index, so
+    * repeated calls are reproducible.
+    */
+  private[http] def demoEvents(n: Int): String = {
+    val methods = Vector("GET", "GET", "GET", "POST", "PUT", "DELETE")
+    val paths = Vector("/", "/login", "/api/items", "/api/items/42",
+      "/health", "/search")
+    val statuses = Vector(200, 200, 200, 201, 301, 404, 500, 503)
+    val sb = new StringBuilder("[")
+    (0 until n).foreach { i =>
+      // splitmix64-style scramble keeps neighboring events uncorrelated
+      var h = i.toLong * 0x9E3779B97F4A7C15L
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 27
+      def pick[A](v: Vector[A], salt: Int): A =
+        v((((h >>> (salt * 7)) % v.size + v.size) % v.size).toInt)
+      if (i > 0) sb += ','
+      sb ++= s"""{"method": "${pick(methods, 1)}",""" +
+        s""""path": "${pick(paths, 2)}",""" +
+        s""""status": ${pick(statuses, 3)},""" +
+        s""""latency_ms": ${(h >>> 40) % 500},""" +
+        s""""host": "host-${(h >>> 16) % 8}"}"""
+    }
+    sb += ']'
+    sb.toString
+  }
+
+  /** Reference `DEFAULT_LOG_CONTEXT_PAGE_SIZE`. */
+  val DefaultContextPageSize = 500
+
+  private[http] val RelativeWindow = """^(\d+)\s*(s|m|h|d)$""".r
 }
