@@ -1488,6 +1488,127 @@ final class GraftHttpServer(
       contentType = "text/plain; version=0.0.4; charset=utf-8")
   }
 
+  /** Prism — the console's aggregated landing surface (reference
+    * `src/prism/`):
+    *   - `GET /api/v1/prism/home` — visible datasets, the onboarding
+    *     checklist, and the triggered-alert count in one response
+    *     (`prism/home/mod.rs` `HomeResponse`);
+    *   - `GET /api/v1/prism/home/search?key=…` — one search box over
+    *     datasets, alerts, saved filters and dashboards
+    *     (`HomeSearchResponse`);
+    *   - `GET /api/v1/prism/logstream/{name}/info` — schema + stats +
+    *     retention of one stream in one call (`prism/logstream/mod.rs`
+    *     `PrismLogstreamInfo`).
+    * Pure aggregation over the store/catalog pieces the individual
+    * endpoints already use — the reference builds these the same way.
+    */
+  private def handlePrism(ex: HttpExchange): Unit = {
+    if (role == Cluster.Ingestor) {
+      err(ex, 404, "prism is not available on an ingestor node"); return
+    }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (ex.getRequestMethod != "GET") { err(ex, 405, "GET only"); return }
+        val tenant = tenantOf(userOpt)
+        val user = userOpt.getOrElse("anonymous")
+        def canQuery(name: String): Boolean =
+          userOpt.forall(Rbac.authorized(_, Rbac.QueryAction,
+            tenantKey(tenant, name)))
+        val visible = streamsFor(tenant).keys.toSeq.sorted.filter(canQuery)
+        def hasData(name: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(
+            s"$root/${tenantKey(tenant, name)}")
+          try p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+          catch { case _: Exception => false }
+        }
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/prism").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/").toSeq)
+        rest match {
+          case Some(Seq("home")) =>
+            val o = mapper.createObjectNode()
+            val datasets = o.putArray("datasets")
+            visible.foreach { n =>
+              val d = datasets.addObject()
+              d.put("title", n)
+              d.put("ingestion", hasData(n))
+            }
+            val alerts = alertStore.listAlerts(tenant)
+            val checklist = o.putObject("checklist")
+            checklist.put("dataIngested", visible.exists(hasData))
+            checklist.put("alertCreated", alerts.nonEmpty)
+            checklist.put("userAdded", users.nonEmpty)
+            checklist.put("keystoneCreated",
+              userConfigs.list(tenant, user, UserConfigs.Filters).nonEmpty ||
+              userConfigs.list(tenant, user, UserConfigs.Dashboards).nonEmpty)
+            o.put("triggeredAlertsCount",
+              alerts.count(a => alertStore.stateOf(tenant, a) == "triggered"))
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case Some(Seq("home", "search")) =>
+            val needle = queryParams(ex).getOrElse("key", "").toLowerCase
+            if (needle.isEmpty) {
+              err(ex, 400, "missing query parameter 'key'"); return
+            }
+            val o = mapper.createObjectNode()
+            val resources = o.putArray("resources")
+            def add(id: String, name: String, kind: String): Unit =
+              if (name.toLowerCase.contains(needle)) {
+                val r = resources.addObject()
+                r.put("id", id); r.put("name", name)
+                r.put("resource_type", kind)
+                ()
+              }
+            visible.foreach(n => add(n, n, "DataSet"))
+            alertStore.listAlerts(tenant).foreach(a =>
+              add(a.path("id").asText(), a.path("title").asText(), "Alert"))
+            userConfigs.list(tenant, user, UserConfigs.Filters).foreach(f =>
+              add(f.path("filter_id").asText(),
+                f.path("filter_name").asText(), "Filter"))
+            userConfigs.list(tenant, user, UserConfigs.Dashboards).foreach(d =>
+              add(d.path("dashboardId").asText(),
+                d.path("name").asText(), "Dashboard"))
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case Some(Seq("logstream", name, "info")) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            if (!streamsFor(tenant).contains(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val dirStr = s"$root/${tenantKey(tenant, name)}"
+            val o = mapper.createObjectNode()
+            o.putObject("info").put("stream", name)
+            val schema =
+              (try Some(spark.read.parquet(dirStr).schema)
+               catch { case _: Exception => None })
+                .orElse(registry.get(tenantKey(tenant, name)))
+            schema match {
+              case Some(s) => o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+                "schema", mapper.readTree(s.json))
+              case None => o.putNull("schema")
+            }
+            val dir = new org.apache.hadoop.fs.Path(dirStr)
+            val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+            val stats = o.putObject("stats")
+            if (fs.exists(dir)) {
+              stats.put("size", fs.getContentSummary(dir).getLength)
+              stats.put("count",
+                try spark.read.parquet(dirStr).count()
+                catch { case _: Exception => 0L })
+            } else { stats.put("size", 0L); stats.put("count", 0L) }
+            val rp = new org.apache.hadoop.fs.Path(dir, "_retention.json")
+            val retention =
+              if (fs.exists(rp)) {
+                val in = fs.open(rp)
+                try new String(in.readAllBytes(), UTF_8) finally in.close()
+              } else "[]"
+            o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+              "retention", mapper.readTree(retention))
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case _ => err(ex, 404, "unknown prism path")
+        }
+    }
+  }
+
   server.createContext("/api/v1/ingest", handler(handleIngest))
   server.createContext("/api/v1/logstream", handler(handleLogstream))
   server.createContext("/api/v1/cluster", handler(handleCluster))
@@ -1501,6 +1622,7 @@ final class GraftHttpServer(
   server.createContext("/api/v1/o", handler(handleOidc))
   server.createContext("/api/v1/alerts", handler(handleAlerts))
   server.createContext("/api/v1/targets", handler(handleTargets))
+  server.createContext("/api/v1/prism", handler(handlePrism))
   server.createContext("/api/v1/about", handler(handleAbout))
   server.createContext("/api/v1/demodata", handler(handleDemoData))
   server.createContext("/api/v1/metrics", handler(handleMetrics))
