@@ -1,5 +1,7 @@
 package graft.catalog
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -166,6 +168,61 @@ object StatsCatalog {
       spark.emptyDataFrame
     else
       spark.read.parquet(paths: _*)
+  }
+
+  /** Scheme-independent file identity: catalog `file_path`s come from
+    * `_metadata.file_path` ("file:///…"), listings from Hadoop Paths
+    * ("file:/…") — compare by the bare path.
+    */
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Incremental refresh after an append: list the stream's data files,
+    * stat only the ones the catalog doesn't know, and rewrite the (tiny)
+    * catalog. This is the reference's manifest update per flush
+    * (`src/catalog/mod.rs:108-260`, called from the sync loop after each
+    * parquet conversion): the per-ingest cost is one listing plus a stats
+    * job over the NEW files only — the catalog itself stays a small
+    * metadata table however large the data grows.
+    *
+    * Returns the number of files added.
+    */
+  def addNewFiles(spark: SparkSession, tableRoot: String, catalogPath: String,
+                  statCols: Seq[String]): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return 0
+    val listing = Seq.newBuilder[String]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith("."))
+        listing += f.getPath.toString
+    }
+    val all = listing.result()
+    val existing: Seq[org.apache.spark.sql.Row] =
+      if (new java.io.File(catalogPath).isDirectory)
+        // an empty/not-yet-written catalog dir reads as no catalog
+        try resolve(spark, catalogPath).collect().toSeq
+        catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+      else Seq.empty
+    val known = existing.map(r =>
+      normPath(r.getAs[String]("file_path"))).toSet
+    val fresh = all.filterNot(p => known.contains(normPath(p)))
+    if (fresh.isEmpty) return 0
+    val added = collectFiles(spark, fresh, statCols)
+    val merged =
+      if (existing.isEmpty) added
+      else added.unionByName(
+        spark.createDataFrame(existing.asJava, added.schema))
+    // the catalog is driver-bounded metadata; collect() breaks the
+    // read-then-overwrite-same-path hazard
+    val rows = merged.collect().toSeq
+    spark.createDataFrame(rows.asJava, added.schema)
+      .coalesce(1).write.mode("overwrite").parquet(catalogPath)
+    fresh.size
   }
 
   /** COUNT(*) fast path: answer a bare unfiltered count from the catalog

@@ -441,7 +441,7 @@ final class GraftHttpServer(
               case Left(msg) => err(ex, 400, msg)
               case Right(df) =>
                 val n = df.count()
-                IngestPipeline.append(df, root, cfg)
+                appendWithStats(df, cfg)
                 ingestCalls.incrementAndGet()
                 ingestedEvents.addAndGet(n)
                 respond(ex, 200, mapper.writeValueAsString(
@@ -523,6 +523,26 @@ final class GraftHttpServer(
     }
   }
 
+  /** The stream's per-file stats catalog (the reference's manifest),
+    * maintained incrementally on every append so `/counts` (bin density)
+    * and stats fast paths answer from metadata.
+    */
+  private def statsPath(streamKey: String): String =
+    s"$root/.stats/$streamKey"
+
+  private def appendWithStats(df: org.apache.spark.sql.DataFrame,
+                              cfg: IngestPipeline.StreamConfig): Unit = {
+    IngestPipeline.append(df, root, cfg)
+    val timeCol = cfg.timePartition.getOrElse("p_timestamp")
+    // stats upkeep must never fail an ingest — the catalog self-heals on
+    // the next append (addNewFiles re-lists everything it doesn't know)
+    try {
+      graft.catalog.StatsCatalog.addNewFiles(spark, s"$root/${cfg.name}",
+        statsPath(cfg.name), Seq(timeCol))
+      ()
+    } catch { case _: Exception => () }
+  }
+
   /** `POST /api/v1/counts` (reference `query::get_counts`,
     * `CountsRequest` at `src/query/mod.rs:516-527`): per-bin record counts
     * of one stream over a time range, the console's histogram strip. Body
@@ -594,6 +614,24 @@ final class GraftHttpServer(
           case Some(c) => alertStore.parseCondition(c) match {
             case Left(msg)   => err(ex, 400, msg); return
             case Right(node) => Some(Alerts.Conditions.toColumn(node))
+          }
+        }
+        // manifest fast path (reference `get_bin_density`): an unfiltered
+        // histogram answers from the stream's stats catalog — only files
+        // straddling a bin boundary are scanned
+        val catDir = statsPath(tenantKey(tenant, streamName))
+        if (where.isEmpty && new java.io.File(catDir).isDirectory) {
+          val dense =
+            try Counts.binDensityFromStats(
+              graft.catalog.StatsCatalog.resolve(spark, catDir),
+              stream.timeCol, startMs, range.end.toEpochMilli, binMillis,
+              paths => spark.read.parquet(paths: _*))
+            catch { case _: Exception => None }
+          dense match {
+            case Some(pairs) =>
+              respondCounts(ex, startMs, binMillis, bins, pairs.toMap)
+              return
+            case None => () // fall through to the scan
           }
         }
         val t = col(stream.timeCol).cast("timestamp")
@@ -1422,7 +1460,7 @@ final class GraftHttpServer(
               case Left(msg) => err(ex, 500, msg)
               case Right(df) =>
                 val n = df.count()
-                IngestPipeline.append(df, root, cfg)
+                appendWithStats(df, cfg)
                 ingestedEvents.addAndGet(n)
                 respond(ex, 200, mapper.writeValueAsString(
                   mapper.createObjectNode()

@@ -85,6 +85,65 @@ object Counts {
       col("min_v") :+ col("max_v") :+
       (col("sum_dec").cast("double") / col("cnt")).as("avg_v"): _*)
 
+  /** Histogram bin densities answered from a [[graft.catalog.StatsCatalog]]
+    * frame instead of the data — the reference's `get_bin_density`
+    * (`src/query/mod.rs:537-662`): a file whose `[min, max]` time span sits
+    * entirely inside one bin contributes its exact `num_rows` from catalog
+    * METADATA; only files that straddle a bin boundary (or the range edge,
+    * or carry no time stats) are actually scanned. With minute-partitioned
+    * ingest and ≥1-minute bins nearly every file is contained, so a
+    * 100 TB histogram costs one tiny catalog aggregate plus a scan of the
+    * handful of boundary files.
+    *
+    * Returns sparse `(binIndex, count)` pairs for bins intersecting
+    * `[startMs, endMs)`, or `None` when more than `maxStraddlers` files
+    * would need scanning — the caller should fall back to a plain scan
+    * (the fast path would not be fast).
+    */
+  def binDensityFromStats(
+      cat: DataFrame,
+      timeCol: String,
+      startMs: Long,
+      endMs: Long,
+      binMillis: Long,
+      readFiles: Seq[String] => DataFrame,
+      maxStraddlers: Int = 10000): Option[Seq[(Int, Long)]] = {
+    val mn = unix_millis(to_timestamp(col(s"min_$timeCol")))
+    val mx = unix_millis(to_timestamp(col(s"max_$timeCol")))
+    // no-stats files can hold in-range rows: keep them (as straddlers)
+    val overlap = cat
+      .select(col("file_path"), col("num_rows"), mn.as("mn"), mx.as("mx"))
+      .filter(col("mn").isNull || col("mx").isNull ||
+        (col("mx") >= startMs && col("mn") < endMs))
+      .withColumn("bmin",
+        floor((col("mn") - startMs) / binMillis).cast("int"))
+      .withColumn("bmax",
+        floor((col("mx") - startMs) / binMillis).cast("int"))
+    val contained = col("mn").isNotNull && col("mx").isNotNull &&
+      col("mn") >= startMs && col("mx") < endMs && col("bmin") === col("bmax")
+    // the metadata half: one aggregate over catalog rows, never the data
+    val fromStats = overlap.filter(contained)
+      .groupBy(col("bmin").as("bin"))
+      .agg(sum(col("num_rows")).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val straddlers = overlap.filter(!contained).select("file_path")
+      .limit(maxStraddlers + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (straddlers.size > maxStraddlers) return None
+    val scanned =
+      if (straddlers.isEmpty) Seq.empty[(Int, Long)]
+      else {
+        val t = unix_millis(col(timeCol).cast("timestamp"))
+        readFiles(straddlers)
+          .filter(t >= startMs && t < endMs)
+          .groupBy(floor((t - startMs) / binMillis).cast("int").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      }
+    Some((fromStats ++ scanned).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq)
+  }
+
   /** Binned counts broken down by the top-k groups (by total count).
     *
     * Two aggregations over the same shuffle key-space + a broadcast join of

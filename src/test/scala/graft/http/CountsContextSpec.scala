@@ -57,6 +57,9 @@ class CountsContextSpec extends SparkSuite {
           s"""{"stream": "ev", "startTime": "10m", "endTime": "$end",
              |"numBins": 10$extra}""".stripMargin))
 
+      // ingest maintained the stream's stats catalog → the conditionless
+      // request below goes through the manifest bin-density fast path
+      assert(new java.io.File(s"$tmp/.stats/ev").isDirectory)
       val (cs, cb) = counts()
       assert(cs == 200, cb)
       val node = mapper.readTree(cb)
