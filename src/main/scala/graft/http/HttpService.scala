@@ -788,22 +788,49 @@ final class GraftHttpServer(
               err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
               None
           }
-        // a filter is bound to a stream: creating/updating one requires
-        // query access to that stream (reference filter authorization)
-        def filterStreamAllowed(
-            node: com.fasterxml.jackson.databind.node.ObjectNode): Boolean =
-          kind != UserConfigs.Filters || userOpt.forall { u =>
-            Option(node.get("stream_name")).map(_.asText()).forall(s =>
-              Rbac.authorized(u, Rbac.QueryAction, tenantKey(tenant, s)))
-          }
+        def canQueryStream(s: String): Boolean = userOpt.forall(
+          Rbac.authorized(_, Rbac.QueryAction, tenantKey(tenant, s)))
+        // per-kind validation: filters bind one stream (reference filter
+        // authorization); correlations bind exactly two, with matching
+        // join tables (reference `CorrelationConfig::validate`,
+        // `src/correlation.rs:280-314`)
+        def validate(node: com.fasterxml.jackson.databind.node.ObjectNode)
+            : Either[(Int, String), Unit] = kind match {
+          case UserConfigs.Filters =>
+            Option(node.get("stream_name")).map(_.asText()) match {
+              case Some(s) if !canQueryStream(s) =>
+                Left((403,
+                  s"user '$user' lacks query access to the filter's stream"))
+              case _ => Right(())
+            }
+          case UserConfigs.Correlations =>
+            val tables = Option(node.get("tableConfigs")).toSeq
+              .flatMap(_.elements().asScala)
+              .map(_.path("tableName").asText()).toSet
+            val joinTables = Option(node.get("joinConfig")).toSeq
+              .flatMap(c => Option(c.get("joinConditions")).toSeq)
+              .flatMap(_.elements().asScala)
+              .map(_.path("tableName").asText()).toSet
+            if (tables.size != 2)
+              Left((400, "must provide config for two unique tables"))
+            else if (joinTables.nonEmpty && joinTables != tables)
+              Left((400,
+                "must provide same tables for join config and table config"))
+            else tables.find(!canQueryStream(_)) match {
+              case Some(s) =>
+                Left((403, s"user '$user' lacks query access to '$s'"))
+              case None => Right(())
+            }
+          case _ => Right(())
+        }
         (ex.getRequestMethod, id) match {
           case ("POST", None) =>
             parseBody().foreach { node =>
-              if (!filterStreamAllowed(node))
-                err(ex, 403, s"user '$user' lacks query access to the " +
-                  "filter's stream")
-              else respond(ex, 200, mapper.writeValueAsString(
-                userConfigs.create(tenant, user, kind, node)))
+              validate(node) match {
+                case Left((code, msg)) => err(ex, code, msg)
+                case Right(()) => respond(ex, 200, mapper.writeValueAsString(
+                  userConfigs.create(tenant, user, kind, node)))
+              }
             }
           case ("GET", None) =>
             respond(ex, 200, mapper.writeValueAsString(
@@ -817,13 +844,15 @@ final class GraftHttpServer(
             }
           case ("PUT", Some(oid)) =>
             parseBody().foreach { node =>
-              if (!filterStreamAllowed(node))
-                err(ex, 403, s"user '$user' lacks query access to the " +
-                  "filter's stream")
-              else userConfigs.update(tenant, user, kind, oid, node) match {
-                case Some(updated) =>
-                  respond(ex, 200, mapper.writeValueAsString(updated))
-                case None => err(ex, 404, s"${kind.name} '$oid' not found")
+              validate(node) match {
+                case Left((code, msg)) => err(ex, code, msg)
+                case Right(()) =>
+                  userConfigs.update(tenant, user, kind, oid, node) match {
+                    case Some(updated) =>
+                      respond(ex, 200, mapper.writeValueAsString(updated))
+                    case None =>
+                      err(ex, 404, s"${kind.name} '$oid' not found")
+                  }
               }
             }
           case ("DELETE", Some(oid)) =>
@@ -1606,6 +1635,9 @@ final class GraftHttpServer(
             userConfigs.list(tenant, user, UserConfigs.Dashboards).foreach(d =>
               add(d.path("dashboardId").asText(),
                 d.path("name").asText(), "Dashboard"))
+            userConfigs.list(tenant, user, UserConfigs.Correlations)
+              .foreach(c => add(c.path("id").asText(),
+                c.path("title").asText(), "Correlation"))
             respond(ex, 200, mapper.writeValueAsString(o))
           case Some(Seq("logstream", name, "info")) =>
             if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
@@ -1657,6 +1689,8 @@ final class GraftHttpServer(
     handler(handleUserConfigs(UserConfigs.Filters)))
   server.createContext("/api/v1/dashboards",
     handler(handleUserConfigs(UserConfigs.Dashboards)))
+  server.createContext("/api/v1/correlation",
+    handler(handleUserConfigs(UserConfigs.Correlations)))
   server.createContext("/api/v1/o", handler(handleOidc))
   server.createContext("/api/v1/alerts", handler(handleAlerts))
   server.createContext("/api/v1/targets", handler(handleTargets))

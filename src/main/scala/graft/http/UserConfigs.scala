@@ -106,6 +106,10 @@ final class UserConfigs(root: String) {
         node.put("modified", now)
         if (!node.hasNonNull("isFavorite")) node.put("isFavorite", false)
         if (!node.hasNonNull("tiles")) node.putArray("tiles")
+      case Correlations =>
+        node.put("version", CurrentCorrelationVersion)
+        node.put("user_id", user)
+        node.put("id", id)
     }
     node
   }
@@ -115,8 +119,10 @@ object UserConfigs {
   /** Same version tags the reference writes. */
   val CurrentFilterVersion = "v2"
   val CurrentDashboardVersion = "v3"
+  val CurrentCorrelationVersion = "v1"
 
   sealed abstract class Kind(val name: String, val idField: String)
   case object Filters extends Kind("filters", "filter_id")
   case object Dashboards extends Kind("dashboards", "dashboardId")
+  case object Correlations extends Kind("correlation", "id")
 }
