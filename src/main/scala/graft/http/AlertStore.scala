@@ -8,7 +8,6 @@ import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.node.ObjectNode
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit}
 
 import graft.query.{Alerts, AlertTargets, QueryService}
 
@@ -246,10 +245,14 @@ final class AlertStore(root: String) extends AutoCloseable {
       case Some(s) => s
       case None    => return Left(s"stream '${parsed.stream}' not found")
     }
-    val since = java.time.Instant.now().minusMillis(parsed.evalWindowMillis)
+    val now = java.time.Instant.now()
+    val since = now.minusMillis(parsed.evalWindowMillis)
+    // the same catalog-pruned windowed scan the query path uses; the hour
+    // of forward slack admits ingest clock skew (the old unbounded read
+    // did too)
     val df =
-      try spark.read.parquet(stream.path)
-        .filter(col(stream.timeCol) >= lit(java.sql.Timestamp.from(since)))
+      try graft.query.QueryService.windowedRead(spark, parsed.stream, stream,
+        graft.query.TimeRange(since, now.plusSeconds(3600)))
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           return Left(s"stream '${parsed.stream}' has no data: ${e.getMessage}")

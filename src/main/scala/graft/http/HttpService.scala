@@ -161,7 +161,11 @@ final class GraftHttpServer(
         if (tenant == DefaultTenant) Option.when(!key.contains('/'))(key)
         else Option.when(key.startsWith(s"$tenant/"))(
           key.stripPrefix(s"$tenant/"))
-      bare.map(_ -> QueryService.Stream(s"$root/$key", "p_timestamp"))
+      // streams with a maintained stats catalog read through the
+      // catalog-backed FileIndex (file pruning before any footer opens)
+      bare.map(_ -> QueryService.Stream(s"$root/$key", "p_timestamp",
+        catalogPath = Option(statsPath(key))
+          .filter(p => new java.io.File(p).isDirectory)))
     }.toMap
   }
 
@@ -489,6 +493,34 @@ final class GraftHttpServer(
             // stream names resolve strictly inside the caller's tenant —
             // another tenant's streams are absent from this map entirely
             val visible = streamsFor(tenantOf(user))
+            // reference `handle_count_query`: a bare COUNT(*) over a
+            // catalog-backed stream answers from manifest row counts for
+            // the window (one-bin density) — no data scan
+            QueryService.bareCountStar(spark, q) match {
+              case Some((table, outName))
+                  if visible.get(table).exists(_.catalogPath.isDefined) &&
+                    user.forall(Rbac.authorized(_, Rbac.QueryAction,
+                      tenantKey(tenantOf(user), table))) =>
+                val st = visible(table)
+                val startMs = range.start.toEpochMilli
+                val endMs = math.max(startMs + 1, range.end.toEpochMilli)
+                val dense =
+                  try Counts.binDensityFromStats(
+                    graft.catalog.StatsCatalog.resolve(spark,
+                      st.catalogPath.get),
+                    st.timeCol, startMs, endMs, binMillis = endMs - startMs,
+                    readFiles = paths => spark.read.parquet(paths: _*))
+                  catch { case _: Exception => None }
+                dense match {
+                  case Some(pairs) =>
+                    val o = mapper.createArrayNode()
+                    o.addObject().put(outName, pairs.map(_._2).sum)
+                    respond(ex, 200, mapper.writeValueAsString(o))
+                    return
+                  case None => () // fall through to normal execution
+                }
+              case _ => ()
+            }
             val result = user match {
               case Some(u) =>
                 val tenant = tenantOf(user)
@@ -530,17 +562,35 @@ final class GraftHttpServer(
   private def statsPath(streamKey: String): String =
     s"$root/.stats/$streamKey"
 
+  // per-stream serialization of catalog rewrites: two concurrent appends
+  // must not interleave list-then-overwrite (one would drop the other's
+  // rows, and the catalog is load-bearing for reads)
+  private val statsLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def appendWithStats(df: org.apache.spark.sql.DataFrame,
                               cfg: IngestPipeline.StreamConfig): Unit = {
     IngestPipeline.append(df, root, cfg)
     val timeCol = cfg.timePartition.getOrElse("p_timestamp")
-    // stats upkeep must never fail an ingest — the catalog self-heals on
-    // the next append (addNewFiles re-lists everything it doesn't know)
-    try {
-      graft.catalog.StatsCatalog.addNewFiles(spark, s"$root/${cfg.name}",
-        statsPath(cfg.name), Seq(timeCol))
-      ()
-    } catch { case _: Exception => () }
+    val lock = statsLocks.computeIfAbsent(cfg.name, _ => new Object)
+    lock.synchronized {
+      // stats upkeep must never fail an ingest, but queries read THROUGH
+      // the catalog once it exists — on failure, drop it entirely so
+      // readers fall back to full listing (correct, just slower); the next
+      // successful append rebuilds it (addNewFiles re-lists everything)
+      try {
+        graft.catalog.StatsCatalog.addNewFiles(spark, s"$root/${cfg.name}",
+          statsPath(cfg.name), Seq(timeCol))
+        ()
+      } catch {
+        case _: Exception =>
+          val dir = new org.apache.hadoop.fs.Path(statsPath(cfg.name))
+          try dir.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(dir, true)
+          catch { case _: Exception => () }
+          ()
+      }
+    }
   }
 
   /** `POST /api/v1/counts` (reference `query::get_counts`,
@@ -635,15 +685,12 @@ final class GraftHttpServer(
           }
         }
         val t = col(stream.timeCol).cast("timestamp")
-        val base =
-          try spark.read.parquet(stream.path)
+        val filtered =
+          try QueryService.windowedRead(spark, streamName, stream, range)
           catch {
             case _: org.apache.spark.sql.AnalysisException =>
               respondCounts(ex, startMs, binMillis, bins, Map.empty); return
           }
-        val filtered = base
-          .filter(t >= lit(java.sql.Timestamp.from(range.start)) &&
-            t < lit(java.sql.Timestamp.from(range.end)))
         val sparse = where.foldLeft(filtered)(_ filter _)
           .groupBy(floor((unix_millis(t) - startMs) / binMillis)
             .cast("int").as("bin"))
@@ -732,19 +779,18 @@ final class GraftHttpServer(
           return
         }
         val df =
-          try spark.read.parquet(stream.path)
+          try QueryService.windowedRead(spark, dataset, stream,
+            TimeRange(anchor.minus(window), anchor.plus(window).plusMillis(1)))
           catch {
             case _: org.apache.spark.sql.AnalysisException =>
               err(ex, 404, s"stream '$dataset' has no data"); return
           }
         val t = col(stream.timeCol).cast("timestamp")
         val anchorTs = lit(java.sql.Timestamp.from(anchor))
-        val lo = lit(java.sql.Timestamp.from(anchor.minus(window)))
-        val hi = lit(java.sql.Timestamp.from(anchor.plus(window)))
         val half = math.max(1, pageSize / 2)
-        val beforeDf = df.filter(t >= lo && t < anchorTs)
+        val beforeDf = df.filter(t < anchorTs)
           .orderBy(t.desc).limit(half)
-        val afterDf = df.filter(t >= anchorTs && t <= hi)
+        val afterDf = df.filter(t >= anchorTs)
           .orderBy(t.asc).limit(pageSize - half)
         val beforeArr = mapper.readTree(ResponseWriter.toJsonArray(beforeDf))
         val afterArr = mapper.readTree(ResponseWriter.toJsonArray(afterDf))

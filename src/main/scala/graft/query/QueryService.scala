@@ -128,8 +128,16 @@ object QueryService {
     * answerable from catalog metadata without scanning data files
     * (reference `src/query/mod.rs:427-462`). Returns the table name.
     */
-  def detectBareCountStar(spark: SparkSession, sql: String): Option[String] = {
-    import org.apache.spark.sql.catalyst.expressions.Expression
+  def detectBareCountStar(spark: SparkSession, sql: String): Option[String] =
+    bareCountStar(spark, sql).map(_._1)
+
+  /** As [[detectBareCountStar]], also yielding the output column name the
+    * executed query would carry (`count(1)` unless aliased) — so a fast
+    * path can answer with the exact response shape.
+    */
+  def bareCountStar(spark: SparkSession,
+                    sql: String): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
     def isCountStar(exprs: Seq[Expression]): Boolean =
       exprs.size == 1 && {
@@ -137,12 +145,16 @@ object QueryService {
         val text = exprs.head.toString.toLowerCase.replaceAll("[\\s']", "")
         text.contains("count(*)") || text.contains("count(1)")
       }
+    def outName(e: Expression): String = e match {
+      case a: Alias => a.name
+      case _        => "count(1)"
+    }
     spark.sessionState.sqlParser.parsePlan(sql) match {
       // COUNT(*) with no grouping parses as a bare Project until analysis
       case Project(list, r: UnresolvedRelation) if isCountStar(list) =>
-        Some(r.tableName)
+        Some((r.tableName, outName(list.head)))
       case Aggregate(Nil, aggs, r: UnresolvedRelation, _) if isCountStar(aggs) =>
-        Some(r.tableName)
+        Some((r.tableName, outName(aggs.head)))
       case _ => None
     }
   }
@@ -169,6 +181,36 @@ object QueryService {
     * `src/query/stream_schema_provider.rs:936-958`).
     */
   val StagingWindowMillis: Long = 5 * 60 * 1000L
+
+  /** Time-windowed single-stream read for the non-SQL paths (alert
+    * evaluation, counts scans, log-context pages): the same scan shape
+    * [[query]] builds for SQL — stats-catalog `FileIndex` when the stream
+    * has one (pushed predicates prune FILES before any footer opens), the
+    * coarse Hive date-partition predicate (directory pruning), and the
+    * exact row-level window. No staging union — these paths answer from
+    * durable data.
+    */
+  def windowedRead(spark: SparkSession, name: String, s: Stream,
+                   range: TimeRange): DataFrame = {
+    val source = s.catalogPath match {
+      case Some(cat) =>
+        val catDf = graft.catalog.StatsCatalog.resolve(spark, cat)
+        if (catDf.columns.contains("file_size"))
+          graft.plans.StatsFileIndex.read(spark, catDf,
+            s.metaRoot.flatMap(graft.catalog.StreamMeta.unionSchema(_, name)))
+        else plainReader(spark, name, s).parquet(s.path)
+      case _ => plainReader(spark, name, s).parquet(s.path)
+    }
+    val timed = source.filter(
+      col(s.timeCol) >= lit(Instant.ofEpochMilli(range.start.toEpochMilli)) &&
+        col(s.timeCol) < lit(Instant.ofEpochMilli(range.end.toEpochMilli)))
+    if (source.columns.contains("date")) {
+      val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+        .withZone(java.time.ZoneOffset.UTC)
+      timed.filter(col("date").between(
+        fmt.format(range.start), fmt.format(range.end)))
+    } else timed
+  }
 
   /** [[query]] behind the RBAC gate (reference query flow step 5,
     * `user_auth_for_datasets`): every stream the SQL references must be

@@ -107,6 +107,37 @@ class CountsContextSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("bare COUNT(*) answers from the manifest with the executed shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cnt").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    try {
+      assert(http("PUT", s"$base/logstream/cs")._1 == 200)
+      (1 to 4).foreach(i =>
+        assert(http("POST", s"$base/ingest", Map("X-P-Stream" -> "cs"),
+          Some(s"""{"v": $i}"""))._1 == 200))
+      assert(new java.io.File(s"$tmp/.stats/cs").isDirectory) // fast path on
+      val end = Instant.now().plusSeconds(120).toString
+      def q(sql: String): String = http("POST", s"$base/query", body = Some(
+        s"""{"query": "$sql", "startTime": "10m",
+           |"endTime": "$end"}""".stripMargin))._2
+      // same column name as real execution, aliased and not
+      assert(mapper.readTree(q("SELECT COUNT(*) FROM cs"))
+        .get(0).get("count(1)").asLong() == 4L)
+      assert(mapper.readTree(q("SELECT COUNT(*) AS n FROM cs"))
+        .get(0).get("n").asLong() == 4L)
+      // a window before the data → zero, not an error
+      val old = http("POST", s"$base/query", body = Some(
+        """{"query": "SELECT COUNT(*) FROM cs", "startTime": "60m",
+          |"endTime": "30m"}""".stripMargin))._2
+      assert(mapper.readTree(old).get(0).get("count(1)").asLong() == 0L)
+      // non-bare shapes still execute normally
+      assert(mapper.readTree(q("SELECT COUNT(*) FROM cs WHERE v > 2"))
+        .get(0).get("count(1)").asLong() == 2L)
+    } finally srv.stop()
+  }
+
   test("query/context: anchored page, ordering, window clipping") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ctx").toString
     val srv = new GraftHttpServer(spark, tmp)
