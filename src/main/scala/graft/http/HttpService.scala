@@ -456,6 +456,70 @@ final class GraftHttpServer(
     }
   }
 
+  /** OTLP/HTTP ingestion (reference `get_ingest_otel_factory`,
+    * `server.rs:653-682`: `POST /v1/logs|metrics|traces` with
+    * `X-P-Stream`): the OTLP JSON payload flattens through
+    * [[graft.ingest.OtelFlatten]] into wide rows, then rides the exact
+    * same pipeline as plain JSON ingest (schema registry, enrichment,
+    * partitioned append, stats catalog).
+    */
+  private def handleOtelIngest(ex: HttpExchange): Unit = {
+    if (role == Cluster.Querier) {
+      err(ex, 404, "ingest is not available on a querier node"); return
+    }
+    if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
+    val signal = Option(ex.getRequestURI.getPath)
+      .map(_.stripPrefix("/v1").stripPrefix("/")).getOrElse("")
+    val flatten: String => Seq[com.fasterxml.jackson.databind.node.ObjectNode] =
+      signal match {
+        case "logs"    => graft.ingest.OtelFlatten.flattenLogs
+        case "metrics" => graft.ingest.OtelFlatten.flattenMetrics
+        case "traces"  => graft.ingest.OtelFlatten.flattenTraces
+        case other => err(ex, 404, s"unknown OTLP signal '$other'"); return
+      }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(user) =>
+        val tenant = tenantOf(user)
+        Option(ex.getRequestHeaders.getFirst("X-P-Stream")) match {
+          case None => err(ex, 400, "missing X-P-Stream header")
+          case Some(stream) if user.exists(
+                !Rbac.authorized(_, Rbac.IngestAction,
+                  tenantKey(tenant, stream))) =>
+            err(ex, 403,
+              s"user '${user.get}' lacks ingest access to stream '$stream'")
+          case Some(stream) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val events =
+              try flatten(body)
+              catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  err(ex, 400,
+                    s"malformed OTLP JSON: ${e.getOriginalMessage}")
+                  return
+              }
+            val cfg = configs.computeIfAbsent(tenantKey(tenant, stream),
+              key => { metaStore.putStream(key)
+                IngestPipeline.StreamConfig(key) })
+            val ua =
+              Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse("")
+            val ip = ex.getRemoteAddress.getAddress.getHostAddress
+            IngestPipeline.ingestEvents(spark, registry, cfg, events, ua, ip,
+                format = s"otel-$signal") match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(df) =>
+                val n = df.count()
+                appendWithStats(df, cfg)
+                ingestCalls.incrementAndGet()
+                ingestedEvents.addAndGet(n)
+                respond(ex, 200, mapper.writeValueAsString(
+                  mapper.createObjectNode()
+                    .put("status", "ok").put("events", n)))
+            }
+        }
+    }
+  }
+
   private def handleQuery(ex: HttpExchange): Unit = {
     // an ingestor node does not mount query routes (reference modal split)
     if (role == Cluster.Ingestor) {
@@ -1726,6 +1790,7 @@ final class GraftHttpServer(
   }
 
   server.createContext("/api/v1/ingest", handler(handleIngest))
+  server.createContext("/v1", handler(handleOtelIngest))
   server.createContext("/api/v1/logstream", handler(handleLogstream))
   server.createContext("/api/v1/cluster", handler(handleCluster))
   server.createContext("/api/v1/query", handler(handleQuery))
