@@ -52,6 +52,38 @@ final class AlertStore(root: String) extends AutoCloseable {
 
   private val mapper = new ObjectMapper()
   private val machine = new Alerts.StateMachine(dispatchFor)
+  // SSE fan-out: (tenant, sink) pairs fed on alert TRIGGER transitions
+  // (reference `src/sse/mod.rs` broadcast + `alerts/mod.rs:735-748`)
+  private val sseListeners = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String => Unit)]()
+
+  /** Subscribe a tenant-scoped sink to alert trigger events; close to
+    * unsubscribe.
+    */
+  def addSseListener(tenant: String,
+                     sink: String => Unit): AutoCloseable = {
+    val entry = (tenant, sink)
+    sseListeners.add(entry)
+    () => { sseListeners.remove(entry); () }
+  }
+
+  /** Reference `SSEEvent` JSON shape (`src/sse/mod.rs`). */
+  private def broadcastTrigger(tenant: String, id: String,
+                               title: String): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("criticality", "error")
+    val alertEvent = o.putObject("message").putObject("alertEvent")
+    alertEvent.put("id", id)
+    alertEvent.put("state", "triggered")
+    alertEvent.put("name", title)
+    val json = mapper.writeValueAsString(o)
+    sseListeners.forEach { case (t, sink) =>
+      if (t == tenant) {
+        try sink(json)
+        catch { case _: Exception => () } // dead client; reaped on close
+      }
+    }
+  }
   // alert key (tenant + id) → live dispatcher over its parsed targets;
   // invalidated on any alert/target mutation in that tenant
   private val dispatchers =
@@ -261,6 +293,8 @@ final class AlertStore(root: String) extends AutoCloseable {
     // make sure the notify path sees CURRENT definitions
     ensureDispatcher(tenant, id, parsed)
     val state = machine.observe(alertKey(tenant, id), parsed.cfg, results)
+    if (state == Alerts.Triggered)
+      broadcastTrigger(tenant, id, node.path("title").asText())
     val o = mapper.createObjectNode().put("id", id).put("state",
       state match {
         case Alerts.Triggered => "triggered"

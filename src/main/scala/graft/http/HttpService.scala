@@ -1805,7 +1805,49 @@ final class GraftHttpServer(
   server.createContext("/api/v1/o", handler(handleOidc))
   server.createContext("/api/v1/alerts", handler(handleAlerts))
   server.createContext("/api/v1/targets", handler(handleTargets))
+  /** `GET /api/v1/sse` — server-sent alert trigger events (reference
+    * `src/sse/mod.rs` + the broadcast at `alerts/mod.rs:735-748`): each
+    * alert that transitions to Triggered pushes one `data:` frame with the
+    * reference's `SSEEvent` JSON to every connected client of the tenant.
+    * Keep-alive comments flush periodically so disconnects are noticed.
+    * Each client pins one pool thread — the console-scale contract, as in
+    * the reference (size `threads` accordingly).
+    */
+  private def handleSse(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (ex.getRequestMethod != "GET") { err(ex, 405, "GET only"); return }
+        val tenant = tenantOf(userOpt)
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.getResponseHeaders.set("Cache-Control", "no-cache")
+        ex.sendResponseHeaders(200, 0) // chunked
+        val os = ex.getResponseBody
+        val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+        val registration = alertStore.addSseListener(tenant, m => {
+          queue.offer(m); ()
+        })
+        try {
+          while (!stopping) {
+            val msg =
+              queue.poll(2, java.util.concurrent.TimeUnit.SECONDS)
+            if (msg == null) os.write(": keep-alive\n\n".getBytes(UTF_8))
+            else os.write(s"data: $msg\n\n".getBytes(UTF_8))
+            os.flush() // throws once the client went away → loop ends
+          }
+        } catch {
+          case _: java.io.IOException    => ()
+          case _: InterruptedException => ()
+        } finally {
+          registration.close()
+          try ex.close() catch { case _: Exception => () }
+        }
+    }
+
+  @volatile private var stopping = false
+
   server.createContext("/api/v1/prism", handler(handlePrism))
+  server.createContext("/api/v1/sse", handler(handleSse))
   server.createContext("/api/v1/about", handler(handleAbout))
   server.createContext("/api/v1/demodata", handler(handleDemoData))
   server.createContext("/api/v1/metrics", handler(handleMetrics))
@@ -1825,6 +1867,7 @@ final class GraftHttpServer(
   }
 
   def stop(): Unit = {
+    stopping = true // unblocks SSE loops at their next keep-alive tick
     server.stop(0)
     // the fixed pool's threads are non-daemon: without this, every
     // started server leaks `threads` live threads for the JVM's lifetime

@@ -195,6 +195,54 @@ class AlertsHttpSpec extends SparkSuite {
     } finally { srv.stop(); sink.stop(0) }
   }
 
+  test("SSE stream delivers alert trigger events") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sse").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    try {
+      assert(http("PUT", s"$base/logstream/s")._1 == 200)
+      assert(http("POST", s"$base/ingest", Map("X-P-Stream" -> "s"),
+        Some("""{"v": 9}"""))._1 == 200)
+      val aid = mapper.readTree(http("POST", s"$base/alerts", body = Some(
+        """{"title": "sse alert", "stream": "s", "agg": "max",
+          |"column": "v", "operator": "above",
+          |"threshold": 1}""".stripMargin))._2).get("id").asText()
+
+      // subscribe, then trigger; the event must arrive as a data: frame
+      val conn = new URL(s"$base/sse").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setReadTimeout(15000)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, UTF_8))
+      assert(conn.getContentType.startsWith("text/event-stream"))
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val t = new Thread(() => {
+        try {
+          var line = reader.readLine()
+          while (line != null && !line.startsWith("data: ")) {
+            line = reader.readLine() // skip keep-alive comments
+          }
+          if (line != null) got.offer(line.stripPrefix("data: "))
+          ()
+        } catch { case _: Exception => () }
+      })
+      t.start()
+      Thread.sleep(300) // let the subscription land before the trigger
+      assert(http("PUT", s"$base/alerts/$aid/evaluate_alert")._1 == 200)
+      val frame = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(frame != null, "no SSE frame arrived")
+      val event = mapper.readTree(frame)
+      assert(event.get("criticality").asText() == "error")
+      val info = event.get("message").get("alertEvent")
+      assert(info.get("id").asText() == aid)
+      assert(info.get("state").asText() == "triggered")
+      assert(info.get("name").asText() == "sse alert")
+      conn.disconnect()
+      t.join(2000)
+    } finally srv.stop()
+  }
+
   test("mutations require admin or editor; reads do not") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-alerts3").toString
     Rbac.clear()
