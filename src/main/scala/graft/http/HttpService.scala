@@ -1640,6 +1640,102 @@ final class GraftHttpServer(
         }
     }
 
+  /** OTel demo generator (reference `handlers/http/otel_generator.rs`):
+    * `POST /api/v1/otel_generator` (`{"durationSecs": n,
+    * "intervalMillis": m?}`) starts one background producer per tenant
+    * that pushes a deterministic OTLP logs batch through the SAME
+    * flatten/ingest pipeline as `/v1/logs` every interval, into the
+    * `otel-demo-logs` stream; `DELETE` stops it; `GET` reports status.
+    * 202/409 start semantics as in the reference.
+    */
+  private final class OtelGenerator(tenant: String, durationSecs: Long,
+                                    intervalMillis: Long) {
+    val startedAtMs: Long = System.currentTimeMillis()
+    @volatile var batches: Long = 0L
+    @volatile private var stopRequested = false
+    private val thread = new Thread(() => {
+      val deadline = startedAtMs + durationSecs * 1000L
+      val cfg = configs.computeIfAbsent(tenantKey(tenant, "otel-demo-logs"),
+        key => { metaStore.putStream(key); IngestPipeline.StreamConfig(key) })
+      while (!stopRequested && System.currentTimeMillis() < deadline) {
+        try {
+          val events = graft.ingest.OtelFlatten.flattenLogs(
+            GraftHttpServer.otelDemoBatch(batches, 5))
+          IngestPipeline.ingestEvents(spark, registry, cfg, events,
+              "otel-generator", "127.0.0.1")
+            .foreach { df => df.count(); appendWithStats(df, cfg) }
+          batches += 1
+        } catch { case _: Exception => () } // never kill the loop
+        Thread.sleep(intervalMillis)
+      }
+      generators.remove(tenant, this)
+      ()
+    }, s"graft-otel-generator-$tenant")
+    thread.setDaemon(true)
+    def start(): Unit = thread.start()
+    def stop(): Unit = { stopRequested = true }
+    def running: Boolean = thread.isAlive && !stopRequested
+  }
+
+  private val generators =
+    new java.util.concurrent.ConcurrentHashMap[String, OtelGenerator]()
+
+  private def handleOtelGenerator(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (role == Cluster.Querier) {
+          err(ex, 404, "the generator needs an ingest-capable node"); return
+        }
+        val tenant = tenantOf(userOpt)
+        ex.getRequestMethod match {
+          case "POST" =>
+            val body =
+              try mapper.readTree(new String(
+                ex.getRequestBody.readAllBytes(), UTF_8))
+              catch {
+                case _: com.fasterxml.jackson.core.JacksonException =>
+                  mapper.createObjectNode()
+              }
+            val duration = body.path("durationSecs").asLong(86400L)
+            if (duration <= 0 || duration > GraftHttpServer.MaxGeneratorSecs) {
+              err(ex, 400, "durationSecs must be between 1 and " +
+                s"${GraftHttpServer.MaxGeneratorSecs}")
+              return
+            }
+            val interval = math.max(50L,
+              body.path("intervalMillis").asLong(1000L))
+            val fresh = new OtelGenerator(tenant, duration, interval)
+            if (generators.putIfAbsent(tenant, fresh) != null) {
+              err(ex, 409, "generator already running for this tenant")
+            } else {
+              fresh.start()
+              respond(ex, 202, """{"status":"accepted",""" +
+                """"message":"OTel demo generator started"}""")
+            }
+          case "DELETE" =>
+            Option(generators.remove(tenant)) match {
+              case Some(g) =>
+                g.stop()
+                respond(ex, 200, """{"status":"stopped"}""")
+              case None => respond(ex, 200, """{"status":"not running"}""")
+            }
+          case "GET" =>
+            Option(generators.get(tenant)) match {
+              case Some(g) =>
+                respond(ex, 200, mapper.writeValueAsString(
+                  mapper.createObjectNode()
+                    .put("status", if (g.running) "running" else "stopping")
+                    .put("startedAt",
+                      java.time.Instant.ofEpochMilli(g.startedAtMs).toString)
+                    .put("batches", g.batches)))
+              case None =>
+                respond(ex, 200, """{"status":"not running"}""")
+            }
+          case _ => err(ex, 405, "POST, DELETE or GET")
+        }
+    }
+
   /** `GET /api/v1/metrics` — Prometheus text exposition of the server's
     * request counters (the reference mounts `actix_web_prometheus`
     * here). Unauthenticated, as scrapers expect.
@@ -1851,6 +1947,8 @@ final class GraftHttpServer(
   server.createContext("/api/v1/about", handler(handleAbout))
   server.createContext("/api/v1/demodata", handler(handleDemoData))
   server.createContext("/api/v1/metrics", handler(handleMetrics))
+  server.createContext("/api/v1/otel_generator",
+    handler(handleOtelGenerator))
   server.createContext("/api/v1/liveness",
     handler(ex => respond(ex, 200, """{"status":"alive"}""")))
   server.createContext("/api/v1/readiness",
@@ -1868,6 +1966,8 @@ final class GraftHttpServer(
 
   def stop(): Unit = {
     stopping = true // unblocks SSE loops at their next keep-alive tick
+    generators.values().asScala.foreach(_.stop())
+    generators.clear()
     server.stop(0)
     // the fixed pool's threads are non-daemon: without this, every
     // started server leaks `threads` live threads for the JVM's lifetime
@@ -1931,4 +2031,34 @@ object GraftHttpServer {
   val DefaultContextPageSize = 500
 
   private[http] val RelativeWindow = """^(\d+)\s*(s|m|h|d)$""".r
+
+  /** Reference `MAX_DURATION_SECS` (7 days). */
+  val MaxGeneratorSecs: Long = 7L * 24 * 60 * 60
+
+  /** Deterministic OTLP logs payload for the demo generator: `n` records
+    * seeded by `(batch, index)`, wearing realistic severity/service/body
+    * variety. Timestamps are the CALL time (the stream must look live).
+    */
+  private[http] def otelDemoBatch(batch: Long, n: Int): String = {
+    val services = Vector("checkout", "auth", "catalog", "payments")
+    val bodies = Vector("request completed", "cache miss", "retrying upstream",
+      "slow query detected", "connection reset by peer")
+    val severities = Vector(5, 9, 9, 9, 13, 17) // debug/info×3/warn/error
+    val nowNs = System.currentTimeMillis() * 1000000L
+    val records = (0 until n).map { i =>
+      var h = (batch * 1024 + i) * 0x9E3779B97F4A7C15L
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 27
+      def pick[A](v: Vector[A], salt: Int): A =
+        v((((h >>> (salt * 7)) % v.size + v.size) % v.size).toInt)
+      s"""{"timeUnixNano":"${nowNs + i}",
+         |"severityNumber":${pick(severities, 1)},
+         |"body":{"stringValue":"${pick(bodies, 2)}"},
+         |"attributes":[{"key":"service.name",
+         |"value":{"stringValue":"${pick(services, 3)}"}}]}""".stripMargin
+    }.mkString(",")
+    s"""{"resourceLogs":[{"resource":{"attributes":[
+       |{"key":"telemetry.sdk.name","value":{"stringValue":"graft-demo"}}]},
+       |"scopeLogs":[{"scope":{"name":"graft-otel-generator"},
+       |"logRecords":[$records]}]}]}""".stripMargin
+  }
 }

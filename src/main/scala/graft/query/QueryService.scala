@@ -31,10 +31,48 @@ object QueryService {
 
   /** Table names referenced by a SQL query, resolved with Spark's own parser
     * (reference uses sqlparser+PostgreSqlDialect, `src/query/mod.rs:747-759`).
+    * Names come back UNQUOTED (`tableName` would backtick-quote
+    * non-identifier names like `otel-demo-logs`, which then never match the
+    * stream registry).
     */
   def referencedTables(spark: SparkSession, sql: String): Seq[String] = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    plan.collectWithSubqueries { case r: UnresolvedRelation => r.tableName }.distinct
+    plan.collectWithSubqueries {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+    }.distinct
+  }
+
+  /** Streams may carry names Spark's temp-view validator rejects (the
+    * reference allows e.g. `otel-demo-logs`). Such names register under a
+    * sanitized alias and the parsed plan is rewritten to reference it —
+    * wrapped back in a `SubqueryAlias` carrying the ORIGINAL name, so
+    * qualified column references (`` `otel-demo-logs`.body ``) and
+    * per-relation time-filter attribution keep working.
+    */
+  private val SafeIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private[query] def viewName(name: String): String =
+    if (SafeIdent.matches(name)) name
+    else "g_" + name.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      java.lang.Integer.toHexString(name.hashCode)
+
+  /** Parse `sql`, redirecting single-part relations of aliased streams to
+    * their registered view names (identity when every name is safe).
+    */
+  private def rewrittenPlan(
+      spark: SparkSession, sql: String, names: Set[String])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    if (names.forall(n => viewName(n) == n)) parsed
+    else parsed.transformUpWithSubqueries {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.size == 1 &&
+            names.contains(r.multipartIdentifier.head) &&
+            viewName(r.multipartIdentifier.head) !=
+              r.multipartIdentifier.head =>
+        SubqueryAlias(r.multipartIdentifier.head,
+          UnresolvedRelation(Seq(viewName(r.multipartIdentifier.head))))
+    }
   }
 
   /** Whether the parsed query filters on `timeCol` ANYWHERE — the coarse
@@ -83,10 +121,13 @@ object QueryService {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BinaryComparison, ExprId}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, SubqueryAlias}
     streams.foreach { case (name, s) =>
-      plainReader(spark, name, s).parquet(s.path).createOrReplaceTempView(name)
+      plainReader(spark, name, s).parquet(s.path)
+        .createOrReplaceTempView(viewName(name))
     }
     val analyzed =
-      try spark.sql(sql).queryExecution.analyzed
+      try org.apache.spark.sql.graft.ColumnBridge
+        .ofRows(spark, rewrittenPlan(spark, sql, streams.keySet))
+        .queryExecution.analyzed
       catch {
         case _: Exception =>
           return streams.filter { case (_, s) =>
@@ -152,9 +193,9 @@ object QueryService {
     spark.sessionState.sqlParser.parsePlan(sql) match {
       // COUNT(*) with no grouping parses as a bare Project until analysis
       case Project(list, r: UnresolvedRelation) if isCountStar(list) =>
-        Some((r.tableName, outName(list.head)))
+        Some((r.multipartIdentifier.last, outName(list.head)))
       case Aggregate(Nil, aggs, r: UnresolvedRelation, _) if isCountStar(aggs) =>
-        Some((r.tableName, outName(aggs.head)))
+        Some((r.multipartIdentifier.last, outName(aggs.head)))
       case _ => None
     }
   }
@@ -307,8 +348,9 @@ object QueryService {
                 base.unionByName(windowed(recent), allowMissingColumns = true)
               case _ => base
             }
-        df.createOrReplaceTempView(name)
+        df.createOrReplaceTempView(viewName(name))
     }
-    spark.sql(sql)
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      rewrittenPlan(spark, sql, referenced.map(_._1).toSet))
   }
 }

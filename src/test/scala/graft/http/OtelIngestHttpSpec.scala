@@ -103,6 +103,44 @@ class OtelIngestHttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("otel generator: start, status, produced data, stop, conflicts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    try {
+      assert(mapper.readTree(http("GET", s"$base/otel_generator")._2)
+        .get("status").asText() == "not running")
+      assert(http("POST", s"$base/otel_generator",
+        body = Some("""{"durationSecs": 0}"""))._1 == 400)
+      val (ss, sb) = http("POST", s"$base/otel_generator",
+        body = Some("""{"durationSecs": 120, "intervalMillis": 100}"""))
+      assert(ss == 202, sb)
+      // double start conflicts
+      assert(http("POST", s"$base/otel_generator",
+        body = Some("""{"durationSecs": 120}"""))._1 == 409)
+      // wait for at least one batch to land
+      var batches = 0L
+      val deadline = System.currentTimeMillis() + 30000
+      while (batches < 1 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        batches = mapper.readTree(http("GET", s"$base/otel_generator")._2)
+          .path("batches").asLong(0)
+      }
+      assert(batches >= 1, "generator produced no batches in 30s")
+      assert(http("DELETE", s"$base/otel_generator")._2
+        .contains("stopped"))
+      // the generated stream exists and its rows are flattened OTel logs
+      assert(http("GET", s"$base/logstream")._2.contains("otel-demo-logs"))
+      val end = Instant.now().plusSeconds(60).toString
+      val (qs, qb) = http("POST", s"$base/query", body = Some(
+        s"""{"query": "SELECT severity_text FROM `otel-demo-logs` LIMIT 1",
+           |"startTime": "10m", "endTime": "$end"}""".stripMargin))
+      assert(qs == 200, qb)
+      assert(mapper.readTree(qb).size() == 1, qb)
+    } finally srv.stop()
+  }
+
   test("OTLP ingest honors RBAC ingest permission") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-otlp2").toString
     Rbac.clear()
