@@ -184,6 +184,30 @@ object SparkEntry {
         .orderBy(col("bin_start"))
     }),
 
+    // A3+: manifest-answered histogram — materialize the events table
+    // hour-partitioned, build the per-file stats catalog, then answer the
+    // hourly histogram from catalog num_rows sums alone (bin-contained
+    // files never scanned; straddlers read exactly). Hash-equal to the
+    // scan-based oracle → the metadata fast path is exact.
+    "q_counts_density" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("density").toString
+      t(s, dir, "events").select(col("ts"))
+        .withColumn("hr", floor(unix_millis(col("ts").cast("timestamp")) /
+          3600000L).cast("long"))
+        .write.partitionBy("hr").parquet(s"$base/t")
+      graft.catalog.StatsCatalog.refresh(s, s"$base/t", s"$base/cat",
+        Seq("ts"))
+      val dense = Counts.binDensityFromStats(
+        graft.catalog.StatsCatalog.resolve(s, s"$base/cat"), "ts",
+        startMs = 0L, endMs = 4102444800000L, binMillis = 3600000L,
+        readFiles = paths => s.read.parquet(paths: _*)).get
+      dense.toDF("bin", "bin_count")
+        .select(timestamp_millis(col("bin") * 3600000L)
+          .cast("timestamp_ntz").as("bin_start"), col("bin_count"))
+        .orderBy(col("bin_start"))
+    }),
+
     // A8+: rollup cascade — build 1-minute mergeable pre-aggregates, merge
     // them to 1-hour bins WITHOUT rescanning raw events (count-of-counts,
     // exact sum-of-sums, min-of-mins, max-of-maxes). The oracle aggregates
@@ -2358,6 +2382,12 @@ object SparkEntry {
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
 
     "q_counts_histogram" ->
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bin_start,
+        |  count(*) AS bin_count
+        |FROM events GROUP BY 1 ORDER BY bin_start""".stripMargin,
+
+    // the manifest-answered path must be indistinguishable from the scan
+    "q_counts_density" ->
       """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bin_start,
         |  count(*) AS bin_count
         |FROM events GROUP BY 1 ORDER BY bin_start""".stripMargin,

@@ -177,11 +177,12 @@ object StatsCatalog {
   private def normPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
 
-  /** Incremental refresh after an append: list the stream's data files,
-    * stat only the ones the catalog doesn't know, and rewrite the (tiny)
-    * catalog. This is the reference's manifest update per flush
-    * (`src/catalog/mod.rs:108-260`, called from the sync loop after each
-    * parquet conversion): the per-ingest cost is one listing plus a stats
+  /** Incremental reconcile after an append OR a deletion: list the
+    * stream's data files, stat only the ones the catalog doesn't know,
+    * DROP catalog rows whose files are gone (retention/compaction), and
+    * rewrite the (tiny) catalog. This is the reference's manifest update
+    * per flush (`src/catalog/mod.rs:108-260`, called from the sync loop
+    * after each parquet conversion): the cost is one listing plus a stats
     * job over the NEW files only — the catalog itself stays a small
     * metadata table however large the data grows.
     *
@@ -202,21 +203,30 @@ object StatsCatalog {
         listing += f.getPath.toString
     }
     val all = listing.result()
+    val onDisk = all.map(normPath).toSet
     val existing: Seq[org.apache.spark.sql.Row] =
       if (new java.io.File(catalogPath).isDirectory)
         // an empty/not-yet-written catalog dir reads as no catalog
         try resolve(spark, catalogPath).collect().toSeq
         catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
       else Seq.empty
-    val known = existing.map(r =>
-      normPath(r.getAs[String]("file_path"))).toSet
+    val kept = existing.filter(r =>
+      onDisk.contains(normPath(r.getAs[String]("file_path"))))
+    val known = kept.map(r => normPath(r.getAs[String]("file_path"))).toSet
     val fresh = all.filterNot(p => known.contains(normPath(p)))
-    if (fresh.isEmpty) return 0
+    if (fresh.isEmpty && kept.size == existing.size) return 0
+    if (fresh.isEmpty) {
+      // deletions only: rewrite the survivors (schema from existing rows)
+      val schema = resolve(spark, catalogPath).schema
+      spark.createDataFrame(kept.asJava, schema)
+        .coalesce(1).write.mode("overwrite").parquet(catalogPath)
+      return 0
+    }
     val added = collectFiles(spark, fresh, statCols)
     val merged =
-      if (existing.isEmpty) added
+      if (kept.isEmpty) added
       else added.unionByName(
-        spark.createDataFrame(existing.asJava, added.schema))
+        spark.createDataFrame(kept.asJava, added.schema))
     // the catalog is driver-bounded metadata; collect() breaks the
     // read-then-overwrite-same-path hazard
     val rows = merged.collect().toSeq

@@ -632,6 +632,26 @@ final class GraftHttpServer(
   private val statsLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Exact event count via the catalog, syncing it first (one listing —
+    * what a bare parquet count pays anyway) so files written OUT-OF-BAND
+    * (compaction, manual copies) are picked up and later reads through the
+    * catalog see them too. None when no catalog is maintained.
+    */
+  private def syncedCountStar(streamKey: String): Option[Long] = {
+    val cat = statsPath(streamKey)
+    if (!new java.io.File(cat).isDirectory) None
+    else {
+      val lock = statsLocks.computeIfAbsent(streamKey, _ => new Object)
+      lock.synchronized {
+        try {
+          graft.catalog.StatsCatalog.addNewFiles(spark, s"$root/$streamKey",
+            cat, Seq("p_timestamp"))
+          Some(graft.catalog.StatsCatalog.countStar(spark, cat))
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   private def appendWithStats(df: org.apache.spark.sql.DataFrame,
                               cfg: IngestPipeline.StreamConfig): Unit = {
     IngestPipeline.append(df, root, cfg)
@@ -1213,6 +1233,8 @@ final class GraftHttpServer(
             }
             val dir = new org.apache.hadoop.fs.Path(streamDir(name))
             hadoopFs(dir).delete(dir, true)
+            val cat = new org.apache.hadoop.fs.Path(statsPath(key(name)))
+            hadoopFs(cat).delete(cat, true)
             configs.remove(key(name))
             registry.remove(key(name))
             metaStore.removeStream(key(name))
@@ -1238,10 +1260,12 @@ final class GraftHttpServer(
               if (!fs.exists(dir)) (0L, 0L)
               else {
                 val sum = fs.getContentSummary(dir)
-                // parquet count is footer-metadata work, not a data scan
-                val n =
+                // synced-catalog num_rows when maintained (no file opens,
+                // and the sync folds in out-of-band files); else parquet
+                // footer-metadata count
+                val n = syncedCountStar(key(name)).getOrElse(
                   try spark.read.parquet(streamDir(name)).count()
-                  catch { case _: Exception => 0L }
+                  catch { case _: Exception => 0L })
                 (n, sum.getLength)
               }
             val o = mapper.createObjectNode().put("stream", name)
@@ -1282,6 +1306,8 @@ final class GraftHttpServer(
               return
             }
             val removed = enforceRetention(name, tenant)
+            // the catalog must forget the dropped partitions' files
+            if (removed.nonEmpty) { syncedCountStar(key(name)); () }
             val o = mapper.createObjectNode()
             val arr = o.putArray("removed")
             removed.foreach(arr.add)
@@ -1868,8 +1894,9 @@ final class GraftHttpServer(
             if (fs.exists(dir)) {
               stats.put("size", fs.getContentSummary(dir).getLength)
               stats.put("count",
-                try spark.read.parquet(dirStr).count()
-                catch { case _: Exception => 0L })
+                syncedCountStar(tenantKey(tenant, name)).getOrElse(
+                  try spark.read.parquet(dirStr).count()
+                  catch { case _: Exception => 0L }))
             } else { stats.put("size", 0L); stats.put("count", 0L) }
             val rp = new org.apache.hadoop.fs.Path(dir, "_retention.json")
             val retention =

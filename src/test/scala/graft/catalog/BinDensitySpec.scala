@@ -85,6 +85,19 @@ class BinDensitySpec extends SparkSuite {
       startMs = 0L, endMs = 4 * Min, binMillis = Min,
       readFiles = p => spark.read.parquet(p: _*))
     assert(after.get.toMap == Map(0 -> 3L, 1 -> 2L, 2 -> 1L, 3 -> 2L))
+
+    // reconcile after out-of-band deletion: dropped files leave the
+    // catalog (retention/compaction path), counts follow
+    val victim = spark.read.parquet(dir).where(col("ms") === 5000L)
+      .select(input_file_name()).head.getString(0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      new java.net.URI(victim).getPath))
+    assert(StatsCatalog.addNewFiles(spark, dir, cat, Seq("ts")) == 0)
+    val pruned = Counts.binDensityFromStats(
+      StatsCatalog.resolve(spark, cat), "ts",
+      startMs = 0L, endMs = 4 * Min, binMillis = Min,
+      readFiles = p => spark.read.parquet(p: _*))
+    assert(pruned.get.toMap == Map(1 -> 2L, 2 -> 1L, 3 -> 2L))
   }
 
   test("files without time stats are scanned, not dropped") {

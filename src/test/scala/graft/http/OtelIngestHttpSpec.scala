@@ -120,14 +120,16 @@ class OtelIngestHttpSpec extends SparkSuite {
       assert(http("POST", s"$base/otel_generator",
         body = Some("""{"durationSecs": 120}"""))._1 == 409)
       // wait for at least one batch to land
+      // generous deadline: under full-suite contention the first batch's
+      // Spark jobs can queue for a while
       var batches = 0L
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 120000
       while (batches < 1 && System.currentTimeMillis() < deadline) {
         Thread.sleep(300)
         batches = mapper.readTree(http("GET", s"$base/otel_generator")._2)
           .path("batches").asLong(0)
       }
-      assert(batches >= 1, "generator produced no batches in 30s")
+      assert(batches >= 1, "generator produced no batches in 120s")
       assert(http("DELETE", s"$base/otel_generator")._2
         .contains("stopped"))
       // the generated stream exists and its rows are flattened OTel logs
