@@ -194,6 +194,33 @@ object TxnCatalog {
         .getOrElse(freshStats)
     }
 
+  /** Full bidirectional reconcile as one atomic version: stat files the
+    * catalog doesn't know (backfill into old partitions included — the
+    * case [[appendNewFilesWatermarked]] deliberately skips) AND drop rows
+    * whose files are gone (retention, compaction, manual deletes). O(table
+    * listing) + a stats job over new files only — the occasional-repair
+    * path; the per-append hot path stays [[appendNewFilesWatermarked]].
+    */
+  def reconcile(spark: SparkSession, tableRoot: String, root: String,
+                statCols: Seq[String]): Long =
+    commit(spark, root) { current =>
+      val onDisk = listParquet(Paths.get(tableRoot))
+      val onDiskSet = onDisk.toSet
+      val known: Set[String] = current
+        .map(_.select("file_path").collect().map(_.getString(0)).toSet)
+        .getOrElse(Set.empty)
+      val fresh = onDisk.filterNot(known.contains)
+      val kept = current.map(_.filter(col("file_path").isInCollection(
+        // isin over a big list builds a wide predicate; for catalog-sized
+        // row counts this is fine (driver-bounded metadata)
+        onDiskSet))).getOrElse(
+        StatsCatalog.collect(spark, tableRoot, statCols).limit(0))
+      if (fresh.isEmpty) kept
+      else kept.unionByName(
+        StatsCatalog.collectFiles(spark, fresh, statCols),
+        allowMissingColumns = true)
+    }
+
   /** Recursive parquet listing as `file:`-scheme URIs (matching the
     * `_metadata.file_path` format the stats rows carry).
     */

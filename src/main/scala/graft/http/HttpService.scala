@@ -632,10 +632,11 @@ final class GraftHttpServer(
   private val statsLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Exact event count via the catalog, syncing it first (one listing —
-    * what a bare parquet count pays anyway) so files written OUT-OF-BAND
-    * (compaction, manual copies) are picked up and later reads through the
-    * catalog see them too. None when no catalog is maintained.
+  /** Exact event count via the catalog, reconciling it first (one listing
+    * — what a bare parquet count pays anyway) so files written or DELETED
+    * out-of-band (compaction, retention, manual copies) are folded in and
+    * later reads through the catalog see them too. None when no catalog is
+    * maintained.
     */
   private def syncedCountStar(streamKey: String): Option[Long] = {
     val cat = statsPath(streamKey)
@@ -644,7 +645,7 @@ final class GraftHttpServer(
       val lock = statsLocks.computeIfAbsent(streamKey, _ => new Object)
       lock.synchronized {
         try {
-          graft.catalog.StatsCatalog.addNewFiles(spark, s"$root/$streamKey",
+          graft.catalog.TxnCatalog.reconcile(spark, s"$root/$streamKey",
             cat, Seq("p_timestamp"))
           Some(graft.catalog.StatsCatalog.countStar(spark, cat))
         } catch { case _: Exception => None }
@@ -661,11 +662,14 @@ final class GraftHttpServer(
       // stats upkeep must never fail an ingest, but queries read THROUGH
       // the catalog once it exists — on failure, drop it entirely so
       // readers fall back to full listing (correct, just slower); the next
-      // successful append rebuilds it (addNewFiles re-lists everything)
+      // successful sync rebuilds it. The hot path is the transaction log's
+      // watermarked append: O(new partitions) listed per ingest, one
+      // atomic catalog version appended — never a full relist or a
+      // full-catalog rewrite (the economics that survive 100 TB).
       try {
-        graft.catalog.StatsCatalog.addNewFiles(spark, s"$root/${cfg.name}",
-          statsPath(cfg.name), Seq(timeCol))
-        ()
+        graft.catalog.TxnCatalog.appendNewFilesWatermarked(spark,
+          s"$root/${cfg.name}", statsPath(cfg.name), Seq(timeCol))
+        graft.catalog.TxnCatalog.vacuum(statsPath(cfg.name), keep = 3)
       } catch {
         case _: Exception =>
           val dir = new org.apache.hadoop.fs.Path(statsPath(cfg.name))
