@@ -185,25 +185,30 @@ object SparkEntry {
     }),
 
     // A3+: manifest-answered histogram — materialize the events table
-    // hour-partitioned, build the per-file stats catalog, then answer the
-    // hourly histogram from catalog num_rows sums alone (bin-contained
-    // files never scanned; straddlers read exactly). Hash-equal to the
+    // day-partitioned (one file per day), build the per-file stats
+    // catalog, then answer the DAILY histogram from catalog num_rows sums
+    // alone (bin-contained files never scanned; straddlers would be read
+    // exactly — BinDensitySpec covers that path). Hash-equal to the
     // scan-based oracle → the metadata fast path is exact.
     "q_counts_density" -> ((s, dir) => {
       import s.implicits._
+      val Day = 86400000L
       val base = java.nio.file.Files.createTempDirectory("density").toString
       t(s, dir, "events").select(col("ts"))
-        .withColumn("hr", floor(unix_millis(col("ts").cast("timestamp")) /
-          3600000L).cast("long"))
-        .write.partitionBy("hr").parquet(s"$base/t")
+        .withColumn("d", floor(unix_millis(col("ts").cast("timestamp")) /
+          Day).cast("long"))
+        // co-locate each day before the partitioned write: one file per
+        // day dir instead of tasks×days fragments
+        .repartition(col("d"))
+        .write.partitionBy("d").parquet(s"$base/t")
       graft.catalog.StatsCatalog.refresh(s, s"$base/t", s"$base/cat",
         Seq("ts"))
       val dense = Counts.binDensityFromStats(
         graft.catalog.StatsCatalog.resolve(s, s"$base/cat"), "ts",
-        startMs = 0L, endMs = 4102444800000L, binMillis = 3600000L,
+        startMs = 0L, endMs = 4102444800000L, binMillis = Day,
         readFiles = paths => s.read.parquet(paths: _*)).get
       dense.toDF("bin", "bin_count")
-        .select(timestamp_millis(col("bin") * 3600000L)
+        .select(timestamp_millis(col("bin") * Day)
           .cast("timestamp_ntz").as("bin_start"), col("bin_count"))
         .orderBy(col("bin_start"))
     }),
@@ -2388,7 +2393,7 @@ object SparkEntry {
 
     // the manifest-answered path must be indistinguishable from the scan
     "q_counts_density" ->
-      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bin_start,
+      """SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS bin_start,
         |  count(*) AS bin_count
         |FROM events GROUP BY 1 ORDER BY bin_start""".stripMargin,
 
