@@ -163,19 +163,17 @@ object TxnCatalog {
         val slash = rel.indexOf('/')
         if (slash < 0) "" else rel.substring(0, slash)
       }
-      val watermark: Option[String] = current.flatMap { c =>
-        val parts = c.select("file_path").collect()
-          .map(r => partOf(r.getString(0)))
-        if (parts.isEmpty) None else Some(parts.max)
-      }
+      val watermark: Option[String] =
+        current.flatMap(c => partitionWatermark(c, tableUri))
       val fresh = watermark match {
         case None => listParquet(Paths.get(tableRoot)) // empty catalog: full list
         case Some(wm) =>
           // only the known files of the single watermark partition are
-          // needed for the diff — not the whole catalog's path set
+          // needed for the diff — filtered in Spark, so the driver only
+          // materializes one partition's paths, never the whole catalog
           val knownInWm: Set[String] = current
-            .map(_.select("file_path").collect().map(_.getString(0))
-              .filter(p => partOf(p) == wm).toSet)
+            .map(_.filter(partitionOfExpr(tableUri) === wm)
+              .select("file_path").collect().map(_.getString(0)).toSet)
             .getOrElse(Set.empty)
           val dirs = Files.list(Paths.get(tableRoot)).toArray.toSeq
             .map(_.asInstanceOf[Path])
@@ -193,6 +191,30 @@ object TxnCatalog {
       current.map(_.unionByName(freshStats, allowMissingColumns = true))
         .getOrElse(freshStats)
     }
+
+  /** Top-level partition of a cataloged `file_path` as a Spark expression:
+    * first path segment under the table root, "" for unpartitioned files.
+    * Mirrors the driver-side `partOf` in [[appendNewFilesWatermarked]].
+    */
+  private[catalog] def partitionOfExpr(
+      tableUri: String): org.apache.spark.sql.Column = {
+    val rel = regexp_replace(col("file_path"),
+      "^" + java.util.regex.Pattern.quote(tableUri) + "/?", "")
+    when(rel.contains("/"), substring_index(rel, "/", 1)).otherwise(lit(""))
+  }
+
+  /** Highest cataloged partition, computed as a single-row `max` aggregate —
+    * the driver fetches ONE row regardless of catalog size. (The previous
+    * shape collected every `file_path` to the driver per ingest append:
+    * O(total files) driver memory — hundreds of MB of strings at ~10⁶
+    * files.) Partition names on the ingest path are ASCII (`date=…`), where
+    * Spark's UTF-8 binary string max and the JVM's lexical max agree.
+    */
+  private[catalog] def partitionWatermark(snapshot: DataFrame,
+                                          tableUri: String): Option[String] = {
+    val row = snapshot.agg(max(partitionOfExpr(tableUri)).as("wm")).head()
+    if (row.isNullAt(0)) None else Some(row.getString(0))
+  }
 
   /** Full bidirectional reconcile as one atomic version: stat files the
     * catalog doesn't know (backfill into old partitions included — the

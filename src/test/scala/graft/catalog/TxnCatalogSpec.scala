@@ -113,6 +113,52 @@ class TxnCatalogSpec extends SparkSuite {
     assert(wm == full)
   }
 
+  test("partitionWatermark is a single-row aggregate, equal to the driver " +
+       "max, on a multi-partition catalog") {
+    val root = tmp()
+    val table = tmp()
+    for (d <- Seq("2024-01-01", "2024-01-02", "2024-01-03"); i <- 0 until 2)
+      Seq((i.toLong, i.toDouble)).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(s"$table/t/date=$d")
+    TxnCatalog.appendNewFiles(spark, s"$table/t", root, Seq("id"))
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.count() >= 6)
+    val tableUri = java.nio.file.Paths.get(s"$table/t").toUri.toString
+      .replaceFirst("^file:///", "file:/")
+
+    // capture every query execution during the watermark computation and
+    // assert the single action is a GLOBAL AGGREGATE (one output row by
+    // definition) — not a plain collect of the catalog's file_path column
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans += qe.executedPlan.toString
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val wm = TxnCatalog.partitionWatermark(snap, tableUri)
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val fetched = plans.toSeq // frozen before any further action runs
+      // behavioral equality with the old driver-side max
+      val driverMax = snap.select("file_path").as[String].collect()
+        .map { uri =>
+          val rel = uri.stripPrefix(tableUri).stripPrefix("/")
+          val s = rel.indexOf('/'); if (s < 0) "" else rel.substring(0, s)
+        }.max
+      assert(wm.contains(driverMax))
+      assert(wm.contains("date=2024-01-03"))
+      assert(fetched.size == 1,
+        s"watermark ran ${fetched.size} actions; expected exactly 1")
+      assert(fetched.head.contains("Aggregate") &&
+             fetched.head.contains("max("),
+        s"watermark action is not a max aggregate:\n${fetched.head}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("replaceFiles swaps compacted files in one version") {
     val root = tmp()
     TxnCatalog.commit(spark, root)(_ =>
