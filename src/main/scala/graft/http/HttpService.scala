@@ -585,20 +585,33 @@ final class GraftHttpServer(
                 }
               case _ => ()
             }
-            val result = user match {
-              case Some(u) =>
-                val tenant = tenantOf(user)
-                val referenced = QueryService.referencedTables(spark, q)
-                  .filter(visible.contains)
-                referenced.find(n => !Rbac.authorized(u, Rbac.QueryAction,
-                    tenantKey(tenant, n))) match {
-                  case Some(n) =>
-                    Left(s"user '$u' lacks query access to stream '$n'")
-                  case None =>
-                    Right(QueryService.query(spark, visible, q, range))
-                }
-              case None => Right(QueryService.query(spark, visible, q, range))
-            }
+            val tenant = tenantOf(user)
+            val referenced = QueryService.referencedTables(spark, q)
+            // every referenced relation must be a stream the caller can
+            // see — silently dropping unknown names would let resolution
+            // fall through to whatever the shared session catalog happens
+            // to hold (another tenant's view, a leftover table). One
+            // message for both "absent" and "other tenant's": no
+            // cross-tenant existence oracle.
+            val unknown = referenced.filterNot(visible.contains)
+            val result =
+              if (unknown.nonEmpty)
+                Left("unknown or unauthorized table(s): " +
+                  unknown.mkString(", "))
+              else user match {
+                case Some(u) =>
+                  referenced.find(n => !Rbac.authorized(u, Rbac.QueryAction,
+                      tenantKey(tenant, n))) match {
+                    case Some(n) =>
+                      Left(s"user '$u' lacks query access to stream '$n'")
+                    case None =>
+                      Right(QueryService.query(spark, visible, q, range,
+                        scope = tenant))
+                  }
+                case None =>
+                  Right(QueryService.query(spark, visible, q, range,
+                    scope = tenant))
+              }
             result match {
               case Left(msg) => err(ex, 403, msg)
               case Right(df) =>

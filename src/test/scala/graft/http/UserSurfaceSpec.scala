@@ -107,6 +107,47 @@ class UserSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("stale temp views cannot leak another tenant's data; unknown " +
+       "tables are rejected, not silently dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    val srv = new GraftHttpServer(spark, tmp, requireAuth = true,
+      users = Map("alice" -> "pa", "bob" -> "pb"),
+      userTenants = Map("alice" -> "ta", "bob" -> "tb"))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+      Rbac.grant("alice", Seq(Rbac.Writer(Some("ta/secrets"))))
+      Rbac.grant("bob", Seq(Rbac.Writer(Some("tb/other"))))
+      val (sa, ba) = http("POST", s"$base/ingest",
+        basic("alice", "pa") + ("X-P-Stream" -> "secrets"),
+        Some("""{"owner":"alice","token":"s3cr3t"}"""))
+      assert(sa == 200, ba)
+
+      // plant a stale global temp view under the bare stream name — the
+      // artifact a pre-cleanup query() used to leave in the shared session
+      import spark.implicits._
+      Seq(("alice", "s3cr3t-stale")).toDF("owner", "token")
+        .createOrReplaceTempView("secrets")
+      try {
+        // bob's tenant has no stream "secrets": the query must be
+        // rejected, NOT resolved against the shared session catalog
+        val (qs, qb) = http("POST", s"$base/query", basic("bob", "pb"),
+          Some(queryBody("SELECT owner, token FROM secrets")))
+        assert(qs == 403, s"expected 403, got $qs: $qb")
+        assert(!qb.contains("s3cr3t"), s"leaked another tenant's data: $qb")
+        // alice still reads her own stream normally
+        val (as2, ab2) = http("POST", s"$base/query", basic("alice", "pa"),
+          Some(queryBody("SELECT owner, token FROM secrets")))
+        assert(as2 == 200, ab2)
+        assert(ab2.contains("s3cr3t") && !ab2.contains("stale"),
+          s"alice's query resolved the stale view, not her stream: $ab2")
+      } finally spark.catalog.dropTempView("secrets")
+    } finally {
+      srv.stop()
+      Rbac.clear()
+    }
+  }
+
   test("api keys authenticate as their backing user; revocation kills them") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-key").toString
     val srv = new GraftHttpServer(spark, tmp, requireAuth = true,

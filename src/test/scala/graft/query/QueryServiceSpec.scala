@@ -18,6 +18,53 @@ class QueryServiceSpec extends SparkSuite {
       "SELECT * FROM logs WHERE p_timestamp > '2024-01-01'", "p_timestamp"))
     assert(QueryService.referencedTables(spark,
       "SELECT * FROM a JOIN b ON a.x = b.x") == Seq("a", "b"))
+    // CTE names shadow streams: neither auth-checked nor window-injected
+    assert(QueryService.referencedTables(spark,
+      "WITH logs AS (SELECT 1 AS x) SELECT * FROM logs JOIN other ON 1=1")
+      == Seq("other"))
+  }
+
+  test("constrainedStreams falls back to query-global detection when " +
+       "analysis fails (unresolvable table)") {
+    val dir = Files.createTempDirectory("qsfb").toString
+    val base = 1700000000000L
+    Seq.tabulate(3)(i => (i.toLong, new Timestamp(base + i * 1000L)))
+      .toDF("id", "p_timestamp").write.parquet(s"$dir/fa")
+    val streams = Map("fa" -> QueryService.Stream(s"$dir/fa", "p_timestamp"))
+    // zz_missing is not registered anywhere → analysis fails → the
+    // conservative query-global time-filter check decides
+    assert(QueryService.constrainedStreams(spark, streams,
+      "SELECT * FROM fa JOIN zz_missing ON 1=1 " +
+        "WHERE p_timestamp > '2024-01-01'") == Set("fa"))
+    assert(QueryService.constrainedStreams(spark, streams,
+      "SELECT * FROM fa JOIN zz_missing ON 1=1").isEmpty)
+  }
+
+  test("query drops its scoped temp views; stale views cannot be resolved " +
+       "by a later query") {
+    val dir = Files.createTempDirectory("qsviews").toString
+    val base = 1700000000000L
+    Seq.tabulate(5)(i => (i.toLong, new Timestamp(base + i * 1000L)))
+      .toDF("id", "p_timestamp").write.parquet(s"$dir/vlogs")
+    val streams = Map("vlogs" ->
+      QueryService.Stream(s"$dir/vlogs", "p_timestamp"))
+    val range = TimeRange(
+      java.time.Instant.ofEpochMilli(base - 1000),
+      java.time.Instant.ofEpochMilli(base + 60_000L))
+    val before = spark.catalog.listTables().count()
+    val df = QueryService.query(spark, streams,
+      "SELECT id FROM vlogs", range, scope = "tenantA")
+    assert(df.count() == 5) // executable after its views were dropped
+    assert(spark.catalog.listTables().count() == before,
+      "query() left temp views behind")
+    // a query over a DIFFERENT visibility map must not see the stream,
+    // even right after tenantA's query ran (no stale view to resolve)
+    val e = intercept[Exception] {
+      QueryService.query(spark, Map.empty[String, QueryService.Stream],
+        "SELECT id FROM vlogs", range, scope = "tenantB").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table") ||
+      e.getMessage.toLowerCase.contains("vlogs"))
   }
 
   test("stats catalog prunes files before the scan; results stay exact") {
