@@ -120,15 +120,22 @@ object Retention {
       if (fs.exists(cpPath)) {
         // keep only catalog rows whose file sits in a surviving partition
         val doomed = dates.map(d => s"/$d/")
-        val kept = spark.read.parquet(cp)
-          .filter(!doomed.map(d =>
-            org.apache.spark.sql.functions.col("file_path").contains(d))
-            .reduce(_ || _))
-        val tmp = s"$cp.retention.tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        fs.delete(cpPath, true)
-        fs.rename(new Path(tmp), cpPath)
-        ()
+        val cond = doomed.map(d =>
+          org.apache.spark.sql.functions.col("file_path").contains(d))
+          .reduce(_ || _)
+        if (fs.exists(new Path(cp, "_commits"))) {
+          // transaction-log layout: drop the doomed rows as one atomic
+          // version — readers pinned to older versions stay consistent
+          TxnCatalog.commit(spark, cp)(cur => cur.get.filter(!cond))
+          ()
+        } else {
+          val kept = spark.read.parquet(cp).filter(!cond)
+          val tmp = s"$cp.retention.tmp"
+          kept.write.mode("overwrite").parquet(tmp)
+          fs.delete(cpPath, true)
+          fs.rename(new Path(tmp), cpPath)
+          ()
+        }
       }
     }
     val fs = new Path(tableRoot).getFileSystem(conf)

@@ -258,17 +258,23 @@ final class GraftHttpServer(
         }
       }.toMap
 
-  /** Reference `is_valid_redirect_url`: relative targets are always fine;
-    * absolute ones must point back at this server's own host (an open
-    * redirect otherwise).
+  /** Reference `is_valid_redirect_url`: path-relative targets are fine;
+    * anything carrying a scheme or an authority must point back at this
+    * server's own host. Browsers resolve scheme-relative `//evil.com` (and
+    * the `/\evil.com` backslash variant, and authority-less `https:/e`) as
+    * absolute — all are caught here: a backslash fails URI parsing, and a
+    * scheme or authority triggers the host check.
     */
-  private def validRedirect(ex: HttpExchange, target: String): Boolean =
-    !target.contains("://") || {
-      val host = Option(ex.getRequestHeaders.getFirst("Host"))
-        .getOrElse(s"127.0.0.1:$boundPort")
-      try new java.net.URI(target).getAuthority == host
-      catch { case _: Exception => false }
-    }
+  private def validRedirect(ex: HttpExchange, target: String): Boolean = {
+    val host = Option(ex.getRequestHeaders.getFirst("Host"))
+      .getOrElse(s"127.0.0.1:$boundPort")
+    try {
+      val u = new java.net.URI(target)
+      if (u.getScheme != null || u.getAuthority != null)
+        u.getAuthority == host
+      else !target.startsWith("//") && !target.startsWith("\\")
+    } catch { case _: Exception => false }
+  }
 
   private def redirect(ex: HttpExchange, location: String,
                        cookies: Seq[String] = Seq.empty): Unit = {
@@ -279,7 +285,17 @@ final class GraftHttpServer(
   }
 
   private def sessionSetCookie(id: String): String =
-    s"session=$id; Path=/; HttpOnly; Max-Age=${SessionTtlMs / 1000}"
+    s"session=$id; Path=/; HttpOnly; SameSite=Lax; " +
+      s"Max-Age=${SessionTtlMs / 1000}"
+
+  /** IdP-asserted usernames flow into cookie values and filesystem paths
+    * (UserConfigs/Rbac stores) — refuse anything that could traverse or
+    * inject: path separators, parent refs, control characters.
+    */
+  private def usableUsername(u: String): Boolean =
+    u.nonEmpty && u.length <= 256 && !u.contains("/") &&
+      !u.contains("\\") && !u.contains("..") &&
+      u.forall(c => c >= 0x20 && c != 0x7f)
 
   /** `GET /api/v1/o/login?redirect=…` — with valid Basic credentials,
     * exchange them for a session cookie (reference's basic-for-cookie
@@ -336,6 +352,8 @@ final class GraftHttpServer(
               Oidc.completeLogin(cfg, code, callbackUri(ex), httpClient,
                 System.currentTimeMillis() / 1000L) match {
                 case Left(msg) => err(ex, 401, msg)
+                case Right(identity) if !usableUsername(identity.username) =>
+                  err(ex, 401, "identity provider asserted an unusable username")
                 case Right(identity) =>
                   // stored role assignments win; claim-derived roles only
                   // seed users the RBAC registry has never seen
@@ -345,9 +363,13 @@ final class GraftHttpServer(
                     if (derived.nonEmpty)
                       Rbac.assignRoles(identity.username, derived)
                   }
+                  // percent-encoded: ';'/','/'=' in an IdP-asserted name
+                  // must not break out of the cookie value
+                  val encUser = java.net.URLEncoder
+                    .encode(identity.username, UTF_8)
                   redirect(ex, pending.redirect, Seq(
                     sessionSetCookie(newSession(identity.username)),
-                    s"username=${identity.username}; Path=/"))
+                    s"username=$encUser; Path=/; SameSite=Lax"))
               }
           }
         case _ => err(ex, 400, "need code and state")
@@ -1402,8 +1424,13 @@ final class GraftHttpServer(
       graft.catalog.Retention.parse(json) match {
         case Left(_) => Seq.empty
         case Right(tasks) => tasks.flatMap(t =>
+          // metadata before data (the reference's ordering): enforce drops
+          // the stream's catalog rows first, then the partitions — a crash
+          // between the two leaves only unreferenced files, never a
+          // catalog pointing at deleted data
           graft.catalog.Retention.enforce(spark, dir, t.days,
-            java.time.LocalDate.now()))
+            java.time.LocalDate.now(),
+            catalogPath = Some(statsPath(tenantKey(tenant, name)))))
       }
     }
   }

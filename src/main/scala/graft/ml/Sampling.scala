@@ -166,6 +166,9 @@ object Sampling {
     * order (ties broken by id) until the group's cost budget is reached.
     * Greedy fill — the row that CROSSES the budget line is kept, so a
     * group's selection is never empty when its budget is positive.
+    * Costs must be non-negative: a negative cost makes the running sum
+    * non-monotonic, and the binned path's contiguous-prefix contract (and
+    * greedy selection itself) stops being meaningful.
     *
     * `bins = 0` runs the direct formulation: ONE window per group with an
     * exclusive running cost sum. Correct, but the window imposes a global
@@ -225,7 +228,11 @@ object Sampling {
           lit(0L)))
         .withColumn("__b", budget)
         .withColumn("__verdict",
-          when(col("__before") + col("__binCost") <= col("__b"), "all")
+          // STRICT <: a bin landing exactly on the budget goes through the
+          // boundary (exact window) path — a trailing zero-cost row whose
+          // exclusive prefix sum equals the budget must be dropped there,
+          // exactly as the direct path's (__prev < budget) drops it
+          when(col("__before") + col("__binCost") < col("__b"), "all")
             .when(col("__before") < col("__b"), "boundary")
             .otherwise("none"))
         .select(col(groupCol), col("__bin"), col("__before"),

@@ -76,4 +76,35 @@ class RetentionSpec extends SparkSuite {
     // nonexistent table root is a no-op
     assert(Retention.enforce(spark, s"$tmp/nope", 7, today).isEmpty)
   }
+
+  test("enforce on a txn-log catalog commits the row drop as a new " +
+       "version (metadata first)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rett").toString
+    val table = s"$tmp/events"
+    val today = LocalDate.of(2026, 8, 13)
+    val dates = Seq(1, 30).map(today.minusDays(_).toString)
+    dates.zipWithIndex.foreach { case (d, i) =>
+      Seq((i.toLong, s"row-$d")).toDF("id", "msg")
+        .coalesce(1).write.mode("append").parquet(s"$table/date=$d")
+    }
+    val catPath = s"$tmp/catalog"
+    TxnCatalog.appendNewFiles(spark, table, catPath, Seq("id"))
+    val v0 = TxnCatalog.latestVersion(catPath).get
+    assert(TxnCatalog.snapshot(spark, catPath).get.count() == 2)
+
+    val removed = Retention.enforce(spark, table, days = 7, today,
+      catalogPath = Some(catPath))
+    assert(removed == Seq(s"date=${dates(1)}"))
+    // one new atomic version, holding only the surviving partition's row
+    assert(TxnCatalog.latestVersion(catPath).contains(v0 + 1))
+    val snap = TxnCatalog.snapshot(spark, catPath).get
+      .select("file_path").as[String].collect()
+    assert(snap.length == 1 && snap.head.contains(s"date=${dates(0)}"))
+    // the old version still reads consistently (snapshot isolation), and
+    // the data directory for the doomed partition is gone
+    assert(TxnCatalog.snapshot(spark, catPath, Some(v0)).get.count() == 2)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(table, s"date=${dates(1)}")))
+  }
 }

@@ -28,7 +28,7 @@ class OidcSpec extends SparkSuite {
     * id_token. Code "good" is signed with the real client secret, "forged"
     * with the wrong one — driving both verification branches over the wire.
     */
-  private def startIdp(): HttpServer = {
+  private def startIdp(username: String = "alice"): HttpServer = {
     val idp = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     idp.createContext("/authorize", ex => {
       val params = Option(ex.getRequestURI.getRawQuery).toSeq
@@ -51,7 +51,7 @@ class OidcSpec extends SparkSuite {
       val exp = Instant.now().getEpochSecond + 3600
       val claims =
         s"""{"iss":"$Issuer","aud":"$ClientId","sub":"u-alice",
-           |"preferred_username":"alice","groups":["data-eng"],
+           |"preferred_username":"$username","groups":["data-eng"],
            |"exp":$exp}""".stripMargin.replace("\n", "")
       val idToken = Oidc.signHs256(claims, signingSecret)
       val body =
@@ -218,6 +218,16 @@ class OidcSpec extends SparkSuite {
         http("GET", s"$base/o/login?redirect=https%3A%2F%2Fevil.test%2Fx")
       assert(es == 400)
 
+      // so are the browser-absolute shapes that LOOK relative:
+      // scheme-relative //evil, backslash /\evil, authority-less https:/e
+      for (evil <- Seq("%2F%2Fevil.test%2Fx", "%2F%5Cevil.test",
+                       "https%3A%2Fevil.test")) {
+        val (s, _, _) = http("GET", s"$base/o/login?redirect=$evil")
+        assert(s == 400, s"redirect=$evil must be refused, got $s")
+        val (so, _, _) = http("GET", s"$base/o/logout?redirect=$evil")
+        assert(so == 400, s"logout redirect=$evil must be refused, got $so")
+      }
+
       // valid Basic credentials exchange directly for a session cookie
       val (bs, _, bh) =
         http("GET", s"$base/o/login?redirect=/home", basic("admin", "pw"))
@@ -267,5 +277,44 @@ class OidcSpec extends SparkSuite {
       s"""{"iss":"$Issuer","aud":["other","$ClientId"],"sub":"u1",
          |"exp":${now + 600}}""".stripMargin.replace("\n", ""), Secret)
     assert(Oidc.verifyIdToken(arrAud, cfg, now).isRight)
+  }
+
+  /** Drive login → provider → callback for whatever username the stub IdP
+    * asserts; returns (callback status, callback response headers).
+    */
+  private def loginAs(username: String): (Int, Map[String, Seq[String]]) = {
+    val idp = startIdp(username)
+    val idpBase = s"http://127.0.0.1:${idp.getAddress.getPort}"
+    val cfg = Oidc.Config(
+      issuer = Issuer, clientId = ClientId, clientSecret = Secret,
+      authorizeUrl = s"$idpBase/authorize", tokenUrl = s"$idpBase/token")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-oidc3").toString
+    val srv = new GraftHttpServer(spark, tmp, requireAuth = true,
+      users = Map.empty, oidc = Some(cfg))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+      val (_, _, lh) = http("GET", s"$base/o/login?redirect=/after")
+      val (_, _, ah) = http("GET", lh("Location").head)
+      val (cs, _, ch) = http("GET", ah("Location").head)
+      (cs, ch)
+    } finally { srv.stop(); idp.stop(0); Rbac.clear() }
+  }
+
+  test("IdP-asserted usernames: traversal shapes refused, cookie value " +
+       "percent-encoded, SameSite set") {
+    // path separators / parent refs never reach cookies or the filesystem
+    // third entry is a JSON \t escape -> a literal TAB once the IdP's
+    // claims are parsed (control character)
+    for (evil <- Seq("../secret", "a/b", "bad\\tname"))
+      assert(loginAs(evil)._1 == 401, s"username '$evil' must be refused")
+    // cookie-metacharacter names survive, but percent-encoded
+    val (cs, ch) = loginAs("a;b,c=d")
+    assert(cs == 307)
+    val userCookie = setCookies(ch).find(_.startsWith("username=")).get
+    assert(userCookie.startsWith("username=a%3Bb%2Cc%3Dd"),
+      s"cookie value not encoded: $userCookie")
+    assert(setCookies(ch).forall(c => !c.startsWith("session=") ||
+      c.contains("SameSite=Lax")), s"session cookie lacks SameSite")
   }
 }

@@ -205,6 +205,22 @@ class SamplingSpec extends SparkSuite {
         == exact.select("id").as[Long].collect().toSet, s"bins=$bins")
       assert(binned.columns.toSeq == docs.columns.toSeq)
     }
+    // a bin landing EXACTLY on the budget with a trailing zero-cost row:
+    // the direct path drops the zero-cost row (__prev == budget), and the
+    // binned path must agree (the bin routes through the boundary window,
+    // not the keep-whole-bin shortcut)
+    val edge = Seq(
+      ("g", 10L, 3.0, 0L), ("g", 10L, 2.0, 1L), ("g", 0L, 1.0, 2L))
+      .toDF("src", "cost", "prio", "id")
+    val edgeExact = Sampling.budgetSelect(edge, "src", "cost", "prio",
+      Map.empty, defaultBudget = 20L, idCol = "id")
+    assert(edgeExact.select("id").as[Long].collect().toSet == Set(0L, 1L))
+    for (bins <- Seq(1, 2, 8)) {
+      val edgeBinned = Sampling.budgetSelect(edge, "src", "cost", "prio",
+        Map.empty, defaultBudget = 20L, idCol = "id", bins = bins)
+      assert(edgeBinned.select("id").as[Long].collect().toSet
+        == Set(0L, 1L), s"zero-cost-at-budget, bins=$bins")
+    }
     // constant priority (degenerate single-bin range) still works
     val flat = Sampling.budgetSelect(
       docs.withColumn("prio", lit(1.0)), "src", "cost", "prio",
