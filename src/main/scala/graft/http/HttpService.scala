@@ -1845,6 +1845,127 @@ final class GraftHttpServer(
     * Pure aggregation over the store/catalog pieces the individual
     * endpoints already use — the reference builds these the same way.
     */
+  /** APM trace endpoints (reference `get_traces_webscope`,
+    * `src/handlers/http/modal/server.rs:282-295`):
+    * `POST /api/v1/services/traces/list` and `…/detail`, RBAC-gated as
+    * Query on the dataset stream. Query shapes live in [[TracesApi]].
+    */
+  private def handleTraces(ex: HttpExchange): Unit = authedUser(ex) match {
+    case Left(msg) => err(ex, 401, msg)
+    case Right(userOpt) =>
+      if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
+      val sub = ex.getRequestURI.getPath
+        .stripPrefix("/api/v1/services/traces").stripPrefix("/")
+      val body =
+        try mapper.readTree(ex.getRequestBody)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+            return
+        }
+      val tenant = tenantOf(userOpt)
+      val dataset = Option(body.get("dataset")).map(_.asText()).getOrElse("")
+      if (dataset.isEmpty) { err(ex, 400, "dataset is required"); return }
+      val visible = streamsFor(tenant)
+      visible.get(dataset) match {
+        case None =>
+          err(ex, 404, s"stream '$dataset' not found")
+        case Some(stream) =>
+          if (userOpt.exists(u => !Rbac.authorized(u, Rbac.QueryAction,
+              tenantKey(tenant, dataset)))) {
+            err(ex, 403,
+              s"user lacks query access to stream '$dataset'")
+            return
+          }
+          val range =
+            (Option(body.get("startTime")).map(_.asText()),
+              Option(body.get("endTime")).map(_.asText())) match {
+              case (Some(s0), Some(e0)) =>
+                try TimeRange.parse(s0, e0)
+                catch {
+                  case e: Exception =>
+                    err(ex, 400, s"bad time: ${e.getMessage}"); return
+                }
+              case _ =>
+                err(ex, 400, "need startTime and endTime"); return
+            }
+          val df = QueryService.windowedRead(spark, dataset, stream, range)
+          val conditions = Option(body.get("conditions")) match {
+            case None => None
+            case Some(c) => alertStore.parseCondition(c) match {
+              case Left(msg)   => err(ex, 400, msg); return
+              case Right(node) => Some(Alerts.Conditions.toColumn(node))
+            }
+          }
+          sub match {
+            case "list" =>
+              val serviceNameRaw =
+                Option(body.get("serviceName")).map(_.asText())
+              val serviceName = serviceNameRaw.map(_.trim).filter(_.nonEmpty)
+              if (serviceNameRaw.isDefined && serviceName.isEmpty) {
+                err(ex, 400, "serviceName must not be empty when provided")
+                return
+              }
+              val limit = Option(body.get("limit")).map(_.asInt())
+                .getOrElse(TracesApi.DefaultLimit)
+              if (limit <= 0 || limit > TracesApi.MaxLimit) {
+                err(ex, 400, s"limit must be between 1 and " +
+                  s"${TracesApi.MaxLimit}, got $limit")
+                return
+              }
+              val offset =
+                Option(body.get("offset")).map(_.asInt()).getOrElse(0)
+              val option = Option(body.get("options"))
+                .orElse(Option(body.get("option")))
+                .map(_.asText()).getOrElse("spans")
+              val sortBy = Option(body.get("sortBy")).map(_.asText())
+                .getOrElse("mostRecent")
+              TracesApi.list(df, serviceName, conditions, option, sortBy,
+                offset, limit) match {
+                case Left(msg) => err(ex, 400, msg)
+                case Right(page) =>
+                  val n =
+                    TracesApi.count(df, serviceName, conditions, option)
+                  val o = mapper.createObjectNode()
+                    .put("count", n).put("offset", offset)
+                    .put("limit", limit)
+                  o.set[com.fasterxml.jackson.databind.node.ObjectNode]("records", mapper.readTree(
+                    ResponseWriter.toJsonArray(page)))
+                  respond(ex, 200, mapper.writeValueAsString(o))
+              }
+            case "detail" =>
+              val traceId = Option(body.get("traceId")).map(_.asText().trim)
+                .getOrElse("")
+              if (traceId.isEmpty) {
+                err(ex, 400, "traceId is required"); return
+              }
+              TracesApi.bounds(df, stream.timeCol, traceId) match {
+                case None =>
+                  err(ex, 404,
+                    s"trace $traceId not found in dataset '$dataset'")
+                case Some((s0, e0)) =>
+                  // include the minute containing the final span, as the
+                  // reference does (`traces.rs:311-315`)
+                  val full = TimeRange(s0.toInstant,
+                    e0.toInstant.plusSeconds(60))
+                  val spans = QueryService.windowedRead(spark, dataset,
+                    stream, full)
+                  TracesApi.detail(spans, stream.timeCol, traceId) match {
+                    case Left(msg) => err(ex, 400, msg)
+                    case Right(out) =>
+                      val o = mapper.createObjectNode()
+                        .put("startTime", s0.toInstant.toString)
+                        .put("endTime", e0.toInstant.toString)
+                      o.set[com.fasterxml.jackson.databind.node.ObjectNode]("records", mapper.readTree(
+                        ResponseWriter.toJsonArray(out)))
+                      respond(ex, 200, mapper.writeValueAsString(o))
+                  }
+              }
+            case other => err(ex, 404, s"no such trace endpoint: $other")
+          }
+      }
+  }
+
   private def handlePrism(ex: HttpExchange): Unit = {
     if (role == Cluster.Ingestor) {
       err(ex, 404, "prism is not available on an ingestor node"); return
@@ -2013,6 +2134,7 @@ final class GraftHttpServer(
 
   @volatile private var stopping = false
 
+  server.createContext("/api/v1/services/traces", handler(handleTraces))
   server.createContext("/api/v1/prism", handler(handlePrism))
   server.createContext("/api/v1/sse", handler(handleSse))
   server.createContext("/api/v1/about", handler(handleAbout))
