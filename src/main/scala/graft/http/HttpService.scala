@@ -691,6 +691,11 @@ final class GraftHttpServer(
   private def appendWithStats(df: org.apache.spark.sql.DataFrame,
                               cfg: IngestPipeline.StreamConfig): Unit = {
     IngestPipeline.append(df, root, cfg)
+    // live-tail fan-out (reference livetail.rs `process`): only pay the
+    // collect when someone is actually tailing; persisted=true because the
+    // rows are already in the table (no staging double count)
+    if (graft.streaming.LiveTail.subscriberCount(cfg.name) > 0)
+      graft.streaming.LiveTail.publish(cfg.name, df, persisted = true)
     val timeCol = cfg.timePartition.getOrElse("p_timestamp")
     val lock = statsLocks.computeIfAbsent(cfg.name, _ => new Object)
     lock.synchronized {
@@ -1845,6 +1850,102 @@ final class GraftHttpServer(
     * Pure aggregation over the store/catalog pieces the individual
     * endpoints already use — the reference builds these the same way.
     */
+  /** Live log tail (reference `src/handlers/livetail.rs` over gRPC
+    * Flight; here `GET /api/v1/livetail/{stream}` as chunked NDJSON —
+    * the HTTP-native spelling of the same push): every batch ingested
+    * into the stream while the connection is open is fanned out to the
+    * subscriber, one JSON object per row, in ingest order. Tenant- and
+    * RBAC-scoped like a query. Backpressure mirrors the reference's
+    * bounded pipe: a slow consumer's overflow is dropped and surfaced as
+    * a `{"skipped": n}` marker (livetail.rs `Message::Skipped`), never
+    * buffered unboundedly. `maxEvents`/`timeoutMs` query params bound the
+    * tail (a tail holds one server thread; the default cap is 5 min).
+    */
+  private def handleLivetail(ex: HttpExchange): Unit = authedUser(ex) match {
+    case Left(msg) => err(ex, 401, msg)
+    case Right(userOpt) =>
+      if (ex.getRequestMethod != "GET") { err(ex, 405, "GET only"); return }
+      val name = ex.getRequestURI.getPath
+        .stripPrefix("/api/v1/livetail").stripPrefix("/")
+      if (name.isEmpty || name.contains('/')) {
+        err(ex, 400, "use /api/v1/livetail/{stream}"); return
+      }
+      val tenant = tenantOf(userOpt)
+      if (!streamsFor(tenant).contains(name)) {
+        err(ex, 404, s"stream '$name' not found"); return
+      }
+      if (userOpt.exists(u => !Rbac.authorized(u, Rbac.QueryAction,
+          tenantKey(tenant, name)))) {
+        err(ex, 403, s"user lacks query access to stream '$name'"); return
+      }
+      val params = queryParams(ex)
+      val maxEvents = params.get("maxEvents").flatMap(_.toLongOption)
+        .filter(_ > 0).getOrElse(Long.MaxValue)
+      val timeoutMs = params.get("timeoutMs").flatMap(_.toLongOption)
+        .filter(_ > 0).getOrElse(300000L)
+      val queue =
+        new java.util.concurrent.LinkedBlockingQueue[graft.streaming.LiveTail.Batch](256)
+      val skipped = new java.util.concurrent.atomic.AtomicLong
+      val unsubscribe =
+        graft.streaming.LiveTail.subscribe(tenantKey(tenant, name)) { b =>
+          if (!queue.offer(b)) { skipped.addAndGet(b.rows.length.toLong); () }
+        }
+      val w = new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8)
+      try {
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0) // chunked
+        // hello line: the subscription is registered — rows ingested from
+        // here on WILL be delivered (clients can sequence on this)
+        w.write(mapper.writeValueAsString(
+          mapper.createObjectNode().put("livetail", name)) + "\n")
+        w.flush()
+        val deadline = System.currentTimeMillis() + timeoutMs
+        var sent = 0L
+        while (sent < maxEvents && System.currentTimeMillis() < deadline) {
+          val b = queue.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (b != null) {
+            val sk = skipped.getAndSet(0L)
+            if (sk > 0L)
+              w.write(mapper.writeValueAsString(
+                mapper.createObjectNode().put("skipped", sk)) + "\n")
+            var i = 0
+            while (i < b.rows.length && sent < maxEvents) {
+              w.write(rowJson(b.schema, b.rows(i)) + "\n")
+              sent += 1; i += 1
+            }
+            w.flush()
+          }
+        }
+      } catch {
+        case _: java.io.IOException => () // client went away — clean up
+      } finally {
+        unsubscribe()
+        try w.close() catch { case _: Exception => () }
+        ex.close()
+      }
+  }
+
+  /** One collected Row as a JSON object keyed by the batch schema. */
+  private def rowJson(schema: org.apache.spark.sql.types.StructType,
+                      row: org.apache.spark.sql.Row): String = {
+    val o = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) o.putNull(f.name)
+      else row.get(i) match {
+        case s: String               => o.put(f.name, s)
+        case n: java.lang.Long       => o.put(f.name, n.longValue())
+        case n: java.lang.Integer    => o.put(f.name, n.intValue())
+        case n: java.lang.Double     => o.put(f.name, n.doubleValue())
+        case n: java.lang.Float      => o.put(f.name, n.floatValue())
+        case b: java.lang.Boolean    => o.put(f.name, b.booleanValue())
+        case t: java.sql.Timestamp   => o.put(f.name, t.toInstant.toString)
+        case d: java.math.BigDecimal => o.put(f.name, d)
+        case other                   => o.put(f.name, String.valueOf(other))
+      }
+    }
+    mapper.writeValueAsString(o)
+  }
+
   /** APM trace endpoints (reference `get_traces_webscope`,
     * `src/handlers/http/modal/server.rs:282-295`):
     * `POST /api/v1/services/traces/list` and `…/detail`, RBAC-gated as
@@ -2135,6 +2236,7 @@ final class GraftHttpServer(
   @volatile private var stopping = false
 
   server.createContext("/api/v1/services/traces", handler(handleTraces))
+  server.createContext("/api/v1/livetail", handler(handleLivetail))
   server.createContext("/api/v1/prism", handler(handlePrism))
   server.createContext("/api/v1/sse", handler(handleSse))
   server.createContext("/api/v1/about", handler(handleAbout))

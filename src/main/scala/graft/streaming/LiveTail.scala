@@ -59,6 +59,12 @@ object LiveTail {
     Option(subscribers.get(stream)).foreach(_.asScala.foreach(f => f(batch)))
   }
 
+  /** Active subscriber count for a stream — lets publishers skip the
+    * collect entirely when nobody is tailing.
+    */
+  def subscriberCount(stream: String): Int =
+    Option(subscribers.get(stream)).map(_.size).getOrElse(0)
+
   def subscribe(stream: String)(f: Batch => Unit): () => Unit = {
     val subs = subscribers.computeIfAbsent(stream,
       _ => new CopyOnWriteArrayList[Batch => Unit]())
