@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+
+/** Scaling sweep: run the most expensive bench queries at sf0.1 and a
+  * locally-derived sf1 (10× rows), and report the time ratio per query.
+  * A data-bound query should scale ~linearly (ratio ≈ 10 on 10× data, less
+  * where a fixed per-job floor dominates); anything markedly super-linear
+  * (> [[SuperLinear]]) is a plan that will NOT survive a 100× scale-up and
+  * gets flagged in the output for a plan audit.
+  *
+  * sf1 derivation (deterministic, no RNG): 10 key-offset copies of every
+  * sf0.1 table, preserving referential integrity (fact and dim keys shift
+  * by the same per-domain stride) and — crucially — workload character:
+  *   - `documents.text` of copy i>0 has every word suffixed with `·i`, so
+  *     copies are shingle-disjoint: the duplication RATE stays that of
+  *     sf0.1 instead of every doc gaining 9 clones (which would turn the
+  *     dedup queries into a different, quadratically harder workload);
+  *   - `embeddings.embedding` of copy i is circularly rotated by i, so
+  *     within-copy similarity structure is preserved and cross-copy
+  *     similarities are scrambled (norms unchanged);
+  *   - `events` keeps timestamps (10× density in the same window — more
+  *     traffic, same horizon) with disjoint user/event id spaces, so trace
+  *     sizes and per-trace depth stay identical.
+  * Dims `region`/`nation` stay fixed, like TPC-H.
+  *
+  * Output: one JSON line on stdout + `bench_scale.json` in the repo root.
+  */
+object BenchScale {
+
+  private val ScaleCopies = 10
+  private val SuperLinear = 12.0
+
+  /** The headline queries of BENCH_r08 (slowest first), covering every
+    * expensive table: events traces, documents dedup/text, joins, ANN.
+    */
+  private val Queries = Seq(
+    "q_trace_hierarchy_sql", "q_multimodal_decode", "q_bpe_encode",
+    "q_dedup_clean", "q_dedup_containment", "q_dedup_spans_max",
+    "q_counts_density", "q_text_tfidf", "q_join_multiway",
+    "q_dedup_cluster", "q_trace_depgraph", "q_sim_ivf_persisted",
+    "q_agg_pricing")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cores = cpus, appName = "graft-bench-scale")
+    if (!Files.isDirectory(Paths.get(sf1)))
+      generate(spark, src, sf1)
+
+    def timeAll(dir: String): Map[String, (Double, Long)] = {
+      // touch every table once: page cache + reader classloading out of
+      // the measured pass (both SFs get the same treatment)
+      GraftSession.tables.foreach { t =>
+        try GraftSession.table(spark, dir, t).count()
+        catch { case _: Throwable => () }
+      }
+      Queries.map { name =>
+        val t0 = System.nanoTime()
+        val rows =
+          try materialize(SparkEntry.queries(name)(spark, dir))
+          catch { case _: Throwable => -1L }
+        name -> (((System.nanoTime() - t0) / 1e9, rows))
+      }.toMap
+    }
+    val at01 = timeAll(src)
+    val at1 = timeAll(sf1)
+
+    val perQuery = Queries.map { q =>
+      val (s0, r0) = at01(q)
+      val (s1, r1) = at1(q)
+      val ratio = if (s0 > 0) s1 / s0 else -1.0
+      (q, s0, s1, ratio, r0, r1)
+    }
+    val flagged = perQuery.filter(_._4 > SuperLinear).map(_._1)
+    val qs = perQuery.map { case (q, s0, s1, ratio, r0, r1) =>
+      f""""$q":{"sf01_sec":$s0%.3f,"sf1_sec":$s1%.3f,"ratio":$ratio%.2f,"sf01_rows":$r0,"sf1_rows":$r1}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_sweep","copies":$ScaleCopies,"superlinear_flagged":${
+        flagged.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
+      },"queries":$qs}"""
+    Files.write(Paths.get("bench_scale.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    println(line)
+    spark.stop()
+  }
+
+  /** Full-plan row materialization, as [[Bench]] measures. */
+  private def materialize(df: DataFrame): Long =
+    df.queryExecution.toRdd.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(n)
+    }.collect().sum
+
+  private def generate(spark: SparkSession, src: String, out: String): Unit = {
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    // one row per copy index; crossJoin broadcasts the 10-row side
+    val copies = spark.range(ScaleCopies.toLong).toDF("__i")
+    def scaled(df: DataFrame)(tx: DataFrame => DataFrame): DataFrame =
+      tx(df.crossJoin(broadcast(copies))).drop("__i")
+    def shift(key: String, s: Long) =
+      (d: DataFrame) => d.withColumn(key, col(key) + col("__i") * s)
+
+    val kc = stride(read("customer"), "c_custkey")
+    val ko = stride(read("orders"), "o_orderkey")
+    val kp = stride(read("part"), "p_partkey")
+    val ks = stride(read("supplier"), "s_suppkey")
+    val ke = stride(read("events"), "event_id")
+    val ku = stride(read("events"), "user_id")
+    val kd = stride(read("documents"), "doc_id")
+    val kv = stride(read("embeddings"), "vec_id")
+
+    write("region", read("region"))
+    write("nation", read("nation"))
+    write("customer", scaled(read("customer"))(shift("c_custkey", kc)))
+    write("supplier", scaled(read("supplier"))(shift("s_suppkey", ks)))
+    write("part", scaled(read("part"))(shift("p_partkey", kp)))
+    write("orders", scaled(read("orders"))(
+      shift("o_orderkey", ko).andThen(shift("o_custkey", kc))))
+    write("lineitem", scaled(read("lineitem"))(
+      shift("l_orderkey", ko).andThen(shift("l_partkey", kp))
+        .andThen(shift("l_suppkey", ks))))
+    write("events", scaled(read("events"))(
+      shift("event_id", ke).andThen(shift("user_id", ku))))
+    write("documents", scaled(read("documents")) { d =>
+      val suffixed = array_join(
+        transform(split(col("text"), " "),
+          w => concat(w, lit("·"), col("__i"))), " ")
+      d.withColumn("text",
+          when(col("__i") === 0, col("text")).otherwise(suffixed))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("doc_id", col("doc_id") + col("__i") * kd)
+    })
+    write("embeddings", scaled(read("embeddings")) { d =>
+      val i = col("__i").cast("int")
+      val e = col("embedding")
+      val rotated = concat(
+        slice(e, i + 1, size(e) - i), slice(e, lit(1), i))
+      d.withColumn("embedding",
+          when(col("__i") === 0, e).otherwise(rotated))
+        .withColumn("vec_id", col("vec_id") + col("__i") * kv)
+    })
+  }
+}
