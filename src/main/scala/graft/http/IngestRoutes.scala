@@ -1,0 +1,167 @@
+package graft.http
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.HttpExchange
+import org.apache.spark.sql.functions.{col, count, floor, lit, unix_millis}
+
+import graft.ingest.IngestPipeline
+import graft.query.{Alerts, Counts, QueryService, Rbac, ResponseWriter, TimeRange}
+
+import GraftHttpServer._
+
+/** JSON ingest and OTLP logs/metrics/traces ingest, plus the
+  * append-with-stats pipeline step they share.
+  *
+  * One surface of [[GraftHttpServer]] — split out for maintainability;
+  * state and shared plumbing stay on the server class (self-type).
+  */
+private[http] trait IngestRoutes { self: GraftHttpServer =>
+
+  // ------------------------------------------------------------ endpoints
+
+  private[http] def handleIngest(ex: HttpExchange): Unit = {
+    // a querier node does not mount ingest routes (reference modal split)
+    if (role == Cluster.Querier) {
+      err(ex, 404, "ingest is not available on a querier node"); return
+    }
+    if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(user) =>
+        val tenant = tenantOf(user)
+        Option(ex.getRequestHeaders.getFirst("X-P-Stream")) match {
+          case None => err(ex, 400, "missing X-P-Stream header")
+          case Some(stream) if user.exists(
+                !Rbac.authorized(_, Rbac.IngestAction,
+                  tenantKey(tenant, stream))) =>
+            err(ex, 403,
+              s"user '${user.get}' lacks ingest access to stream '$stream'")
+          case Some(stream) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            // storage path and registry are tenant-scoped: the same stream
+            // NAME in two tenants is two disjoint tables
+            val cfg = configs.computeIfAbsent(tenantKey(tenant, stream),
+              key => {
+                // advertise new streams in the shared metastore so the
+                // cluster's querier nodes can resolve them
+                metaStore.putStream(key)
+                IngestPipeline.StreamConfig(key)
+              })
+            val ua =
+              Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse("")
+            val ip = ex.getRemoteAddress.getAddress.getHostAddress
+            IngestPipeline.ingest(spark, registry, cfg, body, ua, ip) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(df) =>
+                val n = df.count()
+                appendWithStats(df, cfg)
+                ingestCalls.incrementAndGet()
+                ingestedEvents.addAndGet(n)
+                respond(ex, 200, mapper.writeValueAsString(
+                  mapper.createObjectNode()
+                    .put("status", "ok").put("events", n)))
+            }
+        }
+    }
+  }
+
+  /** OTLP/HTTP ingestion (reference `get_ingest_otel_factory`,
+    * `server.rs:653-682`: `POST /v1/logs|metrics|traces` with
+    * `X-P-Stream`): the OTLP JSON payload flattens through
+    * [[graft.ingest.OtelFlatten]] into wide rows, then rides the exact
+    * same pipeline as plain JSON ingest (schema registry, enrichment,
+    * partitioned append, stats catalog).
+    */
+  private[http] def handleOtelIngest(ex: HttpExchange): Unit = {
+    if (role == Cluster.Querier) {
+      err(ex, 404, "ingest is not available on a querier node"); return
+    }
+    if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
+    val signal = Option(ex.getRequestURI.getPath)
+      .map(_.stripPrefix("/v1").stripPrefix("/")).getOrElse("")
+    val flatten: String => Seq[com.fasterxml.jackson.databind.node.ObjectNode] =
+      signal match {
+        case "logs"    => graft.ingest.OtelFlatten.flattenLogs
+        case "metrics" => graft.ingest.OtelFlatten.flattenMetrics
+        case "traces"  => graft.ingest.OtelFlatten.flattenTraces
+        case other => err(ex, 404, s"unknown OTLP signal '$other'"); return
+      }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(user) =>
+        val tenant = tenantOf(user)
+        Option(ex.getRequestHeaders.getFirst("X-P-Stream")) match {
+          case None => err(ex, 400, "missing X-P-Stream header")
+          case Some(stream) if user.exists(
+                !Rbac.authorized(_, Rbac.IngestAction,
+                  tenantKey(tenant, stream))) =>
+            err(ex, 403,
+              s"user '${user.get}' lacks ingest access to stream '$stream'")
+          case Some(stream) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val events =
+              try flatten(body)
+              catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  err(ex, 400,
+                    s"malformed OTLP JSON: ${e.getOriginalMessage}")
+                  return
+              }
+            val cfg = configs.computeIfAbsent(tenantKey(tenant, stream),
+              key => { metaStore.putStream(key)
+                IngestPipeline.StreamConfig(key) })
+            val ua =
+              Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse("")
+            val ip = ex.getRemoteAddress.getAddress.getHostAddress
+            IngestPipeline.ingestEvents(spark, registry, cfg, events, ua, ip,
+                format = s"otel-$signal") match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(df) =>
+                val n = df.count()
+                appendWithStats(df, cfg)
+                ingestCalls.incrementAndGet()
+                ingestedEvents.addAndGet(n)
+                respond(ex, 200, mapper.writeValueAsString(
+                  mapper.createObjectNode()
+                    .put("status", "ok").put("events", n)))
+            }
+        }
+    }
+  }
+
+  private[http] def appendWithStats(df: org.apache.spark.sql.DataFrame,
+                              cfg: IngestPipeline.StreamConfig): Unit = {
+    IngestPipeline.append(df, root, cfg)
+    // live-tail fan-out (reference livetail.rs `process`): only pay the
+    // collect when someone is actually tailing; persisted=true because the
+    // rows are already in the table (no staging double count)
+    if (graft.streaming.LiveTail.subscriberCount(cfg.name) > 0)
+      graft.streaming.LiveTail.publish(cfg.name, df, persisted = true)
+    val timeCol = cfg.timePartition.getOrElse("p_timestamp")
+    val lock = statsLocks.computeIfAbsent(cfg.name, _ => new Object)
+    lock.synchronized {
+      // stats upkeep must never fail an ingest, but queries read THROUGH
+      // the catalog once it exists — on failure, drop it entirely so
+      // readers fall back to full listing (correct, just slower); the next
+      // successful sync rebuilds it. The hot path is the transaction log's
+      // watermarked append: O(new partitions) listed per ingest, one
+      // atomic catalog version appended — never a full relist or a
+      // full-catalog rewrite (the economics that survive 100 TB).
+      try {
+        graft.catalog.TxnCatalog.appendNewFilesWatermarked(spark,
+          s"$root/${cfg.name}", statsPath(cfg.name), Seq(timeCol))
+        graft.catalog.TxnCatalog.vacuum(statsPath(cfg.name), keep = 3)
+      } catch {
+        case _: Exception =>
+          val dir = new org.apache.hadoop.fs.Path(statsPath(cfg.name))
+          try dir.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(dir, true)
+          catch { case _: Exception => () }
+          ()
+      }
+    }
+  }
+}

@@ -1,0 +1,314 @@
+package graft.http
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.HttpExchange
+import org.apache.spark.sql.functions.{col, count, floor, lit, unix_millis}
+
+import graft.ingest.IngestPipeline
+import graft.query.{Alerts, Counts, QueryService, Rbac, ResponseWriter, TimeRange}
+
+import GraftHttpServer._
+
+/** Stream lifecycle management, retention enforcement and cluster
+  * metastore endpoints.
+  *
+  * One surface of [[GraftHttpServer]] — split out for maintainability;
+  * state and shared plumbing stay on the server class (self-type).
+  */
+private[http] trait LogstreamRoutes { self: GraftHttpServer =>
+
+  /** Cluster management (reference `cluster/mod.rs` handlers, served by
+    * querier-class nodes; admin-gated):
+    *   - `GET /api/v1/cluster/info` — every registered node with a live
+    *     reachability probe;
+    *   - `DELETE /api/v1/cluster/{nodeId}` — drop a DEAD node's
+    *     registration (refused with 400 while the node answers liveness).
+    */
+  private[http] def handleCluster(ex: HttpExchange): Unit = {
+    if (role == Cluster.Ingestor) {
+      err(ex, 404, "cluster management is not available on an ingestor node")
+      return
+    }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (requireAuth && !userOpt.exists(Rbac.isAdmin)) {
+          err(ex, 403, "cluster management requires admin privileges")
+          return
+        }
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/cluster").stripPrefix("/"))
+          .filter(_.nonEmpty)
+        (ex.getRequestMethod, rest) match {
+          case ("GET", Some("info")) =>
+            val arr = mapper.createArrayNode()
+            Cluster.clusterInfo(metaStore, root, httpClient).foreach { n =>
+              val o = arr.addObject()
+                .put("node_id", n.nodeId).put("url", n.url)
+                .put("role", n.role).put("reachable", n.reachable)
+                .put("storage_path", n.storagePath)
+              n.status.foreach(o.put("status", _))
+              n.error.foreach(o.put("error", _))
+            }
+            respond(ex, 200, mapper.writeValueAsString(arr))
+          case ("DELETE", Some(id)) if id.nonEmpty && id != "info" =>
+            Cluster.removeNode(metaStore, id, httpClient) match {
+              case Left(msg)    => err(ex, 400, msg)
+              case Right(true)  => respond(ex, 200,
+                s"""{"status":"node '$id' removed"}""")
+              case Right(false) => err(ex, 404, s"node '$id' not found")
+            }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+
+  // ---------------------------------------------------- stream management
+
+  /** Stream management (reference `src/handlers/http/logstream.rs`):
+    *   - `GET /api/v1/logstream` — visible streams (query-authorized only);
+    *   - `PUT /api/v1/logstream/{name}` — create (ingest privilege);
+    *   - `DELETE /api/v1/logstream/{name}` — drop data + registration
+    *     (admin);
+    *   - `GET …/{name}/schema` — the stream's accumulated schema;
+    *   - `GET …/{name}/stats` — event count + storage bytes;
+    *   - `GET|PUT …/{name}/retention` — retention config
+    *     ([[graft.catalog.Retention]], reference `storage/retention.rs`);
+    *   - `POST …/{name}/retention/cleanup` — enforce now (admin), returns
+    *     the removed `date=…` partitions.
+    */
+  private[http] def handleLogstream(ex: HttpExchange): Unit = {
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val tenant = tenantOf(userOpt)
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/logstream").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/", 2).toSeq)
+        def key(name: String) = tenantKey(tenant, name)
+        def canQuery(name: String): Boolean =
+          userOpt.forall(Rbac.authorized(_, Rbac.QueryAction, key(name)))
+        def canIngest(name: String): Boolean =
+          userOpt.forall(Rbac.authorized(_, Rbac.IngestAction, key(name)))
+        def isAdminUser: Boolean =
+          !requireAuth || userOpt.exists(Rbac.isAdmin)
+        def streamDir(name: String) = s"$root/${key(name)}"
+        def retentionPath(name: String) =
+          new org.apache.hadoop.fs.Path(streamDir(name), "_retention.json")
+        def hadoopFs(p: org.apache.hadoop.fs.Path) =
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+        def exists(name: String): Boolean =
+          streamsFor(tenant).contains(name)
+        (ex.getRequestMethod, rest) match {
+          case ("GET", None) =>
+            val arr = mapper.createArrayNode()
+            streamsFor(tenant).keys.toSeq.sorted
+              .filter(canQuery)
+              .foreach(n => arr.addObject().put("name", n))
+            respond(ex, 200, mapper.writeValueAsString(arr))
+          case ("POST", Some(Seq("schema", "detect"))) =>
+            // reference detect_schema: infer the flattened schema a JSON
+            // payload WOULD get, without creating anything
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            (try IngestPipeline.prepare(body,
+              IngestPipeline.StreamConfig("__detect"))
+            catch {
+              case e: com.fasterxml.jackson.core.JacksonException =>
+                Left(s"malformed JSON body: ${e.getOriginalMessage}")
+            }) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(events) =>
+                val schema = events
+                  .map(graft.ingest.SchemaInference.inferSchema)
+                  .foldLeft(new org.apache.spark.sql.types.StructType()) {
+                    (acc, s) => graft.ingest.SchemaInference
+                      .tryMerge(acc, s).getOrElse(acc)
+                  }
+                respond(ex, 200, schema.json)
+            }
+          case ("PUT", Some(Seq(name))) =>
+            if (!canIngest(name)) {
+              err(ex, 403,
+                s"user lacks privilege to create stream '$name'"); return
+            }
+            configs.computeIfAbsent(key(name), k => {
+              metaStore.putStream(k)
+              IngestPipeline.StreamConfig(k)
+            })
+            respond(ex, 200, s"""{"status":"created stream '$name'"}""")
+          case ("DELETE", Some(Seq(name))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "stream deletion requires admin privileges")
+              return
+            }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val dir = new org.apache.hadoop.fs.Path(streamDir(name))
+            hadoopFs(dir).delete(dir, true)
+            val cat = new org.apache.hadoop.fs.Path(statsPath(key(name)))
+            hadoopFs(cat).delete(cat, true)
+            configs.remove(key(name))
+            registry.remove(key(name))
+            metaStore.removeStream(key(name))
+            respond(ex, 200, s"""{"status":"deleted stream '$name'"}""")
+          case ("GET", Some(Seq(name, "schema"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            // stored parquet is authoritative (includes enrichment columns
+            // like p_timestamp); the registry covers not-yet-written streams
+            (try Some(spark.read.parquet(streamDir(name)).schema)
+             catch { case _: Exception => None })
+              .orElse(registry.get(key(name))) match {
+              case Some(schema) => respond(ex, 200, schema.json)
+              case None => err(ex, 404, s"stream '$name' not found")
+            }
+          case ("GET", Some(Seq(name, "stats"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val dir = new org.apache.hadoop.fs.Path(streamDir(name))
+            val fs = hadoopFs(dir)
+            val (events, bytes) =
+              if (!fs.exists(dir)) (0L, 0L)
+              else {
+                val sum = fs.getContentSummary(dir)
+                // synced-catalog num_rows when maintained (no file opens,
+                // and the sync folds in out-of-band files); else parquet
+                // footer-metadata count
+                val n = syncedCountStar(key(name)).getOrElse(
+                  try spark.read.parquet(streamDir(name)).count()
+                  catch { case _: Exception => 0L })
+                (n, sum.getLength)
+              }
+            val o = mapper.createObjectNode().put("stream", name)
+            o.putObject("ingestion").put("count", events)
+            o.putObject("storage").put("size", bytes)
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case ("GET", Some(Seq(name, "retention"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            val p = retentionPath(name)
+            val fs = hadoopFs(p)
+            if (!fs.exists(p)) { respond(ex, 200, "[]"); return }
+            val in = fs.open(p)
+            val json =
+              try new String(in.readAllBytes(), UTF_8) finally in.close()
+            respond(ex, 200, json)
+          case ("PUT", Some(Seq(name, "retention"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "retention config requires admin privileges")
+              return
+            }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            graft.catalog.Retention.parse(body) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(tasks) =>
+                val p = retentionPath(name)
+                val out = hadoopFs(p).create(p, true)
+                try out.write(
+                  graft.catalog.Retention.render(tasks).getBytes(UTF_8))
+                finally out.close()
+                respond(ex, 200, """{"status":"ok"}""")
+            }
+          case ("POST", Some(Seq(name, "retention/cleanup"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "retention cleanup requires admin privileges")
+              return
+            }
+            val removed = enforceRetention(name, tenant)
+            // the catalog must forget the dropped partitions' files
+            if (removed.nonEmpty) { syncedCountStar(key(name)); () }
+            val o = mapper.createObjectNode()
+            val arr = o.putArray("removed")
+            removed.foreach(arr.add)
+            respond(ex, 200, mapper.writeValueAsString(o))
+          // hot tier (reference put/get/delete_stream_hot_tier,
+          // logstream.rs:421-560): pin the newest date partitions of the
+          // stream into the executor-local cache tier
+          case ("PUT", Some(Seq(name, "hottier"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "hot tier requires admin privileges"); return
+            }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val body =
+              try mapper.readTree(
+                new String(ex.getRequestBody.readAllBytes(), UTF_8))
+              catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  err(ex, 400,
+                    s"malformed JSON body: ${e.getOriginalMessage}")
+                  return
+              }
+            Option(body.get("size")).foreach(s =>
+              graft.catalog.HotTier.budgetBytes = s.asLong())
+            val keep = Option(body.get("keep_dates")).map(_.asInt())
+              .getOrElse(1)
+            if (keep < 0) { err(ex, 400, "keep_dates must be >= 0"); return }
+            hotTierKeep.put(key(name), keep)
+            val pinned = graft.catalog.HotTier.refresh(spark, root,
+              key(name), keep)
+            val o = mapper.createObjectNode().put("keep_dates", keep)
+            val arr = o.putArray("pinned")
+            pinned.foreach(arr.add)
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case ("GET", Some(Seq(name, "hottier"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            Option(hotTierKeep.get(key(name))) match {
+              case None =>
+                err(ex, 404, s"hot tier not configured for '$name'")
+              case Some(keep) =>
+                val o = mapper.createObjectNode().put("keep_dates", keep)
+                  .put("used_bytes", graft.catalog.HotTier.usedBytes(spark))
+                respond(ex, 200, mapper.writeValueAsString(o))
+            }
+          case ("DELETE", Some(Seq(name, "hottier"))) =>
+            if (!isAdminUser) {
+              err(ex, 403, "hot tier requires admin privileges"); return
+            }
+            if (Option(hotTierKeep.remove(key(name))).isEmpty) {
+              err(ex, 404, s"hot tier not configured for '$name'"); return
+            }
+            graft.catalog.HotTier.refresh(spark, root, key(name), 0)
+            respond(ex, 200, """{"status":"hot tier disabled"}""")
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+
+  /** Run the stream's configured retention delete task now; returns the
+    * removed `date=…` partition names. A deployment runs this daily (the
+    * reference's midnight scheduler) — here it's an explicit admin call so
+    * enforcement time is under the operator's control.
+    */
+  def enforceRetention(name: String,
+                       tenant: String = DefaultTenant): Seq[String] = {
+    val dir = s"$root/${tenantKey(tenant, name)}"
+    val p = new org.apache.hadoop.fs.Path(dir, "_retention.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val json =
+        try new String(in.readAllBytes(), UTF_8) finally in.close()
+      graft.catalog.Retention.parse(json) match {
+        case Left(_) => Seq.empty
+        case Right(tasks) => tasks.flatMap(t =>
+          // metadata before data (the reference's ordering): enforce drops
+          // the stream's catalog rows first, then the partitions — a crash
+          // between the two leaves only unreferenced files, never a
+          // catalog pointing at deleted data
+          graft.catalog.Retention.enforce(spark, dir, t.days,
+            java.time.LocalDate.now(),
+            catalogPath = Some(statsPath(tenantKey(tenant, name)))))
+      }
+    }
+  }
+}

@@ -1,0 +1,357 @@
+package graft.http
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.HttpExchange
+import org.apache.spark.sql.functions.{col, count, floor, lit, unix_millis}
+
+import graft.ingest.IngestPipeline
+import graft.query.{Alerts, Counts, QueryService, Rbac, ResponseWriter, TimeRange}
+
+import GraftHttpServer._
+
+/** Console-serving surfaces: about, prism home/stream info, demo
+  * data, the OTel demo generator and process metrics.
+  *
+  * One surface of [[GraftHttpServer]] — split out for maintainability;
+  * state and shared plumbing stay on the server class (self-type).
+  */
+private[http] trait PrismRoutes { self: GraftHttpServer =>
+
+  /** `GET /api/v1/about` (reference `handlers/http/about.rs`): instance
+    * metadata for the console. `deploymentId` persists in the storage
+    * root, so every node of a cluster (and every restart) reports the
+    * same id — the reference stores it in object-store metadata the same
+    * way.
+    */
+  private[http] def handleAbout(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(_) =>
+        val o = mapper.createObjectNode()
+        o.put("version", GraftHttpServer.Version)
+        o.put("commit", GraftHttpServer.Commit)
+        o.put("deploymentId", deploymentId)
+        o.put("mode", role.name)
+        o.put("oidcActive", oidc.isDefined)
+        o.put("license", "AGPL-3.0-only")
+        o.put("staging", root)
+        val store = o.putObject("store")
+        store.put("type", "filesystem")
+        store.put("path", root)
+        respond(ex, 200, mapper.writeValueAsString(o))
+    }
+
+  private[http] lazy val deploymentId: String = {
+    val p = java.nio.file.Paths.get(root, ".graft", "deployment_id")
+    if (java.nio.file.Files.isRegularFile(p))
+      new String(java.nio.file.Files.readAllBytes(p), UTF_8).trim
+    else {
+      val id = randomToken().take(16)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, id.getBytes(UTF_8))
+      id
+    }
+  }
+
+  /** `GET /api/v1/demodata?action=…` (reference `demo_data.rs`): seed the
+    * instance with sample data. `action=ingest` generates a deterministic
+    * batch of structured web-access events into the `demodata` stream
+    * in-process (the reference shells out to a script that POSTs the same
+    * kind of payload); `filters` / `dashboards` / `alerts` create one
+    * sample saved object each, so a fresh console has something to show.
+    */
+  private[http] def handleDemoData(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (role == Cluster.Querier) {
+          err(ex, 404, "demo data needs an ingest-capable node"); return
+        }
+        val tenant = tenantOf(userOpt)
+        queryParams(ex).get("action") match {
+          case None => err(ex, 400, "missing query parameter 'action'")
+          case Some("ingest") =>
+            val events = GraftHttpServer.demoEvents(200)
+            val cfg = configs.computeIfAbsent(tenantKey(tenant, "demodata"),
+              key => { metaStore.putStream(key); IngestPipeline.StreamConfig(key) })
+            IngestPipeline.ingest(spark, registry, cfg,
+                events, "demo-data", "127.0.0.1") match {
+              case Left(msg) => err(ex, 500, msg)
+              case Right(df) =>
+                val n = df.count()
+                appendWithStats(df, cfg)
+                ingestedEvents.addAndGet(n)
+                respond(ex, 200, mapper.writeValueAsString(
+                  mapper.createObjectNode()
+                    .put("status", "ok").put("stream", "demodata")
+                    .put("events", n)))
+            }
+          case Some("filters") =>
+            val node = mapper.createObjectNode()
+            node.put("filter_name", "demo 5xx errors")
+            node.put("stream_name", "demodata")
+            node.put("query", "SELECT * FROM demodata WHERE status >= 500")
+            val user = userOpt.getOrElse("anonymous")
+            respond(ex, 200, mapper.writeValueAsString(
+              userConfigs.create(tenant, user, UserConfigs.Filters, node)))
+          case Some("dashboards") =>
+            val node = mapper.createObjectNode()
+            node.put("name", "Demo traffic")
+            node.putArray("tiles").addObject()
+              .put("title", "Requests per minute")
+              .put("stream", "demodata")
+            val user = userOpt.getOrElse("anonymous")
+            respond(ex, 200, mapper.writeValueAsString(
+              userConfigs.create(tenant, user, UserConfigs.Dashboards, node)))
+          case Some("alerts") =>
+            val node = mapper.createObjectNode()
+            node.put("title", "Demo error spike")
+            node.put("stream", "demodata")
+            node.put("agg", "count")
+            node.put("column", "status")
+            node.put("operator", "above")
+            node.put("threshold", 100)
+            alertStore.createAlert(tenant, node) match {
+              case Left(msg)      => err(ex, 500, msg)
+              case Right(stamped) =>
+                respond(ex, 200, mapper.writeValueAsString(stamped))
+            }
+          case Some(other) => err(ex, 400, s"unknown action '$other'")
+        }
+    }
+
+  /** OTel demo generator (reference `handlers/http/otel_generator.rs`):
+    * `POST /api/v1/otel_generator` (`{"durationSecs": n,
+    * "intervalMillis": m?}`) starts one background producer per tenant
+    * that pushes a deterministic OTLP logs batch through the SAME
+    * flatten/ingest pipeline as `/v1/logs` every interval, into the
+    * `otel-demo-logs` stream; `DELETE` stops it; `GET` reports status.
+    * 202/409 start semantics as in the reference.
+    */
+  private[http] final class OtelGenerator(tenant: String, durationSecs: Long,
+                                    intervalMillis: Long) {
+    val startedAtMs: Long = System.currentTimeMillis()
+    @volatile var batches: Long = 0L
+    @volatile private var stopRequested = false
+    private val thread = new Thread(() => {
+      val deadline = startedAtMs + durationSecs * 1000L
+      val cfg = configs.computeIfAbsent(tenantKey(tenant, "otel-demo-logs"),
+        key => { metaStore.putStream(key); IngestPipeline.StreamConfig(key) })
+      while (!stopRequested && System.currentTimeMillis() < deadline) {
+        try {
+          val events = graft.ingest.OtelFlatten.flattenLogs(
+            GraftHttpServer.otelDemoBatch(batches, 5))
+          IngestPipeline.ingestEvents(spark, registry, cfg, events,
+              "otel-generator", "127.0.0.1")
+            .foreach { df => df.count(); appendWithStats(df, cfg) }
+          batches += 1
+        } catch { case _: Exception => () } // never kill the loop
+        Thread.sleep(intervalMillis)
+      }
+      generators.remove(tenant, this)
+      ()
+    }, s"graft-otel-generator-$tenant")
+    thread.setDaemon(true)
+    def start(): Unit = thread.start()
+    def stop(): Unit = { stopRequested = true }
+    def running: Boolean = thread.isAlive && !stopRequested
+  }
+
+  private[http] val generators =
+    new java.util.concurrent.ConcurrentHashMap[String, OtelGenerator]()
+
+  private[http] def handleOtelGenerator(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (role == Cluster.Querier) {
+          err(ex, 404, "the generator needs an ingest-capable node"); return
+        }
+        val tenant = tenantOf(userOpt)
+        ex.getRequestMethod match {
+          case "POST" =>
+            val body =
+              try mapper.readTree(new String(
+                ex.getRequestBody.readAllBytes(), UTF_8))
+              catch {
+                case _: com.fasterxml.jackson.core.JacksonException =>
+                  mapper.createObjectNode()
+              }
+            val duration = body.path("durationSecs").asLong(86400L)
+            if (duration <= 0 || duration > GraftHttpServer.MaxGeneratorSecs) {
+              err(ex, 400, "durationSecs must be between 1 and " +
+                s"${GraftHttpServer.MaxGeneratorSecs}")
+              return
+            }
+            val interval = math.max(50L,
+              body.path("intervalMillis").asLong(1000L))
+            val fresh = new OtelGenerator(tenant, duration, interval)
+            if (generators.putIfAbsent(tenant, fresh) != null) {
+              err(ex, 409, "generator already running for this tenant")
+            } else {
+              fresh.start()
+              respond(ex, 202, """{"status":"accepted",""" +
+                """"message":"OTel demo generator started"}""")
+            }
+          case "DELETE" =>
+            Option(generators.remove(tenant)) match {
+              case Some(g) =>
+                g.stop()
+                respond(ex, 200, """{"status":"stopped"}""")
+              case None => respond(ex, 200, """{"status":"not running"}""")
+            }
+          case "GET" =>
+            Option(generators.get(tenant)) match {
+              case Some(g) =>
+                respond(ex, 200, mapper.writeValueAsString(
+                  mapper.createObjectNode()
+                    .put("status", if (g.running) "running" else "stopping")
+                    .put("startedAt",
+                      java.time.Instant.ofEpochMilli(g.startedAtMs).toString)
+                    .put("batches", g.batches)))
+              case None =>
+                respond(ex, 200, """{"status":"not running"}""")
+            }
+          case _ => err(ex, 405, "POST, DELETE or GET")
+        }
+    }
+
+  /** `GET /api/v1/metrics` — Prometheus text exposition of the server's
+    * request counters (the reference mounts `actix_web_prometheus`
+    * here). Unauthenticated, as scrapers expect.
+    */
+  private[http] def handleMetrics(ex: HttpExchange): Unit = {
+    val up = (System.currentTimeMillis() - startedAtMs) / 1000.0
+    val body = new StringBuilder
+    def metric(name: String, help: String, kind: String, v: String): Unit = {
+      body ++= s"# HELP $name $help\n# TYPE $name $kind\n$name $v\n"
+      ()
+    }
+    metric("graft_uptime_seconds", "Seconds since server start", "gauge",
+      f"$up%.1f")
+    metric("graft_ingest_requests_total", "Ingest API calls", "counter",
+      ingestCalls.get.toString)
+    metric("graft_ingested_events_total", "Events accepted via HTTP ingest",
+      "counter", ingestedEvents.get.toString)
+    metric("graft_query_requests_total", "Query API calls", "counter",
+      queryCalls.get.toString)
+    metric("graft_streams", "Registered streams (all tenants)", "gauge",
+      (configs.keySet.asScala.toSet ++ metaStore.streams()).size.toString)
+    respond(ex, 200, body.toString,
+      contentType = "text/plain; version=0.0.4; charset=utf-8")
+  }
+
+  private[http] def handlePrism(ex: HttpExchange): Unit = {
+    if (role == Cluster.Ingestor) {
+      err(ex, 404, "prism is not available on an ingestor node"); return
+    }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (ex.getRequestMethod != "GET") { err(ex, 405, "GET only"); return }
+        val tenant = tenantOf(userOpt)
+        val user = userOpt.getOrElse("anonymous")
+        def canQuery(name: String): Boolean =
+          userOpt.forall(Rbac.authorized(_, Rbac.QueryAction,
+            tenantKey(tenant, name)))
+        val visible = streamsFor(tenant).keys.toSeq.sorted.filter(canQuery)
+        def hasData(name: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(
+            s"$root/${tenantKey(tenant, name)}")
+          try p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+          catch { case _: Exception => false }
+        }
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/prism").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/").toSeq)
+        rest match {
+          case Some(Seq("home")) =>
+            val o = mapper.createObjectNode()
+            val datasets = o.putArray("datasets")
+            visible.foreach { n =>
+              val d = datasets.addObject()
+              d.put("title", n)
+              d.put("ingestion", hasData(n))
+            }
+            val alerts = alertStore.listAlerts(tenant)
+            val checklist = o.putObject("checklist")
+            checklist.put("dataIngested", visible.exists(hasData))
+            checklist.put("alertCreated", alerts.nonEmpty)
+            checklist.put("userAdded", users.nonEmpty)
+            checklist.put("keystoneCreated",
+              userConfigs.list(tenant, user, UserConfigs.Filters).nonEmpty ||
+              userConfigs.list(tenant, user, UserConfigs.Dashboards).nonEmpty)
+            o.put("triggeredAlertsCount",
+              alerts.count(a => alertStore.stateOf(tenant, a) == "triggered"))
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case Some(Seq("home", "search")) =>
+            val needle = queryParams(ex).getOrElse("key", "").toLowerCase
+            if (needle.isEmpty) {
+              err(ex, 400, "missing query parameter 'key'"); return
+            }
+            val o = mapper.createObjectNode()
+            val resources = o.putArray("resources")
+            def add(id: String, name: String, kind: String): Unit =
+              if (name.toLowerCase.contains(needle)) {
+                val r = resources.addObject()
+                r.put("id", id); r.put("name", name)
+                r.put("resource_type", kind)
+                ()
+              }
+            visible.foreach(n => add(n, n, "DataSet"))
+            alertStore.listAlerts(tenant).foreach(a =>
+              add(a.path("id").asText(), a.path("title").asText(), "Alert"))
+            userConfigs.list(tenant, user, UserConfigs.Filters).foreach(f =>
+              add(f.path("filter_id").asText(),
+                f.path("filter_name").asText(), "Filter"))
+            userConfigs.list(tenant, user, UserConfigs.Dashboards).foreach(d =>
+              add(d.path("dashboardId").asText(),
+                d.path("name").asText(), "Dashboard"))
+            userConfigs.list(tenant, user, UserConfigs.Correlations)
+              .foreach(c => add(c.path("id").asText(),
+                c.path("title").asText(), "Correlation"))
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case Some(Seq("logstream", name, "info")) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            if (!streamsFor(tenant).contains(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val dirStr = s"$root/${tenantKey(tenant, name)}"
+            val o = mapper.createObjectNode()
+            o.putObject("info").put("stream", name)
+            val schema =
+              (try Some(spark.read.parquet(dirStr).schema)
+               catch { case _: Exception => None })
+                .orElse(registry.get(tenantKey(tenant, name)))
+            schema match {
+              case Some(s) => o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+                "schema", mapper.readTree(s.json))
+              case None => o.putNull("schema")
+            }
+            val dir = new org.apache.hadoop.fs.Path(dirStr)
+            val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+            val stats = o.putObject("stats")
+            if (fs.exists(dir)) {
+              stats.put("size", fs.getContentSummary(dir).getLength)
+              stats.put("count",
+                syncedCountStar(tenantKey(tenant, name)).getOrElse(
+                  try spark.read.parquet(dirStr).count()
+                  catch { case _: Exception => 0L }))
+            } else { stats.put("size", 0L); stats.put("count", 0L) }
+            val rp = new org.apache.hadoop.fs.Path(dir, "_retention.json")
+            val retention =
+              if (fs.exists(rp)) {
+                val in = fs.open(rp)
+                try new String(in.readAllBytes(), UTF_8) finally in.close()
+              } else "[]"
+            o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+              "retention", mapper.readTree(retention))
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case _ => err(ex, 404, "unknown prism path")
+        }
+    }
+  }
+}

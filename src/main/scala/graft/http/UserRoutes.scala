@@ -1,0 +1,232 @@
+package graft.http
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.HttpExchange
+import org.apache.spark.sql.functions.{col, count, floor, lit, unix_millis}
+
+import graft.ingest.IngestPipeline
+import graft.query.{Alerts, Counts, QueryService, Rbac, ResponseWriter, TimeRange}
+
+import GraftHttpServer._
+
+/** Saved filters/dashboards/correlations CRUD and role management.
+  *
+  * One surface of [[GraftHttpServer]] — split out for maintainability;
+  * state and shared plumbing stay on the server class (self-type).
+  */
+private[http] trait UserRoutes { self: GraftHttpServer =>
+
+  /** Saved filters / dashboards CRUD (reference `src/users/filters.rs`,
+    * `src/users/dashboards.rs`): objects live under the calling user's own
+    * (tenant, user) namespace — other users' ids are 404 by construction.
+    * Filters additionally name a stream and require query access to it.
+    */
+  private[http] def handleUserConfigs(kind: UserConfigs.Kind)
+                               (ex: HttpExchange): Unit = {
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val user = userOpt.getOrElse("anonymous")
+        val tenant = tenantOf(userOpt)
+        val base = s"/api/v1/${kind.name}"
+        val id = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix(base).stripPrefix("/")).filter(_.nonEmpty)
+        def parseBody(): Option[com.fasterxml.jackson.databind.node.ObjectNode] =
+          try mapper.readTree(
+              new String(ex.getRequestBody.readAllBytes(), UTF_8)) match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => Some(o)
+            case _ => err(ex, 400, "body must be a JSON object"); None
+          } catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              None
+          }
+        def canQueryStream(s: String): Boolean = userOpt.forall(
+          Rbac.authorized(_, Rbac.QueryAction, tenantKey(tenant, s)))
+        // per-kind validation: filters bind one stream (reference filter
+        // authorization); correlations bind exactly two, with matching
+        // join tables (reference `CorrelationConfig::validate`,
+        // `src/correlation.rs:280-314`)
+        def validate(node: com.fasterxml.jackson.databind.node.ObjectNode)
+            : Either[(Int, String), Unit] = kind match {
+          case UserConfigs.Filters =>
+            Option(node.get("stream_name")).map(_.asText()) match {
+              case Some(s) if !canQueryStream(s) =>
+                Left((403,
+                  s"user '$user' lacks query access to the filter's stream"))
+              case _ => Right(())
+            }
+          case UserConfigs.Correlations =>
+            val tables = Option(node.get("tableConfigs")).toSeq
+              .flatMap(_.elements().asScala)
+              .map(_.path("tableName").asText()).toSet
+            val joinTables = Option(node.get("joinConfig")).toSeq
+              .flatMap(c => Option(c.get("joinConditions")).toSeq)
+              .flatMap(_.elements().asScala)
+              .map(_.path("tableName").asText()).toSet
+            if (tables.size != 2)
+              Left((400, "must provide config for two unique tables"))
+            else if (joinTables.nonEmpty && joinTables != tables)
+              Left((400,
+                "must provide same tables for join config and table config"))
+            else tables.find(!canQueryStream(_)) match {
+              case Some(s) =>
+                Left((403, s"user '$user' lacks query access to '$s'"))
+              case None => Right(())
+            }
+          case _ => Right(())
+        }
+        (ex.getRequestMethod, id) match {
+          case ("POST", None) =>
+            parseBody().foreach { node =>
+              validate(node) match {
+                case Left((code, msg)) => err(ex, code, msg)
+                case Right(()) => respond(ex, 200, mapper.writeValueAsString(
+                  userConfigs.create(tenant, user, kind, node)))
+              }
+            }
+          case ("GET", None) =>
+            respond(ex, 200, mapper.writeValueAsString(
+              mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+                userConfigs.list(tenant, user, kind).toArray)))
+          case ("GET", Some(oid)) =>
+            userConfigs.get(tenant, user, kind, oid) match {
+              case Some(node) =>
+                respond(ex, 200, mapper.writeValueAsString(node))
+              case None => err(ex, 404, s"${kind.name} '$oid' not found")
+            }
+          case ("PUT", Some(oid)) =>
+            parseBody().foreach { node =>
+              validate(node) match {
+                case Left((code, msg)) => err(ex, code, msg)
+                case Right(()) =>
+                  userConfigs.update(tenant, user, kind, oid, node) match {
+                    case Some(updated) =>
+                      respond(ex, 200, mapper.writeValueAsString(updated))
+                    case None =>
+                      err(ex, 404, s"${kind.name} '$oid' not found")
+                  }
+              }
+            }
+          case ("DELETE", Some(oid)) =>
+            if (userConfigs.delete(tenant, user, kind, oid))
+              respond(ex, 200, """{"status":"deleted"}""")
+            else err(ex, 404, s"${kind.name} '$oid' not found")
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+
+  /** Roles CRUD (reference `src/handlers/http/role.rs`, admin-gated):
+    *   - `PUT /api/v1/role/{name}` — body is a JSON array of privilege
+    *     objects `{"privilege": "admin|editor|writer|reader|ingestor",
+    *     "stream": "s"?}` (absent stream = all streams);
+    *   - `GET /api/v1/role` (list) / `GET /api/v1/role/{name}`;
+    *   - `DELETE /api/v1/role/{name}` — refused while users hold it;
+    *   - `PUT /api/v1/role/{name}/users` — body `["user", …]` assigns the
+    *     role (reference user-role mapping).
+    * Stream scopes are tenant-scoped for the CALLING admin's tenant, so a
+    * tenant admin cannot mint privileges on another tenant's streams.
+    */
+  private[http] def handleRoles(ex: HttpExchange): Unit = {
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (requireAuth && !userOpt.exists(Rbac.isAdmin)) {
+          err(ex, 403, "role management requires admin privileges")
+          return
+        }
+        val tenant = tenantOf(userOpt)
+        val rest = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/role").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/", 2).toSeq)
+        def parsePrivileges(node: com.fasterxml.jackson.databind.JsonNode)
+            : Either[String, Seq[Rbac.Privilege]] =
+          if (!node.isArray) Left("body must be a JSON array of privileges")
+          else {
+            val out = Seq.newBuilder[Rbac.Privilege]
+            val it = node.elements()
+            while (it.hasNext) {
+              val p = it.next()
+              val stream = Option(p.get("stream")).map(_.asText())
+                .map(tenantKey(tenant, _))
+              val kind = Option(p.get("privilege")).map(_.asText().toLowerCase)
+              // a tenant admin may only mint privileges scoped to its own
+              // tenant's streams — global/wildcard privileges would reach
+              // across tenants
+              if (tenant != DefaultTenant &&
+                  (stream.isEmpty || kind.exists(Set("admin", "editor"))))
+                return Left("tenant-scoped roles must name a stream and " +
+                  "cannot be admin/editor")
+              kind match {
+                case Some("admin")    => out += Rbac.Admin()
+                case Some("editor")   => out += Rbac.Editor()
+                case Some("writer")   => out += Rbac.Writer(stream)
+                case Some("reader")   => out += Rbac.Reader(stream)
+                case Some("ingestor") => out += Rbac.Ingestor(stream)
+                case other => return Left(s"unknown privilege: $other")
+              }
+            }
+            Right(out.result())
+          }
+        def privilegesJson(ps: Seq[Rbac.Privilege]): String = {
+          val arr = mapper.createArrayNode()
+          ps.foreach { p =>
+            val o = arr.addObject()
+            o.put("privilege", p match {
+              case Rbac.Admin()       => "admin"
+              case Rbac.Editor()      => "editor"
+              case _: Rbac.Writer     => "writer"
+              case _: Rbac.Reader     => "reader"
+              case _: Rbac.Ingestor   => "ingestor"
+            })
+            p.stream.foreach(o.put("stream", _))
+          }
+          mapper.writeValueAsString(arr)
+        }
+        def body(): com.fasterxml.jackson.databind.JsonNode =
+          mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        (ex.getRequestMethod, rest) match {
+          case ("GET", None) =>
+            val o = mapper.createObjectNode()
+            Rbac.listRoles().toSeq.sortBy(_._1).foreach { case (n, ps) =>
+              o.set[com.fasterxml.jackson.databind.JsonNode](
+                n, mapper.readTree(privilegesJson(ps)))
+            }
+            respond(ex, 200, mapper.writeValueAsString(o))
+          case ("GET", Some(Seq(name))) =>
+            Rbac.getRole(name) match {
+              case Some(ps) => respond(ex, 200, privilegesJson(ps))
+              case None     => err(ex, 404, s"role '$name' not found")
+            }
+          case ("PUT", Some(Seq(name))) =>
+            parsePrivileges(body()) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(ps) =>
+                Rbac.putRole(name, ps)
+                respond(ex, 200, """{"status":"ok"}""")
+            }
+          case ("PUT", Some(Seq(name, "users"))) =>
+            val b = body()
+            if (!b.isArray) { err(ex, 400, "body must be a JSON array"); return }
+            val users = (0 until b.size()).map(b.get(_).asText())
+            val failure = users.iterator.map(u =>
+              Rbac.assignRoles(u, (Rbac.rolesOf(u) :+ name).distinct))
+              .collectFirst { case Left(msg) => msg }
+            failure match {
+              case Some(msg) => err(ex, 400, msg)
+              case None      => respond(ex, 200, """{"status":"ok"}""")
+            }
+          case ("DELETE", Some(Seq(name))) =>
+            Rbac.deleteRole(name) match {
+              case Left(msg) => err(ex, 409, msg)
+              case Right(()) => respond(ex, 200, """{"status":"deleted"}""")
+            }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+  }
+}
