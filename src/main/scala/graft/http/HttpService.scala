@@ -78,9 +78,12 @@ final class GraftHttpServer(
     private[http] val apiKeys: Map[String, String] = Map.empty,
     private[http] val oidc: Option[Oidc.Config] = None,
     private[http] val role: Cluster.NodeRole = Cluster.All,
-    nodeId: String = "")
+    nodeId: String = "",
+    private[http] val llm: Option[Llm.Config] = None,
+    resourceCheck: Option[ResourceMonitor.Config] = None)
   extends OidcRoutes with IngestRoutes with QueryRoutes with TailRoutes
-  with LogstreamRoutes with AlertRoutes with UserRoutes with PrismRoutes {
+  with LogstreamRoutes with AlertRoutes with UserRoutes with PrismRoutes
+  with LlmRoutes {
 
   import GraftHttpServer.{DefaultTenant, SessionTtlMs, StateTtlMs}
 
@@ -295,6 +298,7 @@ final class GraftHttpServer(
   server.createContext("/api/v1/targets", handler(handleTargets))
   server.createContext("/api/v1/services/traces", handler(handleTraces))
   server.createContext("/api/v1/livetail", handler(handleLivetail))
+  server.createContext("/api/v1/llm", handler(handleLlm))
   server.createContext("/api/v1/prism", handler(handlePrism))
   server.createContext("/api/v1/sse", handler(handleSse))
   server.createContext("/api/v1/about", handler(handleAbout))
@@ -307,8 +311,17 @@ final class GraftHttpServer(
   server.createContext("/api/v1/readiness",
     handler(ex => respond(ex, 200, """{"status":"ready"}""")))
 
+  // load-shedding guard (reference resource_check): when configured, the
+  // monitor samples in the background and [[IngestRoutes]] answers 503
+  // while utilization is over threshold
+  private[http] val resourceMonitor: Option[ResourceMonitor] =
+    resourceCheck.map(new ResourceMonitor(_))
+  private[http] def resourcesOk: Boolean =
+    resourceMonitor.forall(_.ok)
+
   def start(): Unit = {
     server.start()
+    resourceMonitor.foreach(_.start())
     // cluster-mode nodes register in the shared metastore (standalone
     // [[Cluster.All]] nodes don't participate in a cluster)
     if (role != Cluster.All)
@@ -319,6 +332,7 @@ final class GraftHttpServer(
 
   def stop(): Unit = {
     stopping = true // unblocks SSE loops at their next keep-alive tick
+    resourceMonitor.foreach(_.stop())
     generators.values().asScala.foreach(_.stop())
     generators.clear()
     server.stop(0)

@@ -27,6 +27,11 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
     if (role == Cluster.Querier) {
       err(ex, 404, "ingest is not available on a querier node"); return
     }
+    // load shedding (reference resource_check middleware): the write path
+    // rejects while cpu/mem are over threshold; reads stay open
+    if (!resourcesOk) {
+      err(ex, 503, "Server resources over-utilized"); return
+    }
     if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
@@ -78,6 +83,9 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
   private[http] def handleOtelIngest(ex: HttpExchange): Unit = {
     if (role == Cluster.Querier) {
       err(ex, 404, "ingest is not available on a querier node"); return
+    }
+    if (!resourcesOk) {
+      err(ex, 503, "Server resources over-utilized"); return
     }
     if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
     val signal = Option(ex.getRequestURI.getPath)
