@@ -69,14 +69,30 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
     }
+    // min of two measured passes per query: the recorded figure is the
+    // query's cost, not whichever GC pause / contention spike happened to
+    // land on it (driver-observed run-to-run variance was up to 2.5× on a
+    // busy box; the min is the stable statistic). Scan metrics come from
+    // the first pass — bytes/records are deterministic across passes.
+    val measuredPasses = 2
     val results = ordered.map { case (name, fn) =>
-      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
-      scan.reset()
-      val t0 = System.nanoTime()
-      val rows = try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
-      (name, sec, rows, scan.bytes.get(), scan.records.get())
+      var best = Double.MaxValue
+      var rows = -1L
+      var bytes = 0L
+      var records = 0L
+      var pass = 0
+      while (pass < measuredPasses) {
+        org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+        scan.reset()
+        val t0 = System.nanoTime()
+        val r = try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+        if (pass == 0) { bytes = scan.bytes.get(); records = scan.records.get() }
+        if (sec < best) { best = sec; rows = r }
+        pass += 1
+      }
+      (name, best, rows, bytes, records)
     }
     val total = results.map(_._2).sum
 
