@@ -58,14 +58,8 @@ object Bench {
     // in the final projection (scalar kernels, wide selects) would be
     // under-measured. Driving the executed RDD evaluates the full physical
     // plan including the result projection, without driver-side collect.
-    def materialize(df: org.apache.spark.sql.DataFrame): Long = {
-      val counts = df.queryExecution.toRdd.mapPartitions { it =>
-        var n = 0L
-        while (it.hasNext) { it.next(); n += 1 }
-        Iterator.single(n)
-      }.collect()
-      counts.sum
-    }
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      Bench.materialize(df)
     ordered.foreach { case (_, fn) =>
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
     }
@@ -89,7 +83,9 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
         if (pass == 0) { bytes = scan.bytes.get(); records = scan.records.get() }
-        if (sec < best) { best = sec; rows = r }
+        // a fast-FAILING pass must not override a successful slower one
+        if (r >= 0 && (rows < 0 || sec < best)) { best = sec; rows = r }
+        else if (r < 0 && rows < 0 && sec < best) best = sec
         pass += 1
       }
       (name, best, rows, bytes, records)
@@ -122,4 +118,16 @@ object Bench {
     println(sb.toString)
     spark.stop()
   }
+
+  /** Materialize EVERY row end-to-end without a driver collect: drives
+    * the executed RDD so the full physical plan runs, including the final
+    * projection a bare `count()` would prune. Shared with [[BenchScale]]
+    * so the two benches measure identically.
+    */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(n)
+    }.collect().sum
 }

@@ -93,13 +93,10 @@ object BenchScale {
     spark.stop()
   }
 
-  /** Full-plan row materialization, as [[Bench]] measures. */
-  private def materialize(df: DataFrame): Long =
-    df.queryExecution.toRdd.mapPartitions { it =>
-      var n = 0L
-      while (it.hasNext) { it.next(); n += 1 }
-      Iterator.single(n)
-    }.collect().sum
+  /** Full-plan row materialization — the same helper [[Bench]] measures
+    * with, so sweep ratios stay comparable to the main bench figures.
+    */
+  private def materialize(df: DataFrame): Long = Bench.materialize(df)
 
   private def generate(spark: SparkSession, src: String, out: String): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -125,9 +125,16 @@ object Retention {
           .reduce(_ || _)
         if (fs.exists(new Path(cp, "_commits"))) {
           // transaction-log layout: drop the doomed rows as one atomic
-          // version — readers pinned to older versions stay consistent
-          TxnCatalog.commit(spark, cp)(cur => cur.get.filter(!cond))
-          ()
+          // version — readers pinned to older versions stay consistent.
+          // A _commits dir with no committed version (half-initialized
+          // catalog) has no rows to drop — don't let cur.get throw and
+          // block the partition deletes below forever.
+          if (TxnCatalog.latestVersion(cp).nonEmpty) {
+            // cur is Some by the guard above (vacuum always keeps the
+            // latest version, so it cannot vanish mid-commit)
+            TxnCatalog.commit(spark, cp)(cur => cur.get.filter(!cond))
+            ()
+          }
         } else {
           val kept = spark.read.parquet(cp).filter(!cond)
           val tmp = s"$cp.retention.tmp"

@@ -57,6 +57,9 @@ private[http] trait LlmRoutes { self: GraftHttpServer =>
             Llm.buildPrompt(stream, prompt, Llm.schemaJson(schema))
           val req = java.net.http.HttpRequest.newBuilder()
             .uri(java.net.URI.create(cfg.url))
+            // a hung provider must not pin a pool thread forever — the
+            // shared client only bounds the CONNECT phase
+            .timeout(java.time.Duration.ofSeconds(30))
             .header("Content-Type", "application/json")
             .header("Authorization", s"Bearer ${cfg.apiKey}")
             .POST(java.net.http.HttpRequest.BodyPublishers.ofString(

@@ -85,6 +85,16 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
               case _ => ()
             }
             val tenant = tenantOf(user)
+            // a CTE named like a visible stream would make single-part
+            // resolution ambiguous — 400 with an actionable message
+            // (QueryService.query would refuse anyway; surface it cleanly)
+            val shadowing = QueryService.cteNames(spark, q)
+              .filter(n => visible.keys.exists(_.equalsIgnoreCase(n)))
+            if (shadowing.nonEmpty) {
+              err(ex, 400, s"CTE name(s) ${shadowing.mkString(", ")} " +
+                "shadow stream names; rename the CTE")
+              return
+            }
             val referenced = QueryService.referencedTables(spark, q)
             // every referenced relation must be a stream the caller can
             // see — silently dropping unknown names would let resolution

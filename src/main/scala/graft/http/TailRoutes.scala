@@ -173,7 +173,24 @@ private[http] trait TailRoutes { self: GraftHttpServer =>
               case _ =>
                 err(ex, 400, "need startTime and endTime"); return
             }
-          val df = QueryService.windowedRead(spark, dataset, stream, range)
+          // a registered stream with no data yet (config created, nothing
+          // ingested) reads as empty, like the counts/query paths do —
+          // not as a raw Spark path error
+          val df =
+            try QueryService.windowedRead(spark, dataset, stream, range)
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                sub match {
+                  case "list" =>
+                    val o = mapper.createObjectNode()
+                      .put("count", 0L).put("offset", 0).put("limit", 0)
+                    o.putArray("records")
+                    respond(ex, 200, mapper.writeValueAsString(o))
+                  case _ =>
+                    err(ex, 404, s"trace not found in dataset '$dataset'")
+                }
+                return
+            }
           val conditions = Option(body.get("conditions")) match {
             case None => None
             case Some(c) => alertStore.parseCondition(c) match {
@@ -202,6 +219,11 @@ private[http] trait TailRoutes { self: GraftHttpServer =>
               val option = Option(body.get("options"))
                 .orElse(Option(body.get("option")))
                 .map(_.asText()).getOrElse("spans")
+              // the reference deserializes options as an enum — an
+              // unknown value is a 400, never silently "all spans"
+              if (!Seq("spans", "traces", "errorSpans").contains(option)) {
+                err(ex, 400, s"unknown options: $option"); return
+              }
               val sortBy = Option(body.get("sortBy")).map(_.asText())
                 .getOrElse("mostRecent")
               TracesApi.list(df, serviceName, conditions, option, sortBy,

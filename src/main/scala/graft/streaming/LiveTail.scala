@@ -46,16 +46,22 @@ object LiveTail {
               persisted: Boolean = false): Unit = {
     val rows = df.limit(maxRows).collect()
     val batch = Batch(df.schema, rows, System.currentTimeMillis(), persisted)
-    val buf = buffers.computeIfAbsent(stream, _ => new CopyOnWriteArrayList[Batch]())
-    buf.add(batch)
-    val cutoff = System.currentTimeMillis() - windowMillis
-    buf.removeIf(b => b.atMillis < cutoff)
-    var total = 0
-    // enforce the row cap newest-first
-    val keep = buf.asScala.toSeq.reverse.takeWhile { b =>
-      total += b.rows.length; total <= maxRows
-    }.reverse
-    if (keep.size != buf.size) { buf.clear(); buf.addAll(keep.asJava) }
+    // persisted batches exist only for subscriber fan-out — the staging
+    // union always skips them ([[recentFrame]]), so buffering them would
+    // be pure driver-heap waste while someone tails a busy stream
+    if (!persisted) {
+      val buf =
+        buffers.computeIfAbsent(stream, _ => new CopyOnWriteArrayList[Batch]())
+      buf.add(batch)
+      val cutoff = System.currentTimeMillis() - windowMillis
+      buf.removeIf(b => b.atMillis < cutoff)
+      var total = 0
+      // enforce the row cap newest-first
+      val keep = buf.asScala.toSeq.reverse.takeWhile { b =>
+        total += b.rows.length; total <= maxRows
+      }.reverse
+      if (keep.size != buf.size) { buf.clear(); buf.addAll(keep.asJava) }
+    }
     Option(subscribers.get(stream)).foreach(_.asScala.foreach(f => f(batch)))
   }
 

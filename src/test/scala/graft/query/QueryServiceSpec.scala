@@ -22,6 +22,46 @@ class QueryServiceSpec extends SparkSuite {
     assert(QueryService.referencedTables(spark,
       "WITH logs AS (SELECT 1 AS x) SELECT * FROM logs JOIN other ON 1=1")
       == Seq("other"))
+    // …but ONLY inside the scope that binds them: a CTE inside a subquery
+    // must not hide an OUTER real reference to the same name (that would
+    // bypass the auth check on it)
+    assert(QueryService.referencedTables(spark,
+      "SELECT * FROM secrets JOIN (WITH secrets AS (SELECT 1 AS x) " +
+        "SELECT x FROM secrets) z ON 1=1") == Seq("secrets"))
+    // a non-recursive CTE's body reference to its own name is the REAL
+    // table (the name is not yet bound)
+    assert(QueryService.referencedTables(spark,
+      "WITH logs AS (SELECT * FROM logs WHERE x = 1) SELECT * FROM logs")
+      == Seq("logs"))
+    // recursive CTEs bind their own name inside the body
+    assert(QueryService.referencedTables(spark,
+      "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL " +
+        "SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r").isEmpty)
+    // later CTEs see earlier ones
+    assert(QueryService.referencedTables(spark,
+      "WITH a AS (SELECT 1 AS x), b AS (SELECT x FROM a) " +
+        "SELECT * FROM b JOIN ext ON 1=1") == Seq("ext"))
+  }
+
+  test("query refuses CTE names that shadow registered streams") {
+    val dir = Files.createTempDirectory("qscte").toString
+    val base = 1700000000000L
+    Seq.tabulate(3)(i => (i.toLong, new Timestamp(base + i * 1000L)))
+      .toDF("id", "p_timestamp").write.parquet(s"$dir/slogs")
+    val streams = Map("slogs" ->
+      QueryService.Stream(s"$dir/slogs", "p_timestamp"))
+    val range = TimeRange(
+      java.time.Instant.ofEpochMilli(base - 1000),
+      java.time.Instant.ofEpochMilli(base + 60_000L))
+    val e = intercept[IllegalArgumentException] {
+      QueryService.query(spark, streams,
+        "WITH slogs AS (SELECT 1 AS id) SELECT * FROM slogs", range)
+    }
+    assert(e.getMessage.contains("shadow"))
+    // non-colliding CTEs over a stream work normally
+    assert(QueryService.query(spark, streams,
+      "WITH recent AS (SELECT id FROM slogs) SELECT * FROM recent", range)
+      .count() == 3)
   }
 
   test("constrainedStreams falls back to query-global detection when " +
