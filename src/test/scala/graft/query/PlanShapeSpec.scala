@@ -127,4 +127,30 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("TracesApi.list: one trace-id window shuffle, no join, no " +
+       "nested loop; count is a plain aggregate") {
+    import org.apache.spark.sql.functions._
+    val spans = graft.engine.GraftSession.table(spark, sfDir, "events")
+      .select(col("event_type").as("service.name"),
+        concat(lit("s"), col("event_id")).as("span_name"),
+        (col("value") * 1000).cast("long").as("span_duration_ns"),
+        col("user_id").cast("string").as("span_trace_id"),
+        col("event_id").cast("string").as("span_span_id"),
+        col("ts").as("span_start_time_unix_nano"),
+        unix_millis(col("ts").cast("timestamp"))
+          .as("span_start_time_unix_nano_epoch"),
+        lit(0).as("span_status_code"),
+        lit("").as("span_parent_span_id"),
+        col("ts").cast("timestamp").as("p_timestamp"))
+    val page = graft.http.TracesApi.list(spans, None, None, "spans",
+      "mostRecent", offset = 0, limit = 10).toOption.get
+    val p = page.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p) // the per-trace counts window
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // exactly one shuffle keys the window (plus the global sort for the
+    // deterministic page order) — never one per derived count
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"$exchanges hash exchanges:\n$p")
+  }
 }
