@@ -76,9 +76,21 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
                   catch { case _: Exception => None }
                 dense match {
                   case Some(pairs) =>
-                    val o = mapper.createArrayNode()
-                    o.addObject().put(outName, pairs.map(_._2).sum)
-                    respond(ex, 200, mapper.writeValueAsString(o))
+                    val total = pairs.map(_._2).sum
+                    // ?fields=true wraps in the reference's
+                    // {"fields":[name],"records":[...]} envelope
+                    // (handle_count_query, query.rs:237-244)
+                    if (queryParams(ex).get("fields")
+                        .exists(_.equalsIgnoreCase("true"))) {
+                      val o = mapper.createObjectNode()
+                      o.putArray("fields").add(outName)
+                      o.putArray("records").addObject().put(outName, total)
+                      respond(ex, 200, mapper.writeValueAsString(o))
+                    } else {
+                      val o = mapper.createArrayNode()
+                      o.addObject().put(outName, total)
+                      respond(ex, 200, mapper.writeValueAsString(o))
+                    }
                     return
                   case None => () // fall through to normal execution
                 }
@@ -124,17 +136,47 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
             result match {
               case Left(msg) => err(ex, 403, msg)
               case Right(df) =>
-                val ndjson = Option(ex.getRequestHeaders.getFirst("Accept"))
-                  .exists(_.contains("application/x-ndjson"))
-                if (ndjson) {
+                // reference Query::from_request: `fields` and `streaming`
+                // ride ?query params; `send_null` from the body OR the
+                // `sendNull` param (default false — null-valued keys are
+                // OMITTED from row objects unless asked for)
+                val params = queryParams(ex)
+                def flag(k: String): Boolean =
+                  params.get(k).exists(_.equalsIgnoreCase("true"))
+                val sendNull = flag("sendNull") ||
+                  Option(body.get("send_null")).exists(_.asBoolean(false))
+                val withFields = flag("fields")
+                val streaming = flag("streaming") ||
+                  Option(ex.getRequestHeaders.getFirst("Accept"))
+                    .exists(_.contains("application/x-ndjson"))
+                def fieldsJson: String = {
+                  val o = mapper.createObjectNode()
+                  val arr = o.putArray("fields")
+                  df.columns.foreach(arr.add)
+                  mapper.writeValueAsString(o)
+                }
+                if (streaming) {
                   ex.getResponseHeaders
                     .set("Content-Type", "application/x-ndjson")
                   ex.sendResponseHeaders(200, 0) // chunked
                   val w = new java.io.OutputStreamWriter(
                     ex.getResponseBody, UTF_8)
-                  try ResponseWriter.writeNdjson(df, w)
-                  finally { w.close(); ex.close() }
-                } else respond(ex, 200, ResponseWriter.toJsonArray(df))
+                  try {
+                    // fields=true prefixes one {"fields": [...]} chunk
+                    // (reference handle_streaming_query)
+                    if (withFields) { w.write(fieldsJson + "\n"); w.flush() }
+                    ResponseWriter.writeNdjson(df, w, sendNull)
+                  } finally { w.close(); ex.close() }
+                } else if (withFields) {
+                  val o = mapper.createObjectNode()
+                  val arr = o.putArray("fields")
+                  df.columns.foreach(arr.add)
+                  o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+                    "records",
+                    mapper.readTree(ResponseWriter.toJsonArray(df, sendNull)))
+                  respond(ex, 200, mapper.writeValueAsString(o))
+                } else
+                  respond(ex, 200, ResponseWriter.toJsonArray(df, sendNull))
             }
           case _ => err(ex, 400, "need query, startTime, endTime")
         }

@@ -104,6 +104,41 @@ class HttpServiceSpec extends SparkSuite {
       assert(http("POST", s"$base/ingest", Map.empty, Some("{}"))._1 == 400)
       assert(http("POST", s"$base/query", Map.empty, Some("{}"))._1 == 400)
       assert(http("GET", s"$base/query")._1 == 405)
+
+      // ?fields=true wraps records with the field-name list (reference
+      // Query::from_request + QueryResponse with_fields)
+      val (fs, fb) = http("POST", s"$base/query?fields=true", Map.empty,
+        Some(mapper.writeValueAsString(q)))
+      assert(fs == 200, fb)
+      val fr = mapper.readTree(fb)
+      assert((0 until fr.get("fields").size()).map(fr.get("fields").get(_)
+        .asText()) == Seq("level", "n"))
+      assert(fr.get("records").size() == 2)
+
+      // sendNull: null-valued keys are omitted unless asked for
+      val qn = mapper.createObjectNode()
+        .put("query",
+          "SELECT msg, CAST(NULL AS STRING) AS gone FROM weblogs LIMIT 1")
+        .put("startTime", "10m").put("endTime", futureIso)
+      val (ds, dbody) = http("POST", s"$base/query", Map.empty,
+        Some(mapper.writeValueAsString(qn)))
+      assert(ds == 200, dbody)
+      assert(!mapper.readTree(dbody).get(0).has("gone"), dbody)
+      val (ns2, nb2) = http("POST", s"$base/query?sendNull=true", Map.empty,
+        Some(mapper.writeValueAsString(qn)))
+      assert(ns2 == 200)
+      assert(mapper.readTree(nb2).get(0).has("gone") &&
+        mapper.readTree(nb2).get(0).get("gone").isNull, nb2)
+
+      // ?streaming=true&fields=true: NDJSON with a fields first chunk
+      val (ss2, sb2) = http("POST",
+        s"$base/query?streaming=true&fields=true", Map.empty,
+        Some(mapper.writeValueAsString(q)))
+      assert(ss2 == 200)
+      val slines = sb2.trim.split("\n")
+      assert(slines.length == 3, sb2)
+      assert(mapper.readTree(slines(0)).has("fields"), sb2)
+      assert(mapper.readTree(slines(1)).has("level"), sb2)
     } finally srv.stop()
   }
 
