@@ -272,6 +272,33 @@ object SparkEntry {
         .select(col("trace_id"), col("span_count"), col("error_count"),
           col("trace_start"), col("trace_end"))),
 
+    // W1/HTTP: the APM trace-list endpoint's query shape (TracesApi.list:
+    // per-trace distinct span/error counts via ONE trace-id window,
+    // DISTINCT projection, deterministic sort + paging) over an OTel-ish
+    // span mapping of events. Gates the /services/traces/list logic
+    // against the oracle, not just over the wire.
+    "q_trace_apm_list" -> ((s, dir) => {
+      val spans = t(s, dir, "events").select(
+        col("event_type").as("service.name"),
+        concat(lit("s"), col("event_id")).as("span_name"),
+        floor(col("value") * 1000).cast("long").as("span_duration_ns"),
+        col("user_id").cast("string").as("span_trace_id"),
+        lpad(col("event_id").cast("string"), 8, "0").as("span_span_id"),
+        col("ts").as("span_start_time_unix_nano"),
+        unix_millis(col("ts").cast("timestamp"))
+          .as("span_start_time_unix_nano_epoch"),
+        when(col("event_type") === "error", 2).otherwise(0)
+          .as("span_status_code"),
+        when(col("event_id") % 5 === 0, lit("")).otherwise(
+          lpad((col("event_id") - 1).cast("string"), 8, "0"))
+          .as("span_parent_span_id"),
+        col("ts").as("p_timestamp"))
+      graft.http.TracesApi.list(spans, None, None, "spans", "longestFirst",
+          offset = 20, limit = 200)
+        .toOption.get
+        .withColumnRenamed("service.name", "service_name")
+    }),
+
     // J2/W2: trace detail — one trace's spans with COUNT(*) OVER () total.
     "q_trace_detail" -> ((s, dir) =>
       Traces.traceDetail(t(s, dir, "events"), "user_id", traceId = 7L,
@@ -2453,6 +2480,39 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |ORDER BY trace_start ASC, trace_id ASC
         |LIMIT 10 OFFSET 2""".stripMargin,
+
+    "q_trace_apm_list" ->
+      """WITH spans AS (
+        |  SELECT
+        |    event_type AS service_name,
+        |    's' || CAST(event_id AS VARCHAR) AS span_name,
+        |    CAST(floor(value * 1000) AS BIGINT) AS span_duration_ns,
+        |    CAST(user_id AS VARCHAR) AS span_trace_id,
+        |    lpad(CAST(event_id AS VARCHAR), 8, '0') AS span_span_id,
+        |    ts AS span_start_time_unix_nano,
+        |    CAST(epoch_ms(ts) AS BIGINT) AS span_start_time_unix_nano_epoch,
+        |    CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+        |        AS span_status_code,
+        |    ts AS p_timestamp
+        |  FROM events
+        |), stats AS (
+        |  SELECT s.*, c.total_span_count, c.error_count
+        |  FROM spans s JOIN (
+        |    SELECT span_trace_id,
+        |      CAST(COUNT(DISTINCT span_span_id) AS BIGINT)
+        |          AS total_span_count,
+        |      CAST(COUNT(DISTINCT CASE WHEN span_status_code = 2
+        |        THEN span_span_id END) AS BIGINT) AS error_count
+        |    FROM spans GROUP BY span_trace_id) c USING (span_trace_id)
+        |)
+        |SELECT DISTINCT service_name, span_name, span_duration_ns,
+        |  span_trace_id, span_span_id, span_start_time_unix_nano,
+        |  span_start_time_unix_nano_epoch, p_timestamp,
+        |  total_span_count, error_count
+        |FROM stats
+        |ORDER BY span_duration_ns DESC,
+        |  span_start_time_unix_nano_epoch DESC, span_span_id ASC
+        |LIMIT 200 OFFSET 20""".stripMargin,
 
     "q_trace_detail" ->
       """SELECT event_id, user_id, event_type, ts,
