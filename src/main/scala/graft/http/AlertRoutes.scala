@@ -55,13 +55,29 @@ private[http] trait AlertRoutes { self: GraftHttpServer =>
         if (mutation && !canManageAlerts(userOpt)) {
           err(ex, 403, "target management requires admin or editor"); return
         }
+        // outbound policy gate (reference validate_outbound_policy in the
+        // targets handler): once an admin set a policy for the tenant,
+        // every created/updated target's endpoint must pass it
+        def policyOk(
+            node: com.fasterxml.jackson.databind.node.ObjectNode): Boolean =
+          OutboundPolicy.load(root, tenant) match {
+            case None => true
+            case Some(policy) =>
+              OutboundPolicy.checkEndpoint(
+                node.path("endpoint").asText(""),
+                node.path("type").asText(""),
+                node.path("skipTlsCheck").asBoolean(false), policy) match {
+                case Right(()) => true
+                case Left(msg) => err(ex, 400, msg); false
+              }
+          }
         (ex.getRequestMethod, id) match {
           case ("GET", None) =>
             respond(ex, 200, mapper.writeValueAsString(
               mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
                 alertStore.listTargets(tenant).toArray)))
           case ("POST", None) =>
-            parseBody().foreach(node =>
+            parseBody().filter(policyOk).foreach(node =>
               alertStore.createTarget(tenant, node) match {
                 case Left(msg)      => err(ex, 400, msg)
                 case Right(stamped) =>
@@ -74,7 +90,7 @@ private[http] trait AlertRoutes { self: GraftHttpServer =>
               case None => err(ex, 404, s"target '$tid' not found")
             }
           case ("PUT", Some(tid)) =>
-            parseBody().foreach(node =>
+            parseBody().filter(policyOk).foreach(node =>
               alertStore.updateTarget(tenant, tid, node) match {
                 case Left(msg) => err(ex, 400, msg)
                 case Right(None) => err(ex, 404, s"target '$tid' not found")
@@ -88,6 +104,43 @@ private[http] trait AlertRoutes { self: GraftHttpServer =>
               case Right(true)   => respond(ex, 200, """{"status":"deleted"}""")
             }
           case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+
+  /** `GET|PUT /api/v1/alert-target-policy` (reference
+    * `alert_target_policy.rs`): the tenant's outbound-HTTP policy for
+    * alert targets. PUT validates before replacing — a bad policy never
+    * becomes active. Admin-only, like the reference's `Action::All`.
+    */
+  private[http] def handleTargetPolicy(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (requireAuth && !userOpt.exists(Rbac.isAdmin)) {
+          err(ex, 403, "alert target policy requires admin privileges")
+          return
+        }
+        val tenant = tenantOf(userOpt)
+        ex.getRequestMethod match {
+          case "GET" =>
+            respond(ex, 200, OutboundPolicy.toJson(OutboundPolicy
+              .load(root, tenant).getOrElse(OutboundPolicy.Config())))
+          case "PUT" =>
+            val node =
+              try mapper.readTree(ex.getRequestBody)
+              catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+                  return
+              }
+            val cfg = OutboundPolicy.fromJson(node)
+            OutboundPolicy.validate(cfg) match {
+              case Left(msg) => err(ex, 400, msg)
+              case Right(()) =>
+                OutboundPolicy.store(root, tenant, cfg)
+                respond(ex, 200, OutboundPolicy.toJson(cfg))
+            }
+          case _ => err(ex, 405, "GET or PUT only")
         }
     }
 

@@ -92,6 +92,7 @@ final class GraftHttpServer(
     new java.util.concurrent.ConcurrentHashMap[String, IngestPipeline.StreamConfig]()
   val registry = new IngestPipeline.SchemaRegistry
   private[http] val userConfigs = new UserConfigs(root)
+  private[http] val userAccounts = new UserAccounts(root)
   private[http] val alertStore = new AlertStore(root)
   private[http] val revokedKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -141,7 +142,8 @@ final class GraftHttpServer(
     * in the default tenant.
     */
   private[http] def tenantOf(user: Option[String]): String =
-    user.flatMap(userTenants.get).getOrElse(DefaultTenant)
+    user.flatMap(u => userTenants.get(u)
+      .orElse(userAccounts.tenantOfUser(u))).getOrElse(DefaultTenant)
 
   /** Tenant-scoped stream key — registry, storage path suffix and RBAC
     * resource. Default-tenant keys stay bare for single-tenant
@@ -287,6 +289,7 @@ final class GraftHttpServer(
   server.createContext("/api/v1/query", handler(handleQuery))
   server.createContext("/api/v1/counts", handler(handleCounts))
   server.createContext("/api/v1/role", handler(handleRoles))
+  server.createContext("/api/v1/user", handler(handleUsers))
   server.createContext("/api/v1/filters",
     handler(handleUserConfigs(UserConfigs.Filters)))
   server.createContext("/api/v1/dashboards",
@@ -296,6 +299,8 @@ final class GraftHttpServer(
   server.createContext("/api/v1/o", handler(handleOidc))
   server.createContext("/api/v1/alerts", handler(handleAlerts))
   server.createContext("/api/v1/targets", handler(handleTargets))
+  server.createContext("/api/v1/alert-target-policy",
+    handler(handleTargetPolicy))
   server.createContext("/api/v1/services/traces", handler(handleTraces))
   server.createContext("/api/v1/livetail", handler(handleLivetail))
   server.createContext("/api/v1/llm", handler(handleLlm))

@@ -206,6 +206,10 @@ private[http] trait OidcRoutes { self: GraftHttpServer =>
             Base64.getDecoder.decode(h.stripPrefix("Basic ").trim), UTF_8)
           decoded.split(":", 2) match {
             case Array(u, p) if users.get(u).contains(p) => Right(Some(u))
+            // dynamically-created accounts (PBKDF2-verified); static
+            // config wins on a name collision (protected root users)
+            case Array(u, p) if !users.contains(u) &&
+                userAccounts.verify(u, p) => Right(Some(u))
             case _ => Left("invalid credentials")
           }
         } catch {

@@ -120,6 +120,118 @@ private[http] trait UserRoutes { self: GraftHttpServer =>
     }
   }
 
+  /** User management (reference `src/handlers/http/rbac.rs` user
+    * webscope):
+    *   - `GET /api/v1/user` — list the tenant's dynamic users (admin);
+    *   - `POST /api/v1/user/{id}` — create; optional body = JSON array of
+    *     role names (must exist); responds with the generated password,
+    *     shown once (admin);
+    *   - `DELETE /api/v1/user/{id}` — remove the user and their grants;
+    *   - `GET /api/v1/user/{id}/role` — the user's roles (admin or self);
+    *   - `PATCH /api/v1/user/{id}/role/add|remove` — body = JSON array;
+    *   - `POST /api/v1/user/{id}/generate-new-password` — reset, return
+    *     the new password.
+    * Statically-configured users are protected (the reference's
+    * `DisAllowRootUser`): they cannot be created over, deleted, have
+    * passwords reset, or roles mutated through this surface.
+    */
+  private[http] def handleUsers(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val caller = userOpt.getOrElse("anonymous")
+        val tenant = tenantOf(userOpt)
+        val sub = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/user").stripPrefix("/"))
+          .filter(_.nonEmpty).map(_.split("/").toSeq)
+        def adminOnly(): Boolean =
+          if (requireAuth && !userOpt.exists(Rbac.isAdmin)) {
+            err(ex, 403, "user management requires admin privileges"); false
+          } else true
+        def readRoles(): Option[Seq[String]] =
+          try {
+            val node = mapper.readTree(ex.getRequestBody)
+            if (node == null || node.isNull || node.isMissingNode) Some(Nil)
+            else if (!node.isArray) {
+              err(ex, 400, "body must be a JSON array of role names"); None
+            } else Some(node.elements().asScala.map(_.asText()).toSeq)
+          } catch {
+            case _: com.fasterxml.jackson.core.JacksonException => Some(Nil)
+          }
+        def rolesExist(names: Seq[String]): Boolean = {
+          val missing = names.filterNot(Rbac.getRole(_).nonEmpty)
+          if (missing.nonEmpty) {
+            err(ex, 400, s"role(s) do not exist: ${missing.mkString(", ")}")
+            false
+          } else true
+        }
+        def protectedUser(u: String): Boolean =
+          if (users.contains(u)) {
+            err(ex, 403, s"'$u' is a server-configured user"); true
+          } else false
+        (ex.getRequestMethod, sub) match {
+          case ("GET", None) =>
+            if (adminOnly()) {
+              val arr = mapper.createArrayNode()
+              userAccounts.list(tenant).foreach(arr.add)
+              respond(ex, 200, mapper.writeValueAsString(arr))
+            }
+          case ("POST", Some(Seq(uid))) =>
+            if (adminOnly() && !protectedUser(uid))
+              readRoles().foreach { roles =>
+                if (rolesExist(roles))
+                  userAccounts.create(uid, tenant) match {
+                    case Left(msg) => err(ex, 400, msg)
+                    case Right(password) =>
+                      if (roles.nonEmpty) {
+                        val _ = Rbac.assignRoles(uid, roles)
+                      }
+                      respond(ex, 200, mapper.writeValueAsString(password))
+                  }
+              }
+          case ("DELETE", Some(Seq(uid))) =>
+            if (adminOnly() && !protectedUser(uid)) {
+              if (userAccounts.delete(uid))
+                respond(ex, 200, """{"status":"deleted"}""")
+              else err(ex, 404, s"user '$uid' does not exist")
+            }
+          case ("GET", Some(Seq(uid, "role"))) =>
+            // reference authorize_for_user: a user may read their own
+            val selfRead = userOpt.contains(uid)
+            if (selfRead || adminOnly()) {
+              val arr = mapper.createArrayNode()
+              Rbac.rolesOf(uid).foreach(arr.add)
+              respond(ex, 200, mapper.writeValueAsString(arr))
+            }
+          case ("PATCH", Some(Seq(uid, "role", verb)))
+              if verb == "add" || verb == "remove" =>
+            if (adminOnly() && !protectedUser(uid))
+              readRoles().foreach { roles =>
+                if (verb == "remove" || rolesExist(roles)) {
+                  if (!userAccounts.exists(uid))
+                    err(ex, 404, s"user '$uid' does not exist")
+                  else {
+                    val cur = Rbac.rolesOf(uid)
+                    val next =
+                      if (verb == "add") (cur ++ roles).distinct
+                      else cur.filterNot(roles.contains)
+                    val _ = Rbac.assignRoles(uid, next)
+                    respond(ex, 200, mapper.writeValueAsString(
+                      s"Roles updated successfully for $uid"))
+                  }
+                }
+              }
+          case ("POST", Some(Seq(uid, "generate-new-password"))) =>
+            if (adminOnly() && !protectedUser(uid))
+              userAccounts.resetPassword(uid) match {
+                case Left(msg) => err(ex, 404, msg)
+                case Right(password) =>
+                  respond(ex, 200, mapper.writeValueAsString(password))
+              }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+
   /** Roles CRUD (reference `src/handlers/http/role.rs`, admin-gated):
     *   - `PUT /api/v1/role/{name}` — body is a JSON array of privilege
     *     objects `{"privilege": "admin|editor|writer|reader|ingestor",
