@@ -93,6 +93,7 @@ final class GraftHttpServer(
   val registry = new IngestPipeline.SchemaRegistry
   private[http] val userConfigs = new UserConfigs(root)
   private[http] val userAccounts = new UserAccounts(root)
+  private[http] val apiKeyStore = new ApiKeyStore(root)
   private[http] val alertStore = new AlertStore(root)
   private[http] val revokedKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -143,7 +144,8 @@ final class GraftHttpServer(
     */
   private[http] def tenantOf(user: Option[String]): String =
     user.flatMap(u => userTenants.get(u)
-      .orElse(userAccounts.tenantOfUser(u))).getOrElse(DefaultTenant)
+      .orElse(userAccounts.tenantOfUser(u))
+      .orElse(apiKeyStore.tenantOfPrincipal(u))).getOrElse(DefaultTenant)
 
   /** Tenant-scoped stream key — registry, storage path suffix and RBAC
     * resource. Default-tenant keys stay bare for single-tenant
@@ -218,7 +220,13 @@ final class GraftHttpServer(
           if (revokedKeys.contains(token)) Left("API key revoked")
           else apiKeys.get(token) match {
             case Some(user) => Right(Some(user))
-            case None       => Left("invalid API key")
+            case None =>
+              // dynamically-provisioned keys act as their OWN principal,
+              // authorized through the roles assigned at creation
+              apiKeyStore.authenticate(token) match {
+                case Some((principal, _)) => Right(Some(principal))
+                case None                 => Left("invalid API key")
+              }
           }
         case None => basicUser(ex)
       }
@@ -290,6 +298,7 @@ final class GraftHttpServer(
   server.createContext("/api/v1/counts", handler(handleCounts))
   server.createContext("/api/v1/role", handler(handleRoles))
   server.createContext("/api/v1/user", handler(handleUsers))
+  server.createContext("/api/v1/apikeys", handler(handleApiKeys))
   server.createContext("/api/v1/filters",
     handler(handleUserConfigs(UserConfigs.Filters)))
   server.createContext("/api/v1/dashboards",

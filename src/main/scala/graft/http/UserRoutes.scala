@@ -232,6 +232,80 @@ private[http] trait UserRoutes { self: GraftHttpServer =>
         }
     }
 
+  /** API-key CRUD (reference `src/handlers/http/apikeys.rs`, admin-gated):
+    *   - `POST /api/v1/apikeys` — `{"keyName", "roles": [..]}` → the full
+    *     key value, returned ONCE;
+    *   - `GET /api/v1/apikeys` — list, key values masked to the last 4;
+    *   - `GET /api/v1/apikeys/{keyId}` — one key, full value;
+    *   - `DELETE /api/v1/apikeys/{keyId}` — revoke;
+    *   - `POST /api/v1/apikeys/validate` — `{"apiKey"}` → `{"valid"}`.
+    */
+  private[http] def handleApiKeys(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (requireAuth && !userOpt.exists(Rbac.isAdmin)) {
+          err(ex, 403, "Only admins can manage API keys"); return
+        }
+        val caller = userOpt.getOrElse("anonymous")
+        val tenant = tenantOf(userOpt)
+        val sub = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/api/v1/apikeys").stripPrefix("/"))
+          .filter(_.nonEmpty)
+        def parseBody(): Option[com.fasterxml.jackson.databind.JsonNode] =
+          try Some(mapper.readTree(ex.getRequestBody))
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              None
+          }
+        (ex.getRequestMethod, sub) match {
+          case ("POST", None) =>
+            parseBody().foreach { node =>
+              val name = node.path("keyName").asText("")
+              if (name.isEmpty) { err(ex, 400, "keyName is required"); return }
+              val roles = Option(node.get("roles")).toSeq
+                .flatMap(_.elements().asScala.map(_.asText()))
+              val missing = roles.filterNot(Rbac.getRole(_).nonEmpty)
+              if (missing.nonEmpty) {
+                err(ex, 400,
+                  s"role(s) do not exist: ${missing.mkString(", ")}")
+                return
+              }
+              val key = apiKeyStore.create(name, roles, caller, tenant)
+              respond(ex, 200, mapper.writeValueAsString(
+                apiKeyStore.toJson(key, mask = false)))
+            }
+          case ("GET", None) =>
+            val arr = mapper.createArrayNode()
+            apiKeyStore.list(tenant)
+              .foreach(k => arr.add(apiKeyStore.toJson(k, mask = true)))
+            respond(ex, 200, mapper.writeValueAsString(arr))
+          case ("POST", Some("validate")) =>
+            parseBody().foreach { node =>
+              val o = mapper.createObjectNode().put("valid", apiKeyStore
+                .validInTenant(node.path("apiKey").asText(""), tenant))
+              respond(ex, 200, mapper.writeValueAsString(o))
+            }
+          case ("GET", Some(keyId)) =>
+            apiKeyStore.get(tenant, keyId) match {
+              case Some(k) => respond(ex, 200, mapper.writeValueAsString(
+                apiKeyStore.toJson(k, mask = false)))
+              case None => err(ex, 404, s"API key '$keyId' not found")
+            }
+          case ("DELETE", Some(keyId)) =>
+            apiKeyStore.delete(tenant, keyId) match {
+              case Some(k) =>
+                val o = mapper.createObjectNode()
+                  .put("keyId", k.keyId).put("keyName", k.keyName)
+                  .put("message", "API key deleted successfully")
+                respond(ex, 200, mapper.writeValueAsString(o))
+              case None => err(ex, 404, s"API key '$keyId' not found")
+            }
+          case _ => err(ex, 405, "unsupported method/path")
+        }
+    }
+
   /** Roles CRUD (reference `src/handlers/http/role.rs`, admin-gated):
     *   - `PUT /api/v1/role/{name}` — body is a JSON array of privilege
     *     objects `{"privilege": "admin|editor|writer|reader|ingestor",

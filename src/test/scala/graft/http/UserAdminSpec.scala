@@ -121,6 +121,72 @@ class UserAdminSpec extends SparkSuite {
     } finally { srv.stop(); Rbac.clear() }
   }
 
+  test("api keys: create with roles, authenticate as own principal, " +
+       "masked list, validate, delete revokes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-keys").toString
+    Rbac.clear()
+    Rbac.grant("root", Seq(Rbac.Admin()))
+    val srv = new GraftHttpServer(spark, tmp, requireAuth = true,
+      users = Map("root" -> "pw"))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+      Rbac.putRole("kreader",
+        Seq(Rbac.Reader(Some("klogs")), Rbac.Ingestor(Some("klogs"))))
+
+      // create: full key value returned once; bad roles 400; non-admin 403
+      val (cs, cb) = http("POST", s"$base/apikeys", basic("root", "pw"),
+        Some("""{"keyName": "ci-bot", "roles": ["kreader"]}"""))
+      assert(cs == 200, cb)
+      val created = mapper.readTree(cb)
+      val keyVal = created.get("apiKey").asText()
+      val keyId = created.get("keyId").asText()
+      assert(keyVal.length == 36, cb) // UUID format
+      assert(created.get("createdBy").asText() == "root")
+      assert(http("POST", s"$base/apikeys", basic("root", "pw"),
+        Some("""{"keyName": "x", "roles": ["nope"]}"""))._1 == 400)
+
+      // the key authenticates as its own principal with the role's grants
+      assert(http("POST", s"$base/ingest",
+        Map("x-api-key" -> keyVal, "X-P-Stream" -> "klogs"),
+        Some("""{"k": 1}"""))._1 == 200)
+      // …but has no admin rights
+      assert(http("GET", s"$base/apikeys",
+        Map("x-api-key" -> keyVal))._1 == 403)
+
+      // list masks the secret; get by id returns it in full
+      val (ls, lb) = http("GET", s"$base/apikeys", basic("root", "pw"))
+      assert(ls == 200, lb)
+      val listed = mapper.readTree(lb)
+      assert(listed.size() == 1)
+      val maskedVal = listed.get(0).get("apiKey").asText()
+      assert(maskedVal.startsWith("****") &&
+        maskedVal.endsWith(keyVal.takeRight(4)) && maskedVal != keyVal, lb)
+      val (gs, gb) = http("GET", s"$base/apikeys/$keyId", basic("root", "pw"))
+      assert(gs == 200 &&
+        mapper.readTree(gb).get("apiKey").asText() == keyVal)
+
+      // validate endpoint
+      assert(mapper.readTree(http("POST", s"$base/apikeys/validate",
+        basic("root", "pw"),
+        Some(s"""{"apiKey": "$keyVal"}"""))._2).get("valid").asBoolean())
+      assert(!mapper.readTree(http("POST", s"$base/apikeys/validate",
+        basic("root", "pw"),
+        Some("""{"apiKey": "nope"}"""))._2).get("valid").asBoolean())
+
+      // delete revokes: auth stops working, list is empty
+      assert(http("DELETE", s"$base/apikeys/$keyId",
+        basic("root", "pw"))._1 == 200)
+      assert(http("POST", s"$base/ingest",
+        Map("x-api-key" -> keyVal, "X-P-Stream" -> "klogs"),
+        Some("""{"k": 2}"""))._1 == 401)
+      assert(mapper.readTree(
+        http("GET", s"$base/apikeys", basic("root", "pw"))._2).size() == 0)
+      assert(http("DELETE", s"$base/apikeys/$keyId",
+        basic("root", "pw"))._1 == 404)
+    } finally { srv.stop(); Rbac.clear() }
+  }
+
   test("dynamic users live in their creator's tenant") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-uten").toString
     Rbac.clear()
