@@ -331,6 +331,12 @@ object SparkEntry {
       FieldStats.statsFrame(t(s, dir, "events"), "event_type")
         .orderBy(col("value_count").desc, col("value").asc)),
 
+    // A6/HTTP: the /dataset_stats response shape — rank-paged distinct
+    // values per field with exact totals (reference build_stats_sql).
+    "q_field_stats_dataset" -> ((s, dir) =>
+      FieldStats.datasetStats(t(s, dir, "documents"),
+        fields = Seq("lang", "source"), offset = 1, limit = 3)),
+
     // ML: quality scoring over documents (pure column arithmetic, no shuffle).
     "q_text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2589,6 +2595,33 @@ object SparkEntry {
       """SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS value_count
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY 1 ORDER BY value_count DESC, value ASC LIMIT 5""".stripMargin,
+
+    "q_field_stats_dataset" ->
+      """WITH pairs AS (
+        |  SELECT 'lang' AS field_name, lang AS distinct_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source FROM documents
+        |), counts AS (
+        |  SELECT field_name, distinct_value,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_value_count
+        |  FROM pairs WHERE distinct_value IS NOT NULL GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY field_name
+        |    ORDER BY distinct_value_count DESC, distinct_value ASC) AS rn
+        |  FROM counts
+        |), totals AS (
+        |  SELECT field_name,
+        |    CAST(COUNT(distinct_value) AS BIGINT) AS field_count,
+        |    CAST(COUNT(DISTINCT distinct_value) AS BIGINT) AS distinct_count
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT r.field_name, t.field_count, t.distinct_count,
+        |  r.distinct_value, r.distinct_value_count
+        |FROM ranked r JOIN totals t USING (field_name)
+        |WHERE r.rn > 1 AND r.rn <= 4
+        |ORDER BY field_name ASC, distinct_value_count DESC,
+        |  distinct_value ASC""".stripMargin,
 
     "q_text_quality" ->
       """WITH tk AS (

@@ -299,6 +299,7 @@ final class GraftHttpServer(
   server.createContext("/api/v1/role", handler(handleRoles))
   server.createContext("/api/v1/user", handler(handleUsers))
   server.createContext("/api/v1/apikeys", handler(handleApiKeys))
+  server.createContext("/api/v1/dataset_stats", handler(handleDatasetStats))
   server.createContext("/api/v1/filters",
     handler(handleUserConfigs(UserConfigs.Filters)))
   server.createContext("/api/v1/dashboards",

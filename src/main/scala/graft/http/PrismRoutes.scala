@@ -244,6 +244,66 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
       contentType = "text/plain; version=0.0.4; charset=utf-8")
   }
 
+  /** `POST /api/v1/dataset_stats` (reference `get_dataset_stats`,
+    * `src/storage/field_stats.rs:853-948`): rank-paged distinct-value
+    * stats per field of a stream window. Body `{"datasetName",
+    * "startTime", "endTime", "fields": […]?, "offset"?, "limit"?}`.
+    * Computed on demand over the windowed scan ([[graft.query.FieldStats
+    * .datasetStats]]) instead of the reference's precomputed pstats
+    * stream — always fresh, costs one scan of the window.
+    */
+  private[http] def handleDatasetStats(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (ex.getRequestMethod != "POST") {
+          err(ex, 405, "POST only"); return
+        }
+        val body =
+          try mapper.readTree(ex.getRequestBody)
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              return
+          }
+        val dataset = body.path("datasetName").asText("")
+        if (dataset.isEmpty) { err(ex, 400, "datasetName is required"); return }
+        val tenant = tenantOf(userOpt)
+        val visible = streamsFor(tenant)
+        visible.get(dataset) match {
+          case None => err(ex, 404, s"stream '$dataset' not found")
+          case Some(stream) =>
+            if (userOpt.exists(u => !Rbac.authorized(u, Rbac.QueryAction,
+                tenantKey(tenant, dataset)))) {
+              err(ex, 403, s"user lacks query access to stream '$dataset'")
+              return
+            }
+            val range =
+              try TimeRange.parse(body.path("startTime").asText(""),
+                body.path("endTime").asText(""))
+              catch {
+                case e: Exception =>
+                  err(ex, 400, s"bad time: ${e.getMessage}"); return
+              }
+            val fields = Option(body.get("fields")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText()))
+            val offset = body.path("offset").asInt(0)
+            val limit = body.path("limit").asInt(5)
+            try {
+              val df = QueryService.windowedRead(spark, dataset, stream,
+                range)
+              val out = graft.query.FieldStats.datasetStats(df, fields,
+                offset, limit)
+              respond(ex, 200, ResponseWriter.toJsonArray(out))
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                respond(ex, 200, "[]") // registered but data-less stream
+              case e: IllegalArgumentException =>
+                err(ex, 400, String.valueOf(e.getMessage))
+            }
+        }
+    }
+
   private[http] def handlePrism(ex: HttpExchange): Unit = {
     if (role == Cluster.Ingestor) {
       err(ex, 404, "prism is not available on an ingestor node"); return

@@ -107,4 +107,45 @@ object FieldStats {
       }
       .toDF("stream", "field", "total_count", "distinct_count", "value", "value_count")
   }
+
+  /** The `/dataset_stats` response (reference `build_stats_sql`,
+    * `field_stats.rs:991-1098`): per field, the rank-paged distinct
+    * values with exact counts, plus the field's non-null total and exact
+    * distinct count — one row per (field, value) in the rank window
+    * `(offset, offset+limit]`, ordered (field asc, count desc, value asc).
+    *
+    * The reference reads its precomputed `pstats` stream; this computes
+    * on demand over the (already time-windowed) scan: melt the selected
+    * columns into (field, value) pairs — the explode multiplies rows by
+    * |fields| but the very next operator is a map-side-combinable count,
+    * so the one shuffle carries (field, value, partial count) rows, not
+    * the exploded data. The per-field rank filter compiles to Spark's
+    * WindowGroupLimit (shuffle capped at groups × (offset+limit)).
+    */
+  def datasetStats(df: DataFrame, fields: Seq[String],
+                   offset: Int, limit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = (if (fields.nonEmpty) fields else df.columns.toSeq)
+      .filter(df.columns.contains)
+    require(cols.nonEmpty, "no matching fields")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("field_name"),
+          col(c).cast("string").as("distinct_value"))): _*)).as("p"))
+      .select(col("p.field_name"), col("p.distinct_value"))
+    val counts = pairs.filter(col("distinct_value").isNotNull)
+      .groupBy(col("field_name"), col("distinct_value"))
+      .agg(count(lit(1)).as("distinct_value_count"))
+    val w = Window.partitionBy(col("field_name"))
+      .orderBy(col("distinct_value_count").desc, col("distinct_value").asc)
+    val ranked = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > offset && col("rn") <= offset + limit)
+    val totals = pairs.groupBy(col("field_name")).agg(
+      count(col("distinct_value")).as("field_count"),
+      countDistinct(col("distinct_value")).as("distinct_count"))
+    ranked.join(totals, "field_name")
+      .select(col("field_name"), col("field_count"), col("distinct_count"),
+        col("distinct_value"), col("distinct_value_count"))
+      .orderBy(col("field_name").asc, col("distinct_value_count").desc,
+        col("distinct_value").asc)
+  }
 }

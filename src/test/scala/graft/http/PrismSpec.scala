@@ -100,6 +100,29 @@ class PrismSpec extends SparkSuite {
       assert(info.get("retention").isArray)
       assert(http("GET", s"$base/prism/logstream/none/info")._1 == 404)
       assert(http("GET", s"$base/prism/nowhere")._1 == 404)
+
+      // dataset_stats: rank-paged distinct values per field
+      val end = java.time.Instant.now().plusSeconds(60).toString
+      assert(http("POST", s"$base/ingest", Map("X-P-Stream" -> "weblogs"),
+        Some("""[{"status": 500, "path": "/checkout"},
+                 {"status": 200, "path": "/home"},
+                 {"status": 200, "path": "/home"}]"""))._1 == 200)
+      val (ds2, db2) = http("POST", s"$base/dataset_stats", body = Some(
+        s"""{"datasetName": "weblogs", "fields": ["status"],
+           |"startTime": "10m", "endTime": "$end"}"""
+          .stripMargin.replace("\n", " ")))
+      assert(ds2 == 200, db2)
+      val stats = mapper.readTree(db2)
+      assert(stats.size() == 2, db2) // two distinct status values
+      val first = stats.get(0)
+      assert(first.get("field_name").asText() == "status")
+      assert(first.get("distinct_value").asText() == "200.0") // ingest infers double
+      assert(first.get("distinct_value_count").asLong() == 2L)
+      assert(first.get("field_count").asLong() == 4L) // incl. seed row
+      assert(first.get("distinct_count").asLong() == 2L)
+      assert(http("POST", s"$base/dataset_stats", body = Some(
+        s"""{"datasetName": "nope", "startTime": "10m",
+           |"endTime": "$end"}""".stripMargin.replace("\n", " ")))._1 == 404)
     } finally srv.stop()
   }
 }
