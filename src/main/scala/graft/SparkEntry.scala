@@ -1028,6 +1028,21 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // ML: Bloom-prefiltered decontamination — identical output contract to
+    // contamination (trigrams, ≥3 shared) but the bench side crosses the
+    // cluster as a codegen'd Bloom filter, not exploded strings; exact
+    // verify join sees only survivors. The eval-suites-too-big-to-broadcast
+    // shape.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminationBloom(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 3, minShared = 3L,
+          expectedItems = 100000L)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // ML: blocked edit-distance near-dup pairs (record-linkage blocking,
     // Levenshtein within block only).
     "q_dedup_editdist" -> ((s, dir) =>
@@ -1304,6 +1319,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("priority_micro"))
         .orderBy(col("priority_micro").desc, col("doc_id").asc)),
 
+    // ML: DSIR importance scoring (Xie 2023) — per-doc log importance
+    // weight ln p_target/p_raw under add-1 unigram LMs (target = English
+    // docs), exact micro-grid BIGINT scores; top-50 via ONE TakeOrdered.
+    "q_sample_importance" -> ((s, dir) =>
+      TextRank.dsirScores(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("logratio_micro").desc, col("doc_id").asc)
+        .limit(50)),
+
     // A5+: SLO error-budget report — per service: requests, errors,
     // availability, budget burn vs the SLO target. Exact integers + fixed
     // single-division trees; one scan-bound hash agg.
@@ -1370,6 +1394,18 @@ object SparkEntry {
       Similarity.knnTwoStage(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, candidates = 20,
           inDim = 64, outDim = 16)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // ML: product-quantization ANN (Jégou 2011) — corpus encoded once as 8
+    // codes/vector (32× smaller than raw floats), neighbors ranked by ADC
+    // = exact L2² to the PQ reconstruction; anchor-sampled codebooks so the
+    // oracle rebuilds them from the data; top-k via the heap operator.
+    "q_sim_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnPq(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numSubspaces = 8,
+          numCentroids = 16, dim = 64)
         .orderBy(col("q_id"), col("rk"))
     }),
   )
@@ -1805,6 +1841,34 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, n_chars, priority_micro FROM b
          |ORDER BY priority_micro DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "q_sample_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents),
+        |t1 AS (SELECT * FROM toks WHERE len(tk) > 0),
+        |w AS (SELECT doc_id, tgt, unnest(tk) AS w FROM t1),
+        |raw AS (SELECT w, CAST(count(*) AS BIGINT) AS r_cnt FROM w GROUP BY 1),
+        |tgtc AS (SELECT w, CAST(count(*) AS BIGINT) AS t_cnt
+        |  FROM w WHERE tgt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS r_tot,
+        |  CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS t_tot FROM w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM raw),
+        |stats AS (SELECT raw.w, r_cnt, COALESCE(t_cnt, CAST(0 AS BIGINT))
+        |    AS t_cnt
+        |  FROM raw LEFT JOIN tgtc USING (w)),
+        |terms AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(
+        |      (CAST(t_cnt + 1 AS DOUBLE) / CAST(r_cnt + 1 AS DOUBLE)) *
+        |      (CAST(r_tot + vsz AS DOUBLE) / CAST(t_tot + vsz AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS t
+        |  FROM w JOIN stats USING (w) CROSS JOIN tot CROSS JOIN v),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(t) AS BIGINT) AS logratio_micro FROM terms GROUP BY 1)
+        |SELECT doc_id, n_tokens, logratio_micro FROM sc
+        |ORDER BY logratio_micro DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     "q_slo_report" ->
       s"""SELECT event_type,
@@ -2926,6 +2990,24 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY train_id, bench_id""".stripMargin,
 
+    "q_decontaminate_bloom" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+        |    AS ngram
+        |  FROM tk),
+        |b AS (SELECT doc_id AS bench_id, ngram FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id AS train_id, ngram FROM sh WHERE doc_id % 20 != 0)
+        |SELECT train_id, bench_id, count(*) AS shared_ngrams
+        |FROM tr JOIN b USING (ngram)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY train_id, bench_id""".stripMargin,
+
     "q_dedup_editdist" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
@@ -3270,6 +3352,44 @@ object SparkEntry {
          |  FROM ex)
          |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    "q_sim_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |anch AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INTEGER) AS c,
+        |    e
+        |  FROM v ORDER BY vec_id ASC LIMIT 16),
+        |d AS (
+        |  SELECT v.vec_id, j.j, a.c,
+        |    list_reduce(list_transform(
+        |      list_zip(v.e[j.j*8+1 : j.j*8+8], a.e[j.j*8+1 : j.j*8+8]),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS dist
+        |  FROM v, range(8) j(j), anch a),
+        |best AS (
+        |  SELECT vec_id, j, c,
+        |    row_number() OVER (PARTITION BY vec_id, j
+        |                       ORDER BY dist ASC, c ASC) AS rn
+        |  FROM d),
+        |recon AS (
+        |  SELECT b.vec_id,
+        |    flatten(list(a.e[b.j*8+1 : b.j*8+8] ORDER BY b.j)) AS re
+        |  FROM best b JOIN anch a USING (c) WHERE b.rn = 1
+        |  GROUP BY b.vec_id),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+        |    list_reduce(list_transform(list_zip(q.e, r.re),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS adc
+        |  FROM v q JOIN recon r ON r.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT q_id, n_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc ASC, n_id ASC) AS INTEGER) AS rk
+        |  FROM p)
+        |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
 
     "q_corpus_report" ->
       """WITH toks AS (

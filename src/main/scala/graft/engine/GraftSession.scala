@@ -72,9 +72,12 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Columns stored as TIMESTAMP(NANOS) in the test corpus — surfaced as
-    * long (see nanosAsLong above) and converted to µs TIMESTAMP_NTZ here,
-    * matching DuckDB's ns→µs truncation.
+  /** Columns that have shipped as TIMESTAMP(NANOS) in some corpus
+    * generations — surfaced as long (see nanosAsLong above) and converted
+    * to µs TIMESTAMP_NTZ here, matching DuckDB's ns→µs truncation. Newer
+    * corpus generations store µs timestamps, which Spark reads natively as
+    * TIMESTAMP_NTZ — the conversion keys off the READ type, so both
+    * layouts normalize to the same µs TIMESTAMP_NTZ column.
     */
   private val nanoTimestampCols: Map[String, Seq[String]] =
     Map("events" -> Seq("ts"))
@@ -83,11 +86,18 @@ object GraftSession {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     nanoTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      // `div` keeps the arithmetic in long space (ns values overflow the
-      // 2^53 double mantissa, so `/` would corrupt them).
-      d.withColumn(c,
-        org.apache.spark.sql.functions
-          .expr(s"CAST(timestamp_micros($c div 1000) AS TIMESTAMP_NTZ)"))
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // `div` keeps the arithmetic in long space (ns values overflow
+          // the 2^53 double mantissa, so `/` would corrupt them).
+          d.withColumn(c,
+            org.apache.spark.sql.functions
+              .expr(s"CAST(timestamp_micros($c div 1000) AS TIMESTAMP_NTZ)"))
+        case _ =>
+          // already a timestamp (µs corpus) — pin NTZ semantics only.
+          d.withColumn(c,
+            org.apache.spark.sql.functions.expr(s"CAST($c AS TIMESTAMP_NTZ)"))
+      }
     }
   }
 

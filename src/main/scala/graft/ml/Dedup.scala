@@ -468,6 +468,71 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** [[contamination]] with a Bloom-filter prefilter on the training side —
+    * the shape for benchmark suites too large to broadcast as exploded
+    * n-gram strings.
+    *
+    * Scale rationale (100 TB): `contamination(broadcastBench = true)` ships
+    * every bench n-gram STRING to every executor; with many eval suites ×
+    * long n-grams that broadcast is GBs. Here the bench side is aggregated
+    * into a ~`1.44·log2(1/fpp)` bits-per-item Bloom filter (a few MB for
+    * 10^7 n-grams at 1% fpp) using Spark's codegen'd `BloomFilterAggregate`,
+    * and the (huge) exploded train side is prefiltered locally by the
+    * codegen'd `might_contain` before the exact verify join — so the shuffle
+    * carries only true matches plus ~fpp false positives instead of the full
+    * train explosion. No UDF anywhere on the hot path.
+    *
+    * The verify join makes the result IDENTICAL to [[contamination]]: a
+    * Bloom filter has no false negatives (nothing true is dropped) and the
+    * join discards the false positives the prefilter admits.
+    *
+    * `expectedItems` sizes the filter; pass the (estimated) distinct bench
+    * n-gram count. It caps at Spark's `spark.sql.optimizer.runtime.
+    * bloomFilter.maxNumItems`-independent default of 4M bits here via the
+    * aggregate's own sizing; oversizing only costs broadcast bytes, never
+    * correctness.
+    */
+  def contaminationBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 4, minShared: Long = 2L,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    def grams(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)))
+        .as("ngram"))
+    val tr = grams(train, "train_id")
+    val be = grams(bench, "bench_id")
+
+    // Bits per the standard optimal-m formula, computed once on the driver.
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2)))
+        .toLong)
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("ngram"))),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+    val bloomBytes = be.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        ColumnBridge.expression(xxhash64(col("ngram")))))
+    val pre = tr.filter(mightContain)
+
+    // Exact verify: shuffle-hash on the n-gram — the train side is already
+    // reduced to (matches + fpp·misses), so neither side is broadcast.
+    pre.hint("shuffle_hash").join(be.hint("shuffle_hash"), Seq("ngram"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   // ----------------------------------------------- duplicated spans
 
   /** Cross-document duplicated spans: every sliding `k`-token window that

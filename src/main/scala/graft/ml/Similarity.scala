@@ -503,6 +503,87 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
+  // --------------------------------------------- product quantization (PQ)
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): each corpus vector is ENCODED once as
+    * `numSubspaces` small codes — the index of its nearest codebook centroid
+    * in each `dim/numSubspaces`-wide subspace — and queries rank neighbors
+    * by the asymmetric distance (ADC): the exact L2² between the query and
+    * the corpus vector's PQ *reconstruction* (the concatenation of its
+    * assigned centroid subvectors).
+    *
+    * Codebooks here are anchor-sampled — subvectors of the `numCentroids`
+    * lowest-`idCol` corpus vectors — the deterministic analog of
+    * sample-initialized k-means codebooks, so every engine can rebuild the
+    * identical codebook from the data alone (the correctness oracle does).
+    *
+    * Scale shape (100 TB): the encode pass is one narrow map over the
+    * corpus producing `numSubspaces` bytes per vector (64-d float → 8
+    * codes = 32× smaller than the raw vectors); in a real deployment the
+    * codes column is persisted and ranking scans ONLY codes (the classic
+    * PQ memory win — a 100 TB embedding corpus becomes ~3 TB of codes).
+    * Ranking is the same broadcast-queries × corpus map as
+    * [[knnBruteForce]] with the top-k bounded by the
+    * [[graft.plans.TopKPerGroup]] heap operator — no shuffle of scored
+    * candidates, no per-query window sort.
+    *
+    * The codebook collect is `numCentroids` rows (tiny, driver-side by
+    * design — codebooks are broadcast literals, exactly like the JL
+    * projection matrix in [[knnTwoStage]]).
+    */
+  def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, numSubspaces: Int = 8,
+            numCentroids: Int = 16, dim: Int = 64): DataFrame = {
+    val sd = dim / numSubspaces
+    require(sd * numSubspaces == dim,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val vecD = col(vecCol).cast("array<double>")
+
+    // Codebook: subvectors of the numCentroids lowest-id corpus vectors.
+    val anchors: Seq[Seq[Double]] = corpus
+      .select(col(idCol), vecD.as("v"))
+      .orderBy(col(idCol).asc).limit(numCentroids)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(anchors.size == numCentroids && anchors.forall(_.size == dim),
+      s"need $numCentroids anchor vectors of dim $dim")
+    // centLit(j)(c) = centroid c's subvector in subspace j (literal tree).
+    val centLit = array((0 until numSubspaces).map { j =>
+      array((0 until numCentroids).map { c =>
+        array((0 until sd).map(i => lit(anchors(c)(j * sd + i))): _*)
+      }: _*)
+    }: _*)
+
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+    // Encode: per subspace, index of the nearest centroid (first-min ties).
+    def codesOf(v: Column): Column = array((0 until numSubspaces).map { j =>
+      val dists = transform(element_at(centLit, j + 1),
+        cent => l2sq(slice(v, j * sd + 1, sd), cent))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+
+    // PQ reconstruction: assigned centroid subvectors, concatenated.
+    def reconOf(codes: Column): Column =
+      flatten(array((0 until numSubspaces).map { j =>
+        element_at(element_at(centLit, j + 1), element_at(codes, j + 1) + 1)
+      }: _*))
+
+    val enc = corpus.select(col(idCol).as("n_id"), codesOf(vecD).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), vecD.as("q_vec")))
+    val scored = enc.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", l2sq(col("q_vec"), reconOf(col("codes"))))
+    val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
+      Seq(col("adc").asc, col("n_id").asc), k)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("adc"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * banded sign-random-projection LSH (Charikar 2002 SimHash hyperplanes,
     * banded like MinHash LSH): each vector hashes to `bands` keys of

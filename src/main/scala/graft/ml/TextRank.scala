@@ -158,4 +158,54 @@ object TextRank {
         (-col("sum_micro")).cast("double") /
           (col("n_bigrams") * 1000000L).cast("double"))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document log
+    * importance weight `log p_target(x)/p_raw(x)` under add-1-smoothed
+    * unigram bag-of-words models, where the target distribution is
+    * estimated from the subset of `docs` matching `targetPred` (the
+    * in-domain exemplar set) and the raw distribution from the whole
+    * corpus. Select the top-weight documents (or feed the weight into
+    * [[Sampling.weightedSample]]) to skew a crawl toward the target
+    * domain.
+    *
+    * Per-token terms are quantized to the 10⁻⁶ grid BEFORE the per-doc sum
+    * (the [[lmScore]] convention), so the score is an exact BIGINT —
+    * engine-portable and order-insensitive. The smoothed ratio is computed
+    * as a product of two double ratios (never a product of raw counts), so
+    * nothing overflows at any corpus size.
+    *
+    * Scale shape: one token explode feeding two map-side-combinable word
+    * aggregations, a word-keyed shuffle join of tokens against the (raw ⋈
+    * target) stats table, and one per-doc aggregation. Totals/vocab are
+    * single-row broadcasts. Identical topology to [[lmScore]] / [[bm25Scores]].
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val words = toks.select(col("doc_id"), col("__tgt"),
+      explode(col("tk")).as("w"))
+    val raw = words.groupBy(col("w")).agg(count(lit(1)).as("r_cnt"))
+    val tgt = words.filter(col("__tgt"))
+      .groupBy(col("w")).agg(count(lit(1)).as("t_cnt"))
+    val totals = words.agg(count(lit(1)).as("r_tot"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_tot"))
+    val vocab = raw.agg(count(lit(1)).as("vsz"))
+    val stats = raw.join(tgt, Seq("w"), "left").na.fill(0L, Seq("t_cnt"))
+    val terms = words.select(col("doc_id"), col("w"))
+      .join(stats, "w")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab))
+      .withColumn("t",
+        floor(log(
+          ((col("t_cnt") + 1).cast("double") / (col("r_cnt") + 1).cast("double")) *
+          ((col("r_tot") + col("vsz")).cast("double") /
+            (col("t_tot") + col("vsz")).cast("double"))) * lit(1000000.0))
+          .cast("long"))
+    terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("t")).as("logratio_micro"))
+  }
 }

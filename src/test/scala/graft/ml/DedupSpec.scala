@@ -149,6 +149,38 @@ class DedupSpec extends SparkSuite {
     assert(byId(3L) > byId(1L)) // the near copy shares far more n-grams
   }
 
+  test("contaminationBloom matches exact contamination (no false negatives)") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "pack my box with five dozen liquor jugs"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, "a quick brown fox jumps over my fence"),
+      (2L, "completely unrelated text about databases here"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "please pack my box with five dozen roses"))
+      .toDF("id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = key(Dedup.contamination(train, bench, "id", "text",
+      n = 4, minShared = 2L))
+    val bloom = key(Dedup.contaminationBloom(train, bench, "id", "text",
+      n = 4, minShared = 2L, expectedItems = 1000L))
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("contaminationBloom prefilter is the codegen'd might_contain, not a UDF") {
+    import spark.implicits._
+    val bench = Seq((100L, "one two three four five")).toDF("id", "text")
+    val train = Seq((1L, "zero one two three four five six")).toDF("id", "text")
+    val plan = Dedup.contaminationBloom(train, bench, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
+
   test("editDistancePairs: blocked comparison finds near-identical texts") {
     import spark.implicits._
     val docs = Seq(

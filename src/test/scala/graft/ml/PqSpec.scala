@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Product-quantization ANN ([[Similarity.knnPq]]). */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  // dim=4, 2 subspaces of 2; anchors (codebook) = ids 1 and 2.
+  private val vecs = Seq(
+    (1L, Array(0f, 0f, 0f, 0f)),   // anchor/centroid 0
+    (2L, Array(10f, 10f, 10f, 10f)), // anchor/centroid 1
+    (3L, Array(1f, 1f, 9f, 9f)),   // codes (0, 1) -> recon (0,0,10,10)
+    (4L, Array(9f, 9f, 1f, 1f)),   // codes (1, 0) -> recon (10,10,0,0)
+  ).toDF("vec_id", "embedding")
+
+  private def pq(k: Int) =
+    Similarity.knnPq(vecs, vecs.filter($"vec_id" === 1L), "vec_id",
+      "embedding", k = k, numSubspaces = 2, numCentroids = 2, dim = 4)
+
+  test("ADC is the exact L2 squared to the PQ reconstruction") {
+    val r = pq(3).collect().map(r =>
+      r.getAs[Long]("n_id") -> r.getAs[Double]("adc")).toMap
+    // query (0,0,0,0): anchor 2 reconstructs exactly -> adc = 4*100
+    assert(r(2L) == 400.0)
+    // vec 3 recon = (0,0,10,10) -> adc = 0+0+100+100
+    assert(r(3L) == 200.0)
+    assert(r(4L) == 200.0)
+  }
+
+  test("ranking is (adc asc, id asc) and excludes self") {
+    val r = pq(3).orderBy("rk").collect()
+    assert(r.map(_.getAs[Long]("n_id")).toSeq == Seq(3L, 4L, 2L))
+    assert(r.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
+    assert(!r.map(_.getAs[Long]("n_id")).contains(1L))
+  }
+
+  test("ADC to an anchor vector is its exact distance (zero quantization error)") {
+    // an anchor's nearest centroid in every subspace is itself, so its
+    // reconstruction is lossless and ADC degenerates to the true L2².
+    val q3 = Similarity.knnPq(vecs, vecs.filter($"vec_id" === 3L), "vec_id",
+      "embedding", k = 3, numSubspaces = 2, numCentroids = 2, dim = 4)
+    val adcTo2 = q3.filter($"n_id" === 2L).select($"adc").as[Double].head()
+    // exact L2²((1,1,9,9),(10,10,10,10)) = 81+81+1+1
+    assert(adcTo2 == 164.0)
+  }
+
+  test("top-k runs through the TopKPerGroup heap operator") {
+    val plan = pq(2).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"))
+  }
+
+  test("dim must divide into subspaces") {
+    intercept[IllegalArgumentException] {
+      Similarity.knnPq(vecs, vecs, "vec_id", "embedding", k = 1,
+        numSubspaces = 3, numCentroids = 2, dim = 4)
+    }
+  }
+}

@@ -1,5 +1,7 @@
 package graft.ml
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 class TextRankSpec extends SparkSuite {
@@ -75,5 +77,36 @@ class TextRankSpec extends SparkSuite {
     assert(d2.getAs[Long]("sum_micro") == mAB)
     // rarer continuations score lower likelihood (higher NLL)
     assert(mBA < mAB)
+  }
+
+  test("dsirScores: hand-computed unigram importance log-ratios") {
+    // target = docs 1,2 ("good good", "good bad"); raw adds doc 3 ("bad bad")
+    // raw: good=3 bad=3, r_tot=6, V=2; target: good=3 bad=1, t_tot=4
+    val corpus = Seq(
+      (1L, "tgt", "good good"), (2L, "tgt", "good bad"),
+      (3L, "raw", "bad bad")).toDF("doc_id", "split", "text")
+    val out = TextRank.dsirScores(corpus, "doc_id", "text",
+        col("split") === "tgt")
+      .orderBy("doc_id").collect()
+    def term(tCnt: Long, rCnt: Long): Long =
+      math.floor(math.log(
+        ((tCnt + 1).toDouble / (rCnt + 1).toDouble) * (8.0 / 6.0)) * 1e6).toLong
+    val tGood = term(3, 3) // ratio (4/4)*(8/6) > 1 — target-typical
+    val tBad = term(1, 3)  // ratio (2/4)*(8/6) < 1 — target-atypical
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("logratio_micro"))).toMap
+    assert(byId(1L) == (2L, 2 * tGood))
+    assert(byId(2L) == (2L, tGood + tBad))
+    assert(byId(3L) == (2L, 2 * tBad))
+    // in-domain docs outscore out-of-domain ones
+    assert(byId(1L)._2 > byId(2L)._2 && byId(2L)._2 > byId(3L)._2)
+  }
+
+  test("dsirScores joins every token (n_tokens = doc length)") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "a a")).toDF("doc_id", "text")
+    val out = TextRank.dsirScores(corpus, "doc_id", "text",
+        col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(out == Map(1L -> 5L, 2L -> 2L))
   }
 }
