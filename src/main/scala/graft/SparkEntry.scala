@@ -425,6 +425,13 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // ML: word-distribution Shannon entropy (gibberish/boilerplate quality
+    // signal) — native one-pass kernel, no explode, no shuffle; per-word
+    // terms on the 1e-6 grid before an integer sum (engine-portable).
+    "q_text_entropy" -> ((s, dir) =>
+      TextAnalysis.wordEntropy(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // ML: C4-style cleaning flags — per-row predicates (word floor,
     // blocklist, terminal punctuation, brace detection) at scan speed.
     "q_text_c4" -> ((s, dir) =>
@@ -2710,6 +2717,29 @@ object SparkEntry {
         |   + least(distinct_ratio * 2.0, 1.0)
         |   + least(stopword_ratio * 5.0, 1.0)) / 3.0 AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS tk
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |wc AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS w FROM t1) GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS distinct_words FROM wc GROUP BY 1),
+        |terms AS (
+        |  SELECT wc.doc_id,
+        |    CAST(floor((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS t
+        |  FROM wc JOIN n USING (doc_id))
+        |SELECT n.doc_id, n.n AS n_tokens, n.distinct_words,
+        |  CAST(-sum(t.t) AS BIGINT) AS entropy_micro
+        |FROM n JOIN terms t USING (doc_id)
+        |GROUP BY 1, 2, 3
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH toks AS (

@@ -65,6 +65,12 @@ object GraftFunctions {
         checkArity("graft_cosine", args, Seq(2))
         ArrayCosineSimilarity(args(0), args(1))
       }),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[ArrayL2Sq].getName, "graft_l2sq"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_l2sq", args, Seq(2))
+        ArrayL2Sq(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_date_bin"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_date_bin"),
       (args: Seq[Expression]) => {
@@ -141,5 +147,10 @@ object GraftFunctions {
   /** Column-API handle on the fused single-pass cosine similarity. */
   def graftCosine(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayCosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API handle on the native squared-L2 distance. */
+  def graftL2Sq(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayL2Sq(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

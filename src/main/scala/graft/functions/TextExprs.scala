@@ -178,6 +178,29 @@ object TextExprs {
     c.intValue()
   }
 
+  /** Shannon entropy of the word distribution, one pass: per-word counts
+    * in a hashmap, then per-word terms `floor((c/n)·ln(c/n)·10⁶)` summed
+    * as BIGINTs (quantize-then-sum — hashmap iteration order can't perturb
+    * an integer sum, so the result is engine-portable). Returns
+    * (n_tokens, distinct_words, entropy_micro) with entropy_micro =
+    * −Σ terms ≥ 0 (in −10⁶·nats); 0 for empty or single-word docs.
+    */
+  def wordEntropy(arr: ArrayData): InternalRow = {
+    val m = arr.numElements()
+    val words = new JHashMap[UTF8String, Int]()
+    var i = 0
+    while (i < m) { bump(words, arr.getUTF8String(i)); i += 1 }
+    var sum = 0L
+    val it = words.values().iterator()
+    val n = m.toDouble
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      sum += math.floor(p * math.log(p) * 1000000.0).toLong
+    }
+    new GenericInternalRow(Array[Any](
+      m.toLong, words.size().toLong, -sum))
+  }
+
   /** 64-bit hash per sliding k-token window. Per-token FNV-1a 64 over the
     * UTF-8 bytes, then a polynomial fold across the window. The hash VALUE
     * is internal-only (candidate keys for the duplicate-span passes; final
@@ -344,6 +367,22 @@ case class RepetitionStats(child: Expression) extends UnaryExpression
     TextExprs.repetition(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.repetition($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word-distribution Shannon entropy — see [[TextExprs.wordEntropy]]. */
+case class WordEntropyStats(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("distinct_words", LongType, nullable = false),
+    StructField("entropy_micro", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.wordEntropy(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.wordEntropy($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

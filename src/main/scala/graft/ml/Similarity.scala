@@ -554,9 +554,10 @@ object Similarity {
       }: _*)
     }: _*)
 
+    // native codegen'd fold — bit-identical to the interpreted
+    // aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0d, +) formulation
     def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.GraftFunctions.graftL2Sq(a, b)
 
     // Encode: per subspace, index of the nearest centroid (first-min ties).
     def codesOf(v: Column): Column = array((0 until numSubspaces).map { j =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CountInSet, LangBest, RepetitionStats, SumTokenChars, WhitespaceTokens, WordNgrams, WordpiecePieces}
+import graft.functions.{CountInSet, LangBest, RepetitionStats, SumTokenChars, WhitespaceTokens, WordEntropyStats, WordNgrams, WordpiecePieces}
 
 /** Text-analysis operators for training-data pipelines: tokenization, token
   * counting, quality scoring, language-ID heuristic, fingerprinting.
@@ -178,6 +178,30 @@ object TextAnalysis {
         col("rs.dup_trigrams").cast("double") / col("rs.n_trigrams"))
         .as("dup_trigram_frac"))
   }
+
+  /** Per-document Shannon entropy of the word distribution (in
+    * −10⁶·nats, exact BIGINT): the standard gibberish/boilerplate quality
+    * signal — near-zero entropy means the document is a handful of words
+    * repeated (spam, keyword stuffing, log spew); natural text sits near
+    * its token-count ceiling. Complements [[repetitionSignals]] (which
+    * sees *positional* repetition) with a position-free distributional
+    * one.
+    *
+    * Shape: a single native one-pass kernel per row
+    * ([[graft.functions.WordEntropyStats]]) — NO token explode, NO
+    * (doc, word) shuffle; at 100 TB this runs at scan speed. Per-word
+    * terms quantize to the 10⁻⁶ grid before an integer sum, so hashmap
+    * iteration order cannot perturb the result (engine-portable).
+    */
+  def wordEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col(idCol), nat(col("tk"))(WordEntropyStats(_)).as("we"))
+      .select(col(idCol),
+        col("we.n_tokens").as("n_tokens"),
+        col("we.distinct_words").as("distinct_words"),
+        col("we.entropy_micro").as("entropy_micro"))
 
   /** C4-style cleaning flags (Raffel et al. 2020 §2.2, adapted to
     * single-line documents): policy-configurable boolean signals plus the

@@ -27,6 +27,34 @@ class ArrayDotProductSpec extends SparkSuite {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("native l2sq matches the HOF formulation bit-for-bit") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(transform($"a", _.cast("double")),
+        transform($"b", _.cast("double")),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d"))
+      .as[Double].collect().toSeq
+    val native = df.select(GraftFunctions.graftL2Sq($"a", $"b").as("d"))
+      .as[Double].collect().toSeq
+    assert(native == hof)
+  }
+
+  test("l2sq null array or null element yields null; SQL-registered") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),
+      (None, Some(Seq(Some(1.0))))).toDF("a", "b")
+    val out = df.select(GraftFunctions.graftL2Sq($"a", $"b")).collect()
+    assert(out.forall(_.isNullAt(0)))
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_l2sq(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), " +
+        "array(CAST(3.0 AS DOUBLE), CAST(5.0 AS DOUBLE))) AS d")
+      .as[Double].head()
+    assert(r == 13.0)
+  }
+
   test("registered as SQL function via session registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -106,6 +106,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(1).isNullAt(r(1).fieldIndex("dup_trigram_frac")))
   }
 
+  test("wordEntropy: hand-computed micro-nat entropies") {
+    val df = Seq(
+      (1L, "a a b"),   // p = (2/3, 1/3)
+      (2L, "a a a"),   // single word -> entropy 0
+      (3L, "a b c"),   // uniform over 3
+      (4L, " "))       // no tokens -> no row
+      .toDF("doc_id", "text")
+    def term(c: Long, n: Long): Long = {
+      val p = c.toDouble / n.toDouble
+      math.floor(p * math.log(p) * 1e6).toLong
+    }
+    val r = TextAnalysis.wordEntropy(df).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = r.map(x => x.getLong(0) -> (x.getAs[Long]("n_tokens"),
+      x.getAs[Long]("distinct_words"), x.getAs[Long]("entropy_micro"))).toMap
+    assert(byId(1L) == (3L, 2L, -(term(2, 3) + term(1, 3))))
+    assert(byId(2L) == (3L, 1L, 0L))
+    assert(byId(3L) == (3L, 3L, -(3 * term(1, 3))))
+    // repetitive doc carries less entropy than the uniform one
+    assert(byId(1L)._3 < byId(3L)._3)
+  }
+
   test("repetitionSignals flags heavy repetition") {
     val df = Seq((1L, Seq.fill(20)("spam spam").mkString(" ")),
       (2L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
