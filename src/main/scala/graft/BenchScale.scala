@@ -37,15 +37,18 @@ object BenchScale {
   private val ScaleCopies = 10
   private val SuperLinear = 12.0
 
-  /** The headline queries of BENCH_r08 (slowest first), covering every
-    * expensive table: events traces, documents dedup/text, joins, ANN.
+  /** The headline queries of the current bench (slowest first), covering
+    * every expensive table: events traces, documents dedup/text, joins,
+    * ANN (including the round-10 additions: PQ, bloom decontamination,
+    * DSIR scoring, entropy kernel).
     */
   private val Queries = Seq(
     "q_trace_hierarchy_sql", "q_multimodal_decode", "q_bpe_encode",
     "q_dedup_clean", "q_dedup_containment", "q_dedup_spans_max",
     "q_counts_density", "q_text_tfidf", "q_join_multiway",
     "q_dedup_cluster", "q_trace_depgraph", "q_sim_ivf_persisted",
-    "q_agg_pricing")
+    "q_agg_pricing", "q_asof_join", "q_sim_pq", "q_decontaminate_bloom",
+    "q_sample_importance", "q_text_entropy")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -203,6 +203,16 @@ private[http] trait AlertRoutes { self: GraftHttpServer =>
                   respond(ex, 200, mapper.writeValueAsString(stamped))
               }
             }
+          // reference alerts::list_tags — sorted distinct tags across the
+          // tenant's alerts (must match before the alert-id route)
+          case ("GET", Some(Seq("list_tags"))) =>
+            val tags = alertStore.listAlerts(tenant)
+              .flatMap(a => Option(a.get("tags")).toSeq
+                .flatMap(_.elements().asScala))
+              .map(_.asText()).filter(_.nonEmpty).distinct.sorted
+            respond(ex, 200, mapper.writeValueAsString(
+              mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+                tags.toArray)))
           case ("GET", Some(Seq(aid))) =>
             alertStore.getAlert(tenant, aid) match {
               case Some(node) =>

@@ -315,6 +315,7 @@ final class GraftHttpServer(
   server.createContext("/api/v1/livetail", handler(handleLivetail))
   server.createContext("/api/v1/llm", handler(handleLlm))
   server.createContext("/api/v1/prism", handler(handlePrism))
+  server.createContext("/api/v1/datasets", handler(handleDatasets))
   server.createContext("/api/v1/sse", handler(handleSse))
   server.createContext("/api/v1/about", handler(handleAbout))
   server.createContext("/api/v1/demodata", handler(handleDemoData))

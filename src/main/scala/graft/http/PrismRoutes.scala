@@ -379,39 +379,138 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
             if (!streamsFor(tenant).contains(name)) {
               err(ex, 404, s"stream '$name' not found"); return
             }
-            val dirStr = s"$root/${tenantKey(tenant, name)}"
-            val o = mapper.createObjectNode()
-            o.putObject("info").put("stream", name)
-            val schema =
-              (try Some(spark.read.parquet(dirStr).schema)
-               catch { case _: Exception => None })
-                .orElse(registry.get(tenantKey(tenant, name)))
-            schema match {
-              case Some(s) => o.set[com.fasterxml.jackson.databind.node.ObjectNode](
-                "schema", mapper.readTree(s.json))
-              case None => o.putNull("schema")
-            }
-            val dir = new org.apache.hadoop.fs.Path(dirStr)
-            val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-            val stats = o.putObject("stats")
-            if (fs.exists(dir)) {
-              stats.put("size", fs.getContentSummary(dir).getLength)
-              stats.put("count",
-                syncedCountStar(tenantKey(tenant, name)).getOrElse(
-                  try spark.read.parquet(dirStr).count()
-                  catch { case _: Exception => 0L }))
-            } else { stats.put("size", 0L); stats.put("count", 0L) }
-            val rp = new org.apache.hadoop.fs.Path(dir, "_retention.json")
-            val retention =
-              if (fs.exists(rp)) {
-                val in = fs.open(rp)
-                try new String(in.readAllBytes(), UTF_8) finally in.close()
-              } else "[]"
-            o.set[com.fasterxml.jackson.databind.node.ObjectNode](
-              "retention", mapper.readTree(retention))
-            respond(ex, 200, mapper.writeValueAsString(o))
+            respond(ex, 200,
+              mapper.writeValueAsString(streamInfoNode(tenant, name)))
           case _ => err(ex, 404, "unknown prism path")
         }
+    }
+  }
+
+  /** The one-call stream info object (reference
+    * `get_prism_logstream_info`, `src/prism/logstream/mod.rs:44-75`):
+    * info + schema + stats + retention, shared by
+    * `GET /api/v1/prism/logstream/{name}/info` and `POST /api/v1/datasets`.
+    */
+  private[http] def streamInfoNode(tenant: String, name: String)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val dirStr = s"$root/${tenantKey(tenant, name)}"
+    val o = mapper.createObjectNode()
+    o.putObject("info").put("stream", name)
+    val schema =
+      (try Some(spark.read.parquet(dirStr).schema)
+       catch { case _: Exception => None })
+        .orElse(registry.get(tenantKey(tenant, name)))
+    schema match {
+      case Some(s) => o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "schema", mapper.readTree(s.json))
+      case None => o.putNull("schema")
+    }
+    val dir = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stats = o.putObject("stats")
+    if (fs.exists(dir)) {
+      stats.put("size", fs.getContentSummary(dir).getLength)
+      stats.put("count",
+        syncedCountStar(tenantKey(tenant, name)).getOrElse(
+          try spark.read.parquet(dirStr).count()
+          catch { case _: Exception => 0L }))
+    } else { stats.put("size", 0L); stats.put("count", 0L) }
+    val rp = new org.apache.hadoop.fs.Path(dir, "_retention.json")
+    val retention =
+      if (fs.exists(rp)) {
+        val in = fs.open(rp)
+        try new String(in.readAllBytes(), UTF_8) finally in.close()
+      } else "[]"
+    o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+      "retention", mapper.readTree(retention))
+    o
+  }
+
+  /** `POST /api/v1/datasets` (reference `prism_logstream::post_datasets`,
+    * `PrismDatasetRequest::get_datasets` at
+    * `src/prism/logstream/mod.rs:211-301`): batch one-call dataset info
+    * for the console home. Body `{"streams": [..]}`; an absent/empty list
+    * means every stream the caller can see. Per the reference contract,
+    * streams that don't exist, aren't authorized, or fail to process are
+    * SKIPPED — the response carries only the successes. Each entry is the
+    * [[streamInfoNode]] object plus the last-hour 10-bin count histogram
+    * (reference `get_counts`: "1h" → "now", 10 bins — answered from the
+    * stream's stats catalog when possible, a time-pruned scan otherwise).
+    */
+  private[http] def handleDatasets(ex: HttpExchange): Unit = {
+    if (role == Cluster.Ingestor) {
+      err(ex, 404, "datasets is not available on an ingestor node"); return
+    }
+    if (ex.getRequestMethod != "POST") { err(ex, 405, "POST only"); return }
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        val tenant = tenantOf(userOpt)
+        val requested: Seq[String] =
+          try {
+            val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            if (raw.isBlank) Seq.empty
+            else mapper.readTree(raw).path("streams").elements().asScala
+              .map(_.asText()).filter(_.nonEmpty).toSeq
+          } catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              return
+          }
+        def canQuery(name: String): Boolean =
+          userOpt.forall(Rbac.authorized(_, Rbac.QueryAction,
+            tenantKey(tenant, name)))
+        val visible = streamsFor(tenant)
+        val names =
+          if (requested.isEmpty) visible.keys.toSeq.sorted else requested
+        val arr = mapper.createArrayNode()
+        names.foreach { n =>
+          if (visible.contains(n) && canQuery(n)) {
+            try {
+              val node = streamInfoNode(tenant, n)
+              node.put("stream", n)
+              val range = TimeRange.parse("1h", "now")
+              val startMs = range.start.toEpochMilli
+              val rangeMs = math.max(1L, range.end.toEpochMilli - startMs)
+              val binMillis = math.max(1L, (rangeMs + 9) / 10)
+              node.set[com.fasterxml.jackson.databind.node.ObjectNode](
+                "counts", countsJson(startMs, binMillis, 10,
+                  datasetBinCounts(tenant, n, visible(n), range, startMs,
+                    binMillis)))
+              arr.add(node)
+              ()
+            } catch { case _: Exception => () } // skip failing streams
+          }
+        }
+        respond(ex, 200, mapper.writeValueAsString(arr))
+    }
+  }
+
+  /** Unconditioned bin-density for [[handleDatasets]]: the stats-catalog
+    * fast path when the stream has a manifest, a time-pruned scan
+    * otherwise; empty on any failure (the dataset entry still renders).
+    */
+  private def datasetBinCounts(tenant: String, name: String,
+      stream: QueryService.Stream, range: TimeRange, startMs: Long,
+      binMillis: Long): Map[Int, Long] = {
+    val catDir = statsPath(tenantKey(tenant, name))
+    val fast =
+      if (new java.io.File(catDir).isDirectory)
+        try Counts.binDensityFromStats(
+          graft.catalog.StatsCatalog.resolve(spark, catDir),
+          stream.timeCol, startMs, range.end.toEpochMilli, binMillis,
+          paths => spark.read.parquet(paths: _*)).map(_.toMap)
+        catch { case _: Exception => None }
+      else None
+    fast.getOrElse {
+      try {
+        val t = col(stream.timeCol).cast("timestamp")
+        QueryService.windowedRead(spark, name, stream, range)
+          .groupBy(floor((unix_millis(t) - startMs) / binMillis)
+            .cast("int").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      } catch { case _: Exception => Map.empty }
     }
   }
 }

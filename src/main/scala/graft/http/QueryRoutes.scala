@@ -291,8 +291,11 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
     }
   }
 
-  private[http] def respondCounts(ex: HttpExchange, startMs: Long, binMillis: Long,
-                            bins: Int, counts: Map[Int, Long]): Unit = {
+  /** The CountsResponse JSON (fields + dense records) — shared by
+    * `/counts` and the per-dataset histogram in `POST /datasets`.
+    */
+  private[http] def countsJson(startMs: Long, binMillis: Long, bins: Int,
+      counts: Map[Int, Long]): com.fasterxml.jackson.databind.node.ObjectNode = {
     val o = mapper.createObjectNode()
     val fields = o.putArray("fields")
     Seq("start_time", "end_time", "count").foreach(fields.add)
@@ -305,8 +308,13 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
         java.time.Instant.ofEpochMilli(startMs + (i + 1) * binMillis).toString)
       r.put("count", counts.getOrElse(i, 0L))
     }
-    respond(ex, 200, mapper.writeValueAsString(o))
+    o
   }
+
+  private[http] def respondCounts(ex: HttpExchange, startMs: Long, binMillis: Long,
+                            bins: Int, counts: Map[Int, Long]): Unit =
+    respond(ex, 200,
+      mapper.writeValueAsString(countsJson(startMs, binMillis, bins, counts)))
 
   /** `POST /api/v1/query/context` (reference `query_context.rs`
     * `LogContextRequest`): the page of logs AROUND an anchor timestamp —

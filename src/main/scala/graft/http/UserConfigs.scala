@@ -66,6 +66,31 @@ final class UserConfigs(root: String) {
     }
   }
 
+  /** All of a tenant's objects of `kind` ACROSS users — tenant-wide
+    * inventories (reference `DASHBOARDS.list_tags` walks the whole
+    * tenant's dashboards, not just the caller's).
+    */
+  def listTenant(tenant: String, kind: Kind): Seq[JsonNode] = {
+    val base = Paths.get(root, ".users", tenant)
+    if (!Files.isDirectory(base)) Seq.empty
+    else {
+      val users = Files.list(base)
+      try users.iterator().asScala.flatMap { u =>
+        val d = u.resolve(kind.name)
+        if (!Files.isDirectory(d)) Nil
+        else {
+          val s = Files.list(d)
+          try s.iterator().asScala
+            .filter(_.toString.endsWith(".json"))
+            .map(p => mapper.readTree(Files.readAllBytes(p)))
+            .toList
+          finally s.close()
+        }
+      }.toSeq
+      finally users.close()
+    }
+  }
+
   def get(tenant: String, user: String, kind: Kind,
           id: String): Option[JsonNode] = {
     val f = file(tenant, user, kind, id)

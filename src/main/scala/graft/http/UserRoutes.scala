@@ -92,6 +92,51 @@ private[http] trait UserRoutes { self: GraftHttpServer =>
             respond(ex, 200, mapper.writeValueAsString(
               mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
                 userConfigs.list(tenant, user, kind).toArray)))
+          // reference dashboards::list_tags / alerts::list_tags — the
+          // tenant-wide sorted distinct tag inventory (GET {base}/list_tags)
+          case ("GET", Some("list_tags"))
+              if kind == UserConfigs.Dashboards =>
+            val tags = userConfigs.listTenant(tenant, kind)
+              .flatMap(d => Option(d.get("tags")).toSeq
+                .flatMap(_.elements().asScala))
+              .map(_.asText()).filter(_.nonEmpty).distinct.sorted
+            respond(ex, 200, mapper.writeValueAsString(
+              mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+                tags.toArray)))
+          // reference dashboards::add_tile (PUT {base}/{id}/add_tile):
+          // append one tile to an owned dashboard; tile_id required and
+          // unique within the dashboard
+          case ("PUT", Some(oid))
+              if kind == UserConfigs.Dashboards &&
+                oid.endsWith("/add_tile") =>
+            val did = oid.stripSuffix("/add_tile").stripSuffix("/")
+            parseBody().foreach { tile =>
+              val tid = tile.path("tile_id").asText("")
+              if (tid.isEmpty) { err(ex, 400, "Tile ID must be provided") }
+              else userConfigs.get(tenant, user, kind, did) match {
+                case None => err(ex, 404, s"dashboard '$did' not found")
+                case Some(dash) =>
+                  val node = dash.deepCopy[com.fasterxml.jackson.databind
+                    .node.ObjectNode]()
+                  val tiles = Option(node.get("tiles")) match {
+                    case Some(a: com.fasterxml.jackson.databind.node
+                        .ArrayNode) => a
+                    case _ => node.putArray("tiles")
+                  }
+                  if (tiles.elements().asScala
+                      .exists(_.path("tile_id").asText() == tid))
+                    err(ex, 400, "Tile already exists")
+                  else {
+                    tiles.add(tile)
+                    userConfigs.update(tenant, user, kind, did, node) match {
+                      case Some(updated) =>
+                        respond(ex, 200, mapper.writeValueAsString(updated))
+                      case None =>
+                        err(ex, 404, s"dashboard '$did' not found")
+                    }
+                  }
+              }
+            }
           case ("GET", Some(oid)) =>
             userConfigs.get(tenant, user, kind, oid) match {
               case Some(node) =>
