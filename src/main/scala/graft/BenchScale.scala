@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
 import graft.engine.GraftSession
 
 /** Scaling sweep: run the most expensive bench queries at sf0.1 and a
-  * locally-derived sf1 (10× rows), and report the time ratio per query.
+  * locally-derived sf1 (10× rows), and report the time ratio per query;
+  * the top-5 also run at a derived sf10 (100× rows, the `deep` section)
+  * to expose nonlinearities a single decade can hide.
   * A data-bound query should scale ~linearly (ratio ≈ 10 on 10× data, less
   * where a fixed per-job floor dominates); anything markedly super-linear
   * (> [[SuperLinear]]) is a plan that will NOT survive a 100× scale-up and
@@ -37,6 +39,17 @@ object BenchScale {
   private val ScaleCopies = 10
   private val SuperLinear = 12.0
 
+  /** The second decade: 100× copies for the most expensive queries only —
+    * a 10× sweep can hide a nonlinearity that only bends past the next
+    * order of magnitude (hash tables spilling, broadcast sides outgrowing
+    * the threshold, per-partition overheads compounding).
+    */
+  private val DeepCopies = 100
+  private val DeepSuperLinear = 120.0
+  private val DeepQueries = Seq(
+    "q_trace_hierarchy_sql", "q_multimodal_decode", "q_join_multiway",
+    "q_dedup_clean", "q_dedup_containment")
+
   /** The headline queries of the current bench (slowest first), covering
     * every expensive table: events traces, documents dedup/text, joins,
     * ANN (including the round-10 additions: PQ, bloom decontamination,
@@ -54,18 +67,21 @@ object BenchScale {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench-scale")
     if (!Files.isDirectory(Paths.get(sf1)))
-      generate(spark, src, sf1)
+      generate(spark, src, sf1, ScaleCopies)
+    if (!Files.isDirectory(Paths.get(sf10)))
+      generate(spark, src, sf10, DeepCopies)
 
-    def timeAll(dir: String): Map[String, (Double, Long)] = {
+    def timeAll(dir: String, qs: Seq[String]): Map[String, (Double, Long)] = {
       // touch every table once: page cache + reader classloading out of
-      // the measured pass (both SFs get the same treatment)
+      // the measured pass (all SFs get the same treatment)
       GraftSession.tables.foreach { t =>
         try GraftSession.table(spark, dir, t).count()
         catch { case _: Throwable => () }
       }
-      Queries.map { name =>
+      qs.map { name =>
         val t0 = System.nanoTime()
         val rows =
           try materialize(SparkEntry.queries(name)(spark, dir))
@@ -73,8 +89,9 @@ object BenchScale {
         name -> (((System.nanoTime() - t0) / 1e9, rows))
       }.toMap
     }
-    val at01 = timeAll(src)
-    val at1 = timeAll(sf1)
+    val at01 = timeAll(src, Queries)
+    val at1 = timeAll(sf1, Queries)
+    val at10 = timeAll(sf10, DeepQueries)
 
     val perQuery = Queries.map { q =>
       val (s0, r0) = at01(q)
@@ -86,10 +103,23 @@ object BenchScale {
     val qs = perQuery.map { case (q, s0, s1, ratio, r0, r1) =>
       f""""$q":{"sf01_sec":$s0%.3f,"sf1_sec":$s1%.3f,"ratio":$ratio%.2f,"sf01_rows":$r0,"sf1_rows":$r1}"""
     }.mkString("{", ",", "}")
+    val deep = DeepQueries.map { q =>
+      val (s0, r0) = at01(q)
+      val (s10, r10) = at10(q)
+      (q, s0, s10, if (s0 > 0) s10 / s0 else -1.0, r0, r10)
+    }
+    val deepFlagged = deep.filter(_._4 > DeepSuperLinear).map(_._1)
+    val deepQs = deep.map { case (q, s0, s10, ratio, r0, r10) =>
+      f""""$q":{"sf01_sec":$s0%.3f,"sf10_sec":$s10%.3f,"ratio":$ratio%.2f,"sf01_rows":$r0,"sf10_rows":$r10}"""
+    }.mkString("{", ",", "}")
+    def flagArr(s: Seq[String]): String =
+      s.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
     val line =
       s"""{"metric":"scale_sweep","copies":$ScaleCopies,"superlinear_flagged":${
-        flagged.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
-      },"queries":$qs}"""
+        flagArr(flagged)
+      },"queries":$qs,"deep":{"copies":$DeepCopies,"superlinear_flagged":${
+        flagArr(deepFlagged)
+      },"queries":$deepQs}}"""
     Files.write(Paths.get("bench_scale.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
@@ -101,15 +131,16 @@ object BenchScale {
     */
   private def materialize(df: DataFrame): Long = Bench.materialize(df)
 
-  private def generate(spark: SparkSession, src: String, out: String): Unit = {
+  private def generate(spark: SparkSession, src: String, out: String,
+                       nCopies: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    // one row per copy index; crossJoin broadcasts the 10-row side
-    val copies = spark.range(ScaleCopies.toLong).toDF("__i")
+    // one row per copy index; crossJoin broadcasts the tiny side
+    val copies = spark.range(nCopies.toLong).toDF("__i")
     def scaled(df: DataFrame)(tx: DataFrame => DataFrame): DataFrame =
       tx(df.crossJoin(broadcast(copies))).drop("__i")
     def shift(key: String, s: Long) =
@@ -146,8 +177,10 @@ object BenchScale {
         .withColumn("doc_id", col("doc_id") + col("__i") * kd)
     })
     write("embeddings", scaled(read("embeddings")) { d =>
-      val i = col("__i").cast("int")
+      // rotation amount mod dim: copy indexes past the dimensionality
+      // (the 100× deep sweep) wrap instead of slicing negative lengths
       val e = col("embedding")
+      val i = pmod(col("__i"), size(e).cast("long")).cast("int")
       val rotated = concat(
         slice(e, i + 1, size(e) - i), slice(e, lit(1), i))
       d.withColumn("embedding",

@@ -1182,7 +1182,7 @@ object SparkEntry {
     "q_trace_hierarchy_sql" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      t(s, dir, "events").filter(col("user_id") < 50)
+      val spans = t(s, dir, "events").filter(col("user_id") < 50)
         .select(col("user_id").as("t_id"),
           (row_number().over(w) - 1).cast("long").as("s_id"),
           col("event_type").as("service"),
@@ -1193,7 +1193,16 @@ object SparkEntry {
             .otherwise(col("t_id") * 100000L +
               ((col("s_id") - 1) / 2).cast("long")).as("parent_id"),
           col("service"), col("dur"))
-        .createOrReplaceTempView("trace_spans_sql")
+      // Materialize the span table ONCE before recursing: the recursive
+      // CTE's loop body re-evaluates every relation it references per
+      // level, so a view over the raw plan would re-run the events scan +
+      // per-trace window sort ~depth times. Staged as parquet (not
+      // .persist) the per-level cost is a columnar re-scan of a small
+      // table, and nothing pins executor storage after the query.
+      val staged = java.nio.file.Files
+        .createTempDirectory("trace-spans").toString
+      spans.coalesce(1).write.mode("overwrite").parquet(staged)
+      s.read.parquet(staged).createOrReplaceTempView("trace_spans_sql")
       s.sql(
         """WITH RECURSIVE all_span_ids AS (
           |  SELECT DISTINCT span_id FROM trace_spans_sql
@@ -1415,6 +1424,72 @@ object SparkEntry {
           numCentroids = 16, dim = 64)
         .orderBy(col("q_id"), col("rk"))
     }),
+  )
+
+  // ------------------------------------------------- build/search split
+
+  /** A gated query split into its one-time artifact build (index write,
+    * codebook train + encode, merge-table train) and the per-query search
+    * that a production deployment repeats against the built artifact.
+    */
+  final case class Prepared(
+      build: (SparkSession, String) => AnyRef,
+      search: (SparkSession, String, AnyRef) => DataFrame)
+
+  /** Build/search splits for the queries whose [[queries]] body fuses a
+    * one-time build with the search (the correctness gate keeps the fused
+    * body — identical results by construction, spec-asserted in
+    * `PreparedQuerySpec`). The bench builds once per process and times
+    * the phases separately (`build_sec` in the detail map, search time as
+    * the query's figure) so round-over-round regression signal tracks the
+    * thing deployments repeat, not the artifact build.
+    */
+  def prepared: Map[String, Prepared] = Map(
+    "q_sim_ivf_persisted" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+        Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, idx)
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nProbe = 2)
+          .orderBy(col("q_id"), col("rk"))
+      }),
+    "q_sim_pq" -> Prepared(
+      build = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = Similarity.pqTrain(e, "vec_id", "embedding",
+          numSubspaces = 8, numCentroids = 16, dim = 64)
+        val codes = java.nio.file.Files.createTempDirectory("pqcodes").toString
+        Similarity.pqEncode(e, "vec_id", "embedding", model)
+          .write.mode("overwrite").parquet(codes)
+        (model, codes)
+      },
+      search = (s, dir, art) => {
+        val (model, codes) = art.asInstanceOf[(Similarity.PqModel, String)]
+        val e = t(s, dir, "embeddings")
+        Similarity.pqSearch(s.read.parquet(codes),
+            e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, model)
+          .orderBy(col("q_id"), col("rk"))
+      }),
+    "q_bpe_encode" -> Prepared(
+      build = (s, dir) =>
+        BpeTrain.train(t(s, dir, "documents"), "text", numMerges = 20),
+      search = (s, dir, m) => {
+        val merges = m.asInstanceOf[Seq[BpeTrain.Merge]]
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            BpeTrain.encode(TextAnalysis.tokens(col("text")), merges)
+              .as("pieces"))
+          .select(col("doc_id"),
+            length(concat_ws("", col("pieces"))).cast("long")
+              .as("piece_chars"))
+          .orderBy(col("doc_id"))
+      }),
   )
 
   // ----------------------------------------------------------- oracle SQL

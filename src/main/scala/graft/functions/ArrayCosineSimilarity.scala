@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * three, which matters on the ANN hot loop where the per-pair cosine is
   * evaluated |candidates| × |queries| times and the cost is memory traffic.
   *
-  * The cross term folds over `min(|a|,|b|)` and each norm over its full
-  * array (same shapes as the composed form); null array → null, null
-  * element → null.
+  * Null contract (same as [[ArrayDotProduct]], so the fused and composed
+  * forms stay interchangeable): null array → null, null element → null,
+  * mismatched array lengths → null — zip_with pads the shorter side with
+  * nulls, and the DuckDB list_zip oracle does the same, so a malformed
+  * vector surfaces as null rather than a silently truncated similarity.
   */
 case class ArrayCosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,9 +43,8 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val na = x.numElements()
-    val nb = y.numElements()
-    val n = math.min(na, nb)
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var ab = 0.0; var aa = 0.0; var bb = 0.0
@@ -55,18 +56,6 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
       ab += xv * yv; aa += xv * xv; bb += yv * yv
       i += 1
     }
-    i = n
-    while (i < na) {
-      if (x.isNullAt(i)) return null
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      aa += xv * xv; i += 1
-    }
-    i = n
-    while (i < nb) {
-      if (y.isNullAt(i)) return null
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      bb += yv * yv; i += 1
-    }
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
@@ -76,35 +65,19 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
       case _         => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int $na = $a.numElements();
-         |int $nb = $b.numElements();
-         |int $n = java.lang.Math.min($na, $nb);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = ${getter(left, a, i)};
          |  double $yv = ${getter(right, b, i)};
          |  $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
-         |}
-         |if (!${ev.isNull}) {
-         |  for (int $i = $n; $i < $na; $i++) {
-         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $xv = ${getter(left, a, i)};
-         |    $aa += $xv * $xv;
-         |  }
-         |}
-         |if (!${ev.isNull}) {
-         |  for (int $i = $n; $i < $nb; $i++) {
-         |    if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $yv = ${getter(right, b, i)};
-         |    $bb += $yv * $yv;
-         |  }
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));

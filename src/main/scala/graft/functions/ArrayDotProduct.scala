@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * `Expression`-with-`doGenCode` > UDF path for the similarity-search hot
   * loop (per-row cost × corpus × queries).
   *
-  * Null contract: null array → null; any null *element* → null (matches
-  * what the zip_with/aggregate pipeline produces).
+  * Null contract: null array → null; any null *element* → null; mismatched
+  * array lengths → null (all three match what the zip_with/aggregate
+  * pipeline produces — zip_with pads the shorter side with nulls, and the
+  * DuckDB list_zip oracle does the same, so a malformed vector surfaces as
+  * null rather than a silently truncated sum).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,7 +49,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lt = elemType(left)
     val rt = elemType(right)
     var sum = 0.0
@@ -77,9 +81,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += ${getter(left, a, i)} * ${getter(right, b, i)};
          |}

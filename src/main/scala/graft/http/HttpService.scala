@@ -80,7 +80,8 @@ final class GraftHttpServer(
     private[http] val role: Cluster.NodeRole = Cluster.All,
     nodeId: String = "",
     private[http] val llm: Option[Llm.Config] = None,
-    resourceCheck: Option[ResourceMonitor.Config] = None)
+    resourceCheck: Option[ResourceMonitor.Config] = None,
+    tls: Option[Tls.Config] = None)
   extends OidcRoutes with IngestRoutes with QueryRoutes with TailRoutes
   with LogstreamRoutes with AlertRoutes with UserRoutes with PrismRoutes
   with LlmRoutes {
@@ -130,8 +131,22 @@ final class GraftHttpServer(
   /** Kill an API key at runtime (reference key revocation). */
   def revokeApiKey(token: String): Unit = { revokedKeys.add(token); () }
 
-  private[http] val server =
-    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // HTTPS when a cert+key pair is configured, plaintext otherwise — the
+  // reference's both-or-nothing switch (ssl_acceptor.rs via modal/mod.rs).
+  // A bad TLS config throws here: never silently fall back to plaintext.
+  private[http] val server = tls match {
+    case Some(t) =>
+      val s = com.sun.net.httpserver.HttpsServer
+        .create(new InetSocketAddress("127.0.0.1", port), 0)
+      s.setHttpsConfigurator(
+        new com.sun.net.httpserver.HttpsConfigurator(Tls.sslContext(t)))
+      s
+    case None =>
+      HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  }
+
+  /** Whether this server terminates TLS (affects the advertised scheme). */
+  def isTls: Boolean = tls.isDefined
   private[http] val pool =
     java.util.concurrent.Executors.newFixedThreadPool(threads)
   server.setExecutor(pool)
@@ -342,7 +357,7 @@ final class GraftHttpServer(
     // [[Cluster.All]] nodes don't participate in a cluster)
     if (role != Cluster.All)
       metaStore.register(Cluster.NodeMetadata(myNodeId,
-        s"http://127.0.0.1:$boundPort", role.name,
+        s"${if (isTls) "https" else "http"}://127.0.0.1:$boundPort", role.name,
         System.currentTimeMillis()))
   }
 

@@ -20,6 +20,8 @@ import GraftHttpServer._
   */
 private[http] trait PrismRoutes { self: GraftHttpServer =>
 
+  private val prismLog = org.slf4j.LoggerFactory.getLogger(classOf[PrismRoutes])
+
   /** `GET /api/v1/about` (reference `handlers/http/about.rs`): instance
     * metadata for the console. `deploymentId` persists in the storage
     * root, so every node of a cluster (and every restart) reports the
@@ -479,7 +481,10 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
                     binMillis)))
               arr.add(node)
               ()
-            } catch { case _: Exception => () } // skip failing streams
+            } catch { // skip failing streams — but never silently
+              case e: Exception =>
+                prismLog.warn(s"prism datasets: skipping stream '$n': $e")
+            }
           }
         }
         respond(ex, 200, mapper.writeValueAsString(arr))
@@ -500,7 +505,14 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
           graft.catalog.StatsCatalog.resolve(spark, catDir),
           stream.timeCol, startMs, range.end.toEpochMilli, binMillis,
           paths => spark.read.parquet(paths: _*)).map(_.toMap)
-        catch { case _: Exception => None }
+        catch {
+          case e: Exception =>
+            // degrade to the scan path, but a real stats-catalog bug must
+            // not be invisible behind an empty sparkline
+            prismLog.warn(
+              s"prism histogram: stats fast path failed for '$name': $e")
+            None
+        }
       else None
     fast.getOrElse {
       try {
@@ -510,7 +522,12 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
             .cast("int").as("bin"))
           .agg(count(lit(1)).as("cnt"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      } catch { case _: Exception => Map.empty }
+      } catch {
+        case e: Exception =>
+          prismLog.warn(
+            s"prism histogram: scan path failed for '$name', rendering empty: $e")
+          Map.empty
+      }
     }
   }
 }

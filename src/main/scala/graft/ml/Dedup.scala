@@ -487,10 +487,12 @@ object Dedup {
     * join discards the false positives the prefilter admits.
     *
     * `expectedItems` sizes the filter; pass the (estimated) distinct bench
-    * n-gram count. It caps at Spark's `spark.sql.optimizer.runtime.
-    * bloomFilter.maxNumItems`-independent default of 4M bits here via the
-    * aggregate's own sizing; oversizing only costs broadcast bytes, never
-    * correctness.
+    * n-gram count. Spark's `BloomFilterAggregate` clamps the computed bit
+    * count to `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, so a
+    * very large `expectedItems` silently RAISES the effective fpp — the
+    * prefilter admits more false positives (more shuffle into the verify
+    * join), but never wrong results: the exact verify join discards every
+    * false positive regardless of filter saturation.
     */
   def contaminationBloom(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 4, minShared: Long = 2L,

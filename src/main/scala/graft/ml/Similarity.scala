@@ -535,46 +535,85 @@ object Similarity {
   def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String,
             vecCol: String, k: Int, numSubspaces: Int = 8,
             numCentroids: Int = 16, dim: Int = 64): DataFrame = {
-    val sd = dim / numSubspaces
-    require(sd * numSubspaces == dim,
-      s"dim $dim must divide into $numSubspaces subspaces")
-    val vecD = col(vecCol).cast("array<double>")
+    val model = pqTrain(corpus, idCol, vecCol, numSubspaces, numCentroids, dim)
+    pqSearch(pqEncode(corpus, idCol, vecCol, model), queries, idCol, vecCol,
+      k, model)
+  }
 
-    // Codebook: subvectors of the numCentroids lowest-id corpus vectors.
-    val anchors: Seq[Seq[Double]] = corpus
-      .select(col(idCol), vecD.as("v"))
-      .orderBy(col(idCol).asc).limit(numCentroids)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    require(anchors.size == numCentroids && anchors.forall(_.size == dim),
-      s"need $numCentroids anchor vectors of dim $dim")
-    // centLit(j)(c) = centroid c's subvector in subspace j (literal tree).
-    val centLit = array((0 until numSubspaces).map { j =>
+  /** A trained PQ codebook: `anchors(c)` is centroid `c`'s full `dim`-wide
+    * vector; subspace `j`'s codebook is each anchor's `[j*sd, (j+1)*sd)`
+    * slice. Train once ([[pqTrain]]), encode once ([[pqEncode]]), search
+    * many times ([[pqSearch]]) — the bench times the phases separately.
+    */
+  final case class PqModel(anchors: Seq[Seq[Double]], numSubspaces: Int,
+                           numCentroids: Int, dim: Int) {
+    val sd: Int = dim / numSubspaces
+    /** centLit(j)(c) = centroid c's subvector in subspace j (literal tree). */
+    private[ml] def centLit: Column = array((0 until numSubspaces).map { j =>
       array((0 until numCentroids).map { c =>
         array((0 until sd).map(i => lit(anchors(c)(j * sd + i))): _*)
       }: _*)
     }: _*)
+  }
 
-    // native codegen'd fold — bit-identical to the interpreted
-    // aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0d, +) formulation
-    def l2sq(a: Column, b: Column): Column =
-      graft.functions.GraftFunctions.graftL2Sq(a, b)
+  /** Codebook train: subvectors of the `numCentroids` lowest-id corpus
+    * vectors (deterministic anchor sampling — see [[knnPq]] doc). The
+    * collect is `numCentroids` rows, driver-side by design.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              numSubspaces: Int = 8, numCentroids: Int = 16,
+              dim: Int = 64): PqModel = {
+    val sd = dim / numSubspaces
+    require(sd * numSubspaces == dim,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val anchors: Seq[Seq[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol).asc).limit(numCentroids)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(anchors.size == numCentroids && anchors.forall(_.size == dim),
+      s"need $numCentroids anchor vectors of dim $dim")
+    PqModel(anchors, numSubspaces, numCentroids, dim)
+  }
 
-    // Encode: per subspace, index of the nearest centroid (first-min ties).
-    def codesOf(v: Column): Column = array((0 until numSubspaces).map { j =>
+  // native codegen'd fold — bit-identical to the interpreted
+  // aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0d, +) formulation
+  private def l2sq(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.graftL2Sq(a, b)
+
+  /** Encode pass: `(n_id, codes)` — per subspace, the index of the row's
+    * nearest codebook centroid (first-min ties). One narrow map over the
+    * corpus; the output is the thing a deployment persists (32× smaller
+    * than the raw vectors at the 64-d/8-subspace defaults).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val centLit = model.centLit
+    val sd = model.sd
+    val codesOf = array((0 until model.numSubspaces).map { j =>
       val dists = transform(element_at(centLit, j + 1),
-        cent => l2sq(slice(v, j * sd + 1, sd), cent))
+        cent => l2sq(slice(col(vecCol).cast("array<double>"),
+          j * sd + 1, sd), cent))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
+    corpus.select(col(idCol).as("n_id"), codesOf.as("codes"))
+  }
 
+  /** ADC ranking over an encoded corpus (`[[pqEncode]]` output or a
+    * persisted codes table): exact L2² between each query and the PQ
+    * reconstruction of each code row, top-k per query through the
+    * [[graft.plans.TopKPerGroup]] heap operator.
+    */
+  def pqSearch(encoded: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, model: PqModel): DataFrame = {
+    val centLit = model.centLit
     // PQ reconstruction: assigned centroid subvectors, concatenated.
     def reconOf(codes: Column): Column =
-      flatten(array((0 until numSubspaces).map { j =>
+      flatten(array((0 until model.numSubspaces).map { j =>
         element_at(element_at(centLit, j + 1), element_at(codes, j + 1) + 1)
       }: _*))
-
-    val enc = corpus.select(col(idCol).as("n_id"), codesOf(vecD).as("codes"))
-    val q = broadcast(queries.select(col(idCol).as("q_id"), vecD.as("q_vec")))
-    val scored = enc.crossJoin(q)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec")))
+    val scored = encoded.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", l2sq(col("q_vec"), reconOf(col("codes"))))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),

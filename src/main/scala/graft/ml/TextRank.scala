@@ -173,7 +173,13 @@ object TextRank {
     * (the [[lmScore]] convention), so the score is an exact BIGINT —
     * engine-portable and order-insensitive. The smoothed ratio is computed
     * as a product of two double ratios (never a product of raw counts), so
-    * nothing overflows at any corpus size.
+    * nothing overflows at any corpus size. Residual portability caveat
+    * (shared with [[lmScore]]): "engine-portable" relies on the engines'
+    * `ln` implementations agreeing to the last bit — a 1-ULP divergence on
+    * a term that lands EXACTLY on a 10⁻⁶ grid boundary would flip that
+    * term's `floor` by 1. JVM `Math.log` and DuckDB `ln` have agreed on
+    * every gated corpus to date; this is an empirical property, not an
+    * IEEE-guaranteed one.
     *
     * Scale shape: one token explode feeding two map-side-combinable word
     * aggregations, a word-keyed shuffle join of tokens against the (raw ⋈
@@ -181,7 +187,8 @@ object TextRank {
     * single-row broadcasts. Identical topology to [[lmScore]] / [[bm25Scores]].
     */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
-                 targetPred: Column): DataFrame = {
+                 targetPred: Column,
+                 maxBroadcastVocab: Long = 4000000L): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
@@ -195,8 +202,17 @@ object TextRank {
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_tot"))
     val vocab = raw.agg(count(lit(1)).as("vsz"))
     val stats = raw.join(tgt, Seq("w"), "left").na.fill(0L, Seq("t_cnt"))
+    // Stopwords are classic hot keys on the word-keyed join below. The
+    // distinct-word vocabulary grows sublinearly in corpus size (Heaps'
+    // law), so `stats` almost always fits a broadcast: one extra
+    // column-pruned map-side-combinable count decides, and broadcasting
+    // turns the join into a map-side hash join — no shuffle of the raw
+    // token stream, no hot keys at all. Beyond the cap the shuffle join
+    // stands and AQE's skew split covers the stopword keys.
+    val statsSide =
+      if (raw.count() <= maxBroadcastVocab) broadcast(stats) else stats
     val terms = words.select(col("doc_id"), col("w"))
-      .join(stats, "w")
+      .join(statsSide, "w")
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(vocab))
       .withColumn("t",

@@ -55,6 +55,21 @@ class ArrayDotProductSpec extends SparkSuite {
     assert(r == 13.0)
   }
 
+  test("mismatched array lengths yield null in all three kernels (zip_with parity)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    // the HOF formulation the kernels claim bit-identity with: zip_with
+    // pads the shorter side with null -> null element -> null sum
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", _ * _), lit(0.0), _ + _)).collect()
+    assert(hof.head.isNullAt(0))
+    for (k <- Seq(GraftFunctions.graftDot($"a", $"b"),
+                  GraftFunctions.graftL2Sq($"a", $"b"),
+                  GraftFunctions.graftCosine($"a", $"b"))) {
+      assert(df.select(k).collect().head.isNullAt(0),
+        s"expected null for mismatched lengths in $k")
+    }
+  }
+
   test("registered as SQL function via session registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
@@ -149,9 +164,8 @@ class ArrayDotProductSpec extends SparkSuite {
         |               CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>)) AS n
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
-    // cross term over min length, norms over full arrays
-    val expect = (1.0 + 4.0) / (math.sqrt(1 + 4 + 25) * math.sqrt(1 + 4))
-    assert(r.getDouble(1) == expect)
+    // unequal lengths -> null (zip_with / DuckDB list_zip parity)
+    assert(r.isNullAt(1))
     assert(r.isNullAt(2))
   }
 

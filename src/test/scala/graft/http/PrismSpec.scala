@@ -125,4 +125,55 @@ class PrismSpec extends SparkSuite {
            |"endTime": "$end"}""".stripMargin.replace("\n", " ")))._1 == 404)
     } finally srv.stop()
   }
+
+  test("datasets histogram degrades stats→scan→empty without dropping the entry") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prism-fb").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    def binTotal(body: String): Long = {
+      val ds = mapper.readTree(body)
+      assert(ds.size() == 1, body)
+      val recs = ds.get(0).get("counts").get("records")
+      (0 until recs.size()).map(i => recs.get(i).get("count").asLong()).sum
+    }
+    try {
+      assert(http("PUT", s"$base/logstream/fall")._1 == 200)
+      // seed one row 30 min back, written directly: arrival-time ingest
+      // can't land inside the minute-truncated "1h"→"now" window
+      // deterministically (TimeRange truncates "now" to the minute)
+      spark.sql("""SELECT 200.0 AS status,
+                   timestampadd(MINUTE, -30, current_timestamp()) AS p_timestamp""")
+        .write.mode("overwrite").parquet(s"$tmp/fall")
+
+      // no stats catalog: the scan path answers the histogram
+      val (s1, b1) = http("POST", s"$base/datasets", body = Some("{}"))
+      assert(s1 == 200, b1)
+      assert(binTotal(b1) == 1L, b1)
+
+      // unreadable stats catalog: the fast path AND the catalog-routed
+      // scan both fail — each logs before degrading — and the dataset
+      // entry still renders, with an all-zero histogram
+      // (_commits as a regular FILE defeats the catalog's self-healing
+      // reconcile — a readable-but-wrong catalog would just be rebuilt)
+      val statsDir = java.nio.file.Paths.get(tmp, ".stats", "fall")
+      java.nio.file.Files.createDirectories(statsDir)
+      java.nio.file.Files.write(statsDir.resolve("part-0.parquet"),
+        "not a parquet file".getBytes(UTF_8))
+      java.nio.file.Files.write(statsDir.resolve("_commits"),
+        "junk".getBytes(UTF_8))
+      val (s2, b2) = http("POST", s"$base/datasets", body = Some("{}"))
+      assert(s2 == 200, b2)
+      assert(binTotal(b2) == 0L, b2)
+
+      // catalog removed again: the scan path recovers on the next call
+      // (degradation is per-request, nothing latches)
+      java.nio.file.Files.walk(statsDir).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      val (s3, b3) = http("POST", s"$base/datasets", body = Some("{}"))
+      assert(s3 == 200, b3)
+      assert(binTotal(b3) == 1L, b3)
+    } finally srv.stop()
+  }
 }

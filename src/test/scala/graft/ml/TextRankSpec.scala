@@ -109,4 +109,25 @@ class TextRankSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
     assert(out == Map(1L -> 5L, 2L -> 2L))
   }
+
+  test("dsirScores broadcasts the word-stats side (stopword-skew guard)") {
+    val corpus = Seq((1L, "the the the a b"), (2L, "the the c")).toDF("doc_id", "text")
+    val plan = TextRank.dsirScores(corpus, "doc_id", "text",
+        col("doc_id") === 1L)
+      .queryExecution.executedPlan.toString
+    // the token-stream ⋈ stats join must be a broadcast hash join — no
+    // shuffle of the raw token stream, so stopword hot keys never form
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast stats join in:\n$plan")
+  }
+
+  test("dsirScores above the vocab cap falls back to a shuffle join") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "a a f")).toDF("doc_id", "text")
+    val guarded = TextRank.dsirScores(corpus, "doc_id", "text",
+      col("doc_id") === 1L, maxBroadcastVocab = 1L)
+    // same rows as the broadcast path (PreparedQuerySpec-style parity)
+    val out = guarded.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(out == Map(1L -> 5L, 2L -> 3L))
+  }
 }
