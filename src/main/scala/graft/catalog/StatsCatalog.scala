@@ -38,28 +38,33 @@ object StatsCatalog {
     * without touching the filesystem), aggregating count + min/max per
     * column.
     */
-  def collect(spark: SparkSession, tableRoot: String, statCols: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(tableRoot)
-    val aggs = statCols.flatMap { c =>
-      Seq(
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
-    } ++ Seq(count(lit(1)).as("num_rows"),
-      first(col("_metadata.file_size")).as("file_size"))
-    df.groupBy(col("_metadata.file_path").as("file_path"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+  def collect(spark: SparkSession, tableRoot: String, statCols: Seq[String]): DataFrame =
+    statAgg(spark.read.parquet(tableRoot), statCols)
 
   /** As [[collect]] over an explicit file list (incremental refresh path —
     * only the named files are scanned).
     */
   def collectFiles(spark: SparkSession, paths: Seq[String],
-                   statCols: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(paths: _*)
+                   statCols: Seq[String]): DataFrame =
+    statAgg(spark.read.parquet(paths: _*), statCols)
+
+  /** Per-file stats aggregation. A stat column ABSENT from the scanned
+    * schema (schema drift: files written before the column existed, or by
+    * another producer) records null min/max instead of failing the whole
+    * collection — readers already treat null-stats rows as "may contain
+    * anything" straddlers, and a drifted file must not abort a reconcile
+    * that also folds in out-of-band deletions (stale rows would otherwise
+    * keep answering metadata queries for deleted files).
+    */
+  private def statAgg(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val present = df.columns.toSet
     val aggs = statCols.flatMap { c =>
-      Seq(
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
+      if (present.contains(c))
+        Seq(min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+      else
+        Seq(min(lit(null).cast("string")).as(s"min_$c"),
+          max(lit(null).cast("string")).as(s"max_$c"))
     } ++ Seq(count(lit(1)).as("num_rows"),
       first(col("_metadata.file_size")).as("file_size"))
     df.groupBy(col("_metadata.file_path").as("file_path"))

@@ -128,7 +128,8 @@ object TextRank {
     * broadcast-eligible at dictionary size, shuffle joins beyond); the
     * per-doc reduce is one hash agg. No windows, no driver loops.
     */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              maxBroadcastVocab: Long = 4000000L): DataFrame = {
     // no persist: the repeated subtrees (uni for vocab + the join, bg for
     // bcnt + scoring) are recomputed column-pruned-narrow — scan-bound
     // passes with the native tokenizer, where a cache would pin
@@ -143,10 +144,18 @@ object TextRank {
       .select(col("doc_id"),
         explode(TextAnalysis.ngrams(col("tk"), 2)).as("bg"))
     val bcnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("b_cnt"))
+    // Same stopword-skew guard as [[dsirScores]]: both model tables are
+    // dictionary-sized (Heaps' law), so under the cap they broadcast and
+    // the exploded bigram stream never shuffles on hot word/bigram keys;
+    // above it the shuffle joins stand with AQE skew-splitting.
+    val bcntSide =
+      if (bcnt.count() <= maxBroadcastVocab) broadcast(bcnt) else bcnt
+    val uniSide =
+      if (uni.count() <= maxBroadcastVocab) broadcast(uni) else uni
     val terms = bg
       .withColumn("w", substring_index(col("bg"), " ", 1))
-      .join(bcnt, "bg")
-      .join(uni, "w")
+      .join(bcntSide, "bg")
+      .join(uniSide, "w")
       .crossJoin(broadcast(vocab))
       .withColumn("t",
         floor(log((col("b_cnt") + 1).cast("double") /

@@ -159,6 +159,36 @@ class TxnCatalogSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("reconcile survives schema-drifted files (null stats, deletions still fold)") {
+    val root = tmp()
+    val table = tmp()
+    // one normal file, cataloged
+    Seq((1L, "2024-06-01 10:00:00")).toDF("id", "ts")
+      .select(col("id"), col("ts").cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(table)
+    TxnCatalog.reconcile(spark, table, root, Seq("ts"))
+    val before = TxnCatalog.snapshot(spark, root).get.collect()
+    assert(before.length == 1)
+    assert(before.head.getAs[String]("min_ts") != null)
+
+    // out-of-band: the cataloged file is replaced by a DRIFTED file (no
+    // ts column at all) — reconcile must still commit: the deleted row
+    // is dropped and the drifted file gets null min/max (readers treat
+    // null-stats rows as scan-everything straddlers)
+    Seq(2L).toDF("id").write.mode("overwrite").parquet(table)
+    spark.catalog.refreshByPath(table)
+    TxnCatalog.reconcile(spark, table, root, Seq("ts"))
+
+    val after = TxnCatalog.snapshot(spark, root).get.collect()
+    assert(after.length == 1, after.toSeq)
+    val row = after.head
+    assert(row.getAs[String]("file_path") !=
+      before.head.getAs[String]("file_path"))
+    assert(row.isNullAt(row.fieldIndex("min_ts")))
+    assert(row.isNullAt(row.fieldIndex("max_ts")))
+    assert(row.getAs[Long]("num_rows") == 1L)
+  }
+
   test("replaceFiles swaps compacted files in one version") {
     val root = tmp()
     TxnCatalog.commit(spark, root)(_ =>

@@ -79,6 +79,19 @@ class TextRankSpec extends SparkSuite {
     assert(mBA < mAB)
   }
 
+  test("lmScore broadcasts its model tables; shuffle fallback matches") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val plan = TextRank.lmScore(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val broadcastRows = TextRank.lmScore(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val shuffleRows = TextRank.lmScore(corpus, "doc_id", "text",
+        maxBroadcastVocab = 0L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(broadcastRows == shuffleRows)
+  }
+
   test("dsirScores: hand-computed unigram importance log-ratios") {
     // target = docs 1,2 ("good good", "good bad"); raw adds doc 3 ("bad bad")
     // raw: good=3 bad=3, r_tot=6, V=2; target: good=3 bad=1, t_tot=4
