@@ -81,7 +81,8 @@ final class GraftHttpServer(
     nodeId: String = "",
     private[http] val llm: Option[Llm.Config] = None,
     resourceCheck: Option[ResourceMonitor.Config] = None,
-    tls: Option[Tls.Config] = None)
+    tls: Option[Tls.Config] = None,
+    trustedCerts: Option[String] = None)
   extends OidcRoutes with IngestRoutes with QueryRoutes with TailRoutes
   with LogstreamRoutes with AlertRoutes with UserRoutes with PrismRoutes
   with LlmRoutes {
@@ -111,8 +112,13 @@ final class GraftHttpServer(
   // hot-tier config per stream key: how many newest dates stay pinned
   private[http] val hotTierKeep =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private[http] lazy val httpClient = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+  // trustedCerts pins the outbound trust anchors (cluster peers serving
+  // self-signed/private-CA TLS); unset keeps the platform default roots
+  private[http] lazy val httpClient = trustedCerts
+    .foldLeft(java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)))(
+      (b, path) => b.sslContext(Tls.clientContext(path)))
+    .build()
   private[http] val rng = new java.security.SecureRandom()
 
   // request counters surfaced by /metrics (reference's prometheus

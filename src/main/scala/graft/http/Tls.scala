@@ -66,6 +66,40 @@ object Tls {
     ctx
   }
 
+  /** Client-side trust for inter-node calls: an [[SSLContext]] trusting
+    * exactly the PEM certificates at `path` (a file or a directory of
+    * files) — how a querier reaches ingestors serving self-signed or
+    * private-CA TLS (the client role of the reference's
+    * `tls_other_certs`). Platform default roots are NOT included: a
+    * cluster that pins its CA should accept only that CA.
+    */
+  def clientContext(path: String): SSLContext = {
+    val cf = CertificateFactory.getInstance("X.509")
+    def certsOf(p: Path): Seq[Certificate] = {
+      val in = new ByteArrayInputStream(Files.readAllBytes(p))
+      try cf.generateCertificates(in).toArray.toSeq.map(_.asInstanceOf[Certificate])
+      finally in.close()
+    }
+    val p = Paths.get(path)
+    val certs =
+      if (Files.isDirectory(p))
+        Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path])
+          .filter(Files.isRegularFile(_)).sorted.flatMap(certsOf)
+      else certsOf(p)
+    require(certs.nonEmpty, s"no certificates at $path")
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    certs.zipWithIndex.foreach { case (c, i) =>
+      ks.setCertificateEntry(s"trusted-$i", c)
+    }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
   /** Parse an unencrypted PKCS#8 PEM private key, trying the key
     * algorithms JDK ships factories for (RSA/EC/Ed25519 cover what
     * OpenSSL emits for web-server keys).

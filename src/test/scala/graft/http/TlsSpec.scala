@@ -68,6 +68,46 @@ class TlsSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("querier reaches a TLS ingestor via pinned trust; untrusting querier sees it dead") {
+    val dir = Files.createTempDirectory("graft-tls-cluster")
+    val key = dir.resolve("key.pem").toString
+    val cert = dir.resolve("cert.pem").toString
+    openssl("req", "-x509", "-newkey", "rsa:2048", "-nodes",
+      "-keyout", key, "-out", cert, "-days", "2",
+      "-subj", "/CN=127.0.0.1",
+      "-addext", "subjectAltName=IP:127.0.0.1")
+    val tmp = Files.createTempDirectory("graft-tls-cluster-root").toString
+    val ing = new GraftHttpServer(spark, tmp, role = Cluster.Ingestor,
+      nodeId = "tls-ing", tls = Some(Tls.Config(cert, key)))
+    val qry = new GraftHttpServer(spark, tmp, role = Cluster.Querier,
+      nodeId = "plain-qry", trustedCerts = Some(cert))
+    val qryBlind = new GraftHttpServer(spark, tmp, role = Cluster.Querier,
+      nodeId = "blind-qry")
+    ing.start(); qry.start(); qryBlind.start()
+    try {
+      def reachOf(port: Int): Map[String, Boolean] = {
+        val conn = new java.net.URL(
+          s"http://127.0.0.1:$port/api/v1/cluster/info")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+        conn.disconnect()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val arr = mapper.readTree(body)
+        (0 until arr.size()).map(i => arr.get(i).get("node_id").asText() ->
+          arr.get(i).get("reachable").asBoolean()).toMap
+      }
+      // metastore advertises the TLS node as https; the trusting querier's
+      // liveness probe succeeds over TLS
+      val seen = reachOf(qry.boundPort)
+      assert(seen("tls-ing"), seen.toString)
+      // a querier without the pinned CA cannot verify the self-signed
+      // listener — the node reads as unreachable, never plaintext-probed
+      val blind = reachOf(qryBlind.boundPort)
+      assert(!blind("tls-ing"), blind.toString)
+    } finally { ing.stop(); qry.stop(); qryBlind.stop() }
+  }
+
   test("unparseable key material fails fast at construction") {
     val dir = Files.createTempDirectory("graft-tls-bad")
     val cert = dir.resolve("cert.pem")
