@@ -1424,6 +1424,17 @@ object SparkEntry {
           numCentroids = 16, dim = 64)
         .orderBy(col("q_id"), col("rk"))
     }),
+
+    // ML: IVF-PQ composite ANN (FAISS IVFPQ shape) — coarse inverted
+    // lists prune to nProbe centroid partitions, ADC ranks over 8-byte
+    // codes only: probed-fraction × 1/32 of the corpus bytes per search.
+    "q_sim_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqSearch(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numCentroids = 8, nProbe = 2,
+          numSubspaces = 8, pqCentroids = 16, dim = 64)
+        .orderBy(col("q_id"), col("rk"))
+    }),
   )
 
   // ------------------------------------------------- build/search split
@@ -3495,6 +3506,62 @@ object SparkEntry {
         |  FROM p)
         |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+
+    "q_sim_ivfpq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |assign AS (
+         |  SELECT v_id, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |anch AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INTEGER) AS c,
+         |    e
+         |  FROM v ORDER BY vec_id ASC LIMIT 16),
+         |d AS (
+         |  SELECT v.vec_id, j.j, a.c,
+         |    list_reduce(list_transform(
+         |      list_zip(v.e[j.j*8+1 : j.j*8+8], a.e[j.j*8+1 : j.j*8+8]),
+         |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS dist
+         |  FROM v, range(8) j(j), anch a),
+         |best AS (
+         |  SELECT vec_id, j, c,
+         |    row_number() OVER (PARTITION BY vec_id, j
+         |                       ORDER BY dist ASC, c ASC) AS rn
+         |  FROM d),
+         |recon AS (
+         |  SELECT b.vec_id,
+         |    flatten(list(a.e[b.j*8+1 : b.j*8+8] ORDER BY b.j)) AS re
+         |  FROM best b JOIN anch a USING (c) WHERE b.rn = 1
+         |  GROUP BY b.vec_id),
+         |probes AS (
+         |  SELECT q_id, q_e, centroid_id FROM (
+         |    SELECT q.vec_id AS q_id, q.e AS q_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+         |  WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.v_id AS n_id,
+         |    list_reduce(list_transform(list_zip(p.q_e, r.re),
+         |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS adc
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  JOIN recon r ON r.vec_id = a.v_id
+         |  WHERE p.q_id != a.v_id),
+         |r AS (
+         |  SELECT q_id, n_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc ASC, n_id ASC) AS INTEGER) AS rk
+         |  FROM cand)
+         |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
 
     "q_corpus_report" ->
       """WITH toks AS (

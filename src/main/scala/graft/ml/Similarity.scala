@@ -624,6 +624,57 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("adc"), col("rk"))
   }
 
+  /** IVF-PQ composite ANN (the FAISS IVFPQ layout; Jégou et al. 2011
+    * §IV-V): a coarse inverted file prunes the corpus to each query's
+    * `nProbe` nearest centroid lists, and ranking inside the probed lists
+    * scans ONLY the PQ codes (asymmetric distance to the reconstruction,
+    * ADC). The 100 TB arithmetic: the scan touches `nProbe/numCentroids`
+    * of the corpus rows at 1/32 of the bytes per row (8 int codes vs 64
+    * floats) — the standard billion-scale ANN IO shape, and exactly what
+    * [[saveIvfIndex]]'s centroid-partitioned layout persists when `codes`
+    * is stored alongside `centroid_id`.
+    *
+    * Coarse centroids and PQ codebooks are both deterministic lowest-id
+    * anchors ([[seedCentroids]], [[pqTrain]]) so any engine rebuilds the
+    * identical index from the data alone — the correctness oracle does.
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, numCentroids: Int = 8,
+                  nProbe: Int = 2, numSubspaces: Int = 8,
+                  pqCentroids: Int = 16, dim: Int = 64): DataFrame = {
+    val model = pqTrain(corpus, idCol, vecCol, numSubspaces, pqCentroids, dim)
+    // inverted lists carrying codes, not vectors: (centroid_id, v_id, codes)
+    val coded = ivfIndex(corpus, idCol, vecCol, numCentroids)
+      .select(col("v_id"), col("centroid_id"))
+      .join(pqEncode(corpus, idCol, vecCol, model)
+        .withColumnRenamed("n_id", "v_id"), "v_id")
+    val cents = broadcast(seedCentroids(corpus, idCol, vecCol, numCentroids))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val centLit = model.centLit
+    def reconOf(codes: Column): Column =
+      flatten(array((0 until model.numSubspaces).map { j =>
+        element_at(element_at(centLit, j + 1), element_at(codes, j + 1) + 1)
+      }: _*))
+    val scored = coded.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("adc", l2sq(col("q_vec"), reconOf(col("codes"))))
+    val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
+      Seq(col("adc").asc, col("v_id").asc), k)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("v_id").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("q_id"), col("v_id").as("n_id"), col("adc"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * banded sign-random-projection LSH (Charikar 2002 SimHash hyperplanes,
     * banded like MinHash LSH): each vector hashes to `bands` keys of

@@ -57,4 +57,38 @@ class PqSpec extends SparkSuite {
         numSubspaces = 3, numCentroids = 2, dim = 4)
     }
   }
+
+  test("ivfPqSearch with all lists probed equals plain PQ") {
+    val full = Similarity.knnPq(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", k = 3, numSubspaces = 2, numCentroids = 2,
+        dim = 4)
+      .orderBy("rk").collect().map(_.toSeq).toSeq
+    val ivfpq = Similarity.ivfPqSearch(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 2,
+        numSubspaces = 2, pqCentroids = 2, dim = 4)
+      .orderBy("rk").collect().map(_.toSeq).toSeq
+    assert(ivfpq == full)
+  }
+
+  test("ivfPqSearch with one probe sees only the probed list") {
+    // anchors 1,2 along different axes; 3 lands in list 1, 4 and 5 in
+    // list 2 — probing only the query's nearest list must hide the rest
+    val split = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), // centroid 0
+      (2L, Array(0f, 1f, 0f, 0f)), // centroid 1
+      (3L, Array(2f, 0f, 0f, 0f)),
+      (4L, Array(0f, 3f, 0f, 0f)),
+      (5L, Array(0f, 4f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val one = Similarity.ivfPqSearch(split, split.filter($"vec_id" === 3L),
+        "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 1,
+        numSubspaces = 2, pqCentroids = 2, dim = 4)
+      .collect()
+    val both = Similarity.ivfPqSearch(split, split.filter($"vec_id" === 3L),
+        "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 2,
+        numSubspaces = 2, pqCentroids = 2, dim = 4)
+      .collect()
+    assert(one.map(_.getAs[Long]("n_id")).toSet == Set(1L))
+    assert(one.length < both.length) // pruned lists really are skipped
+  }
 }
