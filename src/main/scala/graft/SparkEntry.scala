@@ -1487,6 +1487,21 @@ object SparkEntry {
             e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, model)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_sim_ivfpq" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+        Similarity.saveIvfPqIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, idx, numSubspaces = 8,
+          pqCentroids = 16, dim = 64)
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfPqSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nProbe = 2)
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_bpe_encode" -> Prepared(
       build = (s, dir) =>
         BpeTrain.train(t(s, dir, "documents"), "text", numMerges = 20),

@@ -675,6 +675,76 @@ object Similarity {
       .select(col("q_id"), col("v_id").as("n_id"), col("adc"), col("rk"))
   }
 
+  /** Persist the IVF-PQ index: inverted lists partitioned by
+    * `centroid_id` carrying ONLY `(v_id, codes)` — the search never reads
+    * a raw vector — plus the coarse-centroid table and the PQ codebook
+    * (anchor vectors + shape params). The [[saveIvfIndex]] contract with
+    * the 32× smaller payload: probed lists map to partition directories,
+    * everything else is never opened.
+    */
+  def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     numCentroids: Int, path: String,
+                     numSubspaces: Int = 8, pqCentroids: Int = 16,
+                     dim: Int = 64): Unit = {
+    val model = pqTrain(corpus, idCol, vecCol, numSubspaces, pqCentroids, dim)
+    ivfIndex(corpus, idCol, vecCol, numCentroids)
+      .select(col("v_id"), col("centroid_id"))
+      .join(pqEncode(corpus, idCol, vecCol, model)
+        .withColumnRenamed("n_id", "v_id"), "v_id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+    seedCentroids(corpus, idCol, vecCol, numCentroids)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.anchors.zipWithIndex
+      .map { case (vec, i) => (i, vec, numSubspaces, pqCentroids, dim) }
+      .toDF("anchor_rank", "anchor", "num_subspaces", "pq_centroids", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** ADC search against a persisted IVF-PQ index ([[saveIvfPqIndex]]):
+    * identical ranking to [[ivfPqSearch]], with the corpus pass replaced
+    * by a codes-only read of the probed centroid partitions.
+    */
+  def ivfPqSearchPersisted(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nProbe: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("anchor_rank").asc).collect()
+    val head = cb.head
+    val model = PqModel(
+      cb.map(_.getSeq[Double](1).toSeq).toSeq,
+      head.getInt(2), head.getInt(3), head.getInt(4))
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val index = spark.read.parquet(s"$path/index")
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val centLit = model.centLit
+    def reconOf(codes: Column): Column =
+      flatten(array((0 until model.numSubspaces).map { j =>
+        element_at(element_at(centLit, j + 1), element_at(codes, j + 1) + 1)
+      }: _*))
+    val scored = index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("adc", l2sq(col("q_vec"), reconOf(col("codes"))))
+    val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
+      Seq(col("adc").asc, col("v_id").asc), k)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("v_id").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("q_id"), col("v_id").as("n_id"), col("adc"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * banded sign-random-projection LSH (Charikar 2002 SimHash hyperplanes,
     * banded like MinHash LSH): each vector hashes to `bands` keys of
