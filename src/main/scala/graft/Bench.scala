@@ -43,6 +43,27 @@ object Bench {
     def reset(): Unit = { bytes.set(0); records.set(0) }
   }
 
+  /** Fingerprint of the input corpus: md5 over the sorted
+    * (name, size, mtime) of the sf dir's parquet files, truncated to 12 hex
+    * chars. Stamped into every bench line so cross-round per-query
+    * comparisons are only made between IDENTICAL corpora — a regenerated
+    * corpus mid-round otherwise reads as a phantom perf regression
+    * (r9: sf0.1 was rebuilt between two rounds' bench runs and two queries
+    * "regressed" ~40% with no code change).
+    */
+  private[graft] def corpusId(sfDir: String): String = {
+    try {
+      val files = new java.io.File(sfDir).listFiles()
+      if (files == null) return "absent"
+      val desc = files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(desc.getBytes(StandardCharsets.UTF_8))
+        .take(6).map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "unknown" }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -118,13 +139,13 @@ object Bench {
       s""""$k":{"sec":$v,"rows":$rows,"bytes_scanned":$b,"records_scanned":$r$buildSec}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"corpus_id":"${corpusId(sfDir)}","queries":$fullQs,"detail":$detail,"sf":"$sfDir"}"""
     try Files.write(Paths.get("bench_full.json"), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
 
     // Compact line: slowest queries first so whatever fits is the most
     // informative subset; pack greedily up to the budget.
-    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"sf":"$sfDir","queries":{"""
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"corpus_id":"${corpusId(sfDir)}","sf":"$sfDir","queries":{"""
     val footer = "}}"
     val sb = new StringBuilder(header)
     var first = true

@@ -115,7 +115,7 @@ object BenchScale {
     def flagArr(s: Seq[String]): String =
       s.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
     val line =
-      s"""{"metric":"scale_sweep","copies":$ScaleCopies,"superlinear_flagged":${
+      s"""{"metric":"scale_sweep","corpus_id":"${Bench.corpusId(src)}","copies":$ScaleCopies,"superlinear_flagged":${
         flagArr(flagged)
       },"queries":$qs,"deep":{"copies":$DeepCopies,"superlinear_flagged":${
         flagArr(deepFlagged)

@@ -482,6 +482,20 @@ object SparkEntry {
         .orderBy(col("new_id"), col("ref_id"))
     }),
 
+    // ML: the same bipartite dedup through a PERSISTED shingle index —
+    // the reference side exploded once and bucket-partitioned on disk;
+    // the probe prunes untouched bucket partitions and broadcasts the
+    // batch side (index never shuffles). Identical results, same oracle.
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("shidx").toString
+      Dedup.saveShingleIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", idx, n = 3)
+      Dedup.jaccardAgainstIndex(s, idx, docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("new_id"), col("ref_id"))
+    }),
+
     // ML: corpus vocabulary induction — top tokens by occurrence with the
     // cumulative-coverage curve (tokenizer vocab sizing).
     "q_vocab_topk" -> ((s, dir) =>
@@ -505,6 +519,28 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
+
+    // ML: one spherical-k-means Lloyd iteration over the embeddings —
+    // seed-assignment cluster sizes + refined coordinate-mean centroids,
+    // exploded to (centroid_id, n, pos, m) scalar rows. Assignment is a
+    // broadcast max_by argmax (one row per vector shuffles); the mean is
+    // a (centroid, pos)-keyed partial aggregation that moves k·dim sums
+    // per task, never vectors — the centroid-refinement step that feeds
+    // IVF/SemDeDup at production scale.
+    "q_cluster_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      val sizes = Similarity.assignToCentroids(e, "vec_id", "embedding", seeds)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      val refined = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 1)
+      refined.join(sizes, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("n"), lit(0L)).as("n"),
+          posexplode(col("c_vec")))
+        .select(col("centroid_id"), col("n"), col("pos"),
+          col("col").cast("double").as("m"))
+        .orderBy(col("centroid_id"), col("pos"))
+    }),
 
     // ML: exact cosine top-k (broadcast queries, single corpus pass).
     "q_sim_knn" -> ((s, dir) => {
@@ -1035,6 +1071,19 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // ML: per-doc contamination REPORT — the overlap-fraction distribution
+    // audits publish (zero-overlap docs included), where q_decontaminate
+    // is the boolean filter. Distinct bench n-grams broadcast; the train
+    // explosion marks hits in place, no train-side shuffle.
+    "q_decontaminate_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminationOverlap(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("train_id"))
+    }),
+
     // ML: Bloom-prefiltered decontamination — identical output contract to
     // contamination (trigrams, ≥3 shared) but the bench side crosses the
     // cluster as a codegen'd Bloom filter, not exploded strings; exact
@@ -1502,6 +1551,21 @@ object SparkEntry {
             k = 5, nProbe = 2)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_dedup_incremental_indexed" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("shidx").toString
+        Dedup.saveShingleIndex(
+          t(s, dir, "documents").filter(col("doc_id") < 250),
+          "doc_id", "text", idx, n = 3)
+        idx
+      },
+      search = (s, dir, idx) => {
+        val docs = t(s, dir, "documents")
+        Dedup.jaccardAgainstIndex(s, idx.asInstanceOf[String],
+            docs.filter(col("doc_id") >= 250), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .orderBy(col("new_id"), col("ref_id"))
+      }),
     "q_bpe_encode" -> Prepared(
       build = (s, dir) =>
         BpeTrain.train(t(s, dir, "documents"), "text", numMerges = 20),
@@ -1606,7 +1670,9 @@ object SparkEntry {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] =
-    oracleBase + ("q_sim_ivf_persisted" -> oracleBase("q_sim_ivf"))
+    oracleBase +
+      ("q_sim_ivf_persisted" -> oracleBase("q_sim_ivf")) +
+      ("q_dedup_incremental_indexed" -> oracleBase("q_dedup_incremental"))
 
   private def oracleBase: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -3138,6 +3204,54 @@ object SparkEntry {
         |FROM tr JOIN b USING (ngram)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY train_id, bench_id""".stripMargin,
+
+    "q_decontaminate_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])))
+        |    AS ngram
+        |  FROM tk),
+        |b AS (SELECT DISTINCT ngram FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id AS train_id, ngram FROM sh WHERE doc_id % 20 != 0)
+        |SELECT train_id, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(b.ngram) AS BIGINT) AS contaminated,
+        |  CAST(count(b.ngram) AS DOUBLE) / count(*) AS overlap_frac
+        |FROM tr LEFT JOIN b ON tr.ngram = b.ngram
+        |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "q_cluster_kmeans" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |asg AS (
+         |  SELECT v_id, v_e, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, v.e AS v_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |sz AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM asg GROUP BY 1),
+         |mn AS (
+         |  SELECT centroid_id, t.i AS pos, CAST(avg(v_e[t.i + 1]) AS FLOAT) AS mf
+         |  FROM asg, range(0, 64) t(i)
+         |  GROUP BY 1, 2)
+         |SELECT c.centroid_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+         |  CAST(p.i AS INTEGER) AS pos,
+         |  CAST(coalesce(mn.mf, CAST(c.ce[p.i + 1] AS FLOAT)) AS DOUBLE) AS m
+         |FROM cent c
+         |CROSS JOIN range(0, 64) p(i)
+         |LEFT JOIN sz s ON s.centroid_id = c.centroid_id
+         |LEFT JOIN mn ON mn.centroid_id = c.centroid_id AND mn.pos = p.i
+         |ORDER BY c.centroid_id, pos""".stripMargin,
 
     "q_dedup_editdist" ->
       """WITH d AS (

@@ -167,6 +167,79 @@ object Dedup {
       .select(col("new_id"), col("ref_id"), col("inter"), col("jaccard"))
   }
 
+  /** Persist the reference side of incremental dedup as a SHINGLE INDEX:
+    * the exploded (shingle, ref_id, sz_ref) pairs written once, partitioned
+    * on disk by `bucket = shingle mod numBuckets` — the "written once
+    * (bucketed by shingle) and reused every batch" shape
+    * [[jaccardAgainstReference]]'s contract promises.
+    *
+    * Scale rationale (100 TB): without the index every arriving batch
+    * re-tokenizes, re-shingles and re-explodes the ENTIRE reference corpus
+    * (corpus-sized compute per batch). With it, the corpus side is a
+    * parquet read of only the bucket partitions the batch's own shingles
+    * touch — per-batch cost is O(batch) + O(touched index buckets), and
+    * appending newly kept docs is an append of their exploded shingles
+    * into the same layout.
+    *
+    * `maxShingleFreq` (skew guard) is applied at BUILD time, so stop-shingle
+    * hot keys never enter the index at all.
+    */
+  def saveShingleIndex(refDocs: DataFrame, idCol: String, textCol: String,
+                       path: String, n: Int = 3, numBuckets: Int = 64,
+                       maxShingleFreq: Option[Long] = None): Unit = {
+    val sets = shingleHashFrame(refDocs, idCol, textCol, n, portableHash = false)
+    explodedShingles(sets, maxShingleFreq)
+      .select(col("id").as("ref_id"), col("sz").as("sz_ref"), col("shingle"),
+        pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/shingles")
+  }
+
+  /** [[jaccardAgainstReference]] against a persisted [[saveShingleIndex]]:
+    * identical output contract (new_id, ref_id, inter, jaccard ≥ threshold),
+    * but the reference side is the pre-exploded index instead of a
+    * recompute.
+    *
+    * Two scale levers, both asserted in `DedupIndexSpec`:
+    *   - PARTITION PRUNING: the batch's distinct buckets (≤ numBuckets ints,
+    *     collected — bounded by construction) become a partition filter on
+    *     the index scan, so untouched bucket directories are never read.
+    *   - NO INDEX SHUFFLE: with `broadcastBatch=true` (the norm — a batch is
+    *     tiny next to the corpus) the exploded batch broadcasts and the
+    *     index side joins in place; only surviving (new, ref) candidate rows
+    *     enter the pair aggregation shuffle. Set it false for an oversized
+    *     batch; the join then shuffle-hashes on the shingle key.
+    */
+  def jaccardAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, newDocs: DataFrame,
+                          idCol: String, textCol: String, n: Int = 3,
+                          threshold: Double = 0.5,
+                          numBuckets: Int = 64,
+                          broadcastBatch: Boolean = true,
+                          maxShingleFreq: Option[Long] = None): DataFrame = {
+    val newSets = shingleHashFrame(newDocs, idCol, textCol, n, portableHash = false)
+    val exNew = explodedShingles(newSets, maxShingleFreq)
+      .select(col("shingle"), col("id").as("new_id"), col("sz").as("sz_new"))
+      .withColumn("bucket", pmod(col("shingle"), lit(numBuckets.toLong)).cast("int"))
+    // ≤ numBuckets small ints — bounded driver state, NOT a data collect
+    val touched = exNew.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val idx = spark.read.parquet(s"$path/shingles")
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    val joined =
+      if (broadcastBatch) idx.join(broadcast(exNew), Seq("bucket", "shingle"))
+      else idx.hint("shuffle_hash")
+        .join(exNew.hint("shuffle_hash"), Seq("bucket", "shingle"))
+    joined
+      .groupBy(col("new_id"), col("ref_id"), col("sz_new"), col("sz_ref"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_new") + col("sz_ref") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("inter"), col("jaccard"))
+  }
+
   /** [[jaccardPairs]] with PPJoin-style prefix filtering: only each doc's
     * first `|A| - ceil(t*|A|) + 1` shingles (in global hash order) become
     * join keys. Any pair with Jaccard ≥ t must (a) satisfy the length
@@ -466,6 +539,45 @@ object Dedup {
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** Per-document contamination REPORT: for every train doc, the fraction
+    * of its distinct word n-grams that appear anywhere in the benchmark
+    * set — the overlap statistic eval-contamination audits publish (e.g.
+    * "≥ 13-gram overlap fraction" tables), where [[contamination]] is the
+    * boolean filter form.
+    *
+    * One row per train doc with ≥ 1 n-gram, INCLUDING zero-overlap docs
+    * (the report is a distribution, not a hit list):
+    * (train_id, total_ngrams, contaminated, overlap_frac).
+    *
+    * Shape: bench n-grams dedup to one distinct set (tiny vs the corpus)
+    * and broadcast; the exploded train side marks hits in place with a
+    * broadcast LEFT join — no shuffle of train n-grams, and the per-doc
+    * aggregation moves one partial row per (task, doc). Set
+    * `broadcastBench = false` for an oversized bench side (shuffle-hash on
+    * the n-gram, same skew note as [[contamination]]).
+    */
+  def contaminationOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+                           textCol: String, n: Int = 4,
+                           broadcastBench: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)))
+        .as("ngram"))
+    val tr = grams(train, "train_id")
+    val be = grams(bench, "bench_id").select(col("ngram")).distinct()
+      .withColumn("hit", lit(1L))
+    val joined =
+      if (broadcastBench) tr.join(broadcast(be), Seq("ngram"), "left")
+      else tr.hint("shuffle_hash")
+        .join(be.hint("shuffle_hash"), Seq("ngram"), "left")
+    joined
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        coalesce(sum(col("hit")), lit(0L)).as("contaminated"))
+      .withColumn("overlap_frac",
+        col("contaminated").cast("double") / col("total_ngrams"))
   }
 
   /** [[contamination]] with a Bloom-filter prefilter on the training side —

@@ -1,0 +1,115 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Persisted shingle index ([[Dedup.saveShingleIndex]] /
+  * [[Dedup.jaccardAgainstIndex]]) and the per-doc contamination report
+  * ([[Dedup.contaminationOverlap]]).
+  */
+class DedupIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val refDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely different reference text lives here now"),
+    (3L, "another unrelated reference document about gardens and rain"))
+    .toDF("doc_id", "text")
+  private val newDocs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"), // dup of ref 1
+    (11L, "the quick brown fox jumps over the lazy cat"), // near-dup of ref 1
+    (12L, "novel content with no reference overlap at all"))
+    .toDF("doc_id", "text")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("jaccardAgainstIndex matches jaccardAgainstReference exactly") {
+    val idx = tmp("shidx")
+    Dedup.saveShingleIndex(refDocs, "doc_id", "text", idx, n = 3)
+    val viaIndex = Dedup.jaccardAgainstIndex(spark, idx, newDocs,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("new_id", "ref_id").collect().map(_.toSeq).toSeq
+    val direct = Dedup.jaccardAgainstReference(newDocs, refDocs,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("new_id", "ref_id").collect().map(_.toSeq).toSeq
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex == direct)
+  }
+
+  test("index probe prunes untouched buckets and broadcasts the batch side") {
+    val idx = tmp("shidx")
+    Dedup.saveShingleIndex(refDocs, "doc_id", "text", idx, n = 3,
+      numBuckets = 16)
+    // one short probe doc → few shingles → few touched buckets
+    val probe = Seq((10L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val df = Dedup.jaccardAgainstIndex(spark, idx, probe, "doc_id", "text",
+      n = 3, threshold = 0.1, numBuckets = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    // batch side broadcasts: the index side joins in place, no shuffle of
+    // the (corpus-sized) index before the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join of the batch side:\n$plan")
+    // the probed buckets become PARTITION filters on the index scan —
+    // untouched bucket directories are never read
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition filters on the index scan:\n$plan")
+    // 3 distinct probe shingles can touch at most 3 of the 16 buckets on
+    // disk — assert actual pruning, not just the filter's presence
+    // (walk through AQE wrappers: the scan hides inside query stages)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Int] = {
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f.selectedPartitions.partitionCount)
+        case _ => Nil
+      }
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(s.plan)
+        case _ => Nil
+      }
+      here ++ nested ++ p.children.flatMap(scans)
+    }
+    val scanned = scans(df.queryExecution.executedPlan)
+    assert(scanned.nonEmpty && scanned.forall(_ <= 3),
+      s"expected <=3 of 16 bucket partitions scanned, got $scanned")
+  }
+
+  test("maxShingleFreq at build time keeps hot shingles out of the index") {
+    val hot = Seq(
+      (1L, "common common common shared phrase one"),
+      (2L, "common common common shared phrase two"),
+      (3L, "common common common shared phrase three"))
+      .toDF("doc_id", "text")
+    val idx = tmp("shidx")
+    Dedup.saveShingleIndex(hot, "doc_id", "text", idx, n = 3,
+      maxShingleFreq = Some(2L))
+    val stored = spark.read.parquet(s"$idx/shingles")
+    // "common common common" appears in all 3 docs → dropped at build
+    val freq = stored.groupBy("shingle").count().agg(max("count")).head.getLong(0)
+    assert(freq <= 2L)
+  }
+
+  test("contaminationOverlap reports per-doc fractions, zero-overlap included") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 3 of 3 4-grams hit
+      (2L, "alpha beta gamma delta unrelated tail words"), // partial overlap
+      (3L, "totally disjoint text with no shared grams at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val r = Dedup.contaminationOverlap(train, bench, "doc_id", "text", n = 4)
+      .orderBy("train_id").collect()
+    assert(r.length == 3) // every train doc reports, including zero-overlap
+    val byId = r.map(x => x.getAs[Long]("train_id") ->
+      (x.getAs[Long]("total_ngrams"), x.getAs[Long]("contaminated"),
+        x.getAs[Double]("overlap_frac"))).toMap
+    assert(byId(1L) == ((3L, 3L, 1.0)))
+    assert(byId(2L)._1 == 4L && byId(2L)._2 == 1L) // "alpha beta gamma delta"
+    assert(byId(3L)._2 == 0L && byId(3L)._3 == 0.0)
+  }
+}

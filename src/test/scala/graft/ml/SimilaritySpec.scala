@@ -312,4 +312,17 @@ class SimilaritySpec extends SparkSuite {
     assert(exact.forall { case (q, n) => (q % 2) == (n % 2) })
     assert(quant.forall { case (q, n) => (q % 2) == (n % 2) })
   }
+
+  test("gated q_cluster_kmeans: k*dim rows, sizes sum to the corpus count") {
+    val rows = graft.SparkEntry.queries("q_cluster_kmeans")(spark, sfDir)
+      .collect()
+    assert(rows.length == 8 * 64) // one scalar row per (centroid, position)
+    val nById = rows.map(r => r.getAs[Long]("centroid_id") -> r.getAs[Long]("n"))
+      .distinct.toMap
+    assert(nById.size == 8)
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(nById.values.sum == corpus) // every vector assigned exactly once
+    // refined centroid coordinates are finite floats
+    assert(rows.forall(r => !r.getAs[Double]("m").isNaN))
+  }
 }
