@@ -482,17 +482,19 @@ object SparkEntry {
         .orderBy(col("new_id"), col("ref_id"))
     }),
 
-    // ML: the same bipartite dedup through a PERSISTED shingle index —
-    // the reference side exploded once and bucket-partitioned on disk;
-    // the probe prunes untouched bucket partitions and broadcasts the
-    // batch side (index never shuffles). Identical results, same oracle.
+    // ML: bipartite dedup through a PERSISTED shingle index — the LARGE
+    // kept-corpus side (doc_id >= 50) exploded once and bucket-partitioned
+    // on disk; each small arriving batch (doc_id < 50) probes it with a
+    // broadcast batch side and partition-pruned index reads (the index
+    // never shuffles, never re-tokenizes). Role assignment is the point:
+    // the index holds the corpus, the probe is the batch.
     "q_dedup_incremental_indexed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idx = java.nio.file.Files.createTempDirectory("shidx").toString
-      Dedup.saveShingleIndex(docs.filter(col("doc_id") < 250),
+      Dedup.saveShingleIndex(docs.filter(col("doc_id") >= 50),
         "doc_id", "text", idx, n = 3)
-      Dedup.jaccardAgainstIndex(s, idx, docs.filter(col("doc_id") >= 250),
-          "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.jaccardAgainstIndex(s, idx, docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 3, threshold = 0.5, pruneBuckets = false)
         .orderBy(col("new_id"), col("ref_id"))
     }),
 
@@ -1555,15 +1557,15 @@ object SparkEntry {
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("shidx").toString
         Dedup.saveShingleIndex(
-          t(s, dir, "documents").filter(col("doc_id") < 250),
+          t(s, dir, "documents").filter(col("doc_id") >= 50),
           "doc_id", "text", idx, n = 3)
         idx
       },
       search = (s, dir, idx) => {
         val docs = t(s, dir, "documents")
         Dedup.jaccardAgainstIndex(s, idx.asInstanceOf[String],
-            docs.filter(col("doc_id") >= 250), "doc_id", "text",
-            n = 3, threshold = 0.5)
+            docs.filter(col("doc_id") < 50), "doc_id", "text",
+            n = 3, threshold = 0.5, pruneBuckets = false)
           .orderBy(col("new_id"), col("ref_id"))
       }),
     "q_bpe_encode" -> Prepared(
@@ -1672,7 +1674,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleBase +
       ("q_sim_ivf_persisted" -> oracleBase("q_sim_ivf")) +
-      ("q_dedup_incremental_indexed" -> oracleBase("q_dedup_incremental"))
+      // q_dedup_incremental with the roles swapped: the indexed REFERENCE
+      // side is the large corpus (doc_id >= 250), the probing batch the
+      // small one — the production layout the index exists for
+      ("q_dedup_incremental_indexed" ->
+        oracleBase("q_dedup_incremental")
+          .replace("a.doc_id >= 250 AND b.doc_id < 250",
+            "a.doc_id < 50 AND b.doc_id >= 50"))
 
   private def oracleBase: Map[String, String] = Map(
     "q_dedup_exact" ->

@@ -134,11 +134,7 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
               err(ex, 403,
                 s"user lacks privilege to create stream '$name'"); return
             }
-            configs.computeIfAbsent(key(name), k => {
-              metaStore.putStream(k)
-              IngestPipeline.StreamConfig(k)
-            })
-            respond(ex, 200, s"""{"status":"created stream '$name'"}""")
+            handlePutStream(ex, name, key(name), exists(name))
           case ("DELETE", Some(Seq(name))) =>
             if (!isAdminUser) {
               err(ex, 403, "stream deletion requires admin privileges")
@@ -155,6 +151,47 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
             registry.remove(key(name))
             metaStore.removeStream(key(name))
             respond(ex, 200, s"""{"status":"deleted stream '$name'"}""")
+          case ("GET", Some(Seq(name, "info"))) =>
+            if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
+            if (!exists(name)) {
+              err(ex, 404, s"stream '$name' not found"); return
+            }
+            val cfg = Option(configs.get(key(name)))
+              .getOrElse(IngestPipeline.StreamConfig(key(name)))
+            val o = mapper.createObjectNode().put("stream", name)
+            o.put("stream_type", "UserDefined")
+            cfg.timePartition match {
+              case Some(tp) => o.put("time_partition", tp)
+              case None => o.putNull("time_partition")
+            }
+            cfg.timePartitionLimitDays match {
+              case Some(d) => o.put("time_partition_limit", s"${d}d")
+              case None => o.putNull("time_partition_limit")
+            }
+            if (cfg.customPartitions.nonEmpty)
+              o.put("custom_partition", cfg.customPartitions.mkString(","))
+            else o.putNull("custom_partition")
+            o.put("static_schema_flag", cfg.staticSchema.isDefined)
+            // first/latest event: min/max of the stream's event-time column
+            // over stored data (reference get_stream_info's
+            // first/latest_event_at; one aggregate, no row collect)
+            val timeCol = cfg.timePartition.getOrElse("p_timestamp")
+            val bounds =
+              try {
+                val r = spark.read.parquet(streamDir(name))
+                  .agg(org.apache.spark.sql.functions.min(col(timeCol)),
+                    org.apache.spark.sql.functions.max(col(timeCol))).head
+                if (r.isNullAt(0)) None
+                else Some((r.get(0).toString, r.get(1).toString))
+              } catch { case _: Exception => None }
+            bounds match {
+              case Some((first, latest)) =>
+                o.put("first_event_at", first)
+                o.put("latest_event_at", latest)
+              case None =>
+                o.putNull("first_event_at"); o.putNull("latest_event_at")
+            }
+            respond(ex, 200, mapper.writeValueAsString(o))
           case ("GET", Some(Seq(name, "schema"))) =>
             if (!canQuery(name)) { err(ex, 403, "forbidden"); return }
             // stored parquet is authoritative (includes enrichment columns
@@ -280,6 +317,107 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
             respond(ex, 200, """{"status":"hot tier disabled"}""")
           case _ => err(ex, 405, "unsupported method/path")
         }
+    }
+  }
+
+  /** Stream create/update with the reference's PUT headers
+    * (`parseable/mod.rs create_update_stream`:733-853, header parsing
+    * `modal/utils/logstream_utils.rs:80-110`):
+    *   - `X-P-Static-Schema-Flag: true` — the JSON body
+    *     (`{"fields":[{name, data_type}]}`) becomes a FIXED schema
+    *     ([[graft.ingest.StaticSchema]]); ingest then rejects any event
+    *     with fields outside it.
+    *   - `X-P-Custom-Partition` — one extra Hive partition column for the
+    *     stream's writes (reference cap: exactly one, no '.').
+    *   - `X-P-Time-Partition-Limit` — "Nd" retention metadata, recorded
+    *     and surfaced by GET .../info.
+    *   - `X-P-Update-Stream: true` — update limit/custom-partition on an
+    *     existing stream; altering a schema is refused like the reference.
+    * A repeated create without the update flag is refused 400
+    * (`parseable/mod.rs:794-801`).
+    */
+  private def handlePutStream(ex: HttpExchange, name: String,
+                              streamKey: String, alreadyExists: Boolean): Unit = {
+    val h = ex.getRequestHeaders
+    def hdr(k: String): Option[String] =
+      Option(h.getFirst(k)).map(_.trim).filter(_.nonEmpty)
+    def flag(k: String): Boolean = hdr(k).exists(_.equalsIgnoreCase("true"))
+    val staticFlag = flag("X-P-Static-Schema-Flag")
+    val updateFlag = flag("X-P-Update-Stream")
+    val customHdr = hdr("X-P-Custom-Partition")
+    val limitHdr = hdr("X-P-Time-Partition-Limit")
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+    def parseLimit(s: String): Either[String, Int] =
+      if (!s.endsWith("d"))
+        Left(s"missing 'd' suffix for duration value '$s'")
+      else s.dropRight(1).toIntOption.filter(_ > 0)
+        .toRight(s"could not convert time partition limit '$s' to days")
+    def parseCustom(s: String): Either[String, Seq[String]] = {
+      val ls = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (ls.length > 1) Left("Maximum 1 custom partition key is supported")
+      else if (ls.exists(_.contains('.')))
+        Left(s"custom partition field ${ls.head} must not contain '.'")
+      else Right(ls)
+    }
+
+    if (updateFlag) {
+      if (!alreadyExists) { err(ex, 404, s"stream '$name' not found"); return }
+      if (staticFlag) {
+        err(ex, 400,
+          "Altering the schema of an existing stream is restricted."); return
+      }
+      limitHdr match {
+        case Some(l) => parseLimit(l) match {
+          case Left(m) => err(ex, 400, m)
+          case Right(days) =>
+            configs.computeIfPresent(streamKey,
+              (_, c) => c.copy(timePartitionLimitDays = Some(days)))
+            // the reference's update path returns after a limit update
+            respond(ex, 200, s"""{"status":"updated stream '$name'"}""")
+        }
+        case None =>
+          // no limit header: set (or CLEAR, when absent) the custom
+          // partition — reference validate_and_update_custom_partition
+          customHdr.map(parseCustom).getOrElse(Right(Nil)) match {
+            case Left(m) => err(ex, 400, m)
+            case Right(parts) =>
+              configs.computeIfPresent(streamKey,
+                (_, c) => c.copy(customPartitions = parts))
+              respond(ex, 200, s"""{"status":"updated stream '$name'"}""")
+          }
+      }
+      return
+    }
+
+    if (alreadyExists) {
+      err(ex, 400, s"Logstream $name already exists, please create a new " +
+        "log stream with unique name")
+      return
+    }
+    val parsed = for {
+      limit <- limitHdr.map(l => parseLimit(l).map(Some(_)))
+        .getOrElse(Right(None))
+      parts <- customHdr.map(parseCustom).getOrElse(Right(Nil))
+      schema <-
+        if (!staticFlag) Right(None)
+        else if (body.isBlank)
+          Left(s"Please provide schema in the request body for static " +
+            s"schema logstream $name")
+        else graft.ingest.StaticSchema.parse(body, parts).map(Some(_))
+    } yield (limit, parts, schema)
+    parsed match {
+      case Left(m) => err(ex, 400, m)
+      case Right((limit, parts, schema)) =>
+        configs.computeIfAbsent(streamKey, k => {
+          metaStore.putStream(k)
+          // a static schema is the stream's schema from birth: commit it
+          // so schema reads/merges see it before any event arrives
+          schema.foreach(s => registry.commit(k, s))
+          IngestPipeline.StreamConfig(k, customPartitions = parts,
+            staticSchema = schema, timePartitionLimitDays = limit)
+        })
+        respond(ex, 200, s"""{"status":"created stream '$name'"}""")
     }
   }
 

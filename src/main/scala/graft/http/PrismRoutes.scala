@@ -397,7 +397,17 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val dirStr = s"$root/${tenantKey(tenant, name)}"
     val o = mapper.createObjectNode()
-    o.putObject("info").put("stream", name)
+    val info = o.putObject("info")
+    info.put("stream", name)
+    // stream creation settings (reference StreamInfo fields)
+    Option(configs.get(tenantKey(tenant, name))).foreach { cfg =>
+      info.put("static_schema_flag", cfg.staticSchema.isDefined)
+      cfg.timePartition.foreach(info.put("time_partition", _))
+      cfg.timePartitionLimitDays.foreach(d =>
+        info.put("time_partition_limit", s"${d}d"))
+      if (cfg.customPartitions.nonEmpty)
+        info.put("custom_partition", cfg.customPartitions.mkString(","))
+    }
     val schema =
       (try Some(spark.read.parquet(dirStr).schema)
        catch { case _: Exception => None })

@@ -30,7 +30,11 @@ object IngestPipeline {
       timePartition: Option[String] = None, // event-time column, else arrival
       customPartitions: Seq[String] = Nil,
       staticSchema: Option[StructType] = None,
-      separator: String = JsonFlattener.DefaultSeparator)
+      separator: String = JsonFlattener.DefaultSeparator,
+      // reference X-P-Time-Partition-Limit ("90d"): recorded stream
+      // metadata, surfaced by GET .../info; retention enforcement itself
+      // goes through graft.catalog.Retention
+      timePartitionLimitDays: Option[Int] = None)
 
   /** Per-stream cumulative schema registry (grows monotonically — reference
     * `commit_schema`). Thread-safe for concurrent ingest.
@@ -120,11 +124,54 @@ object IngestPipeline {
         java.time.ZonedDateTime
           .parse(v.asText, java.time.format.DateTimeFormatter.ISO_DATE_TIME)
           .toInstant)
+    case TimestampNTZType => parseNaive(v.asText)
+    case DateType => java.time.LocalDate.parse(v.asText)
     case StringType =>
       if (v.isTextual) v.asText else v.toString
     case ArrayType(et, _) =>
       v.elements().asScala.toSeq.map(e => if (e.isNull) null else cast(e, et))
     case _ => v.toString
+  }
+
+  /** Naive (zone-less) timestamp for TIMESTAMP_NTZ columns: zone-stamped
+    * inputs normalize to their UTC wall clock, bare ones are taken as-is.
+    */
+  private def parseNaive(s: String): java.time.LocalDateTime =
+    try java.time.ZonedDateTime
+      .parse(s, java.time.format.DateTimeFormatter.ISO_DATE_TIME)
+      .withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+    catch { case _: java.time.format.DateTimeParseException =>
+      java.time.LocalDateTime.parse(s) }
+
+  /** Schema-first validation for static streams: every field must exist in
+    * the declared schema and the JSON value must be of the declared KIND —
+    * [[toRows]]' Jackson `asLong`/`asDouble` would otherwise silently
+    * coerce a mistyped value to 0 instead of refusing the event.
+    * Returns the first violation, if any.
+    */
+  private def validateAgainstStatic(ev: ObjectNode,
+                                    fixed: StructType): Option[String] = {
+    def kindOk(v: JsonNode, dt: DataType): Boolean = dt match {
+      case LongType => v.isIntegralNumber
+      case DoubleType => v.isNumber
+      case BooleanType => v.isBoolean
+      case StringType => v.isTextual
+      case TimestampNTZType | TimestampType | DateType =>
+        v.isTextual && (try { cast(v, dt); true }
+          catch { case _: RuntimeException => false })
+      case ArrayType(et, _) =>
+        v.isArray && v.elements().asScala.forall(e => e.isNull || kindOk(e, et))
+      case _ => false
+    }
+    ev.properties().asScala.iterator.flatMap { e =>
+      fixed.fields.find(_.name == e.getKey) match {
+        case None => Some(s"field ${e.getKey} not in static schema")
+        case Some(f) if !e.getValue.isNull && !kindOk(e.getValue, f.dataType) =>
+          Some(s"field ${e.getKey} does not match the declared " +
+            s"${f.dataType.simpleString} type")
+        case _ => None
+      }
+    }.nextOption()
   }
 
   /** Ingest one JSON payload into the stream: returns the enriched
@@ -155,33 +202,34 @@ object IngestPipeline {
       format: String = "json"): Either[String, DataFrame] = {
     for {
       raw <- Right(events0)
-      // Per-record conflict renaming against the accumulated (stream ∪
-      // batch-so-far) schema — mixed-type batches rename from the second
-      // record onward (reference rename_per_record_type_mismatches,
-      // mod.rs:607-696).
-      renamed <- {
-        var acc = registry.get(cfg.name).getOrElse(new StructType())
-        var err: Option[String] = None
-        val out = Seq.newBuilder[ObjectNode]
-        val it = raw.iterator
-        while (err.isEmpty && it.hasNext) {
-          val r = SchemaInference.renameConflicts(it.next(), acc)
-          SchemaInference.tryMerge(acc, SchemaInference.inferSchema(r)) match {
-            case Left(e)  => err = Some(e)
-            case Right(m) => acc = m; out += r
+      // STATIC streams are schema-first (reference static_schema_flag:
+      // events parse against the declared schema — json.rs
+      // `into_recordbatch`): no inference, no conflict renames; an unknown
+      // field or a value of the wrong kind refuses the batch. DYNAMIC
+      // streams run per-record conflict renaming against the accumulated
+      // (stream ∪ batch-so-far) schema — mixed-type batches rename from
+      // the second record onward (reference
+      // rename_per_record_type_mismatches, mod.rs:607-696).
+      renamed <- cfg.staticSchema match {
+        case Some(fixed) =>
+          raw.iterator.map(ev => validateAgainstStatic(ev, fixed))
+            .collectFirst { case Some(e) => e }
+            .toLeft((raw, fixed))
+        case None =>
+          var acc = registry.get(cfg.name).getOrElse(new StructType())
+          var err: Option[String] = None
+          val out = Seq.newBuilder[ObjectNode]
+          val it = raw.iterator
+          while (err.isEmpty && it.hasNext) {
+            val r = SchemaInference.renameConflicts(it.next(), acc)
+            SchemaInference.tryMerge(acc, SchemaInference.inferSchema(r)) match {
+              case Left(e)  => err = Some(e)
+              case Right(m) => acc = m; out += r
+            }
           }
-        }
-        err.toLeft((out.result(), acc))
+          err.toLeft((out.result(), acc))
       }
       (events, batchSchema) = renamed
-      _ <- cfg.staticSchema match {
-        case Some(fixed) =>
-          batchSchema.fields.find(f => !fixed.fieldNames.contains(f.name)) match {
-            case Some(f) => Left(s"field ${f.name} not in static schema")
-            case None    => Right(())
-          }
-        case None => Right(())
-      }
       merged <- registry.commit(cfg.name, batchSchema)
     } yield {
       val rows = toRows(events, merged)

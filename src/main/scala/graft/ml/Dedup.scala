@@ -191,7 +191,35 @@ object Dedup {
     explodedShingles(sets, maxShingleFreq)
       .select(col("id").as("ref_id"), col("sz").as("sz_ref"), col("shingle"),
         pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("bucket"))
+      // co-locate each bucket before the partitioned write: ONE file per
+      // bucket directory instead of one per (writer task × bucket) — a
+      // probe otherwise pays numBuckets × parallelism file opens, and at
+      // corpus scale the index would be millions of KB-sized files
+      .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/shingles")
+  }
+
+  /** Append newly KEPT documents' shingles to a [[saveShingleIndex]]
+    * layout — the maintenance half of the index lifecycle: probe a batch,
+    * keep the novel docs, append their shingles so the NEXT batch
+    * dedups against them too. Append-mode write into the same
+    * bucket-partitioned directories (small per-batch files; compact
+    * periodically by rewriting a bucket partition).
+    *
+    * `maxShingleFreq` here sees only THIS batch's frequencies — corpus-wide
+    * stop-shingle suppression belongs in the initial build (and periodic
+    * compaction), not the per-batch append.
+    */
+  def appendToShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String, n: Int = 3, numBuckets: Int = 64,
+                           maxShingleFreq: Option[Long] = None): Unit = {
+    val sets = shingleHashFrame(docs, idCol, textCol, n, portableHash = false)
+    explodedShingles(sets, maxShingleFreq)
+      .select(col("id").as("ref_id"), col("sz").as("sz_ref"), col("shingle"),
+        pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("bucket"))
+      .repartition(numBuckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/shingles")
   }
 
@@ -201,9 +229,15 @@ object Dedup {
     * recompute.
     *
     * Two scale levers, both asserted in `DedupIndexSpec`:
-    *   - PARTITION PRUNING: the batch's distinct buckets (≤ numBuckets ints,
-    *     collected — bounded by construction) become a partition filter on
-    *     the index scan, so untouched bucket directories are never read.
+    *   - PARTITION PRUNING (`pruneBuckets`): the batch's distinct buckets
+    *     (≤ numBuckets ints, collected — bounded by construction) become a
+    *     partition filter on the index scan, so untouched bucket
+    *     directories are never read. Pruning pays one extra small job over
+    *     the batch; it is only worth it when the batch's distinct shingles
+    *     are FEW relative to `numBuckets·ln(numBuckets)` (coupon
+    *     collector) — a handful of docs, a livetail probe. For routine
+    *     batches of tens+ of docs every bucket is touched anyway: pass
+    *     `pruneBuckets = false` and skip straight to the scan.
     *   - NO INDEX SHUFFLE: with `broadcastBatch=true` (the norm — a batch is
     *     tiny next to the corpus) the exploded batch broadcasts and the
     *     index side joins in place; only surviving (new, ref) candidate rows
@@ -216,16 +250,21 @@ object Dedup {
                           threshold: Double = 0.5,
                           numBuckets: Int = 64,
                           broadcastBatch: Boolean = true,
+                          pruneBuckets: Boolean = true,
                           maxShingleFreq: Option[Long] = None): DataFrame = {
     val newSets = shingleHashFrame(newDocs, idCol, textCol, n, portableHash = false)
     val exNew = explodedShingles(newSets, maxShingleFreq)
       .select(col("shingle"), col("id").as("new_id"), col("sz").as("sz_new"))
       .withColumn("bucket", pmod(col("shingle"), lit(numBuckets.toLong)).cast("int"))
-    // ≤ numBuckets small ints — bounded driver state, NOT a data collect
-    val touched = exNew.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0))
-    val idx = spark.read.parquet(s"$path/shingles")
-      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    val idxAll = spark.read.parquet(s"$path/shingles")
+    val idx =
+      if (!pruneBuckets) idxAll
+      else {
+        // ≤ numBuckets small ints — bounded driver state, NOT a data collect
+        val touched = exNew.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0))
+        idxAll.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      }
     val joined =
       if (broadcastBatch) idx.join(broadcast(exNew), Seq("bucket", "shingle"))
       else idx.hint("shuffle_hash")

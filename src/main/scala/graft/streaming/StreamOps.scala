@@ -59,4 +59,72 @@ object StreamOps {
           col(s"r_$rightTs") >= col(leftTs) &&
           col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $within"))
   }
+
+  /** Streaming NEAR-dup dedup against a persisted shingle index
+    * ([[graft.ml.Dedup.saveShingleIndex]]) — the continuous-ingestion
+    * twin of [[graft.ml.Dedup.jaccardAgainstIndex]]. Each micro-batch:
+    *
+    *   1. probe the index — docs with a ≥ threshold Jaccard match against
+    *      anything already kept are dropped;
+    *   2. resolve INTRA-batch near-dups (lowest id is canonical — the
+    *      index can't see docs that arrived together);
+    *   3. append the survivors' shingles to the index
+    *      ([[graft.ml.Dedup.appendToShingleIndex]]), so the NEXT batch
+    *      dedups against them too;
+    *   4. hand the surviving rows to `sink` (write to the clean table).
+    *
+    * State discipline: there is NO Spark streaming state at all — the
+    * index on disk IS the state, bounded by the kept corpus size rather
+    * than the stream history, and shared by every other consumer of the
+    * index. A missing/empty index (first batch ever) means nothing to
+    * probe: the whole batch is novel modulo intra-batch dups.
+    *
+    * Returns the `DataStreamWriter` — caller picks trigger/checkpoint and
+    * starts it.
+    */
+  def dedupNearStream(docs: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, sink: DataFrame => Unit,
+                      n: Int = 3, threshold: Double = 0.5,
+                      numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.ml.Dedup
+      val spark = batch.sparkSession
+      val b = batch.persist() // probed, self-joined and appended — one scan
+      try {
+        val indexExists = new org.apache.hadoop.fs.Path(s"$indexPath/shingles")
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(new org.apache.hadoop.fs.Path(s"$indexPath/shingles"))
+        val afterIndex =
+          if (!indexExists) b
+          else {
+            val hit = Dedup.jaccardAgainstIndex(spark, indexPath, b, idCol,
+                textCol, n, threshold, numBuckets)
+              .select(col("new_id").as(idCol)).distinct()
+            b.join(hit, Seq(idCol), "left_anti")
+          }
+        // intra-batch: id_b of each qualifying pair (id_a < id_b) drops,
+        // so the lowest id of every duplicate group survives
+        val intraDup = Dedup.jaccardPairs(afterIndex, idCol, textCol, n,
+            threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        // localCheckpoint (EAGER) — not persist: step 3 MUTATES the index
+        // this plan reads, so any post-append re-evaluation (the sink's
+        // action, a cache-evicted partition) would see the batch's own
+        // freshly-appended shingles and drop every survivor as a
+        // self-match. Truncating the lineage pins the survivor set.
+        val survivors = afterIndex.join(intraDup, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (!survivors.isEmpty) {
+          if (indexExists)
+            Dedup.appendToShingleIndex(survivors, idCol, textCol, indexPath,
+              n, numBuckets)
+          else
+            Dedup.saveShingleIndex(survivors, idCol, textCol, indexPath,
+              n, numBuckets)
+        }
+        sink(survivors)
+        ()
+      } finally { b.unpersist(); () }
+    }
 }

@@ -49,4 +49,37 @@ class StreamOpsSpec extends SparkSuite {
       assert(ks == Set(1L))
     } finally q.stop()
   }
+
+  test("dedupNearStream: index-backed near-dup dedup across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("sndidx").toString
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.dedupNearStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$idx/index",
+        sink = df => kept.synchronized {
+          kept ++= df.select("doc_id").collect().map(_.getLong(0)) },
+        n = 3, threshold = 0.5)
+      .option("checkpointLocation", s"$idx/ckpt").start()
+    try {
+      // batch 1: A, an intra-batch near-dup of A, and a distinct B
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"), // ~A, same batch
+        (3L, "completely different content lives in this document here"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of A (cross-batch, via the index) and a new C
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // == A
+        (11L, "yet another unrelated document about rivers and stones"))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(1L, 3L, 11L),
+        s"survivors: ${kept.sorted.mkString(",")}")
+      // the index now carries every survivor's shingles (1, 3, 11)
+      val refIds = spark.read.parquet(s"$idx/index/shingles")
+        .select("ref_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(refIds == Set(1L, 3L, 11L))
+    } finally q.stop()
+  }
 }
