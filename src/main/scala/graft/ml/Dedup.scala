@@ -223,6 +223,46 @@ object Dedup {
       .parquet(s"$path/shingles")
   }
 
+  /** Compact a [[saveShingleIndex]] layout in place: rewrite every bucket
+    * partition to one file and (optionally) re-apply the corpus-wide
+    * `maxShingleFreq` stop-shingle guard — per-batch
+    * [[appendToShingleIndex]]s accumulate small files and can only judge
+    * shingle frequency within their own batch, so a periodic compaction
+    * restores both the one-file-per-bucket read path and the global skew
+    * bound. Write-then-swap: the new layout lands in a sibling directory
+    * and replaces the old one with two renames, so a concurrent probe
+    * reads either the old or the new index, never a half-written one.
+    */
+  def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, numBuckets: Int = 64,
+                          maxShingleFreq: Option[Long] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(s"$path/shingles")
+    val next = new org.apache.hadoop.fs.Path(s"$path/shingles.compact")
+    val old = new org.apache.hadoop.fs.Path(s"$path/shingles.old")
+    val rows = spark.read.parquet(cur.toString)
+    val kept = maxShingleFreq match {
+      case None => rows
+      case Some(f) =>
+        val freq = rows.groupBy("shingle").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= f).drop("df_")
+        rows.join(freq, "shingle")
+    }
+    kept.select(col("ref_id"), col("sz_ref"), col("shingle"), col("bucket"))
+      .repartition(numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(next.toString)
+    fs.delete(old, true)
+    if (!fs.rename(cur, old))
+      throw new java.io.IOException(s"compaction: cannot swap out $cur")
+    if (!fs.rename(next, cur)) {
+      fs.rename(old, cur) // roll back — old index stays live
+      throw new java.io.IOException(s"compaction: cannot swap in $next")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
   /** [[jaccardAgainstReference]] against a persisted [[saveShingleIndex]]:
     * identical output contract (new_id, ref_id, inter, jaccard ≥ threshold),
     * but the reference side is the pre-exploded index instead of a
@@ -256,7 +296,20 @@ object Dedup {
     val exNew = explodedShingles(newSets, maxShingleFreq)
       .select(col("shingle"), col("id").as("new_id"), col("sz").as("sz_new"))
       .withColumn("bucket", pmod(col("shingle"), lit(numBuckets.toLong)).cast("int"))
-    val idxAll = spark.read.parquet(s"$path/shingles")
+    // explicit schema: an index built from a reference corpus with zero
+    // shingles (all docs shorter than n tokens) has no data files, and
+    // schema inference would refuse the read — an empty index must mean
+    // "no matches", not a crash (DedupPropertySpec found this)
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ref_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sz_ref",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shingle",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+    val idxAll = spark.read.schema(idxSchema).parquet(s"$path/shingles")
     val idx =
       if (!pruneBuckets) idxAll
       else {

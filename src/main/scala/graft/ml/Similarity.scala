@@ -254,6 +254,24 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append new vectors to a persisted [[saveIvfIndex]]: assign them to
+    * the EXISTING centroids (broadcast argmax — one pass over the new
+    * batch only) and append into the same centroid-partitioned layout.
+    * The growth half of the index lifecycle: searches see appended vectors
+    * immediately, and the centroid table is untouched, so probe routing
+    * stays stable. Re-run [[saveIvfIndex]] (or refresh centroids via
+    * [[kmeansCentroids]]) when drift makes the lists unbalanced.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       corpus: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    assignToCentroids(corpus, idCol, vecCol, cents)
+      .select(col("v_id"), col("v_vec"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
   /** IVF search against a persisted index ([[saveIvfIndex]]): same
     * ranking semantics as [[ivfSearch]], but the corpus pass is replaced
     * by a read of only the probed centroid partitions.

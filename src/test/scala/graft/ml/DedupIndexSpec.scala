@@ -94,6 +94,49 @@ class DedupIndexSpec extends SparkSuite {
     assert(freq <= 2L)
   }
 
+  test("append + compact: lifecycle keeps probes correct, restores layout") {
+    val idx = tmp("shidx")
+    Dedup.saveShingleIndex(refDocs, "doc_id", "text", idx, n = 3,
+      numBuckets = 8)
+    // append a batch of kept docs; a later probe must see them
+    val kept = Seq((20L, "fresh survivors join the reference corpus today"))
+      .toDF("doc_id", "text")
+    Dedup.appendToShingleIndex(kept, "doc_id", "text", idx, n = 3,
+      numBuckets = 8)
+    val probe = Seq((30L, "fresh survivors join the reference corpus today"))
+      .toDF("doc_id", "text")
+    def hits() = Dedup.jaccardAgainstIndex(spark, idx, probe, "doc_id",
+        "text", n = 3, threshold = 0.5, numBuckets = 8)
+      .select("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits() == Set((30L, 20L)))
+    // appends accumulate small files; compaction restores 1 file/bucket
+    Dedup.compactShingleIndex(spark, idx, numBuckets = 8)
+    val bucketDirs = new java.io.File(s"$idx/shingles").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    assert(bucketDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    assert(hits() == Set((30L, 20L))) // identical results after the swap
+  }
+
+  test("appendToIvfIndex: persisted searches see appended vectors") {
+    import graft.ml.Similarity
+    val base = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(4)(d => if (d == i % 2) 1.0f else 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    val idx = tmp("ivfidx")
+    Similarity.saveIvfIndex(base, "vec_id", "embedding", numCentroids = 2, idx)
+    // a new vector identical to vec 0's direction, appended post-build
+    val extra = Seq((100L, Array(1.0f, 0.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, extra, "vec_id", "embedding", idx)
+    val q = Seq((0L, Array(1.0f, 0.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.ivfSearchPersisted(spark, idx, q, "vec_id",
+        "embedding", k = 1, nProbe = 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("n_id") == 100L,
+      top.mkString(","))
+  }
+
   test("contaminationOverlap reports per-doc fractions, zero-overlap included") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // 3 of 3 4-grams hit
