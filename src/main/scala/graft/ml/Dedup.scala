@@ -220,28 +220,67 @@ object Dedup {
         pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("bucket"))
       .repartition(numBuckets, col("bucket"))
       .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/shingles")
+      .parquet(activeShingleDir(docs.sparkSession, path))
   }
 
-  /** Compact a [[saveShingleIndex]] layout in place: rewrite every bucket
-    * partition to one file and (optionally) re-apply the corpus-wide
+  /** Name of the pointer file that selects the ACTIVE shingle data
+    * directory inside an index root. Versioned-dir + pointer-swap is the
+    * object-store-correct publication protocol: S3-style stores have no
+    * atomic directory rename (a "rename" is a copy), but a single small
+    * file can be replaced atomically — readers resolve the pointer once
+    * and then scan an immutable directory.
+    */
+  private val ShinglePointer = "shingles.current"
+
+  /** Resolve the active shingle data directory of an index root: the
+    * generation the pointer names, or the original `shingles` dir when no
+    * compaction has happened yet.
+    */
+  def activeShingleDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/$ShinglePointer")
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ptr)) s"$path/shingles"
+    else {
+      val in = fs.open(ptr)
+      val name =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      s"$path/$name"
+    }
+  }
+
+  /** Compact a [[saveShingleIndex]] layout: rewrite every bucket partition
+    * to one file and (optionally) re-apply the corpus-wide
     * `maxShingleFreq` stop-shingle guard — per-batch
     * [[appendToShingleIndex]]s accumulate small files and can only judge
     * shingle frequency within their own batch, so a periodic compaction
     * restores both the one-file-per-bucket read path and the global skew
-    * bound. Write-then-swap: the new layout lands in a sibling directory
-    * and replaces the old one with two renames, so a concurrent probe
-    * reads either the old or the new index, never a half-written one.
+    * bound.
+    *
+    * Publication = versioned directory + atomic pointer swap (NOT a
+    * directory rename — see [[ShinglePointer]]): the new generation lands
+    * in `shingles.gen<k+1>`, then a one-file pointer write flips readers
+    * over. A concurrent probe resolves either the old or the new
+    * generation, never a half-written one; the superseded directory is
+    * deleted only after the swap (readers mid-scan in the deletion window
+    * need a retention grace at multi-minute scan scale — pass
+    * `keepPrevious = true` and clean up out-of-band).
     */
   def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, numBuckets: Int = 64,
-                          maxShingleFreq: Option[Long] = None): Unit = {
+                          maxShingleFreq: Option[Long] = None,
+                          keepPrevious: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = new org.apache.hadoop.fs.Path(s"$path/shingles")
-    val next = new org.apache.hadoop.fs.Path(s"$path/shingles.compact")
-    val old = new org.apache.hadoop.fs.Path(s"$path/shingles.old")
-    val rows = spark.read.parquet(cur.toString)
+    val curDir = activeShingleDir(spark, path)
+    val curName = curDir.substring(curDir.lastIndexOf('/') + 1)
+    val gen =
+      if (curName == "shingles") 0
+      else curName.stripPrefix("shingles.gen").toInt
+    val nextName = s"shingles.gen${gen + 1}"
+    val rows = spark.read.parquet(curDir)
     val kept = maxShingleFreq match {
       case None => rows
       case Some(f) =>
@@ -251,16 +290,21 @@ object Dedup {
     }
     kept.select(col("ref_id"), col("sz_ref"), col("shingle"), col("bucket"))
       .repartition(numBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(next.toString)
-    fs.delete(old, true)
-    if (!fs.rename(cur, old))
-      throw new java.io.IOException(s"compaction: cannot swap out $cur")
-    if (!fs.rename(next, cur)) {
-      fs.rename(old, cur) // roll back — old index stays live
-      throw new java.io.IOException(s"compaction: cannot swap in $next")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$nextName")
+    // atomic pointer flip: write aside, rename over (single-file rename is
+    // atomic on posix/HDFS; on S3 use a conditional put of the same key)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/$ShinglePointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/$ShinglePointer")
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(ptr, false)
+      if (!fs.rename(tmp, ptr))
+        throw new java.io.IOException(s"compaction: cannot publish $ptr")
     }
-    fs.delete(old, true)
-    ()
+    if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
   }
 
   /** [[jaccardAgainstReference]] against a persisted [[saveShingleIndex]]:
@@ -309,7 +353,8 @@ object Dedup {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.IntegerType)))
-    val idxAll = spark.read.schema(idxSchema).parquet(s"$path/shingles")
+    val idxAll = spark.read.schema(idxSchema)
+      .parquet(activeShingleDir(spark, path))
     val idx =
       if (!pruneBuckets) idxAll
       else {

@@ -92,9 +92,11 @@ object StreamOps {
       val spark = batch.sparkSession
       val b = batch.persist() // probed, self-joined and appended — one scan
       try {
-        val indexExists = new org.apache.hadoop.fs.Path(s"$indexPath/shingles")
+        val activeDir = new org.apache.hadoop.fs.Path(
+          Dedup.activeShingleDir(spark, indexPath))
+        val indexExists = activeDir
           .getFileSystem(spark.sessionState.newHadoopConf())
-          .exists(new org.apache.hadoop.fs.Path(s"$indexPath/shingles"))
+          .exists(activeDir)
         val afterIndex =
           if (!indexExists) b
           else {

@@ -110,14 +110,58 @@ class DedupIndexSpec extends SparkSuite {
       .select("new_id", "ref_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits() == Set((30L, 20L)))
-    // appends accumulate small files; compaction restores 1 file/bucket
+    // appends accumulate small files; compaction restores 1 file/bucket,
+    // publishing a NEW generation via the pointer file (no dir rename —
+    // the object-store-safe protocol)
     Dedup.compactShingleIndex(spark, idx, numBuckets = 8)
-    val bucketDirs = new java.io.File(s"$idx/shingles").listFiles()
+    val active = Dedup.activeShingleDir(spark, idx)
+    assert(active.endsWith("shingles.gen1"), active)
+    assert(!new java.io.File(s"$idx/shingles").exists()) // superseded dir gone
+    val bucketDirs = new java.io.File(active).listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
     assert(bucketDirs.nonEmpty)
     assert(bucketDirs.forall(
       _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
     assert(hits() == Set((30L, 20L))) // identical results after the swap
+    // append lands in the ACTIVE generation; a second compaction chains
+    Dedup.appendToShingleIndex(
+      Seq((40L, "late arrival text keeps the lifecycle going"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx, n = 3, numBuckets = 8)
+    Dedup.compactShingleIndex(spark, idx, numBuckets = 8,
+      keepPrevious = true)
+    assert(Dedup.activeShingleDir(spark, idx).endsWith("shingles.gen2"))
+    assert(new java.io.File(s"$idx/shingles.gen1").exists()) // grace kept
+    assert(hits() == Set((30L, 20L)))
+  }
+
+  test("probes run concurrently with repeated compactions never crash") {
+    val idx = tmp("shidx")
+    Dedup.saveShingleIndex(refDocs, "doc_id", "text", idx, n = 3,
+      numBuckets = 4)
+    val probe = Seq((30L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val r = Dedup.jaccardAgainstIndex(spark, idx, probe, "doc_id",
+              "text", n = 3, threshold = 0.5, numBuckets = 4)
+            .select("ref_id").collect().map(_.getLong(0)).toSet
+          assert(r == Set(1L), r) // every generation gives the same answer
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try {
+      // keepPrevious: readers mid-scan of the superseded generation must
+      // not lose their files (the documented grace contract)
+      (0 until 3).foreach(_ =>
+        Dedup.compactShingleIndex(spark, idx, numBuckets = 4,
+          keepPrevious = true))
+    } finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, s"concurrent probe failed: $failure")
+    assert(Dedup.activeShingleDir(spark, idx).endsWith("shingles.gen3"))
   }
 
   test("appendToIvfIndex: persisted searches see appended vectors") {
