@@ -61,7 +61,10 @@ object BenchScale {
     "q_counts_density", "q_text_tfidf", "q_join_multiway",
     "q_dedup_cluster", "q_trace_depgraph", "q_sim_ivf_persisted",
     "q_agg_pricing", "q_asof_join", "q_sim_pq", "q_decontaminate_bloom",
-    "q_sample_importance", "q_text_entropy")
+    "q_sample_importance", "q_text_entropy",
+    // round-10 additions: persisted-shingle-index probe (build+search
+    // fused — the sweep measures the full fused body), Lloyd step
+    "q_dedup_incremental_indexed", "q_cluster_kmeans")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -58,7 +58,35 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
             val ua =
               Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse("")
             val ip = ex.getRemoteAddress.getAddress.getHostAddress
-            IngestPipeline.ingest(spark, registry, cfg, body, ua, ip) match {
+            // X-P-Log-Source (reference ingest.rs:86-123): builtin source
+            // names pass through as the p_format stamp; otel-* sources are
+            // refused on this endpoint; any OTHER name is a known-format
+            // lookup — events are verified/extracted inline
+            // (KnownFormats.applyInline), with X-P-Extract-Log naming the
+            // raw-line field to regex-extract from.
+            val logSource = Option(
+                ex.getRequestHeaders.getFirst("X-P-Log-Source"))
+              .map(_.trim).filter(_.nonEmpty).getOrElse("json")
+            val extractLog = Option(
+                ex.getRequestHeaders.getFirst("X-P-Extract-Log"))
+              .map(_.trim).filter(_.nonEmpty)
+            if (logSource.startsWith("otel-")) {
+              err(ex, 400, s"Ingestion failed for stream '$stream': OTEL " +
+                "log sources are not supported on /api/v1/ingest endpoint")
+              return
+            }
+            val builtin = Set("json", "pmeta", "kinesis")
+            val ingested =
+              if (builtin(logSource))
+                IngestPipeline.ingest(spark, registry, cfg, body, ua, ip,
+                  format = logSource)
+              else
+                IngestPipeline.prepare(body, cfg).flatMap(evs =>
+                  graft.ingest.KnownFormats
+                    .applyInline(evs, logSource, extractLog)
+                    .flatMap(evs2 => IngestPipeline.ingestEvents(spark,
+                      registry, cfg, evs2, ua, ip, format = logSource)))
+            ingested match {
               case Left(msg) => err(ex, 400, msg)
               case Right(df) =>
                 val n = df.count()

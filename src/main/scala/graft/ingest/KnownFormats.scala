@@ -280,6 +280,42 @@ object KnownFormats {
       }.nextOption()
     }
 
+  /** Inline ingest-path extraction for `X-P-Log-Source: <format>` payloads
+    * (reference `known_schema.rs check_or_extract`:93-146 via
+    * `extract_from_inline_log`:196-234): per event,
+    *   - an object already carrying ALL of some variant's fields passes
+    *     through untouched (pre-structured upstream — nothing to prove);
+    *   - else the `extractLog` field's raw line is tried against the
+    *     format's variants: a match merges the captured fields into the
+    *     event and stamps `p_format_verified=true`;
+    *   - no match (or no raw field) stamps `p_format_verified=false` —
+    *     the event still ingests, flagged for later triage.
+    * Unknown format names refuse the batch (the reference's
+    * `Error::Unknown` → 400).
+    */
+  def applyInline(events: Seq[com.fasterxml.jackson.databind.node.ObjectNode],
+                  format: String, extractLog: Option[String])
+      : Either[String, Seq[com.fasterxml.jackson.databind.node.ObjectNode]] =
+    get(format) match {
+      case None => Left(s"Unknown log format: $format")
+      case Some(f) => Right(events.map { ev =>
+        val preStructured = f.variants.exists(_.fields.forall(ev.has))
+        if (preStructured) ev
+        else {
+          val line = extractLog.flatMap(fl => Option(ev.get(fl)))
+            .filter(_.isTextual).map(_.asText)
+          line.flatMap(extract(format, _)) match {
+            case Some(fields) =>
+              fields.foreach { case (k, v) => ev.put(k, v) }
+              ev.put("p_format_verified", "true")
+            case None =>
+              ev.put("p_format_verified", "false")
+          }
+          ev
+        }
+      })
+    }
+
   /** Columnar extraction: per-field coalesce over the first matching variant,
     * each as a codegen'd `regexp_extract`; plus the verification flag.
     * No UDF — everything stays in whole-stage codegen.
