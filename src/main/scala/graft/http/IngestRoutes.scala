@@ -75,17 +75,37 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
                 "log sources are not supported on /api/v1/ingest endpoint")
               return
             }
+            // remaining x-p-* headers become request-level custom-field
+            // columns (reference get_custom_fields_from_header,
+            // ingest_utils.rs:408-467): key = header minus the prefix,
+            // values truncated at 100 chars, at most 7 header-derived
+            // fields (the reference caps the whole map incl. its three
+            // built-in stamps at 10); stream/log-source/extract-log are
+            // routing, not fields
+            val ignored = Set("x-p-stream", "x-p-log-source", "x-p-extract-log")
+            val customFields = {
+              import scala.jdk.CollectionConverters._
+              ex.getRequestHeaders.entrySet().asScala.iterator
+                .map(e => e.getKey.toLowerCase -> e.getValue)
+                .filter { case (k, vs) => k.startsWith("x-p-") &&
+                  !ignored(k) && !vs.isEmpty }
+                .map { case (k, vs) =>
+                  k.stripPrefix("x-p-") -> vs.get(0).take(100) }
+                .filter(_._1.nonEmpty)
+                .toSeq.sortBy(_._1).take(7).toMap
+            }
             val builtin = Set("json", "pmeta", "kinesis")
             val ingested =
               if (builtin(logSource))
                 IngestPipeline.ingest(spark, registry, cfg, body, ua, ip,
-                  format = logSource)
+                  format = logSource, customFields = customFields)
               else
                 IngestPipeline.prepare(body, cfg).flatMap(evs =>
                   graft.ingest.KnownFormats
                     .applyInline(evs, logSource, extractLog)
                     .flatMap(evs2 => IngestPipeline.ingestEvents(spark,
-                      registry, cfg, evs2, ua, ip, format = logSource)))
+                      registry, cfg, evs2, ua, ip, format = logSource,
+                      customFields = customFields)))
             ingested match {
               case Left(msg) => err(ex, 400, msg)
               case Right(df) =>

@@ -184,9 +184,12 @@ object IngestPipeline {
       json: String,
       userAgent: String = "",
       srcIp: String = "",
-      format: String = "json"): Either[String, DataFrame] =
+      format: String = "json",
+      customFields: Map[String, String] = Map.empty)
+      : Either[String, DataFrame] =
     prepare(json, cfg).flatMap(raw =>
-      ingestEvents(spark, registry, cfg, raw, userAgent, srcIp, format))
+      ingestEvents(spark, registry, cfg, raw, userAgent, srcIp, format,
+        customFields))
 
   /** Ingest pre-flattened events (the OTel/Kinesis path — source-specific
     * flatteners run first, then the same rename/merge/enrich pipeline;
@@ -199,7 +202,9 @@ object IngestPipeline {
       events0: Seq[ObjectNode],
       userAgent: String = "",
       srcIp: String = "",
-      format: String = "json"): Either[String, DataFrame] = {
+      format: String = "json",
+      customFields: Map[String, String] = Map.empty)
+      : Either[String, DataFrame] = {
     for {
       raw <- Right(events0)
       // STATIC streams are schema-first (reference static_schema_flag:
@@ -233,12 +238,19 @@ object IngestPipeline {
       merged <- registry.commit(cfg.name, batchSchema)
     } yield {
       val rows = toRows(events, merged)
-      spark
+      val base = spark
         .createDataFrame(rows.asJava, merged)
         .withColumn("p_timestamp", current_timestamp())
         .withColumn("p_user_agent", lit(userAgent))
         .withColumn("p_src_ip", lit(srcIp))
         .withColumn("p_format", lit(format))
+      // request-level custom fields (reference `x-p-*` headers →
+      // add_parseable_fields, utils/arrow/mod.rs:99-146): server-stamped
+      // string columns in sorted key order; an event field of the same
+      // name WINS (duplicates skipped, like the reference)
+      customFields.toSeq.sortBy(_._1).foldLeft(base) { case (d, (k, v)) =>
+        if (d.columns.contains(k)) d else d.withColumn(k, lit(v))
+      }
     }
   }
 

@@ -86,4 +86,23 @@ class LogSourceIngestSpec extends SparkSuite {
       assert(pf == "pmeta")
     } finally srv.stop()
   }
+
+  test("x-p-* headers become custom-field columns; event fields win") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ls").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    try {
+      assert(http("POST", s"$base/ingest",
+        Map("X-P-Stream" -> "cf", "X-P-Environment" -> "prod",
+          "X-P-Tag" -> "canary", "X-P-Level" -> "header-level"),
+        Some("""{"msg":"hello","level":"event-level"}"""))._1 == 200)
+      val row = spark.read.parquet(s"$tmp/cf")
+        .select("environment", "tag", "level").head
+      assert(row.getString(0) == "prod")
+      assert(row.getString(1) == "canary")
+      // duplicate key: the EVENT's own field wins, header value dropped
+      assert(row.getString(2) == "event-level")
+    } finally srv.stop()
+  }
 }
