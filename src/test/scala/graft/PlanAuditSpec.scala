@@ -1,0 +1,41 @@
+package graft
+
+/** Repo-wide physical-plan audit: EVERY gated query plans without the two
+  * operators that kill a 100 TB run — `CartesianProduct` (both sides big)
+  * is banned outright; `BroadcastNestedLoopJoin` only where the query's
+  * contract documents a broadcast-TINY side (ANN query sets capped at a
+  * few vectors, scalar-constant frames, ≤k centroid/anchor tables).
+  * A future query that accidentally plans either fails here by name —
+  * breadth insurance on top of `PlanShapeSpec`'s per-flagship detail.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  /** Queries whose contract is a broadcast cross join of a tiny side:
+    * ANN query/centroid/anchor tables (≤ tens of rows), corpus-constant
+    * single-row frames (N, total tokens), model tables under an explicit
+    * broadcast-size cap. Additions require the same documented bound.
+    */
+  private val bnljAllowed = Set(
+    "q_cluster_kmeans", "q_corpus_report", "q_dedup_semantic",
+    "q_sample_importance", "q_sim_hardneg", "q_sim_ivf",
+    "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_knn", "q_sim_pq",
+    "q_sim_project", "q_sim_quantized", "q_sim_twostage", "q_text_bm25",
+    "q_text_lmscore", "q_text_tfidf", "q_vocab_topk")
+
+  test("every gated query: no CartesianProduct; BNLJ only where documented") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan: ${e.getMessage}") }
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed(name)
+        (if (cart) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (bnlj) Seq(s"$name: undocumented BroadcastNestedLoopJoin")
+           else Nil)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
