@@ -386,6 +386,32 @@ object GraftHttpServer {
     */
   val DefaultTenant = "default"
 
+  /** SQL keywords a stream may not be named (reference
+    * `validator.rs DENIED_NAMES`).
+    */
+  private val DeniedStreamNames = Set(
+    "select", "from", "where", "group", "by", "order", "limit", "offset",
+    "join", "and", "sql")
+
+  /** Stream-name validation (reference `validator::stream_name`,
+    * validator.rs:36-76): non-empty, alphanumeric plus `-`/`_` only, not a
+    * SQL keyword, not the default tenant. The character rule is ALSO the
+    * path-traversal guard — stream names become storage directories, so a
+    * `../`-carrying name must never reach the filesystem
+    * (`HttpFuzzSpec` drives exactly that).
+    */
+  private[http] def invalidStreamName(name: String): Option[String] =
+    if (name.isEmpty) Some("stream name cannot be empty")
+    else if (name.exists(c =>
+        !Character.isLetterOrDigit(c) && c != '-' && c != '_'))
+      Some(s"stream name '$name' contains characters outside " +
+        "[alphanumeric, '-', '_']")
+    else if (DeniedStreamNames(name))
+      Some(s"stream name cannot be a SQL keyword: '$name'")
+    else if (name == DefaultTenant)
+      Some(s"stream name '$name' is reserved")
+    else None
+
   /** Session lifetime (reference `COOKIE_AGE_DAYS` = 7). */
   val SessionTtlMs: Long = 7L * 24 * 3600 * 1000
 

@@ -45,6 +45,10 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
             err(ex, 403,
               s"user '${user.get}' lacks ingest access to stream '$stream'")
           case Some(stream) =>
+            invalidStreamName(stream) match {
+              case Some(msg) => err(ex, 400, msg); return
+              case None => ()
+            }
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             // storage path and registry are tenant-scoped: the same stream
             // NAME in two tenants is two disjoint tables
@@ -95,17 +99,25 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
                 .toSeq.sortBy(_._1).take(7).toMap
             }
             val builtin = Set("json", "pmeta", "kinesis")
+            // any parse/shape failure in the payload is the CLIENT's error:
+            // surface 400, never let a Jackson exception escape to a 500
+            // (HttpFuzzSpec drives this with binary junk/truncated JSON)
             val ingested =
-              if (builtin(logSource))
-                IngestPipeline.ingest(spark, registry, cfg, body, ua, ip,
-                  format = logSource, customFields = customFields)
-              else
-                IngestPipeline.prepare(body, cfg).flatMap(evs =>
-                  graft.ingest.KnownFormats
-                    .applyInline(evs, logSource, extractLog)
-                    .flatMap(evs2 => IngestPipeline.ingestEvents(spark,
-                      registry, cfg, evs2, ua, ip, format = logSource,
-                      customFields = customFields)))
+              try {
+                if (builtin(logSource))
+                  IngestPipeline.ingest(spark, registry, cfg, body, ua, ip,
+                    format = logSource, customFields = customFields)
+                else
+                  IngestPipeline.prepare(body, cfg).flatMap(evs =>
+                    graft.ingest.KnownFormats
+                      .applyInline(evs, logSource, extractLog)
+                      .flatMap(evs2 => IngestPipeline.ingestEvents(spark,
+                        registry, cfg, evs2, ua, ip, format = logSource,
+                        customFields = customFields)))
+              } catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  Left(s"malformed JSON body: ${e.getOriginalMessage}")
+              }
             ingested match {
               case Left(msg) => err(ex, 400, msg)
               case Right(df) =>
@@ -157,6 +169,10 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
             err(ex, 403,
               s"user '${user.get}' lacks ingest access to stream '$stream'")
           case Some(stream) =>
+            invalidStreamName(stream) match {
+              case Some(msg) => err(ex, 400, msg); return
+              case None => ()
+            }
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             val events =
               try flatten(body)
@@ -164,6 +180,13 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
                 case e: com.fasterxml.jackson.core.JacksonException =>
                   err(ex, 400,
                     s"malformed OTLP JSON: ${e.getOriginalMessage}")
+                  return
+                // valid JSON of the WRONG SHAPE (missing resourceLogs/
+                // scope arrays) trips null/cast traversal inside the
+                // flattener — equally the client's error, not a 500
+                case scala.util.control.NonFatal(e) =>
+                  err(ex, 400, s"not an OTLP $signal payload: " +
+                    String.valueOf(e.getMessage))
                   return
               }
             val cfg = configs.computeIfAbsent(tenantKey(tenant, stream),

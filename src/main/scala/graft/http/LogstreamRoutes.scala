@@ -134,6 +134,10 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
               err(ex, 403,
                 s"user lacks privilege to create stream '$name'"); return
             }
+            invalidStreamName(name) match {
+              case Some(msg) => err(ex, 400, msg); return
+              case None => ()
+            }
             handlePutStream(ex, name, key(name), exists(name))
           case ("DELETE", Some(Seq(name))) =>
             if (!isAdminUser) {
