@@ -82,7 +82,10 @@ final class GraftHttpServer(
     private[http] val llm: Option[Llm.Config] = None,
     resourceCheck: Option[ResourceMonitor.Config] = None,
     tls: Option[Tls.Config] = None,
-    trustedCerts: Option[String] = None)
+    trustedCerts: Option[String] = None,
+    // reference P_SQL_TIMEOUT (cli.rs:211-219, enforced query/mod.rs:157):
+    // a query exceeding this is cancelled and answered 504
+    private[http] val sqlTimeoutSeconds: Int = 300)
   extends OidcRoutes with IngestRoutes with QueryRoutes with TailRoutes
   with LogstreamRoutes with AlertRoutes with UserRoutes with PrismRoutes
   with LlmRoutes {
@@ -172,6 +175,42 @@ final class GraftHttpServer(
     * resource. Default-tenant keys stay bare for single-tenant
     * compatibility.
     */
+  /** Run a response-producing body under the SQL execution timeout
+    * (reference `P_SQL_TIMEOUT`, enforced at `query/mod.rs:157-161`):
+    * the handler thread's Spark jobs are tagged with a unique group and a
+    * watchdog cancels the group at the deadline — running tasks are
+    * interrupted, the result iterator throws, and the client gets 504.
+    * On the streaming path the headers may already be out; the cancelled
+    * stream simply truncates (best possible once bytes have flowed).
+    */
+  private[http] def withSqlTimeout(ex: com.sun.net.httpserver.HttpExchange)
+      (body: => Unit): Unit = {
+    val group = s"graft-query-${java.util.UUID.randomUUID()}"
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, "http query", interruptOnCancel = true)
+    val watchdog = GraftHttpServer.watchdogPool.schedule(
+      new Runnable { def run(): Unit = sc.cancelJobGroup(group) },
+      sqlTimeoutSeconds.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    def cancelled(e: Throwable): Boolean = {
+      var cur = e; var depth = 0
+      while (cur != null && depth < 10) {
+        if (String.valueOf(cur.getMessage).contains("cancelled")) return true
+        cur = cur.getCause; depth += 1
+      }
+      false
+    }
+    try body
+    catch {
+      case e: Throwable if cancelled(e) =>
+        try err(ex, 504,
+          s"SQL query timed out after $sqlTimeoutSeconds seconds")
+        catch { case _: Exception => () } // streaming: headers already sent
+    } finally {
+      watchdog.cancel(false)
+      sc.clearJobGroup()
+    }
+  }
+
   private[http] def tenantKey(tenant: String, stream: String): String =
     if (tenant == DefaultTenant) stream else s"$tenant/$stream"
 
@@ -385,6 +424,17 @@ object GraftHttpServer {
     * (reference `DEFAULT_TENANT`).
     */
   val DefaultTenant = "default"
+
+  /** Shared daemon scheduler for query-timeout watchdogs — one timer
+    * thread serves every server instance in the JVM; cancellation work
+    * itself runs on this pool, never on a request thread.
+    */
+  private[http] lazy val watchdogPool: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-sql-timeout")
+      t.setDaemon(true)
+      t
+    })
 
   /** SQL keywords a stream may not be named (reference
     * `validator.rs DENIED_NAMES`).

@@ -135,7 +135,7 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
               }
             result match {
               case Left(msg) => err(ex, 403, msg)
-              case Right(df) =>
+              case Right(df) => withSqlTimeout(ex) {
                 // reference Query::from_request: `fields` and `streaming`
                 // ride ?query params; `send_null` from the body OR the
                 // `sendNull` param (default false — null-valued keys are
@@ -177,6 +177,7 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
                   respond(ex, 200, mapper.writeValueAsString(o))
                 } else
                   respond(ex, 200, ResponseWriter.toJsonArray(df, sendNull))
+              }
             }
           case _ => err(ex, 400, "need query, startTime, endTime")
         }
