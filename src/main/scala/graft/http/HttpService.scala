@@ -85,7 +85,11 @@ final class GraftHttpServer(
     trustedCerts: Option[String] = None,
     // reference P_SQL_TIMEOUT (cli.rs:211-219, enforced query/mod.rs:157):
     // a query exceeding this is cancelled and answered 504
-    private[http] val sqlTimeoutSeconds: Int = 300)
+    private[http] val sqlTimeoutSeconds: Int = 300,
+    // reference P_CORS + P_ALLOW_ORIGINS (cli.rs:154-163,265-271):
+    // cors=false → permissive (echo any Origin); true → allow-list only
+    private[http] val cors: Boolean = false,
+    private[http] val allowOrigins: Seq[String] = Nil)
   extends OidcRoutes with IngestRoutes with QueryRoutes with TailRoutes
   with LogstreamRoutes with AlertRoutes with UserRoutes with PrismRoutes
   with LlmRoutes {
@@ -303,11 +307,49 @@ final class GraftHttpServer(
         }
       }.toMap
 
+  /** CORS (reference `cross_origin_config`, handlers/http/mod.rs:75-90):
+    * with `cors=false` the server is PERMISSIVE (echo any Origin);
+    * enabled, only `allowOrigins` members are echoed — a mismatched
+    * origin still gets its response, just without CORS headers
+    * (`block_on_origin_mismatch(false)`). Preflight OPTIONS with a
+    * request-method header short-circuits to 200 echoing the asked
+    * method/headers (actix `allow_any_method`/`allow_any_header`).
+    */
+  private def corsHeaders(ex: HttpExchange): Boolean = {
+    Option(ex.getRequestHeaders.getFirst("Origin")) match {
+      case None => false
+      case Some(origin) =>
+        val allowed = !cors || allowOrigins.contains(origin)
+        if (allowed) {
+          val h = ex.getResponseHeaders
+          h.set("Access-Control-Allow-Origin", origin)
+          h.set("Access-Control-Allow-Credentials", "true")
+          h.add("Vary", "Origin")
+        }
+        allowed
+    }
+  }
+
   private[http] def handler(f: HttpExchange => Unit): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
-        try f(ex)
-        catch {
+        try {
+          val corsOk = corsHeaders(ex)
+          val preflight = ex.getRequestMethod == "OPTIONS" &&
+            ex.getRequestHeaders.containsKey("Access-Control-Request-Method")
+          if (preflight) {
+            if (corsOk) {
+              val h = ex.getResponseHeaders
+              h.set("Access-Control-Allow-Methods", String.valueOf(
+                ex.getRequestHeaders.getFirst("Access-Control-Request-Method")))
+              Option(ex.getRequestHeaders
+                  .getFirst("Access-Control-Request-Headers"))
+                .foreach(h.set("Access-Control-Allow-Headers", _))
+              h.set("Access-Control-Max-Age", "3600")
+            }
+            respond(ex, 200, "")
+          } else f(ex)
+        } catch {
           case e: Exception =>
             try err(ex, 500, String.valueOf(e.getMessage))
             catch { case _: Exception => () }
