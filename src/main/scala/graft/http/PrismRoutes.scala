@@ -291,17 +291,19 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
               .flatMap(_.elements().asScala.map(_.asText()))
             val offset = body.path("offset").asInt(0)
             val limit = body.path("limit").asInt(5)
-            try {
-              val df = QueryService.windowedRead(spark, dataset, stream,
-                range)
-              val out = graft.query.FieldStats.datasetStats(df, fields,
-                offset, limit)
-              respond(ex, 200, ResponseWriter.toJsonArray(out))
-            } catch {
-              case _: org.apache.spark.sql.AnalysisException =>
-                respond(ex, 200, "[]") // registered but data-less stream
-              case e: IllegalArgumentException =>
-                err(ex, 400, String.valueOf(e.getMessage))
+            withSqlTimeout(ex) {
+              try {
+                val df = QueryService.windowedRead(spark, dataset, stream,
+                  range)
+                val out = graft.query.FieldStats.datasetStats(df, fields,
+                  offset, limit)
+                respond(ex, 200, ResponseWriter.toJsonArray(out))
+              } catch {
+                case _: org.apache.spark.sql.AnalysisException =>
+                  respond(ex, 200, "[]") // registered but data-less stream
+                case e: IllegalArgumentException =>
+                  err(ex, 400, String.valueOf(e.getMessage))
+              }
             }
         }
     }

@@ -257,6 +257,9 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
             case Right(node) => Some(Alerts.Conditions.toColumn(node))
           }
         }
+        // the remainder runs Spark jobs — same timeout envelope as /query
+        // (a hostile condition tree over a wide window is still a scan)
+        withSqlTimeout(ex) {
         // manifest fast path (reference `get_bin_density`): an unfiltered
         // histogram answers from the stream's stats catalog — only files
         // straddling a bin boundary are scanned
@@ -289,6 +292,7 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
           .collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         respondCounts(ex, startMs, binMillis, bins, sparse)
+        }
     }
   }
 
@@ -377,6 +381,7 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
             s"user '${user.get}' lacks query access to stream '$dataset'")
           return
         }
+        withSqlTimeout(ex) {
         val df =
           try QueryService.windowedRead(spark, dataset, stream,
             TimeRange(anchor.minus(window), anchor.plus(window).plusMillis(1)))
@@ -405,6 +410,7 @@ private[http] trait QueryRoutes { self: GraftHttpServer =>
           records.add(beforeArr.get(i)))
         afterArr.forEach(r => { records.add(r); () })
         respond(ex, 200, mapper.writeValueAsString(o))
+        }
     }
   }
 }
