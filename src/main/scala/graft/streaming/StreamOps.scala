@@ -126,6 +126,10 @@ object StreamOps {
               n, numBuckets)
         }
         sink(survivors)
+        // free the checkpointed blocks now rather than at GC — the sink
+        // contract is "materialize before returning" (write/collect), so
+        // nothing may hold this frame across batches
+        survivors.unpersist()
         ()
       } finally { b.unpersist(); () }
     }

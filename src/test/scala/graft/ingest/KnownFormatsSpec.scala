@@ -110,6 +110,12 @@ class KnownFormatsSpec extends SparkSuite {
         "logger" -> "com.boomi.container.core"),
       "boomi_webserver_log" -> ("""192.0.2.11 admin [01/Jan/2024:12:00:00 +0000] "GET /ws/status?verbose=1 HTTP/1.1" 200 512 34 "https://ref" "Mozilla/5.0"""",
         "cs_uri_stem" -> "/ws/status"),
+      "syslog_log" -> ("""<14>Jan  1 12:00:00 host1 sshd[4242]: Accepted publickey for root""",
+        "process" -> "sshd"),
+      "kv_pairs" -> ("""ts=2024-01-01T12:00:00Z level=warn msg="disk nearly full" disk=/dev/sda1""",
+        "msg" -> "disk nearly full"),
+      "json_embedded" -> ("""app[1]: {"event": "login", "user": "u1"}""",
+        "json_payload" -> """{"event": "login", "user": "u1"}"""),
     )
     samples.foreach { case (name, (line, (field, expected))) =>
       val m = KnownFormats.extract(name, line)
