@@ -213,15 +213,22 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
 
   private[http] def appendWithStats(df: org.apache.spark.sql.DataFrame,
                               cfg: IngestPipeline.StreamConfig): Unit = {
-    IngestPipeline.append(df, root, cfg)
-    // live-tail fan-out (reference livetail.rs `process`): only pay the
-    // collect when someone is actually tailing; persisted=true because the
-    // rows are already in the table (no staging double count)
-    if (graft.streaming.LiveTail.subscriberCount(cfg.name) > 0)
-      graft.streaming.LiveTail.publish(cfg.name, df, persisted = true)
     val timeCol = cfg.timePartition.getOrElse("p_timestamp")
     val lock = statsLocks.computeIfAbsent(cfg.name, _ => new Object)
     lock.synchronized {
+      // the DATA append serializes under the same per-stream lock as the
+      // catalog: Spark's FileOutputCommitter shares ONE `_temporary` dir
+      // per target directory, so two concurrent append jobs race on its
+      // commit-time cleanup and one fails with a missing-file error
+      // (ConcurrentIngestSpec reproduced this with 4 racing writers).
+      // Per-NODE serialization is sufficient — in cluster mode every
+      // ingestor writes its own storage prefix.
+      IngestPipeline.append(df, root, cfg)
+      // live-tail fan-out (reference livetail.rs `process`): only pay the
+      // collect when someone is actually tailing; persisted=true because
+      // the rows are already in the table (no staging double count)
+      if (graft.streaming.LiveTail.subscriberCount(cfg.name) > 0)
+        graft.streaming.LiveTail.publish(cfg.name, df, persisted = true)
       // stats upkeep must never fail an ingest, but queries read THROUGH
       // the catalog once it exists — on failure, drop it entirely so
       // readers fall back to full listing (correct, just slower); the next
