@@ -65,4 +65,67 @@ class ConcurrentIngestSpec extends SparkSuite {
       assert(catRows == writers * batches * 2L, s"catalog says $catRows")
     } finally srv.stop()
   }
+
+  private def http(method: String, url: String, body: Option[String])
+      : (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(UTF_8)) finally os.close()
+    }
+    val status = conn.getResponseCode
+    val s = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text = if (s == null) ""
+      else try new String(s.readAllBytes(), UTF_8) finally s.close()
+    conn.disconnect()
+    (status, text)
+  }
+
+  test("queries racing with ingest: never 5xx, counts never go backwards") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rw").toString
+    val srv = new GraftHttpServer(spark, tmp, threads = 8)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    val futureIso = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.now().plusSeconds(600))
+    assert(post(s"$base/ingest", Map("X-P-Stream" -> "rw"),
+      """{"seq": -1}""") == 200)
+    @volatile var writerDone = false
+    @volatile var readerFailure: Option[String] = None
+    val reader = new Thread(() => {
+      var last = 0L
+      try {
+        while (!writerDone && readerFailure.isEmpty) {
+          val (code, body) = http("POST", s"$base/query", Some(
+            s"""{"query": "SELECT count(*) AS n FROM rw",
+               |"startTime": "10m", "endTime": "$futureIso"}""".stripMargin))
+          if (code >= 500)
+            readerFailure = Some(s"query $code: ${body.take(200)}")
+          else if (code == 200) {
+            val n = """\d+""".r.findFirstIn(body).map(_.toLong).getOrElse(0L)
+            // appends are atomic: a count may lag but never regress
+            if (n < last)
+              readerFailure = Some(s"count went backwards: $last -> $n")
+            last = math.max(last, n)
+          }
+        }
+      } catch { case t: Throwable => readerFailure = Some(t.toString) }
+    })
+    try {
+      reader.start()
+      (0 until 12).foreach { i =>
+        assert(post(s"$base/ingest", Map("X-P-Stream" -> "rw"),
+          s"""{"seq": $i}""") == 200)
+      }
+      writerDone = true
+      reader.join(60000)
+      assert(readerFailure.isEmpty, readerFailure)
+      val (fc, fb) = http("POST", s"$base/query", Some(
+        s"""{"query": "SELECT count(*) AS n FROM rw",
+           |"startTime": "10m", "endTime": "$futureIso"}""".stripMargin))
+      assert(fc == 200 && fb.contains("13"), s"$fc: $fb")
+    } finally { writerDone = true; srv.stop() }
+  }
 }
