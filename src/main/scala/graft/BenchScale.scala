@@ -63,8 +63,11 @@ object BenchScale {
     "q_agg_pricing", "q_asof_join", "q_sim_pq", "q_decontaminate_bloom",
     "q_sample_importance", "q_text_entropy",
     // round-10 additions: persisted-shingle-index probe (build+search
-    // fused — the sweep measures the full fused body), Lloyd step
-    "q_dedup_incremental_indexed", "q_cluster_kmeans")
+    // fused — the sweep measures the full fused body), Lloyd step,
+    // hashing-trick featurizer (explode + one hash-shuffle) and the
+    // quality-aware exact-dedup canonical (one struct-max shuffle)
+    "q_dedup_incremental_indexed", "q_cluster_kmeans",
+    "q_text_hashfeatures", "q_dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -426,6 +426,20 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("fp_md5"))),
 
+    // ML: exact dedup with a quality-aware canonical policy — keep the
+    // longest variant per content group (ties → min id), one struct-max
+    // aggregate, no per-group sort/window.
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.exactKeepBest(t(s, dir, "documents"), "doc_id", "text",
+          score = col("n_chars").cast("long"))
+        .orderBy(col("fp_md5"))),
+
+    // ML: hashing-trick featurizer — sparse TF features over a fixed
+    // 256-slot space, no vocabulary pass (fastText/VW style).
+    "q_text_hashfeatures" -> ((s, dir) =>
+      TextAnalysis.hashingFeatures(t(s, dir, "documents"), dim = 256)
+        .orderBy(col("doc_id"), col("slot"))),
+
     // ML: n-gram Jaccard near-dup pairs (shingle-key join, no cartesian).
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1720,6 +1734,24 @@ object SparkEntry {
         |  min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp_md5""".stripMargin,
 
+    // keep-best canonical: max score, ties -> min doc_id; the window
+    // formulation here is the naive re-derivation of the struct-max
+    "q_dedup_keep_best" ->
+      """SELECT fp_md5, CAST(doc_id AS BIGINT) AS keep_id,
+        |  CAST(n_chars AS BIGINT) AS score, dup_count
+        |FROM (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS fp_md5,
+        |    doc_id, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (
+        |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+        |      AS dup_count
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY fp_md5""".stripMargin,
+
     "q_dedup_jaccard" ->
       s"""$dShingleCte,
          |sz AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz FROM sh),
@@ -2285,6 +2317,16 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, token, n_occ,
         |  CAST(cum AS DOUBLE) / (SELECT total FROM tt) AS cum_frac
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    "q_text_hashfeatures" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+         |  FROM documents),
+         |w AS (SELECT doc_id, unnest(tk) AS w FROM toks)
+         |SELECT doc_id, CAST(${dHash60("w")} % 256 AS INT) AS slot,
+         |  count(*) AS tf
+         |FROM w GROUP BY 1, 2 ORDER BY doc_id, slot""".stripMargin,
 
     "q_chunk_overlap" ->
       """WITH toks AS (

@@ -62,6 +62,30 @@ object Dedup {
       .groupBy(col("fp_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup with a quality-aware canonical policy: per content
+    * fingerprint keep the row maximizing `score` (ties broken by minimum
+    * id), instead of [[exactGroups]]'s lowest-id-wins. Real pipelines keep
+    * the longest / highest-quality variant of a duplicated page, not an
+    * arbitrary one (reference keeps nothing — dedup is ours; policy follows
+    * RefinedWeb/Dolma practice).
+    *
+    * Output: (fp_md5, keep_id, score, dup_count).
+    *
+    * Scale: ONE hash-shuffle with map-side partial aggregation — the argmax
+    * rides a single struct-`max` (lexicographic on (score, -id)), so no
+    * per-group sort or window, unlike a row_number() formulation.
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      score: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("_id"), score.as("_score"),
+        md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
+      .groupBy(col("fp_md5"))
+      .agg(
+        max(struct(col("_score").as("s"), (-col("_id")).as("nid"))).as("best"),
+        count(lit(1)).as("dup_count"))
+      .select(col("fp_md5"), (-col("best.nid")).cast("long").as("keep_id"),
+        col("best.s").as("score"), col("dup_count"))
+
   // ------------------------------------------------------- shingle plumbing
 
   /** Per-doc distinct shingle-hash array: (id, sh: array<long>, sz).

@@ -302,6 +302,30 @@ object TextAnalysis {
         col("n_occ"), col("cum_frac"))
   }
 
+  /** Hashing-trick featurizer (fastText / Vowpal-Wabbit style): each
+    * document becomes sparse term-frequency features over a fixed `dim`-slot
+    * space, slot = portable 60-bit hash of the token mod `dim`. The point of
+    * the trick at 100 TB: no vocabulary pass, no dictionary broadcast, no
+    * OOV handling — feature extraction is a stateless per-row map.
+    *
+    * Output: (id, slot, tf) — one row per (document, occupied slot).
+    *
+    * Scale: explode feeds ONE hash-shuffle with map-side partial counts;
+    * output is bounded by docs × dim regardless of document length. The
+    * md5-based [[Dedup.hash60]] keeps slots engine-portable (the oracle
+    * recomputes them in SQL); swap `xxhash64` in if portability is not
+    * needed (~10× cheaper hash, same shape).
+    */
+  def hashingFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 1024): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol),
+        (Dedup.hash60(col("__w")) % dim).cast("int").as("slot"))
+      .groupBy(col(idCol), col("slot"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Overlapping token-window chunking (RAG / embedding prep): each
     * document becomes chunks of `size` tokens starting every `stride`
     * tokens (stride < size ⇒ overlap). The final chunk may be shorter;

@@ -324,4 +324,18 @@ class DedupSpec extends SparkSuite {
       (1L, 1L, 4L, a), (1L, 10L, 13L, b),
       (2L, 1L, 4L, a), (3L, 5L, 8L, b)))
   }
+
+  test("exactKeepBest keeps max-score variant, min id on ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same content", 10L), // dup group: 1,2,3
+      (2L, "Same  Content", 30L), // best score -> kept
+      (3L, "SAME CONTENT", 30L), // tied score, higher id -> dropped
+      (9L, "unique", 5L),
+    ).toDF("doc_id", "text", "q")
+    val r = Dedup.exactKeepBest(d, "doc_id", "text", score = col("q"))
+      .collect().map(x => (x.getAs[Long]("keep_id"), x.getAs[Long]("score"),
+        x.getAs[Long]("dup_count"))).toSet
+    assert(r == Set((2L, 30L, 3L), (9L, 5L, 1L)))
+  }
 }

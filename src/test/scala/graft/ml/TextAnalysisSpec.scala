@@ -222,4 +222,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(s.getAs[Long]("n_words") == 3L && s.getAs[Long]("top_word") == 3L)
     assert(s.getAs[Long]("n_trigrams") == 1L && s.getAs[Long]("dup_trigrams") == 0L)
   }
+
+  test("hashingFeatures: slot-summed tf equals token count, slots bounded") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val f = TextAnalysis.hashingFeatures(docs, dim = 8).collect()
+    // empty doc contributes no rows; totals per doc match token counts
+    val perDoc = f.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("tf")).sum).toMap
+    assert(perDoc == Map(1L -> 4L, 2L -> 1L))
+    f.foreach { r =>
+      val s = r.getAs[Int]("slot"); assert(s >= 0 && s < 8)
+    }
+    // the two 'a' occurrences land in ONE slot row with tf=2
+    val doc1 = f.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(doc1.map(_.getAs[Long]("tf")).sorted.toSeq == Seq(1L, 1L, 2L))
+  }
 }
