@@ -440,6 +440,22 @@ object SparkEntry {
       TextAnalysis.hashingFeatures(t(s, dir, "documents"), dim = 256)
         .orderBy(col("doc_id"), col("slot"))),
 
+    // ML: Unicode NFC normalization + accent folding. The corpus is ASCII,
+    // so a decomposed suffix (" cafe" + combining acute U+0301) is spliced
+    // onto each row to make the composition observable: NFC fuses e+◌́ into
+    // é (char count drops by 1), the accent fold strips it back to "cafe".
+    "q_text_normalize" -> ((s, dir) => {
+      def raw = concat(substring(col("text"), 1, 24),
+        lit(" cafe"), lit("\u0301"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.normalizeUnicode(raw).as("nfc_text"),
+        length(TextAnalysis.normalizeUnicode(raw)).cast("long")
+          .as("nfc_chars"),
+        TextAnalysis.foldAccents(raw).as("ascii_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: n-gram Jaccard near-dup pairs (shingle-key join, no cartesian).
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -2317,6 +2333,18 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, token, n_occ,
         |  CAST(cum AS DOUBLE) / (SELECT total FROM tt) AS cum_frac
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // combining acute = chr(769) = U+0301; NFC fuses "e"+U+0301 into é,
+    // strip_accents (utf8proc) agrees with NFD + \p{Mn} removal here
+    "q_text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, substring(text, 1, 24) || ' cafe' || chr(769) AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(r) AS nfc_text,
+        |  CAST(length(nfc_normalize(r)) AS BIGINT) AS nfc_chars,
+        |  strip_accents(r) AS ascii_text
+        |FROM raw ORDER BY doc_id""".stripMargin,
 
     "q_text_hashfeatures" ->
       s"""WITH toks AS (

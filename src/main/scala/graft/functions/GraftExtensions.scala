@@ -108,6 +108,19 @@ object GraftFunctions {
         checkArity("graft_tokens", args, Seq(1))
         WhitespaceTokens(args(0))
       }),
+    (FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        checkArity("graft_normalize", args, Seq(1, 2))
+        val form = if (args.length > 1) args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize: form must be a STRING literal, got $other")
+        } else "NFC"
+        UnicodeNormalize(args(0), form)
+      }),
     (FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
       (args: Seq[Expression]) => {

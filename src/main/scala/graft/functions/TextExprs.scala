@@ -309,6 +309,18 @@ object TextExprs {
     while (i < m) { s += arr.getUTF8String(i).numChars(); i += 1 }
     s
   }
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) via `java.text.Normalizer`.
+    * The `isNormalized` fast path returns the input UTF8String untouched —
+    * for the common case (already-NFC web text) the cost is one scan, no
+    * allocation, no re-encode.
+    */
+  def unicodeNormalize(s: UTF8String,
+      form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
 }
 
 /** `tokenize(text)` — see [[TextExprs.tokenize]]. */
@@ -320,6 +332,25 @@ case class WhitespaceTokens(child: Expression) extends UnaryExpression
     TextExprs.tokenize(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `unicode_normalize(text)` — see [[TextExprs.unicodeNormalize]]. `form`
+  * is one of NFC/NFD/NFKC/NFKD (validated at construction, so a typo fails
+  * at plan time, not per row).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  private val f = java.text.Normalizer.Form.valueOf(form)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.unicodeNormalize(input.asInstanceOf[UTF8String], f)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprs.unicodeNormalize($c, " +
+        s"java.text.Normalizer.Form.${f.name})")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

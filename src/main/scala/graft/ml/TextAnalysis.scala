@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CountInSet, LangBest, RepetitionStats, SumTokenChars, WhitespaceTokens, WordEntropyStats, WordNgrams, WordpiecePieces}
+import graft.functions.{CountInSet, LangBest, RepetitionStats, SumTokenChars, UnicodeNormalize, WhitespaceTokens, WordEntropyStats, WordNgrams, WordpiecePieces}
 
 /** Text-analysis operators for training-data pipelines: tokenization, token
   * counting, quality scoring, language-ID heuristic, fingerprinting.
@@ -27,6 +27,23 @@ object TextAnalysis {
 
   /** Whitespace tokens, empty-safe (split on space runs, drop empties). */
   def tokens(text: Column): Column = nat(text)(WhitespaceTokens(_))
+
+  /** Unicode normalization (default NFC) — multilingual corpora arrive in
+    * mixed composed/decomposed forms; every downstream exact-hash op
+    * (dedup fingerprints, shingles, decontamination n-grams) silently
+    * misses matches until the text is on one canonical form. Narrow
+    * per-row kernel with an `isNormalized` zero-copy fast path.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    nat(text)(UnicodeNormalize(_, form))
+
+  /** Accent folding: NFD-decompose then strip combining marks (`\p{Mn}`) —
+    * "café" → "cafe". The search-normalization companion to
+    * [[normalizeUnicode]] (matches DuckDB/utf8proc `strip_accents` on
+    * Latin-script text).
+    */
+  def foldAccents(text: Column): Column =
+    regexp_replace(normalizeUnicode(text, "NFD"), "\\p{Mn}", "")
 
   /** BPE-ish subword count: runs of letters, digits, or single symbols —
     * the standard cheap proxy for LLM token counts.

@@ -223,6 +223,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(s.getAs[Long]("n_trigrams") == 1L && s.getAs[Long]("dup_trigrams") == 0L)
   }
 
+  test("normalizeUnicode composes NFC, foldAccents strips marks; SQL fn") {
+    import spark.implicits._
+    // decomposed input spelled with escapes: e + combining acute (U+0301),
+    // A + combining ring (U+030A) -- the source file stays ASCII
+    val decomposed = "cafe\u0301 A\u030a"
+    val composed = "caf\u00e9 \u00c5"
+    val df = Seq((1L, decomposed)).toDF("id", "t")
+    val r = df.select(
+      TextAnalysis.normalizeUnicode(col("t")).as("nfc"),
+      TextAnalysis.normalizeUnicode(col("t"), "NFKC").as("nfkc"),
+      TextAnalysis.foldAccents(col("t")).as("folded")).head()
+    assert(r.getString(0) == composed)
+    assert(r.getString(1) == composed)
+    assert(r.getString(2) == "cafe A") // marks stripped
+    // already-normalized input passes through unchanged (fast path)
+    assert(df.select(TextAnalysis.normalizeUnicode(lit("plain ascii")))
+      .head().getString(0) == "plain ascii")
+    // SQL registration with literal form; bad form fails at plan time
+    assert(spark.sql("SELECT graft_normalize('cafe\u0301') AS x")
+      .head().getString(0) == "caf\u00e9")
+    intercept[Exception] {
+      spark.sql("SELECT graft_normalize('x', 'NOPE')").collect()
+    }
+  }
+
   test("hashingFeatures: slot-summed tf equals token count, slots bounded") {
     import spark.implicits._
     val docs = Seq((1L, "a b a c"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
