@@ -73,7 +73,8 @@ object Dedup {
     *
     * Scale: ONE hash-shuffle with map-side partial aggregation — the argmax
     * rides a single struct-`max` (lexicographic on (score, -id)), so no
-    * per-group sort or window, unlike a row_number() formulation.
+    * per-group sort or window, unlike a row_number() formulation. The id
+    * negation assumes ids > Long.MinValue (any non-negative id scheme).
     */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
       score: Column): DataFrame =

@@ -133,4 +133,33 @@ class TextExprsPropertySpec extends AnyFunSuite {
         assert(i == pieces.length)
     }
   }
+  test("unicodeNormalize: idempotent per form; NFC(NFD(x)) == NFC(x); " +
+       "already-normalized input returns the SAME UTF8String (fast path)") {
+    import java.text.Normalizer.Form
+    // strings salted with combining marks (acute U+0301, ring U+030A,
+    // umlaut U+0308) and precomposed letters so composition really fires
+    val genUni: Gen[String] = for {
+      parts <- Gen.listOf(Gen.oneOf(
+        "cafe", "e\u0301", "A\u030a", "o\u0308", "\u00e9", "\u00c5",
+        "\ufb01" /* fi ligature: NFKC-only change */, "x", " "))
+    } yield parts.mkString
+    val forms = Seq(Form.NFC, Form.NFD, Form.NFKC, Form.NFKD)
+    forAll(genUni) { raw =>
+      val u = UTF8String.fromString(raw)
+      forms.foreach { f =>
+        val once = TextExprs.unicodeNormalize(u, f)
+        val twice = TextExprs.unicodeNormalize(once, f)
+        // idempotence, and the fast path returns the same object
+        assert(twice.toString == once.toString, s"form=$f raw=$raw")
+        assert(twice eq once, s"fast path missed: form=$f raw=$raw")
+        // agrees with the platform normalizer
+        assert(once.toString ==
+          java.text.Normalizer.normalize(raw, f), s"form=$f raw=$raw")
+      }
+      // canonical equivalence: composing the decomposition restores NFC
+      val nfd = TextExprs.unicodeNormalize(u, Form.NFD)
+      assert(TextExprs.unicodeNormalize(nfd, Form.NFC).toString ==
+        TextExprs.unicodeNormalize(u, Form.NFC).toString, s"raw=$raw")
+    }
+  }
 }

@@ -56,6 +56,38 @@ class DedupPropertySpec extends SparkSuite {
     } yield (a, b, j)).toSet
   }
 
+  /** Random (id, text, score) corpora for the keep-best canonical policy. */
+  private val genScored: Gen[List[(Long, String, Long)]] = for {
+    n <- Gen.chooseNum(2, 14)
+    rows <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(0, 5)
+      toks <- Gen.listOfN(len, Gen.oneOf(vocab))
+      score <- Gen.chooseNum(0L, 5L) // small range => frequent ties
+      spaced <- Gen.oneOf(" ", "  ") // whitespace variants normalize equal
+      upper <- Gen.oneOf(true, false)
+    } yield {
+      val t = toks.mkString(spaced)
+      (if (upper) t.toUpperCase else t, score)
+    })
+  } yield rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+
+  test("exactKeepBest equals the naive argmax oracle on random corpora") {
+    forAll(genScored) { corpus =>
+      val df = corpus.toDF("doc_id", "text", "q")
+      val got = Dedup.exactKeepBest(df, "doc_id", "text", col("q"))
+        .collect()
+        .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("score"),
+          r.getAs[Long]("dup_count"))).toSet
+      // oracle: group by normalized content; keep max score, min id on tie
+      val norm = (t: String) => t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val expected = corpus.groupBy(c => norm(c._2)).values.map { g =>
+        val best = g.minBy(c => (-c._3, c._1))
+        (best._1, best._3, g.size.toLong)
+      }.toSet
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
+
   test("jaccardPairs equals the naive pairwise oracle on random corpora") {
     forAll(genCorpus) { corpus =>
       val df = corpus.toDF("doc_id", "text")
