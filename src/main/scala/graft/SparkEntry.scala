@@ -654,6 +654,18 @@ object SparkEntry {
           inDim = 64, bandBits = 2, bands = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ML: semantic decontamination — train embeddings (vec_id < 400) with
+    // a >= 0.35 cosine against any benchmark vector (vec_id >= 400);
+    // bipartite SRP-LSH blocking, no train x train work.
+    "q_sim_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          "vec_id", "embedding", threshold = 0.35,
+          inDim = 64, bandBits = 2, bands = 8)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // ML: deterministic stratified sampling — per-language Bernoulli rates
     // from the portable id hash (reproducible, repartition-stable).
     "q_sample_stratified" -> ((s, dir) =>
@@ -2031,6 +2043,19 @@ object SparkEntry {
          |WHERE len(list_filter(range(1, 9), t -> a.keys[t] = b.keys[t])) > 0
          |  AND ${dCosine("a.e", "b.e")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_decontaminate" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, e, ${dBandKeys("e", 64, 2, 8)} AS keys FROM v)
+         |SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+         |  ${dCosine("t.e", "b.e")} AS cosine
+         |FROM bk t JOIN bk b ON t.vec_id < 400 AND b.vec_id >= 400
+         |WHERE len(list_filter(range(1, 9), i -> t.keys[i] = b.keys[i])) > 0
+         |  AND ${dCosine("t.e", "b.e")} >= 0.35
+         |ORDER BY train_id, bench_id""".stripMargin,
 
     "q_dedup_spans" ->
       """WITH toks AS (

@@ -820,4 +820,50 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SEMANTIC decontamination: training vectors whose cosine against any
+    * benchmark vector reaches `threshold` — the embedding-space analog of
+    * [[Dedup.contamination]]'s n-gram overlap, catching PARAPHRASED
+    * benchmark leakage that exact n-grams miss. Same banded SRP-LSH
+    * blocking as [[nearDupPairs]], but BIPARTITE: train keys join bench
+    * keys only, so there is no train×train or bench×bench work at all —
+    * per-refresh cost is O(train collisions with the small bench side),
+    * the only shape that survives a 100 TB train corpus.
+    *
+    * Output: (train_id, bench_id, cosine), one row per flagged pair above
+    * threshold. Anti-join `train` against the distinct `train_id`s to get
+    * the clean set. `maxBucketSize` caps TRAIN-side bucket blowup from
+    * degenerate embedding regions (recall caveat as in [[nearDupPairs]]).
+    */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, inDim: Int,
+      bandBits: Int = 16, bands: Int = 8,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val planes = projectionMatrix(inDim, bandBits * bands)
+    def bandKey(vec: Column, t: Int): Column =
+      (0 until bandBits).map { j =>
+        when(dot(vec, lit(planes(t * bandBits + j).toArray)) >= 0d,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    def keyed(df: DataFrame, asId: String, asVec: String) =
+      df.select(col(idCol).as(asId), col(vecCol).as(asVec),
+        posexplode(array((0 until bands).map(t =>
+          bandKey(col(vecCol), t)): _*)).as(Seq("band", "key")))
+    val tr0 = keyed(train, "train_id", "vec_t")
+    val tr =
+      if (maxBucketSize == Int.MaxValue) tr0
+      else {
+        val ok = tr0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select(col("band"), col("key"))
+        tr0.join(ok, Seq("band", "key"))
+      }
+    tr.join(keyed(bench, "bench_id", "vec_b"), Seq("band", "key"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(first(col("vec_t")).as("vec_t"), first(col("vec_b")).as("vec_b"))
+      .withColumn("cosine", cosine(col("vec_t"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("cosine"))
+  }
 }

@@ -325,4 +325,30 @@ class SimilaritySpec extends SparkSuite {
     // refined centroid coordinates are finite floats
     assert(rows.forall(r => !r.getAs[Double]("m").isNaN))
   }
+
+  test("semanticContamination is bipartite and matches LSH-blocked " +
+       "brute force between the sides") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val train = e.filter(col("vec_id") < 80)
+    val bench = e.filter(col("vec_id") >= 80 && col("vec_id") < 120)
+    val got = Similarity.semanticContamination(train, bench,
+        "vec_id", "embedding", threshold = 0.3,
+        inDim = 64, bandBits = 1, bands = 8) // 1-bit bands: near-full recall
+      .collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id")))
+    // strictly bipartite: every pair is (train, bench)
+    got.foreach { case (t, b) => assert(t < 80 && b >= 80 && b < 120) }
+    assert(got.length == got.distinct.length) // deduped across bands
+    // 1-bit bands collide whenever ONE of 8 hyperplanes agrees in sign —
+    // at cosine >= 0.3 that probability is ~1: expect exact brute-force
+    val brute = train.select(col("vec_id").as("t"),
+        col("embedding").as("vt"))
+      .crossJoin(bench.select(col("vec_id").as("b"),
+        col("embedding").as("vb")))
+      .withColumn("c", Similarity.cosine(col("vt"), col("vb")))
+      .filter(col("c") >= 0.3)
+      .select("t", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == brute.toSet)
+  }
 }
