@@ -440,6 +440,17 @@ object SparkEntry {
       TextAnalysis.hashingFeatures(t(s, dir, "documents"), dim = 256)
         .orderBy(col("doc_id"), col("slot"))),
 
+    // ML: linear quality-classifier inference over hash features —
+    // fastText-style model application as one narrow aggregate; micro-grid
+    // integer weights (slot-derived here) keep the logit engine-exact.
+    "q_text_quality_model" -> ((s, dir) => {
+      val w = Array.tabulate(256)(sl =>
+        (sl.toLong * 2654435761L) % 2001L - 1000L)
+      TextRank.scoreLinearModel(t(s, dir, "documents"), "doc_id", "text",
+          weightsMicro = w, biasMicro = 50000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: Unicode NFC normalization + accent folding. The corpus is ASCII,
     // so a decomposed suffix (" cafe" + combining acute U+0301) is spliced
     // onto each row to make the composition observable: NFC fuses e+◌́ into
@@ -2358,6 +2369,27 @@ object SparkEntry {
         |SELECT CAST(rank AS BIGINT) AS rank, token, n_occ,
         |  CAST(cum AS DOUBLE) / (SELECT total FROM tt) AS cum_frac
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // same weight formula as the Spark side's Array.tabulate: weights
+    // w(slot) = (slot*2654435761) % 2001 - 1000 micro units, bias 50000
+    "q_text_quality_model" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+         |  FROM documents),
+         |w AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+         |f AS (
+         |  SELECT doc_id, CAST(${dHash60("w")} % 256 AS BIGINT) AS slot,
+         |    count(*) AS tf
+         |  FROM w GROUP BY 1, 2),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(sum(tf * ((slot * 2654435761) % 2001 - 1000)) + 50000
+         |      AS BIGINT) AS logit_micro
+         |  FROM f GROUP BY doc_id)
+         |SELECT doc_id, logit_micro,
+         |  CAST(logit_micro AS DOUBLE) / 1000000.0 AS logit
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     // combining acute = chr(769) = U+0301; NFC fuses "e"+U+0301 into é,
     // strip_accents (utf8proc) agrees with NFD + \p{Mn} removal here

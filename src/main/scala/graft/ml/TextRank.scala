@@ -233,4 +233,32 @@ object TextRank {
     terms.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("t")).as("logratio_micro"))
   }
+
+  /** Linear text-classifier inference over hashing-trick features — the
+    * apply side of a fastText/VW-style quality model: per-doc logit =
+    * Σ tf(slot)·w(slot) + bias, with weights on the 10⁻⁶ integer grid
+    * (micro units) so the sum is an EXACT BIGINT — engine-portable like
+    * [[dsirScores]] (no float accumulation order, no transcendental in
+    * the gated path; the sigmoid is monotone, so thresholding on the
+    * logit is equivalent).
+    *
+    * Scale: [[TextAnalysis.hashingFeatures]]'s single hash-shuffle plus
+    * one more map-side-combinable groupBy; the weight vector rides as a
+    * plan literal (array `element_at`), never a join — model application
+    * is a narrow aggregate however large the corpus.
+    *
+    * Output: (id, logit_micro BIGINT, logit DOUBLE) for every doc with at
+    * least one token (tokenless docs carry no feature mass — filter or
+    * default them upstream).
+    */
+  def scoreLinearModel(docs: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Array[Long], biasMicro: Long): DataFrame = {
+    val dim = weightsMicro.length
+    require(dim >= 1, "weights must be non-empty")
+    TextAnalysis.hashingFeatures(docs, idCol, textCol, dim)
+      .withColumn("__wq", element_at(lit(weightsMicro), col("slot") + 1))
+      .groupBy(col(idCol))
+      .agg((sum(col("tf") * col("__wq")) + biasMicro).as("logit_micro"))
+      .withColumn("logit", col("logit_micro").cast("double") / 1000000.0)
+  }
 }

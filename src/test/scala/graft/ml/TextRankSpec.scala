@@ -143,4 +143,28 @@ class TextRankSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
     assert(out == Map(1L -> 5L, 2L -> 3L))
   }
+
+  test("scoreLinearModel: logit equals the hand-folded feature sum") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b a"), (2L, "c"), (3L, " ")).toDF("doc_id", "text")
+    val dim = 8
+    val w = Array.tabulate(dim)(i => (i * 10 + 1).toLong) // micro units
+    val r = TextRank.scoreLinearModel(docs, "doc_id", "text",
+        weightsMicro = w, biasMicro = 7L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("logit_micro"), x.getAs[Double]("logit"))).toMap
+    // naive oracle: portable md5 slot per token, fold tf*w + bias
+    def slot(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % dim).toInt
+    }
+    def expect(toks: Seq[String]): Long =
+      toks.groupBy(slot).map { case (s, g) => g.size * w(s) }.sum + 7L
+    val e1 = expect(Seq("a", "b", "a"))
+    val e2 = expect(Seq("c"))
+    assert(r.keySet == Set(1L, 2L)) // tokenless doc 3 emits no row
+    assert(r(1L) == (e1, e1.toDouble / 1e6), s"got ${r(1L)} want $e1")
+    assert(r(2L) == (e2, e2.toDouble / 1e6))
+  }
 }
