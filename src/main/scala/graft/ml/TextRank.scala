@@ -251,6 +251,65 @@ object TextRank {
     * least one token (tokenless docs carry no feature mass — filter or
     * default them upstream).
     */
+  /** Distributed batch-gradient training of the logistic model
+    * [[scoreLinearModel]] applies — the TRAIN side of the fastText-style
+    * quality classifier, run entirely in-engine. Full-batch gradient
+    * descent: each iteration recomputes per-doc logits under the current
+    * weights (a plan literal, like the apply side), folds the residuals
+    * into one ≤`dim`-row gradient aggregate, and the driver updates the
+    * dense weight vector.
+    *
+    * Scale: the exploded feature frame (one row per (doc, occupied slot))
+    * is built ONCE and cached; each iteration is then two
+    * map-side-combinable aggregates over it — per-doc logit, per-slot
+    * gradient — and a ≤`dim`-row collect. Driver state is `dim` doubles.
+    * Iterations are sequential by nature (GD); everything inside one
+    * iteration is distributed.
+    *
+    * Returns (weights, bias) in natural units; quantize with
+    * [[toMicro]] to feed [[scoreLinearModel]]. Labels: `labelCol` as 1.0
+    * (positive) / 0.0 (negative). Docs with no tokens carry no features
+    * and are ignored. Not oracle-gated: training is iterative and
+    * float-accumulating (spec-verified on separable data instead).
+    */
+  def trainLinearModel(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int, iters: Int = 20,
+      lr: Double = 0.5): (Array[Double], Double) = {
+    require(iters >= 1 && dim >= 1)
+    val f = TextAnalysis.hashingFeatures(docs, idCol, textCol, dim)
+      .join(docs.select(col(idCol), col(labelCol).cast("double").as("__y")),
+        Seq(idCol))
+      .persist()
+    try {
+      val n = math.max(1L, f.select(col(idCol)).distinct().count())
+      var w = new Array[Double](dim)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val logits = f
+          .withColumn("__w", element_at(lit(w), col("slot") + 1))
+          .groupBy(col(idCol))
+          .agg((sum(col("tf") * col("__w")) + b).as("__z"),
+            first(col("__y")).as("__y"))
+          .withColumn("__r",
+            lit(1.0) / (lit(1.0) + exp(-col("__z"))) - col("__y"))
+        val grads = f.join(logits.select(col(idCol), col("__r")), Seq(idCol))
+          .groupBy(col("slot"))
+          .agg(sum(col("tf") * col("__r")).as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getAs[Double]("__g")).toMap
+        val bGrad = logits.agg(sum(col("__r"))).head().getDouble(0)
+        w = Array.tabulate(dim)(s => w(s) - lr * grads.getOrElse(s, 0.0) / n)
+        b -= lr * bGrad / n
+        it += 1
+      }
+      (w, b)
+    } finally { f.unpersist(); () }
+  }
+
+  /** Quantize trained weights/bias onto [[scoreLinearModel]]'s 10⁻⁶ grid. */
+  def toMicro(w: Array[Double], b: Double): (Array[Long], Long) =
+    (w.map(x => math.floor(x * 1e6).toLong), math.floor(b * 1e6).toLong)
+
   def scoreLinearModel(docs: DataFrame, idCol: String, textCol: String,
       weightsMicro: Array[Long], biasMicro: Long): DataFrame = {
     val dim = weightsMicro.length

@@ -144,6 +144,30 @@ class TextRankSpec extends SparkSuite {
     assert(out == Map(1L -> 5L, 2L -> 3L))
   }
 
+  test("trainLinearModel separates a word-keyed corpus; quantized apply " +
+       "side ranks positives above negatives") {
+    import org.apache.spark.sql.functions.col
+    // positives mention quality words, negatives spam words; some shared
+    // filler so the model must actually learn the discriminative slots
+    val docs = (
+      (1 to 10).map(i => (i.toLong,
+        s"great wonderful insight number $i with common filler words", 1.0)) ++
+      (11 to 20).map(i => (i.toLong,
+        s"spam junk clickbait number $i with common filler words", 0.0))
+    ).toDF("doc_id", "text", "label")
+    val (w, b) = TextRank.trainLinearModel(docs, "doc_id", "text", "label",
+      dim = 64, iters = 40, lr = 1.0)
+    val (wq, bq) = TextRank.toMicro(w, b)
+    val scored = TextRank.scoreLinearModel(docs, "doc_id", "text", wq, bq)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logit"))
+      .toMap
+    val pos = (1 to 10).map(i => scored(i.toLong))
+    val neg = (11 to 20).map(i => scored(i.toLong))
+    // full separation on the training set: worst positive above best negative
+    assert(pos.min > neg.max,
+      s"pos=${pos.sorted.mkString(",")} neg=${neg.sorted.mkString(",")}")
+  }
+
   test("scoreLinearModel: logit equals the hand-folded feature sum") {
     import org.apache.spark.sql.functions.col
     val docs = Seq((1L, "a b a"), (2L, "c"), (3L, " ")).toDF("doc_id", "text")
