@@ -665,15 +665,17 @@ object SparkEntry {
           inDim = 64, bandBits = 2, bands = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // ML: semantic decontamination — train embeddings (vec_id < 400) with
-    // a >= 0.35 cosine against any benchmark vector (vec_id >= 400);
-    // bipartite SRP-LSH blocking, no train x train work.
+    // ML: semantic decontamination — the 4% of vectors with vec_id % 25
+    // == 0 act as the benchmark, the rest as train (proportional split at
+    // every SF — a fixed id cutoff would flip the roles as the corpus
+    // grows); bipartite SRP-LSH blocking, no train x train work.
     "q_sim_decontaminate" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.semanticContamination(
-          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          e.filter(col("vec_id") % 25 =!= 0),
+          e.filter(col("vec_id") % 25 === 0),
           "vec_id", "embedding", threshold = 0.35,
-          inDim = 64, bandBits = 2, bands = 8)
+          inDim = 64, bandBits = 4, bands = 8)
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
@@ -2060,10 +2062,10 @@ object SparkEntry {
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings),
          |bk AS (
-         |  SELECT vec_id, e, ${dBandKeys("e", 64, 2, 8)} AS keys FROM v)
+         |  SELECT vec_id, e, ${dBandKeys("e", 64, 4, 8)} AS keys FROM v)
          |SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
          |  ${dCosine("t.e", "b.e")} AS cosine
-         |FROM bk t JOIN bk b ON t.vec_id < 400 AND b.vec_id >= 400
+         |FROM bk t JOIN bk b ON t.vec_id % 25 != 0 AND b.vec_id % 25 = 0
          |WHERE len(list_filter(range(1, 9), i -> t.keys[i] = b.keys[i])) > 0
          |  AND ${dCosine("t.e", "b.e")} >= 0.35
          |ORDER BY train_id, bench_id""".stripMargin,
