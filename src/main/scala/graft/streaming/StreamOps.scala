@@ -79,6 +79,16 @@ object StreamOps {
     * index. A missing/empty index (first batch ever) means nothing to
     * probe: the whole batch is novel modulo intra-batch dups.
     *
+    * REPLAY SAFETY: `foreachBatch` is at-least-once — after a crash
+    * between the epoch commit and the offset-log write, the restarted
+    * query re-delivers the last batch. Re-running it would append the
+    * survivors' shingles (and the sink rows) a second time. Each
+    * successful batch therefore records its id in `_last_batch` inside
+    * the index dir, and a batch with id ≤ the recorded watermark is
+    * skipped outright (its effects are already fully applied — marker
+    * write is the LAST step). Batch ids are strictly increasing per
+    * checkpoint, so the single-value watermark is enough.
+    *
     * Returns the `DataStreamWriter` — caller picks trigger/checkpoint and
     * starts it.
     */
@@ -87,9 +97,34 @@ object StreamOps {
                       n: Int = 3, threshold: Double = 0.5,
                       numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processDedupBatch(batch, batchId, idCol, textCol, indexPath, sink,
+        n, threshold, numBuckets)
+    }
+
+  /** One micro-batch of [[dedupNearStream]], exposed for direct testing of
+    * the replay-skip path. Idempotent per `batchId`: a second invocation
+    * with an already-committed id is a no-op.
+    */
+  private[streaming] def processDedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexPath: String,
+      sink: DataFrame => Unit, n: Int, threshold: Double,
+      numBuckets: Int): Unit = {
       import graft.ml.Dedup
       val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val markerPath =
+        new org.apache.hadoop.fs.Path(indexPath, "_last_batch")
+      val committed: Long =
+        if (!fs.exists(markerPath)) -1L
+        else try {
+          val in = fs.open(markerPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        } catch { case _: Exception => -1L }
+      if (batchId <= committed) return // replayed batch: already applied
       val b = batch.persist() // probed, self-joined and appended — one scan
       try {
         val activeDir = new org.apache.hadoop.fs.Path(
@@ -130,7 +165,14 @@ object StreamOps {
         // contract is "materialize before returning" (write/collect), so
         // nothing may hold this frame across batches
         survivors.unpersist()
+        // marker LAST: a crash anywhere above leaves it unwritten and the
+        // replay re-runs the whole batch (at-least-once within the batch,
+        // exactly-once across completed batches)
+        val out = fs.create(markerPath, true)
+        try out.write(batchId.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         ()
       } finally { b.unpersist(); () }
-    }
+  }
 }

@@ -82,4 +82,39 @@ class StreamOpsSpec extends SparkSuite {
       assert(refIds == Set(1L, 3L, 11L))
     } finally q.stop()
   }
+
+  test("dedupNearStream replay: re-delivered batch id is a no-op " +
+       "(no duplicate sink rows, no duplicate index shingles)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("sndrp").toString
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: org.apache.spark.sql.DataFrame => Unit =
+      df => kept.synchronized {
+        kept ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    def run(rows: Seq[(Long, String)], batchId: Long): Unit =
+      StreamOps.processDedupBatch(rows.toDF("doc_id", "text"), batchId,
+        "doc_id", "text", s"$idx/index", sink, n = 3, threshold = 0.5,
+        numBuckets = 64)
+    val batch0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content lives in this document here"))
+    run(batch0, 0L)
+    assert(kept.sorted == Seq(1L, 2L))
+    // crash-replay of batch 0: exact same delivery, same id — skipped
+    run(batch0, 0L)
+    assert(kept.sorted == Seq(1L, 2L), s"replay duplicated rows: $kept")
+    val shingleRows = spark.read.parquet(s"$idx/index/shingles").count()
+    // a NEW batch id still processes (cross-batch dedup keeps working)
+    run(Seq((5L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+            (6L, "yet another unrelated document about rivers and stones")),
+      1L)
+    assert(kept.sorted == Seq(1L, 2L, 6L))
+    // replaying batch 0 did not touch the index; batch 1 appended only 6
+    val refIds = spark.read.parquet(s"$idx/index/shingles")
+      .select("ref_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(refIds == Set(1L, 2L, 6L))
+    assert(spark.read.parquet(s"$idx/index/shingles")
+      .filter(org.apache.spark.sql.functions.col("ref_id") === 1L).count()
+      > 0 && shingleRows > 0)
+  }
 }
