@@ -67,7 +67,9 @@ object BenchScale {
     // hashing-trick featurizer (explode + one hash-shuffle) and the
     // quality-aware exact-dedup canonical (one struct-max shuffle)
     "q_dedup_incremental_indexed", "q_cluster_kmeans",
-    "q_text_hashfeatures", "q_dedup_keep_best")
+    "q_text_hashfeatures", "q_dedup_keep_best",
+    // bipartite embedding-LSH screen, classifier apply, NFC projection
+    "q_sim_decontaminate", "q_text_quality_model", "q_text_normalize")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
