@@ -123,4 +123,64 @@ class TxnCatalogConcurrencySpec extends SparkSuite {
     assert(finalSeqs == (1L to (writers * perWriter + 1)).toSeq)
     assert(snapshotsSeen.get() > 0, "readers never overlapped the writers")
   }
+
+  test("vacuum racing latest-readers: the current snapshot never breaks; " +
+       "a reader pinned to a vacuumed version fails fast, not silently") {
+    val root = tmp()
+    (0 until 3).foreach { i =>
+      TxnCatalog.commit(spark, root) { _ =>
+        Seq((s"f$i", i.toLong)).toDF("file_path", "num_rows")
+      }
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    // reader: always resolve LATEST, read it fully. A read can straddle a
+    // vacuum that retires the version it just pinned — the DOCUMENTED
+    // contract is fail-FAST there (missing files), never silently-wrong
+    // data, so a missing-file error is tolerated and anything else
+    // (including a row count that shrinks) is a real failure
+    pool.execute { () =>
+      try {
+        while (!done.get()) {
+          try {
+            val rows = TxnCatalog.snapshot(spark, root).get.count()
+            assert(rows >= 1)
+            reads.incrementAndGet()
+          } catch {
+            case e: Throwable
+                if Option(e.getMessage).exists(m =>
+                  m.contains("does not exist") ||
+                    m.contains("PATH_NOT_FOUND") ||
+                    m.contains("FileNotFound")) => () // documented fail-fast
+          }
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }
+    // writer: commit then immediately vacuum down to 2 versions, 5 cycles
+    pool.execute { () =>
+      try {
+        (3 until 8).foreach { i =>
+          TxnCatalog.commit(spark, root) { cur =>
+            cur.get.unionByName(
+              Seq((s"f$i", i.toLong)).toDF("file_path", "num_rows"))
+          }
+          TxnCatalog.vacuum(root, keep = 2)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+      finally { done.set(true); () }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "threads hung")
+    assert(failures.isEmpty, failures.asScala.map(_.toString).toSeq)
+    assert(reads.get() > 0, "reader never ran")
+    // old versions are gone: pinning one resolves to no snapshot (marker
+    // deleted first), or a read of it fails fast — never a silent empty
+    assert(TxnCatalog.snapshot(spark, root, Some(0L)).isEmpty)
+    assert(TxnCatalog.latestVersion(root).contains(7L))
+    // seeds v0-v2 each REPLACED the snapshot (1 row); v3-v7 appended one
+    // row each onto v2's single row -> 6 rows at v7
+    assert(TxnCatalog.snapshot(spark, root).get.count() == 6L)
+  }
 }
