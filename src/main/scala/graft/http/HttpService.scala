@@ -256,10 +256,29 @@ final class GraftHttpServer(
 
   // ------------------------------------------------------------- plumbing
 
+  /** Response floor below which gzip costs more than it saves. */
+  private val GzipMinBytes = 512
+
   private[http] def respond(ex: HttpExchange, status: Int, body: String,
                       contentType: String = "application/json"): Unit = {
-    val bytes = body.getBytes(UTF_8)
+    val plain = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
+    // response compression (reference actix Compress middleware,
+    // modal/mod.rs:119): gzip buffered bodies when the client asks and
+    // the payload clears the floor; streaming NDJSON paths stay identity
+    val acceptsGzip = Option(
+      ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(v => v.toLowerCase.contains("gzip") &&
+        !v.toLowerCase.matches(".*gzip\\s*;\\s*q=0(\\.0+)?(,.*)?$"))
+    val bytes =
+      if (acceptsGzip && plain.length >= GzipMinBytes) {
+        val bos = new java.io.ByteArrayOutputStream(plain.length / 3 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        try gz.write(plain) finally gz.close()
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        ex.getResponseHeaders.add("Vary", "Accept-Encoding")
+        bos.toByteArray
+      } else plain
     ex.sendResponseHeaders(status, bytes.length.toLong)
     try ex.getResponseBody.write(bytes)
     finally ex.close()
@@ -348,8 +367,38 @@ final class GraftHttpServer(
               h.set("Access-Control-Max-Age", "3600")
             }
             respond(ex, 200, "")
-          } else f(ex)
+          } else {
+            // request decompression (actix extractors decompress
+            // transparently; OTel exporters gzip OTLP bodies by default):
+            // swap the exchange's input stream before the handler reads it
+            Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+              .map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+              case None | Some("identity") => f(ex)
+              case Some("gzip") | Some("x-gzip") =>
+                // the GZIP header is read eagerly — a garbage body fails
+                // HERE, as a clean 400, not inside the handler
+                val wrapped =
+                  try new java.util.zip.GZIPInputStream(ex.getRequestBody)
+                  catch {
+                    case _: java.io.IOException =>
+                      err(ex, 400, "malformed gzip request body"); return
+                  }
+                ex.setStreams(wrapped, null)
+                f(ex)
+              case Some("deflate") =>
+                ex.setStreams(new java.util.zip.InflaterInputStream(
+                  ex.getRequestBody), null)
+                f(ex)
+              case Some(other) =>
+                err(ex, 415, s"unsupported Content-Encoding '$other'")
+            }
+          }
         } catch {
+          // a corrupt compressed body can also fail mid-read inside the
+          // handler — that's the CLIENT's malformed payload, not a bug
+          case e @ (_: java.util.zip.ZipException | _: java.io.EOFException) =>
+            try err(ex, 400, s"malformed compressed body: ${e.getMessage}")
+            catch { case _: Exception => () }
           case e: Exception =>
             try err(ex, 500, String.valueOf(e.getMessage))
             catch { case _: Exception => () }
