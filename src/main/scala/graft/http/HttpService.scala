@@ -135,6 +135,39 @@ final class GraftHttpServer(
   private[http] val ingestedEvents = new java.util.concurrent.atomic.AtomicLong
   private[http] val queryCalls = new java.util.concurrent.atomic.AtomicLong
 
+  // per-stream labeled series (reference EVENTS_INGESTED /
+  // EVENTS_INGESTED_SIZE IntGaugeVecs, metrics/mod.rs:38-57): stream key →
+  // (events, approx json bytes); storage size is computed at scrape time
+  private[http] val streamEvents = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.concurrent.atomic.AtomicLong,
+             java.util.concurrent.atomic.AtomicLong)]
+  private[http] def countStreamIngest(key: String, events: Long,
+      bytes: Long): Unit = {
+    val c = streamEvents.computeIfAbsent(key,
+      _ => (new java.util.concurrent.atomic.AtomicLong,
+            new java.util.concurrent.atomic.AtomicLong))
+    c._1.addAndGet(events)
+    c._2.addAndGet(bytes)
+    ()
+  }
+
+  // /query latency histogram (reference QUERY_EXECUTE_TIME HistogramVec):
+  // cumulative prometheus buckets in seconds + sum/count
+  private[http] val queryLatencyBounds =
+    Array(0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+  private[http] val queryLatencyCounts =
+    Array.fill(queryLatencyBounds.length + 1)(
+      new java.util.concurrent.atomic.AtomicLong)
+  private[http] val queryLatencySumMicros =
+    new java.util.concurrent.atomic.AtomicLong
+  private[http] def observeQueryLatency(sec: Double): Unit = {
+    var i = 0
+    while (i < queryLatencyBounds.length && sec > queryLatencyBounds(i)) i += 1
+    queryLatencyCounts(i).incrementAndGet()
+    queryLatencySumMicros.addAndGet((sec * 1e6).toLong)
+    ()
+  }
+
   // cluster metastore lives in the shared storage root — the same place
   // the data goes, so every node sees the same registrations
   private[http] val metaStore = new Cluster.MetaStore(root)
@@ -203,6 +236,7 @@ final class GraftHttpServer(
       }
       false
     }
+    val t0 = System.nanoTime()
     try body
     catch {
       case e: Throwable if cancelled(e) =>
@@ -212,6 +246,9 @@ final class GraftHttpServer(
     } finally {
       watchdog.cancel(false)
       sc.clearJobGroup()
+      // reference QUERY_EXECUTE_TIME: every timed SQL envelope (query,
+      // counts, context) lands in the scrape histogram, timeouts included
+      observeQueryLatency((System.nanoTime() - t0) / 1e9)
     }
   }
 

@@ -125,6 +125,7 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
                 appendWithStats(df, cfg)
                 ingestCalls.incrementAndGet()
                 ingestedEvents.addAndGet(n)
+                countStreamIngest(cfg.name, n, body.getBytes(UTF_8).length.toLong)
                 respond(ex, 200, mapper.writeValueAsString(
                   mapper.createObjectNode()
                     .put("status", "ok").put("events", n)))
@@ -203,6 +204,7 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
                 appendWithStats(df, cfg)
                 ingestCalls.incrementAndGet()
                 ingestedEvents.addAndGet(n)
+                countStreamIngest(cfg.name, n, body.getBytes(UTF_8).length.toLong)
                 respond(ex, 200, mapper.writeValueAsString(
                   mapper.createObjectNode()
                     .put("status", "ok").put("events", n)))

@@ -86,6 +86,8 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
                 val n = df.count()
                 appendWithStats(df, cfg)
                 ingestedEvents.addAndGet(n)
+                countStreamIngest(cfg.name, n,
+                  events.map(_.toString.length.toLong).sum)
                 respond(ex, 200, mapper.writeValueAsString(
                   mapper.createObjectNode()
                     .put("status", "ok").put("stream", "demodata")
@@ -242,6 +244,55 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
       queryCalls.get.toString)
     metric("graft_streams", "Registered streams (all tenants)", "gauge",
       (configs.keySet.asScala.toSet ++ metaStore.streams()).size.toString)
+    // per-stream labeled series (reference EVENTS_INGESTED /
+    // EVENTS_INGESTED_SIZE / STORAGE_SIZE vecs). Storage size is walked
+    // at scrape time — the scrape pays one listing per stream dir rather
+    // than every append paying bookkeeping.
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val perStream = streamEvents.entrySet().asScala.toSeq
+      .sortBy(_.getKey)
+    if (perStream.nonEmpty) {
+      body ++= "# HELP graft_stream_events_ingested_total Events accepted" +
+        " per stream\n# TYPE graft_stream_events_ingested_total counter\n"
+      perStream.foreach { e =>
+        body ++= s"""graft_stream_events_ingested_total{stream="${esc(
+          e.getKey)}"} ${e.getValue._1.get}\n"""
+      }
+      body ++= "# HELP graft_stream_ingested_bytes_total JSON payload " +
+        "bytes accepted per stream\n" +
+        "# TYPE graft_stream_ingested_bytes_total counter\n"
+      perStream.foreach { e =>
+        body ++= s"""graft_stream_ingested_bytes_total{stream="${esc(
+          e.getKey)}"} ${e.getValue._2.get}\n"""
+      }
+      body ++= "# HELP graft_stream_storage_bytes Stored bytes per " +
+        "stream (walked at scrape)\n# TYPE graft_stream_storage_bytes gauge\n"
+      perStream.foreach { e =>
+        val dir = java.nio.file.Paths.get(root, e.getKey)
+        val sz =
+          if (!java.nio.file.Files.isDirectory(dir)) 0L
+          else {
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(p => p.toFile.length).sum()
+            finally walk.close()
+          }
+        body ++= s"""graft_stream_storage_bytes{stream="${esc(
+          e.getKey)}"} $sz\n"""
+      }
+    }
+    // /query latency histogram (reference QUERY_EXECUTE_TIME)
+    body ++= "# HELP graft_query_duration_seconds SQL envelope latency\n" +
+      "# TYPE graft_query_duration_seconds histogram\n"
+    var cum = 0L
+    queryLatencyBounds.zipWithIndex.foreach { case (bound, i) =>
+      cum += queryLatencyCounts(i).get
+      body ++= s"""graft_query_duration_seconds_bucket{le="$bound"} $cum\n"""
+    }
+    cum += queryLatencyCounts(queryLatencyBounds.length).get
+    body ++= s"""graft_query_duration_seconds_bucket{le="+Inf"} $cum\n"""
+    body ++= f"graft_query_duration_seconds_sum ${queryLatencySumMicros.get / 1e6}%.6f\n"
+    body ++= s"graft_query_duration_seconds_count $cum\n"
     respond(ex, 200, body.toString,
       contentType = "text/plain; version=0.0.4; charset=utf-8")
   }

@@ -83,6 +83,46 @@ class AboutDemoMetricsSpec extends SparkSuite {
       val streams = mb.linesIterator.find(_.startsWith("graft_streams "))
         .map(_.split(" ").last.toInt)
       assert(streams.exists(_ >= 1), mb)
+
+      // ---- per-stream labeled series (reference EVENTS_INGESTED vecs):
+      // the demo ingest's stream carries its event count and positive
+      // payload + storage bytes
+      val streamLine = mb.linesIterator
+        .find(_.startsWith("graft_stream_events_ingested_total{"))
+      assert(streamLine.exists(_.split(" ").last.toLong == 200L), mb)
+      assert(mb.linesIterator
+        .find(_.startsWith("graft_stream_ingested_bytes_total{"))
+        .exists(_.split(" ").last.toLong > 0L), mb)
+      assert(mb.linesIterator
+        .find(_.startsWith("graft_stream_storage_bytes{"))
+        .exists(_.split(" ").last.toLong > 0L), mb)
+
+      // ---- query latency histogram: cumulative buckets, count == +Inf
+      // NOT a bare COUNT(*): that answers from the manifest fast path
+      // BEFORE the timed SQL envelope and would never hit the histogram
+      val q = mapper.createObjectNode()
+        .put("query", "SELECT * FROM " +
+          streamLine.get.split("\"")(1) + " LIMIT 5")
+        .put("startTime", "10m")
+        .put("endTime", java.time.Instant.now.plusSeconds(60).toString)
+      val qconn = new URL(s"$base/query").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      qconn.setRequestMethod("POST"); qconn.setDoOutput(true)
+      val os = qconn.getOutputStream
+      try os.write(mapper.writeValueAsString(q).getBytes(UTF_8))
+      finally os.close()
+      assert(qconn.getResponseCode == 200)
+      qconn.getInputStream.readAllBytes(); qconn.disconnect()
+      val (_, mb2) = http("GET", s"$base/metrics")
+      val buckets = mb2.linesIterator
+        .filter(_.startsWith("graft_query_duration_seconds_bucket"))
+        .map(_.split(" ").last.toLong).toSeq
+      assert(buckets.nonEmpty && buckets == buckets.sorted, buckets)
+      val inf = buckets.last
+      val cnt = mb2.linesIterator
+        .find(_.startsWith("graft_query_duration_seconds_count"))
+        .map(_.split(" ").last.toLong)
+      assert(cnt.contains(inf) && inf >= 1L, mb2)
     } finally srv.stop()
   }
 

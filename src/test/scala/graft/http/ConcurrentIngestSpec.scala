@@ -51,7 +51,11 @@ class ConcurrentIngestSpec extends SparkSuite {
       threads.foreach(_.join(120000))
       import scala.jdk.CollectionConverters._
       assert(codes.asScala.forall(_ == 200), codes.asScala.toSeq)
-      val df = spark.read.parquet(s"$tmp/conc")
+      // mergeSchema: plain parquet inference samples ONE file, and early
+      // files legitimately predate late writers' private columns. (The
+      // engine's own read path applies the PERSISTED union schema —
+      // QueryService.plainReader — this merge is the test's equivalent.)
+      val df = spark.read.option("mergeSchema", "true").parquet(s"$tmp/conc")
       // every event landed exactly once
       assert(df.count() == writers * batches * 2L)
       // every writer's private column merged into one schema
