@@ -390,6 +390,12 @@ final class GraftHttpServer(
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
+          // reference check_shutdown_middleware: once the shutdown flag is
+          // up every route answers 503 — load balancers drain on it while
+          // in-flight exchanges finish under server.stop's grace window
+          if (stopping) {
+            err(ex, 503, "Server is shutting down"); return
+          }
           val corsOk = corsHeaders(ex)
           val preflight = ex.getRequestMethod == "OPTIONS" &&
             ex.getRequestHeaders.containsKey("Access-Control-Request-Method")
@@ -535,11 +541,18 @@ final class GraftHttpServer(
   }
 
   def stop(): Unit = {
-    stopping = true // unblocks SSE loops at their next keep-alive tick
+    // reference shutdown(): flag first (everything answers 503), then the
+    // grace window for in-flight exchanges. No staging flush is needed
+    // here — ingest writes parquet + catalog synchronously per request,
+    // so there is nothing buffered the way the reference's Arrow staging
+    // is; LiveTail rings are query-freshness caches over data already
+    // durable on disk.
+    stopping = true // also unblocks SSE loops at their next keep-alive tick
     resourceMonitor.foreach(_.stop())
     generators.values().asScala.foreach(_.stop())
     generators.clear()
-    server.stop(0)
+    // waits for in-flight handlers up to 1 s; immediate when idle
+    server.stop(1)
     // the fixed pool's threads are non-daemon: without this, every
     // started server leaks `threads` live threads for the JVM's lifetime
     pool.shutdown()

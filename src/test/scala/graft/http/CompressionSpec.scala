@@ -115,4 +115,23 @@ class CompressionSpec extends SparkSuite {
       assert(raw("GET", s"$base/about", Map.empty, None)._1 == 200)
     } finally srv.stop()
   }
+
+  test("shutdown drain: once the flag is up every route answers 503") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drain").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+    try {
+      assert(raw("GET", s"$base/about", Map.empty, None)._1 == 200)
+      // raise the flag WITHOUT closing the socket — the reference
+      // middleware behavior: draining, not refusing connections
+      srv.stopping = true
+      val (ds, dbody, _) = raw("GET", s"$base/about", Map.empty, None)
+      assert(ds == 503, ds)
+      assert(new String(dbody, UTF_8).contains("shutting down"))
+      assert(raw("POST", s"$base/ingest",
+        Map("X-P-Stream" -> "x"),
+        Some("""{"a":1}""".getBytes(UTF_8)))._1 == 503)
+    } finally srv.stop()
+  }
 }
