@@ -1440,6 +1440,19 @@ object SparkEntry {
           k = 8, keepCanonical = true)
         .orderBy(col("doc_id"))),
 
+    // ML: CCNet/RefinedWeb line-level boilerplate removal — lines
+    // repeated across >1% of documents are stripped, survivors rejoin in
+    // order. The corpus text is single-line, so lines are synthesized by
+    // breaking after every 2nd word (the same regex on both engines).
+    "q_dedup_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lined = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+      Dedup.lineDedup(lined, "doc_id", "text",
+          maxDocFreq = docs.count() / 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: two-stage ANN — projected candidate generation (16-d, 4x
     // cheaper over the full cross product) then exact full-vector
     // re-rank of the top-20 pool.
@@ -2337,6 +2350,39 @@ object SparkEntry {
         |LEFT JOIN st s USING (doc_id)
         |LEFT JOIN clean c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // line = 2-word window (regex identical to the Spark side); doc
+    // frequency counted over DISTINCT docs per normalized-line hash;
+    // threshold = floor(1% of corpus docs)
+    "q_dedup_lines" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '(\\S+ \\S+) ', '\\1' || chr(10), 'g') AS t
+         |  FROM documents),
+         |thr AS (
+         |  SELECT CAST(floor(count(*) / 100) AS BIGINT) AS k FROM documents),
+         |ln0 AS (
+         |  SELECT doc_id, unnest(string_split(t, chr(10))) AS l,
+         |    generate_subscripts(string_split(t, chr(10)), 1) AS p
+         |  FROM lined),
+         |ln AS (
+         |  SELECT doc_id, p, l,
+         |    ${dHash60("regexp_replace(trim(lower(l)), '\\s+', ' ', 'g')")} AS h
+         |  FROM ln0 WHERE length(trim(l)) >= 1),
+         |docfreq AS (
+         |  SELECT h, count(*) AS df FROM (SELECT DISTINCT h, doc_id FROM ln)
+         |  GROUP BY 1),
+         |flagged AS (
+         |  SELECT ln.doc_id, ln.p, ln.l, (d.df <= thr.k) AS keep
+         |  FROM ln JOIN docfreq d USING (h), thr)
+         |SELECT doc_id,
+         |  string_agg(l, chr(10) ORDER BY p) FILTER (WHERE keep)
+         |    AS clean_text,
+         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_lines,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_lines
+         |FROM flagged GROUP BY doc_id
+         |HAVING count(*) FILTER (WHERE keep) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""$dShingleCte,

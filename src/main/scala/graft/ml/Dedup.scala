@@ -1043,6 +1043,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  // ------------------------------------------------- line-level boilerplate
+
+  /** CCNet/RefinedWeb-style line-level boilerplate removal: split every
+    * document into lines, count how many DISTINCT documents each normalized
+    * line occurs in corpus-wide, strip lines whose document frequency
+    * exceeds `maxDocFreq` (navigation chrome, cookie banners, license
+    * footers — anything repeated across many pages), and reassemble the
+    * survivors in original order. Documents whose every line was
+    * boilerplate drop out entirely.
+    *
+    * Output: (id, clean_text, kept_lines, dropped_lines), one row per
+    * surviving document.
+    *
+    * Scale (100 TB): every shuffle is keyed, no all-pairs work anywhere —
+    *   1. doc frequency: lines project to (line-hash, doc-id), distinct,
+    *      then a hash-groupBy count. Both stages partial-aggregate
+    *      map-side; the hot keys ARE the boilerplate lines, and a
+    *      count-after-distinct collapses them before anything wide moves.
+    *   2. the filter join meets the full line stream with the per-hash
+    *      count table on the line hash — one row per hash on the build
+    *      side, so per-key fan-out is bounded; AQE skew-split covers
+    *      pathological hashes.
+    *   3. reassembly: hash-groupBy on doc id, order restored by an
+    *      in-group `array_sort` on (line_no, line) structs — no global
+    *      sort, no window.
+    * Line hashing uses the portable [[hash60]] over [[normText]] so an
+    * external SQL engine reproduces the decision bit-for-bit.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Long, minLineChars: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol).as("__did"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
+      .filter(length(trim(col("__l"))) >= minLineChars)
+      .withColumn("__h", hash60(normText(col("__l"))))
+    val docFreq = lines.select(col("__h"), col("__did")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    // one reassembly aggregate computes kept AND total per doc in a single
+    // pass: collect_list skips nulls, so gating the struct behind the keep
+    // flag collects survivors only while count(*) still sees every line
+    lines.join(docFreq, Seq("__h"))
+      .withColumn("__keep", col("__df") <= maxDocFreq)
+      .groupBy(col("__did"))
+      .agg(array_sort(collect_list(when(col("__keep"),
+             struct(col("__p"), col("__l"))))).as("__ordered"),
+           sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_lines"),
+           count(lit(1)).as("__total"))
+      .filter(col("kept_lines") > 0)
+      .select(col("__did").as(idCol),
+        concat_ws("\n", transform(col("__ordered"), _.getField("__l")))
+          .as("clean_text"),
+        col("kept_lines"),
+        (col("__total") - col("kept_lines")).as("dropped_lines"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit j of the

@@ -338,4 +338,36 @@ class DedupSpec extends SparkSuite {
         x.getAs[Long]("dup_count"))).toSet
     assert(r == Set((2L, 30L, 3L), (9L, 5L, 1L)))
   }
+
+  test("lineDedup strips corpus-wide boilerplate lines, preserves order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "unique alpha\nCOOKIE  banner\nunique beta"),
+      (2L, "cookie banner\nsecond body line"),
+      (3L, "cookie banner\nthird doc text\ncookie banner"),
+      (4L, "Cookie Banner"), // all-boilerplate -> doc removed
+    ).toDF("doc_id", "text")
+    // "cookie banner" normalizes identically in 4 docs; threshold 2
+    val r = Dedup.lineDedup(d, "doc_id", "text", maxDocFreq = 2L)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[String]("clean_text"), x.getAs[Long]("kept_lines"),
+        x.getAs[Long]("dropped_lines"))).toSet
+    assert(r == Set(
+      (1L, "unique alpha\nunique beta", 2L, 1L),
+      (2L, "second body line", 1L, 1L),
+      (3L, "third doc text", 1L, 2L)))
+  }
+
+  test("lineDedup keeps legitimately repeated lines under the threshold") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared quote\nown text one"),
+      (2L, "shared quote\nown text two"),
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(d, "doc_id", "text", maxDocFreq = 2L)
+      .collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Long]("dropped_lines") == 0L))
+    assert(r.forall(_.getAs[String]("clean_text").startsWith("shared quote\n")))
+  }
 }
