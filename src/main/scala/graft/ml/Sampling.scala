@@ -62,6 +62,31 @@ object Sampling {
       .otherwise("train")
   }
 
+  /** Leakage-free train/val/test split: near-duplicate documents must land
+    * on the SAME side of a split, or the held-out sets leak training
+    * content (the classic eval-hygiene failure near-dup detection exists to
+    * prevent). Every near-dup connected component ([[Dedup.clusters]] over
+    * `pairs`) is split as one unit: the split key is the doc's cluster
+    * canonical (its own id when it is in no pair), fed through the same
+    * deterministic [[splitColumn]] hash as the plain split — so unpaired
+    * docs keep exactly the assignment a plain split would give them.
+    *
+    * Scale: the cluster table is sized by the near-dup PAIR set (orders of
+    * magnitude smaller than the corpus), so the label join is
+    * broadcast-able; everything else is the narrow hash predicate.
+    */
+  def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    valFrac: Double, testFrac: Double,
+                    salt: String = ""): DataFrame = {
+    val cl = Dedup.clusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    df.join(cl, Seq(idCol), "left")
+      .withColumn("split", splitColumn(
+        coalesce(col("cluster_id"), col(idCol).cast("long")),
+        valFrac, testFrac, salt))
+      .drop("cluster_id")
+  }
+
   /** Weighted source mixing for training-data pipelines: each source gets a
     * target weight (epochs); a row from a source with weight `w` appears
     * `floor(w)` or `ceil(w)` times — the fractional epoch is a deterministic

@@ -231,4 +231,32 @@ class SamplingSpec extends SparkSuite {
     assert(flat.select("id").as[Long].collect().toSet
       == flatExact.select("id").as[Long].collect().toSet)
   }
+
+  test("leakFreeSplit: near-dup clusters land on one side as a unit") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"), // ~1
+      (3L, "the quick brown fox jumps over the lazy dog again"), // ~1,2
+      (7L, "completely unrelated essay about maritime navigation"),
+      (9L, "another disjoint text regarding ancient pottery")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.3)
+    assert(pairs.count() >= 2) // the 1-2-3 component exists
+    val split = Sampling.leakFreeSplit(docs, "doc_id", pairs,
+        valFrac = 0.3, testFrac = 0.3)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the whole near-dup component shares one assignment
+    assert(split(1L) == split(2L) && split(2L) == split(3L))
+    // singletons match the plain hash split exactly (no perturbation)
+    val plain = docs.withColumn("split",
+        Sampling.splitColumn(col("doc_id"), 0.3, 0.3))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split(7L) == plain(7L) && split(9L) == plain(9L))
+    // and the component got its CANONICAL's plain assignment
+    assert(split(1L) == plain(1L))
+  }
 }
