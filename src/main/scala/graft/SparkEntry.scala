@@ -697,6 +697,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
 
+    // ML: leakage-free split — near-dup clusters (Jaccard >= 0.5) land on
+    // one side as a unit; singletons get the plain hash-split assignment.
+    "q_sample_leakfree" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.leakFreeSplit(d, "doc_id",
+          Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5),
+          valFrac = 0.1, testFrac = 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: fixed-size per-group sample — k smallest id-hashes per language
     // (uniform without replacement, deterministic).
     "q_sample_pergroup" -> ((s, dir) =>
@@ -2519,6 +2530,41 @@ object SparkEntry {
          |  FROM b)
          |SELECT split, count(*) AS n, min(doc_id) AS min_id
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    // near-dup clusters via the recursive min-label reach (as
+    // q_dedup_cluster); split key = cluster canonical, else own id
+    "q_sample_leakfree" ->
+      s"""WITH RECURSIVE ${dShingleCte.stripPrefix("WITH ")},
+         |szf AS (SELECT doc_id, CAST(len(shh) AS BIGINT) AS sz FROM sh),
+         |exf AS (SELECT doc_id, unnest(shh) AS s FROM sh),
+         |prf AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jpf AS (
+         |  SELECT id_a, id_b FROM prf
+         |  JOIN szf sa ON sa.doc_id = id_a
+         |  JOIN szf sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+         |ef AS (SELECT id_a AS a, id_b AS b FROM jpf
+         |       UNION SELECT id_b, id_a FROM jpf),
+         |reachf(id, r) AS (
+         |  SELECT a, a FROM ef
+         |  UNION
+         |  SELECT reachf.id, ef.b FROM reachf JOIN ef ON reachf.r = ef.a),
+         |clf AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |        FROM reachf GROUP BY id),
+         |keyf AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
+         |  FROM documents d LEFT JOIN clf c USING (doc_id)),
+         |bf AS (
+         |  SELECT doc_id,
+         |    ${dHash60("CAST(k AS VARCHAR)")} % 1000000 AS bucket
+         |  FROM keyf)
+         |SELECT doc_id, CASE WHEN bucket < 100000 THEN 'val'
+         |                    WHEN bucket < 200000 THEN 'test'
+         |                    ELSE 'train' END AS split
+         |FROM bf ORDER BY doc_id""".stripMargin,
 
     "q_sample_pergroup" ->
       s"""WITH b AS (

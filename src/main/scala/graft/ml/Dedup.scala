@@ -1073,17 +1073,36 @@ object Dedup {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 maxDocFreq: Long, minLineChars: Int = 1): DataFrame = {
-    val lines = df.select(col(idCol).as("__did"),
+    val lines = lineTable(df, idCol, textCol, minLineChars)
+    stripLines(lines, lineDocFreq(lines), idCol, maxDocFreq)
+  }
+
+  /** (__did, __p, __l, __h): one row per qualifying line of every doc —
+    * position, raw text, and the portable hash of the normalized form.
+    */
+  private[graft] def lineTable(df: DataFrame, idCol: String, textCol: String,
+                               minLineChars: Int): DataFrame =
+    df.select(col(idCol).as("__did"),
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
       .filter(length(trim(col("__l"))) >= minLineChars)
       .withColumn("__h", hash60(normText(col("__l"))))
-    val docFreq = lines.select(col("__h"), col("__did")).distinct()
+
+  /** (__h, __df): distinct-document frequency per normalized-line hash. */
+  private[graft] def lineDocFreq(lines: DataFrame): DataFrame =
+    lines.select(col("__h"), col("__did")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+
+  /** Filter a [[lineTable]] against a (__h, __df) frequency table and
+    * reassemble surviving docs (shared by the batch and streaming paths).
+    * A line hash absent from `freq` counts as unseen (kept).
+    */
+  private[graft] def stripLines(lines: DataFrame, freq: DataFrame,
+                                idCol: String, maxDocFreq: Long): DataFrame =
     // one reassembly aggregate computes kept AND total per doc in a single
     // pass: collect_list skips nulls, so gating the struct behind the keep
     // flag collects survivors only while count(*) still sees every line
-    lines.join(docFreq, Seq("__h"))
-      .withColumn("__keep", col("__df") <= maxDocFreq)
+    lines.join(freq, Seq("__h"), "left")
+      .withColumn("__keep", coalesce(col("__df"), lit(0L)) <= maxDocFreq)
       .groupBy(col("__did"))
       .agg(array_sort(collect_list(when(col("__keep"),
              struct(col("__p"), col("__l"))))).as("__ordered"),
@@ -1095,7 +1114,6 @@ object Dedup {
           .as("clean_text"),
         col("kept_lines"),
         (col("__total") - col("kept_lines")).as("dropped_lines"))
-  }
 
   // --------------------------------------------------------------- SimHash
 

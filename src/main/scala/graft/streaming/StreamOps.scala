@@ -175,4 +175,101 @@ object StreamOps {
         ()
       } finally { b.unpersist(); () }
   }
+
+  /** Streaming line-level boilerplate removal — the continuous twin of
+    * [[graft.ml.Dedup.lineDedup]]. Each micro-batch folds its lines'
+    * document frequencies into a persisted corpus-wide frequency table,
+    * then strips the batch's docs against the UPDATED table (so a batch
+    * sees its own contribution — identical to running the batch operator
+    * over the stream prefix) and hands survivors to `sink`.
+    *
+    * One-pass semantics: frequencies only grow, so a line that crosses
+    * `maxDocFreq` in batch N is stripped from batch N onward — docs
+    * already emitted keep their copy (the unavoidable one-pass
+    * approximation; periodic batch re-runs over the clean table reclaim
+    * exactness).
+    *
+    * State = the (line-hash, doc-frequency) table: sized by the DISTINCT
+    * normalized lines ever seen (vocabulary-scale, orders of magnitude
+    * below the corpus), rewritten per batch into a fresh generation dir
+    * and published by an atomic pointer swap. The pointer records the
+    * batch id folded through, which makes recovery exact:
+    *   - crash before the swap → replay re-merges from the old
+    *     generation (the half-written one is an orphan, cleaned lazily);
+    *   - crash after the swap → the pointer's folded id tells the replay
+    *     the merge already happened, so nothing double-counts.
+    * `_last_batch` (marker written LAST) skips fully-committed batches
+    * outright, as in [[dedupNearStream]].
+    */
+  def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                      statePath: String, sink: DataFrame => Unit,
+                      maxDocFreq: Long, minLineChars: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processLineDedupBatch(batch, batchId, idCol, textCol, statePath, sink,
+        maxDocFreq, minLineChars)
+    }
+
+  /** One micro-batch of [[lineDedupStream]], exposed for replay specs. */
+  private[streaming] def processLineDedupBatch(batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, statePath: String,
+      sink: DataFrame => Unit, maxDocFreq: Long, minLineChars: Int): Unit = {
+    import graft.ml.Dedup
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(conf)
+    def readSmall(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
+      else try {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      } catch { case _: Exception => None }
+    def writeSmall(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val markerPath = new org.apache.hadoop.fs.Path(root, "_last_batch")
+    val committed = readSmall(markerPath).map(_.toLong).getOrElse(-1L)
+    if (batchId <= committed) return // fully applied: skip the replay
+    val ptrPath = new org.apache.hadoop.fs.Path(root, "_freq_state")
+    // pointer: "<generation-dir-name> <folded-through-batch-id>"
+    val (genName, folded) = readSmall(ptrPath) match {
+      case Some(s) =>
+        val Array(g, f) = s.split(" ", 2); (Some(g), f.toLong)
+      case None => (None, -1L)
+    }
+    val lines = Dedup.lineTable(batch, idCol, textCol, minLineChars)
+      .persist()
+    try {
+      val freqDir = if (folded >= batchId) {
+        // crashed after the swap last time: the merge is already in
+        s"$statePath/${genName.get}"
+      } else {
+        val prior = genName.map(g => spark.read.parquet(s"$statePath/$g"))
+        val merged = prior match {
+          case Some(p) => p.union(Dedup.lineDocFreq(lines))
+            .groupBy(col("__h")).agg(sum(col("__df")).as("__df"))
+          case None => Dedup.lineDocFreq(lines)
+        }
+        val gen = genName.map(_.stripPrefix("freq.gen").toLong + 1)
+          .getOrElse(0L)
+        val next = s"freq.gen$gen"
+        merged.write.mode("overwrite").parquet(s"$statePath/$next")
+        writeSmall(ptrPath, s"$next $batchId") // atomic publish
+        // the superseded generation is garbage once the swap lands
+        genName.foreach(g => try {
+          fs.delete(new org.apache.hadoop.fs.Path(root, g), true); ()
+        } catch { case _: Exception => () })
+        s"$statePath/$next"
+      }
+      val freq = spark.read.parquet(freqDir)
+      sink(Dedup.stripLines(lines, freq, idCol, maxDocFreq))
+      // marker LAST: see dedupNearStream
+      writeSmall(markerPath, batchId.toString)
+    } finally { lines.unpersist(); () }
+  }
 }
