@@ -108,6 +108,14 @@ object GraftFunctions {
         checkArity("graft_tokens", args, Seq(1))
         WhitespaceTokens(args(0))
       }),
+    // graft_deflate(text) — deflate-compressibility stats struct
+    // (raw_bytes, deflate_bytes, ratio_micro); quality-signal kernel
+    (FunctionIdentifier("graft_deflate"),
+      new ExpressionInfo(classOf[DeflateStats].getName, "graft_deflate"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_deflate", args, Seq(1))
+        DeflateStats(args(0))
+      }),
     (FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
       (args: Seq[Expression]) => {

@@ -201,6 +201,30 @@ object TextExprs {
       m.toLong, words.size().toLong, -sum))
   }
 
+  /** Deflate-compressibility stats: raw UTF-8 byte count, deflated byte
+    * count (raw stream, level 6, default strategy), and the compression
+    * ratio on the 1e-6 integer grid. Highly repetitive or templated text
+    * compresses far below natural prose, and random gibberish compresses
+    * hardly at all — the standard corpus-quality signal (Gopher/RedPajama
+    * style). Deterministic for a given JVM (the JDK bundles its own zlib);
+    * byte counts MAY shift across JDK majors, which is why this signal is
+    * spec-gated rather than oracle-gated — no SQL engine exposes deflate.
+    */
+  def deflateStats(s: UTF8String): InternalRow = {
+    val raw = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(raw)
+    d.finish()
+    var out = 0L
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out += d.deflate(buf)
+    d.end()
+    val ratio =
+      if (raw.length == 0) 1000000L
+      else math.floor(out.toDouble / raw.length * 1000000.0).toLong
+    new GenericInternalRow(Array[Any](raw.length.toLong, out, ratio))
+  }
+
   /** 64-bit hash per sliding k-token window. Per-token FNV-1a 64 over the
     * UTF-8 bytes, then a polynomial fold across the window. The hash VALUE
     * is internal-only (candidate keys for the duplicate-span passes; final
@@ -414,6 +438,22 @@ case class WordEntropyStats(child: Expression) extends UnaryExpression
     TextExprs.wordEntropy(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.wordEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deflate-compressibility stats — see [[TextExprs.deflateStats]]. */
+case class DeflateStats(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("raw_bytes", LongType, nullable = false),
+    StructField("deflate_bytes", LongType, nullable = false),
+    StructField("ratio_micro", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.deflateStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.deflateStats($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

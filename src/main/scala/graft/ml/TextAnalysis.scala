@@ -220,6 +220,22 @@ object TextAnalysis {
         col("we.distinct_words").as("distinct_words"),
         col("we.entropy_micro").as("entropy_micro"))
 
+  /** Deflate-compressibility quality signal per document: raw/deflated
+    * byte counts and the ratio on the 1e-6 grid (low = repetitive or
+    * templated, near 1e6 = incompressible gibberish/binary-in-text). One
+    * native per-row kernel ([[graft.functions.DeflateStats]]) inside
+    * whole-stage codegen — scan-bound, no shuffle. Spec-gated: deflate is
+    * not expressible in any SQL oracle engine.
+    */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        nat(col(textCol))(graft.functions.DeflateStats(_)).as("cs"))
+      .select(col(idCol),
+        col("cs.raw_bytes").as("raw_bytes"),
+        col("cs.deflate_bytes").as("deflate_bytes"),
+        col("cs.ratio_micro").as("ratio_micro"))
+
   /** C4-style cleaning flags (Raffel et al. 2020 §2.2, adapted to
     * single-line documents): policy-configurable boolean signals plus the
     * conjunction `keep`. Pure per-row predicates — narrow projection, no

@@ -221,6 +221,11 @@ class TextAnalysisSpec extends SparkSuite {
     val s = r.getStruct(2)
     assert(s.getAs[Long]("n_words") == 3L && s.getAs[Long]("top_word") == 3L)
     assert(s.getAs[Long]("n_trigrams") == 1L && s.getAs[Long]("dup_trigrams") == 0L)
+    // deflate stats ride the same registration path
+    val d = spark.sql("SELECT graft_deflate(repeat('ab ', 100)) AS c")
+      .collect()(0).getStruct(0)
+    assert(d.getAs[Long]("raw_bytes") == 300L)
+    assert(d.getAs[Long]("ratio_micro") < 200000L)
   }
 
   test("normalizeUnicode composes NFC, foldAccents strips marks; SQL fn") {
@@ -262,5 +267,37 @@ class TextAnalysisSpec extends SparkSuite {
     // the two 'a' occurrences land in ONE slot row with tf=2
     val doc1 = f.filter(_.getAs[Long]("doc_id") == 1L)
     assert(doc1.map(_.getAs[Long]("tf")).sorted.toSeq == Seq(1L, 1L, 2L))
+  }
+
+  test("compressionRatio: repetition compresses, gibberish does not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val gibberish = Array.fill(400)((33 + rnd.nextInt(94)).toChar).mkString
+    val docs = Seq(
+      (1L, "spam spam spam " * 30),         // highly repetitive
+      (2L, gibberish),                       // printable noise
+      (3L, ("the quick brown fox jumps over the lazy dog while distant " +
+        "ships cross a calm harbor and merchants argue about the price " +
+        "of salt, copper, and grain under a pale morning sky; later the " +
+        "council will meet to debate the new harbor tax and nobody " +
+        "expects a quick resolution to the dispute")),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("raw_bytes"), x.getAs[Long]("deflate_bytes"),
+         x.getAs[Long]("ratio_micro"))).toMap
+    assert(r(1L)._3 < 200000L, s"repetition should compress 5x+: ${r(1L)}")
+    assert(r(2L)._3 > 800000L, s"noise should barely compress: ${r(2L)}")
+    assert(r(3L)._3 > r(1L)._3 && r(3L)._3 < r(2L)._3,
+      s"prose sits between: $r")
+    assert(r(4L) == ((0L, r(4L)._2, 1000000L)), "empty text pins ratio at 1")
+    // deterministic: a second evaluation is bit-identical
+    val again = TextAnalysis.compressionRatio(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("ratio_micro")).toMap
+    assert(r.view.mapValues(_._3).toMap == again)
+    // the kernel stays inside whole-stage codegen (no fallback/UDF)
+    val plan = TextAnalysis.compressionRatio(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
   }
 }
