@@ -69,7 +69,10 @@ object BenchScale {
     "q_dedup_incremental_indexed", "q_cluster_kmeans",
     "q_text_hashfeatures", "q_dedup_keep_best",
     // bipartite embedding-LSH screen, classifier apply, NFC projection
-    "q_sim_decontaminate", "q_text_quality_model", "q_text_normalize")
+    "q_sim_decontaminate", "q_text_quality_model", "q_text_normalize",
+    // line-level boilerplate strip (line-hash keyed shuffles + doc
+    // reassembly) and the cluster-keyed leakage-free split
+    "q_dedup_lines", "q_sample_leakfree")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -153,4 +153,24 @@ class PlanShapeSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"$exchanges hash exchanges:\n$p")
   }
+
+  test("q_dedup_lines: keyed shuffles only, partial aggregation, no " +
+      "window over the whole corpus") {
+    val p = plan("q_dedup_lines")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // doc-frequency + reassembly both partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      ("ObjectHashAggregate".r.findAllIn(p).size >= 2), p)
+    // every exchange is hash-keyed (__h or __did) — no global sort/window
+    // carries line rows (orderBy of the tiny result frame is fine)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_sample_leakfree: cluster labels broadcast onto the corpus") {
+    val p = plan("q_sample_leakfree")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair-set-sized label table must not shuffle the corpus side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
