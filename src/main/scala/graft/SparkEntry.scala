@@ -1464,6 +1464,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: CCNet-exact paragraph dedup — every duplicated line keeps only
+    // its first occurrence (lowest doc, position); same synthesized lines.
+    "q_dedup_lines_keepfirst" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lined = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+      Dedup.lineDedupKeepFirst(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: two-stage ANN — projected candidate generation (16-d, 4x
     // cheaper over the full cross product) then exact full-vector
     // re-rank of the top-20 pool.
@@ -2393,6 +2403,34 @@ object SparkEntry {
          |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_lines
          |FROM flagged GROUP BY doc_id
          |HAVING count(*) FILTER (WHERE keep) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // first occurrence per normalized-line hash = row_number 1 over
+    // (doc_id, position); only that copy of a duplicated line survives
+    "q_dedup_lines_keepfirst" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '(\\S+ \\S+) ', '\\1' || chr(10), 'g') AS t
+         |  FROM documents),
+         |ln0 AS (
+         |  SELECT doc_id, unnest(string_split(t, chr(10))) AS l,
+         |    generate_subscripts(string_split(t, chr(10)), 1) AS p
+         |  FROM lined),
+         |ln AS (
+         |  SELECT doc_id, p, l,
+         |    ${dHash60("regexp_replace(trim(lower(l)), '\\s+', ' ', 'g')")} AS h
+         |  FROM ln0 WHERE length(trim(l)) >= 1),
+         |fo AS (
+         |  SELECT doc_id, p, l,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+         |  FROM ln)
+         |SELECT doc_id,
+         |  string_agg(l, chr(10) ORDER BY p) FILTER (WHERE rn = 1)
+         |    AS clean_text,
+         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_lines,
+         |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_lines
+         |FROM fo GROUP BY doc_id
+         |HAVING count(*) FILTER (WHERE rn = 1) > 0
          |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->

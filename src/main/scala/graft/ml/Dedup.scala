@@ -1077,6 +1077,38 @@ object Dedup {
     stripLines(lines, lineDocFreq(lines), idCol, maxDocFreq)
   }
 
+  /** CCNet-exact line (paragraph) dedup: every duplicated line keeps its
+    * FIRST occurrence — the copy at the lowest (doc id, position) — and
+    * loses the rest; unlike [[lineDedup]]'s boilerplate strip, no content
+    * disappears from the corpus entirely. Output shape matches
+    * [[lineDedup]].
+    *
+    * Scale: the first-occurrence table is one `min_by` hash aggregate per
+    * line hash (map-side partials collapse the hot boilerplate keys —
+    * never a per-hash window/sort), joined back on the hash like the
+    * frequency table.
+    */
+  def lineDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                         minLineChars: Int = 1): DataFrame = {
+    val lines = lineTable(df, idCol, textCol, minLineChars)
+    val firstOcc = lines.groupBy(col("__h"))
+      .agg(min(struct(col("__did"), col("__p"))).as("__first"))
+    lines.join(firstOcc, Seq("__h"))
+      .withColumn("__keep",
+        struct(col("__did"), col("__p")) === col("__first"))
+      .groupBy(col("__did"))
+      .agg(array_sort(collect_list(when(col("__keep"),
+             struct(col("__p"), col("__l"))))).as("__ordered"),
+           sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_lines"),
+           count(lit(1)).as("__total"))
+      .filter(col("kept_lines") > 0)
+      .select(col("__did").as(idCol),
+        concat_ws("\n", transform(col("__ordered"), _.getField("__l")))
+          .as("clean_text"),
+        col("kept_lines"),
+        (col("__total") - col("kept_lines")).as("dropped_lines"))
+  }
+
   /** (__did, __p, __l, __h): one row per qualifying line of every doc —
     * position, raw text, and the portable hash of the normalized form.
     */

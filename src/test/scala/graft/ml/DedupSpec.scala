@@ -358,6 +358,23 @@ class DedupSpec extends SparkSuite {
       (3L, "third doc text", 1L, 2L)))
   }
 
+  test("lineDedupKeepFirst: duplicated line survives only at its first " +
+      "occurrence (CCNet)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared quote\nown text one"),
+      (2L, "own text two\nShared  Quote"), // normalized dup, later doc
+      (3L, "shared quote"))                // all-duplicate -> doc removed
+    .toDF("doc_id", "text")
+    val r = Dedup.lineDedupKeepFirst(d, "doc_id", "text")
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[String]("clean_text"), x.getAs[Long]("kept_lines"),
+        x.getAs[Long]("dropped_lines"))).toSet
+    assert(r == Set(
+      (1L, "shared quote\nown text one", 2L, 0L),
+      (2L, "own text two", 1L, 1L)))
+  }
+
   test("lineDedup keeps legitimately repeated lines under the threshold") {
     import spark.implicits._
     val d = Seq(

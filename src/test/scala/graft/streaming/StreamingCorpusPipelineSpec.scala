@@ -79,4 +79,46 @@ class StreamingCorpusPipelineSpec extends SparkSuite {
       assert(r.getDouble(1) == wantQ(r.getLong(0)), s"doc ${r.getLong(0)}")
     }
   }
+
+  test("chained stages in one micro-batch: line strip feeds near-dedup, " +
+      "each stage replay-guarded by its own state dir") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scp-chain").toString
+    val batch1 = Seq(
+      (1L, "promo header\nalpha unique body text one two three"),
+      (2L, "promo header\nbeta unique body text four five six"))
+    val batch2 = Seq(
+      (10L, "promo header\nalpha unique body text one two three"),
+      (11L, "promo header\ngamma completely different content seven eight"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.processLineDedupBatch(batch, id, "doc_id", "text",
+          s"$dir/lineState",
+          sink = stripped => StreamOps.processDedupBatch(
+            stripped.select(col("doc_id"), col("clean_text").as("text")),
+            id, "doc_id", "text", s"$dir/index",
+            sink = out => if (!out.isEmpty)
+              out.write.mode("append").parquet(s"$dir/clean"),
+            n = 3, threshold = 0.5, numBuckets = 8),
+          maxDocFreq = 2L, minLineChars = 1)
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/clean").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // batch 1: banner df=2 <= 2, kept; bodies distinct -> both land
+    assert(got(1L) == "promo header\nalpha unique body text one two three")
+    assert(got(2L).startsWith("promo header\n"))
+    // batch 2: banner df=4 strips; doc 10's residual body near-dups the
+    // INDEXED doc 1 -> dropped by stage 2; doc 11's residual is novel
+    assert(!got.contains(10L), s"near-dup across stages must drop: $got")
+    assert(got(11L) == "gamma completely different content seven eight")
+    assert(got.keySet == Set(1L, 2L, 11L))
+  }
 }
