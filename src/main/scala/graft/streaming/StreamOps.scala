@@ -195,7 +195,9 @@ object StreamOps {
     * and published by an atomic pointer swap. The pointer records the
     * batch id folded through, which makes recovery exact:
     *   - crash before the swap → replay re-merges from the old
-    *     generation (the half-written one is an orphan, cleaned lazily);
+    *     generation; the half-written directory is not an orphan for
+    *     long — the generation number derives from the pointer, so the
+    *     replay overwrites the same directory;
     *   - crash after the swap → the pointer's folded id tells the replay
     *     the merge already happened, so nothing double-counts.
     * `_last_batch` (marker written LAST) skips fully-committed batches
