@@ -47,6 +47,9 @@ object AnnQualityMain {
           candidates = 30, inDim = 64, outDim = 16)),
       "pq" -> (() =>
         Similarity.knnPq(e, queries, "vec_id", "embedding", k)),
+      "pq_kmeans" -> (() =>
+        Similarity.knnPq(e, queries, "vec_id", "embedding", k,
+          refineIters = 3)),
       "ivfpq" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k)))
     val rows = AnnQuality.evaluate(variants, truth, k)

@@ -91,4 +91,37 @@ class PqSpec extends SparkSuite {
     assert(one.map(_.getAs[Long]("n_id")).toSet == Set(1L))
     assert(one.length < both.length) // pruned lists really are skipped
   }
+
+  test("pqTrainKmeans never quantizes worse than the anchor codebook " +
+      "(Lloyd monotonicity) and finds the obvious cluster means") {
+    // two tight clusters per subspace, anchors NOT at the means
+    val data = Seq(
+      (1L, Array(0f, 0f, 100f, 100f)),
+      (2L, Array(2f, 2f, 102f, 102f)),
+      (3L, Array(50f, 50f, 0f, 0f)),
+      (4L, Array(52f, 52f, 2f, 2f)),
+      (5L, Array(0f, 2f, 100f, 102f)),
+      (6L, Array(50f, 52f, 0f, 2f))
+    ).toDF("vec_id", "embedding")
+    val anchor = Similarity.pqTrain(data, "vec_id", "embedding",
+      numSubspaces = 2, numCentroids = 2, dim = 4)
+    val refined = Similarity.pqTrainKmeans(data, "vec_id", "embedding",
+      numSubspaces = 2, numCentroids = 2, dim = 4, iters = 3)
+    val d0 = Similarity.pqDistortion(data, "vec_id", "embedding", anchor)
+    val d1 = Similarity.pqDistortion(data, "vec_id", "embedding", refined)
+    assert(d1 <= d0, s"refined distortion $d1 must not exceed anchor $d0")
+    assert(d1 < d0 * 0.5, s"clusters this separated should halve it: $d1 vs $d0")
+    // subspace 0 cluster means: ~(1,1.33) and ~(50.67,51.33)-ish groups
+    val cb0 = refined.codebooks(0)
+    assert(cb0.exists(c => c.forall(_ < 10.0)), s"low cluster lost: $cb0")
+    assert(cb0.exists(c => c.forall(_ > 40.0)), s"high cluster lost: $cb0")
+  }
+
+  test("knnPq with refineIters ranks by the refined codebooks") {
+    val r = Similarity.knnPq(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 3, numSubspaces = 2, numCentroids = 2,
+      dim = 4, refineIters = 2).collect()
+    assert(r.length == 3)
+    assert(r.map(_.getAs[Long]("n_id")).toSet == Set(2L, 3L, 4L))
+  }
 }
