@@ -51,7 +51,13 @@ object AnnQualityMain {
         Similarity.knnPq(e, queries, "vec_id", "embedding", k,
           refineIters = 3)),
       "ivfpq" -> (() =>
-        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k)))
+        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k)),
+      "ivf_kmeans" -> (() =>
+        Similarity.ivfSearch(e, queries, "vec_id", "embedding", k,
+          numCentroids = 8, nProbe = 2, kmeansIters = 3)),
+      "ivfpq_refined" -> (() =>
+        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
+          refineIters = 3, coarseIters = 3)))
     val rows = AnnQuality.evaluate(variants, truth, k)
     val json = rows.map { case (n, r, s) =>
       f""""$n":{"recall":$r%.4f,"sec":$s%.3f}"""

@@ -216,11 +216,18 @@ object Similarity {
     */
   def ivfSearch(corpus: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,
-                numCentroids: Int, nProbe: Int): DataFrame = {
-    val index = ivfIndex(corpus, idCol, vecCol, numCentroids)
+                numCentroids: Int, nProbe: Int,
+                kmeansIters: Int = 0): DataFrame = {
+    // kmeansIters > 0: Lloyd-refined coarse centroids — better-balanced
+    // lists, measurably higher recall at the same nProbe (the ANN recall
+    // harness quantifies it); 0 keeps the deterministic seeded centroids
+    // the correctness oracle replicates.
+    val centroids =
+      if (kmeansIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
+      else kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIters)
+    val index = assignToCentroids(corpus, idCol, vecCol, centroids)
     val cents = broadcast(
-      corpus.orderBy(col(idCol).asc).limit(numCentroids)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
+      centroids.select(col("centroid_id"), col("c_vec")))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probes = queries
@@ -743,14 +750,24 @@ object Similarity {
   def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, numCentroids: Int = 8,
                   nProbe: Int = 2, numSubspaces: Int = 8,
-                  pqCentroids: Int = 16, dim: Int = 64): DataFrame = {
-    val model = pqTrain(corpus, idCol, vecCol, numSubspaces, pqCentroids, dim)
+                  pqCentroids: Int = 16, dim: Int = 64,
+                  refineIters: Int = 0, coarseIters: Int = 0): DataFrame = {
+    // refineIters / coarseIters > 0: Lloyd-refined PQ codebooks / coarse
+    // centroids (defaults keep the oracle-replicable seeded behavior)
+    val model =
+      if (refineIters == 0)
+        pqTrain(corpus, idCol, vecCol, numSubspaces, pqCentroids, dim)
+      else pqTrainKmeans(corpus, idCol, vecCol, numSubspaces, pqCentroids,
+        dim, refineIters)
+    val centroids =
+      if (coarseIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
+      else kmeansCentroids(corpus, idCol, vecCol, numCentroids, coarseIters)
     // inverted lists carrying codes, not vectors: (centroid_id, v_id, codes)
-    val coded = ivfIndex(corpus, idCol, vecCol, numCentroids)
+    val coded = assignToCentroids(corpus, idCol, vecCol, centroids)
       .select(col("v_id"), col("centroid_id"))
       .join(pqEncode(corpus, idCol, vecCol, model)
         .withColumnRenamed("n_id", "v_id"), "v_id")
-    val cents = broadcast(seedCentroids(corpus, idCol, vecCol, numCentroids))
+    val cents = broadcast(centroids)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probes = queries
