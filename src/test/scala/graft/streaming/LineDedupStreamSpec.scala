@@ -110,4 +110,64 @@ class LineDedupStreamSpec extends SparkSuite {
     // but with the SAME strip decisions as the first run
     assert(outRows(sinkDir) == afterOnce)
   }
+
+  test("generation swaps vs racing readers: reads fail only inside the " +
+      "documented deletion window; folded frequencies never shrink") {
+    val dir = java.nio.file.Files.createTempDirectory("lds-race").toString
+    val state = s"$dir/state"
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexplained = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastSum = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val regressions = new java.util.concurrent.atomic.AtomicInteger(0)
+    def pointer(): Option[String] = {
+      val p = java.nio.file.Paths.get(s"$state/_freq_state")
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p).trim) else None
+    }
+    val reader = new Thread(() => {
+      while (!stop.get()) pointer().foreach { ptr =>
+        val gen = ptr.split(" ")(0)
+        try {
+          val sum = spark.read.parquet(s"$state/$gen")
+            .agg(org.apache.spark.sql.functions.sum("__df"))
+            .head().getLong(0)
+          // one-pass line frequencies only ever grow batch over batch
+          val prev = lastSum.getAndSet(sum)
+          if (sum < prev) { regressions.incrementAndGet(); () }
+        } catch {
+          case _: Exception =>
+            failures.incrementAndGet()
+            // legitimate ONLY if the generation we resolved was retired
+            // while we read it (pointer moved = deletion window)
+            if (pointer().map(_.split(" ")(0)).contains(gen)) {
+              unexplained.incrementAndGet(); ()
+            }
+        }
+      }
+    })
+    reader.start()
+    try {
+      (0 until 15).foreach { i =>
+        val rows = Seq((100L * i, s"common banner\nbody number $i"),
+          (100L * i + 1, s"common banner\nother text $i"))
+        StreamOps.processLineDedupBatch(rows.toDF("doc_id", "text"), i.toLong,
+          "doc_id", "text", state,
+          sink = _ => (), maxDocFreq = 1000L, minLineChars = 1)
+      }
+    } finally { stop.set(true); reader.join(10000) }
+    assert(unexplained.get() == 0,
+      s"${unexplained.get()} reads failed OUTSIDE the deletion window")
+    assert(regressions.get() == 0, "folded frequency sum shrank")
+    // the final generation is intact and holds every folded batch
+    val ptr = pointer().get
+    assert(ptr.endsWith(" 14"))
+    val fin = spark.read.parquet(s"$state/${ptr.split(" ")(0)}")
+      .collect().map(r => r.getAs[Long]("__h") -> r.getAs[Long]("__df"))
+    // 15 batches x (banner in 2 docs + 2 unique lines): banner df = 30,
+    // 30 singletons -> 31 distinct hashes summing to 60
+    assert(fin.length == 31, s"${fin.length} hashes")
+    assert(fin.map(_._2).sum == 60L)
+    assert(fin.map(_._2).max == 30L)
+  }
 }
