@@ -72,5 +72,38 @@ class CorpusPipelineSpec extends SparkSuite {
       mixed.select(col("doc_id"), col("clean_text").as("text")), bench,
       "doc_id", "text", n = 8, minShared = 2)
     assert(contaminated.count() >= 0) // shape check: join executes
+
+    // the config-driven façade with the SAME stages lands on the same
+    // (doc_id, epoch) multiset — CorpusPrep is composition, not new
+    // semantics (it also carries `source` through the splice stage, so
+    // the manual re-join disappears)
+    val facade = CorpusPrep.run(docs, CorpusPrepConfig(
+      c4Clean = true, exactDedup = true, nearDedup = Some((3, 0.5)),
+      spliceSpansK = Some(8), qualityFloor = Some(0.3),
+      mixtureWeights = Map("src1" -> 2.0), packBudgetTokens = None))
+    val gotKeys = facade.select(col("doc_id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantKeys = mixed.select(col("doc_id"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotKeys == wantKeys,
+      s"façade=${gotKeys.take(5)}... manual=${wantKeys.take(5)}...")
+  }
+
+  test("CorpusPrep.stages exposes each intermediate lazily, in order") {
+    val docs = graft.engine.GraftSession.table(spark, sfDir, "documents")
+    val st = CorpusPrep.stages(docs, CorpusPrepConfig(
+      nearDedup = None, qualityFloor = Some(0.0),
+      lineDedupMaxDocFreq = Some(1000L)))
+    assert(st.map(_._1) ==
+      Seq("c4_clean", "line_dedup", "exact_dedup", "quality_floor"))
+    // monotone doc counts through the filtering stages
+    val counts = st.map { case (_, df) =>
+      df.select("doc_id").distinct().count() }
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts)
+    // decontaminate without a bench frame is a config error
+    intercept[IllegalArgumentException] {
+      CorpusPrep.stages(docs, CorpusPrepConfig(
+        decontaminate = Some((8, 2L))))
+    }
   }
 }
