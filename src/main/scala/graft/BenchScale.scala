@@ -48,7 +48,12 @@ object BenchScale {
   private val DeepSuperLinear = 120.0
   private val DeepQueries = Seq(
     "q_trace_hierarchy_sql", "q_multimodal_decode", "q_join_multiway",
-    "q_dedup_clean", "q_dedup_containment")
+    "q_dedup_clean", "q_dedup_containment",
+    // the most shuffle-heavy round-10 addition (line-hash doc frequency +
+    // reassembly); q_sim_decontaminate stays out — the copy-derived sweep
+    // corpus makes its OUTPUT quadratic by construction, so its deep time
+    // measures answer size, not plan quality
+    "q_dedup_lines")
 
   /** The headline queries of the current bench (slowest first), covering
     * every expensive table: events traces, documents dedup/text, joins,
