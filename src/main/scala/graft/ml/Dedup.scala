@@ -324,11 +324,10 @@ object Dedup {
     try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(s"$path/$ShinglePointer")
-    if (!fs.rename(tmp, ptr)) {
-      fs.delete(ptr, false)
-      if (!fs.rename(tmp, ptr))
-        throw new java.io.IOException(s"compaction: cannot publish $ptr")
-    }
+    // FileContext rename(OVERWRITE) replaces atomically on posix/HDFS —
+    // no pointer-absent window like a delete-then-rename fallback has
+    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
   }
 

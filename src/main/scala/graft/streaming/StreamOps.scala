@@ -192,86 +192,187 @@ object StreamOps {
     * State = the (line-hash, doc-frequency) table: sized by the DISTINCT
     * normalized lines ever seen (vocabulary-scale, orders of magnitude
     * below the corpus), rewritten per batch into a fresh generation dir
-    * and published by an atomic pointer swap. The pointer records the
-    * batch id folded through, which makes recovery exact:
-    *   - crash before the swap → replay re-merges from the old
-    *     generation; the half-written directory is not an orphan for
-    *     long — the generation number derives from the pointer, so the
-    *     replay overwrites the same directory;
-    *   - crash after the swap → the pointer's folded id tells the replay
-    *     the merge already happened, so nothing double-counts.
-    * `_last_batch` (marker written LAST) skips fully-committed batches
-    * outright, as in [[dedupNearStream]].
+    * and published by an atomic pointer swap — see [[foldGenState]] for
+    * the recovery contract. `keepPrevious = true` leaves superseded
+    * generations on disk (readers with multi-minute scans at 100 TB need
+    * a retention grace; clean up out-of-band), mirroring
+    * `compactShingleIndex`'s flag.
     */
   def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
                       statePath: String, sink: DataFrame => Unit,
-                      maxDocFreq: Long, minLineChars: Int = 1)
+                      maxDocFreq: Long, minLineChars: Int = 1,
+                      keepPrevious: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processLineDedupBatch(batch, batchId, idCol, textCol, statePath, sink,
-        maxDocFreq, minLineChars)
+        maxDocFreq, minLineChars, keepPrevious)
     }
 
-  /** One micro-batch of [[lineDedupStream]], exposed for replay specs. */
-  private[streaming] def processLineDedupBatch(batch: DataFrame,
-      batchId: Long, idCol: String, textCol: String, statePath: String,
-      sink: DataFrame => Unit, maxDocFreq: Long, minLineChars: Int): Unit = {
-    import graft.ml.Dedup
-    val spark = batch.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(conf)
-    def readSmall(p: org.apache.hadoop.fs.Path): Option[String] =
-      if (!fs.exists(p)) None
-      else try {
-        val in = fs.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-        finally in.close()
-      } catch { case _: Exception => None }
-    def writeSmall(p: org.apache.hadoop.fs.Path, s: String): Unit = {
-      val out = fs.create(p, true)
-      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+  /** Streaming CCNet-exact paragraph dedup — the continuous twin of
+    * [[graft.ml.Dedup.lineDedupKeepFirst]]. State = the first-occurrence
+    * table (line hash → minimum (doc, position) ever seen); a batch's
+    * line survives iff it IS the merged first occurrence. With doc ids
+    * increasing in arrival order the first occurrence never moves once
+    * set, so per-batch output equals the batch operator over the stream
+    * prefix restricted to the batch's docs — the same exactness contract
+    * as [[lineDedupStream]], with the same generation-pointer recovery.
+    */
+  def lineDedupKeepFirstStream(docs: DataFrame, idCol: String,
+                               textCol: String, statePath: String,
+                               sink: DataFrame => Unit,
+                               minLineChars: Int = 1,
+                               keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processLineDedupKeepFirstBatch(batch, batchId, idCol, textCol,
+        statePath, sink, minLineChars, keepPrevious)
     }
-    val markerPath = new org.apache.hadoop.fs.Path(root, "_last_batch")
-    val committed = readSmall(markerPath).map(_.toLong).getOrElse(-1L)
-    if (batchId <= committed) return // fully applied: skip the replay
+
+  // ----------------------- generation-pointer state fold (shared core)
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Atomic small-file publish: write a sibling temp file, then rename
+    * over the destination with `FileContext.rename(OVERWRITE)` — an
+    * atomic replace on both POSIX local filesystems and HDFS. A plain
+    * `fs.create(p, true)` truncates IN PLACE, so a concurrent reader can
+    * observe an empty or torn pointer — the race the retention-grace
+    * spec caught.
+    */
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path,
+                             s: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Fold one batch into generation-pointer state and return the current
+    * state directory. The pointer file `_freq_state` holds
+    * "<generation-dir> <folded-through-batch-id>"; recovery contract:
+    *   - crash before the swap → replay re-merges from the old
+    *     generation (the half-written dir is overwritten — its number
+    *     derives from the pointer);
+    *   - crash after the swap → the recorded folded id ≥ this batch id,
+    *     so the fold is skipped and nothing double-counts.
+    * `merge(prior)` must return the full next state table.
+    */
+  private def foldGenState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, batchId: Long, keepPrevious: Boolean)(
+      merge: Option[DataFrame] => DataFrame): String = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val ptrPath = new org.apache.hadoop.fs.Path(root, "_freq_state")
-    // pointer: "<generation-dir-name> <folded-through-batch-id>"
-    val (genName, folded) = readSmall(ptrPath) match {
+    val (genName, folded) = readSmallFile(fs, ptrPath) match {
       case Some(s) =>
         val Array(g, f) = s.split(" ", 2); (Some(g), f.toLong)
       case None => (None, -1L)
     }
+    if (folded >= batchId) s"$statePath/${genName.get}"
+    else {
+      val merged = merge(genName.map(g =>
+        spark.read.parquet(s"$statePath/$g")))
+      val gen = genName.map(_.stripPrefix("freq.gen").toLong + 1)
+        .getOrElse(0L)
+      val next = s"freq.gen$gen"
+      merged.write.mode("overwrite").parquet(s"$statePath/$next")
+      writeSmallFile(fs, ptrPath, s"$next $batchId") // atomic publish
+      // superseded generation: garbage once the swap lands, unless the
+      // caller wants a retention grace for long-scanning readers
+      if (!keepPrevious) genName.foreach(g => try {
+        fs.delete(new org.apache.hadoop.fs.Path(root, g), true); ()
+      } catch { case _: Exception => () })
+      s"$statePath/$next"
+    }
+  }
+
+  private def committedBatch(spark: org.apache.spark.sql.SparkSession,
+                             statePath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readSmallFile(fs, new org.apache.hadoop.fs.Path(root, "_last_batch"))
+      .map(_.toLong).getOrElse(-1L)
+  }
+
+  private def commitBatch(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    writeSmallFile(fs,
+      new org.apache.hadoop.fs.Path(root, "_last_batch"), batchId.toString)
+  }
+
+  /** One micro-batch of [[lineDedupStream]], exposed for replay specs. */
+  private[streaming] def processLineDedupBatch(batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, statePath: String,
+      sink: DataFrame => Unit, maxDocFreq: Long, minLineChars: Int,
+      keepPrevious: Boolean = false): Unit = {
+    import graft.ml.Dedup
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
     val lines = Dedup.lineTable(batch, idCol, textCol, minLineChars)
       .persist()
     try {
-      val freqDir = if (folded >= batchId) {
-        // crashed after the swap last time: the merge is already in
-        s"$statePath/${genName.get}"
-      } else {
-        val prior = genName.map(g => spark.read.parquet(s"$statePath/$g"))
-        val merged = prior match {
-          case Some(p) => p.union(Dedup.lineDocFreq(lines))
-            .groupBy(col("__h")).agg(sum(col("__df")).as("__df"))
-          case None => Dedup.lineDocFreq(lines)
-        }
-        val gen = genName.map(_.stripPrefix("freq.gen").toLong + 1)
-          .getOrElse(0L)
-        val next = s"freq.gen$gen"
-        merged.write.mode("overwrite").parquet(s"$statePath/$next")
-        writeSmall(ptrPath, s"$next $batchId") // atomic publish
-        // the superseded generation is garbage once the swap lands
-        genName.foreach(g => try {
-          fs.delete(new org.apache.hadoop.fs.Path(root, g), true); ()
-        } catch { case _: Exception => () })
-        s"$statePath/$next"
+      val freqDir = foldGenState(spark, statePath, batchId, keepPrevious) {
+        case Some(prior) => prior.union(Dedup.lineDocFreq(lines))
+          .groupBy(col("__h")).agg(sum(col("__df")).as("__df"))
+        case None => Dedup.lineDocFreq(lines)
       }
       val freq = spark.read.parquet(freqDir)
       sink(Dedup.stripLines(lines, freq, idCol, maxDocFreq))
       // marker LAST: see dedupNearStream
-      writeSmall(markerPath, batchId.toString)
+      commitBatch(spark, statePath, batchId)
+    } finally { lines.unpersist(); () }
+  }
+
+  /** One micro-batch of [[lineDedupKeepFirstStream]]. */
+  private[streaming] def processLineDedupKeepFirstBatch(batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, statePath: String,
+      sink: DataFrame => Unit, minLineChars: Int,
+      keepPrevious: Boolean = false): Unit = {
+    import graft.ml.Dedup
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
+    val lines = Dedup.lineTable(batch, idCol, textCol, minLineChars)
+      .persist()
+    try {
+      val batchFirst = lines
+        .groupBy(col("__h"))
+        .agg(min(struct(col("__did"), col("__p"))).as("__first"))
+      val stateDir = foldGenState(spark, statePath, batchId, keepPrevious) {
+        case Some(prior) => prior.union(batchFirst)
+          .groupBy(col("__h")).agg(min(col("__first")).as("__first"))
+        case None => batchFirst
+      }
+      val firstOcc = spark.read.parquet(stateDir)
+      val out = lines.join(firstOcc, Seq("__h"))
+        .withColumn("__keep",
+          struct(col("__did"), col("__p")) === col("__first"))
+        .groupBy(col("__did"))
+        .agg(array_sort(collect_list(when(col("__keep"),
+               struct(col("__p"), col("__l"))))).as("__ordered"),
+             sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_lines"),
+             count(lit(1)).as("__total"))
+        .filter(col("kept_lines") > 0)
+        .select(col("__did").as(idCol),
+          concat_ws("\n", transform(col("__ordered"), _.getField("__l")))
+            .as("clean_text"),
+          col("kept_lines"),
+          (col("__total") - col("kept_lines")).as("dropped_lines"))
+      sink(out)
+      commitBatch(spark, statePath, batchId)
     } finally { lines.unpersist(); () }
   }
 }

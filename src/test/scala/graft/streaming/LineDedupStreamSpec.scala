@@ -170,4 +170,79 @@ class LineDedupStreamSpec extends SparkSuite {
     assert(fin.map(_._2).sum == 60L)
     assert(fin.map(_._2).max == 30L)
   }
+
+  test("keepPrevious retention grace: racing readers NEVER fail") {
+    val dir = java.nio.file.Files.createTempDirectory("lds-keep").toString
+    val state = s"$dir/state"
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val p = java.nio.file.Paths.get(s"$state/_freq_state")
+        if (java.nio.file.Files.exists(p)) {
+          val gen = java.nio.file.Files.readString(p).trim.split(" ")(0)
+          try {
+            spark.read.parquet(s"$state/$gen").count()
+            reads.incrementAndGet(); ()
+          } catch { case _: Exception => failures.incrementAndGet(); () }
+        }
+      }
+    })
+    reader.start()
+    try {
+      (0 until 10).foreach { i =>
+        StreamOps.processLineDedupBatch(
+          Seq((10L * i, s"banner\nbody $i")).toDF("doc_id", "text"),
+          i.toLong, "doc_id", "text", state, sink = _ => (),
+          maxDocFreq = 1000L, minLineChars = 1, keepPrevious = true)
+      }
+    } finally { stop.set(true); reader.join(10000) }
+    assert(failures.get() == 0,
+      s"${failures.get()} reads failed despite retention grace")
+    assert(reads.get() > 0, "reader never observed a generation")
+    // every generation is still on disk for out-of-band cleanup
+    val gens = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("freq.gen")).map(_.getName).sorted
+    assert(gens.length == 10, gens.mkString(","))
+  }
+
+  test("keep-first streaming twin equals the batch operator on the prefix") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lds-kf").toString
+    val b1 = Seq(
+      (1L, "shared quote\nalpha one"),
+      (2L, "beta two\nShared  Quote")) // intra-batch dup, doc 1 is first
+    val b2 = Seq(
+      (10L, "shared quote\ngamma three"), // cross-batch dup of batch 1
+      (11L, "delta four"))
+    var perBatch = Vector.empty[Set[(Long, String, Long)]]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.lineDedupKeepFirstStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/state",
+        sink = df => {
+          perBatch = perBatch :+ df.collect().map(r =>
+            (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+             r.getAs[Long]("dropped_lines"))).toSet
+        })
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val prefixes = Seq(b1, b1 ++ b2)
+    prefixes.zipWithIndex.foreach { case (prefix, i) =>
+      val ids = Seq(b1, b2)(i).map(_._1).toSet
+      val twin = graft.ml.Dedup.lineDedupKeepFirst(
+          prefix.toDF("doc_id", "text"), "doc_id", "text")
+        .filter(col("doc_id").isInCollection(ids)).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Long]("dropped_lines"))).toSet
+      assert(perBatch(i) == twin, s"batch $i: ${perBatch(i)} != $twin")
+    }
+    // cross-batch: doc 10 lost the quote to doc 1's first occurrence
+    assert(perBatch(1).contains((10L, "gamma three", 1L)))
+  }
 }
