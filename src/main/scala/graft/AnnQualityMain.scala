@@ -62,7 +62,8 @@ object AnnQualityMain {
     val json = rows.map { case (n, r, s) =>
       f""""$n":{"recall":$r%.4f,"sec":$s%.3f}"""
     }.mkString(
-      s"""{"metric":"ann_recall@$k","queries":${truth.size},""", ",", "}")
+      s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""",
+      ",", "}")
     Files.write(Paths.get("ann_quality.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)
