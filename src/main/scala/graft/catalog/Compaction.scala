@@ -56,7 +56,7 @@ object Compaction {
         .sortWithinPartitions(col(timeCol).desc)
     val writer = laidOut.write.mode("overwrite")
     (if (hasSub) writer.partitionBy(
-      df.columns.filter(Set("hour", "minute")): _*)
+      df.columns.filter(Set("hour", "minute")).toIndexedSeq: _*)
      else writer).parquet(tmp.toString)
 
     // atomic-ish swap: move old out, temp in, drop old

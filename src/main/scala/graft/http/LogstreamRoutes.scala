@@ -184,7 +184,7 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
               try {
                 val r = spark.read.parquet(streamDir(name))
                   .agg(org.apache.spark.sql.functions.min(col(timeCol)),
-                    org.apache.spark.sql.functions.max(col(timeCol))).head
+                    org.apache.spark.sql.functions.max(col(timeCol))).head()
                 if (r.isNullAt(0)) None
                 else Some((r.get(0).toString, r.get(1).toString))
               } catch { case _: Exception => None }

@@ -385,7 +385,7 @@ object Dedup {
         // ≤ numBuckets small ints — bounded driver state, NOT a data collect
         val touched = exNew.select(col("bucket")).distinct()
           .collect().map(_.getInt(0))
-        idxAll.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        idxAll.filter(col("bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
       }
     val joined =
       if (broadcastBatch) idx.join(broadcast(exNew), Seq("bucket", "shingle"))
@@ -634,7 +634,7 @@ object Dedup {
       .select(col("src").as("id"), least(col("mn"), col("src")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var lastSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -792,7 +792,7 @@ object Dedup {
           ColumnBridge.expression(xxhash64(col("ngram"))),
           Literal(expectedItems), Literal(numBits))
         .toAggregateExpression())
-    val bloomBytes = be.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val bloomBytes = be.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
 
     val mightContain = ColumnBridge.column(
       BloomFilterMightContain(

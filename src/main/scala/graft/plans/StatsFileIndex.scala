@@ -60,7 +60,7 @@ final class StatsFileIndex(
     case Some(rows) => rows.map(_.sizeBytes).sum
     case None =>
       import org.apache.spark.sql.functions.sum
-      Option(cat.agg(sum("file_size")).head.get(0))
+      Option(cat.agg(sum("file_size")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
