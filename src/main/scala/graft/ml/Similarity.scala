@@ -885,19 +885,27 @@ object Similarity {
     * pair join — the same skew guard as [[Dedup.lshPairs]]'s
     * `maxShingleFreq`, with the same documented recall caveat.
     */
+  /** All `bands` SRP band keys of a vector as one array<long> — the fused
+    * [[graft.functions.SignBandKeys]] kernel; bit-for-bit the per-bit
+    * `when(dot >= 0, 1<<j)` Column formulation the oracles replicate, at
+    * one vector materialization per row instead of bands×bandBits dot
+    * expression evaluations.
+    */
+  private def bandKeysNative(vec: Column, planes: Seq[Seq[Double]],
+                             bandBits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SignBandKeys(
+      ColumnBridge.expression(vec), planes, bandBits))
+  }
+
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, inDim: Int,
                    bandBits: Int = 16, bands: Int = 8,
                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val planes = projectionMatrix(inDim, bandBits * bands)
-    def bandKey(vec: Column, t: Int): Column =
-      (0 until bandBits).map { j =>
-        when(dot(vec, lit(planes(t * bandBits + j).toArray)) >= 0d,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val keyed0 = base.select(col("id"), col("vec"),
-      posexplode(array((0 until bands).map(t => bandKey(col("vec"), t)): _*))
+      posexplode(bandKeysNative(col("vec"), planes, bandBits))
         .as(Seq("band", "key")))
     val keyed =
       if (maxBucketSize == Int.MaxValue) keyed0
@@ -942,15 +950,10 @@ object Similarity {
       bandBits: Int = 16, bands: Int = 8,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val planes = projectionMatrix(inDim, bandBits * bands)
-    def bandKey(vec: Column, t: Int): Column =
-      (0 until bandBits).map { j =>
-        when(dot(vec, lit(planes(t * bandBits + j).toArray)) >= 0d,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
     def keyed(df: DataFrame, asId: String, asVec: String) =
       df.select(col(idCol).as(asId), col(vecCol).as(asVec),
-        posexplode(array((0 until bands).map(t =>
-          bandKey(col(vecCol), t)): _*)).as(Seq("band", "key")))
+        posexplode(bandKeysNative(col(vecCol), planes, bandBits))
+          .as(Seq("band", "key")))
     val tr0 = keyed(train, "train_id", "vec_t")
     val tr =
       if (maxBucketSize == Int.MaxValue) tr0

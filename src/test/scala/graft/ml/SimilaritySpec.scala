@@ -351,4 +351,39 @@ class SimilaritySpec extends SparkSuite {
       .select("t", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSet == brute.toSet)
   }
+
+  test("SignBandKeys kernel is bit-identical to the per-bit dot formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(99L)
+    val dim = 16; val bandBits = 8; val bands = 4
+    val planes = Similarity.projectionMatrix(dim, bandBits * bands)
+    val vecs = (1L to 40L).map(i =>
+        (i, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3f)))
+      .toDF("vec_id", "embedding")
+    def columnForm(vec: org.apache.spark.sql.Column) =
+      array((0 until bands).map { t =>
+        (0 until bandBits).map { j =>
+          when(Similarity.dot(vec,
+            lit(planes(t * bandBits + j).toArray)) >= 0d,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)
+    val kernel = ColumnBridge.column(graft.functions.SignBandKeys(
+      ColumnBridge.expression(col("embedding")), planes, bandBits))
+    val rows = vecs.select(col("vec_id"), kernel.as("k"),
+      columnForm(col("embedding")).as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"vec ${r.getLong(0)}: kernel=${r.getSeq[Long](1)} column=${r.getSeq[Long](2)}")
+    }
+    // malformed (wrong-length) vector: both forms produce all-zero keys
+    val bad = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val badRow = bad.select(
+      ColumnBridge.column(graft.functions.SignBandKeys(
+        ColumnBridge.expression(col("embedding")), planes, bandBits)).as("k"),
+      columnForm(col("embedding")).as("c")).head()
+    assert(badRow.getSeq[Long](0) == Seq.fill(bands)(0L))
+    assert(badRow.getSeq[Long](0) == badRow.getSeq[Long](1))
+  }
 }
