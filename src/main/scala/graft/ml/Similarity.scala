@@ -696,14 +696,13 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                model: PqModel): DataFrame = {
-    val centLit = model.centLit
-    val sd = model.sd
-    val codesOf = array((0 until model.numSubspaces).map { j =>
-      val dists = transform(element_at(centLit, j + 1),
-        cent => l2sq(slice(col(vecCol).cast("array<double>"),
-          j * sd + 1, sd), cent))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    // fused native kernel: one vector pass per row instead of
+    // numSubspaces × numCentroids interpreted-lambda L2² evaluations
+    // (bit-identical to the transform/array_position formulation — the
+    // parity spec and the gated oracles pin it)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val codesOf = ColumnBridge.column(graft.functions.PqEncodeCodes(
+      ColumnBridge.expression(col(vecCol)), model.codebooks))
     corpus.select(col(idCol).as("n_id"), codesOf.as("codes"))
   }
 

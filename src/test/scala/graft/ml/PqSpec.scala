@@ -117,6 +117,34 @@ class PqSpec extends SparkSuite {
     assert(cb0.exists(c => c.forall(_ > 40.0)), s"high cluster lost: $cb0")
   }
 
+  test("PqEncodeCodes kernel equals the transform/array_position formulation") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(123L)
+    val data = (1L to 60L).map(i =>
+        (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(data, "vec_id", "embedding",
+      numSubspaces = 4, numCentroids = 8, dim = 8)
+    val sd = model.sd
+    val columnForm = array((0 until model.numSubspaces).map { j =>
+      val dists = transform(element_at(model.centLit, j + 1),
+        cent => ColumnBridge.column(graft.functions.ArrayL2Sq(
+          ColumnBridge.expression(
+            slice(col("embedding").cast("array<double>"), j * sd + 1, sd)),
+          ColumnBridge.expression(cent))))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val rows = Similarity.pqEncode(data, "vec_id", "embedding", model)
+      .join(data.select(col("vec_id").as("n_id"),
+        columnForm.as("expected"), col("embedding")), "n_id")
+      .collect()
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: ${r.getSeq[Int](1)} != ${r.getSeq[Int](2)}")
+    }
+  }
+
   test("knnPq with refineIters ranks by the refined codebooks") {
     val r = Similarity.knnPq(vecs, vecs.filter($"vec_id" === 1L),
       "vec_id", "embedding", k = 3, numSubspaces = 2, numCentroids = 2,
