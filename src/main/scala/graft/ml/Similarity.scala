@@ -472,8 +472,11 @@ object Similarity {
     * the 1/√outDim factor cancels inside cosine.
     */
   def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
-    val m = projectionMatrix(inDim, outDim)
-    array(m.map(row => dot(vec, lit(row.toArray))): _*)
+    // fused native mat-vec: one vector pass instead of outDim separate
+    // dot expressions (bit-identical — parity spec + gated oracles)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.MatVecProject(
+      ColumnBridge.expression(vec), projectionMatrix(inDim, outDim)))
   }
 
   /** Top-k by cosine in the PROJECTED space: [[knnBruteForce]] over

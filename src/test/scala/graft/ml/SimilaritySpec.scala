@@ -352,6 +352,24 @@ class SimilaritySpec extends SparkSuite {
     assert(got.toSet == brute.toSet)
   }
 
+  test("MatVecProject kernel is bit-identical to per-row dot expressions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val inDim = 12; val outDim = 5
+    val m = Similarity.projectionMatrix(inDim, outDim)
+    val vecs = (1L to 30L).map(i =>
+        (i, Array.fill(inDim)((rnd.nextFloat() - 0.5f) * 2f)))
+      .toDF("vec_id", "embedding")
+    val columnForm = array(m.map(row =>
+      Similarity.dot(col("embedding"), lit(row.toArray))): _*)
+    val rows = vecs.select(
+      Similarity.randomProject(col("embedding"), inDim, outDim).as("k"),
+      columnForm.as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+  }
+
   test("SignBandKeys kernel is bit-identical to the per-bit dot formulation") {
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge
