@@ -417,10 +417,11 @@ object Similarity {
     * still the fused native cosine.
     */
   def quantizeInt8(vec: Column): Column = {
-    val amax = array_max(transform(vec, x => abs(x.cast("double"))))
-    when(amax === 0d, transform(vec, _ => lit(0d)))
-      .otherwise(transform(vec,
-        x => floor(x.cast("double") * 127.0 / amax + 0.5).cast("double")))
+    // fused native kernel: one pass instead of two interpreted HOF
+    // lambdas per row (element-identical — parity spec + gated oracle)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.QuantizeInt8Vec(
+      ColumnBridge.expression(vec)))
   }
 
   /** Exact top-k by QUANTIZED cosine: [[knnBruteForce]] over

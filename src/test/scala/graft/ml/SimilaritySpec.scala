@@ -352,6 +352,25 @@ class SimilaritySpec extends SparkSuite {
     assert(got.toSet == brute.toSet)
   }
 
+  test("QuantizeInt8Vec kernel equals the two-HOF Column formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val vecs = ((1L to 25L).map(i =>
+        (i, Array.fill(10)((rnd.nextFloat() - 0.5f) * 8f)))
+      :+ (99L, Array.fill(10)(0f))) // all-zero stays zero
+      .toDF("vec_id", "embedding")
+    def columnForm(vec: org.apache.spark.sql.Column) = {
+      val amax = array_max(transform(vec, x => abs(x.cast("double"))))
+      when(amax === 0d, transform(vec, _ => lit(0d)))
+        .otherwise(transform(vec,
+          x => floor(x.cast("double") * 127.0 / amax + 0.5).cast("double")))
+    }
+    val rows = vecs.select(
+      Similarity.quantizeInt8(col("embedding")).as("k"),
+      columnForm(col("embedding")).as("c")).collect()
+    rows.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+  }
+
   test("MatVecProject kernel is bit-identical to per-row dot expressions") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)
