@@ -1507,6 +1507,19 @@ object SparkEntry {
           numSubspaces = 8, pqCentroids = 16, dim = 64)
         .orderBy(col("q_id"), col("rk"))
     }),
+
+    // ML: residual IVF-PQ (full IVFADC, Jégou 2011 §V.A) — the PQ
+    // quantizes each vector's RESIDUAL against its coarse centroid, and
+    // ADC ranks the query's residual against reconstructed residuals.
+    // Residuals concentrate near zero, so the same codebook budget
+    // quantizes far finer — the recall lever that survives corpus growth.
+    "q_sim_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqSearch(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numCentroids = 8, nProbe = 2,
+          numSubspaces = 8, pqCentroids = 16, dim = 64, residual = true)
+        .orderBy(col("q_id"), col("rk"))
+    }),
   )
 
   // ------------------------------------------------- build/search split
@@ -3982,6 +3995,74 @@ object SparkEntry {
          |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS adc
          |  FROM probes p JOIN assign a USING (centroid_id)
          |  JOIN recon r ON r.vec_id = a.v_id
+         |  WHERE p.q_id != a.v_id),
+         |r AS (
+         |  SELECT q_id, n_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc ASC, n_id ASC) AS INTEGER) AS rk
+         |  FROM cand)
+         |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // residual IVF-PQ (IVFADC): same shape as q_sim_ivfpq, but the PQ
+    // codebook is trained on and encodes residuals v − c(v); ADC ranks
+    // q − c_probe against reconstructed residuals. All arithmetic is
+    // exact-rounded IEEE subtraction + the sequential L2² fold both
+    // engines share.
+    "q_sim_ivfpq_residual" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |assign AS (
+         |  SELECT v_id, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |resid AS (
+         |  SELECT a.v_id, a.centroid_id,
+         |    list_transform(list_zip(v.e, c.ce), z -> z[1] - z[2]) AS re
+         |  FROM assign a JOIN v ON v.vec_id = a.v_id
+         |  JOIN cent c ON c.centroid_id = a.centroid_id),
+         |anch AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY v_id ASC) AS INTEGER) AS c,
+         |    re AS e
+         |  FROM resid ORDER BY v_id ASC LIMIT 16),
+         |d AS (
+         |  SELECT r2.v_id, j.j, a.c,
+         |    list_reduce(list_transform(
+         |      list_zip(r2.re[j.j*8+1 : j.j*8+8], a.e[j.j*8+1 : j.j*8+8]),
+         |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS dist
+         |  FROM resid r2, range(8) j(j), anch a),
+         |best AS (
+         |  SELECT v_id, j, c,
+         |    row_number() OVER (PARTITION BY v_id, j
+         |                       ORDER BY dist ASC, c ASC) AS rn
+         |  FROM d),
+         |recon AS (
+         |  SELECT b.v_id,
+         |    flatten(list(a.e[b.j*8+1 : b.j*8+8] ORDER BY b.j)) AS rr
+         |  FROM best b JOIN anch a USING (c) WHERE b.rn = 1
+         |  GROUP BY b.v_id),
+         |probes AS (
+         |  SELECT q_id, q_e, centroid_id, ce FROM (
+         |    SELECT q.vec_id AS q_id, q.e AS q_e, c.centroid_id, c.ce,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+         |  WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.v_id AS n_id,
+         |    list_reduce(list_transform(
+         |      list_zip(list_transform(list_zip(p.q_e, p.ce),
+         |        z -> z[1] - z[2]), r.rr),
+         |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS adc
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  JOIN recon r ON r.v_id = a.v_id
          |  WHERE p.q_id != a.v_id),
          |r AS (
          |  SELECT q_id, n_id, adc,

@@ -124,6 +124,34 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
+  /** Corpus-size-scaled coarse-centroid count: ~sqrt(n) inverted lists
+    * (the standard IVF sizing — per-list length and list count grow
+    * together as sqrt(n), so probe cost stays balanced as the corpus
+    * grows). Fixed counts are the scale trap the recall harness exposed:
+    * 8 lists over 10× the vectors means every probe scans 10× the rows
+    * with no recall gain. Clamped to [8, 4096]; pair with [[autoNProbe]].
+    */
+  def autoCoarseCentroids(n: Long): Int =
+    math.min(4096L, math.max(8L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** Probe count matched to [[autoCoarseCentroids]]: a constant FRACTION
+    * (~1/4) of the lists, so search cost relative to corpus size is
+    * unchanged as the centroid count scales — recall gains come from
+    * finer lists, not from scanning more of the corpus.
+    */
+  def autoNProbe(numCentroids: Int): Int = math.max(2, numCentroids / 4)
+
+  /** Corpus-size-scaled PQ codebook size: one centroid per ~16 training
+    * vectors (k-means needs tens of points per centroid to estimate it —
+    * below that the codebook memorizes noise), clamped to [16, 256]
+    * (256 = 8-bit codes, the classic PQ cell size; byte-aligned storage).
+    * At a fixed 16, recall decays as the corpus grows — the quantizer
+    * stays 4-bit-coarse while the neighbor density rises; this is the
+    * collapse the recall harness measured from sf0.01 to sf0.1.
+    */
+  def autoPqCentroids(n: Long): Int =
+    math.min(256L, math.max(16L, n / 16L)).toInt
+
   /** IVF (inverted-file) index build: assign every vector to its nearest
     * centroid by cosine (tiebreak: centroid id). Centroids here are seeded
     * deterministically (the `k` lowest-id vectors) — at production scale
@@ -665,19 +693,33 @@ object Similarity {
     * result (numSubspaces·numCentroids·sd doubles — ~8 KB at the
     * defaults) is the only thing the driver ever holds. Cells that lose
     * every member keep their previous centroid.
+    *
+    * The per-iteration assignment runs through the fused
+    * [[graft.functions.PqEncodeCodes]] kernel (one primitive sweep per
+    * vector) instead of numSubspaces × numCentroids interpreted-lambda
+    * L2² evaluations — same first-min codes bit-for-bit (the kernel's
+    * parity spec pins it), which is what makes corpus-size-scaled
+    * codebooks ([[autoPqCentroids]], up to 256 centroids/subspace)
+    * trainable at full-corpus scale.
     */
   def pqTrainKmeans(corpus: DataFrame, idCol: String, vecCol: String,
                     numSubspaces: Int = 8, numCentroids: Int = 16,
                     dim: Int = 64, iters: Int = 3): PqModel = {
+    import org.apache.spark.sql.graft.ColumnBridge
     var model = pqTrain(corpus, idCol, vecCol, numSubspaces, numCentroids,
       dim)
-    val sub = subvecRows(corpus, vecCol, numSubspaces, model.sd)
+    val sd = model.sd
     for (_ <- 0 until iters) {
-      val dists = codebookDists(model)
-      val means = sub
-        .withColumn("code",
-          (array_position(dists, array_min(dists)) - 1).cast("int"))
-        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      val codesOf = ColumnBridge.column(graft.functions.PqEncodeCodes(
+        ColumnBridge.expression(col(vecCol)), model.codebooks))
+      val means = corpus
+        .select(col(vecCol).cast("array<double>").as("v"), codesOf.as("codes"))
+        .select(explode(array((0 until numSubspaces).map { j =>
+          struct(lit(j).as("j"), element_at(col("codes"), j + 1).as("code"),
+            slice(col("v"), j * sd + 1, sd).as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
         .groupBy(col("j"), col("code"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .collect()
@@ -704,10 +746,8 @@ object Similarity {
     // numSubspaces × numCentroids interpreted-lambda L2² evaluations
     // (bit-identical to the transform/array_position formulation — the
     // parity spec and the gated oracles pin it)
-    import org.apache.spark.sql.graft.ColumnBridge
-    val codesOf = ColumnBridge.column(graft.functions.PqEncodeCodes(
-      ColumnBridge.expression(col(vecCol)), model.codebooks))
-    corpus.select(col(idCol).as("n_id"), codesOf.as("codes"))
+    corpus.select(col(idCol).as("n_id"),
+      pqCodesOf(col(vecCol), model).as("codes"))
   }
 
   /** ADC ranking over an encoded corpus (`[[pqEncode]]` output or a
@@ -749,28 +789,55 @@ object Similarity {
     * Coarse centroids and PQ codebooks are both deterministic lowest-id
     * anchors ([[seedCentroids]], [[pqTrain]]) so any engine rebuilds the
     * identical index from the data alone — the correctness oracle does.
+    *
+    * `residual = true` is the full IVFADC layout (Jégou et al. 2011 §V.A,
+    * eq. 14): the PQ is trained on and encodes the RESIDUAL `x − c(x)`
+    * against each vector's coarse centroid, and queries rank by the ADC
+    * between the query's residual `q − c_probe` and the reconstructed
+    * residual. Residuals concentrate around zero with far smaller spread
+    * than raw vectors, so the same codebook budget quantizes much finer —
+    * the standard recall lever that lets a byte-per-subspace code survive
+    * corpus growth (the recall harness measures the lift). Costs nothing
+    * at search: one broadcast subtraction per (query, probe) pair.
     */
   def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, numCentroids: Int = 8,
                   nProbe: Int = 2, numSubspaces: Int = 8,
                   pqCentroids: Int = 16, dim: Int = 64,
-                  refineIters: Int = 0, coarseIters: Int = 0): DataFrame = {
+                  refineIters: Int = 0, coarseIters: Int = 0,
+                  residual: Boolean = false): DataFrame = {
     // refineIters / coarseIters > 0: Lloyd-refined PQ codebooks / coarse
     // centroids (defaults keep the oracle-replicable seeded behavior)
-    val model =
-      if (refineIters == 0)
-        pqTrain(corpus, idCol, vecCol, numSubspaces, pqCentroids, dim)
-      else pqTrainKmeans(corpus, idCol, vecCol, numSubspaces, pqCentroids,
-        dim, refineIters)
     val centroids =
       if (coarseIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
       else kmeansCentroids(corpus, idCol, vecCol, numCentroids, coarseIters)
-    // inverted lists carrying codes, not vectors: (centroid_id, v_id, codes)
-    val coded = assignToCentroids(corpus, idCol, vecCol, centroids)
-      .select(col("v_id"), col("centroid_id"))
-      .join(pqEncode(corpus, idCol, vecCol, model)
-        .withColumnRenamed("n_id", "v_id"), "v_id")
     val cents = broadcast(centroids)
+    // PQ training/encode input: raw vectors, or per-vector residuals
+    // against the assigned coarse centroid (IVFADC). Either way the frame
+    // carries (v_id, centroid_id, pq_vec) — one corpus pass.
+    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
+    val pqInput =
+      if (!residual)
+        assigned.select(col("v_id"), col("centroid_id"),
+          col("v_vec").cast("array<double>").as("pq_vec"))
+      else assigned.join(cents, "centroid_id")
+        .select(col("v_id"), col("centroid_id"),
+          zip_with(col("v_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
+    // Non-residual: train straight off the corpus (anchor collect is a
+    // cheap TakeOrdered — no assignment pass needed; codes are
+    // value-identical since the cast is elementwise exact). Residual:
+    // train in residual space — anchors/refinement need the assignment.
+    val (trainDf, trainId, trainVec) =
+      if (residual) (pqInput, "v_id", "pq_vec") else (corpus, idCol, vecCol)
+    val model =
+      if (refineIters == 0)
+        pqTrain(trainDf, trainId, trainVec, numSubspaces, pqCentroids, dim)
+      else pqTrainKmeans(trainDf, trainId, trainVec, numSubspaces,
+        pqCentroids, dim, refineIters)
+    // inverted lists carrying codes, not vectors: (centroid_id, v_id, codes)
+    val coded = pqInput.select(col("v_id"), col("centroid_id"),
+      pqCodesOf(col("pq_vec"), model).as("codes"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probes = queries
@@ -780,7 +847,12 @@ object Similarity {
       .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+      .select(col("q_id"),
+        (if (residual)
+          zip_with(col("q_vec"), col("c_vec").cast("array<double>"),
+            (a, b) => a - b)
+        else col("q_vec")).as("q_vec"),
+        col("centroid_id"))
     val centLit = model.centLit
     def reconOf(codes: Column): Column =
       flatten(array((0 until model.numSubspaces).map { j =>
@@ -795,6 +867,15 @@ object Similarity {
       .orderBy(col("adc").asc, col("v_id").asc)
     top.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("v_id").as("n_id"), col("adc"), col("rk"))
+  }
+
+  /** Fused-kernel PQ codes of `vec` under `model` (shared by
+    * [[pqEncode]] and the residual IVF-PQ path).
+    */
+  private def pqCodesOf(vec: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqEncodeCodes(
+      ColumnBridge.expression(vec), model.codebooks))
   }
 
   /** Persist the IVF-PQ index: inverted lists partitioned by

@@ -145,6 +145,49 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("residual IVF-PQ with a full residual codebook degenerates to " +
+      "exact L2² ranking") {
+    // pqCentroids = |corpus|: every vector's residual is its own anchor,
+    // so each subspace reconstructs losslessly and ADC(q,v) =
+    // L2²((q-c) - (v-c)) = exact L2²(q,v) on these integer-valued floats.
+    val r = Similarity.ivfPqSearch(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", k = 3, numCentroids = 1, nProbe = 1,
+        numSubspaces = 2, pqCentroids = 4, dim = 4, residual = true)
+      .orderBy("rk").collect()
+    // exact L2² from (0,0,0,0): v3/v4 = 1+1+81+81 = 164, v2 = 400
+    assert(r.map(r => r.getAs[Long]("n_id") -> r.getAs[Double]("adc"))
+      .toSeq == Seq(3L -> 164.0, 4L -> 164.0, 2L -> 400.0))
+  }
+
+  test("residual IVF-PQ recovers cluster-offset structure a raw codebook " +
+      "of the same size cannot") {
+    // two far-apart clusters, members offset from their centroid by the
+    // SAME displacement (+1,+2,0,0): in residual space both members
+    // collapse onto one codebook cell and reconstruct exactly, while the
+    // raw-space codebook (anchors = the two centroids) must snap each
+    // member to its centroid and eat the offset as quantization error.
+    // (non-parallel, non-zero centroids — cosine assignment needs both)
+    val clustered = Seq(
+      (1L, Array(4f, 2f, 0f, 0f)),      // coarse centroid A / anchor 0
+      (2L, Array(0f, 0f, 100f, 100f)),  // coarse centroid B / anchor 1
+      (3L, Array(5f, 4f, 0f, 0f)),      // in A; residual (1,2,0,0)
+      (4L, Array(1f, 2f, 100f, 100f)),  // in B; residual (1,2,0,0)
+    ).toDF("vec_id", "embedding")
+    val q = clustered.filter($"vec_id" === 3L)
+    def adcTo4(residual: Boolean): Double =
+      Similarity.ivfPqSearch(clustered, q, "vec_id", "embedding", k = 3,
+          numCentroids = 2, nProbe = 2, numSubspaces = 2, pqCentroids = 3,
+          dim = 4, residual = residual)
+        .filter($"n_id" === 4L).select($"adc").as[Double].head()
+    // exact L2²(v3, v4) = 16 + 4 + 10000 + 10000 = 20020
+    val raw = adcTo4(residual = false)
+    val res = adcTo4(residual = true)
+    assert(res == 20020.0,
+      s"residual recon of v4 should be exact, adc = $res")
+    assert(raw != 20020.0 && math.abs(raw - 20020.0) > 10,
+      s"raw codebook should eat the offset as error, adc = $raw")
+  }
+
   test("knnPq with refineIters ranks by the refined codebooks") {
     val r = Similarity.knnPq(vecs, vecs.filter($"vec_id" === 1L),
       "vec_id", "embedding", k = 3, numSubspaces = 2, numCentroids = 2,
