@@ -757,17 +757,11 @@ object Similarity {
     */
   def pqSearch(encoded: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, model: PqModel): DataFrame = {
-    val centLit = model.centLit
-    // PQ reconstruction: assigned centroid subvectors, concatenated.
-    def reconOf(codes: Column): Column =
-      flatten(array((0 until model.numSubspaces).map { j =>
-        element_at(element_at(centLit, j + 1), element_at(codes, j + 1) + 1)
-      }: _*))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec")))
     val scored = encoded.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc", l2sq(col("q_vec"), reconOf(col("codes"))))
+      .withColumn("adc", pqAdcOf(col("q_vec"), col("codes"), model))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
       Seq(col("adc").asc, col("n_id").asc), k)
     val w = Window.partitionBy(col("q_id"))
@@ -853,14 +847,9 @@ object Similarity {
             (a, b) => a - b)
         else col("q_vec")).as("q_vec"),
         col("centroid_id"))
-    val centLit = model.centLit
-    def reconOf(codes: Column): Column =
-      flatten(array((0 until model.numSubspaces).map { j =>
-        element_at(element_at(centLit, j + 1), element_at(codes, j + 1) + 1)
-      }: _*))
     val scored = coded.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
-      .withColumn("adc", l2sq(col("q_vec"), reconOf(col("codes"))))
+      .withColumn("adc", pqAdcOf(col("q_vec"), col("codes"), model))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
       Seq(col("adc").asc, col("v_id").asc), k)
     val w = Window.partitionBy(col("q_id"))
@@ -876,6 +865,18 @@ object Similarity {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.functions.PqEncodeCodes(
       ColumnBridge.expression(vec), model.codebooks))
+  }
+
+  /** Fused-kernel ADC ([[graft.functions.PqAdcL2Sq]]): sequential L2²
+    * between `qvec` and the PQ reconstruction of `codes` — bit-identical
+    * to `l2sq(qvec, reconOf(codes))` with the codebook held once as a
+    * reference object instead of a per-plan literal tree.
+    */
+  private def pqAdcOf(qvec: Column, codes: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqAdcL2Sq(
+      ColumnBridge.expression(qvec), ColumnBridge.expression(codes),
+      model.codebooks))
   }
 
   /** Persist the IVF-PQ index: inverted lists partitioned by
@@ -933,14 +934,9 @@ object Similarity {
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
-    val centLit = model.centLit
-    def reconOf(codes: Column): Column =
-      flatten(array((0 until model.numSubspaces).map { j =>
-        element_at(element_at(centLit, j + 1), element_at(codes, j + 1) + 1)
-      }: _*))
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
-      .withColumn("adc", l2sq(col("q_vec"), reconOf(col("codes"))))
+      .withColumn("adc", pqAdcOf(col("q_vec"), col("codes"), model))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
       Seq(col("adc").asc, col("v_id").asc), k)
     val w = Window.partitionBy(col("q_id"))

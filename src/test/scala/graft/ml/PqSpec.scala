@@ -188,6 +188,42 @@ class PqSpec extends SparkSuite {
       s"raw codebook should eat the offset as error, adc = $raw")
   }
 
+  test("PqAdcL2Sq kernel is bit-identical to l2sq(q, recon(codes))") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(77L)
+    val data = (1L to 50L).map(i =>
+        (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(data, "vec_id", "embedding",
+      numSubspaces = 4, numCentroids = 8, dim = 8)
+    val encoded = Similarity.pqEncode(data, "vec_id", "embedding", model)
+    val q = data.filter($"vec_id" <= 3L)
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("q_vec"))
+    val centLit = model.centLit
+    val reconCol = flatten(array((0 until model.numSubspaces).map { j =>
+      element_at(element_at(centLit, j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }: _*))
+    val columnAdc = ColumnBridge.column(graft.functions.ArrayL2Sq(
+      ColumnBridge.expression(col("q_vec")),
+      ColumnBridge.expression(reconCol)))
+    val kernelAdc = ColumnBridge.column(graft.functions.PqAdcL2Sq(
+      ColumnBridge.expression(col("q_vec")),
+      ColumnBridge.expression(col("codes")), model.codebooks))
+    val rows = encoded.crossJoin(q)
+      .select($"q_id", $"n_id", columnAdc.as("expected"),
+        kernelAdc.as("got"))
+      .collect()
+    assert(rows.length == 150)
+    rows.foreach { r =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"(${r.getLong(0)},${r.getLong(1)}): ${r.getDouble(2)} != ${r.getDouble(3)}")
+    }
+  }
+
   test("knnPq with refineIters ranks by the refined codebooks") {
     val r = Similarity.knnPq(vecs, vecs.filter($"vec_id" === 1L),
       "vec_id", "embedding", k = 3, numSubspaces = 2, numCentroids = 2,
