@@ -12,6 +12,18 @@ import graft.ml.{AnnQuality, Similarity}
   * brute force over the embeddings table, written to `ann_quality.json`
   * and printed as one JSON line. Run:
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.AnnQualityMain"
+  *
+  * Index-shaped variants (IVF / PQ / IVF-PQ) size their centroid counts
+  * from the corpus ([[Similarity.autoCoarseCentroids]] /
+  * [[Similarity.autoPqCentroids]] / [[Similarity.autoNProbe]]) — the fix
+  * for the recall collapse a FIXED count shows as the corpus grows (8
+  * lists / 16 cells at 10× the vectors probes the same fraction but
+  * quantizes 10× coarser). The `params` section records the resolved
+  * sizes so runs at different SFs are interpretable.
+  *
+  * The `frontier` section sweeps the sign-LSH (nBits × multiProbe) grid —
+  * the recall/latency frontier that justifies [[Similarity.knnLsh]]'s
+  * defaults from data rather than folklore.
   */
 object AnnQualityMain {
   def main(args: Array[String]): Unit = {
@@ -20,7 +32,12 @@ object AnnQualityMain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cores = cpus, appName = "graft-ann-quality")
     spark.sparkContext.setLogLevel("WARN")
-    val e = GraftSession.table(spark, sfDir, "embeddings")
+    val e = GraftSession.table(spark, sfDir, "embeddings").cache()
+    val n = e.count()
+    // corpus-size-scaled index parameters (see Similarity scaladoc)
+    val coarse = Similarity.autoCoarseCentroids(n)
+    val nProbe = Similarity.autoNProbe(coarse)
+    val pqc = Similarity.autoPqCentroids(n)
     // deterministic held-out query set: every 10th vector, capped
     val queries = e.filter(col("vec_id") % 10 === 0)
       .orderBy(col("vec_id")).limit(50).cache()
@@ -36,7 +53,7 @@ object AnnQualityMain {
           nBits = 4, multiProbe = 2)),
       "ivf" -> (() =>
         Similarity.ivfSearch(e, queries, "vec_id", "embedding", k,
-          numCentroids = 8, nProbe = 2)),
+          numCentroids = coarse, nProbe = nProbe)),
       "quantized_int8" -> (() =>
         Similarity.knnQuantized(e, queries, "vec_id", "embedding", k)),
       "projected_16d" -> (() =>
@@ -46,24 +63,46 @@ object AnnQualityMain {
         Similarity.knnTwoStage(e, queries, "vec_id", "embedding", k,
           candidates = 30, inDim = 64, outDim = 16)),
       "pq" -> (() =>
-        Similarity.knnPq(e, queries, "vec_id", "embedding", k)),
+        Similarity.knnPq(e, queries, "vec_id", "embedding", k,
+          numCentroids = pqc)),
       "pq_kmeans" -> (() =>
         Similarity.knnPq(e, queries, "vec_id", "embedding", k,
-          refineIters = 3)),
+          numCentroids = pqc, refineIters = 3)),
       "ivfpq" -> (() =>
-        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k)),
+        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
+          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc)),
       "ivf_kmeans" -> (() =>
         Similarity.ivfSearch(e, queries, "vec_id", "embedding", k,
-          numCentroids = 8, nProbe = 2, kmeansIters = 3)),
+          numCentroids = coarse, nProbe = nProbe, kmeansIters = 3)),
       "ivfpq_refined" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
-          refineIters = 3, coarseIters = 3)))
+          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc,
+          refineIters = 3, coarseIters = 3)),
+      "ivfpq_residual" -> (() =>
+        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
+          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc,
+          refineIters = 3, coarseIters = 3, residual = true)))
     val rows = AnnQuality.evaluate(variants, truth, k)
-    val json = rows.map { case (n, r, s) =>
-      f""""$n":{"recall":$r%.4f,"sec":$s%.3f}"""
-    }.mkString(
-      s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""",
-      ",", "}")
+    // sign-LSH recall/latency frontier: nBits × multiProbe grid
+    val frontier = for {
+      nBits <- Seq(4, 6, 8)
+      mp <- Seq(0, 2, 4) if mp <= nBits
+    } yield {
+      val name = s"lsh_b${nBits}_p$mp"
+      val t0 = System.nanoTime()
+      val r = AnnQuality.recallAtK(
+        Similarity.knnLsh(e, queries, "vec_id", "embedding", k,
+          nBits = nBits, multiProbe = mp), truth, k)
+      (name, r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (nm, r, s) =>
+        f""""$nm":{"recall":$r%.4f,"sec":$s%.3f}"""
+      }.mkString(",")
+    val json =
+      s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""" +
+        s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"pqCentroids":$pqc},""" +
+        fmt(rows) + s""","frontier":{${fmt(frontier)}}}"""
     Files.write(Paths.get("ann_quality.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)

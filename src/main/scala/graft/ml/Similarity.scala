@@ -103,6 +103,15 @@ object Similarity {
     * vector to exactly one bucket, and probe values are distinct so no
     * candidate pair repeats. `multiProbe = 0` is the exact-bucket
     * behavior.
+    *
+    * Parameter choice is data, not folklore: the recall harness's
+    * `frontier` sweep (ann_quality.json, nBits × multiProbe grid) shows
+    * that at a given corpus size EXTRA BITS ONLY HURT once buckets drop
+    * below a few hundred vectors (sf0.1, n=2000: 4 bits + 4 probes =
+    * recall 0.50 at 0.16 s; 8 bits at ANY probe count ≤ 0.08), while
+    * multi-probe is close to free (query-side-only expansion, measured
+    * latency flat). So: size nBits from the corpus via [[autoLshBits]]
+    * (bucket ≈ 256 vectors) and probe generously (`multiProbe = 4`).
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
@@ -124,6 +133,17 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
+  /** Corpus-size-scaled sign-LSH bucket width: enough bits that a bucket
+    * holds ~256 vectors (the harness frontier's sweet spot — fewer
+    * candidates than that and recall collapses faster than latency
+    * improves), clamped to [4, 24]. Pair with `multiProbe = 4`.
+    */
+  def autoLshBits(n: Long): Int = {
+    val bits = math.ceil(math.log(math.max(1.0, n / 256.0)) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(4, bits))
+  }
+
   /** Corpus-size-scaled coarse-centroid count: ~sqrt(n) inverted lists
     * (the standard IVF sizing — per-list length and list count grow
     * together as sqrt(n), so probe cost stays balanced as the corpus
@@ -141,16 +161,18 @@ object Similarity {
     */
   def autoNProbe(numCentroids: Int): Int = math.max(2, numCentroids / 4)
 
-  /** Corpus-size-scaled PQ codebook size: one centroid per ~16 training
-    * vectors (k-means needs tens of points per centroid to estimate it —
-    * below that the codebook memorizes noise), clamped to [16, 256]
-    * (256 = 8-bit codes, the classic PQ cell size; byte-aligned storage).
-    * At a fixed 16, recall decays as the corpus grows — the quantizer
-    * stays 4-bit-coarse while the neighbor density rises; this is the
-    * collapse the recall harness measured from sf0.01 to sf0.1.
+  /** Corpus-size-scaled PQ codebook size: one centroid per ~8 training
+    * vectors (enough points per centroid for a stable subspace k-means —
+    * each SUBSPACE sees all n subvectors, so even n/8 cells train on 8+
+    * points each), clamped to [16, 256] (256 = 8-bit codes, the classic
+    * PQ cell size; byte-aligned storage). At a fixed 16, recall decays as
+    * the corpus grows — the quantizer stays 4-bit-coarse while the
+    * neighbor density rises; this is the collapse the recall harness
+    * measured from sf0.01 to sf0.1. Beyond the 256 cap, recall comes from
+    * residual encoding + exact re-rank, not wider cells.
     */
   def autoPqCentroids(n: Long): Int =
-    math.min(256L, math.max(16L, n / 16L)).toInt
+    math.min(256L, math.max(16L, n / 8L)).toInt
 
   /** IVF (inverted-file) index build: assign every vector to its nearest
     * centroid by cosine (tiebreak: centroid id). Centroids here are seeded

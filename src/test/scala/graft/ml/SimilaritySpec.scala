@@ -423,4 +423,27 @@ class SimilaritySpec extends SparkSuite {
     assert(badRow.getSeq[Long](0) == Seq.fill(bands)(0L))
     assert(badRow.getSeq[Long](0) == badRow.getSeq[Long](1))
   }
+
+  test("corpus-size-scaled ANN parameter helpers clamp and grow monotonically") {
+    import Similarity._
+    // coarse lists ~ sqrt(n), clamped [8, 4096]
+    assert(autoCoarseCentroids(10L) == 8)
+    assert(autoCoarseCentroids(2000L) == 45)
+    assert(autoCoarseCentroids(100_000_000L) == 4096)
+    // probe a constant fraction of the lists, never below 2
+    assert(autoNProbe(8) == 2 && autoNProbe(45) == 11)
+    // PQ cells: n/8 clamped [16, 256]
+    assert(autoPqCentroids(50L) == 16)
+    assert(autoPqCentroids(2000L) == 250)
+    assert(autoPqCentroids(1_000_000L) == 256)
+    // LSH bits: bucket ~256 vectors, clamped [4, 24]
+    assert(autoLshBits(100L) == 4)
+    assert(autoLshBits(2000L) == 4)
+    assert(autoLshBits(1_000_000L) == 12)
+    assert(autoLshBits(Long.MaxValue / 4) == 24)
+    // monotone non-decreasing in n
+    val ns = Seq(1L, 100L, 10_000L, 1_000_000L, 100_000_000L)
+    for (f <- Seq[Long => Int](autoCoarseCentroids, autoPqCentroids, autoLshBits))
+      assert(ns.map(f) == ns.map(f).sorted)
+  }
 }
