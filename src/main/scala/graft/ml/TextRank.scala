@@ -139,7 +139,6 @@ object TextRank {
       .filter(size(col("tk")) > 0)
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("u_cnt"))
-    val vocab = uni.agg(count(lit(1)).as("vsz"))
     val bg = toks.filter(size(col("tk")) >= 2)
       .select(col("doc_id"),
         explode(TextAnalysis.ngrams(col("tk"), 2)).as("bg"))
@@ -148,18 +147,22 @@ object TextRank {
     // dictionary-sized (Heaps' law), so under the cap they broadcast and
     // the exploded bigram stream never shuffles on hot word/bigram keys;
     // above it the shuffle joins stand with AQE skew-splitting.
+    // The unigram probe IS the vocabulary-size scalar the score needs —
+    // collect it once and reuse it as both the broadcast decision and the
+    // plan literal (a separate vocab crossJoin would recompute the same
+    // aggregate inside the main job, and a separate .count() probe would
+    // run it a third time).
+    val vsz = uni.agg(count(lit(1))).head().getLong(0)
+    val uniSide = if (vsz <= maxBroadcastVocab) broadcast(uni) else uni
     val bcntSide =
       if (bcnt.count() <= maxBroadcastVocab) broadcast(bcnt) else bcnt
-    val uniSide =
-      if (uni.count() <= maxBroadcastVocab) broadcast(uni) else uni
     val terms = bg
       .withColumn("w", substring_index(col("bg"), " ", 1))
       .join(bcntSide, "bg")
       .join(uniSide, "w")
-      .crossJoin(broadcast(vocab))
       .withColumn("t",
         floor(log((col("b_cnt") + 1).cast("double") /
-          (col("u_cnt") + col("vsz")).cast("double")) * lit(1000000.0))
+          (col("u_cnt") + lit(vsz)).cast("double")) * lit(1000000.0))
           .cast("long"))
     terms.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("t")).as("sum_micro"))
@@ -209,26 +212,28 @@ object TextRank {
       .groupBy(col("w")).agg(count(lit(1)).as("t_cnt"))
     val totals = words.agg(count(lit(1)).as("r_tot"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_tot"))
-    val vocab = raw.agg(count(lit(1)).as("vsz"))
     val stats = raw.join(tgt, Seq("w"), "left").na.fill(0L, Seq("t_cnt"))
     // Stopwords are classic hot keys on the word-keyed join below. The
     // distinct-word vocabulary grows sublinearly in corpus size (Heaps'
-    // law), so `stats` almost always fits a broadcast: one extra
-    // column-pruned map-side-combinable count decides, and broadcasting
-    // turns the join into a map-side hash join — no shuffle of the raw
-    // token stream, no hot keys at all. Beyond the cap the shuffle join
-    // stands and AQE's skew split covers the stopword keys.
+    // law), so `stats` almost always fits a broadcast: the vocabulary
+    // scalar the score already needs doubles as the decision — collected
+    // ONCE and folded in as a plan literal (a separate .count() probe
+    // would recompute the same aggregate, and the r10 bench measured that
+    // duplicate pass as a 25% regression on q_sample_importance).
+    // Broadcasting turns the join into a map-side hash join — no shuffle
+    // of the raw token stream, no hot keys at all. Beyond the cap the
+    // shuffle join stands and AQE's skew split covers the stopword keys.
+    val vsz = raw.agg(count(lit(1))).head().getLong(0)
     val statsSide =
-      if (raw.count() <= maxBroadcastVocab) broadcast(stats) else stats
+      if (vsz <= maxBroadcastVocab) broadcast(stats) else stats
     val terms = words.select(col("doc_id"), col("w"))
       .join(statsSide, "w")
       .crossJoin(broadcast(totals))
-      .crossJoin(broadcast(vocab))
       .withColumn("t",
         floor(log(
           ((col("t_cnt") + 1).cast("double") / (col("r_cnt") + 1).cast("double")) *
-          ((col("r_tot") + col("vsz")).cast("double") /
-            (col("t_tot") + col("vsz")).cast("double"))) * lit(1000000.0))
+          ((col("r_tot") + lit(vsz)).cast("double") /
+            (col("t_tot") + lit(vsz)).cast("double"))) * lit(1000000.0))
           .cast("long"))
     terms.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("t")).as("logratio_micro"))
