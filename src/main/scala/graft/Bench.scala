@@ -89,9 +89,6 @@ object Bench {
         case Some((artifact, _)) => preparedDefs(name).search(spark, sfDir, artifact)
         case None => fn(spark, sfDir)
       }
-    // one unmeasured pass first: JIT/codegen warm, OS page cache holds the
-    // input files — the measured pass then reflects steady-state compute,
-    // not which query alphabetically pays classloading or first-touch IO
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Materialize EVERY row end-to-end, not `count()`: Catalyst prunes
     // projections under a bare count, so a count-timed query whose cost sits
@@ -100,16 +97,21 @@ object Bench {
     // plan including the result projection, without driver-side collect.
     def materialize(df: org.apache.spark.sql.DataFrame): Long =
       Bench.materialize(df)
-    ordered.foreach { case (name, fn) =>
-      try { materialize(body(name, fn)) } catch { case _: Throwable => () }
-    }
-    // min of two measured passes per query: the recorded figure is the
-    // query's cost, not whichever GC pause / contention spike happened to
-    // land on it (driver-observed run-to-run variance was up to 2.5× on a
-    // busy box; the min is the stable statistic). Scan metrics come from
-    // the first pass — bytes/records are deterministic across passes.
+    // min of two measured passes per query, with one unmeasured warm pass
+    // IMMEDIATELY before each query's timed passes (not one global warm
+    // sweep up front: warming all ~131 queries first evicts the early
+    // entries from the bounded codegen/plan caches, so an early query's
+    // timed pass silently pays recompilation — the r10 ghost-regression
+    // class, q_agg_pricing 1.06→1.76 s with no code change). Adjacent
+    // warm+measure keeps this query's generated classes hot and the OS
+    // page cache filled with exactly its inputs. The min of the timed
+    // passes is the query's cost, not whichever GC pause / contention
+    // spike happened to land on it (driver-observed run-to-run variance
+    // was up to 2.5× on a busy box). Scan metrics come from the first
+    // timed pass — bytes/records are deterministic across passes.
     val measuredPasses = 2
     val results = ordered.map { case (name, fn) =>
+      try { materialize(body(name, fn)) } catch { case _: Throwable => () }
       var best = Double.MaxValue
       var rows = -1L
       var bytes = 0L

@@ -19,10 +19,13 @@ import org.apache.spark.sql.types._
   * vector once per plane in a tight loop — measured ~2× on the
   * decontamination screen, whose per-row cost is exactly these keys.
   *
-  * Null/mismatch contract (mirrors the Column form): a null or
-  * wrong-length vector makes every `dot` null, every `when` falls to 0 —
-  * so ALL keys are 0. The kernel returns an all-zero key array in those
-  * cases rather than null.
+  * Null/mismatch contract (mirrors the Column form EXACTLY, including on
+  * a NULL input): a null vector, wrong-length vector, or null element
+  * makes every `dot` null, every `when` falls to 0 — so ALL keys are 0
+  * and the result is never null. This matters beyond documentation: a
+  * posexplode over these keys emits `bands` rows either way, so
+  * bucket-size accounting under `maxBucketSize` stays identical between
+  * the kernel and Column formulations.
   */
 case class SignBandKeys(child: Expression, planes: Seq[Seq[Double]],
                         bandBits: Int)
@@ -45,15 +48,30 @@ case class SignBandKeys(child: Expression, planes: Seq[Seq[Double]],
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any =
-    SignBandKeys.eval(input.asInstanceOf[ArrayData], planeMatrix, bandBits,
-      bands, isFloat)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    // NOT nullSafeEval: a null vector must yield the all-zero key array
+    // (the Column form's `when` falls through to 0), not null
+    val v = child.eval(input)
+    SignBandKeys.eval(
+      if (v == null) null else v.asInstanceOf[ArrayData],
+      planeMatrix, bandBits, bands, isFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val planesRef = ctx.addReferenceObj("planes", planeMatrix, "double[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SignBandKeys.eval($c, $planesRef, $bandBits, " +
-        s"$bands, $isFloat)")
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  graft.functions.SignBandKeys.eval(
+        |    ${childGen.isNull} ? null : ${childGen.value},
+        |    $planesRef, $bandBits, $bands, $isFloat);
+        |""".stripMargin, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -61,10 +79,13 @@ case class SignBandKeys(child: Expression, planes: Seq[Seq[Double]],
 }
 
 object SignBandKeys {
-  /** Static kernel body (called from generated code). */
+  /** Static kernel body (called from generated code). `vec` may be null —
+    * the result is then the all-zero key array (see null contract above).
+    */
   def eval(vec: ArrayData, planes: Array[Array[Double]], bandBits: Int,
            bands: Int, isFloat: Boolean): ArrayData = {
     val keys = new Array[Long](bands)
+    if (vec == null) return new GenericArrayData(keys)
     val dim = planes(0).length
     val n = vec.numElements()
     // mismatched length or null elements → null dots → every key 0

@@ -296,6 +296,9 @@ final class GraftHttpServer(
   /** Response floor below which gzip costs more than it saves. */
   private val GzipMinBytes = 512
 
+  private def gzipAccepted(header: String): Boolean =
+    GraftHttpServer.gzipAccepted(header)
+
   private[http] def respond(ex: HttpExchange, status: Int, body: String,
                       contentType: String = "application/json"): Unit = {
     val plain = body.getBytes(UTF_8)
@@ -304,9 +307,7 @@ final class GraftHttpServer(
     // modal/mod.rs:119): gzip buffered bodies when the client asks and
     // the payload clears the floor; streaming NDJSON paths stay identity
     val acceptsGzip = Option(
-      ex.getRequestHeaders.getFirst("Accept-Encoding"))
-      .exists(v => v.toLowerCase.contains("gzip") &&
-        !v.toLowerCase.matches(".*gzip\\s*;\\s*q=0(\\.0+)?(,.*)?$"))
+      ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(gzipAccepted)
     val bytes =
       if (acceptsGzip && plain.length >= GzipMinBytes) {
         val bos = new java.io.ByteArrayOutputStream(plain.length / 3 + 64)
@@ -565,6 +566,32 @@ object GraftHttpServer {
     * (reference `DEFAULT_TENANT`).
     */
   val DefaultTenant = "default"
+
+  /** RFC 7231 §5.3.4: does this Accept-Encoding header allow gzip?
+    * Token-parsed, not a whole-header regex: each comma-separated coding
+    * carries an optional `;q=value` (default 1); gzip is acceptable iff
+    * its own entry — or the `*` wildcard when no gzip entry exists — has
+    * q > 0. A malformed q counts as 0 (don't compress on garbage).
+    * `x-gzip` is the RFC's legacy alias.
+    */
+  private[http] def gzipAccepted(header: String): Boolean = {
+    val entries = header.split(",").toSeq.flatMap { tok =>
+      val parts = tok.split(";").map(_.trim)
+      val coding = parts.headOption.getOrElse("").toLowerCase
+      if (coding.isEmpty) None
+      else {
+        val q = parts.drop(1).collectFirst {
+          case p if p.toLowerCase.startsWith("q=") =>
+            try math.max(0.0, p.substring(2).trim.toDouble)
+            catch { case _: NumberFormatException => 0.0 }
+        }.getOrElse(1.0)
+        Some(coding -> q)
+      }
+    }
+    entries.collectFirst { case ("gzip" | "x-gzip", q) => q > 0 }
+      .orElse(entries.collectFirst { case ("*", q) => q > 0 })
+      .getOrElse(false)
+  }
 
   /** Shared daemon scheduler for query-timeout watchdogs — one timer
     * thread serves every server instance in the JVM; cancellation work

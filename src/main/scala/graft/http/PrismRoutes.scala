@@ -227,6 +227,45 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
     * request counters (the reference mounts `actix_web_prometheus`
     * here). Unauthenticated, as scrapers expect.
     */
+  /** Stored bytes of one stream's directory, TTL-cached per stream.
+    *
+    * Two failure modes of a naive walk-per-scrape (both hit in review):
+    * scrape latency grows linearly with file count under a 15 s
+    * Prometheus interval, and `Files.walk`'s lazy stream throws
+    * `UncheckedIOException` out of the terminal op when compaction swaps
+    * a directory mid-iteration — failing the WHOLE scrape. So: results
+    * are cached for [[PrismRoutes.StorageWalkTtlMs]] (staleness bounded
+    * at one scrape interval — fine for a capacity gauge), and the walk is
+    * a `walkFileTree` visitor whose `visitFileFailed` CONTINUEs, so a
+    * vanished file contributes 0 instead of aborting.
+    */
+  private def storageBytes(stream: String): Long = {
+    import java.nio.file.{FileVisitResult, Files, Path, Paths, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    val now = System.currentTimeMillis()
+    val cached = storageBytesCache.get(stream)
+    if (cached != null && now - cached._2 < PrismRoutes.StorageWalkTtlMs)
+      return cached._1
+    val dir = Paths.get(root, stream)
+    var sum = 0L
+    if (Files.isDirectory(dir)) {
+      try Files.walkFileTree(dir, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, attrs: BasicFileAttributes)
+            : FileVisitResult = {
+          sum += attrs.size(); FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, e: java.io.IOException)
+            : FileVisitResult = FileVisitResult.CONTINUE
+      })
+      catch { case _: java.io.IOException => () }
+    }
+    storageBytesCache.put(stream, (sum, now))
+    sum
+  }
+
+  private val storageBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   private[http] def handleMetrics(ex: HttpExchange): Unit = {
     val up = (System.currentTimeMillis() - startedAtMs) / 1000.0
     val body = new StringBuilder
@@ -266,19 +305,11 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
           e.getKey)}"} ${e.getValue._2.get}\n"""
       }
       body ++= "# HELP graft_stream_storage_bytes Stored bytes per " +
-        "stream (walked at scrape)\n# TYPE graft_stream_storage_bytes gauge\n"
+        "stream (walked at scrape, TTL-cached)\n" +
+        "# TYPE graft_stream_storage_bytes gauge\n"
       perStream.foreach { e =>
-        val dir = java.nio.file.Paths.get(root, e.getKey)
-        val sz =
-          if (!java.nio.file.Files.isDirectory(dir)) 0L
-          else {
-            val walk = java.nio.file.Files.walk(dir)
-            try walk.filter(java.nio.file.Files.isRegularFile(_))
-              .mapToLong(p => p.toFile.length).sum()
-            finally walk.close()
-          }
         body ++= s"""graft_stream_storage_bytes{stream="${esc(
-          e.getKey)}"} $sz\n"""
+          e.getKey)}"} ${storageBytes(e.getKey)}\n"""
       }
     }
     // /query latency histogram (reference QUERY_EXECUTE_TIME)
@@ -593,4 +624,12 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
       }
     }
   }
+}
+
+private[http] object PrismRoutes {
+  /** TTL for the per-stream storage walk on /metrics — bounded staleness
+    * of a capacity gauge, chosen at ~2/3 of the default 15 s Prometheus
+    * scrape interval so consecutive scrapes usually hit the cache.
+    */
+  private[http] val StorageWalkTtlMs = 10000L
 }

@@ -923,11 +923,54 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // per-subspace codebooks (general: also holds k-means-refined models)
+    // per-subspace codebooks (general: also holds k-means-refined models),
+    // stamped with the layout version so a reader of a stale index fails
+    // with "rebuild", not an opaque schema/cast error
     model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (sv, c) => (j, c, sv, dim) }
-    }.toDF("subspace", "centroid_rank", "subvec", "dim")
+      cb.zipWithIndex.map { case (sv, c) =>
+        (j, c, sv, dim, CodebookFormatVersion) }
+    }.toDF("subspace", "centroid_rank", "subvec", "dim", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Persisted PQ codebook layout version. v2 = per-subspace
+    * (subspace, centroid_rank, subvec) rows (supports k-means-refined
+    * models whose subspaces differ); v1 was full-dim anchor rows with no
+    * version column. Bumped whenever the schema changes shape.
+    */
+  private[ml] val CodebookFormatVersion = 2
+
+  /** Read a persisted codebook, failing EXPLICITLY on a stale layout:
+    * an index saved by a build with a different codebook schema (or one
+    * predating the version stamp) must say "rebuild the index", not
+    * surface an AnalysisException from a column mismatch three operators
+    * downstream.
+    */
+  private def readCodebook(spark: org.apache.spark.sql.SparkSession,
+                           path: String): PqModel = {
+    val df = spark.read.parquet(s"$path/codebook")
+    val cols = df.columns.toSet
+    val expected = Set("subspace", "centroid_rank", "subvec", "dim",
+      "format_version")
+    if (!expected.subsetOf(cols))
+      throw new IllegalStateException(
+        s"incompatible IVF-PQ index format at $path/codebook: found " +
+          s"columns ${df.columns.sorted.mkString("[", ", ", "]")}, expected " +
+          s"$expected — the index was written by an earlier build; " +
+          "rebuild it with saveIvfPqIndex")
+    val cb = df.orderBy(col("subspace").asc, col("centroid_rank").asc)
+      .collect()
+    val ver = cb.head.getAs[Int]("format_version")
+    if (ver != CodebookFormatVersion)
+      throw new IllegalStateException(
+        s"incompatible IVF-PQ index format version $ver at $path/codebook " +
+          s"(this build reads $CodebookFormatVersion) — rebuild the index " +
+          "with saveIvfPqIndex")
+    PqModel(
+      cb.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1).map(_._2.toSeq
+        .sortBy(_.getAs[Int]("centroid_rank"))
+        .map(_.getAs[scala.collection.Seq[Double]]("subvec").toSeq)),
+      cb.head.getAs[Int]("dim"))
   }
 
   /** ADC search against a persisted IVF-PQ index ([[saveIvfPqIndex]]):
@@ -938,12 +981,7 @@ object Similarity {
                            path: String, queries: DataFrame,
                            idCol: String, vecCol: String, k: Int,
                            nProbe: Int): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebook")
-      .orderBy(col("subspace").asc, col("centroid_rank").asc).collect()
-    val model = PqModel(
-      cb.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2.toSeq
-        .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq)),
-      cb.head.getInt(3))
+    val model = readCodebook(spark, path)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val index = spark.read.parquet(s"$path/index")
     val probeW = Window.partitionBy(col("q_id"))

@@ -134,4 +134,31 @@ class CompressionSpec extends SparkSuite {
         Some("""{"a":1}""".getBytes(UTF_8)))._1 == 503)
     } finally srv.stop()
   }
+
+  test("Accept-Encoding q-values are token-parsed, not regex-matched") {
+    import graft.http.GraftHttpServer.gzipAccepted
+    // plain accepts
+    assert(gzipAccepted("gzip"))
+    assert(gzipAccepted("br, gzip"))
+    assert(gzipAccepted("GZIP"))
+    assert(gzipAccepted("x-gzip"))
+    // explicit q on the gzip entry decides, wherever it sits in the list
+    assert(!gzipAccepted("gzip;q=0"))
+    assert(!gzipAccepted("gzip;q=0.0"))
+    assert(!gzipAccepted("gzip;q=0 , br"))       // space before comma
+    assert(!gzipAccepted("gzip; q=0, deflate;q=1"))
+    assert(gzipAccepted("gzip;q=0.5;v=x"))       // extra params ignored
+    assert(gzipAccepted("gzip;q=0.001, br;q=0"))
+    // q on OTHER codings never disables gzip
+    assert(gzipAccepted("br;q=0, gzip"))
+    // wildcard only applies when gzip has no entry of its own
+    assert(gzipAccepted("*"))
+    assert(!gzipAccepted("*;q=0"))
+    assert(!gzipAccepted("*, gzip;q=0"))
+    assert(gzipAccepted("*;q=0, gzip"))
+    // absent / garbage: no compression
+    assert(!gzipAccepted(""))
+    assert(!gzipAccepted("identity, br"))
+    assert(!gzipAccepted("gzip;q=notanumber"))
+  }
 }

@@ -231,4 +231,38 @@ class PqSpec extends SparkSuite {
     assert(r.length == 3)
     assert(r.map(_.getAs[Long]("n_id")).toSet == Set(2L, 3L, 4L))
   }
+
+  test("persisted IVF-PQ index is version-stamped; a stale layout fails " +
+      "with an explicit rebuild message") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    Similarity.saveIvfPqIndex(vecs, "vec_id", "embedding",
+      numCentroids = 2, path = dir, numSubspaces = 2, pqCentroids = 2,
+      dim = 4)
+    // round trip works on the current layout
+    val r = Similarity.ivfPqSearchPersisted(spark, dir,
+      vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 2,
+      nProbe = 2).collect()
+    assert(r.nonEmpty)
+    // overwrite the codebook with the pre-version (v1) anchor layout:
+    // the reader must say "rebuild", not throw an opaque schema error
+    Seq((0, Seq(0.0, 0.0, 0.0, 0.0), 2, 2, 4))
+      .toDF("anchor_rank", "anchor", "num_subspaces", "pq_centroids", "dim")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val ex = intercept[IllegalStateException] {
+      Similarity.ivfPqSearchPersisted(spark, dir,
+        vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 2,
+        nProbe = 2).collect()
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+    // and a FUTURE format version is rejected explicitly too
+    Seq((0, 0, Seq(0.0, 0.0), 4, 99))
+      .toDF("subspace", "centroid_rank", "subvec", "dim", "format_version")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val ex2 = intercept[IllegalStateException] {
+      Similarity.ivfPqSearchPersisted(spark, dir,
+        vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 2,
+        nProbe = 2).collect()
+    }
+    assert(ex2.getMessage.contains("rebuild"), ex2.getMessage)
+  }
 }

@@ -422,6 +422,17 @@ class SimilaritySpec extends SparkSuite {
       columnForm(col("embedding")).as("c")).head()
     assert(badRow.getSeq[Long](0) == Seq.fill(bands)(0L))
     assert(badRow.getSeq[Long](0) == badRow.getSeq[Long](1))
+    // NULL vector: both forms produce all-zero keys, never null — a
+    // posexplode over the keys must emit `bands` rows either way, so
+    // bucket-size accounting under maxBucketSize stays form-independent
+    val nul = Seq(Tuple2(1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val nulRow = nul.select(
+      ColumnBridge.column(graft.functions.SignBandKeys(
+        ColumnBridge.expression(col("embedding")), planes, bandBits)).as("k"),
+      columnForm(col("embedding")).as("c")).head()
+    assert(!nulRow.isNullAt(0) && nulRow.getSeq[Long](0) == Seq.fill(bands)(0L))
+    assert(nulRow.getSeq[Long](0) == nulRow.getSeq[Long](1))
   }
 
   test("corpus-size-scaled ANN parameter helpers clamp and grow monotonically") {
