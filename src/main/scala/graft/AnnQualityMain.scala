@@ -81,7 +81,17 @@ object AnnQualityMain {
       "ivfpq_residual" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc,
-          refineIters = 3, coarseIters = 3, residual = true)))
+          refineIters = 3, coarseIters = 3, residual = true)),
+      // exact-refinement stage (FAISS IndexRefineFlat): ADC shortlist of
+      // 5k raw-vector reads per query, exact re-rank to k
+      "pq_rerank" -> (() =>
+        Similarity.knnPq(e, queries, "vec_id", "embedding", k,
+          numCentroids = pqc, refineIters = 3, rerank = 5 * k)),
+      "ivfpq_residual_rerank" -> (() =>
+        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
+          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc,
+          refineIters = 3, coarseIters = 3, residual = true,
+          rerank = 5 * k)))
     val rows = AnnQuality.evaluate(variants, truth, k)
     // sign-LSH recall/latency frontier: nBits × multiProbe grid
     val frontier = for {

@@ -1508,6 +1508,19 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: PQ with exact re-rank (FAISS IndexRefineFlat pattern) — the ADC
+    // pass produces a 20-deep shortlist per query, and the final ranking
+    // is the EXACT L2² against the raw vectors of just those candidates:
+    // the approximate stage only has to land true neighbors anywhere in
+    // the shortlist, so recall multiplies at R raw reads per query.
+    "q_sim_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnPq(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numSubspaces = 8,
+          numCentroids = 16, dim = 64, rerank = 20)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: residual IVF-PQ (full IVFADC, Jégou 2011 §V.A) — the PQ
     // quantizes each vector's RESIDUAL against its coarse centroid, and
     // ADC ranks the query's residual against reconstructed residuals.
@@ -4003,6 +4016,60 @@ object SparkEntry {
          |  FROM cand)
          |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    // PQ + exact re-rank: the q_sim_pq pipeline truncated at a 20-deep
+    // ADC shortlist, finished by exact L2² between the raw double vectors
+    // of the shortlisted pairs (same sequential fold both engines share).
+    "q_sim_pq_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |anch AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INTEGER) AS c,
+        |    e
+        |  FROM v ORDER BY vec_id ASC LIMIT 16),
+        |d AS (
+        |  SELECT v.vec_id, j.j, a.c,
+        |    list_reduce(list_transform(
+        |      list_zip(v.e[j.j*8+1 : j.j*8+8], a.e[j.j*8+1 : j.j*8+8]),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS dist
+        |  FROM v, range(8) j(j), anch a),
+        |best AS (
+        |  SELECT vec_id, j, c,
+        |    row_number() OVER (PARTITION BY vec_id, j
+        |                       ORDER BY dist ASC, c ASC) AS rn
+        |  FROM d),
+        |recon AS (
+        |  SELECT b.vec_id,
+        |    flatten(list(a.e[b.j*8+1 : b.j*8+8] ORDER BY b.j)) AS re
+        |  FROM best b JOIN anch a USING (c) WHERE b.rn = 1
+        |  GROUP BY b.vec_id),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+        |    list_reduce(list_transform(list_zip(q.e, r.re),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS adc
+        |  FROM v q JOIN recon r ON r.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |sl AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc ASC, n_id ASC) AS rk
+        |    FROM p)
+        |  WHERE rk <= 20),
+        |x AS (
+        |  SELECT s.q_id, s.n_id,
+        |    list_reduce(list_transform(list_zip(q.e, c.e),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y) AS dist
+        |  FROM sl s JOIN v q ON q.vec_id = s.q_id
+        |  JOIN v c ON c.vec_id = s.n_id),
+        |r AS (
+        |  SELECT q_id, n_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dist ASC, n_id ASC) AS INTEGER) AS rk
+        |  FROM x)
+        |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
 
     // residual IVF-PQ (IVFADC): same shape as q_sim_ivfpq, but the PQ
     // codebook is trained on and encodes residuals v − c(v); ADC ranks

@@ -265,4 +265,23 @@ class PqSpec extends SparkSuite {
     }
     assert(ex2.getMessage.contains("rebuild"), ex2.getMessage)
   }
+
+  test("exact re-rank with a full-depth shortlist equals brute-force L2 " +
+      "ranking (ADC errors corrected)") {
+    // plain PQ scores v3/v4 at adc 200 (quantized recon); the re-rank
+    // stage must replace that with the exact L2² (164) and keep order
+    val rr = Similarity.knnPq(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", k = 3, numSubspaces = 2, numCentroids = 2,
+        dim = 4, rerank = 10)
+      .orderBy("rk").collect()
+    assert(rr.map(r => r.getAs[Long]("n_id") -> r.getAs[Double]("dist"))
+      .toSeq == Seq(3L -> 164.0, 4L -> 164.0, 2L -> 400.0))
+    // same refinement through the IVF-PQ path with all lists probed
+    val rr2 = Similarity.ivfPqSearch(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 2,
+        numSubspaces = 2, pqCentroids = 2, dim = 4, rerank = 10)
+      .orderBy("rk").collect()
+    assert(rr2.map(r => r.getAs[Long]("n_id") -> r.getAs[Double]("dist"))
+      .toSeq == Seq(3L -> 164.0, 4L -> 164.0, 2L -> 400.0))
+  }
 }
