@@ -956,25 +956,46 @@ object Similarity {
   def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                      numCentroids: Int, path: String,
                      numSubspaces: Int = 8, pqCentroids: Int = 16,
-                     dim: Int = 64): Unit = {
-    val model = pqTrain(corpus, idCol, vecCol, numSubspaces, pqCentroids, dim)
-    ivfIndex(corpus, idCol, vecCol, numCentroids)
-      .select(col("v_id"), col("centroid_id"))
-      .join(pqEncode(corpus, idCol, vecCol, model)
-        .withColumnRenamed("n_id", "v_id"), "v_id")
+                     dim: Int = 64, residual: Boolean = false,
+                     refineIters: Int = 0, coarseIters: Int = 0): Unit = {
+    // mirrors ivfPqSearch's build exactly (residual/refined variants
+    // included) so a persisted index answers like the ad-hoc path
+    val centroids =
+      if (coarseIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
+      else kmeansCentroids(corpus, idCol, vecCol, numCentroids, coarseIters)
+    val cents = broadcast(centroids)
+    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
+    val pqInput =
+      if (!residual)
+        assigned.select(col("v_id"), col("centroid_id"),
+          col("v_vec").cast("array<double>").as("pq_vec"))
+      else assigned.join(cents, "centroid_id")
+        .select(col("v_id"), col("centroid_id"),
+          zip_with(col("v_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
+    val (trainDf, trainId, trainVec) =
+      if (residual) (pqInput, "v_id", "pq_vec") else (corpus, idCol, vecCol)
+    val model =
+      if (refineIters == 0)
+        pqTrain(trainDf, trainId, trainVec, numSubspaces, pqCentroids, dim)
+      else pqTrainKmeans(trainDf, trainId, trainVec, numSubspaces,
+        pqCentroids, dim, refineIters)
+    pqInput.select(col("v_id"), col("centroid_id"),
+        pqCodesOf(col("pq_vec"), model).as("codes"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
-    seedCentroids(corpus, idCol, vecCol, numCentroids)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val spark = corpus.sparkSession
     import spark.implicits._
     // per-subspace codebooks (general: also holds k-means-refined models),
-    // stamped with the layout version so a reader of a stale index fails
-    // with "rebuild", not an opaque schema/cast error
+    // stamped with the layout version and the residual flag so a reader
+    // of a stale index fails with "rebuild", not an opaque schema/cast
+    // error, and a residual index is never ADC'd as a raw one
     model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (sv, c) =>
-        (j, c, sv, dim, CodebookFormatVersion) }
-    }.toDF("subspace", "centroid_rank", "subvec", "dim", "format_version")
+        (j, c, sv, dim, CodebookFormatVersion, residual) }
+    }.toDF("subspace", "centroid_rank", "subvec", "dim", "format_version",
+        "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 
@@ -992,7 +1013,7 @@ object Similarity {
     * downstream.
     */
   private def readCodebook(spark: org.apache.spark.sql.SparkSession,
-                           path: String): PqModel = {
+                           path: String): (PqModel, Boolean) = {
     val df = spark.read.parquet(s"$path/codebook")
     val cols = df.columns.toSet
     val expected = Set("subspace", "centroid_rank", "subvec", "dim",
@@ -1011,22 +1032,38 @@ object Similarity {
         s"incompatible IVF-PQ index format version $ver at $path/codebook " +
           s"(this build reads $CodebookFormatVersion) — rebuild the index " +
           "with saveIvfPqIndex")
-    PqModel(
+    // `residual` joined the schema mid-v2; absent column = raw-vector index
+    val residual = cols.contains("residual") &&
+      cb.head.getAs[Boolean]("residual")
+    (PqModel(
       cb.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1).map(_._2.toSeq
         .sortBy(_.getAs[Int]("centroid_rank"))
         .map(_.getAs[scala.collection.Seq[Double]]("subvec").toSeq)),
-      cb.head.getAs[Int]("dim"))
+      cb.head.getAs[Int]("dim")), residual)
   }
 
   /** ADC search against a persisted IVF-PQ index ([[saveIvfPqIndex]]):
     * identical ranking to [[ivfPqSearch]], with the corpus pass replaced
-    * by a codes-only read of the probed centroid partitions.
+    * by a codes-only read of the probed centroid partitions. A
+    * residual-encoded index (flag read from the codebook) is answered in
+    * residual space automatically. `rerank > 0` finishes with the exact
+    * [[exactRerank]] stage — `rerankCorpus` must then supply the raw
+    * vectors (the index itself stores only codes).
     */
   def ivfPqSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                            path: String, queries: DataFrame,
                            idCol: String, vecCol: String, k: Int,
-                           nProbe: Int): DataFrame = {
-    val model = readCodebook(spark, path)
+                           nProbe: Int, rerank: Int = 0,
+                           rerankCorpus: Option[DataFrame] = None): DataFrame = {
+    require(rerank <= 0 || rerankCorpus.nonEmpty,
+      "rerank needs rerankCorpus: the index stores only codes, exact " +
+        "re-ranking reads raw vectors")
+    if (rerank > 0)
+      return exactRerank(
+        ivfPqSearchPersisted(spark, path, queries, idCol, vecCol,
+          math.max(rerank, k), nProbe),
+        rerankCorpus.get, queries, idCol, vecCol, k)
+    val (model, residual) = readCodebook(spark, path)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val index = spark.read.parquet(s"$path/index")
     val probeW = Window.partitionBy(col("q_id"))
@@ -1038,7 +1075,12 @@ object Similarity {
       .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+      .select(col("q_id"),
+        (if (residual)
+          zip_with(col("q_vec"), col("c_vec").cast("array<double>"),
+            (a, b) => a - b)
+        else col("q_vec")).as("q_vec"),
+        col("centroid_id"))
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("adc", pqAdcOf(col("q_vec"), col("codes"), model))

@@ -18,8 +18,9 @@ class PlanAuditSpec extends SparkSuite {
   private val bnljAllowed = Set(
     "q_cluster_kmeans", "q_corpus_report", "q_dedup_semantic",
     "q_sample_importance", "q_sim_hardneg", "q_sim_ivf",
-    "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_knn", "q_sim_pq",
-    "q_sim_project", "q_sim_quantized", "q_sim_twostage", "q_text_bm25",
+    "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_ivfpq_residual",
+    "q_sim_knn", "q_sim_pq", "q_sim_pq_rerank", "q_sim_project",
+    "q_sim_quantized", "q_sim_twostage", "q_text_bm25",
     "q_text_lmscore", "q_text_tfidf", "q_vocab_topk")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {

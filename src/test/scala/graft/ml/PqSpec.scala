@@ -284,4 +284,35 @@ class PqSpec extends SparkSuite {
     assert(rr2.map(r => r.getAs[Long]("n_id") -> r.getAs[Double]("dist"))
       .toSeq == Seq(3L -> 164.0, 4L -> 164.0, 2L -> 400.0))
   }
+
+  test("persisted residual IVF-PQ answers like the ad-hoc path, rerank " +
+      "included") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-res-idx").toString
+    Similarity.saveIvfPqIndex(vecs, "vec_id", "embedding",
+      numCentroids = 2, path = dir, numSubspaces = 2, pqCentroids = 2,
+      dim = 4, residual = true)
+    val q = vecs.filter($"vec_id" === 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rk").collect().map(_.toSeq).toSeq
+    val adhoc = Similarity.ivfPqSearch(vecs, q, "vec_id", "embedding",
+      k = 3, numCentroids = 2, nProbe = 2, numSubspaces = 2,
+      pqCentroids = 2, dim = 4, residual = true)
+    val pers = Similarity.ivfPqSearchPersisted(spark, dir, q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(rows(pers) == rows(adhoc))
+    // exact re-rank against the persisted index needs the raw corpus
+    val adhocR = Similarity.ivfPqSearch(vecs, q, "vec_id", "embedding",
+      k = 3, numCentroids = 2, nProbe = 2, numSubspaces = 2,
+      pqCentroids = 2, dim = 4, residual = true, rerank = 10)
+    val persR = Similarity.ivfPqSearchPersisted(spark, dir, q,
+      "vec_id", "embedding", k = 3, nProbe = 2, rerank = 10,
+      rerankCorpus = Some(vecs))
+    assert(rows(persR) == rows(adhocR))
+    // and rerank without the corpus is an explicit error, not a crash
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchPersisted(spark, dir, q, "vec_id", "embedding",
+        k = 3, nProbe = 2, rerank = 10)
+    }
+    assert(ex.getMessage.contains("rerankCorpus"), ex.getMessage)
+  }
 }
