@@ -206,13 +206,24 @@ object Similarity {
     * k candidate rows a `row_number().over(partitionBy(v_id))` would.
     * Tiebreak on equal cosine: the lower centroid id wins (the negated id
     * is the second struct field of the max key).
+    *
+    * NaN guard (here and in every probe ranking): cosine against a
+    * ZERO-NORM vector is 0/0 = NaN, and Spark's ordering puts NaN ABOVE
+    * every real value — so one all-zero centroid (a dead embedding
+    * landing in the seed set, routine at corpus scale) would win every
+    * assignment and collapse the whole inverted file into a single list.
+    * `nanvl(cos, -2)` maps NaN below the cosine range instead: a zero
+    * centroid attracts only vectors with no real-valued alternative, and
+    * a zero corpus vector falls to the lowest-id centroid deterministic-
+    * ally. Value-identical on corpora with no zero vectors (the gated
+    * oracles pin that).
     */
   def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids)
     corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
       .crossJoin(cents)
-      .withColumn("c_cos", cosine(col("v_vec"), col("c_vec")))
+      .withColumn("c_cos", nanvl(cosine(col("v_vec"), col("c_vec")), lit(-2d)))
       .groupBy(col("v_id"))
       .agg(max_by(
         struct(col("v_vec"), col("centroid_id")),
@@ -283,7 +294,7 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(cents)
-      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
@@ -344,7 +355,7 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(cents)
-      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
@@ -905,7 +916,7 @@ object Similarity {
       .select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
       .crossJoin(cents)
-      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"),
@@ -1072,7 +1083,7 @@ object Similarity {
       .select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
       .crossJoin(cents)
-      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"),

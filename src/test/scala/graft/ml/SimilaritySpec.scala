@@ -457,4 +457,26 @@ class SimilaritySpec extends SparkSuite {
     for (f <- Seq[Long => Int](autoCoarseCentroids, autoPqCentroids, autoLshBits))
       assert(ns.map(f) == ns.map(f).sorted)
   }
+
+  test("a zero-norm centroid never swallows the corpus (NaN cosine guard)") {
+    // cosine vs a zero vector is 0/0 = NaN, and Spark sorts NaN above
+    // every real value — unguarded, the dead embedding seeded as
+    // centroid 1 would win EVERY max_by assignment and collapse the
+    // inverted file into one list
+    val data = Seq(
+      (1L, Array(0f, 0f, 0f, 0f)),   // dead embedding -> seeded centroid 1
+      (2L, Array(1f, 0f, 0f, 0f)),   // real centroid 2
+      (3L, Array(2f, 1f, 0f, 0f)),
+      (4L, Array(3f, 1f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val assign = Similarity.ivfIndex(data, "vec_id", "embedding",
+        numCentroids = 2)
+      .collect()
+      .map(r => r.getAs[Long]("v_id") -> r.getAs[Long]("centroid_id"))
+      .toMap
+    // real cosine to centroid 2 must beat the NaN against centroid 1
+    assert(assign(2L) == 2L && assign(3L) == 2L && assign(4L) == 2L, assign)
+    // the zero vector itself falls to the lowest-id centroid, not NaN-first
+    assert(assign(1L) == 1L, assign)
+  }
 }
