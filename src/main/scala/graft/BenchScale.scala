@@ -77,7 +77,12 @@ object BenchScale {
     "q_sim_decontaminate", "q_text_quality_model", "q_text_normalize",
     // line-level boilerplate strip (line-hash keyed shuffles + doc
     // reassembly) and the cluster-keyed leakage-free split
-    "q_dedup_lines", "q_sample_leakfree")
+    "q_dedup_lines", "q_sample_leakfree",
+    // round-11 additions: residual IVFADC (adds a centroid-join residual
+    // encode pass) and the exact-re-rank refinement (ADC shortlist +
+    // broadcast semi-join raw-vector pass); outputs are top-k bounded so
+    // the sweep measures scan/shuffle growth, not answer growth
+    "q_sim_ivfpq_residual", "q_sim_pq_rerank")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
