@@ -38,6 +38,7 @@ object AnnQualityMain {
     val coarse = Similarity.autoCoarseCentroids(n)
     val nProbe = Similarity.autoNProbe(coarse)
     val pqc = Similarity.autoPqCentroids(n)
+    val subs = Similarity.autoPqSubspaces(n, 64)
     // deterministic held-out query set: every 10th vector, capped
     val queries = e.filter(col("vec_id") % 10 === 0)
       .orderBy(col("vec_id")).limit(50).cache()
@@ -64,34 +65,43 @@ object AnnQualityMain {
           candidates = 30, inDim = 64, outDim = 16)),
       "pq" -> (() =>
         Similarity.knnPq(e, queries, "vec_id", "embedding", k,
-          numCentroids = pqc)),
+          numSubspaces = subs, numCentroids = pqc)),
       "pq_kmeans" -> (() =>
         Similarity.knnPq(e, queries, "vec_id", "embedding", k,
-          numCentroids = pqc, refineIters = 3)),
+          numSubspaces = subs, numCentroids = pqc, refineIters = 3)),
       "ivfpq" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
-          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc)),
+          numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
+          pqCentroids = pqc)),
       "ivf_kmeans" -> (() =>
         Similarity.ivfSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, kmeansIters = 3)),
       "ivfpq_refined" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
-          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc,
-          refineIters = 3, coarseIters = 3)),
+          numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
+          pqCentroids = pqc, refineIters = 3, coarseIters = 3)),
       "ivfpq_residual" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
-          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc,
-          refineIters = 3, coarseIters = 3, residual = true)),
+          numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
+          pqCentroids = pqc, refineIters = 3, coarseIters = 3,
+          residual = true)),
       // exact-refinement stage (FAISS IndexRefineFlat): ADC shortlist of
       // 5k raw-vector reads per query, exact re-rank to k
       "pq_rerank" -> (() =>
         Similarity.knnPq(e, queries, "vec_id", "embedding", k,
-          numCentroids = pqc, refineIters = 3, rerank = 5 * k)),
+          numSubspaces = subs, numCentroids = pqc, refineIters = 3,
+          rerank = 5 * k)),
+      // byte-budget axis: once pqCentroids hits the 256 cap, the
+      // remaining pure-ADC lever is MORE subspaces (16 x 4-wide = 16-byte
+      // codes) — this row measures what doubling the code budget buys
+      "pq_kmeans_s16" -> (() =>
+        Similarity.knnPq(e, queries, "vec_id", "embedding", k,
+          numSubspaces = 16, numCentroids = pqc, refineIters = 3)),
       "ivfpq_residual_rerank" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
-          numCentroids = coarse, nProbe = nProbe, pqCentroids = pqc,
-          refineIters = 3, coarseIters = 3, residual = true,
-          rerank = 5 * k)))
+          numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
+          pqCentroids = pqc, refineIters = 3, coarseIters = 3,
+          residual = true, rerank = 5 * k)))
     val rows = AnnQuality.evaluate(variants, truth, k)
     // sign-LSH recall/latency frontier: nBits × multiProbe grid
     val frontier = for {
@@ -111,7 +121,7 @@ object AnnQualityMain {
       }.mkString(",")
     val json =
       s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""" +
-        s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"pqCentroids":$pqc},""" +
+        s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"pqCentroids":$pqc,"subspaces":$subs},""" +
         fmt(rows) + s""","frontier":{${fmt(frontier)}}}"""
     Files.write(Paths.get("ann_quality.json"),
       json.getBytes(StandardCharsets.UTF_8))

@@ -174,6 +174,19 @@ object Similarity {
   def autoPqCentroids(n: Long): Int =
     math.min(256L, math.max(16L, n / 8L)).toInt
 
+  /** Corpus-size-scaled PQ subspace count: 8-wide subvectors while the
+    * 256-cell cap has headroom, 4-wide — double the code bytes — once it
+    * binds. Past the cap the per-cell resolution can't grow, so the only
+    * pure-ADC lever left is more, narrower subspaces; measured at n=20k:
+    * ADC recall@10 0.24 → 0.50 at equal search latency for the extra 8
+    * bytes/vector. (The alternatives — residual encoding and exact
+    * re-rank — stack on top.)
+    */
+  def autoPqSubspaces(n: Long, dim: Int): Int = {
+    val sd = if (autoPqCentroids(n) >= 256) 4 else 8
+    math.max(1, dim / sd)
+  }
+
   /** IVF (inverted-file) index build: assign every vector to its nearest
     * centroid by cosine (tiebreak: centroid id). Centroids here are seeded
     * deterministically (the `k` lowest-id vectors) — at production scale

@@ -447,6 +447,10 @@ class SimilaritySpec extends SparkSuite {
     assert(autoPqCentroids(50L) == 16)
     assert(autoPqCentroids(2000L) == 250)
     assert(autoPqCentroids(1_000_000L) == 256)
+    // subspaces widen the code only once the 256-cell cap binds
+    assert(autoPqSubspaces(2000L, 64) == 8)   // pqc 250 < 256 -> 8-byte codes
+    assert(autoPqSubspaces(20000L, 64) == 16) // cap bound -> 16-byte codes
+    assert(autoPqSubspaces(500L, 32) == 4)
     // LSH bits: bucket ~256 vectors, clamped [4, 24]
     assert(autoLshBits(100L) == 4)
     assert(autoLshBits(2000L) == 4)
