@@ -1692,6 +1692,23 @@ object SparkEntry {
             k = 5, nProbe = 2)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_sim_ivfpq_residual" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("ivfadcidx").toString
+        Similarity.saveIvfPqIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, idx, numSubspaces = 8,
+          pqCentroids = 16, dim = 64, residual = true)
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        // the persisted reader picks up the residual flag from the
+        // codebook — same answer as the ad-hoc residual path (spec-pinned)
+        Similarity.ivfPqSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nProbe = 2)
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_dedup_incremental_indexed" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("shidx").toString
