@@ -891,38 +891,10 @@ object Similarity {
           numCentroids, nProbe, numSubspaces, pqCentroids, dim,
           refineIters, coarseIters, residual, rerank = 0),
         corpus, queries, idCol, vecCol, k)
-    // refineIters / coarseIters > 0: Lloyd-refined PQ codebooks / coarse
-    // centroids (defaults keep the oracle-replicable seeded behavior)
-    val centroids =
-      if (coarseIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
-      else kmeansCentroids(corpus, idCol, vecCol, numCentroids, coarseIters)
+    val (centroids, coded, model) = ivfPqBuild(corpus, idCol, vecCol,
+      numCentroids, numSubspaces, pqCentroids, dim, refineIters,
+      coarseIters, residual)
     val cents = broadcast(centroids)
-    // PQ training/encode input: raw vectors, or per-vector residuals
-    // against the assigned coarse centroid (IVFADC). Either way the frame
-    // carries (v_id, centroid_id, pq_vec) — one corpus pass.
-    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
-    val pqInput =
-      if (!residual)
-        assigned.select(col("v_id"), col("centroid_id"),
-          col("v_vec").cast("array<double>").as("pq_vec"))
-      else assigned.join(cents, "centroid_id")
-        .select(col("v_id"), col("centroid_id"),
-          zip_with(col("v_vec").cast("array<double>"),
-            col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
-    // Non-residual: train straight off the corpus (anchor collect is a
-    // cheap TakeOrdered — no assignment pass needed; codes are
-    // value-identical since the cast is elementwise exact). Residual:
-    // train in residual space — anchors/refinement need the assignment.
-    val (trainDf, trainId, trainVec) =
-      if (residual) (pqInput, "v_id", "pq_vec") else (corpus, idCol, vecCol)
-    val model =
-      if (refineIters == 0)
-        pqTrain(trainDf, trainId, trainVec, numSubspaces, pqCentroids, dim)
-      else pqTrainKmeans(trainDf, trainId, trainVec, numSubspaces,
-        pqCentroids, dim, refineIters)
-    // inverted lists carrying codes, not vectors: (centroid_id, v_id, codes)
-    val coded = pqInput.select(col("v_id"), col("centroid_id"),
-      pqCodesOf(col("pq_vec"), model).as("codes"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probes = queries
@@ -947,6 +919,76 @@ object Similarity {
       .orderBy(col("adc").asc, col("v_id").asc)
     top.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("v_id").as("n_id"), col("adc"), col("rk"))
+  }
+
+  /** Shared IVF-PQ build ([[ivfPqSearch]] ad-hoc + [[saveIvfPqIndex]]
+    * persist): coarse centroids, the encoded inverted lists
+    * `(v_id, centroid_id, codes)`, and the trained PQ model.
+    *
+    * Training-input shaping:
+    *   - Non-residual: train straight off the corpus — the anchor
+    *     collect is a cheap TakeOrdered, no assignment pass needed
+    *     (codes are value-identical since the cast is elementwise exact).
+    *   - Residual, anchors only (refineIters = 0): each vector's
+    *     assignment is independent, so the lowest-`pqCentroids` anchors
+    *     need ONLY those seed vectors assigned — a pqCentroids-row pass,
+    *     not a full-corpus one (value-identical; the strict oracle pins
+    *     it).
+    *   - Residual + refinement: Lloyd iterates over ALL residuals, so
+    *     the full residual frame is the training input — persisted,
+    *     because it is read refineIters+1 times (each a crossJoin +
+    *     aggregate corpus pass otherwise). Spark dedupes cache entries
+    *     by canonicalized plan, so repeated calls with the same inputs
+    *     reuse one entry.
+    */
+  private def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                         numCentroids: Int, numSubspaces: Int,
+                         pqCentroids: Int, dim: Int, refineIters: Int,
+                         coarseIters: Int, residual: Boolean)
+      : (DataFrame, DataFrame, PqModel) = {
+    // refineIters / coarseIters > 0: Lloyd-refined PQ codebooks / coarse
+    // centroids (defaults keep the oracle-replicable seeded behavior)
+    val centroids =
+      if (coarseIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
+      else kmeansCentroids(corpus, idCol, vecCol, numCentroids, coarseIters)
+    val cents = broadcast(centroids)
+    def residualsOf(vecs: DataFrame): DataFrame =
+      assignToCentroids(vecs, idCol, vecCol, centroids)
+        .join(cents, "centroid_id")
+        .select(col("v_id"), col("centroid_id"),
+          zip_with(col("v_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
+    // PQ encode input: raw vectors, or per-vector residuals against the
+    // assigned coarse centroid (IVFADC). Either way the frame carries
+    // (v_id, centroid_id, pq_vec) — one corpus pass.
+    val pqInput =
+      if (!residual)
+        assignToCentroids(corpus, idCol, vecCol, centroids)
+          .select(col("v_id"), col("centroid_id"),
+            col("v_vec").cast("array<double>").as("pq_vec"))
+      else residualsOf(corpus)
+    val model =
+      if (refineIters == 0) {
+        val (df, id, vc) =
+          if (residual)
+            (residualsOf(corpus.orderBy(col(idCol).asc).limit(pqCentroids)),
+              "v_id", "pq_vec")
+          else (corpus, idCol, vecCol)
+        pqTrain(df, id, vc, numSubspaces, pqCentroids, dim)
+      } else {
+        val (df, id, vc) =
+          if (residual) {
+            pqInput.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            (pqInput, "v_id", "pq_vec")
+          } else (corpus, idCol, vecCol)
+        pqTrainKmeans(df, id, vc, numSubspaces, pqCentroids, dim,
+          refineIters)
+      }
+    // inverted lists carrying codes, not vectors: (centroid_id, v_id, codes)
+    val coded = pqInput.select(col("v_id"), col("centroid_id"),
+      pqCodesOf(col("pq_vec"), model).as("codes"))
+    (centroids, coded, model)
   }
 
   /** Fused-kernel PQ codes of `vec` under `model` (shared by
@@ -982,31 +1024,12 @@ object Similarity {
                      numSubspaces: Int = 8, pqCentroids: Int = 16,
                      dim: Int = 64, residual: Boolean = false,
                      refineIters: Int = 0, coarseIters: Int = 0): Unit = {
-    // mirrors ivfPqSearch's build exactly (residual/refined variants
-    // included) so a persisted index answers like the ad-hoc path
-    val centroids =
-      if (coarseIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
-      else kmeansCentroids(corpus, idCol, vecCol, numCentroids, coarseIters)
-    val cents = broadcast(centroids)
-    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
-    val pqInput =
-      if (!residual)
-        assigned.select(col("v_id"), col("centroid_id"),
-          col("v_vec").cast("array<double>").as("pq_vec"))
-      else assigned.join(cents, "centroid_id")
-        .select(col("v_id"), col("centroid_id"),
-          zip_with(col("v_vec").cast("array<double>"),
-            col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
-    val (trainDf, trainId, trainVec) =
-      if (residual) (pqInput, "v_id", "pq_vec") else (corpus, idCol, vecCol)
-    val model =
-      if (refineIters == 0)
-        pqTrain(trainDf, trainId, trainVec, numSubspaces, pqCentroids, dim)
-      else pqTrainKmeans(trainDf, trainId, trainVec, numSubspaces,
-        pqCentroids, dim, refineIters)
-    pqInput.select(col("v_id"), col("centroid_id"),
-        pqCodesOf(col("pq_vec"), model).as("codes"))
-      .write.mode("overwrite").partitionBy("centroid_id")
+    // the SAME build as ivfPqSearch (residual/refined variants included)
+    // so a persisted index answers like the ad-hoc path — spec-pinned
+    val (centroids, coded, model) = ivfPqBuild(corpus, idCol, vecCol,
+      numCentroids, numSubspaces, pqCentroids, dim, refineIters,
+      coarseIters, residual)
+    coded.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val spark = corpus.sparkSession
