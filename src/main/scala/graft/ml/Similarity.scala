@@ -353,6 +353,38 @@ object Similarity {
       .parquet(s"$path/index")
   }
 
+  /** Incremental append to a persisted IVF-PQ index
+    * ([[saveIvfPqIndex]]): the new batch is assigned against the INDEX'S
+    * centroids and encoded with the INDEX'S codebook (residual-aware —
+    * the flag comes from the codebook), then appended to the
+    * centroid-partitioned lists. This is the streaming-ingest contract:
+    * the quantizer is frozen at build time, appended vectors are coded
+    * under it, and the drift cost is a (measurable, recall-harness-
+    * visible) quantization error on data far from the training
+    * distribution — rebuild when it matters. O(batch) work: one
+    * assignment + one encode pass over the new rows only.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         batch: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val (model, residual) = readCodebook(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cents = broadcast(centroids)
+    val assigned = assignToCentroids(batch, idCol, vecCol, centroids)
+    val pqInput =
+      if (!residual)
+        assigned.select(col("v_id"), col("centroid_id"),
+          col("v_vec").cast("array<double>").as("pq_vec"))
+      else assigned.join(cents, "centroid_id")
+        .select(col("v_id"), col("centroid_id"),
+          zip_with(col("v_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
+    pqInput.select(col("v_id"), col("centroid_id"),
+        pqCodesOf(col("pq_vec"), model).as("codes"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
   /** IVF search against a persisted index ([[saveIvfIndex]]): same
     * ranking semantics as [[ivfSearch]], but the corpus pass is replaced
     * by a read of only the probed centroid partitions.

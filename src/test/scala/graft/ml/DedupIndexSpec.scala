@@ -181,6 +181,36 @@ class DedupIndexSpec extends SparkSuite {
       top.mkString(","))
   }
 
+  test("appendToIvfPqIndex: frozen-quantizer append, residual-aware, " +
+      "searches see new vectors") {
+    import graft.ml.Similarity
+    val base = Seq(
+      (1L, Array(4f, 2f, 0f, 0f)),
+      (2L, Array(0f, 0f, 100f, 100f)),
+      (3L, Array(5f, 4f, 0f, 0f)),
+      (4L, Array(1f, 2f, 100f, 100f)),
+    ).toDF("vec_id", "embedding")
+    val idx = tmp("ivfpqidx-append")
+    Similarity.saveIvfPqIndex(base, "vec_id", "embedding",
+      numCentroids = 2, path = idx, numSubspaces = 2, pqCentroids = 3,
+      dim = 4, residual = true)
+    // append a vector whose residual (1,2,0,0) is an existing codebook
+    // cell: the frozen quantizer encodes it exactly
+    val extra = Seq((100L, Array(1f, 2f, 100f, 100f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(spark, extra, "vec_id", "embedding", idx)
+    val q = Seq((0L, Array(2f, 3f, 100f, 100f))).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqSearchPersisted(spark, idx, q, "vec_id",
+        "embedding", k = 3, nProbe = 2).collect()
+    val ids = top.map(_.getAs[Long]("n_id")).toSet
+    assert(ids.contains(100L), s"appended vector missing: ${top.mkString(",")}")
+    // the appended copy of vec 4 must score the IDENTICAL adc — the
+    // append path used the same frozen codebook and residual flag
+    val byId = top.map(r =>
+      r.getAs[Long]("n_id") -> r.getAs[Double]("adc")).toMap
+    assert(byId(100L) == byId(4L), byId.toString)
+  }
+
   test("contaminationOverlap reports per-doc fractions, zero-overlap included") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // 3 of 3 4-grams hit
