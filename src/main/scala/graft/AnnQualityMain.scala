@@ -115,14 +115,39 @@ object AnnQualityMain {
           nBits = nBits, multiProbe = mp), truth, k)
       (name, r, (System.nanoTime() - t0) / 1e9)
     }
+    // Frozen-quantizer drift: an incrementally-grown index
+    // (appendToIvfPqIndex) codes the appended half under centroids and
+    // codebooks trained on the FIRST half only. The recall gap against a
+    // full rebuild is THE number that tells a deployment when to
+    // re-train — measured here, not asserted.
+    val drift = {
+      val half = n / 2
+      def searchRecall(dir: String): Double = AnnQuality.recallAtK(
+        Similarity.ivfPqSearchPersisted(spark, dir, queries, "vec_id",
+          "embedding", k, nProbe), truth, k)
+      val fullDir = Files.createTempDirectory("ann-full").toString
+      Similarity.saveIvfPqIndex(e, "vec_id", "embedding", coarse, fullDir,
+        numSubspaces = subs, pqCentroids = pqc, dim = 64, residual = true)
+      val halfDir = Files.createTempDirectory("ann-half").toString
+      Similarity.saveIvfPqIndex(e.filter(col("vec_id") < half), "vec_id",
+        "embedding", coarse, halfDir, numSubspaces = subs,
+        pqCentroids = pqc, dim = 64, residual = true)
+      Similarity.appendToIvfPqIndex(spark,
+        e.filter(col("vec_id") >= half), "vec_id", "embedding", halfDir)
+      Seq("ivfpq_persisted_full" -> searchRecall(fullDir),
+        "ivfpq_persisted_appended" -> searchRecall(halfDir))
+    }
     def fmt(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (nm, r, s) =>
         f""""$nm":{"recall":$r%.4f,"sec":$s%.3f}"""
       }.mkString(",")
+    val driftJson = drift.map { case (nm, r) => f""""$nm":$r%.4f""" }
+      .mkString(",")
     val json =
       s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""" +
         s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"pqCentroids":$pqc,"subspaces":$subs},""" +
-        fmt(rows) + s""","frontier":{${fmt(frontier)}}}"""
+        fmt(rows) + s""","frontier":{${fmt(frontier)}},""" +
+        s""""drift":{$driftJson}}"""
     Files.write(Paths.get("ann_quality.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)
