@@ -394,7 +394,6 @@ object Similarity {
                          idCol: String, vecCol: String, k: Int,
                          nProbe: Int): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
-    val index = spark.read.parquet(s"$path/index")
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probes = queries
@@ -404,11 +403,31 @@ object Similarity {
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val index = prunedIndexRead(spark, path, probes)
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("v_vec")))
     topKRanked(scored, "q_id", "cosine", "v_id", k)
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
+  }
+
+  /** Read `$path/index` with a STATIC partition filter on the probed
+    * centroid ids. The probe set is tiny by construction (queries ×
+    * nProbe ids), so collecting it costs one small job — and buys
+    * GUARANTEED partition pruning: Spark's dynamic partition pruning on
+    * the `index ⋈ broadcast(probes)` join falls back to a no-op filter
+    * here (the probe subquery's window+crossJoin makes its broadcast
+    * non-reusable, and the scan-metrics probe showed numFiles = ALL
+    * partitions read). With the literal IN-list the un-probed lists are
+    * never opened — the actual nProbe/numCentroids IO contract the
+    * persisted layout exists for.
+    */
+  private def prunedIndexRead(spark: org.apache.spark.sql.SparkSession,
+                              path: String, probes: DataFrame): DataFrame = {
+    val probeIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0))
+    spark.read.parquet(s"$path/index")
+      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
   }
 
   /** Hard-negative mining for contrastive training (the DPR/Contriever
@@ -1144,7 +1163,6 @@ object Similarity {
         rerankCorpus.get, queries, idCol, vecCol, k)
     val (model, residual) = readCodebook(spark, path)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
-    val index = spark.read.parquet(s"$path/index")
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probes = queries
@@ -1160,6 +1178,7 @@ object Similarity {
             (a, b) => a - b)
         else col("q_vec")).as("q_vec"),
         col("centroid_id"))
+    val index = prunedIndexRead(spark, path, probes)
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("adc", pqAdcOf(col("q_vec"), col("codes"), model))
