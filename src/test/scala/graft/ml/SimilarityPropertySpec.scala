@@ -110,4 +110,48 @@ class SimilarityPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("exactRerank recall is monotone in shortlist depth (nested shortlists)") {
+    // shortlist(R1) is a prefix of shortlist(R2) for R1 <= R2 (same ADC
+    // ordering), and exact re-ranking keeps the best k of a SUPERSET —
+    // so recall@k against brute-force L2 truth can only grow with R
+    forAll(genVecs, iters = 5) { corpus =>
+      if (corpus.length >= 8) {
+        val dim = corpus.head._2.length
+        if (dim % 2 == 0) {
+          val df = corpus.toDF("vec_id", "embedding")
+          val queries = df.filter(col("vec_id") < 2)
+          val k = 3
+          // exact L2 ground truth per query (self excluded)
+          def l2sq(a: Array[Float], b: Array[Float]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) {
+              val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+            }
+            s
+          }
+          val qs = corpus.filter(_._1 < 2)
+          val truth = qs.map { case (qid, qv) =>
+            qid -> corpus.filter(_._1 != qid)
+              .map { case (nid, nv) => (nid, l2sq(qv, nv)) }
+              .sortBy { case (nid, d) => (d, nid) }.take(k).map(_._1).toSet
+          }.toMap
+          def recallAt(rerank: Int): Double = {
+            val got = Similarity.knnPq(df, queries, "vec_id", "embedding",
+                k = k, numSubspaces = 2, numCentroids = math.min(4, corpus.length),
+                dim = dim, rerank = rerank)
+              .collect().groupBy(_.getAs[Long]("q_id"))
+              .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+            truth.map { case (q, t) =>
+              got.getOrElse(q, Set.empty).count(t).toDouble / k
+            }.sum / truth.size
+          }
+          val rs = Seq(k, 2 * k, corpus.length).map(recallAt)
+          assert(rs == rs.sorted, s"recall not monotone in R: $rs")
+          // full-depth shortlist = exact answer
+          assert(rs.last == 1.0, s"full-depth rerank must be exact: $rs")
+        }
+      }
+    }
+  }
 }
