@@ -119,7 +119,10 @@ object AnnQualityMain {
     // (appendToIvfPqIndex) codes the appended half under centroids and
     // codebooks trained on the FIRST half only. The recall gap against a
     // full rebuild is THE number that tells a deployment when to
-    // re-train — measured here, not asserted.
+    // re-train — measured here, not asserted. All four builds use Lloyd
+    // refinement: with anchor-only training both the rebuild and the
+    // append would train on the same lowest-id vectors and the
+    // comparison degenerates to equality by construction.
     val drift = {
       val half = n / 2
       def searchRecall(dir: String): Double = AnnQuality.recallAtK(
@@ -127,15 +130,52 @@ object AnnQualityMain {
           "embedding", k, nProbe), truth, k)
       val fullDir = Files.createTempDirectory("ann-full").toString
       Similarity.saveIvfPqIndex(e, "vec_id", "embedding", coarse, fullDir,
-        numSubspaces = subs, pqCentroids = pqc, dim = 64, residual = true)
+        numSubspaces = subs, pqCentroids = pqc, dim = 64, residual = true,
+        refineIters = 3, coarseIters = 3)
       val halfDir = Files.createTempDirectory("ann-half").toString
       Similarity.saveIvfPqIndex(e.filter(col("vec_id") < half), "vec_id",
         "embedding", coarse, halfDir, numSubspaces = subs,
-        pqCentroids = pqc, dim = 64, residual = true)
+        pqCentroids = pqc, dim = 64, residual = true, refineIters = 3,
+        coarseIters = 3)
       Similarity.appendToIvfPqIndex(spark,
         e.filter(col("vec_id") >= half), "vec_id", "embedding", halfDir)
+      // Shifted variant: the appended half is pushed off the training
+      // distribution (constant offset on the first 8 coords) BEFORE the
+      // quantizer trained on the un-shifted first half codes it — and
+      // the ground truth shifts with it. On the stationary corpus the
+      // append gap is zero; this row shows what a real distribution
+      // shift costs under a frozen quantizer, which is the number that
+      // schedules re-trains.
+      val shift = org.apache.spark.sql.functions.transform(
+        col("embedding"),
+        (x, i) => org.apache.spark.sql.functions.when(i < 8, x + lit(3.0f))
+          .otherwise(x))
+      val eShift = e.withColumn("embedding",
+        when(col("vec_id") >= half, shift).otherwise(col("embedding")))
+        .cache()
+      val qShift = eShift.filter(col("vec_id") % 10 === 0)
+        .orderBy(col("vec_id")).limit(50)
+      val truthShift = AnnQuality.groundTruth(eShift, qShift, "vec_id",
+        "embedding", k)
+      val shiftFullDir = Files.createTempDirectory("ann-shift-full").toString
+      Similarity.saveIvfPqIndex(eShift, "vec_id", "embedding", coarse,
+        shiftFullDir, numSubspaces = subs, pqCentroids = pqc, dim = 64,
+        residual = true, refineIters = 3, coarseIters = 3)
+      val shiftHalfDir = Files.createTempDirectory("ann-shift-half").toString
+      Similarity.saveIvfPqIndex(eShift.filter(col("vec_id") < half),
+        "vec_id", "embedding", coarse, shiftHalfDir, numSubspaces = subs,
+        pqCentroids = pqc, dim = 64, residual = true, refineIters = 3,
+        coarseIters = 3)
+      Similarity.appendToIvfPqIndex(spark,
+        eShift.filter(col("vec_id") >= half), "vec_id", "embedding",
+        shiftHalfDir)
+      def shiftRecall(dir: String): Double = AnnQuality.recallAtK(
+        Similarity.ivfPqSearchPersisted(spark, dir, qShift, "vec_id",
+          "embedding", k, nProbe), truthShift, k)
       Seq("ivfpq_persisted_full" -> searchRecall(fullDir),
-        "ivfpq_persisted_appended" -> searchRecall(halfDir))
+        "ivfpq_persisted_appended" -> searchRecall(halfDir),
+        "shifted_rebuilt" -> shiftRecall(shiftFullDir),
+        "shifted_appended" -> shiftRecall(shiftHalfDir))
     }
     def fmt(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (nm, r, s) =>
