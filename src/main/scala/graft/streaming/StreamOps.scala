@@ -208,6 +208,59 @@ object StreamOps {
         maxDocFreq, minLineChars, keepPrevious)
     }
 
+  /** Streaming ANN index maintenance — the continuous twin of
+    * [[graft.ml.Similarity.appendToIvfPqIndex]]. The FIRST micro-batch
+    * builds the index (coarse centroids + PQ codebook train on it — so
+    * either pre-build the index with `saveIvfPqIndex` on a seed corpus,
+    * or guarantee the first batch carries at least
+    * max(numCentroids, pqCentroids) vectors); every later batch is
+    * assigned + encoded under the FROZEN quantizer and appended to the
+    * centroid-partitioned lists — O(batch) work per batch. The drift
+    * cost of the frozen quantizer is the recall harness's `drift`
+    * measurement, and a re-train is a rebuild with `saveIvfPqIndex`.
+    *
+    * Crash-replay contract (same as [[dedupNearStream]]): the committed
+    * batch id is recorded in `_last_batch` AFTER the append, so an
+    * at-least-once redelivery of a completed batch is skipped — no
+    * vector is double-appended across completed batches (a crash
+    * mid-append replays that batch: at-least-once within the batch,
+    * exactly-once across completed ones).
+    */
+  def annIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String, numCentroids: Int,
+                     numSubspaces: Int = 8, pqCentroids: Int = 16,
+                     dim: Int = 64, residual: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processAnnIndexBatch(batch, batchId, idCol, vecCol, indexPath,
+        numCentroids, numSubspaces, pqCentroids, dim, residual)
+    }
+
+  /** One micro-batch of [[annIndexStream]], exposed for replay specs.
+    * Idempotent per `batchId`.
+    */
+  private[streaming] def processAnnIndexBatch(batch: DataFrame,
+      batchId: Long, idCol: String, vecCol: String, indexPath: String,
+      numCentroids: Int, numSubspaces: Int, pqCentroids: Int, dim: Int,
+      residual: Boolean): Unit = {
+    import graft.ml.Similarity
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, indexPath)) return
+    if (!batch.isEmpty) {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val built =
+        fs.exists(new org.apache.hadoop.fs.Path(indexPath, "codebook"))
+      if (!built)
+        Similarity.saveIvfPqIndex(batch, idCol, vecCol, numCentroids,
+          indexPath, numSubspaces, pqCentroids, dim, residual)
+      else
+        Similarity.appendToIvfPqIndex(spark, batch, idCol, vecCol,
+          indexPath)
+    }
+    commitBatch(spark, indexPath, batchId)
+  }
+
   /** Streaming CCNet-exact paragraph dedup — the continuous twin of
     * [[graft.ml.Dedup.lineDedupKeepFirst]]. State = the first-occurrence
     * table (line hash → minimum (doc, position) ever seen); a batch's

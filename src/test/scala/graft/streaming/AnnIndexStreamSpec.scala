@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ml.Similarity
+
+/** Streaming ANN index maintenance ([[StreamOps.annIndexStream]]): the
+  * continuously-grown index must hold exactly what the batch path
+  * (saveIvfPqIndex on the first batch + appendToIvfPqIndex per later
+  * batch) produces, replays must be no-ops, and persisted searches must
+  * see vectors from every committed batch.
+  */
+class AnnIndexStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  // four bootstrap vectors (enough for 2 coarse centroids + 3 PQ cells),
+  // then two appended ones — same cluster shape as the PqSpec data
+  private val boot = Seq(
+    (1L, Array(4f, 2f, 0f, 0f)),
+    (2L, Array(0f, 0f, 100f, 100f)),
+    (3L, Array(5f, 4f, 0f, 0f)),
+    (4L, Array(1f, 2f, 100f, 100f)))
+  private val extra = Seq(
+    (100L, Array(1f, 2f, 100f, 100f)),
+    (101L, Array(6f, 5f, 0f, 0f)))
+
+  private def indexRows(path: String): Set[(Long, Long, Seq[Int])] =
+    spark.read.parquet(s"$path/index").collect()
+      .map(r => (r.getAs[Long]("v_id"), r.getAs[Long]("centroid_id"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toSet
+
+  private def process(path: String, batch: Seq[(Long, Array[Float])],
+                      id: Long): Unit =
+    StreamOps.processAnnIndexBatch(batch.toDF("vec_id", "embedding"), id,
+      "vec_id", "embedding", path, numCentroids = 2, numSubspaces = 2,
+      pqCentroids = 3, dim = 4, residual = true)
+
+  test("streamed index == batch-path index; replay is a no-op; searches " +
+      "see every committed batch") {
+    val streamed = java.nio.file.Files.createTempDirectory("ann-str").toString
+    process(streamed, boot, 0L)
+    process(streamed, extra, 1L)
+    // batch path over the same two batches
+    val batch = java.nio.file.Files.createTempDirectory("ann-bat").toString
+    Similarity.saveIvfPqIndex(boot.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", numCentroids = 2, path = batch, numSubspaces = 2,
+      pqCentroids = 3, dim = 4, residual = true)
+    Similarity.appendToIvfPqIndex(spark,
+      extra.toDF("vec_id", "embedding"), "vec_id", "embedding", batch)
+    assert(indexRows(streamed) == indexRows(batch))
+    // replayed batch id: nothing double-appended
+    val before = indexRows(streamed)
+    process(streamed, extra, 1L)
+    assert(indexRows(streamed) == before, "replay must be a no-op")
+    // persisted search sees appended vectors
+    val q = Seq((0L, Array(2f, 3f, 100f, 100f))).toDF("vec_id", "embedding")
+    val ids = Similarity.ivfPqSearchPersisted(spark, streamed, q, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(ids.contains(100L), s"appended vector missing from search: $ids")
+  }
+
+  test("real stream through the writeStream wrapper") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ann-live").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.annIndexStream(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$dir/index", numCentroids = 2, numSubspaces = 2,
+        pqCentroids = 3, dim = 4, residual = true)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(boot: _*); q.processAllAvailable()
+      input.addData(extra: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = indexRows(s"$dir/index").map(_._1)
+    assert(got == (boot ++ extra).map(_._1).toSet, got.toString)
+  }
+
+  test("an empty batch still commits its id (no replay loop)") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-empty").toString
+    process(dir, boot, 0L)
+    StreamOps.processAnnIndexBatch(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 1L,
+      "vec_id", "embedding", dir, numCentroids = 2, numSubspaces = 2,
+      pqCentroids = 3, dim = 4, residual = true)
+    val before = indexRows(dir)
+    // batch 1 is committed: replaying it (even non-empty now) is skipped
+    process(dir, extra, 1L)
+    assert(indexRows(dir) == before)
+    // and a NEW id still appends
+    process(dir, extra, 2L)
+    assert(indexRows(dir).map(_._1).contains(100L))
+  }
+}
