@@ -326,13 +326,21 @@ object Similarity {
     * shape only for ad-hoc queries.
     */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                   numCentroids: Int, path: String): Unit = {
-    ivfIndex(corpus, idCol, vecCol, numCentroids)
+                   numCentroids: Int, path: String,
+                   kmeansIters: Int = 0): Unit = {
+    // kmeansIters > 0 persists Lloyd-refined centroids (same lift the
+    // recall harness measures for the ad-hoc path: better-balanced
+    // lists at the same probe budget); 0 keeps the deterministic
+    // lowest-id seeds the oracles replicate. Either way the SAME
+    // centroid table drives the assignment and is what gets persisted,
+    // so searches route probes consistently with the stored lists.
+    val centroids =
+      if (kmeansIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
+      else kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIters)
+    assignToCentroids(corpus, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
-    corpus.orderBy(col(idCol).asc).limit(numCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Append new vectors to a persisted [[saveIvfIndex]]: assign them to

@@ -229,4 +229,29 @@ class DedupIndexSpec extends SparkSuite {
     assert(byId(2L)._1 == 4L && byId(2L)._2 == 1L) // "alpha beta gamma delta"
     assert(byId(3L)._2 == 0L && byId(3L)._3 == 0.0)
   }
+
+  test("saveIvfIndex with kmeansIters persists refined centroids that " +
+      "route searches consistently") {
+    import graft.ml.Similarity
+    // two tight clusters far from the lowest-id seeds
+    val data = Seq(
+      (1L, Array(1f, 1f, 0f, 0f)), (2L, Array(1.2f, 0.9f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 1f)), (4L, Array(0f, 0f, 0.9f, 1.2f)),
+      (5L, Array(1.1f, 1.1f, 0f, 0f)), (6L, Array(0f, 0f, 1.1f, 1.1f)),
+    ).toDF("vec_id", "embedding")
+    val idx = tmp("ivfidx-kmeans")
+    Similarity.saveIvfIndex(data, "vec_id", "embedding", numCentroids = 2,
+      idx, kmeansIters = 3)
+    // persisted search equals the ad-hoc refined search row-for-row
+    val q = data.filter($"vec_id" === 1L)
+    val adhoc = Similarity.ivfSearch(data, q, "vec_id", "embedding",
+        k = 2, numCentroids = 2, nProbe = 1, kmeansIters = 3)
+      .orderBy("rk").collect().map(_.toSeq).toSeq
+    val pers = Similarity.ivfSearchPersisted(spark, idx, q, "vec_id",
+        "embedding", k = 2, nProbe = 1)
+      .orderBy("rk").collect().map(_.toSeq).toSeq
+    assert(pers == adhoc)
+    // and the single-probe search stays inside the query's own cluster
+    assert(pers.map(_(1).asInstanceOf[Long]).forall(Set(2L, 5L)))
+  }
 }
