@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * (`functions.aggregate` over `zip_with`) — reproducible bit-for-bit by
   * any engine that folds sequentially, which is what the correctness
   * oracle does.
+  *
+  * Degenerate-vector contract: cosine against a ZERO-NORM vector is
+  * 0/0 = NaN, and Spark's ordering puts NaN ABOVE every real value — so
+  * an unguarded ranking would report a dead embedding as the #1
+  * neighbor of EVERY query (and an unguarded centroid assignment would
+  * collapse the inverted file; see [[assignToCentroids]]). Every
+  * ranking in this module therefore scores such pairs as −2.0 — outside
+  * the cosine range, recognizable by callers, and ranked strictly below
+  * any real match. Filters (`cosine >= threshold`) need no guard: NaN
+  * comparisons are already false.
   */
 object Similarity {
 
@@ -78,7 +88,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
@@ -128,7 +138,7 @@ object Similarity {
       signBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
@@ -313,7 +323,7 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("v_vec")))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("v_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "cosine", "v_id", k)
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
   }
@@ -414,7 +424,7 @@ object Similarity {
     val index = prunedIndexRead(spark, path, probes)
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("v_vec")))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("v_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "cosine", "v_id", k)
       .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
   }
@@ -453,7 +463,7 @@ object Similarity {
       col(labelCol).as("n_label"))
     val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("n_label"), col("cosine"), col("rk"))
   }
@@ -569,7 +579,7 @@ object Similarity {
       quantizeInt8(col(vecCol)).as("n_vec"))
     val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("qcosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("qcosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "qcosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("qcosine"), col("rk"))
   }
@@ -627,7 +637,7 @@ object Similarity {
       randomProject(col(vecCol), inDim, outDim).as("n_vec"))
     val scored = c.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("pcosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("pcosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "pcosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("pcosine"), col("rk"))
   }
@@ -658,9 +668,9 @@ object Similarity {
     val cand = graft.operators.TopK.perGroup(
       c.crossJoin(q)
         .filter(col("q_id") =!= col("n_id"))
-        .withColumn("pcosine", cosine(col("q_proj"), col("n_proj"))),
+        .withColumn("pcosine", nanvl(cosine(col("q_proj"), col("n_proj")), lit(-2d))),
       Seq(col("q_id")), Seq(col("pcosine").desc, col("n_id").asc), candidates)
-    val rescored = cand.withColumn("cosine", cosine(col("q_full"), col("n_full")))
+    val rescored = cand.withColumn("cosine", nanvl(cosine(col("q_full"), col("n_full")), lit(-2d)))
     topKRanked(rescored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }

@@ -483,4 +483,26 @@ class SimilaritySpec extends SparkSuite {
     // the zero vector itself falls to the lowest-id centroid, not NaN-first
     assert(assign(1L) == 1L, assign)
   }
+
+  test("a zero-norm corpus vector never ranks as anyone's top neighbor") {
+    // dead embedding in the corpus: cosine vs every query is NaN, which
+    // Spark sorts ABOVE all real values — unguarded, vec 99 would be the
+    // #1 neighbor of every query in every desc-ranked variant
+    val withDead = vecs.union(
+      Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val q = withDead.filter($"vec_id" === 1L)
+    def top1(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter($"rk" === 1).collect().head.getAs[Long]("n_id")
+    assert(top1(Similarity.knnBruteForce(withDead, q, "vec_id",
+      "embedding", 3)) == 2L)
+    assert(top1(Similarity.knnQuantized(withDead, q, "vec_id",
+      "embedding", 3)) == 2L)
+    assert(top1(Similarity.knnTwoStage(withDead, q, "vec_id", "embedding",
+      k = 3, candidates = 5, inDim = 3, outDim = 2)) == 2L)
+    // the dead vector still appears — ranked LAST with the sentinel score
+    val all = Similarity.knnBruteForce(withDead, q, "vec_id", "embedding", 4)
+      .orderBy("rk").collect()
+    assert(all.last.getAs[Long]("n_id") == 99L)
+    assert(all.last.getAs[Double]("cosine") == -2.0)
+  }
 }
