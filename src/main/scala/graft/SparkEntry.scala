@@ -573,6 +573,24 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: L2 vector normalization (corpus-prep step before indexing:
+    // unit vectors make cosine = dot and rank-equal to L2; dead vectors
+    // flagged once at prep). Output pinned on the 10^-6 grid: the unit
+    // norm and first element of each normalized vector, exact-rounded
+    // IEEE ops both engines share.
+    "q_sim_normalize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.normalizeVectors(e.filter(col("vec_id") < 50),
+          "vec_id", "embedding")
+        .select(col("vec_id"),
+          floor(Similarity.norm(col("embedding")) * 1000000d)
+            .cast("long").as("unit_norm_micro"),
+          floor(element_at(col("embedding"), 1) * 1000000d)
+            .cast("long").as("first_elem_micro"),
+          col("is_degenerate"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ML: sign-LSH bucketed ANN (bucket-key join, ~2^nBits less work).
     "q_sim_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -4033,6 +4051,31 @@ object SparkEntry {
          |  FROM cand)
          |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    // L2 normalization pinned on the 10^-6 grid (norm = sequential dot
+    // fold + sqrt; per-element divide — all exact-rounded IEEE).
+    "q_sim_normalize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 50),
+        |n AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_transform(list_zip(e, e),
+        |      z -> z[1] * z[2]), (x, y) -> x + y)) AS nr
+        |  FROM v),
+        |u AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nr = 0 THEN e
+        |         ELSE list_transform(e, x -> x / nr) END AS un,
+        |    (nr = 0) AS is_degenerate
+        |  FROM n)
+        |SELECT vec_id,
+        |  CAST(floor(sqrt(list_reduce(list_transform(list_zip(un, un),
+        |    z -> z[1] * z[2]), (x, y) -> x + y)) * 1000000) AS BIGINT)
+        |    AS unit_norm_micro,
+        |  CAST(floor(un[1] * 1000000) AS BIGINT) AS first_elem_micro,
+        |  is_degenerate
+        |FROM u ORDER BY vec_id""".stripMargin,
 
     // PQ + exact re-rank: the q_sim_pq pipeline truncated at a 20-deep
     // ADC shortlist, finished by exact L2² between the raw double vectors

@@ -93,6 +93,31 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
+  /** L2-normalize an embedding column — the standard corpus-prep step
+    * before indexing: on unit vectors cosine degenerates to the plain
+    * dot product (one fused multiply-add sweep instead of three norms)
+    * and ranking by cosine equals ranking by L2 distance, so every
+    * downstream index agrees on the metric. Zero-norm (dead) embeddings
+    * can't be normalized; they pass through unchanged with
+    * `is_degenerate = true` — flagging them ONCE at prep time instead
+    * of every ranking guarding against them (the −2.0 sentinel contract
+    * above is the query-time backstop for corpora that skipped this).
+    *
+    * Arithmetic: norm = sqrt(sequential dot fold) (IEEE exact-rounded),
+    * then one exact-rounded divide per element — engine-portable, the
+    * oracle replicates it. One narrow map, no shuffle.
+    */
+  def normalizeVectors(vecs: DataFrame, idCol: String,
+                       vecCol: String): DataFrame =
+    // norm lands in its own projection first: referenced inside the HOF
+    // lambda directly, its whole subtree would re-evaluate PER ELEMENT
+    vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
+      .select(col(idCol),
+        when(col("__n") === 0d, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol).cast("array<double>"),
+            x => x / col("__n"))).as(vecCol),
+        (col("__n") === 0d).as("is_degenerate"))
+
   /** Sign-LSH bucket: bit j set iff vec[j] >= 0 (axis-aligned random
     * hyperplanes — deterministic and engine-portable).
     */

@@ -505,4 +505,29 @@ class SimilaritySpec extends SparkSuite {
     assert(all.last.getAs[Long]("n_id") == 99L)
     assert(all.last.getAs[Double]("cosine") == -2.0)
   }
+
+  test("normalizeVectors: unit norms, degenerate passthrough, cosine == dot") {
+    val withDead = vecs.union(
+      Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val u = Similarity.normalizeVectors(withDead, "vec_id", "embedding")
+      .cache()
+    // every non-degenerate vector lands within one ulp-ish of unit norm
+    val norms = u.filter(!col("is_degenerate"))
+      .select(Similarity.norm($"embedding").as("n")).as[Double].collect()
+    assert(norms.nonEmpty && norms.forall(n => math.abs(n - 1.0) < 1e-12))
+    // the dead vector passes through unchanged and flagged
+    val dead = u.filter($"vec_id" === 99L).head()
+    assert(dead.getAs[Boolean]("is_degenerate"))
+    assert(dead.getAs[scala.collection.Seq[Double]]("embedding")
+      .forall(_ == 0.0))
+    assert(u.filter(col("is_degenerate")).count() == 1)
+    // on unit vectors cosine degenerates to the dot product (same ranking)
+    val pairs = u.filter(!col("is_degenerate")).select($"embedding".as("a"))
+      .crossJoin(u.filter(!col("is_degenerate")).select($"embedding".as("b")))
+      .select(Similarity.cosine($"a", $"b").as("c"),
+        Similarity.dot($"a", $"b").as("d"))
+      .collect()
+    pairs.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
 }
