@@ -62,9 +62,13 @@ case class PqAdcL2Sq(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("codebooks", cbMatrix, "double[][][]")
     nullSafeCodeGen(ctx, ev, (q, c) => {
+      // freshName: two instances of this expression in one projection
+      // land in the same generated-method scope — a bare name would
+      // collide and silently fall the whole stage back to interpreted
+      val r = ctx.freshName("adcRes")
       s"""
-         |Object r = graft.functions.PqAdcL2Sq.eval($q, $c, $cbRef, $isFloat);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = graft.functions.PqAdcL2Sq.eval($q, $c, $cbRef, $isFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
   }

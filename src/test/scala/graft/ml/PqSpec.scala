@@ -315,4 +315,22 @@ class PqSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("rerankCorpus"), ex.getMessage)
   }
+
+  test("two PqAdcL2Sq instances in one projection stay in codegen") {
+    // a bare temp-variable name in doGenCode would collide when the same
+    // kernel appears twice in one generated-method scope and silently
+    // fall the stage back to interpreted mode
+    import org.apache.spark.sql.graft.ColumnBridge
+    val model = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      numSubspaces = 2, numCentroids = 2, dim = 4)
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", model)
+      .join(vecs.select($"vec_id".as("n_id"),
+        $"embedding".cast("array<double>").as("q_vec")), "n_id")
+    def adc = ColumnBridge.column(graft.functions.PqAdcL2Sq(
+      ColumnBridge.expression(col("q_vec")),
+      ColumnBridge.expression(col("codes")), model.codebooks))
+    val out = enc.select($"n_id", adc.as("a1"), adc.as("a2")).collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+  }
 }
