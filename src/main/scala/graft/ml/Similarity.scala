@@ -376,6 +376,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    centroids.unpersist() // no-op for the seeded path; frees the k-means cache
+    ()
   }
 
   /** Append new vectors to a persisted [[saveIvfIndex]]: assign them to
@@ -985,7 +987,7 @@ object Similarity {
           numCentroids, nProbe, numSubspaces, pqCentroids, dim,
           refineIters, coarseIters, residual, rerank = 0),
         corpus, queries, idCol, vecCol, k)
-    val (centroids, coded, model) = ivfPqBuild(corpus, idCol, vecCol,
+    val (centroids, coded, model, _) = ivfPqBuild(corpus, idCol, vecCol,
       numCentroids, numSubspaces, pqCentroids, dim, refineIters,
       coarseIters, residual)
     val cents = broadcast(centroids)
@@ -1035,11 +1037,17 @@ object Similarity {
     *     by canonicalized plan, so repeated calls with the same inputs
     *     reuse one entry.
     */
+  /** Fourth element: a cleanup thunk unpersisting the build's cached
+    * frames (refined centroids, residual training input). Call it ONLY
+    * once every returned frame is fully materialized (the save path does,
+    * after its writes); the ad-hoc search path must not — its returned
+    * plan still reads them lazily.
+    */
   private def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
                          numCentroids: Int, numSubspaces: Int,
                          pqCentroids: Int, dim: Int, refineIters: Int,
                          coarseIters: Int, residual: Boolean)
-      : (DataFrame, DataFrame, PqModel) = {
+      : (DataFrame, DataFrame, PqModel, () => Unit) = {
     // refineIters / coarseIters > 0: Lloyd-refined PQ codebooks / coarse
     // centroids (defaults keep the oracle-replicable seeded behavior)
     val centroids =
@@ -1082,7 +1090,8 @@ object Similarity {
     // inverted lists carrying codes, not vectors: (centroid_id, v_id, codes)
     val coded = pqInput.select(col("v_id"), col("centroid_id"),
       pqCodesOf(col("pq_vec"), model).as("codes"))
-    (centroids, coded, model)
+    // unpersist is a no-op on frames that were never cached
+    (centroids, coded, model, () => { pqInput.unpersist(); centroids.unpersist(); () })
   }
 
   /** Fused-kernel PQ codes of `vec` under `model` (shared by
@@ -1120,12 +1129,13 @@ object Similarity {
                      refineIters: Int = 0, coarseIters: Int = 0): Unit = {
     // the SAME build as ivfPqSearch (residual/refined variants included)
     // so a persisted index answers like the ad-hoc path — spec-pinned
-    val (centroids, coded, model) = ivfPqBuild(corpus, idCol, vecCol,
-      numCentroids, numSubspaces, pqCentroids, dim, refineIters,
+    val (centroids, coded, model, cleanup) = ivfPqBuild(corpus, idCol,
+      vecCol, numCentroids, numSubspaces, pqCentroids, dim, refineIters,
       coarseIters, residual)
     coded.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cleanup() // writes above materialized everything the cache served
     val spark = corpus.sparkSession
     import spark.implicits._
     // per-subspace codebooks (general: also holds k-means-refined models),
