@@ -38,13 +38,13 @@ case class MatVecProject(child: Expression, rows: Seq[Seq[Double]])
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any =
-    MatVecProject.eval(input.asInstanceOf[ArrayData], matrix, isFloat)
+    MatVecProject.project(input.asInstanceOf[ArrayData], matrix, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("matrix", matrix, "double[][]")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.functions.MatVecProject.eval($c, $mRef, $isFloat);
+         |${ev.value} = graft.functions.MatVecProject.project($c, $mRef, $isFloat);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -55,8 +55,12 @@ case class MatVecProject(child: Expression, rows: Seq[Seq[Double]])
 }
 
 object MatVecProject {
-  /** Static kernel body (called from generated code); null on malformed. */
-  def eval(vec: ArrayData, m: Array[Array[Double]],
+  /** Static kernel body (called from generated code as a static forwarder —
+    * MUST NOT be named `eval`: the case class inherits Expression.eval, and a
+    * name clash makes scalac suppress the forwarder, failing Janino and
+    * silently dropping the whole projection to interpreted mode; see
+    * KernelCodegenSpec); null on malformed. */
+  def project(vec: ArrayData, m: Array[Array[Double]],
            isFloat: Boolean): ArrayData = {
     val dim = m(0).length
     if (vec.numElements() != dim) return null

@@ -56,7 +56,7 @@ case class PqAdcL2Sq(left: Expression, right: Expression,
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(q: Any, c: Any): Any =
-    PqAdcL2Sq.eval(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+    PqAdcL2Sq.adc(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
       cbMatrix, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -67,7 +67,7 @@ case class PqAdcL2Sq(left: Expression, right: Expression,
       // collide and silently fall the whole stage back to interpreted
       val r = ctx.freshName("adcRes")
       s"""
-         |Object $r = graft.functions.PqAdcL2Sq.eval($q, $c, $cbRef, $isFloat);
+         |Object $r = graft.functions.PqAdcL2Sq.adc($q, $c, $cbRef, $isFloat);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
@@ -81,10 +81,14 @@ case class PqAdcL2Sq(left: Expression, right: Expression,
 }
 
 object PqAdcL2Sq {
-  /** Static kernel body (called from generated code). Returns null
+  /** Static kernel body (called from generated code as a static forwarder —
+    * MUST NOT be named `eval`: the case class inherits Expression.eval, and a
+    * name clash makes scalac suppress the forwarder, failing Janino and
+    * silently dropping the whole projection to interpreted mode; see
+    * KernelCodegenSpec). Returns null
     * (boxed) for malformed input; Double otherwise.
     */
-  def eval(q: ArrayData, codes: ArrayData, cb: Array[Array[Array[Double]]],
+  def adc(q: ArrayData, codes: ArrayData, cb: Array[Array[Array[Double]]],
            isFloat: Boolean): java.lang.Double = {
     val numSubspaces = cb.length
     val sd = cb(0)(0).length

@@ -46,13 +46,13 @@ case class PqEncodeCodes(child: Expression,
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any =
-    PqEncodeCodes.eval(input.asInstanceOf[ArrayData], cbMatrix, sd, isFloat)
+    PqEncodeCodes.encode(input.asInstanceOf[ArrayData], cbMatrix, sd, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("codebooks", cbMatrix, "double[][][]")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.functions.PqEncodeCodes.eval($c, $cbRef, $sd, $isFloat);
+         |${ev.value} = graft.functions.PqEncodeCodes.encode($c, $cbRef, $sd, $isFloat);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -63,10 +63,14 @@ case class PqEncodeCodes(child: Expression,
 }
 
 object PqEncodeCodes {
-  /** Static kernel body (called from generated code). Returns null for a
+  /** Static kernel body (called from generated code as a static forwarder —
+    * MUST NOT be named `eval`: the case class inherits Expression.eval, and a
+    * name clash makes scalac suppress the forwarder, failing Janino and
+    * silently dropping the whole projection to interpreted mode; see
+    * KernelCodegenSpec). Returns null for a
     * malformed (wrong-length / null-element) vector.
     */
-  def eval(vec: ArrayData, cb: Array[Array[Array[Double]]], sd: Int,
+  def encode(vec: ArrayData, cb: Array[Array[Array[Double]]], sd: Int,
            isFloat: Boolean): ArrayData = {
     val numSubspaces = cb.length
     val dim = numSubspaces * sd

@@ -32,12 +32,12 @@ case class QuantizeInt8Vec(child: Expression) extends UnaryExpression {
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any =
-    QuantizeInt8Vec.eval(input.asInstanceOf[ArrayData], isFloat)
+    QuantizeInt8Vec.quantize(input.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.functions.QuantizeInt8Vec.eval($c, $isFloat);
+         |${ev.value} = graft.functions.QuantizeInt8Vec.quantize($c, $isFloat);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -47,8 +47,12 @@ case class QuantizeInt8Vec(child: Expression) extends UnaryExpression {
 }
 
 object QuantizeInt8Vec {
-  /** Static kernel body (called from generated code); null on null elems. */
-  def eval(vec: ArrayData, isFloat: Boolean): ArrayData = {
+  /** Static kernel body (called from generated code as a static forwarder —
+    * MUST NOT be named `eval`: the case class inherits Expression.eval, and a
+    * name clash makes scalac suppress the forwarder, failing Janino and
+    * silently dropping the whole projection to interpreted mode; see
+    * KernelCodegenSpec); null on null elems. */
+  def quantize(vec: ArrayData, isFloat: Boolean): ArrayData = {
     val n = vec.numElements()
     val v = new Array[Double](n)
     var i = 0

@@ -54,7 +54,7 @@ case class SignBandKeys(child: Expression, planes: Seq[Seq[Double]],
     // NOT nullSafeEval: a null vector must yield the all-zero key array
     // (the Column form's `when` falls through to 0), not null
     val v = child.eval(input)
-    SignBandKeys.eval(
+    SignBandKeys.bandKeys(
       if (v == null) null else v.asInstanceOf[ArrayData],
       planeMatrix, bandBits, bands, isFloat)
   }
@@ -68,7 +68,7 @@ case class SignBandKeys(child: Expression, planes: Seq[Seq[Double]],
       code"""
         |${childGen.code}
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-        |  graft.functions.SignBandKeys.eval(
+        |  graft.functions.SignBandKeys.bandKeys(
         |    ${childGen.isNull} ? null : ${childGen.value},
         |    $planesRef, $bandBits, $bands, $isFloat);
         |""".stripMargin, isNull = FalseLiteral)
@@ -79,10 +79,14 @@ case class SignBandKeys(child: Expression, planes: Seq[Seq[Double]],
 }
 
 object SignBandKeys {
-  /** Static kernel body (called from generated code). `vec` may be null —
+  /** Static kernel body (called from generated code as a static forwarder —
+    * MUST NOT be named `eval`: the case class inherits Expression.eval, and a
+    * name clash makes scalac suppress the forwarder, failing Janino and
+    * silently dropping the whole projection to interpreted mode; see
+    * KernelCodegenSpec). `vec` may be null —
     * the result is then the all-zero key array (see null contract above).
     */
-  def eval(vec: ArrayData, planes: Array[Array[Double]], bandBits: Int,
+  def bandKeys(vec: ArrayData, planes: Array[Array[Double]], bandBits: Int,
            bands: Int, isFloat: Boolean): ArrayData = {
     val keys = new Array[Long](bands)
     if (vec == null) return new GenericArrayData(keys)
