@@ -757,11 +757,16 @@ object Similarity {
     * query (the recall harness quantifies it; at R = 5k it roughly
     * doubles PQ recall@10 on the test corpus).
     *
-    * Scale shape: the shortlist (queries × R rows of ids — tiny) is
-    * BROADCAST against the corpus, so fetching the raw candidate vectors
-    * is one map-side semi-join pass over the corpus with no shuffle; the
-    * per-query top-k then runs through the bounded TopKPerGroup heap. On
-    * a persisted index the same join prunes to the candidate rows'
+    * Scale shape: the shortlist is queries × R rows of bare ids; when
+    * that is broadcast-small (the usual case) AQE turns the candidate
+    * fetch into a map-side semi-join pass over the corpus with no corpus
+    * shuffle, and the per-query top-k then runs through the bounded
+    * TopKPerGroup heap. The hints are deliberately NOT hard-coded:
+    * R and the query count are caller-controlled, so a large batch ×
+    * deep R must degrade to a shuffle join rather than blow the
+    * driver's broadcast limit — both inputs sit behind shuffles, so AQE
+    * decides from their ACTUAL materialized sizes, not estimates. On a
+    * persisted index the same join prunes to the candidate rows'
     * partitions instead.
     */
   def exactRerank(shortlist: DataFrame, corpus: DataFrame,
@@ -769,10 +774,10 @@ object Similarity {
                   k: Int): DataFrame = {
     val cvec = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"))
-    val qvec = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("q_vec")))
+    val qvec = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
     val scored = cvec
-      .join(broadcast(shortlist.select(col("q_id"), col("n_id"))), "n_id")
+      .join(shortlist.select(col("q_id"), col("n_id")), "n_id")
       .join(qvec, "q_id")
       .withColumn("dist", l2sq(col("q_vec"), col("n_vec")))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
@@ -987,9 +992,24 @@ object Similarity {
           numCentroids, nProbe, numSubspaces, pqCentroids, dim,
           refineIters, coarseIters, residual, rerank = 0),
         corpus, queries, idCol, vecCol, k)
-    val (centroids, coded, model, _) = ivfPqBuild(corpus, idCol, vecCol,
-      numCentroids, numSubspaces, pqCentroids, dim, refineIters,
+    val (centroids0, coded0, model, cleanup) = ivfPqBuild(corpus, idCol,
+      vecCol, numCentroids, numSubspaces, pqCentroids, dim, refineIters,
       coarseIters, residual)
+    // Residual + refined builds persist the FULL-corpus residual frame
+    // (dim doubles per row) for Lloyd's repeated passes; the ad-hoc path
+    // returns a lazy plan, so without intervention that cache outlives
+    // the call until session end, and repeated searches over different
+    // corpora accumulate entries (r11 ADVICE). Pin the far smaller
+    // derived frames instead — codes are numSubspaces ints/row, centroids
+    // are numCentroids rows — via eager localCheckpoint, then release the
+    // build caches before returning.
+    val (centroids, coded) =
+      if (residual && refineIters > 0) {
+        val cts = centroids0.localCheckpoint(true)
+        val cd = coded0.localCheckpoint(true)
+        cleanup()
+        (cts, cd)
+      } else (centroids0, coded0)
     val cents = broadcast(centroids)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
@@ -1177,6 +1197,12 @@ object Similarity {
           "rebuild it with saveIvfPqIndex")
     val cb = df.orderBy(col("subspace").asc, col("centroid_rank").asc)
       .collect()
+    // right schema but zero rows (e.g. an interrupted write): same
+    // explicit rebuild error as a wrong version, not a bare head crash
+    if (cb.isEmpty)
+      throw new IllegalStateException(
+        s"empty IVF-PQ codebook at $path/codebook (interrupted write?) — " +
+          "rebuild the index with saveIvfPqIndex")
     val ver = cb.head.getAs[Int]("format_version")
     if (ver != CodebookFormatVersion)
       throw new IllegalStateException(

@@ -224,7 +224,11 @@ object StreamOps {
     * at-least-once redelivery of a completed batch is skipped — no
     * vector is double-appended across completed batches (a crash
     * mid-append replays that batch: at-least-once within the batch,
-    * exactly-once across completed ones).
+    * exactly-once across completed ones). The bootstrap build has its
+    * own marker: `_built_by_batch` names the building batch BEFORE the
+    * build runs, so a crash between a completed build and its commit
+    * replays as a rebuild (overwrite-idempotent) — never as an append
+    * of the entire bootstrap batch onto itself.
     */
   def annIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, numCentroids: Int,
@@ -251,10 +255,21 @@ object StreamOps {
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val built =
         fs.exists(new org.apache.hadoop.fs.Path(indexPath, "codebook"))
-      if (!built)
+      // `_built_by_batch` records WHICH batch performed the bootstrap
+      // build, written BEFORE building: if the build completes (codebook
+      // exists) but the crash lands before commitBatch, the replay of
+      // that same batch id re-runs the overwrite-idempotent build instead
+      // of routing to append — which would double every bootstrap vector
+      // (r11 ADVICE). A pre-built seed index (codebook present, no
+      // marker) still routes to append.
+      val builtByPath =
+        new org.apache.hadoop.fs.Path(root, "_built_by_batch")
+      val builtBy = readSmallFile(fs, builtByPath).flatMap(_.toLongOption)
+      if (!built || builtBy.contains(batchId)) {
+        writeSmallFile(fs, builtByPath, batchId.toString)
         Similarity.saveIvfPqIndex(batch, idCol, vecCol, numCentroids,
           indexPath, numSubspaces, pqCentroids, dim, residual)
-      else
+      } else
         Similarity.appendToIvfPqIndex(spark, batch, idCol, vecCol,
           indexPath)
     }

@@ -264,6 +264,17 @@ class PqSpec extends SparkSuite {
         nProbe = 2).collect()
     }
     assert(ex2.getMessage.contains("rebuild"), ex2.getMessage)
+    // right schema, ZERO rows (interrupted write): explicit rebuild
+    // error, not a bare NoSuchElementException from .head
+    Seq.empty[(Int, Int, Seq[Double], Int, Int)]
+      .toDF("subspace", "centroid_rank", "subvec", "dim", "format_version")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val ex3 = intercept[IllegalStateException] {
+      Similarity.ivfPqSearchPersisted(spark, dir,
+        vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 2,
+        nProbe = 2).collect()
+    }
+    assert(ex3.getMessage.contains("rebuild"), ex3.getMessage)
   }
 
   test("exact re-rank with a full-depth shortlist equals brute-force L2 " +

@@ -79,6 +79,30 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(got == (boot ++ extra).map(_._1).toSet, got.toString)
   }
 
+  test("bootstrap crash between build and commit replays as a rebuild, " +
+      "not an append of the bootstrap onto itself") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-crash").toString
+    process(dir, boot, 0L)
+    // simulate the crash window: the build completed (codebook + index
+    // exist) but the commit never landed — delete the _last_batch marker
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_last_batch"), false))
+    val fresh = indexRows(dir)
+    process(dir, boot, 0L) // at-least-once redelivery of the bootstrap
+    assert(indexRows(dir) == fresh,
+      "replayed bootstrap must rebuild (idempotent), not append duplicates")
+    assert(spark.read.parquet(s"$dir/index").count() == boot.size,
+      "every bootstrap vector must appear exactly once")
+    // a pre-built seed index (codebook, no marker) still routes to append
+    val seeded = java.nio.file.Files.createTempDirectory("ann-seed").toString
+    Similarity.saveIvfPqIndex(boot.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", numCentroids = 2, path = seeded, numSubspaces = 2,
+      pqCentroids = 3, dim = 4, residual = true)
+    process(seeded, extra, 0L)
+    assert(indexRows(seeded).map(_._1) == (boot ++ extra).map(_._1).toSet)
+  }
+
   test("an empty batch still commits its id (no replay loop)") {
     val dir = java.nio.file.Files.createTempDirectory("ann-empty").toString
     process(dir, boot, 0L)
