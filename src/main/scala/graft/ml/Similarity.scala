@@ -433,11 +433,30 @@ object Similarity {
   /** IVF search against a persisted index ([[saveIvfIndex]]): same
     * ranking semantics as [[ivfSearch]], but the corpus pass is replaced
     * by a read of only the probed centroid partitions.
+    *
+    * `rerank = R > 0` finishes with the exact [[exactRerank]] stage over
+    * an R-deep shortlist — the same recall lever [[ivfPqSearchPersisted]]
+    * has, so a deployment switching index types keeps the knob. Unlike
+    * the PQ index (codes only), a plain-IVF index STORES the raw vectors,
+    * so the exact pass defaults to the index itself; pass `rerankCorpus`
+    * only to re-rank against fresher vectors than the indexed ones.
+    * Output switches to the rerank contract: (q_id, n_id, dist, rk) by
+    * exact L2², matching the PQ path's reranked shape.
     */
   def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
-                         nProbe: Int): DataFrame = {
+                         nProbe: Int, rerank: Int = 0,
+                         rerankCorpus: Option[DataFrame] = None): DataFrame = {
+    if (rerank > 0) {
+      val corpus = rerankCorpus.getOrElse(
+        spark.read.parquet(s"$path/index")
+          .select(col("v_id").as(idCol), col("v_vec").as(vecCol)))
+      return exactRerank(
+        ivfSearchPersisted(spark, path, queries, idCol, vecCol,
+          math.max(rerank, k), nProbe),
+        corpus, queries, idCol, vecCol, k)
+    }
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)

@@ -154,4 +154,52 @@ class SimilarityPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("persisted plain-IVF rerank recall is monotone in shortlist depth") {
+    // same nested-shortlist argument as above, through ivfSearchPersisted:
+    // the cosine-ranked shortlist at R1 <= R2 is a prefix of R2's, and the
+    // exact pass keeps the best k of a superset. The index's own stored
+    // vectors back the exact pass (no rerankCorpus).
+    forAll(genVecs, iters = 3) { corpus =>
+      if (corpus.length >= 8) {
+        val df = corpus.toDF("vec_id", "embedding")
+        val queries = df.filter(col("vec_id") < 2)
+        val qs = corpus.filter(_._1 < 2)
+        if (qs.nonEmpty) {
+          val k = 3
+          val nCent = math.min(4, corpus.length)
+          val dir = java.nio.file.Files
+            .createTempDirectory("ivf-rr-prop").toString
+          Similarity.saveIvfIndex(df, "vec_id", "embedding",
+            numCentroids = nCent, path = dir)
+          def l2sq(a: Array[Float], b: Array[Float]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) {
+              val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+            }
+            s
+          }
+          val truth = qs.map { case (qid, qv) =>
+            qid -> corpus.filter(_._1 != qid)
+              .map { case (nid, nv) => (nid, l2sq(qv, nv)) }
+              .sortBy { case (nid, d) => (d, nid) }.take(k).map(_._1).toSet
+          }.toMap
+          def recallAt(rerank: Int): Double = {
+            val got = Similarity.ivfSearchPersisted(spark, dir, queries,
+                "vec_id", "embedding", k = k, nProbe = nCent,
+                rerank = rerank)
+              .collect().groupBy(_.getAs[Long]("q_id"))
+              .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+            truth.map { case (q, t) =>
+              got.getOrElse(q, Set.empty).count(t).toDouble / k
+            }.sum / truth.size
+          }
+          val rs = Seq(k, 2 * k, corpus.length).map(recallAt)
+          assert(rs == rs.sorted, s"recall not monotone in R: $rs")
+          assert(rs.last == 1.0,
+            s"full-depth rerank with all lists probed must be exact: $rs")
+        }
+      }
+    }
+  }
 }

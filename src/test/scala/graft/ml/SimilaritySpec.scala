@@ -228,6 +228,38 @@ class SimilaritySpec extends SparkSuite {
     val dirs = new java.io.File(s"$path/index").listFiles()
       .filter(_.getName.startsWith("centroid_id="))
     assert(dirs.length > 1)
+
+    // rerank on the persisted plain-IVF path (the ivfPqSearchPersisted
+    // lever, kept across index types): full-depth rerank with all lists
+    // probed equals brute-force exact L2 ranking, with NO rerankCorpus —
+    // the plain index stores raw vectors and reranks from itself
+    val all = corpus.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val n = all.length
+    val rr = Similarity.ivfSearchPersisted(spark, path, queries,
+        "vec_id", "embedding", k = 3, nProbe = 8, rerank = n)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rk"))).toSet
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val brute = all.filter(_._1 < 5L).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (nid, nv) => (nid, l2sq(qv, nv)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(3)
+        .zipWithIndex.map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    assert(rr == brute, s"full-depth persisted-IVF rerank must be exact")
+    // an explicit rerankCorpus overrides the index's stored vectors
+    val rr2 = Similarity.ivfSearchPersisted(spark, path, queries,
+        "vec_id", "embedding", k = 3, nProbe = 8, rerank = n,
+        rerankCorpus = Some(corpus))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rk"))).toSet
+    assert(rr2 == rr)
   }
 
   test("quantizeInt8 maps to the [-127,127] integer grid, amax to ±127") {
