@@ -97,6 +97,15 @@ object AnnQualityMain {
       "pq_kmeans_s16" -> (() =>
         Similarity.knnPq(e, queries, "vec_id", "embedding", k,
           numSubspaces = 16, numCentroids = pqc, refineIters = 3)),
+      // OPQ learned rotation (parametric: PCA + balanced eigenvalue
+      // allocation) — the pure-ADC recall lever that costs one covariance
+      // pass at build and nothing at search (same code bytes as pq_kmeans)
+      "pq_opq" -> (() =>
+        Similarity.knnPqOpq(e, queries, "vec_id", "embedding", k,
+          numSubspaces = subs, numCentroids = pqc, refineIters = 3)),
+      "pq_opq_s16" -> (() =>
+        Similarity.knnPqOpq(e, queries, "vec_id", "embedding", k,
+          numSubspaces = 16, numCentroids = pqc, refineIters = 3)),
       "ivfpq_residual_rerank" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,

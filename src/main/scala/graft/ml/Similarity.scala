@@ -767,6 +767,193 @@ object Similarity {
       corpus, queries, idCol, vecCol, k)
   }
 
+  // ------------------------------------------ OPQ-style learned rotation
+
+  /** Parametric OPQ rotation (Ge et al. 2013, "Optimized Product
+    * Quantization", §4 — the closed-form variant for Gaussian-ish data):
+    * rotate the embedding space by the PCA eigenbasis, with principal
+    * directions dealt across subspaces so each subspace carries a
+    * BALANCED share of the variance (greedy min-log-variance-sum
+    * assignment, the paper's eigenvalue-allocation step). Axis-aligned PQ
+    * subspaces waste code budget when the data's variance is concentrated
+    * in a few correlated directions; the rotation decorrelates dimensions
+    * and equalizes per-subspace information so every codebook earns its
+    * bits.
+    *
+    * Returned as rotation-matrix ROWS (output dim r = row r · x), applied
+    * with the fused [[graft.functions.MatVecProject]] kernel. The mean is
+    * deliberately NOT subtracted at apply time: the PQ pipeline is
+    * translation-invariant end to end (anchor seeding and Lloyd updates
+    * are translation-equivariant, ADC compares differences), so
+    * `R·(x−μ)` and `R·x` produce identical rankings — the covariance is
+    * centered, the application is a single mat-vec.
+    *
+    * Scale shape: ONE narrow corpus pass accumulates per-partition
+    * (count, Σx, Σxxᵀ) partials (`mapPartitions` — a dim×dim fold no
+    * Expression expresses; dim² doubles per PARTITION, not per row),
+    * reduced driver-side; the 64×64 symmetric eigendecomposition is a
+    * driver-side cyclic-Jacobi solve (microseconds at embedding dims).
+    * Deterministic: no sampling, no seeds — the same corpus always
+    * yields the same rotation (cyclic Jacobi has a fixed sweep order).
+    */
+  def opqRotation(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, numSubspaces: Int): Seq[Seq[Double]] = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val partials = corpus.select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        val sum = new Array[Double](dim)
+        val prod = new Array[Double](dim * dim)
+        var cnt = 0L
+        it.foreach { v =>
+          if (v != null && v.length == dim) {
+            val a = v.toArray
+            var i = 0
+            while (i < dim) {
+              sum(i) += a(i)
+              var j = 0
+              val base = i * dim
+              while (j < dim) { prod(base + j) += a(i) * a(j); j += 1 }
+              i += 1
+            }
+            cnt += 1
+          }
+        }
+        if (cnt == 0L) Iterator.empty
+        else Iterator.single((cnt, sum.toSeq, prod.toSeq))
+      }.collect()
+    require(partials.nonEmpty, "opqRotation needs a non-empty corpus")
+    val n = partials.map(_._1).sum.toDouble
+    val mean = new Array[Double](dim)
+    val m2 = Array.ofDim[Double](dim, dim)
+    partials.foreach { case (_, s, p) =>
+      var i = 0
+      while (i < dim) {
+        mean(i) += s(i)
+        var j = 0
+        while (j < dim) { m2(i)(j) += p(i * dim + j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+    val cov = Array.tabulate(dim, dim)((r, c) => m2(r)(c) / n - mean(r) * mean(c))
+    val (eigVals, eigVecs) = jacobiEigSym(cov)
+    // eigenvalue allocation: deal directions (variance descending) to the
+    // non-full subspace with the smallest accumulated log-variance — each
+    // subspace ends with sd directions of roughly equal variance product
+    val sd = dim / numSubspaces
+    val order = eigVals.indices.sortBy(i => -eigVals(i))
+    val logSum = new Array[Double](numSubspaces)
+    val buckets = Array.fill(numSubspaces)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { e =>
+      val open = (0 until numSubspaces).filter(buckets(_).length < sd)
+      val tgt = open.minBy(b => (logSum(b), b))
+      buckets(tgt) += e
+      logSum(tgt) += math.log(math.max(eigVals(e), 1e-300))
+    }
+    // row r of the rotation = the r-th allocated eigenvector (transposed
+    // column of the Jacobi basis)
+    buckets.flatten.toSeq.map(e => (0 until dim).map(r => eigVecs(r)(e)))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * A = V·diag(λ)·Vᵀ, eigenvectors as COLUMNS of V. Fixed sweep order →
+    * deterministic; converges quadratically (tens of sweeps at dim 64).
+    */
+  private def jacobiEigSym(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val nd = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(nd, nd)((r, c) => if (r == c) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < nd) {
+        var q = p + 1
+        while (q < nd) { s += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    val eps = 1e-22 * (0 until nd).map(i => a(i)(i) * a(i)(i)).sum.max(1e-300)
+    var sweep = 0
+    while (sweep < 64 && off() > eps) {
+      var p = 0
+      while (p < nd - 1) {
+        var q = p + 1
+        while (q < nd) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < nd) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < nd) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              r += 1
+            }
+            r = 0
+            while (r < nd) {
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    ((0 until nd).map(i => a(i)(i)).toArray, v)
+  }
+
+  /** Replace `vecCol` with its OPQ-rotated image `R·x` (fused
+    * [[graft.functions.MatVecProject]] mat-vec — one kernel call per row).
+    */
+  def opqRotate(df: DataFrame, vecCol: String,
+                rotation: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.withColumn(vecCol, ColumnBridge.column(graft.functions.MatVecProject(
+      ColumnBridge.expression(col(vecCol)), rotation)))
+  }
+
+  /** [[knnPq]] in OPQ-rotated space: learn the rotation from the corpus,
+    * rotate corpus and queries, then train/encode/search PQ exactly as
+    * the unrotated path does. Rotation is orthonormal, so L2 distances —
+    * and therefore the exact-rerank stage and full-depth exactness — are
+    * preserved; only the QUANTIZATION grid changes (aligned to balanced
+    * principal directions instead of raw coordinate blocks).
+    */
+  def knnPqOpq(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, numSubspaces: Int = 8,
+               numCentroids: Int = 16, dim: Int = 64,
+               refineIters: Int = 0, rerank: Int = 0): DataFrame = {
+    val rot = opqRotation(corpus, idCol, vecCol, dim, numSubspaces)
+    knnPq(opqRotate(corpus, vecCol, rot), opqRotate(queries, vecCol, rot),
+      idCol, vecCol, k, numSubspaces, numCentroids, dim, refineIters,
+      rerank)
+  }
+
   /** Exact refinement of an ANN shortlist (the FAISS `IndexRefineFlat`
     * pattern): re-rank each query's top-`R` approximate candidates by the
     * EXACT L2² against the raw vectors and keep the top-`k`. The
