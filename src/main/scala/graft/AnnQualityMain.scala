@@ -181,10 +181,29 @@ object AnnQualityMain {
       def shiftRecall(dir: String): Double = AnnQuality.recallAtK(
         Similarity.ivfPqSearchPersisted(spark, dir, qShift, "vec_id",
           "embedding", k, nProbe), truthShift, k)
+      // Streaming-maintained index over the SAME shifted corpus: the
+      // quantizer trains on micro-batch 0 (the first quarter, un-shifted
+      // region) and every later batch appends frozen — the recall this
+      // row measures is what a deployment running annIndexStream for N
+      // batches actually serves, vs the full rebuild above. More batches
+      // than the half/half append row = less training data for the
+      // frozen quantizer; the gap between shifted_streamed_4b and
+      // shifted_rebuilt is the re-train trigger for the streaming path.
+      val streamDir = Files.createTempDirectory("ann-stream").toString
+      val quarter = n / 4
+      (0 until 4).foreach { b =>
+        val lo = b * quarter
+        val hi = if (b == 3) n else (b + 1) * quarter
+        graft.streaming.StreamOps.processAnnIndexBatch(
+          eShift.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          b.toLong, "vec_id", "embedding", streamDir, coarse, subs, pqc,
+          64, residual = true, refineIters = 3, coarseIters = 3)
+      }
       Seq("ivfpq_persisted_full" -> searchRecall(fullDir),
         "ivfpq_persisted_appended" -> searchRecall(halfDir),
         "shifted_rebuilt" -> shiftRecall(shiftFullDir),
-        "shifted_appended" -> shiftRecall(shiftHalfDir))
+        "shifted_appended" -> shiftRecall(shiftHalfDir),
+        "shifted_streamed_4b" -> shiftRecall(streamDir))
     }
     def fmt(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (nm, r, s) =>

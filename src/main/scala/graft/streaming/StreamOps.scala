@@ -233,20 +233,23 @@ object StreamOps {
   def annIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, numCentroids: Int,
                      numSubspaces: Int = 8, pqCentroids: Int = 16,
-                     dim: Int = 64, residual: Boolean = false)
+                     dim: Int = 64, residual: Boolean = false,
+                     refineIters: Int = 0, coarseIters: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processAnnIndexBatch(batch, batchId, idCol, vecCol, indexPath,
-        numCentroids, numSubspaces, pqCentroids, dim, residual)
+        numCentroids, numSubspaces, pqCentroids, dim, residual,
+        refineIters, coarseIters)
     }
 
   /** One micro-batch of [[annIndexStream]], exposed for replay specs.
     * Idempotent per `batchId`.
     */
-  private[streaming] def processAnnIndexBatch(batch: DataFrame,
+  private[graft] def processAnnIndexBatch(batch: DataFrame,
       batchId: Long, idCol: String, vecCol: String, indexPath: String,
       numCentroids: Int, numSubspaces: Int, pqCentroids: Int, dim: Int,
-      residual: Boolean): Unit = {
+      residual: Boolean, refineIters: Int = 0,
+      coarseIters: Int = 0): Unit = {
     import graft.ml.Similarity
     val spark = batch.sparkSession
     if (batchId <= committedBatch(spark, indexPath)) return
@@ -268,7 +271,8 @@ object StreamOps {
       if (!built || builtBy.contains(batchId)) {
         writeSmallFile(fs, builtByPath, batchId.toString)
         Similarity.saveIvfPqIndex(batch, idCol, vecCol, numCentroids,
-          indexPath, numSubspaces, pqCentroids, dim, residual)
+          indexPath, numSubspaces, pqCentroids, dim, residual,
+          refineIters, coarseIters)
       } else
         Similarity.appendToIvfPqIndex(spark, batch, idCol, vecCol,
           indexPath)
