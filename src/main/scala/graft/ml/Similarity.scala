@@ -376,6 +376,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    resetIndexGenerations(corpus.sparkSession, path)
     centroids.unpersist() // no-op for the seeded path; frees the k-means cache
     ()
   }
@@ -395,7 +396,7 @@ object Similarity {
     assignToCentroids(corpus, idCol, vecCol, cents)
       .select(col("v_id"), col("v_vec"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/index")
+      .parquet(activeIndexDir(spark, path))
   }
 
   /** Incremental append to a persisted IVF-PQ index
@@ -427,7 +428,7 @@ object Similarity {
     pqInput.select(col("v_id"), col("centroid_id"),
         pqCodesOf(col("pq_vec"), model).as("codes"))
       .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/index")
+      .parquet(activeIndexDir(spark, path))
   }
 
   /** IVF search against a persisted index ([[saveIvfIndex]]): same
@@ -450,7 +451,7 @@ object Similarity {
                          rerankCorpus: Option[DataFrame] = None): DataFrame = {
     if (rerank > 0) {
       val corpus = rerankCorpus.getOrElse(
-        spark.read.parquet(s"$path/index")
+        spark.read.parquet(activeIndexDir(spark, path))
           .select(col("v_id").as(idCol), col("v_vec").as(vecCol)))
       return exactRerank(
         ivfSearchPersisted(spark, path, queries, idCol, vecCol,
@@ -490,8 +491,95 @@ object Similarity {
                               path: String, probes: DataFrame): DataFrame = {
     val probeIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.get(0))
-    spark.read.parquet(s"$path/index")
+    spark.read.parquet(activeIndexDir(spark, path))
       .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
+  }
+
+  // ------------------------------------- index generations & compaction
+
+  private val IndexPointer = "_index_gen"
+
+  /** The active inverted-list directory of a persisted index: `_index_gen`
+    * names it after a [[compactIvfIndex]] flip; absent (every
+    * freshly-built index) means the original `index`. Same
+    * generation-pointer contract as `Dedup.activeShingleDir`.
+    */
+  private[graft] def activeIndexDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ptr = new org.apache.hadoop.fs.Path(path, IndexPointer)
+    val name =
+      if (!fs.exists(ptr)) "index"
+      else try {
+        val in = fs.open(ptr)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch { case _: Exception => "index" }
+    s"$path/$name"
+  }
+
+  /** Compact a persisted index's inverted lists ([[saveIvfIndex]] or
+    * [[saveIvfPqIndex]] layout — schema-agnostic) into ONE file per
+    * centroid partition. Every [[appendToIvfIndex]] /
+    * [[appendToIvfPqIndex]] micro-batch adds a file set to each touched
+    * partition, so a long-running [[graft.streaming.StreamOps.annIndexStream]]
+    * accretes thousands of small files per list — the classic streaming
+    * small-files problem: at 100 TB the per-file open cost starts to
+    * dominate the probed-partition reads the IN-list pruning exists to
+    * keep cheap. Compaction rewrites the ACTIVE generation into
+    * `index.gen{g+1}` (hash-repartitioned on `centroid_id`, so each list
+    * lands in exactly one task = one file per partition dir), then flips
+    * the `_index_gen` pointer atomically. Readers resolve the pointer per
+    * query; `keepPrevious = true` leaves the superseded generation on
+    * disk for readers mid-scan (multi-minute scans at scale need a
+    * retention grace — clean up out-of-band), mirroring
+    * `compactShingleIndex`.
+    *
+    * Single-writer contract (same as the shingle index): run compaction
+    * from the maintenance process that owns appends — an append racing
+    * the compaction's read could land in the old generation and be lost.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, keepPrevious: Boolean = false): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val curDir = activeIndexDir(spark, path)
+    val curName = curDir.substring(curDir.lastIndexOf('/') + 1)
+    val gen =
+      if (curName == "index") 0
+      else curName.stripPrefix("index.gen").toInt
+    val nextName = s"index.gen${gen + 1}"
+    val numLists = spark.read.parquet(s"$path/centroids").count().toInt
+    spark.read.parquet(curDir)
+      .repartition(numLists, col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/$nextName")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/$IndexPointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/$IndexPointer")
+    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
+  }
+
+  /** A rebuild ([[saveIvfIndex]]/[[saveIvfPqIndex]]) always writes the
+    * original `index` dir — reset the generation pointer so readers see
+    * the rebuild, and drop superseded `index.gen*` dirs.
+    */
+  private def resetIndexGenerations(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, IndexPointer), false)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("index.gen"))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Hard-negative mining for contrastive training (the DPR/Contriever
@@ -1361,6 +1449,7 @@ object Similarity {
     coded.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    resetIndexGenerations(corpus.sparkSession, path)
     cleanup() // writes above materialized everything the cache served
     val spark = corpus.sparkSession
     import spark.implicits._

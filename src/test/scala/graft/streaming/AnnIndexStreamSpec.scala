@@ -103,6 +103,51 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(indexRows(seeded).map(_._1) == (boot ++ extra).map(_._1).toSet)
   }
 
+  test("index compaction: one file per list, searches unchanged, appends " +
+      "land in the new generation, rebuild resets the pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-compact").toString
+    process(dir, boot, 0L)
+    process(dir, extra, 1L) // second file set in each touched partition
+    val q = Seq((0L, Array(2f, 3f, 100f, 100f))).toDF("vec_id", "embedding")
+    def search(): Set[(Long, Long)] =
+      Similarity.ivfPqSearchPersisted(spark, dir, q, "vec_id", "embedding",
+          k = 4, nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .toSet
+    def parquetFiles(d: java.io.File): Int =
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = search()
+    val preDirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(preDirs.exists(parquetFiles(_) > 1),
+      "append must have created a multi-file partition for this test to bite")
+    Similarity.compactIvfIndex(spark, dir)
+    // pointer flipped, old generation gone, exactly one file per list
+    assert(!new java.io.File(s"$dir/index").exists())
+    val genDirs = new java.io.File(s"$dir/index.gen1").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(genDirs.nonEmpty && genDirs.forall(parquetFiles(_) == 1))
+    assert(search() == before, "compaction must not change search results")
+    // an append after compaction lands in the ACTIVE generation
+    process(dir, Seq((200L, Array(5f, 5f, 0f, 0f))), 2L)
+    assert(Similarity.ivfPqSearchPersisted(spark, dir,
+        Seq((0L, Array(5f, 5f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 6, nProbe = 2)
+      .collect().map(_.getAs[Long]("n_id")).contains(200L))
+    // keepPrevious leaves the superseded generation for mid-scan readers
+    Similarity.compactIvfIndex(spark, dir, keepPrevious = true)
+    assert(new java.io.File(s"$dir/index.gen1").exists())
+    assert(new java.io.File(s"$dir/index.gen2").exists())
+    // a rebuild writes the original dir and resets generations
+    Similarity.saveIvfPqIndex(boot.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", numCentroids = 2, path = dir, numSubspaces = 2,
+      pqCentroids = 3, dim = 4, residual = true)
+    assert(new java.io.File(s"$dir/index").exists())
+    assert(!new java.io.File(s"$dir/index.gen1").exists())
+    assert(!new java.io.File(s"$dir/index.gen2").exists())
+    assert(!new java.io.File(s"$dir/_index_gen").exists())
+  }
+
   test("an empty batch still commits its id (no replay loop)") {
     val dir = java.nio.file.Files.createTempDirectory("ann-empty").toString
     process(dir, boot, 0L)
