@@ -229,17 +229,23 @@ object StreamOps {
     * build runs, so a crash between a completed build and its commit
     * replays as a rebuild (overwrite-idempotent) — never as an append
     * of the entire bootstrap batch onto itself.
+    *
+    * `compactEvery = N` folds [[graft.ml.Similarity.compactIvfIndex]]
+    * into the loop every N batches — each append leaves a file set per
+    * touched list, and this stream IS the single writer the compaction
+    * contract requires, so in-loop is the right place for it.
     */
   def annIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, numCentroids: Int,
                      numSubspaces: Int = 8, pqCentroids: Int = 16,
                      dim: Int = 64, residual: Boolean = false,
-                     refineIters: Int = 0, coarseIters: Int = 0)
+                     refineIters: Int = 0, coarseIters: Int = 0,
+                     compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processAnnIndexBatch(batch, batchId, idCol, vecCol, indexPath,
         numCentroids, numSubspaces, pqCentroids, dim, residual,
-        refineIters, coarseIters)
+        refineIters, coarseIters, compactEvery)
     }
 
   /** One micro-batch of [[annIndexStream]], exposed for replay specs.
@@ -248,8 +254,8 @@ object StreamOps {
   private[graft] def processAnnIndexBatch(batch: DataFrame,
       batchId: Long, idCol: String, vecCol: String, indexPath: String,
       numCentroids: Int, numSubspaces: Int, pqCentroids: Int, dim: Int,
-      residual: Boolean, refineIters: Int = 0,
-      coarseIters: Int = 0): Unit = {
+      residual: Boolean, refineIters: Int = 0, coarseIters: Int = 0,
+      compactEvery: Int = 0): Unit = {
     import graft.ml.Similarity
     val spark = batch.sparkSession
     if (batchId <= committedBatch(spark, indexPath)) return
@@ -278,6 +284,15 @@ object StreamOps {
           indexPath)
     }
     commitBatch(spark, indexPath, batchId)
+    // In-loop small-files maintenance: every appended batch leaves a file
+    // set per touched list, so compact every N batches from the SAME
+    // single-writer thread that owns the appends (the compactIvfIndex
+    // contract). Runs after the commit — a compaction failure or crash
+    // here never re-delivers the batch's vectors, and the next multiple
+    // picks the work up; replayed (already-committed) batches return
+    // before this point and never double-compact.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      Similarity.compactIvfIndex(spark, indexPath)
   }
 
   /** Streaming CCNet-exact paragraph dedup — the continuous twin of

@@ -148,6 +148,25 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(!new java.io.File(s"$dir/_index_gen").exists())
   }
 
+  test("compactEvery folds compaction into the maintenance loop") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-autoc").toString
+    def proc(batch: Seq[(Long, Array[Float])], id: Long): Unit =
+      StreamOps.processAnnIndexBatch(batch.toDF("vec_id", "embedding"), id,
+        "vec_id", "embedding", dir, numCentroids = 2, numSubspaces = 2,
+        pqCentroids = 3, dim = 4, residual = true, compactEvery = 2)
+    proc(boot, 0L)
+    proc(extra, 1L)
+    proc(Seq((300L, Array(7f, 6f, 0f, 0f))), 2L) // batch 2 → compact
+    assert(new java.io.File(s"$dir/_index_gen").exists(),
+      "batch 2 must have triggered an in-loop compaction")
+    assert(!new java.io.File(s"$dir/index").exists())
+    val ids = Similarity.ivfPqSearchPersisted(spark, dir,
+        Seq((0L, Array(6f, 5f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 7, nProbe = 2)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(ids == (boot ++ extra).map(_._1).toSet + 300L, ids.toString)
+  }
+
   test("an empty batch still commits its id (no replay loop)") {
     val dir = java.nio.file.Files.createTempDirectory("ann-empty").toString
     process(dir, boot, 0L)
