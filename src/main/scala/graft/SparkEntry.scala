@@ -609,6 +609,18 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: the same sign-LSH search through the PERSISTED bucket-
+    // partitioned index (hash once, probe = partition-pruned reads) —
+    // identical results to the ad-hoc path, same oracle
+    "q_sim_lsh_persisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
+      Similarity.saveLshIndex(e, "vec_id", "embedding", idx, nBits = 4)
+      Similarity.lshSearchPersisted(s, idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: IVF-bucketed ANN — centroid assignment + nProbe search.
     "q_sim_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1664,6 +1676,19 @@ object SparkEntry {
     * thing deployments repeat, not the artifact build.
     */
   def prepared: Map[String, Prepared] = Map(
+    "q_sim_lsh_persisted" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
+        Similarity.saveLshIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", idx, nBits = 4)
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.lshSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_sim_ivf_persisted" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
@@ -1856,6 +1881,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleBase +
       ("q_sim_ivf_persisted" -> oracleBase("q_sim_ivf")) +
+      ("q_sim_lsh_persisted" -> oracleBase("q_sim_ann_lsh")) +
       // q_dedup_incremental with the roles swapped: the indexed REFERENCE
       // side is the large corpus (doc_id >= 250), the probing batch the
       // small one — the production layout the index exists for

@@ -495,12 +495,122 @@ object Similarity {
       .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
   }
 
+  // ------------------------------------------------- persisted LSH index
+
+  private val LshFormatVersion = 1
+
+  /** Persist the sign-LSH bucketed corpus — the third persisted index
+    * type next to [[saveIvfIndex]] / [[saveIvfPqIndex]], for the regime
+    * where LSH wins (no training pass at all, O(1) bucket routing, cheap
+    * appends). Layout mirrors the IVF family:
+    *
+    *   `$path/index/bucket=<b>/` — (v_id, v_vec) rows, one dir per bucket
+    *   `$path/meta`              — (n_bits, format_version), so searches
+    *                               and appends hash with the INDEX'S bits
+    *                               (a mismatched nBits would probe wrong
+    *                               buckets silently)
+    *
+    * Shares the whole index lifecycle: [[appendToLshIndex]] growth,
+    * [[compactAnnIndex]] small-files maintenance via the `_index_gen`
+    * pointer, rebuild-resets. Size `nBits` with [[autoLshBits]].
+    */
+  def saveLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, nBits: Int): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+      .withColumn("bucket", signBucket(col("v_vec"), nBits))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/index")
+    Seq((nBits, LshFormatVersion)).toDF("n_bits", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    resetIndexGenerations(spark, path)
+  }
+
+  /** The index's hash width, with the same explicit-rebuild error
+    * contract as [[readCodebook]]: wrong columns, zero rows, or a future
+    * format version all say "rebuild with saveLshIndex" instead of
+    * failing opaquely (or worse, probing wrong buckets).
+    */
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val df = spark.read.parquet(s"$path/meta")
+    val expected = Set("n_bits", "format_version")
+    if (!expected.subsetOf(df.columns.toSet))
+      throw new IllegalStateException(
+        s"incompatible LSH index format at $path/meta: found columns " +
+          s"${df.columns.sorted.mkString("[", ", ", "]")}, expected " +
+          s"$expected — rebuild the index with saveLshIndex")
+    val rows = df.collect()
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        s"empty LSH index meta at $path/meta (interrupted write?) — " +
+          "rebuild the index with saveLshIndex")
+    val ver = rows.head.getAs[Int]("format_version")
+    if (ver != LshFormatVersion)
+      throw new IllegalStateException(
+        s"incompatible LSH index format version $ver at $path/meta " +
+          s"(this build reads $LshFormatVersion) — rebuild the index " +
+          "with saveLshIndex")
+    rows.head.getAs[Int]("n_bits")
+  }
+
+  /** Append new vectors to a persisted [[saveLshIndex]]: hash with the
+    * INDEX'S stored bit width, append into the active generation.
+    * O(batch); searches see appended vectors immediately (no quantizer to
+    * drift — sign buckets are data-independent, so an LSH index never
+    * needs the re-train the IVF family's drift harness schedules).
+    */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val nBits = readLshMeta(spark, path)
+    batch.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+      .withColumn("bucket", signBucket(col("v_vec"), nBits))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(activeIndexDir(spark, path))
+  }
+
+  /** [[knnLsh]] against a persisted index: identical ranking (the spec
+    * pins it), with the corpus hash pass replaced by a read of ONLY the
+    * probed bucket partitions — the static IN-list contract shared with
+    * [[ivfSearchPersisted]] (DPP cannot be trusted on the
+    * index ⋈ broadcast(probes) shape; the probe set is queries×(1+m)
+    * values, driver-collectable by construction). At `multiProbe = m`
+    * the read touches ≤ |queries|·(1+m) of the 2^nBits bucket dirs.
+    */
+  def lshSearchPersisted(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         multiProbe: Int = 0): DataFrame = {
+    val nBits = readLshMeta(spark, path)
+    require(multiProbe >= 0 && multiProbe <= nBits,
+      s"multiProbe must be in [0, nBits=$nBits]")
+    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_bucket", signBucket(col("q_vec"), nBits))
+    val probes = col("q_bucket") +: (0 until multiProbe).map(j =>
+      col("q_bucket").bitwiseXOR(lit(1L << j)))
+    val q = qb.select(col("q_id"), col("q_vec"),
+      explode(array(probes: _*)).as("bucket"))
+    val probeBuckets = q.select(col("bucket")).distinct()
+      .collect().map(_.get(0))
+    val index = spark.read.parquet(activeIndexDir(spark, path))
+      .filter(col("bucket").isin(probeBuckets.toIndexedSeq: _*))
+      .select(col("v_id").as("n_id"), col("v_vec").as("n_vec"),
+        col("bucket"))
+    val scored = index.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
+    topKRanked(scored, "q_id", "cosine", "n_id", k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+  }
+
   // ------------------------------------- index generations & compaction
 
   private val IndexPointer = "_index_gen"
 
   /** The active inverted-list directory of a persisted index: `_index_gen`
-    * names it after a [[compactIvfIndex]] flip; absent (every
+    * names it after a [[compactAnnIndex]] flip; absent (every
     * freshly-built index) means the original `index`. Same
     * generation-pointer contract as `Dedup.activeShingleDir`.
     */
@@ -520,18 +630,20 @@ object Similarity {
     s"$path/$name"
   }
 
-  /** Compact a persisted index's inverted lists ([[saveIvfIndex]] or
-    * [[saveIvfPqIndex]] layout — schema-agnostic) into ONE file per
-    * centroid partition. Every [[appendToIvfIndex]] /
-    * [[appendToIvfPqIndex]] micro-batch adds a file set to each touched
-    * partition, so a long-running [[graft.streaming.StreamOps.annIndexStream]]
-    * accretes thousands of small files per list — the classic streaming
-    * small-files problem: at 100 TB the per-file open cost starts to
-    * dominate the probed-partition reads the IN-list pruning exists to
-    * keep cheap. Compaction rewrites the ACTIVE generation into
-    * `index.gen{g+1}` (hash-repartitioned on `centroid_id`, so each list
-    * lands in exactly one task = one file per partition dir), then flips
-    * the `_index_gen` pointer atomically. Readers resolve the pointer per
+  /** Compact a persisted index's inverted lists into ONE file per
+    * partition — layout-agnostic: the partition column and list count
+    * come from the directory listing, so the same op serves
+    * [[saveIvfIndex]]/[[saveIvfPqIndex]] (`centroid_id=`) and
+    * [[saveLshIndex]] (`bucket=`). Every append micro-batch adds a file
+    * set to each touched partition, so a long-running
+    * [[graft.streaming.StreamOps.annIndexStream]] accretes thousands of
+    * small files per list — the classic streaming small-files problem:
+    * at 100 TB the per-file open cost starts to dominate the
+    * probed-partition reads the IN-list pruning exists to keep cheap.
+    * Compaction rewrites the ACTIVE generation into `index.gen{g+1}`
+    * (hash-repartitioned on the partition column, so each list lands in
+    * exactly one task = one file per partition dir), then flips the
+    * `_index_gen` pointer atomically. Readers resolve the pointer per
     * query; `keepPrevious = true` leaves the superseded generation on
     * disk for readers mid-scan (multi-minute scans at scale need a
     * retention grace — clean up out-of-band), mirroring
@@ -541,7 +653,7 @@ object Similarity {
     * from the maintenance process that owns appends — an append racing
     * the compaction's read could land in the old generation and be lost.
     */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, keepPrevious: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -551,10 +663,13 @@ object Similarity {
       if (curName == "index") 0
       else curName.stripPrefix("index.gen").toInt
     val nextName = s"index.gen${gen + 1}"
-    val numLists = spark.read.parquet(s"$path/centroids").count().toInt
+    val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(curDir))
+      .map(_.getPath.getName).filter(_.contains("="))
+    require(partDirs.nonEmpty, s"no partition dirs under $curDir")
+    val partCol = partDirs.head.takeWhile(_ != '=')
     spark.read.parquet(curDir)
-      .repartition(numLists, col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
+      .repartition(partDirs.length, col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$path/$nextName")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/$IndexPointer.tmp")
     val out = fs.create(tmp, true)

@@ -230,7 +230,7 @@ object StreamOps {
     * replays as a rebuild (overwrite-idempotent) — never as an append
     * of the entire bootstrap batch onto itself.
     *
-    * `compactEvery = N` folds [[graft.ml.Similarity.compactIvfIndex]]
+    * `compactEvery = N` folds [[graft.ml.Similarity.compactAnnIndex]]
     * into the loop every N batches — each append leaves a file set per
     * touched list, and this stream IS the single writer the compaction
     * contract requires, so in-loop is the right place for it.
@@ -286,13 +286,13 @@ object StreamOps {
     commitBatch(spark, indexPath, batchId)
     // In-loop small-files maintenance: every appended batch leaves a file
     // set per touched list, so compact every N batches from the SAME
-    // single-writer thread that owns the appends (the compactIvfIndex
+    // single-writer thread that owns the appends (the compactAnnIndex
     // contract). Runs after the commit — a compaction failure or crash
     // here never re-delivers the batch's vectors, and the next multiple
     // picks the work up; replayed (already-committed) batches return
     // before this point and never double-compact.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      Similarity.compactIvfIndex(spark, indexPath)
+      Similarity.compactAnnIndex(spark, indexPath)
   }
 
   /** Streaming CCNet-exact paragraph dedup — the continuous twin of

@@ -65,4 +65,16 @@ class PersistedPruningSpec extends SparkSuite {
     assert(parts <= 4, s"opened $parts partitions, expected <= 4 of 8")
     assert(rows < 64, s"scanned $rows of 64 index rows — no pruning")
   }
+
+  test("persisted LSH search opens only the probed bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("prune-lsh").toString
+    Similarity.saveLshIndex(corpus, "vec_id", "embedding", dir, nBits = 4)
+    val q = corpus.filter($"vec_id" < 2)
+    // 2 queries x (1 + 1 probe) = at most 4 of the up-to-16 buckets
+    val res = Similarity.lshSearchPersisted(spark, dir, q, "vec_id",
+      "embedding", k = 3, multiProbe = 1)
+    val (parts, rows) = indexScanMetrics(res, "prune-lsh")
+    assert(parts <= 4, s"opened $parts bucket partitions, expected <= 4")
+    assert(rows < 64, s"scanned $rows of 64 index rows — no pruning")
+  }
 }

@@ -121,7 +121,7 @@ class AnnIndexStreamSpec extends SparkSuite {
       .filter(_.getName.startsWith("centroid_id="))
     assert(preDirs.exists(parquetFiles(_) > 1),
       "append must have created a multi-file partition for this test to bite")
-    Similarity.compactIvfIndex(spark, dir)
+    Similarity.compactAnnIndex(spark, dir)
     // pointer flipped, old generation gone, exactly one file per list
     assert(!new java.io.File(s"$dir/index").exists())
     val genDirs = new java.io.File(s"$dir/index.gen1").listFiles()
@@ -135,7 +135,7 @@ class AnnIndexStreamSpec extends SparkSuite {
         "vec_id", "embedding", k = 6, nProbe = 2)
       .collect().map(_.getAs[Long]("n_id")).contains(200L))
     // keepPrevious leaves the superseded generation for mid-scan readers
-    Similarity.compactIvfIndex(spark, dir, keepPrevious = true)
+    Similarity.compactAnnIndex(spark, dir, keepPrevious = true)
     assert(new java.io.File(s"$dir/index.gen1").exists())
     assert(new java.io.File(s"$dir/index.gen2").exists())
     // a rebuild writes the original dir and resets generations
