@@ -295,6 +295,51 @@ object StreamOps {
       Similarity.compactAnnIndex(spark, indexPath)
   }
 
+  /** Streaming sign-LSH index maintenance — the LSH analog of
+    * [[annIndexStream]], and the simpler one: sign buckets are
+    * data-independent, so there is NO quantizer to train, no drift, and
+    * no re-train schedule — the first batch writes the index (the bit
+    * width is fixed here, stamped into the meta), every later batch
+    * appends hashed under the INDEX'S stored bits. Same crash-replay
+    * contracts: `_last_batch` skips redelivered batches,
+    * `_built_by_batch` turns a replay of the bootstrap into an
+    * overwrite-idempotent rebuild, `compactEvery` folds
+    * [[graft.ml.Similarity.compactAnnIndex]] into the loop.
+    */
+  def lshIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String, nBits: Int,
+                     compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processLshIndexBatch(batch, batchId, idCol, vecCol, indexPath,
+        nBits, compactEvery)
+    }
+
+  /** One micro-batch of [[lshIndexStream]]. Idempotent per `batchId`. */
+  private[graft] def processLshIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, indexPath: String, nBits: Int,
+      compactEvery: Int = 0): Unit = {
+    import graft.ml.Similarity
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, indexPath)) return
+    if (!batch.isEmpty) {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val built = fs.exists(new org.apache.hadoop.fs.Path(indexPath, "meta"))
+      val builtByPath =
+        new org.apache.hadoop.fs.Path(root, "_built_by_batch")
+      val builtBy = readSmallFile(fs, builtByPath).flatMap(_.toLongOption)
+      if (!built || builtBy.contains(batchId)) {
+        writeSmallFile(fs, builtByPath, batchId.toString)
+        Similarity.saveLshIndex(batch, idCol, vecCol, indexPath, nBits)
+      } else
+        Similarity.appendToLshIndex(spark, batch, idCol, vecCol, indexPath)
+    }
+    commitBatch(spark, indexPath, batchId)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      Similarity.compactAnnIndex(spark, indexPath)
+  }
+
   /** Streaming CCNet-exact paragraph dedup — the continuous twin of
     * [[graft.ml.Dedup.lineDedupKeepFirst]]. State = the first-occurrence
     * table (line hash → minimum (doc, position) ever seen); a batch's

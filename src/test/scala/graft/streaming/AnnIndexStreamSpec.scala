@@ -167,6 +167,51 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(ids == (boot ++ extra).map(_._1).toSet + 300L, ids.toString)
   }
 
+  test("lshIndexStream: streamed == batch union, replay no-op, crash " +
+      "window rebuilds, compactEvery fires") {
+    val dim64boot = (0L until 8L).map(i =>
+      (i, Array.tabulate(64)(d => ((i * 7 + d) % 5 - 2).toFloat)))
+    val dim64extra = (100L until 104L).map(i =>
+      (i, Array.tabulate(64)(d => ((i * 3 + d) % 7 - 3).toFloat)))
+    val dir = java.nio.file.Files.createTempDirectory("lsh-str").toString
+    def proc(batch: Seq[(Long, Array[Float])], id: Long): Unit =
+      StreamOps.processLshIndexBatch(batch.toDF("vec_id", "embedding"),
+        id, "vec_id", "embedding", dir, nBits = 4, compactEvery = 2)
+    proc(dim64boot, 0L)
+    proc(dim64extra, 1L)
+    // equals one index over the union (LSH append is exactly a re-hash)
+    val all = (dim64boot ++ dim64extra).toDF("vec_id", "embedding")
+    val ref = java.nio.file.Files.createTempDirectory("lsh-ref").toString
+    Similarity.saveLshIndex(all, "vec_id", "embedding", ref, nBits = 4)
+    val q = all.filter($"vec_id" < 2L)
+    def rows(p: String) = Similarity.lshSearchPersisted(spark, p, q,
+        "vec_id", "embedding", k = 3, multiProbe = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rk"))).toSet
+    assert(rows(dir) == rows(ref))
+    // replay is a no-op
+    val n0 = spark.read.parquet(Similarity.activeIndexDir(spark, dir)).count()
+    proc(dim64extra, 1L)
+    assert(spark.read.parquet(Similarity.activeIndexDir(spark, dir))
+      .count() == n0)
+    // crash window: delete _last_batch, replay bootstrap → rebuild
+    val crash = java.nio.file.Files.createTempDirectory("lsh-crash").toString
+    StreamOps.processLshIndexBatch(dim64boot.toDF("vec_id", "embedding"),
+      0L, "vec_id", "embedding", crash, nBits = 4)
+    val fs = new org.apache.hadoop.fs.Path(crash)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(crash, "_last_batch"), false))
+    StreamOps.processLshIndexBatch(dim64boot.toDF("vec_id", "embedding"),
+      0L, "vec_id", "embedding", crash, nBits = 4)
+    assert(spark.read.parquet(s"$crash/index").count() == dim64boot.size,
+      "replayed bootstrap must rebuild, not append duplicates")
+    // compactEvery=2 fired at batch 2
+    proc(dim64boot.map { case (i, v) => (i + 500, v) }, 2L)
+    assert(new java.io.File(s"$dir/_index_gen").exists(),
+      "batch 2 must have triggered in-loop compaction")
+    assert(rows(dir).nonEmpty)
+  }
+
   test("an empty batch still commits its id (no replay loop)") {
     val dir = java.nio.file.Files.createTempDirectory("ann-empty").toString
     process(dir, boot, 0L)
