@@ -641,6 +641,23 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: the persisted IVF search AFTER a tombstone deletion
+    // (deleteFromAnnIndex) — the data-removal half of the index
+    // lifecycle: deleted vectors (vec_id % 11 == 5) are anti-joined out
+    // before ranking, never rebuilt out. Oracle = q_sim_ivf with the
+    // deleted set excluded from the candidate side (routing unchanged:
+    // centroids predate the deletion).
+    "q_sim_ivf_deleted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("ivfdel").toString
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", numCentroids = 8, idx)
+      Similarity.deleteFromAnnIndex(s, idx,
+        e.filter(col("vec_id") % 11 === 5).select(col("vec_id")), "vec_id")
+      Similarity.ivfSearchPersisted(s, idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: exact-substring dup detection — sliding 8-token windows present
     // in >1 document (passage-level signal that doc-level dedup misses).
     "q_dedup_spans" -> ((s, dir) =>
@@ -1703,6 +1720,23 @@ object SparkEntry {
             k = 3, nProbe = 2)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_sim_ivf_deleted" -> Prepared(
+      build = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = java.nio.file.Files.createTempDirectory("ivfdel").toString
+        Similarity.saveIvfIndex(e, "vec_id", "embedding",
+          numCentroids = 8, idx)
+        Similarity.deleteFromAnnIndex(s, idx,
+          e.filter(col("vec_id") % 11 === 5).select(col("vec_id")), "vec_id")
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nProbe = 2)
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_sim_pq" -> Prepared(
       build = (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -1881,6 +1915,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleBase +
       ("q_sim_ivf_persisted" -> oracleBase("q_sim_ivf")) +
+      // q_sim_ivf with the tombstoned set (vec_id % 11 == 5) excluded
+      // from the CANDIDATE side only — probe routing and centroid seeds
+      // predate the deletion, exactly like the persisted index
+      ("q_sim_ivf_deleted" ->
+        oracleBase("q_sim_ivf").replace("WHERE p.q_id != a.v_id",
+          "WHERE p.q_id != a.v_id AND a.v_id % 11 != 5")) +
       ("q_sim_lsh_persisted" -> oracleBase("q_sim_ann_lsh")) +
       // q_dedup_incremental with the roles swapped: the indexed REFERENCE
       // side is the large corpus (doc_id >= 250), the probing batch the

@@ -373,6 +373,7 @@ object Similarity {
       if (kmeansIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
       else kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIters)
     assignToCentroids(corpus, idCol, vecCol, centroids)
+      .withColumn("seq", lit(0L)) // deletion-epoch stamp, see deleteFromAnnIndex
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -394,7 +395,8 @@ object Similarity {
                        path: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
     assignToCentroids(corpus, idCol, vecCol, cents)
-      .select(col("v_id"), col("v_vec"), col("centroid_id"))
+      .select(col("v_id"), col("v_vec"), col("centroid_id"),
+        lit(readAnnEpoch(spark, path)).as("seq"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(activeIndexDir(spark, path))
   }
@@ -426,7 +428,8 @@ object Similarity {
           zip_with(col("v_vec").cast("array<double>"),
             col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
     pqInput.select(col("v_id"), col("centroid_id"),
-        pqCodesOf(col("pq_vec"), model).as("codes"))
+        pqCodesOf(col("pq_vec"), model).as("codes"),
+        lit(readAnnEpoch(spark, path)).as("seq"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(activeIndexDir(spark, path))
   }
@@ -451,7 +454,8 @@ object Similarity {
                          rerankCorpus: Option[DataFrame] = None): DataFrame = {
     if (rerank > 0) {
       val corpus = rerankCorpus.getOrElse(
-        spark.read.parquet(activeIndexDir(spark, path))
+        applyDeletes(spark, path,
+            spark.read.parquet(activeIndexDir(spark, path)))
           .select(col("v_id").as(idCol), col("v_vec").as(vecCol)))
       return exactRerank(
         ivfSearchPersisted(spark, path, queries, idCol, vecCol,
@@ -491,8 +495,9 @@ object Similarity {
                               path: String, probes: DataFrame): DataFrame = {
     val probeIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.get(0))
-    spark.read.parquet(activeIndexDir(spark, path))
-      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
+    applyDeletes(spark, path,
+      spark.read.parquet(activeIndexDir(spark, path))
+        .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*)))
   }
 
   // ------------------------------------------------- persisted LSH index
@@ -520,6 +525,7 @@ object Similarity {
     import spark.implicits._
     corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
       .withColumn("bucket", signBucket(col("v_vec"), nBits))
+      .withColumn("seq", lit(0L)) // deletion-epoch stamp
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/index")
     Seq((nBits, LshFormatVersion)).toDF("n_bits", "format_version")
@@ -567,6 +573,7 @@ object Similarity {
     val nBits = readLshMeta(spark, path)
     batch.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
       .withColumn("bucket", signBucket(col("v_vec"), nBits))
+      .withColumn("seq", lit(readAnnEpoch(spark, path)))
       .write.mode("append").partitionBy("bucket")
       .parquet(activeIndexDir(spark, path))
   }
@@ -594,8 +601,9 @@ object Similarity {
       explode(array(probes: _*)).as("bucket"))
     val probeBuckets = q.select(col("bucket")).distinct()
       .collect().map(_.get(0))
-    val index = spark.read.parquet(activeIndexDir(spark, path))
-      .filter(col("bucket").isin(probeBuckets.toIndexedSeq: _*))
+    val index = applyDeletes(spark, path,
+        spark.read.parquet(activeIndexDir(spark, path))
+          .filter(col("bucket").isin(probeBuckets.toIndexedSeq: _*)))
       .select(col("v_id").as("n_id"), col("v_vec").as("n_vec"),
         col("bucket"))
     val scored = index.join(broadcast(q), Seq("bucket"))
@@ -649,6 +657,11 @@ object Similarity {
     * retention grace — clean up out-of-band), mirroring
     * `compactShingleIndex`.
     *
+    * Compaction is also the PURGE point of the deletion lifecycle:
+    * tombstoned rows ([[deleteFromAnnIndex]]) are dropped from the
+    * rewrite and the tombstone log is cleared once the pointer flips —
+    * reclaiming the space and retiring the read-time anti-join cost.
+    *
     * Single-writer contract (same as the shingle index): run compaction
     * from the maintenance process that owns appends — an append racing
     * the compaction's read could land in the old generation and be lost.
@@ -667,7 +680,12 @@ object Similarity {
       .map(_.getPath.getName).filter(_.contains("="))
     require(partDirs.nonEmpty, s"no partition dirs under $curDir")
     val partCol = partDirs.head.takeWhile(_ != '=')
-    spark.read.parquet(curDir)
+    // Purge tombstoned rows while rewriting ([[deleteFromAnnIndex]]):
+    // survivors keep their seq stamp and the epoch file is untouched, so
+    // a crash between the pointer flip and the tombstone clear below
+    // leaves stale tombstones that match no surviving row — never a
+    // resurrect-or-overhide window.
+    applyDeletes(spark, path, spark.read.parquet(curDir))
       .repartition(partDirs.length, col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$path/$nextName")
@@ -678,23 +696,144 @@ object Similarity {
     val ptr = new org.apache.hadoop.fs.Path(s"$path/$IndexPointer")
     org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(new org.apache.hadoop.fs.Path(path, DeleteDir), true)
     if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
   }
 
   /** A rebuild ([[saveIvfIndex]]/[[saveIvfPqIndex]]) always writes the
     * original `index` dir — reset the generation pointer so readers see
-    * the rebuild, and drop superseded `index.gen*` dirs.
+    * the rebuild, drop superseded `index.gen*` dirs, and clear the
+    * deletion state ([[deleteFromAnnIndex]]): a rebuild re-indexes
+    * whatever corpus the caller passed, so stale tombstones must not
+    * hide rows of the new build.
     */
   private def resetIndexGenerations(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // tombstones BEFORE the pointer: a crash in between un-hides rows of
+    // the superseded generation (about to vanish anyway) — the reverse
+    // order would leave stale tombstones hiding seq=0 rows of the fresh
+    // rebuild until someone noticed
+    fs.delete(new org.apache.hadoop.fs.Path(path, DeleteDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path, EpochFile), false)
     fs.delete(new org.apache.hadoop.fs.Path(path, IndexPointer), false)
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>
         if (st.getPath.getName.startsWith("index.gen"))
           fs.delete(st.getPath, true)
       }
+  }
+
+  // ------------------------------------------------- index deletions
+
+  private val DeleteDir = "deletes"
+  private val EpochFile = "_ann_epoch"
+
+  /** The index's deletion epoch: a monotone counter bumped by every
+    * [[deleteFromAnnIndex]] call and NEVER reset except by a full
+    * rebuild (compaction purges tombstones but keeps the epoch — see
+    * the crash-window analysis on [[deleteFromAnnIndex]]). Appended
+    * rows are stamped with the epoch current at append time (`seq`),
+    * so visibility is a pure (seq, del_seq) comparison with no
+    * wall-clock anywhere.
+    */
+  private def readAnnEpoch(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, EpochFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } catch { case _: Exception => 0L }
+  }
+
+  private def writeAnnEpoch(spark: org.apache.spark.sql.SparkSession,
+                            path: String, epoch: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/$EpochFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$EpochFile")
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete vectors from a persisted index (any of the three types —
+    * IVF / IVF-PQ / sign-LSH) WITHOUT touching the inverted lists: the
+    * data-removal half of the index lifecycle. At 100 TB a removal
+    * request (takedown, opt-out, contamination discovery) cannot wait
+    * for a rebuild, and rewriting the touched lists per request churns
+    * the same small-files problem compaction exists to fix — so deletes
+    * are logged as TOMBSTONES and applied at read time:
+    *
+    *   `$path/deletes/`   — (v_id, del_seq) parquet rows, append-only
+    *   `$path/_ann_epoch` — monotone delete-event counter
+    *
+    * Visibility rule: a list row (stamped `seq` = the epoch at its
+    * append; build rows carry 0) is dead iff a tombstone exists with the
+    * same id and `del_seq > seq`. That makes re-insertion after deletion
+    * WORK: the re-appended row's seq equals the tombstoning epoch, so
+    * older tombstones don't hide it, while every copy present at delete
+    * time stays hidden. Searches apply the rule as a left-anti join
+    * BEFORE ranking (a deleted vector never occupies a shortlist slot);
+    * the tombstone side never touches the driver, so mass deletions
+    * scale like any other join.
+    *
+    * [[compactAnnIndex]] physically purges dead rows and clears the
+    * tombstone log (the epoch file is kept — surviving rows keep their
+    * seq, so a crash between the generation flip and the tombstone
+    * clear leaves stale tombstones that match nothing, never a
+    * correctness window). Write order here is epoch-then-tombstones:
+    * a crash in between leaves a bumped epoch and no tombstones — a
+    * no-op delete the caller retries — never tombstones that outrank
+    * concurrent appends they shouldn't.
+    *
+    * Single-writer contract (shared with appends/compaction): run
+    * deletes from the maintenance process that owns the index.
+    */
+  def deleteFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame,
+                         idCol: String): Unit = {
+    val epoch = readAnnEpoch(spark, path) + 1
+    writeAnnEpoch(spark, path, epoch)
+    ids.select(col(idCol).cast("long").as("v_id"),
+        lit(epoch).as("del_seq"))
+      .write.mode("append").parquet(s"$path/$DeleteDir")
+  }
+
+  /** Rows lacking the `seq` stamp (indexes persisted before deletion
+    * support, or null-filled rows from a mixed-schema read) are build
+    * rows: epoch 0.
+    */
+  private def withSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains("seq"))
+      df.withColumn("seq", coalesce(col("seq"), lit(0L)))
+    else df.withColumn("seq", lit(0L))
+
+  /** Filter tombstoned rows out of an inverted-list read — the
+    * visibility rule documented on [[deleteFromAnnIndex]]. No deletes
+    * dir = identity (plus the seq default). The anti-join has an equi
+    * component (v_id) so it hash-joins; the tombstone side is small by
+    * nature and AQE broadcasts it from actual sizes.
+    */
+  private def applyDeletes(spark: org.apache.spark.sql.SparkSession,
+                           path: String, lists: DataFrame): DataFrame = {
+    val l = withSeq(lists)
+    val delPath = new org.apache.hadoop.fs.Path(path, DeleteDir)
+    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(delPath)) return l
+    val dels = spark.read.parquet(delPath.toString)
+      .select(col("v_id").as("d_id"), col("del_seq"))
+    l.join(dels,
+      l("v_id") === dels("d_id") && dels("del_seq") > l("seq"),
+      "left_anti")
   }
 
   /** Hard-negative mining for contrastive training (the DPR/Contriever
@@ -1561,7 +1700,8 @@ object Similarity {
     val (centroids, coded, model, cleanup) = ivfPqBuild(corpus, idCol,
       vecCol, numCentroids, numSubspaces, pqCentroids, dim, refineIters,
       coarseIters, residual)
-    coded.write.mode("overwrite").partitionBy("centroid_id")
+    coded.withColumn("seq", lit(0L)) // deletion-epoch stamp
+      .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     resetIndexGenerations(corpus.sparkSession, path)
