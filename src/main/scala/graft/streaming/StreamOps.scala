@@ -240,28 +240,43 @@ object StreamOps {
                      numSubspaces: Int = 8, pqCentroids: Int = 16,
                      dim: Int = 64, residual: Boolean = false,
                      refineIters: Int = 0, coarseIters: Int = 0,
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0, opCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processAnnIndexBatch(batch, batchId, idCol, vecCol, indexPath,
         numCentroids, numSubspaces, pqCentroids, dim, residual,
-        refineIters, coarseIters, compactEvery)
+        refineIters, coarseIters, compactEvery, opCol)
     }
 
   /** One micro-batch of [[annIndexStream]], exposed for replay specs.
     * Idempotent per `batchId`.
+    *
+    * `opCol` turns the input into a CDC feed: rows whose `opCol` value is
+    * `"delete"` route their ids to [[graft.ml.Similarity.deleteFromAnnIndex]],
+    * every other row is an add. Within one micro-batch adds are applied
+    * BEFORE deletes, so a delete wins over an add of the same id in the
+    * same batch — and the epoch/seq visibility rule keeps that outcome
+    * stable under at-least-once redelivery (a replayed batch re-appends
+    * under a fresher epoch and re-deletes above it, converging to the
+    * same delete-wins state). Deletes arriving before the index exists
+    * are dropped (nothing to hide); the bootstrap build uses only the
+    * batch's add rows.
     */
   private[graft] def processAnnIndexBatch(batch: DataFrame,
       batchId: Long, idCol: String, vecCol: String, indexPath: String,
       numCentroids: Int, numSubspaces: Int, pqCentroids: Int, dim: Int,
       residual: Boolean, refineIters: Int = 0, coarseIters: Int = 0,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, opCol: Option[String] = None): Unit = {
     import graft.ml.Similarity
     val spark = batch.sparkSession
     if (batchId <= committedBatch(spark, indexPath)) return
-    if (!batch.isEmpty) {
-      val root = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val adds = opCol.map(c =>
+      batch.filter(coalesce(col(c), lit("")) =!= "delete").drop(c))
+      .getOrElse(batch)
+    val dels = opCol.map(c => batch.filter(col(c) === "delete"))
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!adds.isEmpty) {
       val built =
         fs.exists(new org.apache.hadoop.fs.Path(indexPath, "codebook"))
       // `_built_by_batch` records WHICH batch performed the bootstrap
@@ -276,12 +291,18 @@ object StreamOps {
       val builtBy = readSmallFile(fs, builtByPath).flatMap(_.toLongOption)
       if (!built || builtBy.contains(batchId)) {
         writeSmallFile(fs, builtByPath, batchId.toString)
-        Similarity.saveIvfPqIndex(batch, idCol, vecCol, numCentroids,
+        Similarity.saveIvfPqIndex(adds, idCol, vecCol, numCentroids,
           indexPath, numSubspaces, pqCentroids, dim, residual,
           refineIters, coarseIters)
       } else
-        Similarity.appendToIvfPqIndex(spark, batch, idCol, vecCol,
+        Similarity.appendToIvfPqIndex(spark, adds, idCol, vecCol,
           indexPath)
+    }
+    dels.foreach { d =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "codebook")) &&
+          !d.isEmpty)
+        Similarity.deleteFromAnnIndex(spark, indexPath,
+          d.select(col(idCol)), idCol)
     }
     commitBatch(spark, indexPath, batchId)
     // In-loop small-files maintenance: every appended batch leaves a file
@@ -308,32 +329,45 @@ object StreamOps {
     */
   def lshIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, nBits: Int,
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0, opCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processLshIndexBatch(batch, batchId, idCol, vecCol, indexPath,
-        nBits, compactEvery)
+        nBits, compactEvery, opCol)
     }
 
-  /** One micro-batch of [[lshIndexStream]]. Idempotent per `batchId`. */
+  /** One micro-batch of [[lshIndexStream]]. Idempotent per `batchId`.
+    * `opCol` gives the same CDC adds+deletes contract as
+    * [[processAnnIndexBatch]] (adds before deletes; delete wins in-batch).
+    */
   private[graft] def processLshIndexBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, indexPath: String, nBits: Int,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, opCol: Option[String] = None): Unit = {
     import graft.ml.Similarity
     val spark = batch.sparkSession
     if (batchId <= committedBatch(spark, indexPath)) return
-    if (!batch.isEmpty) {
-      val root = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val adds = opCol.map(c =>
+      batch.filter(coalesce(col(c), lit("")) =!= "delete").drop(c))
+      .getOrElse(batch)
+    val dels = opCol.map(c => batch.filter(col(c) === "delete"))
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!adds.isEmpty) {
       val built = fs.exists(new org.apache.hadoop.fs.Path(indexPath, "meta"))
       val builtByPath =
         new org.apache.hadoop.fs.Path(root, "_built_by_batch")
       val builtBy = readSmallFile(fs, builtByPath).flatMap(_.toLongOption)
       if (!built || builtBy.contains(batchId)) {
         writeSmallFile(fs, builtByPath, batchId.toString)
-        Similarity.saveLshIndex(batch, idCol, vecCol, indexPath, nBits)
+        Similarity.saveLshIndex(adds, idCol, vecCol, indexPath, nBits)
       } else
-        Similarity.appendToLshIndex(spark, batch, idCol, vecCol, indexPath)
+        Similarity.appendToLshIndex(spark, adds, idCol, vecCol, indexPath)
+    }
+    dels.foreach { d =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "meta")) &&
+          !d.isEmpty)
+        Similarity.deleteFromAnnIndex(spark, indexPath,
+          d.select(col(idCol)), idCol)
     }
     commitBatch(spark, indexPath, batchId)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

@@ -212,6 +212,75 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(rows(dir).nonEmpty)
   }
 
+  test("opCol CDC feed: deletes hide vectors, delete wins in-batch, " +
+      "replay converges, compaction purges") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-cdc").toString
+    def proc(rows: Seq[(Long, Array[Float], String)], id: Long): Unit =
+      StreamOps.processAnnIndexBatch(
+        rows.toDF("vec_id", "embedding", "op"), id, "vec_id", "embedding",
+        dir, numCentroids = 2, numSubspaces = 2, pqCentroids = 3, dim = 4,
+        residual = true, opCol = Some("op"))
+    def searchIds(): Set[Long] = {
+      val q = Seq((0L, Array(2f, 3f, 100f, 100f)),
+        (1000L, Array(5f, 4f, 0f, 0f))).toDF("vec_id", "embedding")
+      Similarity.ivfPqSearchPersisted(spark, dir, q, "vec_id", "embedding",
+        k = 8, nProbe = 2).collect().map(_.getAs[Long]("n_id")).toSet
+    }
+    // batch 0: bootstrap (all adds)
+    proc(boot.map { case (i, v) => (i, v, "add") }, 0L)
+    assert(searchIds() == boot.map(_._1).toSet)
+    // batch 1: two adds + a delete of an indexed vector AND an in-batch
+    // add+delete of the same id (delete wins)
+    proc(extra.map { case (i, v) => (i, v, "add") } ++
+      Seq((2L, Array(0f, 0f, 0f, 0f), "delete"),
+        (500L, Array(9f, 9f, 0f, 0f), "add"),
+        (500L, Array(0f, 0f, 0f, 0f), "delete")), 1L)
+    val afterB1 = searchIds()
+    assert(afterB1 == (boot.map(_._1).toSet - 2L) ++ extra.map(_._1),
+      s"got $afterB1")
+    // crash replay of batch 1 (delete the commit marker): at-least-once
+    // redelivery must converge to the same visible set
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_last_batch"), false))
+    proc(extra.map { case (i, v) => (i, v, "add") } ++
+      Seq((2L, Array(0f, 0f, 0f, 0f), "delete"),
+        (500L, Array(9f, 9f, 0f, 0f), "add"),
+        (500L, Array(0f, 0f, 0f, 0f), "delete")), 1L)
+    assert(searchIds() == afterB1, "replayed CDC batch must converge")
+    // batch 2: re-insert of the deleted id becomes visible (epoch rule)
+    proc(Seq((2L, Array(0f, 0f, 100f, 100f), "add")), 2L)
+    assert(searchIds().contains(2L), "re-insert after delete must be visible")
+    // compaction purges the tombstoned physical rows
+    Similarity.compactAnnIndex(spark, dir)
+    assert(searchIds().contains(2L))
+    assert(!searchIds().contains(500L))
+    assert(!new java.io.File(s"$dir/deletes").exists())
+  }
+
+  test("lsh opCol CDC feed: delete hides, re-insert returns") {
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(64)(d => ((i * 7 + d) % 5 - 2).toFloat)))
+    val dir = java.nio.file.Files.createTempDirectory("lsh-cdc").toString
+    def proc(rows: Seq[(Long, Array[Float], String)], id: Long): Unit =
+      StreamOps.processLshIndexBatch(
+        rows.toDF("vec_id", "embedding", "op"), id, "vec_id", "embedding",
+        dir, nBits = 3, opCol = Some("op"))
+    def hits(): Set[Long] = Similarity.lshSearchPersisted(spark, dir,
+        vecs.take(2).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 8, multiProbe = 3)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    proc(vecs.map { case (i, v) => (i, v, "add") }, 0L)
+    val full = hits()
+    assert(full.nonEmpty)
+    val victim = full.head
+    proc(Seq((victim, Array.fill(64)(0f), "delete")), 1L)
+    assert(!hits().contains(victim))
+    proc(Seq(vecs.find(_._1 == victim).map { case (i, v) => (i, v, "add") }.get),
+      2L)
+    assert(hits().contains(victim), "re-inserted LSH vector must be visible")
+  }
+
   test("an empty batch still commits its id (no replay loop)") {
     val dir = java.nio.file.Files.createTempDirectory("ann-empty").toString
     process(dir, boot, 0L)
