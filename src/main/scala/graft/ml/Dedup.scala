@@ -216,6 +216,7 @@ object Dedup {
     explodedShingles(sets, maxShingleFreq)
       .select(col("id").as("ref_id"), col("sz").as("sz_ref"), col("shingle"),
         pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("bucket"))
+      .withColumn("seq", lit(0L)) // deletion-epoch stamp, see deleteFromShingleIndex
       // co-locate each bucket before the partitioned write: ONE file per
       // bucket directory instead of one per (writer task × bucket) — a
       // probe otherwise pays numBuckets × parallelism file opens, and at
@@ -223,7 +224,34 @@ object Dedup {
       .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/shingles")
+    // a REBUILD must become visible and forget deletion state: clear
+    // tombstones first (crash in between un-hides rows of the superseded
+    // generation only), then the generation pointer and stale gen dirs —
+    // the same reset contract as Similarity.resetIndexGenerations
+    val spark = refDocs.sparkSession
+    IndexTombstones.reset(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, ShinglePointer), false)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("shingles.gen"))
+          fs.delete(st.getPath, true)
+      }
   }
+
+  /** Delete documents from a persisted [[saveShingleIndex]] — the
+    * data-removal half of the incremental-dedup lifecycle (a takedown of
+    * a reference doc must stop it from suppressing future near-dups of
+    * itself). Same tombstone/epoch contract as
+    * [[Similarity.deleteFromAnnIndex]] (shared [[IndexTombstones]]):
+    * probes anti-join the log at read time, [[compactShingleIndex]]
+    * purges physically, a rebuild resets.
+    */
+  def deleteFromShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, ids: DataFrame,
+                             idCol: String): Unit =
+    IndexTombstones.logDeletes(spark, path, ids, idCol, "ref_id")
 
   /** Append newly KEPT documents' shingles to a [[saveShingleIndex]]
     * layout — the maintenance half of the index lifecycle: probe a batch,
@@ -242,7 +270,8 @@ object Dedup {
     val sets = shingleHashFrame(docs, idCol, textCol, n, portableHash = false)
     explodedShingles(sets, maxShingleFreq)
       .select(col("id").as("ref_id"), col("sz").as("sz_ref"), col("shingle"),
-        pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("bucket"))
+        pmod(col("shingle"), lit(numBuckets.toLong)).cast("int").as("bucket"),
+        lit(IndexTombstones.readEpoch(docs.sparkSession, path)).as("seq"))
       .repartition(numBuckets, col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(activeShingleDir(docs.sparkSession, path))
@@ -305,7 +334,12 @@ object Dedup {
       if (curName == "shingles") 0
       else curName.stripPrefix("shingles.gen").toInt
     val nextName = s"shingles.gen${gen + 1}"
-    val rows = spark.read.parquet(curDir)
+    // purge tombstoned docs first ([[deleteFromShingleIndex]]) so the
+    // stop-shingle frequency guard below counts only LIVE rows; survivors
+    // keep their seq stamp and the epoch file is untouched — same
+    // crash-window reasoning as Similarity.compactAnnIndex
+    val rows = IndexTombstones.applyDeletes(spark, path,
+      spark.read.parquet(curDir), "ref_id")
     val kept = maxShingleFreq match {
       case None => rows
       case Some(f) =>
@@ -313,7 +347,8 @@ object Dedup {
           .filter(col("df_") <= f).drop("df_")
         rows.join(freq, "shingle")
     }
-    kept.select(col("ref_id"), col("sz_ref"), col("shingle"), col("bucket"))
+    kept.select(col("ref_id"), col("sz_ref"), col("shingle"), col("bucket"),
+        col("seq"))
       .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$nextName")
@@ -328,6 +363,7 @@ object Dedup {
     // no pointer-absent window like a delete-then-rename fallback has
     org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    IndexTombstones.clearLog(spark, path)
     if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
   }
 
@@ -376,10 +412,14 @@ object Dedup {
       org.apache.spark.sql.types.StructField("shingle",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bucket",
-        org.apache.spark.sql.types.IntegerType)))
+        org.apache.spark.sql.types.IntegerType),
+      // absent in pre-deletion indexes: reads as null, defaulted to 0
+      // (build row) by the tombstone filter
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType)))
     val idxAll = spark.read.schema(idxSchema)
       .parquet(activeShingleDir(spark, path))
-    val idx =
+    val idxPruned =
       if (!pruneBuckets) idxAll
       else {
         // ≤ numBuckets small ints — bounded driver state, NOT a data collect
@@ -387,6 +427,9 @@ object Dedup {
           .collect().map(_.getInt(0))
         idxAll.filter(col("bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
       }
+    // tombstoned reference docs must not suppress anything: filter BEFORE
+    // candidate generation (deleteFromShingleIndex)
+    val idx = IndexTombstones.applyDeletes(spark, path, idxPruned, "ref_id")
     val joined =
       if (broadcastBatch) idx.join(broadcast(exNew), Seq("bucket", "shingle"))
       else idx.hint("shuffle_hash")

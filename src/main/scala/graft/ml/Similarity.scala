@@ -696,7 +696,7 @@ object Similarity {
     val ptr = new org.apache.hadoop.fs.Path(s"$path/$IndexPointer")
     org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    fs.delete(new org.apache.hadoop.fs.Path(path, DeleteDir), true)
+    IndexTombstones.clearLog(spark, path)
     if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
   }
 
@@ -715,8 +715,7 @@ object Similarity {
     // the superseded generation (about to vanish anyway) — the reverse
     // order would leave stale tombstones hiding seq=0 rows of the fresh
     // rebuild until someone noticed
-    fs.delete(new org.apache.hadoop.fs.Path(path, DeleteDir), true)
-    fs.delete(new org.apache.hadoop.fs.Path(path, EpochFile), false)
+    IndexTombstones.reset(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(path, IndexPointer), false)
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>
@@ -727,43 +726,9 @@ object Similarity {
 
   // ------------------------------------------------- index deletions
 
-  private val DeleteDir = "deletes"
-  private val EpochFile = "_ann_epoch"
-
-  /** The index's deletion epoch: a monotone counter bumped by every
-    * [[deleteFromAnnIndex]] call and NEVER reset except by a full
-    * rebuild (compaction purges tombstones but keeps the epoch — see
-    * the crash-window analysis on [[deleteFromAnnIndex]]). Appended
-    * rows are stamped with the epoch current at append time (`seq`),
-    * so visibility is a pure (seq, del_seq) comparison with no
-    * wall-clock anywhere.
-    */
   private def readAnnEpoch(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path, EpochFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
-    else try {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    } catch { case _: Exception => 0L }
-  }
-
-  private def writeAnnEpoch(spark: org.apache.spark.sql.SparkSession,
-                            path: String, epoch: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/$EpochFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(epoch.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(s"$path/$EpochFile")
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                           path: String): Long =
+    IndexTombstones.readEpoch(spark, path)
 
   /** Delete vectors from a persisted index (any of the three types —
     * IVF / IVF-PQ / sign-LSH) WITHOUT touching the inverted lists: the
@@ -800,41 +765,16 @@ object Similarity {
     */
   def deleteFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, ids: DataFrame,
-                         idCol: String): Unit = {
-    val epoch = readAnnEpoch(spark, path) + 1
-    writeAnnEpoch(spark, path, epoch)
-    ids.select(col(idCol).cast("long").as("v_id"),
-        lit(epoch).as("del_seq"))
-      .write.mode("append").parquet(s"$path/$DeleteDir")
-  }
-
-  /** Rows lacking the `seq` stamp (indexes persisted before deletion
-    * support, or null-filled rows from a mixed-schema read) are build
-    * rows: epoch 0.
-    */
-  private def withSeq(df: DataFrame): DataFrame =
-    if (df.columns.contains("seq"))
-      df.withColumn("seq", coalesce(col("seq"), lit(0L)))
-    else df.withColumn("seq", lit(0L))
+                         idCol: String): Unit =
+    IndexTombstones.logDeletes(spark, path, ids, idCol, "v_id")
 
   /** Filter tombstoned rows out of an inverted-list read — the
-    * visibility rule documented on [[deleteFromAnnIndex]]. No deletes
-    * dir = identity (plus the seq default). The anti-join has an equi
-    * component (v_id) so it hash-joins; the tombstone side is small by
-    * nature and AQE broadcasts it from actual sizes.
+    * visibility rule documented on [[deleteFromAnnIndex]], shared with
+    * the shingle index via [[IndexTombstones]].
     */
   private def applyDeletes(spark: org.apache.spark.sql.SparkSession,
-                           path: String, lists: DataFrame): DataFrame = {
-    val l = withSeq(lists)
-    val delPath = new org.apache.hadoop.fs.Path(path, DeleteDir)
-    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(delPath)) return l
-    val dels = spark.read.parquet(delPath.toString)
-      .select(col("v_id").as("d_id"), col("del_seq"))
-    l.join(dels,
-      l("v_id") === dels("d_id") && dels("del_seq") > l("seq"),
-      "left_anti")
-  }
+                           path: String, lists: DataFrame): DataFrame =
+    IndexTombstones.applyDeletes(spark, path, lists, "v_id")
 
   /** Hard-negative mining for contrastive training (the DPR/Contriever
     * recipe): for each query vector, the top-k most cosine-similar corpus

@@ -37,6 +37,47 @@ class DedupIndexSpec extends SparkSuite {
     assert(viaIndex == direct)
   }
 
+  test("deleteFromShingleIndex: a removed reference doc stops matching; " +
+      "others unaffected; compaction purges; rebuild resets") {
+    val idx = tmp("shdel")
+    Dedup.saveShingleIndex(refDocs, "doc_id", "text", idx, n = 3)
+    def refHits(): Set[Long] = Dedup.jaccardAgainstIndex(spark, idx,
+        newDocs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"ref_id").collect().map(_.getLong(0)).toSet
+    assert(refHits().contains(1L))
+    // takedown of ref doc 1: its near-dups must no longer be suppressed
+    Dedup.deleteFromShingleIndex(spark, idx, Seq(1L).toDF("doc_id"),
+      "doc_id")
+    assert(!refHits().contains(1L), "deleted reference doc still matching")
+    // an unrelated ref appended AFTER the delete is visible (epoch rule)
+    Dedup.appendToShingleIndex(
+      Seq((4L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx, n = 3)
+    assert(refHits().contains(4L))
+    assert(!refHits().contains(1L))
+    // compaction purges the dead rows and clears the log; answers stable
+    val before = refHits()
+    Dedup.compactShingleIndex(spark, idx)
+    assert(refHits() == before)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "deletes")))
+    assert(spark.read.parquet(Dedup.activeShingleDir(spark, idx))
+      .filter($"ref_id" === 1L).count() == 0, "purge left dead rows")
+    // post-compaction delete still works (epoch stayed monotone)
+    Dedup.deleteFromShingleIndex(spark, idx, Seq(4L).toDF("doc_id"),
+      "doc_id")
+    assert(!refHits().contains(4L),
+      "post-compaction delete missed an appended doc")
+    // rebuild forgets deletions AND resets the generation pointer (the
+    // pointer was at shingles.gen1 after the compaction above)
+    Dedup.saveShingleIndex(refDocs, "doc_id", "text", idx, n = 3)
+    assert(Dedup.activeShingleDir(spark, idx) == s"$idx/shingles",
+      "rebuild must reset the generation pointer")
+    assert(!new java.io.File(s"$idx/shingles.gen1").exists())
+    assert(refHits().contains(1L), "rebuild must forget prior deletions")
+  }
+
   test("index probe prunes untouched buckets and broadcasts the batch side") {
     val idx = tmp("shidx")
     Dedup.saveShingleIndex(refDocs, "doc_id", "text", idx, n = 3,
