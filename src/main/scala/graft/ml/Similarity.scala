@@ -267,17 +267,22 @@ object Similarity {
     * oracles pin that).
     */
   def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame): DataFrame = {
+                        centroids: DataFrame,
+                        attrCols: Seq[String] = Nil): DataFrame = {
     val cents = broadcast(centroids)
-    corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+    // attrCols ride inside the max_by struct — carried through the argmax
+    // without a corpus-sized attribute join afterwards
+    corpus.select(col(idCol).as("v_id") +: col(vecCol).as("v_vec") +:
+        attrCols.map(col): _*)
       .crossJoin(cents)
       .withColumn("c_cos", nanvl(cosine(col("v_vec"), col("c_vec")), lit(-2d)))
       .groupBy(col("v_id"))
       .agg(max_by(
-        struct(col("v_vec"), col("centroid_id")),
+        struct(col("v_vec") +: col("centroid_id") +: attrCols.map(col): _*),
         struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"))
-      .select(col("v_id"), col("best.v_vec").as("v_vec"),
-        col("best.centroid_id").as("centroid_id"))
+      .select(col("v_id") +: col("best.v_vec").as("v_vec") +:
+        col("best.centroid_id").as("centroid_id") +:
+        attrCols.map(a => col(s"best.$a").as(a)): _*)
   }
 
   /** Lloyd-refined centroids (spherical k-means): `iters` rounds of
@@ -362,17 +367,23 @@ object Similarity {
     */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    numCentroids: Int, path: String,
-                   kmeansIters: Int = 0): Unit = {
+                   kmeansIters: Int = 0,
+                   attrCols: Seq[String] = Nil): Unit = {
     // kmeansIters > 0 persists Lloyd-refined centroids (same lift the
     // recall harness measures for the ad-hoc path: better-balanced
     // lists at the same probe budget); 0 keeps the deterministic
     // lowest-id seeds the oracles replicate. Either way the SAME
     // centroid table drives the assignment and is what gets persisted,
     // so searches route probes consistently with the stored lists.
+    //
+    // `attrCols` persists extra corpus columns INSIDE the list rows —
+    // the storage half of filtered search ([[ivfSearchPersisted]]'s
+    // `where`): predicates evaluate on the probed lists themselves, no
+    // search-time join against a metadata table.
     val centroids =
       if (kmeansIters == 0) seedCentroids(corpus, idCol, vecCol, numCentroids)
       else kmeansCentroids(corpus, idCol, vecCol, numCentroids, kmeansIters)
-    assignToCentroids(corpus, idCol, vecCol, centroids)
+    assignToCentroids(corpus, idCol, vecCol, centroids, attrCols)
       .withColumn("seq", lit(0L)) // deletion-epoch stamp, see deleteFromAnnIndex
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
@@ -394,11 +405,26 @@ object Similarity {
                        corpus: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
-    assignToCentroids(corpus, idCol, vecCol, cents)
-      .select(col("v_id"), col("v_vec"), col("centroid_id"),
-        lit(readAnnEpoch(spark, path)).as("seq"))
+    // attribute columns are INFERRED from the index's own schema, so an
+    // append can never silently fork the layout: whatever attrCols the
+    // build persisted, the batch must supply (an absent column fails the
+    // analysis loudly here, not at some later search)
+    val attrs = indexAttrCols(spark, path)
+    assignToCentroids(corpus, idCol, vecCol, cents, attrs)
+      .select(col("v_id") +: col("v_vec") +: col("centroid_id") +:
+        lit(readAnnEpoch(spark, path)).as("seq") +: attrs.map(col): _*)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(activeIndexDir(spark, path))
+  }
+
+  /** Attribute columns a persisted raw-vector index carries: everything
+    * beyond the core layout (id, vector, list key, deletion stamp).
+    */
+  private def indexAttrCols(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[String] = {
+    val core = Set("v_id", "v_vec", "centroid_id", "bucket", "seq", "codes")
+    spark.read.parquet(activeIndexDir(spark, path))
+      .columns.toSeq.filterNot(core.contains)
   }
 
   /** Incremental append to a persisted IVF-PQ index
@@ -446,20 +472,32 @@ object Similarity {
     * only to re-rank against fresher vectors than the indexed ones.
     * Output switches to the rerank contract: (q_id, n_id, dist, rk) by
     * exact L2², matching the PQ path's reranked shape.
+    *
+    * `where` = FILTERED search over the attribute columns the build
+    * persisted (`saveIvfIndex(attrCols = ...)`): the predicate is
+    * applied to the probed lists BEFORE ranking (pre-filtering), so the
+    * result is the true top-k among matching vectors — and pushable
+    * predicates reach the parquet scan of the probed partitions. The
+    * codes-only IVF-PQ index has no attribute rows by design; filtered
+    * search belongs to the raw-vector indexes (or finish a PQ shortlist
+    * with [[exactRerank]] against an attribute-filtered corpus).
     */
   def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
                          nProbe: Int, rerank: Int = 0,
-                         rerankCorpus: Option[DataFrame] = None): DataFrame = {
+                         rerankCorpus: Option[DataFrame] = None,
+                         where: Option[Column] = None): DataFrame = {
     if (rerank > 0) {
       val corpus = rerankCorpus.getOrElse(
         applyDeletes(spark, path,
             spark.read.parquet(activeIndexDir(spark, path)))
           .select(col("v_id").as(idCol), col("v_vec").as(vecCol)))
+      // the shortlist below is already `where`-filtered (pre-filtering),
+      // so the exact pass only ever re-ranks predicate-passing ids
       return exactRerank(
         ivfSearchPersisted(spark, path, queries, idCol, vecCol,
-          math.max(rerank, k), nProbe),
+          math.max(rerank, k), nProbe, where = where),
         corpus, queries, idCol, vecCol, k)
     }
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -472,7 +510,14 @@ object Similarity {
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
-    val index = prunedIndexRead(spark, path, probes)
+    // PRE-filtering: the attribute predicate (over attrCols persisted at
+    // build) drops rows before ranking, so the returned k are the best k
+    // MATCHING vectors — not the survivors of a post-filtered top-k,
+    // which under a selective predicate can come back near-empty. The
+    // filter sits directly on the parquet scan, so Catalyst pushes
+    // pushable predicates into the probed-partition reads.
+    val index0 = prunedIndexRead(spark, path, probes)
+    val index = where.map(index0.filter).getOrElse(index0)
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("cosine", nanvl(cosine(col("q_vec"), col("v_vec")), lit(-2d)))
@@ -520,10 +565,12 @@ object Similarity {
     * pointer, rebuild-resets. Size `nBits` with [[autoLshBits]].
     */
   def saveLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                   path: String, nBits: Int): Unit = {
+                   path: String, nBits: Int,
+                   attrCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+    corpus.select(col(idCol).as("v_id") +: col(vecCol).as("v_vec") +:
+        attrCols.map(col): _*)
       .withColumn("bucket", signBucket(col("v_vec"), nBits))
       .withColumn("seq", lit(0L)) // deletion-epoch stamp
       .write.mode("overwrite").partitionBy("bucket")
@@ -571,7 +618,9 @@ object Similarity {
                        batch: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
     val nBits = readLshMeta(spark, path)
-    batch.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+    val attrs = indexAttrCols(spark, path)
+    batch.select(col(idCol).as("v_id") +: col(vecCol).as("v_vec") +:
+        attrs.map(col): _*)
       .withColumn("bucket", signBucket(col("v_vec"), nBits))
       .withColumn("seq", lit(readAnnEpoch(spark, path)))
       .write.mode("append").partitionBy("bucket")
@@ -589,7 +638,8 @@ object Similarity {
   def lshSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
-                         multiProbe: Int = 0): DataFrame = {
+                         multiProbe: Int = 0,
+                         where: Option[Column] = None): DataFrame = {
     val nBits = readLshMeta(spark, path)
     require(multiProbe >= 0 && multiProbe <= nBits,
       s"multiProbe must be in [0, nBits=$nBits]")
@@ -601,9 +651,11 @@ object Similarity {
       explode(array(probes: _*)).as("bucket"))
     val probeBuckets = q.select(col("bucket")).distinct()
       .collect().map(_.get(0))
-    val index = applyDeletes(spark, path,
-        spark.read.parquet(activeIndexDir(spark, path))
-          .filter(col("bucket").isin(probeBuckets.toIndexedSeq: _*)))
+    val visible = applyDeletes(spark, path,
+      spark.read.parquet(activeIndexDir(spark, path))
+        .filter(col("bucket").isin(probeBuckets.toIndexedSeq: _*)))
+    // PRE-filtering, same contract as ivfSearchPersisted's `where`
+    val index = where.map(visible.filter).getOrElse(visible)
       .select(col("v_id").as("n_id"), col("v_vec").as("n_vec"),
         col("bucket"))
     val scored = index.join(broadcast(q), Seq("bucket"))
