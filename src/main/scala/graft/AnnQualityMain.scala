@@ -205,17 +205,51 @@ object AnnQualityMain {
         "shifted_appended" -> shiftRecall(shiftHalfDir),
         "shifted_streamed_4b" -> shiftRecall(streamDir))
     }
+    // Deletion read-tax: tombstones ([[Similarity.deleteFromAnnIndex]])
+    // add an anti-join to every persisted search until a compaction
+    // purges them. This section measures that tax at a 10% tombstone
+    // load and the payoff of the purge — recall is scored against
+    // SURVIVOR ground truth (deleted vectors are not wrong answers, they
+    // are non-answers), so quality must hold at `clean` level through
+    // both states while only the latency moves.
+    val deletes = {
+      val dir = Files.createTempDirectory("ann-del").toString
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", coarse, dir,
+        kmeansIters = 3)
+      def run(truthSet: Map[Long, Set[Long]]): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val r = AnnQuality.recallAtK(
+          Similarity.ivfSearchPersisted(spark, dir, queries, "vec_id",
+            "embedding", k, nProbe), truthSet, k)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val clean = run(truth)
+      val dropped = e.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .select(col("vec_id"))
+      val survTruth = AnnQuality.groundTruth(
+        e.filter(pmod(col("vec_id"), lit(10)) =!= 3), queries, "vec_id",
+        "embedding", k)
+      Similarity.deleteFromAnnIndex(spark, dir, dropped, "vec_id")
+      val tomb = run(survTruth)
+      Similarity.compactAnnIndex(spark, dir)
+      val purged = run(survTruth)
+      Seq("clean" -> clean, "tombstoned_10pct" -> tomb,
+        "purged" -> purged)
+    }
     def fmt(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (nm, r, s) =>
         f""""$nm":{"recall":$r%.4f,"sec":$s%.3f}"""
       }.mkString(",")
     val driftJson = drift.map { case (nm, r) => f""""$nm":$r%.4f""" }
       .mkString(",")
+    val delJson = deletes.map { case (nm, (r, s)) =>
+      f""""$nm":{"recall":$r%.4f,"sec":$s%.3f}"""
+    }.mkString(",")
     val json =
       s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""" +
         s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"pqCentroids":$pqc,"subspaces":$subs},""" +
         fmt(rows) + s""","frontier":{${fmt(frontier)}},""" +
-        s""""drift":{$driftJson}}"""
+        s""""drift":{$driftJson},"deletes":{$delJson}}"""
     Files.write(Paths.get("ann_quality.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)

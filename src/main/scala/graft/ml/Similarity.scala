@@ -388,6 +388,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    writeAttrsFile(corpus.sparkSession, path, attrCols)
     resetIndexGenerations(corpus.sparkSession, path)
     centroids.unpersist() // no-op for the seeded path; frees the k-means cache
     ()
@@ -417,14 +418,40 @@ object Similarity {
       .parquet(activeIndexDir(spark, path))
   }
 
-  /** Attribute columns a persisted raw-vector index carries: everything
-    * beyond the core layout (id, vector, list key, deletion stamp).
+  /** Attribute columns a persisted raw-vector index carries. The build
+    * records them in a one-line `_attrs` file so per-batch appends read
+    * a tiny file instead of re-listing the (at scale, very large) index
+    * directory for schema inference; indexes predating the file fall
+    * back to the schema walk, treating everything beyond the core
+    * layout (id, vector, list key, deletion stamp) as an attribute.
     */
   private def indexAttrCols(spark: org.apache.spark.sql.SparkSession,
                             path: String): Seq[String] = {
-    val core = Set("v_id", "v_vec", "centroid_id", "bucket", "seq", "codes")
-    spark.read.parquet(activeIndexDir(spark, path))
-      .columns.toSeq.filterNot(core.contains)
+    val p = new org.apache.hadoop.fs.Path(path, AttrsFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      if (s.isEmpty) Nil else s.split(",").toSeq
+    } else {
+      val core = Set("v_id", "v_vec", "centroid_id", "bucket", "seq", "codes")
+      spark.read.parquet(activeIndexDir(spark, path))
+        .columns.toSeq.filterNot(core.contains)
+    }
+  }
+
+  private val AttrsFile = "_attrs"
+
+  private def writeAttrsFile(spark: org.apache.spark.sql.SparkSession,
+                             path: String, attrCols: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, AttrsFile), true)
+    try out.write(attrCols.mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Incremental append to a persisted IVF-PQ index
@@ -577,6 +604,7 @@ object Similarity {
       .parquet(s"$path/index")
     Seq((nBits, LshFormatVersion)).toDF("n_bits", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeAttrsFile(spark, path, attrCols)
     resetIndexGenerations(spark, path)
   }
 

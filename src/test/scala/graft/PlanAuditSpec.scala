@@ -18,6 +18,11 @@ class PlanAuditSpec extends SparkSuite {
   private val bnljAllowed = Set(
     "q_cluster_kmeans", "q_corpus_report", "q_dedup_semantic",
     "q_sample_importance", "q_sim_hardneg", "q_sim_ivf",
+    // _deleted/_filtered: same ≤8-row centroid cross join as the
+    // persisted base; their tombstone anti-join is a BroadcastHashJoin
+    // LeftAnti (equi on id, residual del_seq > seq) — verified via
+    // ExplainDump, not BNLJ
+    "q_sim_ivf_deleted", "q_sim_ivf_filtered",
     "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_ivfpq_residual",
     "q_sim_knn", "q_sim_pq", "q_sim_pq_rerank", "q_sim_project",
     "q_sim_quantized", "q_sim_twostage", "q_text_bm25",
