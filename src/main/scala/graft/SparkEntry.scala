@@ -673,6 +673,21 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: DIVERSIFIED vector search — at most one result per label per
+    // query (facet cap through the TopKPerGroup heap, best-first), then
+    // the true top-k of the capped pool: one hot facet cannot
+    // monopolize a result list.
+    "q_sim_ivf_diverse" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("ivfdiv").toString
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", numCentroids = 8,
+        idx, attrCols = Seq("label"))
+      Similarity.ivfSearchPersisted(s, idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nProbe = 2,
+          facetCap = Some(("label", 1)))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: exact-substring dup detection — sliding 8-token windows present
     // in >1 document (passage-level signal that doc-level dedup misses).
     "q_dedup_spans" -> ((s, dir) =>
@@ -1735,6 +1750,20 @@ object SparkEntry {
             k = 3, nProbe = 2)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_sim_ivf_diverse" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("ivfdiv").toString
+        Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, idx, attrCols = Seq("label"))
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nProbe = 2, facetCap = Some(("label", 1)))
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_sim_ivf_filtered" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("ivffil").toString
@@ -2168,6 +2197,52 @@ object SparkEntry {
          |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
          |  FROM cand)
          |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // q_sim_ivf with the label carried through assignment, candidates
+    // capped at ONE per (query, label) best-first, then the top-3 of the
+    // capped pool — the facet-diversified contract
+    "q_sim_ivf_diverse" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |assign AS (
+         |  SELECT v_id, v_e, label, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, v.e AS v_e, v.label AS label,
+         |      c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT q_id, q_e, centroid_id FROM (
+         |    SELECT q.vec_id AS q_id, q.e AS q_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+         |  WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.v_id AS n_id, a.label AS label,
+         |    ${dCosine("p.q_e", "a.v_e")} AS cosine
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  WHERE p.q_id != a.v_id),
+         |capped AS (
+         |  SELECT q_id, n_id, label, cosine FROM (
+         |    SELECT q_id, n_id, label, cosine,
+         |      row_number() OVER (PARTITION BY q_id, label
+         |        ORDER BY cosine DESC, n_id ASC) AS frk
+         |    FROM cand)
+         |  WHERE frk <= 1),
+         |r AS (
+         |  SELECT q_id, n_id, label, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM capped)
+         |SELECT q_id, n_id, label, cosine, rk FROM r WHERE rk <= 3
          |ORDER BY q_id, rk""".stripMargin,
 
     // q_sim_ivf with the label attribute carried through assignment and

@@ -508,13 +508,20 @@ object Similarity {
     * codes-only IVF-PQ index has no attribute rows by design; filtered
     * search belongs to the raw-vector indexes (or finish a PQ shortlist
     * with [[exactRerank]] against an attribute-filtered corpus).
+    *
+    * `facetCap = (attrCol, m)` = DIVERSIFIED search: at most m results
+    * per facet value per query, selected best-first by the same ranking
+    * (output then carries the facet column). Composes with `where` and
+    * with deletions. For embedding-space (facet-free) diversity see
+    * [[mmrRerank]].
     */
   def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
                          nProbe: Int, rerank: Int = 0,
                          rerankCorpus: Option[DataFrame] = None,
-                         where: Option[Column] = None): DataFrame = {
+                         where: Option[Column] = None,
+                         facetCap: Option[(String, Int)] = None): DataFrame = {
     if (rerank > 0) {
       val corpus = rerankCorpus.getOrElse(
         applyDeletes(spark, path,
@@ -548,8 +555,28 @@ object Similarity {
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("cosine", nanvl(cosine(col("q_vec"), col("v_vec")), lit(-2d)))
-    topKRanked(scored, "q_id", "cosine", "v_id", k)
-      .select(col("q_id"), col("v_id").as("n_id"), col("cosine"), col("rk"))
+    // RESULT DIVERSIFICATION (`facetCap = (attrCol, m)`): keep only each
+    // query's best m candidates per facet value (source, domain, dedup
+    // cluster — any attribute the build persisted) BEFORE the final
+    // top-k, so one hot facet cannot monopolize the result list. The
+    // per-(query, facet) selection goes through the TopKPerGroup heap —
+    // bounded state per group, no mega-partition sort.
+    val capped = facetCap match {
+      case None => scored
+      case Some((fc, m)) =>
+        graft.operators.TopK.perGroup(scored,
+          Seq(col("q_id"), col(fc)),
+          Seq(col("cosine").desc, col("v_id").asc), m)
+    }
+    val ranked = topKRanked(capped, "q_id", "cosine", "v_id", k)
+    facetCap match {
+      case None =>
+        ranked.select(col("q_id"), col("v_id").as("n_id"), col("cosine"),
+          col("rk"))
+      case Some((fc, _)) =>
+        ranked.select(col("q_id"), col("v_id").as("n_id"), col(fc),
+          col("cosine"), col("rk"))
+    }
   }
 
   /** Read `$path/index` with a STATIC partition filter on the probed
@@ -1354,6 +1381,93 @@ object Similarity {
       .orderBy(col("dist").asc, col("n_id").asc)
     top.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("n_id"), col("dist"), col("rk"))
+  }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * re-ranking of a per-query shortlist: greedily select k candidates
+    * maximizing `λ·sim(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)` — the
+    * embedding-space diversity twin of `facetCap` (no attribute needed;
+    * near-duplicate candidates suppress each other directly). λ = 1
+    * degenerates to plain top-k by query similarity; λ → 0 maximizes
+    * pairwise spread.
+    *
+    * Input `shortlist` is any (q_id, n_id) result (e.g. a persisted
+    * search at depth R ≥ k); vectors come from `corpus`/`queries`. The
+    * greedy loop is inherently sequential PER QUERY but embarrassingly
+    * parallel ACROSS queries, so it runs as one `flatMapGroups` over
+    * q_id: per group the work is O(R·k) dot products on R shortlist
+    * vectors — driver-free, bounded by the shortlist depth, and shuffled
+    * once on q_id. (Iterative greedy selection is not SQL-expressible,
+    * so this operator is spec-gated, not oracle-gated — the house
+    * convention for iterative ops.)
+    *
+    * Ties (equal marginal score) break on lower n_id; NaN cosines rank
+    * as −2 (the repo-wide degenerate-vector rule), so zero-norm vectors
+    * never win a selection round.
+    */
+  def mmrRerank(shortlist: DataFrame, corpus: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, lambda: Double): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cvec = corpus.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"))
+    val qvec = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val rows = shortlist.select(col("q_id").cast("long"), col("n_id").cast("long"))
+      .join(cvec, "n_id").join(qvec, "q_id")
+      .select(col("q_id"), col("n_id"), col("n_vec"), col("q_vec"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (c.isNaN) -2d else c
+    }
+    rows.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cands = it.toArray.sortBy(_._2) // deterministic scan order
+      if (cands.isEmpty) Iterator.empty
+      else {
+        val qv = cands.head._4
+        val rel = cands.map(c => cos(qv, c._3))
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSimToSel = Array.fill(cands.length)(-2d)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Int)]
+        while (picked.size < math.min(k, cands.length)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!picked.contains(i)) {
+              val penalty = if (picked.isEmpty) 0d else maxSimToSel(i)
+              val s = lambda * rel(i) - (1 - lambda) * penalty
+              if (s > bestScore ||
+                  (s == bestScore && best >= 0 &&
+                    cands(i)._2 < cands(best)._2)) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          picked += best
+          out += ((q, cands(best)._2, rel(best), picked.size))
+          // update each remaining candidate's max similarity to the
+          // selected set with the newly picked vector
+          var j = 0
+          while (j < cands.length) {
+            if (!picked.contains(j)) {
+              val s = cos(cands(best)._3, cands(j)._3)
+              if (s > maxSimToSel(j)) maxSimToSel(j) = s
+            }
+            j += 1
+          }
+        }
+        out.iterator
+      }
+    }.toDF("q_id", "n_id", "cosine", "rk")
   }
 
   /** A trained PQ codebook: `anchors(c)` is centroid `c`'s full `dim`-wide

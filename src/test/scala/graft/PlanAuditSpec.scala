@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSuite {
     // persisted base; their tombstone anti-join is a BroadcastHashJoin
     // LeftAnti (equi on id, residual del_seq > seq) — verified via
     // ExplainDump, not BNLJ
-    "q_sim_ivf_deleted", "q_sim_ivf_filtered",
+    "q_sim_ivf_deleted", "q_sim_ivf_diverse", "q_sim_ivf_filtered",
     "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_ivfpq_residual",
     "q_sim_knn", "q_sim_pq", "q_sim_pq_rerank", "q_sim_project",
     "q_sim_quantized", "q_sim_twostage", "q_text_bm25",
