@@ -294,15 +294,10 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String): String = {
     val ptr = new org.apache.hadoop.fs.Path(s"$path/$ShinglePointer")
     val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(ptr)) s"$path/shingles"
-    else {
-      val in = fs.open(ptr)
-      val name =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      s"$path/$name"
-    }
+    // retrying read: a probe racing a compaction's pointer flip can open
+    // between ChecksumFs's data/.crc rename halves (IndexTombstones doc)
+    IndexTombstones.readSmallFile(fs, ptr)
+      .map(name => s"$path/$name").getOrElse(s"$path/shingles")
   }
 
   /** Compact a [[saveShingleIndex]] layout: rewrite every bucket partition

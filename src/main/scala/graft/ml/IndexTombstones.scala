@@ -35,14 +35,39 @@ private[graft] object IndexTombstones {
   def readEpoch(spark: org.apache.spark.sql.SparkSession,
                 path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path, EpochFile)
-    val fs = fsOf(spark, path)
-    if (!fs.exists(p)) 0L
-    else try {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    } catch { case _: Exception => 0L }
+    readSmallFile(fsOf(spark, path), p)
+      .flatMap(_.toLongOption).getOrElse(0L)
+  }
+
+  /** Read a small pointer/marker file, retrying TRANSIENT IO races: all
+    * pointer/epoch flips in the index lifecycle are create-aside +
+    * atomic rename, but Hadoop's local ChecksumFs renames the data file
+    * and its `.crc` sidecar in two steps — a reader that opens in
+    * between sees a ChecksumException for a few microseconds (caught
+    * live by DedupIndexSpec's concurrent compaction test). Bounded
+    * backoff retry; `None` for an absent file; a PERSISTENT IO error
+    * rethrows rather than silently defaulting (a wrong default here
+    * reads a deleted generation or mis-stamps an append's epoch).
+    */
+  def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                    p: org.apache.hadoop.fs.Path,
+                    retries: Int = 5): Option[String] = {
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      try {
+        val in = fs.open(p)
+        return Some(try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close())
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > retries) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    None // unreachable
   }
 
   private def writeEpoch(spark: org.apache.spark.sql.SparkSession,

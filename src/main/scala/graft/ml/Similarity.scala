@@ -734,15 +734,12 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val ptr = new org.apache.hadoop.fs.Path(path, IndexPointer)
-    val name =
-      if (!fs.exists(ptr)) "index"
-      else try {
-        val in = fs.open(ptr)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      } catch { case _: Exception => "index" }
-    s"$path/$name"
+    // retrying read (IndexTombstones doc): a search racing a compaction's
+    // pointer flip must retry the transient window, and a PERSISTENT
+    // read failure must throw — the old silent fall-back to "index"
+    // would read a generation the compaction already deleted
+    IndexTombstones.readSmallFile(fs, ptr)
+      .map(name => s"$path/$name").getOrElse(s"$path/index")
   }
 
   /** Compact a persisted index's inverted lists into ONE file per
