@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Analytics, Counts, LogContext, FieldStats, Percentiles, TimeSeries, Traces}
-import graft.ml.{BpeTrain, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextRank}
+import graft.ml.{BpeTrain, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextIndex, TextRank}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -1151,6 +1151,20 @@ object SparkEntry {
         .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(20)),
 
+    // ML: the same BM25 top-20 served from the PERSISTED inverted index
+    // (build once; a search reads |query terms| bucket partitions with
+    // the term predicate pushed down, df deletion-exact from the live
+    // postings, N/avgdl from the stats file) — identical scores by
+    // construction (TextIndexSpec pins bit-parity), same oracle.
+    "q_text_bm25_persisted" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("txtidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.bm25SearchPersisted(s, idx,
+          Seq("stream", "join", "filter"), k = 20)
+        .select(col("doc_id"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+    }),
+
     // A9: pivot — event counts per user cohort, one column per type.
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1844,6 +1858,17 @@ object SparkEntry {
             k = 5, nProbe = 2)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_text_bm25_persisted" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("txtidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, dir, idx) =>
+        TextIndex.bm25SearchPersisted(s, idx.asInstanceOf[String],
+            Seq("stream", "join", "filter"), k = 20)
+          .select(col("doc_id"), col("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)),
     "q_dedup_incremental_indexed" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("shidx").toString
@@ -1980,6 +2005,7 @@ object SparkEntry {
         oracleBase("q_sim_ivf").replace("WHERE p.q_id != a.v_id",
           "WHERE p.q_id != a.v_id AND a.v_id % 11 != 5")) +
       ("q_sim_lsh_persisted" -> oracleBase("q_sim_ann_lsh")) +
+      ("q_text_bm25_persisted" -> oracleBase("q_text_bm25")) +
       // q_dedup_incremental with the roles swapped: the indexed REFERENCE
       // side is the large corpus (doc_id >= 250), the probing batch the
       // small one — the production layout the index exists for

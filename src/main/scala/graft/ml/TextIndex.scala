@@ -1,0 +1,368 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED LEXICAL INDEX with BM25 search — the lexical twin of
+  * the persisted ANN indexes in [[Similarity]] and the shingle index in
+  * [[Dedup]], sharing their full lifecycle contract:
+  *
+  *   build ([[saveTextIndex]]) → append ([[appendToTextIndex]]) →
+  *   delete ([[deleteFromTextIndex]], shared [[IndexTombstones]]) →
+  *   compact ([[compactTextIndex]], generation-pointer publication) →
+  *   rebuild (save again: resets tombstones, epoch, generations).
+  *
+  * Layout under an index root `$path`:
+  *
+  *   - `data/postings/bucket=K/` — (term, doc_id, dl, tf, seq) rows,
+  *     `bucket = pmod(xxhash64(term), numBuckets)`: a query's touched
+  *     buckets are computable from its terms alone, so a search reads
+  *     ONLY those partition directories (static pruning, the house
+  *     pattern — DPP is never relied on, see
+  *     `Similarity.prunedIndexRead`).
+  *   - `data/doclens/bucket=K/` — ONE (doc_id, dl, seq) row per indexed
+  *     doc, `bucket = pmod(doc_id, numBuckets)`: the corpus-stats ledger
+  *     (deletes look up the departing docs' lengths bucket-pruned;
+  *     compaction recomputes exact stats from the live rows). Searches
+  *     never touch it.
+  *   - `_text_stats` — one line `"nDocs sumDl numBuckets"`, maintained
+  *     incrementally (build/append add, delete subtracts) and recomputed
+  *     exactly at compaction. numBuckets lives HERE, not in call
+  *     signatures: an append or search with a mismatched bucket count
+  *     would route postings to (or prune reads from) the wrong
+  *     directories silently.
+  *   - `data.current` / `data.genN` — generation pointer + versioned
+  *     directories (same object-store-correct pointer-swap publication
+  *     as `Dedup.compactShingleIndex`).
+  *   - `deletes/`, `_del_epoch` — shared tombstone machinery
+  *     ([[IndexTombstones]]; rows stamped `seq`, dead iff a tombstone
+  *     outranks them, re-insert-after-delete visible).
+  *
+  * Scale rationale (100 TB): the corpus is tokenized ONCE at build; a
+  * search touches |query terms| bucket directories with the term
+  * predicate pushed into the parquet scan, computes df over exactly the
+  * matching postings (so document-frequency is always deletion-exact),
+  * and never runs corpus-wide work. N and avgdl come from the stats
+  * file — a driver-side read, not a billion-row aggregate per query.
+  *
+  * Scoring is bit-identical to the ad-hoc [[TextRank.bm25Scores]]
+  * (same formulas, same fixed left-to-right pivot sum, same 10⁻⁶ floor
+  * grid — parity is spec-pinned in `TextIndexSpec`), so the persisted
+  * path shares its DuckDB oracle.
+  *
+  * Reference behavior anchor: full-text search over log streams
+  * (/root/reference/src/prism/logstream/mod.rs text-filter queries);
+  * the index layout itself is the standard IR inverted file re-expressed
+  * as partitioned parquet + Spark reads.
+  */
+object TextIndex {
+
+  private val Pointer = "data.current"
+  private val StatsFile = "_text_stats"
+
+  /** Bucket of a term: stable across engines and sessions (xxhash64 with
+    * Spark's fixed default seed), non-negative via pmod.
+    */
+  private def termBucket(term: Column, numBuckets: Int): Column =
+    pmod(xxhash64(term), lit(numBuckets.toLong)).cast("int")
+
+  private def docBucket(docId: Column, numBuckets: Int): Column =
+    pmod(docId.cast("long"), lit(numBuckets.toLong)).cast("int")
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Atomic small-file publish: write aside, FileContext-rename over
+    * (single-file rename is atomic on posix/HDFS; conditional put on S3).
+    */
+  private def atomicWrite(spark: SparkSession, path: String,
+                          name: String, content: String): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Corpus stats of an index root: (nDocs, sumDl, numBuckets).
+    * Incremental between compactions (a crash between a delete's
+    * tombstone log and its stats write leaves them slightly stale-high
+    * until the next compaction recomputes them exactly — documented on
+    * [[deleteFromTextIndex]]). df is never read from here and is always
+    * deletion-exact.
+    */
+  def readStats(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, StatsFile)
+    val line = IndexTombstones.readSmallFile(fsOf(spark, path), p)
+      .getOrElse(throw new IllegalStateException(
+        s"missing $StatsFile under $path — not a saveTextIndex layout " +
+          "(or an interrupted build); rebuild with saveTextIndex"))
+    line.split("\\s+") match {
+      case Array(n, s, b) => (n.toLong, s.toLong, b.toInt)
+      case _ => throw new IllegalStateException(
+        s"malformed $StatsFile under $path: '$line'; rebuild with saveTextIndex")
+    }
+  }
+
+  private def writeStats(spark: SparkSession, path: String,
+                         nDocs: Long, sumDl: Long, numBuckets: Int): Unit =
+    atomicWrite(spark, path, StatsFile, s"$nDocs $sumDl $numBuckets")
+
+  /** Resolve the ACTIVE data directory (generation the pointer names, or
+    * the original `data` dir before any compaction). Retrying read: a
+    * search racing a compaction's pointer flip can open between
+    * ChecksumFs's data/.crc rename halves (see [[IndexTombstones.readSmallFile]]).
+    */
+  def activeDataDir(spark: SparkSession, path: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/$Pointer")
+    IndexTombstones.readSmallFile(fsOf(spark, path), ptr)
+      .map(name => s"$path/$name").getOrElse(s"$path/data")
+  }
+
+  /** (doc_id, dl, term, tf) rows of a batch — dl computed EXACTLY as
+    * [[TextRank.bm25Scores]] does (`size(tokens(text))`), the invariant
+    * the bit-parity contract rests on.
+    */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  private def doclensOf(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+
+  private def writePostings(p: DataFrame, dir: String, numBuckets: Int,
+                            seq: Column, mode: String): Unit =
+    p.select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        seq.as("seq"), termBucket(col("term"), numBuckets).as("bucket"))
+      // co-locate each bucket before the partitioned write: one file per
+      // bucket dir per write, not one per (task × bucket) — same
+      // small-files rationale as Dedup.saveShingleIndex
+      .repartition(numBuckets, col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
+
+  private def writeDoclens(d: DataFrame, dir: String, numBuckets: Int,
+                           seq: Column, mode: String): Unit =
+    d.select(col("doc_id"), col("dl"), seq.as("seq"),
+        docBucket(col("doc_id"), numBuckets).as("bucket"))
+      .repartition(numBuckets, col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/doclens")
+
+  /** Build the index. `maxDocFreq` is the stop-term skew guard (a term in
+    * more than that many docs never enters the postings at all — the
+    * BM25 contribution of a stop term is near-zero while its posting
+    * list is corpus-sized; dropping it bounds every future read). The
+    * doclens ledger and stats are NOT affected by the guard: dl counts
+    * all tokens, exactly as the ad-hoc scorer sees them.
+    *
+    * A rebuild must become visible and forget deletion state: clear
+    * tombstones first (crash in between un-hides rows of the superseded
+    * generation only), then the generation pointer and stale gen dirs —
+    * the same reset contract as `Similarity.resetIndexGenerations`.
+    */
+  def saveTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, numBuckets: Int = 64,
+                    maxDocFreq: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    val posts = postingsOf(docs, idCol, textCol)
+    val kept = maxDocFreq match {
+      case None => posts
+      case Some(cap) =>
+        val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= cap).drop("df_")
+        posts.join(dfreq, "term")
+    }
+    writePostings(kept, s"$path/data", numBuckets, lit(0L), "overwrite")
+    writeDoclens(doclensOf(docs, idCol, textCol), s"$path/data", numBuckets,
+      lit(0L), "overwrite")
+    val st = doclensOf(docs, idCol, textCol)
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    writeStats(spark, path, st.getLong(0), st.getLong(1), numBuckets)
+    IndexTombstones.reset(spark, path)
+    val fs = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path, Pointer), false)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { g =>
+        if (g.getPath.getName.startsWith("data.gen"))
+          fs.delete(g.getPath, true)
+      }
+  }
+
+  /** Append a batch: postings + doclens rows stamped with the CURRENT
+    * delete epoch (so a doc deleted and later re-ingested is visible
+    * again — the [[IndexTombstones]] seq contract), stats bumped by the
+    * batch's exact counts. Single-writer, like every append in the index
+    * families. Per-batch files accumulate; [[compactTextIndex]] restores
+    * the one-file-per-bucket read path.
+    *
+    * No per-batch `maxDocFreq`: a batch can't judge corpus-wide term
+    * frequency — the stop-term guard belongs to build and compaction
+    * (same split as `Dedup.appendToShingleIndex`).
+    */
+  def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val spark = docs.sparkSession
+    val (n, s, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    val seq = lit(IndexTombstones.readEpoch(spark, path))
+    writePostings(postingsOf(docs, idCol, textCol), dir, nb, seq, "append")
+    writeDoclens(doclensOf(docs, idCol, textCol), dir, nb, seq, "append")
+    val st = doclensOf(docs, idCol, textCol)
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    writeStats(spark, path, n + st.getLong(0), s + st.getLong(1), nb)
+  }
+
+  /** Delete documents (takedown / data-removal). Tombstones via the
+    * shared machinery — postings AND doclens rows of the ids die at
+    * once (both keyed `doc_id`) — plus an exact stats subtraction: the
+    * departing docs' lengths are looked up from the LIVE doclens rows
+    * (bucket-pruned read, O(|ids| buckets) not O(corpus)) BEFORE the
+    * tombstone is logged. Ids that aren't in the index (or are already
+    * deleted) subtract nothing.
+    *
+    * Crash window: tombstones are logged before the stats write, so a
+    * crash in between leaves stats stale-HIGH (searches stay correct —
+    * df is computed from live postings; only N/avgdl drift slightly)
+    * until the next [[compactTextIndex]] recomputes them exactly.
+    */
+  def deleteFromTextIndex(spark: SparkSession, path: String,
+                          ids: DataFrame, idCol: String): Unit = {
+    val (n, s, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    val idsL = ids.select(col(idCol).cast("long").as("doc_id"))
+    // touched doc-buckets: bounded by numBuckets ints by construction
+    val bks = idsL.select(docBucket(col("doc_id"), nb).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val live = IndexTombstones.applyDeletes(spark, path,
+      spark.read.parquet(s"$dir/doclens")
+        .filter(col("bucket").isin(bks: _*)), "doc_id")
+    val going = live.join(idsL.distinct(), Seq("doc_id"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    IndexTombstones.logDeletes(spark, path, idsL, "doc_id", "doc_id")
+    writeStats(spark, path, n - going.getLong(0), s - going.getLong(1), nb)
+  }
+
+  /** Compact: purge tombstoned rows physically, re-apply the corpus-wide
+    * `maxDocFreq` stop-term guard over LIVE document frequencies, rewrite
+    * one file per bucket, recompute stats exactly from the live doclens,
+    * then publish via atomic pointer swap (versioned dir — see
+    * `Dedup.compactShingleIndex` for the object-store rationale) and
+    * clear the tombstone log. The delete epoch is untouched (must stay
+    * monotone so post-compaction deletes outrank pre-compaction appends).
+    *
+    * `numBuckets` re-buckets the index when passed (bucket columns are
+    * recomputed from term/doc_id either way — never trusted from the
+    * read-back partition column alone).
+    */
+  def compactTextIndex(spark: SparkSession, path: String,
+                       numBuckets: Option[Int] = None,
+                       maxDocFreq: Option[Long] = None,
+                       keepPrevious: Boolean = false): Unit = {
+    val (_, _, nbOld) = readStats(spark, path)
+    val nb = numBuckets.getOrElse(nbOld)
+    val fs = fsOf(spark, path)
+    val curDir = activeDataDir(spark, path)
+    val curName = curDir.substring(curDir.lastIndexOf('/') + 1)
+    val gen = if (curName == "data") 0 else curName.stripPrefix("data.gen").toInt
+    val nextName = s"data.gen${gen + 1}"
+
+    val livePosts = IndexTombstones.applyDeletes(spark, path,
+      spark.read.parquet(s"$curDir/postings"), "doc_id")
+    val liveLens = IndexTombstones.applyDeletes(spark, path,
+      spark.read.parquet(s"$curDir/doclens"), "doc_id")
+    val kept = maxDocFreq match {
+      case None => livePosts
+      case Some(cap) =>
+        val dfreq = livePosts.groupBy("term").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= cap).drop("df_")
+        livePosts.join(dfreq, "term")
+    }
+    writePostings(kept.select(col("term"), col("doc_id"), col("dl"),
+      col("tf"), col("seq")), s"$path/$nextName", nb, col("seq"), "overwrite")
+    writeDoclens(liveLens.select(col("doc_id"), col("dl"), col("seq")),
+      s"$path/$nextName", nb, col("seq"), "overwrite")
+    // exact stats from what actually landed (read-back, not plan re-run)
+    val st = spark.read.parquet(s"$path/$nextName/doclens")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    writeStats(spark, path, st.getLong(0), st.getLong(1), nb)
+    atomicWrite(spark, path, Pointer, nextName)
+    IndexTombstones.clearLog(spark, path)
+    if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
+  }
+
+  /** BM25 top-k against the persisted index — bit-identical scores to
+    * [[TextRank.bm25Scores]] over the live corpus (spec-pinned), served
+    * from |queryTerms| bucket directories instead of a corpus pass:
+    *
+    *   - STATIC partition pruning: the query terms' buckets become a
+    *     literal IN-list on the partition column (the house pattern —
+    *     never DPP hope), and the `term IN (...)` predicate pushes into
+    *     the parquet scan of those directories.
+    *   - df per term is counted over the live (tombstone-filtered)
+    *     postings actually read — deletion-exact by construction.
+    *   - N/avgdl from the stats file: a driver-side read.
+    *   - The per-term contributions pivot into fixed columns summed in
+    *     fixed left-to-right order (grouped double sums are
+    *     order-nondeterministic), floored to the 10⁻⁶ grid; global top-k
+    *     = TakeOrderedAndProject on (score desc, doc_id asc) — a
+    *     distributed bounded selection, then ranks over the ≤ k rows.
+    *
+    * Returns (doc_id, score_micro, rk), rk 1-based, deterministic ties.
+    */
+  def bm25SearchPersisted(spark: SparkSession, path: String,
+                          queryTerms: Seq[String], k: Int,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    val (nDocs, sumDl, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    // buckets of the query terms: a LocalTableScan job over |terms| rows
+    val bks = queryTerms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(queryTerms: _*))
+    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val dfreq = live.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
+    val perTerm = live.join(broadcast(dfreq), "term")
+      .withColumn("contrib",
+        idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom)
+    val termCols = queryTerms.map(t =>
+      max(when(col("term") === t, col("contrib"))).as(s"c_$t"))
+    val pivoted = perTerm.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val total = queryTerms
+      .map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _) // left-to-right: fixed IEEE evaluation order
+    val scored = pivoted.select(col("doc_id"),
+      floor(total * lit(1000000.0)).cast("long").as("score_micro"))
+    val top = scored
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+    // rank over the ≤ k survivors only — bounded input, the one place an
+    // unpartitioned window is fine (house convention, Alerts.scala:204)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+      .cast("long"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.SparkSuite
+
+/** Persisted inverted lexical index ([[TextIndex]]): BM25 bit-parity with
+  * the ad-hoc [[TextRank.bm25Scores]] across the whole lifecycle
+  * (build → append → delete → compact → rebuild), exact stats
+  * maintenance, the static bucket-pruning IO contract, and the stop-term
+  * guard.
+  */
+class TextIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "a lazy dog sleeps while the quick fox runs"),
+    (2L, "gardens bloom in the spring rain without any fox"),
+    (3L, "dog dog dog barks at the brown fox all day"),
+    (4L, "completely unrelated text about query engines and joins"),
+    (5L, "rain falls on the quick brown dog in the garden"),
+    (6L, "the fox and the dog share a lazy afternoon"),
+    (7L, "spark plans joins and filters over parquet tables"))
+    .toDF("doc_id", "text")
+
+  private val terms = Seq("fox", "dog", "rain")
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** Ad-hoc BM25 ranking (the oracle semantics): score every matching
+    * doc, order (score desc, doc_id asc), take k, rank.
+    */
+  private def adhocTopK(corpus: DataFrame, k: Int): Seq[(Long, Long, Long)] =
+    TextRank.bm25Scores(corpus, "doc_id", "text", terms)
+      .orderBy($"score_micro".desc, $"doc_id".asc).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), (i + 1).toLong) }
+      .toSeq
+
+  private def persistedTopK(idx: String, k: Int): Seq[(Long, Long, Long)] =
+    TextIndex.bm25SearchPersisted(spark, idx, terms, k)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def exactStats(corpus: DataFrame): (Long, Long) = {
+    val r = corpus.select(size(TextAnalysis.tokens($"text")).cast("long").as("dl"))
+      .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("persisted BM25 search is bit-identical to the ad-hoc scorer") {
+    val idx = tmp("txtidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 8)
+    assert(persistedTopK(idx, 4) == adhocTopK(docs, 4))
+    // full depth too (every matching doc, exact ranks)
+    assert(persistedTopK(idx, 100) == adhocTopK(docs, 100))
+  }
+
+  test("append visibility: new docs enter the ranking and shift df/N " +
+      "exactly as a fresh ad-hoc pass over the grown corpus") {
+    val idx = tmp("txtapp")
+    val batch = Seq(
+      (20L, "a second fox meets a second dog in heavy rain"),
+      (21L, "no relevant vocabulary at all here")).toDF("doc_id", "text")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 8)
+    TextIndex.appendToTextIndex(batch, "doc_id", "text", idx)
+    val grown = docs.union(batch)
+    assert(persistedTopK(idx, 100) == adhocTopK(grown, 100))
+    val (n, s, _) = TextIndex.readStats(spark, idx)
+    assert((n, s) == exactStats(grown))
+  }
+
+  test("delete: doc leaves the ranking, df and stats are deletion-exact; " +
+      "re-insert after delete is visible again") {
+    val idx = tmp("txtdel")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 8)
+    TextIndex.deleteFromTextIndex(spark, idx, Seq(3L, 4L).toDF("doc_id"),
+      "doc_id")
+    val live = docs.filter(!$"doc_id".isin(3L, 4L))
+    assert(persistedTopK(idx, 100) == adhocTopK(live, 100))
+    val (n, s, _) = TextIndex.readStats(spark, idx)
+    assert((n, s) == exactStats(live))
+    // deleting an id that is absent (or already dead) subtracts nothing
+    TextIndex.deleteFromTextIndex(spark, idx, Seq(3L, 999L).toDF("doc_id"),
+      "doc_id")
+    val (n2, s2, _) = TextIndex.readStats(spark, idx)
+    assert((n2, s2) == exactStats(live))
+    // re-ingesting doc 3 after its deletion: visible again (epoch rule)
+    TextIndex.appendToTextIndex(docs.filter($"doc_id" === 3L),
+      "doc_id", "text", idx)
+    val reborn = live.union(docs.filter($"doc_id" === 3L))
+    assert(persistedTopK(idx, 100) == adhocTopK(reborn, 100))
+    val (n3, s3, _) = TextIndex.readStats(spark, idx)
+    assert((n3, s3) == exactStats(reborn))
+  }
+
+  test("compaction: answers invariant, stats recomputed exactly, " +
+      "generations advance, appends land in the new generation") {
+    val idx = tmp("txtcmp")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 8)
+    TextIndex.deleteFromTextIndex(spark, idx, Seq(0L).toDF("doc_id"),
+      "doc_id")
+    val live = docs.filter($"doc_id" =!= 0L)
+    val before = persistedTopK(idx, 100)
+    TextIndex.compactTextIndex(spark, idx)
+    assert(TextIndex.activeDataDir(spark, idx).endsWith("data.gen1"))
+    assert(persistedTopK(idx, 100) == before)
+    assert({ val (n, s, _) = TextIndex.readStats(spark, idx)
+      (n, s) == exactStats(live) })
+    // the purged doc's rows are physically gone from the new generation
+    val gen1 = spark.read.parquet(
+      s"${TextIndex.activeDataDir(spark, idx)}/postings")
+    assert(gen1.filter($"doc_id" === 0L).count() == 0)
+    // post-compaction append is visible and a second compaction works
+    TextIndex.appendToTextIndex(
+      Seq((30L, "fox in the rain again")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val grown = live.union(Seq((30L, "fox in the rain again"))
+      .toDF("doc_id", "text"))
+    assert(persistedTopK(idx, 100) == adhocTopK(grown, 100))
+    TextIndex.compactTextIndex(spark, idx, keepPrevious = true)
+    assert(TextIndex.activeDataDir(spark, idx).endsWith("data.gen2"))
+    assert(persistedTopK(idx, 100) == adhocTopK(grown, 100))
+    // retention grace: the superseded generation is still on disk
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/data.gen1")))
+  }
+
+  test("rebuild resets tombstones, generations and stats") {
+    val idx = tmp("txtrb")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 8)
+    TextIndex.deleteFromTextIndex(spark, idx, Seq(0L).toDF("doc_id"),
+      "doc_id")
+    TextIndex.compactTextIndex(spark, idx)
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 8)
+    assert(TextIndex.activeDataDir(spark, idx).endsWith("data"))
+    assert(persistedTopK(idx, 100) == adhocTopK(docs, 100))
+    assert({ val (n, s, _) = TextIndex.readStats(spark, idx)
+      (n, s) == exactStats(docs) })
+  }
+
+  test("stop-term guard (maxDocFreq) drops corpus-wide hot terms at " +
+      "build and re-applies at compaction") {
+    val idx = tmp("txtstop")
+    // 'dog' and 'fox' each appear in 5 of 8 docs; cap at 4 drops both —
+    // only 'rain' (2 docs) may contribute
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 8,
+      maxDocFreq = Some(4L))
+    val viaGuard = TextIndex.bm25SearchPersisted(spark, idx, terms, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reduced = TextRank.bm25Scores(docs, "doc_id", "text", Seq("rain"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGuard == reduced)
+    // compaction applies the guard over the df it can SEE (index-live
+    // rows): an unguarded build followed by a guarded compaction purges
+    // the hot terms' full posting lists
+    val idx2 = tmp("txtstop2")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx2, numBuckets = 8)
+    TextIndex.compactTextIndex(spark, idx2, maxDocFreq = Some(4L))
+    val post = spark.read.parquet(
+      s"${TextIndex.activeDataDir(spark, idx2)}/postings")
+    assert(post.filter($"term".isin("dog", "fox")).count() == 0)
+    assert(post.filter($"term" === "rain").count() == 2)
+  }
+
+  test("search opens only the query terms' bucket partitions") {
+    val idx = tmp("txtprune")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 16)
+    val res = TextIndex.bm25SearchPersisted(spark, idx, terms, 5)
+    res.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec        => nodes(s.plan)
+      case _                        => p +: p.children.flatMap(nodes)
+    }
+    val scans = nodes(res.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("txtprune")) => f
+    }
+    assert(scans.nonEmpty, "postings scan not found in executed plan")
+    val m = scans.head.metrics
+    // 3 terms → at most 3 of the 16 bucket partitions opened
+    assert(m("numPartitions").value <= 3,
+      s"opened ${m("numPartitions").value} partitions, expected <= 3 of 16")
+    val totalPostings = spark.read.parquet(s"$idx/data/postings").count()
+    assert(m("numOutputRows").value < totalPostings,
+      "scanned the whole postings set — no pruning")
+  }
+
+  test("missing or malformed stats file fails with the explicit " +
+      "rebuild error") {
+    val dir = tmp("txtmiss")
+    val e = intercept[IllegalStateException] {
+      TextIndex.bm25SearchPersisted(spark, dir, terms, 3)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+}
