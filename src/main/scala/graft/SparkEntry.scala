@@ -1165,6 +1165,34 @@ object SparkEntry {
         .orderBy(col("score_micro").desc, col("doc_id").asc)
     }),
 
+    // ML: HYBRID retrieval — BM25 lexical leg + exact-cosine vector leg
+    // over the shared id space, fused by reciprocal rank fusion
+    // (1/(60+rank) per leg, floored to the micro-grid per leg so the
+    // fused score is an exact BIGINT). The production search shape:
+    // keyword recall + semantic recall in one ranked answer.
+    "q_hybrid_rrf" -> ((s, dir) =>
+      graft.ml.Hybrid.hybridSearch(t(s, dir, "documents"), "doc_id",
+          "text", t(s, dir, "embeddings"), "vec_id", "embedding",
+          Seq("stream", "join", "filter"), queryVecId = 0L,
+          kLex = 20, kVec = 20, k = 10)
+        .orderBy(col("rk"))),
+
+    // ML: the same hybrid query served entirely from PERSISTED indexes
+    // (inverted file + IVF at full probe depth → identical answer,
+    // HybridSpec-pinned) — two index probes and a ≤40-row fusion.
+    "q_hybrid_persisted" -> ((s, dir) => {
+      val tIdx = java.nio.file.Files.createTempDirectory("hybt").toString
+      val aIdx = java.nio.file.Files.createTempDirectory("hyba").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", tIdx)
+      Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numCentroids = 8, aIdx)
+      graft.ml.Hybrid.hybridSearchPersisted(s, tIdx, aIdx,
+          Seq("stream", "join", "filter"),
+          t(s, dir, "embeddings").filter(col("vec_id") === 0L),
+          "vec_id", "embedding", nProbe = 8, kLex = 20, kVec = 20, k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // A9: pivot — event counts per user cohort, one column per type.
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1869,6 +1897,23 @@ object SparkEntry {
             Seq("stream", "join", "filter"), k = 20)
           .select(col("doc_id"), col("score_micro"))
           .orderBy(col("score_micro").desc, col("doc_id").asc)),
+    "q_hybrid_persisted" -> Prepared(
+      build = (s, dir) => {
+        val tIdx = java.nio.file.Files.createTempDirectory("hybt").toString
+        val aIdx = java.nio.file.Files.createTempDirectory("hyba").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", tIdx)
+        Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, aIdx)
+        (tIdx, aIdx)
+      },
+      search = (s, dir, art) => {
+        val (tIdx, aIdx) = art.asInstanceOf[(String, String)]
+        graft.ml.Hybrid.hybridSearchPersisted(s, tIdx, aIdx,
+            Seq("stream", "join", "filter"),
+            t(s, dir, "embeddings").filter(col("vec_id") === 0L),
+            "vec_id", "embedding", nProbe = 8, kLex = 20, kVec = 20, k = 10)
+          .orderBy(col("rk"))
+      }),
     "q_dedup_incremental_indexed" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("shidx").toString
@@ -2006,6 +2051,7 @@ object SparkEntry {
           "WHERE p.q_id != a.v_id AND a.v_id % 11 != 5")) +
       ("q_sim_lsh_persisted" -> oracleBase("q_sim_ann_lsh")) +
       ("q_text_bm25_persisted" -> oracleBase("q_text_bm25")) +
+      ("q_hybrid_persisted" -> oracleBase("q_hybrid_rrf")) +
       // q_dedup_incremental with the roles swapped: the indexed REFERENCE
       // side is the large corpus (doc_id >= 250), the probing batch the
       // small one — the production layout the index exists for
@@ -3732,6 +3778,76 @@ object SparkEntry {
          |    (COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
          |    * 1000000.0) AS BIGINT) AS score_micro
          |FROM piv ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // Hybrid RRF: BM25 lexical ranks (top 20) + exact-cosine vector ranks
+    // (query = embedding 0, top 20), fused as exact BIGINT micro-grid
+    // reciprocal-rank contributions — same CTE chains as q_text_bm25 /
+    // q_sim_knn, full outer join on the shared id space.
+    "q_hybrid_rrf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS contrib
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'stream' THEN contrib END) AS c1,
+         |    max(CASE WHEN term = 'join' THEN contrib END) AS c2,
+         |    max(CASE WHEN term = 'filter' THEN contrib END) AS c3
+         |  FROM per GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, CAST(floor(
+         |      (COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+         |      * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM piv),
+         |lex AS (
+         |  SELECT doc_id, lex_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
+         |    FROM sc)
+         |  WHERE lex_rk <= 20),
+         |v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT c.vec_id AS doc_id, ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id, vec_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS vec_rk
+         |    FROM p)
+         |  WHERE vec_rk <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, ve.doc_id) AS doc_id,
+         |    COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(l.lex_rk AS DOUBLE)))
+         |      AS BIGINT), 0) +
+         |    COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(ve.vec_rk AS DOUBLE)))
+         |      AS BIGINT), 0) AS rrf_micro,
+         |    COALESCE(l.lex_rk, 0) AS lex_rk,
+         |    COALESCE(ve.vec_rk, 0) AS vec_rk
+         |  FROM lex l FULL OUTER JOIN vec ve ON l.doc_id = ve.doc_id)
+         |SELECT doc_id, rrf_micro, lex_rk, vec_rk, CAST(row_number() OVER (
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 10 AS cohort,

@@ -1,0 +1,121 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HYBRID retrieval: fuse a lexical (BM25) ranking with a vector
+  * (embedding-cosine) ranking of the same corpus — the standard
+  * two-tower search shape (keyword recall + semantic recall), fused by
+  * RECIPROCAL RANK FUSION (Cormack et al., SIGIR 2009):
+  *
+  *   rrf(d) = Σ_lists w · 1/(kk + rank_list(d)),   kk = 60 by default.
+  *
+  * RRF over raw-score mixing because ranks are scale-free: BM25 scores
+  * and cosines live on incomparable scales, and any min-max/z-score
+  * normalization is corpus-dependent and float-fragile. Ranks are small
+  * integers; each list's contribution is floored onto the 10⁻⁶ grid
+  * BEFORE the sum (`floor(w·10⁶/(kk+rk))`), so the fused score is an
+  * exact BIGINT in any evaluation order — the house convention for
+  * cross-engine determinism.
+  *
+  * Scale shape: both legs are top-k retrievals (index-served in the
+  * persisted variant); fusion itself touches ≤ kLex + kVec rows — a
+  * broadcast-trivial join regardless of corpus size. Nothing here ever
+  * re-scans the corpus.
+  */
+object Hybrid {
+
+  /** One leg's fused contribution on the integer micro-grid. */
+  private def contrib(rk: Column, kk: Int, w: Double) =
+    coalesce(
+      floor(lit(w * 1000000.0) / (lit(kk.toDouble) + rk.cast("double")))
+        .cast("long"),
+      lit(0L))
+
+  /** Fuse two rank lists (each `(idCol, rkCol)` with 1-based ranks;
+    * anything beyond the caller's top-k must already be absent). Full
+    * outer on the id: a doc found by only one leg keeps that leg's
+    * contribution (the other's is 0) — RRF's standard missing-rank
+    * treatment. Returns (idCol, rrf_micro, lex_rk, vec_rk, rk), ranks
+    * 0 where a leg missed, ties broken by id.
+    */
+  def rrfFuse2(lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
+               kk: Int = 60, wLex: Double = 1.0,
+               wVec: Double = 1.0): DataFrame = {
+    val l = lex.select(col(idCol).as("_id"), col("rk").as("_lex_rk"))
+    val v = vec.select(col(idCol).as("_vid"), col("rk").as("_vec_rk"))
+    val fused = l.join(v, l("_id") === v("_vid"), "full_outer")
+      .select(coalesce(col("_id"), col("_vid")).as(idCol),
+        (contrib(col("_lex_rk"), kk, wLex) +
+          contrib(col("_vec_rk"), kk, wVec)).as("rrf_micro"),
+        coalesce(col("_lex_rk").cast("long"), lit(0L)).as("lex_rk"),
+        coalesce(col("_vec_rk").cast("long"), lit(0L)).as("vec_rk"))
+    val top = fused.orderBy(col("rrf_micro").desc, col(idCol).asc).limit(k)
+    // ≤ k rows — the bounded-input unpartitioned window (house convention)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("rrf_micro").desc, col(idCol).asc)).cast("long"))
+  }
+
+  /** Rank the ad-hoc BM25 scores: (doc_id, rk), deterministic ties on
+    * the gridded score then the id. Ranks assigned over the ≤ kLex
+    * survivors of a distributed TakeOrderedAndProject.
+    */
+  private def lexRanks(docs: DataFrame, idCol: String, textCol: String,
+                       queryTerms: Seq[String], kLex: Int): DataFrame = {
+    val scored = TextRank.bm25Scores(docs, idCol, textCol, queryTerms)
+    scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(kLex)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("rk"))
+  }
+
+  /** Ad-hoc hybrid search: BM25 leg over `docs`, exact-cosine leg over
+    * `embeddings` (the query = the embedding row with id `queryVecId`,
+    * self excluded by [[Similarity.knnBruteForce]]), RRF-fused. The two
+    * tables share the id space (doc_id ↔ vec_id).
+    *
+    * Returns (doc_id, rrf_micro, lex_rk, vec_rk, rk) — top `k` fused.
+    */
+  def hybridSearch(docs: DataFrame, docIdCol: String, textCol: String,
+                   embeddings: DataFrame, vecIdCol: String, vecCol: String,
+                   queryTerms: Seq[String], queryVecId: Long,
+                   kLex: Int = 20, kVec: Int = 20, k: Int = 10,
+                   kk: Int = 60, wLex: Double = 1.0,
+                   wVec: Double = 1.0): DataFrame = {
+    val lex = lexRanks(docs, docIdCol, textCol, queryTerms, kLex)
+    val vec = Similarity.knnBruteForce(embeddings,
+        embeddings.filter(col(vecIdCol) === queryVecId),
+        vecIdCol, vecCol, kVec)
+      .select(col("n_id").as("doc_id"), col("rk"))
+    rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
+  }
+
+  /** The production shape: both legs served from PERSISTED indexes — the
+    * [[TextIndex]] inverted file (bucket-pruned postings reads) and a
+    * [[Similarity.saveIvfIndex]] layout (probed-partition reads), so a
+    * hybrid query's cost is two index probes + a ≤(kLex+kVec)-row fusion.
+    * Deletions apply per index (each leg filters its own tombstones).
+    *
+    * `queries` must hold exactly one row (vecIdCol, vecCol) — the vector
+    * half of the query; `nProbe = numCentroids` makes the vector leg
+    * exact (every list probed) and the whole fusion equal to
+    * [[hybridSearch]] — the parity the spec pins.
+    */
+  def hybridSearchPersisted(spark: SparkSession, textIndexPath: String,
+                            annIndexPath: String, queryTerms: Seq[String],
+                            queries: DataFrame, vecIdCol: String,
+                            vecCol: String, nProbe: Int,
+                            kLex: Int = 20, kVec: Int = 20, k: Int = 10,
+                            kk: Int = 60, wLex: Double = 1.0,
+                            wVec: Double = 1.0): DataFrame = {
+    val lex = TextIndex.bm25SearchPersisted(spark, textIndexPath,
+        queryTerms, kLex)
+      .select(col("doc_id"), col("rk"))
+    val vec = Similarity.ivfSearchPersisted(spark, annIndexPath, queries,
+        vecIdCol, vecCol, k = kVec, nProbe = nProbe)
+      .select(col("n_id").as("doc_id"), col("rk"))
+    rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Hybrid lexical+vector retrieval ([[Hybrid]]): RRF arithmetic on the
+  * integer grid, leg-consistency of the ad-hoc fusion, persisted-path
+  * parity at full probe depth, and per-index deletion visibility.
+  */
+class HybridSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark streams join tables with filters"),
+    (1L, "a join of two streams under a filter"),
+    (2L, "gardens bloom in spring rain"),
+    (3L, "filter pushdown and join reorder in the planner"),
+    (4L, "rain on the window pane"),
+    (5L, "stream processing with stateful joins"),
+    (6L, "completely unrelated prose about cooking"),
+    (7L, "the filter keeps the stream clean"))
+    .toDF("doc_id", "text")
+
+  // embeddings: cluster ids 0,1,3,5,7 near each other, 2,4,6 elsewhere
+  private val embeddings = (0L until 8L).map { i =>
+    val base = if (Set(0L, 1L, 3L, 5L, 7L).contains(i)) 1.0f else -1.0f
+    (i, Array.tabulate(8)(d => base * (1.0f + 0.01f * (i * 3 + d) % 7)))
+  }.toDF("vec_id", "embedding")
+
+  private val terms = Seq("stream", "join", "filter")
+
+  test("rrfFuse2: grid arithmetic and missing-leg handling, by hand") {
+    val lex = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rk")
+    val vec = Seq((11L, 1L), (12L, 2L)).toDF("doc_id", "rk")
+    val out = Hybrid.rrfFuse2(lex, vec, "doc_id", k = 10)
+      .orderBy($"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // contributions: rank1 → floor(1e6/61)=16393, rank2 → floor(1e6/62)=16129
+    assert(out.toSeq == Seq(
+      (11L, 16393L + 16129L, 2L, 1L, 1L), // both legs fused
+      (10L, 16393L, 1L, 0L, 2L),          // lex-only survivor
+      (12L, 16129L, 0L, 2L, 3L)))         // vec-only survivor
+  }
+
+  test("hybridSearch equals a by-hand fusion of its two legs") {
+    val fused = Hybrid.hybridSearch(docs, "doc_id", "text",
+        embeddings, "vec_id", "embedding", terms, queryVecId = 0L,
+        kLex = 5, kVec = 5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // recompute the legs independently
+    val lexTop = TextRank.bm25Scores(docs, "doc_id", "text", terms)
+      .orderBy($"score_micro".desc, $"doc_id".asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val vecTop = Similarity.knnBruteForce(embeddings,
+        embeddings.filter($"vec_id" === 0L), "vec_id", "embedding", 5)
+      .orderBy($"rk").collect().map(_.getLong(1)).toSeq
+    def c(r: Long) = math.floor(1000000.0 / (60.0 + r)).toLong
+    val lexRk = lexTop.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val vecRk = vecTop.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val ids = (lexRk.keySet ++ vecRk.keySet).toSeq
+    val expect = ids.map { d =>
+      (d, lexRk.get(d).map(c).getOrElse(0L) + vecRk.get(d).map(c).getOrElse(0L),
+        lexRk.getOrElse(d, 0L), vecRk.getOrElse(d, 0L))
+    }.sortBy { case (d, s, _, _) => (-s, d) }
+      .zipWithIndex.map { case ((d, s, l, v), i) => (d, s, l, v, i + 1L) }
+    assert(fused == expect)
+  }
+
+  test("hybridSearchPersisted at full probe depth equals the ad-hoc " +
+      "fusion; per-index deletion hides a doc from the fused result") {
+    val tIdx = java.nio.file.Files.createTempDirectory("hyb-txt").toString
+    val aIdx = java.nio.file.Files.createTempDirectory("hyb-ann").toString
+    TextIndex.saveTextIndex(docs, "doc_id", "text", tIdx, numBuckets = 8)
+    Similarity.saveIvfIndex(embeddings, "vec_id", "embedding",
+      numCentroids = 2, aIdx)
+    val q = embeddings.filter($"vec_id" === 0L)
+    def persisted() = Hybrid.hybridSearchPersisted(spark, tIdx, aIdx,
+        terms, q, "vec_id", "embedding", nProbe = 2,
+        kLex = 5, kVec = 5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val adhoc = Hybrid.hybridSearch(docs, "doc_id", "text",
+        embeddings, "vec_id", "embedding", terms, queryVecId = 0L,
+        kLex = 5, kVec = 5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(persisted() == adhoc)
+    // takedown of doc 1 across both indexes: it must leave the fusion,
+    // and surviving ranks re-derive from the live legs
+    TextIndex.deleteFromTextIndex(spark, tIdx, Seq(1L).toDF("doc_id"),
+      "doc_id")
+    Similarity.deleteFromAnnIndex(spark, aIdx, Seq(1L).toDF("vec_id"),
+      "vec_id")
+    val after = persisted()
+    assert(!after.exists(_._1 == 1L), "deleted doc still in fused result")
+    val live = docs.filter($"doc_id" =!= 1L)
+    val liveEmb = embeddings.filter($"vec_id" =!= 1L)
+    val adhocLive = Hybrid.hybridSearch(live, "doc_id", "text",
+        liveEmb, "vec_id", "embedding", terms, queryVecId = 0L,
+        kLex = 5, kVec = 5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(after == adhocLive)
+  }
+}
