@@ -374,6 +374,67 @@ object StreamOps {
       Similarity.compactAnnIndex(spark, indexPath)
   }
 
+  /** Streaming inverted-index maintenance — the lexical analog of
+    * [[annIndexStream]]: the first micro-batch builds a
+    * [[graft.ml.TextIndex]] layout, every later batch appends its
+    * postings/doclens and bumps the corpus stats (O(batch) work; no
+    * trained quantizer, so like [[lshIndexStream]] there is no drift and
+    * no re-train schedule). Same crash-replay contracts (`_last_batch`
+    * skip, `_built_by_batch` rebuild-not-append on bootstrap replay),
+    * same CDC `opCol` adds+deletes semantics, and `compactEvery` folds
+    * [[graft.ml.TextIndex.compactTextIndex]] into the loop — per-batch
+    * appends accumulate small files per bucket and leave the stats
+    * incrementally-maintained; periodic compaction restores both.
+    */
+  def textIndexStream(docs: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, numBuckets: Int = 64,
+                      compactEvery: Int = 0, opCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processTextIndexBatch(batch, batchId, idCol, textCol, indexPath,
+        numBuckets, compactEvery, opCol)
+    }
+
+  /** One micro-batch of [[textIndexStream]]. Idempotent per `batchId`;
+    * adds before deletes (delete wins in-batch, stable under replay —
+    * the [[processAnnIndexBatch]] contract).
+    */
+  private[graft] def processTextIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexPath: String,
+      numBuckets: Int = 64, compactEvery: Int = 0,
+      opCol: Option[String] = None): Unit = {
+    import graft.ml.TextIndex
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, indexPath)) return
+    val adds = opCol.map(c =>
+      batch.filter(coalesce(col(c), lit("")) =!= "delete").drop(c))
+      .getOrElse(batch)
+    val dels = opCol.map(c => batch.filter(col(c) === "delete"))
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!adds.isEmpty) {
+      val built =
+        fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_text_stats"))
+      val builtByPath =
+        new org.apache.hadoop.fs.Path(root, "_built_by_batch")
+      val builtBy = readSmallFile(fs, builtByPath).flatMap(_.toLongOption)
+      if (!built || builtBy.contains(batchId)) {
+        writeSmallFile(fs, builtByPath, batchId.toString)
+        TextIndex.saveTextIndex(adds, idCol, textCol, indexPath, numBuckets)
+      } else
+        TextIndex.appendToTextIndex(adds, idCol, textCol, indexPath)
+    }
+    dels.foreach { d =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_text_stats")) &&
+          !d.isEmpty)
+        TextIndex.deleteFromTextIndex(spark, indexPath,
+          d.select(col(idCol)), idCol)
+    }
+    commitBatch(spark, indexPath, batchId)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      TextIndex.compactTextIndex(spark, indexPath)
+  }
+
   /** Streaming CCNet-exact paragraph dedup — the continuous twin of
     * [[graft.ml.Dedup.lineDedupKeepFirst]]. State = the first-occurrence
     * table (line hash → minimum (doc, position) ever seen); a batch's
