@@ -573,6 +573,28 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: RADIUS (threshold) search — every neighbor above a cosine
+    // cutoff, the retrieval mode top-k can't express (near-dup sweeps,
+    // recall-complete candidate generation). Output bounded by τ.
+    "q_sim_radius" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.radiusSearch(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", minCosine = 0.3)
+        .orderBy(col("q_id"), col("n_id"))
+    }),
+
+    // ML: the same radius sweep served from the persisted IVF index at
+    // full probe depth (exact — every list probed, tombstones applied).
+    "q_sim_radius_persisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("radidx").toString
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", numCentroids = 8, idx)
+      Similarity.ivfRadiusSearchPersisted(s, idx,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          minCosine = 0.3, nProbe = 8)
+        .orderBy(col("q_id"), col("n_id"))
+    }),
+
     // ML: L2 vector normalization (corpus-prep step before indexing:
     // unit vectors make cosine = dot and rank-equal to L2; dead vectors
     // flagged once at prep). Output pinned on the 10^-6 grid: the unit
@@ -1897,6 +1919,20 @@ object SparkEntry {
             Seq("stream", "join", "filter"), k = 20)
           .select(col("doc_id"), col("score_micro"))
           .orderBy(col("score_micro").desc, col("doc_id").asc)),
+    "q_sim_radius_persisted" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("radidx").toString
+        Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, idx)
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfRadiusSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            minCosine = 0.3, nProbe = 8)
+          .orderBy(col("q_id"), col("n_id"))
+      }),
     "q_hybrid_persisted" -> Prepared(
       build = (s, dir) => {
         val tIdx = java.nio.file.Files.createTempDirectory("hybt").toString
@@ -2052,6 +2088,7 @@ object SparkEntry {
       ("q_sim_lsh_persisted" -> oracleBase("q_sim_ann_lsh")) +
       ("q_text_bm25_persisted" -> oracleBase("q_text_bm25")) +
       ("q_hybrid_persisted" -> oracleBase("q_hybrid_rrf")) +
+      ("q_sim_radius_persisted" -> oracleBase("q_sim_radius")) +
       // q_dedup_incremental with the roles swapped: the indexed REFERENCE
       // side is the large corpus (doc_id >= 250), the probing batch the
       // small one — the production layout the index exists for
@@ -2182,6 +2219,17 @@ object SparkEntry {
          |hs AS (SELECT doc_id, list_transform(tk, t -> ${dHash60("t")}) AS hs FROM toks)
          |SELECT doc_id, CAST($dSimhash AS BIGINT) AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "q_sim_radius" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings)
+         |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${dCosine("q.e", "c.e")} AS cosine
+         |FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |WHERE q.vec_id < 10
+         |  AND ${dCosine("q.e", "c.e")} >= 0.3
+         |ORDER BY q_id, n_id""".stripMargin,
 
     "q_sim_knn" ->
       s"""WITH v AS (

@@ -93,6 +93,30 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
   }
 
+  /** RADIUS (threshold) search — every neighbor with cosine ≥
+    * `minCosine`, the retrieval mode top-k can't express: near-duplicate
+    * detection at a similarity cutoff, recall-complete candidate
+    * generation, "everything semantically close to this" takedown
+    * sweeps. No heap, no ranking — the predicate IS the result bound.
+    *
+    * Scale: one broadcast of the query side, one corpus pass; output
+    * size is governed by the caller's threshold (a lax τ over a dense
+    * corpus is answer-quadratic BY CONSTRUCTION — same contract as
+    * `q_sim_decontaminate`). Self-pairs excluded.
+    */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   minCosine: Double): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
+      .filter(col("cosine") >= minCosine)
+      .select(col("q_id"), col("n_id"), col("cosine"))
+  }
+
   /** L2-normalize an embedding column — the standard corpus-prep step
     * before indexing: on unit vectors cosine degenerates to the plain
     * dot product (one fused multiply-add sweep instead of three norms)
@@ -577,6 +601,38 @@ object Similarity {
         ranked.select(col("q_id"), col("v_id").as("n_id"), col(fc),
           col("cosine"), col("rk"))
     }
+  }
+
+  /** [[radiusSearch]] against a persisted [[saveIvfIndex]] layout:
+    * candidates come from the `nProbe` probed lists only (partition-
+    * pruned reads, tombstones applied), so like IVF top-k it is
+    * approximate at small nProbe and exact at full probe depth —
+    * with the same `where` attribute pre-filtering as
+    * [[ivfSearchPersisted]]. The 100-TB shape of "find every committed
+    * near-duplicate of these documents" without a corpus scan.
+    */
+  def ivfRadiusSearchPersisted(spark: org.apache.spark.sql.SparkSession,
+                               path: String, queries: DataFrame,
+                               idCol: String, vecCol: String,
+                               minCosine: Double, nProbe: Int,
+                               where: Option[Column] = None): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val index0 = prunedIndexRead(spark, path, probes)
+    val index = where.map(index0.filter).getOrElse(index0)
+    index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("cosine", nanvl(cosine(col("q_vec"), col("v_vec")), lit(-2d)))
+      .filter(col("cosine") >= minCosine)
+      .select(col("q_id"), col("v_id").as("n_id"), col("cosine"))
   }
 
   /** Read `$path/index` with a STATIC partition filter on the probed
