@@ -1187,6 +1187,16 @@ object SparkEntry {
         .orderBy(col("score_micro").desc, col("doc_id").asc)
     }),
 
+    // ML: PHRASE search over the positional postings — adjacency-exact
+    // occurrence counts ("table scan" as a phrase, not a bag of words),
+    // served from the same bucket-pruned inverted-file reads.
+    "q_text_phrase" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("phridx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.phraseSearchPersisted(s, idx, Seq("table", "scan"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: HYBRID retrieval — BM25 lexical leg + exact-cosine vector leg
     // over the shared id space, fused by reciprocal rank fusion
     // (1/(60+rank) per leg, floored to the micro-grid per leg so the
@@ -1919,6 +1929,16 @@ object SparkEntry {
             Seq("stream", "join", "filter"), k = 20)
           .select(col("doc_id"), col("score_micro"))
           .orderBy(col("score_micro").desc, col("doc_id").asc)),
+    "q_text_phrase" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("phridx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, dir, idx) =>
+        TextIndex.phraseSearchPersisted(s, idx.asInstanceOf[String],
+            Seq("table", "scan"))
+          .orderBy(col("doc_id"))),
     "q_sim_radius_persisted" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("radidx").toString
@@ -3826,6 +3846,21 @@ object SparkEntry {
          |    (COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
          |    * 1000000.0) AS BIGINT) AS score_micro
          |FROM piv ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // Phrase search: adjacency-exact counts via consecutive-token check
+    // over the tokenized text (the oracle re-derives what the index's
+    // positional-postings intersection computes).
+    "q_text_phrase" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, phrase_tf FROM (
+        |  SELECT doc_id, CAST(len(list_filter(range(1, len(toks)),
+        |    i -> toks[i] = 'table' AND toks[i+1] = 'scan')) AS BIGINT)
+        |    AS phrase_tf
+        |  FROM tk)
+        |WHERE phrase_tf > 0 ORDER BY doc_id""".stripMargin,
 
     // Hybrid RRF: BM25 lexical ranks (top 20) + exact-cosine vector ranks
     // (query = embedding 0, top 20), fused as exact BIGINT micro-grid

@@ -124,18 +124,24 @@ object TextIndex {
       .map(name => s"$path/$name").getOrElse(s"$path/data")
   }
 
-  /** (doc_id, dl, term, tf) rows of a batch — dl computed EXACTLY as
-    * [[TextRank.bm25Scores]] does (`size(tokens(text))`), the invariant
-    * the bit-parity contract rests on.
+  /** (doc_id, dl, term, tf, positions) rows of a batch — dl computed
+    * EXACTLY as [[TextRank.bm25Scores]] does (`size(tokens(text))`), the
+    * invariant the bit-parity contract rests on. `positions` is the
+    * sorted 0-based occurrence list (the POSITIONAL half of the index:
+    * phrase/adjacency queries intersect these instead of re-reading
+    * text); tf = its length, kept as its own column so the BM25 path
+    * never touches the arrays.
     */
   private def postingsOf(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    toks.select(col("doc_id"), col("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
   }
 
   private def doclensOf(docs: DataFrame, idCol: String,
@@ -146,7 +152,8 @@ object TextIndex {
   private def writePostings(p: DataFrame, dir: String, numBuckets: Int,
                             seq: Column, mode: String): Unit =
     p.select(col("term"), col("doc_id"), col("dl"), col("tf"),
-        seq.as("seq"), termBucket(col("term"), numBuckets).as("bucket"))
+        col("positions"), seq.as("seq"),
+        termBucket(col("term"), numBuckets).as("bucket"))
       // co-locate each bucket before the partitioned write: one file per
       // bucket dir per write, not one per (task × bucket) — same
       // small-files rationale as Dedup.saveShingleIndex
@@ -291,7 +298,8 @@ object TextIndex {
         livePosts.join(dfreq, "term")
     }
     writePostings(kept.select(col("term"), col("doc_id"), col("dl"),
-      col("tf"), col("seq")), s"$path/$nextName", nb, col("seq"), "overwrite")
+      col("tf"), col("positions"), col("seq")),
+      s"$path/$nextName", nb, col("seq"), "overwrite")
     writeDoclens(liveLens.select(col("doc_id"), col("dl"), col("seq")),
       s"$path/$nextName", nb, col("seq"), "overwrite")
     // exact stats from what actually landed (read-back, not plan re-run)
@@ -364,5 +372,55 @@ object TextIndex {
     top.withColumn("rk", row_number().over(
         Window.orderBy(col("score_micro").desc, col("doc_id").asc))
       .cast("long"))
+  }
+
+  /** PHRASE search against the positional postings: documents where the
+    * terms occur CONSECUTIVELY, with the exact occurrence count —
+    * `phrase_tf = |{p : p ∈ pos(t₀) ∧ p+1 ∈ pos(t₁) ∧ …}|`. Bag-of-words
+    * retrieval can't distinguish "table scan" from "scan … table";
+    * positions make adjacency a postings intersection instead of a
+    * re-read of the corpus text.
+    *
+    * Plan shape: the phrase's (distinct) terms drive the same
+    * bucket-pruned, term-pushed postings read as BM25; per doc the ≤
+    * |distinct terms| surviving rows collapse into a term→positions map
+    * (bounded rows per group), docs missing any term drop, and one
+    * array-filter over the FIRST term's positions checks the adjacency
+    * chain. The HOF lambda evaluates interpreted (Spark higher-order
+    * functions don't codegen) — acceptable because it only ever runs on
+    * the phrase terms' postings, never the corpus; a fused kernel is the
+    * upgrade path if phrase volume demands it.
+    *
+    * Returns (doc_id, phrase_tf), phrase_tf ≥ 1. A single-term "phrase"
+    * degenerates to that term's tf.
+    */
+  def phraseSearchPersisted(spark: SparkSession, path: String,
+                            phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    val terms = phrase.distinct
+    import spark.implicits._
+    val bks = terms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(terms: _*))
+    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val byDoc = live
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("term"),
+        col("positions")))).as("pmap"))
+      // every distinct phrase term must be present in the doc
+      .filter(terms.map(t => col("pmap").getItem(t).isNotNull)
+        .reduceLeft(_ && _))
+    val chain = filter(col("pmap").getItem(phrase.head), p =>
+      phrase.toIndexedSeq.zipWithIndex.drop(1)
+        .map { case (t, i) =>
+          array_contains(col("pmap").getItem(t), p + lit(i)) }
+        .foldLeft(lit(true))(_ && _))
+    byDoc.select(col("doc_id"), size(chain).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
   }
 }

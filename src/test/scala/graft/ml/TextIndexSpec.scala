@@ -193,6 +193,38 @@ class TextIndexSpec extends SparkSuite {
       "scanned the whole postings set — no pruning")
   }
 
+  test("phrase search: adjacency-exact occurrence counts over the " +
+      "positional postings, across the lifecycle") {
+    val idx = tmp("txtphr")
+    val corpus = Seq(
+      (0L, "the quick fox jumps the quick fox runs"), // "quick fox" ×2
+      (1L, "quick brown fox"),                        // scattered, no match
+      (2L, "a quick fox"),                            // ×1
+      (3L, "fox quick fox quick"),                    // interior match ×1
+      (4L, "quick quick quick"))                      // repeated term
+      .toDF("doc_id", "text")
+    TextIndex.saveTextIndex(corpus, "doc_id", "text", idx, numBuckets = 8)
+    def phrase(p: String*): Map[Long, Long] =
+      TextIndex.phraseSearchPersisted(spark, idx, p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phrase("quick", "fox") == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+    // repeated-term phrase: "quick quick" twice in doc 4 (overlapping)
+    assert(phrase("quick", "quick") == Map(4L -> 2L))
+    // single-term phrase degenerates to tf
+    assert(phrase("fox") == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // 3-slot chain
+    assert(phrase("the", "quick", "fox") == Map(0L -> 2L))
+    // delete hides; re-append revives
+    TextIndex.deleteFromTextIndex(spark, idx, Seq(0L).toDF("doc_id"),
+      "doc_id")
+    assert(phrase("quick", "fox") == Map(2L -> 1L, 3L -> 1L))
+    TextIndex.compactTextIndex(spark, idx)
+    assert(phrase("quick", "fox") == Map(2L -> 1L, 3L -> 1L))
+    TextIndex.appendToTextIndex(corpus.filter($"doc_id" === 0L),
+      "doc_id", "text", idx)
+    assert(phrase("quick", "fox") == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("missing or malformed stats file fails with the explicit " +
       "rebuild error") {
     val dir = tmp("txtmiss")
