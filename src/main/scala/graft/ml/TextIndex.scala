@@ -60,6 +60,7 @@ object TextIndex {
 
   private val Pointer = "data.current"
   private val StatsFile = "_text_stats"
+  private val AttrsFile = "_text_attrs"
 
   /** Bucket of a term: stable across engines and sessions (xxhash64 with
     * Spark's fixed default seed), non-negative via pmod.
@@ -113,6 +114,23 @@ object TextIndex {
                          nDocs: Long, sumDl: Long, numBuckets: Int): Unit =
     atomicWrite(spark, path, StatsFile, s"$nDocs $sumDl $numBuckets")
 
+  /** Attribute columns persisted INSIDE the postings rows (the storage
+    * half of filtered lexical search and facet counting — same
+    * denormalization choice as `Similarity.saveIvfIndex`'s `attrCols`:
+    * predicates and facet aggregations evaluate on the pruned postings
+    * reads themselves, never via a search-time join against a metadata
+    * table). The layout is recorded in `_text_attrs` so appends write
+    * the same schema.
+    */
+  def readAttrs(spark: SparkSession, path: String): Seq[String] =
+    IndexTombstones.readSmallFile(fsOf(spark, path),
+        new org.apache.hadoop.fs.Path(path, AttrsFile))
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private def writeAttrs(spark: SparkSession, path: String,
+                         attrCols: Seq[String]): Unit =
+    atomicWrite(spark, path, AttrsFile, attrCols.mkString(","))
+
   /** Resolve the ACTIVE data directory (generation the pointer names, or
     * the original `data` dir before any compaction). Retrying read: a
     * search racing a compaction's pointer flip can open between
@@ -132,14 +150,15 @@ object TextIndex {
     * text); tf = its length, kept as its own column so the BM25 path
     * never touches the arrays.
     */
-  private def postingsOf(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+                         attrCols: Seq[String]): DataFrame = {
+    val attrs = attrCols.map(col)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id") +:
+        TextAnalysis.tokens(col(textCol)).as("toks") +: attrs: _*)
       .withColumn("dl", size(col("toks")).cast("long"))
-    toks.select(col("doc_id"), col("dl"),
-        posexplode(col("toks")).as(Seq("pos", "term")))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
+    toks.select(col("doc_id") +: col("dl") +:
+        posexplode(col("toks")).as(Seq("pos", "term")) +: attrs: _*)
+      .groupBy(col("doc_id") +: col("dl") +: col("term") +: attrs: _*)
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
   }
@@ -150,10 +169,12 @@ object TextIndex {
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
 
   private def writePostings(p: DataFrame, dir: String, numBuckets: Int,
-                            seq: Column, mode: String): Unit =
-    p.select(col("term"), col("doc_id"), col("dl"), col("tf"),
-        col("positions"), seq.as("seq"),
-        termBucket(col("term"), numBuckets).as("bucket"))
+                            seq: Column, mode: String,
+                            attrCols: Seq[String]): Unit =
+    p.select(col("term") +: col("doc_id") +: col("dl") +: col("tf") +:
+        col("positions") +: seq.as("seq") +:
+        termBucket(col("term"), numBuckets).as("bucket") +:
+        attrCols.map(col): _*)
       // co-locate each bucket before the partitioned write: one file per
       // bucket dir per write, not one per (task × bucket) — same
       // small-files rationale as Dedup.saveShingleIndex
@@ -181,9 +202,10 @@ object TextIndex {
     */
   def saveTextIndex(docs: DataFrame, idCol: String, textCol: String,
                     path: String, numBuckets: Int = 64,
-                    maxDocFreq: Option[Long] = None): Unit = {
+                    maxDocFreq: Option[Long] = None,
+                    attrCols: Seq[String] = Nil): Unit = {
     val spark = docs.sparkSession
-    val posts = postingsOf(docs, idCol, textCol)
+    val posts = postingsOf(docs, idCol, textCol, attrCols)
     val kept = maxDocFreq match {
       case None => posts
       case Some(cap) =>
@@ -191,12 +213,14 @@ object TextIndex {
           .filter(col("df_") <= cap).drop("df_")
         posts.join(dfreq, "term")
     }
-    writePostings(kept, s"$path/data", numBuckets, lit(0L), "overwrite")
+    writePostings(kept, s"$path/data", numBuckets, lit(0L), "overwrite",
+      attrCols)
     writeDoclens(doclensOf(docs, idCol, textCol), s"$path/data", numBuckets,
       lit(0L), "overwrite")
     val st = doclensOf(docs, idCol, textCol)
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     writeStats(spark, path, st.getLong(0), st.getLong(1), numBuckets)
+    writeAttrs(spark, path, attrCols)
     IndexTombstones.reset(spark, path)
     val fs = fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(path, Pointer), false)
@@ -225,7 +249,9 @@ object TextIndex {
     val (n, s, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     val seq = lit(IndexTombstones.readEpoch(spark, path))
-    writePostings(postingsOf(docs, idCol, textCol), dir, nb, seq, "append")
+    val attrCols = readAttrs(spark, path)
+    writePostings(postingsOf(docs, idCol, textCol, attrCols), dir, nb, seq,
+      "append", attrCols)
     writeDoclens(doclensOf(docs, idCol, textCol), dir, nb, seq, "append")
     val st = doclensOf(docs, idCol, textCol)
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -297,9 +323,10 @@ object TextIndex {
           .filter(col("df_") <= cap).drop("df_")
         livePosts.join(dfreq, "term")
     }
-    writePostings(kept.select(col("term"), col("doc_id"), col("dl"),
-      col("tf"), col("positions"), col("seq")),
-      s"$path/$nextName", nb, col("seq"), "overwrite")
+    val attrCols = readAttrs(spark, path)
+    writePostings(kept.select(col("term") +: col("doc_id") +: col("dl") +:
+      col("tf") +: col("positions") +: col("seq") +: attrCols.map(col): _*),
+      s"$path/$nextName", nb, col("seq"), "overwrite", attrCols)
     writeDoclens(liveLens.select(col("doc_id"), col("dl"), col("seq")),
       s"$path/$nextName", nb, col("seq"), "overwrite")
     // exact stats from what actually landed (read-back, not plan re-run)
@@ -332,7 +359,8 @@ object TextIndex {
     */
   def bm25SearchPersisted(spark: SparkSession, path: String,
                           queryTerms: Seq[String], k: Int,
-                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                          k1: Double = 1.2, b: Double = 0.75,
+                          where: Option[Column] = None): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       "queryTerms must be non-empty and distinct")
     val (nDocs, sumDl, nb) = readStats(spark, path)
@@ -345,8 +373,15 @@ object TextIndex {
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
-    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
-    val dfreq = live.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val all = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // FILTERED search (`where` over build-time `attrCols`): the predicate
+    // restricts CANDIDATES, not scoring statistics — df/N/avgdl stay
+    // corpus-global (the Lucene filtered-query convention: a filter
+    // changes which docs may answer, not how informative a term is).
+    // Evaluated on the pruned postings rows, pushable parts reach the
+    // parquet scan.
+    val live = where.map(all.filter).getOrElse(all)
+    val dfreq = all.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = sumDl.toDouble / nDocs.toDouble
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
@@ -372,6 +407,35 @@ object TextIndex {
     top.withColumn("rk", row_number().over(
         Window.orderBy(col("score_micro").desc, col("doc_id").asc))
       .cast("long"))
+  }
+
+  /** FACET counts for a term query — the search-engine facet panel: how
+    * many matching documents (docs containing ≥ 1 query term, live)
+    * fall under each value of a build-time attribute column. Served
+    * entirely from the pruned postings reads: the attrs live inside the
+    * posting rows, so this is a distinct-doc count per facet value over
+    * |query terms| bucket directories — never a corpus scan, never a
+    * metadata join. Returns (facetCol, n_docs).
+    */
+  def facetCounts(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], facetCol: String): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    require(readAttrs(spark, path).contains(facetCol),
+      s"facet column '$facetCol' was not persisted at build " +
+        s"(attrCols = ${readAttrs(spark, path).mkString(",")})")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val bks = queryTerms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(queryTerms: _*))
+    IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+      .select(col("doc_id"), col(facetCol)).distinct()
+      .groupBy(col(facetCol)).agg(count(lit(1)).as("n_docs"))
   }
 
   /** PHRASE search against the positional postings: documents where the

@@ -225,6 +225,50 @@ class TextIndexSpec extends SparkSuite {
     assert(phrase("quick", "fox") == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("attrCols: filtered search restricts candidates under GLOBAL " +
+      "scoring stats; facet counts come from the pruned postings; both " +
+      "survive append and compaction") {
+    val idx = tmp("txtattr")
+    val src = docs.withColumn("source",
+      concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    TextIndex.saveTextIndex(src, "doc_id", "text", idx, numBuckets = 8,
+      attrCols = Seq("source"))
+    // global df/N/avgdl + candidate filter == full ad-hoc scores
+    // restricted to the predicate's docs (scores depend only on global
+    // stats and the doc's own tf/dl)
+    def filteredTop(): Seq[(Long, Long)] =
+      TextIndex.bm25SearchPersisted(spark, idx, terms, 100,
+          where = Some(col("source") === "s1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def adhocRestricted(ids: Long => Boolean): Seq[(Long, Long)] =
+      TextRank.bm25Scores(docs, "doc_id", "text", terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => ids(p._1))
+        .sortBy(p => (-p._2, p._1)).toSeq
+    assert(filteredTop() == adhocRestricted(_ % 2 == 1))
+    // facet panel: matching docs (any of fox/dog/rain) per source
+    val facets = TextIndex.facetCounts(spark, idx, terms, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // matching docs: 0,1,2,3,5,6 (4 and 7 have no query term)
+    // → s0: {0,2,6}, s1: {1,3,5}
+    assert(facets == Map("s0" -> 3L, "s1" -> 3L))
+    // unknown facet column fails loudly
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.facetCounts(spark, idx, terms, "lang")
+    }
+    assert(err.getMessage.contains("not persisted"))
+    // append carries the recorded attr layout; compaction preserves it
+    TextIndex.appendToTextIndex(
+      Seq((20L, "rain rain rain")).toDF("doc_id", "text")
+        .withColumn("source", lit("s0")),
+      "doc_id", "text", idx)
+    TextIndex.compactTextIndex(spark, idx)
+    val facets2 = TextIndex.facetCounts(spark, idx, terms, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(facets2 == Map("s0" -> 4L, "s1" -> 3L))
+    assert(TextIndex.readAttrs(spark, idx) == Seq("source"))
+  }
+
   test("missing or malformed stats file fails with the explicit " +
       "rebuild error") {
     val dir = tmp("txtmiss")
