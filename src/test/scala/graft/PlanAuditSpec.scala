@@ -26,7 +26,19 @@ class PlanAuditSpec extends SparkSuite {
     "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_ivfpq_residual",
     "q_sim_knn", "q_sim_pq", "q_sim_pq_rerank", "q_sim_project",
     "q_sim_quantized", "q_sim_twostage", "q_text_bm25",
-    "q_text_lmscore", "q_text_tfidf", "q_vocab_topk")
+    "q_text_lmscore", "q_text_tfidf", "q_vocab_topk",
+    // radius search: `corpus.crossJoin(broadcast(q))` with a single
+    // query row — same tiny-query-side contract as q_sim_knn. Verified
+    // via ExplainDump (r13): BNLJ Cross BuildRight, build = the 1-row
+    // query frame (persisted variant adds the ≤8-row centroid cross
+    // join of the probe subquery, same as q_sim_ivf_persisted).
+    "q_sim_radius", "q_sim_radius_persisted",
+    // hybrid RRF: the BNLJs are inside the LEGS (knnBruteForce's 1-row
+    // broadcast query / ivfSearchPersisted's ≤8-row centroid table);
+    // the RRF fusion full-outer itself plans SortMergeJoin FullOuter on
+    // the id equi-key over ≤(kLex+kVec) rows — verified via ExplainDump
+    // (r13), not BNLJ.
+    "q_hybrid_rrf", "q_hybrid_persisted")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
