@@ -535,9 +535,11 @@ object Similarity {
     *
     * `facetCap = (attrCol, m)` = DIVERSIFIED search: at most m results
     * per facet value per query, selected best-first by the same ranking
-    * (output then carries the facet column). Composes with `where` and
-    * with deletions. For embedding-space (facet-free) diversity see
-    * [[mmrRerank]].
+    * (output then carries the facet column). Composes with `where`, with
+    * deletions, and with `rerank` (the cap constrains the R-deep
+    * shortlist; the exact top-k of a capped set stays ≤m per facet, and
+    * the output keeps the rerank shape without the facet column). For
+    * embedding-space (facet-free) diversity see [[mmrRerank]].
     */
   def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
@@ -551,11 +553,16 @@ object Similarity {
         applyDeletes(spark, path,
             spark.read.parquet(activeIndexDir(spark, path)))
           .select(col("v_id").as(idCol), col("v_vec").as(vecCol)))
-      // the shortlist below is already `where`-filtered (pre-filtering),
-      // so the exact pass only ever re-ranks predicate-passing ids
+      // the shortlist below is already `where`-filtered (pre-filtering)
+      // and facet-capped, so the exact pass only ever re-ranks
+      // predicate-passing ids and the ≤m-per-facet bound survives the
+      // re-rank (a top-k of a capped set is still capped). Output keeps
+      // the rerank contract (q_id, n_id, dist, rk) — the facet column is
+      // a shortlist-selection constraint here, not an output column.
       return exactRerank(
         ivfSearchPersisted(spark, path, queries, idCol, vecCol,
-          math.max(rerank, k), nProbe, where = where),
+          math.max(rerank, k), nProbe, where = where,
+          facetCap = facetCap),
         corpus, queries, idCol, vecCol, k)
     }
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))

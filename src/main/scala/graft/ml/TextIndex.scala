@@ -391,12 +391,15 @@ object TextIndex {
     val perTerm = live.join(broadcast(dfreq), "term")
       .withColumn("contrib",
         idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom)
-    val termCols = queryTerms.map(t =>
-      max(when(col("term") === t, col("contrib"))).as(s"c_$t"))
+    // positional aliases (c_0, c_1, …) keyed by term INDEX, never term
+    // text (same fix as the ad-hoc TextRank.bm25Scores — parity kept):
+    // a term containing '.' or '`' would break column resolution
+    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("contrib"))).as(s"c_$i") }
     val pivoted = perTerm.groupBy(col("doc_id"))
       .agg(termCols.head, termCols.tail: _*)
-    val total = queryTerms
-      .map(t => coalesce(col(s"c_$t"), lit(0.0)))
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"c_$i"), lit(0.0)))
       .reduceLeft(_ + _) // left-to-right: fixed IEEE evaluation order
     val scored = pivoted.select(col("doc_id"),
       floor(total * lit(1000000.0)).cast("long").as("score_micro"))
@@ -472,7 +475,16 @@ object TextIndex {
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // aggregate positions per (doc_id, term) FIRST: a doc can carry two
+    // live posting rows for the same term (at-least-once crash-replay
+    // re-append, double append) and map_from_entries throws on duplicate
+    // keys — flatten + distinct + sort degrades those rows gracefully
+    // (identical positions collapse; the sort restores the ascending
+    // order the adjacency filter assumes)
     val byDoc = live
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(array_distinct(flatten(
+        collect_list(col("positions"))))).as("positions"))
       .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("term"),
         col("positions")))).as("pmap"))

@@ -94,12 +94,14 @@ object TextRank {
     val perTerm = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(consts))
       .withColumn("contrib", idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom)
-    val termCols = queryTerms.map(t =>
-      max(when(col("term") === t, col("contrib"))).as(s"c_$t"))
+    // positional aliases (c_0, c_1, …) keyed by term INDEX, never term
+    // text: a term containing '.' or '`' would break column resolution
+    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("contrib"))).as(s"c_$i") }
     val pivoted = perTerm.groupBy(col("doc_id"))
       .agg(termCols.head, termCols.tail: _*)
-    val total = queryTerms
-      .map(t => coalesce(col(s"c_$t"), lit(0.0)))
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"c_$i"), lit(0.0)))
       .reduceLeft(_ + _) // left-to-right: fixed IEEE evaluation order
     pivoted.select(col("doc_id"),
       floor(total * lit(1000000.0)).cast("long").as("score_micro"))

@@ -54,6 +54,26 @@ class AnnDiversitySpec extends SparkSuite {
     assert(got.sorted.toSeq == bestPerFacet.sorted.toSeq)
   }
 
+  test("facetCap composes with rerank: cap constrains the shortlist, " +
+      "exact top-k inherits it") {
+    val dir = java.nio.file.Files.createTempDirectory("div-rerank").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 8, dir, attrCols = Seq("grp"))
+    val got = Similarity.ivfSearchPersisted(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 8, rerank = 16,
+        facetCap = Some(("grp", 1)))
+      .join(corpus.select($"vec_id".as("n_id"), $"grp"), "n_id")
+      .select($"q_id", $"n_id", $"grp", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // the rerank-path output keeps the (q_id, n_id, dist, rk) contract;
+    // joining facets back must show <= 1 per facet per query
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 3, s"q=$q got ${rows.length} rows")
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"q=$q facet repeated: ${rows.map(_._3).toSeq}")
+    }
+  }
+
   test("facetCap composes with where") {
     val dir = java.nio.file.Files.createTempDirectory("div-where").toString
     Similarity.saveIvfIndex(corpus, "vec_id", "embedding",

@@ -225,6 +225,43 @@ class TextIndexSpec extends SparkSuite {
     assert(phrase("quick", "fox") == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("phrase search survives duplicate live posting rows (at-least-once " +
+      "re-append): positions collapse, counts stay exact") {
+    val idx = tmp("txtdup")
+    val corpus = Seq(
+      (0L, "the quick fox jumps the quick fox runs"),
+      (2L, "a quick fox")).toDF("doc_id", "text")
+    TextIndex.saveTextIndex(corpus, "doc_id", "text", idx, numBuckets = 8)
+    // re-append doc 0 WITHOUT a preceding delete — the documented
+    // crash-replay shape that leaves two live posting rows per (doc,
+    // term); map_from_entries would throw on the duplicate key
+    TextIndex.appendToTextIndex(corpus.filter($"doc_id" === 0L),
+      "doc_id", "text", idx)
+    val got = TextIndex.phraseSearchPersisted(spark, idx, Seq("quick", "fox"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("BM25 query terms containing '.' or '`' resolve (positional pivot " +
+      "aliases, ad-hoc and persisted parity)") {
+    val idx = tmp("txtodd")
+    val odd = Seq(
+      (0L, "config a.b loads before the `tick` table"),
+      (1L, "a.b a.b appears twice here"),
+      (2L, "nothing matching at all")).toDF("doc_id", "text")
+    // tokens() keeps punctuation inside whitespace-delimited tokens
+    val oddTerms = Seq("a.b", "`tick`")
+    TextIndex.saveTextIndex(odd, "doc_id", "text", idx, numBuckets = 8)
+    val adhoc = TextRank.bm25Scores(odd, "doc_id", "text", oddTerms)
+      .orderBy($"score_micro".desc, $"doc_id".asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val persisted = TextIndex.bm25SearchPersisted(spark, idx, oddTerms, 10)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(adhoc.nonEmpty && adhoc.map(_._1).toSet == Set(0L, 1L))
+    assert(persisted == adhoc)
+  }
+
   test("attrCols: filtered search restricts candidates under GLOBAL " +
       "scoring stats; facet counts come from the pruned postings; both " +
       "survive append and compaction") {
