@@ -2028,9 +2028,10 @@ object Similarity {
     * near-dup threshold (≥ 0.9) the defaults (16 bits × 8 bands) pass
     * ~2^-16 of random pairs per band while keeping ~50–95% of true
     * near-dups; for LOW thresholds no LSH separates well (p approaches
-    * 1/2), so tests use wider buckets (fewer bits). `maxBucketSize`
-    * drops degenerate hot buckets (e.g. all-zero embeddings) before the
-    * pair join — the same skew guard as [[Dedup.lshPairs]]'s
+    * 1/2), so tests use wider buckets (fewer bits). Degenerate hot
+    * buckets (e.g. all-zero embeddings) are dropped before the pair join
+    * by the default-on [[hotBucketGuard]]; an explicit `maxBucketSize`
+    * tightens it absolutely — the same skew guard as [[Dedup.lshPairs]]'s
     * `maxShingleFreq`, with the same documented recall caveat.
     */
   /** All `bands` SRP band keys of a vector as one array<long> — the fused
@@ -2052,31 +2053,59 @@ object Similarity {
                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val planes = projectionMatrix(inDim, bandBits * bands)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val keyed0 = base.select(col("id"), col("vec"),
+    // ids only through the banded join and the pair dedupe: the (band,
+    // key) and (id_a, id_b) shuffles carry 16-byte rows instead of two
+    // full dim×8-byte vectors per candidate; the exact-verify vectors
+    // re-join AFTER the distinct (AQE sizes the pair side — under a
+    // tight threshold it broadcasts against the column-pruned vec scan)
+    val keyed = hotBucketGuard(base.select(col("id"),
       posexplode(bandKeysNative(col("vec"), planes, bandBits))
-        .as(Seq("band", "key")))
-    val keyed =
-      if (maxBucketSize == Int.MaxValue) keyed0
-      else {
-        val ok = keyed0.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= maxBucketSize)
-          .select(col("band"), col("key"))
-        keyed0.join(ok, Seq("band", "key"))
-      }
-    val a = keyed.select(col("band"), col("key"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val b = keyed.select(col("band"), col("key"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
-    a.join(b, Seq("band", "key"))
+        .as(Seq("band", "key"))), maxBucketSize)
+    val a = keyed.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = keyed.select(col("band"), col("key"), col("id").as("id_b"))
+    // a pair colliding in several bands appears once per band — dedupe
+    // BEFORE the vector re-join so the exact-verify work is once per pair
+    val cand = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      // a pair colliding in several bands appears once per band — dedupe
-      // BEFORE the cosine so the exact-verify work is once per pair
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("vec_a")).as("vec_a"), first(col("vec_b")).as("vec_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Hot-bucket guard for the banded LSH pair joins, ON by default:
+    * drop every (band, key) bucket whose row count exceeds
+    * `min(maxBucketSize, max(1000, 64 × that band's MEDIAN bucket
+    * size))`. The adaptive bound is SF-proportional by construction
+    * (the house threshold rule — a fixed absolute cap inverts behavior
+    * as the corpus grows): healthy bands never bind (64× the median
+    * dwarfs any uniform-ish bucket, and the floor of 1000 exempts small
+    * corpora entirely), while a degenerate mass — all-zero embeddings,
+    * a boilerplate blob hashing to one key — concentrates ≥ 64× the
+    * median in one bucket and is dropped before it quadratically
+    * dominates the pair join (the documented recall caveat). An
+    * explicit `maxBucketSize` tightens the bound absolutely.
+    *
+    * Cost: one map-side-combinable count over the (band, key) rows plus
+    * an exact `median` over the bucket-stats frame (≤ bands × 2^bandBits
+    * rows — bounded, and exactness keeps the cutoff deterministic where
+    * an approx percentile could wobble a boundary bucket between runs).
+    */
+  private def hotBucketGuard(keyed: DataFrame,
+                             maxBucketSize: Int): DataFrame = {
+    val bstats = keyed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val med = bstats.groupBy(col("band"))
+      .agg(median(col("bucket_n")).as("med_n"))
+    val ok = bstats.join(med, "band")
+      .filter(col("bucket_n").cast("double") <=
+        least(lit(maxBucketSize.toDouble),
+          greatest(lit(1000d), col("med_n") * lit(64d))))
+      .select(col("band"), col("key"))
+    keyed.join(ok, Seq("band", "key"))
   }
 
   /** SEMANTIC decontamination: training vectors whose cosine against any
@@ -2090,31 +2119,29 @@ object Similarity {
     *
     * Output: (train_id, bench_id, cosine), one row per flagged pair above
     * threshold. Anti-join `train` against the distinct `train_id`s to get
-    * the clean set. `maxBucketSize` caps TRAIN-side bucket blowup from
-    * degenerate embedding regions (recall caveat as in [[nearDupPairs]]).
+    * the clean set. TRAIN-side bucket blowup from degenerate embedding
+    * regions is dropped by the default-on [[hotBucketGuard]]; an explicit
+    * `maxBucketSize` tightens it (recall caveat as in [[nearDupPairs]]).
+    * Like the near-dup pass, candidates shuffle as (train_id, bench_id)
+    * ids only — vectors re-join for the ≤|candidates| exact-verify rows.
     */
   def semanticContamination(train: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, threshold: Double, inDim: Int,
       bandBits: Int = 16, bands: Int = 8,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val planes = projectionMatrix(inDim, bandBits * bands)
-    def keyed(df: DataFrame, asId: String, asVec: String) =
-      df.select(col(idCol).as(asId), col(vecCol).as(asVec),
+    def keyedIds(df: DataFrame, asId: String) =
+      df.select(col(idCol).as(asId),
         posexplode(bandKeysNative(col(vecCol), planes, bandBits))
           .as(Seq("band", "key")))
-    val tr0 = keyed(train, "train_id", "vec_t")
-    val tr =
-      if (maxBucketSize == Int.MaxValue) tr0
-      else {
-        val ok = tr0.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= maxBucketSize)
-          .select(col("band"), col("key"))
-        tr0.join(ok, Seq("band", "key"))
-      }
-    tr.join(keyed(bench, "bench_id", "vec_b"), Seq("band", "key"))
-      .groupBy(col("train_id"), col("bench_id"))
-      .agg(first(col("vec_t")).as("vec_t"), first(col("vec_b")).as("vec_b"))
+    val tr = hotBucketGuard(keyedIds(train, "train_id"), maxBucketSize)
+    val cand = tr.join(keyedIds(bench, "bench_id"), Seq("band", "key"))
+      .select(col("train_id"), col("bench_id")).distinct()
+    cand
+      .join(train.select(col(idCol).as("train_id"),
+        col(vecCol).as("vec_t")), "train_id")
+      .join(bench.select(col(idCol).as("bench_id"),
+        col(vecCol).as("vec_b")), "bench_id")
       .withColumn("cosine", cosine(col("vec_t"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("train_id"), col("bench_id"), col("cosine"))

@@ -96,6 +96,44 @@ class SimilaritySpec extends SparkSuite {
     assert(p.isEmpty)
   }
 
+  test("adaptive hot-bucket guard drops a degenerate blob (no explicit " +
+      "cap) while planted healthy near-dups survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val u = Array.fill(8)(1f)
+    val w = Array.tabulate(8)(i => (i + 1).toFloat)
+    // 1200 identical vectors: one bucket per band of size >= 1200 — over
+    // the adaptive bound (64 × median-of-1, floored at 1000) with NO
+    // explicit maxBucketSize; plus 3000 diverse vectors and a planted
+    // duplicate pair (10000, 10001) in a healthy bucket
+    val blob = (0L until 1200L).map(i => (i, u))
+    val diverse = (0L until 3000L).map(i =>
+      (10002L + i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f)))
+    val corpus = (blob ++ Seq((10000L, w), (10001L, w)) ++ diverse)
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.999, inDim = 8, bandBits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // without the guard the blob alone yields ~719k pairs
+    assert(!pairs.exists { case (a, b) => a < 1200L && b < 1200L },
+      "degenerate blob pairs must be dropped by the adaptive guard")
+    assert(pairs.contains((10000L, 10001L)),
+      "healthy planted near-dup must survive the guard")
+
+    // bipartite twin: the blob on the TRAIN side is dropped, the planted
+    // (train 10000, bench 20000) duplicate is found
+    val bench = (Seq((20000L, w)) ++ (0L until 50L).map(i =>
+        (20001L + i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f))))
+      .toDF("vec_id", "embedding")
+    val cont = Similarity.semanticContamination(corpus, bench,
+        "vec_id", "embedding", threshold = 0.999, inDim = 8,
+        bandBits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cont.exists(_._1 < 1200L),
+      "blob train buckets must be dropped by the adaptive guard")
+    assert(cont.contains((10000L, 20000L)))
+  }
+
   test("semanticDedup keeps lowest id per similar group, bounded to clusters") {
     // one cluster: pair (1,2) has cos≈0.994 >= 0.9 -> 2 dropped; 3 and 4
     // are (near-)orthogonal/opposite to everything -> kept.
