@@ -1610,8 +1610,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val lined = docs.select(col("doc_id"),
         regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
-      Dedup.lineDedup(lined, "doc_id", "text",
-          maxDocFreq = docs.count() / 100)
+      // 1% threshold computed inside the job (no separate count() scan)
+      Dedup.lineDedupByShare(lined, "doc_id", "text",
+          shareNumer = 1L, shareDenom = 100L)
         .orderBy(col("doc_id"))
     }),
 

@@ -1046,7 +1046,9 @@ object Dedup {
     * Blocking is what makes this scale: the quadratic comparison runs only
     * inside each (usually tiny) block, and the shuffle key is the block —
     * the classic record-linkage layout. `compareLen` bounds the O(m·n)
-    * DP cost per comparison.
+    * DP cost per comparison; the default-on adaptive block cap (below)
+    * bounds the O(block²) pair count a degenerate mega-block of
+    * boilerplate prefixes would otherwise contribute.
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], blockLen: Int = 8,
@@ -1060,15 +1062,27 @@ object Dedup {
     // skew guard (measured: a 10x-duplicated corpus grows block pair work
     // ~repl² — a degenerate mega-block of boilerplate prefixes would do
     // the same at any duplication level): drop blocks larger than the cap
-    // before the self-join, mirroring the shingle joins' maxShingleFreq
-    val base = maxBlockSize match {
-      case None => base0
-      case Some(cap) =>
-        val small = base0.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
-          .drop("__bn")
-        base0.join(small, keys, "left_semi")
-    }
+    // before the self-join, mirroring the shingle joins' maxShingleFreq.
+    // The DEFAULT cap is adaptive — max(1000, 64 × the median block
+    // size), the same SF-proportional rule as Similarity.hotBucketGuard:
+    // healthy blocking keys never bind (median blocks are tiny, the
+    // floor exempts small corpora), a mega-block concentrating ≥ 64× the
+    // median does, BEFORE its quadratic pair work. Explicit
+    // `maxBlockSize` overrides absolutely (recall caveat documented).
+    // The 1-row median frame broadcasts (a bounded constant-frame BNLJ,
+    // the q_corpus_report pattern).
+    val bstats = base0.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val small = (maxBlockSize match {
+      case Some(cap) => bstats.filter(col("__bn") <= cap)
+      case None =>
+        val med = bstats.agg(median(col("__bn")).as("__med"))
+        bstats.crossJoin(broadcast(med))
+          .filter(col("__bn").cast("double") <=
+            greatest(lit(1000d), col("__med") * lit(64d)))
+          .drop("__med")
+    }).drop("__bn")
+    val base = base0.join(small, keys, "left_semi")
     val a = base.select((col("id").as("id_a") +: keys.map(col)) :+
       col("nt").as("nt_a"): _*)
     val b = base.select((col("id").as("id_b") +: keys.map(col)) :+
@@ -1112,6 +1126,31 @@ object Dedup {
                 maxDocFreq: Long, minLineChars: Int = 1): DataFrame = {
     val lines = lineTable(df, idCol, textCol, minLineChars)
     stripLines(lines, lineDocFreq(lines), idCol, maxDocFreq)
+  }
+
+  /** [[lineDedup]] with the document-frequency cutoff expressed as a
+    * SHARE of the corpus — threshold = n_docs · shareNumer div shareDenom
+    * (exact integer arithmetic, floor semantics, the house
+    * SF-proportional threshold rule) — computed INSIDE the job from a
+    * 1-row count frame instead of a separate driver-side `df.count()`
+    * action, saving one full scan per query. The broadcast 1-row frame
+    * is the corpus-constant BNLJ pattern (q_corpus_report). Additional
+    * scale win: only the VIOLATING hashes (df > threshold) enter the
+    * strip join's build side — the boilerplate table, not every distinct
+    * line hash in the corpus.
+    */
+  def lineDedupByShare(df: DataFrame, idCol: String, textCol: String,
+                       shareNumer: Long = 1L, shareDenom: Long = 100L,
+                       minLineChars: Int = 1): DataFrame = {
+    val lines = lineTable(df, idCol, textCol, minLineChars)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val hot = lineDocFreq(lines).crossJoin(broadcast(n))
+      .filter(col("__df") >
+        expr(s"(__n * ${shareNumer}L) div ${shareDenom}L"))
+      .select(col("__h"), col("__df"))
+    // freq holds violators only: any joined row strips (threshold 0);
+    // unseen hashes stay kept per the stripLines contract
+    stripLines(lines, hot, idCol, maxDocFreq = 0L)
   }
 
   /** CCNet-exact line (paragraph) dedup: every duplicated line keeps its

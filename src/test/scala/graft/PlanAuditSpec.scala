@@ -33,6 +33,13 @@ class PlanAuditSpec extends SparkSuite {
     // query frame (persisted variant adds the ≤8-row centroid cross
     // join of the probe subquery, same as q_sim_ivf_persisted).
     "q_sim_radius", "q_sim_radius_persisted",
+    // adaptive block cap: the 1-row median-block-size frame broadcasts
+    // into the block-stats filter (the corpus-constant single-row
+    // pattern, same as q_corpus_report)
+    "q_dedup_editdist",
+    // in-job 1% threshold: the 1-row corpus-count frame broadcasts into
+    // the line-doc-frequency filter (corpus-constant single-row pattern)
+    "q_dedup_lines",
     // hybrid RRF: the BNLJs are inside the LEGS (knnBruteForce's 1-row
     // broadcast query / ivfSearchPersisted's ≤8-row centroid table);
     // the RRF fusion full-outer itself plans SortMergeJoin FullOuter on

@@ -201,6 +201,31 @@ class DedupSpec extends SparkSuite {
     assert(capped.count() == 0) // the en "the quic" block now has 3 rows
   }
 
+  test("editDistancePairs: the adaptive default cap drops a mega-block, " +
+      "healthy blocks are untouched") {
+    import spark.implicits._
+    // 1500 docs sharing one (lang, 8-char-prefix) block — over the
+    // adaptive bound (64 × median-of-1 block size, floored at 1000) —
+    // plus 600 singleton-block docs and one healthy near-dup pair.
+    // Without the default cap the mega-block contributes ~1.1M
+    // Levenshtein pairs; with it, zero.
+    val mega = (0L until 1500L).map(i =>
+      (i, "en", s"boilerplate cookie banner text variant number $i"))
+    val singles = (0L until 600L).map(i =>
+      (10000L + i, "en", s"u$i distinct opening line"))
+    val pair = Seq(
+      (50000L, "en", "zzyzx road trip report from the desert"),
+      (50001L, "en", "zzyzx road trip report from the dessert"))
+    val docs = (mega ++ singles ++ pair).toDF("id", "lang", "text")
+    val out = Dedup.editDistancePairs(docs, "id", "text", Seq("lang"),
+        blockLen = 8, compareLen = 80, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!out.exists { case (a, b) => a < 1500L && b < 1500L },
+      "mega-block pairs must be dropped by the adaptive default cap")
+    assert(out.contains((50000L, 50001L)),
+      "healthy-block near-dup must survive")
+  }
+
   test("clusters: distributed path matches driver union-find path") {
     import spark.implicits._
     // mixed shapes: a chain, a clique edge set, singleton pairs
