@@ -1225,6 +1225,27 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    // ML: BATCHED hybrid retrieval — three queries (mixed per-query term
+    // lists, vector = the embedding row sharing the query id) amortized
+    // over ONE union-pruned postings pass and ONE probed-partition ANN
+    // pass, RRF-fused per query. The lex leg grids each term's
+    // contribution before the per-(q, doc) sum (order-free exact BIGINT).
+    "q_hybrid_batch" -> ((s, dir) => {
+      val tIdx = java.nio.file.Files.createTempDirectory("hybbt").toString
+      val aIdx = java.nio.file.Files.createTempDirectory("hybba").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", tIdx)
+      Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numCentroids = 8, aIdx)
+      import s.implicits._
+      val qt = Seq((0L, "stream"), (0L, "join"), (0L, "filter"),
+          (1L, "table"), (1L, "scan"), (2L, "parquet"), (2L, "filter"))
+        .toDF("q_id", "term")
+      graft.ml.Hybrid.hybridSearchPersistedBatch(s, tIdx, aIdx, qt,
+          t(s, dir, "embeddings").filter(col("vec_id") < 3),
+          "vec_id", "embedding", nProbe = 8, kLex = 20, kVec = 20, k = 10)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // A9: pivot — event counts per user cohort, one column per type.
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
@@ -3932,6 +3953,76 @@ object SparkEntry {
          |SELECT doc_id, rrf_micro, lex_rk, vec_rk, CAST(row_number() OVER (
          |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
          |FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_hybrid_batch" ->
+      s"""WITH qt AS (
+         |  SELECT CAST(q AS BIGINT) AS q_id, term
+         |  FROM (VALUES (0, 'stream'), (0, 'join'), (0, 'filter'),
+         |    (1, 'table'), (1, 'scan'), (2, 'parquet'), (2, 'filter'))
+         |    x(q, term)),
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, term, CAST(floor(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+         |    * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |sc AS (
+         |  SELECT qt.q_id, per.doc_id,
+         |    CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM per JOIN qt USING (term) GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT q_id, doc_id, lex_rk FROM (
+         |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
+         |    FROM sc)
+         |  WHERE lex_rk <= 20),
+         |v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+         |    ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 3),
+         |vec AS (
+         |  SELECT q_id, doc_id, vec_rk FROM (
+         |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS vec_rk
+         |    FROM p)
+         |  WHERE vec_rk <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, ve.q_id) AS q_id,
+         |    COALESCE(l.doc_id, ve.doc_id) AS doc_id,
+         |    COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(l.lex_rk AS DOUBLE)))
+         |      AS BIGINT), 0) +
+         |    COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(ve.vec_rk AS DOUBLE)))
+         |      AS BIGINT), 0) AS rrf_micro,
+         |    COALESCE(l.lex_rk, 0) AS lex_rk,
+         |    COALESCE(ve.vec_rk, 0) AS vec_rk
+         |  FROM lex l FULL OUTER JOIN vec ve
+         |    ON l.q_id = ve.q_id AND l.doc_id = ve.doc_id)
+         |SELECT q_id, doc_id, rrf_micro, lex_rk, vec_rk, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM fused)
+         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 10 AS cohort,

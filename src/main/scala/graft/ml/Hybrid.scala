@@ -118,4 +118,64 @@ object Hybrid {
       .select(col("n_id").as("doc_id"), col("rk"))
     rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
   }
+
+  /** Per-query RRF fusion of two BATCHED rank lists — each
+    * (q_id, idCol, rk) with 1-based per-query ranks. Same missing-rank
+    * treatment and integer micro-grid as [[rrfFuse2]]; every stage is
+    * per-q_id bounded: full outer on the (q_id, id) equi-key, per-query
+    * top-k via the TopKPerGroup heap, ranks over ≤ k survivors per query
+    * (partitioned window — never the unpartitioned single-query shape).
+    */
+  def rrfFuse2PerQuery(lex: DataFrame, vec: DataFrame, idCol: String,
+                       k: Int, kk: Int = 60, wLex: Double = 1.0,
+                       wVec: Double = 1.0): DataFrame = {
+    val l = lex.select(col("q_id").as("_lq"), col(idCol).as("_id"),
+      col("rk").as("_lex_rk"))
+    val v = vec.select(col("q_id").as("_vq"), col(idCol).as("_vid"),
+      col("rk").as("_vec_rk"))
+    val fused = l.join(v,
+        l("_lq") === v("_vq") && l("_id") === v("_vid"), "full_outer")
+      .select(coalesce(col("_lq"), col("_vq")).as("q_id"),
+        coalesce(col("_id"), col("_vid")).as(idCol),
+        (contrib(col("_lex_rk"), kk, wLex) +
+          contrib(col("_vec_rk"), kk, wVec)).as("rrf_micro"),
+        coalesce(col("_lex_rk").cast("long"), lit(0L)).as("lex_rk"),
+        coalesce(col("_vec_rk").cast("long"), lit(0L)).as("vec_rk"))
+    val top = graft.operators.TopK.perGroup(fused, Seq(col("q_id")),
+      Seq(col("rrf_micro").desc, col(idCol).asc), k)
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_micro").desc, col(idCol).asc)).cast("long"))
+      .select(col("q_id"), col(idCol), col("rrf_micro"), col("lex_rk"),
+        col("vec_rk"), col("rk"))
+  }
+
+  /** Batched production retrieval: both persisted-index legs amortized
+    * over a QUERY SET — ONE union-pruned postings pass
+    * ([[TextIndex.bm25SearchPersistedBatch]], per-term micro-grid
+    * contract) and ONE probed-partition ANN pass
+    * ([[Similarity.ivfSearchPersisted]] already batches query sets),
+    * fused per query. `queryTerms` = (q_id, term) rows; `queries` =
+    * (vecIdCol, vecCol) rows whose id IS the q_id (shared id space, as
+    * in [[hybridSearchPersisted]]). A query may be lex-only or vec-only;
+    * its missing leg contributes rank 0 per the RRF convention.
+    *
+    * Returns (q_id, doc_id, rrf_micro, lex_rk, vec_rk, rk ≤ k).
+    */
+  def hybridSearchPersistedBatch(spark: SparkSession, textIndexPath: String,
+                                 annIndexPath: String,
+                                 queryTerms: DataFrame, queries: DataFrame,
+                                 vecIdCol: String, vecCol: String,
+                                 nProbe: Int, kLex: Int = 20,
+                                 kVec: Int = 20, k: Int = 10, kk: Int = 60,
+                                 wLex: Double = 1.0,
+                                 wVec: Double = 1.0): DataFrame = {
+    val lex = TextIndex.bm25SearchPersistedBatch(spark, textIndexPath,
+        queryTerms, kLex)
+      .select(col("q_id"), col("doc_id"), col("rk"))
+    val vec = Similarity.ivfSearchPersisted(spark, annIndexPath, queries,
+        vecIdCol, vecCol, k = kVec, nProbe = nProbe)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rk"))
+    rrfFuse2PerQuery(lex, vec, "doc_id", k, kk, wLex, wVec)
+  }
 }

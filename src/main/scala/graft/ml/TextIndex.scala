@@ -412,6 +412,68 @@ object TextIndex {
       .cast("long"))
   }
 
+  /** Batched BM25 against the persisted index: score a whole QUERY SET —
+    * `queryTerms` = (q_id, term) rows — in ONE pruned postings pass over
+    * the union of the batch's term buckets, amortizing the index probe
+    * the way production retrieval does. Contract difference from the
+    * single-query path: each term's contribution lands on the 10⁻⁶ grid
+    * BEFORE the per-(q_id, doc) sum (`floor(contrib·10⁶)` summed as
+    * BIGINT — the lmScore convention), so the distributed sum is exact
+    * in any order without a per-query pivot; the single-query scorer
+    * grids only the total, making the two scorers distinct operators by
+    * contract. df/N/avgdl stay corpus-global (the filtered-search
+    * convention), computed once for the whole batch.
+    *
+    * Scale shape: postings read = union-of-terms bucket pruning (static
+    * IN-list); scoring joins postings to the (q_id, term) table on the
+    * term key (AQE sizes it — broadcast for interactive batches, shuffle
+    * for offline mega-batches); per-query selection via the TopKPerGroup
+    * heap; ranks over ≤ kLex survivors per query.
+    *
+    * Returns (q_id, doc_id, score_micro, rk), rk 1-based per q_id.
+    */
+  def bm25SearchPersistedBatch(spark: SparkSession, path: String,
+                               queryTerms: DataFrame, kLex: Int,
+                               k1: Double = 1.2,
+                               b: Double = 0.75): DataFrame = {
+    val (nDocs, sumDl, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val qt = queryTerms.select(col("q_id"), col("term")).distinct()
+    // the batch's term vocabulary: driver-bounded by contract (a query
+    // workload's distinct terms), the same static-IN-list pruning lever
+    // as the single-query path
+    val terms = qt.select("term").distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "queryTerms must be non-empty")
+    val bks = terms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(terms: _*))
+    val all = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val dfreq = all.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
+    val perTerm = all.join(broadcast(dfreq), "term")
+      .withColumn("c_micro",
+        floor(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom *
+          lit(1000000.0)).cast("long"))
+    val scored = perTerm.join(qt, "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c_micro")).as("score_micro"))
+    val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
+      Seq(col("score_micro").desc, col("doc_id").asc), kLex)
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc))
+      .cast("long"))
+  }
+
   /** FACET counts for a term query — the search-engine facet panel: how
     * many matching documents (docs containing ≥ 1 query term, live)
     * fall under each value of a build-time attribute column. Served

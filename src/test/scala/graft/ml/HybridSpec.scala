@@ -69,6 +69,39 @@ class HybridSpec extends SparkSuite {
     assert(fused == expect)
   }
 
+  test("batched hybrid: per-query slices equal the single-query batch; " +
+      "a lex-only query fuses with rank-0 vec leg") {
+    val tIdx = java.nio.file.Files.createTempDirectory("hybb-txt").toString
+    val aIdx = java.nio.file.Files.createTempDirectory("hybb-ann").toString
+    TextIndex.saveTextIndex(docs, "doc_id", "text", tIdx, numBuckets = 8)
+    Similarity.saveIvfIndex(embeddings, "vec_id", "embedding",
+      numCentroids = 2, aIdx)
+    val qt = Seq((0L, "stream"), (0L, "join"), (0L, "filter"),
+      (2L, "rain"), (4L, "gardens")).toDF("q_id", "term")
+    def run(qsel: Long => Boolean, tsel: Long => Boolean) =
+      Hybrid.hybridSearchPersistedBatch(spark, tIdx, aIdx,
+          qt.filter($"q_id".isin(Seq(0L, 2L, 4L).filter(tsel): _*)),
+          embeddings.filter($"vec_id".isin(Seq(0L, 2L).filter(qsel): _*)),
+          "vec_id", "embedding", nProbe = 2, kLex = 5, kVec = 5, k = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+    // full batch: queries 0 and 2 have both legs, 4 is lex-only
+    val full = run(_ => true, _ => true)
+    // amortization must not change answers: each query alone reproduces
+    // exactly its slice of the batch (df/N stats are corpus-global, so
+    // the lex scores don't depend on the batch composition)
+    for (q <- Seq(0L, 2L, 4L)) {
+      val alone = run(_ == q, _ == q)
+      assert(alone == full.filter(_._1 == q),
+        s"query $q batch slice != single-query run")
+    }
+    // the lex-only query (4) exists with vec_rk = 0 on every row
+    val q4 = full.filter(_._1 == 4L)
+    assert(q4.nonEmpty && q4.forall(_._5 == 0L))
+    // both-leg query rows carry at least one non-zero leg rank
+    assert(full.filter(_._1 == 0L).exists(_._5 > 0L))
+  }
+
   test("hybridSearchPersisted at full probe depth equals the ad-hoc " +
       "fusion; per-index deletion hides a doc from the fused result") {
     val tIdx = java.nio.file.Files.createTempDirectory("hyb-txt").toString
