@@ -236,6 +236,66 @@ object AnnQualityMain {
       Seq("clean" -> clean, "tombstoned_10pct" -> tomb,
         "purged" -> purged)
     }
+    // Hot-bucket guard recall (the adaptive cap is ON by default in
+    // nearDupPairs / semanticContamination since r13). Two regimes,
+    // measured against exact all-pairs ground truth:
+    //   - GATED params (4-bit bands, τ=0.35): key space is coarse, so
+    //     median buckets are big and the 64×median bound is inert by
+    //     design — recall with a 1200-row identical blob injected must
+    //     EQUAL the clean recall, and the blob's quadratic pair set (the
+    //     true answer at these params) still returns in full.
+    //   - PRODUCTION params (16-bit bands, τ=0.9, 32 planted clone
+    //     pairs): healthy buckets have median ~1, the blob concentrates
+    //     1200 rows on one key per band and is dropped — planted-pair
+    //     recall holds while blob pairs are suppressed to zero.
+    val guardSection = {
+      import spark.implicits._
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def exactPairs(c: org.apache.spark.sql.DataFrame,
+                     thr: Double): Set[(Long, Long)] = {
+        val a = c.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = c.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        pairSet(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("c", Similarity.cosine(col("va"), col("vb")))
+          .filter(col("c") >= thr))
+      }
+      def found(c: org.apache.spark.sql.DataFrame, thr: Double,
+                bits: Int): Set[(Long, Long)] =
+        pairSet(Similarity.nearDupPairs(c, "vec_id", "embedding", thr,
+          inDim = 64, bandBits = bits, bands = 8))
+      val blobBase = 10000000L
+      val cloneBase = 1000000L // below blobBase: blob-suppression filters
+      val blob = (0L until 1200L).map(i => (blobBase + i, Array.fill(64)(1f)))
+        .toDF("vec_id", "embedding")
+      val eb = e.select(col("vec_id"), col("embedding"))
+      // gated regime
+      val exactG = exactPairs(e, 0.35)
+      val denomG = math.max(1, exactG.size).toDouble
+      val cleanG = found(e, 0.35, 4)
+      val blobG = found(eb.unionByName(blob), 0.35, 4)
+      // production regime: scalar-multiple clones (cosine exactly 1)
+      val clones = e.filter(col("vec_id") < 32)
+        .select((col("vec_id") + lit(cloneBase)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val healthyP = eb.unionByName(clones)
+      val exactP = exactPairs(healthyP, 0.9)
+      val denomP = math.max(1, exactP.size).toDouble
+      val blobP = found(healthyP.unionByName(blob), 0.9, 16)
+      Seq(
+        "gated_recall" -> (cleanG.intersect(exactG).size / denomG),
+        "gated_recall_with_blob" ->
+          (blobG.filter(p => p._1 < blobBase && p._2 < blobBase)
+            .intersect(exactG).size / denomG),
+        "gated_blob_answer_pairs" ->
+          blobG.count(p => p._1 >= blobBase && p._2 >= blobBase).toDouble,
+        "prod16_recall_planted" ->
+          (blobP.filter(p => p._1 < blobBase && p._2 < blobBase)
+            .intersect(exactP).size / denomP),
+        "prod16_blob_pairs" ->
+          blobP.count(p => p._1 >= blobBase && p._2 >= blobBase).toDouble)
+    }
     def fmt(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (nm, r, s) =>
         f""""$nm":{"recall":$r%.4f,"sec":$s%.3f}"""
@@ -245,11 +305,14 @@ object AnnQualityMain {
     val delJson = deletes.map { case (nm, (r, s)) =>
       f""""$nm":{"recall":$r%.4f,"sec":$s%.3f}"""
     }.mkString(",")
+    val guardJson = guardSection.map { case (nm, v) => f""""$nm":$v%.4f""" }
+      .mkString(",")
     val json =
       s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""" +
         s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"pqCentroids":$pqc,"subspaces":$subs},""" +
         fmt(rows) + s""","frontier":{${fmt(frontier)}},""" +
-        s""""drift":{$driftJson},"deletes":{$delJson}}"""
+        s""""drift":{$driftJson},"deletes":{$delJson},""" +
+        s""""guard":{$guardJson}}"""
     Files.write(Paths.get("ann_quality.json"),
       json.getBytes(StandardCharsets.UTF_8))
     println(json)
