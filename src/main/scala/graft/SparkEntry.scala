@@ -1225,6 +1225,28 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    // ML: FILTERED hybrid retrieval — the same fused query scoped to
+    // lang = 'en' documents via attribute columns persisted in BOTH
+    // indexes (candidates restricted per leg, scoring stats stay
+    // corpus-global — the per-index filtered-search convention).
+    "q_hybrid_filtered" -> ((s, dir) => {
+      val tIdx = java.nio.file.Files.createTempDirectory("hybft").toString
+      val aIdx = java.nio.file.Files.createTempDirectory("hybfa").toString
+      val docs = t(s, dir, "documents")
+      TextIndex.saveTextIndex(docs, "doc_id", "text", tIdx,
+        attrCols = Seq("lang"))
+      val embA = t(s, dir, "embeddings")
+        .join(docs.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      Similarity.saveIvfIndex(embA, "vec_id", "embedding",
+        numCentroids = 8, aIdx, attrCols = Seq("lang"))
+      graft.ml.Hybrid.hybridSearchPersisted(s, tIdx, aIdx,
+          Seq("stream", "join", "filter"),
+          t(s, dir, "embeddings").filter(col("vec_id") === 0L),
+          "vec_id", "embedding", nProbe = 8, kLex = 20, kVec = 20, k = 10,
+          where = Some(col("lang") === "en"))
+        .orderBy(col("rk"))
+    }),
+
     // ML: BATCHED hybrid retrieval — three queries (mixed per-query term
     // lists, vector = the embedding row sharing the query id) amortized
     // over ONE union-pruned postings pass and ONE probed-partition ANN
@@ -3934,6 +3956,74 @@ object SparkEntry {
          |p AS (
          |  SELECT c.vec_id AS doc_id, ${dCosine("q.e", "c.e")} AS cosine
          |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id, vec_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS vec_rk
+         |    FROM p)
+         |  WHERE vec_rk <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, ve.doc_id) AS doc_id,
+         |    COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(l.lex_rk AS DOUBLE)))
+         |      AS BIGINT), 0) +
+         |    COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(ve.vec_rk AS DOUBLE)))
+         |      AS BIGINT), 0) AS rrf_micro,
+         |    COALESCE(l.lex_rk, 0) AS lex_rk,
+         |    COALESCE(ve.vec_rk, 0) AS vec_rk
+         |  FROM lex l FULL OUTER JOIN vec ve ON l.doc_id = ve.doc_id)
+         |SELECT doc_id, rrf_micro, lex_rk, vec_rk, CAST(row_number() OVER (
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_hybrid_filtered" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS contrib
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'stream' THEN contrib END) AS c1,
+         |    max(CASE WHEN term = 'join' THEN contrib END) AS c2,
+         |    max(CASE WHEN term = 'filter' THEN contrib END) AS c3
+         |  FROM per GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, CAST(floor(
+         |      (COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+         |      * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM piv
+         |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+         |lex AS (
+         |  SELECT doc_id, lex_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
+         |    FROM sc)
+         |  WHERE lex_rk <= 20),
+         |v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT c.vec_id AS doc_id, ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |  JOIN documents dd ON c.vec_id = dd.doc_id AND dd.lang = 'en'
          |  WHERE q.vec_id = 0),
          |vec AS (
          |  SELECT doc_id, vec_rk FROM (

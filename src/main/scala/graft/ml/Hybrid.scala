@@ -102,6 +102,13 @@ object Hybrid {
     * half of the query; `nProbe = numCentroids` makes the vector leg
     * exact (every list probed) and the whole fusion equal to
     * [[hybridSearch]] — the parity the spec pins.
+    *
+    * `where` = FILTERED hybrid search over attribute columns BOTH
+    * indexes persisted at build (`attrCols` on each): the predicate
+    * restricts each leg's candidates under that leg's global scoring
+    * statistics (the per-index filtered-search convention), so the
+    * fusion ranks only matching documents — metadata-scoped retrieval
+    * ("only lang = 'en'", "only this tenant") without a corpus pass.
     */
   def hybridSearchPersisted(spark: SparkSession, textIndexPath: String,
                             annIndexPath: String, queryTerms: Seq[String],
@@ -109,12 +116,13 @@ object Hybrid {
                             vecCol: String, nProbe: Int,
                             kLex: Int = 20, kVec: Int = 20, k: Int = 10,
                             kk: Int = 60, wLex: Double = 1.0,
-                            wVec: Double = 1.0): DataFrame = {
+                            wVec: Double = 1.0,
+                            where: Option[Column] = None): DataFrame = {
     val lex = TextIndex.bm25SearchPersisted(spark, textIndexPath,
-        queryTerms, kLex)
+        queryTerms, kLex, where = where)
       .select(col("doc_id"), col("rk"))
     val vec = Similarity.ivfSearchPersisted(spark, annIndexPath, queries,
-        vecIdCol, vecCol, k = kVec, nProbe = nProbe)
+        vecIdCol, vecCol, k = kVec, nProbe = nProbe, where = where)
       .select(col("n_id").as("doc_id"), col("rk"))
     rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
   }
@@ -168,13 +176,13 @@ object Hybrid {
                                  vecIdCol: String, vecCol: String,
                                  nProbe: Int, kLex: Int = 20,
                                  kVec: Int = 20, k: Int = 10, kk: Int = 60,
-                                 wLex: Double = 1.0,
-                                 wVec: Double = 1.0): DataFrame = {
+                                 wLex: Double = 1.0, wVec: Double = 1.0,
+                                 where: Option[Column] = None): DataFrame = {
     val lex = TextIndex.bm25SearchPersistedBatch(spark, textIndexPath,
-        queryTerms, kLex)
+        queryTerms, kLex, where = where)
       .select(col("q_id"), col("doc_id"), col("rk"))
     val vec = Similarity.ivfSearchPersisted(spark, annIndexPath, queries,
-        vecIdCol, vecCol, k = kVec, nProbe = nProbe)
+        vecIdCol, vecCol, k = kVec, nProbe = nProbe, where = where)
       .select(col("q_id"), col("n_id").as("doc_id"), col("rk"))
     rrfFuse2PerQuery(lex, vec, "doc_id", k, kk, wLex, wVec)
   }

@@ -434,8 +434,8 @@ object TextIndex {
     */
   def bm25SearchPersistedBatch(spark: SparkSession, path: String,
                                queryTerms: DataFrame, kLex: Int,
-                               k1: Double = 1.2,
-                               b: Double = 0.75): DataFrame = {
+                               k1: Double = 1.2, b: Double = 0.75,
+                               where: Option[Column] = None): DataFrame = {
     val (nDocs, sumDl, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
@@ -452,6 +452,9 @@ object TextIndex {
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     val all = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // `where` restricts CANDIDATES under corpus-global df/N/avgdl — the
+    // same filtered-search convention as the single-query path
+    val live = where.map(all.filter).getOrElse(all)
     val dfreq = all.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = sumDl.toDouble / nDocs.toDouble
     val idf = log(lit(1.0) +
@@ -459,7 +462,7 @@ object TextIndex {
         (col("df").cast("double") + lit(0.5)))
     val denom = col("tf").cast("double") +
       lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
-    val perTerm = all.join(broadcast(dfreq), "term")
+    val perTerm = live.join(broadcast(dfreq), "term")
       .withColumn("c_micro",
         floor(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom *
           lit(1000000.0)).cast("long"))

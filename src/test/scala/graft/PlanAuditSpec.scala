@@ -46,9 +46,11 @@ class PlanAuditSpec extends SparkSuite {
     // the id equi-key over ≤(kLex+kVec) rows — verified via ExplainDump
     // (r13), not BNLJ.
     "q_hybrid_rrf", "q_hybrid_persisted",
-    // batched hybrid: the vec leg is the same ≤8-row centroid cross
-    // join as q_sim_ivf_persisted; fusion and lex legs are equi-joins
-    "q_hybrid_batch")
+    // batched/filtered hybrid: the vec leg is the same ≤8-row centroid
+    // cross join as q_sim_ivf_persisted (filtered adds only an
+    // attribute predicate on the probed scan); fusion and lex legs are
+    // equi-joins
+    "q_hybrid_batch", "q_hybrid_filtered")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

