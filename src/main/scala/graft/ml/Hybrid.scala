@@ -127,6 +127,37 @@ object Hybrid {
     rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
   }
 
+  /** Hybrid over a STREAMING-MAINTAINED vector index: the
+    * [[graft.streaming.StreamOps.annIndexStream]] layout is IVF-PQ
+    * (codes only), so the vector leg ranks by ADC
+    * ([[Similarity.ivfPqSearchPersisted]]). RRF consumes rank-only
+    * information, so the fusion contract is unchanged — the ADC
+    * approximation moves ranks, not the algebra. `rerank` +
+    * `rerankCorpus` upgrades the leg to exact (L2²) ranks over an
+    * R-deep shortlist when recall matters more than the codes-only read.
+    * Together with [[graft.streaming.StreamOps.textIndexStream]] this
+    * serves hybrid queries from two indexes that were never batch-built.
+    */
+  def hybridSearchPersistedPq(spark: SparkSession, textIndexPath: String,
+                              annPqIndexPath: String,
+                              queryTerms: Seq[String], queries: DataFrame,
+                              vecIdCol: String, vecCol: String,
+                              nProbe: Int, kLex: Int = 20, kVec: Int = 20,
+                              k: Int = 10, kk: Int = 60,
+                              wLex: Double = 1.0, wVec: Double = 1.0,
+                              rerank: Int = 0,
+                              rerankCorpus: Option[DataFrame] = None)
+      : DataFrame = {
+    val lex = TextIndex.bm25SearchPersisted(spark, textIndexPath,
+        queryTerms, kLex)
+      .select(col("doc_id"), col("rk"))
+    val vec = Similarity.ivfPqSearchPersisted(spark, annPqIndexPath,
+        queries, vecIdCol, vecCol, k = kVec, nProbe = nProbe,
+        rerank = rerank, rerankCorpus = rerankCorpus)
+      .select(col("n_id").as("doc_id"), col("rk"))
+    rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
+  }
+
   /** Per-query RRF fusion of two BATCHED rank lists — each
     * (q_id, idCol, rk) with 1-based per-query ranks. Same missing-rank
     * treatment and integer micro-grid as [[rrfFuse2]]; every stage is

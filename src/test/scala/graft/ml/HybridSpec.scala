@@ -69,6 +69,70 @@ class HybridSpec extends SparkSuite {
     assert(fused == expect)
   }
 
+  test("hybrid served from two STREAMING-MAINTAINED indexes (text + " +
+      "IVF-PQ) with a CDC delete equals the by-hand fusion over the " +
+      "live corpus") {
+    import graft.streaming.StreamOps
+    val tIdx = java.nio.file.Files.createTempDirectory("hybs-txt").toString
+    val aIdx = java.nio.file.Files.createTempDirectory("hybs-ann").toString
+    // three micro-batches per index: bootstrap, append, CDC-delete of
+    // doc/vec 1 arriving together with fresh adds
+    val dBatches = Seq(
+      docs.filter($"doc_id" < 3).withColumn("op", lit("add")),
+      docs.filter($"doc_id" >= 3 && $"doc_id" < 6)
+        .withColumn("op", lit("add")),
+      docs.filter($"doc_id" >= 6).withColumn("op", lit("add"))
+        .unionByName(docs.filter($"doc_id" === 1L)
+          .withColumn("op", lit("delete"))))
+    val eBatches = Seq(
+      embeddings.filter($"vec_id" < 3).withColumn("op", lit("add")),
+      embeddings.filter($"vec_id" >= 3 && $"vec_id" < 6)
+        .withColumn("op", lit("add")),
+      embeddings.filter($"vec_id" >= 6).withColumn("op", lit("add"))
+        .unionByName(embeddings.filter($"vec_id" === 1L)
+          .withColumn("op", lit("delete"))))
+    dBatches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.processTextIndexBatch(b, i.toLong, "doc_id", "text",
+        tIdx, numBuckets = 8, opCol = Some("op")) }
+    eBatches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.processAnnIndexBatch(b, i.toLong, "vec_id", "embedding",
+        aIdx, numCentroids = 2, numSubspaces = 4, pqCentroids = 2,
+        dim = 8, residual = false, opCol = Some("op")) }
+    val liveEmb = embeddings.filter($"vec_id" =!= 1L)
+    val q = embeddings.filter($"vec_id" === 0L)
+    // exact vector leg: full probes + full-depth exact rerank against
+    // the live raw vectors (the PQ index stores codes only)
+    val fused = Hybrid.hybridSearchPersistedPq(spark, tIdx, aIdx, terms,
+        q, "vec_id", "embedding", nProbe = 2, kLex = 5, kVec = 5, k = 8,
+        rerank = 8, rerankCorpus = Some(liveEmb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(!fused.exists(_._1 == 1L), "CDC-deleted doc in fused result")
+    // expected: BM25 ranks over live docs (ad-hoc) + exact L2 ranks over
+    // live embeddings, RRF-fused by hand
+    val liveDocs = docs.filter($"doc_id" =!= 1L)
+    val lexTop = TextRank.bm25Scores(liveDocs, "doc_id", "text", terms)
+      .orderBy($"score_micro".desc, $"doc_id".asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val qv = q.collect()(0).getAs[Seq[Float]]("embedding").toArray
+    val vecTop = liveEmb.filter($"vec_id" =!= 0L).collect()
+      .map { r =>
+        val v = r.getAs[Seq[Float]]("embedding").toArray
+        val d = v.indices.map(i => (qv(i) - v(i)).toDouble)
+          .map(x => x * x).sum
+        (r.getLong(0), d)
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    def c(r: Long) = math.floor(1000000.0 / (60.0 + r)).toLong
+    val lexRk = lexTop.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val vecRk = vecTop.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val expect = (lexRk.keySet ++ vecRk.keySet).toSeq.map { d =>
+      (d, lexRk.get(d).map(c).getOrElse(0L) + vecRk.get(d).map(c).getOrElse(0L),
+        lexRk.getOrElse(d, 0L), vecRk.getOrElse(d, 0L))
+    }.sortBy { case (d, s, _, _) => (-s, d) }
+      .zipWithIndex.map { case ((d, s, l, v), i) => (d, s, l, v, i + 1L) }
+    assert(fused == expect)
+  }
+
   test("filtered hybrid: every fused result satisfies the predicate and " +
       "equals fusing the two filtered legs") {
     val tIdx = java.nio.file.Files.createTempDirectory("hybf-txt").toString
