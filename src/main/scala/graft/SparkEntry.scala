@@ -1225,6 +1225,25 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    // ML: THREE-LEG blend — lexical + vector + a query-independent
+    // length prior (top-20 by n_chars, the corpus-prior slot recency or
+    // quality scores fill in production) at half weight, fused through
+    // the N-leg union+hash-agg RRF (one keyed shuffle regardless of N).
+    "q_hybrid_prior" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("doc_id"), col("rk"))
+      graft.ml.Hybrid.hybridSearchWithPrior(docs, "doc_id", "text",
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          Seq("stream", "join", "filter"), queryVecId = 0L,
+          prior = prior, kLex = 20, kVec = 20, k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // ML: FILTERED hybrid retrieval — the same fused query scoped to
     // lang = 'en' documents via attribute columns persisted in BOTH
     // indexes (candidates restricted per leg, scoring stats stay
@@ -3973,6 +3992,92 @@ object SparkEntry {
          |    COALESCE(ve.vec_rk, 0) AS vec_rk
          |  FROM lex l FULL OUTER JOIN vec ve ON l.doc_id = ve.doc_id)
          |SELECT doc_id, rrf_micro, lex_rk, vec_rk, CAST(row_number() OVER (
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_hybrid_prior" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS contrib
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'stream' THEN contrib END) AS c1,
+         |    max(CASE WHEN term = 'join' THEN contrib END) AS c2,
+         |    max(CASE WHEN term = 'filter' THEN contrib END) AS c3
+         |  FROM per GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, CAST(floor(
+         |      (COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+         |      * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM piv),
+         |lex AS (
+         |  SELECT doc_id, lex_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
+         |    FROM sc)
+         |  WHERE lex_rk <= 20),
+         |v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT c.vec_id AS doc_id, ${dCosine("q.e", "c.e")} AS cosine
+         |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id, vec_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS vec_rk
+         |    FROM p)
+         |  WHERE vec_rk <= 20),
+         |pr AS (
+         |  SELECT doc_id, p_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS p_rk
+         |    FROM documents)
+         |  WHERE p_rk <= 20),
+         |legs AS (
+         |  SELECT doc_id, 0 AS leg, lex_rk AS lrk,
+         |    CAST(floor(1000000.0 / (60.0 + CAST(lex_rk AS DOUBLE)))
+         |      AS BIGINT) AS c
+         |  FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1, vec_rk,
+         |    CAST(floor(1000000.0 / (60.0 + CAST(vec_rk AS DOUBLE))) AS BIGINT)
+         |  FROM vec
+         |  UNION ALL
+         |  SELECT doc_id, 2, p_rk,
+         |    CAST(floor(500000.0 / (60.0 + CAST(p_rk AS DOUBLE))) AS BIGINT)
+         |  FROM pr),
+         |fused AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         |    CAST(COALESCE(max(CASE WHEN leg = 0 THEN lrk END), 0)
+         |      AS BIGINT) AS leg0_rk,
+         |    CAST(COALESCE(max(CASE WHEN leg = 1 THEN lrk END), 0)
+         |      AS BIGINT) AS leg1_rk,
+         |    CAST(COALESCE(max(CASE WHEN leg = 2 THEN lrk END), 0)
+         |      AS BIGINT) AS leg2_rk
+         |  FROM legs GROUP BY 1)
+         |SELECT doc_id, rrf_micro, leg0_rk, leg1_rk, leg2_rk,
+         |  CAST(row_number() OVER (
          |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
          |FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
 

@@ -33,29 +33,49 @@ object Hybrid {
         .cast("long"),
       lit(0L))
 
-  /** Fuse two rank lists (each `(idCol, rkCol)` with 1-based ranks;
-    * anything beyond the caller's top-k must already be absent). Full
-    * outer on the id: a doc found by only one leg keeps that leg's
-    * contribution (the other's is 0) — RRF's standard missing-rank
-    * treatment. Returns (idCol, rrf_micro, lex_rk, vec_rk, rk), ranks
-    * 0 where a leg missed, ties broken by id.
+  /** Fuse N rank lists by weighted RRF — each leg `(idCol, rk)` with
+    * 1-based ranks (anything beyond that leg's top-k must already be
+    * absent), weight w_i. ONE union + ONE hash aggregation regardless
+    * of N — never a chain of N−1 outer joins — so at scale the fusion
+    * is a single keyed shuffle of Σ|leg_i| ≤ Σ k_i rows with map-side
+    * partials. Returns (idCol, rrf_micro, leg0_rk … leg{N−1}_rk, rk ≤
+    * k); a doc absent from leg i carries leg{i}_rk = 0 (RRF's standard
+    * missing-rank treatment), ties broken by id.
+    */
+  def rrfFuseN(legs: Seq[DataFrame], idCol: String, k: Int,
+               kk: Int = 60, weights: Seq[Double] = Nil): DataFrame = {
+    require(legs.nonEmpty, "at least one leg")
+    val ws = if (weights.isEmpty) Seq.fill(legs.size)(1.0) else weights
+    require(ws.size == legs.size, "one weight per leg")
+    val tagged = legs.zip(ws).zipWithIndex.map { case ((df, w), i) =>
+      df.select(col(idCol).as("_id"), col("rk").cast("long").as("_rk"),
+        lit(i).as("_leg"), contrib(col("rk"), kk, w).as("_c"))
+    }.reduce(_ unionByName _)
+    val aggCols = sum(col("_c")).as("rrf_micro") +:
+      legs.indices.map(i =>
+        coalesce(max(when(col("_leg") === i, col("_rk"))), lit(0L))
+          .as(s"leg${i}_rk"))
+    val fused = tagged.groupBy(col("_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val top = fused.orderBy(col("rrf_micro").desc, col("_id").asc).limit(k)
+    // ≤ k rows — the bounded-input unpartitioned window (house convention)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("_id").asc)).cast("long"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Two-leg RRF with the classic (lex_rk, vec_rk) output names —
+    * delegates to [[rrfFuseN]]. Returns (idCol, rrf_micro, lex_rk,
+    * vec_rk, rk), ranks 0 where a leg missed, ties broken by id.
     */
   def rrfFuse2(lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
                kk: Int = 60, wLex: Double = 1.0,
-               wVec: Double = 1.0): DataFrame = {
-    val l = lex.select(col(idCol).as("_id"), col("rk").as("_lex_rk"))
-    val v = vec.select(col(idCol).as("_vid"), col("rk").as("_vec_rk"))
-    val fused = l.join(v, l("_id") === v("_vid"), "full_outer")
-      .select(coalesce(col("_id"), col("_vid")).as(idCol),
-        (contrib(col("_lex_rk"), kk, wLex) +
-          contrib(col("_vec_rk"), kk, wVec)).as("rrf_micro"),
-        coalesce(col("_lex_rk").cast("long"), lit(0L)).as("lex_rk"),
-        coalesce(col("_vec_rk").cast("long"), lit(0L)).as("vec_rk"))
-    val top = fused.orderBy(col("rrf_micro").desc, col(idCol).asc).limit(k)
-    // ≤ k rows — the bounded-input unpartitioned window (house convention)
-    top.withColumn("rk", row_number().over(
-      Window.orderBy(col("rrf_micro").desc, col(idCol).asc)).cast("long"))
-  }
+               wVec: Double = 1.0): DataFrame =
+    rrfFuseN(Seq(lex.select(col(idCol), col("rk")),
+        vec.select(col(idCol), col("rk"))), idCol, k, kk,
+        Seq(wLex, wVec))
+      .withColumnRenamed("leg0_rk", "lex_rk")
+      .withColumnRenamed("leg1_rk", "vec_rk")
 
   /** Rank the ad-hoc BM25 scores: (doc_id, rk), deterministic ties on
     * the gridded score then the id. Ranks assigned over the ≤ kLex
@@ -90,6 +110,31 @@ object Hybrid {
         vecIdCol, vecCol, kVec)
       .select(col("n_id").as("doc_id"), col("rk"))
     rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
+  }
+
+  /** Three-leg ad-hoc blend: lexical + vector + a STATIC PRIOR — any
+    * query-independent per-doc ranking (recency, quality score,
+    * popularity, length) supplied as `(docIdCol, rk)` rows. The
+    * standard search-engine shape: two dynamic relevance signals fused
+    * with a corpus prior at a lower weight, all through the same
+    * [[rrfFuseN]] grid arithmetic. Returns (docIdCol, rrf_micro,
+    * leg0_rk=lex, leg1_rk=vec, leg2_rk=prior, rk).
+    */
+  def hybridSearchWithPrior(docs: DataFrame, docIdCol: String,
+                            textCol: String, embeddings: DataFrame,
+                            vecIdCol: String, vecCol: String,
+                            queryTerms: Seq[String], queryVecId: Long,
+                            prior: DataFrame, kLex: Int = 20,
+                            kVec: Int = 20, k: Int = 10, kk: Int = 60,
+                            wLex: Double = 1.0, wVec: Double = 1.0,
+                            wPrior: Double = 0.5): DataFrame = {
+    val lex = lexRanks(docs, docIdCol, textCol, queryTerms, kLex)
+    val vec = Similarity.knnBruteForce(embeddings,
+        embeddings.filter(col(vecIdCol) === queryVecId),
+        vecIdCol, vecCol, kVec)
+      .select(col("n_id").as(docIdCol), col("rk"))
+    rrfFuseN(Seq(lex, vec, prior.select(col(docIdCol), col("rk"))),
+      docIdCol, k, kk, Seq(wLex, wVec, wPrior))
   }
 
   /** The production shape: both legs served from PERSISTED indexes — the

@@ -50,7 +50,10 @@ class PlanAuditSpec extends SparkSuite {
     // cross join as q_sim_ivf_persisted (filtered adds only an
     // attribute predicate on the probed scan); fusion and lex legs are
     // equi-joins
-    "q_hybrid_batch", "q_hybrid_filtered")
+    "q_hybrid_batch", "q_hybrid_filtered",
+    // prior blend: the vec leg is knnBruteForce's 1-row broadcast query
+    // (as q_hybrid_rrf); the 3-leg fusion is a union + hash aggregate
+    "q_hybrid_prior")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -44,6 +44,28 @@ class HybridSpec extends SparkSuite {
       (12L, 16129L, 0L, 2L, 3L)))         // vec-only survivor
   }
 
+  test("rrfFuseN: three weighted legs by hand; rrfFuse2 delegation keeps " +
+      "the classic column names") {
+    val a = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rk")
+    val b = Seq((11L, 1L)).toDF("doc_id", "rk")
+    val p = Seq((12L, 1L), (10L, 2L)).toDF("doc_id", "rk")
+    val out = Hybrid.rrfFuseN(Seq(a, b, p), "doc_id", k = 10,
+        weights = Seq(1.0, 1.0, 0.5))
+      .orderBy($"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // contributions: w=1: rank1 16393, rank2 16129; w=0.5: rank1
+    // floor(5e5/61)=8196, rank2 floor(5e5/62)=8064
+    assert(out.toSeq == Seq(
+      (11L, 16129L + 16393L, 2L, 1L, 0L, 1L), // legs a + b = 32522
+      (10L, 16393L + 8064L, 1L, 0L, 2L, 2L),  // legs a + prior = 24457
+      (12L, 8196L, 0L, 0L, 1L, 3L)))          // prior-only survivor
+    // delegation: same fixture through rrfFuse2 keeps lex_rk/vec_rk
+    val two = Hybrid.rrfFuse2(a, b, "doc_id", k = 10)
+    assert(two.columns.toSeq ==
+      Seq("doc_id", "rrf_micro", "lex_rk", "vec_rk", "rk"))
+  }
+
   test("hybridSearch equals a by-hand fusion of its two legs") {
     val fused = Hybrid.hybridSearch(docs, "doc_id", "text",
         embeddings, "vec_id", "embedding", terms, queryVecId = 0L,
