@@ -1225,6 +1225,19 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    // ML: BATCHED phrase search — four phrases (incl. a repeated-term
+    // overlap case and a single-term degenerate) answered from ONE
+    // union-pruned positional-postings pass; the phrase structure
+    // travels as data, the adjacency check is one HOF per doc.
+    "q_text_phrase_batch" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("phrbidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.phraseSearchPersistedBatch(s, idx, Seq(
+          0L -> Seq("table", "scan"), 1L -> Seq("join", "order"),
+          2L -> Seq("table", "table"), 3L -> Seq("scan")))
+        .orderBy(col("p_id"), col("doc_id"))
+    }),
+
     // ML: THREE-LEG blend — lexical + vector + a query-independent
     // length prior (top-20 by n_chars, the corpus-prior slot recency or
     // quality scores fill in production) at half weight, fused through
@@ -3994,6 +4007,35 @@ object SparkEntry {
          |SELECT doc_id, rrf_micro, lex_rk, vec_rk, CAST(row_number() OVER (
          |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
          |FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_text_phrase_batch" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT CAST(0 AS BIGINT) AS p_id, doc_id,
+        |    CAST(len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'table' AND toks[i+1] = 'scan')) AS BIGINT)
+        |      AS phrase_tf
+        |  FROM tk
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), doc_id,
+        |    CAST(len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'join' AND toks[i+1] = 'order')) AS BIGINT)
+        |  FROM tk
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), doc_id,
+        |    CAST(len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'table' AND toks[i+1] = 'table')) AS BIGINT)
+        |  FROM tk
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), doc_id,
+        |    CAST(len(list_filter(range(1, len(toks) + 1),
+        |      i -> toks[i] = 'scan')) AS BIGINT)
+        |  FROM tk)
+        |SELECT p_id, doc_id, phrase_tf FROM hits
+        |WHERE phrase_tf > 0 ORDER BY p_id, doc_id""".stripMargin,
 
     "q_hybrid_prior" ->
       s"""WITH tk AS (

@@ -526,6 +526,59 @@ object TextIndex {
     * Returns (doc_id, phrase_tf), phrase_tf ≥ 1. A single-term "phrase"
     * degenerates to that term's tf.
     */
+  /** Batched phrase search: N phrases — `(p_id, tokens)` pairs — in ONE
+    * pruned postings pass over the union of all phrases' terms, the
+    * batch twin of [[phraseSearchPersisted]]. The phrase structure
+    * travels as DATA (a (p_id, slot, term) frame joined to the
+    * postings), so the adjacency check is a single HOF over the slot-0
+    * positions with a `forall` across the collected slot array — no
+    * per-phrase plan branches, no repeated index reads. Repeated-term
+    * phrases ("table table") collect the same positions under both
+    * slots; overlapping occurrences count, exactly as the single-phrase
+    * path. Returns (p_id, doc_id, phrase_tf), phrase_tf ≥ 1.
+    */
+  def phraseSearchPersistedBatch(spark: SparkSession, path: String,
+      phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "phrases must be non-empty")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val slots = phrases.flatMap { case (pid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (pid, i, t) } }
+      .toDF("p_id", "slot", "term")
+    val nSlots = phrases.map { case (pid, ts) => (pid, ts.length.toLong) }
+      .toDF("p_id", "n_slots")
+    val terms = phrases.flatMap(_._2).distinct
+    val bks = terms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(terms: _*))
+    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // collapse duplicate live rows per (doc, term) first — same
+    // at-least-once degradation contract as the single-phrase path
+    val perTerm = live.groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(array_distinct(flatten(
+        collect_list(col("positions"))))).as("positions"))
+    val byPd = perTerm.join(slots, "term")
+      .groupBy(col("p_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("slot"),
+          col("positions")))).as("sl"),
+        count(lit(1)).as("present"))
+      .join(nSlots, "p_id")
+      // every slot of the phrase must be present in the doc
+      .filter(col("present") === col("n_slots"))
+    val chain = filter(element_at(col("sl"), 1).getField("positions"),
+      p => forall(col("sl"), s =>
+        (s.getField("slot") === 0) ||
+          array_contains(s.getField("positions"), p + s.getField("slot"))))
+    byPd.select(col("p_id"), col("doc_id"),
+        size(chain).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+  }
+
   def phraseSearchPersisted(spark: SparkSession, path: String,
                             phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")

@@ -225,6 +225,28 @@ class TextIndexSpec extends SparkSuite {
     assert(phrase("quick", "fox") == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("batched phrase search equals the single-phrase path per phrase, " +
+      "including repeated-term and single-term degenerates") {
+    val idx = tmp("txtphb")
+    val corpus = Seq(
+      (0L, "the quick fox jumps the quick fox runs"),
+      (1L, "quick brown fox"),
+      (2L, "a quick fox"),
+      (3L, "fox quick fox quick"),
+      (4L, "quick quick quick")).toDF("doc_id", "text")
+    TextIndex.saveTextIndex(corpus, "doc_id", "text", idx, numBuckets = 8)
+    val phrases = Seq(0L -> Seq("quick", "fox"), 1L -> Seq("quick", "quick"),
+      2L -> Seq("fox"), 3L -> Seq("the", "quick", "fox"))
+    val batch = TextIndex.phraseSearchPersistedBatch(spark, idx, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    phrases.foreach { case (pid, ph) =>
+      val single = TextIndex.phraseSearchPersisted(spark, idx, ph)
+        .collect().map(r => (pid, r.getLong(0)) -> r.getLong(1)).toMap
+      assert(batch.filter(_._1._1 == pid) == single,
+        s"phrase $pid ($ph) batch != single")
+    }
+  }
+
   test("phrase search survives duplicate live posting rows (at-least-once " +
       "re-append): positions collapse, counts stay exact") {
     val idx = tmp("txtdup")
