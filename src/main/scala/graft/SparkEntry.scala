@@ -1300,6 +1300,76 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: FACET panel — matching-doc counts per language for a term
+    // query, served from the pruned postings (attrs ride in the posting
+    // rows; the corpus is never re-read).
+    "q_text_facets" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("fctidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx, attrCols = Seq("lang"))
+      TextIndex.facetCounts(s, idx, Seq("stream", "join", "filter"), "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // ML: BATCHED facet panels — three term queries' source-facet counts
+    // from ONE union-pruned postings pass (one keyed shuffle, not three
+    // index reads).
+    "q_text_facets_batch" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("fctbidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx, attrCols = Seq("source"))
+      import s.implicits._
+      val qs = Seq((0L, "stream"), (0L, "join"), (1L, "filter"),
+          (1L, "table"), (2L, "scan"))
+        .toDF("q_id", "term")
+      TextIndex.facetCountsBatch(s, idx, qs, "source")
+        .orderBy(col("q_id"), col("source"))
+    }),
+
+    // ML: SNIPPET windows — per matching doc the best 8-token window
+    // (max distinct query terms covered, ties to the earliest start),
+    // computed entirely from the positional postings.
+    "q_text_snippet" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("snpidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.snippetWindows(s, idx,
+          Seq("stream", "join", "filter"), width = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ML: FUZZY term lookup — vocabulary terms within edit distance 1 of
+    // the TYPO 'strean' (-> 'stream'), via the SymSpell deletion-neighborhood dictionary (two
+    // bucket-pruned equi-joins + exact verify on candidates only, never
+    // a vocabulary scan).
+    "q_text_fuzzy" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("fzidx").toString
+      val dict = java.nio.file.Files.createTempDirectory("fzdict").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.saveTermDict(s, idx, dict)
+      TextIndex.fuzzyTermsPersisted(s, dict, "strean")
+        .orderBy(col("term"))
+    }),
+
+    // ML: MORE-LIKE-THIS — doc 42's top-3 tf·idf terms (idf from the
+    // index) become a BM25 query; top-10 non-source docs.
+    "q_text_mlt" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("mltidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.moreLikeThisPersisted(s, idx, t(s, dir, "documents"),
+          "doc_id", "text", docId = 42L, mTerms = 3, k = 10)
+        .orderBy(col("rk"))
+    }),
+
+    // ML: COLLOCATIONS — top-20 within-2-token ordered pairs by PMI on
+    // the 10⁻⁶ grid (corpus phrase discovery; one sort per doc, two hash
+    // aggregates, a TakeOrdered answer).
+    "q_text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"),
+          "doc_id", "text", window = 2, minCount = 2, topK = 20)
+        .select(col("left").as("w1"), col("right").as("w2"),
+          col("n_pair"), col("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)),
+
     // A9: pivot — event counts per user cohort, one column per type.
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2015,6 +2085,64 @@ object SparkEntry {
         TextIndex.phraseSearchPersisted(s, idx.asInstanceOf[String],
             Seq("table", "scan"))
           .orderBy(col("doc_id"))),
+    "q_text_facets" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("fctidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          idx, attrCols = Seq("lang"))
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.facetCounts(s, idx.asInstanceOf[String],
+            Seq("stream", "join", "filter"), "lang")
+          .orderBy(col("lang"))),
+    "q_text_facets_batch" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("fctbidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          idx, attrCols = Seq("source"))
+        idx
+      },
+      search = (s, _, idx) => {
+        val sp = s; import sp.implicits._
+        val qs = Seq((0L, "stream"), (0L, "join"), (1L, "filter"),
+            (1L, "table"), (2L, "scan"))
+          .toDF("q_id", "term")
+        TextIndex.facetCountsBatch(s, idx.asInstanceOf[String], qs, "source")
+          .orderBy(col("q_id"), col("source"))
+      }),
+    "q_text_snippet" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("snpidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.snippetWindows(s, idx.asInstanceOf[String],
+            Seq("stream", "join", "filter"), width = 8)
+          .orderBy(col("doc_id"))),
+    "q_text_fuzzy" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("fzidx").toString
+        val dict = java.nio.file.Files.createTempDirectory("fzdict").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        TextIndex.saveTermDict(s, idx, dict)
+        dict
+      },
+      search = (s, _, dict) =>
+        TextIndex.fuzzyTermsPersisted(s, dict.asInstanceOf[String], "strean")
+          .orderBy(col("term"))),
+    "q_text_mlt" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("mltidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, dir, idx) =>
+        TextIndex.moreLikeThisPersisted(s, idx.asInstanceOf[String],
+            t(s, dir, "documents"), "doc_id", "text",
+            docId = 42L, mTerms = 3, k = 10)
+          .orderBy(col("rk"))),
     "q_sim_radius_persisted" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("radidx").toString
@@ -4260,6 +4388,163 @@ object SparkEntry {
          |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk
          |  FROM fused)
          |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+
+    // Facet panel: docs containing >= 1 query term, counted per lang.
+    "q_text_facets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT DISTINCT doc_id, lang
+        |  FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter'))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Batched facet panels: per-query matching docs counted per source.
+    "q_text_facets_batch" ->
+      """WITH q AS (
+        |  SELECT CAST(qi AS BIGINT) AS q_id, term
+        |  FROM (VALUES (0, 'stream'), (0, 'join'), (1, 'filter'),
+        |    (1, 'table'), (2, 'scan')) x(qi, term)),
+        |tk AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT DISTINCT q_id, doc_id, source
+        |  FROM (SELECT doc_id, source, unnest(toks) AS term FROM tk) t
+        |  JOIN q USING (term))
+        |SELECT q_id, source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM m GROUP BY 1, 2 ORDER BY q_id, source""".stripMargin,
+
+    // Snippet windows: the oracle re-derives the best-window selection
+    // (max distinct query terms in [p, p+8), tie to smallest p, anchors
+    // at query-term occurrences) from the tokenized text.
+    "q_text_snippet" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+        |    FROM tk)
+        |  WHERE u.term IN ('stream', 'join', 'filter')),
+        |cov AS (
+        |  SELECT a.doc_id, a.pos AS win_start,
+        |    count(DISTINCT b.term) AS n_terms
+        |  FROM occ a JOIN occ b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, n_terms, win_start, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY n_terms DESC, win_start ASC) AS rn
+        |  FROM cov)
+        |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(win_start AS BIGINT) AS win_start
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Fuzzy terms: brute-force edit-distance over the vocabulary — the
+    // oracle scans what the deletion-neighborhood join prunes.
+    "q_text_fuzzy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1)
+        |SELECT term, df, CAST(levenshtein(term, 'strean') AS BIGINT) AS dist
+        |FROM vocab WHERE levenshtein(term, 'strean') <= 1
+        |ORDER BY term""".stripMargin,
+
+    // More-like-this: doc 42's top-3 tf·idf terms (idf on the corpus,
+    // micro-grid, ties to the smaller term), then the per-term-floored
+    // BM25 sum (order-free exact) over those terms, source doc excluded.
+    "q_text_mlt" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |src AS (
+         |  SELECT term, count(*) AS tf
+         |  FROM (SELECT unnest(toks) AS term FROM tk WHERE doc_id = 42)
+         |  GROUP BY 1),
+         |srcdf AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |  WHERE term IN (SELECT term FROM src) GROUP BY 1),
+         |qt AS (
+         |  SELECT term FROM (
+         |    SELECT s.term, CAST(floor(CAST(s.tf AS DOUBLE) *
+         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+         |               (CAST(f.df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT)
+         |      AS tfidf_micro
+         |    FROM src s JOIN srcdf f USING (term) CROSS JOIN consts)
+         |  ORDER BY tfidf_micro DESC, term ASC LIMIT 3),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, term, CAST(floor(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+         |    * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM per WHERE doc_id != 42 GROUP BY 1)
+         |SELECT doc_id, score_micro, CAST(row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // Collocations: ordered within-2 pairs, PMI on the 10^-6 grid with
+    // the exact multiplication order the Spark side uses.
+    "q_text_collocations" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+        |    FROM tk)),
+        |uni AS (SELECT w, count(*) AS c_w FROM occ GROUP BY 1),
+        |ntok AS (SELECT count(*) AS n_tok FROM occ),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2
+        |  FROM occ a JOIN occ b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 2),
+        |pc AS (
+        |  SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |np AS (SELECT count(*) AS n_pair_total FROM pairs)
+        |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(floor(ln(
+        |    (CAST(n_pair AS DOUBLE) * CAST(n_tok AS DOUBLE) *
+        |     CAST(n_tok AS DOUBLE)) /
+        |    (CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE) *
+        |     CAST(n_pair_total AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |    AS pmi_micro
+        |FROM pc
+        |JOIN uni ua ON pc.w1 = ua.w
+        |JOIN uni ub ON pc.w2 = ub.w
+        |CROSS JOIN np CROSS JOIN ntok
+        |ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 10 AS cohort,

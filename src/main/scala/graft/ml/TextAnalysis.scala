@@ -382,6 +382,61 @@ object TextAnalysis {
         concat_ws(" ", col("__chunk")).as("chunk"))
   }
 
+  /** COLLOCATIONS — corpus-level co-occurrence mining: ordered token
+    * pairs `(left, right)` where right follows left within `window`
+    * positions, scored by pointwise mutual information. The classic
+    * phrase-discovery / "statistically surprising neighbor" op (Church &
+    * Hanks 1990): PMI = ln(P(ab) / (P(a)·P(b))) with P(ab) from the
+    * windowed pair counts and P(·) from unigram counts.
+    *
+    * Scale shape: ONE sort per document (window partitioned by doc id,
+    * ordered by position) feeds `window` codegen'd `lead`s — pair
+    * generation is linear in corpus tokens × window with no self-join
+    * and no per-token interpreted lambda; pair and unigram counts are
+    * map-side-combined hash aggregates; the answer is a TakeOrdered of
+    * `topK` rows. `minCount` bounds the tail before ranking.
+    *
+    * Determinism: pmi_micro = floor(ln(num/den)·10⁶) with num/den built
+    * from exact BIGINTs in a fixed multiplication order — the house
+    * "ln on the 10⁻⁶ grid" convention, mirrored verbatim by the oracle.
+    * Returns (left, right, n_pair, pmi_micro), ties to (left, right).
+    */
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 2, minCount: Long = 2,
+      topK: Int = 20): DataFrame = {
+    require(window >= 1 && topK >= 1, "window and topK must be >= 1")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val tk = docs.select(col(idCol).as("__d"),
+        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+    val uni = tk.groupBy(col("__w").as("w")).agg(count(lit(1)).as("c_w"))
+    val nTok = tk.agg(count(lit(1)).as("n_tok"))
+    val spec = W.partitionBy(col("__d")).orderBy(col("__p"))
+    val pairs = tk
+      .select(col("__w").as("left"),
+        array((1 to window).map(d =>
+          lead(col("__w"), d).over(spec)): _*).as("__r"))
+      .select(col("left"), explode(col("__r")).as("right"))
+      .filter(col("right").isNotNull)
+    val pairCounts = pairs.groupBy(col("left"), col("right"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nPair = pairs.agg(count(lit(1)).as("n_pair_total"))
+    val num = col("n_pair").cast("double") *
+      col("n_tok").cast("double") * col("n_tok").cast("double")
+    val den = col("c_a").cast("double") *
+      col("c_b").cast("double") * col("n_pair_total").cast("double")
+    // unigram side is the vocabulary — ≪ corpus but NOT broadcast-safe
+    // by contract at 100 TB; keyed joins, AQE picks broadcast when small
+    pairCounts
+      .join(uni.select(col("w").as("left"), col("c_w").as("c_a")), "left")
+      .join(uni.select(col("w").as("right"), col("c_w").as("c_b")), "right")
+      .crossJoin(broadcast(nPair)).crossJoin(broadcast(nTok))
+      .select(col("left"), col("right"), col("n_pair"),
+        floor(log(num / den) * lit(1000000.0)).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("left").asc, col("right").asc)
+      .limit(topK)
+  }
+
   /** All text-analysis columns applied to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

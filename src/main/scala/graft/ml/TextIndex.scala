@@ -506,6 +506,97 @@ object TextIndex {
       .groupBy(col(facetCol)).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** BATCHED facet panels: N term queries — `(q_id, term)` rows — against
+    * one build-time attribute column, answered from ONE union-pruned
+    * postings pass (the facet twin of [[bm25SearchPersistedBatch]]). A
+    * doc counts under `(q_id, facet)` when it contains ≥ 1 of that
+    * query's terms and is live. The per-query match sets dedupe through
+    * a single distinct on `(q_id, doc_id, facet)` — one keyed shuffle
+    * regardless of N, never N separate index reads. Returns
+    * (q_id, facetCol, n_docs).
+    */
+  def facetCountsBatch(spark: SparkSession, path: String,
+                       queries: DataFrame, facetCol: String): DataFrame = {
+    require(readAttrs(spark, path).contains(facetCol),
+      s"facet column '$facetCol' was not persisted at build " +
+        s"(attrCols = ${readAttrs(spark, path).mkString(",")})")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val qt = queries.select(col("q_id"), col("term")).distinct()
+    // the batch's term vocabulary: driver-bounded by contract (a query
+    // workload's distinct terms), the static-IN-list pruning lever
+    val terms = qt.select("term").distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "queries must be non-empty")
+    val bks = terms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(terms: _*))
+    IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+      .join(broadcast(qt), "term")
+      .select(col("q_id"), col("doc_id"), col(facetCol)).distinct()
+      .groupBy(col("q_id"), col(facetCol))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** SNIPPET windows — the highlighting primitive: for every matching
+    * live doc, the best fixed-width token window, where best maximizes
+    * the number of DISTINCT query terms whose occurrence falls inside
+    * `[start, start + width)` and ties break to the smallest start (the
+    * earliest densest passage). Computed ENTIRELY from the pruned
+    * positional postings — the corpus text is never re-read; callers
+    * join `doc_id` back to storage for the final k docs only, which is
+    * the part that stays cheap at 100 TB.
+    *
+    * Only window starts anchored at an occurrence of a query term need
+    * checking (any other window's coverage is dominated by sliding
+    * right to its first contained occurrence), so per doc the work is
+    * |occurrences of query terms|² in the worst case over BOUNDED
+    * arrays — the HOF lambdas evaluate interpreted (Spark HOFs don't
+    * codegen) but only ever touch the query terms' postings, the same
+    * contract as the phrase path. Returns
+    * (doc_id, n_terms, win_start), n_terms ≥ 1.
+    */
+  def snippetWindows(spark: SparkSession, path: String,
+                     queryTerms: Seq[String], width: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    require(width >= 1, "width must be >= 1")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val bks = queryTerms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(queryTerms: _*))
+    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // duplicate live rows per (doc, term) collapse first — the same
+    // at-least-once degradation contract as the phrase paths
+    val byDoc = live.groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(array_distinct(flatten(
+        collect_list(col("positions"))))).as("positions"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("positions"))).as("tl"))
+    // candidate anchors = every occurrence of any query term; coverage
+    // of the window starting at anchor p = #terms with an occurrence in
+    // [p, p+width). array_max over struct(cov, -start) picks max
+    // coverage then min start — one pass, no per-doc sort.
+    val anchors = array_distinct(flatten(transform(col("tl"),
+      s => s.getField("positions"))))
+    val scored = transform(anchors, p => struct(
+      size(filter(col("tl"), s => exists(s.getField("positions"),
+        q => q >= p && q < p + lit(width)))).as("cov"),
+      (-p).as("neg_start")))
+    val best = array_max(scored)
+    byDoc.select(col("doc_id"),
+      best.getField("cov").cast("long").as("n_terms"),
+      (-best.getField("neg_start")).cast("long").as("win_start"))
+  }
+
   /** PHRASE search against the positional postings: documents where the
     * terms occur CONSECUTIVELY, with the exact occurrence count —
     * `phrase_tf = |{p : p ∈ pos(t₀) ∧ p+1 ∈ pos(t₁) ∧ …}|`. Bag-of-words
@@ -616,5 +707,173 @@ object TextIndex {
         .foldLeft(lit(true))(_ && _))
     byDoc.select(col("doc_id"), size(chain).cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
+  }
+
+  // ------------------------------------------------------------------
+  // Fuzzy term matching: SymSpell-style deletion-neighborhood dictionary
+  // ------------------------------------------------------------------
+
+  private val DictPointer = "dict.current"
+  private val DictStats = "_dict_stats"
+
+  /** Deletion variants of a term at depth 1: the term itself plus every
+    * single-character deletion, distinct ("aa" deletes to "a" once).
+    * Runs over the VOCABULARY (|distinct terms| rows), never the corpus,
+    * so the interpreted HOF is off the hot path by construction.
+    */
+  private def deletionVariants(term: Column): Column =
+    array_distinct(concat(array(term),
+      transform(sequence(lit(0), length(term) - 1), i =>
+        concat(term.substr(lit(1), i), term.substr(i + lit(2), length(term))))))
+
+  /** Build the FUZZY TERM DICTIONARY — a derived artifact of a text
+    * index: one pass over the live postings collapses them to the term
+    * vocabulary `(term, df)`, each term expands to its depth-1 deletion
+    * neighborhood, and the `(variant, term, df)` rows land bucketed by
+    * `pmod(xxhash64(variant), numBuckets)` so a lookup reads only the
+    * query's variants' buckets (static pruning, the house pattern).
+    *
+    * SymSpell's observation makes edit-distance-1 lookup a pair of
+    * equi-joins instead of a vocabulary scan: `d(q,t) ≤ 1` implies the
+    * depth-1 deletion neighborhoods of q and t intersect (equal → the
+    * strings themselves; substitution → deleting the differing position
+    * on both sides; insertion/deletion → the longer side's deletion).
+    * The neighborhood join is a NECESSARY filter that also admits a few
+    * distance-2 pairs (e.g. "ab"→"ba" via ∅); candidates verify with
+    * exact `levenshtein` — on the candidate set only, never the
+    * vocabulary.
+    *
+    * Derived-artifact contract: rebuilt after index mutations (build /
+    * append / delete / compact) — df and membership are as-of build
+    * time; publication is the same generation-pointer swap as
+    * [[compactTextIndex]] (write `dict.genN`, then flip `dict.current`),
+    * so concurrent readers never see a half-written dictionary. The
+    * vocabulary is |distinct terms| ≪ corpus and each term yields
+    * ≤ len+1 variants, so the artifact stays small even at 100 TB.
+    */
+  def saveTermDict(spark: SparkSession, idxPath: String, dictPath: String,
+                   numBuckets: Int = 64): Unit = {
+    val idxDir = activeDataDir(spark, idxPath)
+    val posts = IndexTombstones.applyDeletes(spark, idxPath,
+      spark.read.parquet(s"$idxDir/postings"), "doc_id")
+    val vocab = posts.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val fs = fsOf(spark, dictPath)
+    val cur = IndexTombstones.readSmallFile(fs,
+      new org.apache.hadoop.fs.Path(s"$dictPath/$DictPointer"))
+    val gen = cur.map(_.stripPrefix("dict.gen").toInt).getOrElse(-1)
+    val nextName = s"dict.gen${gen + 1}"
+    vocab.select(explode(deletionVariants(col("term"))).as("variant"),
+        col("term"), col("df"))
+      .withColumn("bucket", termBucket(col("variant"), numBuckets))
+      .repartition(numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dictPath/$nextName")
+    val nTerms = spark.read.parquet(s"$dictPath/$nextName")
+      .select("term").distinct().count()
+    atomicWrite(spark, dictPath, DictStats, s"$nTerms $numBuckets")
+    atomicWrite(spark, dictPath, DictPointer, nextName)
+    cur.foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dictPath/$old"), true); ()
+    }
+  }
+
+  /** (nTerms, numBuckets) of a term dictionary. */
+  def readDictStats(spark: SparkSession, dictPath: String): (Long, Int) = {
+    val s = IndexTombstones.readSmallFile(fsOf(spark, dictPath),
+      new org.apache.hadoop.fs.Path(s"$dictPath/$DictStats"))
+      .getOrElse(sys.error(s"no $DictStats at $dictPath — not a term dict"))
+      .trim.split(" ")
+    (s(0).toLong, s(1).toInt)
+  }
+
+  /** Fuzzy term lookup: every dictionary term within edit distance
+    * `maxDist` of `query`, with its document frequency as of dictionary
+    * build. Depth-1 deletion neighborhoods support `maxDist = 1`
+    * exactly (deeper neighborhoods are the depth-d upgrade path). The
+    * query's ≤ len+1 variants are driver-computed literals — bucket
+    * pruning and the variant IN-list are static; the exact
+    * `levenshtein` verify touches candidates only. Returns
+    * (term, df, dist) — df as of build, dist ∈ {0, 1}.
+    */
+  def fuzzyTermsPersisted(spark: SparkSession, dictPath: String,
+                          query: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1,
+      "depth-1 deletion dictionary supports maxDist = 1 only")
+    require(query.nonEmpty, "query must be non-empty")
+    val (_, nb) = readDictStats(spark, dictPath)
+    val dir = {
+      val p = new org.apache.hadoop.fs.Path(s"$dictPath/$DictPointer")
+      IndexTombstones.readSmallFile(fsOf(spark, dictPath), p)
+        .map(n => s"$dictPath/$n")
+        .getOrElse(sys.error(s"no $DictPointer at $dictPath"))
+    }
+    val variants = (query +: query.indices.map(i =>
+      query.substring(0, i) + query.substring(i + 1))).distinct
+    import spark.implicits._
+    val bks = variants.toDF("v")
+      .select(termBucket(col("v"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("variant").isin(variants: _*))
+      .select(col("term"), col("df")).distinct()
+      .withColumn("dist", levenshtein(lit(query), col("term")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** MORE-LIKE-THIS: retrieve the docs most similar to a source doc by
+    * its own most distinctive vocabulary — the source doc's top-m
+    * tf·idf terms (idf deletion-exact from the index's live postings,
+    * scored on the 10⁻⁶ grid, ties to the lexicographically smaller
+    * term) become a BM25 query against the index, the source doc
+    * excluded from the answer.
+    *
+    * Scale shape: the source doc reads via predicate pushdown on its id
+    * (one row), its distinct terms are bounded by its length (the same
+    * driver-bounded contract as user query terms), df for those terms
+    * comes from the pruned postings read, and the search leg is
+    * [[bm25SearchPersistedBatch]] — per-term 10⁻⁶ floors before the
+    * order-free BIGINT sum, so the oracle needs no term-specific pivot.
+    * Returns (doc_id, score_micro, rk) over the non-source docs.
+    */
+  def moreLikeThisPersisted(spark: SparkSession, path: String,
+                            docs: DataFrame, idCol: String, textCol: String,
+                            docId: Long, mTerms: Int, k: Int): DataFrame = {
+    require(mTerms >= 1 && k >= 1, "mTerms and k must be >= 1")
+    val (nDocs, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val srcTf = docs.filter(col(idCol).cast("long") === docId)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // ≤ |distinct terms of one doc| — driver-bounded by contract
+    val terms = srcTf.select("term").as[String].collect().toSeq
+    require(terms.nonEmpty, s"doc $docId not found or empty")
+    val bks = terms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfreq = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val top = srcTf.join(dfreq, "term")
+      .withColumn("tfidf_micro",
+        floor(col("tf").cast("double") * idf * lit(1000000.0)).cast("long"))
+      .orderBy(col("tfidf_micro").desc, col("term").asc)
+      .limit(mTerms)
+      .select(lit(0L).as("q_id"), col("term"))
+    bm25SearchPersistedBatch(spark, path, top, kLex = k + 1)
+      .filter(col("doc_id") =!= docId)
+      .drop("q_id", "rk")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
   }
 }

@@ -53,7 +53,12 @@ class PlanAuditSpec extends SparkSuite {
     "q_hybrid_batch", "q_hybrid_filtered",
     // prior blend: the vec leg is knnBruteForce's 1-row broadcast query
     // (as q_hybrid_rrf); the 3-leg fusion is a union + hash aggregate
-    "q_hybrid_prior")
+    "q_hybrid_prior",
+    // collocations: the two 1-row corpus-constant frames (total tokens,
+    // total pairs) broadcast into the PMI projection — the
+    // corpus-constant single-row pattern, same as q_corpus_report; the
+    // unigram joins are keyed equi-joins
+    "q_text_collocations")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1,0 +1,186 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Round-13 search-surface operators on the persisted text index:
+  * batched facet panels, snippet windows, the SymSpell fuzzy-term
+  * dictionary, more-like-this, and corpus collocations.
+  */
+class TextSearchOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  // ---------------------------------------------------------------- facets
+
+  private val facetDocs = Seq(
+    (0L, "fox dog", "en"), (1L, "fox", "en"),
+    (2L, "dog", "de"), (3L, "cat", "de"), (4L, "bird", "fr"))
+    .toDF("doc_id", "text", "lang")
+
+  test("facetCountsBatch matches per-query facetCounts and respects deletes") {
+    val idx = tmp("fctidx")
+    TextIndex.saveTextIndex(facetDocs, "doc_id", "text", idx,
+      numBuckets = 4, attrCols = Seq("lang"))
+    val qs = Seq((0L, "fox"), (1L, "dog"), (1L, "cat")).toDF("q_id", "term")
+    val batch = TextIndex.facetCountsBatch(spark, idx, qs, "lang")
+      .orderBy($"q_id", $"lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(batch == Seq((0L, "en", 2L), (1L, "de", 2L), (1L, "en", 1L)))
+    // parity with N single-query panels
+    for ((qid, ts) <- Seq(0L -> Seq("fox"), 1L -> Seq("dog", "cat"))) {
+      val single = TextIndex.facetCounts(spark, idx, ts, "lang")
+        .orderBy($"lang")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(single == batch.filter(_._1 == qid).map(t => (t._2, t._3)))
+    }
+    // a deleted doc leaves every panel it matched
+    TextIndex.deleteFromTextIndex(spark, idx, Seq(0L).toDF("doc_id"), "doc_id")
+    val after = TextIndex.facetCountsBatch(spark, idx, qs, "lang")
+      .orderBy($"q_id", $"lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after == Seq((0L, "en", 1L), (1L, "de", 2L)))
+  }
+
+  test("facetCountsBatch rejects a facet column not persisted at build") {
+    val idx = tmp("fctbad")
+    TextIndex.saveTextIndex(facetDocs, "doc_id", "text", idx, numBuckets = 4)
+    val qs = Seq((0L, "fox")).toDF("q_id", "term")
+    intercept[IllegalArgumentException] {
+      TextIndex.facetCountsBatch(spark, idx, qs, "lang")
+    }
+  }
+
+  // -------------------------------------------------------------- snippets
+
+  test("snippetWindows picks the densest window, earliest on ties") {
+    val docs = Seq(
+      // anchors 1,4,5,7: [4,8) covers q2,q1,q3 — the unique best
+      (0L, "x q1 x x q2 q1 x q3"),
+      // all of [0,3) [2,5) [4,7) cover two terms — earliest start wins
+      (1L, "q1 x q2 x q1 x q2"),
+      // no query term at all — absent from the answer
+      (2L, "y y y")).toDF("doc_id", "text")
+    val idx = tmp("snpidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val w4 = TextIndex.snippetWindows(spark, idx, Seq("q1", "q2", "q3"), 4)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(w4.head == ((0L, 3L, 4L)))
+    val w3 = TextIndex.snippetWindows(spark, idx, Seq("q1", "q2", "q3"), 3)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(w3 == Seq((0L, 2L, 4L), (1L, 2L, 0L)))
+    assert(!w4.exists(_._1 == 2L))
+  }
+
+  test("snippetWindows width 1 degenerates to first single occurrence") {
+    val docs = Seq((0L, "a b c b")).toDF("doc_id", "text")
+    val idx = tmp("snp1")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    val r = TextIndex.snippetWindows(spark, idx, Seq("b", "c"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r == Seq((0L, 1L, 1L)))
+  }
+
+  // ----------------------------------------------------------- fuzzy terms
+
+  test("fuzzy lookup finds exactly the edit-distance-1 vocabulary") {
+    val docs = Seq(
+      (0L, "stream stream processing"), (1L, "steam rises"),
+      (2L, "streams of data"), (3L, "a scream outside"),
+      (4L, "a dream inside"), (5L, "stream again"))
+      .toDF("doc_id", "text")
+    val idx = tmp("fzidx"); val dict = tmp("fzdict")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 4)
+    val r = TextIndex.fuzzyTermsPersisted(spark, dict, "stream")
+      .orderBy($"term")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // equal, deletion ("steam"), insertion ("streams"), substitution
+    // ("scream"); "dream" is distance 2 and must NOT appear
+    assert(r == Seq(("scream", 1L), ("steam", 1L), ("stream", 2L),
+      ("streams", 1L)).map { case (t, df) =>
+      (t, df, if (t == "stream") 0L else 1L) })
+  }
+
+  test("term dict rebuild flips the generation and refreshes df") {
+    val docs = Seq((0L, "fox"), (1L, "fox box")).toDF("doc_id", "text")
+    val idx = tmp("fzgen"); val dict = tmp("fzgdict")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 2)
+    val before = TextIndex.fuzzyTermsPersisted(spark, dict, "fox")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(before == Set(("fox", 2L), ("box", 1L)))
+    TextIndex.deleteFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 2)
+    val after = TextIndex.fuzzyTermsPersisted(spark, dict, "fox")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == Set(("fox", 1L)))
+    val (nTerms, _) = TextIndex.readDictStats(spark, dict)
+    assert(nTerms == 1L)
+  }
+
+  // -------------------------------------------------------- more-like-this
+
+  test("moreLikeThis retrieves term-sharing docs, source excluded") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta delta"),
+      (2L, "gamma gamma zeta"), (3L, "omega psi"))
+      .toDF("doc_id", "text")
+    val idx = tmp("mltidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val r = TextIndex.moreLikeThisPersisted(spark, idx, docs,
+        "doc_id", "text", docId = 0L, mTerms = 2, k = 3)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // doc 0's terms tie on tf·idf (tf 1, df 2 each) → lexicographic
+    // pick "alpha","beta"; only doc 1 contains them; never doc 0 itself
+    assert(r == Seq((1L, 1L)))
+  }
+
+  test("moreLikeThis keeps k answers when the source doc ranks inside top k") {
+    val docs = Seq(
+      (0L, "red blue"), (1L, "red blue"), (2L, "red blue"), (3L, "red"))
+      .toDF("doc_id", "text")
+    val idx = tmp("mltk")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val r = TextIndex.moreLikeThisPersisted(spark, idx, docs,
+        "doc_id", "text", docId = 0L, mTerms = 2, k = 2)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(r == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  // ---------------------------------------------------------- collocations
+
+  test("collocations: directed windowed pairs, PMI grid, minCount") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(docs, window = 1, minCount = 2,
+        topK = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // pairs: (a,b)x3, (b,a)x1, (b,c)x1 — only (a,b) survives minCount.
+    // uni a:3 b:3 c:1, n_tok 7, pairs total 5.
+    val pmi = math.floor(
+      math.log((3.0 * 7.0 * 7.0) / (3.0 * 3.0 * 5.0)) * 1e6).toLong
+    assert(r == Seq(("a", "b", 3L, pmi)))
+  }
+
+  test("collocations window spans gaps but never documents") {
+    val docs = Seq((0L, "x y"), (1L, "y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(docs, window = 2, minCount = 1,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // window 2 could reach across docs if the partition were wrong
+    assert(r == Set(("x", "y", 1L), ("y", "z", 1L)))
+    val wide = TextAnalysis.collocations(
+        Seq((0L, "p q r")).toDF("doc_id", "text"),
+        window = 2, minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(wide == Set(("p", "q"), ("p", "r"), ("q", "r")))
+  }
+}
