@@ -1350,6 +1350,44 @@ object SparkEntry {
         .orderBy(col("term"))
     }),
 
+    // ML: AUTOCOMPLETE — top-5 completions of prefix 's' by document
+    // frequency from the dictionary's prefix-partitioned term table
+    // (one partition dir read + pushed range predicate, never a
+    // vocabulary scan).
+    "q_text_suggest" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("sgidx").toString
+      val dict = java.nio.file.Files.createTempDirectory("sgdict").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.saveTermDict(s, idx, dict)
+      TextIndex.suggestTerms(s, dict, "s", k = 5)
+        .orderBy(col("df").desc, col("term").asc)
+    }),
+
+    // ML: REGEX search served from the INDEX — docs containing >= 1
+    // vocabulary term matching '^s.*a' (anchored literal prefix prunes
+    // the term table; the regex runs over surviving terms; matched
+    // terms drive the pruned postings read — grep semantics, index
+    // cost).
+    "q_text_regex" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("rgidx").toString
+      val dict = java.nio.file.Files.createTempDirectory("rgdict").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.saveTermDict(s, idx, dict)
+      TextIndex.regexDocSearch(s, idx, dict, "^s.*a")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ML: SNIPPET TEXT — the top-10 docs' best windows materialized as
+    // text: only those 10 ids re-read from the corpus (literal IN-list
+    // pushdown), window tokens sliced back out.
+    "q_text_snippet_text" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("snptidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.snippetText(s, idx, t(s, dir, "documents"), "doc_id",
+          "text", Seq("stream", "join", "filter"), width = 8, k = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: MORE-LIKE-THIS — doc 42's top-3 tf·idf terms (idf from the
     // index) become a BM25 query; top-10 non-source docs.
     "q_text_mlt" -> ((s, dir) => {
@@ -2132,6 +2170,41 @@ object SparkEntry {
       search = (s, _, dict) =>
         TextIndex.fuzzyTermsPersisted(s, dict.asInstanceOf[String], "strean")
           .orderBy(col("term"))),
+    "q_text_suggest" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("sgidx").toString
+        val dict = java.nio.file.Files.createTempDirectory("sgdict").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        TextIndex.saveTermDict(s, idx, dict)
+        dict
+      },
+      search = (s, _, dict) =>
+        TextIndex.suggestTerms(s, dict.asInstanceOf[String], "s", k = 5)
+          .orderBy(col("df").desc, col("term").asc)),
+    "q_text_regex" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("rgidx").toString
+        val dict = java.nio.file.Files.createTempDirectory("rgdict").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        TextIndex.saveTermDict(s, idx, dict)
+        (idx, dict)
+      },
+      search = (s, _, art) => {
+        val (idx, dict) = art.asInstanceOf[(String, String)]
+        TextIndex.regexDocSearch(s, idx, dict, "^s.*a")
+          .orderBy(col("doc_id"))
+      }),
+    "q_text_snippet_text" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("snptidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, dir, idx) =>
+        TextIndex.snippetText(s, idx.asInstanceOf[String],
+            t(s, dir, "documents"), "doc_id", "text",
+            Seq("stream", "join", "filter"), width = 8, k = 10)
+          .orderBy(col("doc_id"))),
     "q_text_mlt" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("mltidx").toString
@@ -4460,6 +4533,68 @@ object SparkEntry {
         |SELECT term, df, CAST(levenshtein(term, 'strean') AS BIGINT) AS dist
         |FROM vocab WHERE levenshtein(term, 'strean') <= 1
         |ORDER BY term""".stripMargin,
+
+    // Autocomplete: prefix completions by df, the oracle from the
+    // tokenized corpus.
+    "q_text_suggest" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1)
+        |SELECT term, df FROM vocab WHERE term LIKE 's%'
+        |ORDER BY df DESC, term ASC LIMIT 5""".stripMargin,
+
+    // Regex doc search: matching vocabulary terms, then per-doc distinct
+    // matched terms and summed occurrences.
+    "q_text_regex" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM occ
+        |  WHERE regexp_matches(term, '^s.*a') GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(tf) AS BIGINT) AS tf_sum
+        |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Snippet text: the top-10 best windows (as q_text_snippet), window
+    // tokens sliced back out of the tokenized text.
+    "q_text_snippet_text" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+        |    FROM tk)
+        |  WHERE u.term IN ('stream', 'join', 'filter')),
+        |cov AS (
+        |  SELECT a.doc_id, a.pos AS win_start,
+        |    count(DISTINCT b.term) AS n_terms
+        |  FROM occ a JOIN occ b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, n_terms, win_start, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY n_terms DESC, win_start ASC) AS rn
+        |  FROM cov),
+        |sel AS (
+        |  SELECT doc_id, n_terms, win_start FROM best WHERE rn = 1
+        |  ORDER BY n_terms DESC, doc_id ASC LIMIT 10)
+        |SELECT s.doc_id, CAST(s.n_terms AS BIGINT) AS n_terms,
+        |  CAST(s.win_start AS BIGINT) AS win_start,
+        |  array_to_string(
+        |    tk.toks[CAST(s.win_start + 1 AS BIGINT):CAST(s.win_start + 8 AS BIGINT)],
+        |    ' ') AS snippet
+        |FROM sel s JOIN tk ON s.doc_id = tk.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     // More-like-this: doc 42's top-3 tf·idf terms (idf on the corpus,
     // micro-grid, ties to the smaller term), then the per-term-floored

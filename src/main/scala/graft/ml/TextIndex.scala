@@ -768,14 +768,29 @@ object TextIndex {
       .withColumn("bucket", termBucket(col("variant"), numBuckets))
       .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dictPath/$nextName")
-    val nTerms = spark.read.parquet(s"$dictPath/$nextName")
-      .select("term").distinct().count()
+      .parquet(s"$dictPath/$nextName/variants")
+    // prefix-partitioned plain term table (one dir per leading char):
+    // the autocomplete / leading-literal-regex read path — a prefix
+    // query prunes to ONE partition directory statically, and the
+    // `startsWith` range predicate pushes into the parquet scan
+    vocab.select(col("term"), col("df"),
+        substring(col("term"), 1, 1).as("p1"))
+      .repartition(col("p1"))
+      .write.mode("overwrite").partitionBy("p1")
+      .parquet(s"$dictPath/$nextName/terms")
+    val nTerms = spark.read.parquet(s"$dictPath/$nextName/terms").count()
     atomicWrite(spark, dictPath, DictStats, s"$nTerms $numBuckets")
     atomicWrite(spark, dictPath, DictPointer, nextName)
     cur.foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dictPath/$old"), true); ()
     }
+  }
+
+  private def activeDictDir(spark: SparkSession, dictPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dictPath/$DictPointer")
+    IndexTombstones.readSmallFile(fsOf(spark, dictPath), p)
+      .map(n => s"$dictPath/$n")
+      .getOrElse(sys.error(s"no $DictPointer at $dictPath"))
   }
 
   /** (nTerms, numBuckets) of a term dictionary. */
@@ -802,24 +817,129 @@ object TextIndex {
       "depth-1 deletion dictionary supports maxDist = 1 only")
     require(query.nonEmpty, "query must be non-empty")
     val (_, nb) = readDictStats(spark, dictPath)
-    val dir = {
-      val p = new org.apache.hadoop.fs.Path(s"$dictPath/$DictPointer")
-      IndexTombstones.readSmallFile(fsOf(spark, dictPath), p)
-        .map(n => s"$dictPath/$n")
-        .getOrElse(sys.error(s"no $DictPointer at $dictPath"))
-    }
+    val dir = activeDictDir(spark, dictPath)
     val variants = (query +: query.indices.map(i =>
       query.substring(0, i) + query.substring(i + 1))).distinct
     import spark.implicits._
     val bks = variants.toDF("v")
       .select(termBucket(col("v"), nb).as("b"))
       .distinct().as[Int].collect().toSeq
-    spark.read.parquet(dir)
+    spark.read.parquet(s"$dir/variants")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("variant").isin(variants: _*))
       .select(col("term"), col("df")).distinct()
       .withColumn("dist", levenshtein(lit(query), col("term")).cast("long"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** AUTOCOMPLETE — top-k vocabulary completions of a prefix, most
+    * frequent first (df desc, term asc): the search-box suggest
+    * primitive. Reads the dictionary's prefix-partitioned term table:
+    * the leading character prunes to ONE partition directory
+    * statically and `startsWith` pushes into the parquet scan as a
+    * string range predicate, so a suggestion never scans the
+    * vocabulary; the answer is a TakeOrdered of k rows. Returns
+    * (term, df).
+    */
+  def suggestTerms(spark: SparkSession, dictPath: String,
+                   prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty && k >= 1, "prefix must be non-empty, k >= 1")
+    val dir = activeDictDir(spark, dictPath)
+    spark.read.parquet(s"$dir/terms")
+      .filter(col("p1") === prefix.substring(0, 1))
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Longest literal prefix of an ANCHORED regex (`^literals...`):
+    * the term-table pruning lever for regex search. Empty when the
+    * pattern is unanchored or opens with a metacharacter.
+    */
+  private[ml] def literalPrefix(pattern: String): String =
+    if (!pattern.startsWith("^")) ""
+    else pattern.drop(1).takeWhile(c =>
+      !".[](){}\\*+?|^$".contains(c))
+
+  /** Vocabulary terms matching a regex, with df. The classic log-search
+    * "grep the index" path (the reference engine's text-filter queries
+    * degrade to regex over raw logs; an inverted index answers them
+    * from the dictionary): an anchored literal prefix prunes the term
+    * table to one partition + a pushed range predicate, and the regex
+    * evaluates over the surviving terms only — an unanchored pattern
+    * degrades to a full VOCABULARY scan (|vocab| ≪ corpus), never a
+    * corpus scan. Returns (term, df).
+    */
+  def regexTermMatches(spark: SparkSession, dictPath: String,
+                       pattern: String): DataFrame = {
+    val dir = activeDictDir(spark, dictPath)
+    val base = spark.read.parquet(s"$dir/terms")
+    val pre = literalPrefix(pattern)
+    val pruned =
+      if (pre.isEmpty) base
+      else base.filter(col("p1") === pre.substring(0, 1))
+        .filter(col("term").startsWith(pre))
+    pruned.filter(col("term").rlike(pattern)).select(col("term"), col("df"))
+  }
+
+  /** Regex DOCUMENT search served from the index: docs containing ≥ 1
+    * vocabulary term matching `pattern`, with how many distinct
+    * matching terms each contains and their summed tf. The matched
+    * term set collects to the driver (capped at `maxTerms` — fail
+    * loudly rather than ship an unbounded IN-list) and drives the same
+    * bucket-pruned postings read as every other search. Returns
+    * (doc_id, n_terms, tf_sum).
+    */
+  def regexDocSearch(spark: SparkSession, idxPath: String,
+                     dictPath: String, pattern: String,
+                     maxTerms: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val terms = regexTermMatches(spark, dictPath, pattern)
+      .select("term").as[String].limit(maxTerms + 1).collect().toSeq
+    require(terms.size <= maxTerms,
+      s"regex '$pattern' matches more than $maxTerms vocabulary terms — " +
+        "tighten the pattern or raise maxTerms")
+    if (terms.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("doc_id", "n_terms", "tf_sum")
+    val (_, _, nb) = readStats(spark, idxPath)
+    val dir = activeDataDir(spark, idxPath)
+    val bks = terms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(terms: _*))
+    IndexTombstones.applyDeletes(spark, idxPath, posts, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("tf_sum"))
+  }
+
+  /** SNIPPET TEXT for the TOP-k matching docs: [[snippetWindows]]'s
+    * best windows ranked (n_terms desc, doc_id asc), then ONLY those k
+    * docs' text re-read (literal id IN-list pushed into the corpus
+    * scan — the part that stays cheap at 100 TB) and the window's
+    * tokens sliced back out. Returns
+    * (doc_id, n_terms, win_start, snippet).
+    */
+  def snippetText(spark: SparkSession, path: String, docs: DataFrame,
+                  idCol: String, textCol: String, queryTerms: Seq[String],
+                  width: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import spark.implicits._
+    val top = snippetWindows(spark, path, queryTerms, width)
+      .orderBy(col("n_terms").desc, col("doc_id").asc)
+      .limit(k)
+    val ids = top.select("doc_id").as[Long].collect().toSeq
+    docs.filter(col(idCol).cast("long").isin(ids: _*))
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("n_terms"), col("win_start"),
+        concat_ws(" ", slice(col("__tk"),
+          (col("win_start") + 1).cast("int"), lit(width))).as("snippet"))
   }
 
   /** MORE-LIKE-THIS: retrieve the docs most similar to a source doc by

@@ -124,6 +124,85 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(nTerms == 1L)
   }
 
+  // ------------------------------------------------- suggest / regex / text
+
+  test("suggestTerms completes a prefix by df desc, term asc") {
+    val docs = Seq(
+      (0L, "spark stream spark"), (1L, "spark sort"), (2L, "sort stone"),
+      (3L, "other words")).toDF("doc_id", "text")
+    val idx = tmp("sgidx"); val dict = tmp("sgdict")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 4)
+    val r = TextIndex.suggestTerms(spark, dict, "s", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // df: sort 2, spark 2, stone 1, stream 1 → k=3 cuts at stone
+    assert(r == Seq(("sort", 2L), ("spark", 2L), ("stone", 1L)))
+    val st = TextIndex.suggestTerms(spark, dict, "st", 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(st == Seq("stone", "stream"))
+  }
+
+  test("regexDocSearch: anchored prefix pruning and per-doc term stats") {
+    val docs = Seq(
+      (0L, "scan scan small"), (1L, "slow sort"), (2L, "spark alpha"),
+      (3L, "beta")).toDF("doc_id", "text")
+    val idx = tmp("rgidx"); val dict = tmp("rgdict")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 4)
+    // ^s.*a: scan, small, spark — not slow/sort/alpha/beta
+    val terms = TextIndex.regexTermMatches(spark, dict, "^s.*a")
+      .collect().map(_.getString(0)).toSet
+    assert(terms == Set("scan", "small", "spark"))
+    val r = TextIndex.regexDocSearch(spark, idx, dict, "^s.*a")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r == Seq((0L, 2L, 3L), (2L, 1L, 1L)))
+    // unanchored pattern still answers (vocabulary-scan degradation)
+    val un = TextIndex.regexDocSearch(spark, idx, dict, "lpha$")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(un == Seq((2L, 1L)))
+    // no match → empty frame with the contract schema
+    assert(TextIndex.regexDocSearch(spark, idx, dict, "^zzz").count() == 0)
+  }
+
+  test("regexDocSearch fails loudly past the maxTerms IN-list cap") {
+    val docs = Seq((0L, "aa ab ac ad")).toDF("doc_id", "text")
+    val idx = tmp("rgcap"); val dict = tmp("rgcapd")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 2)
+    intercept[IllegalArgumentException] {
+      TextIndex.regexDocSearch(spark, idx, dict, "^a", maxTerms = 2)
+    }
+  }
+
+  test("literalPrefix extraction") {
+    assert(TextIndex.literalPrefix("^stream") == "stream")
+    assert(TextIndex.literalPrefix("^st.*m$") == "st")
+    assert(TextIndex.literalPrefix("st.*") == "")
+    assert(TextIndex.literalPrefix("^[sa]x") == "")
+    assert(TextIndex.literalPrefix("^a\\d+") == "a")
+  }
+
+  test("snippetText slices the winning window back out of the corpus") {
+    val docs = Seq(
+      (0L, "x q1 x x q2 q1 x q3"), (1L, "q1 only here"),
+      (2L, "nothing at all")).toDF("doc_id", "text")
+    val idx = tmp("snptidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val r = TextIndex.snippetText(spark, idx, docs, "doc_id", "text",
+        Seq("q1", "q2", "q3"), width = 4, k = 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(r == Seq((0L, 3L, 4L, "q2 q1 x q3")))
+    // k beyond matches: every matching doc text present, window clipped
+    // at the doc end
+    val all = TextIndex.snippetText(spark, idx, docs, "doc_id", "text",
+        Seq("q1", "q2", "q3"), width = 4, k = 10)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(all == Seq((0L, "q2 q1 x q3"), (1L, "q1 only here")))
+  }
+
   // -------------------------------------------------------- more-like-this
 
   test("moreLikeThis retrieves term-sharing docs, source excluded") {
