@@ -1350,6 +1350,46 @@ object SparkEntry {
         .orderBy(col("term"))
     }),
 
+    // ML: BOOLEAN search — must contain 'stream', none of 'table', and
+    // >= 1 of {join, filter}; BM25-ranked over the matching clause
+    // terms, one pruned postings pass for all three clauses.
+    "q_text_bool" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("boolidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.booleanSearchPersisted(s, idx, must = Seq("stream"),
+          should = Seq("join", "filter"), mustNot = Seq("table"),
+          k = 15, minShouldMatch = 1)
+        .orderBy(col("rk"))
+    }),
+
+    // ML: SEARCH-AFTER pagination — page 2 of the BM25 ranking via the
+    // keyset cursor of page 1's last row (no deep offset, no cursor
+    // state; page N = one index probe).
+    "q_text_search_after" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("saidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      val terms = Seq("stream", "join", "filter")
+      val p1 = TextIndex.bm25SearchPersisted(s, idx, terms, k = 10)
+        .orderBy(col("rk")).select("score_micro", "doc_id")
+        .collect()
+      val cur = p1.last
+      TextIndex.bm25SearchPersisted(s, idx, terms, k = 10,
+          after = Some((cur.getLong(0), cur.getLong(1))))
+        .select(col("doc_id"), col("score_micro"), col("rk"))
+        .orderBy(col("rk"))
+    }),
+
+    // ML: NUMERIC RANGE FACET — 64-char-wide n_chars histogram of the
+    // docs matching the term query, from the postings-resident attr.
+    "q_text_facet_hist" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("fhidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx, attrCols = Seq("n_chars"))
+      TextIndex.facetHistogram(s, idx, Seq("stream", "join", "filter"),
+          "n_chars", binWidth = 64L)
+        .orderBy(col("bin"))
+    }),
+
     // ML: AUTOCOMPLETE — top-5 completions of prefix 's' by document
     // frequency from the dictionary's prefix-partitioned term table
     // (one partition dir read + pushed range predicate, never a
@@ -2170,6 +2210,45 @@ object SparkEntry {
       search = (s, _, dict) =>
         TextIndex.fuzzyTermsPersisted(s, dict.asInstanceOf[String], "strean")
           .orderBy(col("term"))),
+    "q_text_bool" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("boolidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.booleanSearchPersisted(s, idx.asInstanceOf[String],
+            must = Seq("stream"), should = Seq("join", "filter"),
+            mustNot = Seq("table"), k = 15, minShouldMatch = 1)
+          .orderBy(col("rk"))),
+    "q_text_search_after" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("saidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, _, art) => {
+        val idx = art.asInstanceOf[String]
+        val terms = Seq("stream", "join", "filter")
+        val cur = TextIndex.bm25SearchPersisted(s, idx, terms, k = 10)
+          .orderBy(col("rk")).select("score_micro", "doc_id")
+          .collect().last
+        TextIndex.bm25SearchPersisted(s, idx, terms, k = 10,
+            after = Some((cur.getLong(0), cur.getLong(1))))
+          .select(col("doc_id"), col("score_micro"), col("rk"))
+          .orderBy(col("rk"))
+      }),
+    "q_text_facet_hist" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("fhidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          idx, attrCols = Seq("n_chars"))
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.facetHistogram(s, idx.asInstanceOf[String],
+            Seq("stream", "join", "filter"), "n_chars", binWidth = 64L)
+          .orderBy(col("bin"))),
     "q_text_suggest" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("sgidx").toString
@@ -4533,6 +4612,111 @@ object SparkEntry {
         |SELECT term, df, CAST(levenshtein(term, 'strean') AS BIGINT) AS dist
         |FROM vocab WHERE levenshtein(term, 'strean') <= 1
         |ORDER BY term""".stripMargin,
+
+    // Boolean search: clause logic over per-doc term presence, BM25 on
+    // the per-term micro grid (floors before the sum — order-free).
+    "q_text_bool" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('stream', 'join', 'filter', 'table')
+         |  GROUP BY 1, 2, 3),
+         |dfq AS (
+         |  SELECT term, count(*) AS df FROM tf
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1),
+         |per AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CASE WHEN dfq.df IS NOT NULL THEN CAST(floor(
+         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+         |               (CAST(dfq.df AS DOUBLE) + 0.5)) *
+         |      (CAST(tf.tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |      (CAST(tf.tf AS DOUBLE) + 1.2 *
+         |        (${1.0 - 0.75} + 0.75 * (CAST(tf.dl AS DOUBLE) / avgdl)))
+         |      * 1000000.0) AS BIGINT) ELSE 0 END AS c_micro
+         |  FROM tf LEFT JOIN dfq ON tf.term = dfq.term CROSS JOIN consts),
+         |agg AS (
+         |  SELECT doc_id,
+         |    count(DISTINCT CASE WHEN term = 'stream' THEN term END) AS n_must,
+         |    CAST(count(DISTINCT CASE WHEN term IN ('join', 'filter')
+         |      THEN term END) AS BIGINT) AS n_should,
+         |    count(DISTINCT CASE WHEN term = 'table' THEN term END) AS n_not,
+         |    CAST(sum(CASE WHEN term IN ('stream', 'join', 'filter')
+         |      THEN c_micro ELSE 0 END) AS BIGINT) AS score_micro
+         |  FROM per GROUP BY 1),
+         |kept AS (
+         |  SELECT doc_id, n_should, score_micro FROM agg
+         |  WHERE n_must = 1 AND n_not = 0 AND n_should >= 1)
+         |SELECT doc_id, n_should, score_micro, CAST(row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM kept ORDER BY score_micro DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // Search-after: global ranks 11..20 of the single-query BM25 grid
+    // (pivot-sum-then-floor, as q_text_bm25), re-ranked 1..10.
+    "q_text_search_after" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS contrib
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |piv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'stream' THEN contrib END) AS c1,
+         |    max(CASE WHEN term = 'join' THEN contrib END) AS c2,
+         |    max(CASE WHEN term = 'filter' THEN contrib END) AS c3
+         |  FROM per GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, CAST(floor(
+         |      (COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+         |      * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM piv),
+         |page AS (
+         |  SELECT doc_id, score_micro, row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id ASC) AS grk
+         |  FROM sc)
+         |SELECT doc_id, score_micro, CAST(grk - 10 AS BIGINT) AS rk
+         |FROM page WHERE grk > 10 AND grk <= 20 ORDER BY rk""".stripMargin,
+
+    // Numeric range facet: 64-wide n_chars histogram of matching docs.
+    "q_text_facet_hist" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT DISTINCT doc_id, n_chars
+        |  FROM (SELECT doc_id, n_chars, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter')),
+        |b AS (
+        |  SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 64.0) AS BIGINT) AS bin
+        |  FROM m)
+        |SELECT bin, bin * 64 AS lo, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // Autocomplete: prefix completions by df, the oracle from the
     // tokenized corpus.

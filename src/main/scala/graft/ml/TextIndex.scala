@@ -360,7 +360,8 @@ object TextIndex {
   def bm25SearchPersisted(spark: SparkSession, path: String,
                           queryTerms: Seq[String], k: Int,
                           k1: Double = 1.2, b: Double = 0.75,
-                          where: Option[Column] = None): DataFrame = {
+                          where: Option[Column] = None,
+                          after: Option[(Long, Long)] = None): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       "queryTerms must be non-empty and distinct")
     val (nDocs, sumDl, nb) = readStats(spark, path)
@@ -403,7 +404,18 @@ object TextIndex {
       .reduceLeft(_ + _) // left-to-right: fixed IEEE evaluation order
     val scored = pivoted.select(col("doc_id"),
       floor(total * lit(1000000.0)).cast("long").as("score_micro"))
-    val top = scored
+    // SEARCH-AFTER keyset pagination (the Elasticsearch `search_after`
+    // contract): `after = (score_micro, doc_id)` of the previous page's
+    // last row restricts to strictly-later rows in the total order
+    // (score desc, doc_id asc) BEFORE the bounded top-k selection —
+    // page N costs the same one index probe as page 1, with no
+    // deep-offset skip and no server-side cursor state.
+    val paged = after match {
+      case None => scored
+      case Some((s0, d0)) => scored.filter(col("score_micro") < s0 ||
+        (col("score_micro") === s0 && col("doc_id") > d0))
+    }
+    val top = paged
       .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
     // rank over the ≤ k survivors only — bounded input, the one place an
     // unpartitioned window is fine (house convention, Alerts.scala:204)
@@ -830,6 +842,114 @@ object TextIndex {
       .select(col("term"), col("df")).distinct()
       .withColumn("dist", levenshtein(lit(query), col("term")).cast("long"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** BOOLEAN query — the Lucene must / should / must_not contract with
+    * `minimum_should_match`, answered from ONE pruned postings pass
+    * over the union of all three clauses' terms:
+    *
+    *   - a doc qualifies iff it contains EVERY `must` term, NO
+    *     `mustNot` term, and ≥ `minShouldMatch` distinct `should`
+    *     terms (when `should` is empty the constraint is vacuous);
+    *   - the score is the BM25 sum over the doc's matching must+should
+    *     terms, per-term 10⁻⁶ floors before the BIGINT sum (the
+    *     order-free batch grid — oracles need no term pivot);
+    *   - mustNot terms never score; df/N/avgdl stay corpus-global.
+    *
+    * The clause flags ride the per-term rows into a single hash
+    * aggregate (conditional counts + conditional sum) — clause logic
+    * adds no join and no extra shuffle over plain BM25. Returns
+    * (doc_id, n_should, score_micro, rk).
+    */
+  def booleanSearchPersisted(spark: SparkSession, path: String,
+                             must: Seq[String], should: Seq[String],
+                             mustNot: Seq[String], k: Int,
+                             minShouldMatch: Int = 0,
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val all = (must ++ should ++ mustNot).distinct
+    require(all.nonEmpty, "at least one clause term required")
+    require(must.intersect(mustNot).isEmpty && should.intersect(mustNot).isEmpty,
+      "mustNot terms cannot also be must/should")
+    require(must.intersect(should).isEmpty,
+      "a term cannot be both must and should")
+    val (nDocs, sumDl, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val bks = all.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(all: _*))
+    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val scoring = must ++ should
+    val dfreq = live.filter(col("term").isin(scoring: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
+    val flagged = live
+      .join(broadcast(dfreq), Seq("term"), "left")
+      .withColumn("c_micro", when(col("df").isNotNull,
+        floor(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom *
+          lit(1000000.0)).cast("long")).otherwise(lit(0L)))
+    val byDoc = flagged.groupBy(col("doc_id")).agg(
+      count_distinct(when(col("term").isin(must: _*), col("term")))
+        .as("n_must"),
+      count_distinct(when(col("term").isin(should: _*), col("term")))
+        .as("n_should"),
+      count_distinct(when(col("term").isin(mustNot: _*), col("term")))
+        .as("n_not"),
+      sum(when(col("term").isin(scoring: _*), col("c_micro"))
+        .otherwise(lit(0L))).as("score_micro"))
+    val kept = byDoc
+      .filter(col("n_must") === must.distinct.size)
+      .filter(col("n_not") === 0)
+      .filter(if (should.isEmpty) lit(true)
+        else col("n_should") >= minShouldMatch)
+      .select(col("doc_id"), col("n_should"), col("score_micro"))
+    val top = kept
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+      .cast("long"))
+  }
+
+  /** NUMERIC RANGE FACET — the histogram panel over a build-time
+    * numeric attribute of the matching docs (Elasticsearch's histogram
+    * aggregation on a filtered query): matching live docs dedupe to
+    * (doc, value), values land in fixed-width bins, one count per
+    * occupied bin. Served from the pruned postings reads like every
+    * facet — never a corpus scan. Returns (bin, lo, n_docs) with
+    * `lo = bin · binWidth`.
+    */
+  def facetHistogram(spark: SparkSession, path: String,
+                     queryTerms: Seq[String], numCol: String,
+                     binWidth: Long): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(readAttrs(spark, path).contains(numCol),
+      s"numeric column '$numCol' was not persisted at build " +
+        s"(attrCols = ${readAttrs(spark, path).mkString(",")})")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val bks = queryTerms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(queryTerms: _*))
+    IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+      .select(col("doc_id"), col(numCol).cast("long").as("__v")).distinct()
+      .select(floor(col("__v").cast("double") / lit(binWidth.toDouble))
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_docs"))
+      .select(col("bin"), (col("bin") * binWidth).as("lo"), col("n_docs"))
   }
 
   /** AUTOCOMPLETE — top-k vocabulary completions of a prefix, most

@@ -124,6 +124,96 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(nTerms == 1L)
   }
 
+  // ------------------------------------------- boolean / paging / num-facet
+
+  test("booleanSearchPersisted: must, mustNot, minimum_should_match") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),   // must + 2 should
+      (1L, "alpha beta"),         // must + 1 should
+      (2L, "alpha"),              // must, 0 should → msm drops it
+      (3L, "alpha beta bad"),     // contains mustNot → excluded
+      (4L, "beta gamma"))         // no must → excluded
+      .toDF("doc_id", "text")
+    val idx = tmp("boolidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val r = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Seq("alpha"), should = Seq("beta", "gamma"),
+        mustNot = Seq("bad"), k = 10, minShouldMatch = 1)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r.map(_._1).toSet == Set(0L, 1L))
+    assert(r.toMap == Map(0L -> 2L, 1L -> 1L))
+    // msm 0: doc 2 returns (all must present, no should needed)
+    val loose = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Seq("alpha"), should = Seq("beta", "gamma"),
+        mustNot = Seq("bad"), k = 10, minShouldMatch = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(0L, 1L, 2L))
+    // empty must: pure should query with msm 2
+    val sh = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Nil, should = Seq("beta", "gamma"), mustNot = Nil,
+        k = 10, minShouldMatch = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(sh == Set(0L, 4L))
+  }
+
+  test("boolean score equals plain BM25 over the scoring terms") {
+    val docs = Seq(
+      (0L, "alpha beta x"), (1L, "alpha y"), (2L, "beta z"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val idx = tmp("boolsc")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    // no constraints at all → same candidates as plain OR-query BM25;
+    // scores on the per-term micro grid == the BATCH scorer's grid
+    val bool = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Nil, should = Seq("alpha", "beta"), mustNot = Nil, k = 10)
+      .select("doc_id", "score_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = TextIndex.bm25SearchPersistedBatch(spark, idx,
+        Seq((0L, "alpha"), (0L, "beta")).toDF("q_id", "term"), kLex = 10)
+      .select("doc_id", "score_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bool == batch)
+  }
+
+  test("bm25 search-after pages the ranking without overlap or gaps") {
+    val docs = (0L to 29L).map(i =>
+      (i, if (i % 3 == 0) "hit hit filler" else "hit filler plus"))
+      .toDF("doc_id", "text")
+    val idx = tmp("saidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val full = TextIndex.bm25SearchPersisted(spark, idx, Seq("hit"), k = 30)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val p1 = TextIndex.bm25SearchPersisted(spark, idx, Seq("hit"), k = 12)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cur = p1.last
+    val p2 = TextIndex.bm25SearchPersisted(spark, idx, Seq("hit"), k = 12,
+        after = Some((cur._2, cur._1)))
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(p1 ++ p2 == full.take(24))
+    // paging past the end returns empty
+    val lastCur = full.last
+    assert(TextIndex.bm25SearchPersisted(spark, idx, Seq("hit"), k = 12,
+      after = Some((lastCur._2, lastCur._1))).count() == 0)
+  }
+
+  test("facetHistogram bins matching docs by a numeric attr") {
+    val docs = Seq(
+      (0L, "fox a", 10L), (1L, "fox b", 70L), (2L, "fox c", 75L),
+      (3L, "dog d", 10L), (4L, "none", 200L))
+      .toDF("doc_id", "text", "n")
+    val idx = tmp("fhidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4,
+      attrCols = Seq("n"))
+    val r = TextIndex.facetHistogram(spark, idx, Seq("fox"), "n", 64L)
+      .orderBy($"bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r == Seq((0L, 0L, 1L), (1L, 64L, 2L)))
+  }
+
   // ------------------------------------------------- suggest / regex / text
 
   test("suggestTerms completes a prefix by df desc, term asc") {
