@@ -1670,6 +1670,33 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // ML: TEMPERATURE mixing (α = ½) — mixture weights computed from the
+    // source sizes (p_s ∝ √n_s): small sources upsample, the crawl
+    // downsamples, volume stays ≈ N. √n floors to the micro grid before
+    // the cross-source normalizer sums — exact, order-free.
+    // (the shipped corpus is source-uniform — a fixed point; the derived
+    // 'crawl' supersource makes the gate exercise real up/downsampling)
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(
+          t(s, dir, "documents").withColumn("src",
+            when(col("doc_id") % 10 < 7, lit("crawl"))
+              .otherwise(col("source"))),
+          "doc_id", "src")
+        .select(col("doc_id"), col("src"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // Observability: SEASONALITY-AWARE anomalies — z-score against the
+    // per-(type, hour-of-day) baseline instead of the global mean
+    // ("normal for 3 am?"); same exact integer moments, 24x the stats
+    // rows, the same single shuffle.
+    "q_metric_seasonal" -> ((s, dir) =>
+      TimeSeries.seasonalZscore(t(s, dir, "events"), "event_type", "ts",
+          floor(col("value") * 100).cast("long"), threshold = 2.5)
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("season"),
+          col("vq"), col("z"))
+        .orderBy(col("event_id"))),
+
     // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
     // products make quantized cosine bit-exact across engines AND
     // summation orders.
@@ -5196,6 +5223,68 @@ object SparkEntry {
          |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
          |FROM n WHERE n > 0
          |ORDER BY doc_id, epoch""".stripMargin,
+
+    // Temperature mixing: m_s = N*sq_s/(n_s*Z) from exact BIGINTs
+    // (sq_s = floor(sqrt(n_s)*1e6), Z = sum sq_s) — the same epoch
+    // replication mechanics as q_sample_mixture.
+    "q_sample_temperature" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 7 THEN 'crawl' ELSE source END AS src
+         |  FROM documents),
+         |c AS (SELECT src, count(*) AS n_s FROM docs2 GROUP BY 1),
+         |sq AS (
+         |  SELECT src, n_s, CAST(floor(sqrt(CAST(n_s AS DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS sq_micro
+         |  FROM c),
+         |tot AS (
+         |  SELECT CAST(sum(sq_micro) AS BIGINT) AS z_micro,
+         |    CAST(sum(n_s) AS BIGINT) AS n_total
+         |  FROM sq),
+         |b AS (
+         |  SELECT doc_id, src,
+         |    ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket,
+         |    (CAST(n_total AS DOUBLE) * CAST(sq_micro AS DOUBLE)) /
+         |    (CAST(n_s AS DOUBLE) * CAST(z_micro AS DOUBLE)) AS m
+         |  FROM docs2 JOIN sq USING (src) CROSS JOIN tot),
+         |n AS (
+         |  SELECT doc_id, src,
+         |    CAST(floor(m) AS BIGINT) +
+         |      (CASE WHEN CAST(bucket AS DOUBLE) < (m - floor(m)) * 1000000.0
+         |            THEN 1 ELSE 0 END) AS n
+         |  FROM b)
+         |SELECT doc_id, src,
+         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+         |FROM n WHERE n > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // Seasonal z-score: q_anomaly_zscore's exact moments, keyed by
+    // (event_type, hour-of-day); the sqrt != 0 guard mirrors the Spark
+    // side's zero-variance null.
+    "q_metric_seasonal" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS season,
+        |    CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, season, count(*) AS n, sum(vq) AS s,
+        |    sum(vq * vq) AS ss
+        |  FROM q GROUP BY 1, 2)
+        |SELECT event_id, event_type, season, vq,
+        |  (CAST(vq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+        |          (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |         CAST(n - 1 AS DOUBLE)) AS z
+        |FROM q JOIN st USING (event_type, season)
+        |WHERE sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+        |          (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |         CAST(n - 1 AS DOUBLE)) != 0
+        |  AND abs((CAST(vq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+        |          (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |         CAST(n - 1 AS DOUBLE))) > 2.5
+        |ORDER BY event_id""".stripMargin,
 
     "q_sim_quantized" ->
       s"""WITH v AS (

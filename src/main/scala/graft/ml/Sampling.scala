@@ -117,6 +117,44 @@ object Sampling {
       .drop("__n")
   }
 
+  /** TEMPERATURE-balanced source mixing at α = ½ — [[mixtureSample]]
+    * with the weights COMPUTED from the source sizes instead of
+    * hand-tuned: sampling mass p_s ∝ √n_s (the multilingual-training
+    * rebalance rule — smaller sources upsample, the crawl downsamples,
+    * total volume stays ≈ N). The per-row multiplier is
+    * `m_s = N·√n_s / (n_s·Σ√n_t)`; epochs replicate exactly as
+    * mixtureSample (floor(m) copies + deterministic fractional extra
+    * from the id hash).
+    *
+    * α is fixed at ½ because √ is the one power IEEE requires correctly
+    * rounded — per-source √n floors to the 10⁻⁶ grid BEFORE the
+    * cross-source normalizer sums (exact BIGINTs, order-free), so the
+    * oracle reproduces m_s bit-for-bit; a general α would need exp/ln
+    * in the output path. Shape: one tiny per-source aggregate broadcast
+    * back over a narrow projection — no corpus shuffle, no RNG, stable
+    * under repartitioning and appends.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+                         salt: String = ""): DataFrame = {
+    val sq = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("sq_micro",
+        floor(sqrt(col("n_s").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = sq.agg(sum(col("sq_micro")).as("z_micro"),
+      sum(col("n_s")).as("n_total"))
+    val m = (col("n_total").cast("double") * col("sq_micro").cast("double")) /
+      (col("n_s").cast("double") * col("z_micro").cast("double"))
+    val whole = floor(m).cast("long")
+    val frac = m - floor(m)
+    val extra = when(
+      bucket(col(idCol), salt).cast("double") < frac * Buckets.toDouble, 1L)
+      .otherwise(0L)
+    df.join(broadcast(sq), sourceCol).crossJoin(broadcast(tot))
+      .withColumn("__n", whole + extra)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
+      .select(df.columns.map(col) :+ col("epoch"): _*)
+  }
+
   /** Weighted sample without replacement (Efraimidis–Spirakis A-Res,
     * priority sampling): row i gets priority u_i^(1/w_i) with u_i uniform;
     * the k largest priorities are a weighted uniform sample. Here u_i is

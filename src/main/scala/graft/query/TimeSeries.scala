@@ -108,9 +108,16 @@ object TimeSeries {
     * with `|z| > threshold` are flagged.
     */
   def zscore(df: DataFrame, groupCol: String, quantized: Column,
-             threshold: Double): DataFrame = {
+             threshold: Double): DataFrame =
+    zscoreBy(df, Seq(groupCol), quantized, threshold)
+
+  /** [[zscore]] against a COMPOSITE baseline key (multiple group
+    * columns) — the generalization seasonal baselining needs.
+    */
+  def zscoreBy(df: DataFrame, groupCols: Seq[String], quantized: Column,
+               threshold: Double): DataFrame = {
     val q = df.withColumn("vq", quantized.cast("long"))
-    val stats = q.groupBy(col(groupCol))
+    val stats = q.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_"), sum(col("vq")).as("s_"),
         sum(col("vq") * col("vq")).as("ss_"))
     val mean = col("s_").cast("double") / col("n_").cast("double")
@@ -120,8 +127,23 @@ object TimeSeries {
     // zero variance ⇒ z undefined ⇒ null (and never an anomaly); a plain
     // division would throw DIVIDE_BY_ZERO under ANSI mode
     val z = when(sd =!= 0.0, (col("vq").cast("double") - mean) / sd)
-    q.join(broadcast(stats), groupCol)
+    q.join(broadcast(stats), groupCols)
       .withColumn("z", z)
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
   }
+
+  /** SEASONALITY-AWARE anomaly flags — the observability staple: a value
+    * is anomalous relative to its OWN recurring time slot's baseline
+    * ("is this normal for 3 am?"), not the global mean. The season key
+    * is hour-of-day (0–23); the baseline is the per-(group, season)
+    * z-score over the same exact integer moments as [[zscore]]. A
+    * diurnal load pattern that trips a global z-score all evening is
+    * flat under its per-hour baseline, while a genuine 3 am spike
+    * stands out harder. One hash aggregate over (group, season) — 24×
+    * the stats rows, the same single shuffle.
+    */
+  def seasonalZscore(df: DataFrame, groupCol: String, tsCol: String,
+                     quantized: Column, threshold: Double): DataFrame =
+    zscoreBy(df.withColumn("season", hour(col(tsCol)).cast("long")),
+      Seq(groupCol, "season"), quantized, threshold)
 }

@@ -58,7 +58,11 @@ class PlanAuditSpec extends SparkSuite {
     // total pairs) broadcast into the PMI projection — the
     // corpus-constant single-row pattern, same as q_corpus_report; the
     // unigram joins are keyed equi-joins
-    "q_text_collocations")
+    "q_text_collocations",
+    // temperature mixing: the 1-row normalizer frame (Σ√n, N) broadcasts
+    // into the per-row multiplier — corpus-constant single-row pattern;
+    // the per-source stats join is a keyed broadcast equi-join
+    "q_sample_temperature")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

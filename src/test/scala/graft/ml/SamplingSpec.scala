@@ -138,6 +138,34 @@ class SamplingSpec extends SparkSuite {
       weights = Map("s" -> 0.0)).count() == 0)
   }
 
+  test("temperatureMixture rebalances toward sqrt of source mass") {
+    // 1600 'crawl' rows vs 400 'books' rows; alpha=1/2 target masses
+    // p ∝ sqrt(n): crawl 2/3, books 1/3 of N=2000 → crawl ~1333 (m<1,
+    // downsampled), books ~667 (m≈1.67, upsampled)
+    val docs = ids.withColumn("source",
+      when(col("id") % 5 < 4, "crawl").otherwise("books"))
+    val out = Sampling.temperatureMixture(docs, "id", "source")
+    val per = out.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val sqC = math.floor(math.sqrt(1600.0) * 1e6)
+    val sqB = math.floor(math.sqrt(400.0) * 1e6)
+    val expC = 2000.0 * sqC / (sqC + sqB)
+    val expB = 2000.0 * sqB / (sqC + sqB)
+    assert(math.abs(per("crawl") - expC) < 80,
+      s"crawl ${per("crawl")} vs ~$expC")
+    assert(math.abs(per("books") - expB) < 80,
+      s"books ${per("books")} vs ~$expB")
+    // total volume is preserved (≈ N) and the op is repartition-stable
+    assert(math.abs(out.count() - 2000.0) < 120)
+    assert(Sampling.temperatureMixture(docs.repartition(13), "id", "source")
+      .count() == out.count())
+    // uniform sources are a fixed point: every row exactly once
+    val uni = Sampling.temperatureMixture(
+      ids.withColumn("source", lit("s")), "id", "source")
+    assert(uni.count() == 2000 &&
+      uni.select("epoch").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("shuffleShards: dense positions, repartition-stable, salt varies") {
     val out = Sampling.shuffleShards(ids, "id", numShards = 8)
     assert(out.count() == 2000) // every row assigned

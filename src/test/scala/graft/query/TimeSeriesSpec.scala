@@ -82,4 +82,33 @@ class TimeSeriesSpec extends SparkSuite {
     val z = out.head.getAs[Double]("z")
     assert(math.abs(z - (100.0 - 19.0) / math.sqrt(810.0)) < 1e-12)
   }
+
+  test("seasonalZscore baselines per (group, hour-of-day)") {
+    // hour 3 runs hot every day (100s); one 100 at hour 12 among 10s.
+    // A global z-score would flag every hour-3 row; the seasonal one
+    // flags ONLY the hour-12 outlier.
+    val rows =
+      (1 to 8).map(i => (i.toLong, s"2024-01-0$i 03:00:00", 100.0)) ++
+      (11 to 18).map(i => (i.toLong, s"2024-01-0${i - 10} 12:00:00", 10.0)) :+
+      (99L, "2024-01-09 12:00:00", 100.0)
+    val df = rows.toDF("id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .withColumn("grp", lit("g"))
+    val seasonal = TimeSeries.seasonalZscore(df, "grp", "ts",
+        floor(col("v")).cast("long"), 2.0)
+      .filter(col("is_anomaly")).collect()
+    assert(seasonal.map(_.getAs[Long]("id")).toSeq == Seq(99L))
+    assert(seasonal.head.getAs[Long]("season") == 12L)
+    // the same data under a global baseline flags nothing at |z| > 2
+    // (the hour-3 plateau inflates the global variance) — seasonality
+    // is what isolates the hour-12 spike
+    val global = TimeSeries.zscore(df, "grp", floor(col("v")).cast("long"), 2.0)
+      .filter(col("is_anomaly")).count()
+    assert(global == 0L)
+    // zero-variance season (hour 3: all 100s) never divides by zero
+    val h3 = TimeSeries.seasonalZscore(df, "grp", "ts",
+        floor(col("v")).cast("long"), 2.0)
+      .filter(col("season") === 3L).collect()
+    assert(h3.forall(r => r.isNullAt(r.fieldIndex("z"))))
+  }
 }
