@@ -39,6 +39,33 @@ class TextIndexStreamSpec extends SparkSuite {
     StreamOps.processTextIndexBatch(batch.toDF("doc_id", "text"), id,
       "doc_id", "text", path, numBuckets = 8)
 
+  test("derived artifacts (term dict: fuzzy/suggest/regex) rebuild " +
+      "correctly off a streaming-maintained index") {
+    val dir = java.nio.file.Files.createTempDirectory("txt-dict").toString
+    val dict = java.nio.file.Files.createTempDirectory("txt-dictd").toString
+    process(dir, boot, 0L)
+    TextIndex.saveTermDict(spark, dir, dict, numBuckets = 4)
+    // vocabulary as-of batch 0: "rain" df 1, no "rains"
+    assert(TextIndex.fuzzyTermsPersisted(spark, dict, "rain")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("rain", 1L)))
+    // the dict is REBUILD-on-mutation by contract: after the stream
+    // appends, a stale dict still answers (old snapshot), a rebuild
+    // reflects the appended batch
+    process(dir, extra, 1L)
+    TextIndex.saveTermDict(spark, dir, dict, numBuckets = 4)
+    assert(TextIndex.fuzzyTermsPersisted(spark, dict, "rain")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("rain", 2L)))
+    val sugg = TextIndex.suggestTerms(spark, dict, "r", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sugg == Seq(("rain", 2L), ("relevant", 1L), ("runs", 1L)))
+    // regex doc search composes with the streamed postings too
+    val rx = TextIndex.regexDocSearch(spark, dir, dict, "^ra.n$")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rx == Set((2L, 1L), (10L, 1L)))
+  }
+
   test("streamed index answers like the batch path over the prefix; " +
       "replay is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("txt-str").toString
