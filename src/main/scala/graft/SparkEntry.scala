@@ -1428,6 +1428,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: DID-YOU-MEAN — per query term the single best correction
+    // (exact hit → itself; else most frequent edit-distance-1 term;
+    // else null), one batched dictionary probe for the whole query.
+    "q_text_didyoumean" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("dymidx").toString
+      val dict = java.nio.file.Files.createTempDirectory("dymdict").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.saveTermDict(s, idx, dict)
+      TextIndex.didYouMean(s, dict, Seq("strean", "join", "filtr", "zzz"))
+        .orderBy(col("query"))
+    }),
+
     // ML: MORE-LIKE-THIS — doc 42's top-3 tf·idf terms (idf from the
     // index) become a BM25 query; top-10 non-source docs.
     "q_text_mlt" -> ((s, dir) => {
@@ -2311,6 +2323,18 @@ object SparkEntry {
             t(s, dir, "documents"), "doc_id", "text",
             Seq("stream", "join", "filter"), width = 8, k = 10)
           .orderBy(col("doc_id"))),
+    "q_text_didyoumean" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("dymidx").toString
+        val dict = java.nio.file.Files.createTempDirectory("dymdict").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        TextIndex.saveTermDict(s, idx, dict)
+        dict
+      },
+      search = (s, _, dict) =>
+        TextIndex.didYouMean(s, dict.asInstanceOf[String],
+            Seq("strean", "join", "filtr", "zzz"))
+          .orderBy(col("query"))),
     "q_text_mlt" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("mltidx").toString
@@ -4806,6 +4830,30 @@ object SparkEntry {
         |    ' ') AS snippet
         |FROM sel s JOIN tk ON s.doc_id = tk.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Did-you-mean: per input term the best correction by
+    // (dist asc, df desc, term asc); unmatched terms keep NULLs.
+    "q_text_didyoumean" ->
+      """WITH qt AS (
+        |  SELECT q FROM (VALUES ('strean'), ('join'), ('filtr'), ('zzz'))
+        |    x(q)),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1),
+        |cand AS (
+        |  SELECT qt.q, v.term, v.df, levenshtein(qt.q, v.term) AS dist
+        |  FROM qt JOIN vocab v ON levenshtein(qt.q, v.term) <= 1),
+        |best AS (
+        |  SELECT q, term, df, row_number() OVER (PARTITION BY q
+        |    ORDER BY dist ASC, df DESC, term ASC) AS rn
+        |  FROM cand)
+        |SELECT qt.q AS query, b.term AS suggestion, b.df
+        |FROM qt LEFT JOIN best b ON qt.q = b.q AND b.rn = 1
+        |ORDER BY query""".stripMargin,
 
     // More-like-this: doc 42's top-3 tf·idf terms (idf on the corpus,
     // micro-grid, ties to the smaller term), then the per-term-floored

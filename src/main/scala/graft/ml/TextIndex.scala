@@ -572,10 +572,12 @@ object TextIndex {
     * (doc_id, n_terms, win_start), n_terms ≥ 1.
     */
   def snippetWindows(spark: SparkSession, path: String,
-                     queryTerms: Seq[String], width: Int): DataFrame = {
+                     queryTerms: Seq[String], width: Int,
+                     maxOccurrences: Int = 5000): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       "queryTerms must be non-empty and distinct")
-    require(width >= 1, "width must be >= 1")
+    require(width >= 1 && maxOccurrences >= 1,
+      "width and maxOccurrences must be >= 1")
     val (_, _, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
@@ -587,10 +589,18 @@ object TextIndex {
       .filter(col("term").isin(queryTerms: _*))
     val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
     // duplicate live rows per (doc, term) collapse first — the same
-    // at-least-once degradation contract as the phrase paths
+    // at-least-once degradation contract as the phrase paths. Each
+    // term's occurrence list then truncates to its EARLIEST
+    // `maxOccurrences` (sorted, so the analyzed prefix — Lucene's
+    // max_analyzed_offset convention): the window scan is
+    // |occurrences|² per doc, and one pathological doc repeating a
+    // query term 10⁵ times must cost a bounded analysis, not a 10¹⁰-op
+    // straggler task. Default 5000 is far above real prose; results
+    // only change for docs past the cap, by construction.
     val byDoc = live.groupBy(col("doc_id"), col("term"))
-      .agg(sort_array(array_distinct(flatten(
-        collect_list(col("positions"))))).as("positions"))
+      .agg(slice(sort_array(array_distinct(flatten(
+        collect_list(col("positions"))))), 1, maxOccurrences)
+        .as("positions"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("term"), col("positions"))).as("tl"))
     // candidate anchors = every occurrence of any query term; coverage
@@ -952,6 +962,60 @@ object TextIndex {
       .select(col("bin"), (col("bin") * binWidth).as("lo"), col("n_docs"))
   }
 
+  /** BATCHED fuzzy lookup — N query terms' edit-distance-≤1 matches
+    * from ONE variant-pruned dictionary read (the batch twin of
+    * [[fuzzyTermsPersisted]]): all queries' deletion variants build one
+    * static IN-list, the per-query association is an equi-join on the
+    * shared variant, and the exact `levenshtein` verify runs on
+    * candidates only. Returns (query, term, df, dist).
+    */
+  def fuzzyTermsPersistedBatch(spark: SparkSession, dictPath: String,
+                               queries: Seq[String],
+                               maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1,
+      "depth-1 deletion dictionary supports maxDist = 1 only")
+    require(queries.nonEmpty && queries == queries.distinct &&
+      queries.forall(_.nonEmpty), "queries must be non-empty and distinct")
+    val (_, nb) = readDictStats(spark, dictPath)
+    val dir = activeDictDir(spark, dictPath)
+    import spark.implicits._
+    val qv = queries.flatMap { q =>
+      (q +: q.indices.map(i => q.substring(0, i) + q.substring(i + 1)))
+        .distinct.map(v => (q, v))
+    }
+    val variants = qv.map(_._2).distinct
+    val bks = variants.toDF("v")
+      .select(termBucket(col("v"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    spark.read.parquet(s"$dir/variants")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("variant").isin(variants: _*))
+      .join(broadcast(qv.toDF("query", "variant")), "variant")
+      .select(col("query"), col("term"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("query"), col("term")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** DID-YOU-MEAN — per query term, the single best correction: an
+    * exact vocabulary hit suggests itself; otherwise the most frequent
+    * edit-distance-1 term (df desc, ties to the smaller term);
+    * otherwise a null suggestion. One batched dictionary probe for the
+    * whole query ([[fuzzyTermsPersistedBatch]]), selection over the
+    * ≤ |candidates| survivors. Returns (query, suggestion, df) in the
+    * caller's term order responsibility (one row per input term).
+    */
+  def didYouMean(spark: SparkSession, dictPath: String,
+                 queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val cand = fuzzyTermsPersistedBatch(spark, dictPath, queryTerms)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query"))
+          .orderBy(col("dist").asc, col("df").desc, col("term").asc)))
+      .filter(col("rn") === 1)
+      .select(col("query"), col("term").as("suggestion"), col("df"))
+    queryTerms.toDF("query").join(cand, Seq("query"), "left")
+  }
+
   /** AUTOCOMPLETE — top-k vocabulary completions of a prefix, most
     * frequent first (df desc, term asc): the search-box suggest
     * primitive. Reads the dictionary's prefix-partitioned term table:
@@ -1046,10 +1110,11 @@ object TextIndex {
     */
   def snippetText(spark: SparkSession, path: String, docs: DataFrame,
                   idCol: String, textCol: String, queryTerms: Seq[String],
-                  width: Int, k: Int): DataFrame = {
+                  width: Int, k: Int,
+                  maxOccurrences: Int = 5000): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import spark.implicits._
-    val top = snippetWindows(spark, path, queryTerms, width)
+    val top = snippetWindows(spark, path, queryTerms, width, maxOccurrences)
       .orderBy(col("n_terms").desc, col("doc_id").asc)
       .limit(k)
     val ids = top.select("doc_id").as[Long].collect().toSeq

@@ -107,6 +107,56 @@ class TextSearchOpsSpec extends SparkSuite {
       (t, df, if (t == "stream") 0L else 1L) })
   }
 
+  test("batched fuzzy lookup equals the per-query union; didYouMean picks") {
+    val docs = Seq(
+      (0L, "stream stream processing"), (1L, "steam rises"),
+      (2L, "streams of data"), (3L, "filter it"), (4L, "filter again"),
+      (5L, "fitter person")).toDF("doc_id", "text")
+    val idx = tmp("fzbidx"); val dict = tmp("fzbdict")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 4)
+    val qs = Seq("strean", "filtr", "zzz")
+    val batch = TextIndex.fuzzyTermsPersistedBatch(spark, dict, qs)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val single = qs.flatMap(q =>
+      TextIndex.fuzzyTermsPersisted(spark, dict, q)
+        .collect().map(r =>
+          (q, r.getString(0), r.getLong(1), r.getLong(2)))).toSet
+    assert(batch == single && batch.nonEmpty)
+    // didYouMean: 'strean'→stream (dist1); 'filtr'→filter (df 2 beats
+    // fitter df 1 at the same dist); 'filter' exact hit → itself even
+    // though 'fitter' exists at dist 1; 'zzz' → null
+    val dym = TextIndex.didYouMean(spark, dict,
+        Seq("strean", "filtr", "filter", "zzz"))
+      .collect().map(r => (r.getString(0),
+        Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(dym == Set(
+      ("strean", Some("stream"), 1L),
+      ("filtr", Some("filter"), 2L),
+      ("filter", Some("filter"), 2L),
+      ("zzz", None, -1L)))
+  }
+
+  test("snippetWindows bounds per-doc analysis at maxOccurrences") {
+    // 40 hits of 'q' then the only 'r' at the far end: with q's cap at
+    // 4 the analyzed prefix never reaches a window containing 'r', so
+    // the best window covers one term at the first occurrence; uncapped
+    // it finds the earliest (q,r) window at position 38
+    val text = (Seq.fill(40)("q") ++ Seq("r", "q")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val idx = tmp("snpcap")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    val full = TextIndex.snippetWindows(spark, idx, Seq("q", "r"), 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(full == Seq((2L, 38L)))
+    val capped = TextIndex.snippetWindows(spark, idx, Seq("q", "r"), 3,
+        maxOccurrences = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((1L, 0L)))
+  }
+
   test("term dict rebuild flips the generation and refreshes df") {
     val docs = Seq((0L, "fox"), (1L, "fox box")).toDF("doc_id", "text")
     val idx = tmp("fzgen"); val dict = tmp("fzgdict")
