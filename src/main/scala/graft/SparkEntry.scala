@@ -1428,6 +1428,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: PROXIMITY search — docs with 'stream' and 'join' within a
+    // 12-token window in any order, with the minimal covering span
+    // (SpanNear-with-slop, the third positional primitive).
+    "q_text_proximity" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("prxidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.proximitySearch(s, idx, Seq("stream", "join"), slop = 12)
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: DID-YOU-MEAN — per query term the single best correction
     // (exact hit → itself; else most frequent edit-distance-1 term;
     // else null), one batched dictionary probe for the whole query.
@@ -2322,6 +2332,16 @@ object SparkEntry {
         TextIndex.snippetText(s, idx.asInstanceOf[String],
             t(s, dir, "documents"), "doc_id", "text",
             Seq("stream", "join", "filter"), width = 8, k = 10)
+          .orderBy(col("doc_id"))),
+    "q_text_proximity" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("prxidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.proximitySearch(s, idx.asInstanceOf[String],
+            Seq("stream", "join"), slop = 12)
           .orderBy(col("doc_id"))),
     "q_text_didyoumean" -> Prepared(
       build = (s, dir) => {
@@ -4830,6 +4850,38 @@ object SparkEntry {
         |    ' ') AS snippet
         |FROM sel s JOIN tk ON s.doc_id = tk.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Proximity: per doc the minimal window covering both terms (the
+    // optimal window starts at an occurrence; span(p) = max over terms
+    // of min{pos >= p} - p + 1), kept when <= slop.
+    "q_text_proximity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+        |    FROM tk)
+        |  WHERE u.term IN ('stream', 'join')),
+        |present AS (
+        |  SELECT doc_id FROM occ GROUP BY 1
+        |  HAVING count(DISTINCT term) = 2),
+        |m AS (
+        |  SELECT a.doc_id, a.pos AS start, b.term, min(b.pos) AS mp
+        |  FROM occ a JOIN occ b
+        |    ON a.doc_id = b.doc_id AND b.pos >= a.pos
+        |  WHERE a.doc_id IN (SELECT doc_id FROM present)
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT doc_id, start, max(mp) - start + 1 AS span
+        |  FROM m GROUP BY doc_id, start HAVING count(*) = 2),
+        |s AS (
+        |  SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+        |  FROM w GROUP BY 1)
+        |SELECT doc_id, min_span FROM s WHERE min_span <= 12
+        |ORDER BY doc_id""".stripMargin,
 
     // Did-you-mean: per input term the best correction by
     // (dist asc, df desc, term asc); unmatched terms keep NULLs.

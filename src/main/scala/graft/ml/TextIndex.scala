@@ -692,6 +692,59 @@ object TextIndex {
       .filter(col("phrase_tf") > 0)
   }
 
+  /** PROXIMITY search (Lucene SpanNear-with-slop): docs containing ALL
+    * query terms within a window of at most `slop` tokens, in any
+    * order, with each doc's MINIMAL covering span. Phrase search is
+    * adjacency-exact and snippet windows are fixed-width; proximity is
+    * the third positional primitive — "these words near each other".
+    *
+    * Classic min-cover over the sorted position lists: the optimal
+    * window starts at an occurrence, so for each candidate start p the
+    * minimal window is `[p, max over terms of min{x ∈ pos(t) : x ≥ p}]`
+    * (undefined when a term has no occurrence ≥ p), and the doc's span
+    * is the minimum over starts. Same pruned positional-postings read
+    * as the phrase path; the HOFs run on query-term postings only, per
+    * term truncated to the earliest `maxOccurrences` (the same
+    * analysis-cap convention as [[snippetWindows]]). Returns
+    * (doc_id, min_span), min_span ≤ slop.
+    */
+  def proximitySearch(spark: SparkSession, path: String,
+                      queryTerms: Seq[String], slop: Int,
+                      maxOccurrences: Int = 5000): DataFrame = {
+    require(queryTerms.size >= 2 && queryTerms == queryTerms.distinct,
+      "proximity needs >= 2 distinct terms")
+    require(slop >= queryTerms.size,
+      "slop must be >= the number of terms (the minimum possible span)")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val bks = queryTerms.toDF("term")
+      .select(termBucket(col("term"), nb).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(queryTerms: _*))
+    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val byDoc = live.groupBy(col("doc_id"), col("term"))
+      .agg(slice(sort_array(array_distinct(flatten(
+        collect_list(col("positions"))))), 1, maxOccurrences)
+        .as("positions"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("positions"))).as("tl"),
+        count(lit(1)).as("present"))
+      .filter(col("present") === queryTerms.size)
+    val anchors = array_distinct(flatten(transform(col("tl"),
+      s => s.getField("positions"))))
+    val spans = transform(anchors, p => {
+      val ends = transform(col("tl"), s =>
+        array_min(filter(s.getField("positions"), x => x >= p)))
+      when(!exists(ends, e => e.isNull), array_max(ends) - p + 1)
+    })
+    byDoc.select(col("doc_id"),
+        array_min(spans).cast("long").as("min_span"))
+      .filter(col("min_span") <= slop)
+  }
+
   def phraseSearchPersisted(spark: SparkSession, path: String,
                             phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")

@@ -174,6 +174,42 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(nTerms == 1L)
   }
 
+  // --------------------------------------------------------------- proximity
+
+  test("proximitySearch finds the minimal covering span, any order") {
+    val docs = Seq(
+      (0L, "a x x b"),          // span 4 (a..b)
+      (1L, "b x a"),            // span 3, reversed order counts
+      (2L, "a x x x x x b a"),  // min span is the trailing (b, a) pair: 2
+      (3L, "a only here"),      // missing b → absent
+      (4L, "a b x x x x x a")). // adjacent at the front: 2
+      toDF("doc_id", "text")
+    val idx = tmp("prxidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val r = TextIndex.proximitySearch(spark, idx, Seq("a", "b"), slop = 4)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r == Seq((0L, 4L), (1L, 3L), (2L, 2L), (4L, 2L)))
+    // tighter slop drops the wide doc
+    val tight = TextIndex.proximitySearch(spark, idx, Seq("a", "b"), slop = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == Set(1L, 2L, 4L))
+  }
+
+  test("proximitySearch three terms and the occurrence cap") {
+    val docs = Seq((0L, "p x q x x r p q r")).toDF("doc_id", "text")
+    val idx = tmp("prx3")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    // best window is the trailing "p q r": span 3
+    val r = TextIndex.proximitySearch(spark, idx, Seq("p", "q", "r"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r == Seq((0L, 3L)))
+    // cap = 1 analyzes only each term's first occurrence: p@0, q@2, r@5
+    // → span 6 > slop 3 → no match
+    assert(TextIndex.proximitySearch(spark, idx, Seq("p", "q", "r"), 3,
+      maxOccurrences = 1).count() == 0)
+  }
+
   // ------------------------------------------- boolean / paging / num-facet
 
   test("booleanSearchPersisted: must, mustNot, minimum_should_match") {
