@@ -76,7 +76,12 @@ object Bench {
     // is the search a deployment repeats, so round-over-round regression
     // signal isn't drowned by build I/O (r9 verdict #1: q_sim_ivf_persisted
     // read 4.9 s of which ~4 s was index build + temp-dir write).
+    // optional query-name filter (comma-separated) for local iteration —
+    // the bench twin of Verify's 3rd arg
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val preparedDefs = SparkEntry.prepared
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val builds = preparedDefs.map { case (name, p) =>
       val t0 = System.nanoTime()
       val artifact = p.build(spark, sfDir)
@@ -90,6 +95,7 @@ object Bench {
         case None => fn(spark, sfDir)
       }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Materialize EVERY row end-to-end, not `count()`: Catalyst prunes
     // projections under a bare count, so a count-timed query whose cost sits
     // in the final projection (scalar kernels, wide selects) would be
@@ -142,8 +148,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"corpus_id":"${corpusId(sfDir)}","queries":$fullQs,"detail":$detail,"sf":"$sfDir"}"""
-    try Files.write(Paths.get("bench_full.json"), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // a filtered run must never overwrite the canonical full record
+    if (only.isEmpty)
+      try Files.write(Paths.get("bench_full.json"), (fullLine + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
 
     // Compact line: slowest queries first so whatever fits is the most
     // informative subset; pack greedily up to the budget.

@@ -65,6 +65,24 @@ object TextIndex {
   /** Bucket of a term: stable across engines and sessions (xxhash64 with
     * Spark's fixed default seed), non-negative via pmod.
     */
+  /** Driver-side twin of [[termBucket]] — the same xxhash64 (Spark's
+    * fixed seed 42) + pmod, computed in plain Scala: every search's
+    * pruning IN-list hashes QUERY LITERALS, so deriving the bucket list
+    * used to cost a LocalTableScan job (collect) per probe. At 100 TB
+    * the job is noise; at interactive latency it is one whole scheduler
+    * round trip per query. `TextSearchOpsSpec` pins parity with the
+    * Column path (a drift here silently prunes the WRONG directories).
+    */
+  private[ml] def termBucketsLocal(terms: Seq[String],
+                                   numBuckets: Int): Seq[Int] =
+    terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L)
+      val m = (h % numBuckets).toInt
+      if (m < 0) m + numBuckets else m
+    }.distinct
+
   private def termBucket(term: Column, numBuckets: Int): Column =
     pmod(xxhash64(term), lit(numBuckets.toLong)).cast("int")
 
@@ -368,9 +386,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     // buckets of the query terms: a LocalTableScan job over |terms| rows
-    val bks = queryTerms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(queryTerms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
@@ -457,9 +473,7 @@ object TextIndex {
     // as the single-query path
     val terms = qt.select("term").distinct().as[String].collect().toSeq
     require(terms.nonEmpty, "queryTerms must be non-empty")
-    val bks = terms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
@@ -507,9 +521,7 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
-    val bks = queryTerms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(queryTerms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
@@ -540,9 +552,7 @@ object TextIndex {
     // workload's distinct terms), the static-IN-list pruning lever
     val terms = qt.select("term").distinct().as[String].collect().toSeq
     require(terms.nonEmpty, "queries must be non-empty")
-    val bks = terms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
@@ -581,9 +591,7 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
-    val bks = queryTerms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(queryTerms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
@@ -663,9 +671,7 @@ object TextIndex {
     val nSlots = phrases.map { case (pid, ts) => (pid, ts.length.toLong) }
       .toDF("p_id", "n_slots")
     val terms = phrases.flatMap(_._2).distinct
-    val bks = terms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
@@ -718,9 +724,7 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
-    val bks = queryTerms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(queryTerms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
@@ -752,9 +756,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     val terms = phrase.distinct
     import spark.implicits._
-    val bks = terms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
@@ -896,9 +898,7 @@ object TextIndex {
     val variants = (query +: query.indices.map(i =>
       query.substring(0, i) + query.substring(i + 1))).distinct
     import spark.implicits._
-    val bks = variants.toDF("v")
-      .select(termBucket(col("v"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(variants, nb)
     spark.read.parquet(s"$dir/variants")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("variant").isin(variants: _*))
@@ -938,9 +938,7 @@ object TextIndex {
     val (nDocs, sumDl, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
-    val bks = all.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(all, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(all: _*))
@@ -1001,9 +999,7 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
-    val bks = queryTerms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(queryTerms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
@@ -1037,9 +1033,7 @@ object TextIndex {
         .distinct.map(v => (q, v))
     }
     val variants = qv.map(_._2).distinct
-    val bks = variants.toDF("v")
-      .select(termBucket(col("v"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(variants, nb)
     spark.read.parquet(s"$dir/variants")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("variant").isin(variants: _*))
@@ -1142,9 +1136,7 @@ object TextIndex {
         .toDF("doc_id", "n_terms", "tf_sum")
     val (_, _, nb) = readStats(spark, idxPath)
     val dir = activeDataDir(spark, idxPath)
-    val bks = terms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
@@ -1208,9 +1200,7 @@ object TextIndex {
     // ≤ |distinct terms of one doc| — driver-bounded by contract
     val terms = srcTf.select("term").as[String].collect().toSeq
     require(terms.nonEmpty, s"doc $docId not found or empty")
-    val bks = terms.toDF("term")
-      .select(termBucket(col("term"), nb).as("b"))
-      .distinct().as[Int].collect().toSeq
+    val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))

@@ -174,6 +174,22 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(nTerms == 1L)
   }
 
+  // ---------------------------------------------------------- bucket parity
+
+  test("driver-side term buckets match the Column xxhash64 path exactly") {
+    val terms = Seq("stream", "join", "filter", "", "a", "ü", "日本語",
+      "with space", "back`tick", "dot.ted", "x" * 300)
+    for (nb <- Seq(2, 4, 64, 1000)) {
+      val fromSpark = terms.toDF("term")
+        .select(col("term"),
+          pmod(xxhash64(col("term")), lit(nb)).cast("int").as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val local = terms.map(t =>
+        t -> TextIndex.termBucketsLocal(Seq(t), nb).head).toMap
+      assert(local == fromSpark, s"numBuckets=$nb")
+    }
+  }
+
   // --------------------------------------------------------------- proximity
 
   test("proximitySearch finds the minimal covering span, any order") {
