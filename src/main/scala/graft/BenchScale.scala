@@ -82,7 +82,15 @@ object BenchScale {
     // encode pass) and the exact-re-rank refinement (ADC shortlist +
     // broadcast semi-join raw-vector pass); outputs are top-k bounded so
     // the sweep measures scan/shuffle growth, not answer growth
-    "q_sim_ivfpq_residual", "q_sim_pq_rerank")
+    "q_sim_ivfpq_residual", "q_sim_pq_rerank",
+    // round-13 additions (fused build+search bodies, like the indexed
+    // dedup precedent): per-doc positional window scans (snippet /
+    // proximity), the corpus-wide lead() pair generation + vocab joins
+    // (collocations), multi-clause conditional aggregation (bool), the
+    // corpus-wide epoch explode (temperature), and the 24x-keyed
+    // seasonal moments
+    "q_text_snippet", "q_text_proximity", "q_text_collocations",
+    "q_text_bool", "q_sample_temperature", "q_metric_seasonal")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

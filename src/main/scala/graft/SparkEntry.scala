@@ -1428,6 +1428,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: PSEUDO-RELEVANCE FEEDBACK — top-5 answers of the 2-term query
+    // donate their 2 most distinctive terms (tf·idf, originals
+    // excluded); the expanded 4-term query re-searches. Recall recovery
+    // with zero user interaction.
+    "q_text_prf" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("prfidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.pseudoRelevanceFeedback(s, idx, t(s, dir, "documents"),
+          "doc_id", "text", Seq("stream", "join"),
+          rDocs = 5, mTerms = 2, k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // ML: PROXIMITY search — docs with 'stream' and 'join' within a
     // 12-token window in any order, with the minimal covering span
     // (SpanNear-with-slop, the third positional primitive).
@@ -2333,6 +2346,17 @@ object SparkEntry {
             t(s, dir, "documents"), "doc_id", "text",
             Seq("stream", "join", "filter"), width = 8, k = 10)
           .orderBy(col("doc_id"))),
+    "q_text_prf" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("prfidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, dir, idx) =>
+        TextIndex.pseudoRelevanceFeedback(s, idx.asInstanceOf[String],
+            t(s, dir, "documents"), "doc_id", "text",
+            Seq("stream", "join"), rDocs = 5, mTerms = 2, k = 10)
+          .orderBy(col("rk"))),
     "q_text_proximity" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("prxidx").toString
@@ -4850,6 +4874,86 @@ object SparkEntry {
         |    ' ') AS snippet
         |FROM sel s JOIN tk ON s.doc_id = tk.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // PRF: stage 1 = the 2-term pivot-grid ranking (top-5 feedback
+    // docs); stage 2 = their tf·idf top-2 expansion terms (originals
+    // excluded); stage 3 = the batch per-term-floor grid over the
+    // expanded set.
+    "q_text_prf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf0 AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN ('stream', 'join') GROUP BY 1, 2, 3),
+         |dfq0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+         |per0 AS (
+         |  SELECT doc_id, term,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS contrib
+         |  FROM tf0 JOIN dfq0 USING (term) CROSS JOIN consts),
+         |piv0 AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'stream' THEN contrib END) AS c1,
+         |    max(CASE WHEN term = 'join' THEN contrib END) AS c2
+         |  FROM per0 GROUP BY 1),
+         |sel AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, CAST(floor(
+         |        (COALESCE(c1, 0.0) + COALESCE(c2, 0.0)) * 1000000.0)
+         |      AS BIGINT) AS score_micro
+         |    FROM piv0)
+         |  ORDER BY score_micro DESC, doc_id ASC LIMIT 5),
+         |fb AS (
+         |  SELECT term, count(*) AS tf
+         |  FROM (SELECT unnest(toks) AS term FROM tk
+         |        WHERE doc_id IN (SELECT doc_id FROM sel))
+         |  WHERE term NOT IN ('stream', 'join') GROUP BY 1),
+         |fbdf AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |  WHERE term IN (SELECT term FROM fb) GROUP BY 1),
+         |exp AS (
+         |  SELECT term FROM (
+         |    SELECT f.term, CAST(floor(CAST(f.tf AS DOUBLE) *
+         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5) /
+         |               (CAST(x.df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT)
+         |      AS tfidf_micro
+         |    FROM fb f JOIN fbdf x USING (term) CROSS JOIN consts)
+         |  ORDER BY tfidf_micro DESC, term ASC LIMIT 2),
+         |qt AS (
+         |  SELECT 'stream' AS term UNION ALL SELECT 'join'
+         |  UNION ALL SELECT term FROM exp),
+         |tf1 AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         |dfq1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+         |per1 AS (
+         |  SELECT doc_id, term, CAST(floor(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+         |    * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM tf1 JOIN dfq1 USING (term) CROSS JOIN consts),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM per1 GROUP BY 1)
+         |SELECT doc_id, score_micro, CAST(row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     // Proximity: per doc the minimal window covering both terms (the
     // optimal window starts at an occurrence; span(p) = max over terms

@@ -1172,6 +1172,62 @@ object TextIndex {
           (col("win_start") + 1).cast("int"), lit(width))).as("snippet"))
   }
 
+  /** PSEUDO-RELEVANCE FEEDBACK (Rocchio-style query expansion): run the
+    * query, treat its top `rDocs` answers as relevant, mine their most
+    * distinctive vocabulary (top `mTerms` by tf·idf over the feedback
+    * docs, original terms excluded, idf deletion-exact from the index,
+    * 10⁻⁶ grid, ties to the smaller term), and re-search with the
+    * expanded term set — recall recovery for under-specified queries,
+    * no user interaction needed.
+    *
+    * Scale shape: the feedback pass re-reads ONLY the `rDocs` answer
+    * docs (literal id IN-list pushed into the corpus scan); their
+    * vocabulary is driver-bounded by `rDocs` × doc length (the same
+    * contract as [[moreLikeThisPersisted]]); the final search is the
+    * batch scorer (per-term micro floors → order-free BIGINT sums), so
+    * a dynamic term set needs no term-specific oracle pivot. Returns
+    * (doc_id, score_micro, rk) — the top `k` under the expanded query.
+    */
+  def pseudoRelevanceFeedback(spark: SparkSession, path: String,
+                              docs: DataFrame, idCol: String,
+                              textCol: String, queryTerms: Seq[String],
+                              rDocs: Int, mTerms: Int, k: Int): DataFrame = {
+    require(rDocs >= 1 && mTerms >= 0 && k >= 1,
+      "rDocs, k must be >= 1; mTerms >= 0")
+    val (nDocs, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val ids = bm25SearchPersisted(spark, path, queryTerms, rDocs)
+      .select("doc_id").as[Long].collect().toSeq
+    val fb = docs.filter(col(idCol).cast("long").isin(ids: _*))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // ≤ rDocs × doc length distinct terms — driver-bounded by contract
+    val cand = fb.select("term").as[String].collect().toSeq
+    val expansion = if (cand.isEmpty) Nil else {
+      val posts = spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket").isin(termBucketsLocal(cand, nb): _*))
+        .filter(col("term").isin(cand: _*))
+      val dfreq = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      fb.join(dfreq, "term")
+        .withColumn("tfidf_micro",
+          floor(col("tf").cast("double") * idf * lit(1000000.0))
+            .cast("long"))
+        .orderBy(col("tfidf_micro").desc, col("term").asc)
+        .limit(mTerms)
+        .select("term").as[String].collect().toSeq
+    }
+    val qset = (queryTerms ++ expansion).map(t => (0L, t))
+      .toDF("q_id", "term")
+    bm25SearchPersistedBatch(spark, path, qset, kLex = k)
+      .select(col("doc_id"), col("score_micro"), col("rk"))
+  }
+
   /** MORE-LIKE-THIS: retrieve the docs most similar to a source doc by
     * its own most distinctive vocabulary — the source doc's top-m
     * tf·idf terms (idf deletion-exact from the index's live postings,

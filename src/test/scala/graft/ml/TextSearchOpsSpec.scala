@@ -174,6 +174,29 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(nTerms == 1L)
   }
 
+  // --------------------------------------------------------------------- prf
+
+  test("pseudo-relevance feedback recovers docs the raw query misses") {
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "alpha beta"),
+      (2L, "beta gamma"), (3L, "delta")).toDF("doc_id", "text")
+    val idx = tmp("prfidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val raw = TextIndex.bm25SearchPersisted(spark, idx, Seq("alpha"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(0L, 1L)) // doc 2 is invisible to the raw query
+    val prf = TextIndex.pseudoRelevanceFeedback(spark, idx, docs,
+        "doc_id", "text", Seq("alpha"), rDocs = 2, mTerms = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // feedback docs {0,1} donate 'beta' → doc 2 becomes reachable
+    assert(prf == Set(0L, 1L, 2L))
+    // mTerms = 0 degrades to the raw query (same candidates)
+    val zero = TextIndex.pseudoRelevanceFeedback(spark, idx, docs,
+        "doc_id", "text", Seq("alpha"), rDocs = 2, mTerms = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(zero == raw)
+  }
+
   // ---------------------------------------------------------- bucket parity
 
   test("driver-side term buckets match the Column xxhash64 path exactly") {
