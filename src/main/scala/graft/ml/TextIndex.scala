@@ -250,6 +250,43 @@ object TextIndex {
       }
   }
 
+  /** MERGE two indexes into a third — the segment/tenant consolidation
+    * op (two per-team indexes become the org-wide one; N daily indexes
+    * roll up into the monthly): both sides' LIVE rows (tombstones
+    * applied — deletion state does not carry over) re-bucket into a
+    * fresh single-generation index at `outPath`, stats recomputed
+    * exactly from what landed, seq reset to 0. Attr layouts must match
+    * (checked); doc-id disjointness is the CALLER's contract, as in
+    * every id-space composition here — a duplicated id would double its
+    * doclens row and inflate stats, exactly as appending it twice
+    * would. One distributed pass per side, no driver materialization;
+    * parity with rebuilding from the union corpus is spec-pinned.
+    */
+  def mergeTextIndexes(spark: SparkSession, aPath: String, bPath: String,
+                       outPath: String, numBuckets: Int = 64): Unit = {
+    val aAttrs = readAttrs(spark, aPath)
+    require(aAttrs == readAttrs(spark, bPath),
+      s"attr layouts differ: $aAttrs vs ${readAttrs(spark, bPath)}")
+    def live(p: String, sub: String) = IndexTombstones.applyDeletes(spark, p,
+      spark.read.parquet(s"${activeDataDir(spark, p)}/$sub"), "doc_id")
+    val cols = Seq("term", "doc_id", "dl", "tf", "positions") ++ aAttrs
+    val posts = live(aPath, "postings").select(cols.map(col): _*)
+      .unionByName(live(bPath, "postings").select(cols.map(col): _*))
+    val lens = live(aPath, "doclens").select(col("doc_id"), col("dl"))
+      .unionByName(live(bPath, "doclens").select(col("doc_id"), col("dl")))
+    writePostings(posts, s"$outPath/data", numBuckets, lit(0L), "overwrite",
+      aAttrs)
+    writeDoclens(lens, s"$outPath/data", numBuckets, lit(0L), "overwrite")
+    val st = spark.read.parquet(s"$outPath/data/doclens")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    writeStats(spark, outPath, st.getLong(0), st.getLong(1), numBuckets)
+    writeAttrs(spark, outPath, aAttrs)
+    IndexTombstones.reset(spark, outPath)
+    val fs = fsOf(spark, outPath)
+    fs.delete(new org.apache.hadoop.fs.Path(outPath, Pointer), false)
+    ()
+  }
+
   /** Append a batch: postings + doclens rows stamped with the CURRENT
     * delete epoch (so a doc deleted and later re-ingested is visible
     * again — the [[IndexTombstones]] seq contract), stats bumped by the

@@ -174,6 +174,42 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(nTerms == 1L)
   }
 
+  // ------------------------------------------------------------------- merge
+
+  test("merged index answers exactly like a rebuild from the union corpus") {
+    val a = Seq((0L, "fox dog rain"), (1L, "fox fox"), (2L, "dog"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "rain rain fox"), (11L, "unrelated words"))
+      .toDF("doc_id", "text")
+    val ia = tmp("mrgA"); val ib = tmp("mrgB")
+    val out = tmp("mrgO"); val ref = tmp("mrgR")
+    TextIndex.saveTextIndex(a, "doc_id", "text", ia, numBuckets = 4)
+    TextIndex.saveTextIndex(b, "doc_id", "text", ib, numBuckets = 4)
+    // deletion state must NOT carry over: delete doc 2 in A first — the
+    // merge folds only live rows, like a compaction would
+    TextIndex.deleteFromTextIndex(spark, ia, Seq(2L).toDF("doc_id"), "doc_id")
+    TextIndex.mergeTextIndexes(spark, ia, ib, out, numBuckets = 8)
+    TextIndex.saveTextIndex(a.filter($"doc_id" =!= 2L).unionByName(b),
+      "doc_id", "text", ref, numBuckets = 8)
+    def search(p: String) =
+      TextIndex.bm25SearchPersisted(spark, p, Seq("fox", "dog", "rain"), 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(search(out) == search(ref) && search(out).nonEmpty)
+    assert(TextIndex.readStats(spark, out)._1 == 4L) // 2 live A + 2 B
+    // the merged index supports the full lifecycle: delete + search
+    TextIndex.deleteFromTextIndex(spark, out, Seq(10L).toDF("doc_id"),
+      "doc_id")
+    assert(!TextIndex.bm25SearchPersisted(spark, out, Seq("rain"), 100)
+      .collect().map(_.getLong(0)).contains(10L))
+    // mismatched attr layouts fail loudly
+    val ic = tmp("mrgC")
+    TextIndex.saveTextIndex(a.withColumn("lang", lit("en")), "doc_id",
+      "text", ic, numBuckets = 4, attrCols = Seq("lang"))
+    intercept[IllegalArgumentException] {
+      TextIndex.mergeTextIndexes(spark, ia, ic, tmp("mrgX"))
+    }
+  }
+
   // --------------------------------------------------------------------- prf
 
   test("pseudo-relevance feedback recovers docs the raw query misses") {
