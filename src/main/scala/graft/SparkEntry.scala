@@ -1390,6 +1390,18 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ML: FACET METRICS — per-language doc count + exact n_chars
+    // sum/min/max over the matching docs (terms-agg with sub-metrics),
+    // from the postings-resident attrs.
+    "q_text_facet_metrics" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("fmidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx, attrCols = Seq("lang", "n_chars"))
+      TextIndex.facetMetrics(s, idx, Seq("stream", "join", "filter"),
+          "lang", "n_chars")
+        .orderBy(col("lang"))
+    }),
+
     // ML: AUTOCOMPLETE — top-5 completions of prefix 's' by document
     // frequency from the dictionary's prefix-partitioned term table
     // (one partition dir read + pushed range predicate, never a
@@ -2311,6 +2323,17 @@ object SparkEntry {
         TextIndex.facetHistogram(s, idx.asInstanceOf[String],
             Seq("stream", "join", "filter"), "n_chars", binWidth = 64L)
           .orderBy(col("bin"))),
+    "q_text_facet_metrics" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("fmidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          idx, attrCols = Seq("lang", "n_chars"))
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.facetMetrics(s, idx.asInstanceOf[String],
+            Seq("stream", "join", "filter"), "lang", "n_chars")
+          .orderBy(col("lang"))),
     "q_text_suggest" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("sgidx").toString
@@ -4812,6 +4835,23 @@ object SparkEntry {
         |  FROM m)
         |SELECT bin, bin * 64 AS lo, CAST(count(*) AS BIGINT) AS n_docs
         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Facet metrics: per-lang count + exact n_chars sum/min/max of
+    // matching docs.
+    "q_text_facet_metrics" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT DISTINCT doc_id, lang, n_chars
+        |  FROM (SELECT doc_id, lang, n_chars, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter'))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v
+        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // Autocomplete: prefix completions by df, the oracle from the
     // tokenized corpus.

@@ -944,6 +944,37 @@ object TextIndex {
       .filter(col("dist") <= maxDist)
   }
 
+  /** FACET METRICS — the terms-aggregation-with-sub-metrics panel: per
+    * facet value of the matching docs, the doc count plus exact SUM and
+    * min/max of a postings-resident numeric attribute (the "avg price
+    * per brand for this query" shape). Same pruned-postings serving
+    * contract as [[facetCounts]]; the numeric dedupes per doc before
+    * aggregating (a doc matching three query terms counts once). Sums
+    * stay BIGINT-exact; callers derive averages from (sum_v, n_docs).
+    * Returns (facetCol, n_docs, sum_v, min_v, max_v).
+    */
+  def facetMetrics(spark: SparkSession, path: String,
+                   queryTerms: Seq[String], facetCol: String,
+                   numCol: String): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    val attrs = readAttrs(spark, path)
+    require(attrs.contains(facetCol) && attrs.contains(numCol),
+      s"facet '$facetCol' and metric '$numCol' must both be persisted " +
+        s"at build (attrCols = ${attrs.mkString(",")})")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(termBucketsLocal(queryTerms, nb): _*))
+      .filter(col("term").isin(queryTerms: _*))
+    IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+      .select(col("doc_id"), col(facetCol),
+        col(numCol).cast("long").as("__v")).distinct()
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__v")).as("sum_v"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
+
   /** BOOLEAN query — the Lucene must / should / must_not contract with
     * `minimum_should_match`, answered from ONE pruned postings pass
     * over the union of all three clauses' terms:

@@ -45,6 +45,22 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(after == Seq((0L, "en", 1L), (1L, "de", 2L)))
   }
 
+  test("facetMetrics: per-facet exact sums over deduped matching docs") {
+    val docs = Seq(
+      (0L, "fox dog", "en", 10L), (1L, "fox", "en", 5L),
+      (2L, "dog", "de", 7L), (3L, "cat", "de", 100L))
+      .toDF("doc_id", "text", "lang", "n")
+    val idx = tmp("fmidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4,
+      attrCols = Seq("lang", "n"))
+    val r = TextIndex.facetMetrics(spark, idx, Seq("fox", "dog"), "lang", "n")
+      .orderBy($"lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // doc 0 matches BOTH terms but counts once (sum 10+5 for en, not 25)
+    assert(r == Seq(("de", 1L, 7L, 7L, 7L), ("en", 2L, 15L, 5L, 10L)))
+  }
+
   test("facetCountsBatch rejects a facet column not persisted at build") {
     val idx = tmp("fctbad")
     TextIndex.saveTextIndex(facetDocs, "doc_id", "text", idx, numBuckets = 4)
