@@ -805,6 +805,79 @@ object Similarity {
       .map(name => s"$path/$name").getOrElse(s"$path/index")
   }
 
+  /** MERGE two raw-vector IVF indexes under A's coarse quantizer — the
+    * shared-quantizer segment merge (FAISS's merge convention): A's
+    * live lists copy through with their stored assignments; B's live
+    * vectors RE-ASSIGN to A's centroid table (one broadcast-argmax pass
+    * over B only — raw vectors live in the lists, so no corpus re-read);
+    * the result is a fresh single-generation index at `outPath` with
+    * A's centroids. Deletion state folds in (tombstoned rows drop, seq
+    * resets), attr layouts must match, id disjointness is the caller's
+    * contract as in every id-space composition here.
+    *
+    * Quantization caveat, by construction: B's vectors now route under
+    * A's quantizer, so probe recall for B's half is whatever A's
+    * centroids give it — the same drift the IVF family's re-train
+    * harness schedules; merge then re-train when the halves'
+    * distributions differ materially. Parity with assigning the union
+    * under A's centroids is spec-pinned.
+    */
+  def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession,
+                      aPath: String, bPath: String,
+                      outPath: String): Unit = {
+    val attrs = indexAttrCols(spark, aPath)
+    require(attrs == indexAttrCols(spark, bPath),
+      s"attr layouts differ: $attrs vs ${indexAttrCols(spark, bPath)}")
+    val cents = spark.read.parquet(s"$aPath/centroids")
+    def live(p: String) = IndexTombstones.applyDeletes(spark, p,
+      spark.read.parquet(activeIndexDir(spark, p)), "v_id")
+    val aRows = live(aPath).select(col("v_id") +: col("v_vec") +:
+      col("centroid_id") +: attrs.map(col): _*)
+    val bRows = assignToCentroids(
+      live(bPath).select(col("v_id") +: col("v_vec") +: attrs.map(col): _*),
+      "v_id", "v_vec", cents, attrs)
+      .select(col("v_id") +: col("v_vec") +: col("centroid_id") +:
+        attrs.map(col): _*)
+    aRows.unionByName(bRows)
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$outPath/index")
+    cents.write.mode("overwrite").parquet(s"$outPath/centroids")
+    writeAttrsFile(spark, outPath, attrs)
+    resetIndexGenerations(spark, outPath)
+  }
+
+  /** MERGE two sign-LSH indexes — EXACT, unlike the IVF merge: sign
+    * buckets are data-independent, so two indexes hashed at the same
+    * bit width union row-for-row into an index identical to a rebuild
+    * from the union corpus (spec-pinned). Live rows only; seq resets;
+    * bit widths and attr layouts must match.
+    */
+  def mergeLshIndexes(spark: org.apache.spark.sql.SparkSession,
+                      aPath: String, bPath: String,
+                      outPath: String): Unit = {
+    import spark.implicits._
+    val nBits = readLshMeta(spark, aPath)
+    require(nBits == readLshMeta(spark, bPath),
+      s"bit widths differ: $nBits vs ${readLshMeta(spark, bPath)} — " +
+        "rebuild one side first")
+    val attrs = indexAttrCols(spark, aPath)
+    require(attrs == indexAttrCols(spark, bPath),
+      s"attr layouts differ: $attrs vs ${indexAttrCols(spark, bPath)}")
+    def live(p: String) = IndexTombstones.applyDeletes(spark, p,
+      spark.read.parquet(activeIndexDir(spark, p)), "v_id")
+    val cols = Seq(col("v_id"), col("v_vec"), col("bucket")) ++ attrs.map(col)
+    live(aPath).select(cols: _*)
+      .unionByName(live(bPath).select(cols: _*))
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outPath/index")
+    Seq((nBits, LshFormatVersion)).toDF("n_bits", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+    writeAttrsFile(spark, outPath, attrs)
+    resetIndexGenerations(spark, outPath)
+  }
+
   /** Compact a persisted index's inverted lists into ONE file per
     * partition — layout-agnostic: the partition column and list count
     * come from the directory listing, so the same op serves
