@@ -1390,6 +1390,31 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ML: MULTI-FACET panels — both facet columns' panels for two term
+    // queries in ONE pruned pass (the whole left-rail in one query).
+    "q_text_facet_panels" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("fpidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx, attrCols = Seq("lang", "source"))
+      import s.implicits._
+      val qs = Seq((0L, "stream"), (0L, "join"), (1L, "filter"))
+        .toDF("q_id", "term")
+      TextIndex.facetPanels(s, idx, qs, Seq("lang", "source"))
+        .orderBy(col("q_id"), col("facet_col"), col("facet_val"))
+    }),
+
+    // ML: BOOLEAN + FILTER-CONTEXT PHRASE — docs containing 'stream'
+    // AND the exact phrase "table scan" (non-scoring clause), ranked by
+    // BM25 on the scoring terms.
+    "q_text_bool_phrase" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("bphidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.booleanSearchPersisted(s, idx, must = Seq("stream"),
+          should = Nil, mustNot = Nil, k = 15,
+          mustPhrase = Seq("table", "scan"))
+        .orderBy(col("rk"))
+    }),
+
     // ML: FACET METRICS — per-language doc count + exact n_chars
     // sum/min/max over the matching docs (terms-agg with sub-metrics),
     // from the postings-resident attrs.
@@ -2323,6 +2348,32 @@ object SparkEntry {
         TextIndex.facetHistogram(s, idx.asInstanceOf[String],
             Seq("stream", "join", "filter"), "n_chars", binWidth = 64L)
           .orderBy(col("bin"))),
+    "q_text_facet_panels" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("fpidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          idx, attrCols = Seq("lang", "source"))
+        idx
+      },
+      search = (s, _, idx) => {
+        import s.implicits._
+        val qs = Seq((0L, "stream"), (0L, "join"), (1L, "filter"))
+          .toDF("q_id", "term")
+        TextIndex.facetPanels(s, idx.asInstanceOf[String], qs,
+            Seq("lang", "source"))
+          .orderBy(col("q_id"), col("facet_col"), col("facet_val"))
+      }),
+    "q_text_bool_phrase" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("bphidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.booleanSearchPersisted(s, idx.asInstanceOf[String],
+            must = Seq("stream"), should = Nil, mustNot = Nil, k = 15,
+            mustPhrase = Seq("table", "scan"))
+          .orderBy(col("rk"))),
     "q_text_facet_metrics" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("fmidx").toString
@@ -4835,6 +4886,75 @@ object SparkEntry {
         |  FROM m)
         |SELECT bin, bin * 64 AS lo, CAST(count(*) AS BIGINT) AS n_docs
         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Multi-facet panels: the per-(q,doc) match set carries both attrs,
+    // unpivots via UNION ALL, one aggregate.
+    "q_text_facet_panels" ->
+      """WITH q AS (
+        |  SELECT CAST(qi AS BIGINT) AS q_id, term
+        |  FROM (VALUES (0, 'stream'), (0, 'join'), (1, 'filter'))
+        |    x(qi, term)),
+        |tk AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT DISTINCT q_id, doc_id, lang, source
+        |  FROM (SELECT doc_id, lang, source, unnest(toks) AS term FROM tk) t
+        |  JOIN q USING (term)),
+        |s AS (
+        |  SELECT q_id, 'lang' AS facet_col, lang AS facet_val FROM m
+        |  UNION ALL
+        |  SELECT q_id, 'source', source FROM m)
+        |SELECT q_id, facet_col, facet_val,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM s GROUP BY 1, 2, 3
+        |ORDER BY q_id, facet_col, facet_val""".stripMargin,
+
+    // Boolean + filter-context phrase: the bool candidates (must =
+    // stream) semi-join the adjacency-exact phrase doc set; the phrase
+    // never scores.
+    "q_text_bool_phrase" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |ph AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, CAST(len(list_filter(range(1, len(toks)),
+         |      i -> toks[i] = 'table' AND toks[i+1] = 'scan')) AS BIGINT)
+         |      AS phrase_tf
+         |    FROM tk)
+         |  WHERE phrase_tf > 0),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  WHERE term = 'stream' GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, CAST(floor(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+         |    * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |agg AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS n_should,
+         |    CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM per GROUP BY 1),
+         |kept AS (
+         |  SELECT a.doc_id, a.n_should, a.score_micro FROM agg a
+         |  WHERE a.doc_id IN (SELECT doc_id FROM ph))
+         |SELECT doc_id, n_should, score_micro, CAST(row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM kept ORDER BY score_micro DESC, doc_id ASC LIMIT 15""".stripMargin,
 
     // Facet metrics: per-lang count + exact n_chars sum/min/max of
     // matching docs.

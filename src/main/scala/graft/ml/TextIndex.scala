@@ -600,6 +600,43 @@ object TextIndex {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** MULTI-FACET panels — every facet column's panel for every query in
+    * ONE union-pruned postings pass: the per-(q_id, doc) match set
+    * dedupes once carrying ALL the attr columns, then unpivots
+    * (facet_col, facet_val) pairs into one hash aggregate. N queries ×
+    * K facets costs one postings read and two shuffles total — the
+    * "whole left-rail in one query" shape. Facet values stringify (one
+    * value column must fit every facet's type). Returns
+    * (q_id, facet_col, facet_val, n_docs).
+    */
+  def facetPanels(spark: SparkSession, path: String, queries: DataFrame,
+                  facetCols: Seq[String]): DataFrame = {
+    require(facetCols.nonEmpty && facetCols == facetCols.distinct,
+      "facetCols must be non-empty and distinct")
+    val attrs = readAttrs(spark, path)
+    facetCols.foreach(c => require(attrs.contains(c),
+      s"facet column '$c' was not persisted at build (attrCols = " +
+        s"${attrs.mkString(",")})"))
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    import spark.implicits._
+    val qt = queries.select(col("q_id"), col("term")).distinct()
+    val terms = qt.select("term").distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "queries must be non-empty")
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(termBucketsLocal(terms, nb): _*))
+      .filter(col("term").isin(terms: _*))
+    val matched = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+      .join(broadcast(qt), "term")
+      .select(col("q_id") +: col("doc_id") +: facetCols.map(col): _*)
+      .distinct()
+    matched.select(col("q_id"), explode(map(facetCols.flatMap(c =>
+        Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("facet_col", "facet_val")))
+      .groupBy(col("q_id"), col("facet_col"), col("facet_val"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** SNIPPET windows — the highlighting primitive: for every matching
     * live doc, the best fixed-width token window, where best maximizes
     * the number of DISTINCT query terms whose occurrence falls inside
@@ -996,9 +1033,11 @@ object TextIndex {
                              must: Seq[String], should: Seq[String],
                              mustNot: Seq[String], k: Int,
                              minShouldMatch: Int = 0,
-                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                             k1: Double = 1.2, b: Double = 0.75,
+                             mustPhrase: Seq[String] = Nil): DataFrame = {
     val all = (must ++ should ++ mustNot).distinct
-    require(all.nonEmpty, "at least one clause term required")
+    require(all.nonEmpty, "at least one clause term required " +
+      "(a pure phrase query is phraseSearchPersisted)")
     require(must.intersect(mustNot).isEmpty && should.intersect(mustNot).isEmpty,
       "mustNot terms cannot also be must/should")
     require(must.intersect(should).isEmpty,
@@ -1034,12 +1073,22 @@ object TextIndex {
         .as("n_not"),
       sum(when(col("term").isin(scoring: _*), col("c_micro"))
         .otherwise(lit(0L))).as("score_micro"))
-    val kept = byDoc
+    val kept0 = byDoc
       .filter(col("n_must") === must.distinct.size)
       .filter(col("n_not") === 0)
       .filter(if (should.isEmpty) lit(true)
         else col("n_should") >= minShouldMatch)
       .select(col("doc_id"), col("n_should"), col("score_micro"))
+    // mustPhrase is a FILTER-context clause (Lucene's non-scoring must):
+    // the doc must additionally contain the exact phrase, which neither
+    // scores nor rescues a doc with zero scoring-clause terms — pure
+    // phrase retrieval is [[phraseSearchPersisted]]'s job. One extra
+    // bounded semi-join against the phrase's positional-postings answer.
+    val kept =
+      if (mustPhrase.isEmpty) kept0
+      else kept0.join(
+        phraseSearchPersisted(spark, path, mustPhrase).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val top = kept
       .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
     top.withColumn("rk", row_number().over(

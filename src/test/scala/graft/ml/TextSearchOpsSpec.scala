@@ -61,6 +61,52 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(r == Seq(("de", 1L, 7L, 7L, 7L), ("en", 2L, 15L, 5L, 10L)))
   }
 
+  test("facetPanels: every facet column in one pass, per-query dedup") {
+    val docs = Seq(
+      (0L, "fox dog", "en", "web"), (1L, "fox", "en", "book"),
+      (2L, "dog", "de", "web"), (3L, "cat", "fr", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val idx = tmp("fpidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4,
+      attrCols = Seq("lang", "source"))
+    val qs = Seq((0L, "fox"), (0L, "dog"), (1L, "cat")).toDF("q_id", "term")
+    val r = TextIndex.facetPanels(spark, idx, qs, Seq("lang", "source"))
+      .orderBy($"q_id", $"facet_col", $"facet_val")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // q0 matches docs 0,1,2 (doc 0 matches both terms — once)
+    assert(r == Seq(
+      (0L, "lang", "de", 1L), (0L, "lang", "en", 2L),
+      (0L, "source", "book", 1L), (0L, "source", "web", 2L),
+      (1L, "lang", "fr", 1L), (1L, "source", "web", 1L)))
+  }
+
+  test("boolean mustPhrase is a non-scoring filter clause") {
+    val docs = Seq(
+      (0L, "alpha table scan here"),   // must + phrase
+      (1L, "alpha scan table"),        // must, phrase reversed → out
+      (2L, "table scan only"),         // phrase but no scoring term → out
+      (3L, "alpha alone"))             // must, no phrase → out
+      .toDF("doc_id", "text")
+    val idx = tmp("bphidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val r = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Seq("alpha"), should = Nil, mustNot = Nil, k = 10,
+        mustPhrase = Seq("table", "scan"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(0L))
+    // the phrase terms do not contribute to the score: same score as a
+    // phrase-free must query restricted to doc 0
+    val scored = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Seq("alpha"), should = Nil, mustNot = Nil, k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    val withPhrase = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Seq("alpha"), should = Nil, mustNot = Nil, k = 10,
+        mustPhrase = Seq("table", "scan"))
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    assert(withPhrase(0L) == scored(0L))
+  }
+
   test("facetCountsBatch rejects a facet column not persisted at build") {
     val idx = tmp("fctbad")
     TextIndex.saveTextIndex(facetDocs, "doc_id", "text", idx, numBuckets = 4)
