@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.GraftSession
 import graft.query.{Alerts, Analytics, Counts, LogContext, FieldStats, Percentiles, TimeSeries, Traces}
-import graft.ml.{BpeTrain, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextIndex, TextRank}
+import graft.ml.{BpeTrain, Dedup, Eval, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextIndex, TextRank}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` over the same
@@ -1741,6 +1741,15 @@ object SparkEntry {
           weights = Map("src1" -> 2.5, "src2" -> 0.25, "src3" -> 3.0))
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
+
+    // ML: THRESHOLD SWEEP — the quality-gate calibration table:
+    // precision/recall at four cut points in ONE data pass (per-row
+    // monotone bin + one aggregate), integer-exact micro fractions.
+    "q_eval_threshold_sweep" -> ((s, dir) =>
+      Eval.thresholdSweep(
+          t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+          "n_chars", "y", thresholds = Seq(100L, 200L, 400L, 800L))
+        .orderBy(col("threshold"))),
 
     // ML: TEMPERATURE mixing (α = ½) — mixture weights computed from the
     // source sizes (p_s ∝ √n_s): small sources upsample, the crawl
@@ -5587,6 +5596,32 @@ object SparkEntry {
          |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
          |FROM n WHERE n > 0
          |ORDER BY doc_id, epoch""".stripMargin,
+
+    // Threshold sweep: per-threshold confusion counts + micro-grid
+    // precision/recall via BIGINT floor division.
+    "q_eval_threshold_sweep" ->
+      """WITH th AS (
+        |  SELECT CAST(t AS BIGINT) AS threshold
+        |  FROM (VALUES (100), (200), (400), (800)) x(t)),
+        |d AS (SELECT n_chars AS score, (lang = 'en') AS y FROM documents),
+        |agg AS (
+        |  SELECT threshold,
+        |    sum(CASE WHEN score >= threshold AND y THEN 1 ELSE 0 END) AS tp,
+        |    sum(CASE WHEN score >= threshold AND NOT y THEN 1 ELSE 0 END)
+        |      AS fp,
+        |    sum(CASE WHEN score < threshold AND y THEN 1 ELSE 0 END) AS fn,
+        |    sum(CASE WHEN score < threshold AND NOT y THEN 1 ELSE 0 END)
+        |      AS tn
+        |  FROM d CROSS JOIN th GROUP BY 1)
+        |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  CASE WHEN tp + fp > 0
+        |       THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+        |    AS precision_micro,
+        |  CASE WHEN tp + fn > 0
+        |       THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+        |    AS recall_micro
+        |FROM agg ORDER BY threshold""".stripMargin,
 
     // Temperature mixing: m_s = N*sq_s/(n_s*Z) from exact BIGINTs
     // (sq_s = floor(sqrt(n_s)*1e6), Z = sum sq_s) — the same epoch
