@@ -1751,6 +1751,21 @@ object SparkEntry {
           "n_chars", "y", thresholds = Seq(100L, 200L, 400L, 800L))
         .orderBy(col("threshold"))),
 
+    // ML: EXACT AUC — Mann–Whitney rank-sum with integral tie handling
+    // (2U over distinct scores), pure BIGINT micro-grid output.
+    "q_eval_auc" -> ((s, dir) =>
+      Eval.aucExact(
+        t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+        "n_chars", "y")),
+
+    // ML: CALIBRATION bins — 8 equal-width n_chars bins, empirical
+    // positive rate per bin on the micro grid (reliability diagram).
+    "q_eval_calibration" -> ((s, dir) =>
+      Eval.calibrationBins(
+          t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+          "n_chars", "y", lo = 0L, hi = 1024L, nBins = 8)
+        .orderBy(col("bin"))),
+
     // ML: TEMPERATURE mixing (α = ½) — mixture weights computed from the
     // source sizes (p_s ∝ √n_s): small sources upsample, the crawl
     // downsamples, volume stays ≈ N. √n floors to the micro grid before
@@ -5622,6 +5637,49 @@ object SparkEntry {
         |       THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
         |    AS recall_micro
         |FROM agg ORDER BY threshold""".stripMargin,
+
+    // Exact AUC: 2U = sum over distinct scores of pos_s*(2*neg_below +
+    // neg_s); auc_micro = floor(1e6*2U/(2*P*N)) in BIGINTs.
+    "q_eval_auc" ->
+      """WITH d AS (
+        |  SELECT n_chars AS s, (lang = 'en') AS y FROM documents),
+        |ps AS (
+        |  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos_s,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS neg_s
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT s, pos_s, neg_s,
+        |    COALESCE(sum(neg_s) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below
+        |  FROM ps),
+        |a AS (
+        |  SELECT CAST(sum(pos_s) AS BIGINT) AS pos,
+        |    CAST(sum(neg_s) AS BIGINT) AS neg,
+        |    CAST(sum(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS two_u
+        |  FROM c)
+        |SELECT pos, neg,
+        |  CASE WHEN pos > 0 AND neg > 0
+        |       THEN CAST(two_u * 1000000 // (2 * pos * neg) AS BIGINT) END
+        |    AS auc_micro
+        |FROM a""".stripMargin,
+
+    // Calibration bins: clamped equal-width bins, integer floor division
+    // everywhere.
+    "q_eval_calibration" ->
+      """WITH d AS (
+        |  SELECT least(greatest((n_chars * 8) // 1024, 0), 7) AS bin,
+        |    (lang = 'en') AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT bin, count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(bin * 1024 // 8 AS BIGINT) AS bin_lo,
+        |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_micro
+        |FROM g ORDER BY bin""".stripMargin,
 
     // Temperature mixing: m_s = N*sq_s/(n_s*Z) from exact BIGINTs
     // (sq_s = floor(sqrt(n_s)*1e6), Z = sum sq_s) — the same epoch

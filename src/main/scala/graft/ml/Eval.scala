@@ -54,4 +54,77 @@ object Eval {
     rows.toDF("threshold", "tp", "fp", "fn", "tn",
       "precision_micro", "recall_micro")
   }
+
+  /** EXACT ROC-AUC via the Mann–Whitney rank-sum statistic, ties
+    * handled exactly in half-units kept integral:
+    * `2U = Σ_s pos_s · (2·neg_below(s) + neg_s)` over DISTINCT score
+    * values, `AUC = U / (P·N)`, emitted as
+    * `auc_micro = floor(10⁶·2U / (2·P·N))` — pure BIGINT arithmetic,
+    * bit-reproducible across engines.
+    *
+    * Shape: one hash aggregate to per-score (pos, neg) counts, then ONE
+    * ordered pass over the distinct scores for the cumulative
+    * (|distinct scores| ≪ rows for gridded scores — quantize continuous
+    * scores to the micro grid first, the house convention). Labeled
+    * eval slices are sampled data by nature; the BIGINT range guard
+    * (P·N ≤ maxLong/10⁶) rejects inputs that would overflow instead of
+    * silently wrapping. Returns one row (pos, neg, auc_micro);
+    * auc_micro null when either class is empty.
+    */
+  def aucExact(df: DataFrame, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perScore = df
+      .select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos_s"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("neg_s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val agg = perScore
+      .withColumn("neg_below", coalesce(sum(col("neg_s")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("pos_s")), lit(0L)).as("pos"),
+        coalesce(sum(col("neg_s")), lit(0L)).as("neg"),
+        coalesce(sum(col("pos_s") *
+          (col("neg_below") * 2L + col("neg_s"))), lit(0L)).as("two_u"))
+      .collect().head
+    val (p, n, twoU) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    require(p == 0 || n == 0 || p * n <= Long.MaxValue / 1000000L,
+      s"P*N = ${p}*$n overflows the exact micro grid — sample the eval " +
+        "slice (AUC is a statistic of a labeled sample, not a corpus scan)")
+    val auc = if (p > 0 && n > 0) Some(twoU * 1000000L / (2L * p * n))
+      else None
+    Seq((p, n, auc)).toDF("pos", "neg", "auc_micro")
+  }
+
+  /** CALIBRATION BINS (reliability diagram): equal-width score bins over
+    * `[lo, hi)`, per bin the count, positive count, and empirical
+    * positive rate on the micro grid — "when the scorer says 0.8, is it
+    * right 80% of the time?". Scores outside the range clamp to the
+    * edge bins. One narrow projection + one aggregate. Returns
+    * (bin, bin_lo, n, n_pos, pos_rate_micro) for occupied bins.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    val score = col(scoreCol).cast("long")
+    // `div`, not `/`: Spark's / on BIGINTs returns DOUBLE (the classic
+    // silent-precision trap); div keeps the arithmetic integer-exact.
+    // Truncation-vs-floor on negatives is moot — the clamp handles the
+    // out-of-range side.
+    df.select(((score - lo) * nBins).as("__num"),
+        col(labelCol).cast("boolean").as("y"))
+      .withColumn("bin", least(greatest(
+        expr(s"__num div ${hi - lo}"), lit(0L)), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"),
+        expr(s"$lo + bin * ${hi - lo} div $nBins").as("bin_lo"),
+        col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("pos_rate_micro"))
+  }
 }

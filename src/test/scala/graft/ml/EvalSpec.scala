@@ -39,6 +39,43 @@ class EvalSpec extends SparkSuite {
     assert(neg.isNullAt(6))
   }
 
+  test("aucExact: perfect, random-tied, and inverted separations") {
+    // perfect: all positives above all negatives → AUC 1
+    val perfect = (1L to 10L).map(s => (s, s > 5))
+    assert(Eval.aucExact(perfect.toDF("score", "y"), "score", "y")
+      .collect().head.getLong(2) == 1000000L)
+    // all scores tied → AUC exactly 1/2 (tie half-credit)
+    val tied = Seq((5L, true), (5L, true), (5L, false), (5L, false))
+    assert(Eval.aucExact(tied.toDF("score", "y"), "score", "y")
+      .collect().head.getLong(2) == 500000L)
+    // inverted → AUC 0
+    val inv = (1L to 10L).map(s => (s, s <= 5))
+    assert(Eval.aucExact(inv.toDF("score", "y"), "score", "y")
+      .collect().head.getLong(2) == 0L)
+    // hand case with a partial tie: pos {3,5}, neg {3,4}
+    // pairs: (3,3)=.5 (3,4)=0 (5,3)=1 (5,4)=1 → U=2.5/4 → 625000
+    val mixed = Seq((3L, true), (5L, true), (3L, false), (4L, false))
+    assert(Eval.aucExact(mixed.toDF("score", "y"), "score", "y")
+      .collect().head.getLong(2) == 625000L)
+    // single-class input → null
+    assert(Eval.aucExact(Seq((1L, true)).toDF("score", "y"), "score", "y")
+      .collect().head.isNullAt(2))
+  }
+
+  test("calibrationBins: clamped edges, exact rates") {
+    val df = Seq((-5L, false), (0L, true), (100L, true), (100L, false),
+      (799L, true), (2000L, true)).toDF("score", "y")
+    val r = Eval.calibrationBins(df, "score", "y", lo = 0L, hi = 800L,
+        nBins = 8)
+      .orderBy($"bin")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    // bin width 100: bin 0 = {-5 clamped (neg), 0 (pos)}, bin 1 = the
+    // two 100s (one pos), bin 7 = {799, 2000 clamped} both pos
+    assert(r == Seq((0L, 0L, 2L, 1L, 500000L), (1L, 100L, 2L, 1L, 500000L),
+      (7L, 700L, 2L, 2L, 1000000L)))
+  }
+
   test("thresholds must be strictly ascending") {
     val df = Seq((1L, true)).toDF("score", "y")
     intercept[IllegalArgumentException] {
