@@ -701,6 +701,66 @@ object TextIndex {
       (-best.getField("neg_start")).cast("long").as("win_start"))
   }
 
+  /** MULTI-PASSAGE highlighting — up to `p` NON-OVERLAPPING best windows
+    * per matching doc (the Lucene passage-formatter shape: a long doc
+    * shows several hit regions, not one): greedy selection by
+    * (coverage desc, start asc), each later passage's start at least
+    * `width` away from every already-chosen start. The greedy rounds
+    * unroll into `p` column expressions over the bounded per-doc anchor
+    * array (same pruned positional read and `maxOccurrences` analysis
+    * cap as [[snippetWindows]]) — iterative semantics, so this op is
+    * spec-gated rather than oracle-gated (house precedent: BPE,
+    * k-means). Returns (doc_id, passage_rk, win_start, n_terms),
+    * passage_rk 1-based in selection order; docs emit fewer than `p`
+    * rows when no eligible anchor remains.
+    */
+  def snippetPassages(spark: SparkSession, path: String,
+                      queryTerms: Seq[String], width: Int, p: Int,
+                      maxOccurrences: Int = 5000): DataFrame = {
+    require(p >= 1, "p must be >= 1")
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    require(width >= 1, "width must be >= 1")
+    val (_, _, nb) = readStats(spark, path)
+    val dir = activeDataDir(spark, path)
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(termBucketsLocal(queryTerms, nb): _*))
+      .filter(col("term").isin(queryTerms: _*))
+    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val byDoc = live.groupBy(col("doc_id"), col("term"))
+      .agg(slice(sort_array(array_distinct(flatten(
+        collect_list(col("positions"))))), 1, maxOccurrences)
+        .as("positions"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("positions"))).as("tl"))
+    val anchors = array_distinct(flatten(transform(col("tl"),
+      s => s.getField("positions"))))
+    val scored = transform(anchors, a => struct(
+      size(filter(col("tl"), s => exists(s.getField("positions"),
+        q => q >= a && q < a + lit(width)))).as("cov"),
+      (-a).as("neg_start")))
+    // p greedy rounds as ONE aggregate() fold with threaded
+    // (avail, picks) state — an unrolled foldLeft would re-inline the
+    // whole prior tree in both the pick and the filter and go
+    // exponential in p at analysis time (found the hard way: p = 10
+    // hung Catalyst); the HOF fold keeps the expression linear.
+    val zero = struct(scored.as("avail"),
+      slice(scored, 1, 0).as("picks")) // empty array of the same type
+    val fin = aggregate(sequence(lit(1), lit(p)), zero, (st, _) => {
+      val pick = array_max(st.getField("avail"))
+      when(pick.isNull, st).otherwise(struct(
+        filter(st.getField("avail"), x =>
+          abs(x.getField("neg_start") - pick.getField("neg_start"))
+            >= lit(width)).as("avail"),
+        concat(st.getField("picks"), array(pick)).as("picks")))
+    })
+    val passages = fin.getField("picks")
+    byDoc.select(col("doc_id"), posexplode(passages).as(Seq("__i", "__p")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("passage_rk"),
+        (-col("__p").getField("neg_start")).cast("long").as("win_start"),
+        col("__p").getField("cov").cast("long").as("n_terms"))
+  }
+
   /** PHRASE search against the positional postings: documents where the
     * terms occur CONSECUTIVELY, with the exact occurrence count —
     * `phrase_tf = |{p : p ∈ pos(t₀) ∧ p+1 ∈ pos(t₁) ∧ …}|`. Bag-of-words

@@ -139,6 +139,31 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(!w4.exists(_._1 == 2L))
   }
 
+  test("snippetPassages: greedy non-overlapping top-p windows") {
+    // two hit clusters far apart plus a weak singleton between them
+    val docs = Seq(
+      (0L, "q1 q2 x x x x x x x x q1 x x x x x x x x q1 q2 q3"))
+      .toDF("doc_id", "text")
+    val idx = tmp("snpp")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    val r = TextIndex.snippetPassages(spark, idx, Seq("q1", "q2", "q3"),
+        width = 4, p = 3)
+      .orderBy($"passage_rk")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    // best: [19,23) covers q1,q2,q3 (cov 3); next: [0,4) cov 2; the
+    // lone q1@10 survives the overlap bars → cov 1
+    assert(r == Seq((1L, 19L, 3L), (2L, 0L, 2L), (3L, 10L, 1L)))
+    // p larger than available passages: no extra rows, no nulls
+    val r2 = TextIndex.snippetPassages(spark, idx, Seq("q1", "q2", "q3"),
+        width = 4, p = 10)
+    assert(r2.count() >= 3 && r2.filter($"win_start".isNull).count() == 0)
+    // passage_rk 1 always equals snippetWindows' single answer
+    val single = TextIndex.snippetWindows(spark, idx,
+        Seq("q1", "q2", "q3"), 4)
+      .collect().map(x => (x.getLong(2), x.getLong(1))).head
+    assert((r.head._2, r.head._3) == single)
+  }
+
   test("snippetWindows width 1 degenerates to first single occurrence") {
     val docs = Seq((0L, "a b c b")).toDF("doc_id", "text")
     val idx = tmp("snp1")
