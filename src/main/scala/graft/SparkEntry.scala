@@ -1758,6 +1758,14 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("y", col("lang") === "en"),
         "n_chars", "y")),
 
+    // ML: PER-GROUP AUC — one exact AUC per source, fully distributed
+    // (group-partitioned cumulative, executor-side BIGINT division).
+    "q_eval_auc_by_source" -> ((s, dir) =>
+      Eval.aucByGroup(
+          t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+          "source", "n_chars", "y")
+        .orderBy(col("source"))),
+
     // ML: CALIBRATION bins — 8 equal-width n_chars bins, empirical
     // positive rate per bin on the micro grid (reliability diagram).
     "q_eval_calibration" -> ((s, dir) =>
@@ -5663,6 +5671,31 @@ object SparkEntry {
         |       THEN CAST(two_u * 1000000 // (2 * pos * neg) AS BIGINT) END
         |    AS auc_micro
         |FROM a""".stripMargin,
+
+    // Per-group AUC: the q_eval_auc CTEs partitioned by source.
+    "q_eval_auc_by_source" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS s, (lang = 'en') AS y FROM documents),
+        |ps AS (
+        |  SELECT source, s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos_s,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS neg_s
+        |  FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, pos_s, neg_s,
+        |    COALESCE(sum(neg_s) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below
+        |  FROM ps),
+        |a AS (
+        |  SELECT source, CAST(sum(pos_s) AS BIGINT) AS pos,
+        |    CAST(sum(neg_s) AS BIGINT) AS neg,
+        |    CAST(sum(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS two_u
+        |  FROM c GROUP BY 1)
+        |SELECT source, pos, neg,
+        |  CASE WHEN pos > 0 AND neg > 0
+        |       THEN CAST(two_u * 1000000 // (2 * pos * neg) AS BIGINT) END
+        |    AS auc_micro
+        |FROM a ORDER BY source""".stripMargin,
 
     // Calibration bins: clamped equal-width bins, integer floor division
     // everywhere.

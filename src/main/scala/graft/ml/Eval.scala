@@ -100,6 +100,43 @@ object Eval {
     Seq((p, n, auc)).toDF("pos", "neg", "auc_micro")
   }
 
+  /** [[aucExact]] PER GROUP, fully distributed — one AUC per slice
+    * (per-source, per-language, per-shard quality audits) with no
+    * driver fold: per-(group, score) counts, the cumulative over
+    * distinct scores windows WITHIN each group, and the final micro
+    * division runs on executors as BIGINT `div` (with a loud
+    * `raise_error` on grids that would overflow — sample the slice).
+    * Returns (groupCol, pos, neg, auc_micro); auc_micro null when a
+    * group has a single class.
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    val perScore = df
+      .select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos_s"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("neg_s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    perScore
+      .withColumn("neg_below", coalesce(sum(col("neg_s")).over(w), lit(0L)))
+      .groupBy(col("g"))
+      .agg(sum(col("pos_s")).as("pos"), sum(col("neg_s")).as("neg"),
+        sum(col("pos_s") * (col("neg_below") * 2L + col("neg_s")))
+          .as("two_u"))
+      .select(col("g").as(groupCol), col("pos"), col("neg"),
+        when(col("pos") > 0 && col("neg") > 0,
+          when(col("pos") * col("neg") <= Long.MaxValue / 1000000L,
+            expr("two_u * 1000000 div (2 * pos * neg)"))
+            .otherwise(expr(
+              "raise_error('P*N overflows the exact micro grid — " +
+                "sample the eval slice')")))
+          .as("auc_micro"))
+  }
+
   /** CALIBRATION BINS (reliability diagram): equal-width score bins over
     * `[lo, hi)`, per bin the count, positive count, and empirical
     * positive rate on the micro grid — "when the scorer says 0.8, is it

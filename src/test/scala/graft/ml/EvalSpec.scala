@@ -76,6 +76,23 @@ class EvalSpec extends SparkSuite {
       (7L, 700L, 2L, 2L, 1000000L)))
   }
 
+  test("aucByGroup matches per-group aucExact") {
+    val df = ((1L to 10L).map(s => ("a", s, s > 5)) ++
+      Seq(("b", 5L, true), ("b", 5L, false)) ++
+      Seq(("c", 1L, true))).toDF("g", "score", "y")
+    val grouped = Eval.aucByGroup(df, "g", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(grouped == Map("a" -> Some(1000000L), "b" -> Some(500000L),
+      "c" -> None))
+    for (g <- Seq("a", "b", "c")) {
+      val single = Eval.aucExact(df.filter($"g" === g), "score", "y")
+        .collect().head
+      val exp = if (single.isNullAt(2)) None else Some(single.getLong(2))
+      assert(grouped(g) == exp, s"group $g")
+    }
+  }
+
   test("thresholds must be strictly ascending") {
     val df = Seq((1L, true)).toDF("score", "y")
     intercept[IllegalArgumentException] {
