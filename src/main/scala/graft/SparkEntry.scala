@@ -2294,6 +2294,62 @@ object SparkEntry {
         TextIndex.phraseSearchPersisted(s, idx.asInstanceOf[String],
             Seq("table", "scan"))
           .orderBy(col("doc_id"))),
+    "q_hybrid_batch" -> Prepared(
+      build = (s, dir) => {
+        val tIdx = java.nio.file.Files.createTempDirectory("hybbt").toString
+        val aIdx = java.nio.file.Files.createTempDirectory("hybba").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          tIdx)
+        Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, aIdx)
+        (tIdx, aIdx)
+      },
+      search = (s, dir, art) => {
+        val (tIdx, aIdx) = art.asInstanceOf[(String, String)]
+        val sp = s; import sp.implicits._
+        val qt = Seq((0L, "stream"), (0L, "join"), (0L, "filter"),
+            (1L, "table"), (1L, "scan"), (2L, "parquet"), (2L, "filter"))
+          .toDF("q_id", "term")
+        graft.ml.Hybrid.hybridSearchPersistedBatch(s, tIdx, aIdx, qt,
+            t(s, dir, "embeddings").filter(col("vec_id") < 3),
+            "vec_id", "embedding", nProbe = 8, kLex = 20, kVec = 20, k = 10)
+          .orderBy(col("q_id"), col("rk"))
+      }),
+    "q_hybrid_filtered" -> Prepared(
+      build = (s, dir) => {
+        val tIdx = java.nio.file.Files.createTempDirectory("hybft").toString
+        val aIdx = java.nio.file.Files.createTempDirectory("hybfa").toString
+        val docs = t(s, dir, "documents")
+        TextIndex.saveTextIndex(docs, "doc_id", "text", tIdx,
+          attrCols = Seq("lang"))
+        val embA = t(s, dir, "embeddings")
+          .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+            "vec_id")
+        Similarity.saveIvfIndex(embA, "vec_id", "embedding",
+          numCentroids = 8, aIdx, attrCols = Seq("lang"))
+        (tIdx, aIdx)
+      },
+      search = (s, dir, art) => {
+        val (tIdx, aIdx) = art.asInstanceOf[(String, String)]
+        graft.ml.Hybrid.hybridSearchPersisted(s, tIdx, aIdx,
+            Seq("stream", "join", "filter"),
+            t(s, dir, "embeddings").filter(col("vec_id") === 0L),
+            "vec_id", "embedding", nProbe = 8, kLex = 20, kVec = 20,
+            k = 10, where = Some(col("lang") === "en"))
+          .orderBy(col("rk"))
+      }),
+    "q_text_phrase_batch" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("phrbidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          idx)
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.phraseSearchPersistedBatch(s, idx.asInstanceOf[String],
+            Seq(0L -> Seq("table", "scan"), 1L -> Seq("join", "order"),
+              2L -> Seq("table", "table"), 3L -> Seq("scan")))
+          .orderBy(col("p_id"), col("doc_id"))),
     "q_text_facets" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("fctidx").toString
