@@ -1390,6 +1390,21 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ML: PER-QUERY FILTERED batch BM25 — one pruned pass for a query
+    // set where each query carries its OWN attribute predicate (q0
+    // scoped to lang='en', q1 unfiltered); stats stay corpus-global.
+    "q_text_bm25_batch_filtered" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("bbfidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx, attrCols = Seq("lang"))
+      import s.implicits._
+      val qt = Seq((0L, "stream"), (0L, "join"), (1L, "filter"))
+        .toDF("q_id", "term")
+      TextIndex.bm25SearchPersistedBatch(s, idx, qt, kLex = 10,
+          perQueryWhere = Map(0L -> (col("lang") === "en")))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: MULTI-FACET panels — both facet columns' panels for two term
     // queries in ONE pruned pass (the whole left-rail in one query).
     "q_text_facet_panels" -> ((s, dir) => {
@@ -2436,6 +2451,21 @@ object SparkEntry {
         TextIndex.facetHistogram(s, idx.asInstanceOf[String],
             Seq("stream", "join", "filter"), "n_chars", binWidth = 64L)
           .orderBy(col("bin"))),
+    "q_text_bm25_batch_filtered" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("bbfidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text",
+          idx, attrCols = Seq("lang"))
+        idx
+      },
+      search = (s, _, idx) => {
+        val sp = s; import sp.implicits._
+        val qt = Seq((0L, "stream"), (0L, "join"), (1L, "filter"))
+          .toDF("q_id", "term")
+        TextIndex.bm25SearchPersistedBatch(s, idx.asInstanceOf[String], qt,
+            kLex = 10, perQueryWhere = Map(0L -> (col("lang") === "en")))
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_text_facet_panels" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("fpidx").toString
@@ -4974,6 +5004,52 @@ object SparkEntry {
         |  FROM m)
         |SELECT bin, bin * 64 AS lo, CAST(count(*) AS BIGINT) AS n_docs
         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Per-query filtered batch BM25: df corpus-global, each query's
+    // predicate as a CASE on the candidate rows, per-term micro floors
+    // before the order-free sum.
+    "q_text_bm25_batch_filtered" ->
+      s"""WITH qt AS (
+         |  SELECT CAST(q AS BIGINT) AS q_id, term
+         |  FROM (VALUES (0, 'stream'), (0, 'join'), (1, 'filter'))
+         |    x(q, term)),
+         |tk AS (
+         |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
+         |    t -> t != '') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl, toks
+         |  FROM tk),
+         |consts AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, lang, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, lang, dl, unnest(toks) AS term FROM d)
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3, 4),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, lang, term, CAST(floor(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |             (CAST(df AS DOUBLE) + 0.5)) *
+         |    (CAST(tf AS DOUBLE) * ${1.2 + 1.0}) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (${1.0 - 0.75} + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+         |    * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN consts),
+         |sc AS (
+         |  SELECT qt.q_id, per.doc_id,
+         |    CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM per JOIN qt USING (term)
+         |  WHERE CASE WHEN qt.q_id = 0 THEN per.lang = 'en' ELSE TRUE END
+         |  GROUP BY 1, 2)
+         |SELECT q_id, doc_id, score_micro, rk FROM (
+         |  SELECT q_id, doc_id, score_micro, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC)
+         |    AS BIGINT) AS rk
+         |  FROM sc)
+         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
 
     // Multi-facet panels: the per-(q,doc) match set carries both attrs,
     // unpivots via UNION ALL, one aggregate.

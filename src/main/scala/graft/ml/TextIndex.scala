@@ -500,7 +500,9 @@ object TextIndex {
   def bm25SearchPersistedBatch(spark: SparkSession, path: String,
                                queryTerms: DataFrame, kLex: Int,
                                k1: Double = 1.2, b: Double = 0.75,
-                               where: Option[Column] = None): DataFrame = {
+                               where: Option[Column] = None,
+                               perQueryWhere: Map[Long, Column] =
+                                 Map.empty): DataFrame = {
     val (nDocs, sumDl, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
@@ -529,7 +531,19 @@ object TextIndex {
       .withColumn("c_micro",
         floor(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom *
           lit(1000000.0)).cast("long"))
-    val scored = perTerm.join(qt, "term")
+    // PER-QUERY filters compose with (and after) the global `where`:
+    // each query's predicate evaluates on ITS candidate rows once the
+    // q_id association exists — same corpus-global-stats convention
+    // (filters change which docs may answer, never how informative a
+    // term is). Queries absent from the map are unfiltered.
+    val associated = perTerm.join(qt, "term")
+    val filtered =
+      if (perQueryWhere.isEmpty) associated
+      else associated.filter(perQueryWhere.foldLeft(lit(true)) {
+        case (acc, (qid, pred)) => when(col("q_id") === qid, pred)
+          .otherwise(acc)
+      })
+    val scored = filtered
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("c_micro")).as("score_micro"))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),

@@ -372,6 +372,29 @@ class TextSearchOpsSpec extends SparkSuite {
       maxOccurrences = 1).count() == 0)
   }
 
+  // ------------------------------------------------ per-query batch filters
+
+  test("batch BM25 per-query filters scope candidates, not statistics") {
+    val docs = Seq(
+      (0L, "fox dog", "en"), (1L, "fox", "de"), (2L, "fox fox", "en"),
+      (3L, "dog", "de")).toDF("doc_id", "text", "lang")
+    val idx = tmp("bbfidx")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4,
+      attrCols = Seq("lang"))
+    val qt = Seq((0L, "fox"), (1L, "fox")).toDF("q_id", "term")
+    val r = TextIndex.bm25SearchPersistedBatch(spark, idx, qt, kLex = 10,
+        perQueryWhere = Map(0L -> (col("lang") === "en")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // q0 sees only en docs {0, 2}; q1 (unfiltered) sees {0, 1, 2}
+    assert(r.filter(_._1 == 0L).map(_._2).toSet == Set(0L, 2L))
+    assert(r.filter(_._1 == 1L).map(_._2).toSet == Set(0L, 1L, 2L))
+    // SCORES are identical across the two queries for shared docs:
+    // df/N/avgdl stay corpus-global under the filter (Lucene convention)
+    val s0 = r.filter(_._1 == 0L).map(x => x._2 -> x._3).toMap
+    val s1 = r.filter(_._1 == 1L).map(x => x._2 -> x._3).toMap
+    assert(s0.forall { case (d, s) => s1(d) == s })
+  }
+
   // ------------------------------------------- boolean / paging / num-facet
 
   test("booleanSearchPersisted: must, mustNot, minimum_should_match") {
