@@ -775,6 +775,35 @@ object TextIndex {
         col("__p").getField("cov").cast("long").as("n_terms"))
   }
 
+  /** PASSAGE TEXT for the top-k matching docs: [[snippetPassages]]'s
+    * windows for the k best docs (by their best passage: n_terms desc,
+    * doc_id asc), with ONLY those k docs' text re-read (literal id
+    * IN-list pushdown) and each passage's tokens sliced back out — the
+    * passage twin of [[snippetText]]. Returns
+    * (doc_id, passage_rk, win_start, n_terms, snippet).
+    */
+  def passagesText(spark: SparkSession, path: String, docs: DataFrame,
+                   idCol: String, textCol: String, queryTerms: Seq[String],
+                   width: Int, p: Int, k: Int,
+                   maxOccurrences: Int = 5000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import spark.implicits._
+    val all = snippetPassages(spark, path, queryTerms, width, p,
+      maxOccurrences)
+    val ids = all.filter(col("passage_rk") === 1)
+      .orderBy(col("n_terms").desc, col("doc_id").asc)
+      .limit(k).select("doc_id").as[Long].collect().toSeq
+    val top = all.filter(col("doc_id").isin(ids: _*))
+    docs.filter(col(idCol).cast("long").isin(ids: _*))
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("passage_rk"), col("win_start"),
+        col("n_terms"),
+        concat_ws(" ", slice(col("__tk"),
+          (col("win_start") + 1).cast("int"), lit(width))).as("snippet"))
+  }
+
   /** PHRASE search against the positional postings: documents where the
     * terms occur CONSECUTIVELY, with the exact occurrence count —
     * `phrase_tf = |{p : p ∈ pos(t₀) ∧ p+1 ∈ pos(t₁) ∧ …}|`. Bag-of-words

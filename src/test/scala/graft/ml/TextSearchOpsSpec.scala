@@ -164,6 +164,29 @@ class TextSearchOpsSpec extends SparkSuite {
     assert((r.head._2, r.head._3) == single)
   }
 
+  test("passagesText slices every selected passage of the top-k docs") {
+    val docs = Seq(
+      (0L, "q1 q2 x x x x x x x x q1 q2 q3"),
+      (1L, "q1 here only"),
+      (2L, "none at all")).toDF("doc_id", "text")
+    val idx = tmp("psgt")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    val r = TextIndex.passagesText(spark, idx, docs, "doc_id", "text",
+        Seq("q1", "q2", "q3"), width = 4, p = 2, k = 1)
+      .orderBy($"passage_rk")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(4))).toSeq
+    // doc 0 wins (best passage covers 3 terms); both its passages
+    // materialize: [10,14) then the earlier [0,4)
+    assert(r == Seq((0L, 1L, "q1 q2 q3"), (0L, 2L, "q1 q2 x x")))
+    // k=2 brings doc 1's single passage along
+    val r2 = TextIndex.passagesText(spark, idx, docs, "doc_id", "text",
+        Seq("q1", "q2", "q3"), width = 4, p = 2, k = 2)
+      .orderBy($"doc_id", $"passage_rk")
+      .collect().map(x => (x.getLong(0), x.getString(4))).toSeq
+    assert(r2 == Seq((0L, "q1 q2 q3"), (0L, "q1 q2 x x"),
+      (1L, "q1 here only")))
+  }
+
   test("snippetWindows width 1 degenerates to first single occurrence") {
     val docs = Seq((0L, "a b c b")).toDF("doc_id", "text")
     val idx = tmp("snp1")
