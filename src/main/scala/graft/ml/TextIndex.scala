@@ -393,6 +393,28 @@ object TextIndex {
     if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
   }
 
+  /** Collapse DUPLICATED (doc_id, term) posting rows — the
+    * at-least-once crash-replay degradation (re-append of an already
+    * landed batch) that [[phraseSearchPersisted]] already collapses for
+    * positions: without this, `sum`-based scorers double-count the
+    * duplicated term and raw-row df counts inflate, so the batch and
+    * single scorers diverge exactly when the index is degraded. tf/dl
+    * take max (replayed rows are identical copies of one logical
+    * posting); every other column takes first for the same reason.
+    * Runs on the PRUNED postings only (bucket + term IN-lists already
+    * applied) — the map-side partial aggregate collapses the rare
+    * duplicates before the exchange, so the clean-index cost is one
+    * narrow hash-aggregate over the candidate rows, never the corpus.
+    */
+  private def collapseDupPostings(live: DataFrame): DataFrame = {
+    val others = live.columns.filterNot(Set("doc_id", "term").contains)
+    val aggs = others.map {
+      case c @ ("tf" | "dl") => max(col(c)).as(c)
+      case c                 => first(col(c)).as(c)
+    }
+    live.groupBy(col("doc_id"), col("term")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** BM25 top-k against the persisted index — bit-identical scores to
     * [[TextRank.bm25Scores]] over the live corpus (spec-pinned), served
     * from |queryTerms| bucket directories instead of a corpus pass:
@@ -427,7 +449,9 @@ object TextIndex {
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
-    val all = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // duplicate-collapse BEFORE df + scoring: see collapseDupPostings
+    val all = collapseDupPostings(
+      IndexTombstones.applyDeletes(spark, path, posts, "doc_id"))
     // FILTERED search (`where` over build-time `attrCols`): the predicate
     // restricts CANDIDATES, not scoring statistics — df/N/avgdl stay
     // corpus-global (the Lucene filtered-query convention: a filter
@@ -516,7 +540,9 @@ object TextIndex {
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
-    val all = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // duplicate-collapse BEFORE df + scoring: see collapseDupPostings
+    val all = collapseDupPostings(
+      IndexTombstones.applyDeletes(spark, path, posts, "doc_id"))
     // `where` restricts CANDIDATES under corpus-global df/N/avgdl — the
     // same filtered-search convention as the single-query path
     val live = where.map(all.filter).getOrElse(all)
@@ -1141,6 +1167,16 @@ object TextIndex {
     val all = (must ++ should ++ mustNot).distinct
     require(all.nonEmpty, "at least one clause term required " +
       "(a pure phrase query is phraseSearchPersisted)")
+    // PURE-NEGATION guard: with no positive clause the index can only
+    // see docs that CONTAIN a mustNot term (postings are pruned to the
+    // clause terms), so every answer doc is invisible and the result
+    // would be silently empty — a wrong answer, not an empty one. The
+    // matching-docs universe must come from the corpus side: anti-join
+    // `docs` against the mustNot terms' postings instead.
+    require((must ++ should).nonEmpty,
+      "pure-negation query (must and should both empty): the inverted " +
+        "index cannot enumerate docs LACKING a term — anti-join the " +
+        "corpus against the mustNot postings instead")
     require(must.intersect(mustNot).isEmpty && should.intersect(mustNot).isEmpty,
       "mustNot terms cannot also be must/should")
     require(must.intersect(should).isEmpty,
@@ -1152,7 +1188,9 @@ object TextIndex {
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(all: _*))
-    val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    // duplicate-collapse BEFORE df + conditional sums: see collapseDupPostings
+    val live = collapseDupPostings(
+      IndexTombstones.applyDeletes(spark, path, posts, "doc_id"))
     val scoring = must ++ should
     val dfreq = live.filter(col("term").isin(scoring: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1304,14 +1342,42 @@ object TextIndex {
       .limit(k)
   }
 
-  /** Longest literal prefix of an ANCHORED regex (`^literals...`):
-    * the term-table pruning lever for regex search. Empty when the
-    * pattern is unanchored or opens with a metacharacter.
+  /** Longest literal prefix GUARANTEED to start every match of an
+    * ANCHORED regex (`^literals...`): the term-table pruning lever for
+    * regex search. Empty when the pattern is unanchored, opens with a
+    * metacharacter, or contains an unescaped TOP-LEVEL alternation
+    * (`^ab|cd` under find-semantics `rlike` matches any term merely
+    * CONTAINING "cd" — no anchored prefix is sound). A quantifier
+    * directly after the last literal (`^scan?`, `^ab{0,2}`, `^ab*`)
+    * makes that character optional, so it is dropped from the prefix;
+    * `+` keeps it (at-least-one). Soundness over tightness: a shorter
+    * prefix only prunes less, never drops a matching term.
     */
-  private[ml] def literalPrefix(pattern: String): String =
-    if (!pattern.startsWith("^")) ""
-    else pattern.drop(1).takeWhile(c =>
-      !".[](){}\\*+?|^$".contains(c))
+  private[ml] def literalPrefix(pattern: String): String = {
+    if (!pattern.startsWith("^")) return ""
+    val body = pattern.drop(1)
+    // Unescaped `|` at group-depth 0 outside a character class voids
+    // the anchor for the right-hand branch entirely.
+    var depth = 0; var inClass = false; var i = 0
+    while (i < body.length) {
+      val c = body(i)
+      if (c == '\\') i += 1 // skip the escaped char
+      else if (inClass) { if (c == ']') inClass = false }
+      else c match {
+        case '['                  => inClass = true
+        case '('                  => depth += 1
+        case ')'                  => depth = math.max(0, depth - 1)
+        case '|' if depth == 0    => return ""
+        case _                    =>
+      }
+      i += 1
+    }
+    val lit = body.takeWhile(c => !".[](){}\\*+?|^$".contains(c))
+    if (lit.nonEmpty && lit.length < body.length &&
+        "?*{".contains(body(lit.length)))
+      lit.dropRight(1) // `{` handled conservatively: could be `{0,n}`
+    else lit
+  }
 
   /** Vocabulary terms matching a regex, with df. The classic log-search
     * "grep the index" path (the reference engine's text-filter queries

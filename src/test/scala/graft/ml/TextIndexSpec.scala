@@ -264,6 +264,62 @@ class TextIndexSpec extends SparkSuite {
     assert(got == Map(0L -> 2L, 2L -> 1L))
   }
 
+  test("BM25 single/batch/boolean collapse duplicated live postings: " +
+      "df and scores stay duplicate-free, batch == boolean exactly") {
+    val idx = tmp("txtdupscore")
+    val corpus = Seq(
+      (0L, "quick fox quick"), (2L, "quick brown")).toDF("doc_id", "text")
+    TextIndex.saveTextIndex(corpus, "doc_id", "text", idx, numBuckets = 8)
+    // the documented crash-replay shape: re-append doc 0 with no
+    // preceding delete → two live posting rows per (doc 0, term)
+    TextIndex.appendToTextIndex(corpus.filter($"doc_id" === 0L),
+      "doc_id", "text", idx)
+    // stats after replay: N=3 (inflated — documented degradation),
+    // sumDl = 3+2+3 = 8; df from COLLAPSED postings: quick→2, fox→1
+    val n = 3.0; val avgdl = 8.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def contrib(tf: Double, dl: Double, df: Double): Double = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    }
+    val cq0 = contrib(2.0, 3.0, 2.0); val cf0 = contrib(1.0, 3.0, 1.0)
+    val cq2 = contrib(1.0, 2.0, 2.0)
+    // single grids the left-to-right TOTAL; batch/boolean grid per term
+    val expSingle = Map(
+      0L -> math.floor((cq0 + cf0) * 1e6).toLong,
+      2L -> math.floor(cq2 * 1e6).toLong)
+    val expGrid = Map(
+      0L -> (math.floor(cq0 * 1e6).toLong + math.floor(cf0 * 1e6).toLong),
+      2L -> math.floor(cq2 * 1e6).toLong)
+    val single = TextIndex.bm25SearchPersisted(spark, idx,
+        Seq("quick", "fox"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(single.map(_._1).sorted == Seq(0L, 2L)) // one row per doc
+    assert(single.toMap == expSingle)
+    val batch = TextIndex.bm25SearchPersistedBatch(spark, idx,
+        Seq((7L, "quick"), (7L, "fox")).toDF("q_id", "term"), 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSeq
+    assert(batch.map(_._1).sorted == Seq(0L, 2L))
+    assert(batch.toMap == expGrid)
+    val bool = TextIndex.booleanSearchPersisted(spark, idx,
+        must = Seq("quick"), should = Seq("fox"), mustNot = Nil, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toSeq
+    assert(bool.map(_._1).sorted == Seq(0L, 2L))
+    assert(bool.toMap == expGrid) // batch == boolean: same grid contract
+  }
+
+  test("pure-negation boolean query fails loudly (index cannot " +
+      "enumerate docs lacking a term)") {
+    val idx = tmp("txtpureneg")
+    val corpus = Seq((0L, "alpha beta"), (1L, "gamma")).toDF("doc_id", "text")
+    TextIndex.saveTextIndex(corpus, "doc_id", "text", idx, numBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.booleanSearchPersisted(spark, idx,
+        must = Nil, should = Nil, mustNot = Seq("alpha"), k = 5)
+    }
+    assert(e.getMessage.contains("anti-join"))
+  }
+
   test("BM25 query terms containing '.' or '`' resolve (positional pivot " +
       "aliases, ad-hoc and persisted parity)") {
     val idx = tmp("txtodd")

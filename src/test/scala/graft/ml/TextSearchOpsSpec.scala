@@ -565,6 +565,35 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(TextIndex.literalPrefix("st.*") == "")
     assert(TextIndex.literalPrefix("^[sa]x") == "")
     assert(TextIndex.literalPrefix("^a\\d+") == "a")
+    // quantifier after the last literal makes it optional → drop it
+    assert(TextIndex.literalPrefix("^scan?") == "sca")
+    assert(TextIndex.literalPrefix("^ab{0,2}") == "a")
+    assert(TextIndex.literalPrefix("^ab*") == "a")
+    assert(TextIndex.literalPrefix("^ab+") == "ab") // + needs ≥1: keep
+    // top-level alternation voids the anchor for the right branch
+    assert(TextIndex.literalPrefix("^ab|cd") == "")
+    assert(TextIndex.literalPrefix("^a(b|c)d") == "a") // grouped: sound
+    assert(TextIndex.literalPrefix("^a[|]b") == "a")   // in-class: sound
+    assert(TextIndex.literalPrefix("^a\\|b") == "a")   // escaped: sound
+  }
+
+  test("regexTermMatches: optional-quantifier and alternation shapes " +
+      "keep terms the old prefix pruning dropped") {
+    val docs = Seq(
+      (0L, "sca scan scant"), (1L, "a ab abb abbb"), (2L, "cdx zcd"))
+      .toDF("doc_id", "text")
+    val idx = tmp("rgopt"); val dict = tmp("rgoptd")
+    TextIndex.saveTextIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    TextIndex.saveTermDict(spark, idx, dict, numBuckets = 4)
+    def terms(p: String): Set[String] =
+      TextIndex.regexTermMatches(spark, dict, p)
+        .collect().map(_.getString(0)).toSet
+    // ^scan? — "sca" matches too (prefix "scan" would have dropped it)
+    assert(terms("^scan?") == Set("sca", "scan", "scant"))
+    // ^ab{0,2}$ — "a" matches (zero b's allowed)
+    assert(terms("^ab{0,2}$") == Set("a", "ab", "abb"))
+    // ^ab|cd — find semantics: any term containing "cd" also matches
+    assert(terms("^ab|cd") == Set("ab", "abb", "abbb", "cdx", "zcd"))
   }
 
   test("snippetText slices the winning window back out of the corpus") {
