@@ -62,15 +62,28 @@ object Eval {
     * `auc_micro = floor(10⁶·2U / (2·P·N))` — pure BIGINT arithmetic,
     * bit-reproducible across engines.
     *
-    * Shape: one hash aggregate to per-score (pos, neg) counts, then ONE
-    * ordered pass over the distinct scores for the cumulative
+    * Shape: one hash aggregate to per-score (pos, neg) counts
     * (|distinct scores| ≪ rows for gridded scores — quantize continuous
-    * scores to the micro grid first, the house convention). Labeled
-    * eval slices are sampled data by nature; the BIGINT range guard
-    * (P·N ≤ maxLong/10⁶) rejects inputs that would overflow instead of
-    * silently wrapping. Returns one row (pos, neg, auc_micro);
-    * auc_micro null when either class is empty.
+    * scores to the micro grid first, the house convention), then a
+    * DISTRIBUTED cumulative: distinct scores bucket into ≤ 4096
+    * order-aligned ranges, the running negative count windows
+    * PARTITIONED per bucket, and cross-bucket bases come from a bounded
+    * driver fold over per-bucket totals — no unpartitioned window
+    * anywhere, so the cumulative scales with executors, not one task.
+    * Labeled eval slices are sampled data by nature; the BIGINT range
+    * guard ([[aucGuardOk]], division form) rejects inputs that would
+    * overflow instead of silently wrapping. Returns one row
+    * (pos, neg, auc_micro); auc_micro null when either class is empty.
     */
+  /** Micro-grid range guard in DIVISION form — the product form
+    * (`p * n <= cap`) itself wraps for p, n ≳ 3·10⁹ and can then PASS
+    * the check on garbage. Cap is `maxLong / 2·10⁶`, not `/10⁶`:
+    * the emitted numerator is `2U·10⁶ ≤ 2·10⁶·P·N`, so P·N must leave
+    * TWO factors of headroom, else a near-1 AUC wraps the numerator.
+    */
+  private[ml] def aucGuardOk(p: Long, n: Long): Boolean =
+    p == 0 || n == 0 || n <= Long.MaxValue / 2000000L / p
+
   def aucExact(df: DataFrame, scoreCol: String,
                labelCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -81,23 +94,62 @@ object Eval {
       .groupBy(col("s"))
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos_s"),
         sum(when(!col("y"), 1L).otherwise(0L)).as("neg_s"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val agg = perScore
-      .withColumn("neg_below", coalesce(sum(col("neg_s")).over(w), lit(0L)))
-      .agg(coalesce(sum(col("pos_s")), lit(0L)).as("pos"),
-        coalesce(sum(col("neg_s")), lit(0L)).as("neg"),
-        coalesce(sum(col("pos_s") *
-          (col("neg_below") * 2L + col("neg_s"))), lit(0L)).as("two_u"))
-      .collect().head
-    val (p, n, twoU) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    require(p == 0 || n == 0 || p * n <= Long.MaxValue / 1000000L,
-      s"P*N = ${p}*$n overflows the exact micro grid — sample the eval " +
-        "slice (AUC is a statistic of a labeled sample, not a corpus scan)")
-    val auc = if (p > 0 && n > 0) Some(twoU * 1000000L / (2L * p * n))
-      else None
-    Seq((p, n, auc)).toDF("pos", "neg", "auc_micro")
+      .persist()
+    try {
+      // DISTRIBUTED cumulative over ordered distinct scores — no global
+      // (unpartitioned) window: scores bucket into ≤ maxBuckets
+      // order-aligned ranges, the window runs PARTITIONED per bucket,
+      // and each bucket's base offset comes from a bounded driver fold
+      // over the per-bucket neg totals (≤ maxBuckets rows — the same
+      // bounded-fold precedent as [[thresholdSweep]]'s cell assembly).
+      val mm = perScore.agg(min(col("s")), max(col("s"))).collect().head
+      if (mm.isNullAt(0)) // empty input: (0, 0, null)
+        Seq((0L, 0L, Option.empty[Long])).toDF("pos", "neg", "auc_micro")
+      else {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
+          s"score span [$mn, $mx] exceeds the Long range — grid scores " +
+            "(micro convention) before aucExact")
+        val maxBuckets = 4096L
+        val width = (mx - mn) / maxBuckets + 1
+        // `div`, not `/`: Column./ on BIGINTs returns DOUBLE (see
+        // calibrationBins) — bucket ids must stay integer-exact
+        val bCol = expr(s"(s - $mn) div $width").as("b")
+        val bucketed = perScore.select(col("s"), col("pos_s"),
+          col("neg_s"), bCol)
+        val bases = bucketed.groupBy(col("b"))
+          .agg(sum(col("neg_s")).as("nb"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .sortBy(_._1)
+        // each bucket's base = negatives in all STRICTLY LOWER buckets
+        var acc = 0L
+        val baseRows = bases.map { case (b, nb) =>
+          val r = (b, acc); acc += nb; r }
+        val baseDf = baseRows.toSeq.toDF("b", "neg_base")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("b")).orderBy(col("s"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val agg = bucketed
+          .withColumn("neg_in_bucket",
+            coalesce(sum(col("neg_s")).over(w), lit(0L)))
+          .join(broadcast(baseDf), Seq("b"))
+          .withColumn("neg_below", col("neg_base") + col("neg_in_bucket"))
+          .agg(coalesce(sum(col("pos_s")), lit(0L)).as("pos"),
+            coalesce(sum(col("neg_s")), lit(0L)).as("neg"),
+            coalesce(sum(col("pos_s") *
+              (col("neg_below") * 2L + col("neg_s"))), lit(0L)).as("two_u"))
+          .collect().head
+        val (p, n, twoU) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        require(aucGuardOk(p, n),
+          s"P*N = ${p}*$n overflows the exact micro grid — sample the " +
+            "eval slice (AUC is a statistic of a labeled sample, not a " +
+            "corpus scan)")
+        val auc = if (p > 0 && n > 0) Some(twoU * 1000000L / (2L * p * n))
+          else None
+        Seq((p, n, auc)).toDF("pos", "neg", "auc_micro")
+      }
+    } finally { perScore.unpersist(); () }
   }
 
   /** [[aucExact]] PER GROUP, fully distributed — one AUC per slice
@@ -129,7 +181,10 @@ object Eval {
           .as("two_u"))
       .select(col("g").as(groupCol), col("pos"), col("neg"),
         when(col("pos") > 0 && col("neg") > 0,
-          when(col("pos") * col("neg") <= Long.MaxValue / 1000000L,
+          // division-form guard (product form wraps and can then PASS);
+          // /2·10⁶ cap: the numerator 2U·10⁶ needs the extra factor —
+          // see aucGuardOk
+          when(expr(s"neg <= ${Long.MaxValue / 2000000L} div pos"),
             expr("two_u * 1000000 div (2 * pos * neg)"))
             .otherwise(expr(
               "raise_error('P*N overflows the exact micro grid — " +

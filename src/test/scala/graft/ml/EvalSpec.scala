@@ -76,6 +76,43 @@ class EvalSpec extends SparkSuite {
       (7L, 700L, 2L, 2L, 1000000L)))
   }
 
+  test("aucExact distributed cumulative: wide spans (multi-score " +
+      "buckets), negative scores, empty input") {
+    // span ≫ 4096 → several distinct scores share a bucket; negative
+    // min exercises the (s - mn) rebase. Brute-force pairwise oracle.
+    val rows = (0 until 500).map { i =>
+      val s = -40000L + i.toLong * 163L // spans ~81k, crosses buckets
+      (s, (i * 7 % 3) != 0)
+    }
+    val got = Eval.aucExact(rows.toDF("score", "y"), "score", "y")
+      .collect().head
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val exp = u2 * 1000000L / (2L * pos.size * neg.size)
+    assert(got.getLong(0) == pos.size.toLong &&
+      got.getLong(1) == neg.size.toLong && got.getLong(2) == exp)
+    // empty input → (0, 0, null)
+    val empty = Eval.aucExact(
+      Seq.empty[(Long, Boolean)].toDF("score", "y"), "score", "y")
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L &&
+      empty.isNullAt(2))
+  }
+
+  test("aucGuardOk: division form survives products that wrap Long") {
+    assert(Eval.aucGuardOk(0L, 5L) && Eval.aucGuardOk(5L, 0L))
+    assert(Eval.aucGuardOk(1000L, 1000L))
+    // 3.1e9 × 3.1e9 wraps to a small positive Long — the old product
+    // form PASSED this; the division form must reject it
+    val b = 3100000000L
+    assert(BigInt(b) * BigInt(b) > BigInt(Long.MaxValue)) // truly over
+    assert(!Eval.aucGuardOk(b, b))
+    // just inside the cap: P·N == maxLong/2e6 exactly
+    val cap = Long.MaxValue / 2000000L
+    assert(Eval.aucGuardOk(1L, cap) && !Eval.aucGuardOk(1L, cap + 1))
+  }
+
   test("aucByGroup matches per-group aucExact") {
     val df = ((1L to 10L).map(s => ("a", s, s > 5)) ++
       Seq(("b", 5L, true), ("b", 5L, false)) ++
