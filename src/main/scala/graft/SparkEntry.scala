@@ -1257,6 +1257,32 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    // ML: PERSISTED three-leg blend — the production shape of
+    // q_hybrid_prior: both dynamic legs index-served (bucket-pruned
+    // postings probe + probed-partition ANN read; full probe depth =
+    // exact), the same bounded length prior at half weight through the
+    // N-leg RRF. Ad-hoc parity is spec-pinned (HybridSpec).
+    "q_hybrid_prior_persisted" -> ((s, dir) => {
+      val tIdx = java.nio.file.Files.createTempDirectory("hybpt").toString
+      val aIdx = java.nio.file.Files.createTempDirectory("hybpa").toString
+      val docs = t(s, dir, "documents")
+      TextIndex.saveTextIndex(docs, "doc_id", "text", tIdx)
+      Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numCentroids = 8, aIdx)
+      val prior = docs
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("doc_id"), col("rk"))
+      graft.ml.Hybrid.hybridSearchPersistedWithPrior(s, tIdx, aIdx,
+          Seq("stream", "join", "filter"),
+          t(s, dir, "embeddings").filter(col("vec_id") === 0L),
+          "vec_id", "embedding", prior, nProbe = 8,
+          kLex = 20, kVec = 20, k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // ML: FILTERED hybrid retrieval — the same fused query scoped to
     // lang = 'en' documents via attribute columns persisted in BOTH
     // indexes (candidates restricted per leg, scoring stats stay
@@ -2613,6 +2639,30 @@ object SparkEntry {
             "vec_id", "embedding", nProbe = 8, kLex = 20, kVec = 20, k = 10)
           .orderBy(col("rk"))
       }),
+    "q_hybrid_prior_persisted" -> Prepared(
+      build = (s, dir) => {
+        val tIdx = java.nio.file.Files.createTempDirectory("hybpt").toString
+        val aIdx = java.nio.file.Files.createTempDirectory("hybpa").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", tIdx)
+        Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, aIdx)
+        (tIdx, aIdx)
+      },
+      search = (s, dir, art) => {
+        val (tIdx, aIdx) = art.asInstanceOf[(String, String)]
+        val prior = t(s, dir, "documents")
+          .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+            .cast("long"))
+          .select(col("doc_id"), col("rk"))
+        graft.ml.Hybrid.hybridSearchPersistedWithPrior(s, tIdx, aIdx,
+            Seq("stream", "join", "filter"),
+            t(s, dir, "embeddings").filter(col("vec_id") === 0L),
+            "vec_id", "embedding", prior, nProbe = 8,
+            kLex = 20, kVec = 20, k = 10)
+          .orderBy(col("rk"))
+      }),
     "q_dedup_incremental_indexed" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("shidx").toString
@@ -2751,6 +2801,9 @@ object SparkEntry {
       ("q_sim_lsh_persisted" -> oracleBase("q_sim_ann_lsh")) +
       ("q_text_bm25_persisted" -> oracleBase("q_text_bm25")) +
       ("q_hybrid_persisted" -> oracleBase("q_hybrid_rrf")) +
+      // persisted three-leg blend == the ad-hoc blend at full probe
+      // depth (HybridSpec-pinned), so it shares q_hybrid_prior's oracle
+      ("q_hybrid_prior_persisted" -> oracleBase("q_hybrid_prior")) +
       ("q_sim_radius_persisted" -> oracleBase("q_sim_radius")) +
       // q_dedup_incremental with the roles swapped: the indexed REFERENCE
       // side is the large corpus (doc_id >= 250), the probing batch the

@@ -172,6 +172,50 @@ object Hybrid {
     rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
   }
 
+  /** [[hybridSearchPersisted]] plus a STATIC PRIOR leg — the production
+    * shape of [[hybridSearchWithPrior]]: recency/quality/popularity
+    * blended retrieval where BOTH dynamic legs are index-served (bucket-
+    * pruned postings probe + probed-partition ANN read) and the prior is
+    * any precomputed `(doc_id, rk)` rank list at a lower weight. The
+    * prior must be a BOUNDED top-R list (rrfFuseN's leg contract —
+    * anything beyond a leg's top-R is absent and contributes rank 0), so
+    * the fusion stays a ≤(kLex+kVec+R)-row aggregation regardless of
+    * corpus size; at 100 TB the prior is a small derived table (e.g.
+    * "top 10k most recent"), never a corpus-wide ranking.
+    *
+    * `nProbe = numCentroids` makes the vector leg exact and the whole
+    * blend equal to [[hybridSearchWithPrior]] (spec-pinned parity).
+    * `where` filters both index legs (per-index filtered-search
+    * convention); the prior is the caller's table and is NOT filtered —
+    * a non-matching prior doc can still enter ranked by prior alone, so
+    * pre-filter the prior when `where` must scope it.
+    *
+    * Returns (doc_id, rrf_micro, leg0_rk=lex, leg1_rk=vec,
+    * leg2_rk=prior, rk ≤ k).
+    */
+  def hybridSearchPersistedWithPrior(spark: SparkSession,
+                                     textIndexPath: String,
+                                     annIndexPath: String,
+                                     queryTerms: Seq[String],
+                                     queries: DataFrame, vecIdCol: String,
+                                     vecCol: String, prior: DataFrame,
+                                     nProbe: Int, kLex: Int = 20,
+                                     kVec: Int = 20, k: Int = 10,
+                                     kk: Int = 60, wLex: Double = 1.0,
+                                     wVec: Double = 1.0,
+                                     wPrior: Double = 0.5,
+                                     where: Option[Column] = None)
+      : DataFrame = {
+    val lex = TextIndex.bm25SearchPersisted(spark, textIndexPath,
+        queryTerms, kLex, where = where)
+      .select(col("doc_id"), col("rk"))
+    val vec = Similarity.ivfSearchPersisted(spark, annIndexPath, queries,
+        vecIdCol, vecCol, k = kVec, nProbe = nProbe, where = where)
+      .select(col("n_id").as("doc_id"), col("rk"))
+    rrfFuseN(Seq(lex, vec, prior.select(col("doc_id"), col("rk"))),
+      "doc_id", k, kk, Seq(wLex, wVec, wPrior))
+  }
+
   /** Hybrid over a STREAMING-MAINTAINED vector index: the
     * [[graft.streaming.StreamOps.annIndexStream]] layout is IVF-PQ
     * (codes only), so the vector leg ranks by ADC

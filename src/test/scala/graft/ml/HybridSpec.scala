@@ -220,6 +220,34 @@ class HybridSpec extends SparkSuite {
     assert(full.filter(_._1 == 0L).exists(_._5 > 0L))
   }
 
+  test("hybridSearchPersistedWithPrior at full probe depth equals the " +
+      "ad-hoc three-leg blend; prior-only docs can enter the fusion") {
+    val tIdx = java.nio.file.Files.createTempDirectory("hybp-txt").toString
+    val aIdx = java.nio.file.Files.createTempDirectory("hybp-ann").toString
+    TextIndex.saveTextIndex(docs, "doc_id", "text", tIdx, numBuckets = 8)
+    Similarity.saveIvfIndex(embeddings, "vec_id", "embedding",
+      numCentroids = 2, aIdx)
+    // prior: a bounded recency-style list — doc 6 prior-only (matches
+    // neither leg's top-k), docs 2 and 0 re-weighted
+    val prior = Seq((6L, 1L), (2L, 2L), (0L, 3L)).toDF("doc_id", "rk")
+    val q = embeddings.filter($"vec_id" === 0L)
+    val persisted = Hybrid.hybridSearchPersistedWithPrior(spark, tIdx,
+        aIdx, terms, q, "vec_id", "embedding", prior, nProbe = 2,
+        kLex = 5, kVec = 5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val adhoc = Hybrid.hybridSearchWithPrior(docs, "doc_id", "text",
+        embeddings, "vec_id", "embedding", terms, queryVecId = 0L,
+        prior, kLex = 5, kVec = 5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(persisted == adhoc)
+    // doc 6 ("cooking") misses the lexical leg entirely; the prior leg
+    // carries it at rank 1 (kVec = 5 of 7 candidates does reach it)
+    val d6 = persisted.filter(_._1 == 6L)
+    assert(d6.size == 1 && d6.head._3 == 0L && d6.head._5 == 1L)
+  }
+
   test("hybridSearchPersisted at full probe depth equals the ad-hoc " +
       "fusion; per-index deletion hides a doc from the fused result") {
     val tIdx = java.nio.file.Files.createTempDirectory("hyb-txt").toString
