@@ -1363,6 +1363,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: MULTI-PASSAGE highlighting — up to 2 non-overlapping best
+    // windows per matching doc, greedy by (coverage desc, start asc)
+    // with a width-8 exclusion zone around every earlier pick. The
+    // greedy is DETERMINISTIC over a statically-scored anchor set, so
+    // the oracle unrolls the two rounds as SQL (pick 1 = best window;
+    // pick 2 = best among anchors >= width away from pick 1).
+    "q_text_passages" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("psgidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.snippetPassages(s, idx,
+          Seq("stream", "join", "filter"), width = 8, p = 2)
+        .orderBy(col("doc_id"), col("passage_rk"))
+    }),
+
     // ML: FUZZY term lookup — vocabulary terms within edit distance 1 of
     // the TYPO 'strean' (-> 'stream'), via the SymSpell deletion-neighborhood dictionary (two
     // bucket-pruned equi-joins + exact verify on candidates only, never
@@ -2427,6 +2441,16 @@ object SparkEntry {
         TextIndex.snippetWindows(s, idx.asInstanceOf[String],
             Seq("stream", "join", "filter"), width = 8)
           .orderBy(col("doc_id"))),
+    "q_text_passages" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("psgidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, _, idx) =>
+        TextIndex.snippetPassages(s, idx.asInstanceOf[String],
+            Seq("stream", "join", "filter"), width = 8, p = 2)
+          .orderBy(col("doc_id"), col("passage_rk"))),
     "q_text_fuzzy" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("fzidx").toString
@@ -4938,6 +4962,50 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
         |  CAST(win_start AS BIGINT) AS win_start
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Passages: the two greedy rounds unrolled — cov is scored ONCE
+    // (static anchor scores, as in the engine); round 2 re-ranks the
+    // anchors at least `width` away from round 1's pick.
+    "q_text_passages" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+        |    FROM tk)
+        |  WHERE u.term IN ('stream', 'join', 'filter')),
+        |cov AS (
+        |  SELECT a.doc_id, a.pos AS win_start,
+        |    count(DISTINCT b.term) AS n_terms
+        |  FROM occ a JOIN occ b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+        |  GROUP BY 1, 2),
+        |p1 AS (
+        |  SELECT doc_id, n_terms, win_start FROM (
+        |    SELECT doc_id, n_terms, win_start, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY n_terms DESC, win_start ASC) AS rn
+        |    FROM cov)
+        |  WHERE rn = 1),
+        |p2 AS (
+        |  SELECT doc_id, n_terms, win_start FROM (
+        |    SELECT c.doc_id, c.n_terms, c.win_start, row_number() OVER (
+        |      PARTITION BY c.doc_id
+        |      ORDER BY c.n_terms DESC, c.win_start ASC) AS rn
+        |    FROM cov c JOIN p1 ON c.doc_id = p1.doc_id
+        |      AND abs(c.win_start - p1.win_start) >= 8)
+        |  WHERE rn = 1)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS passage_rk,
+        |  CAST(win_start AS BIGINT) AS win_start,
+        |  CAST(n_terms AS BIGINT) AS n_terms
+        |FROM p1
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS BIGINT), CAST(win_start AS BIGINT),
+        |  CAST(n_terms AS BIGINT)
+        |FROM p2
+        |ORDER BY doc_id, passage_rk""".stripMargin,
 
     // Fuzzy terms: brute-force edit-distance over the vocabulary — the
     // oracle scans what the deletion-neighborhood join prunes.

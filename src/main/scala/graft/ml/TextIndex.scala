@@ -748,9 +748,11 @@ object TextIndex {
     * `width` away from every already-chosen start. The greedy rounds
     * unroll into `p` column expressions over the bounded per-doc anchor
     * array (same pruned positional read and `maxOccurrences` analysis
-    * cap as [[snippetWindows]]) — iterative semantics, so this op is
-    * spec-gated rather than oracle-gated (house precedent: BPE,
-    * k-means). Returns (doc_id, passage_rk, win_start, n_terms),
+    * cap as [[snippetWindows]]). The selection is DETERMINISTIC over
+    * statically-scored anchors, so it IS oracle-gated for fixed p:
+    * `q_text_passages` unrolls the rounds as SQL (pick 1 = best window,
+    * pick 2 = best anchor ≥ width from pick 1, …); specs cover deeper
+    * p. Returns (doc_id, passage_rk, win_start, n_terms),
     * passage_rk 1-based in selection order; docs emit fewer than `p`
     * rows when no eligible anchor remains.
     */
