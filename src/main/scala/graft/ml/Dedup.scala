@@ -1070,7 +1070,9 @@ object Dedup {
     // median does, BEFORE its quadratic pair work. Explicit
     // `maxBlockSize` overrides absolutely (recall caveat documented).
     // The 1-row median frame broadcasts (a bounded constant-frame BNLJ,
-    // the q_corpus_report pattern).
+    // the q_corpus_report pattern). Guard-cost note: the r13 bench
+    // deltas attributed to this cap reverted in the r14 no-change bench
+    // (zero commits) — box noise, not cap cost.
     val bstats = base0.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bn"))
     val small = (maxBlockSize match {

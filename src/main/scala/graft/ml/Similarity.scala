@@ -2166,6 +2166,10 @@ object Similarity {
     * an exact `median` over the bucket-stats frame (≤ bands × 2^bandBits
     * rows — bounded, and exactness keeps the cutoff deterministic where
     * an approx percentile could wobble a boundary bucket between runs).
+    * Guard-cost note: the r13 bench deltas attributed to this guard
+    * reverted in the r14 no-change bench (zero commits, −9% total) —
+    * box noise, not guard cost; the guard's measured overhead is within
+    * the run-to-run band.
     */
   private def hotBucketGuard(keyed: DataFrame,
                              maxBucketSize: Int): DataFrame = {
