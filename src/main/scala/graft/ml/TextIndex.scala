@@ -1027,7 +1027,10 @@ object TextIndex {
     *
     * Derived-artifact contract: rebuilt after index mutations (build /
     * append / delete / compact) — df and membership are as-of build
-    * time; publication is the same generation-pointer swap as
+    * time. APPEND mutations can instead fold their vocabulary delta
+    * incrementally ([[updateTermDictWithAdds]] — O(|vocab|+|batch|),
+    * no postings scan; the streaming maintenance path). Publication
+    * is the same generation-pointer swap as
     * [[compactTextIndex]] (write `dict.genN`, then flip `dict.current`),
     * so concurrent readers never see a half-written dictionary. The
     * vocabulary is |distinct terms| ≪ corpus and each term yields
@@ -1040,6 +1043,17 @@ object TextIndex {
       spark.read.parquet(s"$idxDir/postings"), "doc_id")
     val vocab = posts.groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
+    writeDictGeneration(spark, dictPath, vocab, numBuckets)
+  }
+
+  /** The generation write shared by [[saveTermDict]] (vocab from live
+    * postings) and [[updateTermDictWithAdds]] (vocab from the previous
+    * generation + a batch delta): write `dict.genN+1`, flip the
+    * pointer, drop the old generation.
+    */
+  private def writeDictGeneration(spark: SparkSession, dictPath: String,
+                                  vocab: DataFrame,
+                                  numBuckets: Int): Unit = {
     val fs = fsOf(spark, dictPath)
     val cur = IndexTombstones.readSmallFile(fs,
       new org.apache.hadoop.fs.Path(s"$dictPath/$DictPointer"))
@@ -1067,6 +1081,43 @@ object TextIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dictPath/$old"), true); ()
     }
   }
+
+  /** INCREMENTAL dictionary maintenance for an APPEND batch: fold the
+    * batch's vocabulary delta — per-term distinct-doc counts of
+    * `addedDocs`, tokenized exactly as the index build — into the
+    * previous generation's `(term, df)` table and republish. Work is
+    * O(|vocab| + |batch|): the live-postings scan and corpus-wide
+    * `count_distinct` that a full [[saveTermDict]] rebuild pays are
+    * replaced by one read of the previous terms table. Correctness
+    * contract: equals a rebuild as long as the appended docs are NEW
+    * ids (the streaming ingest case); a same-id re-append double-counts
+    * df exactly like the index's own at-least-once degradation, and a
+    * DELETE still requires the full rebuild (df decrements need the
+    * live postings) — [[graft.streaming.StreamOps.processTextIndexBatch]]
+    * routes each case accordingly.
+    */
+  def updateTermDictWithAdds(spark: SparkSession, dictPath: String,
+                             addedDocs: DataFrame, idCol: String,
+                             textCol: String): Unit = {
+    val (_, nb) = readDictStats(spark, dictPath)
+    val dir = activeDictDir(spark, dictPath)
+    val delta = addedDocs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("term"))
+      .groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val prev = spark.read.parquet(s"$dir/terms")
+      .select(col("term"), col("df"))
+    val vocab = prev.unionByName(delta).groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
+    writeDictGeneration(spark, dictPath, vocab, nb)
+  }
+
+  /** Whether a published term dictionary exists at `dictPath`. */
+  def termDictExists(spark: SparkSession, dictPath: String): Boolean =
+    fsOf(spark, dictPath).exists(
+      new org.apache.hadoop.fs.Path(s"$dictPath/$DictPointer"))
 
   private def activeDictDir(spark: SparkSession, dictPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dictPath/$DictPointer")

@@ -388,21 +388,35 @@ object StreamOps {
     */
   def textIndexStream(docs: DataFrame, idCol: String, textCol: String,
                       indexPath: String, numBuckets: Int = 64,
-                      compactEvery: Int = 0, opCol: Option[String] = None)
+                      compactEvery: Int = 0, opCol: Option[String] = None,
+                      dictPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processTextIndexBatch(batch, batchId, idCol, textCol, indexPath,
-        numBuckets, compactEvery, opCol)
+        numBuckets, compactEvery, opCol, dictPath)
     }
 
   /** One micro-batch of [[textIndexStream]]. Idempotent per `batchId`;
     * adds before deletes (delete wins in-batch, stable under replay —
     * the [[processAnnIndexBatch]] contract).
+    *
+    * `dictPath` keeps the SymSpell fuzzy/suggest dictionary FRESH under
+    * streaming ingest instead of waiting for an offline rebuild:
+    * append-only batches fold their vocabulary delta incrementally
+    * ([[graft.ml.TextIndex.updateTermDictWithAdds]] — O(|vocab|+|batch|),
+    * no postings scan); the bootstrap build and any batch carrying
+    * DELETES run the full [[graft.ml.TextIndex.saveTermDict]] rebuild
+    * (df decrements need the live postings). A crash between the index
+    * write and the dict fold replays the whole batch — the same
+    * at-least-once df degradation as the index's own re-append, and a
+    * later rebuild (any delete batch or offline saveTermDict) restores
+    * exact counts.
     */
   private[graft] def processTextIndexBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, indexPath: String,
       numBuckets: Int = 64, compactEvery: Int = 0,
-      opCol: Option[String] = None): Unit = {
+      opCol: Option[String] = None,
+      dictPath: Option[String] = None): Unit = {
     import graft.ml.TextIndex
     val spark = batch.sparkSession
     if (batchId <= committedBatch(spark, indexPath)) return
@@ -412,6 +426,7 @@ object StreamOps {
     val dels = opCol.map(c => batch.filter(col(c) === "delete"))
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var dictAction: String = "none" // none | fold | rebuild
     if (!adds.isEmpty) {
       val built =
         fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_text_stats"))
@@ -421,14 +436,29 @@ object StreamOps {
       if (!built || builtBy.contains(batchId)) {
         writeSmallFile(fs, builtByPath, batchId.toString)
         TextIndex.saveTextIndex(adds, idCol, textCol, indexPath, numBuckets)
-      } else
+        dictAction = "rebuild" // bootstrap (or its replay): full derive
+      } else {
         TextIndex.appendToTextIndex(adds, idCol, textCol, indexPath)
+        dictAction = "fold"
+      }
     }
     dels.foreach { d =>
       if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_text_stats")) &&
-          !d.isEmpty)
+          !d.isEmpty) {
         TextIndex.deleteFromTextIndex(spark, indexPath,
           d.select(col(idCol)), idCol)
+        dictAction = "rebuild" // df decrements need the live postings
+      }
+    }
+    dictPath.foreach { dp =>
+      val dictExists = TextIndex.termDictExists(spark, dp)
+      dictAction match {
+        case "fold" if dictExists =>
+          TextIndex.updateTermDictWithAdds(spark, dp, adds, idCol, textCol)
+        case "fold" | "rebuild" =>
+          TextIndex.saveTermDict(spark, indexPath, dp, numBuckets)
+        case _ => ()
+      }
     }
     commitBatch(spark, indexPath, batchId)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

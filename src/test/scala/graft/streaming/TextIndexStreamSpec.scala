@@ -66,6 +66,50 @@ class TextIndexStreamSpec extends SparkSuite {
     assert(rx == Set((2L, 1L), (10L, 1L)))
   }
 
+  test("dictPath: per-batch vocab-delta folding keeps the dict equal " +
+      "to a full rebuild across N append batches; a delete batch " +
+      "routes to the rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("txt-dfold").toString
+    val dict = java.nio.file.Files.createTempDirectory("txt-dfoldd").toString
+    val refDict =
+      java.nio.file.Files.createTempDirectory("txt-dfoldr").toString
+    def proc(batch: Seq[(Long, String)], id: Long): Unit =
+      StreamOps.processTextIndexBatch(batch.toDF("doc_id", "text"), id,
+        "doc_id", "text", dir, numBuckets = 8, dictPath = Some(dict))
+    proc(boot, 0L)  // bootstrap: full derive
+    proc(extra, 1L) // appends: incremental folds
+    proc(Seq((20L, "rains fox raid"), (21L, "dog dog dog")), 2L)
+    proc(Seq((30L, "another rain day")), 3L)
+    // reference: offline full rebuild from the same live postings
+    TextIndex.saveTermDict(spark, dir, refDict, numBuckets = 8)
+    def termsOf(dp: String): Set[(String, Long)] =
+      TextIndex.suggestTerms(spark, dp, "r", 100)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(termsOf(dict) == termsOf(refDict),
+      "folded dict 'r' vocabulary != rebuilt dict")
+    // dict-SERVED fuzzy and suggest equal the rebuild, df included
+    def fuzzy(dp: String) =
+      TextIndex.fuzzyTermsPersisted(spark, dp, "rain")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(fuzzy(dict) == fuzzy(refDict))
+    assert(fuzzy(dict).contains(("rain", 3L, 0L))) // docs 2, 10, 30
+    assert(fuzzy(dict).contains(("rains", 1L, 1L))) // folded-in new term
+    val sugg = TextIndex.suggestTerms(spark, dict, "rai", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sugg == Seq(("rain", 3L), ("raid", 1L), ("rains", 1L)))
+    // a CDC delete batch cannot fold (df decrements need live
+    // postings): it must route to the full rebuild
+    StreamOps.processTextIndexBatch(
+      Seq((10L, "", "delete")).toDF("doc_id", "text", "op"), 4L,
+      "doc_id", "text", dir, numBuckets = 8, opCol = Some("op"),
+      dictPath = Some(dict))
+    val afterDel = TextIndex.fuzzyTermsPersisted(spark, dict, "rain")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(afterDel.contains(("rain", 2L)), // doc 10's contribution gone
+      s"delete batch did not rebuild the dict: $afterDel")
+  }
+
   test("streamed index answers like the batch path over the prefix; " +
       "replay is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("txt-str").toString
