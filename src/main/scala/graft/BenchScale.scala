@@ -90,7 +90,12 @@ object BenchScale {
     // corpus-wide epoch explode (temperature), and the 24x-keyed
     // seasonal moments
     "q_text_snippet", "q_text_proximity", "q_text_collocations",
-    "q_text_bool", "q_sample_temperature", "q_metric_seasonal")
+    "q_text_bool", "q_sample_temperature", "q_metric_seasonal",
+    // round-15 additions: the greedy multi-passage fold (per-doc
+    // aggregate() over the anchor array — the p-round HOF state thread)
+    // and the three-leg persisted blend (two index probes + bounded
+    // prior fused in one keyed aggregation)
+    "q_text_passages", "q_hybrid_prior_persisted")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

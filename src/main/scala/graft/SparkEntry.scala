@@ -643,6 +643,25 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: LSH shard MERGE — sign buckets are data-independent, so two
+    // half-corpus indexes at the same bit width union row-for-row into
+    // an index identical to a single build (spec-pinned); the merged
+    // index serves the same search as q_sim_lsh_persisted, same oracle.
+    "q_sim_merge_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = java.nio.file.Files.createTempDirectory("mrgla").toString
+      val b = java.nio.file.Files.createTempDirectory("mrglb").toString
+      val m = java.nio.file.Files.createTempDirectory("mrglm").toString
+      Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", a, nBits = 4)
+      Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", b, nBits = 4)
+      Similarity.mergeLshIndexes(s, a, b, m)
+      Similarity.lshSearchPersisted(s, m, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: IVF-bucketed ANN — centroid assignment + nProbe search.
     "q_sim_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1182,6 +1201,28 @@ object SparkEntry {
       val idx = java.nio.file.Files.createTempDirectory("txtidx").toString
       TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
       TextIndex.bm25SearchPersisted(s, idx,
+          Seq("stream", "join", "filter"), k = 20)
+        .select(col("doc_id"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+    }),
+
+    // ML: SHARDED build → MERGE lifecycle — two inverted indexes built
+    // on disjoint halves (doc_id parity: the shard-per-writer layout a
+    // 100 TB deployment builds in parallel), merged, then the standard
+    // BM25 top-20. Merge unions live postings/doclens and recomputes
+    // stats exactly, so the answer is identical to a single build over
+    // the union corpus — same oracle as q_text_bm25.
+    "q_text_merge_bm25" -> ((s, dir) => {
+      val a = java.nio.file.Files.createTempDirectory("mrgta").toString
+      val b = java.nio.file.Files.createTempDirectory("mrgtb").toString
+      val m = java.nio.file.Files.createTempDirectory("mrgtm").toString
+      val docs = t(s, dir, "documents")
+      TextIndex.saveTextIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", a)
+      TextIndex.saveTextIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", b)
+      TextIndex.mergeTextIndexes(s, a, b, m)
+      TextIndex.bm25SearchPersisted(s, m,
           Seq("stream", "join", "filter"), k = 20)
         .select(col("doc_id"), col("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
@@ -2220,6 +2261,43 @@ object SparkEntry {
             e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_sim_merge_lsh" -> Prepared(
+      build = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = java.nio.file.Files.createTempDirectory("mrgla").toString
+        val b = java.nio.file.Files.createTempDirectory("mrglb").toString
+        val m = java.nio.file.Files.createTempDirectory("mrglm").toString
+        Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", a, nBits = 4)
+        Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", b, nBits = 4)
+        Similarity.mergeLshIndexes(s, a, b, m)
+        m
+      },
+      search = (s, dir, m) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.lshSearchPersisted(s, m.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .orderBy(col("q_id"), col("rk"))
+      }),
+    "q_text_merge_bm25" -> Prepared(
+      build = (s, dir) => {
+        val a = java.nio.file.Files.createTempDirectory("mrgta").toString
+        val b = java.nio.file.Files.createTempDirectory("mrgtb").toString
+        val m = java.nio.file.Files.createTempDirectory("mrgtm").toString
+        val docs = t(s, dir, "documents")
+        TextIndex.saveTextIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", a)
+        TextIndex.saveTextIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", b)
+        TextIndex.mergeTextIndexes(s, a, b, m)
+        m
+      },
+      search = (s, _, m) =>
+        TextIndex.bm25SearchPersisted(s, m.asInstanceOf[String],
+            Seq("stream", "join", "filter"), k = 20)
+          .select(col("doc_id"), col("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)),
     "q_sim_ivf_persisted" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
@@ -2824,6 +2902,10 @@ object SparkEntry {
           "WHERE p.q_id != a.v_id AND a.v_id % 11 != 5")) +
       ("q_sim_lsh_persisted" -> oracleBase("q_sim_ann_lsh")) +
       ("q_text_bm25_persisted" -> oracleBase("q_text_bm25")) +
+      // shard-merge lifecycles answer identically to a single build
+      // over the union corpus (merge unions live rows + exact stats)
+      ("q_text_merge_bm25" -> oracleBase("q_text_bm25")) +
+      ("q_sim_merge_lsh" -> oracleBase("q_sim_ann_lsh")) +
       ("q_hybrid_persisted" -> oracleBase("q_hybrid_rrf")) +
       // persisted three-leg blend == the ad-hoc blend at full probe
       // depth (HybridSpec-pinned), so it shares q_hybrid_prior's oracle
