@@ -1550,6 +1550,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: regex search with an OPTIONAL-QUANTIFIER prefix — '^streams?$'
+    // must match BOTH 'stream' and 'streams': the literal-prefix pruning
+    // drops its last character when a quantifier makes it optional
+    // (r14 ADVICE finding; TextSearchOpsSpec pins the prefix shapes).
+    "q_text_regex_opt" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("rgoidx").toString
+      val dict = java.nio.file.Files.createTempDirectory("rgodict").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.saveTermDict(s, idx, dict)
+      TextIndex.regexDocSearch(s, idx, dict, "^streams?$")
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: SNIPPET TEXT — the top-10 docs' best windows materialized as
     // text: only those 10 ids re-read from the corpus (literal IN-list
     // pushdown), window tokens sliced back out.
@@ -5364,6 +5377,19 @@ object SparkEntry {
         |tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM occ
         |  WHERE regexp_matches(term, '^s.*a') GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(tf) AS BIGINT) AS tf_sum
+        |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_text_regex_opt" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM occ
+        |  WHERE regexp_matches(term, '^streams?$') GROUP BY 1, 2)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(sum(tf) AS BIGINT) AS tf_sum
         |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
