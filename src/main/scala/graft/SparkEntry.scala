@@ -1867,6 +1867,39 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("y", col("lang") === "en"),
         "n_chars", "y")),
 
+    // ML: EXACT AVERAGE PRECISION — the PR-curve gate metric (rare
+    // positives), deterministic (score desc, doc_id asc) total order,
+    // each positive's prec@k on the micro grid before the sum; same
+    // bucketed distributed cumulative as the AUC (no global window).
+    "q_eval_ap" -> ((s, dir) =>
+      Eval.apExact(
+        t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+        "n_chars", "y", "doc_id")),
+
+    // ML: OFFLINE RETRIEVAL EVAL — a tf-ranked top-10 per query term
+    // scored against lang='en' containment judgments: per query the
+    // reciprocal rank of the first relevant hit, hits, and recall@10
+    // (the trec_eval surface over any of the engine's search ops).
+    "q_eval_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
+          Seq(col("tf").desc, col("doc_id").asc), 10)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val relevant = cand.filter(col("lang") === "en")
+        .select(col("q_id"), col("doc_id"))
+      Eval.retrievalMetrics(ranked, relevant).orderBy(col("q_id"))
+    }),
+
     // ML: PER-GROUP AUC — one exact AUC per source, fully distributed
     // (group-partitioned cumulative, executor-side BIGINT division).
     "q_eval_auc_by_source" -> ((s, dir) =>
@@ -6034,6 +6067,61 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     // Per-group AUC: the q_eval_auc CTEs partitioned by source.
+    // AP: the rank walk in SQL — deterministic (s DESC, id ASC) order,
+    // per-positive prec@k floored to the micro grid before the sum
+    "q_eval_ap" ->
+      """WITH d AS (
+        |  SELECT doc_id AS i, n_chars AS s, (lang = 'en') AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT y,
+        |    row_number() OVER (ORDER BY s DESC, i ASC) AS rk,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) OVER (ORDER BY s DESC, i ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM d),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN cp * 1000000 // rk END) AS BIGINT)
+        |      AS ap_sum
+        |  FROM r)
+        |SELECT pos, n,
+        |  CASE WHEN pos > 0 THEN CAST(ap_sum // pos AS BIGINT) END
+        |    AS ap_micro
+        |FROM a""".stripMargin,
+
+    "q_eval_retrieval" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, lang, tf FROM tf JOIN q ON term = qterm),
+        |ranked AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, doc_id ASC) AS rk
+        |    FROM cand)
+        |  WHERE rk <= 10),
+        |rel AS (SELECT DISTINCT q_id, doc_id FROM cand WHERE lang = 'en'),
+        |nr AS (SELECT q_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (
+        |  SELECT r.q_id, count(*) AS hits, min(rk) AS first_rank
+        |  FROM ranked r JOIN rel USING (q_id, doc_id) GROUP BY 1)
+        |SELECT nr.q_id, CAST(n_rel AS BIGINT) AS n_rel,
+        |  CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+        |  CAST(first_rank AS BIGINT) AS first_rank,
+        |  CAST(COALESCE(1000000 // first_rank, 0) AS BIGINT) AS rr_micro,
+        |  CAST(COALESCE(hits, 0) * 1000000 // n_rel AS BIGINT)
+        |    AS recall_micro
+        |FROM nr LEFT JOIN h ON nr.q_id = h.q_id ORDER BY nr.q_id""".stripMargin,
+
     "q_eval_auc_by_source" ->
       """WITH d AS (
         |  SELECT source, n_chars AS s, (lang = 'en') AS y FROM documents),

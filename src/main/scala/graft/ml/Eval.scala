@@ -152,6 +152,79 @@ object Eval {
     } finally { perScore.unpersist(); () }
   }
 
+  /** EXACT AVERAGE PRECISION — the PR-curve companion to [[aucExact]]
+    * (the quality-classifier gate metric when positives are rare and
+    * ROC-AUC flatters): `AP = (1/P) Σ_{positive at rank k} prec@k`,
+    * ranks over the DETERMINISTIC total order (score desc, id asc).
+    * The explicit id tie-break makes the statistic bit-reproducible
+    * across engines where tie-interpolating definitions depend on
+    * float summation order; each positive's `prec@k` lands on the 10⁻⁶
+    * grid BEFORE the sum (`floor(10⁶·cumPos(k)/k)` summed as BIGINT —
+    * the order-free convention), then `ap_micro = Σ div P`.
+    *
+    * Distributed shape: the same two-level cumulative as [[aucExact]] —
+    * rows bucket into ≤ 4096 score ranges, rank and cumulative-positive
+    * windows run PARTITIONED per bucket (ordered score desc, id asc),
+    * and cross-bucket bases come from a bounded driver fold over
+    * per-bucket (rows, positives) totals. No unpartitioned window.
+    * Returns one row (pos, n, ap_micro); ap_micro null when there are
+    * no positives.
+    */
+  def apExact(df: DataFrame, scoreCol: String, labelCol: String,
+              idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(scoreCol).cast("long").as("s"),
+      col(idCol).cast("long").as("i"),
+      col(labelCol).cast("boolean").as("y"))
+      .persist()
+    try {
+      val mm = rows.agg(min(col("s")), max(col("s"))).collect().head
+      if (mm.isNullAt(0))
+        Seq((0L, 0L, Option.empty[Long])).toDF("pos", "n", "ap_micro")
+      else {
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
+          s"score span [$mn, $mx] exceeds the Long range — grid scores " +
+            "(micro convention) before apExact")
+        val maxBuckets = 4096L
+        val width = (mx - mn) / maxBuckets + 1
+        val bucketed = rows.withColumn("b", expr(s"(s - $mn) div $width"))
+        // DESC global order: a bucket's base = rows/positives in all
+        // HIGHER buckets (higher score range sorts first)
+        val bt = bucketed.groupBy(col("b"))
+          .agg(count(lit(1)).as("nb"),
+            sum(when(col("y"), 1L).otherwise(0L)).as("pb"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(-_._1)
+        var accN = 0L; var accP = 0L
+        val baseRows = bt.map { case (b, nb, pb) =>
+          val r = (b, accN, accP); accN += nb; accP += pb; r }
+        val baseDf = baseRows.toSeq.toDF("b", "base_n", "base_p")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("b")).orderBy(col("s").desc, col("i").asc)
+        val wc = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val ranked = bucketed.join(broadcast(baseDf), Seq("b"))
+          .withColumn("rk", col("base_n") + row_number().over(w))
+          .withColumn("cp", col("base_p") +
+            sum(when(col("y"), 1L).otherwise(0L)).over(wc))
+        val agg = ranked.agg(
+          coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L)).as("pos"),
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col("y"),
+            expr("cp * 1000000 div rk"))), lit(0L)).as("ap_sum"))
+          .collect().head
+        val (p, n, apSum) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        // cp·10⁶ ≤ P·10⁶ and Σ terms ≤ P·10⁶ — division-form range guard
+        require(p <= Long.MaxValue / 1000000L,
+          s"P = $p overflows the exact micro grid — sample the eval slice")
+        val ap = if (p > 0) Some(apSum / p) else None
+        Seq((p, n, ap)).toDF("pos", "n", "ap_micro")
+      }
+    } finally { rows.unpersist(); () }
+  }
+
   /** [[aucExact]] PER GROUP, fully distributed — one AUC per slice
     * (per-source, per-language, per-shard quality audits) with no
     * driver fold: per-(group, score) counts, the cumulative over
@@ -190,6 +263,37 @@ object Eval {
               "raise_error('P*N overflows the exact micro grid — " +
                 "sample the eval slice')")))
           .as("auc_micro"))
+  }
+
+  /** OFFLINE RETRIEVAL EVALUATION — score a per-query RANKING against a
+    * RELEVANCE judgment set (the trec_eval shape: rankings from any of
+    * the search ops, judgments from clicks/labels): per query the
+    * reciprocal rank of the first relevant hit, hits in the ranking,
+    * and recall vs the query's total judged-relevant count, all on the
+    * 10⁻⁶ grid. Conventions: a judged query with no relevant hit in the
+    * ranking scores rr = 0 and recall = 0 (standard); a query with NO
+    * judgments at all is omitted (it cannot be scored); macro means are
+    * one `avg` over the output. One equi-join on (q_id, doc_id) + two
+    * hash aggregates — every stage keyed, nothing corpus-sized.
+    *
+    * `ranking` = (q_id, doc_id, rk) with 1-based per-query ranks;
+    * `relevant` = (q_id, doc_id) judgments. Returns per judged query:
+    * (q_id, n_rel, hits, first_rank, rr_micro, recall_micro);
+    * first_rank is null (and rr_micro 0) when no relevant doc ranked.
+    */
+  def retrievalMetrics(ranking: DataFrame, relevant: DataFrame): DataFrame = {
+    val rel = relevant.select(col("q_id"), col("doc_id")).distinct()
+    val nRel = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    val hits = ranking.select(col("q_id"), col("doc_id"), col("rk"))
+      .join(rel, Seq("q_id", "doc_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hits"), min(col("rk")).as("first_rank"))
+    nRel.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("first_rank").cast("long").as("first_rank"),
+        coalesce(expr("1000000 div first_rank"), lit(0L)).as("rr_micro"),
+        expr("coalesce(hits, 0) * 1000000 div n_rel").as("recall_micro"))
   }
 
   /** CALIBRATION BINS (reliability diagram): equal-width score bins over

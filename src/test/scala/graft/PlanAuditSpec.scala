@@ -54,6 +54,11 @@ class PlanAuditSpec extends SparkSuite {
     // prior blend: the vec leg is knnBruteForce's 1-row broadcast query
     // (as q_hybrid_rrf); the 3-leg fusion is a union + hash aggregate
     "q_hybrid_prior",
+    // persisted prior blend: the vec leg is ivfSearchPersisted's ≤8-row
+    // centroid cross join (as q_hybrid_persisted); lex leg and fusion
+    // are equi-joins / union + hash aggregate; the prior is a bounded
+    // top-20 rank list
+    "q_hybrid_prior_persisted",
     // collocations: the two 1-row corpus-constant frames (total tokens,
     // total pairs) broadcast into the PMI projection — the
     // corpus-constant single-row pattern, same as q_corpus_report; the

@@ -100,6 +100,64 @@ class EvalSpec extends SparkSuite {
       empty.isNullAt(2))
   }
 
+  test("apExact matches the brute-force rank walk: ties broken by id, " +
+      "wide spans, degenerate inputs") {
+    def brute(rows: Seq[(Long, Long, Boolean)]): (Long, Long, Option[Long]) = {
+      val sorted = rows.sortBy(r => (-r._1, r._2))
+      var cp = 0L; var s = 0L; var k = 0L
+      sorted.foreach { case (_, _, y) =>
+        k += 1; if (y) { cp += 1; s += cp * 1000000L / k } }
+      (cp, rows.size.toLong, if (cp > 0) Some(s / cp) else None)
+    }
+    def run(rows: Seq[(Long, Long, Boolean)]) = {
+      val r = Eval.apExact(rows.toDF("score", "id", "y"),
+        "score", "y", "id").collect().head
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // heavy ties (few distinct scores, many ids) + negative scores +
+    // wide span so rows cross buckets
+    val rows = (0 until 400).map { i =>
+      val s = Seq(-50000L, -3L, 0L, 7L, 90000L)(i % 5)
+      (s, i.toLong, (i * 11 % 7) < 3)
+    }
+    assert(run(rows) == brute(rows))
+    // perfect ranking → exactly 1
+    val perfect = (0 until 50).map(i => (100L - i, i.toLong, i < 10))
+    assert(run(perfect) == ((10L, 50L, Some(1000000L))))
+    assert(run(perfect) == brute(perfect))
+    // no positives → null; empty → (0, 0, null)
+    assert(run(Seq((5L, 1L, false))) == ((0L, 1L, None)))
+    assert(run(Seq.empty[(Long, Long, Boolean)]) == ((0L, 0L, None)))
+  }
+
+  test("retrievalMetrics: rr/hits/recall per judged query, standard " +
+      "conventions") {
+    val ranking = Seq(
+      (0L, 100L, 1L), (0L, 101L, 2L), (0L, 102L, 3L), // q0: rel at rk 2,3
+      (1L, 100L, 1L), (1L, 103L, 2L),                 // q1: no rel ranked
+      (2L, 104L, 1L))                                 // q2: rel at rk 1
+      .toDF("q_id", "doc_id", "rk")
+    val relevant = Seq(
+      (0L, 101L), (0L, 102L), (0L, 999L), // n_rel 3, hits 2, first 2
+      (1L, 999L),                         // n_rel 1, hits 0
+      (2L, 104L),                         // n_rel 1, hits 1, first 1
+      (3L, 777L))                         // judged but never ranked
+      .toDF("q_id", "doc_id")
+    val out = Eval.retrievalMetrics(ranking, relevant)
+      .orderBy($"q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(out == Seq(
+      (0L, 3L, 2L, 2L, 500000L, 666666L),
+      (1L, 1L, 0L, -1L, 0L, 0L),
+      (2L, 1L, 1L, 1L, 1000000L, 1000000L),
+      (3L, 1L, 0L, -1L, 0L, 0L)))
+    // unjudged queries (ranking-only) are omitted — nothing to score
+    assert(!out.exists(_._1 == 4L))
+  }
+
   test("aucGuardOk: division form survives products that wrap Long") {
     assert(Eval.aucGuardOk(0L, 5L) && Eval.aucGuardOk(5L, 0L))
     assert(Eval.aucGuardOk(1000L, 1000L))
