@@ -1900,6 +1900,15 @@ object SparkEntry {
       Eval.retrievalMetrics(ranked, relevant).orderBy(col("q_id"))
     }),
 
+    // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
+    // PR twin of the per-group AUC): group-partitioned rank walk,
+    // per-positive prec@k on the micro grid, executor-side division.
+    "q_eval_ap_by_source" -> ((s, dir) =>
+      Eval.apByGroup(
+          t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+          "source", "n_chars", "y", "doc_id")
+        .orderBy(col("source"))),
+
     // ML: PER-GROUP AUC — one exact AUC per source, fully distributed
     // (group-partitioned cumulative, executor-side BIGINT division).
     "q_eval_auc_by_source" -> ((s, dir) =>
@@ -6121,6 +6130,30 @@ object SparkEntry {
         |  CAST(COALESCE(hits, 0) * 1000000 // n_rel AS BIGINT)
         |    AS recall_micro
         |FROM nr LEFT JOIN h ON nr.q_id = h.q_id ORDER BY nr.q_id""".stripMargin,
+
+    "q_eval_ap_by_source" ->
+      """WITH d AS (
+        |  SELECT source, doc_id AS i, n_chars AS s, (lang = 'en') AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, y,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s DESC, i ASC) AS rk,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) OVER (PARTITION BY source
+        |      ORDER BY s DESC, i ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM d),
+        |a AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN cp * 1000000 // rk END) AS BIGINT)
+        |      AS ap_sum
+        |  FROM r GROUP BY 1)
+        |SELECT source, pos, n,
+        |  CASE WHEN pos > 0 THEN CAST(ap_sum // pos AS BIGINT) END
+        |    AS ap_micro
+        |FROM a ORDER BY source""".stripMargin,
 
     "q_eval_auc_by_source" ->
       """WITH d AS (

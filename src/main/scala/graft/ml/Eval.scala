@@ -265,6 +265,39 @@ object Eval {
           .as("auc_micro"))
   }
 
+  /** [[apExact]] PER GROUP, fully distributed — one average precision
+    * per slice, the PR twin of [[aucByGroup]]: the rank walk's window
+    * partitions naturally by group (no bucketing needed), per-positive
+    * `prec@k` grids before the sum, and the final division runs
+    * executor-side as BIGINT `div` behind the same loud overflow guard.
+    * Returns (groupCol, pos, n, ap_micro); ap_micro null when a group
+    * has no positives.
+    */
+  def apByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                labelCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s").desc, col("i").asc)
+    val wc = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        col(idCol).cast("long").as("i"),
+        col(labelCol).cast("boolean").as("y"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cp", sum(when(col("y"), 1L).otherwise(0L)).over(wc))
+      .groupBy(col("g"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("n"),
+        sum(when(col("y"), expr("cp * 1000000 div rk"))).as("ap_sum"))
+      .select(col("g").as(groupCol), col("pos"), col("n"),
+        when(col("pos") > 0,
+          when(expr(s"pos <= ${Long.MaxValue / 1000000L}"),
+            expr("ap_sum div pos"))
+            .otherwise(expr(
+              "raise_error('P overflows the exact micro grid — " +
+                "sample the eval slice')")))
+          .as("ap_micro"))
+  }
+
   /** OFFLINE RETRIEVAL EVALUATION — score a per-query RANKING against a
     * RELEVANCE judgment set (the trec_eval shape: rankings from any of
     * the search ops, judgments from clicks/labels): per query the

@@ -171,6 +171,24 @@ class EvalSpec extends SparkSuite {
     assert(Eval.aucGuardOk(1L, cap) && !Eval.aucGuardOk(1L, cap + 1))
   }
 
+  test("apByGroup matches per-group apExact") {
+    val df = ((0 until 120).map { i =>
+      ("a", Seq(-7L, 0L, 13L, 900L)(i % 4), i.toLong, i % 3 == 0) } ++
+      Seq(("b", 5L, 200L, true), ("b", 4L, 201L, false)) ++
+      Seq(("c", 1L, 300L, false)))
+      .toDF("g", "score", "id", "y")
+    val grouped = Eval.apByGroup(df, "g", "score", "y", "id")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val single = Eval.apExact(df.filter($"g" === g), "score", "y", "id")
+        .collect().head
+      val exp = if (single.isNullAt(2)) None else Some(single.getLong(2))
+      assert(grouped(g) == exp, s"group $g")
+    }
+    assert(grouped("b") == Some(1000000L) && grouped("c") == None)
+  }
+
   test("aucByGroup matches per-group aucExact") {
     val df = ((1L to 10L).map(s => ("a", s, s > 5)) ++
       Seq(("b", 5L, true), ("b", 5L, false)) ++
