@@ -1900,6 +1900,38 @@ object SparkEntry {
       Eval.retrievalMetrics(ranked, relevant).orderBy(col("q_id"))
     }),
 
+    // ML: EXACT PR CURVE — the full curve behind the AP scalar: one
+    // row per positive at its global rank, precision/recall at that
+    // cut on the micro grid (the operating-point picker for a quality
+    // gate); same bucketed distributed rank walk, no global window.
+    "q_eval_pr_curve" -> ((s, dir) =>
+      Eval.prCurve(
+          t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+          "n_chars", "y", "doc_id")
+        .orderBy(col("rk"))),
+
+    // ML: RETRIEVAL MACRO SUMMARY — MRR, macro recall, success rate
+    // over the per-query metrics, exact BIGINT micro means.
+    "q_eval_retrieval_summary" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
+          Seq(col("tf").desc, col("doc_id").asc), 10)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val relevant = cand.filter(col("lang") === "en")
+        .select(col("q_id"), col("doc_id"))
+      Eval.retrievalSummary(Eval.retrievalMetrics(ranked, relevant))
+    }),
+
     // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
     // PR twin of the per-group AUC): group-partitioned rank walk,
     // per-positive prec@k on the micro grid, executor-side division.
@@ -6130,6 +6162,60 @@ object SparkEntry {
         |  CAST(COALESCE(hits, 0) * 1000000 // n_rel AS BIGINT)
         |    AS recall_micro
         |FROM nr LEFT JOIN h ON nr.q_id = h.q_id ORDER BY nr.q_id""".stripMargin,
+
+    "q_eval_pr_curve" ->
+      """WITH d AS (
+        |  SELECT doc_id AS i, n_chars AS s, (lang = 'en') AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT y,
+        |    row_number() OVER (ORDER BY s DESC, i ASC) AS rk,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) OVER (ORDER BY s DESC, i ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM d),
+        |p AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos FROM d)
+        |SELECT CAST(rk AS BIGINT) AS rk, CAST(cp AS BIGINT) AS cum_pos,
+        |  CAST(cp * 1000000 // rk AS BIGINT) AS precision_micro,
+        |  CAST(cp * 1000000 // pos AS BIGINT) AS recall_micro
+        |FROM r, p WHERE y ORDER BY rk""".stripMargin,
+
+    "q_eval_retrieval_summary" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, lang, tf FROM tf JOIN q ON term = qterm),
+        |ranked AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, doc_id ASC) AS rk
+        |    FROM cand)
+        |  WHERE rk <= 10),
+        |rel AS (SELECT DISTINCT q_id, doc_id FROM cand WHERE lang = 'en'),
+        |nr AS (SELECT q_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (
+        |  SELECT r.q_id, count(*) AS hits, min(rk) AS first_rank
+        |  FROM ranked r JOIN rel USING (q_id, doc_id) GROUP BY 1),
+        |m AS (
+        |  SELECT nr.q_id,
+        |    COALESCE(1000000 // first_rank, 0) AS rr_micro,
+        |    COALESCE(hits, 0) * 1000000 // n_rel AS recall_micro,
+        |    COALESCE(hits, 0) AS hits
+        |  FROM nr LEFT JOIN h ON nr.q_id = h.q_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro,
+        |  CAST(sum(recall_micro) // count(*) AS BIGINT)
+        |    AS macro_recall_micro,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS success_rate_micro
+        |FROM m""".stripMargin,
 
     "q_eval_ap_by_source" ->
       """WITH d AS (

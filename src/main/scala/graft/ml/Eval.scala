@@ -170,57 +170,114 @@ object Eval {
     * Returns one row (pos, n, ap_micro); ap_micro null when there are
     * no positives.
     */
+  /** The shared DISTRIBUTED RANK WALK behind [[apExact]] and
+    * [[prCurve]]: given persisted `(s, i, y)` rows, return the frame
+    * extended with the global `rk` (1-based over score desc, id asc)
+    * and `cp` (cumulative positives through the current row) — rows
+    * bucketed into ≤ 4096 score ranges, windows PARTITIONED per
+    * bucket, cross-bucket bases from a bounded driver fold. None when
+    * the input is empty. Caller owns the persist lifecycle.
+    */
+  private def rankWalk(rows: DataFrame): Option[DataFrame] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val mm = rows.agg(min(col("s")), max(col("s"))).collect().head
+    if (mm.isNullAt(0)) None
+    else {
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
+        s"score span [$mn, $mx] exceeds the Long range — grid scores " +
+          "(micro convention) first")
+      val maxBuckets = 4096L
+      val width = (mx - mn) / maxBuckets + 1
+      val bucketed = rows.withColumn("b", expr(s"(s - $mn) div $width"))
+      // DESC global order: a bucket's base = rows/positives in all
+      // HIGHER buckets (higher score range sorts first)
+      val bt = bucketed.groupBy(col("b"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(-_._1)
+      var accN = 0L; var accP = 0L
+      val baseRows = bt.map { case (b, nb, pb) =>
+        val r = (b, accN, accP); accN += nb; accP += pb; r }
+      val baseDf = baseRows.toSeq.toDF("b", "base_n", "base_p")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b")).orderBy(col("s").desc, col("i").asc)
+      val wc = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Some(bucketed.join(broadcast(baseDf), Seq("b"))
+        .withColumn("rk", col("base_n") + row_number().over(w))
+        .withColumn("cp", col("base_p") +
+          sum(when(col("y"), 1L).otherwise(0L)).over(wc)))
+    }
+  }
+
+  private def scoredRows(df: DataFrame, scoreCol: String, labelCol: String,
+                         idCol: String): DataFrame =
+    df.select(col(scoreCol).cast("long").as("s"),
+      col(idCol).cast("long").as("i"),
+      col(labelCol).cast("boolean").as("y"))
+
   def apExact(df: DataFrame, scoreCol: String, labelCol: String,
               idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(scoreCol).cast("long").as("s"),
-      col(idCol).cast("long").as("i"),
-      col(labelCol).cast("boolean").as("y"))
-      .persist()
+    val rows = scoredRows(df, scoreCol, labelCol, idCol).persist()
     try {
-      val mm = rows.agg(min(col("s")), max(col("s"))).collect().head
-      if (mm.isNullAt(0))
-        Seq((0L, 0L, Option.empty[Long])).toDF("pos", "n", "ap_micro")
-      else {
-        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-        require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
-          s"score span [$mn, $mx] exceeds the Long range — grid scores " +
-            "(micro convention) before apExact")
-        val maxBuckets = 4096L
-        val width = (mx - mn) / maxBuckets + 1
-        val bucketed = rows.withColumn("b", expr(s"(s - $mn) div $width"))
-        // DESC global order: a bucket's base = rows/positives in all
-        // HIGHER buckets (higher score range sorts first)
-        val bt = bucketed.groupBy(col("b"))
-          .agg(count(lit(1)).as("nb"),
-            sum(when(col("y"), 1L).otherwise(0L)).as("pb"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          .sortBy(-_._1)
-        var accN = 0L; var accP = 0L
-        val baseRows = bt.map { case (b, nb, pb) =>
-          val r = (b, accN, accP); accN += nb; accP += pb; r }
-        val baseDf = baseRows.toSeq.toDF("b", "base_n", "base_p")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("b")).orderBy(col("s").desc, col("i").asc)
-        val wc = w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val ranked = bucketed.join(broadcast(baseDf), Seq("b"))
-          .withColumn("rk", col("base_n") + row_number().over(w))
-          .withColumn("cp", col("base_p") +
-            sum(when(col("y"), 1L).otherwise(0L)).over(wc))
-        val agg = ranked.agg(
-          coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L)).as("pos"),
-          count(lit(1)).as("n"),
-          coalesce(sum(when(col("y"),
-            expr("cp * 1000000 div rk"))), lit(0L)).as("ap_sum"))
-          .collect().head
-        val (p, n, apSum) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-        // cp·10⁶ ≤ P·10⁶ and Σ terms ≤ P·10⁶ — division-form range guard
-        require(p <= Long.MaxValue / 1000000L,
-          s"P = $p overflows the exact micro grid — sample the eval slice")
-        val ap = if (p > 0) Some(apSum / p) else None
-        Seq((p, n, ap)).toDF("pos", "n", "ap_micro")
+      rankWalk(rows) match {
+        case None =>
+          Seq((0L, 0L, Option.empty[Long])).toDF("pos", "n", "ap_micro")
+        case Some(ranked) =>
+          val agg = ranked.agg(
+            coalesce(sum(when(col("y"), 1L).otherwise(0L)), lit(0L))
+              .as("pos"),
+            count(lit(1)).as("n"),
+            coalesce(sum(when(col("y"),
+              expr("cp * 1000000 div rk"))), lit(0L)).as("ap_sum"))
+            .collect().head
+          val (p, n, apSum) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+          // cp·10⁶ ≤ P·10⁶ and Σ terms ≤ P·10⁶ — division-form guard
+          require(p <= Long.MaxValue / 1000000L,
+            s"P = $p overflows the exact micro grid — sample the eval slice")
+          val ap = if (p > 0) Some(apSum / p) else None
+          Seq((p, n, ap)).toDF("pos", "n", "ap_micro")
+      }
+    } finally { rows.unpersist(); () }
+  }
+
+  /** EXACT PR CURVE — the full curve behind [[apExact]]'s scalar: one
+    * row per POSITIVE at its global rank with the precision and recall
+    * at that cut, `prec@k = floor(10⁶·cp/k)`,
+    * `recall@k = floor(10⁶·cp/P)` — the operating-point picker for a
+    * quality-classifier gate ("what threshold buys 95% precision, and
+    * what recall does it cost?"). Output is |positives| rows (an eval
+    * slice, not a corpus); the walk itself is the same bucketed
+    * distributed cumulative as [[apExact]] — no unpartitioned window.
+    * Returns (rk, cum_pos, precision_micro, recall_micro), rk
+    * ascending.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = scoredRows(df, scoreCol, labelCol, idCol).persist()
+    try {
+      rankWalk(rows) match {
+        case None =>
+          Seq.empty[(Long, Long, Long, Long)]
+            .toDF("rk", "cum_pos", "precision_micro", "recall_micro")
+        case Some(ranked) =>
+          val p = rows.filter(col("y")).count()
+          require(p <= Long.MaxValue / 1000000L,
+            s"P = $p overflows the exact micro grid — sample the eval slice")
+          if (p == 0)
+            Seq.empty[(Long, Long, Long, Long)]
+              .toDF("rk", "cum_pos", "precision_micro", "recall_micro")
+          else ranked.filter(col("y"))
+            .select(col("rk"), col("cp").as("cum_pos"),
+              expr("cp * 1000000 div rk").as("precision_micro"),
+              expr(s"cp * 1000000 div $p").as("recall_micro"))
       }
     } finally { rows.unpersist(); () }
   }
@@ -328,6 +385,22 @@ object Eval {
         coalesce(expr("1000000 div first_rank"), lit(0L)).as("rr_micro"),
         expr("coalesce(hits, 0) * 1000000 div n_rel").as("recall_micro"))
   }
+
+  /** MACRO SUMMARY over [[retrievalMetrics]] output: the headline
+    * numbers an offline-eval dashboard shows — judged-query count,
+    * MRR (mean of rr_micro), macro recall, and success rate (share of
+    * judged queries with ≥ 1 relevant hit), all as exact BIGINT micro
+    * means (`Σ div n` — each summand already gridded). One aggregate.
+    * Returns (n_queries, mrr_micro, macro_recall_micro,
+    * success_rate_micro); empty input yields a single all-null-metric
+    * row with n_queries 0.
+    */
+  def retrievalSummary(metrics: DataFrame): DataFrame =
+    metrics.agg(count(lit(1)).as("n_queries"),
+      expr("sum(rr_micro) div count(1)").as("mrr_micro"),
+      expr("sum(recall_micro) div count(1)").as("macro_recall_micro"),
+      expr("sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000 " +
+        "div count(1)").as("success_rate_micro"))
 
   /** CALIBRATION BINS (reliability diagram): equal-width score bins over
     * `[lo, hi)`, per bin the count, positive count, and empirical

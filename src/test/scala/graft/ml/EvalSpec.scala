@@ -158,6 +158,51 @@ class EvalSpec extends SparkSuite {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("prCurve matches the brute-force walk and integrates to apExact") {
+    val rows = (0 until 300).map { i =>
+      val s = Seq(-9000L, -1L, 4L, 4L, 777L)(i % 5) // dup bucket values
+      (s, i.toLong, (i * 13 % 5) < 2)
+    }
+    val got = Eval.prCurve(rows.toDF("score", "id", "y"),
+        "score", "y", "id")
+      .orderBy($"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val sorted = rows.sortBy(r => (-r._1, r._2))
+    val p = rows.count(_._3).toLong
+    var cp = 0L
+    val exp = sorted.zipWithIndex.flatMap { case ((_, _, y), k0) =>
+      val k = k0 + 1L
+      if (y) { cp += 1; Some((k, cp, cp * 1000000L / k, cp * 1000000L / p)) }
+      else None
+    }
+    assert(got == exp)
+    // the AP scalar is the mean of the curve's precision points
+    val ap = Eval.apExact(rows.toDF("score", "id", "y"),
+      "score", "y", "id").collect().head.getLong(2)
+    assert(ap == exp.map(_._3).sum / p)
+    // degenerates: no positives / empty input → empty curve
+    assert(Eval.prCurve(Seq((1L, 1L, false)).toDF("score", "id", "y"),
+      "score", "y", "id").count() == 0L)
+    assert(Eval.prCurve(Seq.empty[(Long, Long, Boolean)]
+      .toDF("score", "id", "y"), "score", "y", "id").count() == 0L)
+  }
+
+  test("retrievalSummary: exact macro means over the per-query metrics") {
+    val ranking = Seq((0L, 100L, 1L), (0L, 101L, 2L), (1L, 100L, 1L),
+        (2L, 104L, 1L))
+      .toDF("q_id", "doc_id", "rk")
+    val relevant = Seq((0L, 101L), (0L, 999L), (1L, 999L), (2L, 104L))
+      .toDF("q_id", "doc_id")
+    val m = Eval.retrievalMetrics(ranking, relevant)
+    val r = Eval.retrievalSummary(m).collect().head
+    // rr: q0 = 500000, q1 = 0, q2 = 1000000 → mrr 1500000/3
+    // recall: q0 = 500000, q1 = 0, q2 = 1000000 → macro 500000
+    // success: 2 of 3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 500000L, 500000L, 666666L)))
+  }
+
   test("aucGuardOk: division form survives products that wrap Long") {
     assert(Eval.aucGuardOk(0L, 5L) && Eval.aucGuardOk(5L, 0L))
     assert(Eval.aucGuardOk(1000L, 1000L))
