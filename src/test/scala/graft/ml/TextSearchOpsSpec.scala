@@ -577,6 +577,46 @@ class TextSearchOpsSpec extends SparkSuite {
     assert(TextIndex.literalPrefix("^a\\|b") == "a")   // escaped: sound
   }
 
+  test("literalPrefix soundness PROPERTY: over random patterns and " +
+      "vocabularies, pruning never drops a matching term") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genAtom: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "d"),
+      3 -> (for {
+        c <- Gen.oneOf("a", "b", "c", "d")
+        q <- Gen.oneOf("?", "*", "+", "{0,2}", "{1,2}")
+      } yield c + q),
+      1 -> Gen.oneOf("[ab]", "[bc]"),
+      1 -> Gen.oneOf("(a|b)", "(bc|d)"),
+      1 -> Gen.oneOf("\\|", "\\?", "."),
+      1 -> Gen.const("a|cd")) // top-level alternation
+    val genPattern: Gen[String] = for {
+      n <- Gen.chooseNum(1, 5)
+      atoms <- Gen.listOfN(n, genAtom)
+      anchor <- Gen.oneOf("", "$")
+    } yield "^" + atoms.mkString + anchor
+    val genTerm: Gen[String] = Gen.chooseNum(0, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd', 'x', '|'))
+        .map(_.mkString))
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val vocab = (0 until 300).map(i => sample(genTerm, 7000L + i)).distinct
+    (0 until 400).foreach { i =>
+      val pat = sample(genPattern, i.toLong)
+      val pre = TextIndex.literalPrefix(pat)
+      val m = java.util.regex.Pattern.compile(pat)
+      vocab.foreach { t =>
+        if (m.matcher(t).find()) { // rlike = find semantics
+          val kept = pre.isEmpty ||
+            (t.nonEmpty && t(0) == pre(0) && t.startsWith(pre))
+          assert(kept,
+            s"pattern '$pat' prefix '$pre' drops matching term '$t'")
+        }
+      }
+    }
+  }
+
   test("regexTermMatches: optional-quantifier and alternation shapes " +
       "keep terms the old prefix pruning dropped") {
     val docs = Seq(
