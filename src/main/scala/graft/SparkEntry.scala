@@ -2742,6 +2742,19 @@ object SparkEntry {
         TextIndex.regexDocSearch(s, idx, dict, "^s.*a")
           .orderBy(col("doc_id"))
       }),
+    "q_text_regex_opt" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("rgoidx").toString
+        val dict = java.nio.file.Files.createTempDirectory("rgodict").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        TextIndex.saveTermDict(s, idx, dict)
+        (idx, dict)
+      },
+      search = (s, _, art) => {
+        val (idx, dict) = art.asInstanceOf[(String, String)]
+        TextIndex.regexDocSearch(s, idx, dict, "^streams?$")
+          .orderBy(col("doc_id"))
+      }),
     "q_text_snippet_text" -> Prepared(
       build = (s, dir) => {
         val idx = java.nio.file.Files.createTempDirectory("snptidx").toString
