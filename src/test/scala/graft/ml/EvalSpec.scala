@@ -203,6 +203,45 @@ class EvalSpec extends SparkSuite {
       ((3L, 500000L, 500000L, 666666L)))
   }
 
+  test("rank-walk PROPERTY: aucExact/apExact/prCurve match brute force " +
+      "across random spans, tie densities and label rates") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 5) {
+      val n = 80 + rnd.nextInt(120)
+      val span = Seq(3L, 40L, 100000L, 4000000000L)(trial % 4)
+      val rows = (0 until n).map { i =>
+        (rnd.nextLong() % span, i.toLong, rnd.nextInt(4) == 0)
+      }
+      val df = rows.toDF("score", "id", "y")
+      // brute AUC over distinct pairs
+      val pos = rows.filter(_._3).map(_._1)
+      val neg = rows.filterNot(_._3).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val twoU = (for (p <- pos; q <- neg)
+          yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val expAuc = twoU * 1000000L / (2L * pos.size * neg.size)
+        assert(Eval.aucExact(df, "score", "y").collect().head.getLong(2)
+          == expAuc, s"trial $trial auc")
+      }
+      // brute AP + PR walk
+      val sorted = rows.sortBy(r => (-r._1, r._2))
+      var cp = 0L; var apSum = 0L; var k = 0L
+      val curve = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sorted.foreach { case (_, _, y) =>
+        k += 1
+        if (y) { cp += 1; apSum += cp * 1000000L / k; curve += ((k, cp)) }
+      }
+      if (cp > 0) {
+        assert(Eval.apExact(df, "score", "y", "id")
+          .collect().head.getLong(2) == apSum / cp, s"trial $trial ap")
+        val got = Eval.prCurve(df, "score", "y", "id")
+          .orderBy($"rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == curve.toSeq, s"trial $trial curve")
+      }
+    }
+  }
+
   test("aucGuardOk: division form survives products that wrap Long") {
     assert(Eval.aucGuardOk(0L, 5L) && Eval.aucGuardOk(5L, 0L))
     assert(Eval.aucGuardOk(1000L, 1000L))
