@@ -1984,6 +1984,17 @@ object SparkEntry {
           col("vq"), col("z"))
         .orderBy(col("event_id"))),
 
+    // OBS: ROBUST (median/MAD) anomaly baseline — spike-resistant twin
+    // of the moment z-score (outliers can't inflate their own
+    // baseline; 50% breakdown point). z in MAD units; the half/quarter
+    // interpolation grid keeps the doubles bit-identical cross-engine.
+    "q_metric_robust" -> ((s, dir) =>
+      TimeSeries.robustZscoreBy(t(s, dir, "events"), Seq("event_type"),
+          floor(col("value") * 100).cast("long"), threshold = 3.5)
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("vq"), col("z"))
+        .orderBy(col("event_id"))),
+
     // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
     // products make quantized cosine bit-exact across engines AND
     // summation orders.
@@ -6332,6 +6343,21 @@ object SparkEntry {
     // Seasonal z-score: q_anomaly_zscore's exact moments, keyed by
     // (event_type, hour-of-day); the sqrt != 0 guard mirrors the Spark
     // side's zero-variance null.
+    "q_metric_robust" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, median(vq) AS med, mad(vq) AS mad
+        |  FROM q GROUP BY 1)
+        |SELECT event_id, event_type, vq,
+        |  (CAST(vq AS DOUBLE) - med) / mad AS z
+        |FROM q JOIN st USING (event_type)
+        |WHERE mad != 0
+        |  AND abs((CAST(vq AS DOUBLE) - med) / mad) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
     "q_metric_seasonal" ->
       """WITH q AS (
         |  SELECT event_id, event_type,

@@ -132,6 +132,41 @@ object TimeSeries {
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
   }
 
+  /** ROBUST (median/MAD) anomaly baseline — the spike-resistant twin of
+    * [[zscoreBy]]: a handful of outliers inflates mean AND stddev, so a
+    * moment-based z-score under-flags exactly when the metric is
+    * misbehaving; the median and the median absolute deviation have a
+    * 50% breakdown point. `z = (vq − median) / MAD`, in MAD UNITS —
+    * no 1.4826 normal-consistency factor, so the arithmetic stays on
+    * the exact half/quarter grid (integer-gridded inputs: medians
+    * interpolate to multiples of 0.5, MAD to 0.25 — all IEEE-exact and
+    * bit-identical across engines); a σ-unit threshold t translates to
+    * t·1.4826 MAD units. Zero MAD (≥ half the group identical) ⇒ z
+    * null, never an anomaly — the [[zscoreBy]] zero-variance contract.
+    *
+    * Shape: two keyed aggregates (median, then MAD over the deviations)
+    * + two broadcast joins of the tiny group-stats frames. Spark's
+    * exact percentile buffers per-group DISTINCT-value counts — bounded
+    * for gridded metrics (the quantize-first house convention), which
+    * is what keeps the exact median viable at 100 TB.
+    */
+  def robustZscoreBy(df: DataFrame, groupCols: Seq[String],
+                     quantized: Column, threshold: Double): DataFrame = {
+    val q = df.withColumn("vq", quantized.cast("long"))
+    val meds = q.groupBy(groupCols.map(col): _*)
+      .agg(median(col("vq")).as("med_"))
+    val dev = q.join(broadcast(meds), groupCols)
+      .withColumn("adev", abs(col("vq").cast("double") - col("med_")))
+    val mads = dev.groupBy(groupCols.map(col): _*)
+      .agg(median(col("adev")).as("mad_"))
+    val z = when(col("mad_") =!= 0.0,
+      (col("vq").cast("double") - col("med_")) / col("mad_"))
+    dev.join(broadcast(mads), groupCols)
+      .withColumn("z", z)
+      .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
+      .drop("adev")
+  }
+
   /** SEASONALITY-AWARE anomaly flags — the observability staple: a value
     * is anomalous relative to its OWN recurring time slot's baseline
     * ("is this normal for 3 am?"), not the global mean. The season key

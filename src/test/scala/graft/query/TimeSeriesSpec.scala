@@ -83,6 +83,45 @@ class TimeSeriesSpec extends SparkSuite {
     assert(math.abs(z - (100.0 - 19.0) / math.sqrt(810.0)) < 1e-12)
   }
 
+  test("robustZscoreBy: outliers cannot hide themselves; moment z " +
+      "under-flags on the same data") {
+    // 8 calm values {9,9,10,10,10,10,11,11} + spikes {200,210,190}:
+    // 11 values, median = 10, MAD = 1. The spikes inflate the MOMENT
+    // baseline (mean ~62.7, sd ~88) so their own moment-z is ~1.5-1.7
+    // — invisible at 2.0; the robust z is 180/190/200 MAD units.
+    val base = Seq(9.0, 9.0, 10.0, 10.0, 10.0, 10.0, 11.0, 11.0)
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) } ++
+      Seq((90L, "g", 200.0), (91L, "g", 210.0), (92L, "g", 190.0))
+    val df = rows.toDF("id", "grp", "v")
+    val robust = TimeSeries.robustZscoreBy(df, Seq("grp"),
+        floor(col("v")).cast("long"), threshold = 3.5)
+      .filter(col("is_anomaly")).collect()
+    assert(robust.map(_.getAs[Long]("id")).toSeq.sorted ==
+      Seq(90L, 91L, 92L))
+    // median 10, MAD 1 → z of the 200 = 190 exactly (MAD units)
+    val z200 = robust.find(_.getAs[Long]("id") == 90L).get.getAs[Double]("z")
+    assert(z200 == 190.0)
+    // the moment z-score on the same data flags NOTHING at 2.0 — the
+    // spikes inflate their own baseline (the robust motivation)
+    val moment = TimeSeries.zscoreBy(df, Seq("grp"),
+        floor(col("v")).cast("long"), threshold = 2.0)
+      .filter(col("is_anomaly")).count()
+    assert(moment == 0L)
+    // zero-MAD group: constant values → z null, never anomalous
+    val const = Seq((0L, "c", 5.0), (1L, "c", 5.0), (2L, "c", 5.0),
+      (3L, "c", 99.0)).toDF("id", "grp", "v")
+    val cz = TimeSeries.robustZscoreBy(const, Seq("grp"),
+      floor(col("v")).cast("long"), 3.5).collect()
+    assert(cz.forall(r => r.isNullAt(r.fieldIndex("z"))))
+    // even-count interpolation: {1,2} → median 1.5, adevs {.5,.5} →
+    // MAD .5 → z = ±1 exactly (the half/quarter-grid exactness)
+    val ev = Seq((0L, "e", 1.0), (1L, "e", 2.0)).toDF("id", "grp", "v")
+    val ezs = TimeSeries.robustZscoreBy(ev, Seq("grp"),
+        floor(col("v")).cast("long"), 9.9)
+      .collect().map(_.getAs[Double]("z")).sorted
+    assert(ezs.toSeq == Seq(-1.0, 1.0))
+  }
+
   test("seasonalZscore baselines per (group, hour-of-day)") {
     // hour 3 runs hot every day (100s); one 100 at hour 12 among 10s.
     // A global z-score would flag every hour-3 row; the seasonal one
