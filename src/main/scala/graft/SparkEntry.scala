@@ -1995,6 +1995,16 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("vq"), col("z"))
         .orderBy(col("event_id"))),
 
+    // OBS: the robust baseline PER (group, hour-of-day) — burst-proof
+    // seasonality ("normal for 3 am?" when 3 am history has bursts).
+    "q_metric_robust_seasonal" -> ((s, dir) =>
+      TimeSeries.seasonalRobustZscore(t(s, dir, "events"), "event_type",
+          "ts", floor(col("value") * 100).cast("long"), threshold = 3.5)
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("season"),
+          col("vq"), col("z"))
+        .orderBy(col("event_id"))),
+
     // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
     // products make quantized cosine bit-exact across engines AND
     // summation orders.
@@ -6343,6 +6353,22 @@ object SparkEntry {
     // Seasonal z-score: q_anomaly_zscore's exact moments, keyed by
     // (event_type, hour-of-day); the sqrt != 0 guard mirrors the Spark
     // side's zero-variance null.
+    "q_metric_robust_seasonal" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS season,
+        |    CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, season, median(vq) AS med, mad(vq) AS mad
+        |  FROM q GROUP BY 1, 2)
+        |SELECT event_id, event_type, season, vq,
+        |  (CAST(vq AS DOUBLE) - med) / mad AS z
+        |FROM q JOIN st USING (event_type, season)
+        |WHERE mad != 0
+        |  AND abs((CAST(vq AS DOUBLE) - med) / mad) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
     "q_metric_robust" ->
       """WITH q AS (
         |  SELECT event_id, event_type,

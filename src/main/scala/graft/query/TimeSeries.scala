@@ -181,4 +181,15 @@ object TimeSeries {
                      quantized: Column, threshold: Double): DataFrame =
     zscoreBy(df.withColumn("season", hour(col(tsCol)).cast("long")),
       Seq(groupCol, "season"), quantized, threshold)
+
+  /** [[robustZscoreBy]] against the per-(group, hour-of-day) baseline —
+    * [[seasonalZscore]]'s spike-resistant twin: "is this normal for
+    * 3 am?" where even the 3 am history itself may contain bursts.
+    * Same 24× stats rows, same two keyed aggregates.
+    */
+  def seasonalRobustZscore(df: DataFrame, groupCol: String, tsCol: String,
+                           quantized: Column,
+                           threshold: Double): DataFrame =
+    robustZscoreBy(df.withColumn("season", hour(col(tsCol)).cast("long")),
+      Seq(groupCol, "season"), quantized, threshold)
 }
