@@ -72,6 +72,49 @@ object Analytics {
     * agree to the last bit, unlike built-in `corr` whose running float
     * accumulation is order-dependent.
     */
+  /** DIMENSION SHIFT (contribution analysis): an incident window is
+    * anomalous — WHICH dimension value drove it? Compare the window's
+    * composition against the baseline (every row outside the window):
+    * per dimension value its window/baseline counts, micro shares,
+    * the share SHIFT (window − baseline, signed), and the share LIFT
+    * (window share / baseline share on the micro grid; null for values
+    * that only appear inside the window — the "new offender" case a
+    * ratio can't express). The triage readout behind "errors spiked at
+    * 14:00 — which service/region/tenant changed?".
+    *
+    * Shape: ONE pass — a single hash aggregate with conditional sums
+    * per dimension value (never two scans of the event stream), plus a
+    * broadcast of the 1-row totals frame (the corpus-constant
+    * single-row pattern, q_corpus_report precedent). Integer-exact:
+    * shares/lift as BIGINT micro divisions. Returns
+    * (dimCol, n_win, n_base, share_win_micro, share_base_micro,
+    * shift_micro, lift_micro).
+    */
+  def dimensionShift(df: DataFrame, dimCol: String, tsCol: String,
+                     winStart: String, winEnd: String): DataFrame = {
+    val inWin = col(tsCol) >= lit(winStart).cast("timestamp") &&
+      col(tsCol) < lit(winEnd).cast("timestamp")
+    val per = df.groupBy(col(dimCol))
+      .agg(sum(when(inWin, 1L).otherwise(0L)).as("n_win"),
+        sum(when(!inWin, 1L).otherwise(0L)).as("n_base"))
+    val tot = per.agg(coalesce(sum(col("n_win")), lit(0L)).as("t_win"),
+      coalesce(sum(col("n_base")), lit(0L)).as("t_base"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_win_micro",
+        when(col("t_win") > 0, expr("n_win * 1000000 div t_win"))
+          .otherwise(lit(0L)))
+      .withColumn("share_base_micro",
+        when(col("t_base") > 0, expr("n_base * 1000000 div t_base"))
+          .otherwise(lit(0L)))
+      .select(col(dimCol), col("n_win"), col("n_base"),
+        col("share_win_micro"), col("share_base_micro"),
+        (col("share_win_micro") - col("share_base_micro"))
+          .as("shift_micro"),
+        when(col("share_base_micro") > 0,
+          expr("share_win_micro * 1000000 div share_base_micro"))
+          .as("lift_micro"))
+  }
+
   def corrByGroup(df: DataFrame, groupCol: String, xQuantized: Column,
                   yQuantized: Column): DataFrame = {
     val q = df.select(col(groupCol), xQuantized.cast("long").as("x"),

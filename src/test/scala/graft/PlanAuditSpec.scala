@@ -67,7 +67,12 @@ class PlanAuditSpec extends SparkSuite {
     // temperature mixing: the 1-row normalizer frame (Σ√n, N) broadcasts
     // into the per-row multiplier — corpus-constant single-row pattern;
     // the per-source stats join is a keyed broadcast equi-join
-    "q_sample_temperature")
+    "q_sample_temperature",
+    // dimension shift: the 1-row window/baseline TOTALS frame broadcasts
+    // into the per-dimension share projection — corpus-constant
+    // single-row pattern (q_corpus_report precedent); the only other
+    // stage is one hash aggregate
+    "q_dim_shift")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

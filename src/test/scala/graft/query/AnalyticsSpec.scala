@@ -42,6 +42,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(out == Seq(3L, 1L, 1L)) // 3 viewed, 1 clicked after view, 1 bought
   }
 
+  test("dimensionShift: the spiking dimension carries the shift; a " +
+      "window-only value has null lift; shares sum to ~1e6") {
+    // baseline (Jan 1): a=2, b=2; window (Jan 2): a=6, b=2, c=2
+    val rows =
+      (1 to 2).map(i => ("a", ts(s"2024-01-01 0$i:00:00"))) ++
+      (1 to 2).map(i => ("b", ts(s"2024-01-01 1$i:00:00"))) ++
+      (1 to 6).map(i => ("a", ts(s"2024-01-02 0$i:00:00"))) ++
+      (1 to 2).map(i => ("b", ts(s"2024-01-02 1$i:00:00"))) ++
+      (1 to 2).map(i => ("c", ts(s"2024-01-02 2$i:00:00")))
+    val df = rows.toDF("dim", "ts")
+    val out = Analytics.dimensionShift(df, "dim", "ts",
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    // window totals 10, baseline totals 4
+    assert(out("a") == ((6L, 2L, 600000L, 500000L, 100000L, 1200000L)))
+    assert(out("b") == ((2L, 2L, 200000L, 500000L, -300000L, 400000L)))
+    assert(out("c") == ((2L, 0L, 200000L, 0L, 200000L, -1L))) // new offender
+    // micro shares sum to 1e6 (up to div flooring)
+    assert(out.values.map(_._3).sum == 1000000L)
+    // empty window: all shares 0, no division error
+    val ew = Analytics.dimensionShift(df, "dim", "ts",
+        "2030-01-01 00:00:00", "2030-01-02 00:00:00")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(ew.forall { case (nw, sw) => nw == 0L && sw == 0L })
+  }
+
   test("corrByGroup recovers perfect and inverse correlation exactly") {
     val df = (1 to 100).flatMap(i => Seq(
       ("pos", i.toLong, (2 * i + 3).toLong),  // y = 2x+3 → corr 1
