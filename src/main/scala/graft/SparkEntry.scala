@@ -1769,6 +1769,28 @@ object SparkEntry {
         .orderBy(col("win_start"))
     }),
 
+    // JOIN: INTERVAL × INTERVAL overlap — per-user daily activity spans
+    // against per-event-type daily spans ("which sessions overlapped
+    // the incident" shape): both sides explode onto a 6 h bucket grid,
+    // equi-join there, exact overlap filter inside buckets, each pair
+    // emitted once at its canonical bucket (no output distinct).
+    "q_join_interval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("user_id") < 40)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .select(col("user_id"), col("s"), col("e"))
+      val b = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .select(col("event_type"), col("s"), col("e"))
+      graft.operators.RangeJoin.intervalOverlap(a, "s", "e", b, "s", "e",
+          bucketMillis = 6L * 3600 * 1000)
+        .select(col("user_id"), col("s"), col("e"), col("i_event_type"),
+          col("i_s"), col("i_e"))
+        .orderBy(col("user_id"), col("s"), col("i_event_type"), col("i_s"))
+    }),
+
     // ML: asymmetric containment — doc A (near-)contained in doc B;
     // catches quotations/subsets symmetric Jaccard misses.
     "q_dedup_containment" -> ((s, dir) =>
@@ -5957,6 +5979,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_join_interval" ->
+      """WITH a AS (
+        |  SELECT user_id, min(ts) AS s, max(ts) AS e
+        |  FROM events WHERE user_id < 40
+        |  GROUP BY user_id, date_trunc('day', ts)),
+        |b AS (
+        |  SELECT event_type, min(ts) AS i_s, max(ts) AS i_e
+        |  FROM events
+        |  GROUP BY event_type, date_trunc('day', ts))
+        |SELECT user_id, s, e, event_type AS i_event_type, i_s, i_e
+        |FROM a JOIN b ON s <= i_e AND i_s <= e
+        |ORDER BY user_id, s, i_event_type, i_s""".stripMargin,
 
     "q_join_range" ->
       """WITH win AS (

@@ -46,4 +46,42 @@ object RangeJoin {
         col(ptCol) <= col(s"i_$endCol"))
       .drop("__bucket")
   }
+
+  /** INTERVAL × INTERVAL overlap join — "which sessions overlapped the
+    * incident", "which deploys overlapped the error burst": rows of `a`
+    * paired with rows of `b` whose `[start, end]` ranges overlap
+    * (inclusive endpoints: `aS ≤ bE ∧ bS ≤ aE`). `b`'s columns come
+    * back prefixed `i_`; `keyCols` adds equality keys to the bucket key.
+    *
+    * Same bucket-grid rewrite as [[pointInInterval]] (the raw theta
+    * join is a nested loop): both sides explode onto coarse buckets and
+    * equi-join there. A pair that shares several buckets would emit
+    * once per shared bucket — instead of a post-join `distinct`
+    * (a second shuffle of the OUTPUT), each pair is emitted only at its
+    * CANONICAL bucket `max(bucket(aS), bucket(bS))` — the first bucket
+    * both intervals occupy, which every overlapping pair shares exactly
+    * once by construction.
+    */
+  def intervalOverlap(a: DataFrame, aStartCol: String, aEndCol: String,
+                      b: DataFrame, bStartCol: String, bEndCol: String,
+                      bucketMillis: Long,
+                      keyCols: Seq[String] = Nil): DataFrame = {
+    val bv = b.columns.foldLeft(b)((d, c) =>
+      d.withColumnRenamed(c, s"i_$c"))
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_millis(c.cast("timestamp")) / lit(bucketMillis)).cast("long")
+    val aX = a.withColumn("__bucket_a",
+      explode(sequence(bucketOf(col(aStartCol)), bucketOf(col(aEndCol)))))
+    val bX = bv.withColumn("__bucket_b",
+      explode(sequence(bucketOf(col(s"i_$bStartCol")),
+        bucketOf(col(s"i_$bEndCol")))))
+    val cond = keyCols.map(k => col(k) === col(s"i_$k"))
+      .foldLeft(col("__bucket_a") === col("__bucket_b"))(_ && _)
+    aX.join(bX, cond)
+      .filter(col(aStartCol) <= col(s"i_$bEndCol") &&
+        col(s"i_$bStartCol") <= col(aEndCol))
+      .filter(col("__bucket_a") ===
+        greatest(bucketOf(col(aStartCol)), bucketOf(col(s"i_$bStartCol"))))
+      .drop("__bucket_a", "__bucket_b")
+  }
 }

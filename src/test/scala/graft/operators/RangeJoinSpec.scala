@@ -29,6 +29,43 @@ class RangeJoinSpec extends SparkSuite {
     assert(out == Set((1L, "w1"), (2L, "w1"), (4L, "w2")))
   }
 
+  test("intervalOverlap: inclusive endpoints, multi-bucket pairs emit " +
+      "ONCE, equals the naive theta join at any bucket size") {
+    val rnd = new scala.util.Random(17)
+    val base = 1704067200000L
+    def mk(n: Int, maxLen: Int, seedShift: Int) = (1 to n).map { i =>
+      val s = base + rnd.nextInt(86400000 - maxLen)
+      (i.toLong + seedShift, new Timestamp(s),
+        new Timestamp(s + 1000 + rnd.nextInt(maxLen)))
+    }
+    // long intervals (up to 6 h) spanning MANY 1-min buckets: the
+    // canonical-bucket rule is what keeps pairs single
+    val aIv = mk(60, 21600000, 0).toDF("aid", "s", "e")
+    val bIv = mk(40, 21600000, 1000).toDF("bid", "s", "e")
+    val naive = aIv.join(
+        bIv.toDF("bid2", "s2", "e2"),
+        col("s") <= col("e2") && col("s2") <= col("e"))
+      .select("aid", "bid2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    for (bucket <- Seq(60000L, 3600000L, 43200000L)) {
+      val fast = RangeJoin.intervalOverlap(aIv, "s", "e",
+          bIv, "s", "e", bucket)
+        .select(col("aid"), col("i_bid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(fast == naive, s"bucket $bucket") // sorted SEQ: dups fail
+    }
+    // touching endpoints overlap (inclusive)
+    val a1 = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("aid", "s", "e")
+    val b1 = Seq((2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
+        (3L, ts("2024-01-01 11:00:01"), ts("2024-01-01 12:00:00")))
+      .toDF("bid", "s", "e")
+    val touch = RangeJoin.intervalOverlap(a1, "s", "e", b1, "s", "e",
+        3600000L)
+      .select("i_bid").collect().map(_.getLong(0)).toSeq
+    assert(touch == Seq(2L))
+  }
+
   test("result equals the naive BETWEEN join regardless of bucket size") {
     val rnd = new scala.util.Random(11)
     val base = 1704067200000L
