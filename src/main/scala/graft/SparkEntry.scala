@@ -1574,6 +1574,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: PASSAGE TEXT — the top-10 docs' (by best passage) up-to-2
+    // non-overlapping passages materialized as text; only those 10 ids
+    // re-read from the corpus (literal IN-list pushdown).
+    "q_text_passages_text" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("psgtidx").toString
+      TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.passagesText(s, idx, t(s, dir, "documents"), "doc_id",
+          "text", Seq("stream", "join", "filter"), width = 8, p = 2,
+          k = 10)
+        .orderBy(col("doc_id"), col("passage_rk"))
+    }),
+
     // ML: PSEUDO-RELEVANCE FEEDBACK — top-5 answers of the 2-term query
     // donate their 2 most distinctive terms (tf·idf, originals
     // excluded); the expanded 4-term query re-searches. Recall recovery
@@ -2667,6 +2679,17 @@ object SparkEntry {
       search = (s, _, idx) =>
         TextIndex.snippetPassages(s, idx.asInstanceOf[String],
             Seq("stream", "join", "filter"), width = 8, p = 2)
+          .orderBy(col("doc_id"), col("passage_rk"))),
+    "q_text_passages_text" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("psgtidx").toString
+        TextIndex.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+        idx
+      },
+      search = (s, dir, idx) =>
+        TextIndex.passagesText(s, idx.asInstanceOf[String],
+            t(s, dir, "documents"), "doc_id", "text",
+            Seq("stream", "join", "filter"), width = 8, p = 2, k = 10)
           .orderBy(col("doc_id"), col("passage_rk"))),
     "q_text_fuzzy" -> Prepared(
       build = (s, dir) => {
@@ -5240,6 +5263,55 @@ object SparkEntry {
         |  CAST(n_terms AS BIGINT)
         |FROM p2
         |ORDER BY doc_id, passage_rk""".stripMargin,
+
+    // Passage text: the two greedy rounds + top-k doc selection + the
+    // token slice back out of the corpus
+    "q_text_passages_text" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+        |    FROM tk)
+        |  WHERE u.term IN ('stream', 'join', 'filter')),
+        |cov AS (
+        |  SELECT a.doc_id, a.pos AS win_start,
+        |    count(DISTINCT b.term) AS n_terms
+        |  FROM occ a JOIN occ b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+        |  GROUP BY 1, 2),
+        |p1 AS (
+        |  SELECT doc_id, n_terms, win_start FROM (
+        |    SELECT doc_id, n_terms, win_start, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY n_terms DESC, win_start ASC) AS rn
+        |    FROM cov)
+        |  WHERE rn = 1),
+        |p2 AS (
+        |  SELECT doc_id, n_terms, win_start FROM (
+        |    SELECT c.doc_id, c.n_terms, c.win_start, row_number() OVER (
+        |      PARTITION BY c.doc_id
+        |      ORDER BY c.n_terms DESC, c.win_start ASC) AS rn
+        |    FROM cov c JOIN p1 ON c.doc_id = p1.doc_id
+        |      AND abs(c.win_start - p1.win_start) >= 8)
+        |  WHERE rn = 1),
+        |psg AS (
+        |  SELECT doc_id, 1 AS passage_rk, win_start, n_terms FROM p1
+        |  UNION ALL
+        |  SELECT doc_id, 2, win_start, n_terms FROM p2),
+        |sel AS (
+        |  SELECT doc_id FROM p1
+        |  ORDER BY n_terms DESC, doc_id ASC LIMIT 10)
+        |SELECT g.doc_id, CAST(g.passage_rk AS BIGINT) AS passage_rk,
+        |  CAST(g.win_start AS BIGINT) AS win_start,
+        |  CAST(g.n_terms AS BIGINT) AS n_terms,
+        |  array_to_string(
+        |    tk.toks[CAST(g.win_start + 1 AS BIGINT):CAST(g.win_start + 8 AS BIGINT)],
+        |    ' ') AS snippet
+        |FROM psg g JOIN sel USING (doc_id) JOIN tk ON g.doc_id = tk.doc_id
+        |ORDER BY g.doc_id, g.passage_rk""".stripMargin,
 
     // Fuzzy terms: brute-force edit-distance over the vocabulary — the
     // oracle scans what the deletion-neighborhood join prunes.
