@@ -2038,6 +2038,15 @@ object SparkEntry {
           "2024-01-15 00:00:00", "2024-01-18 00:00:00")
         .orderBy(col("event_type"))),
 
+    // OBS: WEIGHTED dimension shift — share of the summed measure
+    // (value on the 10^-2 grid), not row counts: "which event_type
+    // drove the value-mass in the window".
+    "q_dim_shift_weighted" -> ((s, dir) =>
+      Analytics.dimensionShiftBy(t(s, dir, "events"), "event_type", "ts",
+          "2024-01-15 00:00:00", "2024-01-18 00:00:00",
+          floor(col("value") * 100).cast("long"))
+        .orderBy(col("event_type"))),
+
     // OBS: the robust baseline PER (group, hour-of-day) — burst-proof
     // seasonality ("normal for 3 am?" when 3 am history has bursts).
     "q_metric_robust_seasonal" -> ((s, dir) =>
@@ -6469,6 +6478,38 @@ object SparkEntry {
     // Seasonal z-score: q_anomaly_zscore's exact moments, keyed by
     // (event_type, hour-of-day); the sqrt != 0 guard mirrors the Spark
     // side's zero-variance null.
+    "q_dim_shift_weighted" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS w,
+        |    (ts >= TIMESTAMP '2024-01-15 00:00:00' AND
+        |     ts <  TIMESTAMP '2024-01-18 00:00:00') AS in_win
+        |  FROM events),
+        |per AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN in_win THEN w ELSE 0 END) AS n_win,
+        |    sum(CASE WHEN NOT in_win THEN w ELSE 0 END) AS n_base
+        |  FROM q GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_win) AS t_win, sum(n_base) AS t_base FROM per),
+        |sh AS (
+        |  SELECT event_type, n_win, n_base,
+        |    CASE WHEN t_win > 0 THEN n_win * 1000000 // t_win
+        |         ELSE 0 END AS share_win_micro,
+        |    CASE WHEN t_base > 0 THEN n_base * 1000000 // t_base
+        |         ELSE 0 END AS share_base_micro
+        |  FROM per, tot)
+        |SELECT event_type, CAST(n_win AS BIGINT) AS n_win,
+        |  CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(share_win_micro AS BIGINT) AS share_win_micro,
+        |  CAST(share_base_micro AS BIGINT) AS share_base_micro,
+        |  CAST(share_win_micro - share_base_micro AS BIGINT)
+        |    AS shift_micro,
+        |  CASE WHEN share_base_micro > 0 THEN
+        |    CAST(share_win_micro * 1000000 // share_base_micro AS BIGINT)
+        |  END AS lift_micro
+        |FROM sh ORDER BY event_type""".stripMargin,
+
     "q_dim_shift" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -91,12 +91,25 @@ object Analytics {
     * shift_micro, lift_micro).
     */
   def dimensionShift(df: DataFrame, dimCol: String, tsCol: String,
-                     winStart: String, winEnd: String): DataFrame = {
+                     winStart: String, winEnd: String): DataFrame =
+    dimensionShiftBy(df, dimCol, tsCol, winStart, winEnd, lit(1L))
+
+  /** [[dimensionShift]] over a MEASURE instead of row counts — "which
+    * service drove the latency-SECONDS", "which tenant drove the
+    * bytes": `weight` is a non-negative integer-gridded column
+    * (quantize-first convention; negative weights would make shares
+    * meaningless), summed per (dimension, window-side) in the same
+    * single pass. n_win/n_base are the summed weights.
+    */
+  def dimensionShiftBy(df: DataFrame, dimCol: String, tsCol: String,
+                       winStart: String, winEnd: String,
+                       weight: Column): DataFrame = {
     val inWin = col(tsCol) >= lit(winStart).cast("timestamp") &&
       col(tsCol) < lit(winEnd).cast("timestamp")
+    val w = weight.cast("long")
     val per = df.groupBy(col(dimCol))
-      .agg(sum(when(inWin, 1L).otherwise(0L)).as("n_win"),
-        sum(when(!inWin, 1L).otherwise(0L)).as("n_base"))
+      .agg(coalesce(sum(when(inWin, w).otherwise(0L)), lit(0L)).as("n_win"),
+        coalesce(sum(when(!inWin, w).otherwise(0L)), lit(0L)).as("n_base"))
     val tot = per.agg(coalesce(sum(col("n_win")), lit(0L)).as("t_win"),
       coalesce(sum(col("n_base")), lit(0L)).as("t_base"))
     per.crossJoin(broadcast(tot))

@@ -72,7 +72,7 @@ class PlanAuditSpec extends SparkSuite {
     // into the per-dimension share projection — corpus-constant
     // single-row pattern (q_corpus_report precedent); the only other
     // stage is one hash aggregate
-    "q_dim_shift")
+    "q_dim_shift", "q_dim_shift_weighted")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
