@@ -449,9 +449,13 @@ object TextIndex {
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
-    // duplicate-collapse BEFORE df + scoring: see collapseDupPostings
-    val all = collapseDupPostings(
-      IndexTombstones.applyDeletes(spark, path, posts, "doc_id"))
+    // This path needs NO collapseDupPostings exchange: the positional
+    // MAX-pivot below is duplicate-robust by construction (replayed
+    // rows carry identical tf/dl → identical contrib → max collapses
+    // them), and df counts DISTINCT docs, so the at-least-once
+    // crash-replay degradation cannot double-count here. The sum-based
+    // batch and boolean scorers DO collapse — see collapseDupPostings.
+    val all = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
     // FILTERED search (`where` over build-time `attrCols`): the predicate
     // restricts CANDIDATES, not scoring statistics — df/N/avgdl stay
     // corpus-global (the Lucene filtered-query convention: a filter
@@ -459,7 +463,8 @@ object TextIndex {
     // Evaluated on the pruned postings rows, pushable parts reach the
     // parquet scan.
     val live = where.map(all.filter).getOrElse(all)
-    val dfreq = all.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = all.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
     val avgdl = sumDl.toDouble / nDocs.toDouble
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
