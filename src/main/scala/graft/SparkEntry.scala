@@ -2038,6 +2038,17 @@ object SparkEntry {
           "2024-01-15 00:00:00", "2024-01-18 00:00:00")
         .orderBy(col("event_type"))),
 
+    // OBS: MULTI-DIM contribution panel — event_type AND a 16-way user
+    // bucket ranked in ONE data pass (melt + single aggregate + |dims|-
+    // row totals equi-join; no nested-loop shape).
+    "q_dim_shift_multi" -> ((s, dir) =>
+      Analytics.dimensionShiftMulti(
+          t(s, dir, "events")
+            .withColumn("user_bucket", pmod(col("user_id"), lit(16L))),
+          Seq("event_type", "user_bucket"), "ts",
+          "2024-01-15 00:00:00", "2024-01-18 00:00:00")
+        .orderBy(col("dim"), col("value"))),
+
     // OBS: WEIGHTED dimension shift — share of the summed measure
     // (value on the 10^-2 grid), not row counts: "which event_type
     // drove the value-mass in the window".
@@ -6478,6 +6489,43 @@ object SparkEntry {
     // Seasonal z-score: q_anomaly_zscore's exact moments, keyed by
     // (event_type, hour-of-day); the sqrt != 0 guard mirrors the Spark
     // side's zero-variance null.
+    "q_dim_shift_multi" ->
+      """WITH m AS (
+        |  SELECT 'event_type' AS dim, event_type AS value,
+        |    (ts >= TIMESTAMP '2024-01-15 00:00:00' AND
+        |     ts <  TIMESTAMP '2024-01-18 00:00:00') AS in_win
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_bucket', CAST(user_id % 16 AS VARCHAR),
+        |    (ts >= TIMESTAMP '2024-01-15 00:00:00' AND
+        |     ts <  TIMESTAMP '2024-01-18 00:00:00')
+        |  FROM events),
+        |per AS (
+        |  SELECT dim, value,
+        |    sum(CASE WHEN in_win THEN 1 ELSE 0 END) AS n_win,
+        |    sum(CASE WHEN NOT in_win THEN 1 ELSE 0 END) AS n_base
+        |  FROM m GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT dim, sum(n_win) AS t_win, sum(n_base) AS t_base
+        |  FROM per GROUP BY 1),
+        |sh AS (
+        |  SELECT per.dim, value, n_win, n_base,
+        |    CASE WHEN t_win > 0 THEN n_win * 1000000 // t_win
+        |         ELSE 0 END AS share_win_micro,
+        |    CASE WHEN t_base > 0 THEN n_base * 1000000 // t_base
+        |         ELSE 0 END AS share_base_micro
+        |  FROM per JOIN tot ON per.dim = tot.dim)
+        |SELECT dim, value, CAST(n_win AS BIGINT) AS n_win,
+        |  CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(share_win_micro AS BIGINT) AS share_win_micro,
+        |  CAST(share_base_micro AS BIGINT) AS share_base_micro,
+        |  CAST(share_win_micro - share_base_micro AS BIGINT)
+        |    AS shift_micro,
+        |  CASE WHEN share_base_micro > 0 THEN
+        |    CAST(share_win_micro * 1000000 // share_base_micro AS BIGINT)
+        |  END AS lift_micro
+        |FROM sh ORDER BY dim, value""".stripMargin,
+
     "q_dim_shift_weighted" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -128,6 +128,48 @@ object Analytics {
           .as("lift_micro"))
   }
 
+  /** [[dimensionShift]] across SEVERAL dimension columns in ONE data
+    * pass — the full triage panel ("rank service, region, tenant, …
+    * by how much their composition moved"): each row melts into
+    * |dims| (dim, value) rows (values stringified), one hash aggregate
+    * counts per (dim, value, side), and the per-DIM totals come back
+    * via a broadcast EQUI-join on the |dims|-row totals frame (no
+    * nested-loop shape at all). Shares within each dim sum to 10⁶ (up
+    * to flooring). Returns (dim, value, n_win, n_base,
+    * share_win_micro, share_base_micro, shift_micro, lift_micro).
+    */
+  def dimensionShiftMulti(df: DataFrame, dims: Seq[String], tsCol: String,
+                          winStart: String, winEnd: String): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension column")
+    val inWin = col(tsCol) >= lit(winStart).cast("timestamp") &&
+      col(tsCol) < lit(winEnd).cast("timestamp")
+    val melted = df.select(inWin.as("__w"),
+        explode(array(dims.map(d =>
+          struct(lit(d).as("dim"), col(d).cast("string").as("value"))): _*))
+          .as("__dv"))
+      .select(col("__dv.dim").as("dim"), col("__dv.value").as("value"),
+        col("__w"))
+    val per = melted.groupBy(col("dim"), col("value"))
+      .agg(sum(when(col("__w"), 1L).otherwise(0L)).as("n_win"),
+        sum(when(!col("__w"), 1L).otherwise(0L)).as("n_base"))
+    val tot = per.groupBy(col("dim"))
+      .agg(sum(col("n_win")).as("t_win"), sum(col("n_base")).as("t_base"))
+    per.join(broadcast(tot), Seq("dim"))
+      .withColumn("share_win_micro",
+        when(col("t_win") > 0, expr("n_win * 1000000 div t_win"))
+          .otherwise(lit(0L)))
+      .withColumn("share_base_micro",
+        when(col("t_base") > 0, expr("n_base * 1000000 div t_base"))
+          .otherwise(lit(0L)))
+      .select(col("dim"), col("value"), col("n_win"), col("n_base"),
+        col("share_win_micro"), col("share_base_micro"),
+        (col("share_win_micro") - col("share_base_micro"))
+          .as("shift_micro"),
+        when(col("share_base_micro") > 0,
+          expr("share_win_micro * 1000000 div share_base_micro"))
+          .as("lift_micro"))
+  }
+
   def corrByGroup(df: DataFrame, groupCol: String, xQuantized: Column,
                   yQuantized: Column): DataFrame = {
     val q = df.select(col(groupCol), xQuantized.cast("long").as("x"),

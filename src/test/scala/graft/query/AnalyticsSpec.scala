@@ -71,6 +71,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(ew.forall { case (nw, sw) => nw == 0L && sw == 0L })
   }
 
+  test("dimensionShiftMulti equals per-dim dimensionShift in one pass") {
+    val rows = Seq(
+      ("a", "x", ts("2024-01-01 01:00:00")),
+      ("a", "y", ts("2024-01-01 02:00:00")),
+      ("b", "x", ts("2024-01-02 01:00:00")),
+      ("a", "y", ts("2024-01-02 02:00:00")),
+      ("a", "y", ts("2024-01-02 03:00:00")))
+      .toDF("d1", "d2", "ts")
+    val multi = Analytics.dimensionShiftMulti(rows, Seq("d1", "d2"), "ts",
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    for (d <- Seq("d1", "d2")) {
+      val single = Analytics.dimensionShift(rows, d, "ts",
+          "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+        .collect().map(r => (d, r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+      single.foreach { case (k, v) => assert(multi(k) == v, s"$k") }
+    }
+    // per-dim shares sum to 1e6 up to one flooring unit per value
+    for (d <- Seq("d1", "d2")) {
+      val shares = multi.collect { case ((`d`, _), v) => v._3 }
+      assert(shares.sum <= 1000000L &&
+        shares.sum > 1000000L - shares.size)
+    }
+  }
+
   test("corrByGroup recovers perfect and inverse correlation exactly") {
     val df = (1 to 100).flatMap(i => Seq(
       ("pos", i.toLong, (2 * i + 3).toLong),  // y = 2x+3 → corr 1
