@@ -274,10 +274,18 @@ object Eval {
           if (p == 0)
             Seq.empty[(Long, Long, Long, Long)]
               .toDF("rk", "cum_pos", "precision_micro", "recall_micro")
+          // Eager localCheckpoint BEFORE the finally-unpersist: the
+          // curve must materialize while `rows` is still cached —
+          // rankWalk's per-bucket bases were collected from THIS
+          // evaluation, and a lazy return re-evaluated after unpersist
+          // would recompute the source (and, for a non-deterministic
+          // input, disagree with those driver-collected bases). Output
+          // is |positives| rows — an eval slice, checkpoint-sized.
           else ranked.filter(col("y"))
             .select(col("rk"), col("cp").as("cum_pos"),
               expr("cp * 1000000 div rk").as("precision_micro"),
               expr(s"cp * 1000000 div $p").as("recall_micro"))
+            .localCheckpoint(true)
       }
     } finally { rows.unpersist(); () }
   }
@@ -374,7 +382,14 @@ object Eval {
   def retrievalMetrics(ranking: DataFrame, relevant: DataFrame): DataFrame = {
     val rel = relevant.select(col("q_id"), col("doc_id")).distinct()
     val nRel = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
-    val hits = ranking.select(col("q_id"), col("doc_id"), col("rk"))
+    // Dedupe the RANKING side too (best = min rank per (q_id, doc_id)):
+    // a duplicated ranked row would otherwise inflate `hits` via
+    // count(*) — recall above 10⁶, hits above n_rel. The aggregate
+    // shares the join's (q_id, doc_id) partitioning, so it costs no
+    // extra exchange.
+    val rk1 = ranking.select(col("q_id"), col("doc_id"), col("rk"))
+      .groupBy(col("q_id"), col("doc_id")).agg(min(col("rk")).as("rk"))
+    val hits = rk1
       .join(rel, Seq("q_id", "doc_id"))
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("hits"), min(col("rk")).as("first_rank"))

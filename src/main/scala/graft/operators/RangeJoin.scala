@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Per-interval bucket cap: one pathological interval (a year at a
+    * 1-minute bucket ≈ 525k buckets) would otherwise explode into that
+    * many rows PER INPUT ROW — and past Spark's max array length,
+    * `sequence()` throws an opaque error mid-job. Capped loudly at the
+    * row that violates it, naming the fix (widen `bucketMillis`).
+    * 2¹⁶ buckets ≈ a year of intervals at 10-minute buckets — far past
+    * the "pick bucketMillis near the median interval length" contract.
+    */
+  val MaxSpanBuckets: Long = 65536L
+
+  /** Bucket sequence for `[s, e]` with the row-level guards: a reversed
+    * interval (e < s) raises instead of silently emitting a descending
+    * sequence, and a span over [[MaxSpanBuckets]] buckets raises
+    * instead of exploding (both `raise_error`, evaluated per row on
+    * executors — the loud-failure house convention).
+    */
+  private def guardedBuckets(bs: org.apache.spark.sql.Column,
+                             be: org.apache.spark.sql.Column,
+                             op: String): org.apache.spark.sql.Column =
+    sequence(bs,
+      when(be < bs, raise_error(lit(s"$op: reversed interval " +
+        "(end < start) — fix or filter such rows")).cast("long"))
+        .when(be - bs > lit(MaxSpanBuckets), raise_error(lit(s"$op: " +
+          s"interval spans more than $MaxSpanBuckets buckets — widen " +
+          "bucketMillis toward the median interval length")).cast("long"))
+        .otherwise(be))
+
   /** Join `points` (timestamp `ptCol`) to `intervals` (`startCol` ..
     * `endCol`, inclusive). Interval columns come back prefixed `i_`.
     * `keyCols` optionally adds equality keys (series id) to the bucket
@@ -31,13 +58,14 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketMillis: Long,
                       keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketMillis > 0, "bucketMillis must be positive")
     val iv = intervals.columns.foldLeft(intervals)((d, c) =>
       d.withColumnRenamed(c, s"i_$c"))
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(unix_millis(c.cast("timestamp")) / lit(bucketMillis)).cast("long")
     val ivExploded = iv.withColumn("__bucket",
-      explode(sequence(bucketOf(col(s"i_$startCol")),
-        bucketOf(col(s"i_$endCol")))))
+      explode(guardedBuckets(bucketOf(col(s"i_$startCol")),
+        bucketOf(col(s"i_$endCol")), "pointInInterval")))
     val pts = points.withColumn("__bucket", bucketOf(col(ptCol)))
     val cond = keyCols.map(k => col(k) === col(s"i_$k"))
       .foldLeft(pts("__bucket") === ivExploded("__bucket"))(_ && _)
@@ -66,15 +94,17 @@ object RangeJoin {
                       b: DataFrame, bStartCol: String, bEndCol: String,
                       bucketMillis: Long,
                       keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketMillis > 0, "bucketMillis must be positive")
     val bv = b.columns.foldLeft(b)((d, c) =>
       d.withColumnRenamed(c, s"i_$c"))
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(unix_millis(c.cast("timestamp")) / lit(bucketMillis)).cast("long")
     val aX = a.withColumn("__bucket_a",
-      explode(sequence(bucketOf(col(aStartCol)), bucketOf(col(aEndCol)))))
+      explode(guardedBuckets(bucketOf(col(aStartCol)),
+        bucketOf(col(aEndCol)), "intervalOverlap")))
     val bX = bv.withColumn("__bucket_b",
-      explode(sequence(bucketOf(col(s"i_$bStartCol")),
-        bucketOf(col(s"i_$bEndCol")))))
+      explode(guardedBuckets(bucketOf(col(s"i_$bStartCol")),
+        bucketOf(col(s"i_$bEndCol")), "intervalOverlap")))
     val cond = keyCols.map(k => col(k) === col(s"i_$k"))
       .foldLeft(col("__bucket_a") === col("__bucket_b"))(_ && _)
     aX.join(bX, cond)

@@ -94,6 +94,22 @@ object Analytics {
                      winStart: String, winEnd: String): DataFrame =
     dimensionShiftBy(df, dimCol, tsCol, winStart, winEnd, lit(1L))
 
+  /** `floor(10⁶·n/t)` share with a DIVISION-FORM overflow guard
+    * ([[graft.ml.Eval]]'s aucGuardOk precedent — the product form
+    * itself wraps and can then PASS): a summed weight above
+    * Long.MaxValue/10⁶ (~9.2·10¹², reachable for byte-weighted
+    * measures at 100 TB) raises loudly instead of wrapping into
+    * garbage shares. 0 when the side's total is empty.
+    */
+  private def shareMicro(nCol: String, tCol: String): Column =
+    when(col(tCol) > 0,
+      when(col(nCol) <= lit(Long.MaxValue / 1000000L),
+        expr(s"$nCol * 1000000 div $tCol"))
+        .otherwise(expr("raise_error('dimension shift: summed measure " +
+          "overflows the exact micro grid — rescale the weight " +
+          "(quantize coarser) or narrow the slice')").cast("long")))
+      .otherwise(lit(0L))
+
   /** [[dimensionShift]] over a MEASURE instead of row counts — "which
     * service drove the latency-SECONDS", "which tenant drove the
     * bytes": `weight` is a non-negative integer-gridded column
@@ -107,18 +123,23 @@ object Analytics {
     val inWin = col(tsCol) >= lit(winStart).cast("timestamp") &&
       col(tsCol) < lit(winEnd).cast("timestamp")
     val w = weight.cast("long")
+    // min(w) rides the same single aggregate pass: a negative weight
+    // makes shares meaningless (documented contract), so it raises
+    // loudly instead of flowing through as a silently-negative share.
     val per = df.groupBy(col(dimCol))
       .agg(coalesce(sum(when(inWin, w).otherwise(0L)), lit(0L)).as("n_win"),
-        coalesce(sum(when(!inWin, w).otherwise(0L)), lit(0L)).as("n_base"))
+        coalesce(sum(when(!inWin, w).otherwise(0L)), lit(0L)).as("n_base"),
+        min(w).as("__min_w"))
     val tot = per.agg(coalesce(sum(col("n_win")), lit(0L)).as("t_win"),
       coalesce(sum(col("n_base")), lit(0L)).as("t_base"))
     per.crossJoin(broadcast(tot))
       .withColumn("share_win_micro",
-        when(col("t_win") > 0, expr("n_win * 1000000 div t_win"))
-          .otherwise(lit(0L)))
+        when(col("__min_w") < 0, expr("raise_error('dimensionShiftBy: " +
+          "negative weight — the measure must be non-negative on the " +
+          "integer grid (shares are meaningless otherwise)')").cast("long"))
+          .otherwise(shareMicro("n_win", "t_win")))
       .withColumn("share_base_micro",
-        when(col("t_base") > 0, expr("n_base * 1000000 div t_base"))
-          .otherwise(lit(0L)))
+        shareMicro("n_base", "t_base"))
       .select(col(dimCol), col("n_win"), col("n_base"),
         col("share_win_micro"), col("share_base_micro"),
         (col("share_win_micro") - col("share_base_micro"))
@@ -155,12 +176,8 @@ object Analytics {
     val tot = per.groupBy(col("dim"))
       .agg(sum(col("n_win")).as("t_win"), sum(col("n_base")).as("t_base"))
     per.join(broadcast(tot), Seq("dim"))
-      .withColumn("share_win_micro",
-        when(col("t_win") > 0, expr("n_win * 1000000 div t_win"))
-          .otherwise(lit(0L)))
-      .withColumn("share_base_micro",
-        when(col("t_base") > 0, expr("n_base * 1000000 div t_base"))
-          .otherwise(lit(0L)))
+      .withColumn("share_win_micro", shareMicro("n_win", "t_win"))
+      .withColumn("share_base_micro", shareMicro("n_base", "t_base"))
       .select(col("dim"), col("value"), col("n_win"), col("n_base"),
         col("share_win_micro"), col("share_base_micro"),
         (col("share_win_micro") - col("share_base_micro"))

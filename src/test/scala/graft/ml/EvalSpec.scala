@@ -158,6 +158,22 @@ class EvalSpec extends SparkSuite {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("retrievalMetrics: duplicated ranked rows do NOT inflate hits " +
+      "or push recall past 1e6 (best rank wins)") {
+    val ranking = Seq(
+      (0L, 101L, 2L), (0L, 101L, 5L), (0L, 101L, 2L), // same doc 3×
+      (0L, 102L, 3L))
+      .toDF("q_id", "doc_id", "rk")
+    val relevant = Seq((0L, 101L), (0L, 102L)).toDF("q_id", "doc_id")
+    val out = Eval.retrievalMetrics(ranking, relevant).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L) // n_rel
+    assert(r.getLong(2) == 2L) // hits == distinct relevant ranked, not 4
+    assert(r.getLong(3) == 2L) // first_rank = best duplicate
+    assert(r.getLong(5) == 1000000L) // recall capped by construction
+  }
+
   test("prCurve matches the brute-force walk and integrates to apExact") {
     val rows = (0 until 300).map { i =>
       val s = Seq(-9000L, -1L, 4L, 4L, 777L)(i % 5) // dup bucket values

@@ -11,6 +11,12 @@ class RangeJoinSpec extends SparkSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  // raise_error surfaces wrapped in SparkException layers in local
+  // mode — assert against the whole cause chain
+  private def fullMsg(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+
   test("pointInInterval matches exactly the contained points") {
     val pts = Seq(
       (1L, ts("2024-01-01 10:30:00")),
@@ -64,6 +70,41 @@ class RangeJoinSpec extends SparkSuite {
         3600000L)
       .select("i_bid").collect().map(_.getLong(0)).toSeq
     assert(touch == Seq(2L))
+  }
+
+  test("guards: non-positive bucket, reversed interval, span explosion " +
+      "all fail LOUDLY (not a silent wrong or exploding plan)") {
+    val a = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("aid", "s", "e")
+    val pts = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("id", "ts")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, "s", "e", a, "s", "e", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "ts", a, "s", "e", -1000L)
+    }
+    // reversed interval (end < start): loud per-row raise, not a
+    // silently descending bucket sequence
+    val rev = Seq((9L, ts("2024-01-01 12:00:00"), ts("2024-01-01 10:00:00")))
+      .toDF("bid", "s", "e")
+    val eRev = intercept[Exception] {
+      RangeJoin.intervalOverlap(a, "s", "e", rev, "s", "e", 60000L).collect()
+    }
+    assert(fullMsg(eRev).contains("reversed interval"))
+    // a year-long interval at a 1-minute bucket (~525k buckets/row):
+    // raises naming the fix instead of exploding / hitting the array cap
+    val yearLong = Seq((8L, ts("2024-01-01 00:00:00"),
+        ts("2024-12-31 00:00:00"))).toDF("bid", "s", "e")
+    val eSpan = intercept[Exception] {
+      RangeJoin.intervalOverlap(a, "s", "e", yearLong, "s", "e", 60000L)
+        .collect()
+    }
+    assert(fullMsg(eSpan).contains("widen bucketMillis"))
+    val eSpanPt = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "ts", yearLong, "s", "e", 60000L)
+        .collect()
+    }
+    assert(fullMsg(eSpanPt).contains("widen bucketMillis"))
   }
 
   test("result equals the naive BETWEEN join regardless of bucket size") {

@@ -11,6 +11,10 @@ class AnalyticsSpec extends SparkSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  private def fullMsg(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+
   private lazy val events = Seq(
     // u1 completes view -> click -> purchase in order
     (1L, "view", ts("2024-01-01 10:00:00")),
@@ -98,6 +102,29 @@ class AnalyticsSpec extends SparkSuite {
       assert(shares.sum <= 1000000L &&
         shares.sum > 1000000L - shares.size)
     }
+  }
+
+  test("dimensionShiftBy guards: negative weight and micro-grid " +
+      "overflow both raise LOUDLY instead of emitting garbage shares") {
+    val df = Seq(
+      ("a", ts("2024-01-01 01:00:00"), -5L),
+      ("b", ts("2024-01-02 01:00:00"), 3L)).toDF("dim", "ts", "w")
+    val eNeg = intercept[Exception] {
+      Analytics.dimensionShiftBy(df, "dim", "ts",
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00", col("w")).collect()
+    }
+    assert(fullMsg(eNeg).contains("negative weight"))
+    // summed weight past Long.MaxValue/1e6 (~9.2e12): the micro
+    // multiply would wrap — division-form guard raises instead
+    val big = Seq(
+      ("a", ts("2024-01-02 01:00:00"), 5000000000000L),
+      ("a", ts("2024-01-02 02:00:00"), 5000000000000L),
+      ("b", ts("2024-01-01 01:00:00"), 1L)).toDF("dim", "ts", "w")
+    val eOvf = intercept[Exception] {
+      Analytics.dimensionShiftBy(big, "dim", "ts",
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00", col("w")).collect()
+    }
+    assert(fullMsg(eOvf).contains("overflows the exact micro grid"))
   }
 
   test("corrByGroup recovers perfect and inverse correlation exactly") {
