@@ -1966,6 +1966,31 @@ object SparkEntry {
       Eval.retrievalSummary(Eval.retrievalMetrics(ranked, relevant))
     }),
 
+    // ML: nDCG@k over GRADED judgments — the trec_eval graded-relevance
+    // metric (en docs grade 2, others grade 1): per-rank discounted
+    // gains grid to micro BEFORE the order-independent BIGINT sum
+    // ("ln on the 10⁻⁶ grid", hardcoded ln2), normalized per query by
+    // the ideal ordering of its own judgments.
+    "q_eval_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
+          Seq(col("tf").desc, col("doc_id").asc), 10)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val judgments = cand.select(col("q_id"), col("doc_id"),
+        when(col("lang") === "en", 2L).otherwise(1L).as("grade"))
+      Eval.ndcgAtK(ranked, judgments, 10).orderBy(col("q_id"))
+    }),
+
     // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
     // PR twin of the per-group AUC): group-partitioned rank walk,
     // per-positive prec@k on the micro grid, executor-side division.
@@ -6386,6 +6411,53 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000
         |    // count(*) AS BIGINT) AS success_rate_micro
         |FROM m""".stripMargin,
+
+    "q_eval_ndcg" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, lang, tf FROM tf JOIN q ON term = qterm),
+        |ranked AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, doc_id ASC) AS rk
+        |    FROM cand)
+        |  WHERE rk <= 10),
+        |jud AS (
+        |  SELECT q_id, doc_id,
+        |    CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS g
+        |  FROM cand),
+        |dcg AS (
+        |  SELECT j.q_id, sum(CAST(floor(((1000000.0 * CAST(g AS DOUBLE))
+        |      * 0.6931471805599453) / ln(CAST(rk AS DOUBLE) + 1.0))
+        |    AS BIGINT)) AS dcg_micro
+        |  FROM ranked r JOIN jud j USING (q_id, doc_id) GROUP BY 1),
+        |ideal AS (
+        |  SELECT q_id, g, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY g DESC, doc_id ASC) AS irk
+        |  FROM jud WHERE g > 0),
+        |idcg AS (
+        |  SELECT q_id, sum(CAST(floor(((1000000.0 * CAST(g AS DOUBLE))
+        |      * 0.6931471805599453) / ln(CAST(irk AS DOUBLE) + 1.0))
+        |    AS BIGINT)) AS idcg_micro
+        |  FROM ideal WHERE irk <= 10 GROUP BY 1)
+        |SELECT jq.q_id,
+        |  CAST(COALESCE(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+        |  CAST(COALESCE(idcg_micro, 0) AS BIGINT) AS idcg_micro,
+        |  CASE WHEN COALESCE(idcg_micro, 0) > 0 THEN
+        |    CAST(COALESCE(dcg_micro, 0) * 1000000 // idcg_micro AS BIGINT)
+        |  END AS ndcg_micro
+        |FROM (SELECT DISTINCT q_id FROM jud) jq
+        |LEFT JOIN dcg USING (q_id) LEFT JOIN idcg USING (q_id)
+        |ORDER BY jq.q_id""".stripMargin,
 
     "q_eval_ap_by_source" ->
       """WITH d AS (

@@ -174,6 +174,54 @@ class EvalSpec extends SparkSuite {
     assert(r.getLong(5) == 1000000L) // recall capped by construction
   }
 
+  test("ndcgAtK: matches a brute-force double-precision nDCG, perfect " +
+      "ranking scores 1e6, conventions for unjudged/unranked/all-zero") {
+    // q0: perfect — grades 3,2,1 ranked in that order
+    // q1: inverted — grade-1 doc first, grade-3 doc last (+ unjudged doc)
+    // q2: judged (grade 2) but never ranked -> dcg 0, ndcg 0
+    // q3: all grades zero -> idcg 0 -> ndcg null
+    val ranking = Seq(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 21L, 1L), (1L, 99L, 2L), (1L, 23L, 3L),
+      (3L, 40L, 1L))
+      .toDF("q_id", "doc_id", "rk")
+    val judgments = Seq(
+      (0L, 10L, 3L), (0L, 11L, 2L), (0L, 12L, 1L),
+      (1L, 23L, 3L), (1L, 21L, 1L),
+      (2L, 30L, 2L),
+      (3L, 40L, 0L))
+      .toDF("q_id", "doc_id", "grade")
+    val out = Eval.ndcgAtK(ranking, judgments, 10)
+      .orderBy($"q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    def term(g: Long, rk: Long): Long =
+      math.floor(1000000.0 * g * 0.6931471805599453 /
+        math.log(rk + 1.0)).toLong
+    val dcg0 = term(3, 1) + term(2, 2) + term(1, 3)
+    val dcg1 = term(1, 1) + term(3, 3)
+    val idcg1 = term(3, 1) + term(1, 2)
+    assert(out == Seq(
+      (0L, dcg0, dcg0, 1000000L),
+      (1L, dcg1, idcg1, dcg1 * 1000000L / idcg1),
+      (2L, 0L, term(2, 1), 0L),
+      (3L, 0L, 0L, -1L)))
+    // inverted < perfect
+    assert(dcg1 * 1000000L / idcg1 < 1000000L)
+    // k cuts BOTH the ranking and the ideal: at k=1, q1 scores the
+    // grade-1 doc against an ideal of the grade-3 doc
+    val k1 = Eval.ndcgAtK(ranking, judgments, 1)
+      .filter($"q_id" === 1L).collect().head
+    assert(k1.getLong(1) == term(1, 1) && k1.getLong(2) == term(3, 1))
+    // duplicate ranked rows / duplicate judgments don't change anything
+    val dup = Eval.ndcgAtK(
+      ranking.unionAll(ranking), judgments.unionAll(judgments), 10)
+      .orderBy($"q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(dup == out)
+  }
+
   test("prCurve matches the brute-force walk and integrates to apExact") {
     val rows = (0 until 300).map { i =>
       val s = Seq(-9000L, -1L, 4L, 4L, 777L)(i % 5) // dup bucket values
