@@ -1285,11 +1285,8 @@ object SparkEntry {
     // the N-leg union+hash-agg RRF (one keyed shuffle regardless of N).
     "q_hybrid_prior" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val prior = docs
-        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
-          .cast("long"))
+      val prior = graft.operators.TopK.rankedLimit(docs,
+          Seq(col("n_chars").desc, col("doc_id").asc), 20)
         .select(col("doc_id"), col("rk"))
       graft.ml.Hybrid.hybridSearchWithPrior(docs, "doc_id", "text",
           t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1310,11 +1307,8 @@ object SparkEntry {
       TextIndex.saveTextIndex(docs, "doc_id", "text", tIdx)
       Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
         "embedding", numCentroids = 8, aIdx)
-      val prior = docs
-        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
-          .cast("long"))
+      val prior = graft.operators.TopK.rankedLimit(docs,
+          Seq(col("n_chars").desc, col("doc_id").asc), 20)
         .select(col("doc_id"), col("rk"))
       graft.ml.Hybrid.hybridSearchPersistedWithPrior(s, tIdx, aIdx,
           Seq("stream", "join", "filter"),
@@ -2972,11 +2966,8 @@ object SparkEntry {
       },
       search = (s, dir, art) => {
         val (tIdx, aIdx) = art.asInstanceOf[(String, String)]
-        val prior = t(s, dir, "documents")
-          .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("n_chars").desc, col("doc_id").asc))
-            .cast("long"))
+        val prior = graft.operators.TopK.rankedLimit(t(s, dir, "documents"),
+            Seq(col("n_chars").desc, col("doc_id").asc), 20)
           .select(col("doc_id"), col("rk"))
         graft.ml.Hybrid.hybridSearchPersistedWithPrior(s, tIdx, aIdx,
             Seq("stream", "join", "filter"),

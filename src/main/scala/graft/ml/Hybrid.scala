@@ -57,10 +57,10 @@ object Hybrid {
           .as(s"leg${i}_rk"))
     val fused = tagged.groupBy(col("_id"))
       .agg(aggCols.head, aggCols.tail: _*)
-    val top = fused.orderBy(col("rrf_micro").desc, col("_id").asc).limit(k)
-    // ≤ k rows — the bounded-input unpartitioned window (house convention)
-    top.withColumn("rk", row_number().over(
-        Window.orderBy(col("rrf_micro").desc, col("_id").asc)).cast("long"))
+    // window-free ranked top-k (quiet form of the bounded-input
+    // unpartitioned window — see TopK.rankedLimit)
+    graft.operators.TopK.rankedLimit(fused,
+        Seq(col("rrf_micro").desc, col("_id").asc), k)
       .withColumnRenamed("_id", idCol)
   }
 
@@ -84,10 +84,8 @@ object Hybrid {
   private def lexRanks(docs: DataFrame, idCol: String, textCol: String,
                        queryTerms: Seq[String], kLex: Int): DataFrame = {
     val scored = TextRank.bm25Scores(docs, idCol, textCol, queryTerms)
-    scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(kLex)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
-        .cast("long"))
+    graft.operators.TopK.rankedLimit(scored,
+        Seq(col("score_micro").desc, col("doc_id").asc), kLex)
       .select(col("doc_id"), col("rk"))
   }
 

@@ -323,13 +323,17 @@ object TextAnalysis {
     val top = counts
       .orderBy(col("n_occ").desc, col("token").asc)
       .limit(topK)
+    // partition the ≤ topK-row windows by the constant-valued __total
+    // attribute: semantically global (every row shares the value) but a
+    // non-foldable partition key, so Spark 4's EliminateWindowPartitions
+    // can't strip it back to the warning-spraying empty spec
+    val w = Window.partitionBy(col("__total"))
+      .orderBy(col("n_occ").desc, col("token").asc)
     top.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_occ").desc, col("token").asc)))
+      .withColumn("rank", row_number().over(w))
       .withColumn("cum_frac",
         (sum(col("n_occ")).over(
-          Window.orderBy(col("n_occ").desc, col("token").asc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double") / col("__total")))
       .select(col("rank").cast("long").as("rank"), col("token"),
         col("n_occ"), col("cum_frac"))

@@ -497,13 +497,10 @@ object TextIndex {
       case Some((s0, d0)) => scored.filter(col("score_micro") < s0 ||
         (col("score_micro") === s0 && col("doc_id") > d0))
     }
-    val top = paged
-      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
-    // rank over the ≤ k survivors only — bounded input, the one place an
-    // unpartitioned window is fine (house convention, Alerts.scala:204)
-    top.withColumn("rk", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
-      .cast("long"))
+    // ranked top-k without the bounded unpartitioned window
+    // (TopK.rankedLimit — same rows/ranks, no WindowExec log spray)
+    graft.operators.TopK.rankedLimit(paged,
+      Seq(col("score_micro").desc, col("doc_id").asc), k)
   }
 
   /** Batched BM25 against the persisted index: score a whole QUERY SET —
@@ -1288,11 +1285,8 @@ object TextIndex {
       else kept0.join(
         phraseSearchPersisted(spark, path, mustPhrase).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    val top = kept
-      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
-    top.withColumn("rk", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
-      .cast("long"))
+    graft.operators.TopK.rankedLimit(kept,
+      Seq(col("score_micro").desc, col("doc_id").asc), k)
   }
 
   /** NUMERIC RANGE FACET — the histogram panel over a build-time
@@ -1615,13 +1609,10 @@ object TextIndex {
       .orderBy(col("tfidf_micro").desc, col("term").asc)
       .limit(mTerms)
       .select(lit(0L).as("q_id"), col("term"))
-    bm25SearchPersistedBatch(spark, path, top, kLex = k + 1)
-      .filter(col("doc_id") =!= docId)
-      .drop("q_id", "rk")
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-      .limit(k)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
-        .cast("long"))
+    graft.operators.TopK.rankedLimit(
+      bm25SearchPersistedBatch(spark, path, top, kLex = k + 1)
+        .filter(col("doc_id") =!= docId)
+        .drop("q_id", "rk"),
+      Seq(col("score_micro").desc, col("doc_id").asc), k)
   }
 }

@@ -46,4 +46,27 @@ object TopK {
       TopKPerGroup(groupPlan.groupingExpressions, sortPlan.order, k,
         sortPlan.child))
   }
+
+  /** GLOBAL top-k with 1-based ranks, WINDOW-FREE: `orderBy(order)
+    * .limit(k)` plans as a distributed TakeOrdered (each partition
+    * keeps k, one bounded single-partition merge), and the rank is the
+    * row's ordinal in that single sorted partition
+    * (`monotonically_increasing_id()` counts 0..n−1 in partition order;
+    * `coalesce(1)` pins partition id 0 so the ids ARE the ordinals).
+    * Replaces the bounded-input unpartitioned `row_number` window —
+    * same rows, same ranks (include a tiebreak in `order` for
+    * determinism), but no `WindowExec: No Partition Defined` log spray
+    * and one exchange fewer. Spark 4's `EliminateWindowPartitions`
+    * folds a constant `partitionBy` right back to the empty spec, so
+    * the window shape has no quiet form — this is the quiet form.
+    * `rankCol` is LongType.
+    */
+  def rankedLimit(df: DataFrame, order: Seq[Column], k: Int,
+                  rankCol: String = "rk"): DataFrame = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    require(k > 0, "k must be positive")
+    df.orderBy(order: _*).limit(k)
+      .coalesce(1).sortWithinPartitions(order: _*)
+      .withColumn(rankCol, monotonically_increasing_id() + 1L)
+  }
 }
