@@ -116,21 +116,39 @@ object TextIndex {
     * deletion-exact.
     */
   def readStats(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val (n, s, b, _) = readStatsFull(spark, path)
+    (n, s, b)
+  }
+
+  /** [[readStats]] plus the MAYBE-DUP flag (4th stats field): false iff
+    * every live posting is provably unique per (doc_id, term) — set by
+    * fresh builds, cleared-by-repair compactions, and preserved by
+    * merges of clean inputs; any append flips it (an at-least-once
+    * replay of that append can't be ruled out afterwards). Sum-based
+    * scorers skip the [[collapseDupPostings]] exchange when false.
+    * Indexes written before the flag existed read as true (collapse —
+    * the always-correct side).
+    */
+  def readStatsFull(spark: SparkSession,
+                    path: String): (Long, Long, Int, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(path, StatsFile)
     val line = IndexTombstones.readSmallFile(fsOf(spark, path), p)
       .getOrElse(throw new IllegalStateException(
         s"missing $StatsFile under $path — not a saveTextIndex layout " +
           "(or an interrupted build); rebuild with saveTextIndex"))
     line.split("\\s+") match {
-      case Array(n, s, b) => (n.toLong, s.toLong, b.toInt)
+      case Array(n, s, b) => (n.toLong, s.toLong, b.toInt, true)
+      case Array(n, s, b, d) => (n.toLong, s.toLong, b.toInt, d == "1")
       case _ => throw new IllegalStateException(
         s"malformed $StatsFile under $path: '$line'; rebuild with saveTextIndex")
     }
   }
 
   private def writeStats(spark: SparkSession, path: String,
-                         nDocs: Long, sumDl: Long, numBuckets: Int): Unit =
-    atomicWrite(spark, path, StatsFile, s"$nDocs $sumDl $numBuckets")
+                         nDocs: Long, sumDl: Long, numBuckets: Int,
+                         maybeDup: Boolean): Unit =
+    atomicWrite(spark, path, StatsFile,
+      s"$nDocs $sumDl $numBuckets ${if (maybeDup) 1 else 0}")
 
   /** Attribute columns persisted INSIDE the postings rows (the storage
     * half of filtered lexical search and facet counting — same
@@ -237,7 +255,9 @@ object TextIndex {
       lit(0L), "overwrite")
     val st = doclensOf(docs, idCol, textCol)
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    writeStats(spark, path, st.getLong(0), st.getLong(1), numBuckets)
+    // fresh build: postings are one groupBy(term, doc) pass — unique
+    writeStats(spark, path, st.getLong(0), st.getLong(1), numBuckets,
+      maybeDup = false)
     writeAttrs(spark, path, attrCols)
     IndexTombstones.reset(spark, path)
     val fs = fsOf(spark, path)
@@ -279,7 +299,11 @@ object TextIndex {
     writeDoclens(lens, s"$outPath/data", numBuckets, lit(0L), "overwrite")
     val st = spark.read.parquet(s"$outPath/data/doclens")
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    writeStats(spark, outPath, st.getLong(0), st.getLong(1), numBuckets)
+    // doc-disjoint halves (caller contract) can't create cross-side
+    // duplicates: the merge is clean iff both inputs are
+    writeStats(spark, outPath, st.getLong(0), st.getLong(1), numBuckets,
+      maybeDup = readStatsFull(spark, aPath)._4 ||
+        readStatsFull(spark, bPath)._4)
     writeAttrs(spark, outPath, aAttrs)
     IndexTombstones.reset(spark, outPath)
     val fs = fsOf(spark, outPath)
@@ -310,7 +334,11 @@ object TextIndex {
     writeDoclens(doclensOf(docs, idCol, textCol), dir, nb, seq, "append")
     val st = doclensOf(docs, idCol, textCol)
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    writeStats(spark, path, n + st.getLong(0), s + st.getLong(1), nb)
+    // any append flips maybe-dup: an at-least-once replay of THIS batch
+    // (crash between the postings write and the caller's idempotence
+    // marker) can't be ruled out from here on — compaction repairs
+    writeStats(spark, path, n + st.getLong(0), s + st.getLong(1), nb,
+      maybeDup = true)
   }
 
   /** Delete documents (takedown / data-removal). Tombstones via the
@@ -340,7 +368,8 @@ object TextIndex {
     val going = live.join(idsL.distinct(), Seq("doc_id"))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     IndexTombstones.logDeletes(spark, path, idsL, "doc_id", "doc_id")
-    writeStats(spark, path, n - going.getLong(0), s - going.getLong(1), nb)
+    writeStats(spark, path, n - going.getLong(0), s - going.getLong(1), nb,
+      maybeDup = readStatsFull(spark, path)._4)
   }
 
   /** Compact: purge tombstoned rows physically, re-apply the corpus-wide
@@ -359,7 +388,7 @@ object TextIndex {
                        numBuckets: Option[Int] = None,
                        maxDocFreq: Option[Long] = None,
                        keepPrevious: Boolean = false): Unit = {
-    val (_, _, nbOld) = readStats(spark, path)
+    val (_, _, nbOld, wasDup) = readStatsFull(spark, path)
     val nb = numBuckets.getOrElse(nbOld)
     val fs = fsOf(spark, path)
     val curDir = activeDataDir(spark, path)
@@ -367,10 +396,23 @@ object TextIndex {
     val gen = if (curName == "data") 0 else curName.stripPrefix("data.gen").toInt
     val nextName = s"data.gen${gen + 1}"
 
-    val livePosts = IndexTombstones.applyDeletes(spark, path,
+    val livePosts0 = IndexTombstones.applyDeletes(spark, path,
       spark.read.parquet(s"$curDir/postings"), "doc_id")
-    val liveLens = IndexTombstones.applyDeletes(spark, path,
+    val liveLens0 = IndexTombstones.applyDeletes(spark, path,
       spark.read.parquet(s"$curDir/doclens"), "doc_id")
+    // REPAIR the at-least-once replay degradation while every row is in
+    // hand anyway: collapse duplicated (doc, term) postings and doc
+    // doclens rows, so the maxDocFreq df guard below counts true df,
+    // the recomputed stats shed the replay inflation, and the rewritten
+    // index is provably unique (maybe-dup flag resets — sum-based
+    // scorers drop their defensive collapse until the next append).
+    // Skipped entirely when the flag already proves uniqueness.
+    val livePosts = if (wasDup) collapseDupPostings(livePosts0)
+      else livePosts0
+    val liveLens = if (wasDup)
+      liveLens0.groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("dl"), max(col("seq")).as("seq"))
+      else liveLens0
     val kept = maxDocFreq match {
       case None => livePosts
       case Some(cap) =>
@@ -387,7 +429,8 @@ object TextIndex {
     // exact stats from what actually landed (read-back, not plan re-run)
     val st = spark.read.parquet(s"$path/$nextName/doclens")
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    writeStats(spark, path, st.getLong(0), st.getLong(1), nb)
+    writeStats(spark, path, st.getLong(0), st.getLong(1), nb,
+      maybeDup = false)
     atomicWrite(spark, path, Pointer, nextName)
     IndexTombstones.clearLog(spark, path)
     if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
@@ -409,8 +452,8 @@ object TextIndex {
   private def collapseDupPostings(live: DataFrame): DataFrame = {
     val others = live.columns.filterNot(Set("doc_id", "term").contains)
     val aggs = others.map {
-      case c @ ("tf" | "dl") => max(col(c)).as(c)
-      case c                 => first(col(c)).as(c)
+      case c @ ("tf" | "dl" | "seq") => max(col(c)).as(c)
+      case c                         => first(col(c)).as(c)
     }
     live.groupBy(col("doc_id"), col("term")).agg(aggs.head, aggs.tail: _*)
   }
@@ -529,7 +572,7 @@ object TextIndex {
                                where: Option[Column] = None,
                                perQueryWhere: Map[Long, Column] =
                                  Map.empty): DataFrame = {
-    val (nDocs, sumDl, nb) = readStats(spark, path)
+    val (nDocs, sumDl, nb, maybeDup) = readStatsFull(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val qt = queryTerms.select(col("q_id"), col("term")).distinct()
@@ -542,9 +585,11 @@ object TextIndex {
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
-    // duplicate-collapse BEFORE df + scoring: see collapseDupPostings
-    val all = collapseDupPostings(
-      IndexTombstones.applyDeletes(spark, path, posts, "doc_id"))
+    // duplicate-collapse BEFORE df + scoring — but ONLY when the stats
+    // flag says a replay is possible: a clean-built index (fresh save /
+    // repair compaction, no append since) skips the exchange entirely
+    val all0 = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val all = if (maybeDup) collapseDupPostings(all0) else all0
     // `where` restricts CANDIDATES under corpus-global df/N/avgdl — the
     // same filtered-search convention as the single-query path
     val live = where.map(all.filter).getOrElse(all)
@@ -1236,16 +1281,17 @@ object TextIndex {
       "mustNot terms cannot also be must/should")
     require(must.intersect(should).isEmpty,
       "a term cannot be both must and should")
-    val (nDocs, sumDl, nb) = readStats(spark, path)
+    val (nDocs, sumDl, nb, maybeDup) = readStatsFull(spark, path)
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val bks = termBucketsLocal(all, nb)
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(all: _*))
-    // duplicate-collapse BEFORE df + conditional sums: see collapseDupPostings
-    val live = collapseDupPostings(
-      IndexTombstones.applyDeletes(spark, path, posts, "doc_id"))
+    // duplicate-collapse BEFORE df + conditional sums — flag-gated like
+    // the batch scorer: clean-built indexes skip the exchange
+    val live0 = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
+    val live = if (maybeDup) collapseDupPostings(live0) else live0
     val scoring = must ++ should
     val dfreq = live.filter(col("term").isin(scoring: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -308,6 +308,49 @@ class TextIndexSpec extends SparkSuite {
     assert(bool.toMap == expGrid) // batch == boolean: same grid contract
   }
 
+  test("maybe-dup stats flag lifecycle: fresh build clean, append flips " +
+      "it, compaction repairs duplicates physically and resets it, merge " +
+      "propagates the dirtier side") {
+    val idx = tmp("txtdupflag")
+    val corpus = Seq(
+      (0L, "quick fox quick"), (2L, "quick brown")).toDF("doc_id", "text")
+    TextIndex.saveTextIndex(corpus, "doc_id", "text", idx, numBuckets = 8)
+    assert(!TextIndex.readStatsFull(spark, idx)._4) // provably unique
+    // the documented crash-replay shape flips the flag
+    TextIndex.appendToTextIndex(corpus.filter($"doc_id" === 0L),
+      "doc_id", "text", idx)
+    assert(TextIndex.readStatsFull(spark, idx)._4)
+    assert(TextIndex.readStats(spark, idx) == ((3L, 8L, 8))) // inflated
+    // repair compaction: duplicates physically collapsed, stats exact
+    // again, flag reset — scorers drop the defensive collapse exchange
+    TextIndex.compactTextIndex(spark, idx)
+    assert(TextIndex.readStatsFull(spark, idx) == ((2L, 5L, 8, false)))
+    val clean = tmp("txtdupflagc")
+    TextIndex.saveTextIndex(corpus, "doc_id", "text", clean, numBuckets = 8)
+    def scores(p: String) = TextIndex.bm25SearchPersistedBatch(spark, p,
+        Seq((7L, "quick"), (7L, "fox")).toDF("q_id", "term"), 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(scores(idx) == scores(clean))
+    val bool = TextIndex.booleanSearchPersisted(spark, idx,
+      must = Seq("quick"), should = Seq("fox"), mustNot = Nil, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(bool == scores(clean))
+    // merge: clean ⊎ clean stays clean; clean ⊎ dirty reads dirty
+    val half = tmp("txtdupflagh")
+    TextIndex.saveTextIndex(
+      Seq((5L, "quick times")).toDF("doc_id", "text"),
+      "doc_id", "text", half, numBuckets = 8)
+    val mClean = tmp("txtdupflagm1")
+    TextIndex.mergeTextIndexes(spark, clean, half, mClean, numBuckets = 8)
+    assert(!TextIndex.readStatsFull(spark, mClean)._4)
+    TextIndex.appendToTextIndex(
+      Seq((6L, "brown times")).toDF("doc_id", "text"),
+      "doc_id", "text", half)
+    val mDirty = tmp("txtdupflagm2")
+    TextIndex.mergeTextIndexes(spark, clean, half, mDirty, numBuckets = 8)
+    assert(TextIndex.readStatsFull(spark, mDirty)._4)
+  }
+
   test("pure-negation boolean query fails loudly (index cannot " +
       "enumerate docs lacking a term)") {
     val idx = tmp("txtpureneg")
