@@ -662,6 +662,31 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: IVF-PQ TRUE shard merge — A (even ids) keeps its frozen coarse
+    // centroids + PQ codebook; B (odd ids, built with the raw-vector
+    // sidecar) re-assigns and RE-ENCODES under A's model, so the merged
+    // index answers exactly like appending B's raw corpus into A. The
+    // oracle is the q_sim_ivfpq pipeline with centroids/anchors drawn
+    // from the EVEN half only (A's training slice), assignment and ADC
+    // over the full union.
+    "q_sim_merge_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = java.nio.file.Files.createTempDirectory("mrgpa").toString
+      val b = java.nio.file.Files.createTempDirectory("mrgpb").toString
+      val m = java.nio.file.Files.createTempDirectory("mrgpm").toString
+      Similarity.saveIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", numCentroids = 8, a,
+        numSubspaces = 8, pqCentroids = 16, dim = 64)
+      Similarity.saveIvfPqIndex(e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", numCentroids = 8, b,
+        numSubspaces = 8, pqCentroids = 16, dim = 64,
+        keepRawVectors = true)
+      Similarity.mergeIvfPqIndexes(s, a, b, m)
+      Similarity.ivfPqSearchPersisted(s, m, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: IVF-bucketed ANN — centroid assignment + nProbe search.
     "q_sim_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2470,6 +2495,29 @@ object SparkEntry {
             e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_sim_merge_ivfpq" -> Prepared(
+      build = (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = java.nio.file.Files.createTempDirectory("mrgpa").toString
+        val b = java.nio.file.Files.createTempDirectory("mrgpb").toString
+        val m = java.nio.file.Files.createTempDirectory("mrgpm").toString
+        Similarity.saveIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", numCentroids = 8, a,
+          numSubspaces = 8, pqCentroids = 16, dim = 64)
+        Similarity.saveIvfPqIndex(e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", numCentroids = 8, b,
+          numSubspaces = 8, pqCentroids = 16, dim = 64,
+          keepRawVectors = true)
+        Similarity.mergeIvfPqIndexes(s, a, b, m)
+        m
+      },
+      search = (s, dir, m) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfPqSearchPersisted(s, m.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nProbe = 2)
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_text_merge_bm25" -> Prepared(
       build = (s, dir) => {
         val a = java.nio.file.Files.createTempDirectory("mrgta").toString
@@ -3117,6 +3165,15 @@ object SparkEntry {
       // over the union corpus (merge unions live rows + exact stats)
       ("q_text_merge_bm25" -> oracleBase("q_text_bm25")) +
       ("q_sim_merge_lsh" -> oracleBase("q_sim_ann_lsh")) +
+      // IVF-PQ true merge: B re-encodes under A's frozen model, so the
+      // union answers like one build whose centroids/anchors came from
+      // A's (even-id) training slice — q_sim_ivfpq with the cent/anch
+      // CTEs restricted to even vec_ids
+      ("q_sim_merge_ivfpq" -> oracleBase("q_sim_ivfpq")
+        .replace("e AS ce FROM v",
+          "e AS ce FROM v WHERE vec_id % 2 = 0")
+        .replace("FROM v ORDER BY vec_id ASC LIMIT 16",
+          "FROM v WHERE vec_id % 2 = 0 ORDER BY vec_id ASC LIMIT 16")) +
       ("q_hybrid_persisted" -> oracleBase("q_hybrid_rrf")) +
       // persisted three-leg blend == the ad-hoc blend at full probe
       // depth (HybridSpec-pinned), so it shares q_hybrid_prior's oracle

@@ -509,6 +509,11 @@ object Similarity {
         lit(readAnnEpoch(spark, path)).as("seq"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(activeIndexDir(spark, path))
+    // keep the merge-fuel sidecar in sync when the build opted into one
+    if (hasRawSidecar(spark, path))
+      batch.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+        .withColumn("seq", lit(readAnnEpoch(spark, path)))
+        .write.mode("append").parquet(activeRawDir(spark, path))
   }
 
   /** IVF search against a persisted index ([[saveIvfIndex]]): same
@@ -787,6 +792,31 @@ object Similarity {
 
   private val IndexPointer = "_index_gen"
 
+  /** Raw-vector SIDECAR dir aligned with a generation's list dir:
+    * `index` ↔ `raw`, `index.genN` ↔ `raw.genN` — one `_index_gen`
+    * pointer flips both atomically. The sidecar is MERGE FUEL, not a
+    * serving path: [[saveIvfPqIndex]]`(keepRawVectors = true)` writes
+    * it, appends keep it in sync, compaction purges it alongside the
+    * lists (a cleared tombstone log must not resurrect deleted raw
+    * rows), and [[mergeIvfPqIndexes]] reads it to re-encode under the
+    * surviving codebook.
+    */
+  private def rawDirOfGen(indexDirName: String): String =
+    if (indexDirName == "index") "raw"
+    else "raw.gen" + indexDirName.stripPrefix("index.gen")
+
+  private def activeRawDir(spark: org.apache.spark.sql.SparkSession,
+                           path: String): String = {
+    val idx = activeIndexDir(spark, path)
+    s"$path/${rawDirOfGen(idx.substring(idx.lastIndexOf('/') + 1))}"
+  }
+
+  private def hasRawSidecar(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(activeRawDir(spark, path))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** The active inverted-list directory of a persisted index: `_index_gen`
     * names it after a [[compactAnnIndex]] flip; absent (every
     * freshly-built index) means the original `index`. Same
@@ -878,6 +908,73 @@ object Similarity {
     resetIndexGenerations(spark, outPath)
   }
 
+  /** TRUE MERGE of two persisted IVF-PQ indexes under A's frozen model —
+    * previously rebuild-only (codes cannot re-encode without raw
+    * vectors): B must carry the raw-vector SIDECAR
+    * ([[saveIvfPqIndex]]`(keepRawVectors = true)`, loud error
+    * otherwise). A's live codes copy through unchanged; B's live raw
+    * vectors assign to A's coarse centroids and re-encode under A's
+    * codebook (residual-aware, read from the codebook stamp) — exactly
+    * the [[appendToIvfPqIndex]] contract, so `merge(A, B)` answers
+    * bit-identically to appending B's raw corpus into a copy of A
+    * (spec-pinned). The same quantization caveat as [[mergeIvfIndexes]]
+    * applies to B's half: A's quantizer was not trained on it — merge
+    * then rebuild when the halves' distributions differ materially.
+    *
+    * The output carries a sidecar iff BOTH inputs have one (A's raw ∪
+    * B's raw, seq reset), keeping the merged index mergeable in turn.
+    * Deletion state folds in on both sides; seq resets; the result is a
+    * fresh single-generation index at `outPath` with A's centroids and
+    * codebook. One distributed assign+encode pass over B only — A's
+    * (typically much larger) half is a straight copy.
+    */
+  def mergeIvfPqIndexes(spark: org.apache.spark.sql.SparkSession,
+                        aPath: String, bPath: String,
+                        outPath: String): Unit = {
+    require(hasRawSidecar(spark, bPath),
+      s"IVF-PQ merge re-encodes B under A's codebook and needs B's " +
+        s"raw-vector sidecar — rebuild $bPath with " +
+        "saveIvfPqIndex(keepRawVectors = true)")
+    val (model, residual) = readCodebook(spark, aPath)
+    val centroids = spark.read.parquet(s"$aPath/centroids")
+    val cents = broadcast(centroids)
+    val aLive = applyDeletes(spark, aPath,
+        spark.read.parquet(activeIndexDir(spark, aPath)))
+      .select(col("v_id"), col("centroid_id"), col("codes"))
+    val bRaw = applyDeletes(spark, bPath,
+        spark.read.parquet(activeRawDir(spark, bPath)))
+      .select(col("v_id"), col("v_vec"))
+    val assigned = assignToCentroids(bRaw, "v_id", "v_vec", centroids)
+    val pqInput =
+      if (!residual)
+        assigned.select(col("v_id"), col("centroid_id"),
+          col("v_vec").cast("array<double>").as("pq_vec"))
+      else assigned.join(cents, "centroid_id")
+        .select(col("v_id"), col("centroid_id"),
+          zip_with(col("v_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"), (a, b) => a - b).as("pq_vec"))
+    val bCoded = pqInput.select(col("v_id"), col("centroid_id"),
+      pqCodesOf(col("pq_vec"), model).as("codes"))
+    aLive.unionByName(bCoded)
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$outPath/index")
+    centroids.write.mode("overwrite").parquet(s"$outPath/centroids")
+    spark.read.parquet(s"$aPath/codebook")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/codebook")
+    val outRaw = new org.apache.hadoop.fs.Path(s"$outPath/raw")
+    val fs = outRaw.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hasRawSidecar(spark, aPath))
+      applyDeletes(spark, aPath,
+          spark.read.parquet(activeRawDir(spark, aPath)))
+        .select(col("v_id"), col("v_vec"))
+        .unionByName(bRaw)
+        .withColumn("seq", lit(0L))
+        .write.mode("overwrite").parquet(outRaw.toString)
+    else if (fs.exists(outRaw)) { fs.delete(outRaw, true); () }
+    resetIndexGenerations(spark, outPath)
+  }
+
   /** Compact a persisted index's inverted lists into ONE file per
     * partition — layout-agnostic: the partition column and list count
     * come from the directory listing, so the same op serves
@@ -929,6 +1026,15 @@ object Similarity {
       .repartition(partDirs.length, col(partCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$path/$nextName")
+    // purge the raw sidecar in the SAME generation step: the tombstone
+    // log clears below, and an unpurged sidecar would resurrect deleted
+    // vectors at the next merge. The pointer flip publishes both dirs.
+    val curRaw = new org.apache.hadoop.fs.Path(s"$path/${rawDirOfGen(curName)}")
+    val hadRaw = fs.exists(curRaw)
+    if (hadRaw)
+      applyDeletes(spark, path, spark.read.parquet(curRaw.toString))
+        .write.mode("overwrite")
+        .parquet(s"$path/raw.gen${gen + 1}")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/$IndexPointer.tmp")
     val out = fs.create(tmp, true)
     try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -937,7 +1043,10 @@ object Similarity {
     org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     IndexTombstones.clearLog(spark, path)
-    if (!keepPrevious) { fs.delete(new org.apache.hadoop.fs.Path(curDir), true); () }
+    if (!keepPrevious) {
+      fs.delete(new org.apache.hadoop.fs.Path(curDir), true)
+      if (hadRaw) { fs.delete(curRaw, true); () }
+    }
   }
 
   /** A rebuild ([[saveIvfIndex]]/[[saveIvfPqIndex]]) always writes the
@@ -959,7 +1068,8 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(path, IndexPointer), false)
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>
-        if (st.getPath.getName.startsWith("index.gen"))
+        if (st.getPath.getName.startsWith("index.gen") ||
+            st.getPath.getName.startsWith("raw.gen"))
           fs.delete(st.getPath, true)
       }
   }
@@ -1961,7 +2071,8 @@ object Similarity {
                      numCentroids: Int, path: String,
                      numSubspaces: Int = 8, pqCentroids: Int = 16,
                      dim: Int = 64, residual: Boolean = false,
-                     refineIters: Int = 0, coarseIters: Int = 0): Unit = {
+                     refineIters: Int = 0, coarseIters: Int = 0,
+                     keepRawVectors: Boolean = false): Unit = {
     // the SAME build as ivfPqSearch (residual/refined variants included)
     // so a persisted index answers like the ad-hoc path — spec-pinned
     val (centroids, coded, model, cleanup) = ivfPqBuild(corpus, idCol,
@@ -1971,6 +2082,20 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // raw-vector sidecar: the price of a true (re-encode) merge later —
+    // the 32× payload the codes-only layout saves, so strictly opt-in.
+    // A rebuild WITHOUT the flag removes any stale sidecar: a raw set
+    // out of sync with the lists would silently merge the wrong corpus.
+    if (keepRawVectors)
+      corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+        .withColumn("seq", lit(0L))
+        .write.mode("overwrite").parquet(s"$path/raw")
+    else {
+      val rp = new org.apache.hadoop.fs.Path(s"$path/raw")
+      val fs = rp.getFileSystem(
+        corpus.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(rp)) { fs.delete(rp, true); () }
+    }
     resetIndexGenerations(corpus.sparkSession, path)
     cleanup() // writes above materialized everything the cache served
     val spark = corpus.sparkSession

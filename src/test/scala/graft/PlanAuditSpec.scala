@@ -24,6 +24,9 @@ class PlanAuditSpec extends SparkSuite {
     // ExplainDump, not BNLJ
     "q_sim_ivf_deleted", "q_sim_ivf_diverse", "q_sim_ivf_filtered",
     "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_ivfpq_residual",
+    // true merge: same ≤8-row centroid cross joins as q_sim_ivfpq
+    // (A's build, B's build, the merge re-assign, the probe subquery)
+    "q_sim_merge_ivfpq",
     "q_sim_knn", "q_sim_pq", "q_sim_pq_rerank", "q_sim_project",
     "q_sim_quantized", "q_sim_twostage", "q_text_bm25",
     "q_text_lmscore", "q_text_tfidf", "q_vocab_topk",

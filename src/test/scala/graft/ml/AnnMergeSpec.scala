@@ -79,4 +79,84 @@ class AnnMergeSpec extends SparkSuite {
       "embedding", k = 3, nProbe = 8)
     assert(!after.collect().map(_.getAs[Long]("n_id")).contains(301L))
   }
+
+  test("IVF-PQ TRUE merge via the raw sidecar: parity with append-into-" +
+      "copy-of-A, raw-less B fails loudly, deletes fold in, residual too") {
+    val e = corpus
+    val a = e.filter($"vec_id" < 300L)
+    val b = e.filter($"vec_id" >= 300L && $"vec_id" < 600L)
+    for (res <- Seq(false, true)) {
+      val ia = tmp("mgpA"); val ib = tmp("mgpB")
+      val out = tmp("mgpO"); val ref = tmp("mgpR")
+      Similarity.saveIvfPqIndex(a, "vec_id", "embedding", 8, ia,
+        residual = res)
+      Similarity.saveIvfPqIndex(b, "vec_id", "embedding", 8, ib,
+        residual = res, keepRawVectors = true)
+      // a deleted B vector must not survive the merge
+      Similarity.deleteFromAnnIndex(spark, ib,
+        Seq(310L).toDF("vec_id"), "vec_id")
+      Similarity.mergeIvfPqIndexes(spark, ia, ib, out)
+      // reference: rebuild A, append B's raw corpus — the promised
+      // contract (same frozen quantizer + codebook)
+      Similarity.saveIvfPqIndex(a, "vec_id", "embedding", 8, ref,
+        residual = res)
+      Similarity.appendToIvfPqIndex(spark,
+        b.filter($"vec_id" =!= 310L), "vec_id", "embedding", ref)
+      val q = e.filter($"vec_id" < 5L)
+      for (np <- Seq(2, 8)) {
+        val m = Similarity.ivfPqSearchPersisted(spark, out, q, "vec_id",
+          "embedding", k = 3, nProbe = np)
+        val r = Similarity.ivfPqSearchPersisted(spark, ref, q, "vec_id",
+          "embedding", k = 3, nProbe = np)
+        assert(rows(m) == rows(r) && rows(m).nonEmpty,
+          s"residual=$res nProbe=$np")
+        assert(!m.collect().map(_.getAs[Long]("n_id")).contains(310L))
+      }
+    }
+    // raw-less B: loud error naming the fix
+    val ia2 = tmp("mgpA2"); val ib2 = tmp("mgpB2")
+    Similarity.saveIvfPqIndex(a, "vec_id", "embedding", 8, ia2)
+    Similarity.saveIvfPqIndex(b, "vec_id", "embedding", 8, ib2)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.mergeIvfPqIndexes(spark, ia2, ib2, tmp("mgpX"))
+    }
+    assert(err.getMessage.contains("keepRawVectors"))
+  }
+
+  test("raw sidecar lifecycle: append keeps it in sync; compaction " +
+      "purges deleted raw rows so a later merge cannot resurrect them; " +
+      "merged output stays mergeable iff both inputs carried raw") {
+    val e = corpus
+    val a = e.filter($"vec_id" < 200L)
+    val b1 = e.filter($"vec_id" >= 200L && $"vec_id" < 400L)
+    val b2 = e.filter($"vec_id" >= 400L && $"vec_id" < 500L)
+    val ia = tmp("rlA"); val ib = tmp("rlB")
+    Similarity.saveIvfPqIndex(a, "vec_id", "embedding", 8, ia,
+      keepRawVectors = true)
+    Similarity.saveIvfPqIndex(b1, "vec_id", "embedding", 8, ib,
+      keepRawVectors = true)
+    // append flows into the sidecar too
+    Similarity.appendToIvfPqIndex(spark, b2, "vec_id", "embedding", ib)
+    // delete + compact: the purge point — tombstone log clears, so the
+    // sidecar must shed the row in the same generation step
+    Similarity.deleteFromAnnIndex(spark, ib,
+      Seq(450L).toDF("vec_id"), "vec_id")
+    Similarity.compactAnnIndex(spark, ib)
+    val out = tmp("rlO")
+    Similarity.mergeIvfPqIndexes(spark, ia, ib, out)
+    val q = e.filter($"vec_id" < 5L)
+    val got = Similarity.ivfPqSearchPersisted(spark, out, q, "vec_id",
+      "embedding", k = 200, nProbe = 8)
+    val ids = got.collect().map(_.getAs[Long]("n_id")).toSet
+    assert(!ids.contains(450L), "compaction left a resurrectable raw row")
+    assert(ids.contains(401L)) // appended rows merged fine
+    // both inputs carried raw -> the merged index is itself mergeable
+    val ic = tmp("rlC")
+    Similarity.saveIvfPqIndex(b2, "vec_id", "embedding", 8, ic,
+      keepRawVectors = true)
+    val out2 = tmp("rlO2")
+    Similarity.mergeIvfPqIndexes(spark, out, ic, out2)
+    assert(Similarity.ivfPqSearchPersisted(spark, out2, q, "vec_id",
+      "embedding", k = 3, nProbe = 2).collect().nonEmpty)
+  }
 }
