@@ -2112,6 +2112,17 @@ object SparkEntry {
           col("vq"), col("z"))
         .orderBy(col("event_id"))),
 
+    // OBS: CUSUM changepoint — the sustained-LEVEL-SHIFT detector the
+    // z-score family can't be (error rate quietly doubled, no single
+    // remarkable bin): per (event_type, hour bin) the summed 10^-2-grid
+    // value, Page's recursions via the prefix-sum identity (two
+    // group-partitioned cumulative windows, all BIGINT-exact).
+    "q_metric_cusum" -> ((s, dir) =>
+      TimeSeries.cusumBy(t(s, dir, "events"), "event_type", "ts",
+          3600000L, floor(col("value") * 100).cast("long"),
+          slack = 500L, decision = 20000L)
+        .orderBy(col("event_type"), col("bin_start"))),
+
     // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
     // products make quantized cosine bit-exact across engines AND
     // summation orders.
@@ -6724,6 +6735,39 @@ object SparkEntry {
         |WHERE mad != 0
         |  AND abs((CAST(vq AS DOUBLE) - med) / mad) > 3.5
         |ORDER BY event_id""".stripMargin,
+
+    "q_metric_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS bin,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS mu
+        |  FROM b GROUP BY 1),
+        |s AS (
+        |  SELECT b.event_type, bin, x,
+        |    CAST(sum(x - mu - 500) OVER (PARTITION BY b.event_type
+        |      ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS sp,
+        |    CAST(sum(mu - x - 500) OVER (PARTITION BY b.event_type
+        |      ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS sn
+        |  FROM b JOIN m USING (event_type)),
+        |f AS (
+        |  SELECT event_type, bin, x,
+        |    sp - least(0, min(sp) OVER (PARTITION BY event_type
+        |      ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW)) AS s_pos,
+        |    sn - least(0, min(sn) OVER (PARTITION BY event_type
+        |      ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW)) AS s_neg
+        |  FROM s)
+        |SELECT event_type, make_timestamp(bin * 1000) AS bin_start,
+        |  CAST(x AS BIGINT) AS x, CAST(s_pos AS BIGINT) AS s_pos,
+        |  CAST(s_neg AS BIGINT) AS s_neg,
+        |  (s_pos > 20000 OR s_neg > 20000) AS is_shift
+        |FROM f ORDER BY event_type, bin_start""".stripMargin,
 
     "q_metric_robust" ->
       """WITH q AS (

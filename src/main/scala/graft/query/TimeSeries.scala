@@ -192,4 +192,60 @@ object TimeSeries {
                            threshold: Double): DataFrame =
     robustZscoreBy(df.withColumn("season", hour(col(tsCol)).cast("long")),
       Seq(groupCol, "season"), quantized, threshold)
+
+  /** CUSUM CHANGEPOINT scores per series — the sustained-shift detector
+    * the z-score family can't be (Page 1954): a z-score flags one big
+    * bin, CUSUM accumulates many small deviations until a LEVEL SHIFT
+    * (error rate quietly doubled, latency drifted up 10%) crosses the
+    * decision threshold. Per (group, `binMillis` bin): x = Σ `measure`
+    * (integer-gridded, quantize-first convention), target μ = the
+    * series' own mean bin (`total div n_bins` — floored, exact), slack
+    * κ = `slack`, and the classic recursions
+    *
+    *   s⁺_t = max(0, s⁺_{t−1} + x_t − μ − κ)   (upward shift)
+    *   s⁻_t = max(0, s⁻_{t−1} − x_t + μ − κ)   (downward shift)
+    *
+    * computed WITHOUT recursion through the prefix-sum identity
+    * `s_t = S_t − min(0, min_{j≤t} S_j)` (S = running sum of the
+    * deviations) — two built-in cumulative windows per side, both
+    * PARTITIONED by group, all BIGINT-exact, so the distributed plan is
+    * sort-once-per-series + codegen'd running aggregates and the oracle
+    * mirrors it with the same window functions. Alarm when a score
+    * exceeds `decision` (h). Missing bins are simply absent (gapfill
+    * upstream to charge empty bins against the target). Input bins are
+    * bounded by time range / binMillis per series — the Alerts.scala
+    * bounded-timeline argument. Returns per (group, bin):
+    * (groupCol, bin_start, x, s_pos, s_neg, is_shift).
+    */
+  def cusumBy(df: DataFrame, groupCol: String, tsCol: String,
+              binMillis: Long, measure: Column, slack: Long,
+              decision: Long): DataFrame = {
+    require(binMillis > 0 && slack >= 0 && decision > 0,
+      "need binMillis > 0, slack >= 0, decision > 0")
+    val g = col(groupCol)
+    val binned = df
+      .withColumn("__bin",
+        (floor(unix_millis(col(tsCol).cast("timestamp")) / lit(binMillis)) *
+          lit(binMillis)).cast("long"))
+      .groupBy(g, col("__bin"))
+      .agg(coalesce(sum(measure.cast("long")), lit(0L)).as("x"))
+    val target = binned.groupBy(g)
+      .agg(expr("sum(x) div count(1)").as("mu_"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("__bin"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    binned.join(broadcast(target), Seq(groupCol))
+      .withColumn("__sp", sum(col("x") - col("mu_") - lit(slack)).over(cum))
+      .withColumn("__sn", sum(col("mu_") - col("x") - lit(slack)).over(cum))
+      .withColumn("s_pos",
+        col("__sp") - least(lit(0L), min(col("__sp")).over(cum)))
+      .withColumn("s_neg",
+        col("__sn") - least(lit(0L), min(col("__sn")).over(cum)))
+      .select(g,
+        timestamp_millis(col("__bin")).cast("timestamp_ntz").as("bin_start"),
+        col("x"), col("s_pos"), col("s_neg"),
+        (col("s_pos") > lit(decision) || col("s_neg") > lit(decision))
+          .as("is_shift"))
+  }
 }

@@ -150,4 +150,50 @@ class TimeSeriesSpec extends SparkSuite {
       .filter(col("season") === 3L).collect()
     assert(h3.forall(r => r.isNullAt(r.fieldIndex("z"))))
   }
+
+  test("cusumBy: window identity == the literal Page recursion; a " +
+      "sustained small shift alarms where a z-score-sized single spike " +
+      "resets; per-series isolation") {
+    // series A: 20 bins at 10/bin, then 20 bins at 13/bin — a +30%
+    // LEVEL SHIFT no single bin of which is remarkable
+    // series B: flat 10/bin with ONE 25-spike — big bin, no shift
+    val rowsA = (0 until 40).flatMap { h =>
+      val n = if (h < 20) 10 else 13
+      (0 until n).map(i => ("A", new Timestamp(1704067200000L +
+        h * 3600000L + i * 1000L)))
+    }
+    val rowsB = (0 until 40).flatMap { h =>
+      val n = if (h == 7) 25 else 10
+      (0 until n).map(i => ("B", new Timestamp(1704067200000L +
+        h * 3600000L + i * 1000L)))
+    }
+    val df = (rowsA ++ rowsB).toDF("g", "ts")
+    val out = TimeSeries.cusumBy(df, "g", "ts", 3600000L,
+        lit(1L), slack = 1L, decision = 15L)
+      .orderBy(col("g"), col("bin_start")).collect()
+      .map(r => (r.getString(0), // bin_start is NTZ → LocalDateTime
+        r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // brute force: the literal recursion per series
+    val byG = out.groupBy(_._1)
+    for ((_, rows) <- byG) {
+      val xs = rows.sortBy(_._2).map(_._3)
+      val mu = xs.sum / xs.length
+      var sp = 0L; var sn = 0L
+      rows.sortBy(_._2).zip(xs).foreach { case (r, x) =>
+        sp = math.max(0L, sp + x - mu - 1L)
+        sn = math.max(0L, sn - x + mu - 1L)
+        assert(r._4 == sp && r._5 == sn, s"$r")
+        assert(r._6 == (sp > 15L || sn > 15L))
+      }
+    }
+    // the sustained shift alarms; the single spike never does
+    assert(out.exists(r => r._1 == "A" && r._6))
+    assert(!out.exists(r => r._1 == "B" && r._6))
+    // guard
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusumBy(df, "g", "ts", 0L, lit(1L), 0L, 1L)
+    }
+  }
 }
