@@ -2123,6 +2123,30 @@ object SparkEntry {
           slack = 500L, decision = 20000L)
         .orderBy(col("event_type"), col("bin_start"))),
 
+    // OBS: APDEX per event_type — the user-satisfaction roll-up
+    // (satisfied ≤ T, tolerating ≤ 4T, score = (sat + tol/2)/total as
+    // the exact doubled-numerator BIGINT division). T = 50.00 on the
+    // 10^-2 value grid.
+    "q_metric_apdex" -> ((s, dir) =>
+      TimeSeries.apdexBy(t(s, dir, "events"), Seq("event_type"),
+          floor(col("value") * 100).cast("long"), thresholdT = 5000L)
+        .orderBy(col("event_type"))),
+
+    // OBS: histogram_quantile (Prometheus) — p95 per event_type
+    // recovered from PRE-BUCKETED counts only (2000-wide micro buckets,
+    // upper-bound grid): BIGINT rank selection + the fixed-IEEE-tree
+    // linear interpolation inside the covering bucket.
+    "q_metric_hist_quantile" -> ((s, dir) => {
+      val buckets = t(s, dir, "events")
+        .withColumn("vq", floor(col("value") * 100).cast("long"))
+        .withColumn("le", expr("((vq + 1999) div 2000) * 2000"))
+        .groupBy(col("event_type"), col("le"))
+        .agg(count(lit(1)).as("cnt"))
+      Percentiles.histogramQuantile(buckets, Seq("event_type"),
+          "le", "cnt", phiMicro = 950000L)
+        .orderBy(col("event_type"))
+    }),
+
     // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
     // products make quantized cosine bit-exact across engines AND
     // summation orders.
@@ -6768,6 +6792,54 @@ object SparkEntry {
         |  CAST(s_neg AS BIGINT) AS s_neg,
         |  (s_pos > 20000 OR s_neg > 20000) AS is_shift
         |FROM f ORDER BY event_type, bin_start""".stripMargin,
+
+    "q_metric_apdex" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN vq <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS satisfied,
+        |    CAST(sum(CASE WHEN vq > 5000 AND vq <= 20000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS tolerating
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, total, satisfied, tolerating,
+        |  CAST(total - satisfied - tolerating AS BIGINT) AS frustrated,
+        |  CAST((2 * satisfied + tolerating) * 1000000 // (2 * total)
+        |    AS BIGINT) AS apdex_micro
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_metric_hist_quantile" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, ((vq + 1999) // 2000) * 2000 AS le,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM q GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, le, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY le
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(COALESCE(lag(le) OVER (PARTITION BY event_type
+        |      ORDER BY le), 0) AS BIGINT) AS lower,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total
+        |  FROM b),
+        |sel AS (
+        |  SELECT event_type, le, cnt, cum, lower, total,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY le)
+        |      AS pick
+        |  FROM c
+        |  WHERE cnt > 0 AND cum * 1000000 >= 950000 * total)
+        |SELECT event_type, total,
+        |  CAST(floor(CAST(lower AS DOUBLE) + CAST(le - lower AS DOUBLE) *
+        |    ((950000.0 * CAST(total AS DOUBLE) -
+        |      CAST(cum - cnt AS DOUBLE) * 1000000.0) /
+        |     (CAST(cnt AS DOUBLE) * 1000000.0))) AS BIGINT) AS q_micro
+        |FROM sel WHERE pick = 1 ORDER BY event_type""".stripMargin,
 
     "q_metric_robust" ->
       """WITH q AS (

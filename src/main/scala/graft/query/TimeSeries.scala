@@ -217,6 +217,38 @@ object TimeSeries {
     * bounded-timeline argument. Returns per (group, bin):
     * (groupCol, bin_start, x, s_pos, s_neg, is_shift).
     */
+  /** APDEX score per group — the industry-standard user-satisfaction
+    * roll-up over a latency-like measure: satisfied (`vq ≤ T`),
+    * tolerating (`T < vq ≤ 4T`), frustrated (rest);
+    * `apdex = (satisfied + tolerating/2) / total`, emitted exactly as
+    * `(2·satisfied + tolerating)·10⁶ div (2·total)` — one conditional-
+    * sum hash aggregate, BIGINT end to end (the half stays exact under
+    * the doubled numerator/denominator). Pre-bin `tsCol` into a group
+    * column for the per-window trend. Returns
+    * (groupCols…, total, satisfied, tolerating, frustrated,
+    * apdex_micro); an empty group can't occur (groups come from rows),
+    * so the division is always defined.
+    */
+  def apdexBy(df: DataFrame, groupCols: Seq[String], quantized: Column,
+              thresholdT: Long): DataFrame = {
+    require(thresholdT > 0, "thresholdT must be positive")
+    val vq = quantized.cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("total"),
+        sum(when(vq <= thresholdT, 1L).otherwise(0L)).as("satisfied"),
+        sum(when(vq > thresholdT && vq <= 4L * thresholdT, 1L)
+          .otherwise(0L)).as("tolerating"))
+      .withColumn("frustrated",
+        col("total") - col("satisfied") - col("tolerating"))
+      .withColumn("apdex_micro",
+        // division-form overflow guard (aucGuardOk precedent): the
+        // numerator is ≤ 2·total·10⁶
+        when(col("total") <= lit(Long.MaxValue / 2000000L),
+          expr("(2 * satisfied + tolerating) * 1000000 div (2 * total)"))
+          .otherwise(expr("raise_error('apdexBy: group count overflows " +
+            "the exact micro grid — bin the series finer')").cast("long")))
+  }
+
   def cusumBy(df: DataFrame, groupCol: String, tsCol: String,
               binMillis: Long, measure: Column, slack: Long,
               decision: Long): DataFrame = {

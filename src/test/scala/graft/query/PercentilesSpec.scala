@@ -58,4 +58,43 @@ class PercentilesSpec extends SparkSuite {
       .collect()
     assert(lo(0).getAs[Long]("id") == 1L)
   }
+
+  test("histogramQuantile: Prometheus semantics — lowest covering " +
+      "bucket, linear interpolation, first bucket from 0, zero-count " +
+      "buckets skipped, empty group null") {
+    // svc a: le 100→10 obs, le 200→30, le 400→60 (total 100)
+    // p50: rank 50, bucket (100,200] covers (cum 40→10+30=40<50≤... no:
+    // cum: 10, 40, 100 → p50 lands in le=400: lower=200,
+    // q = 200 + 200*(50-40)/60 = 233.33→233
+    val b = Seq(
+      ("a", 100L, 10L), ("a", 200L, 30L), ("a", 400L, 60L),
+      // svc c: a zero-count middle bucket must never be selected
+      ("c", 100L, 5L), ("c", 200L, 0L), ("c", 400L, 5L),
+      // svc z: all-zero → total 0 → q null
+      ("z", 100L, 0L))
+      .toDF("svc", "le", "cnt")
+    val p50 = Percentiles.histogramQuantile(b, Seq("svc"), "le", "cnt",
+        phiMicro = 500000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(p50("a") == ((100L, 233L)))
+    // c: rank 5, first bucket covers (cum 5 ≥ 5): 0 + 100*5/5 = 100
+    assert(p50("c") == ((10L, 100L)))
+    assert(p50("z") == ((0L, -1L)))
+    // p10 of a: rank 10, first bucket: 0 + 100*(10-0)/10 = 100
+    val p10 = Percentiles.histogramQuantile(b, Seq("svc"), "le", "cnt",
+        phiMicro = 100000L)
+      .collect().filterNot(_.isNullAt(2))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p10("a") == 100L)
+    // p100 returns the top bucket's upper bound
+    val p100 = Percentiles.histogramQuantile(b, Seq("svc"), "le", "cnt",
+        phiMicro = 1000000L)
+      .collect().filterNot(_.isNullAt(2))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p100("a") == 400L)
+    intercept[IllegalArgumentException] {
+      Percentiles.histogramQuantile(b, Seq("svc"), "le", "cnt", 0L)
+    }
+  }
 }

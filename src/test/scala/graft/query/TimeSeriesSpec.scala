@@ -151,6 +151,24 @@ class TimeSeriesSpec extends SparkSuite {
     assert(h3.forall(r => r.isNullAt(r.fieldIndex("z"))))
   }
 
+  test("apdexBy: satisfied/tolerating/frustrated buckets and the exact " +
+      "half-weighted score") {
+    // T = 100: a → 2 sat (50,100), 1 tol (250, ≤400), 1 frus (900)
+    //          b → all satisfied
+    val df = Seq(("a", 50L), ("a", 100L), ("a", 250L), ("a", 900L),
+      ("b", 10L), ("b", 99L)).toDF("svc", "lat")
+    val out = TimeSeries.apdexBy(df, Seq("svc"), col("lat"), 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // a: (2*2 + 1)*1e6 / (2*4) = 625000
+    assert(out("a") == ((4L, 2L, 1L, 1L, 625000L)))
+    assert(out("b") == ((2L, 2L, 0L, 0L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.apdexBy(df, Seq("svc"), col("lat"), 0L)
+    }
+  }
+
   test("cusumBy: window identity == the literal Page recursion; a " +
       "sustained small shift alarms where a z-score-sized single spike " +
       "resets; per-series isolation") {
