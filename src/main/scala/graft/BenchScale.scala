@@ -95,7 +95,13 @@ object BenchScale {
     // aggregate() over the anchor array — the p-round HOF state thread)
     // and the three-leg persisted blend (two index probes + bounded
     // prior fused in one keyed aggregation)
-    "q_text_passages", "q_hybrid_prior_persisted")
+    "q_text_passages", "q_hybrid_prior_persisted",
+    // round-16 additions: IVF-PQ true merge (two builds + re-encode of
+    // the odd half + probed search), the per-series CUSUM windows, the
+    // graded-judgment nDCG join+window, and histogram-quantile bucket
+    // selection
+    "q_sim_merge_ivfpq", "q_metric_cusum", "q_eval_ndcg",
+    "q_metric_hist_quantile")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

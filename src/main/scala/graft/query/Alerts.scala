@@ -200,16 +200,19 @@ object Alerts {
       .agg(count(lit(1)).as("total"),
         sum(when(errorCond, 1L).otherwise(0L)).as("errors"))
     val ms = unix_millis(col("bin_start").cast("timestamp"))
-    // Unpartitioned RANGE window — deliberate, and bounded by
+    // Single-partition RANGE window — deliberate, and bounded by
     // construction: its input is the per-bin aggregate above, ONE row per
     // time bin regardless of event volume (a 30-day range at 1-minute
     // bins is ≈43k rows; single-partition is the correct plan at that
-    // size, same argument as Packing's per-partition totals). This is the
-    // source of the benign `WindowExec: No Partition Defined` warning in
-    // the bench tail — do not "fix" it with a synthetic partition key:
-    // the trailing frames must see the whole timeline.
+    // size, same argument as Packing's per-partition totals). The
+    // trailing frames must see the whole timeline, so the partition key
+    // is a CONSTANT — null-safe and non-foldable (Spark 4's
+    // EliminateWindowPartitions strips a literal back to the
+    // warning-spraying empty spec); never a real key.
     def trail(c: String, bins: Int) = sum(col(c)).over(
-      org.apache.spark.sql.expressions.Window.orderBy(ms)
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(coalesce(ms * lit(0L), lit(0L)))
+        .orderBy(ms)
         .rangeBetween(-(bins - 1L) * binMillis, 0))
     binned
       .withColumn("short_errors", trail("errors", shortBins))

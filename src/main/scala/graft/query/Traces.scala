@@ -56,7 +56,11 @@ object Traces {
     */
   def traceDetail(spans: DataFrame, traceCol: String, traceId: Long,
       spanCol: String, timeCol: String): DataFrame = {
-    val w = Window.partitionBy()
+    // every surviving row shares traceCol (the filter pins it), so
+    // partitioning the COUNT(*) OVER () on it is semantically the empty
+    // spec — one trace's spans in one partition — without the WindowExec
+    // no-partition warning
+    val w = Window.partitionBy(col(traceCol))
     spans
       .filter(col(traceCol) === lit(traceId))
       .withColumn("total_spans", count(lit(1)).over(w))
