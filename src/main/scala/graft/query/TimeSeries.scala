@@ -251,16 +251,34 @@ object TimeSeries {
 
   def cusumBy(df: DataFrame, groupCol: String, tsCol: String,
               binMillis: Long, measure: Column, slack: Long,
-              decision: Long): DataFrame = {
-    require(binMillis > 0 && slack >= 0 && decision > 0,
-      "need binMillis > 0, slack >= 0, decision > 0")
-    val g = col(groupCol)
-    val binned = df
-      .withColumn("__bin",
+              decision: Long): DataFrame =
+    cusumOverBins(binTable(df, groupCol, tsCol, binMillis, measure),
+      groupCol, slack, decision)
+
+  /** The (group, bin-start-millis, summed measure) table [[cusumBy]]
+    * scores — exposed so the streaming twin can maintain it
+    * incrementally (`StreamOps.cusumStream`'s generation ledger) and
+    * re-score with the identical plan.
+    */
+  def binTable(df: DataFrame, groupCol: String, tsCol: String,
+               binMillis: Long, measure: Column): DataFrame = {
+    require(binMillis > 0, "binMillis must be positive")
+    df.withColumn("__bin",
         (floor(unix_millis(col(tsCol).cast("timestamp")) / lit(binMillis)) *
           lit(binMillis)).cast("long"))
-      .groupBy(g, col("__bin"))
+      .groupBy(col(groupCol), col("__bin"))
       .agg(coalesce(sum(measure.cast("long")), lit(0L)).as("x"))
+  }
+
+  /** CUSUM scores over a pre-binned `(groupCol, __bin, x)` table — the
+    * scoring half of [[cusumBy]] (see its doc for the identity and the
+    * scale argument).
+    */
+  def cusumOverBins(binned: DataFrame, groupCol: String, slack: Long,
+                    decision: Long): DataFrame = {
+    require(slack >= 0 && decision > 0,
+      "need slack >= 0, decision > 0")
+    val g = col(groupCol)
     val target = binned.groupBy(g)
       .agg(expr("sum(x) div count(1)").as("mu_"))
     val w = org.apache.spark.sql.expressions.Window

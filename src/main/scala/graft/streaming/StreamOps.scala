@@ -632,4 +632,52 @@ object StreamOps {
       commitBatch(spark, statePath, batchId)
     } finally { lines.unpersist(); () }
   }
+
+  /** STREAMING CUSUM — the incremental twin of
+    * [[graft.query.TimeSeries.cusumBy]]: each micro-batch folds its
+    * per-(group, bin) measure partials into the generation-pointer bins
+    * ledger, then re-scores the WHOLE per-series table with the exact
+    * batch plan ([[graft.query.TimeSeries.cusumOverBins]]) and hands it
+    * to `sink`.
+    *
+    * Late data is EXACT, never dropped: a late event lands in its bin
+    * and the affected series re-scores — CUSUM is a prefix fold, so any
+    * bin change legitimately rewrites downstream scores; mapGroups-style
+    * frozen per-bin state would have to drop or mis-fold it. The honest
+    * per-trigger cost is the O(bins) recompute, and the ledger is
+    * BOUNDED: timeline/binMillis × groups rows (the Alerts
+    * bounded-timeline argument), independent of event volume. Replay-
+    * safe via the shared `_last_batch` marker (marker written LAST).
+    */
+  def cusumStream(events: DataFrame, groupCol: String, tsCol: String,
+                  binMillis: Long, measure: org.apache.spark.sql.Column,
+                  slack: Long, decision: Long, statePath: String,
+                  sink: DataFrame => Unit, keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processCusumBatch(batch, batchId, groupCol, tsCol, binMillis,
+        measure, slack, decision, statePath, sink, keepPrevious)
+    }
+
+  /** One micro-batch of [[cusumStream]], exposed for replay specs. */
+  private[streaming] def processCusumBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, tsCol: String, binMillis: Long,
+      measure: org.apache.spark.sql.Column, slack: Long, decision: Long,
+      statePath: String, sink: DataFrame => Unit,
+      keepPrevious: Boolean = false): Unit = {
+    import graft.query.TimeSeries
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
+    val partials = TimeSeries.binTable(batch, groupCol, tsCol, binMillis,
+      measure)
+    val binsDir = foldGenState(spark, statePath, batchId, keepPrevious) {
+      case Some(prior) => prior.unionByName(partials)
+        .groupBy(col(groupCol), col("__bin"))
+        .agg(sum(col("x")).as("x"))
+      case None => partials
+    }
+    sink(TimeSeries.cusumOverBins(spark.read.parquet(binsDir), groupCol,
+      slack, decision))
+    commitBatch(spark, statePath, batchId)
+  }
 }

@@ -117,4 +117,50 @@ class StreamOpsSpec extends SparkSuite {
       .filter(org.apache.spark.sql.functions.col("ref_id") === 1L).count()
       > 0 && shingleRows > 0)
   }
+
+  test("cusumStream: each trigger's scores equal batch cusumBy over ALL " +
+      "data so far; LATE data re-scores exactly; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.query.TimeSeries
+    val st = java.nio.file.Files.createTempDirectory("scusum").toString
+    var last: Seq[(String, Long, Long, Long, Long, Boolean)] = Nil
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      last = df.collect().map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    def run(rows: Seq[(String, Timestamp)], batchId: Long): Unit =
+      StreamOps.processCusumBatch(rows.toDF("g", "ts"), batchId,
+        "g", "ts", 3600000L, lit(1L), slack = 0L, decision = 3L,
+        statePath = st, sink = sink)
+    def expect(all: Seq[(String, Timestamp)]) =
+      TimeSeries.cusumBy(all.toDF("g", "ts"), "g", "ts", 3600000L,
+          lit(1L), 0L, 3L)
+        .collect().map(r => (r.getString(0),
+          r.getAs[java.time.LocalDateTime](1)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val base = 1704067200000L
+    def mk(h: Int, n: Int, g: String = "A") =
+      (0 until n).map(i => (g, new Timestamp(base + h * 3600000L +
+        i * 1000L)))
+    val b0 = mk(0, 2) ++ mk(1, 2) ++ mk(2, 2) ++ mk(0, 5, "B")
+    run(b0, 0L)
+    assert(last.toSet == expect(b0).toSet && last.nonEmpty)
+    // batch 1: new bins ahead + a LATE event into hour 1 — the whole A
+    // series re-scores exactly as if the event had always been there
+    val b1 = mk(3, 7) ++ mk(1, 1)
+    run(b1, 1L)
+    assert(last.toSet == expect(b0 ++ b1).toSet)
+    // the sustained hour-3 burst alarms under the recomputed target
+    assert(last.exists(r => r._1 == "A" && r._6))
+    // crash-replay of batch 1: same id — ledger untouched, sink state
+    // unchanged after a fresh score pass
+    val snapshot = last
+    run(b1, 1L)
+    assert(last == snapshot)
+    // a new batch still folds
+    run(mk(4, 1), 2L)
+    assert(last.toSet == expect(b0 ++ b1 ++ mk(4, 1)).toSet)
+  }
 }
