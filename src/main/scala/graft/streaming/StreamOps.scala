@@ -680,4 +680,51 @@ object StreamOps {
       slack, decision))
     commitBatch(spark, statePath, batchId)
   }
+
+  /** STREAMING per-group uniform sample — the incremental twin of
+    * [[graft.ml.Sampling.perGroupSample]], exploiting that the hash-order
+    * bottom-k is MERGEABLE: `bottomK(A ∪ B) = bottomK(bottomK(A) ∪
+    * bottomK(B))`, so the ledger holds exactly k rows per group (the
+    * current sample IS the state — same contract as the index streams),
+    * each batch contributes only its own bottom-k, and the fold is a
+    * (group-partitioned) rank over ≤ 2k rows per group. After any prefix
+    * of batches the ledger equals the batch operator over all data so
+    * far at the same salt — determinism comes from the hash order, not
+    * arrival order, so it is also replay/shuffle-proof. Re-delivered
+    * rows (same id) dedupe on (group, id) keeping the identical copy.
+    */
+  def sampleStream(events: DataFrame, groupCol: String, idCol: String,
+                   k: Int, salt: String, statePath: String,
+                   sink: DataFrame => Unit, keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processSampleBatch(batch, batchId, groupCol, idCol, k, salt,
+        statePath, sink, keepPrevious)
+    }
+
+  /** One micro-batch of [[sampleStream]], exposed for replay specs. */
+  private[streaming] def processSampleBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, idCol: String, k: Int, salt: String,
+      statePath: String, sink: DataFrame => Unit,
+      keepPrevious: Boolean = false): Unit = {
+    import graft.ml.Sampling
+    require(k > 0, "k must be positive")
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
+    def bottomK(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(Sampling.bucket(col(idCol), salt).asc, col(idCol).asc)
+      df.dropDuplicates(groupCol, idCol)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .drop("__rk")
+    }
+    val dir = foldGenState(spark, statePath, batchId, keepPrevious) {
+      case Some(prior) => bottomK(prior.unionByName(bottomK(batch)))
+      case None => bottomK(batch)
+    }
+    sink(spark.read.parquet(dir))
+    commitBatch(spark, statePath, batchId)
+  }
 }

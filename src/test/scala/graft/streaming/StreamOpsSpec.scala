@@ -163,4 +163,45 @@ class StreamOpsSpec extends SparkSuite {
     run(mk(4, 1), 2L)
     assert(last.toSet == expect(b0 ++ b1 ++ mk(4, 1)).toSet)
   }
+
+  test("sampleStream: ledger after every batch equals batch " +
+      "perGroupSample over all data so far; replay and re-delivered " +
+      "rows are no-ops; payload columns ride along") {
+    import org.apache.spark.sql.functions._
+    import graft.ml.Sampling
+    val st = java.nio.file.Files.createTempDirectory("ssamp").toString
+    var last: Set[(String, Long, String)] = Set.empty
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      last = df.select("g", "id", "payload").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    def run(rows: Seq[(String, Long, String)], batchId: Long): Unit =
+      StreamOps.processSampleBatch(rows.toDF("g", "id", "payload"),
+        batchId, "g", "id", k = 3, salt = "e0", statePath = st,
+        sink = sink)
+    def expect(all: Seq[(String, Long, String)]) =
+      Sampling.perGroupSample(
+          all.toDF("g", "id", "payload").dropDuplicates("g", "id"),
+          "g", "id", 3, "e0")
+        .select("g", "id", "payload").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val b0 = (1L to 10L).map(i => ("A", i, s"p$i")) ++
+      (1L to 2L).map(i => ("B", i, s"q$i"))
+    run(b0, 0L)
+    assert(last == expect(b0) && last.count(_._1 == "A") == 3
+      && last.count(_._1 == "B") == 2)
+    // batch 1: more rows incl. a RE-DELIVERED row (A, 4) — no dup
+    val b1 = (11L to 25L).map(i => ("A", i, s"p$i")) ++
+      Seq(("A", 4L, "p4"), ("B", 3L, "q3"))
+    run(b1, 1L)
+    assert(last == expect(b0 ++ b1))
+    // crash-replay of batch 1: same id — ledger untouched
+    val snapshot = last
+    run(b1, 1L)
+    assert(last == snapshot)
+    // convergence continues across a third batch
+    val b2 = (26L to 40L).map(i => ("B", i, s"q$i"))
+    run(b2, 2L)
+    assert(last == expect(b0 ++ b1 ++ b2)
+      && last.count(_._1 == "B") == 3)
+  }
 }
