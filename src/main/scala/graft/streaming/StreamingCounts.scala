@@ -146,4 +146,39 @@ object StreamingCounts {
         groupCols.map(col) ++
         Seq(col("n"), col("sketch"))): _*)
   }
+
+  /** Live APDEX per tumbling window — the streaming twin of
+    * [[graft.query.TimeSeries.apdexBy]] with the window as the group:
+    * three running counters per (window, group), watermark-bounded
+    * state, the same exact doubled-numerator BIGINT score (division-form
+    * overflow guard included). Append mode emits each window's final
+    * score once when the watermark closes it — the per-window Apdex
+    * trend an SLO dashboard plots, incrementally.
+    */
+  def windowedApdex(events: DataFrame, timeCol: String,
+      quantized: Column, thresholdT: Long, binSeconds: Long,
+      delayThreshold: String = "10 minutes",
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(thresholdT > 0, "thresholdT must be positive")
+    val vq = quantized.cast("long")
+    val wm = events.withWatermark(timeCol, delayThreshold)
+    val win = window(col(timeCol), s"$binSeconds seconds")
+    val keys: Seq[Column] = win +: groupCols.map(col)
+    wm.groupBy(keys: _*)
+      .agg(count(lit(1)).as("total"),
+        sum(when(vq <= thresholdT, 1L).otherwise(0L)).as("satisfied"),
+        sum(when(vq > thresholdT && vq <= 4L * thresholdT, 1L)
+          .otherwise(0L)).as("tolerating"))
+      .select((Seq(col("window.start").as("bin_start"),
+        col("window.end").as("bin_end")) ++
+        groupCols.map(col) ++
+        Seq(col("total"), col("satisfied"), col("tolerating"),
+          (col("total") - col("satisfied") - col("tolerating"))
+            .as("frustrated"),
+          when(col("total") <= lit(Long.MaxValue / 2000000L),
+            expr("(2 * satisfied + tolerating) * 1000000 div (2 * total)"))
+            .otherwise(expr("raise_error('windowedApdex: window count " +
+              "overflows the exact micro grid — bin finer')").cast("long"))
+            .as("apdex_micro"))): _*)
+  }
 }

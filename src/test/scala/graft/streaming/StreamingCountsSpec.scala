@@ -179,4 +179,47 @@ class StreamingCountsSpec extends SparkSuite {
       assert(top.getAs[Long]("estimate") == 60L) // exact below map capacity
     } finally q.stop()
   }
+
+  test("windowedApdex: per-window scores finalize exactly (T=100: " +
+      "satisfied/tolerating/frustrated buckets, half-weighted micro " +
+      "score)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val out = StreamingCounts.windowedApdex(
+      input.toDF().toDF("ts", "svc", "lat"), "ts", col("lat"),
+      thresholdT = 100L, binSeconds = 60,
+      delayThreshold = "30 seconds", groupCols = Seq("svc"))
+    val q = out.writeStream.format("memory").queryName("apdex_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // window 1, svc a: 2 sat (50,100), 1 tol (250), 1 frus (900)
+      input.addData(
+        (new Timestamp(t0), "a", 50L), (new Timestamp(t0 + 1000), "a", 100L),
+        (new Timestamp(t0 + 2000), "a", 250L),
+        (new Timestamp(t0 + 3000), "a", 900L),
+        (new Timestamp(t0 + 4000), "b", 10L))
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 180_000), "a", 10L)) // advance wm
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 240_000), "a", 10L))
+      q.processAllAvailable()
+      val rows = spark.table("apdex_out")
+        .select("svc", "total", "satisfied", "tolerating", "frustrated",
+          "apdex_micro")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+      assert(rows("a") == ((4L, 2L, 1L, 1L, 625000L)))
+      assert(rows("b") == ((1L, 1L, 0L, 0L, 1000000L)))
+      // matches the batch twin on the same window's rows
+      val batch = graft.query.TimeSeries.apdexBy(
+          Seq(("a", 50L), ("a", 100L), ("a", 250L), ("a", 900L))
+            .toDF("svc", "lat"), Seq("svc"), col("lat"), 100L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).head
+      assert(rows("a") == batch)
+    } finally q.stop()
+  }
 }
