@@ -179,4 +179,33 @@ class PlanShapeSpec extends SparkSuite {
     // the pair-set-sized label table must not shuffle the corpus side
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_metric_cusum: every window PARTITIONS by the series key; the " +
+      "per-series target broadcasts") {
+    val p = plan("q_metric_cusum")
+    // windowspecdefinition(event_type, __bin ASC ...) — never an empty
+    // partition spec over the corpus of bins
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!p.contains("windowspecdefinition(__bin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_metric_hist_quantile: windows run over BUCKET rows keyed by " +
+      "group, and the plan is pure hash-aggregate + window (no join at " +
+      "all)") {
+    val p = plan("q_metric_hist_quantile")
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_metric_apdex: one conditional-sum hash aggregate, no window, " +
+      "no join") {
+    val p = plan("q_metric_apdex")
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
 }
