@@ -134,4 +134,34 @@ class KernelCodegenSpec extends SparkSuite {
       spark.conf.set(fallbackKey, prevFallback)
     }
   }
+
+  test("unigram kernels (AllSubstrings, UnigramPieces) compile and match " +
+      "interpreted eval — same forwarder net as the five") {
+    val wAttr = AttributeReference("w", StringType)()
+    val tAttr = AttributeReference("t", ArrayType(StringType))()
+    val uAttrs = Seq(wAttr, tAttr)
+    val model = new UnigramModel(
+      Seq("l" -> -3.0, "o" -> -3.0, "w" -> -3.0, "low" -> -1.0),
+      "<unk>", -10.0)
+    val ks: Seq[Expression] = Seq(
+      AllSubstrings(wAttr, maxLen = 3),
+      UnigramPieces(tAttr, model))
+    val bound = ks.map(BindReferences.bindReference[Expression](_, uAttrs))
+    val proj = GenerateUnsafeProjection.generate(bound) // throws on Janino failure
+    val row = InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("low"),
+      new GenericArrayData(Array(
+        org.apache.spark.unsafe.types.UTF8String.fromString("lowlow"))))
+    val out = proj(row)
+    val interp = bound.map(_.eval(row))
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def strs(a: ArrayData): Seq[String] =
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    assert(strs(out.getArray(0)) ==
+      strs(interp(0).asInstanceOf[ArrayData]))
+    assert(strs(out.getArray(0)) == Seq("l", "lo", "low", "o", "ow", "w"))
+    assert(strs(out.getArray(1)) ==
+      strs(interp(1).asInstanceOf[ArrayData]))
+    assert(strs(out.getArray(1)) == Seq("low", "low"))
+  }
 }
