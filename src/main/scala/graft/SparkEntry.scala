@@ -2010,6 +2010,29 @@ object SparkEntry {
       Eval.ndcgAtK(ranked, judgments, 10).orderBy(col("q_id"))
     }),
 
+    // ML: macro nDCG — the headline graded-eval scalar over the same
+    // per-query table (undefined queries excluded from the mean, not
+    // zeroed; exact BIGINT micro mean).
+    "q_eval_ndcg_summary" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
+          Seq(col("tf").desc, col("doc_id").asc), 10)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val judgments = cand.select(col("q_id"), col("doc_id"),
+        when(col("lang") === "en", 2L).otherwise(1L).as("grade"))
+      Eval.ndcgSummary(Eval.ndcgAtK(ranked, judgments, 10))
+    }),
+
     // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
     // PR twin of the per-group AUC): group-partitioned rank walk,
     // per-positive prec@k on the micro grid, executor-side division.
@@ -3209,6 +3232,14 @@ object SparkEntry {
           "e AS ce FROM v WHERE vec_id % 2 = 0")
         .replace("FROM v ORDER BY vec_id ASC LIMIT 16",
           "FROM v WHERE vec_id % 2 = 0 ORDER BY vec_id ASC LIMIT 16")) +
+      // macro nDCG = one outer aggregate over the per-query oracle
+      ("q_eval_ndcg_summary" ->
+        ("SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+          "CAST(sum(CASE WHEN ndcg_micro IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_scored, " +
+          "CAST(sum(ndcg_micro) // nullif(sum(CASE WHEN ndcg_micro IS " +
+          "NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS macro_ndcg_micro " +
+          s"FROM (${oracleBase("q_eval_ndcg")}) b")) +
       ("q_hybrid_persisted" -> oracleBase("q_hybrid_rrf")) +
       // persisted three-leg blend == the ad-hoc blend at full probe
       // depth (HybridSpec-pinned), so it shares q_hybrid_prior's oracle

@@ -417,6 +417,21 @@ object Eval {
       expr("sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000 " +
         "div count(1)").as("success_rate_micro"))
 
+  /** MACRO SUMMARY over [[ndcgAtK]] output — the headline graded-eval
+    * number: judged-query count, how many have a defined nDCG (idcg >
+    * 0), and the macro mean over THOSE (exact BIGINT micro mean; an
+    * all-zero-grade query is undefined, not zero — averaging it in
+    * would punish unanswerable queries). One aggregate.
+    * Returns (n_queries, n_scored, macro_ndcg_micro — null when
+    * nothing scored).
+    */
+  def ndcgSummary(ndcg: DataFrame): DataFrame =
+    ndcg.agg(count(lit(1)).as("n_queries"),
+      sum(when(col("ndcg_micro").isNotNull, 1L).otherwise(0L))
+        .as("n_scored"),
+      expr("sum(ndcg_micro) div nullif(sum(CASE WHEN ndcg_micro IS NOT " +
+        "NULL THEN 1 ELSE 0 END), 0)").as("macro_ndcg_micro"))
+
   /** CALIBRATION BINS (reliability diagram): equal-width score bins over
     * `[lo, hi)`, per bin the count, positive count, and empirical
     * positive rate on the micro grid — "when the scorer says 0.8, is it

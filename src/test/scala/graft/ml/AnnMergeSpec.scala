@@ -113,6 +113,27 @@ class AnnMergeSpec extends SparkSuite {
         assert(!m.collect().map(_.getAs[Long]("n_id")).contains(310L))
       }
     }
+    // refined (k-means) codebook: the merge reads the persisted model,
+    // so Lloyd-refined codebooks re-encode just as the seeded ones do
+    {
+      val ia = tmp("mgpAr"); val ib = tmp("mgpBr")
+      val out = tmp("mgpOr"); val ref = tmp("mgpRr")
+      Similarity.saveIvfPqIndex(a, "vec_id", "embedding", 8, ia,
+        refineIters = 2, coarseIters = 1)
+      Similarity.saveIvfPqIndex(b, "vec_id", "embedding", 8, ib,
+        keepRawVectors = true)
+      Similarity.mergeIvfPqIndexes(spark, ia, ib, out)
+      Similarity.saveIvfPqIndex(a, "vec_id", "embedding", 8, ref,
+        refineIters = 2, coarseIters = 1)
+      Similarity.appendToIvfPqIndex(spark, b, "vec_id", "embedding", ref)
+      val q = e.filter($"vec_id" < 5L)
+      val m = Similarity.ivfPqSearchPersisted(spark, out, q, "vec_id",
+        "embedding", k = 3, nProbe = 8)
+      val r = Similarity.ivfPqSearchPersisted(spark, ref, q, "vec_id",
+        "embedding", k = 3, nProbe = 8)
+      assert(rows(m) == rows(r) && rows(m).nonEmpty, "refined codebook")
+    }
+
     // raw-less B: loud error naming the fix
     val ia2 = tmp("mgpA2"); val ib2 = tmp("mgpB2")
     Similarity.saveIvfPqIndex(a, "vec_id", "embedding", 8, ia2)

@@ -220,6 +220,18 @@ class EvalSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
     assert(dup == out)
+    // macro summary: q3 (all-zero grades) is UNDEFINED — excluded from
+    // the mean, not zeroed into it
+    val s = Eval.ndcgSummary(Eval.ndcgAtK(ranking, judgments, 10))
+      .collect().head
+    assert(s.getLong(0) == 4L && s.getLong(1) == 3L)
+    val defined = out.filter(_._4 >= 0).map(_._4)
+    assert(s.getLong(2) == defined.sum / defined.size)
+    // nothing scored → null mean, not a division error
+    val none = Eval.ndcgSummary(Eval.ndcgAtK(ranking,
+      Seq((9L, 1L, 0L)).toDF("q_id", "doc_id", "grade"), 10))
+      .collect().head
+    assert(none.getLong(0) == 1L && none.getLong(1) == 0L && none.isNullAt(2))
   }
 
   test("prCurve matches the brute-force walk and integrates to apExact") {
