@@ -279,13 +279,21 @@ object TimeSeries {
     require(slack >= 0 && decision > 0,
       "need slack >= 0, decision > 0")
     val g = col(groupCol)
-    val target = binned.groupBy(g)
-      .agg(expr("sum(x) div count(1)").as("mu_"))
+    // the per-series target rides the SAME partition the cumulative
+    // windows need: a whole-partition window (no orderBy → full frame)
+    // computes Σx and the bin count per group, so the plan is ONE scan
+    // → ONE exchange on the group key → windows — no second corpus
+    // scan and no join for the μ side (the r16 plan audit caught the
+    // join form re-scanning the source twice)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(g)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g).orderBy(col("__bin"))
     val cum = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    binned.join(broadcast(target), Seq(groupCol))
+    binned
+      .withColumn("__tot", sum(col("x")).over(wg))
+      .withColumn("__nb", count(lit(1)).over(wg))
+      .withColumn("mu_", expr("__tot div __nb"))
       .withColumn("__sp", sum(col("x") - col("mu_") - lit(slack)).over(cum))
       .withColumn("__sn", sum(col("mu_") - col("x") - lit(slack)).over(cum))
       .withColumn("s_pos",

@@ -180,16 +180,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q_metric_cusum: every window PARTITIONS by the series key; the " +
-      "per-series target broadcasts") {
+  test("q_metric_cusum: ONE source scan, every window PARTITIONS by the " +
+      "series key, no join at all (the per-series target is a " +
+      "whole-partition window on the same exchange)") {
     val p = plan("q_metric_cusum")
-    // windowspecdefinition(event_type, __bin ASC ...) — never an empty
-    // partition spec over the corpus of bins
+    // windowspecdefinition(event_type, ...) — never an empty partition
+    // spec over the corpus of bins
     assert(p.contains("windowspecdefinition(event_type"), p)
     assert(!p.contains("windowspecdefinition(__bin"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    // exactly one parquet scan: the join form re-scanned events twice
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
   test("q_metric_hist_quantile: windows run over BUCKET rows keyed by " +
