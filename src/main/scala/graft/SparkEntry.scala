@@ -421,6 +421,17 @@ object SparkEntry {
             .map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))),
 
+    // ML: Gopher-style document filter rules (Rae et al. 2021 Table A1)
+    // — word-count and mean-word-length bands, symbol/bullet/ellipsis
+    // ratios, alpha-word share, stopword presence. Every threshold is an
+    // INTEGER comparison (no division) — scan-speed per-row predicates.
+    "q_text_gopher" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextAnalysis.gopherFlags(col("text"), minWords = 50)
+            .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))),
+
     // ML: exact dedup — hash-groupBy on normalized content.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -1757,6 +1768,14 @@ object SparkEntry {
             col("event_type") === "purchase"))
         .orderBy(col("step"))),
 
+    // Product analytics: path transitions ("what happens next") — per
+    // user consecutive event-type pairs ordered by (ts, event_id), a
+    // 6 h gap break, top-15 edges by count. One per-user window + one
+    // (src, dst) hash aggregate + TakeOrdered.
+    "q_event_paths" -> ((s, dir) =>
+      Analytics.pathTransitions(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", maxGapMillis = 21600000L, topK = 15)),
+
     // Product analytics: weekly cohort retention (signup cohort × weeks
     // since, distinct active users).
     "q_retention_cohort" -> ((s, dir) =>
@@ -2031,6 +2050,55 @@ object SparkEntry {
       val judgments = cand.select(col("q_id"), col("doc_id"),
         when(col("lang") === "en", 2L).otherwise(1L).as("grade"))
       Eval.ndcgSummary(Eval.ndcgAtK(ranked, judgments, 10))
+    }),
+
+    // ML: PRECISION@K / RECALL@K — the rank-cut metrics over the same
+    // retrieval scaffolding (k=5 inside the top-10 ranking); trec_eval
+    // convention (P@k divides by k itself), exact micro divisions.
+    "q_eval_prec_at_k" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
+          Seq(col("tf").desc, col("doc_id").asc), 10)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val relevant = cand.filter(col("lang") === "en")
+        .select(col("q_id"), col("doc_id"))
+      Eval.precisionAtK(ranked, relevant, 5).orderBy(col("q_id"))
+    }),
+
+    // ML: RETRIEVAL TOPLINE — one dashboard row joining the binary
+    // macro summary (MRR / recall / success) with the graded one
+    // (macro nDCG@10): a cross join of two 1-row aggregates.
+    "q_eval_topline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
+          Seq(col("tf").desc, col("doc_id").asc), 10)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val relevant = cand.filter(col("lang") === "en")
+        .select(col("q_id"), col("doc_id"))
+      val judgments = cand.select(col("q_id"), col("doc_id"),
+        when(col("lang") === "en", 2L).otherwise(1L).as("grade"))
+      Eval.retrievalTopline(Eval.retrievalMetrics(ranked, relevant),
+        Eval.ndcgAtK(ranked, judgments, 10))
     }),
 
     // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
@@ -4798,6 +4866,53 @@ object SparkEntry {
         |    AND NOT contains(text, '{')) AS keep
         |FROM toks ORDER BY doc_id""".stripMargin,
 
+    "q_text_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, ' +'), x -> x != '') AS tk,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+        |      AS BIGINT) AS tok_chars,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS hash_hits,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS BIGINT)
+        |      AS ellipsis_hits,
+        |    CAST(len(ln) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ln, x -> regexp_matches(x,
+        |      '^\s*[•\-\*]'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(ln, x -> regexp_matches(x,
+        |      '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(list_distinct(tk), x -> x IN ('the', 'be',
+        |      'to', 'of', 'and', 'that', 'have', 'with'))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, tok_chars, alpha_words, hash_hits,
+        |  ellipsis_hits, n_lines, bullet_lines, ellipsis_lines, stop_hits,
+        |  n_words BETWEEN 50 AND 100000 AS word_count_ok,
+        |  tok_chars BETWEEN 3 * n_words AND 10 * n_words AS word_len_ok,
+        |  hash_hits * 10 <= n_words AS hash_ok,
+        |  ellipsis_hits * 10 <= n_words AS ellipsis_ok,
+        |  bullet_lines * 10 <= n_lines * 9 AS bullet_ok,
+        |  ellipsis_lines * 10 <= n_lines * 3 AS ellipsis_line_ok,
+        |  alpha_words * 5 >= n_words * 4 AS alpha_ok,
+        |  stop_hits >= 2 AS stopword_ok,
+        |  ((n_words BETWEEN 50 AND 100000)
+        |    AND (tok_chars BETWEEN 3 * n_words AND 10 * n_words)
+        |    AND hash_hits * 10 <= n_words
+        |    AND ellipsis_hits * 10 <= n_words
+        |    AND bullet_lines * 10 <= n_lines * 9
+        |    AND ellipsis_lines * 10 <= n_lines * 3
+        |    AND alpha_words * 5 >= n_words * 4
+        |    AND stop_hits >= 2) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != ''))
@@ -6179,6 +6294,21 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
 
+    "q_event_paths" ->
+      """WITH e AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER w AS dst,
+        |    epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS gap_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |agg AS (
+        |  SELECT src, dst, count(*) AS n FROM e
+        |  WHERE dst IS NOT NULL AND gap_ms <= 21600000 GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, src, dst) AS BIGINT)
+        |    AS rk
+        |FROM agg ORDER BY n DESC, src, dst LIMIT 15""".stripMargin,
+
     "q_retention_cohort" ->
       """WITH su AS (
         |  SELECT user_id, min(ts) AS t0 FROM events
@@ -6525,6 +6655,111 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000
         |    // count(*) AS BIGINT) AS success_rate_micro
         |FROM m""".stripMargin,
+
+    "q_eval_prec_at_k" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, lang, tf FROM tf JOIN q ON term = qterm),
+        |ranked AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, doc_id ASC) AS rk
+        |    FROM cand)
+        |  WHERE rk <= 10),
+        |rel AS (SELECT DISTINCT q_id, doc_id FROM cand WHERE lang = 'en'),
+        |nr AS (SELECT q_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (
+        |  SELECT r.q_id, count(*) AS hits_k
+        |  FROM ranked r JOIN rel USING (q_id, doc_id)
+        |  WHERE rk <= 5 GROUP BY 1)
+        |SELECT nr.q_id, nr.n_rel,
+        |  CAST(COALESCE(hits_k, 0) AS BIGINT) AS hits_k,
+        |  CAST(COALESCE(hits_k, 0) * 1000000 // 5 AS BIGINT)
+        |    AS p_at_k_micro,
+        |  CAST(COALESCE(hits_k, 0) * 1000000 // n_rel AS BIGINT)
+        |    AS recall_at_k_micro
+        |FROM nr LEFT JOIN h ON nr.q_id = h.q_id ORDER BY nr.q_id""".stripMargin,
+
+    "q_eval_topline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, lang, tf FROM tf JOIN q ON term = qterm),
+        |ranked AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, doc_id ASC) AS rk
+        |    FROM cand)
+        |  WHERE rk <= 10),
+        |rel AS (SELECT DISTINCT q_id, doc_id FROM cand WHERE lang = 'en'),
+        |nr AS (SELECT q_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (
+        |  SELECT r.q_id, count(*) AS hits, min(rk) AS first_rank
+        |  FROM ranked r JOIN rel USING (q_id, doc_id) GROUP BY 1),
+        |m AS (
+        |  SELECT nr.q_id,
+        |    COALESCE(1000000 // first_rank, 0) AS rr_micro,
+        |    COALESCE(hits, 0) * 1000000 // n_rel AS recall_micro,
+        |    COALESCE(hits, 0) AS hits
+        |  FROM nr LEFT JOIN h ON nr.q_id = h.q_id),
+        |bin AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |    CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro,
+        |    CAST(sum(recall_micro) // count(*) AS BIGINT)
+        |      AS macro_recall_micro,
+        |    CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000
+        |      // count(*) AS BIGINT) AS success_rate_micro
+        |  FROM m),
+        |jud AS (
+        |  SELECT q_id, doc_id,
+        |    CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS g
+        |  FROM cand),
+        |dcg AS (
+        |  SELECT j.q_id, sum(CAST(floor(((1000000.0 * CAST(g AS DOUBLE))
+        |      * 0.6931471805599453) / ln(CAST(rk AS DOUBLE) + 1.0))
+        |    AS BIGINT)) AS dcg_micro
+        |  FROM ranked r JOIN jud j USING (q_id, doc_id) GROUP BY 1),
+        |ideal AS (
+        |  SELECT q_id, g, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY g DESC, doc_id ASC) AS irk
+        |  FROM jud WHERE g > 0),
+        |idcg AS (
+        |  SELECT q_id, sum(CAST(floor(((1000000.0 * CAST(g AS DOUBLE))
+        |      * 0.6931471805599453) / ln(CAST(irk AS DOUBLE) + 1.0))
+        |    AS BIGINT)) AS idcg_micro
+        |  FROM ideal WHERE irk <= 10 GROUP BY 1),
+        |nd AS (
+        |  SELECT jq.q_id,
+        |    CASE WHEN COALESCE(idcg_micro, 0) > 0 THEN
+        |      CAST(COALESCE(dcg_micro, 0) * 1000000 // idcg_micro AS BIGINT)
+        |    END AS ndcg_micro
+        |  FROM (SELECT DISTINCT q_id FROM jud) jq
+        |  LEFT JOIN dcg USING (q_id) LEFT JOIN idcg USING (q_id)),
+        |gsum AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ndcg_micro IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_scored,
+        |    CAST(sum(ndcg_micro) // nullif(sum(CASE WHEN ndcg_micro IS NOT
+        |      NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS macro_ndcg_micro
+        |  FROM nd)
+        |SELECT * FROM bin CROSS JOIN gsum""".stripMargin,
 
     "q_eval_ndcg" ->
       """WITH tk AS (

@@ -417,6 +417,47 @@ object Eval {
       expr("sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000 " +
         "div count(1)").as("success_rate_micro"))
 
+  /** PRECISION@K / RECALL@K per judged query — the rank-cut twins of
+    * [[retrievalMetrics]] (which scores the WHOLE ranking): how good are
+    * the first `k` results. trec_eval convention: the denominator of
+    * P@k is `k` itself (a query that returns fewer than k docs is
+    * penalized, not excused). Dedupe mirrors [[retrievalMetrics]]
+    * exactly — best (min) rank per ranked (q_id, doc_id), distinct
+    * judgments — and queries judged but with nothing in the top k score
+    * 0. Shape: one rank-filtered equi-join + two keyed hash aggregates,
+    * nothing corpus-sized. Returns per judged query:
+    * (q_id, n_rel, hits_k, p_at_k_micro, recall_at_k_micro).
+    */
+  def precisionAtK(ranking: DataFrame, relevant: DataFrame,
+                   k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rel = relevant.select(col("q_id"), col("doc_id")).distinct()
+    val nRel = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    val rk1 = ranking.select(col("q_id"), col("doc_id"), col("rk"))
+      .groupBy(col("q_id"), col("doc_id")).agg(min(col("rk")).as("rk"))
+      .filter(col("rk") <= k)
+    val hitsK = rk1.join(rel, Seq("q_id", "doc_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits_k"))
+    nRel.join(hitsK, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("hits_k"), lit(0L)).as("hits_k"),
+        expr(s"coalesce(hits_k, 0) * 1000000 div $k").as("p_at_k_micro"),
+        expr("coalesce(hits_k, 0) * 1000000 div n_rel")
+          .as("recall_at_k_micro"))
+  }
+
+  /** ONE-ROW RETRIEVAL TOPLINE — the dashboard headline joining the
+    * binary-judgment macro summary ([[retrievalSummary]]) with the
+    * graded one ([[ndcgSummary]]): n_queries, MRR, macro recall,
+    * success rate, plus n_scored / macro nDCG from the graded side.
+    * Both inputs are single-row aggregates, so the combine is a
+    * broadcast-trivial cross join of two 1-row frames — no key needed,
+    * no scale concern. Column names stay distinct by construction.
+    */
+  def retrievalTopline(metrics: DataFrame, ndcg: DataFrame): DataFrame =
+    retrievalSummary(metrics).crossJoin(
+      ndcgSummary(ndcg).select(col("n_scored"), col("macro_ndcg_micro")))
+
   /** MACRO SUMMARY over [[ndcgAtK]] output — the headline graded-eval
     * number: judged-query count, how many have a defined nDCG (idcg >
     * 0), and the macro mean over THOSE (exact BIGINT micro mean; an

@@ -255,6 +255,65 @@ object TextAnalysis {
       "keep" -> ((nWords >= minWords) && (blockHits === 0L) && !text.contains("{")))
   }
 
+  /** Gopher-style document filter rules (Rae et al. 2021 Table A1) — the
+    * standard pre-training quality gate alongside [[c4Flags]]: word-count
+    * band, mean-word-length band [3,10], hash / ellipsis symbol-to-word
+    * ratios ≤ 0.1, bullet-started lines ≤ 90%, ellipsis-ended lines
+    * ≤ 30%, words-with-an-alphabetic-character ≥ 80%, and ≥ 2 distinct
+    * stopwords present (Gopher's 8-word set).
+    *
+    * Every threshold compares INTEGERS (`tok_chars BETWEEN 3·n AND
+    * 10·n`, `hash_hits·10 ≤ n`, `alpha_words·5 ≥ 4·n`, …) — no division,
+    * no floats, bit-identical across engines, and empty documents flag
+    * deterministically instead of yielding NULL ratios. Pure per-row
+    * column arithmetic: a narrow codegen'd projection, no shuffle — at
+    * 100 TB this runs at scan speed like [[c4Flags]].
+    */
+  def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      stopset: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val tokChars = nat(toks)(SumTokenChars(_))
+    val alphaWords =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    def occurrences(needle: String): Column =
+      ((length(text) -
+        length(regexp_replace(text, java.util.regex.Pattern.quote(needle),
+          ""))) / needle.length).cast("long")
+    val hashHits = occurrences("#")
+    val ellipsisHits = occurrences("...") + occurrences("…")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+        .cast("long")
+    val stopHits = size(filter(array_distinct(toks),
+      t => t.isin(stopset.map(lit(_)): _*))).cast("long")
+    val flags = Seq(
+      "word_count_ok" -> nWords.between(minWords, maxWords),
+      "word_len_ok" -> tokChars.between(lit(3L) * nWords, lit(10L) * nWords),
+      "hash_ok" -> (hashHits * 10 <= nWords),
+      "ellipsis_ok" -> (ellipsisHits * 10 <= nWords),
+      "bullet_ok" -> (bulletLines * 10 <= nLines * 9),
+      "ellipsis_line_ok" -> (ellipsisLines * 10 <= nLines * 3),
+      "alpha_ok" -> (alphaWords * 5 >= nWords * 4),
+      "stopword_ok" -> (stopHits >= 2))
+    Seq(
+      "n_words" -> nWords,
+      "tok_chars" -> tokChars.cast("long"),
+      "alpha_words" -> alphaWords,
+      "hash_hits" -> hashHits,
+      "ellipsis_hits" -> ellipsisHits,
+      "n_lines" -> nLines,
+      "bullet_lines" -> bulletLines,
+      "ellipsis_lines" -> ellipsisLines,
+      "stop_hits" -> stopHits) ++ flags ++
+      Seq("keep" -> flags.map(_._2).reduce(_ && _))
+  }
+
   /** Greedy WordPiece application (BERT inference tokenization) against a
     * fixed subword vocabulary — the "tokenizer apply" step downstream of
     * [[vocabulary]] induction: per whitespace token, longest-match pieces

@@ -227,4 +227,41 @@ object Analytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
+
+  /** PATH TRANSITIONS (the Sankey / "what do users do next" readout):
+    * per user, events ordered by `(ts, idCol)` (the id tie-break makes
+    * the sequence deterministic when timestamps collide) yield
+    * consecutive `(src, dst)` event-type pairs; a pair only counts when
+    * the step gap is ≤ `maxGapMillis` (a session-style break — the
+    * overnight "purchase → login" edge is noise, not a path). Returns
+    * the `topK` heaviest edges: (src, dst, n, rk), ordered by
+    * (n DESC, src, dst) with a deterministic tie-break.
+    *
+    * Shape: one window PARTITIONED by user (keyed exchange — never the
+    * whole stream in one partition), one hash aggregate over
+    * (src, dst) — at most |event types|² rows, map-side combined — and
+    * a TakeOrdered top-k ([[graft.operators.TopK.rankedLimit]], no
+    * global sort). At 100 TB the only full-data shuffle is the per-user
+    * window, the same exchange sessionization already pays.
+    */
+  def pathTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String,
+      maxGapMillis: Long = Long.MaxValue, topK: Int = 20): DataFrame = {
+    require(topK > 0 && maxGapMillis > 0,
+      "topK and maxGapMillis must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val edges = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .withColumn("gap_ms",
+        lead(unix_millis(col(tsCol).cast("timestamp")), 1).over(w) -
+          unix_millis(col(tsCol).cast("timestamp")))
+      .filter(col("dst").isNotNull && col("gap_ms") <= maxGapMillis)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.TopK.rankedLimit(edges,
+      Seq(col("n").desc, col("src").asc, col("dst").asc), topK)
+  }
 }

@@ -375,4 +375,54 @@ class EvalSpec extends SparkSuite {
       Eval.thresholdSweep(df, "score", "y", Nil)
     }
   }
+
+  test("precisionAtK: trec convention (divide by k), rank cut, dup " +
+      "dedupe, zero-hit and never-ranked queries score 0") {
+    val ranking = Seq(
+      // q0: rel docs at rk 1,2,7 — only 2 inside k=5
+      (0L, 100L, 1L), (0L, 101L, 2L), (0L, 102L, 3L), (0L, 103L, 7L),
+      // q1: relevant doc duplicated at rk 6 and 3 — best rank 3 counts
+      (1L, 200L, 6L), (1L, 200L, 3L),
+      // q2: nothing relevant in the ranking
+      (2L, 300L, 1L))
+      .toDF("q_id", "doc_id", "rk")
+    val relevant = Seq(
+      (0L, 100L), (0L, 101L), (0L, 103L), (0L, 999L),
+      (1L, 200L), (1L, 201L),
+      (2L, 888L),
+      (3L, 777L)) // judged, never ranked
+      .toDF("q_id", "doc_id")
+    val out = Eval.precisionAtK(ranking, relevant, 5)
+      .orderBy($"q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (0L, 4L, 2L, 400000L, 500000L),   // hits@5 = rk1,2 (rk7 cut)
+      (1L, 2L, 1L, 200000L, 500000L),   // dup collapses to best rank 3
+      (2L, 1L, 0L, 0L, 0L),
+      (3L, 1L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Eval.precisionAtK(ranking, relevant, 0)
+    }
+  }
+
+  test("retrievalTopline: one row combining the binary macro summary " +
+      "with macro nDCG") {
+    val ranking = Seq((0L, 10L, 1L), (1L, 20L, 1L))
+      .toDF("q_id", "doc_id", "rk")
+    val relevant = Seq((0L, 10L), (1L, 99L)).toDF("q_id", "doc_id")
+    val judgments = Seq((0L, 10L, 2L), (1L, 20L, 0L))
+      .toDF("q_id", "doc_id", "grade")
+    val out = Eval.retrievalTopline(
+      Eval.retrievalMetrics(ranking, relevant),
+      Eval.ndcgAtK(ranking, judgments, 10)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("n_queries")) == 2L)
+    assert(r.getLong(r.fieldIndex("mrr_micro")) == 500000L)
+    assert(r.getLong(r.fieldIndex("success_rate_micro")) == 500000L)
+    // q1 has idcg 0 -> excluded; q0 is perfect -> macro nDCG = 1e6
+    assert(r.getLong(r.fieldIndex("n_scored")) == 1L)
+    assert(r.getLong(r.fieldIndex("macro_ndcg_micro")) == 1000000L)
+  }
 }

@@ -300,4 +300,43 @@ class TextAnalysisSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
   }
+
+  test("gopherFlags: each rule trips on a crafted document, integer " +
+      "thresholds are exact at the boundary") {
+    import org.apache.spark.sql.functions.col
+    def flagsOf(text: String, minWords: Int = 2): Map[String, Any] = {
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalysis.gopherFlags(col("text"), minWords = minWords)
+          .map { case (n, c) => c.as(n) }: _*)
+        .collect().head
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    }
+    // a clean document passes every rule
+    val good = flagsOf("the cat sat with all of that good gear here now")
+    assert(good("keep") == true && good("stop_hits") == 4L)
+    // word-count band (n_words = 1 < minWords 2)
+    assert(flagsOf("word")("word_count_ok") == false)
+    // mean-word-length band: 11-char words exceed the [3,10] band;
+    // boundary: exactly 10 still passes (inclusive)
+    assert(flagsOf("abcdefghijk abcdefghijk")("word_len_ok") == false)
+    assert(flagsOf("abcdefghij abcdefghij")("word_len_ok") == true)
+    // hash symbol ratio: 1 hash per 10 words is the inclusive edge
+    val hashEdge = flagsOf("# one two three four five six seven eight nine")
+    assert(hashEdge("hash_hits") == 1L && hashEdge("hash_ok") == true)
+    assert(flagsOf("# one two three")("hash_ok") == false)
+    // ellipsis counts both the 3-dot spelling and the unicode char
+    val ell = flagsOf("wait... or wait… but ok")
+    assert(ell("ellipsis_hits") == 2L && ell("ellipsis_ok") == false)
+    // bullet lines / ellipsis-ended lines over a multi-line doc
+    val lines = flagsOf("- a bullet\n- another\nplain ends...\nalso ends…")
+    assert(lines("n_lines") == 4L && lines("bullet_lines") == 2L &&
+      lines("ellipsis_lines") == 2L && lines("bullet_ok") == true &&
+      lines("ellipsis_line_ok") == false) // 2/4 > 0.3
+    // alpha-word share: symbols-only words fail the 80% floor
+    val alpha = flagsOf("123 456 789 #### real")
+    assert(alpha("alpha_words") == 1L && alpha("alpha_ok") == false)
+    // stopword presence needs >= 2 DISTINCT stopwords
+    assert(flagsOf("the the the cat")("stopword_ok") == false)
+    assert(flagsOf("the cat of note")("stopword_ok") == true)
+  }
 }

@@ -156,4 +156,42 @@ class AnalyticsSpec extends SparkSuite {
     // week 0: both signups (+u1 click); week 1: both users active
     assert(out.toSeq == Seq((0L, 2L), (1L, 2L)))
   }
+
+  test("pathTransitions: per-user consecutive pairs, gap break, id " +
+      "tie-break, deterministic top-k order") {
+    val ev = Seq(
+      // u1: view -> click -> purchase, then an 8h gap to view (broken)
+      (10L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (11L, 1L, "click", ts("2024-01-01 10:05:00")),
+      (12L, 1L, "purchase", ts("2024-01-01 10:10:00")),
+      (13L, 1L, "view", ts("2024-01-01 18:30:00")),
+      // u2: same-timestamp pair — event_id must decide the order
+      (21L, 2L, "view", ts("2024-01-01 09:00:00")),
+      (20L, 2L, "click", ts("2024-01-01 09:00:00")),
+      // u3: view -> click again (makes view->click the heaviest edge)
+      (30L, 3L, "view", ts("2024-01-01 11:00:00")),
+      (31L, 3L, "click", ts("2024-01-01 11:30:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.pathTransitions(ev, "user_id", "ts",
+        "event_type", "event_id", maxGapMillis = 6L * 3600 * 1000,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // u2's tied pair orders by event_id: 20 (click) then 21 (view)
+    assert(out == Seq(
+      ("view", "click", 2L, 1L),
+      ("click", "purchase", 1L, 2L),
+      ("click", "view", 1L, 3L)))
+    // purchase -> view (8h 20m gap) was dropped by the 6h break
+    assert(!out.exists(e => e._1 == "purchase"))
+    // topK truncates: heaviest edge only
+    val top1 = Analytics.pathTransitions(ev, "user_id", "ts",
+      "event_type", "event_id", topK = 1).collect()
+    assert(top1.length == 1 &&
+      top1.head.getString(0) == "view" && top1.head.getLong(2) == 2L)
+    intercept[IllegalArgumentException] {
+      Analytics.pathTransitions(ev, "user_id", "ts", "event_type",
+        "event_id", topK = 0)
+    }
+  }
 }
