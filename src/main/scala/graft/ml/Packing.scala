@@ -33,13 +33,10 @@ object Packing {
     val withLocal = base.withColumn("__local",
       coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
     // one row per partition by construction — the cumulative offsets fit
-    // one task. The partition key is CONSTANT 0 but written as
-    // pmod(__part, 1): __part is non-nullable, so a `* 0` form
-    // constant-folds and EliminateWindowPartitions strips it back to the
-    // warning-spraying empty spec; pmod survives the optimizer while
-    // keeping every row in the one partition the plan needs anyway.
+    // one task, so a constant partition key is the intended plan
+    // (optimizer-proof form: [[graft.operators.TopK.constPartitionKey]]).
     val offW = Window
-      .partitionBy(pmod(col("__part"), lit(1)))
+      .partitionBy(graft.operators.TopK.constPartitionKey(col("__part")))
       .orderBy(col("__part"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val partOffsets = withLocal.groupBy(col("__part"))

@@ -69,4 +69,21 @@ object TopK {
       .coalesce(1).sortWithinPartitions(order: _*)
       .withColumn(rankCol, monotonically_increasing_id() + 1L)
   }
+
+  /** A per-row CONSTANT-zero window partition key that the optimizer
+    * cannot strip — for the deliberate bounded single-partition windows
+    * (Packing's per-partition offsets, the burn-rate timeline) where an
+    * empty spec is the plan we want but sprays `WindowExec: No Partition
+    * Defined` warnings. Spark 4's `EliminateWindowPartitions` removes any
+    * FOLDABLE spec, `attr * 0` over a NON-NULLABLE attr constant-folds,
+    * and `coalesce(non-nullable, x)` simplifies away — the one shape that
+    * survives every rewrite for BOTH nullabilities is
+    * `pmod(coalesce(anchor, 0), 1)`: non-foldable (the attribute is
+    * inside), null-safe, and 0 on every row. Pass any column of the frame
+    * as `anchor`.
+    */
+  def constPartitionKey(anchor: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit, pmod}
+    pmod(coalesce(anchor.cast("long"), lit(0L)), lit(1L))
+  }
 }

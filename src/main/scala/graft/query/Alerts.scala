@@ -206,12 +206,11 @@ object Alerts {
     // bins is ≈43k rows; single-partition is the correct plan at that
     // size, same argument as Packing's per-partition totals). The
     // trailing frames must see the whole timeline, so the partition key
-    // is a CONSTANT — null-safe and non-foldable (Spark 4's
-    // EliminateWindowPartitions strips a literal back to the
-    // warning-spraying empty spec); never a real key.
+    // is a CONSTANT — the optimizer-proof form
+    // ([[graft.operators.TopK.constPartitionKey]]); never a real key.
     def trail(c: String, bins: Int) = sum(col(c)).over(
       org.apache.spark.sql.expressions.Window
-        .partitionBy(coalesce(ms * lit(0L), lit(0L)))
+        .partitionBy(graft.operators.TopK.constPartitionKey(ms))
         .orderBy(ms)
         .rangeBetween(-(bins - 1L) * binMillis, 0))
     binned

@@ -75,7 +75,12 @@ class PlanAuditSpec extends SparkSuite {
     // into the per-dimension share projection — corpus-constant
     // single-row pattern (q_corpus_report precedent); the only other
     // stage is one hash aggregate
-    "q_dim_shift", "q_dim_shift_weighted")
+    "q_dim_shift", "q_dim_shift_weighted",
+    // retrieval topline: retrievalTopline's documented cross join of TWO
+    // 1-row aggregate frames (binary macro summary × graded nDCG
+    // summary) — the corpus-constant single-row pattern, both sides
+    // 1 row by construction
+    "q_eval_topline")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
