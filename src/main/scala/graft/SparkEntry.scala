@@ -2101,6 +2101,32 @@ object SparkEntry {
         Eval.ndcgAtK(ranked, judgments, 10))
     }),
 
+    // ML: RANKING AGREEMENT @10 — exact-vs-alternate ranker comparison
+    // over the same retrieval scaffolding: ranking A orders candidates
+    // by term frequency, ranking B by document length; per query the
+    // top-10 Jaccard overlap and Kendall's τ over the common docs
+    // (bounded k²-pair walk, sign-split micro division).
+    "q_eval_rank_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("n_chars"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("n_chars"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      def ranked(order: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.TopK.perGroup(cand, Seq(col("q_id")), order, 10)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(order: _*))
+            .cast("long"))
+          .select(col("q_id"), col("doc_id"), col("rk"))
+      val a = ranked(Seq(col("tf").desc, col("doc_id").asc))
+      val b = ranked(Seq(col("n_chars").desc, col("doc_id").asc))
+      Eval.rankAgreement(a, b, 10).orderBy(col("q_id"))
+    }),
+
     // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
     // PR twin of the per-group AUC): group-partitioned rank walk,
     // per-positive prec@k on the micro grid, executor-side division.
@@ -2125,6 +2151,15 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("y", col("lang") === "en"),
           "n_chars", "y", lo = 0L, hi = 1024L, nBins = 8)
         .orderBy(col("bin"))),
+
+    // ML: EXPECTED/MAX CALIBRATION ERROR — the 1-row headline over the
+    // reliability diagram (same 8 bins as q_eval_calibration): per-bin
+    // |empirical positive rate − mean predicted score|, mass-weighted
+    // mean (ECE) and max (MCE), all BIGINT-exact on the micro grid.
+    "q_eval_ece" -> ((s, dir) =>
+      Eval.ece(
+        t(s, dir, "documents").withColumn("y", col("lang") === "en"),
+        "n_chars", "y", lo = 0L, hi = 1024L, nBins = 8)),
 
     // ML: TEMPERATURE mixing (α = ½) — mixture weights computed from the
     // source sizes (p_s ∝ √n_s): small sources upsample, the crawl
@@ -2235,6 +2270,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       Percentiles.histogramQuantile(buckets, Seq("event_type"),
           "le", "cnt", phiMicro = 950000L)
+        .orderBy(col("event_type"))
+    }),
+
+    // OBS: PromQL increase() — per event_type total increase recovered
+    // from scrape-style CUMULATIVE counter samples (hourly running
+    // count that restarts every 12 hours, simulating instance
+    // restarts): reset-aware delta sum, first sample counts in full.
+    "q_metric_increase" -> ((s, dir) => {
+      // `div`, not `/` — BIGINT division (Spark's / on longs is DOUBLE)
+      val hr = expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+      val samples = t(s, dir, "events")
+        .groupBy(col("event_type"), hr.as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("v", sum(col("c")).over(
+          Window.partitionBy(col("event_type"), expr("hr div 12"))
+            .orderBy(col("hr"))))
+      TimeSeries.increaseBy(samples, Seq("event_type"), "hr",
+          col("v"), "hr")
+        .orderBy(col("event_type"))
+    }),
+
+    // OBS: increase() → histogram_quantile — the full Prometheus
+    // latency-dashboard pipeline: per (event_type, le) cumulative
+    // bucket counters (hourly, restarting every 12 h), reset-aware
+    // increases reconstruct the bucket counts, then the p95 rank
+    // selection + interpolation over the RECONSTRUCTED histogram.
+    "q_metric_increase_quantile" -> ((s, dir) => {
+      // `div`, not `/` — BIGINT division (Spark's / on longs is DOUBLE)
+      val hr = expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+      val samples = t(s, dir, "events")
+        .withColumn("vq", floor(col("value") * 100).cast("long"))
+        .withColumn("le", expr("((vq + 1999) div 2000) * 2000"))
+        .groupBy(col("event_type"), col("le"), hr.as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("v", sum(col("c")).over(
+          Window.partitionBy(col("event_type"), col("le"),
+            expr("hr div 12")).orderBy(col("hr"))))
+      val inc = TimeSeries.increaseBy(samples, Seq("event_type", "le"),
+        "hr", col("v"), "hr")
+      Percentiles.histogramQuantile(inc, Seq("event_type"),
+          "le", "increase", phiMicro = 950000L)
         .orderBy(col("event_type"))
     }),
 
@@ -6761,6 +6837,61 @@ object SparkEntry {
         |  FROM nd)
         |SELECT * FROM bin CROSS JOIN gsum""".stripMargin,
 
+    // Ranking agreement: two row_number rankings over the same candidate
+    // pool, top-10 Jaccard + Kendall τ over the common docs; the τ
+    // division is sign-split (non-negative numerator on both engines —
+    // DuckDB // floors, Spark div truncates).
+    "q_eval_rank_agreement" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars, list_filter(string_split_regex(text,
+        |    ' +'), t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, n_chars, term, count(*) AS tf
+        |  FROM (SELECT doc_id, n_chars, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, n_chars, tf FROM tf JOIN q ON term = qterm),
+        |ra AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, doc_id ASC) AS rk FROM cand)
+        |  WHERE rk <= 10),
+        |rb AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk FROM cand)
+        |  WHERE rk <= 10),
+        |na AS (SELECT q_id, count(*) AS n_a FROM ra GROUP BY 1),
+        |nb AS (SELECT q_id, count(*) AS n_b FROM rb GROUP BY 1),
+        |cm AS (
+        |  SELECT ra.q_id, ra.doc_id, ra.rk AS a1, rb.rk AS b1
+        |  FROM ra JOIN rb USING (q_id, doc_id)),
+        |nc AS (SELECT q_id, count(*) AS n_common FROM cm GROUP BY 1),
+        |p AS (
+        |  SELECT l.q_id,
+        |    sum(CASE WHEN (l.a1 - r.a1) * (l.b1 - r.b1) > 0 THEN 1
+        |      ELSE 0 END) AS conc,
+        |    sum(CASE WHEN (l.a1 - r.a1) * (l.b1 - r.b1) < 0 THEN 1
+        |      ELSE 0 END) AS disc
+        |  FROM cm l JOIN cm r ON l.q_id = r.q_id AND l.doc_id < r.doc_id
+        |  GROUP BY 1)
+        |SELECT na.q_id,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(COALESCE(n_common, 0) * 1000000 // nullif(n_a + n_b -
+        |    COALESCE(n_common, 0), 0) AS BIGINT) AS jaccard_micro,
+        |  CAST(CASE WHEN conc + disc > 0 THEN
+        |    CASE WHEN conc >= disc
+        |      THEN (conc - disc) * 1000000 // (conc + disc)
+        |      ELSE -((disc - conc) * 1000000 // (conc + disc)) END
+        |  END AS BIGINT) AS tau_micro
+        |FROM na JOIN nb USING (q_id) LEFT JOIN nc USING (q_id)
+        |LEFT JOIN p USING (q_id)
+        |ORDER BY q_id""".stripMargin,
+
     "q_eval_ndcg" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
@@ -6872,6 +7003,32 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
         |  CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_micro
         |FROM g ORDER BY bin""".stripMargin,
+
+    // ECE/MCE: scores clamp to [0, 1024], per-bin accuracy vs mean
+    // normalized score on the micro grid, mass-weighted mean and max.
+    // All divisions have non-negative numerators (// == div there).
+    "q_eval_ece" ->
+      """WITH d AS (
+        |  SELECT least(greatest(n_chars, 0), 1024) AS s,
+        |    (lang = 'en') AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(greatest(s * 8 // 1024, 0), 7) AS bin,
+        |    count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(s) AS s_sum
+        |  FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT n,
+        |    n_pos * 1000000 // n AS acc,
+        |    s_sum * 1000000 // (n * 1024) AS conf
+        |  FROM b)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n * abs(acc - conf)) // sum(n) AS BIGINT)
+        |    AS ece_micro,
+        |  CAST(max(abs(acc - conf)) AS BIGINT) AS mce_micro
+        |FROM g""".stripMargin,
 
     // Temperature mixing: m_s = N*sq_s/(n_s*Z) from exact BIGINTs
     // (sq_s = floor(sqrt(n_s)*1e6), Z = sum sq_s) — the same epoch
@@ -7094,6 +7251,82 @@ object SparkEntry {
         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
         |      AS total
         |  FROM b),
+        |sel AS (
+        |  SELECT event_type, le, cnt, cum, lower, total,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY le)
+        |      AS pick
+        |  FROM c
+        |  WHERE cnt > 0 AND cum * 1000000 >= 950000 * total)
+        |SELECT event_type, total,
+        |  CAST(floor(CAST(lower AS DOUBLE) + CAST(le - lower AS DOUBLE) *
+        |    ((950000.0 * CAST(total AS DOUBLE) -
+        |      CAST(cum - cnt AS DOUBLE) * 1000000.0) /
+        |     (CAST(cnt AS DOUBLE) * 1000000.0))) AS BIGINT) AS q_micro
+        |FROM sel WHERE pick = 1 ORDER BY event_type""".stripMargin,
+
+    // increase(): hourly cumulative counters restarting every 12 h,
+    // reset-aware delta sum (first sample counts in full).
+    "q_metric_increase" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hr,
+        |    CAST(sum(c) OVER (PARTITION BY event_type, hr // 12
+        |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS v
+        |  FROM b),
+        |d AS (
+        |  SELECT event_type, hr, v,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY hr) AS pv
+        |  FROM s)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(min(hr) AS BIGINT) AS first_ts,
+        |  CAST(max(hr) AS BIGINT) AS last_ts,
+        |  CAST(sum(CASE WHEN pv IS NULL OR v < pv THEN v ELSE v - pv
+        |    END) AS BIGINT) AS increase
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // increase() -> histogram_quantile: reconstruct per-(event_type, le)
+    // bucket counts from the reset-broken cumulative samples, then the
+    // same p95 rank selection + interpolation as q_metric_hist_quantile.
+    "q_metric_increase_quantile" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq,
+        |    CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hr
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, ((vq + 1999) // 2000) * 2000 AS le, hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT event_type, le, hr,
+        |    CAST(sum(c) OVER (PARTITION BY event_type, le, hr // 12
+        |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS v
+        |  FROM b),
+        |d AS (
+        |  SELECT event_type, le, hr, v,
+        |    lag(v) OVER (PARTITION BY event_type, le ORDER BY hr) AS pv
+        |  FROM s),
+        |inc AS (
+        |  SELECT event_type, le,
+        |    CAST(sum(CASE WHEN pv IS NULL OR v < pv THEN v ELSE v - pv
+        |      END) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, le, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY le
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(COALESCE(lag(le) OVER (PARTITION BY event_type
+        |      ORDER BY le), 0) AS BIGINT) AS lower,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total
+        |  FROM inc),
         |sel AS (
         |  SELECT event_type, le, cnt, cum, lower, total,
         |    row_number() OVER (PARTITION BY event_type ORDER BY le)

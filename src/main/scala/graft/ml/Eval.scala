@@ -571,4 +571,119 @@ object Eval {
               "exact micro grid — rescale grades')").cast("long")))
           .as("ndcg_micro"))
   }
+
+  /** EXPECTED / MAXIMUM CALIBRATION ERROR — the one-row headline over the
+    * [[calibrationBins]] reliability diagram: per equal-width score bin
+    * the gap between the empirical positive rate and the bin's MEAN
+    * predicted score (the "adaptive-confidence" ECE variant — midpoints
+    * punish a scorer for where the bin sits, not for what it predicted),
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|.
+    *
+    * Integer-exact: scores clamp to `[lo, hi]` and normalize to the
+    * micro grid via BIGINT division with a fixed operation order —
+    * `conf_micro = (Σscore − n·lo)·10⁶ div (n·(hi−lo))` — so both
+    * engines floor identically; the ECE numerator sums
+    * `n_b·|acc−conf|` as BIGINTs before one final division by N.
+    * Division-form overflow guards on both divisions (aucGuardOk
+    * precedent): a bin would need n·(hi−lo) > maxLong/10⁶ ≈ 9.2·10¹²
+    * score-units to wrap — raise loudly instead.
+    *
+    * Scale shape: one narrow projection + one ≤nBins-row hash aggregate
+    * + one 1-row final aggregate — the data pass is the whole cost.
+    * Returns one row: (n, n_bins, ece_micro, mce_micro).
+    */
+  def ece(df: DataFrame, scoreCol: String, labelCol: String,
+          lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    val span = hi - lo
+    val clamped = least(greatest(col(scoreCol).cast("long"), lit(lo)),
+      lit(hi))
+    val bins = df
+      .select(clamped.as("s"), col(labelCol).cast("boolean").as("y"))
+      .withColumn("bin", least(greatest(
+        expr(s"(s - $lo) * $nBins div $span"), lit(0L)),
+        lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("s") - lit(lo)).as("s_sum"))
+    val guarded = bins
+      .withColumn("__ok",
+        when(col("n") <= lit(Long.MaxValue / 1000000L / span), lit(true))
+          .otherwise(expr("raise_error('Eval.ece: bin mass overflows " +
+            "the exact micro grid — rescale scores or widen bins')")
+            .cast("boolean")))
+      .withColumn("acc_micro", expr("n_pos * 1000000 div n"))
+      .withColumn("conf_micro",
+        when(col("__ok"), expr(s"s_sum * 1000000 div (n * $span)")))
+      .withColumn("gap", abs(col("acc_micro") - col("conf_micro")))
+    guarded.agg(
+        sum(col("n")).as("n"),
+        count(lit(1)).as("n_bins"),
+        // Σ n_b·gap ≤ N·10⁶ — guard the same way before dividing by N
+        when(sum(col("n")) <= lit(Long.MaxValue / 1000000L),
+          expr("sum(n * gap) div sum(n)"))
+          .otherwise(expr("raise_error('Eval.ece: corpus too large for " +
+            "the exact micro grid')").cast("long")).as("ece_micro"),
+        max(col("gap")).as("mce_micro"))
+  }
+
+  /** RANKING AGREEMENT @k — how much two rankings of the same queries
+    * agree (exact vs ANN retrieval, yesterday's index vs today's): per
+    * query the top-k overlap (Jaccard over the two ≤k-row cut lists)
+    * and Kendall's τ restricted to the COMMON documents (concordant vs
+    * discordant rank-order pairs; τ = (C−D)/(C+D), null when fewer than
+    * two common docs). Both inputs dedupe defensively to their best
+    * (min) rank per (q_id, doc_id), like [[retrievalMetrics]].
+    *
+    * Scale shape: two ≤k-cut hash aggregates, one (q_id, doc_id)
+    * equi-join, and a pair join that is an EQUI-join on q_id with the
+    * `doc_id <` residual — per query at most k(k−1)/2 pairs, so the
+    * join output is bounded by queries·k², never corpus-sized. All
+    * counts BIGINT; ratios are micro divisions. Returns per query:
+    * (q_id, n_a, n_b, n_common, jaccard_micro, tau_micro).
+    */
+  def rankAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def cut(r: DataFrame, rkName: String) = r
+      .select(col("q_id"), col("doc_id"), col("rk"))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(min(col("rk")).as(rkName))
+    val ca = cut(a, "rk_a")
+    val cb = cut(b, "rk_b")
+    val na = ca.groupBy(col("q_id")).agg(count(lit(1)).as("n_a"))
+    val nb = cb.groupBy(col("q_id")).agg(count(lit(1)).as("n_b"))
+    val common = ca.join(cb, Seq("q_id", "doc_id"))
+    val nc = common.groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    // pair walk over the common set: equi-join on q_id, doc_id_1 <
+    // doc_id_2 residual — ≤ k(k−1)/2 output rows per query
+    val l = common.select(col("q_id"), col("doc_id").as("d1"),
+      col("rk_a").as("a1"), col("rk_b").as("b1"))
+    val r = common.select(col("q_id"), col("doc_id").as("d2"),
+      col("rk_a").as("a2"), col("rk_b").as("b2"))
+    val sgn = (col("a1") - col("a2")) * (col("b1") - col("b2"))
+    val pairs = l.join(r, Seq("q_id")).filter(col("d1") < col("d2"))
+      .groupBy(col("q_id"))
+      .agg(sum(when(sgn > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("disc"))
+    na.join(nb, Seq("q_id"), "full")
+      .join(nc, Seq("q_id"), "left")
+      .join(pairs, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("coalesce(n_common, 0) * 1000000 div " +
+          "nullif(coalesce(n_a, 0) + coalesce(n_b, 0) - " +
+          "coalesce(n_common, 0), 0)").as("jaccard_micro"),
+        // sign-split division: Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors — they agree only on non-negative
+        // numerators, so divide |C−D| and re-apply the sign
+        when(col("conc") + col("disc") > 0,
+          when(col("conc") >= col("disc"),
+            expr("(conc - disc) * 1000000 div (conc + disc)"))
+            .otherwise(-expr("(disc - conc) * 1000000 div (conc + disc)")))
+          .as("tau_micro"))
+  }
 }

@@ -70,6 +70,40 @@ object TimeSeries {
       .withColumn("rate_per_sec", when(dtSec > 0.0, col("delta") / dtSec))
   }
 
+  /** TOTAL INCREASE per series from cumulative-counter samples — the
+    * PromQL `increase()` roll-up that recovers event counts from the
+    * scrape-style counters a metrics pipeline actually ships: per
+    * (series) sum of reset-aware deltas. A sample below its predecessor
+    * means the counter restarted; the whole new value counts (increments
+    * between the last pre-reset scrape and the restart are lost — the
+    * standard Prometheus undercount). Each series' FIRST sample counts
+    * in full (counters are born at 0), so a series appearing mid-range
+    * contributes everything it ever saw — documented to differ from
+    * PromQL range queries, which start at the first in-range sample.
+    *
+    * `quantized` is the caller-gridded BIGINT counter value (exact —
+    * BIGINT sums are order-independent, so the result is repartition-
+    * invariant). One window pass partitioned by series (local per-series
+    * sort inside the hash partition, no global sort) + one hash
+    * aggregate. Returns per series: (seriesCols..., n_samples,
+    * first_ts, last_ts, increase).
+    */
+  def increaseBy(df: DataFrame, seriesCols: Seq[String], timeCol: String,
+                 quantized: Column, tieBreak: String): DataFrame = {
+    val gcols = seriesCols.map(col)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col(timeCol).asc, col(tieBreak).asc)
+    val v = quantized.cast("long")
+    val prevV = lag(v, 1).over(w)
+    val delta = when(prevV.isNull || (v < prevV), v).otherwise(v - prevV)
+    df.withColumn("__d", delta)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_samples"),
+        min(col(timeCol)).as("first_ts"),
+        max(col(timeCol)).as("last_ts"),
+        sum(col("__d")).as("increase"))
+  }
+
   /** Forward fill (LOCF — last observation carried forward): each row gets
     * the most recent non-null `valueCol` within its series, in
     * (`timeCol`, `tieBreak`) order. One window pass with a rows-frame

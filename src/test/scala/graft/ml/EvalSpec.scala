@@ -425,4 +425,84 @@ class EvalSpec extends SparkSuite {
     assert(r.getLong(r.fieldIndex("n_scored")) == 1L)
     assert(r.getLong(r.fieldIndex("macro_ndcg_micro")) == 1000000L)
   }
+
+  test("ece: brute-force parity, clamping, and the one-row shape") {
+    // scores 0..99 over [0, 100), 4 bins of width 25; label = score >= 50
+    // plus two out-of-range rows that must clamp into the edge bins
+    val rows = (0L until 100L).map(s => (s, s >= 50L)) ++
+      Seq((-10L, false), (500L, true))
+    val df = rows.toDF("score", "y")
+    val out = Eval.ece(df, "score", "y", lo = 0L, hi = 100L, nBins = 4)
+      .collect().head
+    // brute force (same clamp, same integer grid)
+    val clamped = rows.map { case (s, y) => (math.min(math.max(s, 0L), 100L), y) }
+    val byBin = clamped.groupBy { case (s, _) =>
+      math.min(math.max(s * 4 / 100, 0L), 3L) }
+    val gaps = byBin.values.map { g =>
+      val n = g.size.toLong
+      val acc = g.count(_._2).toLong * 1000000L / n
+      val conf = g.map(_._1).sum * 1000000L / (n * 100L)
+      (n, math.abs(acc - conf))
+    }
+    val n = gaps.map(_._1).sum
+    assert(out.getLong(out.fieldIndex("n")) == n && n == 102L)
+    assert(out.getLong(out.fieldIndex("n_bins")) == byBin.size)
+    assert(out.getLong(out.fieldIndex("ece_micro")) ==
+      gaps.map { case (nb, g) => nb * g }.sum / n)
+    assert(out.getLong(out.fieldIndex("mce_micro")) == gaps.map(_._2).max)
+    intercept[IllegalArgumentException] {
+      Eval.ece(df, "score", "y", 0L, 0L, 4)
+    }
+  }
+
+  test("ece: a perfectly calibrated scorer has zero error") {
+    // one bin [0, 2): every score 1, half positive -> acc 500000,
+    // conf 500000
+    val df = Seq((1L, true), (1L, false)).toDF("score", "y")
+    val r = Eval.ece(df, "score", "y", 0L, 2L, 1).collect().head
+    assert(r.getLong(r.fieldIndex("ece_micro")) == 0L)
+    assert(r.getLong(r.fieldIndex("mce_micro")) == 0L)
+  }
+
+  test("rankAgreement: identical, reversed, and disjoint rankings") {
+    def rk(q: Long, docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (d, i) => (q, d, i + 1L) }
+    // q0: identical lists; q1: exactly reversed; q2: disjoint docs
+    val a = (rk(0L, Seq(1, 2, 3)) ++ rk(1L, Seq(1, 2, 3)) ++
+      rk(2L, Seq(1, 2))).toDF("q_id", "doc_id", "rk")
+    val b = (rk(0L, Seq(1, 2, 3)) ++ rk(1L, Seq(3, 2, 1)) ++
+      rk(2L, Seq(8, 9))).toDF("q_id", "doc_id", "rk")
+    val out = Eval.rankAgreement(a, b, 10).orderBy($"q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5))).toSeq
+    assert(out == Seq(
+      (0L, 3L, 3L, 3L, 1000000L, 1000000L),   // perfect agreement
+      (1L, 3L, 3L, 3L, 1000000L, -1000000L),  // same set, reversed order
+      (2L, 2L, 2L, 0L, 0L, Long.MinValue)))   // no common docs: tau null
+  }
+
+  test("rankAgreement: rank cut at k, dup collapse to best rank, and " +
+      "the sign-split tau on a mixed case") {
+    // q0 common docs with ranks a=(1,2,3), b=(2,1,3): pairs (1,2) disc,
+    // (1,3) conc, (2,3) conc -> tau = (2-1)/3 = 333333 micro
+    val a = Seq((0L, 1L, 1L), (0L, 1L, 9L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (0L, 4L, 11L)).toDF("q_id", "doc_id", "rk") // rk 11 > k: cut
+    val b = Seq((0L, 1L, 2L), (0L, 2L, 1L), (0L, 3L, 3L))
+      .toDF("q_id", "doc_id", "rk")
+    val r = Eval.rankAgreement(a, b, 10).collect().head
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_b")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_common")) == 3L)
+    assert(r.getLong(r.fieldIndex("jaccard_micro")) == 1000000L)
+    assert(r.getLong(r.fieldIndex("tau_micro")) == 333333L)
+    // tau truncates toward zero on the negative side too: swap a/b legs
+    // of the discordant-majority mirror — 1 conc, 2 disc -> -333333
+    val a2 = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("q_id", "doc_id", "rk")
+    val b2 = Seq((0L, 1L, 3L), (0L, 2L, 1L), (0L, 3L, 2L))
+      .toDF("q_id", "doc_id", "rk")
+    val r2 = Eval.rankAgreement(a2, b2, 10).collect().head
+    assert(r2.getLong(r2.fieldIndex("tau_micro")) == -333333L)
+  }
 }

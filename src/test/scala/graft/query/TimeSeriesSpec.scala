@@ -214,4 +214,33 @@ class TimeSeriesSpec extends SparkSuite {
       TimeSeries.cusumBy(df, "g", "ts", 0L, lit(1L), 0L, 1L)
     }
   }
+
+  test("increaseBy: reset-aware sum, first sample counts in full, " +
+      "per-series isolation") {
+    // series a: 3 -> 5 -> 2 (reset) -> 4: increase = 3 + 2 + 2 + 2 = 9
+    // series b: single sample 7: increase = 7 (born at 0)
+    val df = Seq(
+      ("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 2L), ("a", 3L, 4L),
+      ("b", 9L, 7L))
+      .toDF("series", "hr", "v")
+    val out = TimeSeries.increaseBy(df, Seq("series"), "hr",
+        col("v"), "hr")
+      .orderBy("series").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(("a", 4L, 0L, 3L, 9L), ("b", 1L, 9L, 9L, 7L)))
+    // repartition invariance: the window sorts within the series hash
+    // partition, so the result is independent of input layout
+    val shuffled = TimeSeries.increaseBy(df.repartition(7), Seq("series"),
+        "hr", col("v"), "hr")
+      .orderBy("series").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(shuffled == out)
+    // an equal-to-previous sample adds zero (flat counter)
+    val flat = Seq(("c", 0L, 5L), ("c", 1L, 5L)).toDF("series", "hr", "v")
+    val f = TimeSeries.increaseBy(flat, Seq("series"), "hr",
+      col("v"), "hr").collect().head
+    assert(f.getLong(f.fieldIndex("increase")) == 5L)
+  }
 }
