@@ -2314,6 +2314,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ML: unigram-LM tokenizer end-to-end (soft-EM forward-backward
+    // training + Viterbi encode). Exact segmentation is SQL-inexpressible
+    // (iterative EM + per-word lattice DP) and is gated by UnigramLmSpec
+    // against a pure reference; the corpus-wide oracle pins
+    // LOSSLESSNESS — single-char coverage means every document's pieces
+    // rejoin to exactly its tokens (the q_bpe_encode convention).
+    "q_unigram_encode" -> ((s, dir) => {
+      val m = graft.ml.UnigramLm.trainSoft(t(s, dir, "documents"), "text",
+        vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ml.UnigramLm.encodePieces(
+            TextAnalysis.tokens(col("text")), m).as("pieces"))
+        .select(col("doc_id"),
+          length(concat_ws("", col("pieces"))).cast("long")
+            .as("piece_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
     // products make quantized cosine bit-exact across engines AND
     // summation orders.
@@ -3258,6 +3277,21 @@ object SparkEntry {
           .select(col("doc_id"),
             BpeTrain.encode(TextAnalysis.tokens(col("text")), merges)
               .as("pieces"))
+          .select(col("doc_id"),
+            length(concat_ws("", col("pieces"))).cast("long")
+              .as("piece_chars"))
+          .orderBy(col("doc_id"))
+      }),
+    "q_unigram_encode" -> Prepared(
+      build = (s, dir) => graft.ml.UnigramLm.trainSoft(
+        t(s, dir, "documents"), "text",
+        vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2),
+      search = (s, dir, m) => {
+        val model = m.asInstanceOf[graft.functions.UnigramModel]
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ml.UnigramLm.encodePieces(
+              TextAnalysis.tokens(col("text")), model).as("pieces"))
           .select(col("doc_id"),
             length(concat_ws("", col("pieces"))).cast("long")
               .as("piece_chars"))
@@ -7408,6 +7442,19 @@ object SparkEntry {
          |ORDER BY q_id, rk""".stripMargin,
 
     "q_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+        |    AS BIGINT) AS piece_chars
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // Unigram encode: same losslessness pin as q_bpe_encode — piece
+    // characters == token characters (single-char coverage guarantees
+    // no <unk> on the training corpus itself).
+    "q_unigram_encode" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk

@@ -130,6 +130,117 @@ class UnigramModel(val piecesSeq: Seq[(String, Double)], val unk: String,
     out.reverseIterator.toArray
   }
 
+  /** Forward-backward EXPECTED piece counts of one word under the model
+    * (the soft-EM E-step, Kudo 2018 §3.2), gridded to the 10⁻⁶ grid:
+    * returns an array of (piece, e_micro) structs, pieces ascending,
+    * entries with `floor(e·10⁶) == 0` omitted.
+    *
+    * Lattice contract (mirrored verbatim by the pure-Scala reference in
+    * `UnigramLmSpec`): edges are vocab pieces plus — for single
+    * characters NOT in the vocab — the UNK piece at `unkLogp`;
+    * α forward / β backward over code points with log-sum-exp
+    * accumulated in ASCENDING length order at each position;
+    * an edge's posterior is `exp(α(i) + lp + β(j) − Z)`, per-piece
+    * sums accumulate in (start asc, length asc) edge-scan order. The
+    * fixed orders pin every float operation, so the kernel and the
+    * reference produce bit-identical doubles and the gridded outputs
+    * are exact — the cross-word aggregation then sums BIGINTs,
+    * order-independently.
+    */
+  def expectedMicro(word: String): ArrayData = {
+    val offs = UnigramExprs.cpOffsets(word)
+    val n = offs.length - 1
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    def ladd(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else {
+        val m = math.max(a, b)
+        m + math.log1p(math.exp(math.min(a, b) - m))
+      }
+    // edge log-prob at (start j, end i), or NaN when no edge exists
+    def edgeLp(j: Int, i: Int): Double = {
+      val sub = word.substring(offs(j), offs(i))
+      val lp = table.get(sub)
+      if (lp != null) lp.doubleValue()
+      else if (i - j == 1) unkLogp
+      else Double.NaN
+    }
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+    java.util.Arrays.fill(beta, Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      while (len <= maxPieceLen && len <= i) {
+        val j = i - len
+        if (alpha(j) != Double.NegativeInfinity) {
+          val lp = edgeLp(j, i)
+          if (!lp.isNaN) alpha(i) = ladd(alpha(i), alpha(j) + lp)
+        }
+        len += 1
+      }
+      i += 1
+    }
+    beta(n) = 0.0
+    var s = n - 1
+    while (s >= 0) {
+      var len = 1
+      while (len <= maxPieceLen && s + len <= n) {
+        val e = s + len
+        if (beta(e) != Double.NegativeInfinity) {
+          val lp = edgeLp(s, e)
+          if (!lp.isNaN) beta(s) = ladd(beta(s), lp + beta(e))
+        }
+        len += 1
+      }
+      s -= 1
+    }
+    val z = alpha(n)
+    if (z == Double.NegativeInfinity)
+      return new GenericArrayData(Array.empty[Any])
+    // per-piece expectations, accumulated in (start asc, length asc)
+    // edge order so the float sums are order-pinned
+    val acc = new java.util.LinkedHashMap[String, java.lang.Double]()
+    var st = 0
+    while (st < n) {
+      var len = 1
+      while (len <= maxPieceLen && st + len <= n) {
+        val en = st + len
+        if (alpha(st) != Double.NegativeInfinity &&
+            beta(en) != Double.NegativeInfinity) {
+          val lp = edgeLp(st, en)
+          if (!lp.isNaN) {
+            val sub = word.substring(offs(st), offs(en))
+            val label = if (table.get(sub) != null) sub else unk
+            val e = math.exp(alpha(st) + lp + beta(en) - z)
+            val prev = acc.get(label)
+            acc.put(label, if (prev == null) e else prev.doubleValue() + e)
+          }
+        }
+        len += 1
+      }
+      st += 1
+    }
+    // deterministic output order: piece ascending; zero-micro entries drop
+    val keys = new java.util.ArrayList[String](acc.keySet())
+    java.util.Collections.sort(keys)
+    val rows = new java.util.ArrayList[Any](keys.size())
+    var ki = 0
+    while (ki < keys.size()) {
+      val p = keys.get(ki)
+      val eMicro = math.floor(acc.get(p).doubleValue() * 1e6).toLong
+      if (eMicro > 0L) {
+        rows.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(p), eMicro)))
+      }
+      ki += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
   /** Pieces of a whole token array, concatenated in token order. */
   def segmentAll(toks: ArrayData): ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
@@ -145,6 +256,31 @@ class UnigramModel(val piecesSeq: Seq[(String, Double)], val unk: String,
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+/** Forward-backward expected piece counts (micro-gridded) of one word
+  * under a fixed model — the soft-EM E-step kernel.
+  */
+case class UnigramExpected(child: Expression, model: UnigramModel)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("e_micro",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    model.expectedMicro(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("unigramModel", model,
+      classOf[UnigramModel].getName)
+    defineCodeGen(ctx, ev, c => s"$modelRef.expectedMicro($c.toString())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Viterbi unigram pieces of a token array under a fixed model. */

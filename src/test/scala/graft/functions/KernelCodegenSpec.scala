@@ -145,7 +145,8 @@ class KernelCodegenSpec extends SparkSuite {
       "<unk>", -10.0)
     val ks: Seq[Expression] = Seq(
       AllSubstrings(wAttr, maxLen = 3),
-      UnigramPieces(tAttr, model))
+      UnigramPieces(tAttr, model),
+      UnigramExpected(wAttr, model))
     val bound = ks.map(BindReferences.bindReference[Expression](_, uAttrs))
     val proj = GenerateUnsafeProjection.generate(bound) // throws on Janino failure
     val row = InternalRow(
@@ -163,5 +164,17 @@ class KernelCodegenSpec extends SparkSuite {
     assert(strs(out.getArray(1)) ==
       strs(interp(1).asInstanceOf[ArrayData]))
     assert(strs(out.getArray(1)) == Seq("low", "low"))
+    // soft-EM expectations kernel: struct-array output survives codegen
+    def pairs(a: ArrayData): Seq[(String, Long)] =
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+    assert(pairs(out.getArray(2)) ==
+      pairs(interp(2).asInstanceOf[ArrayData]))
+    // "low" decomposes as [low] vs [l][o][w] etc. — the dominant piece
+    // must be "low" and every posterior lands on the micro grid
+    val exp = pairs(out.getArray(2)).toMap
+    assert(exp.contains("low") && exp("low") > 900000L)
   }
 }

@@ -114,6 +114,120 @@ class UnigramLmSpec extends SparkSuite {
     model
   }
 
+  // ---- soft-EM reference: forward-backward expectations, same pinned
+  // ---- loop orders as the kernel contract (start asc, length asc)
+
+  private def refOffs(w: String): Array[Int] = {
+    val b = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < w.length) { b += i; i += Character.charCount(w.codePointAt(i)) }
+    b += w.length; b.toArray
+  }
+
+  private def refLadd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b)
+      m + math.log1p(math.exp(math.min(a, b) - m))
+    }
+
+  private def refExpected(w: String, m: RefModel): Seq[(String, Long)] = {
+    val offs = refOffs(w)
+    val n = offs.length - 1
+    if (n == 0) return Nil
+    def edgeLp(j: Int, i: Int): Double = {
+      val sub = w.substring(offs(j), offs(i))
+      m.lp.get(sub) match {
+        case Some(p) => p
+        case None if i - j == 1 => m.unkLp
+        case None => Double.NaN
+      }
+    }
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    for (i <- 1 to n; len <- 1 to math.min(m.maxLen, i)) {
+      val j = i - len
+      if (alpha(j) != Double.NegativeInfinity) {
+        val lp = edgeLp(j, i)
+        if (!lp.isNaN) alpha(i) = refLadd(alpha(i), alpha(j) + lp)
+      }
+    }
+    beta(n) = 0.0
+    for (s <- (n - 1) to 0 by -1;
+         len <- 1 to math.min(m.maxLen, n - s)) {
+      val e = s + len
+      if (beta(e) != Double.NegativeInfinity) {
+        val lp = edgeLp(s, e)
+        if (!lp.isNaN) beta(s) = refLadd(beta(s), lp + beta(e))
+      }
+    }
+    val z = alpha(n)
+    if (z == Double.NegativeInfinity) return Nil
+    val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (st <- 0 until n; len <- 1 to math.min(m.maxLen, n - st)) {
+      val en = st + len
+      if (alpha(st) != Double.NegativeInfinity &&
+          beta(en) != Double.NegativeInfinity) {
+        val lp = edgeLp(st, en)
+        if (!lp.isNaN) {
+          val sub = w.substring(offs(st), offs(en))
+          val label = if (m.lp.contains(sub)) sub else UnigramLm.Unk
+          acc(label) = acc.getOrElse(label, 0.0) +
+            math.exp(alpha(st) + lp + beta(en) - z)
+        }
+      }
+    }
+    acc.toSeq.map { case (p, e) => (p, math.floor(e * 1e6).toLong) }
+      .filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  private def refFitMicro(singles: Seq[(String, BigInt)],
+                          multis: Seq[(String, BigInt)]): RefModel = {
+    val all = singles ++ multis
+    val total = all.map(_._2).sum.max(BigInt(1))
+    val floor = math.log(0.5 / total.toDouble)
+    RefModel(all.map { case (p, c) =>
+      p -> (if (c > 0) math.log(c.toDouble / total.toDouble) else floor)
+    }.toMap, floor + math.log(0.5))
+  }
+
+  private def refTrainSoft(wordFreqs: Seq[(String, Long)], vocabSize: Int,
+                           maxPieceLen: Int, seedSize: Int,
+                           iters: Int): RefModel = {
+    val subCounts = scala.collection.mutable.Map[String, Long]()
+    wordFreqs.foreach { case (w, f) =>
+      refCpSubstrings(w, maxPieceLen).foreach { s =>
+        subCounts(s) = subCounts.getOrElse(s, 0L) + f
+      }
+    }
+    def cpLen(p: String) = p.codePointCount(0, p.length)
+    val singles = subCounts.toSeq.filter(p => cpLen(p._1) == 1)
+    val multis0 = subCounts.toSeq.filter(p => cpLen(p._1) > 1)
+      .sortBy(p => (-p._2, p._1))
+      .take(math.max(0, seedSize - singles.length))
+    var model = refFit(singles, multis0)
+    for (it <- 0 until iters) {
+      val last = it == iters - 1
+      val counts = scala.collection.mutable.Map[String, BigInt]()
+      wordFreqs.foreach { case (w, f) =>
+        refExpected(w, model).foreach { case (p, eMicro) =>
+          if (p != UnigramLm.Unk)
+            counts(p) = counts.getOrElse(p, BigInt(0)) + BigInt(f) * eMicro
+        }
+      }
+      val singlesNow = singles.map { case (p, _) =>
+        (p, counts.getOrElse(p, BigInt(0))) }
+      val multisNow = counts.toSeq.filter(p => cpLen(p._1) > 1)
+        .sortBy(p => (-p._2, p._1))
+      val kept = if (!last) multisNow
+        else multisNow.take(math.max(0, vocabSize - singlesNow.length))
+      model = refFitMicro(singlesNow, kept)
+    }
+    model
+  }
+
   // -------------------------------- fixtures -------------------------
 
   private val corpus = Seq(
@@ -165,6 +279,77 @@ class UnigramLmSpec extends SparkSuite {
     }
     // the EM actually learned something beyond characters
     assert(got.values.flatten.exists(_.length > 1))
+  }
+
+  test("expectedMicro: kernel == reference bit-for-bit, posteriors match " +
+      "the analytic lattice, zero-micro entries drop") {
+    // vocab: a, b at p=0.25 each; ab at p=0.5. Word "ab" has two paths:
+    // [ab] mass 0.5, [a][b] mass 0.0625; Z = 0.5625, so the posteriors
+    // are ab = 8/9, a = b = 1/9.
+    val lp = Map("a" -> math.log(0.25), "b" -> math.log(0.25),
+      "ab" -> math.log(0.5))
+    val ref = RefModel(lp, -20.0)
+    val m = new graft.functions.UnigramModel(lp.toSeq, UnigramLm.Unk, -20.0)
+    def kernel(w: String): Seq[(String, Long)] = {
+      val arr = m.expectedMicro(w)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+    }
+    val got = kernel("ab")
+    assert(got == refExpected("ab", ref))
+    val byP = got.toMap
+    assert(math.abs(byP("ab") - 888888L) <= 1)
+    assert(math.abs(byP("a") - 111111L) <= 1)
+    assert(byP("a") == byP("b"))
+    // posterior mass of a full segmentation sums to ~1 per covered char
+    // (each code point is covered by exactly one piece on every path)
+    assert(math.abs((byP("ab") * 2 + byP("a") + byP("b")) - 2000000L) <= 4)
+    // unknown char routes through the UNK edge
+    val unkGot = kernel("axb").toMap
+    assert(unkGot.contains(UnigramLm.Unk))
+    // empty/unsegmentable words return nothing
+    assert(kernel("") == Nil)
+    // property net: random words over {a, b, c} — kernel == reference
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(8)))
+        .map(_ => "abc" (rnd.nextInt(3))).mkString
+      assert(kernel(w) == refExpected(w, ref), s"word $w")
+    }
+  }
+
+  test("trainSoft == the pure-Scala forward-backward reference (pieces " +
+      "AND log-probs exact), invariant under repartitioning, and keeps " +
+      "lattice runners-up that hard-EM starves") {
+    val m = UnigramLm.trainSoft(docs, "text", vocabSize = 40,
+      maxPieceLen = 4, seedSize = 64, iters = 3)
+    val ref = refTrainSoft(wordFreqs, 40, 4, 64, 3)
+    assert(modelMap(m) == ref.lp)
+    assert(m.unkLogp == ref.unkLp)
+    assert(modelMap(m).size <= 40)
+    val chars = wordFreqs.flatMap(_._1.toCharArray.map(_.toString)).toSet
+    assert(chars.subsetOf(modelMap(m).keySet))
+    val m2 = UnigramLm.trainSoft(docs.repartition(7), "text", 40, 4, 64, 3)
+    assert(modelMap(m2) == ref.lp)
+    // soft-EM's defining property: with a big vocab budget the E-step
+    // gives EVERY lattice piece posterior mass, while hard-EM credits
+    // only Viterbi winners — so soft keeps strictly more multi-char
+    // pieces alive on the same corpus and budget
+    val hard = UnigramLm.train(docs, "text", vocabSize = 64,
+      maxPieceLen = 4, seedSize = 64, iters = 2)
+    val soft = UnigramLm.trainSoft(docs, "text", vocabSize = 64,
+      maxPieceLen = 4, seedSize = 64, iters = 2)
+    def multiCount(mm: graft.functions.UnigramModel) =
+      mm.piecesSeq.count(p => p._1.codePointCount(0, p._1.length) > 1)
+    assert(multiCount(soft) > multiCount(hard))
+    // encode side is shared Viterbi: pieces still reconstruct each word
+    val got = docs
+      .select(UnigramLm.encodePieces(TextAnalysis.tokens(col("text")), m)
+        .as("pieces"))
+      .collect().flatMap(_.getSeq[String](0))
+    assert(got.nonEmpty && got.forall(_ != UnigramLm.Unk))
   }
 
   test("unknown characters segment to <unk> per code point without " +
