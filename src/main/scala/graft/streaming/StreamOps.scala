@@ -681,6 +681,56 @@ object StreamOps {
     commitBatch(spark, statePath, batchId)
   }
 
+  /** STREAMING counter increase — the incremental twin of
+    * [[graft.query.TimeSeries.increaseBy]]: each micro-batch folds its
+    * (series, sample-time, counter-value) rows into a samples ledger,
+    * then re-scores the whole ledger with the exact batch plan and hands
+    * the per-series increases to `sink`.
+    *
+    * increase() is ORDER-sensitive (a reset is "this sample is below its
+    * predecessor"), so frozen running state would mis-score any late or
+    * out-of-order scrape; the ledger re-score makes late samples EXACT —
+    * a late sample slots into its position and the series re-walks as if
+    * it had always been there. The ledger is BOUNDED by scrape cadence ×
+    * timeline × series (the cusum bins-ledger argument), independent of
+    * event volume: counters are already aggregates, one row per scrape.
+    * Re-delivered samples dedupe on (series, time) keeping the max value
+    * (identical on true redelivery; max is the safe fold for a
+    * same-instant re-scrape of a monotone counter). Replay-safe via the
+    * shared `_last_batch` marker (marker written LAST).
+    */
+  def increaseStream(samples: DataFrame, seriesCols: Seq[String],
+                     timeCol: String, quantized: org.apache.spark.sql.Column,
+                     statePath: String, sink: DataFrame => Unit,
+                     keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    samples.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processIncreaseBatch(batch, batchId, seriesCols, timeCol, quantized,
+        statePath, sink, keepPrevious)
+    }
+
+  /** One micro-batch of [[increaseStream]], exposed for replay specs. */
+  private[streaming] def processIncreaseBatch(batch: DataFrame,
+      batchId: Long, seriesCols: Seq[String], timeCol: String,
+      quantized: org.apache.spark.sql.Column, statePath: String,
+      sink: DataFrame => Unit, keepPrevious: Boolean = false): Unit = {
+    import graft.query.TimeSeries
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
+    val keyCols = seriesCols.map(col) :+ col(timeCol)
+    val partials = batch
+      .select(keyCols :+ quantized.cast("long").as("__v"): _*)
+      .groupBy(keyCols: _*).agg(max(col("__v")).as("__v"))
+    val dir = foldGenState(spark, statePath, batchId, keepPrevious) {
+      case Some(prior) => prior.unionByName(partials)
+        .groupBy(keyCols: _*).agg(max(col("__v")).as("__v"))
+      case None => partials
+    }
+    sink(TimeSeries.increaseBy(spark.read.parquet(dir), seriesCols,
+      timeCol, col("__v"), timeCol))
+    commitBatch(spark, statePath, batchId)
+  }
+
   /** STREAMING per-group uniform sample — the incremental twin of
     * [[graft.ml.Sampling.perGroupSample]], exploiting that the hash-order
     * bottom-k is MERGEABLE: `bottomK(A ∪ B) = bottomK(bottomK(A) ∪

@@ -164,6 +164,47 @@ class StreamOpsSpec extends SparkSuite {
     assert(last.toSet == expect(b0 ++ b1 ++ mk(4, 1)).toSet)
   }
 
+  test("increaseStream: each trigger equals batch increaseBy over ALL " +
+      "samples so far; LATE/out-of-order samples re-score exactly; " +
+      "replay and re-delivered samples are no-ops") {
+    import org.apache.spark.sql.functions._
+    import graft.query.TimeSeries
+    val st = java.nio.file.Files.createTempDirectory("sincr").toString
+    var last: Seq[(String, Long, Long, Long, Long)] = Nil
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      last = df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    def run(rows: Seq[(String, Long, Long)], batchId: Long): Unit =
+      StreamOps.processIncreaseBatch(rows.toDF("s", "t", "v"), batchId,
+        Seq("s"), "t", col("v"), statePath = st, sink = sink)
+    def expect(all: Seq[(String, Long, Long)]) =
+      TimeSeries.increaseBy(all.toDF("s", "t", "v"), Seq("s"), "t",
+          col("v"), "t")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    // batch 0: series a climbing, series b single sample
+    val b0 = Seq(("a", 0L, 3L), ("a", 1L, 5L), ("b", 0L, 7L))
+    run(b0, 0L)
+    assert(last.toSet == expect(b0).toSet && last.nonEmpty)
+    // batch 1: a resets (v drops) and a LATE sample lands BETWEEN the
+    // two batch-0 samples — the series re-walks as if always there
+    val b1 = Seq(("a", 3L, 2L), ("a", 2L, 9L))
+    run(b1, 1L)
+    assert(last.toSet == expect(b0 ++ b1).toSet)
+    // hand-check: a = 3 +2 +4(late 9) +2(reset to 2) = 11
+    assert(last.find(_._1 == "a").get._5 == 11L)
+    // crash-replay of batch 1: ledger untouched
+    val snapshot = last
+    run(b1, 1L)
+    assert(last == snapshot)
+    // re-delivered sample (same series, t, v) in a NEW batch: no-op on
+    // the scores; a genuinely new sample still folds
+    run(Seq(("a", 2L, 9L), ("b", 5L, 1L)), 2L)
+    assert(last.toSet ==
+      expect(b0 ++ b1 ++ Seq(("b", 5L, 1L))).toSet)
+    assert(last.find(_._1 == "b").get._5 == 8L) // 7 then reset-to-1
+  }
+
   test("sampleStream: ledger after every batch equals batch " +
       "perGroupSample over all data so far; replay and re-delivered " +
       "rows are no-ops; payload columns ride along") {
