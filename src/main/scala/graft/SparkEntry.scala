@@ -1768,6 +1768,33 @@ object SparkEntry {
             col("event_type") === "purchase"))
         .orderBy(col("step"))),
 
+    // Product analytics: TIME-TO-CONVERT per funnel transition — exact
+    // BIGINT ms stats over the fully-converted cohort, plus the p50
+    // from a 1-second-bucketed duration histogram (the scale path: an
+    // exact median would collect a step's durations onto one executor).
+    "q_funnel_timing" -> ((s, dir) => {
+      val steps = Seq(col("event_type") === "view",
+        col("event_type") === "click", col("event_type") === "purchase")
+      val ev = t(s, dir, "events")
+      val stats = Analytics.funnelTiming(ev, "user_id", "ts", steps)
+      val durs = Analytics.funnel(ev, "user_id", "ts", steps)
+        .select(explode(array(
+          struct(lit(2L).as("step"),
+            (unix_millis(col("t_2").cast("timestamp")) -
+              unix_millis(col("t_1").cast("timestamp"))).as("d_ms")),
+          struct(lit(3L).as("step"),
+            (unix_millis(col("t_3").cast("timestamp")) -
+              unix_millis(col("t_2").cast("timestamp"))).as("d_ms"))))
+          .as("x"))
+        .select(col("x.step").as("step"),
+          expr("((x.d_ms + 999) div 1000) * 1000").as("le"))
+        .groupBy(col("step"), col("le")).agg(count(lit(1)).as("cnt"))
+      val p50 = Percentiles.histogramQuantile(durs, Seq("step"),
+          "le", "cnt", phiMicro = 500000L)
+        .select(col("step"), col("q_micro").as("p50_ms_bucketed"))
+      stats.join(p50, Seq("step")).orderBy(col("step"))
+    }),
+
     // Product analytics: path transitions ("what happens next") — per
     // user consecutive event-type pairs ordered by (ts, event_id), a
     // 6 h gap break, top-15 edges by count. One per-user window + one
@@ -2207,6 +2234,20 @@ object SparkEntry {
       Analytics.dimensionShift(t(s, dir, "events"), "event_type", "ts",
           "2024-01-15 00:00:00", "2024-01-18 00:00:00")
         .orderBy(col("event_type"))),
+
+    // OBS: LOG-TEMPLATE DRIFT — "which log pattern is surging?": the
+    // Drain-lite template of each line becomes the contribution
+    // dimension (mask chain is codegen'd per row, so the shift rides
+    // the same single-pass aggregate as q_dim_shift; template
+    // cardinality = distinct formats, tiny after masking).
+    "q_template_drift" -> ((s, dir) =>
+      Analytics.dimensionShift(
+          t(s, dir, "events").withColumn("template",
+            graft.ingest.LogTemplates.template(
+              concat(col("event_type"), lit(" "), col("props")))),
+          "template", "ts",
+          "2024-01-15 00:00:00", "2024-01-18 00:00:00")
+        .orderBy(col("template"))),
 
     // OBS: MULTI-DIM contribution panel — event_type AND a 16-way user
     // bucket ranked in ONE data pass (melt + single aggregate + |dims|-
@@ -6404,6 +6445,62 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
 
+    // Funnel timing: per-transition exact ms stats over the converted
+    // cohort + bucketed p50 (the q_metric_hist_quantile selection).
+    "q_funnel_timing" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, t_1, min(e.ts) AS t_2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t_1 GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, t_1, t_2, min(e.ts) AS t_3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t_2 GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT CAST(2 AS BIGINT) AS step,
+        |    epoch_ms(t_2) - epoch_ms(t_1) AS d_ms FROM s3
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), epoch_ms(t_3) - epoch_ms(t_2)
+        |  FROM s3),
+        |a AS (
+        |  SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(min(d_ms) AS BIGINT) AS min_ms,
+        |    CAST(max(d_ms) AS BIGINT) AS max_ms,
+        |    CAST(sum(d_ms) AS BIGINT) AS sum_ms
+        |  FROM d GROUP BY 1),
+        |b AS (
+        |  SELECT step, ((d_ms + 999) // 1000) * 1000 AS le,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT step, le, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY step ORDER BY le
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(COALESCE(lag(le) OVER (PARTITION BY step ORDER BY le),
+        |      0) AS BIGINT) AS lower,
+        |    CAST(sum(cnt) OVER (PARTITION BY step) AS BIGINT) AS total
+        |  FROM b),
+        |sel AS (
+        |  SELECT step, le, cnt, cum, lower, total,
+        |    row_number() OVER (PARTITION BY step ORDER BY le) AS pick
+        |  FROM c
+        |  WHERE cnt > 0 AND cum * 1000000 >= 500000 * total),
+        |p AS (
+        |  SELECT step,
+        |    CAST(floor(CAST(lower AS DOUBLE) + CAST(le - lower AS DOUBLE)
+        |      * ((500000.0 * CAST(total AS DOUBLE) -
+        |          CAST(cum - cnt AS DOUBLE) * 1000000.0) /
+        |         (CAST(cnt AS DOUBLE) * 1000000.0))) AS BIGINT)
+        |      AS p50_ms_bucketed
+        |  FROM sel WHERE pick = 1)
+        |SELECT a.step, n_users, min_ms, max_ms, sum_ms,
+        |  CAST(sum_ms // n_users AS BIGINT) AS avg_ms, p50_ms_bucketed
+        |FROM a JOIN p USING (step) ORDER BY step""".stripMargin,
+
     "q_event_paths" ->
       """WITH e AS (
         |  SELECT event_type AS src,
@@ -7200,6 +7297,46 @@ object SparkEntry {
         |    CAST(share_win_micro * 1000000 // share_base_micro AS BIGINT)
         |  END AS lift_micro
         |FROM sh ORDER BY event_type""".stripMargin,
+
+    // Template drift: the q_log_templates mask chain feeds the
+    // q_dim_shift contribution pipeline.
+    "q_template_drift" ->
+      """WITH l AS (
+        |  SELECT ts, event_type || ' ' || props AS line FROM events),
+        |q AS (
+        |  SELECT
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(line,
+        |      '"[^"]*"', '"<*>"', 'g'),
+        |      '\b[0-9a-f]{8,}\b', '<HEX>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\d+', '<N>', 'g') AS template,
+        |    (ts >= TIMESTAMP '2024-01-15 00:00:00' AND
+        |     ts <  TIMESTAMP '2024-01-18 00:00:00') AS in_win
+        |  FROM l),
+        |q2 AS (
+        |  SELECT template,
+        |    sum(CASE WHEN in_win THEN 1 ELSE 0 END) AS n_win,
+        |    sum(CASE WHEN NOT in_win THEN 1 ELSE 0 END) AS n_base
+        |  FROM q GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_win) AS t_win, sum(n_base) AS t_base FROM q2),
+        |sh AS (
+        |  SELECT template, n_win, n_base,
+        |    CASE WHEN t_win > 0 THEN n_win * 1000000 // t_win
+        |         ELSE 0 END AS share_win_micro,
+        |    CASE WHEN t_base > 0 THEN n_base * 1000000 // t_base
+        |         ELSE 0 END AS share_base_micro
+        |  FROM q2, tot)
+        |SELECT template, CAST(n_win AS BIGINT) AS n_win,
+        |  CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(share_win_micro AS BIGINT) AS share_win_micro,
+        |  CAST(share_base_micro AS BIGINT) AS share_base_micro,
+        |  CAST(share_win_micro - share_base_micro AS BIGINT)
+        |    AS shift_micro,
+        |  CASE WHEN share_base_micro > 0 THEN
+        |    CAST(share_win_micro * 1000000 // share_base_micro AS BIGINT)
+        |  END AS lift_micro
+        |FROM sh ORDER BY template""".stripMargin,
 
     "q_metric_robust_seasonal" ->
       """WITH q AS (

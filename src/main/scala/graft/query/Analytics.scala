@@ -65,6 +65,39 @@ object Analytics {
     frames.result().reduce(_.unionAll(_))
   }
 
+  /** FUNNEL TIMING — time-to-convert for each funnel transition over the
+    * FULLY-converted cohort ([[funnel]]'s output: one row per user who
+    * completed every step, with the first-completion time of each):
+    * per transition k−1→k the user count and exact BIGINT millisecond
+    * stats (min/max/sum, truncating mean). Medians/percentiles go
+    * through [[Percentiles.histogramQuantile]] over a bucketed duration
+    * histogram (the scale path — an exact median would collect each
+    * step's durations into one executor).
+    *
+    * Shape: the funnel cascade, then ONE hash aggregate over the melted
+    * (step, duration) rows — K−1 rows per converted user, never
+    * event-stream-sized. Returns (step, n_users, min_ms, max_ms,
+    * sum_ms, avg_ms) for steps 2..K.
+    */
+  def funnelTiming(events: DataFrame, userCol: String, tsCol: String,
+                   steps: Seq[Column]): DataFrame = {
+    require(steps.size >= 2, "funnelTiming needs at least two steps")
+    val full = funnel(events, userCol, tsCol, steps)
+    val trans = (2 to steps.size).map { i =>
+      struct(lit(i.toLong).as("step"),
+        (unix_millis(col(s"t_$i").cast("timestamp")) -
+          unix_millis(col(s"t_${i - 1}").cast("timestamp"))).as("d_ms"))
+    }
+    full.select(explode(array(trans: _*)).as("x"))
+      .select(col("x.step").as("step"), col("x.d_ms").as("d_ms"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("d_ms")).as("min_ms"),
+        max(col("d_ms")).as("max_ms"),
+        sum(col("d_ms")).as("sum_ms"))
+      .withColumn("avg_ms", expr("sum_ms div n_users"))
+  }
+
   /** Pearson correlation per group from exact integer moments: both
     * measures must be integral (quantize doubles with `floor(x·scale)`),
     * so (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs and the final
