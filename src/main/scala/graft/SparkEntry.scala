@@ -2374,6 +2374,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: SUBWORD-REGULARIZATION sampled encode (Kudo 2018) — one draw
+    // from P(segmentation)^alpha per word via deterministic FFBS (seeded
+    // integer mixing; same word+seed ⇒ same pieces anywhere). The
+    // sampling distribution is spec-gated (UnigramLmSpec); the oracle
+    // pins corpus-wide losslessness — every draw still reconstructs.
+    "q_unigram_sampled" -> ((s, dir) => {
+      val m = graft.ml.UnigramLm.trainSoft(t(s, dir, "documents"), "text",
+        vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ml.UnigramLm.encodePiecesSampled(
+            TextAnalysis.tokens(col("text")), m, alpha = 0.5, seed = 42L)
+            .as("pieces"))
+        .select(col("doc_id"),
+          length(concat_ws("", col("pieces"))).cast("long")
+            .as("piece_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ML: int8-quantized brute-force ANN — 4x smaller vectors; integer dot
     // products make quantized cosine bit-exact across engines AND
     // summation orders.
@@ -7579,6 +7598,18 @@ object SparkEntry {
          |ORDER BY q_id, rk""".stripMargin,
 
     "q_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+        |    AS BIGINT) AS piece_chars
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // Sampled unigram encode: every sampled draw still reconstructs —
+    // same losslessness pin as q_unigram_encode.
+    "q_unigram_sampled" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk

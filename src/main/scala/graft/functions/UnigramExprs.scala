@@ -45,6 +45,39 @@ object UnigramExprs {
     b += s.length
     b.toArray
   }
+
+  /** Order-pinned log-add-exp (`m + log1p(exp(min − m))`) — the one
+    * accumulation formula every lattice pass (and the spec reference)
+    * shares, so float results are bit-identical given the same visit
+    * order.
+    */
+  private[graft] def ladd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b)
+      m + math.log1p(math.exp(math.min(a, b) - m))
+    }
+
+  /** splitmix64 finalizer — the deterministic per-(word, seed, position)
+    * uniform for sampled segmentation. Pure integer ops + one exact
+    * power-of-two division, so kernel and reference are bit-identical.
+    */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform in [0, 1) from (word hash, seed, lattice position) — the
+    * top 53 bits of [[mix64]] over the XOR-mix; `String.hashCode` is
+    * JVM-specified (31-polynomial), so the stream is platform-stable.
+    */
+  private[graft] def unitUniform(wordHash: Long, seed: Long,
+                                 pos: Long): Double =
+    (mix64(wordHash ^ (seed * 0xc2b2ae3d27d4eb4fL) ^
+      (pos * 0x5851f42d4c957f2dL)) >>> 11).toDouble / (1L << 53).toDouble
 }
 
 /** Candidate substrings (code-point based, length ≤ maxLen) of a word. */
@@ -151,13 +184,7 @@ class UnigramModel(val piecesSeq: Seq[(String, Double)], val unk: String,
     val offs = UnigramExprs.cpOffsets(word)
     val n = offs.length - 1
     if (n == 0) return new GenericArrayData(Array.empty[Any])
-    def ladd(a: Double, b: Double): Double =
-      if (a == Double.NegativeInfinity) b
-      else if (b == Double.NegativeInfinity) a
-      else {
-        val m = math.max(a, b)
-        m + math.log1p(math.exp(math.min(a, b) - m))
-      }
+    def ladd(a: Double, b: Double): Double = UnigramExprs.ladd(a, b)
     // edge log-prob at (start j, end i), or NaN when no edge exists
     def edgeLp(j: Int, i: Int): Double = {
       val sub = word.substring(offs(j), offs(i))
@@ -241,6 +268,103 @@ class UnigramModel(val piecesSeq: Seq[(String, Double)], val unk: String,
     new GenericArrayData(rows.toArray)
   }
 
+  /** SAMPLED segmentation (subword regularization, Kudo 2018 §3.1):
+    * draw one segmentation from `P(x|w)^α` (normalized) via
+    * forward-filtering backward-sampling — the training-time
+    * augmentation that exposes the model to runner-up tokenizations.
+    * α=0 samples segmentations uniformly; larger α sharpens toward
+    * Viterbi. DETERMINISTIC: the per-step uniform is
+    * [[UnigramExprs.unitUniform]] over (word hash, seed, lattice
+    * position) — same word + seed ⇒ same pieces on every executor, any
+    * partitioning, any engine (pure integer mixing; the lattice floats
+    * follow the same pinned orders as [[expectedMicro]], mirrored by
+    * the spec reference).
+    *
+    * Contract details: edges are vocab pieces plus UNK for
+    * out-of-vocab single characters; the backward walk scans
+    * candidates in ascending length order accumulating normalized
+    * posteriors until the cumulative mass exceeds the uniform; float
+    * shortfall (Σ = 1−ε < u) falls to the LAST candidate.
+    */
+  def segmentSampled(word: String, alpha: Double,
+                     seed: Long): Array[UTF8String] = {
+    val offs = UnigramExprs.cpOffsets(word)
+    val n = offs.length - 1
+    if (n == 0) return Array.empty
+    // forward alphas under the α-scaled log-probs
+    val a = new Array[Double](n + 1)
+    java.util.Arrays.fill(a, Double.NegativeInfinity)
+    a(0) = 0.0
+    def scaledLp(j: Int, i: Int): Double = {
+      val sub = word.substring(offs(j), offs(i))
+      val lp = table.get(sub)
+      if (lp != null) alpha * lp.doubleValue()
+      else if (i - j == 1) alpha * unkLogp
+      else Double.NaN
+    }
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      while (len <= maxPieceLen && len <= i) {
+        val j = i - len
+        if (a(j) != Double.NegativeInfinity) {
+          val lp = scaledLp(j, i)
+          if (!lp.isNaN) a(i) = UnigramExprs.ladd(a(i), a(j) + lp)
+        }
+        len += 1
+      }
+      i += 1
+    }
+    if (a(n) == Double.NegativeInfinity) return Array.empty // unreachable
+    val wh = word.hashCode.toLong
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var pos = n
+    while (pos > 0) {
+      val u = UnigramExprs.unitUniform(wh, seed, pos.toLong)
+      var cum = 0.0
+      var chosenJ = -1
+      var chosenP: UTF8String = null
+      var len = 1
+      while (len <= maxPieceLen && len <= pos) {
+        val j = pos - len
+        if (a(j) != Double.NegativeInfinity) {
+          val lp = scaledLp(j, pos)
+          if (!lp.isNaN) {
+            val sub = word.substring(offs(j), offs(pos))
+            val piece =
+              if (table.get(sub) != null) UTF8String.fromString(sub)
+              else unkU
+            // first candidate always latches (float-shortfall fallback
+            // is the LAST candidate, so keep overwriting until cum > u)
+            if (chosenJ < 0 || cum <= u) { chosenJ = j; chosenP = piece }
+            cum += math.exp(a(j) + lp - a(pos))
+          }
+        }
+        len += 1
+      }
+      out += chosenP
+      pos = chosenJ
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Sampled pieces of a whole token array, token order preserved. */
+  def segmentAllSampled(toks: ArrayData, alpha: Double,
+                        seed: Long): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < toks.numElements()) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val ps = segmentSampled(t.toString, alpha, seed)
+        var j = 0
+        while (j < ps.length) { out.add(ps(j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Pieces of a whole token array, concatenated in token order. */
   def segmentAll(toks: ArrayData): ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
@@ -278,6 +402,27 @@ case class UnigramExpected(child: Expression, model: UnigramModel)
     val modelRef = ctx.addReferenceObj("unigramModel", model,
       classOf[UnigramModel].getName)
     defineCodeGen(ctx, ev, c => s"$modelRef.expectedMicro($c.toString())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sampled unigram pieces (subword regularization) of a token array
+  * under a fixed model — deterministic per (word, seed).
+  */
+case class UnigramPiecesSampled(child: Expression, model: UnigramModel,
+                                alpha: Double, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    model.segmentAllSampled(input.asInstanceOf[ArrayData], alpha, seed)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("unigramModel", model,
+      classOf[UnigramModel].getName)
+    defineCodeGen(ctx, ev,
+      c => s"$modelRef.segmentAllSampled($c, $alpha, ${seed}L)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{AllSubstrings, UnigramExpected, UnigramModel, UnigramPieces}
+import graft.functions.{AllSubstrings, UnigramExpected, UnigramModel, UnigramPieces, UnigramPiecesSampled}
 
 /** Unigram-LM (SentencePiece-style) tokenizer — the third family member
   * next to [[BpeTrain]] (merge-based) and the WordPiece encoder
@@ -228,4 +228,18 @@ object UnigramLm {
     */
   def encodePieces(toks: Column, model: UnigramModel): Column =
     ColumnBridge.column(UnigramPieces(ColumnBridge.expression(toks), model))
+
+  /** SAMPLED pieces (subword regularization, Kudo 2018): one draw from
+    * `P(segmentation|word)^alpha` per word via deterministic
+    * forward-filtering backward-sampling — same (word, seed) gives the
+    * same pieces on every executor and partitioning, so augmented
+    * epochs are reproducible by seed. Stateless codegen'd kernel,
+    * scan-bound like [[encodePieces]].
+    */
+  def encodePiecesSampled(toks: Column, model: UnigramModel,
+                          alpha: Double, seed: Long): Column = {
+    require(alpha >= 0.0, "alpha must be >= 0")
+    ColumnBridge.column(UnigramPiecesSampled(
+      ColumnBridge.expression(toks), model, alpha, seed))
+  }
 }

@@ -146,7 +146,8 @@ class KernelCodegenSpec extends SparkSuite {
     val ks: Seq[Expression] = Seq(
       AllSubstrings(wAttr, maxLen = 3),
       UnigramPieces(tAttr, model),
-      UnigramExpected(wAttr, model))
+      UnigramExpected(wAttr, model),
+      UnigramPiecesSampled(tAttr, model, 0.5, 42L))
     val bound = ks.map(BindReferences.bindReference[Expression](_, uAttrs))
     val proj = GenerateUnsafeProjection.generate(bound) // throws on Janino failure
     val row = InternalRow(
@@ -176,5 +177,9 @@ class KernelCodegenSpec extends SparkSuite {
     // must be "low" and every posterior lands on the micro grid
     val exp = pairs(out.getArray(2)).toMap
     assert(exp.contains("low") && exp("low") > 900000L)
+    // sampled kernel: compiled == interpreted, draws reconstruct
+    assert(strs(out.getArray(3)) ==
+      strs(interp(3).asInstanceOf[ArrayData]))
+    assert(strs(out.getArray(3)).mkString == "lowlow")
   }
 }

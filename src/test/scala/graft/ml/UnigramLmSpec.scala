@@ -228,6 +228,68 @@ class UnigramLmSpec extends SparkSuite {
     model
   }
 
+  // ---- sampled-segmentation reference: FFBS with the same pinned
+  // ---- orders, uniforms, and <=-boundary latch as the kernel contract
+
+  private def refSampled(w: String, m: RefModel, alpha: Double,
+                         seed: Long): Seq[String] = {
+    val offs = refOffs(w)
+    val n = offs.length - 1
+    if (n == 0) return Nil
+    def scaledLp(j: Int, i: Int): Double = {
+      val sub = w.substring(offs(j), offs(i))
+      m.lp.get(sub) match {
+        case Some(p) => alpha * p
+        case None if i - j == 1 => alpha * m.unkLp
+        case None => Double.NaN
+      }
+    }
+    val a = Array.fill(n + 1)(Double.NegativeInfinity)
+    a(0) = 0.0
+    for (i <- 1 to n; len <- 1 to math.min(m.maxLen, i)) {
+      val j = i - len
+      if (a(j) != Double.NegativeInfinity) {
+        val lp = scaledLp(j, i)
+        if (!lp.isNaN) a(i) = refLadd(a(i), a(j) + lp)
+      }
+    }
+    if (a(n) == Double.NegativeInfinity) return Nil
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def uni(pos: Long): Double =
+      (mix64(w.hashCode.toLong ^ (seed * 0xc2b2ae3d27d4eb4fL) ^
+        (pos * 0x5851f42d4c957f2dL)) >>> 11).toDouble /
+        (1L << 53).toDouble
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var pos = n
+    while (pos > 0) {
+      val u = uni(pos.toLong)
+      var cum = 0.0
+      var chosenJ = -1
+      var chosenP: String = null
+      for (len <- 1 to math.min(m.maxLen, pos)) {
+        val j = pos - len
+        if (a(j) != Double.NegativeInfinity) {
+          val lp = scaledLp(j, pos)
+          if (!lp.isNaN) {
+            val sub = w.substring(offs(j), offs(pos))
+            val piece =
+              if (m.lp.contains(sub)) sub else UnigramLm.Unk
+            if (chosenJ < 0 || cum <= u) { chosenJ = j; chosenP = piece }
+            cum += math.exp(a(j) + lp - a(pos))
+          }
+        }
+      }
+      out += chosenP
+      pos = chosenJ
+    }
+    out.reverse.toSeq
+  }
+
   // -------------------------------- fixtures -------------------------
 
   private val corpus = Seq(
@@ -350,6 +412,50 @@ class UnigramLmSpec extends SparkSuite {
         .as("pieces"))
       .collect().flatMap(_.getSeq[String](0))
     assert(got.nonEmpty && got.forall(_ != UnigramLm.Unk))
+  }
+
+  test("encodePiecesSampled: kernel == FFBS reference for every (word, " +
+      "seed); pieces reconstruct; alpha sweeps uniform -> Viterbi") {
+    val lp = Map("a" -> math.log(0.25), "b" -> math.log(0.25),
+      "ab" -> math.log(0.5))
+    val ref = RefModel(lp, -20.0)
+    val m = new graft.functions.UnigramModel(lp.toSeq, UnigramLm.Unk, -20.0)
+    def kernel(w: String, alpha: Double, seed: Long): Seq[String] =
+      m.segmentSampled(w, alpha, seed).map(_.toString).toSeq
+    // exact parity across words, seeds, alphas (incl. OOV chars)
+    val rnd = new scala.util.Random(11)
+    for (seed <- 0L until 20L; alpha <- Seq(0.0, 0.2, 1.0, 5.0)) {
+      val w = (1 to (1 + rnd.nextInt(7))).map(_ => "abx"(rnd.nextInt(3)))
+        .mkString
+      assert(kernel(w, alpha, seed) == refSampled(w, ref, alpha, seed),
+        s"word $w alpha $alpha seed $seed")
+    }
+    // sampling actually mixes: over many seeds at alpha=1, "ab" is
+    // sometimes [ab] (posterior 8/9) and sometimes [a, b] (1/9)
+    val draws = (0L until 400L).map(s => kernel("ab", 1.0, s))
+    val whole = draws.count(_ == Seq("ab"))
+    assert(whole > 300 && whole < 390, s"whole=$whole") // ≈ 8/9 of 400
+    assert(draws.exists(_ == Seq("a", "b")))
+    // alpha=0: uniform over the two segmentations (~200 each)
+    val unif = (0L until 400L).map(s => kernel("ab", 0.0, s))
+      .count(_ == Seq("ab"))
+    assert(unif > 150 && unif < 250, s"unif=$unif")
+    // large alpha: effectively Viterbi
+    assert((0L until 100L).forall(s => kernel("ab", 50.0, s) ==
+      Seq("ab")))
+    // reconstruction holds for every draw (sampling never edits chars)
+    draws.foreach(ps => assert(ps.mkString == "ab"))
+    // DataFrame path: deterministic under repartitioning, same seed
+    val docsDf = Seq((1L, "ab ab abab"), (2L, "ba ab")).toDF("id", "t")
+    def enc(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), UnigramLm.encodePiecesSampled(
+        TextAnalysis.tokens(col("t")), m, 1.0, seed = 7L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(enc(docsDf) == enc(docsDf.repartition(5)))
+    intercept[IllegalArgumentException] {
+      UnigramLm.encodePiecesSampled(col("t"), m, -0.5, 1L)
+    }
   }
 
   test("unknown characters segment to <unk> per code point without " +
