@@ -1752,6 +1752,18 @@ object SparkEntry {
           maxDist = 20)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LAYOUT: Z-ORDER (Morton) clustering value — the multi-dimensional
+    // file-skipping layout (Delta/Iceberg ZORDER BY): two dims min-max
+    // scaled to 16 bits (exact BIGINT division), bits interleaved. The
+    // ZOrderSpec pruning demo shows the payoff; this gate pins the
+    // curve itself (scaling + interleave) against the oracle.
+    "q_zorder" -> ((s, dir) =>
+      graft.operators.ZOrder.withZValue(t(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), bits = 16)
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))),
+
     // Product analytics: ordered view→click→purchase funnel — per-user
     // first-completion times (cascade of filtered min-aggregations).
     "q_funnel" -> ((s, dir) =>
@@ -6463,6 +6475,35 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), (SELECT count(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS BIGINT), (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    // Z-order: min-max scaling to the 16-bit grid, then the Morton
+    // interleave as explicit bit arithmetic (generated: dim d bit i →
+    // position 2i+d) — byte-identical semantics in both engines.
+    "q_zorder" -> {
+      val interleave = (for {
+        i <- 0 until 16
+        (v, d) <- Seq(("v0", 0), ("v1", 1))
+      } yield s"((($v >> $i) & 1) << ${i * 2 + d})").mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS mn0,
+         |    CAST(max(l_partkey) AS BIGINT) AS mx0,
+         |    CAST(min(l_suppkey) AS BIGINT) AS mn1,
+         |    CAST(max(l_suppkey) AS BIGINT) AS mx1
+         |  FROM lineitem),
+         |v AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN mx0 > mn0
+         |      THEN ((l_partkey - mn0) * 65535) // (mx0 - mn0)
+         |      ELSE 0 END AS v0,
+         |    CASE WHEN mx1 > mn1
+         |      THEN ((l_suppkey - mn1) * 65535) // (mx1 - mn1)
+         |      ELSE 0 END AS v1
+         |  FROM lineitem, mm)
+         |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST($interleave AS BIGINT) AS z
+         |FROM v ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+    },
 
     // Funnel timing: per-transition exact ms stats over the converted
     // cohort + bucketed p50 (the q_metric_hist_quantile selection).

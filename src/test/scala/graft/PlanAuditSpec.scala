@@ -75,12 +75,18 @@ class PlanAuditSpec extends SparkSuite {
     // into the per-dimension share projection — corpus-constant
     // single-row pattern (q_corpus_report precedent); the only other
     // stage is one hash aggregate
-    "q_dim_shift", "q_dim_shift_weighted",
+    // template drift rides the same dimensionShift single-row totals
+    // broadcast
+    "q_dim_shift", "q_dim_shift_weighted", "q_template_drift",
     // retrieval topline: retrievalTopline's documented cross join of TWO
     // 1-row aggregate frames (binary macro summary × graded nDCG
     // summary) — the corpus-constant single-row pattern, both sides
     // 1 row by construction
-    "q_eval_topline")
+    "q_eval_topline",
+    // z-order: withZValue's documented broadcast of the 1-row per-dim
+    // min/max frame into the scaling projection — corpus-constant
+    // single-row pattern
+    "q_zorder")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
