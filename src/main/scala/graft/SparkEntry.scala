@@ -2166,6 +2166,31 @@ object SparkEntry {
       Eval.rankAgreement(a, b, 10).orderBy(col("q_id"))
     }),
 
+    // ML: RANK-BIASED OVERLAP @10 — the top-weighted agreement over the
+    // same two rankings (rank-1 disagreement costs more than rank-10);
+    // depth weights are driver-computed literals (the Ln2 convention),
+    // each depth's term floors to the micro grid before the BIGINT sum.
+    "q_eval_rbo" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("n_chars"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("n_chars"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      def ranked(order: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.TopK.perGroup(cand, Seq(col("q_id")), order, 10)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(order: _*))
+            .cast("long"))
+          .select(col("q_id"), col("doc_id"), col("rk"))
+      val a = ranked(Seq(col("tf").desc, col("doc_id").asc))
+      val b = ranked(Seq(col("n_chars").desc, col("doc_id").asc))
+      Eval.rboAtK(a, b, 10, p = 0.9).orderBy(col("q_id"))
+    }),
+
     // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
     // PR twin of the per-group AUC): group-partitioned rank walk,
     // per-positive prec@k on the micro grid, executor-side division.
@@ -7082,6 +7107,70 @@ object SparkEntry {
         |FROM na JOIN nb USING (q_id) LEFT JOIN nc USING (q_id)
         |LEFT JOIN p USING (q_id)
         |ORDER BY q_id""".stripMargin,
+
+    // RBO@10: depth constants generated with the SAME repeated-
+    // multiplication order as Eval.rboAtK and embedded as double
+    // literals (round-trip-exact), per-depth floor before the sum.
+    "q_eval_rbo" -> {
+      val k = 10
+      val p = 0.9
+      val cs = new Array[Double](k + 1)
+      var pPow = 1.0
+      var d = 1
+      while (d <= k) {
+        cs(d) = 1000000.0 * (1.0 - p) * pPow / d.toDouble
+        pPow = pPow * p
+        d += 1
+      }
+      val caseW = (1 to k)
+        .map(i => s"WHEN ${i} THEN ${cs(i)}").mkString(" ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, n_chars, list_filter(string_split_regex(text,
+         |    ' +'), t -> t != '') AS toks
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, n_chars, term, count(*) AS tf
+         |  FROM (SELECT doc_id, n_chars, unnest(toks) AS term FROM tk)
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+         |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+         |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+         |cand AS (
+         |  SELECT q_id, doc_id, n_chars, tf FROM tf JOIN q ON term = qterm),
+         |ra AS (
+         |  SELECT q_id, doc_id, rk FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY tf DESC, doc_id ASC) AS rk FROM cand)
+         |  WHERE rk <= $k),
+         |rb AS (
+         |  SELECT q_id, doc_id, rk FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk FROM cand)
+         |  WHERE rk <= $k),
+         |qs AS (SELECT DISTINCT q_id FROM (
+         |  SELECT q_id FROM ra UNION ALL SELECT q_id FROM rb)),
+         |cm AS (
+         |  SELECT ra.q_id, greatest(ra.rk, rb.rk) AS d_in
+         |  FROM ra JOIN rb USING (q_id, doc_id)),
+         |e AS (SELECT q_id, d_in, count(*) AS cnt FROM cm GROUP BY 1, 2),
+         |g AS (
+         |  SELECT q_id, CAST(d AS BIGINT) AS d
+         |  FROM qs, (SELECT unnest(generate_series(1, $k)) AS d)),
+         |o AS (
+         |  SELECT g.q_id, g.d,
+         |    CAST(sum(COALESCE(cnt, 0)) OVER (PARTITION BY g.q_id
+         |      ORDER BY g.d ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS BIGINT) AS ov
+         |  FROM g LEFT JOIN e ON g.q_id = e.q_id AND g.d = e.d_in),
+         |t2 AS (
+         |  SELECT q_id, d, ov,
+         |    CAST(floor((CASE d $caseW END) * CAST(ov AS DOUBLE))
+         |      AS BIGINT) AS term
+         |  FROM o)
+         |SELECT q_id,
+         |  CAST(max(CASE WHEN d = $k THEN ov END) AS BIGINT) AS overlap_k,
+         |  CAST(sum(term) AS BIGINT) AS rbo_micro
+         |FROM t2 GROUP BY 1 ORDER BY q_id""".stripMargin
+    },
 
     "q_eval_ndcg" ->
       """WITH tk AS (

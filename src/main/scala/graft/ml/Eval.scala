@@ -628,6 +628,70 @@ object Eval {
         max(col("gap")).as("mce_micro"))
   }
 
+  /** RANK-BIASED OVERLAP @k (Webber 2010, truncated) — the TOP-WEIGHTED
+    * agreement measure [[rankAgreement]]'s Jaccard/τ are not: agreement
+    * at rank 1 matters more than at rank 10,
+    * `RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d`.
+    * A common doc enters the intersection at depth `max(rank_A,
+    * rank_B)`, so the per-depth overlap is one cumulative count.
+    *
+    * Determinism: the depth constants `c_d = 10⁶·(1−p)·p^(d−1)/d` are
+    * computed ON THE DRIVER with a fixed multiplication order and
+    * embedded as double literals in the plan (the Ln2 convention — no
+    * cross-engine `pow`); each depth's term grids to
+    * `floor(c_d · ov_d)` before the order-independent BIGINT sum.
+    * Inputs dedupe to best rank like [[rankAgreement]].
+    *
+    * Scale shape: the (q_id, doc_id) equi-join of two ≤k cut lists,
+    * one hash aggregate, a broadcast k-row depth grid, and a window
+    * PARTITIONED per query over exactly k rows. Returns per query:
+    * (q_id, overlap_k, rbo_micro).
+    */
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int,
+             p: Double = 0.9): DataFrame = {
+    require(k >= 1 && p > 0.0 && p < 1.0, "need k >= 1 and 0 < p < 1")
+    // c_d by repeated multiplication, never pow()
+    val cs = new Array[Double](k + 1)
+    var pPow = 1.0
+    var d = 1
+    while (d <= k) {
+      cs(d) = 1000000.0 * (1.0 - p) * pPow / d.toDouble
+      pPow = pPow * p
+      d += 1
+    }
+    def cut(r: DataFrame, rkName: String) = r
+      .select(col("q_id"), col("doc_id"), col("rk"))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(min(col("rk")).as(rkName))
+    val ca = cut(a, "rk_a")
+    val cb = cut(b, "rk_b")
+    val qs = ca.select(col("q_id")).union(cb.select(col("q_id"))).distinct()
+    val entries = ca.join(cb, Seq("q_id", "doc_id"))
+      .select(col("q_id"), greatest(col("rk_a"), col("rk_b")).as("d_in"))
+      .groupBy(col("q_id"), col("d_in")).agg(count(lit(1)).as("cnt"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val depths = broadcast((1 to k).map(_.toLong).toDF("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cd = (1 until k).foldLeft(when(col("d") === 1L, lit(cs(1)))) {
+      (acc, i) => acc.when(col("d") === (i + 1).toLong, lit(cs(i + 1)))
+    }
+    val lhs = qs.crossJoin(depths)
+    lhs.join(entries, lhs("q_id") === entries("q_id") &&
+        lhs("d") === entries("d_in"), "left")
+      .select(lhs("q_id"), lhs("d"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("ov", sum(col("cnt")).over(w))
+      .withColumn("term", floor(cd * col("ov").cast("double")).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(max(when(col("d") === k.toLong, col("ov"))).as("overlap_k"),
+        sum(col("term")).as("rbo_micro"))
+  }
+
   /** RANKING AGREEMENT @k — how much two rankings of the same queries
     * agree (exact vs ANN retrieval, yesterday's index vs today's): per
     * query the top-k overlap (Jaccard over the two ≤k-row cut lists)

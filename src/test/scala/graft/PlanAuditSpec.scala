@@ -86,7 +86,10 @@ class PlanAuditSpec extends SparkSuite {
     // z-order: withZValue's documented broadcast of the 1-row per-dim
     // min/max frame into the scaling projection — corpus-constant
     // single-row pattern
-    "q_zorder")
+    "q_zorder",
+    // RBO: the broadcast k-row (k=10) literal depth grid crossed with
+    // the per-query list — a constant-sized model-table broadcast
+    "q_eval_rbo")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

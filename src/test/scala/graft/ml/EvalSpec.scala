@@ -482,6 +482,52 @@ class EvalSpec extends SparkSuite {
       (2L, 2L, 2L, 0L, 0L, Long.MinValue)))   // no common docs: tau null
   }
 
+  test("rboAtK: brute-force parity; identical lists hit 1-p^k; " +
+      "top-weighted (rank-1 agreement beats rank-k agreement); " +
+      "disjoint lists score 0") {
+    val k = 5
+    val p = 0.9
+    // brute force with the same driver-constant grid
+    def brute(a: Map[Long, Long], b: Map[Long, Long]): Long = {
+      val cs = (1 to k).scanLeft(1.0)((acc, _) => acc * p)
+        .take(k).zipWithIndex
+        .map { case (pp, i) => 1000000.0 * (1.0 - p) * pp / (i + 1.0) }
+      (1 to k).map { d =>
+        val ov = a.count { case (doc, ra) =>
+          ra <= d && b.get(doc).exists(_ <= d) }
+        math.floor(cs(d - 1) * ov.toDouble).toLong
+      }.sum
+    }
+    def df(m: Map[Long, Long], q: Long = 0L) =
+      m.toSeq.map { case (doc, rk) => (q, doc, rk) }
+        .toDF("q_id", "doc_id", "rk")
+    val ident = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L)
+    val r1 = Eval.rboAtK(df(ident), df(ident), k, p).collect().head
+    assert(r1.getLong(r1.fieldIndex("rbo_micro")) == brute(ident, ident))
+    assert(r1.getLong(r1.fieldIndex("overlap_k")) == 5L)
+    // identical lists: Σ(1-p)p^(d-1)·1 per depth — ≈ 1 - p^k
+    val exact = 1000000.0 * (1.0 - math.pow(p, k))
+    assert(math.abs(r1.getLong(r1.fieldIndex("rbo_micro")) - exact) < 10)
+    // agreement only at rank 1 vs only at rank k: top-weighted
+    val a1 = Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    val b1 = Map(1L -> 1L, 8L -> 2L, 9L -> 3L)   // share only rank-1 doc
+    val aK = Map(2L -> 1L, 3L -> 2L, 1L -> 3L)
+    val bK = Map(8L -> 1L, 9L -> 2L, 1L -> 3L)   // share only a rank-3 doc
+    val top = Eval.rboAtK(df(a1), df(b1), k, p).collect().head
+      .getAs[Long]("rbo_micro")
+    val bot = Eval.rboAtK(df(aK), df(bK), k, p).collect().head
+      .getAs[Long]("rbo_micro")
+    assert(top > bot && bot > 0L)
+    assert(top == brute(a1, b1) && bot == brute(aK, bK))
+    // disjoint: zero
+    val z = Eval.rboAtK(df(Map(1L -> 1L)), df(Map(2L -> 1L)), k, p)
+      .collect().head
+    assert(z.getLong(z.fieldIndex("rbo_micro")) == 0L)
+    assert(z.getLong(z.fieldIndex("overlap_k")) == 0L)
+    intercept[IllegalArgumentException] { Eval.rboAtK(df(ident),
+      df(ident), k, 1.0) }
+  }
+
   test("rankAgreement: rank cut at k, dup collapse to best rank, and " +
       "the sign-split tau on a mixed case") {
     // q0 common docs with ranks a=(1,2,3), b=(2,1,3): pairs (1,2) disc,
