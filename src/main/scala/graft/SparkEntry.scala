@@ -2411,6 +2411,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ML: QUALITY CURATION FUNNEL — the attrition report every corpus
+    // pipeline publishes: documents surviving each successive filter
+    // (language-ID = en → readability ≥ 20 → C4 keep), cumulative-AND
+    // conditional sums in ONE aggregate over the flag projection
+    // (readability joins per doc_id; zero-word docs fail the band).
+    "q_quality_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val c4 = TextAnalysis.c4Flags(col("text"),
+        blocklist = Seq("spark", "vector")).toMap
+      val flags = d.select(col("doc_id"),
+          (TextAnalysis.langId(col("text")) === "en").as("f1"),
+          c4("keep").as("f3"))
+        .join(TextAnalysis.readability(d)
+          .select(col("doc_id"),
+            (col("flesch_micro") >= 20000000L).as("f2r")),
+          Seq("doc_id"), "left")
+        .withColumn("f2", coalesce(col("f2r"), lit(false)))
+      flags.agg(
+          count(lit(1)).as("s0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("f1") && col("f2") && col("f3"), 1L)
+            .otherwise(0L)).as("s3"))
+        .select(explode(array(
+          struct(lit(0L).as("stage"), lit("all").as("rule"),
+            col("s0").as("docs")),
+          struct(lit(1L).as("stage"), lit("lang_en").as("rule"),
+            col("s1").as("docs")),
+          struct(lit(2L).as("stage"), lit("readability").as("rule"),
+            col("s2").as("docs")),
+          struct(lit(3L).as("stage"), lit("c4").as("rule"),
+            col("s3").as("docs")))).as("x"))
+        .select(col("x.stage").as("stage"), col("x.rule").as("rule"),
+          col("x.docs").as("docs"))
+        .orderBy(col("stage"))
+    }),
+
+    // ML: FLESCH READABILITY — words / [.!?]+ sentences / vowel-group
+    // syllables as exact BIGINTs, the classic score as a fixed IEEE
+    // tree floored to the micro grid. Per-row HOF aggregate, no explode.
+    "q_text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // ML: SUBWORD-REGULARIZATION sampled encode (Kudo 2018) — one draw
     // from P(segmentation)^alpha per word via deterministic FFBS (seeded
     // integer mixing; same word+seed ⇒ same pieces anywhere). The
@@ -7736,6 +7780,93 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
         |    AS BIGINT) AS piece_chars
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // Quality funnel: each rule's verified oracle fragment
+    // (q_text_langid / q_text_readability / q_text_c4) composed into
+    // cumulative-AND stage counts.
+    "q_quality_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, ' +'), x -> x != '')
+        |      AS tk,
+        |    list_filter(string_split_regex(lower(text), ' +'),
+        |      x -> x != '') AS tkl
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, t -> t IN
+        |      ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS h_de,
+        |    len(list_filter(tk, t -> t IN
+        |      ('the','a','of','and','to','in','is','it','that','for'))) AS h_en,
+        |    len(list_filter(tk, t -> t IN
+        |      ('el','la','de','que','y','en','un','por','con','para'))) AS h_es,
+        |    len(list_filter(tk, t -> t IN
+        |      ('le','la','de','et','un','est','pour','que','dans','avec'))) AS h_fr
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS w,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS s,
+        |    CAST(COALESCE(list_sum(list_transform(tk, t ->
+        |      greatest(1, len(regexp_extract_all(lower(t),
+        |        '[aeiouy]+'))))), 0) AS BIGINT) AS sy
+        |  FROM base),
+        |f AS (
+        |  SELECT base.doc_id,
+        |    ((CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END) = 'en') AS f1,
+        |    (w > 0 AND CAST(floor((206.835 -
+        |      1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) -
+        |      84.6 * (CAST(sy AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) >= 20000000) AS f2,
+        |    (len(tkl) >= 5
+        |      AND len(list_filter(tkl, t -> t IN ('spark', 'vector'))) = 0
+        |      AND NOT contains(text, '{')) AS f3
+        |  FROM base JOIN h USING (doc_id) JOIN r USING (doc_id)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s2,
+        |    CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s3
+        |  FROM f)
+        |SELECT CAST(0 AS BIGINT) AS stage, 'all' AS rule, s0 AS docs
+        |  FROM agg
+        |UNION ALL SELECT 1, 'lang_en', s1 FROM agg
+        |UNION ALL SELECT 2, 'readability', s2 FROM agg
+        |UNION ALL SELECT 3, 'c4', s3 FROM agg
+        |ORDER BY stage""".stripMargin,
+
+    // Readability: exact counts, the Flesch formula as the same IEEE
+    // tree, floored to the micro grid.
+    "q_text_readability" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '')
+        |      AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(toks, t ->
+        |      greatest(1, len(regexp_extract_all(lower(t),
+        |        '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+        |  FROM tk
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(floor((206.835 -
+        |    1.015 * (CAST(n_words AS DOUBLE) /
+        |      CAST(n_sentences AS DOUBLE)) -
+        |    84.6 * (CAST(n_syllables AS DOUBLE) /
+        |      CAST(n_words AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |    AS flesch_micro
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Sampled unigram encode: every sampled draw still reconstructs —
     // same losslessness pin as q_unigram_encode.

@@ -236,6 +236,41 @@ object TextAnalysis {
         col("cs.deflate_bytes").as("deflate_bytes"),
         col("cs.ratio_micro").as("ratio_micro"))
 
+  /** FLESCH READING EASE per document — the classic readability signal
+    * next to [[qualityScore]]/[[gopherFlags]] (training mixtures are
+    * routinely stratified by readability): `206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words)`. Syllables use the standard
+    * vowel-group heuristic (runs of `[aeiouy]` per lowercased word,
+    * min 1); sentences count `[.!?]+` runs (min 1).
+    *
+    * Determinism: all three counts are exact BIGINTs (regexp-defined,
+    * engine-portable); the score is a FIXED IEEE tree over them
+    * (two divisions, two multiplies, left-assoc subtraction), floored
+    * to the micro grid — oracle-gateable despite being a float formula.
+    * Shape: per-row higher-order aggregate over the token array — no
+    * explode, no shuffle, scan-bound. Rows with zero words drop.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val syll = aggregate(toks, lit(0L), (acc, t) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+          .cast("long")))
+    val sent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val w = col("n_words").cast("double")
+    val flesch = lit(206.835) -
+      lit(1.015) * (w / col("n_sentences").cast("double")) -
+      lit(84.6) * (col("n_syllables").cast("double") / w)
+    docs.select(col(idCol), size(toks).cast("long").as("n_words"),
+        sent.as("n_sentences"), syll.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_micro",
+        floor(flesch * lit(1000000.0)).cast("long"))
+  }
+
   /** C4-style cleaning flags (Raffel et al. 2020 §2.2, adapted to
     * single-line documents): policy-configurable boolean signals plus the
     * conjunction `keep`. Pure per-row predicates — narrow projection, no

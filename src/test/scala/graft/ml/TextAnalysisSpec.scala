@@ -339,4 +339,35 @@ class TextAnalysisSpec extends SparkSuite {
     assert(flagsOf("the the the cat")("stopword_ok") == false)
     assert(flagsOf("the cat of note")("stopword_ok") == true)
   }
+
+  test("readability: exact counts (vowel-group syllables, [.!?]+ " +
+      "sentences), the Flesch tree on the micro grid, zero-word drop") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),      // 6 words, 2 sentences
+      (2L, "strength myth"),                  // no sentence mark -> 1
+      (3L, "   "),                            // zero words: dropped
+      (4L, "Hello?! Bye.")                    // ?! collapses to one run
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    def flesch(w: Long, s: Long, sy: Long): Long =
+      math.floor((206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (sy.toDouble / w.toDouble)) * 1000000.0).toLong
+    // syllables: The=1 cat=1 sat.=1 The=1 dog=1 ran!=1 -> 6
+    // "strength"=1 ("e" run), "myth"=1 (y) -> 2
+    // "Hello?!"=2 (e, o), "Bye."=1 (ye counts as one run) -> 3
+    assert(out == List(
+      (1L, 6L, 2L, 6L, flesch(6, 2, 6)),
+      (2L, 2L, 1L, 2L, flesch(2, 1, 2)),
+      (4L, 2L, 2L, 3L, flesch(2, 2, 3))))
+    // sanity: simple short sentences score "easy" (high), and a
+    // long-word pile scores lower
+    val easy = out.head._5
+    val hard = TextAnalysis.readability(
+      Seq((9L, "antidisestablishmentarianism incomprehensibilities"))
+        .toDF("doc_id", "text")).collect().head.getLong(4)
+    assert(easy > hard)
+  }
 }
