@@ -1780,6 +1780,16 @@ object SparkEntry {
             col("event_type") === "purchase"))
         .orderBy(col("step"))),
 
+    // Product analytics: TIME-BOUNDED funnel — each step must land
+    // within 24 h of the previous one (how conversion is actually
+    // defined; the unbounded funnel credits stale conversions).
+    "q_funnel_within" -> ((s, dir) =>
+      Analytics.funnelWithin(t(s, dir, "events"), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          maxGapMillis = 86400000L)
+        .orderBy(col("user_id"))),
+
     // Product analytics: TIME-TO-CONVERT per funnel transition — exact
     // BIGINT ms stats over the fully-converted cohort, plus the p50
     // from a 1-second-bucketed duration histogram (the scale path: an
@@ -6574,6 +6584,26 @@ object SparkEntry {
          |FROM v ORDER BY z, l_orderkey, l_linenumber""".stripMargin
     },
 
+    // Time-bounded funnel: the q_funnel cascade with the 24 h gap cap
+    // on each transition (epoch-ms comparison, same truncation).
+    "q_funnel_within" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, t_1, min(e.ts) AS t_2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t_1
+        |    AND epoch_ms(e.ts) <= epoch_ms(t_1) + 86400000
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, t_1, t_2, min(e.ts) AS t_3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t_2
+        |    AND epoch_ms(e.ts) <= epoch_ms(t_2) + 86400000
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, t_1, t_2, t_3 FROM s3 ORDER BY user_id""".stripMargin,
+
     // Funnel timing: per-transition exact ms stats over the converted
     // cohort + bucketed p50 (the q_metric_hist_quantile selection).
     "q_funnel_timing" ->
@@ -7865,7 +7895,12 @@ object SparkEntry {
         |      CAST(n_sentences AS DOUBLE)) -
         |    84.6 * (CAST(n_syllables AS DOUBLE) /
         |      CAST(n_words AS DOUBLE))) * 1000000.0) AS BIGINT)
-        |    AS flesch_micro
+        |    AS flesch_micro,
+        |  CAST(floor((0.39 * (CAST(n_words AS DOUBLE) /
+        |      CAST(n_sentences AS DOUBLE)) +
+        |    11.8 * (CAST(n_syllables AS DOUBLE) /
+        |      CAST(n_words AS DOUBLE)) - 15.59) * 1000000.0) AS BIGINT)
+        |    AS fkgl_micro
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Sampled unigram encode: every sampled draw still reconstructs —

@@ -264,11 +264,16 @@ object TextAnalysis {
     val flesch = lit(206.835) -
       lit(1.015) * (w / col("n_sentences").cast("double")) -
       lit(84.6) * (col("n_syllables").cast("double") / w)
+    // Flesch–Kincaid GRADE LEVEL — same counts, the school-grade scale
+    val fkgl = lit(0.39) * (w / col("n_sentences").cast("double")) +
+      lit(11.8) * (col("n_syllables").cast("double") / w) - lit(15.59)
     docs.select(col(idCol), size(toks).cast("long").as("n_words"),
         sent.as("n_sentences"), syll.as("n_syllables"))
       .filter(col("n_words") > 0)
       .withColumn("flesch_micro",
         floor(flesch * lit(1000000.0)).cast("long"))
+      .withColumn("fkgl_micro",
+        floor(fkgl * lit(1000000.0)).cast("long"))
   }
 
   /** C4-style cleaning flags (Raffel et al. 2020 §2.2, adapted to

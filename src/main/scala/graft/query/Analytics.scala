@@ -65,6 +65,36 @@ object Analytics {
     frames.result().reduce(_.unionAll(_))
   }
 
+  /** TIME-BOUNDED FUNNEL — [[funnel]] with a per-transition conversion
+    * window: step k counts only if it happens within `maxGapMillis` of
+    * the user's step-(k−1) time ("purchased within 24 h of clicking").
+    * Unbounded funnels over long retention windows credit conversions
+    * that had nothing to do with the session; the gap cap is how
+    * product analytics actually defines conversion. Same cascade shape
+    * (one filtered min-aggregation per step, each level joining the
+    * previous per-user frame), so the event stream is scanned once per
+    * step and never carried whole.
+    */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+                   steps: Seq[Column], maxGapMillis: Long): DataFrame = {
+    require(steps.nonEmpty && maxGapMillis > 0,
+      "need steps and a positive gap")
+    val u = col(userCol)
+    val first = events.filter(steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t_1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (cond, i)) =>
+      val k = i + 2
+      val prevMs = unix_millis(col(s"t_${k - 1}").cast("timestamp"))
+      val curMs = unix_millis(col(tsCol).cast("timestamp"))
+      events.filter(cond)
+        .join(acc, userCol)
+        .filter(col(tsCol) > col(s"t_${k - 1}") &&
+          curMs <= prevMs + lit(maxGapMillis))
+        .groupBy(u +: (1 until k).map(j => col(s"t_$j")): _*)
+        .agg(min(col(tsCol)).as(s"t_$k"))
+    }
+  }
+
   /** FUNNEL TIMING — time-to-convert for each funnel transition over the
     * FULLY-converted cohort ([[funnel]]'s output: one row per user who
     * completed every step, with the first-completion time of each):

@@ -351,17 +351,20 @@ class TextAnalysisSpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val out = TextAnalysis.readability(docs).orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toList
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
     def flesch(w: Long, s: Long, sy: Long): Long =
       math.floor((206.835 - 1.015 * (w.toDouble / s.toDouble) -
         84.6 * (sy.toDouble / w.toDouble)) * 1000000.0).toLong
+    def fkgl(w: Long, s: Long, sy: Long): Long =
+      math.floor((0.39 * (w.toDouble / s.toDouble) +
+        11.8 * (sy.toDouble / w.toDouble) - 15.59) * 1000000.0).toLong
     // syllables: The=1 cat=1 sat.=1 The=1 dog=1 ran!=1 -> 6
     // "strength"=1 ("e" run), "myth"=1 (y) -> 2
     // "Hello?!"=2 (e, o), "Bye."=1 (ye counts as one run) -> 3
     assert(out == List(
-      (1L, 6L, 2L, 6L, flesch(6, 2, 6)),
-      (2L, 2L, 1L, 2L, flesch(2, 1, 2)),
-      (4L, 2L, 2L, 3L, flesch(2, 2, 3))))
+      (1L, 6L, 2L, 6L, flesch(6, 2, 6), fkgl(6, 2, 6)),
+      (2L, 2L, 1L, 2L, flesch(2, 1, 2), fkgl(2, 1, 2)),
+      (4L, 2L, 2L, 3L, flesch(2, 2, 3), fkgl(2, 2, 3))))
     // sanity: simple short sentences score "easy" (high), and a
     // long-word pile scores lower
     val easy = out.head._5
