@@ -2337,6 +2337,14 @@ object SparkEntry {
           slack = 500L, decision = 20000L)
         .orderBy(col("event_type"), col("bin_start"))),
 
+    // OBS: EWMA control chart — smoothed per-series baseline from the
+    // 8 previous hourly bins (driver-literal geometric weights, exact
+    // lag-chain tree), spike = bin > 2x its own baseline.
+    "q_metric_ewma" -> ((s, dir) =>
+      TimeSeries.ewmaBy(t(s, dir, "events"), "event_type", "ts",
+          3600000L, floor(col("value") * 100).cast("long"))
+        .orderBy(col("event_type"), col("bin_start"))),
+
     // OBS: APDEX per event_type — the user-satisfaction roll-up
     // (satisfied ≤ T, tolerating ≤ 4T, score = (sat + tol/2)/total as
     // the exact doubled-numerator BIGINT division). T = 50.00 on the
@@ -7657,6 +7665,48 @@ object SparkEntry {
         |      CAST(cum - cnt AS DOUBLE) * 1000000.0) /
         |     (CAST(cnt AS DOUBLE) * 1000000.0))) AS BIGINT) AS q_micro
         |FROM sel WHERE pick = 1 ORDER BY event_type""".stripMargin,
+
+    // EWMA: the same driver-computed geometric weights embedded as
+    // literals, the same left-associative lag-chain tree.
+    "q_metric_ewma" -> {
+      val k = 8
+      val lambda = 0.25
+      val weights = new Array[Double](k)
+      var decay = 1.0
+      var j = 0
+      while (j < k) {
+        weights(j) = lambda * decay
+        decay = decay * (1.0 - lambda)
+        j += 1
+      }
+      def lagSql(i: Int) =
+        s"lag(x, ${i + 1}) OVER (PARTITION BY event_type ORDER BY bin)"
+      val num = (0 until k).map(i =>
+        s"(CASE WHEN ${lagSql(i)} IS NOT NULL THEN ${weights(i)} * " +
+          s"CAST(${lagSql(i)} AS DOUBLE) ELSE 0.0 END)").mkString(" + ")
+      val den = (0 until k).map(i =>
+        s"(CASE WHEN ${lagSql(i)} IS NOT NULL THEN ${weights(i)} " +
+          s"ELSE 0.0 END)").mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000
+         |      AS bin,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |e AS (
+         |  SELECT event_type, bin, x,
+         |    ($num) AS num, ($den) AS den
+         |  FROM b)
+         |SELECT event_type, make_timestamp(bin * 1000) AS bin_start, x,
+         |  CASE WHEN den > 0.0
+         |    THEN CAST(floor(num / den * 1000000.0) AS BIGINT) END
+         |    AS ewma_prev_micro,
+         |  CASE WHEN den > 0.0
+         |    THEN x * 1000000 * 1 >
+         |      2 * CAST(floor(num / den * 1000000.0) AS BIGINT)
+         |    ELSE false END AS is_spike
+         |FROM e ORDER BY event_type, bin_start""".stripMargin
+    },
 
     // increase(): hourly cumulative counters restarting every 12 h,
     // reset-aware delta sum (first sample counts in full).

@@ -308,6 +308,71 @@ object TimeSeries {
     * scoring half of [[cusumBy]] (see its doc for the identity and the
     * scale argument).
     */
+  /** EWMA CONTROL CHART (limited-memory) per series — the smoothed
+    * baseline between the z-score family (single-bin) and CUSUM
+    * (sustained shift): per (group, bin) the exponentially weighted
+    * mean of the k PREVIOUS bins, `Σ λ(1−λ)^j · x_{t−1−j}` normalized
+    * by the weights actually present (short histories stay unbiased),
+    * and a spike flag `x > (num/den) · baseline`.
+    *
+    * Determinism: the k weights are DRIVER-computed with a fixed
+    * multiplication order and embedded as double literals (the Ln2
+    * convention — no pow in the plan); the weighted sum is a fixed
+    * left-associative IEEE tree over the lag chain, the baseline floors
+    * to the micro grid, and the spike compare is pure BIGINT
+    * (`x·10⁶·den > num·baseline_micro`, division-form overflow guard).
+    * Truncation at k lags is the standard limited-memory EWMA; weights
+    * beyond k are < λ(1−λ)^k of the signal. One window pass partitioned
+    * by series over the BIN table (never event-sized rows). Returns
+    * (groupCol, bin_start, x, ewma_prev_micro — null on each series'
+    * first bin, is_spike).
+    */
+  def ewmaBy(df: DataFrame, groupCol: String, tsCol: String,
+             binMillis: Long, measure: Column, lambda: Double = 0.25,
+             k: Int = 8, spikeNum: Long = 2L,
+             spikeDen: Long = 1L): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
+    require(k >= 1 && spikeNum > 0 && spikeDen > 0,
+      "need k >= 1 and a positive spike ratio")
+    val weights = new Array[Double](k)
+    var decay = 1.0
+    var j = 0
+    while (j < k) {
+      weights(j) = lambda * decay
+      decay = decay * (1.0 - lambda)
+      j += 1
+    }
+    val g = col(groupCol)
+    val w = Window.partitionBy(g).orderBy(col("__bin"))
+    def lagX(j: Int) = lag(col("x"), j + 1).over(w)
+    val num = (0 until k).map(j =>
+      when(lagX(j).isNotNull, lit(weights(j)) * lagX(j).cast("double"))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val den = (0 until k).map(j =>
+      when(lagX(j).isNotNull, lit(weights(j))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    binTable(df, groupCol, tsCol, binMillis, measure)
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .withColumn("ewma_prev_micro",
+        when(col("__den") > 0.0,
+          floor(col("__num") / col("__den") * lit(1000000.0))
+            .cast("long")))
+      .withColumn("is_spike",
+        when(col("ewma_prev_micro").isNotNull,
+          when(col("x") <= lit(Long.MaxValue / 1000000L / spikeDen),
+            col("x") * lit(1000000L) * lit(spikeDen) >
+              lit(spikeNum) * col("ewma_prev_micro"))
+            .otherwise(expr("raise_error('ewmaBy: bin measure " +
+              "overflows the exact spike compare — rescale the " +
+              "measure grid')").cast("boolean")))
+          .otherwise(lit(false)))
+      .select(g,
+        timestamp_millis(col("__bin")).cast("timestamp_ntz")
+          .as("bin_start"),
+        col("x"), col("ewma_prev_micro"), col("is_spike"))
+  }
+
   def cusumOverBins(binned: DataFrame, groupCol: String, slack: Long,
                     decision: Long): DataFrame = {
     require(slack >= 0 && decision > 0,

@@ -215,6 +215,50 @@ class TimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("ewmaBy: matches the literal weighted-lag model, normalizes " +
+      "short histories, nulls the first bin, flags the spike") {
+    // series A: hourly bins x = 10,10,10,10,100 (spike at the end);
+    // series B: single bin (baseline undefined)
+    def rows(g: String, xs: Seq[Long]) = xs.zipWithIndex.map {
+      case (x, h) => (g, ts(s"2024-01-01 0$h:00:00"), x) }
+    val df = (rows("A", Seq(10L, 10L, 10L, 10L, 100L)) ++
+      rows("B", Seq(7L))).toDF("g", "ts", "v")
+    val out = TimeSeries.ewmaBy(df, "g", "ts", 3600000L, col("v"),
+        lambda = 0.25, k = 8)
+      .orderBy("g", "bin_start").collect()
+      .map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+        r.getBoolean(4)))
+    // model with identical float trees (same weight loop as ewmaBy:
+    // w_j = lambda * decay_j, decay multiplied up separately)
+    val lambda = 0.25
+    val w = new Array[Double](8)
+    var decay = 1.0
+    (0 until 8).foreach { j => w(j) = lambda * decay
+      decay = decay * (1.0 - lambda) }
+    def model(prev: Seq[Long]): Long = { // prev: most recent first
+      var num = 0.0; var den = 0.0
+      (0 until 8).foreach { j =>
+        if (j < prev.length) { num += w(j) * prev(j).toDouble
+          den += w(j) }
+      }
+      math.floor(num / den * 1000000.0).toLong
+    }
+    assert(out(0) == ("A", 10L, Long.MinValue, false)) // first bin: null
+    assert(out(1) == ("A", 10L, model(Seq(10L)), false))
+    assert(out(2) == ("A", 10L, model(Seq(10L, 10L)), false))
+    assert(out(3) == ("A", 10L, model(Seq(10L, 10L, 10L)), false))
+    // the spike: baseline ~10, x=100 > 2x baseline
+    assert(out(4) == ("A", 100L,
+      model(Seq(10L, 10L, 10L, 10L)), true))
+    assert(out(5) == ("B", 7L, Long.MinValue, false))
+    // steady series never flags
+    assert(out.take(4).forall(!_._4))
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaBy(df, "g", "ts", 3600000L, col("v"), lambda = 1.0)
+    }
+  }
+
   test("increaseBy: reset-aware sum, first sample counts in full, " +
       "per-series isolation") {
     // series a: 3 -> 5 -> 2 (reset) -> 4: increase = 3 + 2 + 2 + 2 = 9
