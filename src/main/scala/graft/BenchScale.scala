@@ -101,7 +101,17 @@ object BenchScale {
     // graded-judgment nDCG join+window, and histogram-quantile bucket
     // selection
     "q_sim_merge_ivfpq", "q_metric_cusum", "q_eval_ndcg",
-    "q_metric_hist_quantile")
+    "q_metric_hist_quantile",
+    // round-16 second-session additions: soft-EM unigram train+encode
+    // (iterated word-table kernel passes), the reconstructed-histogram
+    // increase quantile (two window families), the curation funnel
+    // (three flag scans + join), template drift (regex chain + the
+    // single-pass shift aggregate), z-order (min/max broadcast +
+    // interleave + global sort), the 8-lag EWMA chain, and the RBO
+    // depth-grid walk
+    "q_unigram_encode", "q_metric_increase_quantile",
+    "q_quality_funnel", "q_template_drift", "q_zorder",
+    "q_metric_ewma", "q_eval_rbo")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

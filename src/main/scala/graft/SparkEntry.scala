@@ -3456,6 +3456,22 @@ object SparkEntry {
               .as("piece_chars"))
           .orderBy(col("doc_id"))
       }),
+    "q_unigram_sampled" -> Prepared(
+      build = (s, dir) => graft.ml.UnigramLm.trainSoft(
+        t(s, dir, "documents"), "text",
+        vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2),
+      search = (s, dir, m) => {
+        val model = m.asInstanceOf[graft.functions.UnigramModel]
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ml.UnigramLm.encodePiecesSampled(
+              TextAnalysis.tokens(col("text")), model, alpha = 0.5,
+              seed = 42L).as("pieces"))
+          .select(col("doc_id"),
+            length(concat_ws("", col("pieces"))).cast("long")
+              .as("piece_chars"))
+          .orderBy(col("doc_id"))
+      }),
   )
 
   // ----------------------------------------------------------- oracle SQL
