@@ -330,7 +330,17 @@ object TimeSeries {
   def ewmaBy(df: DataFrame, groupCol: String, tsCol: String,
              binMillis: Long, measure: Column, lambda: Double = 0.25,
              k: Int = 8, spikeNum: Long = 2L,
-             spikeDen: Long = 1L): DataFrame = {
+             spikeDen: Long = 1L): DataFrame =
+    ewmaOverBins(binTable(df, groupCol, tsCol, binMillis, measure),
+      groupCol, lambda, k, spikeNum, spikeDen)
+
+  /** [[ewmaBy]]'s scoring half over an existing `(groupCol, __bin, x)`
+    * bin table — shared by the batch operator and the streaming twin
+    * ([[graft.streaming.StreamOps.ewmaStream]]) so both run ONE plan.
+    */
+  def ewmaOverBins(binned: DataFrame, groupCol: String,
+                   lambda: Double = 0.25, k: Int = 8,
+                   spikeNum: Long = 2L, spikeDen: Long = 1L): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
     require(k >= 1 && spikeNum > 0 && spikeDen > 0,
       "need k >= 1 and a positive spike ratio")
@@ -351,7 +361,7 @@ object TimeSeries {
     val den = (0 until k).map(j =>
       when(lagX(j).isNotNull, lit(weights(j))).otherwise(lit(0.0)))
       .reduce(_ + _)
-    binTable(df, groupCol, tsCol, binMillis, measure)
+    binned
       .withColumn("__num", num)
       .withColumn("__den", den)
       .withColumn("ewma_prev_micro",

@@ -681,6 +681,48 @@ object StreamOps {
     commitBatch(spark, statePath, batchId)
   }
 
+  /** STREAMING EWMA control chart — the incremental twin of
+    * [[graft.query.TimeSeries.ewmaBy]]: each micro-batch folds its
+    * per-(group, bin) measure partials into the generation-pointer bins
+    * ledger (exactly [[cusumStream]]'s ledger — the EWMA baseline is a
+    * lag fold over bins, so late data legitimately rewrites downstream
+    * baselines and a frozen running state would mis-score it), then
+    * re-scores the whole bin table with the exact batch plan
+    * ([[graft.query.TimeSeries.ewmaOverBins]]). Ledger bounded by
+    * timeline/binMillis × groups; replay-safe via `_last_batch`.
+    */
+  def ewmaStream(events: DataFrame, groupCol: String, tsCol: String,
+                 binMillis: Long, measure: org.apache.spark.sql.Column,
+                 lambda: Double, k: Int, statePath: String,
+                 sink: DataFrame => Unit, keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processEwmaBatch(batch, batchId, groupCol, tsCol, binMillis,
+        measure, lambda, k, statePath, sink, keepPrevious)
+    }
+
+  /** One micro-batch of [[ewmaStream]], exposed for replay specs. */
+  private[streaming] def processEwmaBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, tsCol: String, binMillis: Long,
+      measure: org.apache.spark.sql.Column, lambda: Double, k: Int,
+      statePath: String, sink: DataFrame => Unit,
+      keepPrevious: Boolean = false): Unit = {
+    import graft.query.TimeSeries
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
+    val partials = TimeSeries.binTable(batch, groupCol, tsCol, binMillis,
+      measure)
+    val binsDir = foldGenState(spark, statePath, batchId, keepPrevious) {
+      case Some(prior) => prior.unionByName(partials)
+        .groupBy(col(groupCol), col("__bin"))
+        .agg(sum(col("x")).as("x"))
+      case None => partials
+    }
+    sink(TimeSeries.ewmaOverBins(spark.read.parquet(binsDir), groupCol,
+      lambda, k))
+    commitBatch(spark, statePath, batchId)
+  }
+
   /** STREAMING counter increase — the incremental twin of
     * [[graft.query.TimeSeries.increaseBy]]: each micro-batch folds its
     * (series, sample-time, counter-value) rows into a samples ledger,

@@ -164,6 +164,45 @@ class StreamOpsSpec extends SparkSuite {
     assert(last.toSet == expect(b0 ++ b1 ++ mk(4, 1)).toSet)
   }
 
+  test("ewmaStream: each trigger's baselines equal batch ewmaBy over " +
+      "ALL data so far; LATE data re-scores exactly; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.query.TimeSeries
+    val st = java.nio.file.Files.createTempDirectory("sewma").toString
+    var last: Seq[(String, Long, Long, Boolean)] = Nil
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      last = df.collect().map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+        r.getBoolean(4))).toSeq
+    def run(rows: Seq[(String, Timestamp, Long)], batchId: Long): Unit =
+      StreamOps.processEwmaBatch(rows.toDF("g", "ts", "v"), batchId,
+        "g", "ts", 3600000L, col("v"), lambda = 0.25, k = 8,
+        statePath = st, sink = sink)
+    def expect(all: Seq[(String, Timestamp, Long)]) =
+      TimeSeries.ewmaBy(all.toDF("g", "ts", "v"), "g", "ts", 3600000L,
+          col("v"), lambda = 0.25, k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+          r.getBoolean(4))).toSeq
+    def mk(h: Int, v: Long, g: String = "A") =
+      (g, Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), v)
+    val b0 = Seq(mk(0, 10L), mk(1, 10L), mk(2, 10L), mk(0, 7L, "B"))
+    run(b0, 0L)
+    assert(last.toSet == expect(b0).toSet && last.nonEmpty)
+    // batch 1: a spike bin ahead + a LATE partial into hour 1 — the
+    // baseline fold rewrites downstream scores exactly
+    val b1 = Seq(mk(3, 100L), mk(1, 5L))
+    run(b1, 1L)
+    assert(last.toSet == expect(b0 ++ b1).toSet)
+    assert(last.exists(r => r._1 == "A" && r._2 == 100L && r._4))
+    // crash-replay of batch 1: ledger untouched
+    val snapshot = last
+    run(b1, 1L)
+    assert(last == snapshot)
+    run(Seq(mk(4, 12L)), 2L)
+    assert(last.toSet == expect(b0 ++ b1 ++ Seq(mk(4, 12L))).toSet)
+  }
+
   test("increaseStream: each trigger equals batch increaseBy over ALL " +
       "samples so far; LATE/out-of-order samples re-score exactly; " +
       "replay and re-delivered samples are no-ops") {
