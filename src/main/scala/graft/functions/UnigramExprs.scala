@@ -421,8 +421,14 @@ case class UnigramPiecesSampled(child: Expression, model: UnigramModel,
                                    ev: ExprCode): ExprCode = {
     val modelRef = ctx.addReferenceObj("unigramModel", model,
       classOf[UnigramModel].getName)
+    // render alpha via its raw bits — every double (including the
+    // non-finite ones a direct constructor call could smuggle past
+    // encodePiecesSampled's require) is a valid Java literal this way
+    val alphaSrc =
+      s"java.lang.Double.longBitsToDouble(" +
+        s"${java.lang.Double.doubleToLongBits(alpha)}L)"
     defineCodeGen(ctx, ev,
-      c => s"$modelRef.segmentAllSampled($c, $alpha, ${seed}L)")
+      c => s"$modelRef.segmentAllSampled($c, $alphaSrc, ${seed}L)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -596,6 +596,13 @@ object Eval {
           lo: Long, hi: Long, nBins: Int): DataFrame = {
     require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
     val span = hi - lo
+    // the bin id is (s − lo)·nBins div span with s − lo ≤ span, so the
+    // product wraps (silently mis-binning, against the raise-don't-wrap
+    // contract) unless span·nBins fits a BIGINT; span itself must not
+    // have wrapped either (hi − lo overflows for extreme lo < 0 < hi)
+    require(span > 0 && span <= Long.MaxValue / nBins,
+      "Eval.ece: [lo, hi] span overflows the exact bin grid — " +
+        "rescale scores or use fewer bins")
     val clamped = least(greatest(col(scoreCol).cast("long"), lit(lo)),
       lit(hi))
     val bins = df

@@ -238,7 +238,10 @@ object UnigramLm {
     */
   def encodePiecesSampled(toks: Column, model: UnigramModel,
                           alpha: Double, seed: Long): Column = {
-    require(alpha >= 0.0, "alpha must be >= 0")
+    // finite, not just >= 0: the codegen path embeds alpha as a Java
+    // double literal, and Infinity/NaN have no such literal form
+    require(alpha >= 0.0 && java.lang.Double.isFinite(alpha),
+      "alpha must be finite and >= 0")
     ColumnBridge.column(UnigramPiecesSampled(
       ColumnBridge.expression(toks), model, alpha, seed))
   }

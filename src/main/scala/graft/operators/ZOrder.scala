@@ -32,8 +32,10 @@ object ZOrder {
     */
   def zValue(dims: Seq[Column], bits: Int): Column = {
     val k = dims.size
-    require(k >= 1 && bits >= 1 && k * bits <= 63,
-      "need 1+ dims and k*bits <= 63")
+    // bits ≤ 62 so `1L << bits` cannot touch the sign bit — bits = 63
+    // would only yield the right cap via Long wraparound
+    require(k >= 1 && bits >= 1 && bits <= 62 && k * bits <= 63,
+      "need 1+ dims, bits in [1, 62], k*bits <= 63")
     val cap = (1L << bits) - 1
     val clamped = dims.map(d =>
       least(greatest(d.cast("long"), lit(0L)), lit(cap)))
@@ -54,20 +56,28 @@ object ZOrder {
   def withZValue(df: DataFrame, dims: Seq[String], bits: Int): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
     val cap = (1L << bits) - 1
+    // backtick-quote every identifier reaching expr() SQL — a dimension
+    // named `a b`, `a.b` or `a-b` must parse as ONE column reference,
+    // never as an expression or the wrong nested field
+    def bq(name: String): String = "`" + name.replace("`", "``") + "`"
+    // col() parses dots as nested-field access — resolve via the
+    // quoted form so `a.b` names the top-level column
+    def c(name: String): Column = col(bq(name))
     val mm = df.agg(
-      min(col(dims.head).cast("long")).as(s"__mn_${dims.head}"),
+      min(c(dims.head).cast("long")).as(s"__mn_${dims.head}"),
       (dims.tail.flatMap(d => Seq(
-        min(col(d).cast("long")).as(s"__mn_$d"),
-        max(col(d).cast("long")).as(s"__mx_$d"))) :+
-        max(col(dims.head).cast("long")).as(s"__mx_${dims.head}")): _*)
+        min(c(d).cast("long")).as(s"__mn_$d"),
+        max(c(d).cast("long")).as(s"__mx_$d"))) :+
+        max(c(dims.head).cast("long")).as(s"__mx_${dims.head}")): _*)
     val scaled = dims.map { d =>
-      val range = col(s"__mx_$d") - col(s"__mn_$d")
+      val range = c(s"__mx_$d") - c(s"__mn_$d")
       when(range > 0,
         when(range <= lit(Long.MaxValue / cap),
           // `div`, not `/` — BIGINT division (Spark's / on longs is DOUBLE)
-          expr(s"((cast($d as bigint) - __mn_$d) * $cap) div " +
-            s"(__mx_$d - __mn_$d)"))
-          .otherwise(expr(s"raise_error('ZOrder: range of $d overflows " +
+          expr(s"((cast(${bq(d)} as bigint) - ${bq(s"__mn_$d")}) * $cap) " +
+            s"div (${bq(s"__mx_$d")} - ${bq(s"__mn_$d")})"))
+          .otherwise(expr("raise_error('ZOrder: range of " +
+            s"${d.replace("'", "''").replace("\\", "\\\\")} overflows " +
             s"the $bits-bit scaling grid — pre-quantize the column')")
             .cast("long")))
         .otherwise(lit(0L))

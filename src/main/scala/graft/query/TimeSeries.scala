@@ -368,15 +368,25 @@ object TimeSeries {
         when(col("__den") > 0.0,
           floor(col("__num") / col("__den") * lit(1000000.0))
             .cast("long")))
+      // x is validated on EVERY row (a series' FIRST bin included —
+      // its value feeds later rows' baselines, so it cannot skip the
+      // cap just because its own baseline is null), and BOTH sides of
+      // the compare are guarded: |x|·10⁶·den on the left,
+      // num·|baseline| on the right. |x| ≤ cap also bounds the floored
+      // baseline itself (a convex combination of past x) to ±cap·10⁶,
+      // so the double→long cast above can never saturate silently.
       .withColumn("is_spike",
-        when(col("ewma_prev_micro").isNotNull,
-          when(col("x") <= lit(Long.MaxValue / 1000000L / spikeDen),
-            col("x") * lit(1000000L) * lit(spikeDen) >
-              lit(spikeNum) * col("ewma_prev_micro"))
-            .otherwise(expr("raise_error('ewmaBy: bin measure " +
-              "overflows the exact spike compare — rescale the " +
-              "measure grid')").cast("boolean")))
-          .otherwise(lit(false)))
+        when(abs(col("x")) > lit(Long.MaxValue / 1000000L / spikeDen),
+          expr("raise_error('ewmaBy: bin measure overflows the exact " +
+            "spike compare — rescale the measure grid')")
+            .cast("boolean"))
+        .when(col("ewma_prev_micro").isNull, lit(false))
+        .when(abs(col("ewma_prev_micro")) > lit(Long.MaxValue / spikeNum),
+          expr("raise_error('ewmaBy: baseline overflows the exact " +
+            "spike compare — rescale the measure grid')")
+            .cast("boolean"))
+        .otherwise(col("x") * lit(1000000L) * lit(spikeDen) >
+          lit(spikeNum) * col("ewma_prev_micro")))
       .select(g,
         timestamp_millis(col("__bin")).cast("timestamp_ntz")
           .as("bin_start"),

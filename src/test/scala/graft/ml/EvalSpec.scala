@@ -453,6 +453,15 @@ class EvalSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Eval.ece(df, "score", "y", 0L, 0L, 4)
     }
+    // span·nBins would wrap the bin id — rejected up front, never
+    // silently mis-binned
+    intercept[IllegalArgumentException] {
+      Eval.ece(df, "score", "y", 0L, Long.MaxValue / 2, 4)
+    }
+    // hi − lo itself wraps negative for extreme lo < 0 < hi
+    intercept[IllegalArgumentException] {
+      Eval.ece(df, "score", "y", Long.MinValue, Long.MaxValue, 1)
+    }
   }
 
   test("ece: a perfectly calibrated scorer has zero error") {

@@ -456,6 +456,15 @@ class UnigramLmSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       UnigramLm.encodePiecesSampled(col("t"), m, -0.5, 1L)
     }
+    // Infinity/NaN have no Java double-literal form — rejected up
+    // front instead of failing Janino compilation on the codegen path
+    intercept[IllegalArgumentException] {
+      UnigramLm.encodePiecesSampled(col("t"), m,
+        Double.PositiveInfinity, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramLm.encodePiecesSampled(col("t"), m, Double.NaN, 1L)
+    }
   }
 
   test("unknown characters segment to <unk> per code point without " +

@@ -62,6 +62,25 @@ class ZOrderSpec extends SparkSuite {
       (100L, refZ(Seq(15L, 0L), 4))))
   }
 
+  test("withZValue quotes dimension names (space / dot / hyphen all " +
+      "resolve as one column); bits outside [1, 62] is rejected") {
+    // names that break unquoted SQL: a space, a dot (nested-field
+    // lookalike), a hyphen (parses as subtraction)
+    val df = Seq((0L, 0L, 0L), (100L, 9L, 3L))
+      .toDF("the col", "a.b", "x-y")
+    val out = ZOrder.withZValue(df, Seq("the col", "a.b", "x-y"), bits = 4)
+      .orderBy(col("`the col`")).collect()
+      .map(r => r.getLong(r.fieldIndex("z"))).toSeq
+    assert(out == Seq(refZ(Seq(0L, 0L, 0L), 4),
+      refZ(Seq(15L, 15L, 15L), 4)))
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(Seq(col("a")), 63) // 1L<<63 only "works" by wrap
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(Seq(col("a")), 0)
+    }
+  }
+
   test("file-skipping payoff: a 2-D box predicate keeps strictly fewer " +
       "files under zOrderBy than under a single-column sort (real " +
       "StatsCatalog prune)") {

@@ -259,6 +259,34 @@ class TimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("ewmaBy: an out-of-grid measure raises LOUDLY on every row — " +
+      "including a series' FIRST bin, whose value feeds later " +
+      "baselines but has no baseline of its own") {
+    def msg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    // first bin x is beyond Long.MaxValue/1e6: before the fix it took
+    // the null-baseline -> false branch and polluted row 2's baseline
+    val df = Seq(
+      ("A", ts("2024-01-01 00:00:00"), Long.MaxValue / 1000L),
+      ("A", ts("2024-01-01 01:00:00"), 10L))
+      .toDF("g", "ts", "v")
+    val e = intercept[Exception] {
+      TimeSeries.ewmaBy(df, "g", "ts", 3600000L, col("v")).collect()
+    }
+    assert(msg(e).contains("overflows the exact spike compare"))
+    // a baseline too large for num·baseline raises on the RIGHT side
+    val df2 = Seq(
+      ("A", ts("2024-01-01 00:00:00"), Long.MaxValue / 1000000L - 1L),
+      ("A", ts("2024-01-01 01:00:00"), 10L))
+      .toDF("g", "ts", "v")
+    val e2 = intercept[Exception] {
+      TimeSeries.ewmaBy(df2, "g", "ts", 3600000L, col("v"),
+        spikeNum = Long.MaxValue / 4L, spikeDen = 1L).collect()
+    }
+    assert(msg(e2).contains("baseline overflows"))
+  }
+
   test("increaseBy: reset-aware sum, first sample counts in full, " +
       "per-series isolation") {
     // series a: 3 -> 5 -> 2 (reset) -> 4: increase = 3 + 2 + 2 + 2 = 9
