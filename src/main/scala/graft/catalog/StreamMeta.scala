@@ -30,7 +30,10 @@ object StreamMeta {
       timePartition: Option[String],
       customPartitions: Seq[String],
       retention: Option[Retention],
-      schema: Option[StructType])
+      schema: Option[StructType],
+      // opt-in Z-order layout policy (dims, bits) — see
+      // [[graft.ingest.IngestPipeline.ZOrderPolicy]]
+      zOrder: Option[(Seq[String], Int)] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -49,6 +52,12 @@ object StreamMeta {
       val ro = o.putObject("retention")
       ro.put("action", r.action)
       ro.put("days", r.days)
+    }
+    meta.zOrder.foreach { case (dims, bits) =>
+      val zo = o.putObject("z_order")
+      val a = zo.putArray("dims")
+      dims.foreach(a.add)
+      zo.put("bits", bits)
     }
     meta.schema.foreach(s => o.put("schema", s.json))
     val p = metaPath(root, meta.stream)
@@ -96,14 +105,19 @@ object StreamMeta {
         retention = Option(o.get("retention")).map(r =>
           Retention(r.get("action").asText, r.get("days").asInt)),
         schema = opt("schema").map(s =>
-          DataType.fromJson(s).asInstanceOf[StructType])))
+          DataType.fromJson(s).asInstanceOf[StructType]),
+        zOrder = Option(o.get("z_order")).map { z =>
+          val a = z.get("dims")
+          ((0 until a.size).map(a.get(_).asText),
+            z.get("bits").asInt)
+        }))
     }
   }
 
   def fromConfig(cfg: StreamConfig, schema: Option[StructType],
                  retention: Option[Retention] = None): Meta =
     Meta(Version, cfg.name, "v1", cfg.timePartition, cfg.customPartitions,
-      retention, schema)
+      retention, schema, cfg.zOrder.map(p => (p.dims, p.bits)))
 }
 
 /** Retention enforcement: drop whole `date=` partition directories older

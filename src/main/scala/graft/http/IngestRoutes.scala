@@ -239,8 +239,14 @@ private[http] trait IngestRoutes { self: GraftHttpServer =>
       // atomic catalog version appended — never a full relist or a
       // full-catalog rewrite (the economics that survive 100 TB).
       try {
+        // z-ordered streams record min/max for the clustered dims too —
+        // that's what lets StatsFileIndex prune a user's box predicate
+        // (the layout made the per-file ranges tight; the catalog makes
+        // them visible to the planner)
+        val statCols = Seq(timeCol) ++
+          cfg.zOrder.map(_.dims).getOrElse(Nil).filterNot(_ == timeCol)
         graft.catalog.TxnCatalog.appendNewFilesWatermarked(spark,
-          s"$root/${cfg.name}", statsPath(cfg.name), Seq(timeCol))
+          s"$root/${cfg.name}", statsPath(cfg.name), statCols)
         graft.catalog.TxnCatalog.vacuum(statsPath(cfg.name), keep = 3)
       } catch {
         case _: Exception =>

@@ -176,6 +176,14 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
               o.put("custom_partition", cfg.customPartitions.mkString(","))
             else o.putNull("custom_partition")
             o.put("static_schema_flag", cfg.staticSchema.isDefined)
+            cfg.zOrder match {
+              case Some(p) =>
+                val zo = o.putObject("z_order")
+                val a = zo.putArray("dims")
+                p.dims.foreach(a.add)
+                zo.put("bits", p.bits)
+              case None => o.putNull("z_order")
+            }
             // first/latest event: min/max of the stream's event-time column
             // over stored data (reference get_stream_info's
             // first/latest_event_at; one aggregate, no row collect)
@@ -350,6 +358,10 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
     val updateFlag = flag("X-P-Update-Stream")
     val customHdr = hdr("X-P-Custom-Partition")
     val limitHdr = hdr("X-P-Time-Partition-Limit")
+    // opt-in Z-order layout policy: `X-P-Z-Order: col1,col2` (+ optional
+    // `X-P-Z-Order-Bits`); `X-P-Z-Order: none` clears it on update
+    val zOrderHdr = hdr("X-P-Z-Order")
+    val zBitsHdr = hdr("X-P-Z-Order-Bits")
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
     def parseLimit(s: String): Either[String, Int] =
@@ -364,6 +376,25 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
         Left(s"custom partition field ${ls.head} must not contain '.'")
       else Right(ls)
     }
+    def parseZOrder: Either[String, Option[IngestPipeline.ZOrderPolicy]] =
+      zOrderHdr match {
+        case None => Right(None)
+        case Some(s) if s.equalsIgnoreCase("none") => Right(None)
+        case Some(s) =>
+          val dims = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val bits = zBitsHdr.map(_.toIntOption.toRight(
+            s"could not parse X-P-Z-Order-Bits '${zBitsHdr.get}'"))
+            .getOrElse(Right(12))
+          bits.flatMap { b =>
+            if (dims.isEmpty) Left("X-P-Z-Order needs at least one column")
+            else if (dims.size != dims.distinct.size)
+              Left("X-P-Z-Order columns must be distinct")
+            else if (b < 1 || b > 62 || dims.size * b > 63)
+              Left(s"z-order needs bits in [1, 62] and dims*bits <= 63 " +
+                s"(got ${dims.size} dims * $b bits)")
+            else Right(Some(IngestPipeline.ZOrderPolicy(dims, b)))
+          }
+      }
 
     if (updateFlag) {
       if (!alreadyExists) { err(ex, 404, s"stream '$name' not found"); return }
@@ -380,6 +411,17 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
             // the reference's update path returns after a limit update
             respond(ex, 200, s"""{"status":"updated stream '$name'"}""")
         }
+        case None if zOrderHdr.isDefined =>
+          // z-order layout update: affects FUTURE writes only (existing
+          // files keep their layout until compaction re-clusters them);
+          // `X-P-Z-Order: none` clears the policy
+          parseZOrder match {
+            case Left(m) => err(ex, 400, m)
+            case Right(pol) =>
+              configs.computeIfPresent(streamKey,
+                (_, c) => c.copy(zOrder = pol))
+              respond(ex, 200, s"""{"status":"updated stream '$name'"}""")
+          }
         case None =>
           // no limit header: set (or CLEAR, when absent) the custom
           // partition — reference validate_and_update_custom_partition
@@ -403,23 +445,25 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
       limit <- limitHdr.map(l => parseLimit(l).map(Some(_)))
         .getOrElse(Right(None))
       parts <- customHdr.map(parseCustom).getOrElse(Right(Nil))
+      zorder <- parseZOrder
       schema <-
         if (!staticFlag) Right(None)
         else if (body.isBlank)
           Left(s"Please provide schema in the request body for static " +
             s"schema logstream $name")
         else graft.ingest.StaticSchema.parse(body, parts).map(Some(_))
-    } yield (limit, parts, schema)
+    } yield (limit, parts, zorder, schema)
     parsed match {
       case Left(m) => err(ex, 400, m)
-      case Right((limit, parts, schema)) =>
+      case Right((limit, parts, zorder, schema)) =>
         configs.computeIfAbsent(streamKey, k => {
           metaStore.putStream(k)
           // a static schema is the stream's schema from birth: commit it
           // so schema reads/merges see it before any event arrives
           schema.foreach(s => registry.commit(k, s))
           IngestPipeline.StreamConfig(k, customPartitions = parts,
-            staticSchema = schema, timePartitionLimitDays = limit)
+            staticSchema = schema, timePartitionLimitDays = limit,
+            zOrder = zorder)
         })
         respond(ex, 200, s"""{"status":"created stream '$name'"}""")
     }

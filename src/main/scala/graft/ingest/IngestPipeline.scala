@@ -25,6 +25,26 @@ import org.apache.spark.sql.types._
   */
 object IngestPipeline {
 
+  /** Opt-in per-stream Z-ORDER layout policy: every appended batch is laid
+    * out along the Morton curve of `dims` ([[graft.operators.ZOrder]])
+    * before the parquet sink, so per-file min/max stats stay tight on ALL
+    * the clustered columns at once and the stats catalog prunes
+    * multi-dimensional box predicates — the write-path upgrade that turns
+    * the reference's time-only manifest pruning
+    * (`src/query/stream_schema_provider.rs:1032-1137`) multi-dimensional.
+    * `dims` must be numeric (or timestamp) columns; `k·bits ≤ 63`.
+    * `numFiles = 0` leaves the range-partition count to Spark (empty
+    * ranges write no files, so small batches stay small); compaction
+    * ([[graft.catalog.Compaction]]) re-clusters at the partition level for
+    * the long-term layout.
+    */
+  final case class ZOrderPolicy(dims: Seq[String], bits: Int = 12,
+                                numFiles: Int = 0) {
+    require(dims.nonEmpty && bits >= 1 && bits <= 62 &&
+      dims.size * bits <= 63,
+      "z-order needs 1+ dims, bits in [1, 62] and dims*bits <= 63")
+  }
+
   final case class StreamConfig(
       name: String,
       timePartition: Option[String] = None, // event-time column, else arrival
@@ -34,7 +54,8 @@ object IngestPipeline {
       // reference X-P-Time-Partition-Limit ("90d"): recorded stream
       // metadata, surfaced by GET .../info; retention enforcement itself
       // goes through graft.catalog.Retention
-      timePartitionLimitDays: Option[Int] = None)
+      timePartitionLimitDays: Option[Int] = None,
+      zOrder: Option[ZOrderPolicy] = None)
 
   /** Per-stream cumulative schema registry (grows monotonically — reference
     * `commit_schema`). Thread-safe for concurrent ingest.
@@ -261,15 +282,29 @@ object IngestPipeline {
     */
   def append(df: DataFrame, root: String, cfg: StreamConfig): Unit = {
     val timeCol = cfg.timePartition.map(col).getOrElse(col("p_timestamp"))
-    df.withColumn("date", date_format(timeCol, "yyyy-MM-dd"))
+    val dated = df
+      .withColumn("date", date_format(timeCol, "yyyy-MM-dd"))
       .withColumn("hour", date_format(timeCol, "HH"))
       .withColumn("minute", date_format(timeCol, "mm"))
+    val laid = cfg.zOrder match {
+      // Z-ORDER layout policy: one range shuffle on the Morton value +
+      // per-task sort — the same cost shape as the reverse-time sort it
+      // replaces, but per-file stats come out tight on EVERY clustered
+      // dimension (the pruning payoff is in ZOrderIngestSpec). Write
+      // tasks hold z-ranges, so each minute dir's files correspond to
+      // z-range slices. A batch missing a dim (schema drift: events
+      // written before the column existed) falls back to the time sort —
+      // drift must not refuse ingest, the files are just unclustered
+      // until compaction re-lays them out.
+      case Some(p) if p.dims.forall(df.columns.contains) =>
+        graft.operators.ZOrder.zOrderBy(dated, p.dims, p.bits, p.numFiles)
       // latest-first physical order inside every written file (reference
       // writes parquet sorted p_timestamp DESC, streams.rs:705-780) — raw
       // log listings then read newest rows first and row-group time stats
       // stay tight for pruning
-      .sortWithinPartitions(timeCol.desc)
-      .write
+      case _ => dated.sortWithinPartitions(timeCol.desc)
+    }
+    laid.write
       .mode("append")
       .partitionBy(Seq("date", "hour", "minute") ++ cfg.customPartitions: _*)
       .parquet(s"$root/${cfg.name}")

@@ -53,7 +53,8 @@ object ZOrder {
     * single-row pattern. A dimension whose RANGE would overflow the
     * scaling product raises loudly (rescale first), never wraps.
     */
-  def withZValue(df: DataFrame, dims: Seq[String], bits: Int): DataFrame = {
+  def withZValue(df: DataFrame, dims: Seq[String], bits: Int,
+                 outCol: String = "z"): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension")
     val cap = (1L << bits) - 1
     // backtick-quote every identifier reaching expr() SQL — a dimension
@@ -83,7 +84,7 @@ object ZOrder {
         .otherwise(lit(0L))
     }
     df.crossJoin(broadcast(mm))
-      .withColumn("z", zValue(scaled, bits))
+      .withColumn(outCol, zValue(scaled, bits))
       .drop(mm.columns: _*)
   }
 
@@ -94,10 +95,16 @@ object ZOrder {
     */
   def zOrderBy(df: DataFrame, dims: Seq[String], bits: Int = 16,
                numPartitions: Int = 0): DataFrame = {
-    val z = withZValue(df, dims, bits)
+    // collision-safe helper name: a payload column named `z` must survive
+    // the layout pass untouched (the ingest path lays out user batches)
+    val zc =
+      if (!df.columns.contains("z")) "z"
+      else Iterator.from(0).map(i => s"__z$i")
+        .find(n => !df.columns.contains(n)).get
+    val z = withZValue(df, dims, bits, zc)
     val parted =
-      if (numPartitions > 0) z.repartitionByRange(numPartitions, col("z"))
-      else z.repartitionByRange(col("z"))
-    parted.sortWithinPartitions(col("z")).drop("z")
+      if (numPartitions > 0) z.repartitionByRange(numPartitions, col(zc))
+      else z.repartitionByRange(col(zc))
+    parted.sortWithinPartitions(col(zc)).drop(zc)
   }
 }

@@ -17,11 +17,14 @@ class StreamMetaSpec extends SparkSuite {
       StructField("msg", StringType), StructField("n", LongType)))
     val meta = StreamMeta.fromConfig(
       StreamConfig("logs", timePartition = Some("ts"),
-        customPartitions = Seq("tenant")),
+        customPartitions = Seq("tenant"),
+        zOrder = Some(graft.ingest.IngestPipeline.ZOrderPolicy(
+          Seq("x", "y"), bits = 8))),
       Some(schema), Some(StreamMeta.Retention("delete", 30)))
     StreamMeta.save(root, meta)
     val back = StreamMeta.load(root, "logs").get
     assert(back == meta)
+    assert(back.zOrder.contains((Seq("x", "y"), 8)))
     assert(StreamMeta.load(root, "absent").isEmpty)
   }
 
