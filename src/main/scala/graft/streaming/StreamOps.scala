@@ -819,4 +819,63 @@ object StreamOps {
     sink(spark.read.parquet(dir))
     commitBatch(spark, statePath, batchId)
   }
+
+  /** STREAMING time-bounded funnel — the incremental twin of
+    * [[graft.query.Analytics.funnelWithin]]: each micro-batch folds the
+    * FUNNEL-RELEVANT projection of its events — one deduped
+    * `(user, step, ts)` row per distinct time a user performed a step —
+    * into the generation-pointer ledger, then re-scores the whole ledger
+    * with the exact batch plan and hands the converted cohort to `sink`.
+    *
+    * Late data is EXACT, never dropped: a late step-1 event lowers
+    * `t_1`, which moves every later step's conversion window — `t_2` can
+    * legitimately CHANGE OR DISAPPEAR (the event it pointed at may now
+    * fall outside `(t_1, t_1+gap]`), cascading down the funnel. That is
+    * why the ledger must keep each step's distinct event TIMES, not just
+    * running minima: no per-step summary smaller than the time set can
+    * re-derive which event wins once an earlier step moves. The ledger
+    * is bounded by the funnel-relevant activity (distinct (user, step,
+    * ts) triples — the same rows the batch operator's per-step
+    * aggregations shuffle), NEVER the raw event volume: events matching
+    * no step are dropped at the batch edge, and re-delivered events
+    * dedupe structurally. Replay-safe via the shared `_last_batch`
+    * marker (marker written LAST).
+    */
+  def funnelWithinStream(events: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[org.apache.spark.sql.Column], maxGapMillis: Long,
+      statePath: String, sink: DataFrame => Unit,
+      keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processFunnelWithinBatch(batch, batchId, userCol, tsCol, steps,
+        maxGapMillis, statePath, sink, keepPrevious)
+    }
+
+  /** One micro-batch of [[funnelWithinStream]], exposed for replay specs. */
+  private[streaming] def processFunnelWithinBatch(batch: DataFrame,
+      batchId: Long, userCol: String, tsCol: String,
+      steps: Seq[org.apache.spark.sql.Column], maxGapMillis: Long,
+      statePath: String, sink: DataFrame => Unit,
+      keepPrevious: Boolean = false): Unit = {
+    require(steps.nonEmpty && maxGapMillis > 0,
+      "need steps and a positive gap")
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
+    // funnel-relevant projection: an event can satisfy SEVERAL step
+    // predicates — it contributes one ledger row per step it matches
+    // (exactly the rows the batch cascade's per-step filters would see)
+    val partials = steps.zipWithIndex.map { case (cond, i) =>
+      batch.filter(cond)
+        .select(col(userCol), lit(i + 1L).as("__step"),
+          col(tsCol).as("__ts"))
+    }.reduce(_ unionByName _).distinct()
+    val dir = foldGenState(spark, statePath, batchId, keepPrevious) {
+      case Some(prior) => prior.unionByName(partials).distinct()
+      case None => partials
+    }
+    val ledger = spark.read.parquet(dir)
+    sink(graft.query.Analytics.funnelWithin(ledger, userCol, "__ts",
+      (1 to steps.size).map(i => col("__step") === i.toLong), maxGapMillis))
+    commitBatch(spark, statePath, batchId)
+  }
 }

@@ -244,6 +244,59 @@ class StreamOpsSpec extends SparkSuite {
     assert(last.find(_._1 == "b").get._5 == 8L) // 7 then reset-to-1
   }
 
+  test("funnelWithinStream: each trigger's cohort equals batch " +
+      "funnelWithin over ALL events so far; a LATE step-1 event moves " +
+      "t_1 and the cascade re-scores exactly (a conversion can appear " +
+      "OR disappear); replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.query.Analytics
+    val st = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    val steps = Seq(col("a") === "view", col("a") === "cart")
+    var last: Seq[(String, Long, Long)] = Nil
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      last = df.collect().map(r => (r.getString(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)).toSeq
+    def run(rows: Seq[(String, String, Timestamp)], batchId: Long): Unit =
+      StreamOps.processFunnelWithinBatch(rows.toDF("u", "a", "ts"),
+        batchId, "u", "ts", steps, maxGapMillis = 5000L,
+        statePath = st, sink = sink)
+    def expect(all: Seq[(String, String, Timestamp)]) =
+      Analytics.funnelWithin(all.toDF("u", "a", "ts"), "u", "ts", steps,
+          5000L)
+        .collect().map(r => (r.getString(0),
+          r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)).toSeq
+    def ev(u: String, a: String, s: Long) = (u, a, ts(t0 + s * 1000L))
+    // u1 converts; u2's cart is outside the 5 s gap; u3 converts (for
+    // now); u4 has only the cart half
+    val b0 = Seq(ev("u1", "view", 10), ev("u1", "cart", 12),
+      ev("u2", "view", 10), ev("u2", "cart", 20),
+      ev("u3", "view", 10), ev("u3", "cart", 12),
+      ev("u4", "cart", 8))
+    run(b0, 0L)
+    assert(last.toSet == expect(b0).toSet)
+    assert(last.map(_._1).sorted == Seq("u1", "u3"))
+    // LATE data: u3's earlier view@4 moves t_1 to 4 — the (4, 9] window
+    // no longer admits cart@12, so u3's conversion DISAPPEARS; u4's
+    // view@6 makes cart@8 qualify, so u4's conversion APPEARS
+    val b1 = Seq(ev("u3", "view", 4), ev("u4", "view", 6))
+    run(b1, 1L)
+    assert(last.toSet == expect(b0 ++ b1).toSet)
+    assert(last.map(_._1).sorted == Seq("u1", "u4"))
+    assert(last.find(_._1 == "u4").get ==
+      (("u4", t0 + 6000L, t0 + 8000L)))
+    // crash-replay of batch 1: same id — ledger untouched
+    val snapshot = last
+    run(b1, 1L)
+    assert(last == snapshot)
+    // a later cart inside u2's window converts u2 (t_2 = min qualifying)
+    val b2 = Seq(ev("u2", "cart", 13))
+    run(b2, 2L)
+    assert(last.toSet == expect(b0 ++ b1 ++ b2).toSet)
+    assert(last.map(_._1).sorted == Seq("u1", "u2", "u4"))
+    assert(last.find(_._1 == "u2").get ==
+      (("u2", t0 + 10000L, t0 + 13000L)))
+  }
+
   test("sampleStream: ledger after every batch equals batch " +
       "perGroupSample over all data so far; replay and re-delivered " +
       "rows are no-ops; payload columns ride along") {
