@@ -2201,6 +2201,59 @@ object SparkEntry {
       Eval.rboAtK(a, b, 10, p = 0.9).orderBy(col("q_id"))
     }),
 
+    // ML: RBO EXTRAPOLATED @10 — Webber 2010's point estimate over the
+    // same two rankings: the truncated score plus p^k·X_k/k (the lists
+    // assumed to keep agreeing at their depth-k rate); the residual
+    // constant is driver-computed with the same repeated-multiplication
+    // order as the depth table and embedded as a literal in both
+    // engines.
+    "q_eval_rbo_ext" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("n_chars"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("n_chars"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      def ranked(order: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.TopK.perGroup(cand, Seq(col("q_id")), order, 10)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(order: _*))
+            .cast("long"))
+          .select(col("q_id"), col("doc_id"), col("rk"))
+      val a = ranked(Seq(col("tf").desc, col("doc_id").asc))
+      val b = ranked(Seq(col("n_chars").desc, col("doc_id").asc))
+      Eval.rboExtrapolated(a, b, 10, p = 0.9).orderBy(col("q_id"))
+    }),
+
+    // ML: KENDALL τ-b @10 — the TIE-AWARE agreement over rankings that
+    // genuinely tie: rank() with no tiebreak over tf (integer term
+    // counts collide constantly) vs rank() over n_chars. Plain τ's C+D
+    // denominator quietly drops tied pairs; τ-b restores them
+    // (√((n₀−n₁)(n₀−n₂))) — the score is one fixed IEEE tree over
+    // exact BIGINTs (sqrt is IEEE-exact, the only-sqrt convention).
+    "q_eval_tau_b" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("n_chars"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("n_chars"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      def rankedTies(order: Seq[org.apache.spark.sql.Column]) = cand
+        .withColumn("rk", rank().over(
+          Window.partitionBy(col("q_id")).orderBy(order: _*))
+          .cast("long"))
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val a = rankedTies(Seq(col("tf").desc))
+      val b = rankedTies(Seq(col("n_chars").desc))
+      Eval.rankAgreementTauB(a, b, 10).orderBy(col("q_id"))
+    }),
+
     // ML: PER-GROUP AVERAGE PRECISION — one exact AP per source (the
     // PR twin of the per-group AUC): group-partitioned rank walk,
     // per-positive prec@k on the micro grid, executor-side division.
@@ -2489,6 +2542,42 @@ object SparkEntry {
         .select(col("doc_id"),
           length(concat_ws("", col("pieces"))).cast("long")
             .as("piece_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ML: TOKENIZER-AUGMENTATION epochs (subword regularization at the
+    // corpus level, Kudo 2018 §3.2): N sampled-encode epochs at
+    // per-epoch seeds over ONE trained unigram model — the way an LLM
+    // data pipeline multiplies its corpus with segmentation diversity.
+    // The oracle pins what IS engine-independent: (a) the dedup rate of
+    // the DUPLICATED seed — deterministic sampling collapses same-seed
+    // epochs to exactly ONE distinct segmentation per doc (the
+    // replayed-epoch dedup guarantee), and (b) losslessness of EVERY
+    // epoch (piece chars total = epochs × token chars). WHICH
+    // segmentation a distinct seed draws is engine-specific and
+    // spec-pinned (UnigramLmSpec: FFBS reference parity + cross-seed
+    // diversity). One corpus scan per epoch, one hash aggregate.
+    "q_unigram_augment" -> ((s, dir) => {
+      val m = graft.ml.UnigramLm.trainSoft(t(s, dir, "documents"), "text",
+        vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2)
+      val d = t(s, dir, "documents")
+      val epochs = Seq((1L, 41L), (2L, 41L), (3L, 97L))
+      epochs.map { case (e, seed) =>
+        d.select(col("doc_id"), lit(e).as("epoch"),
+          graft.ml.UnigramLm.encodePiecesSampled(
+            TextAnalysis.tokens(col("text")), m, alpha = 0.5, seed = seed)
+            .as("pieces"))
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), col("epoch"),
+          // piece-BOUNDARY-preserving key: two segmentations of the
+          // same word must compare different ("ab|c" vs "a|bc")
+          concat_ws("\u0001", col("pieces")).as("seg"),
+          length(concat_ws("", col("pieces"))).cast("long").as("chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_epochs"),
+          countDistinct(when(col("epoch") <= 2L, col("seg")))
+            .as("same_seed_distinct"),
+          sum(col("chars")).as("piece_chars_total"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3470,6 +3559,29 @@ object SparkEntry {
           .select(col("doc_id"),
             length(concat_ws("", col("pieces"))).cast("long")
               .as("piece_chars"))
+          .orderBy(col("doc_id"))
+      }),
+    "q_unigram_augment" -> Prepared(
+      build = (s, dir) => graft.ml.UnigramLm.trainSoft(
+        t(s, dir, "documents"), "text",
+        vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2),
+      search = (s, dir, m) => {
+        val model = m.asInstanceOf[graft.functions.UnigramModel]
+        val d = t(s, dir, "documents")
+        Seq((1L, 41L), (2L, 41L), (3L, 97L)).map { case (e, seed) =>
+          d.select(col("doc_id"), lit(e).as("epoch"),
+            graft.ml.UnigramLm.encodePiecesSampled(
+              TextAnalysis.tokens(col("text")), model, alpha = 0.5,
+              seed = seed).as("pieces"))
+        }.reduce(_ unionByName _)
+          .select(col("doc_id"), col("epoch"),
+            concat_ws("\u0001", col("pieces")).as("seg"),
+            length(concat_ws("", col("pieces"))).cast("long").as("chars"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_epochs"),
+            countDistinct(when(col("epoch") <= 2L, col("seg")))
+              .as("same_seed_distinct"),
+            sum(col("chars")).as("piece_chars_total"))
           .orderBy(col("doc_id"))
       }),
   )
@@ -7270,6 +7382,131 @@ object SparkEntry {
          |FROM t2 GROUP BY 1 ORDER BY q_id""".stripMargin
     },
 
+    // RBO extrapolated: the truncated query plus the residual term —
+    // the constant 10⁶·p^k/k comes from Eval.rboExtConstant (the SAME
+    // multiplication order as the plan) as a round-trip-exact literal.
+    "q_eval_rbo_ext" -> {
+      val k = 10
+      val p = 0.9
+      val cs = new Array[Double](k + 1)
+      var pPow = 1.0
+      var d = 1
+      while (d <= k) {
+        cs(d) = 1000000.0 * (1.0 - p) * pPow / d.toDouble
+        pPow = pPow * p
+        d += 1
+      }
+      val extC = graft.ml.Eval.rboExtConstant(k, p)
+      val caseW = (1 to k)
+        .map(i => s"WHEN ${i} THEN ${cs(i)}").mkString(" ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, n_chars, list_filter(string_split_regex(text,
+         |    ' +'), t -> t != '') AS toks
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, n_chars, term, count(*) AS tf
+         |  FROM (SELECT doc_id, n_chars, unnest(toks) AS term FROM tk)
+         |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+         |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+         |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+         |cand AS (
+         |  SELECT q_id, doc_id, n_chars, tf FROM tf JOIN q ON term = qterm),
+         |ra AS (
+         |  SELECT q_id, doc_id, rk FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY tf DESC, doc_id ASC) AS rk FROM cand)
+         |  WHERE rk <= $k),
+         |rb AS (
+         |  SELECT q_id, doc_id, rk FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk FROM cand)
+         |  WHERE rk <= $k),
+         |qs AS (SELECT DISTINCT q_id FROM (
+         |  SELECT q_id FROM ra UNION ALL SELECT q_id FROM rb)),
+         |cm AS (
+         |  SELECT ra.q_id, greatest(ra.rk, rb.rk) AS d_in
+         |  FROM ra JOIN rb USING (q_id, doc_id)),
+         |e AS (SELECT q_id, d_in, count(*) AS cnt FROM cm GROUP BY 1, 2),
+         |g AS (
+         |  SELECT q_id, CAST(d AS BIGINT) AS d
+         |  FROM qs, (SELECT unnest(generate_series(1, $k)) AS d)),
+         |o AS (
+         |  SELECT g.q_id, g.d,
+         |    CAST(sum(COALESCE(cnt, 0)) OVER (PARTITION BY g.q_id
+         |      ORDER BY g.d ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS BIGINT) AS ov
+         |  FROM g LEFT JOIN e ON g.q_id = e.q_id AND g.d = e.d_in),
+         |t2 AS (
+         |  SELECT q_id, d, ov,
+         |    CAST(floor((CASE d $caseW END) * CAST(ov AS DOUBLE))
+         |      AS BIGINT) AS term
+         |  FROM o),
+         |f AS (
+         |  SELECT q_id,
+         |    CAST(max(CASE WHEN d = $k THEN ov END) AS BIGINT)
+         |      AS overlap_k,
+         |    CAST(sum(term) AS BIGINT) AS rbo_micro
+         |  FROM t2 GROUP BY 1)
+         |SELECT q_id, overlap_k, rbo_micro,
+         |  CAST(rbo_micro + floor($extC * CAST(overlap_k AS DOUBLE))
+         |    AS BIGINT) AS rbo_ext_micro
+         |FROM f ORDER BY q_id""".stripMargin
+    },
+
+    // Kendall τ-b: tie groups from rank() with no tiebreak; the score
+    // is CAST(C−D AS DOUBLE)·10⁶ / sqrt((n0−n1)·(n0−n2)) floored — the
+    // identical IEEE tree the plan evaluates (sqrt is IEEE-exact).
+    "q_eval_tau_b" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars, list_filter(string_split_regex(text,
+        |    ' +'), t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, n_chars, term, count(*) AS tf
+        |  FROM (SELECT doc_id, n_chars, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, n_chars, tf FROM tf JOIN q ON term = qterm),
+        |ra AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, rank() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC) AS rk FROM cand)
+        |  WHERE rk <= 10),
+        |rb AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, rank() OVER (PARTITION BY q_id
+        |      ORDER BY n_chars DESC) AS rk FROM cand)
+        |  WHERE rk <= 10),
+        |cm AS (
+        |  SELECT ra.q_id, ra.doc_id, ra.rk AS a1, rb.rk AS b1
+        |  FROM ra JOIN rb USING (q_id, doc_id)),
+        |nc AS (SELECT q_id, count(*) AS n_common FROM cm GROUP BY 1),
+        |p AS (
+        |  SELECT l.q_id, count(*) AS n0,
+        |    sum(CASE WHEN (l.a1 - r.a1) * (l.b1 - r.b1) > 0 THEN 1
+        |      ELSE 0 END) AS conc,
+        |    sum(CASE WHEN (l.a1 - r.a1) * (l.b1 - r.b1) < 0 THEN 1
+        |      ELSE 0 END) AS disc,
+        |    sum(CASE WHEN l.a1 = r.a1 THEN 1 ELSE 0 END) AS tie_a,
+        |    sum(CASE WHEN l.b1 = r.b1 THEN 1 ELSE 0 END) AS tie_b
+        |  FROM cm l JOIN cm r ON l.q_id = r.q_id AND l.doc_id < r.doc_id
+        |  GROUP BY 1)
+        |SELECT nc.q_id,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(COALESCE(conc, 0) AS BIGINT) AS conc,
+        |  CAST(COALESCE(disc, 0) AS BIGINT) AS disc,
+        |  CAST(COALESCE(tie_a, 0) AS BIGINT) AS tie_a,
+        |  CAST(COALESCE(tie_b, 0) AS BIGINT) AS tie_b,
+        |  CAST(CASE WHEN n0 - tie_a > 0 AND n0 - tie_b > 0 THEN
+        |    floor(CAST(conc - disc AS DOUBLE) * 1000000.0 /
+        |      sqrt(CAST(n0 - tie_a AS DOUBLE) *
+        |        CAST(n0 - tie_b AS DOUBLE)))
+        |  END AS BIGINT) AS taub_micro
+        |FROM nc LEFT JOIN p USING (q_id)
+        |ORDER BY q_id""".stripMargin,
+
     "q_eval_ndcg" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, list_filter(string_split_regex(text, ' +'),
@@ -7979,6 +8216,25 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
         |    AS BIGINT) AS piece_chars
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // Tokenizer-augmentation epochs: the oracle pins the two
+    // engine-independent invariants — the DUPLICATED seed's epochs
+    // dedup to ONE distinct segmentation per doc (deterministic
+    // sampling), and every epoch is lossless (piece chars total =
+    // 3 × token chars). Which segmentation a distinct seed draws is
+    // engine-specific (UnigramLmSpec pins it against the FFBS
+    // reference).
+    "q_unigram_augment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, ' +'), t -> t != '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(3 AS BIGINT) AS n_epochs,
+        |  CAST(1 AS BIGINT) AS same_seed_distinct,
+        |  CAST(3 * COALESCE(list_sum(list_transform(tk, t -> length(t))),
+        |    0) AS BIGINT) AS piece_chars_total
         |FROM toks ORDER BY doc_id""".stripMargin,
 
     // Unigram encode: same losslessness pin as q_bpe_encode — piece

@@ -699,6 +699,94 @@ object Eval {
         sum(col("term")).as("rbo_micro"))
   }
 
+  /** RBO EXTRAPOLATED — [[rboAtK]] plus Webber 2010's point estimate
+    * (eq. 30 truncated-list form): the truncated RBO@k is a LOWER bound
+    * (it scores zero agreement beyond depth k); the extrapolation
+    * assumes the lists keep agreeing at their observed depth-k rate,
+    * adding `p^k · X_k / k`. RBO_ext = Σ_d c_d·X_d + 10⁶·p^k·X_k/k —
+    * one extra driver-computed constant (same repeated-multiplication
+    * convention as the depth table, never pow()) over [[rboAtK]]'s
+    * aggregate, so the plan cost is identical. Returns
+    * (q_id, overlap_k, rbo_micro, rbo_ext_micro).
+    */
+  def rboExtrapolated(a: DataFrame, b: DataFrame, k: Int,
+                      p: Double = 0.9): DataFrame = {
+    require(k >= 1 && p > 0.0 && p < 1.0, "need k >= 1 and 0 < p < 1")
+    // p^k by the same repeated multiplication the depth table uses
+    var pPow = 1.0
+    var d = 0
+    while (d < k) { pPow = pPow * p; d += 1 }
+    val extC = 1000000.0 * pPow / k.toDouble
+    rboAtK(a, b, k, p).withColumn("rbo_ext_micro",
+      col("rbo_micro") +
+        floor(lit(extC) * col("overlap_k").cast("double")).cast("long"))
+  }
+
+  /** The extrapolation constant `10⁶·p^k/k` with [[rboExtrapolated]]'s
+    * exact multiplication order — exposed so oracle SQL embeds the SAME
+    * double literal (the driver-literal constant-table convention).
+    */
+  def rboExtConstant(k: Int, p: Double): Double = {
+    var pPow = 1.0
+    var d = 0
+    while (d < k) { pPow = pPow * p; d += 1 }
+    1000000.0 * pPow / k.toDouble
+  }
+
+  /** KENDALL τ-b @k — [[rankAgreement]]'s τ made TIE-AWARE: rankings
+    * produced by `rank()` (or any scoring with duplicates) tie documents
+    * at the same position, and plain τ's C+D denominator quietly shrinks
+    * as if those pairs never existed. τ-b = (C−D) / √((n₀−n₁)(n₀−n₂))
+    * with n₀ = all common-doc pairs, n₁/n₂ = pairs tied in a/b —
+    * the standard correction (Kendall 1945).
+    *
+    * Determinism: C, D, n₀, n₁, n₂ are exact BIGINTs; the final score is
+    * ONE fixed IEEE tree — `(double)(C−D)·10⁶ / √((double)dₐ·(double)d_b)`
+    * then floor — and sqrt is IEEE-exact, so both engines produce the
+    * same bits (the only-sqrt-is-exact convention). Null when either
+    * denominator factor is 0 (fewer than 2 common docs, or ALL pairs
+    * tied on a side). Pair walk bounded like [[rankAgreement]]: with
+    * rank()-style ties the `rk ≤ k` cut admits k plus the final tie
+    * group, so the per-query pair count is (cut size)², still never
+    * corpus-sized. Returns (q_id, n_common, conc, disc, tie_a, tie_b,
+    * taub_micro).
+    */
+  def rankAgreementTauB(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def cut(r: DataFrame, rkName: String) = r
+      .select(col("q_id"), col("doc_id"), col("rk"))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(min(col("rk")).as(rkName))
+    val common = cut(a, "rk_a").join(cut(b, "rk_b"), Seq("q_id", "doc_id"))
+    val l = common.select(col("q_id"), col("doc_id").as("d1"),
+      col("rk_a").as("a1"), col("rk_b").as("b1"))
+    val r = common.select(col("q_id"), col("doc_id").as("d2"),
+      col("rk_a").as("a2"), col("rk_b").as("b2"))
+    val sgn = (col("a1") - col("a2")) * (col("b1") - col("b2"))
+    val nc = common.groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    val pairs = l.join(r, Seq("q_id")).filter(col("d1") < col("d2"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("a1") === col("a2"), 1L).otherwise(0L)).as("tie_a"),
+        sum(when(col("b1") === col("b2"), 1L).otherwise(0L)).as("tie_b"))
+    nc.join(pairs, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_common"),
+        coalesce(col("conc"), lit(0L)).as("conc"),
+        coalesce(col("disc"), lit(0L)).as("disc"),
+        coalesce(col("tie_a"), lit(0L)).as("tie_a"),
+        coalesce(col("tie_b"), lit(0L)).as("tie_b"),
+        when(col("n0") - col("tie_a") > 0 && col("n0") - col("tie_b") > 0,
+          floor((col("conc") - col("disc")).cast("double") *
+              lit(1000000.0) /
+              sqrt((col("n0") - col("tie_a")).cast("double") *
+                (col("n0") - col("tie_b")).cast("double")))
+            .cast("long"))
+          .as("taub_micro"))
+  }
+
   /** RANKING AGREEMENT @k — how much two rankings of the same queries
     * agree (exact vs ANN retrieval, yesterday's index vs today's): per
     * query the top-k overlap (Jaccard over the two ≤k-row cut lists)

@@ -89,7 +89,9 @@ class PlanAuditSpec extends SparkSuite {
     "q_zorder",
     // RBO: the broadcast k-row (k=10) literal depth grid crossed with
     // the per-query list — a constant-sized model-table broadcast
-    "q_eval_rbo")
+    // (the extrapolated variant adds only a projection over the same
+    // aggregate — identical join shape)
+    "q_eval_rbo", "q_eval_rbo_ext")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -560,4 +560,62 @@ class EvalSpec extends SparkSuite {
     val r2 = Eval.rankAgreement(a2, b2, 10).collect().head
     assert(r2.getLong(r2.fieldIndex("tau_micro")) == -333333L)
   }
+
+  test("rboExtrapolated: identical lists extrapolate to exactly 10^6; " +
+      "ext = truncated + floor(p^k/k·X_k·10^6); disjoint stays 0") {
+    val k = 5
+    val p = 0.9
+    def df(m: Map[Long, Long], q: Long = 0L) =
+      m.toSeq.map { case (doc, rk) => (q, doc, rk) }
+        .toDF("q_id", "doc_id", "rk")
+    val ident = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L)
+    val r = Eval.rboExtrapolated(df(ident), df(ident), k, p)
+      .collect().head
+    val trunc = r.getAs[Long]("rbo_micro")
+    val ext = r.getAs[Long]("rbo_ext_micro")
+    // the residual closes the truncation gap: identical lists score a
+    // full 1.0 under extrapolation (each term floors, so within k micro)
+    assert(ext == trunc +
+      math.floor(Eval.rboExtConstant(k, p) * 5.0).toLong)
+    assert(math.abs(ext - 1000000L) <= k)
+    assert(ext > trunc)
+    // disjoint lists: X_k = 0 — the residual adds nothing
+    val z = Eval.rboExtrapolated(df(Map(1L -> 1L)), df(Map(2L -> 1L)),
+      k, p).collect().head
+    assert(z.getAs[Long]("rbo_ext_micro") == 0L)
+  }
+
+  test("rankAgreementTauB: hand-computed tie case; tie-free τ-b equals " +
+      "plain τ scaled by the full-pair denominator; all-tied side nulls") {
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("q_id", "doc_id", "rk")
+    // a ranks: 1,1,2 (docs 1,2 tied); b ranks: 1,2,3.
+    // pairs: (1,2) tied in a (b differs) — n1; (1,3) conc; (2,3) conc.
+    // C=2 D=0 n0=3 n1=1 n2=0 → τ-b = 2/√(2·3) = 0.816496…
+    val a = df(Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 2L)))
+    val b = df(Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
+    val r = Eval.rankAgreementTauB(a, b, 10).collect().head
+    assert(r.getLong(r.fieldIndex("n_common")) == 3L)
+    assert(r.getLong(r.fieldIndex("conc")) == 2L)
+    assert(r.getLong(r.fieldIndex("disc")) == 0L)
+    assert(r.getLong(r.fieldIndex("tie_a")) == 1L)
+    assert(r.getLong(r.fieldIndex("tie_b")) == 0L)
+    assert(r.getLong(r.fieldIndex("taub_micro")) ==
+      math.floor(2.0 * 1000000.0 / math.sqrt(2.0 * 3.0)).toLong)
+    // no ties: τ-b reduces to plain τ (C−D over all pairs)
+    val a2 = df(Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
+    val b2 = df(Seq((0L, 1L, 2L), (0L, 2L, 1L), (0L, 3L, 3L)))
+    val r2 = Eval.rankAgreementTauB(a2, b2, 10).collect().head
+    assert(r2.getLong(r2.fieldIndex("taub_micro")) ==
+      math.floor(1.0 * 1000000.0 / 3.0).toLong) // (2−1)/3
+    // one side entirely tied: denominator factor 0 → null, never ÷0
+    val aT = df(Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)))
+    val r3 = Eval.rankAgreementTauB(aT, b2, 10).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("taub_micro")))
+    // negative side floors (not truncates): all-discordant mirror
+    val r4 = Eval.rankAgreementTauB(a2,
+      df(Seq((0L, 1L, 3L), (0L, 2L, 2L), (0L, 3L, 1L))), 10)
+      .collect().head
+    assert(r4.getLong(r4.fieldIndex("taub_micro")) == -1000000L)
+  }
 }

@@ -453,6 +453,16 @@ class UnigramLmSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
       .toMap
     assert(enc(docsDf) == enc(docsDf.repartition(5)))
+    // cross-seed DIVERSITY (the augmentation epochs story,
+    // q_unigram_augment): distinct seeds draw a different segmentation
+    // for at least one document; the SAME seed always collapses
+    def encSeed(seed: Long) = docsDf
+      .select(col("id"), UnigramLm.encodePiecesSampled(
+        TextAnalysis.tokens(col("t")), m, 0.5, seed = seed).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(encSeed(41L) == encSeed(41L))
+    assert((1L to 10L).exists(s => encSeed(41L) != encSeed(41L + s)))
     intercept[IllegalArgumentException] {
       UnigramLm.encodePiecesSampled(col("t"), m, -0.5, 1L)
     }
