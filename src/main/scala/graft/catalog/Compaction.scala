@@ -31,13 +31,22 @@ object Compaction {
     * a Z-order layout over the given (column, lo, hi) dims — compaction is
     * exactly the moment to buy multi-dimensional stats pruning, since the
     * partition is being rewritten anyway ([[ZOrder]]).
+    *
+    * `zorder` is the STREAM-POLICY form of the same switch ((dims, bits),
+    * [[graft.ingest.IngestPipeline.ZOrderPolicy]]): min/max come from the
+    * partition itself via the exact-BIGINT scaling the ingest path uses
+    * ([[graft.operators.ZOrder.zOrderBy]]), so a policy stream's
+    * compaction re-clusters with NO hand-tuned bounds — per-append z-runs
+    * merge into partition-wide runs and the per-file dim stats tighten
+    * further. Takes precedence over `zorderDims` when both are given.
     */
   def compactPartition(spark: SparkSession, root: String, stream: String,
                        date: String, timeCol: String = "p_timestamp",
                        maxFiles: Int = 8,
                        targetFiles: Int = 1,
                        txnCatalog: Option[(String, Seq[String])] = None,
-                       zorderDims: Seq[(String, Double, Double)] = Nil)
+                       zorderDims: Seq[(String, Double, Double)] = Nil,
+                       zorder: Option[(Seq[String], Int)] = None)
       : Option[(Int, Int)] = {
     val partDir = Paths.get(root, stream, s"date=$date")
     if (!Files.exists(partDir)) return None
@@ -50,10 +59,14 @@ object Compaction {
     // the rewritten layout so the directory shape is unchanged
     val df = spark.read.parquet(partDir.toString)
     val hasSub = df.columns.contains("hour")
-    val laidOut =
-      if (zorderDims.nonEmpty) ZOrder.layout(df, zorderDims, targetFiles)
-      else df.repartition(targetFiles)
+    val laidOut = zorder match {
+      case Some((dims, bits)) if dims.forall(df.columns.contains) =>
+        graft.operators.ZOrder.zOrderBy(df, dims, bits, targetFiles)
+      case _ if zorderDims.nonEmpty =>
+        ZOrder.layout(df, zorderDims, targetFiles)
+      case _ => df.repartition(targetFiles)
         .sortWithinPartitions(col(timeCol).desc)
+    }
     val writer = laidOut.write.mode("overwrite")
     (if (hasSub) writer.partitionBy(
       df.columns.filter(Set("hour", "minute")).toIndexedSeq: _*)
@@ -76,13 +89,19 @@ object Compaction {
     Some((before, countParquetFiles(partDir)))
   }
 
-  /** Compact every closed date partition (all but today's). */
+  /** Compact every closed date partition (all but today's). A stream
+    * whose persisted metadata carries a Z-order layout policy
+    * (`stream.json` `z_order`, written at create time) re-clusters with
+    * it automatically — the policy FOLLOWS the data through maintenance,
+    * no per-job configuration.
+    */
   def compactStream(spark: SparkSession, root: String, stream: String,
                     timeCol: String = "p_timestamp", maxFiles: Int = 8,
                     today: java.time.LocalDate = java.time.LocalDate.now())
       : Seq[(String, Int, Int)] = {
     val dir = Paths.get(root, stream)
     if (!Files.exists(dir)) return Nil
+    val zorder = StreamMeta.load(root, stream).flatMap(_.zOrder)
     val out = Seq.newBuilder[(String, Int, Int)]
     val parts = Files.list(dir).toArray.map(_.asInstanceOf[Path])
       .map(_.getFileName.toString)
@@ -90,7 +109,8 @@ object Compaction {
     parts.foreach { p =>
       val date = p.stripPrefix("date=")
       if (date != today.toString) {
-        compactPartition(spark, root, stream, date, timeCol, maxFiles)
+        compactPartition(spark, root, stream, date, timeCol, maxFiles,
+            zorder = zorder)
           .foreach { case (b, a) => out += ((date, b, a)) }
       }
     }

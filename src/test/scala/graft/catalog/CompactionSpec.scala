@@ -123,4 +123,38 @@ class CompactionSpec extends SparkSuite {
     val avgSpanY = stats.map(r => r.getDouble(4) - r.getDouble(3)).sum / 8
     assert(avgSpanX < 900.0 && avgSpanY < 900.0, s"$avgSpanX / $avgSpanY")
   }
+
+  test("a stream's persisted z-order policy follows through compactStream " +
+      "automatically (no per-job bounds)") {
+    val root = Files.createTempDirectory("compactzp").toString
+    val base = 1700000000000L
+    val rnd = new scala.util.Random(5)
+    (0 until 10).foreach { i =>
+      (0 until 100).map(j => (rnd.nextInt(1000).toLong,
+          rnd.nextInt(1000).toLong,
+          new Timestamp(base + (i * 100 + j) * 1000L)))
+        .toDF("x", "y", "p_timestamp")
+        .withColumn("date", lit("2024-01-01"))
+        .coalesce(1).write.mode("append").partitionBy("date")
+        .parquet(s"$root/logs")
+    }
+    // the stream carries the policy in its persisted metadata — exactly
+    // what an X-P-Z-Order create writes
+    StreamMeta.save(root, StreamMeta.fromConfig(
+      graft.ingest.IngestPipeline.StreamConfig("logs",
+        zOrder = Some(graft.ingest.IngestPipeline.ZOrderPolicy(
+          Seq("x", "y"), bits = 8))), None))
+    val res = Compaction.compactStream(spark, root, "logs",
+      today = java.time.LocalDate.parse("2024-06-01"))
+    assert(res == Seq(("2024-01-01", 10, 1)))
+    val after = spark.read.parquet(s"$root/logs/date=2024-01-01")
+    assert(after.count() == 1000)
+    // the compacted file is laid out along the Morton curve, not the
+    // reverse-time order the policy-less path writes: recompute the
+    // z-value with the same exact-BIGINT scaling and check monotonicity
+    val zs = graft.operators.ZOrder
+      .withZValue(after, Seq("x", "y"), bits = 8)
+      .select("z").collect().map(_.getLong(0)).toSeq
+    assert(zs == zs.sorted && zs.distinct.size > 1)
+  }
 }
