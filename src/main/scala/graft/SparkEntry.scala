@@ -2228,11 +2228,42 @@ object SparkEntry {
       Eval.rboExtrapolated(a, b, 10, p = 0.9).orderBy(col("q_id"))
     }),
 
+    // ML: SPEARMAN'S ρ @10 — displacement-distance rank correlation over
+    // the same two rankings (τ counts inversions, ρ squares the
+    // distance moved): common docs re-rank densely 1..n, then
+    // 1 − 6Σd²/(n(n²−1)) as an exact micro division.
+    "q_eval_spearman" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = Seq((0L, "stream"), (1L, "join"), (2L, "filter"))
+        .toDF("q_id", "qterm")
+      val tf = docs.select(col("doc_id"), col("n_chars"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("n_chars"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+      def ranked(order: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.TopK.perGroup(cand, Seq(col("q_id")), order, 10)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(order: _*))
+            .cast("long"))
+          .select(col("q_id"), col("doc_id"), col("rk"))
+      // the two lists share the tf-major order but break ties
+      // differently — the cuts overlap at EVERY corpus scale while the
+      // within-tie displacements keep rho below 1
+      val a = ranked(Seq(col("tf").desc, col("doc_id").asc))
+      val b = ranked(Seq(col("tf").desc, col("n_chars").desc,
+        col("doc_id").asc))
+      Eval.spearmanAtK(a, b, 10).orderBy(col("q_id"))
+    }),
+
     // ML: KENDALL τ-b @10 — the TIE-AWARE agreement over rankings that
     // genuinely tie: rank() with no tiebreak over tf (integer term
-    // counts collide constantly) vs rank() over n_chars. Plain τ's C+D
-    // denominator quietly drops tied pairs; τ-b restores them
-    // (√((n₀−n₁)(n₀−n₂))) — the score is one fixed IEEE tree over
+    // counts collide constantly) vs rank() over the COARSENED tf
+    // (tf div 2 — same signal, bigger tie groups, so the two cuts
+    // overlap at EVERY corpus scale and the tie structures differ).
+    // Plain τ's C+D denominator quietly drops tied pairs; τ-b restores
+    // them (√((n₀−n₁)(n₀−n₂))) — the score is one fixed IEEE tree over
     // exact BIGINTs (sqrt is IEEE-exact, the only-sqrt convention).
     "q_eval_tau_b" -> ((s, dir) => {
       import s.implicits._
@@ -2250,7 +2281,7 @@ object SparkEntry {
           .cast("long"))
         .select(col("q_id"), col("doc_id"), col("rk"))
       val a = rankedTies(Seq(col("tf").desc))
-      val b = rankedTies(Seq(col("n_chars").desc))
+      val b = rankedTies(Seq(expr("tf div 2").desc))
       Eval.rankAgreementTauB(a, b, 10).orderBy(col("q_id"))
     }),
 
@@ -7453,6 +7484,51 @@ object SparkEntry {
          |FROM f ORDER BY q_id""".stripMargin
     },
 
+    // Spearman's ρ: dense re-rank of the common docs (row_number by
+    // each side's rank, doc_id tiebreak), exact Σd², one micro div.
+    "q_eval_spearman" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars, list_filter(string_split_regex(text,
+        |    ' +'), t -> t != '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, n_chars, term, count(*) AS tf
+        |  FROM (SELECT doc_id, n_chars, unnest(toks) AS term FROM tk)
+        |  WHERE term IN ('stream', 'join', 'filter') GROUP BY 1, 2, 3),
+        |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, qterm FROM (VALUES
+        |  (0, 'stream'), (1, 'join'), (2, 'filter')) AS v(q_id, qterm)),
+        |cand AS (
+        |  SELECT q_id, doc_id, n_chars, tf FROM tf JOIN q ON term = qterm),
+        |ra AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, doc_id ASC) AS rk FROM cand)
+        |  WHERE rk <= 10),
+        |rb AS (
+        |  SELECT q_id, doc_id, rk FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY tf DESC, n_chars DESC, doc_id ASC) AS rk
+        |    FROM cand)
+        |  WHERE rk <= 10),
+        |cm AS (
+        |  SELECT ra.q_id, ra.doc_id, ra.rk AS rk_a, rb.rk AS rk_b
+        |  FROM ra JOIN rb USING (q_id, doc_id)),
+        |rr AS (
+        |  SELECT q_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rk_a ASC, doc_id ASC) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rk_b ASC, doc_id ASC) AS BIGINT) AS r2
+        |  FROM cm)
+        |SELECT q_id,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+        |  CAST(CASE WHEN count(*) >= 2 THEN
+        |    1000000 - 6 * sum((r1 - r2) * (r1 - r2)) * 1000000 //
+        |      (count(*) * (count(*) * count(*) - 1))
+        |  END AS BIGINT) AS rho_micro
+        |FROM rr GROUP BY 1 ORDER BY q_id""".stripMargin,
+
     // Kendall τ-b: tie groups from rank() with no tiebreak; the score
     // is CAST(C−D AS DOUBLE)·10⁶ / sqrt((n0−n1)·(n0−n2)) floored — the
     // identical IEEE tree the plan evaluates (sqrt is IEEE-exact).
@@ -7477,7 +7553,7 @@ object SparkEntry {
         |rb AS (
         |  SELECT q_id, doc_id, rk FROM (
         |    SELECT q_id, doc_id, rank() OVER (PARTITION BY q_id
-        |      ORDER BY n_chars DESC) AS rk FROM cand)
+        |      ORDER BY (tf // 2) DESC) AS rk FROM cand)
         |  WHERE rk <= 10),
         |cm AS (
         |  SELECT ra.q_id, ra.doc_id, ra.rk AS a1, rb.rk AS b1

@@ -787,6 +787,53 @@ object Eval {
           .as("taub_micro"))
   }
 
+  /** SPEARMAN'S ρ @k — the third classic rank-correlation lens next to
+    * [[rankAgreement]]'s τ and [[rboAtK]]: τ counts pair inversions
+    * (every swap costs the same), ρ penalizes by DISPLACEMENT distance
+    * (a doc moved 5 places costs 25× one moved 1), RBO weights by
+    * depth. Common docs of the two ≤k cut lists re-rank densely 1..n
+    * within the common subset (row_number by each side's rank,
+    * doc_id tiebreak — documented, both engines identical), then
+    * ρ = 1 − 6·Σd²/(n(n²−1)).
+    *
+    * Integer-exact: Σd² is a BIGINT sum, the division is one micro
+    * `div` with a non-negative numerator (truncation = floor), and the
+    * subtraction from 10⁶ is exact — bit-identical across engines.
+    * Division-form overflow guard on Σd²·6·10⁶. Null when n < 2.
+    * Scale shape: the common-set equi-join, two ≤k-row windows per
+    * query, one hash aggregate. Returns (q_id, n_common, sum_d2,
+    * rho_micro).
+    */
+  def spearmanAtK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def cut(r: DataFrame, rkName: String) = r
+      .select(col("q_id"), col("doc_id"), col("rk"))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(min(col("rk")).as(rkName))
+    val common = cut(a, "rk_a").join(cut(b, "rk_b"), Seq("q_id", "doc_id"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rk_a").asc, col("doc_id").asc)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rk_b").asc, col("doc_id").asc)
+    common
+      .withColumn("ra", row_number().over(wA).cast("long"))
+      .withColumn("rb", row_number().over(wB).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb")))
+          .as("sum_d2"))
+      .select(col("q_id"), col("n_common"), col("sum_d2"),
+        when(col("n_common") >= 2,
+          when(col("sum_d2") <= lit(Long.MaxValue / 6000000L),
+            lit(1000000L) - expr("6 * sum_d2 * 1000000 div " +
+              "(n_common * (n_common * n_common - 1))"))
+            .otherwise(expr("raise_error('Eval.spearmanAtK: " +
+              "displacement mass overflows the exact micro grid — " +
+              "use a smaller k')").cast("long")))
+          .as("rho_micro"))
+  }
+
   /** RANKING AGREEMENT @k — how much two rankings of the same queries
     * agree (exact vs ANN retrieval, yesterday's index vs today's): per
     * query the top-k overlap (Jaccard over the two ≤k-row cut lists)

@@ -857,8 +857,60 @@ object StreamOps {
       steps: Seq[org.apache.spark.sql.Column], maxGapMillis: Long,
       statePath: String, sink: DataFrame => Unit,
       keepPrevious: Boolean = false): Unit = {
-    require(steps.nonEmpty && maxGapMillis > 0,
-      "need steps and a positive gap")
+    require(maxGapMillis > 0, "need a positive gap")
+    processFunnelLedgerBatch(batch, batchId, userCol, tsCol, steps,
+      statePath, sink, keepPrevious,
+      (ledger, stepPreds) => graft.query.Analytics.funnelWithin(
+        ledger, userCol, "__ts", stepPreds, maxGapMillis))
+  }
+
+  /** STREAMING funnel timing — the incremental twin of
+    * [[graft.query.Analytics.funnelTiming]] over the SAME funnel-events
+    * ledger as [[funnelWithinStream]]: each trigger re-scores the whole
+    * ledger with the exact batch plan (per-transition user counts +
+    * exact BIGINT millisecond stats over the converted cohort). Timing
+    * inherits the funnel cascade's late-data sensitivity — a late
+    * step-1 event moves every transition duration behind it — so the
+    * ledger re-score is the only exact shape here too.
+    */
+  def funnelTimingStream(events: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[org.apache.spark.sql.Column], statePath: String,
+      sink: DataFrame => Unit, keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processFunnelTimingBatch(batch, batchId, userCol, tsCol, steps,
+        statePath, sink, keepPrevious)
+    }
+
+  /** One micro-batch of [[funnelTimingStream]], exposed for replay specs. */
+  private[streaming] def processFunnelTimingBatch(batch: DataFrame,
+      batchId: Long, userCol: String, tsCol: String,
+      steps: Seq[org.apache.spark.sql.Column], statePath: String,
+      sink: DataFrame => Unit, keepPrevious: Boolean = false): Unit = {
+    require(steps.size >= 2, "funnelTiming needs at least two steps")
+    processFunnelLedgerBatch(batch, batchId, userCol, tsCol, steps,
+      statePath, sink, keepPrevious,
+      (ledger, stepPreds) => graft.query.Analytics.funnelTiming(
+        ledger, userCol, "__ts", stepPreds))
+  }
+
+  /** Shared funnel-events ledger fold: the funnel-relevant projection of
+    * each micro-batch — one deduped `(user, step, ts)` row per distinct
+    * time a user performed a step — folds into the generation-pointer
+    * state, and `score` re-runs the exact batch plan over the whole
+    * ledger. The ledger keeps each step's distinct event TIMES, not
+    * running minima: a late earlier-step event moves the cascade and a
+    * later step's winner can change or disappear, which no smaller
+    * summary can re-derive. Bounded by funnel-relevant activity, never
+    * raw event volume; replay-safe via `_last_batch` (marker last).
+    */
+  private def processFunnelLedgerBatch(batch: DataFrame, batchId: Long,
+      userCol: String, tsCol: String,
+      steps: Seq[org.apache.spark.sql.Column], statePath: String,
+      sink: DataFrame => Unit, keepPrevious: Boolean,
+      score: (DataFrame, Seq[org.apache.spark.sql.Column]) => DataFrame)
+      : Unit = {
+    require(steps.nonEmpty, "need steps")
     val spark = batch.sparkSession
     if (batchId <= committedBatch(spark, statePath)) return // replay: skip
     // funnel-relevant projection: an event can satisfy SEVERAL step
@@ -874,8 +926,8 @@ object StreamOps {
       case None => partials
     }
     val ledger = spark.read.parquet(dir)
-    sink(graft.query.Analytics.funnelWithin(ledger, userCol, "__ts",
-      (1 to steps.size).map(i => col("__step") === i.toLong), maxGapMillis))
+    sink(score(ledger,
+      (1 to steps.size).map(i => col("__step") === i.toLong)))
     commitBatch(spark, statePath, batchId)
   }
 }

@@ -585,6 +585,36 @@ class EvalSpec extends SparkSuite {
     assert(z.getAs[Long]("rbo_ext_micro") == 0L)
   }
 
+  test("spearmanAtK: identical = 10^6, reversed = -10^6, hand case; " +
+      "re-rank densifies gapped common ranks; n < 2 nulls") {
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("q_id", "doc_id", "rk")
+    val a = df(Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
+    val same = Eval.spearmanAtK(a, a, 10).collect().head
+    assert(same.getLong(same.fieldIndex("rho_micro")) == 1000000L)
+    val rev = Eval.spearmanAtK(a,
+      df(Seq((0L, 1L, 3L), (0L, 2L, 2L), (0L, 3L, 1L))), 10)
+      .collect().head
+    assert(rev.getLong(rev.fieldIndex("sum_d2")) == 8L)
+    assert(rev.getLong(rev.fieldIndex("rho_micro")) == -1000000L)
+    // one swap among 3: d = (1,1,0)... ranks a=(1,2,3) b=(2,1,3):
+    // sum_d2 = 2, rho = 1 - 12/24 = 0.5
+    val half = Eval.spearmanAtK(a,
+      df(Seq((0L, 1L, 2L), (0L, 2L, 1L), (0L, 3L, 3L))), 10)
+      .collect().head
+    assert(half.getLong(half.fieldIndex("rho_micro")) == 500000L)
+    // gapped common ranks densify: b ranks (1, 9) over 2 common docs
+    // re-rank to (1, 2) — agreement is still perfect
+    val g = Eval.spearmanAtK(
+      df(Seq((0L, 1L, 1L), (0L, 2L, 2L))),
+      df(Seq((0L, 1L, 1L), (0L, 2L, 9L))), 10).collect().head
+    assert(g.getLong(g.fieldIndex("rho_micro")) == 1000000L)
+    // a single common doc: undefined, null
+    val one = Eval.spearmanAtK(df(Seq((0L, 1L, 1L))),
+      df(Seq((0L, 1L, 1L))), 10).collect().head
+    assert(one.isNullAt(one.fieldIndex("rho_micro")))
+  }
+
   test("rankAgreementTauB: hand-computed tie case; tie-free τ-b equals " +
       "plain τ scaled by the full-pair denominator; all-tied side nulls") {
     def df(rows: Seq[(Long, Long, Long)]) =

@@ -297,6 +297,48 @@ class StreamOpsSpec extends SparkSuite {
       (("u2", t0 + 10000L, t0 + 13000L)))
   }
 
+  test("funnelTimingStream: each trigger's transition stats equal batch " +
+      "funnelTiming over ALL events so far; late data moves the " +
+      "durations; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.query.Analytics
+    val st = java.nio.file.Files.createTempDirectory("sftiming").toString
+    val steps = Seq(col("a") === "view", col("a") === "cart",
+      col("a") === "buy")
+    var last: Seq[(Long, Long, Long, Long, Long, Long)] = Nil
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      last = df.orderBy("step").collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    def run(rows: Seq[(String, String, Timestamp)], batchId: Long): Unit =
+      StreamOps.processFunnelTimingBatch(rows.toDF("u", "a", "ts"),
+        batchId, "u", "ts", steps, statePath = st, sink = sink)
+    def expect(all: Seq[(String, String, Timestamp)]) =
+      Analytics.funnelTiming(all.toDF("u", "a", "ts"), "u", "ts", steps)
+        .orderBy("step").collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    def ev(u: String, a: String, s: Long) = (u, a, ts(t0 + s * 1000L))
+    // u1 full cascade; u2 missing the buy (not in the timing cohort)
+    val b0 = Seq(ev("u1", "view", 10), ev("u1", "cart", 14),
+      ev("u1", "buy", 20),
+      ev("u2", "view", 10), ev("u2", "cart", 11))
+    run(b0, 0L)
+    assert(last == expect(b0))
+    // view->cart 4 s, cart->buy 6 s for the single converted user
+    assert(last == Seq((2L, 1L, 4000L, 4000L, 4000L, 4000L),
+      (3L, 1L, 6000L, 6000L, 6000L, 6000L)))
+    // LATE events: u2's buy converts them; u1's EARLIER view moves its
+    // first transition duration from 4 s to 6 s
+    val b1 = Seq(ev("u2", "buy", 15), ev("u1", "view", 8))
+    run(b1, 1L)
+    assert(last == expect(b0 ++ b1))
+    assert(last.head == ((2L, 2L, 1000L, 6000L, 7000L, 3500L)))
+    // crash-replay: ledger untouched
+    val snapshot = last
+    run(b1, 1L)
+    assert(last == snapshot)
+  }
+
   test("sampleStream: ledger after every batch equals batch " +
       "perGroupSample over all data so far; replay and re-delivered " +
       "rows are no-ops; payload columns ride along") {
