@@ -2593,12 +2593,19 @@ object SparkEntry {
         vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2)
       val d = t(s, dir, "documents")
       val epochs = Seq((1L, 41L), (2L, 41L), (3L, 97L))
-      epochs.map { case (e, seed) =>
-        d.select(col("doc_id"), lit(e).as("epoch"),
-          graft.ml.UnigramLm.encodePiecesSampled(
-            TextAnalysis.tokens(col("text")), m, alpha = 0.5, seed = seed)
-            .as("pieces"))
-      }.reduce(_ unionByName _)
+      // ONE corpus scan for all epochs (an epoch-union would re-read the
+      // table per epoch — 3x the IO at 100 TB): the per-epoch kernels run
+      // side by side in one projection and explode into epoch rows. The
+      // seed-41 kernels still run INDEPENDENTLY — the same-seed dedup pin
+      // tests the engine, not a shared subexpression.
+      d.select(col("doc_id"), explode(array(epochs.map { case (e, seed) =>
+          struct(lit(e).as("epoch"),
+            graft.ml.UnigramLm.encodePiecesSampled(
+              TextAnalysis.tokens(col("text")), m, alpha = 0.5,
+              seed = seed).as("pieces"))
+        }: _*)).as("__e"))
+        .select(col("doc_id"), col("__e.epoch").as("epoch"),
+          col("__e.pieces").as("pieces"))
         .select(col("doc_id"), col("epoch"),
           // piece-BOUNDARY-preserving key: two segmentations of the
           // same word must compare different ("ab|c" vs "a|bc")
@@ -3599,12 +3606,15 @@ object SparkEntry {
       search = (s, dir, m) => {
         val model = m.asInstanceOf[graft.functions.UnigramModel]
         val d = t(s, dir, "documents")
-        Seq((1L, 41L), (2L, 41L), (3L, 97L)).map { case (e, seed) =>
-          d.select(col("doc_id"), lit(e).as("epoch"),
-            graft.ml.UnigramLm.encodePiecesSampled(
-              TextAnalysis.tokens(col("text")), model, alpha = 0.5,
-              seed = seed).as("pieces"))
-        }.reduce(_ unionByName _)
+        d.select(col("doc_id"),
+            explode(array(Seq((1L, 41L), (2L, 41L), (3L, 97L)).map {
+              case (e, seed) => struct(lit(e).as("epoch"),
+                graft.ml.UnigramLm.encodePiecesSampled(
+                  TextAnalysis.tokens(col("text")), model, alpha = 0.5,
+                  seed = seed).as("pieces"))
+            }: _*)).as("__e"))
+          .select(col("doc_id"), col("__e.epoch").as("epoch"),
+            col("__e.pieces").as("pieces"))
           .select(col("doc_id"), col("epoch"),
             concat_ws("\u0001", col("pieces")).as("seg"),
             length(concat_ws("", col("pieces"))).cast("long").as("chars"))
