@@ -615,6 +615,62 @@ class EvalSpec extends SparkSuite {
     assert(one.isNullAt(one.fieldIndex("rho_micro")))
   }
 
+  test("tau-b and spearman property net: 40 random tied rankings match " +
+      "a pure-Scala brute force exactly") {
+    val rnd = new scala.util.Random(29)
+    def bruteTauB(ra: Map[Long, Long], rb: Map[Long, Long])
+        : (Long, Long, Long, Long, Option[Long]) = {
+      val docs = ra.keySet.intersect(rb.keySet).toSeq.sorted
+      val pairs = for {
+        i <- docs.indices; j <- (i + 1) until docs.size
+      } yield (docs(i), docs(j))
+      var c = 0L; var d = 0L; var ta = 0L; var tb = 0L
+      pairs.foreach { case (x, y) =>
+        val s = (ra(x) - ra(y)) * (rb(x) - rb(y))
+        if (s > 0) c += 1 else if (s < 0) d += 1
+        if (ra(x) == ra(y)) ta += 1
+        if (rb(x) == rb(y)) tb += 1
+      }
+      val n0 = pairs.size.toLong
+      val t = if (n0 - ta > 0 && n0 - tb > 0)
+        Some(math.floor((c - d).toDouble * 1000000.0 /
+          math.sqrt((n0 - ta).toDouble * (n0 - tb).toDouble)).toLong)
+      else None
+      (c, d, ta, tb, t)
+    }
+    def bruteRho(ra: Map[Long, Long], rb: Map[Long, Long]): Option[Long] = {
+      val docs = ra.keySet.intersect(rb.keySet).toSeq.sorted
+      if (docs.size < 2) return None
+      def dense(m: Map[Long, Long]) = docs
+        .sortBy(doc => (m(doc), doc)).zipWithIndex
+        .map { case (doc, i) => doc -> (i + 1L) }.toMap
+      val da = dense(ra); val db = dense(rb)
+      val sd2 = docs.map(doc => {
+        val d = da(doc) - db(doc); d * d }).sum
+      val n = docs.size.toLong
+      Some(1000000L - 6L * sd2 * 1000000L / (n * (n * n - 1)))
+    }
+    for (_ <- 1 to 40) {
+      val n = 2 + rnd.nextInt(8)
+      // tied ranks: draw from a small range so collisions are common
+      def ranking() = (1L to n.toLong)
+        .map(doc => doc -> (1L + rnd.nextInt(4).toLong)).toMap
+      val ra = ranking(); val rb = ranking()
+      def df(m: Map[Long, Long]) =
+        m.toSeq.map { case (doc, rk) => (0L, doc, rk) }
+          .toDF("q_id", "doc_id", "rk")
+      val rT = Eval.rankAgreementTauB(df(ra), df(rb), 10).collect().head
+      val (c, d, ta, tb, t) = bruteTauB(ra, rb)
+      assert((rT.getLong(2), rT.getLong(3), rT.getLong(4),
+        rT.getLong(5)) == ((c, d, ta, tb)), s"$ra / $rb")
+      assert((if (rT.isNullAt(6)) None else Some(rT.getLong(6))) == t,
+        s"taub $ra / $rb")
+      val rS = Eval.spearmanAtK(df(ra), df(rb), 10).collect().head
+      assert((if (rS.isNullAt(3)) None else Some(rS.getLong(3))) ==
+        bruteRho(ra, rb), s"rho $ra / $rb")
+    }
+  }
+
   test("rankAgreementTauB: hand-computed tie case; tie-free τ-b equals " +
       "plain τ scaled by the full-pair denominator; all-tied side nulls") {
     def df(rows: Seq[(Long, Long, Long)]) =
