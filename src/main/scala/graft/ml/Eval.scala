@@ -805,7 +805,10 @@ object Eval {
     * rho_micro).
     */
   def spearmanAtK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+    // n_common ≤ k and the denominator n(n²−1) wraps BIGINT at
+    // n ≥ 2,097,152 — reject up front (raise-don't-wrap contract)
+    require(k >= 1 && k < (1 << 21),
+      "k must be in [1, 2^21) — n(n^2-1) must fit a BIGINT")
     def cut(r: DataFrame, rkName: String) = r
       .select(col("q_id"), col("doc_id"), col("rk"))
       .filter(col("rk") <= k)
