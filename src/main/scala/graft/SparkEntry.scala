@@ -1025,6 +1025,29 @@ object SparkEntry {
         .orderBy(col("bucket"))),
 
     // §2.7: set operations — UNION / INTERSECT / EXCEPT.
+    // SKETCHES: KMV theta-sketch distinct counts per cohort — the
+    // mergeable set-summary the HLL field stats can't intersect.
+    // Exhaustive below k (exact), (k−1)·2⁴⁸ div θ above; md5-prefix
+    // hash mirrors in DuckDB, so the whole estimator is oracle-exact.
+    "q_sketch_distinct" -> ((s, dir) =>
+      graft.query.ThetaSketch.cardinality(
+        graft.query.ThetaSketch.kmv(t(s, dir, "events"),
+          Seq("event_type"), col("user_id"), k = 64),
+        Seq("event_type"), k = 64)
+        .orderBy(col("event_type"))),
+
+    // SKETCHES: pairwise set ALGEBRA over the same sketches — union via
+    // the merged bottom-k (bottom-k is exactly mergeable) and
+    // intersection via common hashes below the pair's θ. At sf0.001 the
+    // cohorts are exhaustive (everything exact); at sf0.1 the
+    // estimation branch runs — the gate pins both regimes.
+    "q_sketch_setops" -> ((s, dir) =>
+      graft.query.ThetaSketch.pairwiseSetAlgebra(
+        graft.query.ThetaSketch.kmv(t(s, dir, "events"),
+          Seq("event_type"), col("user_id"), k = 64),
+        "event_type", k = 64)
+        .orderBy(col("g_a"), col("g_b"))),
+
     "q_set_ops" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -4789,6 +4812,78 @@ object SparkEntry {
         |            ELSE CAST(floor(value * 2) + 1 AS BIGINT) END AS bucket,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // KMV theta sketch: the md5-prefix hash (dHash60) shifted to the
+    // 48-bit space, bottom-64 per cohort, (k−1)·2⁴⁸ // θ — the exact
+    // estimator the Spark plan computes. 281474976710656 = 2^48;
+    // 17732923532771328 = 63·2^48.
+    "q_sketch_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    (${dHash60("CAST(user_id AS VARCHAR)")}) // 4096 AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, h, row_number() OVER (PARTITION BY
+         |    event_type ORDER BY h ASC) AS rk FROM h),
+         |sk AS (SELECT event_type, h FROM rk WHERE rk <= 64),
+         |st AS (
+         |  SELECT event_type, count(*) AS n_sketch, max(h) AS mx
+         |  FROM sk GROUP BY 1)
+         |SELECT event_type,
+         |  CAST(n_sketch AS BIGINT) AS n_sketch,
+         |  CAST(CASE WHEN n_sketch >= 64 THEN mx
+         |    ELSE 281474976710656 END AS BIGINT) AS theta,
+         |  CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+         |    ELSE 17732923532771328 // mx END AS BIGINT) AS est_distinct
+         |FROM st ORDER BY event_type""".stripMargin,
+
+    "q_sketch_setops" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    (${dHash60("CAST(user_id AS VARCHAR)")}) // 4096 AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, h, row_number() OVER (PARTITION BY
+         |    event_type ORDER BY h ASC) AS rk FROM h),
+         |sk AS (SELECT event_type, h FROM rk WHERE rk <= 64),
+         |st AS (
+         |  SELECT event_type, count(*) AS n_sketch, max(h) AS mx
+         |  FROM sk GROUP BY 1),
+         |st2 AS (
+         |  SELECT event_type, CASE WHEN n_sketch >= 64 THEN mx
+         |    ELSE 281474976710656 END AS theta FROM st),
+         |p AS (
+         |  SELECT a.event_type AS g_a, b.event_type AS g_b,
+         |    least(a.theta, b.theta) AS tp
+         |  FROM st2 a JOIN st2 b ON a.event_type < b.event_type),
+         |ic AS (
+         |  SELECT l.event_type AS g_a, r.event_type AS g_b,
+         |    count(*) AS n_common
+         |  FROM sk l JOIN sk r ON l.h = r.h
+         |    AND l.event_type < r.event_type
+         |  JOIN p ON p.g_a = l.event_type AND p.g_b = r.event_type
+         |  WHERE l.h < p.tp GROUP BY 1, 2),
+         |tg AS (
+         |  SELECT p.g_a, p.g_b, s.h FROM p
+         |  JOIN sk s ON s.event_type = p.g_a
+         |  UNION
+         |  SELECT p.g_a, p.g_b, s.h FROM p
+         |  JOIN sk s ON s.event_type = p.g_b),
+         |ur AS (
+         |  SELECT g_a, g_b, h, row_number() OVER (PARTITION BY g_a, g_b
+         |    ORDER BY h ASC) AS rk FROM tg),
+         |us AS (
+         |  SELECT g_a, g_b, count(*) AS nu, max(h) AS mxu
+         |  FROM ur WHERE rk <= 64 GROUP BY 1, 2)
+         |SELECT p.g_a, p.g_b,
+         |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(COALESCE(n_common * 281474976710656 // tp, 0)
+         |    AS BIGINT) AS intersect_est,
+         |  CAST(CASE WHEN nu < 64 THEN nu
+         |    ELSE 17732923532771328 // mxu END AS BIGINT) AS union_est
+         |FROM p LEFT JOIN ic ON ic.g_a = p.g_a AND ic.g_b = p.g_b
+         |JOIN us ON us.g_a = p.g_a AND us.g_b = p.g_b
+         |ORDER BY p.g_a, p.g_b""".stripMargin,
 
     "q_set_ops" ->
       """SELECT c_custkey FROM (

@@ -91,7 +91,12 @@ class PlanAuditSpec extends SparkSuite {
     // the per-query list — a constant-sized model-table broadcast
     // (the extrapolated variant adds only a projection over the same
     // aggregate — identical join shape)
-    "q_eval_rbo", "q_eval_rbo_ext")
+    "q_eval_rbo", "q_eval_rbo_ext",
+    // theta-sketch set algebra: the cohort-pair frame is a `g_a < g_b`
+    // theta join of the G-row per-group stats (G = event types, 5
+    // here) — a broadcast of a group-count-sized frame, never
+    // data-sized; everything else is equi-joins over ≤ k·G sketch rows
+    "q_sketch_setops")
 
   test("every gated query: no CartesianProduct; BNLJ only where documented") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
