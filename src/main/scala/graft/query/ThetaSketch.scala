@@ -68,6 +68,23 @@ object ThetaSketch {
       .drop("__rk")
   }
 
+  /** Bottom-k fold over ALREADY-HASHED sketch rows (groupCols…, h) —
+    * the merge step streaming maintenance and sketch unions share:
+    * distinct h per group, keep the k smallest. Because bottom-k is
+    * exactly mergeable, folding partials through this equals [[kmv]]
+    * over the concatenated raw data.
+    */
+  def bottomKHashes(sk: DataFrame, groupCols: Seq[String],
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= MaxK, s"k must be in [2, $MaxK]")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("h").asc)
+    sk.select(g :+ col("h"): _*).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Per-group stats of a [[kmv]] sketch: (groupCols…, n_sketch, theta,
     * est_distinct). `n_sketch < k` means the sketch is exhaustive and
     * the estimate is the exact distinct-hash count.

@@ -820,6 +820,45 @@ object StreamOps {
     commitBatch(spark, statePath, batchId)
   }
 
+  /** STREAMING KMV theta sketch — the incremental twin of
+    * [[graft.query.ThetaSketch.kmv]]: bottom-k is EXACTLY mergeable
+    * (`bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))`), so the
+    * ledger holds ≤ k hash rows per group — the sketch IS the state
+    * (the [[sampleStream]] contract) — and after any prefix of batches
+    * it equals the batch sketch over all data so far, on any
+    * partitioning or arrival order. Re-delivered values collapse
+    * structurally (same value ⇒ same hash ⇒ distinct). Downstream
+    * cardinality/set-algebra read the ledger with the batch estimators.
+    * Replay-safe via the shared `_last_batch` marker (marker last).
+    */
+  def kmvStream(events: DataFrame, groupCols: Seq[String],
+                value: org.apache.spark.sql.Column, k: Int,
+                statePath: String, sink: DataFrame => Unit,
+                keepPrevious: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processKmvBatch(batch, batchId, groupCols, value, k, statePath,
+        sink, keepPrevious)
+    }
+
+  /** One micro-batch of [[kmvStream]], exposed for replay specs. */
+  private[streaming] def processKmvBatch(batch: DataFrame, batchId: Long,
+      groupCols: Seq[String], value: org.apache.spark.sql.Column, k: Int,
+      statePath: String, sink: DataFrame => Unit,
+      keepPrevious: Boolean = false): Unit = {
+    import graft.query.ThetaSketch
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, statePath)) return // replay: skip
+    val partial = ThetaSketch.kmv(batch, groupCols, value, k)
+    val dir = foldGenState(spark, statePath, batchId, keepPrevious) {
+      case Some(prior) =>
+        ThetaSketch.bottomKHashes(prior.unionByName(partial), groupCols, k)
+      case None => partial
+    }
+    sink(spark.read.parquet(dir))
+    commitBatch(spark, statePath, batchId)
+  }
+
   /** STREAMING time-bounded funnel — the incremental twin of
     * [[graft.query.Analytics.funnelWithin]]: each micro-batch folds the
     * FUNNEL-RELEVANT projection of its events — one deduped

@@ -244,6 +244,50 @@ class StreamOpsSpec extends SparkSuite {
     assert(last.find(_._1 == "b").get._5 == 8L) // 7 then reset-to-1
   }
 
+  test("kmvStream: sketch ledger after every batch equals the batch kmv " +
+      "over ALL data so far (any order); estimates match; replay and " +
+      "re-delivered values are no-ops") {
+    import org.apache.spark.sql.functions._
+    import graft.query.ThetaSketch
+    val st = java.nio.file.Files.createTempDirectory("skmv").toString
+    var last: Set[(String, Long)] = Set.empty
+    val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+      last = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def run(rows: Seq[(String, Long)], batchId: Long): Unit =
+      StreamOps.processKmvBatch(rows.toDF("g", "v"), batchId,
+        Seq("g"), col("v"), k = 16, statePath = st, sink = sink)
+    def expect(all: Seq[(String, Long)]): Set[(String, Long)] =
+      ThetaSketch.kmv(all.toDF("g", "v"), Seq("g"), col("v"), 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b0 = (0L until 40L).map(v => ("a", v)) ++
+      (0L until 5L).map(v => ("b", v))
+    run(b0, 0L)
+    assert(last == expect(b0) && last.nonEmpty)
+    // group a is past k (16 rows kept), b exhaustive (5)
+    assert(last.count(_._1 == "a") == 16 && last.count(_._1 == "b") == 5)
+    // batch 1: overlapping values (structural dedup) + new ones, out of
+    // order relative to batch 0
+    val b1 = (30L until 80L).map(v => ("a", v)) ++ Seq(("b", 2L), ("b", 9L))
+    run(b1, 1L)
+    assert(last == expect(b0 ++ b1))
+    // crash-replay: ledger untouched
+    val snapshot = last
+    run(b1, 1L)
+    assert(last == snapshot)
+    // estimates off the streamed ledger == estimates off the batch sketch
+    val streamed = last.toSeq.toDF("g", "h")
+    val est = ThetaSketch.cardinality(streamed, Seq("g"), 16)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("est_distinct"))).toSeq
+    val bEst = ThetaSketch.cardinality(
+        ThetaSketch.kmv((b0 ++ b1).toDF("g", "v"), Seq("g"), col("v"), 16),
+        Seq("g"), 16)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("est_distinct"))).toSeq
+    assert(est == bEst)
+    assert(est.find(_._1 == "b").get._2 == 6L) // exhaustive: exact
+  }
+
   test("funnelWithinStream: each trigger's cohort equals batch " +
       "funnelWithin over ALL events so far; a LATE step-1 event moves " +
       "t_1 and the cascade re-scores exactly (a conversion can appear " +
