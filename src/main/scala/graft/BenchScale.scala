@@ -112,11 +112,14 @@ object BenchScale {
     "q_unigram_encode", "q_metric_increase_quantile",
     "q_quality_funnel", "q_template_drift", "q_zorder",
     "q_metric_ewma", "q_eval_rbo",
-    // round-17 additions: the 3-epoch sampled-encode union (three
+    // round-17 additions: the 3-epoch sampled-encode fused scan (three
     // kernel passes + one hash aggregate), the extrapolated RBO (the
-    // rbo walk + residual projection), and the tie-aware tau-b pair
-    // walk (rank() cut can exceed k by the final tie group)
-    "q_unigram_augment", "q_eval_rbo_ext", "q_eval_tau_b")
+    // rbo walk + residual projection), the tie-aware tau-b pair
+    // walk (rank() cut can exceed k by the final tie group), and the
+    // KMV set algebra (distinct-hash aggregate + bottom-k windows +
+    // the G-row pair frame)
+    "q_unigram_augment", "q_eval_rbo_ext", "q_eval_tau_b",
+    "q_sketch_setops")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
