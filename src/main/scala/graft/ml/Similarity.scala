@@ -103,6 +103,13 @@ object Similarity {
     * size is governed by the caller's threshold (a lax τ over a dense
     * corpus is answer-quadratic BY CONSTRUCTION — same contract as
     * `q_sim_decontaminate`). Self-pairs excluded.
+    *
+    * ==100 TB: use [[radiusSearchPersisted]]==
+    * This is the EXACT, recall-complete baseline — it scans the whole
+    * corpus per call. A deployment at scale should persist an IVF
+    * layout once ([[saveIvfIndex]]) and serve thresholds from
+    * [[radiusSearchPersisted]], which probes only the closest
+    * centroids' partitions for the same answer contract.
     */
   def radiusSearch(corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String,
