@@ -4821,7 +4821,7 @@ object SparkEntry {
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,
          |    (${dHash60("CAST(user_id AS VARCHAR)")}) // 4096 AS h
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |rk AS (
          |  SELECT event_type, h, row_number() OVER (PARTITION BY
          |    event_type ORDER BY h ASC) AS rk FROM h),
@@ -4841,7 +4841,7 @@ object SparkEntry {
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,
          |    (${dHash60("CAST(user_id AS VARCHAR)")}) // 4096 AS h
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |rk AS (
          |  SELECT event_type, h, row_number() OVER (PARTITION BY
          |    event_type ORDER BY h ASC) AS rk FROM h),

@@ -91,8 +91,9 @@ object Compaction {
 
   /** Compact every closed date partition (all but today's). A stream
     * whose persisted metadata carries a Z-order layout policy
-    * (`stream.json` `z_order`, written at create time) re-clusters with
-    * it automatically — the policy FOLLOWS the data through maintenance,
+    * (`stream.json` `z_order` — written by the HTTP create/update
+    * handlers and by the streaming ingest path) re-clusters with it
+    * automatically — the policy FOLLOWS the data through maintenance,
     * no per-job configuration.
     */
   def compactStream(spark: SparkSession, root: String, stream: String,

@@ -402,12 +402,26 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
         err(ex, 400,
           "Altering the schema of an existing stream is restricted."); return
       }
+      // one update request mutates ONE config facet — combining the
+      // mutually-exclusive headers would silently drop all but the first
+      // matched, so refuse the combination outright
+      val updateHdrs = Seq(
+        limitHdr.map(_ => "X-P-Time-Partition-Limit"),
+        zOrderHdr.map(_ => "X-P-Z-Order"),
+        customHdr.map(_ => "X-P-Custom-Partition")).flatten
+      if (updateHdrs.size > 1) {
+        err(ex, 400, "an update request accepts exactly one of " +
+          "X-P-Time-Partition-Limit, X-P-Z-Order or X-P-Custom-Partition " +
+          s"(got: ${updateHdrs.mkString(", ")})")
+        return
+      }
       limitHdr match {
         case Some(l) => parseLimit(l) match {
           case Left(m) => err(ex, 400, m)
           case Right(days) =>
-            configs.computeIfPresent(streamKey,
+            val updated = configs.computeIfPresent(streamKey,
               (_, c) => c.copy(timePartitionLimitDays = Some(days)))
+            Option(updated).foreach(persistStreamMeta)
             // the reference's update path returns after a limit update
             respond(ex, 200, s"""{"status":"updated stream '$name'"}""")
         }
@@ -418,8 +432,9 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
           parseZOrder match {
             case Left(m) => err(ex, 400, m)
             case Right(pol) =>
-              configs.computeIfPresent(streamKey,
+              val updated = configs.computeIfPresent(streamKey,
                 (_, c) => c.copy(zOrder = pol))
+              Option(updated).foreach(persistStreamMeta)
               respond(ex, 200, s"""{"status":"updated stream '$name'"}""")
           }
         case None =>
@@ -428,8 +443,9 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
           customHdr.map(parseCustom).getOrElse(Right(Nil)) match {
             case Left(m) => err(ex, 400, m)
             case Right(parts) =>
-              configs.computeIfPresent(streamKey,
+              val updated = configs.computeIfPresent(streamKey,
                 (_, c) => c.copy(customPartitions = parts))
+              Option(updated).foreach(persistStreamMeta)
               respond(ex, 200, s"""{"status":"updated stream '$name'"}""")
           }
       }
@@ -456,7 +472,7 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
     parsed match {
       case Left(m) => err(ex, 400, m)
       case Right((limit, parts, zorder, schema)) =>
-        configs.computeIfAbsent(streamKey, k => {
+        val created = configs.computeIfAbsent(streamKey, k => {
           metaStore.putStream(k)
           // a static schema is the stream's schema from birth: commit it
           // so schema reads/merges see it before any event arrives
@@ -465,6 +481,7 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
             staticSchema = schema, timePartitionLimitDays = limit,
             zOrder = zorder)
         })
+        persistStreamMeta(created)
         respond(ex, 200, s"""{"status":"created stream '$name'"}""")
     }
   }
@@ -474,6 +491,22 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
     * reference's midnight scheduler) — here it's an explicit admin call so
     * enforcement time is under the operator's control.
     */
+  /** Persist the stream's durable metadata (`stream.json`) so maintenance
+    * jobs running OUTSIDE this server process — compaction re-clustering by
+    * the Z-order policy, catalog-backed scans — see lifecycle changes made
+    * over HTTP, and so an `X-P-Z-Order` create/update survives a restart.
+    * Only the partition/layout fields belong to this handler: any schema or
+    * retention already persisted by the ingest path is carried through.
+    */
+  private[http] def persistStreamMeta(
+      cfg: IngestPipeline.StreamConfig): Unit = {
+    val existing = graft.catalog.StreamMeta.load(root, cfg.name)
+    graft.catalog.StreamMeta.save(root, graft.catalog.StreamMeta
+      .fromConfig(cfg,
+        existing.flatMap(_.schema).orElse(cfg.staticSchema))
+      .copy(retention = existing.flatMap(_.retention)))
+  }
+
   def enforceRetention(name: String,
                        tenant: String = DefaultTenant): Seq[String] = {
     val dir = s"$root/${tenantKey(tenant, name)}"

@@ -77,8 +77,11 @@ object ZOrder {
           // `div`, not `/` — BIGINT division (Spark's / on longs is DOUBLE)
           expr(s"((cast(${bq(d)} as bigint) - ${bq(s"__mn_$d")}) * $cap) " +
             s"div (${bq(s"__mx_$d")} - ${bq(s"__mn_$d")})"))
+          // escape for Spark's string lexer (backslash escapes are on by
+          // default): double backslashes FIRST, then quote as \' — the
+          // '' form would merely concatenate adjacent literals
           .otherwise(expr("raise_error('ZOrder: range of " +
-            s"${d.replace("'", "''").replace("\\", "\\\\")} overflows " +
+            s"${d.replace("\\", "\\\\").replace("'", "\\'")} overflows " +
             s"the $bits-bit scaling grid — pre-quantize the column')")
             .cast("long")))
         .otherwise(lit(0L))

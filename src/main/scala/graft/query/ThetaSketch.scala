@@ -61,6 +61,11 @@ object ThetaSketch {
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("h").asc)
     df.select(g :+ h48(value).as("h"): _*)
+      // NULL values hash to NULL; Spark sorts NULL first ASC (it would
+      // take rank 1 and displace a real hash) while DuckDB sorts NULL
+      // last — drop them so the sketch counts only real values and the
+      // θ > 0 guarantee holds even at k = 2
+      .filter(col("h").isNotNull)
       .groupBy(g :+ col("h"): _*).agg(count(lit(1)).as("__c"))
       .drop("__c")
       .withColumn("__rk", row_number().over(w))
@@ -79,7 +84,7 @@ object ThetaSketch {
     require(k >= 2 && k <= MaxK, s"k must be in [2, $MaxK]")
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("h").asc)
-    sk.select(g :+ col("h"): _*).distinct()
+    sk.select(g :+ col("h"): _*).filter(col("h").isNotNull).distinct()
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

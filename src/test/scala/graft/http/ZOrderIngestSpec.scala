@@ -80,6 +80,12 @@ class ZOrderIngestSpec extends SparkSuite {
       assert(zo != null && !zo.isNull && zo.get("bits").asInt == 8)
       assert(zo.get("dims").size == 2 && zo.get("dims").get(0).asText == "x")
 
+      // the policy is DURABLE, not just in-memory: create persisted
+      // stream.json, which is exactly what Compaction.compactStream reads
+      // to re-cluster closed partitions — no manual StreamMeta.save needed
+      assert(graft.catalog.StreamMeta.load(tmp, "zs").flatMap(_.zOrder)
+        .contains((Seq("x", "y"), 8)))
+
       // a rejected policy never half-creates a stream
       val (bs, bb) = http("PUT", s"$base/logstream/bad",
         Map("X-P-Z-Order" -> "a,b,c,d,e,f", "X-P-Z-Order-Bits" -> "16"))
@@ -136,12 +142,22 @@ class ZOrderIngestSpec extends SparkSuite {
       assert(qs == 200, qb)
       assert(mapper.readTree(qb).get(0).get("n").asLong == 256L)
 
+      // mutually-exclusive update headers are refused, not silently
+      // first-match-wins — neither facet changes
+      val (ms, mb) = http("PUT", s"$base/logstream/zs",
+        Map("X-P-Update-Stream" -> "true", "X-P-Z-Order" -> "none",
+          "X-P-Time-Partition-Limit" -> "30d"))
+      assert(ms == 400 && mb.contains("exactly one"), s"$ms $mb")
+
       // layout update applies to future writes; `none` clears it
       assert(http("PUT", s"$base/logstream/zs",
         Map("X-P-Update-Stream" -> "true", "X-P-Z-Order" -> "none"))._1
         == 200)
       val (is2, ib2) = http("GET", s"$base/logstream/zs/info")
       assert(is2 == 200 && mapper.readTree(ib2).get("z_order").isNull, ib2)
+      // …and the clear is persisted too (a restart would not resurrect it)
+      assert(graft.catalog.StreamMeta.load(tmp, "zs")
+        .exists(_.zOrder.isEmpty))
     } finally srv.stop()
   }
 }

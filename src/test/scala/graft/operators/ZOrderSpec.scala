@@ -81,6 +81,21 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("range-overflow raise_error survives a dimension name with a " +
+      "quote and a backslash — escaped for Spark's lexer, not doubled") {
+    val name = "it's\\col"
+    // bits=32 → cap ≈ 2^32: any range above Long.MaxValue/cap overflows
+    val df = Seq(0L, 3_000_000_000L).toDF(name)
+    val e = intercept[Exception] {
+      ZOrder.withZValue(df, Seq(name), bits = 32).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    val m = msgs(e)
+    assert(m.contains("overflows the 32-bit scaling grid"), m)
+    assert(m.contains(name), m) // the quote did NOT get eaten
+  }
+
   test("file-skipping payoff: a 2-D box predicate keeps strictly fewer " +
       "files under zOrderBy than under a single-column sort (real " +
       "StatsCatalog prune)") {

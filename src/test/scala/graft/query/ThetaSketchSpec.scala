@@ -67,6 +67,23 @@ class ThetaSketchSpec extends SparkSuite {
     assert(again.getAs[Long]("union_est") == pairUnion)
   }
 
+  test("NULL values never enter the sketch: they would sort first in " +
+      "Spark (displacing a real hash) but last in DuckDB, and at k=2 " +
+      "with one real value a null rank-1 row would make theta 0") {
+    val df = Seq(("a", Some(7L)), ("a", None), ("a", None))
+      .toDF("g", "v")
+    val sk = ThetaSketch.kmv(df, Seq("g"), col("v"), k = 2)
+    assert(sk.count() == 1L) // only the real value's hash survives
+    val card = ThetaSketch.cardinality(sk, Seq("g"), 2).collect().head
+    assert(card.getAs[Long]("est_distinct") == 1L)
+    assert(card.getAs[Long]("theta") > 0L)
+    // the merge fold drops stray null hashes the same way
+    val folded = ThetaSketch.bottomKHashes(
+      sk.unionByName(Seq(("a", null.asInstanceOf[java.lang.Long]))
+        .toDF("g", "h")), Seq("g"), 2)
+    assert(folded.count() == 1L)
+  }
+
   test("k bounds are enforced") {
     val df = setDf("a", 0 until 10)
     intercept[IllegalArgumentException] {
