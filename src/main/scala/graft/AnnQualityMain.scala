@@ -44,6 +44,21 @@ object AnnQualityMain {
       .orderBy(col("vec_id")).limit(50).cache()
     val k = 10
     val truth = AnnQuality.groundTruth(e, queries, "vec_id", "embedding", k)
+    // Recall-TARGETED probe count ([[Similarity.calibrateNProbe]]): the
+    // smallest nProbe whose measured recall ceiling (on a hash-stride
+    // calibration sample DISJOINT in construction from the harness query
+    // set) meets 0.93 — the stated 0.9 IVF target plus a margin for
+    // cross-sample noise (~500 truth pairs → σ ≈ 0.013) and for corpus
+    // regeneration between rounds. The IVF-PQ
+    // target (0.8) rides the same probes: residual codes + exact re-rank
+    // approach the ceiling from below. This is the scale story for the
+    // fixed-fraction autoNProbe's recall gap on weakly-clustered
+    // corpora: measure the curve, don't guess the fraction.
+    val kmCents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      coarse, 3)
+    val npCal = Similarity.calibrateNProbe(e, "vec_id", "embedding",
+      kmCents, k, target = 0.93)
+    kmCents.unpersist()
     val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "brute" -> (() =>
         Similarity.knnBruteForce(e, queries, "vec_id", "embedding", k)),
@@ -72,19 +87,20 @@ object AnnQualityMain {
       "ivfpq" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
-          pqCentroids = pqc)),
+          pqCentroids = pqc, residual = false, rerank = 0)),
       "ivf_kmeans" -> (() =>
         Similarity.ivfSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, kmeansIters = 3)),
       "ivfpq_refined" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
-          pqCentroids = pqc, refineIters = 3, coarseIters = 3)),
+          pqCentroids = pqc, refineIters = 3, coarseIters = 3,
+          residual = false, rerank = 0)),
       "ivfpq_residual" -> (() =>
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
           pqCentroids = pqc, refineIters = 3, coarseIters = 3,
-          residual = true)),
+          residual = true, rerank = 0)),
       // exact-refinement stage (FAISS IndexRefineFlat): ADC shortlist of
       // 5k raw-vector reads per query, exact re-rank to k
       "pq_rerank" -> (() =>
@@ -110,7 +126,18 @@ object AnnQualityMain {
         Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
           numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
           pqCentroids = pqc, refineIters = 3, coarseIters = 3,
-          residual = true, rerank = 5 * k)))
+          residual = true, rerank = 5 * k)),
+      // the recall-TARGETED configurations: same operators, probe count
+      // calibrated (npCal) instead of the fixed 1/4 fraction — the rows
+      // the stated targets (ivf >= 0.9, ivfpq >= 0.8) are read from
+      "ivf_target" -> (() =>
+        Similarity.ivfSearch(e, queries, "vec_id", "embedding", k,
+          numCentroids = coarse, nProbe = npCal, kmeansIters = 3)),
+      "ivfpq_target" -> (() =>
+        Similarity.ivfPqSearch(e, queries, "vec_id", "embedding", k,
+          numCentroids = coarse, nProbe = npCal, numSubspaces = subs,
+          pqCentroids = pqc, refineIters = 3, coarseIters = 3,
+          residual = true, rerank = 10 * k)))
     val rows = AnnQuality.evaluate(variants, truth, k)
     // sign-LSH recall/latency frontier: nBits × multiProbe grid
     val frontier = for {
@@ -309,7 +336,8 @@ object AnnQualityMain {
       .mkString(",")
     val json =
       s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""" +
-        s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"pqCentroids":$pqc,"subspaces":$subs},""" +
+        s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"nProbeCal":$npCal,"pqCentroids":$pqc,"subspaces":$subs},""" +
+        s""""targets":{"ivf":0.9,"ivfpq":0.8},""" +
         fmt(rows) + s""","frontier":{${fmt(frontier)}},""" +
         s""""drift":{$driftJson},"deletes":{$delJson},""" +
         s""""guard":{$guardJson}}"""

@@ -121,6 +121,39 @@ object BenchScale {
     "q_unigram_augment", "q_eval_rbo_ext", "q_eval_tau_b",
     "q_sketch_setops")
 
+  /** Gate-health floor: minimum materialized rows a swept query must
+    * return at EVERY scale — the trivially-passing-gate net. r17's τ-b
+    * near-miss is the motivating failure: the gate's two ranking inputs
+    * drifted apart with corpus size until both engines returned 0 rows at
+    * sf0.1, and the correctness driver "passed" a query that tested
+    * nothing. The sweep now HARD-FAILS (JSON written first, then exit 1)
+    * when any query's row count at any swept SF drops below its floor —
+    * emptiness can no longer hide inside a green run. Default floor is
+    * 1 row; gates whose output is structurally denser declare more, so a
+    * silent truncation (not just emptiness) also trips.
+    */
+  private[graft] val RowFloorDefault = 1L
+  private[graft] val RowFloors: Map[String, Long] = Map(
+    // C(G,2) pairs over the event-type cohorts — several types exist at
+    // every SF, so a pair collapse means the sketch input went degenerate
+    "q_sketch_setops" -> 3L,
+    // one row per (depth-grid point): the RBO walks emit a fixed grid
+    "q_eval_rbo" -> 5L, "q_eval_rbo_ext" -> 5L,
+    // 3 epochs × documents: fewer than 3 rows means the epoch explode
+    // itself collapsed
+    "q_unigram_augment" -> 3L)
+
+  /** The queries of `rows` whose materialized row count falls below
+    * their floor, formatted for the report; empty = healthy. Exposed for
+    * the spec that proves the net fires on a degenerate result.
+    */
+  private[graft] def rowFloorViolations(rows: Map[String, (Double, Long)],
+                                        tag: String): Seq[String] =
+    rows.toSeq.sortBy(_._1).flatMap { case (q, (_, r)) =>
+      val floor = RowFloors.getOrElse(q, RowFloorDefault)
+      if (r < floor) Some(s"$q@$tag: rows=$r < floor=$floor") else None
+    }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
@@ -172,16 +205,25 @@ object BenchScale {
     }.mkString("{", ",", "}")
     def flagArr(s: Seq[String]): String =
       s.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
+    // gate-health hard assert: every swept query must clear its row
+    // floor at every swept SF
+    val floorViolations = rowFloorViolations(at01, "sf0.1") ++
+      rowFloorViolations(at1, "sf1") ++ rowFloorViolations(at10, "sf10")
     val line =
       s"""{"metric":"scale_sweep","corpus_id":"${Bench.corpusId(src)}","copies":$ScaleCopies,"superlinear_flagged":${
         flagArr(flagged)
-      },"queries":$qs,"deep":{"copies":$DeepCopies,"superlinear_flagged":${
+      },"row_floor_violations":${flagArr(floorViolations)},"queries":$qs,"deep":{"copies":$DeepCopies,"superlinear_flagged":${
         flagArr(deepFlagged)
       },"queries":$deepQs}}"""
     Files.write(Paths.get("bench_scale.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     spark.stop()
+    if (floorViolations.nonEmpty) {
+      System.err.println(
+        s"GATE-HEALTH FAILURE: ${floorViolations.mkString("; ")}")
+      sys.exit(1)
+    }
   }
 
   /** Full-plan row materialization — the same helper [[Bench]] measures

@@ -2851,7 +2851,8 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqSearch(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, numCentroids = 8, nProbe = 2,
-          numSubspaces = 8, pqCentroids = 16, dim = 64)
+          numSubspaces = 8, pqCentroids = 16, dim = 64,
+          residual = false, rerank = 0) // plain ADC — what the oracle mirrors
         .orderBy(col("q_id"), col("rk"))
     }),
 
@@ -2877,8 +2878,24 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqSearch(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, numCentroids = 8, nProbe = 2,
-          numSubspaces = 8, pqCentroids = 16, dim = 64, residual = true)
+          numSubspaces = 8, pqCentroids = 16, dim = 64, residual = true,
+          rerank = 0) // ADC ranking itself is what the oracle mirrors
         .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // ML: recall-vs-nProbe calibration curve (the probe-count sizing
+    // measurement behind Similarity.calibrateNProbe / annSearch): for
+    // every (query, exact-top-5-neighbor) pair, the rank of the
+    // neighbor's inverted list in the query's centroid ordering; the
+    // cumulative fraction at rank p IS ivfSearch's recall@5 at
+    // nProbe = p — the whole recall/latency frontier from two corpus
+    // passes, on the exact 10⁶ integer grid.
+    "q_sim_calibrate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.nProbeRecallCurve(e, e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 5,
+          Similarity.seedCentroids(e, "vec_id", "embedding", 8))
+        .orderBy(col("c_rank"))
     }),
   )
 
@@ -8614,6 +8631,55 @@ object SparkEntry {
          |  FROM cand)
          |SELECT q_id, n_id, adc, rk FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    // recall-vs-nProbe calibration curve: exact top-5 truth per sampled
+    // query, each truth pair ranked by its neighbor's list position in
+    // the query's centroid ordering, cumulative counts on the exact 10⁶
+    // integer grid. Same seeded centroids / cosine ordering / tiebreaks
+    // as the other IVF oracles.
+    "q_sim_calibrate" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |assign AS (
+         |  SELECT v_id, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "n.e")} DESC, n.vec_id ASC) AS rk
+         |    FROM v q JOIN v n ON n.vec_id != q.vec_id
+         |    WHERE q.vec_id % 10 = 0)
+         |  WHERE rk <= 5),
+         |qr AS (
+         |  SELECT q_id, centroid_id, c_rank FROM (
+         |    SELECT q.vec_id AS q_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.centroid_id ASC)
+         |        AS c_rank
+         |    FROM v q CROSS JOIN cent c WHERE q.vec_id % 10 = 0)),
+         |pr AS (
+         |  SELECT qr.c_rank, count(*) AS pairs
+         |  FROM truth t JOIN assign a ON a.v_id = t.n_id
+         |  JOIN qr ON qr.q_id = t.q_id AND qr.centroid_id = a.centroid_id
+         |  GROUP BY 1)
+         |SELECT CAST(c_rank AS INTEGER) AS c_rank,
+         |  CAST(pairs AS BIGINT) AS pairs,
+         |  CAST(sum(pairs) OVER (ORDER BY c_rank ASC) AS BIGINT)
+         |    AS cum_pairs,
+         |  CAST(sum(pairs) OVER () AS BIGINT) AS total_pairs,
+         |  CAST(CAST(sum(pairs) OVER (ORDER BY c_rank ASC) AS BIGINT)
+         |    * 1000000 // CAST(sum(pairs) OVER () AS BIGINT) AS BIGINT)
+         |    AS recall_micro
+         |FROM pr ORDER BY c_rank""".stripMargin,
 
     // L2 normalization pinned on the 10^-6 grid (norm = sequential dot
     // fold + sqrt; per-element divide — all exact-rounded IEEE).

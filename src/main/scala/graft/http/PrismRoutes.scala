@@ -336,7 +336,110 @@ private[http] trait PrismRoutes { self: GraftHttpServer =>
     * .datasetStats]]) instead of the reference's precomputed pstats
     * stream — always fresh, costs one scan of the window.
     */
-  private[http] def handleDatasetStats(ex: HttpExchange): Unit =
+  private[http] def handleDatasetStats(ex: HttpExchange): Unit = {
+    if (Option(ex.getRequestURI.getPath)
+        .exists(_.stripSuffix("/").endsWith("/distinct"))) {
+      handleDatasetDistinct(ex); return
+    }
+    handleDatasetStatsBase(ex)
+  }
+
+  /** `POST /api/v1/dataset_stats/distinct` — KMV theta-sketch distinct
+    * counts WITH set algebra over a stream window. The reference's field
+    * stats serve per-field HLL distinct counts
+    * (`src/storage/field_stats.rs:86-90`); the KMV sketch
+    * ([[graft.query.ThetaSketch]]) adds what HLL registers cannot:
+    * INTERSECTION estimates between named cohorts, plus exactly-mergeable
+    * unions. Body: `{"datasetName", "startTime", "endTime",
+    * "cohortField", "valueField", "k"?}` (k defaults to 64). Response:
+    * `{"cohorts": [{cohort, n_sketch, theta, est_distinct}…],
+    * "pairs": [{g_a, g_b, n_common, intersect_est, union_est}…]}` —
+    * per-cohort estimates and every ordered cohort pair's
+    * intersection/union, all from ONE windowed scan that keeps ≤ k
+    * hashes per cohort (`n_sketch < k` means the numbers are exact).
+    */
+  private[http] def handleDatasetDistinct(ex: HttpExchange): Unit =
+    authedUser(ex) match {
+      case Left(msg) => err(ex, 401, msg)
+      case Right(userOpt) =>
+        if (ex.getRequestMethod != "POST") {
+          err(ex, 405, "POST only"); return
+        }
+        val body =
+          try mapper.readTree(ex.getRequestBody)
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+              return
+          }
+        val dataset = body.path("datasetName").asText("")
+        val cohortField = body.path("cohortField").asText("")
+        val valueField = body.path("valueField").asText("")
+        if (dataset.isEmpty || cohortField.isEmpty || valueField.isEmpty) {
+          err(ex, 400,
+            "datasetName, cohortField and valueField are required")
+          return
+        }
+        val k = body.path("k").asInt(64)
+        val tenant = tenantOf(userOpt)
+        streamsFor(tenant).get(dataset) match {
+          case None => err(ex, 404, s"stream '$dataset' not found")
+          case Some(stream) =>
+            if (userOpt.exists(u => !Rbac.authorized(u, Rbac.QueryAction,
+                tenantKey(tenant, dataset)))) {
+              err(ex, 403, s"user lacks query access to stream '$dataset'")
+              return
+            }
+            val range =
+              try TimeRange.parse(body.path("startTime").asText(""),
+                body.path("endTime").asText(""))
+              catch {
+                case e: Exception =>
+                  err(ex, 400, s"bad time: ${e.getMessage}"); return
+              }
+            withSqlTimeout(ex) {
+              try {
+                val df = QueryService.windowedRead(spark, dataset, stream,
+                  range)
+                // one sketch pass feeds BOTH outputs; ≤ k·cohorts rows,
+                // so the checkpoint is tiny and saves the second scan
+                val sk = graft.query.ThetaSketch.kmv(df, Seq(cohortField),
+                  org.apache.spark.sql.functions.col(valueField), k)
+                  .localCheckpoint(true)
+                val o = mapper.createObjectNode()
+                val cohorts = o.putArray("cohorts")
+                graft.query.ThetaSketch.cardinality(sk, Seq(cohortField), k)
+                  .orderBy(cohortField).collect().foreach { r =>
+                    cohorts.addObject()
+                      .put("cohort", String.valueOf(r.get(0)))
+                      .put("n_sketch", r.getAs[Long]("n_sketch"))
+                      .put("theta", r.getAs[Long]("theta"))
+                      .put("est_distinct", r.getAs[Long]("est_distinct"))
+                  }
+                val pairs = o.putArray("pairs")
+                graft.query.ThetaSketch.pairwiseSetAlgebra(sk, cohortField, k)
+                  .orderBy("g_a", "g_b").collect().foreach { r =>
+                    pairs.addObject()
+                      .put("g_a", String.valueOf(r.get(0)))
+                      .put("g_b", String.valueOf(r.get(1)))
+                      .put("n_common", r.getAs[Long]("n_common"))
+                      .put("intersect_est", r.getAs[Long]("intersect_est"))
+                      .put("union_est", r.getAs[Long]("union_est"))
+                  }
+                respond(ex, 200, mapper.writeValueAsString(o))
+              } catch {
+                case _: org.apache.spark.sql.AnalysisException =>
+                  // registered but data-less stream, or a field the
+                  // window's schema does not carry
+                  respond(ex, 200, """{"cohorts":[],"pairs":[]}""")
+                case e: IllegalArgumentException =>
+                  err(ex, 400, String.valueOf(e.getMessage))
+              }
+            }
+        }
+    }
+
+  private[http] def handleDatasetStatsBase(ex: HttpExchange): Unit =
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
       case Right(userOpt) =>

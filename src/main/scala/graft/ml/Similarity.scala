@@ -227,6 +227,132 @@ object Similarity {
     */
   def autoNProbe(numCentroids: Int): Int = math.max(2, numCentroids / 4)
 
+  /** Recall-vs-probe-count curve of an IVF layout over EXACT ground
+    * truth, computed in ONE pass instead of one search per candidate
+    * nProbe: for every (query, true-top-k-neighbor) pair, take the RANK
+    * of the neighbor's inverted list in the query's centroid ordering —
+    * recall at nProbe = p is then the fraction of pairs whose rank ≤ p,
+    * read straight off a cumulative sum. Because [[ivfSearch]] ranks
+    * probed candidates by exact cosine, this ceiling IS its recall@k at
+    * every probe count simultaneously (a true neighbor inside a probed
+    * list always survives the top-k: only the other true neighbors can
+    * outscore it, and together they fit the k slots). For PQ-coded lists
+    * it is the upper bound the ADC stage + exact re-rank approach from
+    * below.
+    *
+    * One row per occupied rank: (c_rank, pairs, cum_pairs, total_pairs,
+    * recall_micro), recall_micro = cum_pairs·10⁶ div total_pairs — the
+    * exact integer grid, so the whole curve is oracle-replicable.
+    *
+    * Cost at scale: one brute-force candidate pass for the sampled
+    * queries (|queries|·|corpus| map-side rows against a broadcast query
+    * set) + one corpus assignment pass — two corpus scans for the whole
+    * curve. Everything after those passes is ≤ numCentroids rows, so the
+    * single-partition cumulative window is bounded by the list count
+    * (≤ 4096), never the corpus.
+    */
+  def nProbeRecallCurve(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        centroids: DataFrame): DataFrame = {
+    val truth = knnBruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("n_id"))
+    val assign = assignToCentroids(corpus, idCol, vecCol, centroids)
+      .select(col("v_id").as("n_id"), col("centroid_id"))
+    val cents = broadcast(centroids.select(col("centroid_id"), col("c_vec")))
+    val rkW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val qRanks = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
+      .withColumn("c_rank", row_number().over(rkW))
+      .select(col("q_id"), col("centroid_id"), col("c_rank"))
+    val ranked = truth.join(assign, Seq("n_id"))
+      .join(qRanks, Seq("q_id", "centroid_id"))
+    val cumW = Window.orderBy(col("c_rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("c_rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked.groupBy(col("c_rank"))
+      .agg(count(lit(1)).as("pairs"))
+      .withColumn("cum_pairs", sum(col("pairs")).over(cumW))
+      .withColumn("total_pairs", sum(col("pairs")).over(allW))
+      .withColumn("recall_micro",
+        expr("cum_pairs * 1000000 div total_pairs"))
+      .orderBy(col("c_rank"))
+  }
+
+  /** Smallest probe count whose recall ceiling meets `target` on a
+    * deterministic corpus sample — probe-count CALIBRATION, the way a
+    * deployment actually sizes nProbe: measure the curve on a sample,
+    * serve at the cheapest setting that meets the recall SLO, and
+    * re-calibrate when drift moves it. [[autoNProbe]]'s fixed 1/4
+    * fraction is the structure-free guess; on a corpus with weak cluster
+    * structure (near-iid embeddings — the synthetic harness corpus is
+    * one) the fraction a given recall needs is far higher, and only a
+    * measurement says by how much.
+    *
+    * The sample is a deterministic hash-stride of the corpus — repeat
+    * calls agree, and the sample avoids id-locality bias (the lowest-id
+    * rows double as the seeded-centroid anchors).
+    */
+  def calibrateNProbe(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, k: Int, target: Double,
+                      sampleSize: Int = 50): Int = {
+    require(target > 0.0 && target <= 1.0, "target must be in (0, 1]")
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.max(1, sampleSize))
+    val sample = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol).asc).limit(sampleSize)
+    val targetMicro = math.round(target * 1e6)
+    val rows = nProbeRecallCurve(corpus, sample, idCol, vecCol, k,
+      centroids).select(col("c_rank"), col("recall_micro")).collect()
+    val hit = rows.filter(_.getLong(1) >= targetMicro).map(_.getInt(0))
+    if (hit.nonEmpty) hit.min
+    else rows.map(_.getInt(0)).maxOption.getOrElse(1)
+  }
+
+  /** The recommended ANN entry point — the full IVFADC default path
+    * (Jégou et al. 2011): Lloyd-refined coarse quantizer, RESIDUAL
+    * product codes, exact re-rank of a 10·k ADC shortlist, and a probe
+    * count [[calibrateNProbe calibrated]] to `targetRecall` on a corpus
+    * sample instead of guessed from a fixed fraction. Index parameters
+    * scale with the corpus ([[autoCoarseCentroids]] /
+    * [[autoPqCentroids]] / [[autoPqSubspaces]]). The raw knobs
+    * ([[ivfPqSearch]]) stay public for the oracle-gated variants and for
+    * deployments that already know their settings.
+    *
+    * `targetRecall` bounds the IVF CEILING (truth reachable in probed
+    * lists); the residual-PQ stage + exact re-rank then approach it from
+    * below (within ~0.05 on the harness corpus — `ann_quality.json`
+    * `ivfpq_target`). Calibration honesty beats folklore here: a weakly
+    * clustered corpus simply NEEDS a large probe fraction for high
+    * recall, and this measures that fraction instead of silently
+    * missing neighbors.
+    */
+  def annSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, targetRecall: Double = 0.9,
+                dim: Int = 64): DataFrame = {
+    val n = corpus.count()
+    val coarse = autoCoarseCentroids(n)
+    val iters = 3
+    val cents = kmeansCentroids(corpus, idCol, vecCol, coarse, iters)
+    // calibrate the CEILING 0.05 above the requested end-to-end target:
+    // the re-rank recovers ADC ordering errors inside the shortlist but
+    // not truth the shortlist misses, and the calibration sample is not
+    // the serving query set — both eat into the ceiling from below
+    val nProbe = calibrateNProbe(corpus, idCol, vecCol, cents, k,
+      math.min(1.0, targetRecall + 0.05))
+    cents.unpersist()
+    // deterministic: ivfPqSearch(coarseIters = iters) re-derives the SAME
+    // Lloyd centroids, so the calibrated probe count routes identically
+    ivfPqSearch(corpus, queries, idCol, vecCol, k, numCentroids = coarse,
+      nProbe = nProbe, numSubspaces = autoPqSubspaces(n, dim),
+      pqCentroids = autoPqCentroids(n), dim = dim, refineIters = iters,
+      coarseIters = iters, residual = true, rerank = 10 * k)
+  }
+
   /** Corpus-size-scaled PQ codebook size: one centroid per ~8 training
     * vectors (enough points per centroid for a stable subspace k-means —
     * each SUBSPACE sees all n subvectors, so even n/8 cells train on 8+
@@ -1917,10 +2043,17 @@ object Similarity {
                   nProbe: Int = 2, numSubspaces: Int = 8,
                   pqCentroids: Int = 16, dim: Int = 64,
                   refineIters: Int = 0, coarseIters: Int = 0,
-                  residual: Boolean = false, rerank: Int = 0): DataFrame = {
-    if (rerank > 0)
+                  residual: Boolean = true, rerank: Int = -1): DataFrame = {
+    // DEFAULT PATH is residual encoding + exact re-rank of a 10·k ADC
+    // shortlist (rerank < 0 = auto) — the quality configuration the
+    // recall harness validates (at 5·k the shortlist misses enough truth
+    // on weakly-clustered corpora to cost ~0.1 recall@10); pass
+    // residual = false / rerank = 0 explicitly for the plain-ADC
+    // variants the oracles replicate
+    val rr = if (rerank < 0) 10 * k else rerank
+    if (rr > 0)
       return exactRerank(
-        ivfPqSearch(corpus, queries, idCol, vecCol, math.max(rerank, k),
+        ivfPqSearch(corpus, queries, idCol, vecCol, math.max(rr, k),
           numCentroids, nProbe, numSubspaces, pqCentroids, dim,
           refineIters, coarseIters, residual, rerank = 0),
         corpus, queries, idCol, vecCol, k)
@@ -2179,15 +2312,20 @@ object Similarity {
   def ivfPqSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                            path: String, queries: DataFrame,
                            idCol: String, vecCol: String, k: Int,
-                           nProbe: Int, rerank: Int = 0,
+                           nProbe: Int, rerank: Int = -1,
                            rerankCorpus: Option[DataFrame] = None): DataFrame = {
-    require(rerank <= 0 || rerankCorpus.nonEmpty,
+    // rerank < 0 = auto: exact re-rank of a 10·k shortlist whenever a
+    // raw corpus is available to rank against, plain ADC otherwise — so
+    // the default path upgrades itself when the caller can afford it
+    val rr = if (rerank < 0) { if (rerankCorpus.nonEmpty) 10 * k else 0 }
+             else rerank
+    require(rr <= 0 || rerankCorpus.nonEmpty,
       "rerank needs rerankCorpus: the index stores only codes, exact " +
         "re-ranking reads raw vectors")
-    if (rerank > 0)
+    if (rr > 0)
       return exactRerank(
         ivfPqSearchPersisted(spark, path, queries, idCol, vecCol,
-          math.max(rerank, k), nProbe),
+          math.max(rr, k), nProbe, rerank = 0),
         rerankCorpus.get, queries, idCol, vecCol, k)
     val (model, residual) = readCodebook(spark, path)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))

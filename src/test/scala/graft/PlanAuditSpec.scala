@@ -49,6 +49,12 @@ class PlanAuditSpec extends SparkSuite {
     // the id equi-key over ≤(kLex+kVec) rows — verified via ExplainDump
     // (r13), not BNLJ.
     "q_hybrid_rrf", "q_hybrid_persisted",
+    // calibration curve: the ≤8-row centroid table cross-joins into both
+    // the assignment argmax and the per-query centroid ranking (the same
+    // broadcast shape as q_sim_ivf), plus knnBruteForce's broadcast query
+    // side for ground truth — every BNLJ build side is queries- or
+    // centroid-sized, never corpus-sized
+    "q_sim_calibrate",
     // batched/filtered hybrid: the vec leg is the same ≤8-row centroid
     // cross join as q_sim_ivf_persisted (filtered adds only an
     // attribute predicate on the probed scan); fusion and lex legs are

@@ -1,0 +1,104 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** [[Similarity.nProbeRecallCurve]] / [[Similarity.calibrateNProbe]] /
+  * [[Similarity.annSearch]] — recall-targeted probe calibration: the
+  * one-pass curve must EQUAL the recall an actual [[Similarity.ivfSearch]]
+  * run delivers at every probe count (it is a ceiling the exact-scoring
+  * search attains), calibration must be monotone in the target and the
+  * calibrated search must meet it, and the annSearch default path must
+  * hit its recall target end-to-end.
+  */
+class CalibrationSpec extends SparkSuite {
+  import spark.implicits._
+
+  // four tight clusters on orthogonal axis pairs of an 8-dim space:
+  // 10 members each, deterministic small jitter so in-cluster cosines
+  // dominate cross-cluster ones — real neighbor structure, no RNG
+  private lazy val corpus = {
+    val rows = for {
+      c <- 0 until 4
+      m <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.05f * ((c * 10 + m) % 7))
+      v(c * 2) = 10f
+      v(c * 2 + 1) = 1f + 0.1f * m
+      ((c * 10 + m).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  private def queries = corpus.filter($"vec_id" % 7 === 0)
+
+  test("the curve equals ivfSearch's measured recall at EVERY probe " +
+      "count (exact-scoring IVF attains its ceiling), is monotone, and " +
+      "ends at recall 1") {
+    val k = 5
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 6)
+    val curve = Similarity.nProbeRecallCurve(corpus, queries, "vec_id",
+      "embedding", k, cents).collect()
+    val truth = AnnQuality.groundTruth(corpus, queries, "vec_id",
+      "embedding", k)
+    val total = truth.valuesIterator.map(_.size).sum.toDouble
+    assert(curve.map(_.getAs[Long]("total_pairs")).distinct.toSeq ==
+      Seq(total.toLong))
+    // monotone cum, closing at exactly 10⁶ micro-recall
+    val micros = curve.map(_.getAs[Long]("recall_micro")).toSeq
+    assert(micros == micros.sorted && micros.last == 1000000L)
+    // ceiling == measured search recall at each occupied rank
+    for (row <- curve) {
+      val p = row.getAs[Int]("c_rank")
+      val fromCurve = row.getAs[Long]("cum_pairs") / total
+      val measured = AnnQuality.recallAtK(
+        Similarity.ivfSearch(corpus, queries, "vec_id", "embedding", k,
+          numCentroids = 6, nProbe = p), truth, k)
+      assert(math.abs(fromCurve - measured) < 1e-9,
+        s"nProbe=$p curve=$fromCurve search=$measured")
+    }
+  }
+
+  test("calibrateNProbe is monotone in the target, meets the target " +
+      "when searched, and a clustered corpus calibrates far below the " +
+      "full probe count") {
+    val k = 5
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      8, 3)
+    val lo = Similarity.calibrateNProbe(corpus, "vec_id", "embedding",
+      cents, k, target = 0.5)
+    val hi = Similarity.calibrateNProbe(corpus, "vec_id", "embedding",
+      cents, k, target = 0.95)
+    val full = Similarity.calibrateNProbe(corpus, "vec_id", "embedding",
+      cents, k, target = 1.0)
+    assert(lo <= hi && hi <= full)
+    assert(full < 8, s"clustered corpus should not need every list ($full)")
+    // the calibrated probe count really delivers the target on the sample
+    val truth = AnnQuality.groundTruth(corpus, queries, "vec_id",
+      "embedding", k)
+    val r = AnnQuality.recallAtK(
+      Similarity.ivfSearch(corpus, queries, "vec_id", "embedding", k,
+        numCentroids = 8, nProbe = full, kmeansIters = 3), truth, k)
+    assert(r == 1.0, s"target-1.0 calibration must be exhaustive ($r)")
+    cents.unpersist()
+    intercept[IllegalArgumentException] {
+      Similarity.calibrateNProbe(corpus, "vec_id", "embedding", cents, k,
+        target = 1.5)
+    }
+  }
+
+  test("annSearch default path (residual + exact re-rank + calibrated " +
+      "probes) meets its recall target end-to-end") {
+    val k = 5
+    val truth = AnnQuality.groundTruth(corpus, queries, "vec_id",
+      "embedding", k)
+    val res = Similarity.annSearch(corpus, queries, "vec_id", "embedding",
+      k, targetRecall = 0.9, dim = 8)
+    // rerank output shape: (q_id, n_id, dist, rk), k rows per query
+    assert(res.groupBy("q_id").count().select(max("count"))
+      .as[Long].head() <= k)
+    val r = AnnQuality.recallAtK(res, truth, k)
+    assert(r >= 0.9, s"annSearch recall $r < 0.9 target")
+  }
+}

@@ -65,7 +65,8 @@ class PqSpec extends SparkSuite {
       .orderBy("rk").collect().map(_.toSeq).toSeq
     val ivfpq = Similarity.ivfPqSearch(vecs, vecs.filter($"vec_id" === 1L),
         "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 2,
-        numSubspaces = 2, pqCentroids = 2, dim = 4)
+        numSubspaces = 2, pqCentroids = 2, dim = 4,
+        residual = false, rerank = 0)
       .orderBy("rk").collect().map(_.toSeq).toSeq
     assert(ivfpq == full)
   }
@@ -82,11 +83,13 @@ class PqSpec extends SparkSuite {
     ).toDF("vec_id", "embedding")
     val one = Similarity.ivfPqSearch(split, split.filter($"vec_id" === 3L),
         "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 1,
-        numSubspaces = 2, pqCentroids = 2, dim = 4)
+        numSubspaces = 2, pqCentroids = 2, dim = 4,
+        residual = false, rerank = 0)
       .collect()
     val both = Similarity.ivfPqSearch(split, split.filter($"vec_id" === 3L),
         "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 2,
-        numSubspaces = 2, pqCentroids = 2, dim = 4)
+        numSubspaces = 2, pqCentroids = 2, dim = 4,
+        residual = false, rerank = 0)
       .collect()
     assert(one.map(_.getAs[Long]("n_id")).toSet == Set(1L))
     assert(one.length < both.length) // pruned lists really are skipped
@@ -152,7 +155,8 @@ class PqSpec extends SparkSuite {
     // L2²((q-c) - (v-c)) = exact L2²(q,v) on these integer-valued floats.
     val r = Similarity.ivfPqSearch(vecs, vecs.filter($"vec_id" === 1L),
         "vec_id", "embedding", k = 3, numCentroids = 1, nProbe = 1,
-        numSubspaces = 2, pqCentroids = 4, dim = 4, residual = true)
+        numSubspaces = 2, pqCentroids = 4, dim = 4, residual = true,
+        rerank = 0)
       .orderBy("rk").collect()
     // exact L2² from (0,0,0,0): v3/v4 = 1+1+81+81 = 164, v2 = 400
     assert(r.map(r => r.getAs[Long]("n_id") -> r.getAs[Double]("adc"))
@@ -177,7 +181,7 @@ class PqSpec extends SparkSuite {
     def adcTo4(residual: Boolean): Double =
       Similarity.ivfPqSearch(clustered, q, "vec_id", "embedding", k = 3,
           numCentroids = 2, nProbe = 2, numSubspaces = 2, pqCentroids = 3,
-          dim = 4, residual = residual)
+          dim = 4, residual = residual, rerank = 0)
         .filter($"n_id" === 4L).select($"adc").as[Double].head()
     // exact L2²(v3, v4) = 16 + 4 + 10000 + 10000 = 20020
     val raw = adcTo4(residual = false)
@@ -290,7 +294,8 @@ class PqSpec extends SparkSuite {
     // same refinement through the IVF-PQ path with all lists probed
     val rr2 = Similarity.ivfPqSearch(vecs, vecs.filter($"vec_id" === 1L),
         "vec_id", "embedding", k = 3, numCentroids = 2, nProbe = 2,
-        numSubspaces = 2, pqCentroids = 2, dim = 4, rerank = 10)
+        numSubspaces = 2, pqCentroids = 2, dim = 4, residual = false,
+        rerank = 10)
       .orderBy("rk").collect()
     assert(rr2.map(r => r.getAs[Long]("n_id") -> r.getAs[Double]("dist"))
       .toSeq == Seq(3L -> 164.0, 4L -> 164.0, 2L -> 400.0))
@@ -307,7 +312,7 @@ class PqSpec extends SparkSuite {
       df.orderBy("rk").collect().map(_.toSeq).toSeq
     val adhoc = Similarity.ivfPqSearch(vecs, q, "vec_id", "embedding",
       k = 3, numCentroids = 2, nProbe = 2, numSubspaces = 2,
-      pqCentroids = 2, dim = 4, residual = true)
+      pqCentroids = 2, dim = 4, residual = true, rerank = 0)
     val pers = Similarity.ivfPqSearchPersisted(spark, dir, q,
       "vec_id", "embedding", k = 3, nProbe = 2)
     assert(rows(pers) == rows(adhoc))
