@@ -127,6 +127,13 @@ object AnnQualityMain {
           numCentroids = coarse, nProbe = nProbe, numSubspaces = subs,
           pqCentroids = pqc, refineIters = 3, coarseIters = 3,
           residual = true, rerank = 5 * k)),
+      // multi-assignment at the UNCHANGED fixed probe fraction: the
+      // recall spilling buys before any extra probes (vs ivf_kmeans) —
+      // 2x index rows, same per-list probe cost
+      "ivf_spill2" -> (() =>
+        Similarity.ivfSearch(e, queries, "vec_id", "embedding", k,
+          numCentroids = coarse, nProbe = nProbe, kmeansIters = 3,
+          spill = 2)),
       // the recall-TARGETED configurations: same operators, probe count
       // calibrated (npCal) instead of the fixed 1/4 fraction — the rows
       // the stated targets (ivf >= 0.9, ivfpq >= 0.8) are read from

@@ -119,7 +119,11 @@ object BenchScale {
     // KMV set algebra (distinct-hash aggregate + bottom-k windows +
     // the G-row pair frame)
     "q_unigram_augment", "q_eval_rbo_ext", "q_eval_tau_b",
-    "q_sketch_setops")
+    "q_sketch_setops",
+    // round-18 additions: the calibration curve (brute-force truth pass
+    // + assignment pass + tiny rank windows) and spilled IVF (2× index
+    // rows through the same probe join + the duplicate collapse)
+    "q_sim_calibrate", "q_sim_ivf_spill")
 
   /** Gate-health floor: minimum materialized rows a swept query must
     * return at EVERY scale — the trivially-passing-gate net. r17's τ-b

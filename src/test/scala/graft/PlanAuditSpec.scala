@@ -24,6 +24,9 @@ class PlanAuditSpec extends SparkSuite {
     // ExplainDump, not BNLJ
     "q_sim_ivf_deleted", "q_sim_ivf_diverse", "q_sim_ivf_filtered",
     "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_ivfpq_residual",
+    // multi-assignment: the same ≤8-row centroid cross joins as
+    // q_sim_ivf (spill top-2 selection + the probe subquery)
+    "q_sim_ivf_spill",
     // true merge: same ≤8-row centroid cross joins as q_sim_ivfpq
     // (A's build, B's build, the merge re-assign, the probe subquery)
     "q_sim_merge_ivfpq",
