@@ -253,10 +253,14 @@ object Similarity {
     */
   def nProbeRecallCurve(corpus: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int,
-                        centroids: DataFrame): DataFrame = {
+                        centroids: DataFrame, spill: Int = 1): DataFrame = {
     val truth = knnBruteForce(corpus, queries, idCol, vecCol, k)
       .select(col("q_id"), col("n_id"))
-    val assign = assignToCentroids(corpus, idCol, vecCol, centroids)
+    // spilled layouts: a neighbor is reachable through ANY of its r
+    // lists, so its effective rank is the BEST (min) among them — the
+    // min-fold below; single assignment skips the extra aggregate
+    val assign = assignToCentroidsSpill(corpus, idCol, vecCol, centroids,
+        spill)
       .select(col("v_id").as("n_id"), col("centroid_id"))
     val cents = broadcast(centroids.select(col("centroid_id"), col("c_vec")))
     val rkW = Window.partitionBy(col("q_id"))
@@ -267,8 +271,11 @@ object Similarity {
       .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rank", row_number().over(rkW))
       .select(col("q_id"), col("centroid_id"), col("c_rank"))
-    val ranked = truth.join(assign, Seq("n_id"))
+    val ranked0 = truth.join(assign, Seq("n_id"))
       .join(qRanks, Seq("q_id", "centroid_id"))
+    val ranked = if (spill == 1) ranked0
+      else ranked0.groupBy(col("q_id"), col("n_id"))
+        .agg(min(col("c_rank")).as("c_rank"))
     val cumW = Window.orderBy(col("c_rank").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.orderBy(col("c_rank").asc)
@@ -298,7 +305,7 @@ object Similarity {
     */
   def calibrateNProbe(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, k: Int, target: Double,
-                      sampleSize: Int = 50): Int = {
+                      sampleSize: Int = 50, spill: Int = 1): Int = {
     require(target > 0.0 && target <= 1.0, "target must be in (0, 1]")
     val n = corpus.count()
     val stride = math.max(1L, n / math.max(1, sampleSize))
@@ -307,7 +314,7 @@ object Similarity {
       .orderBy(col(idCol).asc).limit(sampleSize)
     val targetMicro = math.round(target * 1e6)
     val rows = nProbeRecallCurve(corpus, sample, idCol, vecCol, k,
-      centroids).select(col("c_rank"), col("recall_micro")).collect()
+      centroids, spill).select(col("c_rank"), col("recall_micro")).collect()
     val hit = rows.filter(_.getLong(1) >= targetMicro).map(_.getInt(0))
     if (hit.nonEmpty) hit.min
     else rows.map(_.getInt(0)).maxOption.getOrElse(1)
@@ -693,6 +700,53 @@ object Similarity {
     }
   }
 
+  private val NProbeFile = "_nprobe"
+
+  /** Calibrate a PERSISTED IVF index's serving probe count and record it
+    * in the index (`_nprobe`): the curve runs over the index's own live
+    * rows (the raw layout stores vectors) against its own centroids and
+    * multi-assignment factor, so no external corpus is needed. Searches
+    * passing `nProbe = -1` then serve at the stored setting — the
+    * build-once / serve-many shape of [[calibrateNProbe]]: one
+    * calibration job after build or compaction, a tiny marker read per
+    * search. Returns the calibrated count.
+    */
+  def calibrateIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, k: Int, target: Double,
+                        sampleSize: Int = 50): Int = {
+    val live = applyDeletes(spark, path,
+      spark.read.parquet(activeIndexDir(spark, path)))
+      .select(col("v_id"), col("v_vec"))
+    val spill = indexSpill(spark, path)
+    // spilled layouts replicate rows id-for-id — collapse for the curve
+    val corpus = if (spill == 1) live else live.distinct()
+    val cents = spark.read.parquet(s"$path/centroids")
+    val np = calibrateNProbe(corpus, "v_id", "v_vec", cents, k, target,
+      sampleSize, spill)
+    val p = new org.apache.hadoop.fs.Path(path, NProbeFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(np.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    np
+  }
+
+  /** The stored serving probe count ([[calibrateIvfIndex]]), if any. */
+  private[ml] def storedNProbe(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, NProbeFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      s.toIntOption.filter(_ >= 1)
+    }
+  }
+
   /** Incremental append to a persisted IVF-PQ index
     * ([[saveIvfPqIndex]]): the new batch is assigned against the INDEX'S
     * centroids and encoded with the INDEX'S codebook (residual-aware —
@@ -768,6 +822,13 @@ object Similarity {
                          rerankCorpus: Option[DataFrame] = None,
                          where: Option[Column] = None,
                          facetCap: Option[(String, Int)] = None): DataFrame = {
+    // nProbe = -1: serve at the index's CALIBRATED probe count
+    // ([[calibrateIvfIndex]]'s `_nprobe` marker); an uncalibrated index
+    // falls back to the structure-free fixed fraction
+    val np =
+      if (nProbe > 0) nProbe
+      else storedNProbe(spark, path).getOrElse(
+        autoNProbe(spark.read.parquet(s"$path/centroids").count().toInt))
     if (rerank > 0) {
       val corpus = rerankCorpus.getOrElse(
         applyDeletes(spark, path,
@@ -781,7 +842,7 @@ object Similarity {
       // a shortlist-selection constraint here, not an output column.
       return exactRerank(
         ivfSearchPersisted(spark, path, queries, idCol, vecCol,
-          math.max(rerank, k), nProbe, where = where,
+          math.max(rerank, k), np, where = where,
           facetCap = facetCap),
         corpus, queries, idCol, vecCol, k)
     }
@@ -793,7 +854,7 @@ object Similarity {
       .crossJoin(cents)
       .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rk", row_number().over(probeW))
-      .filter(col("c_rk") <= nProbe)
+      .filter(col("c_rk") <= np)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
     // PRE-filtering: the attribute predicate (over attrCols persisted at
     // build) drops rows before ranking, so the returned k are the best k

@@ -88,6 +88,38 @@ class CalibrationSpec extends SparkSuite {
     }
   }
 
+  test("persisted calibration: calibrateIvfIndex stores the serving " +
+      "probe count, nProbe = -1 serves at it, and the spilled curve " +
+      "uses best-replica ranks") {
+    val k = 5
+    val dir = java.nio.file.Files.createTempDirectory("cal-idx").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", 8, dir,
+      spill = 2)
+    val np = Similarity.calibrateIvfIndex(spark, dir, k, target = 1.0)
+    assert(Similarity.storedNProbe(spark, dir).contains(np))
+    assert(np >= 1 && np <= 8)
+    val atStored = Similarity.ivfSearchPersisted(spark, dir, queries,
+      "vec_id", "embedding", k, nProbe = -1)
+    val explicit = Similarity.ivfSearchPersisted(spark, dir, queries,
+      "vec_id", "embedding", k, nProbe = np)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rk"))).toSet
+    assert(triples(atStored) == triples(explicit))
+    // target-1.0 calibration over a spilled layout really is exhaustive
+    val truth = AnnQuality.groundTruth(corpus, queries, "vec_id",
+      "embedding", k)
+    assert(AnnQuality.recallAtK(atStored, truth, k) == 1.0)
+    // an uncalibrated index at -1 falls back to the fixed fraction
+    val plain = java.nio.file.Files.createTempDirectory("cal-none").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", 8, plain)
+    val fallback = Similarity.ivfSearchPersisted(spark, plain, queries,
+      "vec_id", "embedding", k, nProbe = -1)
+    val fixed = Similarity.ivfSearchPersisted(spark, plain, queries,
+      "vec_id", "embedding", k, nProbe = Similarity.autoNProbe(8))
+    assert(triples(fallback) == triples(fixed))
+  }
+
   test("annSearch default path (residual + exact re-rank + calibrated " +
       "probes) meets its recall target end-to-end") {
     val k = 5
