@@ -141,8 +141,10 @@ object BenchScale {
     // C(G,2) pairs over the event-type cohorts — several types exist at
     // every SF, so a pair collapse means the sketch input went degenerate
     "q_sketch_setops" -> 3L,
-    // one row per (depth-grid point): the RBO walks emit a fixed grid
-    "q_eval_rbo" -> 5L, "q_eval_rbo_ext" -> 5L,
+    // the RBO gates emit one row per compared ranking pair — 3 at every
+    // SF (the first sweep with floors proved 5 was wrong: the net fired
+    // on healthy gates, which is exactly the visibility it exists for)
+    "q_eval_rbo" -> 3L, "q_eval_rbo_ext" -> 3L,
     // 3 epochs × documents: fewer than 3 rows means the epoch explode
     // itself collapsed
     "q_unigram_augment" -> 3L)

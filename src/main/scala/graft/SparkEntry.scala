@@ -2904,9 +2904,15 @@ object SparkEntry {
     // cumulative fraction at rank p IS ivfSearch's recall@5 at
     // nProbe = p — the whole recall/latency frontier from two corpus
     // passes, on the exact 10⁶ integer grid.
+    // query set FIXED-SIZE across SFs (vec_id < 500): the ground-truth
+    // pass is |queries|·|corpus| — a query set growing with the corpus
+    // would make the gate quadratic (the first floor-asserted scale
+    // sweep flagged exactly that at 30× on 10× data), which is also the
+    // operating contract: calibration samples a BOUNDED query set
     "q_sim_calibrate" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.nProbeRecallCurve(e, e.filter(col("vec_id") % 10 === 0),
+      Similarity.nProbeRecallCurve(e,
+          e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500),
           "vec_id", "embedding", k = 5,
           Similarity.seedCentroids(e, "vec_id", "embedding", 8))
         .orderBy(col("c_rank"))
@@ -8707,7 +8713,7 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY ${dCosine("q.e", "n.e")} DESC, n.vec_id ASC) AS rk
          |    FROM v q JOIN v n ON n.vec_id != q.vec_id
-         |    WHERE q.vec_id % 10 = 0)
+         |    WHERE q.vec_id % 10 = 0 AND q.vec_id < 500)
          |  WHERE rk <= 5),
          |qr AS (
          |  SELECT q_id, centroid_id, c_rank FROM (
@@ -8715,7 +8721,8 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.centroid_id ASC)
          |        AS c_rank
-         |    FROM v q CROSS JOIN cent c WHERE q.vec_id % 10 = 0)),
+         |    FROM v q CROSS JOIN cent c
+         |    WHERE q.vec_id % 10 = 0 AND q.vec_id < 500)),
          |pr AS (
          |  SELECT qr.c_rank, count(*) AS pairs
          |  FROM truth t JOIN assign a ON a.v_id = t.n_id

@@ -112,9 +112,14 @@ class StaticSchemaHttpSpec extends SparkSuite {
         Map("X-P-Custom-Partition" -> "level"))._1 == 200)
       assert(http("POST", s"$base/ingest", Map("X-P-Stream" -> "cp2"),
         Some("""{"level":"warn","msg":"hi"}"""))._1 == 200)
-      val dirs = new java.io.File(s"$tmp/cp2").listFiles()
-        .filter(_.isDirectory).flatMap(_.listFiles).flatMap(_.listFiles)
-        .flatMap(_.listFiles).map(_.getName)
+      // skip dot-prefixed metadata (`.stream/stream.json` — HTTP create
+      // persists durable stream metadata there, exactly like partition
+      // discovery skips hidden paths)
+      def sub(fs: Array[java.io.File]): Array[java.io.File] =
+        fs.filter(f => f.isDirectory && !f.getName.startsWith("."))
+          .flatMap(_.listFiles)
+      val dirs = sub(sub(sub(new java.io.File(s"$tmp/cp2").listFiles())))
+        .map(_.getName)
       assert(dirs.exists(_.startsWith("level=warn")), dirs.toSeq)
     } finally srv.stop()
   }
