@@ -378,6 +378,11 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
     }
     def parseZOrder: Either[String, Option[IngestPipeline.ZOrderPolicy]] =
       zOrderHdr match {
+        // bits alone configure nothing — refuse rather than silently
+        // ignore (and, on update, rather than falling through to the
+        // custom-partition branch, which would CLEAR it)
+        case None if zBitsHdr.isDefined =>
+          Left("X-P-Z-Order-Bits requires X-P-Z-Order")
         case None => Right(None)
         case Some(s) if s.equalsIgnoreCase("none") => Right(None)
         case Some(s) =>
@@ -413,6 +418,13 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
         err(ex, 400, "an update request accepts exactly one of " +
           "X-P-Time-Partition-Limit, X-P-Z-Order or X-P-Custom-Partition " +
           s"(got: ${updateHdrs.mkString(", ")})")
+        return
+      }
+      // bits-only update: without this guard the dispatch would fall
+      // through to the custom-partition branch and silently (and now
+      // durably) clear customPartitions
+      if (zBitsHdr.isDefined && zOrderHdr.isEmpty) {
+        err(ex, 400, "X-P-Z-Order-Bits requires X-P-Z-Order")
         return
       }
       limitHdr match {

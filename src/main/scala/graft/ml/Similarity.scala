@@ -344,6 +344,11 @@ object Similarity {
     val n = corpus.count()
     val coarse = autoCoarseCentroids(n)
     val iters = 3
+    // NOTE the coarse quantizer trains twice per call (once here for
+    // calibration, once inside ivfPqSearch) — deterministic, so the
+    // probes route identically, but ad-hoc annSearch pays ~2× build.
+    // Deployments that care build ONCE via saveIvfPqIndex +
+    // calibrateIvfIndex and serve persisted.
     val cents = kmeansCentroids(corpus, idCol, vecCol, coarse, iters)
     // calibrate the CEILING 0.05 above the requested end-to-end target:
     // the re-rank recovers ADC ordering errors inside the shortlist but
@@ -598,6 +603,9 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     writeAttrsFile(corpus.sparkSession, path, attrCols)
     writeSpillFile(corpus.sparkSession, path, spill)
+    // a rebuild invalidates any stored calibration: the marker was
+    // measured against the PREVIOUS layout's lists — re-calibrate after
+    clearMarker(corpus.sparkSession, path, NProbeFile)
     resetIndexGenerations(corpus.sparkSession, path)
     centroids.unpersist() // no-op for the seeded path; frees the k-means cache
     ()
@@ -668,37 +676,54 @@ object Similarity {
 
   private val SpillFile = "_spill"
 
-  /** Persist (spill > 1) or clear (spill == 1, rebuild semantics — like
-    * the raw-vector sidecar) the index's multi-assignment factor.
-    */
-  private def writeSpillFile(spark: org.apache.spark.sql.SparkSession,
-                             path: String, spill: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, SpillFile)
+  // one shared read/write/clear for every tiny index-sidecar marker
+  // (`_spill`, `_nprobe`) — markers must share rebuild semantics, and a
+  // copy-pasted reader is how one of them misses a reset
+  private def writeMarker(spark: org.apache.spark.sql.SparkSession,
+                          path: String, name: String,
+                          value: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (spill > 1) {
-      val out = fs.create(p, true)
-      try out.write(spill.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } else if (fs.exists(p)) { fs.delete(p, false); () }
+    val out = fs.create(p, true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  /** The persisted index's multi-assignment factor (1 = classic single
-    * assignment; indexes predating the marker are single-assigned).
-    */
-  private[ml] def indexSpill(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path, SpillFile)
+  private def clearMarker(spark: org.apache.spark.sql.SparkSession,
+                          path: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 1
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  private def readIntMarker(spark: org.apache.spark.sql.SparkSession,
+                            path: String, name: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
-      s.toIntOption.filter(_ >= 1).getOrElse(1)
+      s.toIntOption.filter(_ >= 1)
     }
   }
+
+  /** Persist (spill > 1) or clear (spill == 1, rebuild semantics — like
+    * the raw-vector sidecar) the index's multi-assignment factor.
+    */
+  private def writeSpillFile(spark: org.apache.spark.sql.SparkSession,
+                             path: String, spill: Int): Unit =
+    if (spill > 1) writeMarker(spark, path, SpillFile, spill.toString)
+    else clearMarker(spark, path, SpillFile)
+
+  /** The persisted index's multi-assignment factor (1 = classic single
+    * assignment; indexes predating the marker are single-assigned).
+    */
+  private[ml] def indexSpill(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Int =
+    readIntMarker(spark, path, SpillFile).getOrElse(1)
 
   private val NProbeFile = "_nprobe"
 
@@ -723,29 +748,26 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids")
     val np = calibrateNProbe(corpus, "v_id", "v_vec", cents, k, target,
       sampleSize, spill)
-    val p = new org.apache.hadoop.fs.Path(path, NProbeFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(np.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeMarker(spark, path, NProbeFile, np.toString)
     np
   }
 
   /** The stored serving probe count ([[calibrateIvfIndex]]), if any. */
   private[ml] def storedNProbe(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(path, NProbeFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-      s.toIntOption.filter(_ >= 1)
-    }
-  }
+                               path: String): Option[Int] =
+    readIntMarker(spark, path, NProbeFile)
+
+  /** Resolve a caller's probe count against the index: positive values
+    * pass through; `-1` serves at the stored calibration
+    * ([[calibrateIvfIndex]]) or, uncalibrated, the fixed-fraction
+    * fallback. Shared by every persisted search so the `-1` contract
+    * cannot fork between the top-k, radius and PQ paths.
+    */
+  private def resolveNProbe(spark: org.apache.spark.sql.SparkSession,
+                            path: String, nProbe: Int): Int =
+    if (nProbe > 0) nProbe
+    else storedNProbe(spark, path).getOrElse(
+      autoNProbe(spark.read.parquet(s"$path/centroids").count().toInt))
 
   /** Incremental append to a persisted IVF-PQ index
     * ([[saveIvfPqIndex]]): the new batch is assigned against the INDEX'S
@@ -825,15 +847,17 @@ object Similarity {
     // nProbe = -1: serve at the index's CALIBRATED probe count
     // ([[calibrateIvfIndex]]'s `_nprobe` marker); an uncalibrated index
     // falls back to the structure-free fixed fraction
-    val np =
-      if (nProbe > 0) nProbe
-      else storedNProbe(spark, path).getOrElse(
-        autoNProbe(spark.read.parquet(s"$path/centroids").count().toInt))
+    val np = resolveNProbe(spark, path, nProbe)
     if (rerank > 0) {
+      // spilled layouts replicate rows id-for-id — collapse before the
+      // exact pass, or each candidate scores `spill` times and the
+      // duplicates occupy top-k slots
+      val fromIndex = applyDeletes(spark, path,
+          spark.read.parquet(activeIndexDir(spark, path)))
+        .select(col("v_id").as(idCol), col("v_vec").as(vecCol))
       val corpus = rerankCorpus.getOrElse(
-        applyDeletes(spark, path,
-            spark.read.parquet(activeIndexDir(spark, path)))
-          .select(col("v_id").as(idCol), col("v_vec").as(vecCol)))
+        if (indexSpill(spark, path) == 1) fromIndex
+        else fromIndex.distinct())
       // the shortlist below is already `where`-filtered (pre-filtering)
       // and facet-capped, so the exact pass only ever re-ranks
       // predicate-passing ids and the ≤m-per-facet bound survives the
@@ -911,6 +935,7 @@ object Similarity {
                                idCol: String, vecCol: String,
                                minCosine: Double, nProbe: Int,
                                where: Option[Column] = None): DataFrame = {
+    val np = resolveNProbe(spark, path, nProbe)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
@@ -919,7 +944,7 @@ object Similarity {
       .crossJoin(cents)
       .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rk", row_number().over(probeW))
-      .filter(col("c_rk") <= nProbe)
+      .filter(col("c_rk") <= np)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
     val index0 = prunedIndexRead(spark, path, probes)
     val index = where.map(index0.filter).getOrElse(index0)
@@ -1168,6 +1193,9 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$outPath/centroids")
     writeAttrsFile(spark, outPath, attrs)
     writeSpillFile(spark, outPath, spill)
+    // merged lists are a new layout: any calibration stored at outPath
+    // (in-place re-merge) no longer describes them
+    clearMarker(spark, outPath, NProbeFile)
     resetIndexGenerations(spark, outPath)
   }
 
@@ -2398,6 +2426,11 @@ object Similarity {
       if (fs.exists(rp)) { fs.delete(rp, true); () }
     }
     resetIndexGenerations(corpus.sparkSession, path)
+    // rebuild semantics for ALL sidecar markers: a PQ build over a dir
+    // that previously held a raw (possibly spilled, calibrated) index
+    // must not inherit its dedup or probe settings
+    writeSpillFile(corpus.sparkSession, path, 1)
+    clearMarker(corpus.sparkSession, path, NProbeFile)
     cleanup() // writes above materialized everything the cache served
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -2480,13 +2513,16 @@ object Similarity {
     // the default path upgrades itself when the caller can afford it
     val rr = if (rerank < 0) { if (rerankCorpus.nonEmpty) 10 * k else 0 }
              else rerank
+    // nProbe = -1 serves at the stored calibration (same contract as
+    // ivfSearchPersisted — the -1 sentinel must not fork across paths)
+    val np = resolveNProbe(spark, path, nProbe)
     require(rr <= 0 || rerankCorpus.nonEmpty,
       "rerank needs rerankCorpus: the index stores only codes, exact " +
         "re-ranking reads raw vectors")
     if (rr > 0)
       return exactRerank(
         ivfPqSearchPersisted(spark, path, queries, idCol, vecCol,
-          math.max(rr, k), nProbe, rerank = 0),
+          math.max(rr, k), np, rerank = 0),
         rerankCorpus.get, queries, idCol, vecCol, k)
     val (model, residual) = readCodebook(spark, path)
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -2498,7 +2534,7 @@ object Similarity {
       .crossJoin(cents)
       .withColumn("c_cos", nanvl(cosine(col("q_vec"), col("c_vec")), lit(-2d)))
       .withColumn("c_rk", row_number().over(probeW))
-      .filter(col("c_rk") <= nProbe)
+      .filter(col("c_rk") <= np)
       .select(col("q_id"),
         (if (residual)
           zip_with(col("q_vec"), col("c_vec").cast("array<double>"),

@@ -123,9 +123,18 @@ object IngestStream {
         .withColumn("p_format", lit(format))
       IngestPipeline.append(df, root, cfg)
       // persist the merged schema with the stream metadata so a restarted
-      // process (fresh registry) resumes with the full union schema
-      graft.catalog.StreamMeta.save(root,
-        graft.catalog.StreamMeta.fromConfig(cfg, Some(merged)))
+      // process (fresh registry) resumes with the full union schema.
+      // stream.json has a SECOND writer (the HTTP create/update handlers
+      // persist layout changes durably) — a job whose captured config
+      // carries no z-order policy must not clobber one set over HTTP
+      // between batches; a job that HAS a policy is actively laying
+      // batches out with it, so its metadata wins truthfully.
+      val meta = graft.catalog.StreamMeta.fromConfig(cfg, Some(merged))
+      val keepZ =
+        if (cfg.zOrder.isEmpty)
+          graft.catalog.StreamMeta.load(root, cfg.name).flatMap(_.zOrder)
+        else meta.zOrder
+      graft.catalog.StreamMeta.save(root, meta.copy(zOrder = keepZ))
       // incremental catalog commit: stats for JUST this batch's new files
       // (one atomic version per micro-batch, O(batch) not O(table))
       txnCatalog.foreach { case (catRoot, statCols) =>

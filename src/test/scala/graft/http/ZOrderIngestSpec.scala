@@ -149,6 +149,16 @@ class ZOrderIngestSpec extends SparkSuite {
           "X-P-Time-Partition-Limit" -> "30d"))
       assert(ms == 400 && mb.contains("exactly one"), s"$ms $mb")
 
+      // bits WITHOUT dims configure nothing: refused on update (it would
+      // otherwise fall through to the custom-partition branch and wipe
+      // it) and on create alike
+      val (bs2, bb2) = http("PUT", s"$base/logstream/zs",
+        Map("X-P-Update-Stream" -> "true", "X-P-Z-Order-Bits" -> "8"))
+      assert(bs2 == 400 && bb2.contains("requires X-P-Z-Order"),
+        s"$bs2 $bb2")
+      assert(http("PUT", s"$base/logstream/bitsonly",
+        Map("X-P-Z-Order-Bits" -> "8"))._1 == 400)
+
       // layout update applies to future writes; `none` clears it
       assert(http("PUT", s"$base/logstream/zs",
         Map("X-P-Update-Stream" -> "true", "X-P-Z-Order" -> "none"))._1

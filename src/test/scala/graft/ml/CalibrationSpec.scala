@@ -118,6 +118,14 @@ class CalibrationSpec extends SparkSuite {
     val fixed = Similarity.ivfSearchPersisted(spark, plain, queries,
       "vec_id", "embedding", k, nProbe = Similarity.autoNProbe(8))
     assert(triples(fallback) == triples(fixed))
+    // the -1 contract holds on the RADIUS path too (no silent empties)
+    val rad = Similarity.ivfRadiusSearchPersisted(spark, dir, queries,
+      "vec_id", "embedding", minCosine = 0.5, nProbe = -1)
+    assert(rad.count() > 0L)
+    // a REBUILD clears the stored calibration: the marker was measured
+    // against lists that no longer exist
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", 4, dir)
+    assert(Similarity.storedNProbe(spark, dir).isEmpty)
   }
 
   test("annSearch default path (residual + exact re-rank + calibrated " +

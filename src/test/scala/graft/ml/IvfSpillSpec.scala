@@ -79,6 +79,18 @@ class IvfSpillSpec extends SparkSuite {
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rad.distinct.size == rad.size, "duplicate radius pairs")
+    // exact re-rank WITHOUT an external corpus derives it from the
+    // spilled index — replicas must collapse first, or each candidate
+    // scores twice and duplicates occupy top-k slots
+    val rr = Similarity.ivfSearchPersisted(spark, dir, q, "vec_id",
+      "embedding", k = 5, nProbe = 8, rerank = 20)
+    val rrRows = rr.collect()
+    val rrPairs = rrRows.map(r => (r.getAs[Long]("q_id"),
+      r.getAs[Long]("n_id"))).toSeq
+    assert(rrPairs.distinct.size == rrPairs.size,
+      "duplicate reranked rows from spilled replicas")
+    assert(rrRows.groupBy(_.getAs[Long]("q_id")).values
+      .forall(_.length == 5), "rerank must fill k DISTINCT slots")
     // merge refuses a spill-factor fork instead of silently mixing
     val plainDir = java.nio.file.Files.createTempDirectory("ivf-s1").toString
     Similarity.saveIvfIndex(vecs, "vec_id", "embedding", 8, plainDir)

@@ -14,6 +14,31 @@ class IngestStreamSpec extends SparkSuite {
 
   private def tmp() = Files.createTempDirectory("stream").toString
 
+  test("processBatch preserves an HTTP-set z-order policy in stream.json " +
+      "when its own config carries none; a config WITH a policy wins") {
+    val root = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("zkeep")
+    LiveTail.clear("zkeep")
+    // simulate the HTTP update: layout policy persisted out-of-band
+    graft.catalog.StreamMeta.save(root, graft.catalog.StreamMeta
+      .fromConfig(cfg.copy(zOrder =
+        Some(graft.ingest.IngestPipeline.ZOrderPolicy(Seq("x", "y"), 8))),
+        None))
+    val raw = Seq("""{"x":1,"y":2}""").toDS()
+    assert(IngestStream.processBatch(raw, cfg, registry, root).isRight)
+    // the per-batch save must NOT clobber the policy it does not own
+    assert(graft.catalog.StreamMeta.load(root, "zkeep").flatMap(_.zOrder)
+      .contains((Seq("x", "y"), 8)))
+    // ...but a job actively laying out with its OWN policy wins
+    val cfg2 = cfg.copy(zOrder =
+      Some(graft.ingest.IngestPipeline.ZOrderPolicy(Seq("x"), 4)))
+    assert(IngestStream.processBatch(
+      Seq("""{"x":3,"y":4}""").toDS(), cfg2, registry, root).isRight)
+    assert(graft.catalog.StreamMeta.load(root, "zkeep").flatMap(_.zOrder)
+      .contains((Seq("x"), 4)))
+  }
+
   test("processBatch: distributed infer + write, minute partitioned") {
     val root = tmp()
     val registry = new SchemaRegistry
