@@ -33,12 +33,54 @@ object StreamMeta {
       schema: Option[StructType],
       // opt-in Z-order layout policy (dims, bits) — see
       // [[graft.ingest.IngestPipeline.ZOrderPolicy]]
-      zOrder: Option[(Seq[String], Int)] = None)
+      zOrder: Option[(Seq[String], Int)] = None,
+      // reference X-P-Time-Partition-Limit ("90d") — durable so a limit
+      // set over HTTP survives a restart (GET .../info reports it)
+      timePartitionLimitDays: Option[Int] = None)
 
   private val mapper = new ObjectMapper()
 
   private def metaPath(root: String, stream: String) =
     Paths.get(root, stream, ".stream", "stream.json")
+
+  // stream.json has two writers (the HTTP lifecycle and the streaming
+  // ingest job's per-batch save) — every load-then-save must run under
+  // the stream's lock or concurrent updates interleave and one facet's
+  // write silently drops another's
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+
+  /** Run `body` while holding `stream`'s metadata lock — the required
+    * wrapper for any read-modify-write of stream.json.
+    */
+  def locked[A](root: String, stream: String)(body: => A): A = {
+    val lock = locks.computeIfAbsent((root, stream), _ => new Object)
+    lock.synchronized(body)
+  }
+
+  /** Save `meta`, preserving any HTTP-writable facet the caller's value
+    * does not carry (keep-if-absent): zOrder, customPartitions,
+    * timePartitionLimitDays and retention all survive a save from a
+    * writer that never knew about them. This is the streaming ingest
+    * path's per-batch save — a job whose captured config HAS a facet is
+    * actively laying batches out with it, so its value wins truthfully;
+    * a job without one must not clobber a policy set over HTTP between
+    * batches. Atomic against concurrent HTTP updates via [[locked]].
+    */
+  def mergeSave(root: String, meta: Meta): Unit =
+    locked(root, meta.stream) {
+      val existing = load(root, meta.stream)
+      def keep[A](mine: Option[A], theirs: Meta => Option[A]): Option[A] =
+        mine.orElse(existing.flatMap(theirs))
+      save(root, meta.copy(
+        zOrder = keep(meta.zOrder, _.zOrder),
+        customPartitions =
+          if (meta.customPartitions.nonEmpty) meta.customPartitions
+          else existing.map(_.customPartitions).getOrElse(Nil),
+        timePartitionLimitDays =
+          keep(meta.timePartitionLimitDays, _.timePartitionLimitDays),
+        retention = keep(meta.retention, _.retention)))
+    }
 
   def save(root: String, meta: Meta): Unit = {
     val o = mapper.createObjectNode()
@@ -59,6 +101,8 @@ object StreamMeta {
       dims.foreach(a.add)
       zo.put("bits", bits)
     }
+    meta.timePartitionLimitDays.foreach(
+      o.put("time_partition_limit_days", _))
     meta.schema.foreach(s => o.put("schema", s.json))
     val p = metaPath(root, meta.stream)
     Files.createDirectories(p.getParent)
@@ -110,14 +154,30 @@ object StreamMeta {
           val a = z.get("dims")
           ((0 until a.size).map(a.get(_).asText),
             z.get("bits").asInt)
-        }))
+        },
+        timePartitionLimitDays =
+          Option(o.get("time_partition_limit_days")).map(_.asInt)))
     }
   }
+
+  /** Rehydrate a [[StreamConfig]] from persisted metadata — the restart
+    * path for surfaces (GET .../info) whose in-memory config map is
+    * empty in a fresh process. The static schema is not carried (the
+    * queryable schema comes from [[unionSchema]]).
+    */
+  def toConfig(meta: Meta): StreamConfig =
+    StreamConfig(meta.stream,
+      timePartition = meta.timePartition,
+      customPartitions = meta.customPartitions,
+      timePartitionLimitDays = meta.timePartitionLimitDays,
+      zOrder = meta.zOrder.map { case (dims, bits) =>
+        graft.ingest.IngestPipeline.ZOrderPolicy(dims, bits) })
 
   def fromConfig(cfg: StreamConfig, schema: Option[StructType],
                  retention: Option[Retention] = None): Meta =
     Meta(Version, cfg.name, "v1", cfg.timePartition, cfg.customPartitions,
-      retention, schema, cfg.zOrder.map(p => (p.dims, p.bits)))
+      retention, schema, cfg.zOrder.map(p => (p.dims, p.bits)),
+      cfg.timePartitionLimitDays)
 }
 
 /** Retention enforcement: drop whole `date=` partition directories older

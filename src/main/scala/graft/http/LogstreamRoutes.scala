@@ -160,7 +160,12 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
             if (!exists(name)) {
               err(ex, 404, s"stream '$name' not found"); return
             }
+            // a restarted process has an empty config map — rehydrate
+            // from persisted stream.json so HTTP-set facets (custom
+            // partitions, z-order, time-partition limit) survive restarts
             val cfg = Option(configs.get(key(name)))
+              .orElse(graft.catalog.StreamMeta.load(root, key(name))
+                .map(graft.catalog.StreamMeta.toConfig))
               .getOrElse(IngestPipeline.StreamConfig(key(name)))
             val o = mapper.createObjectNode().put("stream", name)
             o.put("stream_type", "UserDefined")
@@ -512,11 +517,17 @@ private[http] trait LogstreamRoutes { self: GraftHttpServer =>
     */
   private[http] def persistStreamMeta(
       cfg: IngestPipeline.StreamConfig): Unit = {
-    val existing = graft.catalog.StreamMeta.load(root, cfg.name)
-    graft.catalog.StreamMeta.save(root, graft.catalog.StreamMeta
-      .fromConfig(cfg,
-        existing.flatMap(_.schema).orElse(cfg.staticSchema))
-      .copy(retention = existing.flatMap(_.retention)))
+    // the HTTP lifecycle is AUTHORITATIVE for layout facets (an update
+    // may clear a policy), so this writes `save`, not the ingest path's
+    // keep-if-absent `mergeSave` — but the load-then-save still runs
+    // under the stream lock or a concurrent per-batch save interleaves
+    graft.catalog.StreamMeta.locked(root, cfg.name) {
+      val existing = graft.catalog.StreamMeta.load(root, cfg.name)
+      graft.catalog.StreamMeta.save(root, graft.catalog.StreamMeta
+        .fromConfig(cfg,
+          existing.flatMap(_.schema).orElse(cfg.staticSchema))
+        .copy(retention = existing.flatMap(_.retention)))
+    }
   }
 
   def enforceRetention(name: String,

@@ -764,10 +764,15 @@ object Similarity {
     * cannot fork between the top-k, radius and PQ paths.
     */
   private def resolveNProbe(spark: org.apache.spark.sql.SparkSession,
-                            path: String, nProbe: Int): Int =
+                            path: String, nProbe: Int): Int = {
+    // only -1 is the calibration sentinel: a typo'd 0 or -3 must fail
+    // loudly, not silently serve at the stored calibration
+    require(nProbe == -1 || nProbe > 0,
+      s"nProbe must be positive or the -1 calibration sentinel (got $nProbe)")
     if (nProbe > 0) nProbe
     else storedNProbe(spark, path).getOrElse(
       autoNProbe(spark.read.parquet(s"$path/centroids").count().toInt))
+  }
 
   /** Incremental append to a persisted IVF-PQ index
     * ([[saveIvfPqIndex]]): the new batch is assigned against the INDEX'S
@@ -851,13 +856,16 @@ object Similarity {
     if (rerank > 0) {
       // spilled layouts replicate rows id-for-id — collapse before the
       // exact pass, or each candidate scores `spill` times and the
-      // duplicates occupy top-k slots
-      val fromIndex = applyDeletes(spark, path,
-          spark.read.parquet(activeIndexDir(spark, path)))
-        .select(col("v_id").as(idCol), col("v_vec").as(vecCol))
-      val corpus = rerankCorpus.getOrElse(
+      // duplicates occupy top-k slots. getOrElse is by-name: the index
+      // read (schema + tombstones) only happens when the caller didn't
+      // supply a corpus.
+      val corpus = rerankCorpus.getOrElse {
+        val fromIndex = applyDeletes(spark, path,
+            spark.read.parquet(activeIndexDir(spark, path)))
+          .select(col("v_id").as(idCol), col("v_vec").as(vecCol))
         if (indexSpill(spark, path) == 1) fromIndex
-        else fromIndex.distinct())
+        else fromIndex.distinct()
+      }
       // the shortlist below is already `where`-filtered (pre-filtering)
       // and facet-capped, so the exact pass only ever re-ranks
       // predicate-passing ids and the ≤m-per-facet bound survives the

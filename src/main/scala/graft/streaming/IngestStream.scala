@@ -125,16 +125,13 @@ object IngestStream {
       // persist the merged schema with the stream metadata so a restarted
       // process (fresh registry) resumes with the full union schema.
       // stream.json has a SECOND writer (the HTTP create/update handlers
-      // persist layout changes durably) — a job whose captured config
-      // carries no z-order policy must not clobber one set over HTTP
-      // between batches; a job that HAS a policy is actively laying
-      // batches out with it, so its metadata wins truthfully.
-      val meta = graft.catalog.StreamMeta.fromConfig(cfg, Some(merged))
-      val keepZ =
-        if (cfg.zOrder.isEmpty)
-          graft.catalog.StreamMeta.load(root, cfg.name).flatMap(_.zOrder)
-        else meta.zOrder
-      graft.catalog.StreamMeta.save(root, meta.copy(zOrder = keepZ))
+      // persist layout changes durably) — mergeSave keeps every
+      // HTTP-writable facet (z-order, custom partitions, limit,
+      // retention) this job's captured config doesn't carry, atomically
+      // against concurrent HTTP updates; a facet the job HAS wins
+      // truthfully (it is laying batches out with it).
+      graft.catalog.StreamMeta.mergeSave(root,
+        graft.catalog.StreamMeta.fromConfig(cfg, Some(merged)))
       // incremental catalog commit: stats for JUST this batch's new files
       // (one atomic version per micro-batch, O(batch) not O(table))
       txnCatalog.foreach { case (catRoot, statCols) =>

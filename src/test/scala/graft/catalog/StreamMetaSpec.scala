@@ -28,6 +28,50 @@ class StreamMetaSpec extends SparkSuite {
     assert(StreamMeta.load(root, "absent").isEmpty)
   }
 
+  test("time-partition limit round-trips and rehydrates into a config") {
+    val root = Files.createTempDirectory("metalim").toString
+    val cfg = StreamConfig("logs", timePartition = Some("ts"),
+      customPartitions = Seq("tenant"), timePartitionLimitDays = Some(90),
+      zOrder = Some(graft.ingest.IngestPipeline.ZOrderPolicy(Seq("x"), 8)))
+    StreamMeta.save(root, StreamMeta.fromConfig(cfg, None))
+    val back = StreamMeta.load(root, "logs").get
+    assert(back.timePartitionLimitDays.contains(90))
+    // the restart path: GET .../info rehydrates the persisted facets
+    val re = StreamMeta.toConfig(back)
+    assert(re.timePartitionLimitDays.contains(90))
+    assert(re.customPartitions == Seq("tenant"))
+    assert(re.timePartition.contains("ts"))
+    assert(re.zOrder.map(p => (p.dims, p.bits)).contains((Seq("x"), 8)))
+  }
+
+  test("mergeSave keeps every HTTP-writable facet the caller's meta " +
+      "does not carry; a facet the caller HAS wins") {
+    val root = Files.createTempDirectory("metamerge").toString
+    // persisted state: the HTTP lifecycle set all four facets
+    StreamMeta.save(root, StreamMeta.fromConfig(
+      StreamConfig("logs", customPartitions = Seq("tenant"),
+        timePartitionLimitDays = Some(30),
+        zOrder = Some(graft.ingest.IngestPipeline.ZOrderPolicy(Seq("x"), 8))),
+      None, Some(StreamMeta.Retention("delete", 7))))
+    // a per-batch save from a job whose captured config knows none of them
+    StreamMeta.mergeSave(root, StreamMeta.fromConfig(StreamConfig("logs"),
+      Some(StructType(Seq(StructField("msg", StringType))))))
+    val kept = StreamMeta.load(root, "logs").get
+    assert(kept.customPartitions == Seq("tenant"))
+    assert(kept.timePartitionLimitDays.contains(30))
+    assert(kept.zOrder.contains((Seq("x"), 8)))
+    assert(kept.retention.contains(StreamMeta.Retention("delete", 7)))
+    assert(kept.schema.isDefined) // the save's own payload still lands
+    // ...but a caller that carries a facet overwrites truthfully
+    StreamMeta.mergeSave(root, StreamMeta.fromConfig(
+      StreamConfig("logs", customPartitions = Seq("region"),
+        timePartitionLimitDays = Some(60)), None))
+    val won = StreamMeta.load(root, "logs").get
+    assert(won.customPartitions == Seq("region"))
+    assert(won.timePartitionLimitDays.contains(60))
+    assert(won.zOrder.contains((Seq("x"), 8))) // still absent → still kept
+  }
+
   test("metadata dir is invisible to parquet partition discovery") {
     val root = Files.createTempDirectory("meta2").toString
     Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "date")

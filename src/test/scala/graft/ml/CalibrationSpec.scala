@@ -126,6 +126,16 @@ class CalibrationSpec extends SparkSuite {
     // against lists that no longer exist
     Similarity.saveIvfIndex(corpus, "vec_id", "embedding", 4, dir)
     assert(Similarity.storedNProbe(spark, dir).isEmpty)
+    // only -1 is the sentinel — a typo'd 0 (or -3) fails loudly instead
+    // of silently serving at the stored calibration
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSearchPersisted(spark, dir, queries,
+        "vec_id", "embedding", k, nProbe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRadiusSearchPersisted(spark, dir, queries,
+        "vec_id", "embedding", minCosine = 0.5, nProbe = -3)
+    }
   }
 
   test("annSearch default path (residual + exact re-rank + calibrated " +

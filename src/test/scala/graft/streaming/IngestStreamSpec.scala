@@ -39,6 +39,23 @@ class IngestStreamSpec extends SparkSuite {
       .contains((Seq("x"), 4)))
   }
 
+  test("processBatch preserves HTTP-set custom partitions and the " +
+      "time-partition limit its own config does not carry") {
+    val root = tmp()
+    val registry = new SchemaRegistry
+    val cfg = StreamConfig("ckeep")
+    LiveTail.clear("ckeep")
+    // HTTP update persisted out-of-band: custom partition + limit
+    graft.catalog.StreamMeta.save(root, graft.catalog.StreamMeta
+      .fromConfig(cfg.copy(customPartitions = Seq("tenant"),
+        timePartitionLimitDays = Some(45)), None))
+    assert(IngestStream.processBatch(
+      Seq("""{"x":1}""").toDS(), cfg, registry, root).isRight)
+    val kept = graft.catalog.StreamMeta.load(root, "ckeep").get
+    assert(kept.customPartitions == Seq("tenant"))
+    assert(kept.timePartitionLimitDays.contains(45))
+  }
+
   test("processBatch: distributed infer + write, minute partitioned") {
     val root = tmp()
     val registry = new SchemaRegistry
