@@ -60,7 +60,7 @@ object BenchScale {
     * ANN (including the round-10 additions: PQ, bloom decontamination,
     * DSIR scoring, entropy kernel).
     */
-  private val Queries = Seq(
+  private[graft] val Queries = Seq(
     "q_trace_hierarchy_sql", "q_multimodal_decode", "q_bpe_encode",
     "q_dedup_clean", "q_dedup_containment", "q_dedup_spans_max",
     "q_counts_density", "q_text_tfidf", "q_join_multiway",
@@ -138,16 +138,41 @@ object BenchScale {
     */
   private[graft] val RowFloorDefault = 1L
   private[graft] val RowFloors: Map[String, Long] = Map(
-    // C(G,2) pairs over the event-type cohorts — several types exist at
-    // every SF, so a pair collapse means the sketch input went degenerate
-    "q_sketch_setops" -> 3L,
-    // the RBO gates emit one row per compared ranking pair — 3 at every
-    // SF (the first sweep with floors proved 5 was wrong: the net fired
-    // on healthy gates, which is exactly the visibility it exists for)
-    "q_eval_rbo" -> 3L, "q_eval_rbo_ext" -> 3L,
-    // 3 epochs × documents: fewer than 3 rows means the epoch explode
-    // itself collapsed
-    "q_unigram_augment" -> 3L)
+    // MEASURED floors, one per swept gate: min(rows across the three
+    // swept SFs) / 2 from a green bench_scale.json (r18 head, corpus
+    // 226f10a723de), merged with the structural floors the earlier
+    // rounds declared (max wins — e.g. the RBO gates emit one row per
+    // compared ranking pair, 3 at every SF, tighter than half of 3).
+    // The /2 headroom absorbs corpus regeneration between rounds; a
+    // floor firing after a regeneration is the net doing its job —
+    // re-measure, don't widen the default. Committed as data on purpose:
+    // a silent truncation (not just emptiness) trips the sweep.
+    "q_agg_pricing" -> 3L, "q_asof_join" -> 50000L,
+    "q_bpe_encode" -> 2500L, "q_cluster_kmeans" -> 256L,
+    "q_counts_density" -> 15L, "q_decontaminate_bloom" -> 470L,
+    "q_dedup_clean" -> 2500L, "q_dedup_cluster" -> 238L,
+    "q_dedup_containment" -> 256L, "q_dedup_incremental_indexed" -> 2L,
+    "q_dedup_keep_best" -> 2496L, "q_dedup_lines" -> 66L,
+    "q_dedup_spans_max" -> 238L, "q_eval_ndcg" -> 1L, "q_eval_rbo" -> 3L,
+    "q_eval_rbo_ext" -> 3L, "q_eval_tau_b" -> 1L,
+    "q_hybrid_prior_persisted" -> 5L, "q_join_multiway" -> 12L,
+    "q_metric_cusum" -> 1800L, "q_metric_ewma" -> 1800L,
+    "q_metric_hist_quantile" -> 2L, "q_metric_increase_quantile" -> 2L,
+    "q_metric_seasonal" -> 1526L, "q_multimodal_decode" -> 2500L,
+    "q_quality_funnel" -> 2L, "q_sample_importance" -> 25L,
+    "q_sample_leakfree" -> 2500L, "q_sample_temperature" -> 2502L,
+    "q_sim_calibrate" -> 4L, "q_sim_decontaminate" -> 114L,
+    "q_sim_ivf_persisted" -> 15L, "q_sim_ivf_spill" -> 15L,
+    "q_sim_ivfpq_residual" -> 25L, "q_sim_merge_ivfpq" -> 25L,
+    "q_sim_pq" -> 25L, "q_sim_pq_rerank" -> 25L, "q_sketch_setops" -> 5L,
+    "q_template_drift" -> 2L, "q_text_bool" -> 7L,
+    "q_text_collocations" -> 10L, "q_text_entropy" -> 2500L,
+    "q_text_hashfeatures" -> 58115L, "q_text_normalize" -> 2500L,
+    "q_text_passages" -> 4414L, "q_text_proximity" -> 1259L,
+    "q_text_quality_model" -> 2500L, "q_text_snippet" -> 2405L,
+    "q_text_tfidf" -> 7500L, "q_trace_depgraph" -> 12L,
+    "q_trace_hierarchy_sql" -> 1643L, "q_unigram_augment" -> 2500L,
+    "q_unigram_encode" -> 2500L, "q_zorder" -> 300000L)
 
   /** The queries of `rows` whose materialized row count falls below
     * their floor, formatted for the report; empty = healthy. Exposed for

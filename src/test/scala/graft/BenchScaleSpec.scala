@@ -40,12 +40,24 @@ class BenchScaleSpec extends SparkSuite {
       "nonempty result below its declared minimum is flagged") {
     val v = BenchScale.rowFloorViolations(
       Map("q_sketch_setops" -> ((1.0, 2L))), "sf0.1")
-    assert(v == Seq("q_sketch_setops@sf0.1: rows=2 < floor=3"))
+    assert(v == Seq("q_sketch_setops@sf0.1: rows=2 < floor=5"))
     assert(BenchScale.rowFloorViolations(
       Map("q_sketch_setops" -> ((1.0, 10L))), "sf0.1").isEmpty)
     // every declared floor names a query the sweep actually runs
     BenchScale.RowFloors.keySet.foreach { q =>
       assert(SparkEntry.queries.contains(q), s"floor for unknown gate $q")
+    }
+  }
+
+  test("every swept gate carries a MEASURED floor — the default-1 net " +
+      "only covers gates added to the sweep before their first green run") {
+    BenchScale.Queries.foreach { q =>
+      assert(BenchScale.RowFloors.contains(q), s"unmeasured floor for $q")
+      assert(BenchScale.RowFloors(q) >= 1L)
+    }
+    // and no floor is stale: each names a swept gate
+    BenchScale.RowFloors.keySet.foreach { q =>
+      assert(BenchScale.Queries.contains(q), s"floor for unswept $q")
     }
   }
 }
