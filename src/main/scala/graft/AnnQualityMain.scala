@@ -158,6 +158,13 @@ object AnnQualityMain {
           nBits = nBits, multiProbe = mp), truth, k)
       (name, r, (System.nanoTime() - t0) / 1e9)
     }
+    // LSH operating points, picked off the measured curve
+    // ([[Similarity.calibrateLsh]]) at the auto bit width: the chosen
+    // multiProbe per target (null = NO probe count reaches it — the
+    // routing signal that sends the caller to annSearch) plus the
+    // structural ceiling, committed as data alongside the raw frontier
+    val lshCal = Seq(0.3, 0.5, 0.9).map(t =>
+      t -> Similarity.calibrateLsh(e, "vec_id", "embedding", k, t))
     // Frozen-quantizer drift: an incrementally-grown index
     // (appendToIvfPqIndex) codes the appended half under centroids and
     // codebooks trained on the FIRST half only. The recall gap against a
@@ -341,11 +348,17 @@ object AnnQualityMain {
     }.mkString(",")
     val guardJson = guardSection.map { case (nm, v) => f""""$nm":$v%.4f""" }
       .mkString(",")
+    val lshCalJson = lshCal.map { case (t, c) =>
+      s""""t${math.round(t * 100)}":{"nBits":${c.nBits},""" +
+        s""""multiProbe":${c.multiProbe.map(_.toString).getOrElse("null")},""" +
+        s""""ceiling_micro":${c.ceilingMicro}}"""
+    }.mkString(",")
     val json =
       s"""{"metric":"ann_recall@$k","sf":"$sfDir","queries":${truth.size},""" +
         s""""params":{"n":$n,"coarse":$coarse,"nProbe":$nProbe,"nProbeCal":$npCal,"pqCentroids":$pqc,"subspaces":$subs},""" +
         s""""targets":{"ivf":0.9,"ivfpq":0.8},""" +
         fmt(rows) + s""","frontier":{${fmt(frontier)}},""" +
+        s""""lsh_calibration":{$lshCalJson},""" +
         s""""drift":{$driftJson},"deletes":{$delJson},""" +
         s""""guard":{$guardJson}}"""
     Files.write(Paths.get("ann_quality.json"),

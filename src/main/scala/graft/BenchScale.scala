@@ -123,7 +123,10 @@ object BenchScale {
     // round-18 additions: the calibration curve (brute-force truth pass
     // + assignment pass + tiny rank windows) and spilled IVF (2× index
     // rows through the same probe join + the duplicate collapse)
-    "q_sim_calibrate", "q_sim_ivf_spill")
+    "q_sim_calibrate", "q_sim_ivf_spill",
+    // round-19 addition: the LSH recall curve (brute-force truth pass +
+    // one corpus bucket pass; bounded query set, constant-width output)
+    "q_sim_lsh_curve")
 
   /** Gate-health floor: minimum materialized rows a swept query must
     * return at EVERY scale — the trivially-passing-gate net. r17's τ-b
@@ -162,6 +165,9 @@ object BenchScale {
     "q_quality_funnel" -> 2L, "q_sample_importance" -> 25L,
     "q_sample_leakfree" -> 2500L, "q_sample_temperature" -> 2502L,
     "q_sim_calibrate" -> 4L, "q_sim_decontaminate" -> 114L,
+    // measured at land time: 6 rows (all probe levels + the sentinel
+    // occupied) at every SF — the constant-width curve output
+    "q_sim_lsh_curve" -> 3L,
     "q_sim_ivf_persisted" -> 15L, "q_sim_ivf_spill" -> 15L,
     "q_sim_ivfpq_residual" -> 25L, "q_sim_merge_ivfpq" -> 25L,
     "q_sim_pq" -> 25L, "q_sim_pq_rerank" -> 25L, "q_sketch_setops" -> 5L,

@@ -2917,6 +2917,24 @@ object SparkEntry {
           Similarity.seedCentroids(e, "vec_id", "embedding", 8))
         .orderBy(col("c_rank"))
     }),
+
+    // ML: recall-vs-multiProbe curve of the sign-LSH layout — the IVF
+    // calibration discipline transferred to the LSH frontier. Each exact
+    // top-3 truth pair classifies by the smallest knnLsh probe level
+    // reaching the neighbor's bucket (0 = same bucket, j+1 = single-bit
+    // disagreement on sign bit j, nBits+1 = unreachable at ANY probe
+    // count); the cumulative fraction per level IS knnLsh's recall@3 at
+    // that multiProbe, and the last reachable row is the structural LSH
+    // ceiling the calibrateLsh routing rule reads. Query set bounded
+    // (vec_id < 500) — the calibration contract AND the scale-sweep
+    // hygiene rule (a query set growing with the corpus is quadratic).
+    "q_sim_lsh_curve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshRecallCurve(e,
+          e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500),
+          "vec_id", "embedding", k = 3, nBits = 4)
+        .orderBy(col("probe_level"))
+    }),
   )
 
   // ------------------------------------------------- build/search split
@@ -8737,6 +8755,43 @@ object SparkEntry {
          |    * 1000000 // CAST(sum(pairs) OVER () AS BIGINT) AS BIGINT)
          |    AS recall_micro
          |FROM pr ORDER BY c_rank""".stripMargin,
+
+    // recall-vs-multiProbe LSH curve: exact top-3 truth per sampled
+    // query, each pair classified by the smallest knnLsh probe level
+    // reaching the neighbor's bucket (xor of the two 4-bit sign buckets:
+    // 0 → level 0, single bit j → j+1, multi-bit → sentinel 5 =
+    // unreachable), cumulative counts on the exact 10⁶ integer grid.
+    // Same bucket bits / cosine ordering / tiebreaks as the LSH oracles.
+    "q_sim_lsh_curve" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |    ${dSignBucket("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "n.e")} DESC, n.vec_id ASC) AS rk
+         |    FROM v q JOIN v n ON n.vec_id != q.vec_id
+         |    WHERE q.vec_id % 10 = 0 AND q.vec_id < 500)
+         |  WHERE rk <= 3),
+         |lv AS (
+         |  SELECT CASE xor(q.bucket, n.bucket)
+         |      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+         |      WHEN 4 THEN 3 WHEN 8 THEN 4 ELSE 5 END AS probe_level
+         |  FROM truth t
+         |  JOIN v q ON q.vec_id = t.q_id
+         |  JOIN v n ON n.vec_id = t.n_id),
+         |pr AS (SELECT probe_level, count(*) AS pairs FROM lv GROUP BY 1)
+         |SELECT CAST(probe_level AS INTEGER) AS probe_level,
+         |  CAST(pairs AS BIGINT) AS pairs,
+         |  CAST(sum(pairs) OVER (ORDER BY probe_level ASC) AS BIGINT)
+         |    AS cum_pairs,
+         |  CAST(sum(pairs) OVER () AS BIGINT) AS total_pairs,
+         |  CAST(CAST(sum(pairs) OVER (ORDER BY probe_level ASC) AS BIGINT)
+         |    * 1000000 // CAST(sum(pairs) OVER () AS BIGINT) AS BIGINT)
+         |    AS recall_micro
+         |FROM pr ORDER BY probe_level""".stripMargin,
 
     // L2 normalization pinned on the 10^-6 grid (norm = sequential dot
     // fold + sqrt; per-element divide — all exact-rounded IEEE).

@@ -210,6 +210,105 @@ object Similarity {
     math.min(24, math.max(4, bits))
   }
 
+  /** Recall-vs-multiProbe curve of the sign-LSH layout over EXACT ground
+    * truth, in ONE pass — the [[nProbeRecallCurve]] pattern transferred
+    * to the LSH frontier. For every (query, true-top-k-neighbor) pair,
+    * the PROBE LEVEL is the smallest `multiProbe` at which [[knnLsh]]
+    * reaches the neighbor's bucket: 0 when the buckets agree, j+1 when
+    * they differ in exactly sign bit j (that bucket is probed once
+    * multiProbe > j), and the sentinel `nBits + 1` when they differ in
+    * two or more bits — [[knnLsh]] probes Hamming-1 flips of the lowest
+    * bits only, so NO probe count reaches such a pair. Because knnLsh
+    * ranks bucket candidates by exact cosine, cumulative pair fraction
+    * at level ≤ m IS its recall@k at multiProbe = m (same argument as
+    * the IVF curve: a reachable true neighbor always survives the
+    * top-k). The sentinel row completes the distribution: the row below
+    * it carries the LSH CEILING — the recall no probe count exceeds at
+    * this bit width.
+    *
+    * One row per occupied level: (probe_level, pairs, cum_pairs,
+    * total_pairs, recall_micro), recall_micro = cum·10⁶ div total — the
+    * exact integer grid, oracle-replicable. Cost: one brute-force truth
+    * pass for the sampled queries + one corpus bucket pass; everything
+    * after is ≤ nBits + 2 rows, so the single-partition cumulative
+    * window is constant-bounded.
+    */
+  def lshRecallCurve(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nBits: Int): DataFrame = {
+    val truth = knnBruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("n_id"))
+    val cb = corpus.select(col(idCol).as("n_id"),
+      signBucket(col(vecCol), nBits).as("n_bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("q_id"),
+      signBucket(col(vecCol), nBits).as("q_bucket")))
+    val diff = col("q_bucket").bitwiseXOR(col("n_bucket"))
+    // smallest probe level reaching the neighbor's bucket; the when
+    // chain stays codegen'd (nBits ≤ 24 branches)
+    val level = (0 until nBits)
+      .foldLeft(when(diff === 0, lit(0))) { (acc, j) =>
+        acc.when(diff === lit(1L << j), lit(j + 1))
+      }.otherwise(lit(nBits + 1))
+    val cumW = Window.orderBy(col("probe_level").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("probe_level").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    truth.join(qb, "q_id").join(cb, "n_id")
+      .withColumn("probe_level", level)
+      .groupBy(col("probe_level"))
+      .agg(count(lit(1)).as("pairs"))
+      .withColumn("cum_pairs", sum(col("pairs")).over(cumW))
+      .withColumn("total_pairs", sum(col("pairs")).over(allW))
+      .withColumn("recall_micro",
+        expr("cum_pairs * 1000000 div total_pairs"))
+      .orderBy(col("probe_level"))
+  }
+
+  /** A measured LSH operating point: serve [[knnLsh]] at
+    * (`nBits`, `multiProbe`) when `multiProbe` is defined; `ceilingMicro`
+    * is the measured recall ceiling (10⁻⁶ grid) across ALL probe counts
+    * at this bit width.
+    */
+  final case class LshCalibration(nBits: Int, multiProbe: Option[Int],
+                                  ceilingMicro: Long)
+
+  /** Pick [[knnLsh]]'s operating point off the measured recall curve —
+    * the [[calibrateNProbe]] discipline for the LSH frontier: the
+    * smallest `multiProbe` whose measured recall on a deterministic
+    * hash-stride sample meets `target`, at a bit width sized from the
+    * corpus ([[autoLshBits]]) unless pinned.
+    *
+    * THE ROUTING RULE (measured, not folklore): `multiProbe = None`
+    * means NO probe count reaches the target at this bit width — the
+    * single-table LSH ceiling is structural (true neighbors disagreeing
+    * with the query in ≥ 2 sign bits are unreachable; on the harness
+    * corpus the ceiling is ~0.5 at sizing-rule widths while calibrated
+    * IVF / IVF-PQ measure 0.93 / 0.88 — `ann_quality.json`). A
+    * recall-sensitive caller getting None must route to [[annSearch]]
+    * (or a persisted [[calibrateIvfIndex calibrated]] IVF index); LSH
+    * stays the cheap screen for recall-tolerant candidate generation.
+    */
+  def calibrateLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, target: Double, nBits: Int = -1,
+                   sampleSize: Int = 50): LshCalibration = {
+    require(target > 0.0 && target <= 1.0, "target must be in (0, 1]")
+    require(nBits == -1 || nBits > 0,
+      s"nBits must be positive or the -1 auto sentinel (got $nBits)")
+    val n = corpus.count()
+    val bits = if (nBits == -1) autoLshBits(n) else nBits
+    val stride = math.max(1L, n / math.max(1, sampleSize))
+    val sample = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol).asc).limit(sampleSize)
+    val targetMicro = math.round(target * 1e6)
+    val rows = lshRecallCurve(corpus, sample, idCol, vecCol, k, bits)
+      .select(col("probe_level"), col("recall_micro")).collect()
+    val reachable = rows.filter(_.getInt(0) <= bits)
+    val ceiling = reachable.map(_.getLong(1)).maxOption.getOrElse(0L)
+    val hit = reachable.filter(_.getLong(1) >= targetMicro).map(_.getInt(0))
+    LshCalibration(bits, hit.minOption, ceiling)
+  }
+
   /** Corpus-size-scaled coarse-centroid count: ~sqrt(n) inverted lists
     * (the standard IVF sizing — per-list length and list count grow
     * together as sqrt(n), so probe cost stays balanced as the corpus
@@ -1334,7 +1433,8 @@ object Similarity {
     * the compaction's read could land in the old generation and be lost.
     */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, keepPrevious: Boolean = false): Unit = {
+                      path: String, keepPrevious: Boolean = false,
+                      localitySort: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val curDir = activeIndexDir(spark, path)
@@ -1352,8 +1452,30 @@ object Similarity {
     // a crash between the pointer flip and the tombstone clear below
     // leaves stale tombstones that match no surviving row — never a
     // resurrect-or-overhide window.
-    applyDeletes(spark, path, spark.read.parquet(curDir))
+    val cleaned = applyDeletes(spark, path, spark.read.parquet(curDir))
       .repartition(partDirs.length, col(partCol))
+    // `localitySort` additionally lays each rewritten list out by a
+    // similarity-locality key so adjacent rows share byte patterns —
+    // the column compressor's window then actually compresses the list:
+    // PQ-coded lists sort by their code arrays (identical code prefixes
+    // become runs), raw-vector lists by a Morton interleave of the
+    // leading dims on a coarse clamp grid. A LAYOUT key only — search
+    // semantics are order-free (spec-pinned). Cost: the local sort
+    // inside the one rewrite task per list; measured effect:
+    // tools/IvfLayoutProbe.
+    val localityKey: Option[Column] =
+      if (!localitySort) None
+      else if (cleaned.columns.contains("codes")) Some(col("codes"))
+      else if (cleaned.columns.contains("v_vec"))
+        Some(graft.operators.ZOrder.zValue(
+          (1 to 4).map(d => floor(element_at(col("v_vec"), d)
+            .cast("double") * 16d).cast("long") + lit(128L)), bits = 8))
+      else None
+    val laidOut = localityKey match {
+      case None => cleaned
+      case Some(key) => cleaned.sortWithinPartitions(col(partCol), key)
+    }
+    laidOut
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$path/$nextName")
     // purge the raw sidecar in the SAME generation step: the tombstone

@@ -58,6 +58,10 @@ class PlanAuditSpec extends SparkSuite {
     // side for ground truth — every BNLJ build side is queries- or
     // centroid-sized, never corpus-sized
     "q_sim_calibrate",
+    // LSH curve: only knnBruteForce's broadcast query side for ground
+    // truth (the bounded vec_id < 500 sample); the bucket join itself
+    // is an equi-join on (q_id / n_id)
+    "q_sim_lsh_curve",
     // batched/filtered hybrid: the vec leg is the same ≤8-row centroid
     // cross join as q_sim_ivf_persisted (filtered adds only an
     // attribute predicate on the probed scan); fusion and lex legs are
