@@ -1,0 +1,131 @@
+package graft.http
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkSuite
+
+/** `POST /api/v1/similarity/{index,search}` — the calibrated-ANN serving
+  * path over the wire: ingest vectors through the normal JSON ingest,
+  * search ad-hoc (annSearch fallback), then build + calibrate the
+  * persisted IVF index and search again from it (the `nProbe = -1`
+  * stored-calibration contract). Assertions are structural — k DISTINCT
+  * ranked neighbors from the right cluster — so the spec pins the wire
+  * contract, not floating-point id orders.
+  */
+class SimilarityHttpSpec extends SparkSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def http(method: String, url: String,
+                   headers: Map[String, String] = Map.empty,
+                   body: Option[String] = None): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(UTF_8)) finally os.close()
+    }
+    val status = conn.getResponseCode
+    val stream =
+      if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text =
+      if (stream == null) ""
+      else try new String(stream.readAllBytes(), UTF_8) finally stream.close()
+    conn.disconnect()
+    (status, text)
+  }
+
+  test("ingest vectors -> ad-hoc search -> index+calibrate -> persisted " +
+      "search: k distinct cluster-correct neighbors on both paths") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sim").toString
+    val srv = new GraftHttpServer(spark, tmp)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+      assert(http("PUT", s"$base/logstream/vecs")._1 == 200)
+      // two tight 8-dim clusters: A = ids 1..10 near (10,1,0,...),
+      // B = ids 11..20 near (0,0,10,1,0,...) — deterministic jitter
+      def vec(id: Int): Seq[Double] = {
+        val v = Array.fill(8)(0.01 * (id % 5))
+        if (id <= 10) { v(0) = 10.0; v(1) = 1.0 + 0.1 * id }
+        else { v(2) = 10.0; v(3) = 1.0 + 0.1 * (id - 10) }
+        v.toSeq
+      }
+      val events = (1 to 20).map(id =>
+        s"""{"vid":$id,"emb":[${vec(id).mkString(",")}]}""")
+      val (is, ib) = http("POST", s"$base/ingest",
+        Map("X-P-Stream" -> "vecs"), Some(events.mkString("[", ",", "]")))
+      assert(is == 200, ib)
+
+      val end = java.time.Instant.now().plusSeconds(60).toString
+      val window = s""""startTime":"10m","endTime":"$end""""
+      def ask(route: String, bodyJson: String): (Int, String) =
+        http("POST", s"$base/similarity/$route", body = Some(bodyJson))
+
+      def checkNeighbors(bodyText: String, expectFrom: String,
+                         k: Int, clusterA: Boolean,
+                         excludeSelf: Option[Long]): Unit = {
+        val o = mapper.readTree(bodyText)
+        assert(o.get("served_from").asText == expectFrom, bodyText)
+        val results = o.get("results")
+        assert(results.size() == 1, bodyText)
+        val ns = results.get(0).get("neighbors")
+        assert(ns.size() == k, bodyText)
+        val ids = (0 until k).map(i => ns.get(i).get("id").asLong)
+        assert(ids.distinct.size == k, s"duplicate neighbors: $ids")
+        val ranks = (0 until k).map(i => ns.get(i).get("rank").asInt)
+        assert(ranks == (1 to k), s"ranks not 1..$k: $ranks")
+        ids.foreach { id =>
+          if (clusterA) assert(id >= 1 && id <= 10, s"cross-cluster $id")
+          else assert(id >= 11 && id <= 20, s"cross-cluster $id")
+        }
+        excludeSelf.foreach(self =>
+          assert(!ids.contains(self), s"self in neighbors: $ids"))
+      }
+
+      // ad-hoc path: no index yet — a raw query vector near cluster A
+      val (as, ab) = ask("search",
+        s"""{"datasetName":"vecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[[10,1,0,0,0,0,0,0]],$window}"""
+          .stripMargin.replace("\n", " "))
+      assert(as == 200, ab)
+      checkNeighbors(ab, "ad_hoc_ann", 3, clusterA = true, None)
+
+      // build + calibrate the persisted index
+      val (xs, xb) = ask("index",
+        s"""{"datasetName":"vecs","vectorField":"emb","idField":"vid",
+           |"numCentroids":4,"targetRecall":0.9,"k":3,$window}"""
+          .stripMargin.replace("\n", " "))
+      assert(xs == 200, xb)
+      val xo = mapper.readTree(xb)
+      assert(xo.get("status").asText == "indexed", xb)
+      assert(xo.get("rows").asLong == 20L, xb)
+      assert(xo.has("nProbe") && xo.get("nProbe").asInt >= 1, xb)
+
+      // persisted path: by id, served at the stored calibration;
+      // the query row itself must not come back
+      val (ps, pb) = ask("search",
+        s"""{"datasetName":"vecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryIds":[15],$window}"""
+          .stripMargin.replace("\n", " "))
+      assert(ps == 200, pb)
+      checkNeighbors(pb, "persisted_index", 3, clusterA = false, Some(15L))
+
+      // error surfaces
+      assert(ask("search", s"""{"datasetName":"nope","vectorField":"emb","idField":"vid","queryIds":[1],$window}""")._1 == 404)
+      assert(ask("search", s"""{"datasetName":"vecs","vectorField":"emb",$window}""")._1 == 400)
+      assert(ask("search", s"""{"datasetName":"vecs","vectorField":"emb","idField":"vid","queryIds":[1],"queryVectors":[[1]],$window}""")._1 == 400)
+      assert(ask("search", s"""{"datasetName":"vecs","vectorField":"emb","idField":"vid",$window}""")._1 == 400)
+      // path-injection guard: a vector field is a filesystem segment
+      assert(ask("index", s"""{"datasetName":"vecs","vectorField":"../emb","idField":"vid",$window}""")._1 == 400)
+      assert(ask("search", s"""{"datasetName":"vecs","vectorField":"a/b","idField":"vid","queryIds":[1],$window}""")._1 == 400)
+      assert(http("GET", s"$base/similarity/search")._1 == 405)
+      assert(ask("nosuch", "{}")._1 == 404)
+    } finally srv.stop()
+  }
+}
