@@ -1460,9 +1460,13 @@ object Similarity {
     // PQ-coded lists sort by their code arrays (identical code prefixes
     // become runs), raw-vector lists by a Morton interleave of the
     // leading dims on a coarse clamp grid. A LAYOUT key only — search
-    // semantics are order-free (spec-pinned). Cost: the local sort
-    // inside the one rewrite task per list; measured effect:
-    // tools/IvfLayoutProbe.
+    // semantics are order-free (spec-pinned). MEASURED (ivf_layout.json,
+    // tools/IvfLayoutProbe, 20k-vector sf1 sweep corpus): bytes on disk
+    // and bytes read by the probed search unchanged to 0.02% for both
+    // index types — near-iid float vectors carry no local byte
+    // redundancy, and PQ code pages compress order-free at this list
+    // size. Default stays OFF; the lever exists for clustered
+    // production corpora where identical code prefixes dominate lists.
     val localityKey: Option[Column] =
       if (!localitySort) None
       else if (cleaned.columns.contains("codes")) Some(col("codes"))
