@@ -200,7 +200,12 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
                   val ids = b.get("queryIds").elements().asScala
                     .map(_.asLong).toSeq
                   if (ids.isEmpty) { err(ex, 400, "queryIds is empty"); return }
-                  scan.filter(col(idField).isin(ids: _*))
+                  val q = scan.filter(col(idField).isin(ids: _*))
+                  if (q.isEmpty) {
+                    err(ex, 400, "no queryIds found in the window")
+                    return
+                  }
+                  q
                 } else {
                   val vecs = b.get("queryVectors").elements().asScala
                     .map(v => v.elements().asScala.map(_.floatValue).toArray)
@@ -211,16 +216,21 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
                     .toDF(idField, vecField)
                 }
               val key = tenantKey(tenant, dataset)
+              // raw-vector queries carry SYNTHETIC positional ids — id
+              // equality with a corpus row is a coincidence, not a self
+              // match, so only the queryIds path excludes self
               val (res, servedFrom, scoreKind) =
                 if (indexExists(key, vecField))
                   (Similarity.ivfSearchPersisted(spark,
                     indexDir(key, vecField), queries, idField, vecField, k,
-                    nProbe = -1), "persisted_index", "cosine")
+                    nProbe = -1, excludeSelf = hasIds),
+                    "persisted_index", "cosine")
                 else {
                   val target = b.path("targetRecall").asDouble(0.9)
                   val dim = queries.select(size(col(vecField))).head.getInt(0)
                   (Similarity.annSearch(scan, queries, idField, vecField, k,
-                    targetRecall = target, dim = dim), "ad_hoc_ann", "l2sq")
+                    targetRecall = target, dim = dim,
+                    excludeSelf = hasIds), "ad_hoc_ann", "l2sq")
                 }
               val scoreCol =
                 res.columns.find(c => c == "cosine" || c == "dist" || c == "adc")

@@ -439,7 +439,7 @@ object Similarity {
     */
   def annSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, targetRecall: Double = 0.9,
-                dim: Int = 64): DataFrame = {
+                dim: Int = 64, excludeSelf: Boolean = true): DataFrame = {
     val n = corpus.count()
     val coarse = autoCoarseCentroids(n)
     val iters = 3
@@ -461,7 +461,8 @@ object Similarity {
     ivfPqSearch(corpus, queries, idCol, vecCol, k, numCentroids = coarse,
       nProbe = nProbe, numSubspaces = autoPqSubspaces(n, dim),
       pqCentroids = autoPqCentroids(n), dim = dim, refineIters = iters,
-      coarseIters = iters, residual = true, rerank = 10 * k)
+      coarseIters = iters, residual = true, rerank = 10 * k,
+      excludeSelf = excludeSelf)
   }
 
   /** Corpus-size-scaled PQ codebook size: one centroid per ~8 training
@@ -940,6 +941,12 @@ object Similarity {
     * shortlist; the exact top-k of a capped set stays ≤m per facet, and
     * the output keeps the rerank shape without the facet column). For
     * embedding-space (facet-free) diversity see [[mmrRerank]].
+    *
+    * `excludeSelf = false`: for callers whose query ids are synthetic
+    * (raw vectors keyed by position rather than corpus rows), where an
+    * id-equality "self" match is a coincidence that would drop a real
+    * neighbor. Defaults to true — the corpus-row-as-query contract every
+    * oracle gate replicates.
     */
   def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
@@ -947,7 +954,8 @@ object Similarity {
                          nProbe: Int, rerank: Int = 0,
                          rerankCorpus: Option[DataFrame] = None,
                          where: Option[Column] = None,
-                         facetCap: Option[(String, Int)] = None): DataFrame = {
+                         facetCap: Option[(String, Int)] = None,
+                         excludeSelf: Boolean = true): DataFrame = {
     // nProbe = -1: serve at the index's CALIBRATED probe count
     // ([[calibrateIvfIndex]]'s `_nprobe` marker); an uncalibrated index
     // falls back to the structure-free fixed fraction
@@ -974,7 +982,7 @@ object Similarity {
       return exactRerank(
         ivfSearchPersisted(spark, path, queries, idCol, vecCol,
           math.max(rerank, k), np, where = where,
-          facetCap = facetCap),
+          facetCap = facetCap, excludeSelf = excludeSelf),
         corpus, queries, idCol, vecCol, k)
     }
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -996,7 +1004,11 @@ object Similarity {
     val index0 = prunedIndexRead(spark, path, probes)
     val index = where.map(index0.filter).getOrElse(index0)
     val scored1 = index.join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("q_id") =!= col("v_id"))
+      // excludeSelf = false: callers whose query ids are SYNTHETIC (raw
+      // vectors keyed by position, not corpus rows) — an id-equality
+      // "self" there is a coincidence that would silently drop a real
+      // neighbor
+      .filter(if (excludeSelf) col("q_id") =!= col("v_id") else lit(true))
       .withColumn("cosine", nanvl(cosine(col("q_vec"), col("v_vec")), lit(-2d)))
     // a spilled index replicates each vector into `spill` lists — a
     // candidate reachable through several probed lists collapses to one
@@ -2366,7 +2378,8 @@ object Similarity {
                   nProbe: Int = 2, numSubspaces: Int = 8,
                   pqCentroids: Int = 16, dim: Int = 64,
                   refineIters: Int = 0, coarseIters: Int = 0,
-                  residual: Boolean = true, rerank: Int = -1): DataFrame = {
+                  residual: Boolean = true, rerank: Int = -1,
+                  excludeSelf: Boolean = true): DataFrame = {
     // DEFAULT PATH is residual encoding + exact re-rank of a 10·k ADC
     // shortlist (rerank < 0 = auto) — the quality configuration the
     // recall harness validates (at 5·k the shortlist misses enough truth
@@ -2378,7 +2391,8 @@ object Similarity {
       return exactRerank(
         ivfPqSearch(corpus, queries, idCol, vecCol, math.max(rr, k),
           numCentroids, nProbe, numSubspaces, pqCentroids, dim,
-          refineIters, coarseIters, residual, rerank = 0),
+          refineIters, coarseIters, residual, rerank = 0,
+          excludeSelf = excludeSelf),
         corpus, queries, idCol, vecCol, k)
     val (centroids0, coded0, model, cleanup) = ivfPqBuild(corpus, idCol,
       vecCol, numCentroids, numSubspaces, pqCentroids, dim, refineIters,
@@ -2415,7 +2429,9 @@ object Similarity {
         else col("q_vec")).as("q_vec"),
         col("centroid_id"))
     val scored = coded.join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("q_id") =!= col("v_id"))
+      // excludeSelf = false: synthetic (positional) query ids — see
+      // [[ivfSearchPersisted]]
+      .filter(if (excludeSelf) col("q_id") =!= col("v_id") else lit(true))
       .withColumn("adc", pqAdcOf(col("q_vec"), col("codes"), model))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
       Seq(col("adc").asc, col("v_id").asc), k)

@@ -116,6 +116,32 @@ class SimilarityHttpSpec extends SparkSuite {
       assert(ps == 200, pb)
       checkNeighbors(pb, "persisted_index", 3, clusterA = false, Some(15L))
 
+      // raw-vector queries carry POSITIONAL ids — position 1 collides
+      // with corpus id 1, which must NOT be self-excluded: query #1
+      // duplicates row 1's vector exactly, so row 1 is its rank-1
+      // neighbor (the regression this pins: synthetic-id self-exclusion
+      // silently dropped the best match)
+      val v1 = Seq(10.0, 1.1) ++ Seq.fill(6)(0.01)
+      val (cs, cb) = ask("search",
+        s"""{"datasetName":"vecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[[0,0,10,1,0,0,0,0],
+           |[${v1.mkString(",")}]],$window}"""
+          .stripMargin.replace("\n", " "))
+      assert(cs == 200, cb)
+      val co = mapper.readTree(cb)
+      assert(co.get("served_from").asText == "persisted_index", cb)
+      val byQ = (0 until co.get("results").size())
+        .map(i => co.get("results").get(i))
+        .map(r => r.get("q_id").asLong -> r.get("neighbors")).toMap
+      assert(byQ.keySet == Set(0L, 1L), cb)
+      assert(byQ(1L).get(0).get("id").asLong == 1L,
+        s"positional q_id 1 self-excluded corpus row 1: $cb")
+      assert((0 until byQ(0L).size()).map(i => byQ(0L).get(i).get("id").asLong)
+        .forall(id => id >= 11 && id <= 20), cb)
+
+      // queryIds none of which are in the window → 400, not a crash
+      assert(ask("search", s"""{"datasetName":"vecs","vectorField":"emb","idField":"vid","queryIds":[999],$window}""")._1 == 400)
+
       // error surfaces
       assert(ask("search", s"""{"datasetName":"nope","vectorField":"emb","idField":"vid","queryIds":[1],$window}""")._1 == 404)
       assert(ask("search", s"""{"datasetName":"vecs","vectorField":"emb",$window}""")._1 == 400)
