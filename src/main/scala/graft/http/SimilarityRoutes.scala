@@ -24,6 +24,11 @@ import GraftHttpServer._
   *     contract); otherwise falls back to the ad-hoc
   *     [[graft.ml.Similarity.annSearch]] default path (build + calibrate
   *     per request — correct, but deployments that care index once).
+  *     `where` (alert-shaped condition tree over `attrFields` persisted
+  *     at build) = filtered search; `facetCap` = diversified search.
+  *   - `POST /api/v1/similarity/delete` — tombstone ids in the persisted
+  *     index; `POST /api/v1/similarity/compact` — rewrite it without
+  *     them. Both write-privileged ([[graft.query.Rbac.IngestAction]]).
   *
   * One surface of [[GraftHttpServer]] — state and shared plumbing stay on
   * the server class (self-type), same split as [[PrismRoutes]].
@@ -35,6 +40,14 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
     * the stream's index dir.
     */
   private val SafeField = "^[A-Za-z0-9_]{1,64}$".r
+
+  /** Below this corpus size the ad-hoc search path serves exact brute
+    * force instead of build-and-calibrate ANN — exact AND faster
+    * (measured: ann_quality.json's `brute` rows beat every ad-hoc index
+    * build at these sizes), and immune to PQ's minimum-training-rows
+    * requirement when a selective `where` shrinks the corpus.
+    */
+  private val AdHocExactFloor = 1000L
 
   private def indexDir(key: String, vecField: String): String =
     s"$root/$key/.simindex/$vecField"
@@ -49,14 +62,24 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
     sub match {
       case "/index" => handleSimIndex(ex)
       case "/search" => handleSimSearch(ex)
+      case "/delete" => handleSimDelete(ex)
+      case "/compact" => handleSimCompact(ex)
       case _ => err(ex, 404, "unknown similarity route")
     }
   }
 
   /** Shared request plumbing: auth → method → body parse → dataset
     * resolution → RBAC → time window → (stream key, windowed scan).
+    *
+    * `action`: search reads ([[Rbac.QueryAction]]); index build, delete
+    * and compaction WRITE under the stream root, so they demand
+    * [[Rbac.IngestAction]] — a pure Reader must not be able to mutate
+    * the index serving other readers. `needIdField = false` for the
+    * maintenance routes that never touch vector rows (compaction).
     */
-  private def withSimRequest(ex: HttpExchange)(
+  private def withSimRequest(ex: HttpExchange,
+                             action: Rbac.Action = Rbac.QueryAction,
+                             needIdField: Boolean = true)(
       body: (com.fasterxml.jackson.databind.JsonNode, String) => Unit): Unit =
     authedUser(ex) match {
       case Left(msg) => err(ex, 401, msg)
@@ -72,7 +95,8 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
         val dataset = b.path("datasetName").asText("")
         val vecField = b.path("vectorField").asText("")
         val idField = b.path("idField").asText("")
-        if (dataset.isEmpty || vecField.isEmpty || idField.isEmpty) {
+        if (dataset.isEmpty || vecField.isEmpty ||
+            (needIdField && idField.isEmpty)) {
           err(ex, 400, "datasetName, vectorField and idField are required")
           return
         }
@@ -84,9 +108,11 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
         streamsFor(tenant).get(dataset) match {
           case None => err(ex, 404, s"stream '$dataset' not found")
           case Some(_) =>
-            if (userOpt.exists(u => !Rbac.authorized(u, Rbac.QueryAction,
+            if (userOpt.exists(u => !Rbac.authorized(u, action,
                 tenantKey(tenant, dataset)))) {
-              err(ex, 403, s"user lacks query access to stream '$dataset'")
+              val verb =
+                if (action == Rbac.IngestAction) "write" else "query"
+              err(ex, 403, s"user lacks $verb access to stream '$dataset'")
               return
             }
             body(b, tenant)
@@ -99,18 +125,35 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
     */
   private def vectorScan(dataset: String, b: com.fasterxml.jackson.databind.JsonNode,
                          idField: String, vecField: String,
-                         tenant: String): Either[String, DataFrame] = {
+                         tenant: String, attrs: Seq[String] = Nil,
+                         where: Option[org.apache.spark.sql.Column] = None)
+      : Either[String, DataFrame] = {
     val range =
       try TimeRange.parse(b.path("startTime").asText(""),
         b.path("endTime").asText(""))
       catch { case e: Exception => return Left(s"bad time: ${e.getMessage}") }
     val stream = streamsFor(tenant)(dataset)
-    val df = QueryService.windowedRead(spark, dataset, stream, range)
+    val df0 = QueryService.windowedRead(spark, dataset, stream, range)
+    // the attribute predicate applies BEFORE the projection — it may
+    // reference columns the (id, vector, attrs) projection drops
+    val df = where.map(df0.filter).getOrElse(df0)
     Right(df
-      .select(col(idField).cast("long").as(idField),
-        col(vecField).cast("array<float>").as(vecField))
+      .select(col(idField).cast("long").as(idField) +:
+        col(vecField).cast("array<float>").as(vecField) +:
+        attrs.map(col): _*)
       .filter(col(idField).isNotNull && col(vecField).isNotNull))
   }
+
+  /** Optional `where` condition tree (the alert condition JSON shape,
+    * shared parser) → a Spark predicate, or a 400-able message.
+    */
+  private def parseWhere(b: com.fasterxml.jackson.databind.JsonNode)
+      : Either[String, Option[org.apache.spark.sql.Column]] =
+    Option(b.get("where")) match {
+      case None => Right(None)
+      case Some(w) => alertStore.parseCondition(w)
+        .map(n => Some(graft.query.Alerts.Conditions.toColumn(n)))
+    }
 
   /** `POST /api/v1/similarity/index`: `{"datasetName", "vectorField",
     * "idField", "startTime", "endTime", "numCentroids"?, "spill"?,
@@ -123,13 +166,22 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
     * `{"status","rows","numCentroids","spill","nProbe"?}`.
     */
   private[http] def handleSimIndex(ex: HttpExchange): Unit =
-    withSimRequest(ex) { (b, tenant) =>
+    withSimRequest(ex, action = Rbac.IngestAction) { (b, tenant) =>
       val dataset = b.path("datasetName").asText("")
       val vecField = b.path("vectorField").asText("")
       val idField = b.path("idField").asText("")
+      import scala.jdk.CollectionConverters._
+      // attrFields persist alongside the vectors for FILTERED search
+      // (search's `where` runs over them, pre-filtering the probed lists)
+      val attrs = Option(b.get("attrFields")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText())
+      attrs.find(a => !SafeField.matches(a)).foreach { bad =>
+        err(ex, 400, s"attrFields entry '$bad' must match [A-Za-z0-9_]{1,64}")
+        return
+      }
       withSqlTimeout(ex) {
         try {
-          vectorScan(dataset, b, idField, vecField, tenant) match {
+          vectorScan(dataset, b, idField, vecField, tenant, attrs) match {
             case Left(m) => err(ex, 400, m)
             case Right(df) =>
               val rows = df.count()
@@ -142,10 +194,14 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
               val key = tenantKey(tenant, dataset)
               val dir = indexDir(key, vecField)
               Similarity.saveIvfIndex(df, idField, vecField, cents, dir,
-                spill = spill)
+                spill = spill, attrCols = attrs)
               val o = mapper.createObjectNode()
                 .put("status", "indexed").put("rows", rows)
                 .put("numCentroids", cents).put("spill", spill)
+              if (attrs.nonEmpty) {
+                val aa = o.putArray("attrFields")
+                attrs.foreach(aa.add)
+              }
               if (b.hasNonNull("targetRecall")) {
                 val k = b.path("k").asInt(10)
                 val np = Similarity.calibrateIvfIndex(spark, dir, k,
@@ -189,6 +245,43 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
         err(ex, 400, "exactly one of queryIds or queryVectors is required")
         return
       }
+      // `where` = FILTERED search (the alert condition JSON shape): the
+      // true top-k among PREDICATE-MATCHING vectors — pre-filtering on
+      // both paths (probed index lists / the corpus scan), never a
+      // post-filtered top-k that comes back near-empty under a
+      // selective predicate. `facetCap` = DIVERSIFIED search: at most
+      // `max` neighbors per `field` value per query (persisted index
+      // only — the attribute rides in the list rows).
+      //
+      // `nProbe` (persisted path): per-request probe override. The
+      // filtered/diversified candidate pool is the PROBED lists — a
+      // selective predicate anti-correlated with the query's nearest
+      // lists (filter "tag = b" on a query deep in the "a" region) can
+      // probe right past every match at the stored calibration. Widen
+      // nProbe for selective filters; numCentroids = exact filtered
+      // search. Default -1 = the index's stored calibration.
+      val nProbe = b.path("nProbe").asInt(-1)
+      if (nProbe != -1 && nProbe < 1) {
+        err(ex, 400, "nProbe must be positive or the -1 " +
+          "stored-calibration sentinel")
+        return
+      }
+      val whereCol = parseWhere(b) match {
+        case Left(m) => err(ex, 400, m); return
+        case Right(w) => w
+      }
+      val facetCap: Option[(String, Int)] =
+        Option(b.get("facetCap")) match {
+          case None => None
+          case Some(fc) =>
+            val f = fc.path("field").asText("")
+            val m = fc.path("max").asInt(0)
+            if (f.isEmpty || m < 1) {
+              err(ex, 400, "facetCap needs a 'field' and a 'max' >= 1")
+              return
+            }
+            Some((f, m))
+        }
       withSqlTimeout(ex) {
         try {
           vectorScan(dataset, b, idField, vecField, tenant) match {
@@ -223,14 +316,44 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
                 if (indexExists(key, vecField))
                   (Similarity.ivfSearchPersisted(spark,
                     indexDir(key, vecField), queries, idField, vecField, k,
-                    nProbe = -1, excludeSelf = hasIds),
+                    nProbe = nProbe, excludeSelf = hasIds, where = whereCol,
+                    facetCap = facetCap),
                     "persisted_index", "cosine")
                 else {
+                  if (facetCap.isDefined) {
+                    err(ex, 400, "facetCap requires a persisted index " +
+                      "built with attrFields — POST /similarity/index first")
+                    return
+                  }
                   val target = b.path("targetRecall").asDouble(0.9)
-                  val dim = queries.select(size(col(vecField))).head.getInt(0)
-                  (Similarity.annSearch(scan, queries, idField, vecField, k,
-                    targetRecall = target, dim = dim,
-                    excludeSelf = hasIds), "ad_hoc_ann", "l2sq")
+                  // pre-filter the CORPUS, not the queries: a query row
+                  // need not itself satisfy the result predicate
+                  val corpus = vectorScan(dataset, b, idField, vecField,
+                    tenant, where = whereCol) match {
+                    case Left(m) => err(ex, 400, m); return
+                    case Right(c) => c
+                  }
+                  if (whereCol.isDefined && corpus.isEmpty) {
+                    err(ex, 400, "no vectors match the where filter")
+                    return
+                  }
+                  // small corpora serve EXACT brute force: below ~1000
+                  // vectors it is both exact and faster than building +
+                  // calibrating an index per request (ann_quality.json's
+                  // brute rows), and PQ training wants more rows than a
+                  // selective filter may leave
+                  val n = corpus.count()
+                  if (n < AdHocExactFloor)
+                    (Similarity.knnBruteForce(corpus, queries, idField,
+                      vecField, k, excludeSelf = hasIds),
+                      "ad_hoc_exact", "cosine")
+                  else {
+                    val dim =
+                      queries.select(size(col(vecField))).head().getInt(0)
+                    (Similarity.annSearch(corpus, queries, idField, vecField,
+                      k, targetRecall = target, dim = dim,
+                      excludeSelf = hasIds), "ad_hoc_ann", "l2sq")
+                  }
                 }
               val scoreCol =
                 res.columns.find(c => c == "cosine" || c == "dist" || c == "adc")
@@ -258,8 +381,67 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
           case e: IllegalArgumentException =>
             err(ex, 400, String.valueOf(e.getMessage))
           case _: org.apache.spark.sql.AnalysisException =>
-            err(ex, 400, "window schema lacks the requested fields")
+            err(ex, 400, "schema lacks the requested fields " +
+              "(window scan or persisted index)")
         }
+      }
+    }
+
+  /** `POST /api/v1/similarity/delete`: `{"datasetName", "vectorField",
+    * "idField", "deleteIds": [id…]}`. Tombstones the ids in the
+    * persisted index ([[Similarity.deleteFromAnnIndex]]) — deleted
+    * vectors stop appearing in every later search (top-k, radius,
+    * rerank) without rewriting lists; the storage is reclaimed by
+    * `/similarity/compact`. Write-privileged: the index serves OTHER
+    * readers.
+    */
+  private[http] def handleSimDelete(ex: HttpExchange): Unit =
+    withSimRequest(ex, action = Rbac.IngestAction) { (b, tenant) =>
+      val dataset = b.path("datasetName").asText("")
+      val vecField = b.path("vectorField").asText("")
+      val idField = b.path("idField").asText("")
+      val key = tenantKey(tenant, dataset)
+      if (!indexExists(key, vecField)) {
+        err(ex, 404, s"no persisted index for '$vecField' — nothing to " +
+          "delete from")
+        return
+      }
+      import scala.jdk.CollectionConverters._
+      val ids = Option(b.get("deleteIds")).toSeq
+        .flatMap(_.elements().asScala).map(_.asLong)
+      if (ids.isEmpty) { err(ex, 400, "deleteIds is required"); return }
+      withSqlTimeout(ex) {
+        import spark.implicits._
+        Similarity.deleteFromAnnIndex(spark, indexDir(key, vecField),
+          ids.toDF(idField), idField)
+        respond(ex, 200, mapper.writeValueAsString(mapper.createObjectNode()
+          .put("status", "deleted").put("ids", ids.size)))
+      }
+    }
+
+  /** `POST /api/v1/similarity/compact`: `{"datasetName", "vectorField",
+    * "localitySort"?}`. Rewrites the persisted index without tombstoned
+    * rows ([[Similarity.compactAnnIndex]] — atomic generation flip, so
+    * concurrent searches keep serving); `localitySort` opts into the
+    * measured-neutral-here similarity-locality layout for clustered
+    * corpora. No idField: compaction never touches vector rows.
+    */
+  private[http] def handleSimCompact(ex: HttpExchange): Unit =
+    withSimRequest(ex, action = Rbac.IngestAction,
+        needIdField = false) { (b, tenant) =>
+      val dataset = b.path("datasetName").asText("")
+      val vecField = b.path("vectorField").asText("")
+      val key = tenantKey(tenant, dataset)
+      if (!indexExists(key, vecField)) {
+        err(ex, 404, s"no persisted index for '$vecField' — nothing to " +
+          "compact")
+        return
+      }
+      withSqlTimeout(ex) {
+        Similarity.compactAnnIndex(spark, indexDir(key, vecField),
+          localitySort = b.path("localitySort").asBoolean(false))
+        respond(ex, 200, mapper.writeValueAsString(mapper.createObjectNode()
+          .put("status", "compacted")))
       }
     }
 }

@@ -82,12 +82,15 @@ object Similarity {
     * @param queries (idCol, vecCol) — the small side, broadcast
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
-                    idCol: String, vecCol: String, k: Int): DataFrame = {
+                    idCol: String, vecCol: String, k: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c.crossJoin(q)
-      .filter(col("q_id") =!= col("n_id"))
+      // excludeSelf = false: synthetic (positional) query ids — see
+      // [[ivfSearchPersisted]]
+      .filter(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .withColumn("cosine", nanvl(cosine(col("q_vec"), col("n_vec")), lit(-2d)))
     topKRanked(scored, "q_id", "cosine", "n_id", k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))

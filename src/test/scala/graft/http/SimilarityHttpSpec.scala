@@ -94,7 +94,8 @@ class SimilarityHttpSpec extends SparkSuite {
            |"k":3,"queryVectors":[[10,1,0,0,0,0,0,0]],$window}"""
           .stripMargin.replace("\n", " "))
       assert(as == 200, ab)
-      checkNeighbors(ab, "ad_hoc_ann", 3, clusterA = true, None)
+      // 20 rows < the exact floor: ad-hoc serving is brute force here
+      checkNeighbors(ab, "ad_hoc_exact", 3, clusterA = true, None)
 
       // build + calibrate the persisted index
       val (xs, xb) = ask("index",
@@ -153,5 +154,152 @@ class SimilarityHttpSpec extends SparkSuite {
       assert(http("GET", s"$base/similarity/search")._1 == 405)
       assert(ask("nosuch", "{}")._1 == 404)
     } finally srv.stop()
+  }
+
+  test("filtered + diversified search, delete/compact lifecycle, and " +
+      "write-privileged maintenance: a Reader searches but cannot " +
+      "mutate the index other readers serve from") {
+    import java.util.Base64
+    def basic(user: String, pass: String): Map[String, String] =
+      Map("Authorization" -> ("Basic " + Base64.getEncoder
+        .encodeToString(s"$user:$pass".getBytes(UTF_8))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simf").toString
+    val srv = new GraftHttpServer(spark, tmp, requireAuth = true,
+      users = Map("wr" -> "pw", "rd" -> "pr"))
+    srv.start()
+    graft.query.Rbac.grant("wr", Seq(graft.query.Rbac.Writer(Some("fvecs"))))
+    graft.query.Rbac.grant("rd", Seq(graft.query.Rbac.Reader(Some("fvecs"))))
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}/api/v1"
+      val wr = basic("wr", "pw")
+      val rd = basic("rd", "pr")
+      assert(http("PUT", s"$base/logstream/fvecs", wr)._1 == 200)
+      // same two clusters as above, now with a tag attribute:
+      // A = ids 1..10 tag "a", B = ids 11..20 tag "b"
+      def vec(id: Int): Seq[Double] = {
+        val v = Array.fill(8)(0.01 * (id % 5))
+        if (id <= 10) { v(0) = 10.0; v(1) = 1.0 + 0.1 * id }
+        else { v(2) = 10.0; v(3) = 1.0 + 0.1 * (id - 10) }
+        v.toSeq
+      }
+      val events = (1 to 20).map(id =>
+        s"""{"vid":$id,"emb":[${vec(id).mkString(",")}],
+           |"tag":"${if (id <= 10) "a" else "b"}"}"""
+          .stripMargin.replace("\n", ""))
+      assert(http("POST", s"$base/ingest", wr + ("X-P-Stream" -> "fvecs"),
+        Some(events.mkString("[", ",", "]")))._1 == 200)
+
+      val end = java.time.Instant.now().plusSeconds(60).toString
+      val window = s""""startTime":"10m","endTime":"$end""""
+      def ask(route: String, who: Map[String, String],
+              bodyJson: String): (Int, String) =
+        http("POST", s"$base/similarity/$route", who, Some(bodyJson))
+      def neighborIds(bodyText: String): Seq[Long] = {
+        val o = mapper.readTree(bodyText)
+        assert(o.has("results") && o.get("results").size() > 0,
+          s"no results in: $bodyText")
+        val ns = o.get("results").get(0).get("neighbors")
+        (0 until ns.size()).map(i => ns.get(i).get("id").asLong)
+      }
+      val qA = """[10,1,0,0,0,0,0,0]"""
+
+      // AD-HOC filtered search (no index yet): a cluster-A query with
+      // where tag = "b" must return the best B rows — pre-filtering,
+      // not a post-filtered top-k that comes back empty
+      val (fs0, fb0) = ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[$qA],
+           |"where":{"column":"tag","op":"=","value":"b"},$window}"""
+          .stripMargin.replace("\n", " "))
+      assert(fs0 == 200, fb0)
+      assert(mapper.readTree(fb0).get("served_from").asText == "ad_hoc_exact")
+      assert(neighborIds(fb0).forall(id => id >= 11 && id <= 20), fb0)
+      // facetCap needs the persisted attribute rows
+      assert(ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":4,"queryVectors":[$qA],
+           |"facetCap":{"field":"tag","max":2},$window}"""
+          .stripMargin.replace("\n", " "))._1 == 400)
+      // an unsatisfiable ad-hoc filter is a client error, not a crash
+      assert(ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[$qA],
+           |"where":{"column":"tag","op":"=","value":"zzz"},$window}"""
+          .stripMargin.replace("\n", " "))._1 == 400)
+
+      // index build is write-privileged: Reader 403, Writer 200
+      val idxBody =
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"numCentroids":4,"targetRecall":0.9,"k":3,
+           |"attrFields":["tag"],$window}"""
+          .stripMargin.replace("\n", " ")
+      assert(ask("index", rd, idxBody)._1 == 403)
+      val (xs, xb) = ask("index", wr, idxBody)
+      assert(xs == 200, xb)
+      assert(mapper.readTree(xb).get("attrFields").get(0).asText == "tag")
+
+      // persisted filtered search, both predicate directions. nProbe = 4
+      // (full depth, = exact filtered search): a selective predicate
+      // anti-correlated with the query's nearest lists ("tag = b" on a
+      // deep-in-"a" query) can otherwise probe past every match — the
+      // per-request widening knob exists exactly for this
+      def filtered(tag: String): Seq[Long] = {
+        val (s, b) = ask("search", rd,
+          s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+             |"k":3,"queryVectors":[$qA],"nProbe":4,
+             |"where":{"column":"tag","op":"=","value":"$tag"},$window}"""
+            .stripMargin.replace("\n", " "))
+        assert(s == 200, b)
+        assert(mapper.readTree(b).get("served_from").asText ==
+          "persisted_index", b)
+        neighborIds(b)
+      }
+      assert(filtered("a").forall(id => id >= 1 && id <= 10))
+      assert(filtered("b").forall(id => id >= 11 && id <= 20))
+
+      // diversified search: at most 2 neighbors per tag value
+      val (ds, db) = ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":4,"queryVectors":[$qA],"nProbe":4,
+           |"facetCap":{"field":"tag","max":2},$window}"""
+          .stripMargin.replace("\n", " "))
+      assert(ds == 200, db)
+      val dIds = neighborIds(db)
+      assert(dIds.size == 4, db)
+      assert(dIds.count(id => id <= 10) == 2 && dIds.count(_ > 10) == 2,
+        s"facetCap 2-per-tag violated: $dIds")
+
+      // a typo'd probe count fails loudly, it does not silently serve
+      assert(ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[$qA],"nProbe":0,$window}"""
+          .stripMargin.replace("\n", " "))._1 == 400)
+
+      // delete tombstones out of every later search; compact keeps it so
+      val exact3 =
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":1,"queryVectors":[[${vec(3).mkString(",")}]],$window}"""
+          .stripMargin.replace("\n", " ")
+      assert(neighborIds(ask("search", rd, exact3)._2) == Seq(3L))
+      val delBody =
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"deleteIds":[3]}""".stripMargin.replace("\n", " ")
+      assert(ask("delete", rd, delBody)._1 == 403)
+      assert(ask("delete", wr, delBody)._1 == 200)
+      assert(!neighborIds(ask("search", rd, exact3)._2).contains(3L))
+      val cmpBody = """{"datasetName":"fvecs","vectorField":"emb"}"""
+      assert(ask("compact", rd, cmpBody)._1 == 403)
+      assert(ask("compact", wr, cmpBody)._1 == 200)
+      assert(!neighborIds(ask("search", rd, exact3)._2).contains(3L))
+      // maintenance on a field with no index → 404
+      assert(ask("delete", wr,
+        s"""{"datasetName":"fvecs","vectorField":"emb2","idField":"vid",
+           |"deleteIds":[1]}""".stripMargin.replace("\n", " "))._1 == 404)
+      assert(ask("compact", wr,
+        """{"datasetName":"fvecs","vectorField":"emb2"}""")._1 == 404)
+    } finally {
+      srv.stop()
+      graft.query.Rbac.clear()
+    }
   }
 }
