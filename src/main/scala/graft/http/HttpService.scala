@@ -92,7 +92,7 @@ final class GraftHttpServer(
     private[http] val allowOrigins: Seq[String] = Nil)
   extends OidcRoutes with IngestRoutes with QueryRoutes with TailRoutes
   with LogstreamRoutes with AlertRoutes with UserRoutes with PrismRoutes
-  with LlmRoutes with SimilarityRoutes {
+  with LlmRoutes with SimilarityRoutes with TextSearchRoutes {
 
   import GraftHttpServer.{DefaultTenant, SessionTtlMs, StateTtlMs}
 
@@ -496,6 +496,7 @@ final class GraftHttpServer(
   server.createContext("/api/v1/apikeys", handler(handleApiKeys))
   server.createContext("/api/v1/dataset_stats", handler(handleDatasetStats))
   server.createContext("/api/v1/similarity", handler(handleSimilarity))
+  server.createContext("/api/v1/text", handler(handleText))
   server.createContext("/api/v1/filters",
     handler(handleUserConfigs(UserConfigs.Filters)))
   server.createContext("/api/v1/dashboards",

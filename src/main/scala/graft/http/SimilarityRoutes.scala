@@ -39,7 +39,7 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
     * pin to identifier characters so a crafted field name cannot escape
     * the stream's index dir.
     */
-  private val SafeField = "^[A-Za-z0-9_]{1,64}$".r
+  private[http] val SafeField = "^[A-Za-z0-9_]{1,64}$".r
 
   /** Below this corpus size the ad-hoc search path serves exact brute
     * force instead of build-and-calibrate ANN — exact AND faster
@@ -147,7 +147,7 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
   /** Optional `where` condition tree (the alert condition JSON shape,
     * shared parser) → a Spark predicate, or a 400-able message.
     */
-  private def parseWhere(b: com.fasterxml.jackson.databind.JsonNode)
+  private[http] def parseWhere(b: com.fasterxml.jackson.databind.JsonNode)
       : Either[String, Option[org.apache.spark.sql.Column]] =
     Option(b.get("where")) match {
       case None => Right(None)

@@ -160,12 +160,14 @@ object Hybrid {
                             kLex: Int = 20, kVec: Int = 20, k: Int = 10,
                             kk: Int = 60, wLex: Double = 1.0,
                             wVec: Double = 1.0,
-                            where: Option[Column] = None): DataFrame = {
+                            where: Option[Column] = None,
+                            excludeSelf: Boolean = true): DataFrame = {
     val lex = TextIndex.bm25SearchPersisted(spark, textIndexPath,
         queryTerms, kLex, where = where)
       .select(col("doc_id"), col("rk"))
     val vec = Similarity.ivfSearchPersisted(spark, annIndexPath, queries,
-        vecIdCol, vecCol, k = kVec, nProbe = nProbe, where = where)
+        vecIdCol, vecCol, k = kVec, nProbe = nProbe, where = where,
+        excludeSelf = excludeSelf)
       .select(col("n_id").as("doc_id"), col("rk"))
     rrfFuse2(lex, vec, "doc_id", k, kk, wLex, wVec)
   }

@@ -55,6 +55,8 @@ class AuthedFuzzSpec extends SparkSuite {
     "/api/v1/dataset_stats", "/api/v1/dataset_stats/distinct",
     "/api/v1/similarity/index", "/api/v1/similarity/search",
     "/api/v1/similarity/delete", "/api/v1/similarity/compact",
+    "/api/v1/text/index", "/api/v1/text/search", "/api/v1/text/delete",
+    "/api/v1/text/compact", "/api/v1/text/hybrid",
     "/api/v1/filters", "/api/v1/dashboards",
     "/api/v1/correlation", "/api/v1/alerts", "/api/v1/targets",
     "/api/v1/alert-target-policy", "/api/v1/services/traces/list",
