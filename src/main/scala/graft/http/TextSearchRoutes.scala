@@ -319,6 +319,10 @@ private[http] trait TextSearchRoutes { self: GraftHttpServer =>
         err(ex, 404, s"no persisted text index for '$textField'")
         return
       }
+      if (b.hasNonNull("numBuckets") && b.get("numBuckets").asInt < 1) {
+        err(ex, 400, "numBuckets must be >= 1")
+        return
+      }
       withSqlTimeout(ex) {
         TextIndex.compactTextIndex(spark, textIndexDir(key, textField),
           numBuckets =
