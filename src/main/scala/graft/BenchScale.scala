@@ -126,7 +126,11 @@ object BenchScale {
     "q_sim_calibrate", "q_sim_ivf_spill",
     // round-19 addition: the LSH recall curve (brute-force truth pass +
     // one corpus bucket pass; bounded query set, constant-width output)
-    "q_sim_lsh_curve")
+    "q_sim_lsh_curve",
+    // round-19 addition: selectivity-aware filtered search (one
+    // column-pruned selectivity count + the probe join at the widened
+    // width; 10 bounded queries, constant 30-row output)
+    "q_sim_ivf_autoprobe")
 
   /** Gate-health floor: minimum materialized rows a swept query must
     * return at EVERY scale — the trivially-passing-gate net. r17's τ-b
@@ -168,6 +172,9 @@ object BenchScale {
     // measured at land time: 6 rows (all probe levels + the sentinel
     // occupied) at every SF — the constant-width curve output
     "q_sim_lsh_curve" -> 3L,
+    // measured at land time: constant 30 rows (10 queries × k = 3) at
+    // sf0.001/0.01/0.1
+    "q_sim_ivf_autoprobe" -> 15L,
     "q_sim_ivf_persisted" -> 15L, "q_sim_ivf_spill" -> 15L,
     "q_sim_ivfpq_residual" -> 25L, "q_sim_merge_ivfpq" -> 25L,
     "q_sim_pq" -> 25L, "q_sim_pq_rerank" -> 25L, "q_sketch_setops" -> 5L,

@@ -764,6 +764,27 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ML: selectivity-aware FILTERED search — the probe count widens
+    // with the predicate's MEASURED selectivity (expected matching
+    // candidates in the probed fraction must clear safety·k:
+    // p = ceil(P·safety·k / matches), clamped to [base, P]), so a
+    // selective filter anti-correlated with the query's nearest lists
+    // cannot be probed past. The ~1% vec_id % 97 predicate forces the
+    // widening to bind at small corpora (full probe depth) and relax as
+    // matches grow — the output pins the chosen width (nprobe_used).
+    "q_sim_ivf_autoprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("ivfauto").toString
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", numCentroids = 8,
+        idx)
+      val w = col("v_id") % 97 === 0
+      val p = Similarity.autoProbeForFilter(s, idx, w, k = 3, base = 2)
+      Similarity.ivfSearchPersisted(s, idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nProbe = p, where = Some(w))
+        .withColumn("nprobe_used", lit(p))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ML: DIVERSIFIED vector search — at most one result per label per
     // query (facet cap through the TopKPerGroup heap, best-first), then
     // the true top-k of the capped pool: one hot facet cannot
@@ -3163,6 +3184,24 @@ object SparkEntry {
             k = 3, nProbe = 2, where = Some(col("label") === 1))
           .orderBy(col("q_id"), col("rk"))
       }),
+    "q_sim_ivf_autoprobe" -> Prepared(
+      build = (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("ivfauto").toString
+        Similarity.saveIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 8, idx)
+        idx
+      },
+      search = (s, dir, idx) => {
+        val e = t(s, dir, "embeddings")
+        val w = col("v_id") % 97 === 0
+        val p = Similarity.autoProbeForFilter(s, idx.asInstanceOf[String],
+          w, k = 3, base = 2)
+        Similarity.ivfSearchPersisted(s, idx.asInstanceOf[String],
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 3, nProbe = p, where = Some(w))
+          .withColumn("nprobe_used", lit(p))
+          .orderBy(col("q_id"), col("rk"))
+      }),
     "q_sim_ivf_deleted" -> Prepared(
       build = (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -4177,6 +4216,53 @@ object SparkEntry {
          |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
          |  FROM cand)
          |SELECT q_id, n_id, cosine, rk FROM r WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // selectivity-aware filtered search: the probe width is COMPUTED in
+    // SQL from the predicate's match count with the engine's exact
+    // integer formula (p = ceil(P·safety·k / matches) clamped to
+    // [base, P]; P = 8, safety = 4, k = 3, base = 2), then the standard
+    // probes/candidates replication runs at that width — the gate pins
+    // the widening arithmetic AND the widened search
+    "q_sim_ivf_autoprobe" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM v
+         |  ORDER BY vec_id ASC LIMIT 8),
+         |assign AS (
+         |  SELECT v_id, v_e, centroid_id FROM (
+         |    SELECT v.vec_id AS v_id, v.e AS v_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dCosine("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE rk = 1),
+         |m AS (SELECT count(*) AS matches FROM v WHERE vec_id % 97 = 0),
+         |width AS (
+         |  SELECT CAST(CASE WHEN matches = 0 THEN 8
+         |    ELSE LEAST(8, GREATEST(2, (8 * 4 * 3 + matches - 1) // matches))
+         |    END AS INTEGER) AS p
+         |  FROM m),
+         |probes AS (
+         |  SELECT q_id, q_e, centroid_id FROM (
+         |    SELECT q.vec_id AS q_id, q.e AS q_e, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dCosine("q.e", "c.ce")} DESC, c.centroid_id ASC) AS rk
+         |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+         |  WHERE rk <= (SELECT p FROM width)),
+         |cand AS (
+         |  SELECT p.q_id, a.v_id AS n_id, ${dCosine("p.q_e", "a.v_e")} AS cosine
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  WHERE p.q_id != a.v_id AND a.v_id % 97 = 0),
+         |r AS (
+         |  SELECT q_id, n_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS INTEGER) AS rk
+         |  FROM cand)
+         |SELECT q_id, n_id, cosine, rk, (SELECT p FROM width) AS nprobe_used
+         |FROM r WHERE rk <= 3
          |ORDER BY q_id, rk""".stripMargin,
 
     "q_pack_sequences" ->

@@ -266,6 +266,21 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
           "stored-calibration sentinel")
         return
       }
+      // `autoProbe`: measure the predicate's selectivity and widen the
+      // probe count so the expected matching candidates in the probed
+      // lists clear safety·k ([[Similarity.autoProbeForFilter]]) — the
+      // self-tuning alternative to hand-picking nProbe per filter
+      val autoProbe = b.path("autoProbe").asBoolean(false)
+      if (autoProbe && !b.hasNonNull("where")) {
+        err(ex, 400, "autoProbe widens probes for a where filter — " +
+          "without one the stored calibration already serves correctly")
+        return
+      }
+      if (autoProbe && nProbe != -1) {
+        err(ex, 400, "autoProbe and an explicit nProbe are mutually " +
+          "exclusive")
+        return
+      }
       val whereCol = parseWhere(b) match {
         case Left(m) => err(ex, 400, m); return
         case Right(w) => w
@@ -313,12 +328,18 @@ private[http] trait SimilarityRoutes { self: GraftHttpServer =>
               // equality with a corpus row is a coincidence, not a self
               // match, so only the queryIds path excludes self
               val (res, servedFrom, scoreKind) =
-                if (indexExists(key, vecField))
+                if (indexExists(key, vecField)) {
+                  val np =
+                    if (autoProbe && whereCol.isDefined)
+                      Similarity.autoProbeForFilter(spark,
+                        indexDir(key, vecField), whereCol.get, k)
+                    else nProbe
                   (Similarity.ivfSearchPersisted(spark,
                     indexDir(key, vecField), queries, idField, vecField, k,
-                    nProbe = nProbe, excludeSelf = hasIds, where = whereCol,
+                    nProbe = np, excludeSelf = hasIds, where = whereCol,
                     facetCap = facetCap),
                     "persisted_index", "cosine")
+                }
                 else {
                   if (facetCap.isDefined) {
                     err(ex, 400, "facetCap requires a persisted index " +

@@ -830,6 +830,48 @@ object Similarity {
 
   private val NProbeFile = "_nprobe"
 
+  /** Selectivity-aware probe count for FILTERED search over a persisted
+    * IVF index — the scale-correct companion to [[ivfSearchPersisted]]'s
+    * `where`: the filtered candidate pool is the PROBED lists only, so a
+    * selective predicate anti-correlated with the query's nearest lists
+    * can probe right past every match at the unfiltered serving width.
+    * This measures the predicate's selectivity (one column-pruned,
+    * pushdown-friendly count over the live index rows — distinct ids, so
+    * a spilled layout doesn't overstate it) and widens the probe count
+    * until the EXPECTED matching candidates in the probed fraction clear
+    * `safety · k`:
+    *
+    *   matches · (p / P) ≥ safety · k  ⇒  p = ceil(P · safety · k / matches)
+    *
+    * clamped to [base, P]. `base = -1` resolves the index's unfiltered
+    * serving width (stored calibration or the fixed-fraction fallback) —
+    * a permissive predicate then costs nothing extra. A predicate
+    * matching NOTHING returns P: full probe depth is the only honest way
+    * to prove emptiness (and "scan every list once" is the cost floor of
+    * that proof). Exact-integer arithmetic throughout — the formula is
+    * oracle-replicable.
+    *
+    * The uniform-spread assumption is deliberately conservative for the
+    * common case (matches clustered near the query widen more than
+    * needed, never less); the adversarial case — every match in the one
+    * list the widened probe set still misses — degrades toward p = P as
+    * matches shrink, which is exactly the clamp's direction.
+    */
+  def autoProbeForFilter(spark: org.apache.spark.sql.SparkSession,
+                         path: String, where: Column, k: Int,
+                         base: Int = -1, safety: Int = 4): Int = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(safety >= 1, s"safety must be >= 1 (got $safety)")
+    val nCent = spark.read.parquet(s"$path/centroids").count()
+    val pBase = resolveNProbe(spark, path, base).toLong.min(nCent)
+    val matches = applyDeletes(spark, path,
+        spark.read.parquet(activeIndexDir(spark, path)))
+      .filter(where).select(col("v_id")).distinct().count()
+    if (matches == 0L) return nCent.toInt
+    val need = (nCent * safety * k + matches - 1L) / matches
+    math.min(nCent, math.max(pBase, need)).toInt
+  }
+
   /** Calibrate a PERSISTED IVF index's serving probe count and record it
     * in the index (`_nprobe`): the curve runs over the index's own live
     * rows (the raw layout stores vectors) against its own centroids and

@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSuite {
     // LeftAnti (equi on id, residual del_seq > seq) — verified via
     // ExplainDump, not BNLJ
     "q_sim_ivf_deleted", "q_sim_ivf_diverse", "q_sim_ivf_filtered",
+    // auto-probe filtered search: same ≤8-row centroid cross join as
+    // q_sim_ivf_filtered; the selectivity count is a scan + aggregate
+    "q_sim_ivf_autoprobe",
     "q_sim_ivf_persisted", "q_sim_ivfpq", "q_sim_ivfpq_residual",
     // multi-assignment: the same ≤8-row centroid cross joins as
     // q_sim_ivf (spill top-2 selection + the probe subquery)

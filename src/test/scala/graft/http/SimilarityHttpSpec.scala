@@ -257,6 +257,27 @@ class SimilarityHttpSpec extends SparkSuite {
       assert(filtered("a").forall(id => id >= 1 && id <= 10))
       assert(filtered("b").forall(id => id >= 11 && id <= 20))
 
+      // autoProbe = the self-tuning form of the same widening: 10 "b"
+      // matches over 4 lists -> ceil(4*4*3/10) clamps to full depth, so
+      // the result equals the hand-widened nProbe:4 search
+      val (aps, apb) = ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[$qA],"autoProbe":true,
+           |"where":{"column":"tag","op":"=","value":"b"},$window}"""
+          .stripMargin.replace("\n", " "))
+      assert(aps == 200, apb)
+      assert(neighborIds(apb).forall(id => id >= 11 && id <= 20), apb)
+      // and its misuse surfaces are loud
+      assert(ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[$qA],"autoProbe":true,$window}"""
+          .stripMargin.replace("\n", " "))._1 == 400)
+      assert(ask("search", rd,
+        s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",
+           |"k":3,"queryVectors":[$qA],"autoProbe":true,"nProbe":2,
+           |"where":{"column":"tag","op":"=","value":"b"},$window}"""
+          .stripMargin.replace("\n", " "))._1 == 400)
+
       // diversified search: at most 2 neighbors per tag value
       val (ds, db) = ask("search", rd,
         s"""{"datasetName":"fvecs","vectorField":"emb","idField":"vid",

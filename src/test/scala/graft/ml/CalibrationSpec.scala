@@ -138,6 +138,55 @@ class CalibrationSpec extends SparkSuite {
     }
   }
 
+  test("autoProbeForFilter: width follows measured selectivity exactly, " +
+      "full-depth on no-match predicates, distinct ids under spill, and " +
+      "the widened filtered search equals brute force over the matches") {
+    val k = 3
+    val dir = java.nio.file.Files.createTempDirectory("autoprobe").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", 8, dir)
+    // permissive predicate (all 40 rows): p = clamp(ceil(8·4·3/40)) = 3 —
+    // the exact integer formula, not a guess
+    assert(Similarity.autoProbeForFilter(spark, dir,
+      col("v_id") >= 0, k, base = 2) == 3)
+    // the base is a floor: a permissive predicate never narrows below it
+    assert(Similarity.autoProbeForFilter(spark, dir,
+      col("v_id") >= 0, k, base = 5) == 5)
+    // highly selective (2 matches): ceil(96/2) = 48 → clamped to P = 8
+    assert(Similarity.autoProbeForFilter(spark, dir,
+      col("v_id") % 39 === 0, k, base = 2) == 8)
+    // nothing matches → full probe depth (the only honest emptiness proof)
+    assert(Similarity.autoProbeForFilter(spark, dir,
+      col("v_id") < 0, k, base = 2) == 8)
+    // the widened width makes the filtered search EXACT among matches:
+    // p = P here, so results equal brute force over the filtered corpus
+    val w = col("v_id") % 39 === 0
+    val p = Similarity.autoProbeForFilter(spark, dir, w, k, base = 2)
+    val got = Similarity.ivfSearchPersisted(spark, dir, queries,
+        "vec_id", "embedding", k, nProbe = p, where = Some(w))
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.knnBruteForce(
+        corpus.filter($"vec_id" % 39 === 0), queries,
+        "vec_id", "embedding", k)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(got == want, s"widened filtered search != brute force: " +
+      s"${got.diff(want)} / ${want.diff(got)}")
+    // a spilled layout replicates rows — selectivity counts DISTINCT ids,
+    // so the width matches the single-assignment index
+    val dir2 = java.nio.file.Files.createTempDirectory("autoprobe2").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", 8, dir2,
+      spill = 2)
+    assert(Similarity.autoProbeForFilter(spark, dir2,
+      col("v_id") >= 0, k, base = 2) == 3)
+    // arg guards fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.autoProbeForFilter(spark, dir, col("v_id") >= 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.autoProbeForFilter(spark, dir, col("v_id") >= 0, k,
+        safety = 0)
+    }
+  }
+
   test("annSearch default path (residual + exact re-rank + calibrated " +
       "probes) meets its recall target end-to-end") {
     val k = 5
