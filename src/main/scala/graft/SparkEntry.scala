@@ -2068,7 +2068,16 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // ONE materialized candidate pass: the metric internals consume
+      // `cand` through several branches that each prune different
+      // columns (ranked keeps tf, relevance/judgment branches drop it,
+      // per-query lists reduce to q_id), so the pruned subtrees stop
+      // canonicalizing equal and the corpus explode+groupBy re-runs once
+      // per branch (measured 2–5 scans per query in the final plans).
+      // The candidate set is term-bounded — tiny at every scale — so
+      // checkpointing it caps the corpus cost at exactly one pass.
       val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+        .localCheckpoint()
       val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
           Seq(col("tf").desc, col("doc_id").asc), 10)
         .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
@@ -2100,7 +2109,16 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // ONE materialized candidate pass: the metric internals consume
+      // `cand` through several branches that each prune different
+      // columns (ranked keeps tf, relevance/judgment branches drop it,
+      // per-query lists reduce to q_id), so the pruned subtrees stop
+      // canonicalizing equal and the corpus explode+groupBy re-runs once
+      // per branch (measured 2–5 scans per query in the final plans).
+      // The candidate set is term-bounded — tiny at every scale — so
+      // checkpointing it caps the corpus cost at exactly one pass.
       val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+        .localCheckpoint()
       val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
           Seq(col("tf").desc, col("doc_id").asc), 10)
         .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
@@ -2125,7 +2143,16 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // ONE materialized candidate pass: the metric internals consume
+      // `cand` through several branches that each prune different
+      // columns (ranked keeps tf, relevance/judgment branches drop it,
+      // per-query lists reduce to q_id), so the pruned subtrees stop
+      // canonicalizing equal and the corpus explode+groupBy re-runs once
+      // per branch (measured 2–5 scans per query in the final plans).
+      // The candidate set is term-bounded — tiny at every scale — so
+      // checkpointing it caps the corpus cost at exactly one pass.
       val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+        .localCheckpoint()
       val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
           Seq(col("tf").desc, col("doc_id").asc), 10)
         .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
@@ -2148,7 +2175,16 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // ONE materialized candidate pass: the metric internals consume
+      // `cand` through several branches that each prune different
+      // columns (ranked keeps tf, relevance/judgment branches drop it,
+      // per-query lists reduce to q_id), so the pruned subtrees stop
+      // canonicalizing equal and the corpus explode+groupBy re-runs once
+      // per branch (measured 2–5 scans per query in the final plans).
+      // The candidate set is term-bounded — tiny at every scale — so
+      // checkpointing it caps the corpus cost at exactly one pass.
       val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+        .localCheckpoint()
       val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
           Seq(col("tf").desc, col("doc_id").asc), 10)
         .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
@@ -2171,7 +2207,16 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // ONE materialized candidate pass: the metric internals consume
+      // `cand` through several branches that each prune different
+      // columns (ranked keeps tf, relevance/judgment branches drop it,
+      // per-query lists reduce to q_id), so the pruned subtrees stop
+      // canonicalizing equal and the corpus explode+groupBy re-runs once
+      // per branch (measured 2–5 scans per query in the final plans).
+      // The candidate set is term-bounded — tiny at every scale — so
+      // checkpointing it caps the corpus cost at exactly one pass.
       val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+        .localCheckpoint()
       val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
           Seq(col("tf").desc, col("doc_id").asc), 10)
         .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
@@ -2194,7 +2239,16 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // ONE materialized candidate pass: the metric internals consume
+      // `cand` through several branches that each prune different
+      // columns (ranked keeps tf, relevance/judgment branches drop it,
+      // per-query lists reduce to q_id), so the pruned subtrees stop
+      // canonicalizing equal and the corpus explode+groupBy re-runs once
+      // per branch (measured 2–5 scans per query in the final plans).
+      // The candidate set is term-bounded — tiny at every scale — so
+      // checkpointing it caps the corpus cost at exactly one pass.
       val cand = tf.join(broadcast(terms), col("term") === col("qterm"))
+        .localCheckpoint()
       val ranked = graft.operators.TopK.perGroup(cand, Seq(col("q_id")),
           Seq(col("tf").desc, col("doc_id").asc), 10)
         .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
@@ -2230,7 +2284,16 @@ object SparkEntry {
             .cast("long"))
           .select(col("q_id"), col("doc_id"), col("rk"))
       val a = ranked(Seq(col("tf").desc, col("doc_id").asc))
-      val b = ranked(Seq(col("n_chars").desc, col("doc_id").asc))
+      // ranking B orders by doc length but KEEPS a non-foldable zero
+      // reference to tf (pmod(coalesce(tf,0),1) ≡ 0 — the
+      // constPartitionKey idiom): without it column pruning rewrites B's
+      // candidate aggregate from count(1) to a bare distinct, the two
+      // branches stop canonicalizing equal, and the corpus
+      // explode+groupBy runs TWICE (no exchange reuse). Ordering is
+      // unchanged (adds integer 0); the shared subtree now executes once.
+      val b = ranked(Seq(
+        (col("n_chars") + graft.operators.TopK.constPartitionKey(col("tf")))
+          .desc, col("doc_id").asc))
       Eval.rankAgreement(a, b, 10).orderBy(col("q_id"))
     }),
 
@@ -2255,7 +2318,12 @@ object SparkEntry {
             .cast("long"))
           .select(col("q_id"), col("doc_id"), col("rk"))
       val a = ranked(Seq(col("tf").desc, col("doc_id").asc))
-      val b = ranked(Seq(col("n_chars").desc, col("doc_id").asc))
+      // zero term keeps tf referenced in B's order (same ordering — adds
+      // integer 0): both rankings then share ONE corpus pass via
+      // exchange reuse instead of B re-running a pruned duplicate
+      val b = ranked(Seq(
+        (col("n_chars") + graft.operators.TopK.constPartitionKey(col("tf")))
+          .desc, col("doc_id").asc))
       Eval.rboAtK(a, b, 10, p = 0.9).orderBy(col("q_id"))
     }),
 
@@ -2282,7 +2350,12 @@ object SparkEntry {
             .cast("long"))
           .select(col("q_id"), col("doc_id"), col("rk"))
       val a = ranked(Seq(col("tf").desc, col("doc_id").asc))
-      val b = ranked(Seq(col("n_chars").desc, col("doc_id").asc))
+      // zero term keeps tf referenced in B's order (same ordering — adds
+      // integer 0): both rankings then share ONE corpus pass via
+      // exchange reuse instead of B re-running a pruned duplicate
+      val b = ranked(Seq(
+        (col("n_chars") + graft.operators.TopK.constPartitionKey(col("tf")))
+          .desc, col("doc_id").asc))
       Eval.rboExtrapolated(a, b, 10, p = 0.9).orderBy(col("q_id"))
     }),
 

@@ -99,13 +99,26 @@ object Dedup {
     */
   def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, portableHash: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val shingleArr = TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)
-    val sh =
-      if (portableHash) transform(shingleArr, s => hash60(s) % Prime)
-      else transform(shingleArr, s => xxhash64(s))
-    df.select(col(idCol).as("id"), array_distinct(sh).as("sh"))
+    // native array-hash kernels, NOT `transform(arr, lambda)`: higher-order
+    // functions are CodegenFallback (interpreted per element) and knock the
+    // whole enclosing stage out of codegen — bit-identical values, ~one
+    // static call per row (see HashArrayExprs)
+    val sh = ColumnBridge.column(
+      if (portableHash)
+        graft.functions.Hash60ModArray(ColumnBridge.expression(shingleArr), Prime)
+      else graft.functions.XxHash64Array(ColumnBridge.expression(shingleArr)))
+    // Filter BEFORE the projection, on the cheap token COUNT: `sz > 0` ⇔
+    // (≥ n tokens) because `ngrams` is empty exactly below n tokens and
+    // the hashes are never null. Filtering on the projected `sz` instead
+    // pushes the ENTIRE shingle pipeline into the Filter condition (plus
+    // constraint-inferred copies — measured 5 kernel evaluations per row);
+    // the count kernel scans the string without allocating tokens.
+    df.filter(ColumnBridge.column(graft.functions.TokenCount(
+        ColumnBridge.expression(col(textCol)))) >= n)
+      .select(col(idCol).as("id"), array_distinct(sh).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
-      .filter(col("sz") > 0)
   }
 
   /** Exploded (shingle-hash, id) pairs, optionally dropping shingles that
@@ -539,11 +552,17 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash/LSH
 
-  /** k=16 MinHash signatures as one array column over shingle hashes. */
+  /** k=16 MinHash signatures as one array column over shingle hashes.
+    * Native single-pass kernel (one array traversal computes all 16
+    * minima, codegen-reachable) — bit-identical to the
+    * `array(array_min(transform(sh, x => (a*x+b) % Prime)) …)` form it
+    * replaces, which evaluated 16 interpreted lambdas per row.
+    */
   def minhashSignature(sh: Column): Column =
-    array(minhashParams.map { case (a, b) =>
-      array_min(transform(sh, x => (lit(a) * x + lit(b)) % Prime))
-    }: _*)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.ColumnBridge.expression(sh),
+        minhashParams.map(_._1), minhashParams.map(_._2), Prime))
 
   /** Band keys: md5 of the comma-joined signature slice per band. */
   def bandKeys(sig: Column): Column =
@@ -565,26 +584,36 @@ object Dedup {
     * Jaccard over the shingle-hash sets. The shuffle key is (band, key):
     * only docs agreeing on a full band meet — the candidate set is tiny
     * compared to all pairs.
+    *
+    * Shape (decide with small rows, move arrays once): the band join and
+    * the pair dedup carry BARE IDS — the previous form shipped every
+    * doc's full shingle array through the (band, key) join AND a
+    * SortAggregate pair-dedup (arrays force sort-based aggregation), and
+    * held the bucket frame in an UNRELEASED persist to avoid recomputing
+    * signatures (one leaked cached copy per call in a long-lived
+    * session). Now candidates reduce to distinct (id_a, id_b) via a
+    * cheap hash aggregate, and the shingle arrays are attached to the
+    * (tiny) verified candidate set by two id-keyed joins at the end —
+    * the two fetch sides are the same subtree shuffled the same way, so
+    * the runtime plan reuses one exchange, and nothing is persisted.
     */
   def lshPairs(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // the bucket frame IS persisted (unlike the raw shingle frames): the
-    // portable md5-based MinHash signatures are ~8x the cost of the scan,
-    // and the frame is signatures-only — (id, 16 hashes, band keys), a
-    // bounded fraction of corpus size. In production these signatures are
-    // written once per corpus and reused per batch (see
-    // jaccardAgainstReference / saveIvfIndex for that pattern).
-    val bk = lshBuckets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bk.select(col("band"), col("key"), col("id").as("id_a"),
-      col("sh").as("sh_a"), col("sz").as("sz_a"))
-    val b = bk.select(col("band"), col("key"), col("id").as("id_b"),
-      col("sh").as("sh_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("band", "key"))
+    val sets = shingleHashFrame(df, idCol, textCol, n)
+    val bk = sets
+      .withColumn("sig", minhashSignature(col("sh")))
+      .select(col("id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val cand = bk.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(bk.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
-        col("sz_a"), col("sz_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
@@ -1091,8 +1120,16 @@ object Dedup {
       col("nt").as("nt_b"): _*)
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), keys)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("nt_a"), col("nt_b")))
-      .filter(col("dist") <= maxDist)
+      // |len(a) − len(b)| is a lower bound on Levenshtein distance: a
+      // codegen'd integer filter that skips the O(m·n) DP for most pairs
+      // without changing which pairs survive
+      .filter(abs(length(col("nt_a")) - length(col("nt_b"))) <= maxDist)
+      // thresholded levenshtein (Spark 3.5+): banded O(n·maxDist) DP with
+      // early exit, returns the EXACT distance when ≤ maxDist and −1
+      // otherwise — surviving pairs carry identical `dist` values to the
+      // unbounded form, non-survivors are dropped either way
+      .withColumn("dist", levenshtein(col("nt_a"), col("nt_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
