@@ -345,6 +345,52 @@ object TextExprs {
     if (java.text.Normalizer.isNormalized(str, form)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
+
+  /** Java-regex `\s` membership for a byte (all-ASCII set, UTF-8-safe). */
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** See [[NormText]]: lower → trim(0x20) → collapse `\s+` → " ", with an
+    * optional codepoint-bounded prefix early-stop (`prefixLen < 0` = full).
+    */
+  def normText(s: UTF8String, prefixLen: Int): UTF8String = {
+    val b = s.toLowerCase.getBytes
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && b(lo) == 0x20) lo += 1
+    while (hi > lo && b(hi - 1) == 0x20) hi -= 1
+    val out = new Array[Byte](hi - lo)
+    var o = 0
+    var cps = 0 // codepoints emitted (continuation bytes 10xxxxxx not counted)
+    var i = lo
+    while (i < hi && (prefixLen < 0 || cps < prefixLen)) {
+      val c = b(i)
+      if (isWs(c)) {
+        out(o) = 0x20; o += 1; cps += 1
+        i += 1
+        while (i < hi && isWs(b(i))) i += 1
+      } else {
+        out(o) = c; o += 1
+        if ((c & 0xc0) != 0x80) cps += 1
+        i += 1
+        // copy the continuation bytes of a multibyte codepoint atomically
+        while (i < hi && (b(i) & 0xc0) == 0x80) { out(o) = b(i); o += 1; i += 1 }
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  /** See [[Hash60]]: first 15 md5 hex chars as a 60-bit non-negative long. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val digest = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    (v << 4) | ((digest(7) >> 4) & 0xfL)
+  }
+  def hash60(s: UTF8String): Long = hash60(s.getBytes)
 }
 
 /** `tokenize(text)` — see [[TextExprs.tokenize]]. */
@@ -678,4 +724,60 @@ class LangModel(langs: Seq[(String, Seq[String])]) extends Serializable {
     }
     if (bestIdx < 0) und else names(bestIdx)
   }
+}
+
+/** `norm_text(text[, prefixLen])` — whitespace/case normalization,
+  * bit-identical to `regexp_replace(trim(lower(text)), "\\s+", " ")`:
+  * Unicode lowercase (delegated to `UTF8String.toLowerCase`, the same
+  * call the `lower` builtin makes), trim of 0x20 only (the `trim`
+  * builtin's contract), then each maximal run of Java-regex `\s`
+  * (tab/LF/VT/FF/CR/space — all ASCII, so the byte scan is UTF-8-safe)
+  * collapses to one space. The regex form walks the full document
+  * through the regex engine and allocates per match; this is one pass
+  * and one output buffer.
+  *
+  * `prefixLen >= 0` additionally truncates to the first `prefixLen`
+  * CODEPOINTS of the normalized text (`substring(norm, 1, n)`
+  * semantics) and stops scanning as soon as they are produced — the
+  * edit-distance blocker only needs 80 chars of multi-KB documents.
+  */
+case class NormText(child: Expression, prefixLen: Int = -1)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.normText(input.asInstanceOf[UTF8String], prefixLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExprs.normText($c, $prefixLen)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hash60(text | binary)` — scalar twin of
+  * [[HashArrayExprs.hash60ModElems]] (no modulus): integer value of the
+  * first 15 md5 hex chars, bit-identical to
+  * `conv(substring(md5(cast(c as binary)), 1, 15), 16, 10) cast long`
+  * without allocating the hex string. Accepts string (UTF-8 bytes, the
+  * `cast(string as binary)` contract) or binary input.
+  */
+case class Hash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"hash60 requires string or binary input, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => TextExprs.hash60(s)
+    case b: Array[Byte] => TextExprs.hash60(b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.hash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -43,13 +43,34 @@ object Dedup {
   val numBands = 4
   val bandRows = 4
 
-  /** Portable 60-bit hash: integer value of the first 15 hex chars of md5. */
+  /** Portable 60-bit hash: integer value of the first 15 hex chars of md5.
+    * Native kernel ([[graft.functions.Hash60]]) — bit-identical to the
+    * `conv(substring(md5(cast … binary), 1, 15), 16, 10)` chain it
+    * replaces, without materializing the hex string per row.
+    */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Hash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
-  /** Whitespace/case-normalized text (the exact-dedup canonical form). */
+  /** Whitespace/case-normalized text (the exact-dedup canonical form).
+    * Native single-pass kernel ([[graft.functions.NormText]]) —
+    * bit-identical to `regexp_replace(trim(lower(text)), "\\s+", " ")`
+    * without walking every document through the regex engine.
+    */
   def normText(text: Column): Column =
-    regexp_replace(trim(lower(text)), "\\s+", " ")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NormText(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** First `n` codepoints of [[normText]] (`substring(normText(c), 1, n)`)
+    * with an early stop once `n` normalized chars exist — the
+    * edit-distance blocker reads 80 chars of multi-KB documents.
+    */
+  def normTextPrefix(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NormText(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
   // ------------------------------------------------------------ exact dedup
 
@@ -1085,7 +1106,7 @@ object Dedup {
                         maxBlockSize: Option[Long] = None): DataFrame = {
     val base0 = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        substring(normText(col(textCol)), 1, compareLen).as("nt"): _*)
+        normTextPrefix(col(textCol), compareLen).as("nt"): _*)
       .withColumn("blk", substring(col("nt"), 1, blockLen))
     val keys = blockCols :+ "blk"
     // skew guard (measured: a 10x-duplicated corpus grows block pair work
