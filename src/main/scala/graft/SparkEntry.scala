@@ -29,6 +29,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(GraftSession.tune(s), dir, name)
 
+  /** [[t]] + [[GraftSession.fanOutSmall]] — for search bodies whose
+    * pre-shuffle per-row kernel (subword encode, codec decode) dominates:
+    * a one-split input would otherwise run the kernel in a single task.
+    */
+  private def tF(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.fanOutSmall(t(s, dir, name))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
@@ -1213,8 +1220,12 @@ object SparkEntry {
     // decode fails the gate. PNG is lossless, hence exact.
     "q_multimodal_real" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id")).as[Long]
+      // fan out the id frame BEFORE the encode mapPartitions: the PNG
+      // encode is per-row heavy and would otherwise run in the scan's
+      // single task (the ids are 8 bytes each — the exchange is free)
+      val media = GraftSession.fanOutSmall(
+          t(s, dir, "documents").filter(col("doc_id") < 200)
+            .select(col("doc_id"))).as[Long]
         .mapPartitions { it =>
           it.map { id =>
             val w = 16 + (id % 32).toInt
@@ -3749,7 +3760,7 @@ object SparkEntry {
         BpeTrain.train(t(s, dir, "documents"), "text", numMerges = 20),
       search = (s, dir, m) => {
         val merges = m.asInstanceOf[Seq[BpeTrain.Merge]]
-        t(s, dir, "documents")
+        tF(s, dir, "documents")
           .select(col("doc_id"),
             BpeTrain.encode(TextAnalysis.tokens(col("text")), merges)
               .as("pieces"))
@@ -3764,7 +3775,7 @@ object SparkEntry {
         vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2),
       search = (s, dir, m) => {
         val model = m.asInstanceOf[graft.functions.UnigramModel]
-        t(s, dir, "documents")
+        tF(s, dir, "documents")
           .select(col("doc_id"),
             graft.ml.UnigramLm.encodePieces(
               TextAnalysis.tokens(col("text")), model).as("pieces"))
@@ -3779,7 +3790,7 @@ object SparkEntry {
         vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2),
       search = (s, dir, m) => {
         val model = m.asInstanceOf[graft.functions.UnigramModel]
-        t(s, dir, "documents")
+        tF(s, dir, "documents")
           .select(col("doc_id"),
             graft.ml.UnigramLm.encodePiecesSampled(
               TextAnalysis.tokens(col("text")), model, alpha = 0.5,
@@ -3795,7 +3806,7 @@ object SparkEntry {
         vocabSize = 512, maxPieceLen = 4, seedSize = 1024, iters = 2),
       search = (s, dir, m) => {
         val model = m.asInstanceOf[graft.functions.UnigramModel]
-        val d = t(s, dir, "documents")
+        val d = tF(s, dir, "documents")
         d.select(col("doc_id"),
             explode(array(Seq((1L, 41L), (2L, 41L), (3L, 97L)).map {
               case (e, seed) => struct(lit(e).as("epoch"),

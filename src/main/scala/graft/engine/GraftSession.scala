@@ -82,6 +82,37 @@ object GraftSession {
   private val nanoTimestampCols: Map[String, Seq[String]] =
     Map("events" -> Seq("ts"))
 
+  /** Scan fan-out for KERNEL-HEAVY pipelines, SCALE-ADAPTIVE: when a
+    * frame's entire input is below one planner split (single file under
+    * `spark.sql.files.maxPartitionBytes`, single row group), its scan
+    * runs as ONE task — and with it all scan-side work: per-row kernels
+    * (tokenize/shingle/hash/decode/encode), partial aggregation. On a
+    * 32-core local session that serializes the dominant stage of every
+    * kernel-heavy query (measured: multimodal decode 1.6 s single-task
+    * → 0.5 s fanned out). A round-robin repartition to
+    * `defaultParallelism` fans the rows out for a one-off shuffle of a
+    * ≤ one-split input; predicates and column pruning still push
+    * through the exchange to the parquet scan. At production scale the
+    * input is many files/row groups, the planner parallelizes the scan
+    * itself, and this is a no-op by construction.
+    *
+    * Deliberately NOT applied inside [[table]]: for scan-only or
+    * keyed-shuffle queries (sampling filters, joins on another key,
+    * windowed sessionization) the extra exchange is pure overhead —
+    * measured +0.3–1.2 s per query. Call sites are the operator entry
+    * points whose pre-shuffle kernel work dominates.
+    */
+  def fanOutSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val para = spark.sparkContext.defaultParallelism
+    if (para <= 1) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > 0 &&
+        bytes <= BigInt(spark.sessionState.conf.filesMaxPartitionBytes))
+      df.repartition(para)
+    else df
+  }
+
   /** Read one test table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

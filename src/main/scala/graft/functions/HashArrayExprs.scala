@@ -92,6 +92,48 @@ object HashArrayExprs {
     new GenericArrayData(mins)
   }
 
+  /** Splice-out + rejoin in ONE pass — bit-identical to
+    * `when(rs.isNull, concat_ws(" ", tk)).otherwise(concat_ws(" ",
+    * filter(tk, (t, i) => !exists(rs, r => i+1 >= r.start_tok && i+1 <=
+    * r.end_tok))))` for `rs: array<struct<start_tok: long, end_tok:
+    * long>>`: token i (1-based) survives unless some range covers it;
+    * survivors join with single spaces; a null `rs` keeps every token;
+    * `concat_ws` never returns null (null `tk` → empty string). The HOF
+    * form evaluated an interpreted `exists` lambda per TOKEN per range.
+    */
+  def spliceConcat(tk: ArrayData, rs: ArrayData): UTF8String = {
+    if (tk == null) return UTF8String.EMPTY_UTF8
+    val n = tk.numElements()
+    var m = 0
+    val starts = if (rs == null) null else new Array[Long](rs.numElements())
+    val ends = if (rs == null) null else new Array[Long](rs.numElements())
+    if (rs != null) {
+      m = rs.numElements()
+      var j = 0
+      while (j < m) {
+        val row = rs.getStruct(j, 2)
+        starts(j) = row.getLong(0)
+        ends(j) = row.getLong(1)
+        j += 1
+      }
+    }
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val pos = i + 1L
+      var cut = false
+      var j = 0
+      while (!cut && j < m) {
+        if (pos >= starts(j) && pos <= ends(j)) cut = true
+        j += 1
+      }
+      if (!cut) kept.add(tk.getUTF8String(i))
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size())): _*)
+  }
+
   /** Whitespace-token count without building the token array — the cheap
     * filter-side twin of [[TextExprs.tokenize]]: number of 0x20-separated
     * runs (UTF-8 multibyte sequences never contain 0x20).
@@ -178,4 +220,26 @@ case class TokenCount(child: Expression) extends UnaryExpression
       c => s"graft.functions.HashArrayExprs.tokenCount($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `splice_concat(tk, rs)` — see [[HashArrayExprs.spliceConcat]].
+  * Null-safe binary form: callers guarantee non-null children (coalesce
+  * text to "" and ranges to an empty array), which keeps the expression
+  * on the cheap `defineCodeGen` path.
+  */
+case class SpliceConcat(tk: Expression, rs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = tk
+  override def right: Expression = rs
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any, r: Any): Any =
+    HashArrayExprs.spliceConcat(t.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, r) =>
+      s"graft.functions.HashArrayExprs.spliceConcat($t, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tk = newLeft, rs = newRight)
 }

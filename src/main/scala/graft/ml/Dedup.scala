@@ -79,7 +79,8 @@ object Dedup {
     * One hash-shuffle; partial aggregation happens map-side.
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
+    graft.engine.GraftSession.fanOutSmall(df)
+      .select(col(idCol), md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
       .groupBy(col("fp_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
@@ -99,7 +100,8 @@ object Dedup {
     */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
       score: Column): DataFrame =
-    df.select(col(idCol).cast("long").as("_id"), score.as("_score"),
+    graft.engine.GraftSession.fanOutSmall(df)
+      .select(col(idCol).cast("long").as("_id"), score.as("_score"),
         md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
       .groupBy(col("fp_md5"))
       .agg(
@@ -136,7 +138,10 @@ object Dedup {
     // pushes the ENTIRE shingle pipeline into the Filter condition (plus
     // constraint-inferred copies — measured 5 kernel evaluations per row);
     // the count kernel scans the string without allocating tokens.
-    df.filter(ColumnBridge.column(graft.functions.TokenCount(
+    // fanOutSmall: shingle hashing is the dominant pre-shuffle kernel —
+    // parallelize it when the input would otherwise scan as one task.
+    graft.engine.GraftSession.fanOutSmall(df)
+      .filter(ColumnBridge.column(graft.functions.TokenCount(
         ColumnBridge.expression(col(textCol)))) >= n)
       .select(col(idCol).as("id"), array_distinct(sh).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
@@ -946,9 +951,12 @@ object Dedup {
   /** (__did, __tk) token arrays for docs long enough to hold one window. */
   private def tokenFrame(docs: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame =
-    docs.select(col(idCol).as("__did"),
+    graft.engine.GraftSession.fanOutSmall(docs)
+      .filter(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TokenCount(org.apache.spark.sql.graft.ColumnBridge
+          .expression(col(textCol)))) >= k)
+      .select(col(idCol).as("__did"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
-      .filter(size(col("__tk")) >= k)
 
   /** (__did, __p, __h): one row per sliding k-token window; `__p` is the
     * 1-based start token index, `__h` a 64-bit hash of the window's tokens
@@ -1003,6 +1011,13 @@ object Dedup {
   def maximalDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text", k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // token arrays are consumed three ways (window hashing, survivor-span
+    // text, passage materialization) and deliberately left UNPERSISTED:
+    // the branches re-tokenize from the (runtime-reused) scan exchange,
+    // which measures FASTER than materializing the token frame — an
+    // eager localCheckpoint of (id, tokens) was tried here and cost more
+    // than the recomputes it saved (tokenize is a cheap native kernel;
+    // the barrier added a full write+read of corpus-sized arrays).
     val toks = tokenFrame(docs, idCol, textCol, k)
     val wins = windowHashes(toks, k)
     val spans = survivorSpans(toks, wins, dupWindowHashes(wins), k)
@@ -1074,16 +1089,28 @@ object Dedup {
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__rs"),
         count(lit(1)).as("n_passages"),
         sum(col("end_tok") - col("start_tok") + 1).as("toks_removed"))
-    val spliced = filter(col("__tk"), (t, i) =>
-      !exists(col("__rs"), r =>
-        (i + 1) >= r("start_tok") && (i + 1) <= r("end_tok")))
-    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    // splice + rejoin via the native one-pass kernel (SpliceConcat) —
+    // the HOF form ran an interpreted `exists` lambda per token per
+    // range and knocked the projection out of codegen. Children are
+    // coalesced non-null (text → "", ranges → empty array), which is
+    // value-identical: tokens("") = [] → "" and an empty range list
+    // keeps every token, exactly the old when(__rs isNull) branch.
+    // fanOutSmall: the rejoin tokenizes every document — one-split
+    // inputs would otherwise run it in a single task.
+    val emptyRanges = array().cast(
+      "array<struct<start_tok: bigint, end_tok: bigint>>")
+    graft.engine.GraftSession.fanOutSmall(docs)
+      .select(col(idCol),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("__tk"))
       .join(ranges, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_passages"), lit(0L)).as("n_passages"),
         coalesce(col("toks_removed"), lit(0L)).as("toks_removed"),
-        when(col("__rs").isNull, concat_ws(" ", col("__tk")))
-          .otherwise(concat_ws(" ", spliced)).as("clean_text"))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.SpliceConcat(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("__tk")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              coalesce(col("__rs"), emptyRanges)))).as("clean_text"))
   }
 
   // ----------------------------------------------- edit-distance near-dup
@@ -1104,7 +1131,7 @@ object Dedup {
                         blockCols: Seq[String], blockLen: Int = 8,
                         compareLen: Int = 80, maxDist: Int = 20,
                         maxBlockSize: Option[Long] = None): DataFrame = {
-    val base0 = df.select(
+    val base0 = graft.engine.GraftSession.fanOutSmall(df).select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         normTextPrefix(col(textCol), compareLen).as("nt"): _*)
       .withColumn("blk", substring(col("nt"), 1, blockLen))
@@ -1250,7 +1277,8 @@ object Dedup {
     */
   private[graft] def lineTable(df: DataFrame, idCol: String, textCol: String,
                                minLineChars: Int): DataFrame =
-    df.select(col(idCol).as("__did"),
+    graft.engine.GraftSession.fanOutSmall(df)
+      .select(col(idCol).as("__did"),
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
       .filter(length(trim(col("__l"))) >= minLineChars)
       .withColumn("__h", hash60(normText(col("__l"))))

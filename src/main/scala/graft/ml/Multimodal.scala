@@ -204,7 +204,11 @@ object Multimodal {
                          codec: MediaCodec = StubCodec): Dataset[Decoded] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(bytesCol).cast("binary"))
+    // codec work is the dominant per-row cost; a one-split input would
+    // otherwise decode every frame in a single task (scale-adaptive
+    // no-op on multi-split inputs)
+    graft.engine.GraftSession.fanOutSmall(
+        df.select(col(idCol).cast("long"), col(bytesCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition setup happens ONCE here (codec init in real impl)

@@ -112,9 +112,16 @@ object ThetaSketch {
     * groups: (g_a, g_b, n_common, intersect_est, union_est). Pure
     * sketch-row arithmetic — equi-joins and ≤ 2k-row windows per pair.
     */
-  def pairwiseSetAlgebra(sk: DataFrame, groupCol: String,
+  def pairwiseSetAlgebra(sk0: DataFrame, groupCol: String,
                          k: Int): DataFrame = {
     require(k >= 2 && k <= MaxK, s"k must be in [2, $MaxK]")
+    // ONE sketch pass: this algebra consumes the sketch rows through four
+    // differently-pruned branches (per-group stats, the h-keyed
+    // intersection self-join, two union legs), so an unmaterialized
+    // producer — the corpus-wide KMV window — would re-run once per
+    // branch. The sketch is ≤ k·groups rows by construction; checkpoint
+    // it (the same shape the KMV HTTP endpoint already uses).
+    val sk = sk0.localCheckpoint()
     val stats = cardinality(sk, Seq(groupCol), k)
     val pairs = stats.select(col(groupCol).as("g_a"),
         col("theta").as("__ta"))

@@ -13,6 +13,8 @@ import graft.ml.Dedup
   * multibyte UTF-8, null) so the optimization can never drift the dedup /
   * sketch / sampling fingerprints.
   */
+case class RangeRow(start_tok: Long, end_tok: Long)
+
 class HashKernelParitySpec extends SparkSuite {
 
   private val samples = Seq(
@@ -106,5 +108,32 @@ class HashKernelParitySpec extends SparkSuite {
     full.zip(banded).foreach { case (f, bd) =>
       if (f <= 3) assert(bd == f) else assert(bd == -1)
     }
+  }
+
+  test("SpliceConcat == when/filter/exists HOF splice") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq("a", "b", "c", "d", "e"), Some(Seq((2L, 3L)))),
+      (Seq("a", "b", "c"), Some(Seq((1L, 3L)))),       // everything cut
+      (Seq("a", "b", "c"), Some(Seq((1L, 1L), (3L, 3L)))),
+      (Seq("a", "b"), None),                            // no ranges
+      (Seq.empty[String], Some(Seq((1L, 2L)))),
+      (Seq.empty[String], None))
+    val df = rows.map { case (tk, rs) =>
+      (tk, rs.map(_.map { case (a, b) => RangeRow(a, b) }))
+    }.toDF("tk", "rs")
+    val want = df.select(
+      when(col("rs").isNull, concat_ws(" ", col("tk")))
+        .otherwise(concat_ws(" ", filter(col("tk"), (t, i) =>
+          !exists(col("rs"), r =>
+            (i + 1) >= r("start_tok") && (i + 1) <= r("end_tok"))))))
+      .collect().map(_.getString(0))
+    val emptyRanges = array().cast(
+      "array<struct<start_tok: bigint, end_tok: bigint>>")
+    val got = df.select(ColumnBridge.column(SpliceConcat(
+        ColumnBridge.expression(col("tk")),
+        ColumnBridge.expression(coalesce(col("rs"), emptyRanges)))))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == want.toSeq)
   }
 }
