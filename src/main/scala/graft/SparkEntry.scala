@@ -45,7 +45,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A9/A1: grouped aggregation (TPC-H Q1 shape), exact decimal sums.
     "q_agg_pricing" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      // tF: 600k rows of decimal casts + map-side aggregation otherwise
+      // run in the one-split scan's single task
+      val l = tF(s, dir, "lineitem")
       l.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).as("dq"),
@@ -93,7 +95,9 @@ object SparkEntry {
       val n = broadcast(t(s, dir, "nation"))
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      // tF: the probe side streams 600k rows through four joins + the
+      // revenue arithmetic - single-task without the fan-out
+      val l = tF(s, dir, "lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
@@ -1032,7 +1036,7 @@ object SparkEntry {
 
     // A9: ROLLUP aggregation with grouping_id (subtotals + grand total).
     "q_agg_rollup" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      val l = tF(s, dir, "lineitem")
       l.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
@@ -1827,7 +1831,7 @@ object SparkEntry {
     // ZOrderSpec pruning demo shows the payoff; this gate pins the
     // curve itself (scaling + interleave) against the oracle.
     "q_zorder" -> ((s, dir) =>
-      graft.operators.ZOrder.withZValue(t(s, dir, "lineitem"),
+      graft.operators.ZOrder.withZValue(tF(s, dir, "lineitem"),
           Seq("l_partkey", "l_suppkey"), bits = 16)
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"), col("z"))

@@ -1150,18 +1150,27 @@ object Dedup {
     // the q_corpus_report pattern). Guard-cost note: the r13 bench
     // deltas attributed to this cap reverted in the r14 no-change bench
     // (zero commits) — box noise, not cap cost.
-    val bstats = base0.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bn"))
-    val small = (maxBlockSize match {
-      case Some(cap) => bstats.filter(col("__bn") <= cap)
+    // Block sizes via a WINDOW over the block keys, not a separate
+    // aggregate + left-semi join back: the window's hash partitioning on
+    // `keys` is exactly the self-join's required distribution, so block
+    // counting, cap filtering and the pair join all share ONE exchange
+    // (the old shape shuffled base0 three times — bstats, semi-probe,
+    // join sides). Cap semantics unchanged: one row per block for the
+    // median (dropDuplicates == the old per-block aggregate), same
+    // max(1000, 64 × median) rule, same explicit-cap override.
+    val counted = base0.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val base = (maxBlockSize match {
+      case Some(cap) => counted.filter(col("__bn") <= cap)
       case None =>
-        val med = bstats.agg(median(col("__bn")).as("__med"))
-        bstats.crossJoin(broadcast(med))
+        val med = counted.select((col("__bn") +: keys.map(col)): _*)
+          .dropDuplicates(keys)
+          .agg(median(col("__bn")).as("__med"))
+        counted.crossJoin(broadcast(med))
           .filter(col("__bn").cast("double") <=
             greatest(lit(1000d), col("__med") * lit(64d)))
           .drop("__med")
     }).drop("__bn")
-    val base = base0.join(small, keys, "left_semi")
     val a = base.select((col("id").as("id_a") +: keys.map(col)) :+
       col("nt").as("nt_a"): _*)
     val b = base.select((col("id").as("id_b") +: keys.map(col)) :+

@@ -1005,6 +1005,9 @@ object Similarity {
     // ([[calibrateIvfIndex]]'s `_nprobe` marker); an uncalibrated index
     // falls back to the structure-free fixed fraction
     val np = resolveNProbe(spark, path, nProbe)
+    // one marker read per search (the rerank and dedup branches both
+    // need it — each previously re-read the sidecar file)
+    val spillFactor = indexSpill(spark, path)
     if (rerank > 0) {
       // spilled layouts replicate rows id-for-id — collapse before the
       // exact pass, or each candidate scores `spill` times and the
@@ -1015,7 +1018,7 @@ object Similarity {
         val fromIndex = applyDeletes(spark, path,
             spark.read.parquet(activeIndexDir(spark, path)))
           .select(col("v_id").as(idCol), col("v_vec").as(vecCol))
-        if (indexSpill(spark, path) == 1) fromIndex
+        if (spillFactor == 1) fromIndex
         else fromIndex.distinct()
       }
       // the shortlist below is already `where`-filtered (pre-filtering)
@@ -1059,7 +1062,7 @@ object Similarity {
     // candidate reachable through several probed lists collapses to one
     // row (identical copies) before capping/ranking; single-assigned
     // indexes skip the exchange entirely
-    val scored = if (indexSpill(spark, path) == 1) scored1
+    val scored = if (spillFactor == 1) scored1
       else scored1.select(Seq(col("q_id"), col("v_id"), col("cosine")) ++
         facetCap.map { case (fc, _) => col(fc) }.toSeq: _*).distinct()
     // RESULT DIVERSIFICATION (`facetCap = (attrCol, m)`): keep only each

@@ -578,8 +578,11 @@ object TextIndex {
     val qt = queryTerms.select(col("q_id"), col("term")).distinct()
     // the batch's term vocabulary: driver-bounded by contract (a query
     // workload's distinct terms), the same static-IN-list pruning lever
-    // as the single-query path
-    val terms = qt.select("term").distinct().as[String].collect().toSeq
+    // as the single-query path. Deduplicate on the DRIVER — the term set
+    // is bounded (≤ 64 per the scorer contract), and a `.distinct()`
+    // before the collect plans an exchange, turning a LocalTableScan
+    // collect into a two-stage Spark job per batch search.
+    val terms = queryTerms.select("term").as[String].collect().toSeq.distinct
     require(terms.nonEmpty, "queryTerms must be non-empty")
     val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
@@ -673,8 +676,10 @@ object TextIndex {
     import spark.implicits._
     val qt = queries.select(col("q_id"), col("term")).distinct()
     // the batch's term vocabulary: driver-bounded by contract (a query
-    // workload's distinct terms), the static-IN-list pruning lever
-    val terms = qt.select("term").distinct().as[String].collect().toSeq
+    // workload's distinct terms), the static-IN-list pruning lever —
+    // deduplicated on the DRIVER (a .distinct() before the collect plans
+    // an exchange: a two-stage job just to read a bounded term list)
+    val terms = queries.select("term").as[String].collect().toSeq.distinct
     require(terms.nonEmpty, "queries must be non-empty")
     val bks = termBucketsLocal(terms, nb)
     val posts = spark.read.parquet(s"$dir/postings")
@@ -708,7 +713,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val qt = queries.select(col("q_id"), col("term")).distinct()
-    val terms = qt.select("term").distinct().as[String].collect().toSeq
+    val terms = queries.select("term").as[String].collect().toSeq.distinct
     require(terms.nonEmpty, "queries must be non-empty")
     val posts = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(termBucketsLocal(terms, nb): _*))
