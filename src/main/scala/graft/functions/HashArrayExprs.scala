@@ -134,6 +134,21 @@ object HashArrayExprs {
       kept.toArray(new Array[UTF8String](kept.size())): _*)
   }
 
+  /** See [[ConcatStructField]]: join string field `ordinal` of each
+    * struct element with `sep` — one pass, no per-element lambda.
+    */
+  def concatStructField(arr: ArrayData, ordinal: Int, numFields: Int,
+                        sep: UTF8String): UTF8String = {
+    val n = arr.numElements()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      parts(i) = arr.getStruct(i, numFields).getUTF8String(ordinal)
+      i += 1
+    }
+    UTF8String.concatWs(sep, parts: _*)
+  }
+
   /** Whitespace-token count without building the token array — the cheap
     * filter-side twin of [[TextExprs.tokenize]]: number of 0x20-separated
     * runs (UTF-8 multibyte sequences never contain 0x20).
@@ -242,4 +257,41 @@ case class SpliceConcat(tk: Expression, rs: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(tk = newLeft, rs = newRight)
+}
+
+/** `concat_struct_field(arr, ordinal, sep)` — see
+  * [[HashArrayExprs.concatStructField]]: bit-identical to
+  * `concat_ws(sep, transform(arr, _.getField(f)))` for an array of
+  * non-null structs whose field `ordinal` is a non-null string (the
+  * line-reassembly shape), without the per-element interpreted lambda.
+  */
+case class ConcatStructField(child: Expression, ordinal: Int,
+                             numFields: Int, sep: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _)
+          if ordinal >= 0 && ordinal < s.size &&
+            s(ordinal).dataType == StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"concat_struct_field needs array<struct> with string field " +
+              s"$ordinal, got $t")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashArrayExprs.concatStructField(input.asInstanceOf[ArrayData],
+      ordinal, numFields, UTF8String.fromString(sep))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("csfSep", UTF8String.fromString(sep),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashArrayExprs.concatStructField($c, $ordinal, " +
+        s"$numFields, $sepRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

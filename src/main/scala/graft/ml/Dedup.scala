@@ -1275,8 +1275,13 @@ object Dedup {
            count(lit(1)).as("__total"))
       .filter(col("kept_lines") > 0)
       .select(col("__did").as(idCol),
-        concat_ws("\n", transform(col("__ordered"), _.getField("__l")))
-          .as("clean_text"),
+        // native one-pass field concat — the transform lambda ran
+        // interpreted per line and blocked codegen for the projection
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.ConcatStructField(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col("__ordered")),
+            ordinal = 1, numFields = 2, sep = "\n")).as("clean_text"),
         col("kept_lines"),
         (col("__total") - col("kept_lines")).as("dropped_lines"))
   }
@@ -1315,8 +1320,13 @@ object Dedup {
            count(lit(1)).as("__total"))
       .filter(col("kept_lines") > 0)
       .select(col("__did").as(idCol),
-        concat_ws("\n", transform(col("__ordered"), _.getField("__l")))
-          .as("clean_text"),
+        // native one-pass field concat — the transform lambda ran
+        // interpreted per line and blocked codegen for the projection
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.ConcatStructField(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col("__ordered")),
+            ordinal = 1, numFields = 2, sep = "\n")).as("clean_text"),
         col("kept_lines"),
         (col("__total") - col("kept_lines")).as("dropped_lines"))
 

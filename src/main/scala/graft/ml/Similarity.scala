@@ -1049,9 +1049,9 @@ object Similarity {
     // which under a selective predicate can come back near-empty. The
     // filter sits directly on the parquet scan, so Catalyst pushes
     // pushable predicates into the probed-partition reads.
-    val index0 = prunedIndexRead(spark, path, probes)
+    val (index0, probesL) = prunedIndexRead(spark, path, probes)
     val index = where.map(index0.filter).getOrElse(index0)
-    val scored1 = index.join(broadcast(probes), Seq("centroid_id"))
+    val scored1 = index.join(broadcast(probesL), Seq("centroid_id"))
       // excludeSelf = false: callers whose query ids are SYNTHETIC (raw
       // vectors keyed by position, not corpus rows) — an id-equality
       // "self" there is a coincidence that would silently drop a real
@@ -1113,9 +1113,9 @@ object Similarity {
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= np)
       .select(col("q_id"), col("q_vec"), col("centroid_id"))
-    val index0 = prunedIndexRead(spark, path, probes)
+    val (index0, probesL) = prunedIndexRead(spark, path, probes)
     val index = where.map(index0.filter).getOrElse(index0)
-    val hits = index.join(broadcast(probes), Seq("centroid_id"))
+    val hits = index.join(broadcast(probesL), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("cosine", nanvl(cosine(col("q_vec"), col("v_vec")), lit(-2d)))
       .filter(col("cosine") >= minCosine)
@@ -1136,13 +1136,25 @@ object Similarity {
     * never opened — the actual nProbe/numCentroids IO contract the
     * persisted layout exists for.
     */
-  private def prunedIndexRead(spark: org.apache.spark.sql.SparkSession,
-                              path: String, probes: DataFrame): DataFrame = {
-    val probeIds = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.get(0))
-    applyDeletes(spark, path,
+  /** Partition-pruned index read + the probe frame as a LOCAL relation.
+    * The probe set is bounded by contract (query set × nProbe rows), and
+    * the pruning IN-list needs it on the driver anyway — so collect it
+    * ONCE and hand the same rows back for the broadcast join side. The
+    * previous shape ran the probes subplan twice per search: a
+    * distinct+collect job for the IN-list, then a full recompute under
+    * the BroadcastExchange.
+    */
+  private def prunedIndexRead(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame): (DataFrame, DataFrame) = {
+    val rows = probes.collect()
+    val idIdx = probes.schema.fieldIndex("centroid_id")
+    val probeIds = rows.map(_.get(idIdx)).distinct.toIndexedSeq
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probes.schema)
+    (applyDeletes(spark, path,
       spark.read.parquet(activeIndexDir(spark, path))
-        .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*)))
+        .filter(col("centroid_id").isin(probeIds: _*))), local)
   }
 
   // ------------------------------------------------- persisted LSH index
@@ -2739,8 +2751,8 @@ object Similarity {
             (a, b) => a - b)
         else col("q_vec")).as("q_vec"),
         col("centroid_id"))
-    val index = prunedIndexRead(spark, path, probes)
-    val scored = index.join(broadcast(probes), Seq("centroid_id"))
+    val (index, probesL) = prunedIndexRead(spark, path, probes)
+    val scored = index.join(broadcast(probesL), Seq("centroid_id"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("adc", pqAdcOf(col("q_vec"), col("codes"), model))
     val top = graft.operators.TopK.perGroup(scored, Seq(col("q_id")),
