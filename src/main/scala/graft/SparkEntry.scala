@@ -1831,7 +1831,7 @@ object SparkEntry {
     // ZOrderSpec pruning demo shows the payoff; this gate pins the
     // curve itself (scaling + interleave) against the oracle.
     "q_zorder" -> ((s, dir) =>
-      graft.operators.ZOrder.withZValue(tF(s, dir, "lineitem"),
+      graft.operators.ZOrder.withZValue(t(s, dir, "lineitem"),
           Seq("l_partkey", "l_suppkey"), bits = 16)
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"), col("z"))

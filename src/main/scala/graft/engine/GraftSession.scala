@@ -106,7 +106,18 @@ object GraftSession {
     val spark = df.sparkSession
     val para = spark.sparkContext.defaultParallelism
     if (para <= 1) return df
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    // already fanned out (or otherwise shuffled) upstream — a second
+    // round-robin exchange would be pure overhead
+    val hasShuffle = plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionOperation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _ => false
+    }
+    if (hasShuffle) return df
+    val bytes = plan.stats.sizeInBytes
     if (bytes > 0 &&
         bytes <= BigInt(spark.sessionState.conf.filesMaxPartitionBytes))
       df.repartition(para)

@@ -79,8 +79,7 @@ object Dedup {
     * One hash-shuffle; partial aggregation happens map-side.
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.engine.GraftSession.fanOutSmall(df)
-      .select(col(idCol), md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
+    df.select(col(idCol), md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
       .groupBy(col("fp_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
@@ -100,8 +99,7 @@ object Dedup {
     */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
       score: Column): DataFrame =
-    graft.engine.GraftSession.fanOutSmall(df)
-      .select(col(idCol).cast("long").as("_id"), score.as("_score"),
+    df.select(col(idCol).cast("long").as("_id"), score.as("_score"),
         md5(normText(col(textCol)).cast("binary")).as("fp_md5"))
       .groupBy(col("fp_md5"))
       .agg(
@@ -138,10 +136,10 @@ object Dedup {
     // pushes the ENTIRE shingle pipeline into the Filter condition (plus
     // constraint-inferred copies — measured 5 kernel evaluations per row);
     // the count kernel scans the string without allocating tokens.
-    // fanOutSmall: shingle hashing is the dominant pre-shuffle kernel —
-    // parallelize it when the input would otherwise scan as one task.
-    graft.engine.GraftSession.fanOutSmall(df)
-      .filter(ColumnBridge.column(graft.functions.TokenCount(
+    // (scan fan-out was tried here and removed: with the native hash
+    // kernels the pre-shuffle work is cheap enough that the extra
+    // exchange measured as a net loss across the shingle family)
+    df.filter(ColumnBridge.column(graft.functions.TokenCount(
         ColumnBridge.expression(col(textCol)))) >= n)
       .select(col(idCol).as("id"), array_distinct(sh).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
@@ -951,8 +949,7 @@ object Dedup {
   /** (__did, __tk) token arrays for docs long enough to hold one window. */
   private def tokenFrame(docs: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame =
-    graft.engine.GraftSession.fanOutSmall(docs)
-      .filter(org.apache.spark.sql.graft.ColumnBridge.column(
+    docs.filter(org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.TokenCount(org.apache.spark.sql.graft.ColumnBridge
           .expression(col(textCol)))) >= k)
       .select(col(idCol).as("__did"),
@@ -1131,7 +1128,7 @@ object Dedup {
                         blockCols: Seq[String], blockLen: Int = 8,
                         compareLen: Int = 80, maxDist: Int = 20,
                         maxBlockSize: Option[Long] = None): DataFrame = {
-    val base0 = graft.engine.GraftSession.fanOutSmall(df).select(
+    val base0 = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         normTextPrefix(col(textCol), compareLen).as("nt"): _*)
       .withColumn("blk", substring(col("nt"), 1, blockLen))
