@@ -559,10 +559,17 @@ object Dedup {
     // |A∩B| is symmetric, so aggregate each UNORDERED pair once (id_a <
     // id_b — half the join output and half the pair-shuffle volume of the
     // directed formulation), then emit both directions from the one count
+    // materialized ONCE: the directed union below consumes the pair
+    // aggregate through two differently-projected branches, which the
+    // runtime planned as two separate shingle-join + aggregation passes
+    // (the lower shingle exchanges reused, the expensive pair stage did
+    // not — its join sides canonicalize swapped). The undirected pair
+    // table is threshold-bounded and tiny next to the exploded input.
     val undirected = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
+      .localCheckpoint()
     val directed = undirected.select(
         col("id_a"), col("id_b"), col("sz_a"), col("inter"))
       .unionByName(undirected.select(
@@ -667,9 +674,6 @@ object Dedup {
                maxIters: Int = 20,
                driverMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // the pair pipeline is referenced more than once (count + either path) —
-    // persist it or the (potentially expensive) producer re-executes
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     // Hybrid: the near-dup PAIR set is orders of magnitude smaller than the
     // corpus — on most real runs it fits on the driver even when the corpus
     // is 100 TB. Below `driverMaxEdges` (2M edges ≈ 32 MB heap) a single
@@ -677,14 +681,16 @@ object Dedup {
     // (each a join + groupBy job); above it, the distributed path takes
     // over with identical semantics. ONE action decides AND fetches: a
     // capped limit+collect — no separate count pass over the pipeline.
+    // The pair pipeline is NOT persisted up front: the common (driver)
+    // path consumes it exactly once in the collect, so the old persist
+    // only added a storage write of every pair; the rare over-cap path
+    // persists before the multi-round propagation, which reuses it.
     val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong).toInt
-    val edges = p.select(col(idA).cast("long"), col(idB).cast("long"))
+    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
       .limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (edges.length <= cap) {
-      val out = clustersLocal(p.sparkSession, edges)
-      p.unpersist()
-      out
-    } else clustersDistributed(p, idA, idB, maxIters)
+    if (edges.length <= cap) clustersLocal(pairs.sparkSession, edges)
+    else clustersDistributed(pairs.persist(StorageLevel.MEMORY_AND_DISK),
+      idA, idB, maxIters)
   }
 
   /** Driver-side union-find over a bounded edge list. Union-by-min keeps
