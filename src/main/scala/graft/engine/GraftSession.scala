@@ -103,10 +103,22 @@ object GraftSession {
     * points whose pre-shuffle kernel work dominates.
     */
   def fanOutSmall(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // optimizedPlan would throw; no-op instead
     val spark = df.sparkSession
     val para = spark.sparkContext.defaultParallelism
     if (para <= 1) return df
     val plan = df.queryExecution.optimizedPlan
+    // only scan-rooted frames qualify: a local/in-memory relation is
+    // already driver-resident and small — an exchange buys nothing there
+    // (and the decode/tokenize operators keep their narrow-pass contract
+    // on literal inputs)
+    val leaves = plan.collectLeaves()
+    val scanRooted = leaves.nonEmpty && leaves.forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        true
+      case _ => false
+    }
+    if (!scanRooted) return df
     // already fanned out (or otherwise shuffled) upstream — a second
     // round-robin exchange would be pure overhead
     val hasShuffle = plan.exists {

@@ -76,8 +76,13 @@ class CompressionSpec extends SparkSuite {
         .put("query",
           "SELECT level, msg FROM gzstream ORDER BY level")
         .put("startTime", "10m")
+        // TimeRange truncates both bounds to the MINUTE (reference
+        // parse_human_time parity): now+60s can truncate below an event
+        // ingested just after a minute boundary and silently drop it from
+        // the window (the 1-in-8 flake this suite had) — keep the end far
+        // enough out that truncation can never exclude this test's events
         .put("endTime",
-          java.time.Instant.now().plusSeconds(60).toString)
+          java.time.Instant.now().plusSeconds(600).toString)
       val body = Some(mapper.writeValueAsString(q).getBytes(UTF_8))
       val (ps, plainBytes, penc) = raw("POST", s"$base/query",
         Map("Accept-Encoding" -> "identity"), body)
