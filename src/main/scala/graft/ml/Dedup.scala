@@ -945,8 +945,7 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 8): DataFrame = {
     val toks = tokenFrame(docs, idCol, textCol, k)
-    val wins = windowHashes(toks, k)
-    survivorSpans(toks, wins, dupWindowHashes(wins), k)
+    occurrenceSpans(toks, dupWindowOccurrences(windowHashes(toks, k)), k)
       .groupBy(col("span"))
       .agg(countDistinct(col("__did")).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -977,26 +976,45 @@ object Dedup {
             k))).as(Seq("__p0", "__h")))
       .select(col("__did"), (col("__p0") + 1).as("__p"), col("__h"))
 
-  /** Window hashes seen in more than one distinct document.
-    * ">1 distinct doc" ⟺ min(doc) != max(doc): min/max partial-aggregate
-    * map-side, unlike countDistinct which would expand to distinct
-    * (hash, doc) pairs before the shuffle.
+  /** Occurrences (__did, __p) of windows whose hash is seen in more than
+    * one distinct document — from ONE windowHashes pass: `wins` is
+    * shuffled on `__h` exactly once instead of the corpus being
+    * re-scanned, re-tokenized and re-hashed for each consumer (the r19
+    * plan ran the whole scan→tokenize→windowhash pipeline twice — once
+    * for the duplicate-hash aggregate, once for the probe side of the
+    * semi-join back). ">1 distinct doc" ⟺ min(doc) != max(doc), never a
+    * countDistinct (which would expand to distinct (hash, doc) pairs).
+    * Scale note: this shuffles the (did, p, h) window rows (~20 B/token)
+    * where the old shape shuffled only aggregated hashes but paid a second
+    * full scan+tokenize+hash pass; the shuffle is the cheaper leg on both
+    * the bench and a network where a token's 20 B costs less to move than
+    * its text costs to re-read, decompress and re-hash.
+    *
+    * The group min/max ride a WINDOW over `__h`, not an aggregate +
+    * semi-join back: the window's required distribution IS the one shuffle,
+    * with a single consumer by construction (an aggregate + semi-join needs
+    * the planner to recognize two copies of the exchange subtree, and a
+    * pushed-down join-key null filter on the probe side was enough to break
+    * that canonicalization and silently re-run the corpus pass — the same
+    * reasoning as editDistancePairs' block counting).
     */
-  private def dupWindowHashes(wins: DataFrame): DataFrame =
-    wins.groupBy(col("__h"))
-      .agg(min(col("__did")).as("d0"), max(col("__did")).as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select(col("__h"))
+  private def dupWindowOccurrences(wins: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("__h"))
+    wins
+      .withColumn("__d0", min(col("__did")).over(wd))
+      .withColumn("__d1", max(col("__did")).over(wd))
+      .filter(col("__d0") =!= col("__d1"))
+      .select(col("__did"), col("__p"))
+  }
 
-  /** (__did, __p, span) for windows whose hash is in `cand`: the semi-join
-    * shrinks the window set first, then ONE join back to the token arrays
-    * builds span text for the survivors only. The probe side streams the
-    * token arrays map-side when AQE broadcasts the (small) survivor set.
+  /** (__did, __p, span) for candidate occurrences: ONE join back to the
+    * token arrays builds span text for the survivors only. The probe side
+    * streams the token arrays map-side when AQE broadcasts the (small)
+    * survivor set.
     */
-  private def survivorSpans(toks: DataFrame, wins: DataFrame,
-                            cand: DataFrame, k: Int): DataFrame =
-    wins.join(cand, Seq("__h"), "left_semi")
-      .join(toks, Seq("__did"))
+  private def occurrenceSpans(toks: DataFrame, occ: DataFrame,
+                              k: Int): DataFrame =
+    occ.join(toks, Seq("__did"))
       .select(col("__did"), col("__p"),
         concat_ws(" ", slice(col("__tk"), col("__p"), lit(k))).as("span"))
 
@@ -1013,25 +1031,37 @@ object Dedup {
     * a window starts a new island when its start exceeds the previous
     * window's start by more than k (i.e. they neither overlap nor touch).
     */
-  def maximalDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
-                            textCol: String = "text", k: Int = 8): DataFrame = {
+  /** Maximal-island ranges `(__did, start_tok, end_tok, n_windows)` (no
+    * passage text) plus the token frame for callers that materialize it.
+    * The token frame is consumed twice (window hashing, survivor-span
+    * text) and deliberately left UNPERSISTED: the branches re-tokenize
+    * from the (runtime-reused) scan exchange, which measures FASTER than
+    * materializing the token frame — an eager localCheckpoint of
+    * (id, tokens) was tried here and cost more than the recomputes it
+    * saved (tokenize is a cheap native kernel; the barrier added a full
+    * write+read of corpus-sized arrays).
+    *
+    * The exact span verify runs in ONE pass the same way
+    * [[dupWindowOccurrences]] does: group min/max over a window keyed by
+    * the span string — the r19 shape (aggregate + semi-join back)
+    * computed the span subtree (with its corpus-scan token join) twice.
+    */
+  private def duplicateSpanIslands(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // token arrays are consumed three ways (window hashing, survivor-span
-    // text, passage materialization) and deliberately left UNPERSISTED:
-    // the branches re-tokenize from the (runtime-reused) scan exchange,
-    // which measures FASTER than materializing the token frame — an
-    // eager localCheckpoint of (id, tokens) was tried here and cost more
-    // than the recomputes it saved (tokenize is a cheap native kernel;
-    // the barrier added a full write+read of corpus-sized arrays).
     val toks = tokenFrame(docs, idCol, textCol, k)
-    val wins = windowHashes(toks, k)
-    val spans = survivorSpans(toks, wins, dupWindowHashes(wins), k)
-    // exact verify: keep occurrences whose span string is in >1 distinct doc
-    val dupSpans = spans.groupBy(col("span"))
-      .agg(min(col("__did")).as("d0"), max(col("__did")).as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select(col("span"))
-    val occ = spans.join(dupSpans, Seq("span"), "left_semi")
+    val spans = occurrenceSpans(toks,
+      dupWindowOccurrences(windowHashes(toks, k)), k)
+    // exact verify: keep occurrences whose span string is in >1 distinct
+    // doc — group min/max over a window keyed by the span string, one
+    // shuffle with a single consumer (see dupWindowOccurrences for why
+    // this beats aggregate + semi-join back)
+    val ws = Window.partitionBy(col("span"))
+    val occ = spans
+      .withColumn("__d0", min(col("__did")).over(ws))
+      .withColumn("__d1", max(col("__did")).over(ws))
+      .filter(col("__d0") =!= col("__d1"))
       .select(col("__did"), col("__p"))
     val byDoc = Window.partitionBy(col("__did")).orderBy(col("__p"))
     val islands = occ
@@ -1043,6 +1073,12 @@ object Dedup {
       .agg(min(col("__p")).as("start_tok"),
         (max(col("__p")) + (k - 1)).as("end_tok"),
         count(lit(1)).as("n_windows"))
+    (islands, toks)
+  }
+
+  def maximalDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", k: Int = 8): DataFrame = {
+    val (islands, toks) = duplicateSpanIslands(docs, idCol, textCol, k)
     islands.join(toks, Seq("__did"))
       .select(col("__did").as(idCol),
         col("start_tok").cast("long").as("start_tok"),
@@ -1079,13 +1115,22 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text", k: Int = 8,
                            keepCanonical: Boolean = false): DataFrame = {
-    val allSpans = maximalDuplicateSpans(docs, idCol, textCol, k)
     val spansToCut =
-      if (!keepCanonical) allSpans
-      else {
+      if (!keepCanonical) {
+        // every occurrence is cut — the passage TEXT is never consumed, so
+        // skip maximalDuplicateSpans' token-frame join entirely (it scanned
+        // and tokenized the whole corpus just to build a column this mode
+        // prunes; the join itself was a semantic no-op — island docs are by
+        // construction a subset of the token frame's docs)
+        val (islands, _) = duplicateSpanIslands(docs, idCol, textCol, k)
+        islands.select(col("__did").as(idCol),
+          col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"))
+      } else {
         val w = Window.partitionBy(col("passage"))
           .orderBy(col(idCol).asc, col("start_tok").asc)
-        allSpans.withColumn("__occ", row_number().over(w))
+        maximalDuplicateSpans(docs, idCol, textCol, k)
+          .withColumn("__occ", row_number().over(w))
           .filter(col("__occ") > 1) // occurrence 1 is the canonical copy
           .drop("__occ")
       }
