@@ -37,6 +37,14 @@ object GraftSession {
     // Broadcast threshold: dims (region/nation/supplier at any SF, centroid
     // tables) must broadcast rather than shuffle.
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    // Partition discovery: the default threshold (32 paths) launches a
+    // DISTRIBUTED listing job for any bucket-partitioned index read
+    // (postings/doclens ship 64+ bucket dirs), charging ~0.2 s of job
+    // overhead to every search's DataFrame construction. 1024 paths list
+    // on the driver in well under that on any filesystem; genuinely large
+    // tables (100 TB directory trees) still cross the threshold and keep
+    // the parallel listing path.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024",
   )
 
   def tune(spark: SparkSession): SparkSession = {

@@ -1145,11 +1145,12 @@ object Dedup {
     // coalesced non-null (text → "", ranges → empty array), which is
     // value-identical: tokens("") = [] → "" and an empty range list
     // keeps every token, exactly the old when(__rs isNull) branch.
-    // fanOutSmall: the rejoin tokenizes every document — one-split
-    // inputs would otherwise run it in a single task.
+    // No scan fan-out on the rejoin: with tokens + SpliceConcat native,
+    // the round-robin exchange measured slower than the single-split
+    // kernel pass it parallelized (same finding as lineTable).
     val emptyRanges = array().cast(
       "array<struct<start_tok: bigint, end_tok: bigint>>")
-    graft.engine.GraftSession.fanOutSmall(docs)
+    docs
       .select(col(idCol),
         TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("__tk"))
       .join(ranges, Seq(idCol), "left")
@@ -1338,10 +1339,16 @@ object Dedup {
 
   /** (__did, __p, __l, __h): one row per qualifying line of every doc —
     * position, raw text, and the portable hash of the normalized form.
+    * No scan fan-out: with the line hash (Hash60) and reassembly
+    * (ConcatStructField) kernels native, the per-row work no longer
+    * outweighs a round-robin exchange — fanOutSmall here measured
+    * slightly SLOWER at 32 cores and was the 0.51 c8/c32 inverse scaler
+    * (the forced defaultParallelism width put 32-way shuffles behind a
+    * few-MB input).
     */
   private[graft] def lineTable(df: DataFrame, idCol: String, textCol: String,
                                minLineChars: Int): DataFrame =
-    graft.engine.GraftSession.fanOutSmall(df)
+    df
       .select(col(idCol).as("__did"),
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
       .filter(length(trim(col("__l"))) >= minLineChars)

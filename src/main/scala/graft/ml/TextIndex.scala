@@ -93,6 +93,75 @@ object TextIndex {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Read schemas of the layouts this object itself writes, supplied
+    * explicitly on every search-path read: schema inference costs a
+    * footer-read per DataFrame construction (~50 ms on the index-served
+    * search paths, paid once per search), and the layout is the engine's
+    * own contract — there is nothing to infer. Postings additionally
+    * carry build-time attr columns whose TYPES the layout does not
+    * record; attr-bearing indexes (readAttrs non-empty) keep the
+    * inference fallback.
+    */
+  private val DoclensSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private val PostingsCoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("positions",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def postingsFrame(spark: SparkSession, path: String,
+                            dir: String): DataFrame =
+    if (readAttrs(spark, path).isEmpty)
+      spark.read.schema(PostingsCoreSchema).parquet(s"$dir/postings")
+    else spark.read.parquet(dir + "/postings")
+
+  private def doclensFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(DoclensSchema).parquet(s"$dir/doclens")
+
+  private val VariantsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("variant",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private val TermsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("p1",
+      org.apache.spark.sql.types.StringType)))
+
+  private def variantsFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(VariantsSchema).parquet(s"$dir/variants")
+
+  private def termsFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(TermsSchema).parquet(s"$dir/terms")
+
   /** Atomic small-file publish: write aside, FileContext-rename over
     * (single-file rename is atomic on posix/HDFS; conditional put on S3).
     */
@@ -363,7 +432,7 @@ object TextIndex {
     val bks = idsL.select(docBucket(col("doc_id"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val live = IndexTombstones.applyDeletes(spark, path,
-      spark.read.parquet(s"$dir/doclens")
+      doclensFrame(spark, dir)
         .filter(col("bucket").isin(bks: _*)), "doc_id")
     val going = live.join(idsL.distinct(), Seq("doc_id"))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -399,7 +468,7 @@ object TextIndex {
     val livePosts0 = IndexTombstones.applyDeletes(spark, path,
       spark.read.parquet(s"$curDir/postings"), "doc_id")
     val liveLens0 = IndexTombstones.applyDeletes(spark, path,
-      spark.read.parquet(s"$curDir/doclens"), "doc_id")
+      doclensFrame(spark, curDir), "doc_id")
     // REPAIR the at-least-once replay degradation while every row is in
     // hand anyway: collapse duplicated (doc, term) postings and doc
     // doclens rows, so the maxDocFreq df guard below counts true df,
@@ -489,7 +558,7 @@ object TextIndex {
     import spark.implicits._
     // buckets of the query terms: a LocalTableScan job over |terms| rows
     val bks = termBucketsLocal(queryTerms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
     // This path needs NO collapseDupPostings exchange: the positional
@@ -585,7 +654,7 @@ object TextIndex {
     val terms = queryTerms.select("term").as[String].collect().toSeq.distinct
     require(terms.nonEmpty, "queryTerms must be non-empty")
     val bks = termBucketsLocal(terms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     // duplicate-collapse BEFORE df + scoring — but ONLY when the stats
@@ -649,7 +718,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val bks = termBucketsLocal(queryTerms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
     IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -682,7 +751,7 @@ object TextIndex {
     val terms = queries.select("term").as[String].collect().toSeq.distinct
     require(terms.nonEmpty, "queries must be non-empty")
     val bks = termBucketsLocal(terms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -715,7 +784,7 @@ object TextIndex {
     val qt = queries.select(col("q_id"), col("term")).distinct()
     val terms = queries.select("term").as[String].collect().toSeq.distinct
     require(terms.nonEmpty, "queries must be non-empty")
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(termBucketsLocal(terms, nb): _*))
       .filter(col("term").isin(terms: _*))
     val matched = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -758,7 +827,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val bks = termBucketsLocal(queryTerms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
     val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -817,7 +886,7 @@ object TextIndex {
     require(width >= 1, "width must be >= 1")
     val (_, _, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(termBucketsLocal(queryTerms, nb): _*))
       .filter(col("term").isin(queryTerms: _*))
     val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -929,7 +998,7 @@ object TextIndex {
       .toDF("p_id", "n_slots")
     val terms = phrases.flatMap(_._2).distinct
     val bks = termBucketsLocal(terms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -982,7 +1051,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val bks = termBucketsLocal(queryTerms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
     val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -1014,7 +1083,7 @@ object TextIndex {
     val terms = phrase.distinct
     import spark.implicits._
     val bks = termBucketsLocal(terms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     val live = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -1159,7 +1228,7 @@ object TextIndex {
           .as("term"))
       .groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
-    val prev = spark.read.parquet(s"$dir/terms")
+    val prev = termsFrame(spark, dir)
       .select(col("term"), col("df"))
     val vocab = prev.unionByName(delta).groupBy(col("term"))
       .agg(sum(col("df")).as("df"))
@@ -1207,7 +1276,7 @@ object TextIndex {
       query.substring(0, i) + query.substring(i + 1))).distinct
     import spark.implicits._
     val bks = termBucketsLocal(variants, nb)
-    spark.read.parquet(s"$dir/variants")
+    variantsFrame(spark, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("variant").isin(variants: _*))
       .select(col("term"), col("df")).distinct()
@@ -1235,7 +1304,7 @@ object TextIndex {
         s"at build (attrCols = ${attrs.mkString(",")})")
     val (_, _, nb) = readStats(spark, path)
     val dir = activeDataDir(spark, path)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(termBucketsLocal(queryTerms, nb): _*))
       .filter(col("term").isin(queryTerms: _*))
     IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -1290,7 +1359,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val bks = termBucketsLocal(all, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(all: _*))
     // duplicate-collapse BEFORE df + conditional sums — flag-gated like
@@ -1361,7 +1430,7 @@ object TextIndex {
     val dir = activeDataDir(spark, path)
     import spark.implicits._
     val bks = termBucketsLocal(queryTerms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(queryTerms: _*))
     IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -1395,7 +1464,7 @@ object TextIndex {
     }
     val variants = qv.map(_._2).distinct
     val bks = termBucketsLocal(variants, nb)
-    spark.read.parquet(s"$dir/variants")
+    variantsFrame(spark, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("variant").isin(variants: _*))
       .join(broadcast(qv.toDF("query", "variant")), "variant")
@@ -1437,7 +1506,7 @@ object TextIndex {
                    prefix: String, k: Int): DataFrame = {
     require(prefix.nonEmpty && k >= 1, "prefix must be non-empty, k >= 1")
     val dir = activeDictDir(spark, dictPath)
-    spark.read.parquet(s"$dir/terms")
+    termsFrame(spark, dir)
       .filter(col("p1") === prefix.substring(0, 1))
       .filter(col("term").startsWith(prefix))
       .select(col("term"), col("df"))
@@ -1494,7 +1563,7 @@ object TextIndex {
   def regexTermMatches(spark: SparkSession, dictPath: String,
                        pattern: String): DataFrame = {
     val dir = activeDictDir(spark, dictPath)
-    val base = spark.read.parquet(s"$dir/terms")
+    val base = termsFrame(spark, dir)
     val pre = literalPrefix(pattern)
     val pruned =
       if (pre.isEmpty) base
@@ -1526,7 +1595,7 @@ object TextIndex {
     val (_, _, nb) = readStats(spark, idxPath)
     val dir = activeDataDir(spark, idxPath)
     val bks = termBucketsLocal(terms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, idxPath, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     IndexTombstones.applyDeletes(spark, idxPath, posts, "doc_id")
@@ -1595,7 +1664,7 @@ object TextIndex {
     // ≤ rDocs × doc length distinct terms — driver-bounded by contract
     val cand = fb.select("term").as[String].collect().toSeq
     val expansion = if (cand.isEmpty) Nil else {
-      val posts = spark.read.parquet(s"$dir/postings")
+      val posts = postingsFrame(spark, path, dir)
         .filter(col("bucket").isin(termBucketsLocal(cand, nb): _*))
         .filter(col("term").isin(cand: _*))
       val dfreq = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
@@ -1646,7 +1715,7 @@ object TextIndex {
     val terms = srcTf.select("term").as[String].collect().toSeq
     require(terms.nonEmpty, s"doc $docId not found or empty")
     val bks = termBucketsLocal(terms, nb)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = postingsFrame(spark, path, dir)
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
     val dfreq = IndexTombstones.applyDeletes(spark, path, posts, "doc_id")
