@@ -45,6 +45,16 @@ object GraftSession {
     // tables (100 TB directory trees) still cross the threshold and keep
     // the parallel listing path.
     "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024",
+    // InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
+    // under every explode; predicate pushdown then substitutes the
+    // generator's full defining expression into each copy — for the
+    // kernel-computed shingle/window arrays that re-ran the whole
+    // tokenize→ngram→hash pipeline 3 extra times per row (visible in the
+    // final plan's Filter). The inference only pays when an explode sits
+    // far above a selective scan, which no engine path does; the engine's
+    // explodes all follow their defining projection directly.
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
   )
 
   def tune(spark: SparkSession): SparkSession = {

@@ -142,7 +142,12 @@ object Dedup {
     df.filter(ColumnBridge.column(graft.functions.TokenCount(
         ColumnBridge.expression(col(textCol)))) >= n)
       .select(col(idCol).as("id"), array_distinct(sh).as("sh"))
-      .withColumn("sz", size(col("sh")).cast("long"))
+      // coalesce never fires (sh is non-null whenever tokencount ≥ n) but
+      // makes `sz` provably NON-NULLABLE, so InferFiltersFromConstraints
+      // stops synthesizing an `isnotnull(sz)` that predicate pushdown
+      // would substitute into one more per-row copy of the whole
+      // tokenize→ngram→hash pipeline at the scan
+      .withColumn("sz", coalesce(size(col("sh")), lit(-1)).cast("long"))
   }
 
   /** Exploded (shingle-hash, id) pairs, optionally dropping shingles that
