@@ -1187,9 +1187,16 @@ object Dedup {
                         blockCols: Seq[String], blockLen: Int = 8,
                         compareLen: Int = 80, maxDist: Int = 20,
                         maxBlockSize: Option[Long] = None): DataFrame = {
-    val base0 = df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
-        normTextPrefix(col(textCol), compareLen).as("nt"): _*)
+    // explicit cheap null guard + never-firing coalesce: a null text can
+    // never pair (its null block key matches nothing in the inner
+    // self-join), and making `nt`/`blk` provably non-nullable stops the
+    // optimizer from synthesizing an isnotnull(blk) filter whose pushed
+    // form re-ran the normtext prefix kernel once more per row
+    val base0 = df.filter(col(textCol).isNotNull)
+      .select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          coalesce(normTextPrefix(col(textCol), compareLen), lit(""))
+            .as("nt"): _*)
       .withColumn("blk", substring(col("nt"), 1, blockLen))
     val keys = blockCols :+ "blk"
     // skew guard (measured: a 10x-duplicated corpus grows block pair work

@@ -471,9 +471,15 @@ object TextAnalysis {
   def chunk(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", size: Int = 128, stride: Int = 96): DataFrame = {
     require(size >= 1 && stride >= 1, "size and stride must be >= 1")
+    // filter on the allocation-free token COUNT before the projection:
+    // `size(__tk) > 0` pushed below the select re-tokenized every row a
+    // second time inside the substituted Filter (tokencount(text) ≥ 1 is
+    // the same predicate — tokens(null) is null and size(null) < 0)
     val base = docs
+      .filter(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TokenCount(org.apache.spark.sql.graft.ColumnBridge
+          .expression(col(textCol)))) >= 1)
       .select(col(idCol), tokens(col(textCol)).as("__tk"))
-      .filter(org.apache.spark.sql.functions.size(col("__tk")) > 0)
     base.select(col(idCol),
         posexplode(transform(
           sequence(lit(1), org.apache.spark.sql.functions.size(col("__tk")),
